@@ -1,13 +1,118 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.api.ColumnSelection
+import graft.core.Tables
+import graft.operators.Exporter
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry is one operator from SURVEY.md §2 (or a north-star
+  * extension), expressed Spark-first over the parquet tables in the given sf
+  * dir. `oracleSql` holds the DuckDB-equivalent SQL for the hash-compare gate;
+  * column names are aliased identically on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def resolver(s: SparkSession, dir: String): Exporter.Resolver =
+    name => t(s, dir, name)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * SURVEY.md §7.2 minimum slice: the reference's comma-join export
+    * (main.py:176-180) — customer ⋈ orders.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Exporter.buildQuery(
+      ColumnSelection(
+        table = "customer",
+        columns = Seq("c_name", "o_totalprice"),
+        joinTables = Seq("orders"),
+        joinCondition = Some("customer.c_custkey = orders.o_custkey")),
+      resolver(spark, "/root/testdata/sf0.001"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.2 relational operators (reference parity) ----
+    "r1_scan" -> ((s, dir) => t(s, dir, "region")),
+    "r2_projection" -> ((s, dir) =>
+      Exporter.buildQuery(
+        ColumnSelection("customer", Seq("c_name", "c_acctbal")),
+        resolver(s, dir))),
+    "r3_join_comma" -> ((s, dir) =>
+      Exporter.buildQuery(
+        ColumnSelection(
+          "customer",
+          Seq("c_name", "o_totalprice"),
+          Seq("orders"),
+          Some("customer.c_custkey = orders.o_custkey")),
+        resolver(s, dir))),
+    "r3_join_nway" -> ((s, dir) =>
+      Exporter.buildQuery(
+        ColumnSelection(
+          "customer",
+          Seq("c_name", "o_orderkey", "l_quantity", "n_name"),
+          Seq("orders", "lineitem", "nation"),
+          Some("customer.c_custkey = orders.o_custkey AND orders.o_orderkey = lineitem.l_orderkey AND customer.c_nationkey = nation.n_nationkey")),
+        resolver(s, dir))),
+    "r4_theta_join" -> ((s, dir) =>
+      Exporter.buildQuery(
+        ColumnSelection(
+          "region",
+          Seq("r_name", "n_name"),
+          Seq("nation"),
+          Some("region.r_regionkey < nation.n_regionkey")),
+        resolver(s, dir))),
+    "r4_filter" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(expr("l_quantity > 30 AND l_returnflag = 'R'"))
+        .select("l_orderkey", "l_linenumber", "l_quantity")),
+    "r5_count" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(count(lit(1)).as("cnt"))),
+    "r6_empty_result" -> ((s, dir) =>
+      t(s, dir, "orders").filter(col("o_totalprice") < 0).select("o_orderkey")),
+    // ---- §2.1/§2.3 catalog + CSV semantics ----
+    // DESCRIBE parity: ClickHouse-ish type names from the parquet schema
+    // (rows-only check: DuckDB has no equivalent type-name surface).
+    "c3_describe" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem").schema.fields.toSeq
+        .map(f => (f.name, graft.core.Types.toExternalName(f.dataType)))
+        .toDF("col_name", "col_type")
+    }),
+    // All-string CSV round-trip (S1+S5): parquet → CSV → all-string read.
+    "s1_csv_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_csv_rt").toString + "/nation"
+      val src = t(s, dir, "nation")
+      graft.sources.CsvIngest.writeCsv(src, out)
+      graft.sources.CsvIngest.readAllString(s, out)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "r1_scan" -> "SELECT r_regionkey, r_name FROM region",
+    "r2_projection" -> "SELECT c_name, c_acctbal FROM customer",
+    "r3_join_comma" ->
+      "SELECT c_name, o_totalprice FROM customer, orders WHERE customer.c_custkey = orders.o_custkey",
+    "r3_join_nway" ->
+      ("SELECT c_name, o_orderkey, l_quantity, n_name FROM customer, orders, lineitem, nation " +
+        "WHERE customer.c_custkey = orders.o_custkey AND orders.o_orderkey = lineitem.l_orderkey " +
+        "AND customer.c_nationkey = nation.n_nationkey"),
+    "r4_theta_join" ->
+      "SELECT r_name, n_name FROM region, nation WHERE region.r_regionkey < nation.n_regionkey",
+    "r4_filter" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R'",
+    "r5_count" -> "SELECT count(*) AS cnt FROM lineitem",
+    "r6_empty_result" -> "SELECT o_orderkey FROM orders WHERE o_totalprice < 0",
+    "s1_csv_roundtrip" ->
+      ("SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name, " +
+        "CAST(n_regionkey AS VARCHAR) AS n_regionkey FROM nation")
+  )
 }

@@ -1,0 +1,39 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory for the graft engine.
+  *
+  * Replaces the reference's connection pool (`/root/reference/backend/main.py:64-87`,
+  * a dict of ClickHouse HTTP clients keyed `host:port:database:username`) with the
+  * JVM-singleton SparkSession. AQE is on so runtime statistics re-plan joins
+  * (broadcast demotion, skew splitting) — essential at the 100 TB design point
+  * where static estimates are unreliable.
+  */
+object Engine {
+
+  /** Default shuffle parallelism. On a real cluster this should be set to
+    * 2-3x total executor cores (or left to AQE coalescing from a high initial
+    * value); locally it must match the core count, not Spark's default 200.
+    */
+  val DefaultShufflePartitions = 32
+
+  def session(
+      appName: String = "graft",
+      master: Option[String] = None,
+      shufflePartitions: Int = DefaultShufflePartitions): SparkSession = {
+    val b = SparkSession
+      .builder()
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    master.fold(b)(b.master).getOrCreate()
+  }
+
+  /** The reference closes pooled clients on shutdown (`main.py:336-340`). */
+  def shutdown(spark: SparkSession): Unit = spark.stop()
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.api.{ColumnSelection, IngestError, Validation}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
+
+/** The reference's query surface — SURVEY.md §2.2 (R1–R6).
+  *
+  * `/root/reference/backend/main.py:176-180` builds one of two SQL strings:
+  *   - `SELECT {cols} FROM {table}`                          (scan+project)
+  *   - `SELECT {cols} FROM {t0, t1, …} WHERE {condition}`    (comma join)
+  * The comma join is a cross product of all listed tables filtered by an
+  * arbitrary boolean predicate — an inner theta join; there is no other join
+  * kind anywhere in the reference.
+  *
+  * Spark-first rendering: alias each input with its table name, fold with
+  * `crossJoin`, apply `filter(expr(condition))`, then project. Catalyst's
+  * join-condition extraction + `ReorderJoin` rewrite cross-then-equality-filter
+  * into BroadcastHash/SortMergeJoin automatically, so at scale an equi
+  * predicate never executes as a cartesian product. A pure theta predicate
+  * (e.g. `a.x < b.y`) plans as BroadcastNestedLoop/Cartesian — which IS the
+  * reference's semantics; we keep it and let AQE choose the physical side.
+  */
+object Exporter {
+
+  /** Resolve a table name to a DataFrame (catalog lookup, parquet dir, …). */
+  type Resolver = String => DataFrame
+
+  def buildQuery(sel: ColumnSelection, resolve: Resolver): DataFrame = {
+    Validation.requireValidTable(sel.table)
+    sel.joinTables.foreach(Validation.requireValidTable)
+    require(sel.columns.nonEmpty, "columns requires at least one entry") // min_items=1, main.py:54
+
+    val base = resolve(sel.table).alias(sel.table)
+    val joined = sel.joinTables.foldLeft(base) { (acc, t) =>
+      acc.crossJoin(resolve(t).alias(t))
+    }
+    // Reference applies the condition only when join_tables is set (main.py:178).
+    val filtered = (sel.joinCondition, sel.joinTables) match {
+      case (Some(cond), jts) if jts.nonEmpty => joined.filter(expr(cond))
+      case _                                 => joined
+    }
+    filtered.select(sel.columns.map(c => col(c)): _*)
+  }
+
+  /** Export result envelope — main.py:196-202 fields. */
+  final case class ExportResult(data: String, count: Long, query: String, message: String)
+
+  /** Full export path: build → count → CSV string with BOM, with the
+    * empty-result short-circuit of main.py:185-191. `query` echoes a SQL
+    * rendering of the request for envelope parity.
+    */
+  def export(
+      spark: SparkSession,
+      sel: ColumnSelection,
+      resolve: Resolver,
+      delimiter: String = ","): ExportResult = {
+    val sql = renderSql(sel)
+    try {
+      val df = buildQuery(sel, resolve)
+      val n = df.count()
+      if (n == 0L) ExportResult("", 0L, sql, "No data found")
+      else ExportResult(graft.sources.CsvIngest.toCsvString(df, delimiter), n, sql, "success")
+    } catch {
+      case e: IngestError => throw e
+      case e: Exception   => throw IngestError.ExportFailed(e.getMessage)
+    }
+  }
+
+  /** The SQL string the reference would have built (main.py:176-180) — logged
+    * truncated to 200 chars as at main.py:182, and echoed in the envelope.
+    */
+  def renderSql(sel: ColumnSelection): String = {
+    val cols = sel.columns.mkString(", ")
+    if (sel.joinTables.nonEmpty && sel.joinCondition.isDefined)
+      s"SELECT $cols FROM ${(sel.table +: sel.joinTables).mkString(", ")} WHERE ${sel.joinCondition.get}"
+    else
+      s"SELECT $cols FROM ${sel.table}"
+  }
+}

@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle compare (t2 gate).
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+For each query result parquet under <verifyOutDir>/<name>/ and each entry in
+<verifyOutDir>/oracle_sql.json: run the SQL in DuckDB over the sf tables,
+sort columns by name, sort rows, and hash-compare values.
+"""
+import sys, json, hashlib
+import duckdb
+
+TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="last")
+    return df.reset_index(drop=True)
+
+def frame_hash(df):
+    h = hashlib.sha256()
+    for col in df.columns:
+        h.update(col.encode())
+        for v in df[col].tolist():
+            h.update(repr(v).encode())
+    return h.hexdigest()
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    ok = fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+        except Exception as e:
+            print(f"FAIL {name}: spark result unreadable: {e}"); fail += 1; continue
+        try:
+            want = con.execute(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}"); fail += 1; continue
+        g, w = canon(got), canon(want)
+        if list(g.columns) != list(w.columns):
+            print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
+            fail += 1; continue
+        if len(g) != len(w):
+            print(f"FAIL {name}: rows {len(g)} != {len(w)}"); fail += 1; continue
+        if frame_hash(g) != frame_hash(w):
+            print(f"FAIL {name}: value hash mismatch")
+            diff = (g != w) & ~(g.isna() & w.isna())
+            for c in g.columns:
+                if diff[c].any():
+                    i = diff[c].idxmax()
+                    print(f"  first diff col={c} row={i}: got={g[c][i]!r} want={w[c][i]!r}")
+            fail += 1; continue
+        print(f"OK   {name} ({len(g)} rows)"); ok += 1
+    print(f"\n{ok} ok, {fail} fail")
+    sys.exit(1 if fail else 0)
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
