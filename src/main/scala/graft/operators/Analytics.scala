@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational analytics — the operator classes the reference lacks entirely
+  * (SURVEY.md §2.2 "explicitly absent": aggregation, windows, sort/limit, set
+  * ops, subqueries). Added as north-star extensions, each designed to stay
+  * shuffle-efficient at the 100 TB design point:
+  *
+  *  - group-bys rely on partial (map-side) aggregation, which Spark applies
+  *    automatically to all algebraic aggregates used here;
+  *  - dimension joins are broadcast explicitly so the fact table never
+  *    shuffles for them;
+  *  - top-k uses sort-limit (TakeOrderedAndProject), never a global sort;
+  *  - window functions partition on high-cardinality keys so state stays
+  *    bounded per task.
+  */
+object Analytics {
+
+  private def round2(c: Column): Column = round(c, 2)
+
+  /** TPC-H Q1-shaped pricing summary: 4-column algebraic aggregate over the
+    * fact table. One shuffle on (returnflag, linestatus) — cardinality 6 —
+    * after map-side partial agg reduces each task to ≤6 rows.
+    */
+  def pricingSummary(lineitem: DataFrame, cutoff: String = "1998-09-02"): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit(cutoff).cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round2(sum("l_quantity")).as("sum_qty"),
+        round2(sum("l_extendedprice")).as("sum_base_price"),
+        round2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  /** Revenue per nation: fact ⋈ dims. `nation` is broadcast (bounded-size
+    * dimension); customer⋈orders shuffles once on the join key and the
+    * aggregation reuses that partitioning.
+    */
+  def revenueByNation(customer: DataFrame, orders: DataFrame, nation: DataFrame): DataFrame =
+    orders
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        round2(sum("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+
+  /** Top-N orders per customer by price — row_number window partitioned on
+    * the (high-cardinality) customer key; ties broken on o_orderkey so the
+    * result is deterministic.
+    */
+  def topOrdersPerCustomer(orders: DataFrame, n: Int = 3): DataFrame = {
+    val w = Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+  }
+
+  /** Global top-k: planned as TakeOrderedAndProject (per-partition heap +
+    * driver merge of k rows), NOT a global sort — the only scalable shape
+    * for ORDER BY … LIMIT k.
+    */
+  def topKOrders(orders: DataFrame, k: Int = 10): DataFrame =
+    orders
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(k)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  def distinctSegments(customer: DataFrame): DataFrame =
+    customer.select("c_mktsegment").distinct()
+
+  /** Set ops (EXCEPT/INTERSECT are distinct-semantics in both Spark and
+    * ANSI/DuckDB). Nation keys present among customers but not suppliers.
+    */
+  def customerOnlyNations(customer: DataFrame, supplier: DataFrame): DataFrame =
+    customer.select(col("c_nationkey").as("nationkey"))
+      .except(supplier.select(col("s_nationkey").as("nationkey")))
+
+  def activeNations(customer: DataFrame, supplier: DataFrame): DataFrame =
+    customer.select(col("c_nationkey").as("nationkey"))
+      .intersect(supplier.select(col("s_nationkey").as("nationkey")))
+
+  /** Semi/anti joins — the distributed form of IN / NOT EXISTS subqueries.
+    * The filtered build side is small, so Catalyst broadcasts it and the
+    * probe side never shuffles.
+    */
+  def customersWithBigOrders(customer: DataFrame, orders: DataFrame, minTotal: Double): DataFrame =
+    customer
+      .join(
+        orders.filter(col("o_totalprice") > minTotal),
+        customer("c_custkey") === orders("o_custkey"),
+        "left_semi")
+      .select("c_custkey", "c_name")
+
+  def customersWithoutBigOrders(customer: DataFrame, orders: DataFrame, minTotal: Double): DataFrame =
+    customer
+      .join(
+        orders.filter(col("o_totalprice") > minTotal),
+        customer("c_custkey") === orders("o_custkey"),
+        "left_anti")
+      .select("c_custkey", "c_name")
+
+  /** ROLLUP over (status, priority): grouping sets evaluated in one pass. */
+  def orderStatsRollup(orders: DataFrame): DataFrame =
+    orders
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), round2(sum("o_totalprice")).as("total"))
+
+  /** Batch tumbling-window aggregate over the events table (hourly). The
+    * streaming twin lives in graft.streaming; both produce the same frame.
+    */
+  def eventsHourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round2(sum("value")).as("sum_value"))
+}
