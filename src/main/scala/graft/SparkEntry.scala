@@ -74,6 +74,15 @@ object SparkEntry {
       t(s, dir, "lineitem").agg(count(lit(1)).as("cnt"))),
     "r6_empty_result" -> ((s, dir) =>
       t(s, dir, "orders").filter(col("o_totalprice") < 0).select("o_orderkey")),
+    // Events-table pin for the exact ns→µs conversion (ADVICE.md r1 high):
+    // hourly tumbling aggregate; value quantized per-row to milli-units so
+    // the sum is exact integer math in both engines.
+    "e1_events_hourly" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(round(col("value") * 1000).cast("long")).as("value_milli"))),
     // ---- §2.1/§2.3 catalog + CSV semantics ----
     // DESCRIBE parity: ClickHouse-ish type names from the parquet schema
     // (rows-only check: DuckDB has no equivalent type-name surface).
@@ -111,6 +120,10 @@ object SparkEntry {
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R'",
     "r5_count" -> "SELECT count(*) AS cnt FROM lineitem",
     "r6_empty_result" -> "SELECT o_orderkey FROM orders WHERE o_totalprice < 0",
+    "e1_events_hourly" ->
+      ("SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, " +
+        "CAST(sum(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS value_milli " +
+        "FROM events GROUP BY 1, 2"),
     "s1_csv_roundtrip" ->
       ("SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name, " +
         "CAST(n_regionkey AS VARCHAR) AS n_regionkey FROM nation")

@@ -30,6 +30,11 @@ object Engine {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Read TIMESTAMP(NANOS) parquet as long instead of erroring; only
+      // affects nanos-typed columns (see Tables.loadEvents for the ns→µs
+      // conversion). Set here so the behavior is explicit session policy,
+      // not a load-time side effect.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
     master.fold(b)(b.master).getOrCreate()
   }

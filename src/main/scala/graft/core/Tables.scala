@@ -29,14 +29,23 @@ object Tables {
 
   /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
     * vectorized reader rejects outright. Read nanos as long (legacy conf) and
-    * convert to a microsecond timestamp — the same truncation DuckDB applies
-    * (its timestamps are µs), so oracle comparisons agree.
+    * convert to a microsecond timestamp with exact integer division (`div`)
+    * — the same truncation DuckDB applies (its timestamps are µs), so oracle
+    * comparisons agree. `/` would be double division: at epoch-nano magnitude
+    * (~1.7e18) the rounding lands 1µs off for a visible fraction of rows.
+    *
+    * The conf is deliberately set session-wide and NOT restored: parquet
+    * footer→Spark schema conversion re-runs on executors when the scan
+    * actually executes, so flipping the conf back before the action would
+    * fail the job. The conf only changes behavior for NANOS-typed parquet —
+    * which is a hard error without it — so it is safe to leave on
+    * (also set by [[Engine.session]]).
     */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(path(dir, "events"))
-    raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Register every table as a temp view so `spark.sql`/`expr` can resolve

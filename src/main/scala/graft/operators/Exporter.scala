@@ -32,13 +32,16 @@ object Exporter {
     require(sel.columns.nonEmpty, "columns requires at least one entry") // min_items=1, main.py:54
 
     val base = resolve(sel.table).alias(sel.table)
-    val joined = sel.joinTables.foldLeft(base) { (acc, t) =>
-      acc.crossJoin(resolve(t).alias(t))
-    }
-    // Reference applies the condition only when join_tables is set (main.py:178).
+    // The reference builds the comma-join only when BOTH join_tables and
+    // join_condition are set (main.py:178-180); otherwise it runs a plain
+    // single-table SELECT — mirroring renderSql below. Folding the crossJoin
+    // unconditionally would produce an unfiltered cartesian product when the
+    // condition is absent.
     val filtered = (sel.joinCondition, sel.joinTables) match {
-      case (Some(cond), jts) if jts.nonEmpty => joined.filter(expr(cond))
-      case _                                 => joined
+      case (Some(cond), jts) if jts.nonEmpty =>
+        jts.foldLeft(base)((acc, t) => acc.crossJoin(resolve(t).alias(t)))
+          .filter(expr(cond))
+      case _ => base
     }
     filtered.select(sel.columns.map(c => col(c)): _*)
   }

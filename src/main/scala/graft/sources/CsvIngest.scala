@@ -72,18 +72,28 @@ object CsvIngest {
       content: String,
       delimiter: String = ","): DataFrame = {
     if (!Validation.isSupportedFilename(filename)) throw IngestError.UnsupportedFileType
-    val lines = content.split("\r?\n", -1).toIndexedSeq.filter(_.nonEmpty)
-    if (lines.size < 2) throw IngestError.EmptyFile
-    import spark.implicits._
-    val ds = spark.createDataset(lines)
-    val df = spark.read
-      .option("header", "true")
-      .option("sep", delimiter)
-      .option("nullValue", NeverNull)
-      .option("emptyValue", "")
-      .csv(ds)
-    if (df.isEmpty) throw IngestError.EmptyFile
-    df.na.fill("")
+    if (content.trim.isEmpty) throw IngestError.EmptyFile
+    // Spill the payload to a temp file and read with multiLine=true so quoted
+    // fields containing embedded newlines — valid CSV that the reference's
+    // pandas.read_csv accepts (main.py:233-239) — parse as single records
+    // instead of being torn across rows by a line pre-split.
+    val tmp = java.nio.file.Files.createTempFile("graft_upload_", ".csv")
+    try {
+      java.nio.file.Files.writeString(tmp, content)
+      val df = spark.read
+        .option("header", "true")
+        .option("sep", delimiter)
+        .option("multiLine", "true")
+        .option("nullValue", NeverNull)
+        .option("emptyValue", "")
+        .csv(tmp.toString)
+      if (df.isEmpty) throw IngestError.EmptyFile
+      // Materialize before the temp file is deleted (small inline payloads
+      // by contract — the path-based readers are the at-scale route).
+      val rows = df.na.fill("").collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq), df.schema)
+    } finally java.nio.file.Files.deleteIfExists(tmp)
   }
 
   /** S3 — CREATE TABLE IF NOT EXISTS ≈ mode(Ignore) saveAsTable; S4 — batched

@@ -50,6 +50,18 @@ class ExporterSpec extends SparkSpec {
     assert(df.count() == 50)
   }
 
+  test("join_tables without condition falls back to single-table select (main.py:178-180)") {
+    // The reference builds the comma-join only when BOTH join_tables and
+    // join_condition are present; otherwise it's a plain SELECT on the base
+    // table — NOT an unfiltered cartesian product.
+    val df = Exporter.buildQuery(
+      ColumnSelection("nation", Seq("n_name"), Seq("region"), None), resolve)
+    assert(df.count() == 25)
+    assert(Exporter.renderSql(
+      ColumnSelection("nation", Seq("n_name"), Seq("region"), None)) ==
+      "SELECT n_name FROM nation")
+  }
+
   test("condition ignored when join_tables empty (reference parity main.py:178)") {
     val df = Exporter.buildQuery(
       ColumnSelection("nation", Seq("n_name"), Nil, Some("n_nationkey < 0")),

@@ -52,6 +52,15 @@ class CsvIngestSpec extends SparkSpec {
     }
   }
 
+  test("parseUpload handles quoted fields with embedded newlines (multiLine CSV)") {
+    val content = "id,note\n1,\"line one\nline two\"\n2,plain\n"
+    val df = CsvIngest.parseUpload(spark, "upload.csv", content)
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(1) == "line one\nline two")
+    assert(rows(1).getString(1) == "plain")
+  }
+
   test("B5: export round-trip emits BOM, header, no index column") {
     val p = write("b5.csv", "id,name,note\n1,alpha,hello\n2,beta,\n3,,NA\n")
     val df = CsvIngest.readAllString(spark, p)
