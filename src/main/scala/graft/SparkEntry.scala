@@ -100,8 +100,59 @@ object SparkEntry {
       graft.sources.CsvIngest.writeCsv(src, out)
       graft.sources.CsvIngest.readAllString(s, out)
         .select("n_nationkey", "n_name", "n_regionkey")
+    }),
+    // C1 — list tables (temp views of the sf "database"), sorted, cap 1000.
+    "c1_list_tables" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      val names = graft.catalog.Catalog.listTempViews(s)
+      s.createDataFrame(
+        s.sparkContext.parallelize(names.map(org.apache.spark.sql.Row(_)), 1),
+        graft.sources.CsvIngest.allStringSchema(Seq("table_name")))
+    }),
+    // C2 — existence probe: one registered table, one absent (404 in the
+    // reference, main.py:134-139); exists rendered as 0/1 for a stable oracle.
+    "c2_table_exists" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      import s.implicits._
+      Seq("lineitem", "zz_missing")
+        .map(n => (n, if (graft.catalog.Catalog.tableExists(s, n)) 1 else 0))
+        .toDF("table_name", "exists_flag")
+    }),
+    // C4 — connectivity probe (SELECT 1, main.py:310-328).
+    "c4_health" -> ((s, _) => s.sql("SELECT 1 AS ok")),
+    // S3+S4 — the import flow end-to-end: parquet → CSV → all-string read →
+    // createIfNotExists + append (importInto) → scan the managed table.
+    "s3_import_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_import_rt").toString + "/nation"
+      val src = t(s, dir, "nation")
+      graft.sources.CsvIngest.writeCsv(src, out)
+      val csv = graft.sources.CsvIngest.readAllString(s, out)
+        .select("n_nationkey", "n_name", "n_regionkey")
+      val table = "graft_import_rt"
+      // Idempotent across JVM runs: the in-memory catalog forgets the table
+      // between processes but its managed-warehouse dir survives — drop both.
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      dropWarehouseDir(s, table)
+      graft.sources.CsvIngest.importInto(csv, table)
+      s.table(table).select("n_nationkey", "n_name", "n_regionkey")
     })
   )
+
+  /** Delete a managed table's leftover warehouse directory (from a prior JVM
+    * whose in-memory catalog is gone) so CREATE doesn't trip over it.
+    */
+  private def dropWarehouseDir(s: SparkSession, table: String): Unit = {
+    val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir"))
+    val root = java.nio.file.Paths.get(
+      if (wh.getScheme == null) wh.toString else wh.getPath)
+    val dir = root.resolve(table)
+    if (java.nio.file.Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -125,6 +176,22 @@ object SparkEntry {
         "CAST(sum(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS value_milli " +
         "FROM events GROUP BY 1, 2"),
     "s1_csv_roundtrip" ->
+      ("SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name, " +
+        "CAST(n_regionkey AS VARCHAR) AS n_regionkey FROM nation"),
+    "c1_list_tables" ->
+      ("SELECT * FROM (VALUES ('customer'),('documents'),('embeddings'),('events')," +
+        "('lineitem'),('nation'),('orders'),('part'),('region'),('supplier')) AS t(table_name)"),
+    "c2_table_exists" ->
+      "SELECT * FROM (VALUES ('lineitem', 1),('zz_missing', 0)) AS t(table_name, exists_flag)",
+    // Static expected DESCRIBE output: pins Types.toExternalName row by row.
+    "c3_describe" ->
+      ("SELECT * FROM (VALUES ('l_orderkey','Int64'),('l_partkey','Int64')," +
+        "('l_suppkey','Int64'),('l_linenumber','Int32'),('l_quantity','Float64')," +
+        "('l_extendedprice','Float64'),('l_discount','Float64'),('l_tax','Float64')," +
+        "('l_returnflag','String'),('l_linestatus','String'),('l_shipdate','DateTime')) " +
+        "AS t(col_name, col_type)"),
+    "c4_health" -> "SELECT 1 AS ok",
+    "s3_import_roundtrip" ->
       ("SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name, " +
         "CAST(n_regionkey AS VARCHAR) AS n_regionkey FROM nation")
   )

@@ -21,6 +21,13 @@ object Catalog {
   def listTables(spark: SparkSession): Seq[String] =
     spark.catalog.listTables().limit(ListCap).collect().map(_.name).toSeq.sorted
 
+  /** Temp-view-only listing — deterministic under concurrent persistent-table
+    * churn (e.g. the import round-trip's managed table); sorted then capped.
+    */
+  def listTempViews(spark: SparkSession): Seq[String] =
+    spark.catalog.listTables().collect().toSeq
+      .filter(_.isTemporary).map(_.name).sorted.take(ListCap)
+
   def listTablesDf(spark: SparkSession): DataFrame = {
     val rows = listTables(spark).map(Row(_))
     spark.createDataFrame(

@@ -46,24 +46,53 @@ object Exporter {
     filtered.select(sel.columns.map(c => col(c)): _*)
   }
 
-  /** Export result envelope — main.py:196-202 fields. */
-  final case class ExportResult(data: String, count: Long, query: String, message: String)
+  /** Export result envelope — main.py:196-202 fields, plus `path` for the
+    * over-cap spill route (the reference has no such route: it materializes
+    * every result as one in-memory string, main.py:183-194 — its OOM ceiling).
+    */
+  final case class ExportResult(
+      data: String, count: Long, query: String, message: String,
+      path: Option[String] = None)
 
-  /** Full export path: build → count → CSV string with BOM, with the
-    * empty-result short-circuit of main.py:185-191. `query` echoes a SQL
-    * rendering of the request for envelope parity.
+  /** Results at or under this row count are returned inline as a CSV string
+    * (reference envelope parity); larger results take the distributed path.
+    */
+  val DefaultInlineRowCap = 100000
+
+  /** Full export path with the empty-result short-circuit of main.py:185-191.
+    *
+    * Single-pass by construction:
+    *  - inline route: one `take(cap+1)` materializes the rows; count = the
+    *    rows in hand and the CSV string is formatted from them — the query is
+    *    never executed a second time;
+    *  - over-cap route: one distributed CSV write whose row count is captured
+    *    from the SAME execution via `observe` ([[graft.sources.CsvIngest.writeCsvCounted]]);
+    *    the full result never transits the driver. BOM-prefixed parts keep
+    *    `utf-8-sig` parity per part file.
     */
   def export(
       spark: SparkSession,
       sel: ColumnSelection,
       resolve: Resolver,
-      delimiter: String = ","): ExportResult = {
+      delimiter: String = ",",
+      inlineRowCap: Int = DefaultInlineRowCap,
+      spillDir: Option[String] = None): ExportResult = {
     val sql = renderSql(sel)
     try {
       val df = buildQuery(sel, resolve)
-      val n = df.count()
-      if (n == 0L) ExportResult("", 0L, sql, "No data found")
-      else ExportResult(graft.sources.CsvIngest.toCsvString(df, delimiter), n, sql, "success")
+      val head = df.take(inlineRowCap + 1)
+      if (head.isEmpty) ExportResult("", 0L, sql, "No data found")
+      else if (head.length <= inlineRowCap)
+        ExportResult(
+          graft.sources.CsvIngest.rowsToCsvString(df.columns, head, delimiter),
+          head.length.toLong, sql, "success")
+      else {
+        val dir = spillDir.getOrElse(
+          java.nio.file.Files.createTempDirectory("graft_export_").toString)
+        val n = graft.sources.CsvIngest.writeCsvCounted(df, dir, delimiter)
+        graft.sources.CsvIngest.bomPrefixParts(dir)
+        ExportResult("", n, sql, "success", Some(dir))
+      }
     } catch {
       case e: IngestError => throw e
       case e: Exception   => throw IngestError.ExportFailed(e.getMessage)

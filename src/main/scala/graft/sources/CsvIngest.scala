@@ -1,8 +1,10 @@
 package graft.sources
 
 import graft.api.{IngestError, Validation}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import scala.jdk.CollectionConverters._
 
 /** CSV source/sink — SURVEY.md §2.3 (S1–S5).
   *
@@ -65,6 +67,11 @@ object CsvIngest {
   /** Parse an in-memory upload (filename-gated, as main.py:227-231). This is
     * the reference's exact entry shape; prefer [[readAllString]] on a path for
     * anything that doesn't fit in driver memory.
+    *
+    * The payload is parsed ON the driver (quote-aware, multiline-safe RFC 4180
+    * state machine) and handed to Spark via `createDataFrame` — cluster-safe:
+    * no driver-local temp file that executors (or a non-local fs.defaultFS)
+    * could fail to resolve, and a single pass over the data.
     */
   def parseUpload(
       spark: SparkSession,
@@ -73,27 +80,67 @@ object CsvIngest {
       delimiter: String = ","): DataFrame = {
     if (!Validation.isSupportedFilename(filename)) throw IngestError.UnsupportedFileType
     if (content.trim.isEmpty) throw IngestError.EmptyFile
-    // Spill the payload to a temp file and read with multiLine=true so quoted
-    // fields containing embedded newlines — valid CSV that the reference's
-    // pandas.read_csv accepts (main.py:233-239) — parse as single records
-    // instead of being torn across rows by a line pre-split.
-    val tmp = java.nio.file.Files.createTempFile("graft_upload_", ".csv")
-    try {
-      java.nio.file.Files.writeString(tmp, content)
-      val df = spark.read
-        .option("header", "true")
-        .option("sep", delimiter)
-        .option("multiLine", "true")
-        .option("nullValue", NeverNull)
-        .option("emptyValue", "")
-        .csv(tmp.toString)
-      if (df.isEmpty) throw IngestError.EmptyFile
-      // Materialize before the temp file is deleted (small inline payloads
-      // by contract — the path-based readers are the at-scale route).
-      val rows = df.na.fill("").collect()
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toIndexedSeq), df.schema)
-    } finally java.nio.file.Files.deleteIfExists(tmp)
+    val records = parseCsvRecords(content, delimiter.headOption.getOrElse(','))
+    // Header-only (or empty) parse → reference rejects with 400 (main.py:241-245).
+    if (records.length <= 1) throw IngestError.EmptyFile
+    val header = records.head
+    val width = header.length
+    // Ragged rows: pad short rows with "" (pandas NaN → "" under dtype=str)
+    // and drop fields beyond the header width.
+    val rows: java.util.List[org.apache.spark.sql.Row] = records.tail.map { r =>
+      val cells = if (r.length == width) r else r.take(width).padTo(width, "")
+      org.apache.spark.sql.Row.fromSeq(cells)
+    }.asJava
+    spark.createDataFrame(rows, allStringSchema(header))
+  }
+
+  /** Quote-aware CSV record split (RFC 4180): quoted fields may contain the
+    * delimiter, doubled quotes, and embedded newlines; CRLF and LF both end
+    * records; a trailing newline does not produce an empty final record.
+    * Driver-side by design — used only for the reference's small inline
+    * upload contract; file-path reads stay distributed.
+    */
+  private[sources] def parseCsvRecords(content: String, delimiter: Char): Vector[Vector[String]] = {
+    val records = Vector.newBuilder[Vector[String]]
+    var fields = Vector.newBuilder[String]
+    val cell = new StringBuilder
+    var inQuotes = false
+    var sawAny = false // current record has content (guards trailing newline)
+    var i = 0
+    val n = content.length
+    while (i < n) {
+      val c = content.charAt(i)
+      if (inQuotes) {
+        if (c == '"') {
+          if (i + 1 < n && content.charAt(i + 1) == '"') { cell.append('"'); i += 1 }
+          else inQuotes = false
+        } else cell.append(c)
+      } else c match {
+        case '"' => inQuotes = true; sawAny = true
+        case `delimiter` =>
+          fields += cell.result(); cell.clear(); sawAny = true
+        case '\r' =>
+          if (i + 1 < n && content.charAt(i + 1) == '\n') i += 1
+          if (sawAny || cell.nonEmpty) {
+            fields += cell.result(); cell.clear()
+            records += fields.result(); fields = Vector.newBuilder[String]
+            sawAny = false
+          }
+        case '\n' =>
+          if (sawAny || cell.nonEmpty) {
+            fields += cell.result(); cell.clear()
+            records += fields.result(); fields = Vector.newBuilder[String]
+            sawAny = false
+          }
+        case other => cell.append(other); sawAny = true
+      }
+      i += 1
+    }
+    if (sawAny || cell.nonEmpty) {
+      fields += cell.result()
+      records += fields.result()
+    }
+    records.result()
   }
 
   /** S3 — CREATE TABLE IF NOT EXISTS ≈ mode(Ignore) saveAsTable; S4 — batched
@@ -135,7 +182,14 @@ object CsvIngest {
     * to the driver by design — callers must pre-limit; the distributed path
     * is [[writeCsv]].
     */
-  def toCsvString(df: DataFrame, delimiter: String = ","): String = {
+  def toCsvString(df: DataFrame, delimiter: String = ","): String =
+    rowsToCsvString(df.columns, df.collect(), delimiter)
+
+  /** Format already-collected rows — lets callers that have the rows in hand
+    * (e.g. [[graft.operators.Exporter.export]]'s single-pass inline path)
+    * serialize without re-executing the query.
+    */
+  def rowsToCsvString(columns: Array[String], rows: Array[Row], delimiter: String = ","): String = {
     val d = delimiter
     def cell(v: Any): String = {
       val s = if (v == null) "" else v.toString
@@ -143,8 +197,8 @@ object CsvIngest {
         "\"" + s.replace("\"", "\"\"") + "\""
       else s
     }
-    val header = df.columns.map(cell).mkString(d)
-    val body = df.collect().map(_.toSeq.map(cell).mkString(d))
+    val header = columns.map(cell(_)).mkString(d)
+    val body = rows.map(_.toSeq.map(cell).mkString(d))
     (Seq(Bom + header) ++ body).mkString("", "\n", "\n")
   }
 
@@ -159,6 +213,17 @@ object CsvIngest {
       .option("sep", delimiter)
       .option("emptyValue", "\"\"")
       .csv(path)
+
+  /** Distributed CSV write that also returns the row count from the SAME
+    * execution via the `Observation` API — no second job, no re-scan. This is
+    * the scale-safe count+data shape for the export envelope.
+    */
+  def writeCsvCounted(df: DataFrame, path: String, delimiter: String = ","): Long = {
+    import org.apache.spark.sql.functions.{count, lit}
+    val obs = Observation()
+    writeCsv(df.observe(obs, count(lit(1)).as("rows")), path, delimiter)
+    obs.get("rows").asInstanceOf[Long]
+  }
 
   /** Prepend the UTF-8 BOM to every part file of a written CSV directory
     * (each part carries its own header+BOM so any single part is a valid

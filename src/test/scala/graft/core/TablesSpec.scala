@@ -20,10 +20,10 @@ class TablesSpec extends SparkSpec {
     assert(bad == 0L, s"$bad rows with inexact ns→µs conversion")
   }
 
-  test("loading events does not clobber an unrelated conf value") {
-    // nanosAsLong is deliberately session policy (see loadEvents doc); just
-    // pin that loading events leaves it set so scans execute, and that
-    // repeated loads are idempotent.
+  test("loadEvents leaves nanosAsLong set; repeated loads are idempotent") {
+    // nanosAsLong is deliberately session policy (see loadEvents doc); pin
+    // that loading events leaves it set so scans execute, and that repeated
+    // loads are idempotent.
     Tables.load(spark, sf, "events").count()
     assert(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
     Tables.load(spark, sf, "events").count() // still readable

@@ -79,6 +79,58 @@ class ExporterSpec extends SparkSpec {
     }
   }
 
+  test("4-way comma-join plans with no cartesian product or nested loop") {
+    // The fold over crossJoin (Exporter.buildQuery) relies on Catalyst
+    // extracting every equality predicate into a real join; pin it for the
+    // 4-way case, where a missed extraction would leave a cartesian behind.
+    val df = Exporter.buildQuery(
+      ColumnSelection(
+        "customer",
+        Seq("c_name", "o_orderkey", "l_quantity", "n_name"),
+        Seq("orders", "lineitem", "nation"),
+        Some("customer.c_custkey = orders.o_custkey AND orders.o_orderkey = lineitem.l_orderkey AND customer.c_nationkey = nation.n_nationkey")),
+      resolve)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in plan:\n$plan")
+  }
+
+  test("export inline path: single pass, count equals data lines") {
+    val r = Exporter.export(
+      spark, ColumnSelection("nation", Seq("n_nationkey", "n_name")), resolve)
+    assert(r.count == 25 && r.path.isEmpty)
+    // header + count rows, formatted from the rows already in hand
+    assert(r.data.linesIterator.size == 26)
+    assert(r.data.startsWith(graft.sources.CsvIngest.Bom + "n_nationkey,n_name"))
+  }
+
+  test("export over-cap path spills distributed with observed count, one job") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    val dir = tmpDir("export_spill")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val r = Exporter.export(
+        spark, ColumnSelection("nation", Seq("n_nationkey", "n_name")), resolve,
+        inlineRowCap = 10, spillDir = Some(dir))
+      assert(r.count == 25 && r.data == "" && r.path.contains(dir))
+      // listener events are async; give the bus a moment to drain
+      Thread.sleep(500)
+      // take(11) = 1 job (first partitions suffice) + 1 write job with the
+      // observed count — never a separate count() execution.
+      assert(jobs.get() <= 3, s"expected <=3 jobs (take + single counted write), got ${jobs.get()}")
+      val parts = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+      assert(parts.nonEmpty)
+      val bytes = java.nio.file.Files.readAllBytes(parts.head.toPath).take(3)
+      assert(bytes.sameElements(Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte)))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("export envelope: empty result short-circuits with message") {
     val r = Exporter.export(
       spark,

@@ -61,6 +61,35 @@ class CsvIngestSpec extends SparkSpec {
     assert(rows(1).getString(1) == "plain")
   }
 
+  test("parseUpload: CRLF records, quoted delimiter, ragged rows padded") {
+    val content = "id,a,b\r\n1,\"x,y\",z\r\n2,only\r\n3,p,q,extra\r\n"
+    val df = CsvIngest.parseUpload(spark, "u.csv", content)
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getString(1) == "x,y" && rows(0).getString(2) == "z")
+    assert(rows(1).getString(1) == "only" && rows(1).getString(2) == "") // padded
+    assert(rows(2).getString(2) == "q") // extra field dropped
+  }
+
+  test("S3/S4: createIfNotExists is a true no-op when the table exists; importInto appends") {
+    import spark.implicits._
+    val t = "graft_s3_unit"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val leftover = new java.io.File("spark-warehouse/" + t)
+    if (leftover.exists()) {
+      leftover.listFiles().foreach(_.delete()); leftover.delete()
+    }
+    val df1 = Seq(("1", "a")).toDF("id", "v")
+    try {
+      CsvIngest.createIfNotExists(df1, t)
+      CsvIngest.append(df1, t)
+      CsvIngest.createIfNotExists(df1, t) // must not truncate or recreate
+      assert(spark.table(t).count() == 1)
+      assert(CsvIngest.importInto(df1, t) == 1) // returns inserted count
+      assert(spark.table(t).count() == 2)       // append, not overwrite
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("B5: export round-trip emits BOM, header, no index column") {
     val p = write("b5.csv", "id,name,note\n1,alpha,hello\n2,beta,\n3,,NA\n")
     val df = CsvIngest.readAllString(spark, p)
