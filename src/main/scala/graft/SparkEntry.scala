@@ -78,11 +78,34 @@ object SparkEntry {
     // hourly tumbling aggregate; value quantized per-row to milli-units so
     // the sum is exact integer math in both engines.
     "e1_events_hourly" -> ((s, dir) =>
-      t(s, dir, "events")
-        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-        .agg(
-          count(lit(1)).as("n"),
-          sum(round(col("value") * 1000).cast("long")).as("value_milli"))),
+      graft.operators.Analytics.eventsHourly(t(s, dir, "events"))),
+    // ---- Analytics layer (SURVEY.md §7.4: the agg/window/set-op/limit
+    // surface the reference lacks; each shape chosen for the 100 TB point) ----
+    "a1_pricing_summary" -> ((s, dir) =>
+      graft.operators.Analytics.pricingSummary(t(s, dir, "lineitem"))),
+    "a2_revenue_by_nation" -> ((s, dir) =>
+      graft.operators.Analytics.revenueByNation(
+        t(s, dir, "customer"), t(s, dir, "orders"), t(s, dir, "nation"))),
+    "a3_top_orders_per_customer" -> ((s, dir) =>
+      graft.operators.Analytics.topOrdersPerCustomer(t(s, dir, "orders"), n = 3)),
+    "a4_topk_orders" -> ((s, dir) =>
+      graft.operators.Analytics.topKOrders(t(s, dir, "orders"), k = 10)),
+    "a5_distinct_segments" -> ((s, dir) =>
+      graft.operators.Analytics.distinctSegments(t(s, dir, "customer"))),
+    "a6_customer_only_nations" -> ((s, dir) =>
+      graft.operators.Analytics.customerOnlyNations(
+        t(s, dir, "customer"), t(s, dir, "supplier"))),
+    "a7_active_nations" -> ((s, dir) =>
+      graft.operators.Analytics.activeNations(
+        t(s, dir, "customer"), t(s, dir, "supplier"))),
+    "a8_big_orders_semi" -> ((s, dir) =>
+      graft.operators.Analytics.customersWithBigOrders(
+        t(s, dir, "customer"), t(s, dir, "orders"), minTotal = 300000)),
+    "a9_no_big_orders_anti" -> ((s, dir) =>
+      graft.operators.Analytics.customersWithoutBigOrders(
+        t(s, dir, "customer"), t(s, dir, "orders"), minTotal = 300000)),
+    "a10_order_rollup" -> ((s, dir) =>
+      graft.operators.Analytics.orderStatsRollup(t(s, dir, "orders"))),
     // ---- §2.1/§2.3 catalog + CSV semantics ----
     // DESCRIBE parity: ClickHouse-ish type names from the parquet schema
     // (rows-only check: DuckDB has no equivalent type-name surface).
@@ -175,6 +198,40 @@ object SparkEntry {
       ("SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, " +
         "CAST(sum(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS value_milli " +
         "FROM events GROUP BY 1, 2"),
+    "a1_pricing_summary" ->
+      ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, " +
+        "round(sum(l_extendedprice), 2) AS sum_base_price, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, " +
+        "round(avg(l_quantity), 4) AS avg_qty, count(*) AS count_order " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY 1, 2"),
+    "a2_revenue_by_nation" ->
+      ("SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders " +
+        "FROM orders, customer, nation " +
+        "WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey GROUP BY 1"),
+    "a3_top_orders_per_customer" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (" +
+        "SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
+        "FROM orders) WHERE rn <= 3"),
+    "a4_topk_orders" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "a5_distinct_segments" -> "SELECT DISTINCT c_mktsegment FROM customer",
+    "a6_customer_only_nations" ->
+      ("SELECT c_nationkey AS nationkey FROM customer " +
+        "EXCEPT SELECT s_nationkey AS nationkey FROM supplier"),
+    "a7_active_nations" ->
+      ("SELECT c_nationkey AS nationkey FROM customer " +
+        "INTERSECT SELECT s_nationkey AS nationkey FROM supplier"),
+    "a8_big_orders_semi" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE EXISTS (" +
+        "SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)"),
+    "a9_no_big_orders_anti" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (" +
+        "SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)"),
+    "a10_order_rollup" ->
+      ("SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
+        "round(sum(o_totalprice), 2) AS total FROM orders " +
+        "GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"),
     "s1_csv_roundtrip" ->
       ("SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name, " +
         "CAST(n_regionkey AS VARCHAR) AS n_regionkey FROM nation"),

@@ -58,7 +58,8 @@ object Analytics {
       .partitionBy("o_custkey")
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     orders
-      .withColumn("rn", row_number().over(w))
+      // long for cross-engine schema parity (ANSI row_number is BIGINT)
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= n)
       .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
   }
@@ -114,7 +115,10 @@ object Analytics {
       .agg(count(lit(1)).as("n"), round2(sum("o_totalprice")).as("total"))
 
   /** Batch tumbling-window aggregate over the events table (hourly). The
-    * streaming twin lives in graft.streaming; both produce the same frame.
+    * streaming twin is [[graft.streaming.EventsStream.hourlyAvailableNow]];
+    * both produce this exact frame. `value` is quantized per-row to
+    * milli-units BEFORE summing so the aggregate is exact integer math in
+    * every engine (no float-sum ordering sensitivity).
     */
   def eventsHourly(events: DataFrame): DataFrame =
     events
@@ -123,5 +127,5 @@ object Analytics {
         col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        round2(sum("value")).as("sum_value"))
+        sum(round(col("value") * 1000).cast("long")).as("value_milli"))
 }
