@@ -106,6 +106,19 @@ object SparkEntry {
         t(s, dir, "customer"), t(s, dir, "orders"), minTotal = 300000)),
     "a10_order_rollup" -> ((s, dir) =>
       graft.operators.Analytics.orderStatsRollup(t(s, dir, "orders"))),
+    // ---- Dedup suite (LLM-pipeline north star) over documents/embeddings ----
+    "d1_exact_dedup" -> ((s, dir) =>
+      graft.operators.Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
+        .select("doc_id", "lang", "source", "n_chars")),
+    "d2_near_dedup" -> ((s, dir) =>
+      graft.operators.Dedup.minHashNearDup(t(s, dir, "documents"))),
+    "d3_simhash" -> ((s, dir) =>
+      graft.operators.Dedup.simHash(t(s, dir, "documents"))),
+    "d4_ngram_jaccard" -> ((s, dir) =>
+      graft.operators.Dedup.blockedNgramJaccard(t(s, dir, "documents"))),
+    "d5_embedding_neardup" -> ((s, dir) =>
+      graft.operators.Dedup.embeddingNearDup(
+        graft.operators.Dedup.withPerturbedCopy(t(s, dir, "embeddings")))),
     // ---- §2.1/§2.3 catalog + CSV semantics ----
     // DESCRIBE parity: ClickHouse-ish type names from the parquet schema
     // (rows-only check: DuckDB has no equivalent type-name surface).
@@ -235,6 +248,52 @@ object SparkEntry {
     "s1_csv_roundtrip" ->
       ("SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name, " +
         "CAST(n_regionkey AS VARCHAR) AS n_regionkey FROM nation"),
+    // Dedup oracles: ground truth is the brute-force exact computation —
+    // the Spark side must find EXACTLY the true pair set via LSH+verify.
+    "d1_exact_dedup" ->
+      ("SELECT doc_id, lang, source, n_chars FROM documents " +
+        "QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1"),
+    "d2_near_dedup" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "sh AS (SELECT doc_id, list(DISTINCT s) AS ss, count(DISTINCT s) AS n FROM (" +
+        "SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s " +
+        "FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)) GROUP BY doc_id), " +
+        "p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+        "len(list_intersect(a.ss, b.ss)) AS i, " +
+        "a.n + b.n - len(list_intersect(a.ss, b.ss)) AS u " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) " +
+        "SELECT a_id, b_id, round(i * 1.0 / u, 6) AS jaccard FROM p WHERE i * 1.0 / u >= 0.6"),
+    "d3_simhash" ->
+      ("WITH w AS (SELECT DISTINCT doc_id, w FROM (" +
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)), " +
+        "b AS (SELECT doc_id, pos, CASE WHEN sum(" +
+        "2 * ((CAST(concat('0x', substr(md5(w), (pos // 4) + 1, 1)) AS INT) >> (3 - pos % 4)) & 1) - 1" +
+        ") >= 0 THEN '1' ELSE '0' END AS bit " +
+        "FROM w, unnest(generate_series(0, 63)) AS t(pos) GROUP BY doc_id, pos) " +
+        "SELECT doc_id, string_agg(bit, '' ORDER BY pos) AS simhash FROM b GROUP BY doc_id"),
+    "d4_ngram_jaccard" ->
+      ("WITH g AS (SELECT doc_id, lang, source, list(DISTINCT s) AS ss FROM (" +
+        "SELECT doc_id, lang, source, substr(text, i, 5) AS s " +
+        "FROM documents, unnest(generate_series(1, len(text) - 4)) AS t(i)) GROUP BY 1, 2, 3), " +
+        "p AS (SELECT a.lang, a.source, a.doc_id AS a_id, b.doc_id AS b_id, " +
+        "len(list_intersect(a.ss, b.ss)) AS i, " +
+        "len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss)) AS u " +
+        "FROM g a JOIN g b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id) " +
+        "SELECT lang, source, a_id, b_id, round(i * 1.0 / u, 6) AS jaccard " +
+        "FROM p WHERE i * 1.0 / u >= 0.5"),
+    "d5_embedding_neardup" ->
+      ("WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
+        "FROM embeddings), " +
+        "pert AS (SELECT vec_id + 100000 AS vec_id, " +
+        "list_transform(generate_series(1, 64), i -> v[i] + 0.01 * v[(i % 64) + 1]) AS v FROM base), " +
+        "allv AS (SELECT * FROM base UNION ALL SELECT * FROM pert), " +
+        "p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
+        "list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i])) AS dot, " +
+        "sqrt(list_sum(list_transform(a.v, x -> x * x))) AS na, " +
+        "sqrt(list_sum(list_transform(b.v, x -> x * x))) AS nb " +
+        "FROM allv a JOIN allv b ON a.vec_id < b.vec_id) " +
+        "SELECT a_id, b_id, round(dot / (na * nb), 6) AS cosine FROM p " +
+        "WHERE dot / (na * nb) >= 0.99"),
     "c1_list_tables" ->
       ("SELECT * FROM (VALUES ('customer'),('documents'),('embeddings'),('events')," +
         "('lineitem'),('nation'),('orders'),('part'),('region'),('supplier')) AS t(table_name)"),

@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** Dedup suite — correctness vs in-Spark brute force (the oracle gate does
+  * the cross-engine check; here we pin LSH recall and the scale shapes).
+  */
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = Tables.load(spark, sf, "documents")
+  private lazy val emb = Tables.load(spark, sf, "embeddings")
+
+  test("exact dedup keeps lowest id per content and never drops uniques") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+    val distinctTexts = docs.select("text").distinct().count()
+    assert(out.count() == distinctTexts)
+    // every surviving id is the min id of its text group
+    val mins = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
+    assert(out.select("doc_id").exceptAll(mins.select("doc_id")).isEmpty)
+  }
+
+  test("minhash-LSH finds exactly the true Jaccard>=0.6 pair set (full recall on fixture)") {
+    // In-Spark brute force over all pairs = ground truth at test scale.
+    val sets = docs.select(
+      col("doc_id").as("id"),
+      expr(Dedup.wordShingleExpr("text", 3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val truth = sets.as("a").join(sets.as("b"), col("a.id") < col("b.id"))
+      .withColumn("i", size(array_intersect(col("a.sh"), col("b.sh"))))
+      .withColumn("j", col("i").cast("double") /
+        (size(col("a.sh")) + size(col("b.sh")) - col("i")))
+      .filter(col("j") >= 0.6)
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+
+    val lsh = Dedup.minHashNearDup(docs).select("a_id", "b_id")
+    assert(truth.exceptAll(lsh).isEmpty, "LSH missed true pairs")
+    assert(lsh.exceptAll(truth).isEmpty, "verification let a false pair through")
+    assert(lsh.count() > 0, "fixture should contain planted near-dups")
+  }
+
+  test("minhash-LSH candidate generation is an equi-join, no cartesian") {
+    val plan = Dedup.minHashNearDup(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in LSH plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in LSH plan:\n$plan")
+  }
+
+  test("simhash: 64-bit fingerprints, near-dup pairs are Hamming-close") {
+    val fp = Dedup.simHash(docs)
+    assert(fp.count() == docs.count())
+    assert(fp.select(length(col("simhash"))).distinct().head().getInt(0) == 64)
+    // the known near-dup pairs (J>=0.6 on shingles) must be Hamming-close
+    val pairs = Dedup.minHashNearDup(docs).select("a_id", "b_id")
+    val ham = pairs
+      .join(fp.select(col("doc_id").as("a_id"), col("simhash").as("ha")), "a_id")
+      .join(fp.select(col("doc_id").as("b_id"), col("simhash").as("hb")), "b_id")
+      .withColumn("dist", expr(
+        "aggregate(sequence(1, 64), 0, (acc, i) -> acc + IF(substring(ha, i, 1) = substring(hb, i, 1), 0, 1))"))
+    val maxDist = ham.agg(max("dist")).head().getInt(0)
+    assert(maxDist <= 16, s"near-dup pair with Hamming distance $maxDist")
+  }
+
+  test("blocked ngram jaccard joins only within blocks") {
+    val out = Dedup.blockedNgramJaccard(docs)
+    // every returned pair shares lang+source by construction; spot-check plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    val n = out.count()
+    assert(n >= 0) // may be small; the oracle pins the exact set at sf0.01
+  }
+
+  test("hyperplaneSigns matches the md5 rule it documents (engine-independent)") {
+    val m = Dedup.hyperplaneSigns(bits = 8, dim = 16)
+    val fromSql = spark.sql(
+      """SELECT b, d,
+        |CASE WHEN substr(md5(concat(b, '_', d)), 1, 1) < '8' THEN 1.0D ELSE -1.0D END AS s
+        |FROM (SELECT explode(sequence(0, 7)) AS b)
+        |CROSS JOIN (SELECT explode(sequence(0, 15)) AS d)""".stripMargin)
+      .collect()
+    fromSql.foreach { r =>
+      assert(m(r.getInt(0))(r.getInt(1)) == r.getDouble(2),
+        s"mismatch at bit=${r.getInt(0)} dim=${r.getInt(1)}")
+    }
+  }
+
+  test("embedding LSH near-dup: full recall of the planted perturbed pairs") {
+    val fixture = Dedup.withPerturbedCopy(emb)
+    val out = Dedup.embeddingNearDup(fixture)
+    val n = emb.count()
+    // exactly one partner per original vector: (v, v+offset)
+    assert(out.count() == n, s"expected $n planted pairs, got ${out.count()}")
+    val wrong = out.filter(col("b_id") =!= col("a_id") + 100000L).count()
+    assert(wrong == 0, "non-planted pair passed the 0.99 cosine verify")
+    val minCos = out.agg(min("cosine")).head().getDouble(0)
+    assert(minCos >= 0.999, s"planted pair cosine unexpectedly low: $minCos")
+  }
+}
