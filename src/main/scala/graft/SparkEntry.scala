@@ -119,6 +119,15 @@ object SparkEntry {
     "d5_embedding_neardup" -> ((s, dir) =>
       graft.operators.Dedup.embeddingNearDup(
         graft.operators.Dedup.withPerturbedCopy(t(s, dir, "embeddings")))),
+    // ---- Similarity search over embeddings ----
+    "k1_topk_cosine" -> ((s, dir) =>
+      graft.operators.Similarity.topKCosine(
+        t(s, dir, "embeddings"), queryIds = Seq(0L, 1L, 2L), k = 10)),
+    // Approximate-by-design (LSH recall < 1): rows-only check; exact-variant
+    // recall is pinned in SimilaritySpec instead of a value oracle.
+    "k2_ann_topk" -> ((s, dir) =>
+      graft.operators.Similarity.annTopKCosine(
+        t(s, dir, "embeddings"), queryIds = Seq(0L, 1L, 2L), k = 10)),
     // ---- §2.1/§2.3 catalog + CSV semantics ----
     // DESCRIBE parity: ClickHouse-ish type names from the parquet schema
     // (rows-only check: DuckDB has no equivalent type-name surface).
@@ -294,6 +303,19 @@ object SparkEntry {
         "FROM allv a JOIN allv b ON a.vec_id < b.vec_id) " +
         "SELECT a_id, b_id, round(dot / (na * nb), 6) AS cosine FROM p " +
         "WHERE dot / (na * nb) >= 0.99"),
+    "k1_topk_cosine" ->
+      ("WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
+        "FROM embeddings), " +
+        "q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 3), " +
+        "s AS (SELECT q.query_id, v.vec_id AS neighbor_id, " +
+        "list_sum(list_transform(generate_series(1, 64), i -> v.v[i] * q.qv[i])) / " +
+        "(sqrt(list_sum(list_transform(v.v, x -> x * x))) * " +
+        "sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cos " +
+        "FROM v, q WHERE v.vec_id != q.query_id) " +
+        "SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank FROM (" +
+        "SELECT query_id, neighbor_id, cos, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank " +
+        "FROM s) WHERE rank <= 10"),
     "c1_list_tables" ->
       ("SELECT * FROM (VALUES ('customer'),('documents'),('embeddings'),('events')," +
         "('lineitem'),('nation'),('orders'),('part'),('region'),('supplier')) AS t(table_name)"),

@@ -238,6 +238,40 @@ object Dedup {
     }
   }
 
+  /** Random-hyperplane band keys for a (id, v: array<double>) relation: one
+    * row per (id, band) with the band's sign bits as a bitstring key.
+    *
+    * Sign bits via posexplode + broadcast hyperplane join + map-side partial
+    * sum — every operator codegen'd with small expressions. (The obvious
+    * alternative, one giant ±term projection per bit, blows past the JVM
+    * method-size limit and falls back to interpreted eval: 2.5x slower
+    * measured at sf0.1. A single broadcast of bits x dim rows scales to any
+    * realistic dim.) Shared by [[embeddingNearDup]] and
+    * [[Similarity.annTopKCosine]].
+    */
+  private[operators] def signBands(
+      v: DataFrame, bits: Int, bands: Int, dim: Int): DataFrame = {
+    require(bits % bands == 0, "bits must be divisible by bands")
+    val rows = bits / bands
+    val spark = v.sparkSession
+    import spark.implicits._
+    val hp = hyperplaneSigns(bits, dim)
+    val hpDf = broadcast(
+      (for { b <- 0 until bits; d <- 0 until dim } yield (b, d, hp(b)(d)))
+        .toDF("bit", "d", "sign"))
+    v
+      .select(col("id"), posexplode(col("v")).as(Seq("d", "x")))
+      .join(hpDf, "d")
+      .groupBy(col("id"), col("bit"))
+      .agg(sum(col("sign") * col("x")).as("s"))
+      .withColumn("band", expr(s"bit div $rows"))
+      .withColumn("bv", expr("IF(s >= 0D, '1', '0')"))
+      .groupBy(col("id"), col("band"))
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(struct(bit, bv))), x -> x.bv)"), "")
+        .as("key"))
+  }
+
   /** Embedding near-dedup: random-hyperplane (sign) LSH for candidates, exact
     * cosine verification on candidates only.
     *
@@ -264,29 +298,7 @@ object Dedup {
     val rows = bits / bands
     val v = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
 
-    // Sign bits via posexplode + broadcast hyperplane join + map-side partial
-    // sum — every operator codegen'd with small expressions. (The obvious
-    // alternative, one giant ±term projection per bit, blows past the JVM
-    // method-size limit and falls back to interpreted eval: 2.5x slower
-    // measured at sf0.1. A single broadcast of bits x dim rows scales to any
-    // realistic dim.)
-    val spark = vecs.sparkSession
-    import spark.implicits._
-    val hp = hyperplaneSigns(bits, dim)
-    val hpDf = broadcast(
-      (for { b <- 0 until bits; d <- 0 until dim } yield (b, d, hp(b)(d)))
-        .toDF("bit", "d", "sign"))
-    val banded = v
-      .select(col("id"), posexplode(col("v")).as(Seq("d", "x")))
-      .join(hpDf, "d")
-      .groupBy(col("id"), col("bit"))
-      .agg(sum(col("sign") * col("x")).as("s"))
-      .withColumn("band", expr(s"bit div $rows"))
-      .withColumn("bv", expr("IF(s >= 0D, '1', '0')"))
-      .groupBy(col("id"), col("band"))
-      .agg(array_join(
-        expr("transform(array_sort(collect_list(struct(bit, bv))), x -> x.bv)"), "")
-        .as("key"))
+    val banded = signBands(v, bits, bands, dim)
 
     val cand = banded.as("x")
       .join(

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (LLM-pipeline north star,
+  * SURVEY.md §7.4): exact brute-force cosine top-k as the correctness
+  * baseline, and an LSH-bucketed approximate variant as the scale path.
+  *
+  * Scale shapes:
+  *  - the query side is always tiny and BROADCAST — scoring is a map-only
+  *    pass over the corpus, no shuffle of corpus vectors;
+  *  - cosine is computed with higher-order functions (`zip_with` +
+  *    `aggregate`) over array<double> — no UDF, stays inside codegen'd
+  *    projections except the lambda bodies;
+  *  - the final top-k ranks |corpus| x |queries| scored rows in the exact
+  *    variant (fine when |queries| is small) but only the LSH candidate set
+  *    in [[annTopKCosine]] — that bound is what survives a 100 TB corpus.
+  */
+object Similarity {
+
+  /** Normalize the raw embeddings table to (id, v: array<double>). */
+  def asVectors(embeddings: DataFrame, idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    embeddings.select(
+      col(idCol).as("id"),
+      expr(s"transform($embCol, x -> CAST(x AS DOUBLE))").as("v"))
+
+  private def cosineCols(df: DataFrame): DataFrame =
+    df
+      .withColumn("dot", expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, p) -> acc + p)"))
+      .withColumn("nv", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
+      .withColumn("nq", expr("sqrt(aggregate(qv, 0D, (acc, x) -> acc + x * x))"))
+      .withColumn("cos", col("dot") / (col("nv") * col("nq")))
+
+  /** Exact top-k by cosine for each query vector (identified by id): the
+    * brute-force baseline every ANN variant is measured against. Ties broken
+    * on neighbor id for a deterministic ranking.
+    */
+  def topKCosine(
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      k: Int = 10): DataFrame = {
+    val v = asVectors(embeddings)
+    val q = broadcast(
+      v.filter(col("id").isin(queryIds: _*))
+        .select(col("id").as("query_id"), col("v").as("qv")))
+    val scored = cosineCols(
+      v.crossJoin(q).filter(col("id") =!= col("query_id")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(
+        col("query_id"), col("id").as("neighbor_id"),
+        round(col("cos"), 6).as("cosine"), col("rank"))
+  }
+
+  /** Approximate top-k: candidates = corpus vectors sharing at least one
+    * random-hyperplane band bucket with the query ([[Dedup.signBands]]), then
+    * exact cosine re-rank of candidates only. Recall/candidate-volume trades
+    * via (bits, bands): more, narrower bands → higher recall and more
+    * candidates. Unlike [[topKCosine]], the ranking input is bounded by the
+    * bucket sizes, not |corpus| — the shape that survives scale-out.
+    */
+  def annTopKCosine(
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      k: Int = 10,
+      bits: Int = 72,
+      bands: Int = 18,
+      dim: Int = 64): DataFrame = {
+    val v = asVectors(embeddings)
+    val banded = Dedup.signBands(v, bits, bands, dim)
+    val qb = broadcast(
+      banded.filter(col("id").isin(queryIds: _*))
+        .select(col("id").as("query_id"), col("band"), col("key")))
+    val cand = banded.join(qb, Seq("band", "key"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"))
+      .distinct()
+    val q = broadcast(
+      v.filter(col("id").isin(queryIds: _*))
+        .select(col("id").as("query_id"), col("v").as("qv")))
+    val scored = cosineCols(cand.join(v, "id").join(q, "query_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(
+        col("query_id"), col("id").as("neighbor_id"),
+        round(col("cos"), 6).as("cosine"), col("rank"))
+  }
+}

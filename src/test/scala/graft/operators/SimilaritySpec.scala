@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = Tables.load(spark, sf, "embeddings")
+  private val queries = Seq(0L, 1L, 2L)
+
+  test("exact top-k: k rows per query, descending cosine, no self-match") {
+    val out = Similarity.topKCosine(emb, queries, k = 5).cache()
+    val perQuery = out.groupBy("query_id").count().collect()
+    assert(perQuery.length == queries.length && perQuery.forall(_.getLong(1) == 5))
+    assert(out.filter(col("neighbor_id") === col("query_id")).count() == 0)
+    out.collect().groupBy(_.getLong(0)).values.foreach { rows =>
+      val byRank = rows.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(byRank.sameElements(byRank.sortBy(-_)), "cosine not descending in rank order")
+    }
+  }
+
+  test("exact top-k scoring is broadcast + map-only: no corpus-side shuffle join") {
+    val plan = Similarity.topKCosine(emb, queries).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus shuffled for scoring:\n$plan")
+  }
+
+  test("ANN top-k: recall@10 vs exact baseline on the fixture") {
+    val exact = Similarity.topKCosine(emb, queries, k = 10)
+      .select("query_id", "neighbor_id")
+    val ann = Similarity.annTopKCosine(emb, queries, k = 10)
+      .select("query_id", "neighbor_id")
+    val hit = exact.intersect(ann).count()
+    val total = exact.count()
+    assert(total == 30)
+    val recall = hit.toDouble / total
+    assert(recall >= 0.5, s"ANN recall@10 = $recall below floor")
+  }
+
+  test("ANN candidate generation bounds the ranking input") {
+    // the ann plan must rank only bucket-collision candidates: its scored
+    // row count is below the exact variant's |corpus| x |queries|
+    val v = Similarity.asVectors(emb)
+    val banded = Dedup.signBands(v, bits = 72, bands = 18, dim = 64)
+    val qb = banded.filter(col("id").isin(queries: _*))
+      .select(col("id").as("query_id"), col("band"), col("key"))
+    val cand = banded.join(qb, Seq("band", "key"))
+      .filter(col("id") =!= col("query_id"))
+      .select("query_id", "id").distinct().count()
+    val brute = (emb.count() - 1) * queries.length
+    assert(cand <= brute, s"candidates $cand not bounded by brute $brute")
+  }
+}
