@@ -119,6 +119,17 @@ object SparkEntry {
     "d5_embedding_neardup" -> ((s, dir) =>
       graft.operators.Dedup.embeddingNearDup(
         graft.operators.Dedup.withPerturbedCopy(t(s, dir, "embeddings")))),
+    // ---- Text analysis over documents ----
+    "x1_text_stats" -> ((s, dir) =>
+      graft.operators.TextAnalysis.textStats(t(s, dir, "documents"))),
+    "x2_quality_score" -> ((s, dir) =>
+      graft.operators.TextAnalysis.qualityScore(t(s, dir, "documents"))),
+    "x3_langid" -> ((s, dir) =>
+      graft.operators.TextAnalysis.languageId(t(s, dir, "documents"))),
+    "x4_fingerprint" -> ((s, dir) =>
+      graft.operators.TextAnalysis.fingerprint(t(s, dir, "documents"))),
+    "x5_corpus_stats" -> ((s, dir) =>
+      graft.operators.TextAnalysis.corpusStats(t(s, dir, "documents"))),
     // ---- Similarity search over embeddings ----
     "k1_topk_cosine" -> ((s, dir) =>
       graft.operators.Similarity.topKCosine(
@@ -303,6 +314,40 @@ object SparkEntry {
         "FROM allv a JOIN allv b ON a.vec_id < b.vec_id) " +
         "SELECT a_id, b_id, round(dot / (na * nb), 6) AS cosine FROM p " +
         "WHERE dot / (na * nb) >= 0.99"),
+    "x1_text_stats" ->
+      ("SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, " +
+        "len(text) AS n_chars_actual, " +
+        "len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens, " +
+        "round(len(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')), 4) AS avg_token_len " +
+        "FROM documents"),
+    "x2_quality_score" ->
+      ("SELECT doc_id, " +
+        "round(len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a')) * 1.0 / " +
+        "len(string_split(text, ' ')), 4) AS stopword_ratio, " +
+        "round(len(list_distinct(string_split(text, ' '))) * 1.0 / " +
+        "len(string_split(text, ' ')), 4) AS uniq_ratio, " +
+        "round(0.5 * round(len(list_distinct(string_split(text, ' '))) * 1.0 / " +
+        "len(string_split(text, ' ')), 4) + 0.5 * (1 - " +
+        "round(len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a')) * 1.0 / " +
+        "len(string_split(text, ' ')), 4)), 6) AS quality " +
+        "FROM documents"),
+    "x3_langid" ->
+      ("WITH s AS (SELECT doc_id, lang, " +
+        "round(len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a')) * 1.0 / " +
+        "len(string_split(text, ' ')), 4) AS en_score FROM documents) " +
+        "SELECT doc_id, CASE WHEN en_score >= 0.05 THEN 'en' ELSE 'und' END AS lang_guess, " +
+        "en_score, CAST(CASE WHEN en_score >= 0.05 THEN 'en' ELSE 'und' END = lang AS INT) AS is_match " +
+        "FROM s"),
+    "x4_fingerprint" ->
+      ("WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents) " +
+        "SELECT doc_id, CASE WHEN len(t) >= 3 THEN (" +
+        "SELECT min(md5(toks.t[i] || ' ' || toks.t[i+1] || ' ' || toks.t[i+2])) " +
+        "FROM unnest(generate_series(1, len(toks.t) - 2)) AS g(i)" +
+        ") ELSE md5(text) END AS fingerprint FROM toks"),
+    "x5_corpus_stats" ->
+      ("SELECT lang, source, count(*) AS n_docs, " +
+        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens, " +
+        "round(avg(len(text)), 4) AS avg_chars FROM documents GROUP BY 1, 2"),
     "k1_topk_cosine" ->
       ("WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
         "FROM embeddings), " +

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the LLM-training-data pipeline (north-star
+  * extensions, SURVEY.md §7.4): per-document statistics, quality scoring,
+  * language-ID heuristics, and content fingerprinting over the `documents`
+  * table.
+  *
+  * Everything is built-in string/array expressions — tokenization is
+  * `split`, set ops are array HOFs, hashing is md5 — so every operator is a
+  * map-only pass (or one aggregation) with no UDFs, fully pushdown- and
+  * codegen-friendly, and bit-reproducible in any engine (the DuckDB oracle
+  * runs the same arithmetic).
+  */
+object TextAnalysis {
+
+  /** Tiny illustrative stopword list; real deployments pass their own. */
+  val DefaultStopwords: Seq[String] = Seq("the", "a")
+
+  private def stopwordPredicate(stopwords: Seq[String]): String =
+    stopwords.map(w => s"t = '$w'").mkString(" OR ")
+
+  /** Per-document surface statistics: whitespace token count, character
+    * count, distinct-token count, mean token length. Map-only.
+    */
+  def textStats(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(
+      col(idCol),
+      expr(s"CAST(size(split($textCol, ' ')) AS BIGINT)").as("n_tokens"),
+      expr(s"CAST(length($textCol) AS BIGINT)").as("n_chars_actual"),
+      expr(s"CAST(size(array_distinct(split($textCol, ' '))) AS BIGINT)").as("n_uniq_tokens"),
+      expr(s"round(length(replace($textCol, ' ', '')) * 1.0 / size(split($textCol, ' ')), 4)")
+        .as("avg_token_len"))
+
+  /** Per-document quality signals: stopword ratio, lexical diversity
+    * (distinct/total tokens), and a composite score. The composite is the
+    * kind of cheap filter a 100 TB pre-training cleanup applies before any
+    * model-based scoring — one pass, no shuffle.
+    */
+  def qualityScore(
+      docs: DataFrame,
+      stopwords: Seq[String] = DefaultStopwords,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val pred = stopwordPredicate(stopwords)
+    docs.select(
+      col(idCol),
+      expr(s"round(size(filter(split($textCol, ' '), t -> $pred)) * 1.0 / size(split($textCol, ' ')), 4)")
+        .as("stopword_ratio"),
+      expr(s"round(size(array_distinct(split($textCol, ' '))) * 1.0 / size(split($textCol, ' ')), 4)")
+        .as("uniq_ratio"))
+      // scale 6, not 4: the inputs are 4-decimal, so the composite has at
+      // most 5 decimals — rounding AT a possible half-boundary (scale 4)
+      // is engine-dependent for binary-inexact doubles; scale 6 never sits
+      // on a boundary.
+      .withColumn("quality",
+        round(lit(0.5) * col("uniq_ratio") + lit(0.5) * (lit(1) - col("stopword_ratio")), 6))
+  }
+
+  /** Deterministic language-ID heuristic: stopword-hit ratio against a
+    * per-language marker list (here the English markers only — the fixture
+    * corpus shares one vocabulary across its `lang` labels, so this pins the
+    * MECHANISM; production swaps in real per-language n-gram tables).
+    * Emits the guess, its score, and agreement with the labeled `lang`.
+    */
+  def languageId(
+      docs: DataFrame,
+      markers: Seq[String] = DefaultStopwords,
+      threshold: Double = 0.05,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val pred = stopwordPredicate(markers)
+    docs.select(
+      col(idCol), col("lang"),
+      expr(s"round(size(filter(split($textCol, ' '), t -> $pred)) * 1.0 / size(split($textCol, ' ')), 4)")
+        .as("en_score"))
+      .withColumn("lang_guess",
+        when(col("en_score") >= threshold, lit("en")).otherwise(lit("und")))
+      .withColumn("is_match", (col("lang_guess") === col("lang")).cast("int"))
+      .select(col(idCol), col("lang_guess"), col("en_score"), col("is_match"))
+  }
+
+  /** Content fingerprint: the minimum md5 over the document's 3-word
+    * shingles (a rolling-hash winnowing degenerate with window = whole doc).
+    * Identical fingerprints ⇒ shared shingle extremum — a cheap grouping
+    * key for near-dup clustering upstream of [[Dedup.minHashNearDup]].
+    * md5 (not xxhash64) deliberately: the value itself is the output and
+    * must be engine-reproducible.
+    */
+  def fingerprint(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(
+      col(idCol),
+      expr(
+        s"""CASE WHEN size(split($textCol, ' ')) >= 3
+            THEN array_min(transform(${Dedup.wordShingleExpr(textCol, 3)}, s -> md5(s)))
+            ELSE md5($textCol) END""").as("fingerprint"))
+
+  /** Corpus rollup per (lang, source): doc count, token volume, mean doc
+    * length — map-side partial agg into a tiny (|lang| x |source|) shuffle.
+    */
+  def corpusStats(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(expr(s"CAST(size(split($textCol, ' ')) AS BIGINT)")).as("total_tokens"),
+        round(avg(length(col(textCol))), 4).as("avg_chars"))
+}

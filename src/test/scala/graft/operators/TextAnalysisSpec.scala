@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+
+  private lazy val docs = Tables.load(spark, sf, "documents")
+
+  test("textStats: token/char/distinct counts are internally consistent") {
+    val out = TextAnalysis.textStats(docs).cache()
+    assert(out.count() == docs.count())
+    assert(out.filter(col("n_uniq_tokens") > col("n_tokens")).count() == 0)
+    assert(out.filter(col("n_tokens") <= 0).count() == 0)
+    // avg token length x token count ~ char count minus separators
+    val bad = out.filter(
+      abs(col("avg_token_len") * col("n_tokens") -
+        (col("n_chars_actual") - col("n_tokens") + 1)) > 1).count()
+    assert(bad == 0)
+  }
+
+  test("qualityScore: ratios in [0,1], composite consistent") {
+    val out = TextAnalysis.qualityScore(docs).cache()
+    assert(out.filter(col("stopword_ratio") < 0 || col("stopword_ratio") > 1).count() == 0)
+    assert(out.filter(col("uniq_ratio") <= 0 || col("uniq_ratio") > 1).count() == 0)
+    val bad = out.filter(
+      abs(col("quality") - (lit(0.5) * col("uniq_ratio") + lit(0.5) * (lit(1) - col("stopword_ratio")))) > 0.0001)
+    assert(bad.count() == 0)
+  }
+
+  test("languageId: guess set is {en, und} and score drives the guess") {
+    val out = TextAnalysis.languageId(docs).cache()
+    val guesses = out.select("lang_guess").distinct().collect().map(_.getString(0)).toSet
+    assert(guesses.subsetOf(Set("en", "und")))
+    assert(out.filter(col("en_score") >= 0.05 && col("lang_guess") =!= "en").count() == 0)
+    assert(out.filter(col("en_score") < 0.05 && col("lang_guess") =!= "und").count() == 0)
+  }
+
+  test("fingerprint: one 32-hex fingerprint per doc; near-dups share it") {
+    val out = TextAnalysis.fingerprint(docs).cache()
+    assert(out.count() == docs.count())
+    assert(out.filter(!col("fingerprint").rlike("^[0-9a-f]{32}$")).count() == 0)
+    // identical docs (if any) must agree; sanity only — near-dups usually
+    // share their min-shingle too, but that is probabilistic, not asserted.
+    val dupTexts = docs.groupBy("text").count().filter(col("count") > 1).count()
+    if (dupTexts > 0) {
+      val fpPerText = docs.join(out, "doc_id")
+        .groupBy("text").agg(countDistinct("fingerprint").as("nfp"))
+      assert(fpPerText.filter(col("nfp") > 1).count() == 0)
+    }
+  }
+
+  test("corpusStats: partitions the corpus exactly") {
+    val out = TextAnalysis.corpusStats(docs)
+    assert(out.agg(sum("n_docs")).head().getLong(0) == docs.count())
+  }
+}
