@@ -130,6 +130,13 @@ object SparkEntry {
       graft.operators.TextAnalysis.fingerprint(t(s, dir, "documents"))),
     "x5_corpus_stats" -> ((s, dir) =>
       graft.operators.TextAnalysis.corpusStats(t(s, dir, "documents"))),
+    // ---- Multimodal plumbing (binary columns; decode stubbed) ----
+    "m1_media_features" -> ((s, dir) =>
+      graft.operators.Multimodal.mediaFeatures(
+        graft.operators.Multimodal.mediaFromDocuments(t(s, dir, "documents")))),
+    "m2_frame_sample" -> ((s, dir) =>
+      graft.operators.Multimodal.frameSample(
+        graft.operators.Multimodal.mediaFromDocuments(t(s, dir, "documents")))),
     // ---- Similarity search over embeddings ----
     "k1_topk_cosine" -> ((s, dir) =>
       graft.operators.Similarity.topKCosine(
@@ -314,6 +321,22 @@ object SparkEntry {
         "FROM allv a JOIN allv b ON a.vec_id < b.vec_id) " +
         "SELECT a_id, b_id, round(dot / (na * nb), 6) AS cosine FROM p " +
         "WHERE dot / (na * nb) >= 0.99"),
+    // Multimodal oracles: the fixture corpus is ASCII, so DuckDB can compute
+    // the same bytes-level features from the text column directly.
+    "m1_media_features" ->
+      ("SELECT doc_id AS media_id, " +
+        "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, " +
+        "len(text) AS n_bytes, md5(text) AS content_md5, " +
+        "hex(CAST(substr(text, 1, 8) AS BLOB)) AS header_hex, " +
+        "CAST(ceil(len(text) / 256.0) AS BIGINT) AS n_frames, " +
+        "md5(substr(text, (CAST(ceil(len(text) / 256.0) AS INT) // 2) * 256 + 1, 256)) AS mid_frame_md5, " +
+        "16 + len(text) % 1024 AS width, 16 + (len(text) * 7) % 1024 AS height " +
+        "FROM documents"),
+    "m2_frame_sample" ->
+      ("SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_idx, " +
+        "CAST(i * 256 + 1 AS BIGINT) AS frame_offset, " +
+        "md5(substr(text, i * 256 + 1, 256)) AS frame_md5 " +
+        "FROM documents, unnest(generate_series(0, CAST(ceil(len(text) / 256.0) AS INT) - 1)) AS t(i)"),
     "x1_text_stats" ->
       ("SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, " +
         "len(text) AS n_chars_actual, " +
