@@ -106,6 +106,10 @@ object SparkEntry {
         t(s, dir, "customer"), t(s, dir, "orders"), minTotal = 300000)),
     "a10_order_rollup" -> ((s, dir) =>
       graft.operators.Analytics.orderStatsRollup(t(s, dir, "orders"))),
+    // Streaming twin of e1: same frame via Structured Streaming file source
+    // + Trigger.AvailableNow (replay/backfill mode), same oracle.
+    "st1_events_hourly_stream" -> ((s, dir) =>
+      graft.streaming.EventsStream.hourlyAvailableNow(s, dir)),
     // ---- Dedup suite (LLM-pipeline north star) over documents/embeddings ----
     "d1_exact_dedup" -> ((s, dir) =>
       graft.operators.Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
@@ -235,6 +239,10 @@ object SparkEntry {
     "r5_count" -> "SELECT count(*) AS cnt FROM lineitem",
     "r6_empty_result" -> "SELECT o_orderkey FROM orders WHERE o_totalprice < 0",
     "e1_events_hourly" ->
+      ("SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, " +
+        "CAST(sum(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS value_milli " +
+        "FROM events GROUP BY 1, 2"),
+    "st1_events_hourly_stream" ->
       ("SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, " +
         "CAST(sum(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS value_milli " +
         "FROM events GROUP BY 1, 2"),

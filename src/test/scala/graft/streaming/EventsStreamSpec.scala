@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.operators.Analytics
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.sql.Timestamp
+
+class EventsStreamSpec extends SparkSpec {
+
+  test("AvailableNow replay equals the batch eventsHourly frame exactly") {
+    val streamed = EventsStream.hourlyAvailableNow(spark, sf, "graft_spec_sink")
+    val batch = Analytics.eventsHourly(Tables.load(spark, sf, "events"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("memory-sink temp view is dropped after materialization") {
+    EventsStream.hourlyAvailableNow(spark, sf, "graft_spec_sink2")
+    assert(!spark.catalog.tableExists("graft_spec_sink2"))
+  }
+
+  test("watermark append mode: windows finalize once passed; late rows drop") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val out = EventsStream.hourlyWindowedWatermarked(events)
+    val q = out.writeStream
+      .format("memory").queryName("graft_wm_sink").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    def t(s: String) = Timestamp.valueOf(s)
+    try {
+      // batch 1: two rows in [10:00,11:00), one at 11:30 pushing the
+      // watermark to 10:30 — nothing finalized yet
+      mem.addData((t("2024-01-01 10:00:00"), "click", 1.0),
+        (t("2024-01-01 10:30:00"), "click", 2.0),
+        (t("2024-01-01 11:30:00"), "view", 5.0))
+      q.processAllAvailable()
+      assert(spark.table("graft_wm_sink").count() == 0)
+
+      // batch 2: 12:30 row advances the watermark to 11:30 → the [10,11)
+      // window finalizes; a 09:10 row is behind the watermark → dropped
+      mem.addData((t("2024-01-01 12:30:00"), "view", 7.0),
+        (t("2024-01-01 09:10:00"), "click", 100.0))
+      q.processAllAvailable()
+      val rows = spark.table("graft_wm_sink").collect()
+      val hours = rows.map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getLong(3)))
+      assert(hours.contains(("2024-01-01 10:00:00.0", "click", 2L, 3000L)),
+        s"10:00 click window missing or wrong: ${hours.mkString(", ")}")
+      assert(!hours.exists(_._1.startsWith("2024-01-01 09")),
+        s"late 09:10 row leaked into output: ${hours.mkString(", ")}")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("graft_wm_sink")
+    }
+  }
+}
