@@ -143,6 +143,12 @@ object CsvIngest {
     records.result()
   }
 
+  /** Reference defaults (main.py:220-221): target table and delimiter when
+    * the import request omits them.
+    */
+  val DefaultImportTable = "imported_data"
+  val DefaultDelimiter = ","
+
   /** S3 — CREATE TABLE IF NOT EXISTS ≈ mode(Ignore) saveAsTable; S4 — batched
     * append ≈ mode(Append). The reference's manual 10k-row insert loop
     * (main.py:273-286) disappears into task partitioning; on a cluster the
@@ -161,7 +167,7 @@ object CsvIngest {
   /** Import end-to-end (flatfile→table): ensure table, append rows, return the
     * inserted count — envelope parity with main.py:288-294.
     */
-  def importInto(df: DataFrame, table: String): Long = {
+  def importInto(df: DataFrame, table: String = DefaultImportTable): Long = {
     createIfNotExists(df, table)
     append(df, table)
     df.count()
