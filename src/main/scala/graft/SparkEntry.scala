@@ -110,6 +110,10 @@ object SparkEntry {
     // + Trigger.AvailableNow (replay/backfill mode), same oracle.
     "st1_events_hourly_stream" -> ((s, dir) =>
       graft.streaming.EventsStream.hourlyAvailableNow(s, dir)),
+    // Sessionization (session_window) applied to the batch frame; the
+    // streaming form is identical (see EventsStream.sessionize doc).
+    "st2_sessionize" -> ((s, dir) =>
+      graft.streaming.EventsStream.sessionize(t(s, dir, "events"))),
     // ---- Dedup suite (LLM-pipeline north star) over documents/embeddings ----
     "d1_exact_dedup" -> ((s, dir) =>
       graft.operators.Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
@@ -246,6 +250,18 @@ object SparkEntry {
       ("SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, " +
         "CAST(sum(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS value_milli " +
         "FROM events GROUP BY 1, 2"),
+    // Session semantics: new session when the inactivity gap is >= 30min
+    // (Spark merges strictly-closer events); end = last ts + gap.
+    "st2_sessionize" ->
+      ("WITH e AS (SELECT user_id, ts, CAST(round(value * 1000) AS BIGINT) AS vm FROM events), " +
+        "f AS (SELECT user_id, ts, vm, CASE WHEN lag(ts) OVER w IS NULL OR " +
+        "ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
+        "g AS (SELECT user_id, ts, vm, sum(ns) OVER (PARTITION BY user_id ORDER BY ts " +
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM f) " +
+        "SELECT min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end, " +
+        "user_id, count(*) AS n_events, CAST(sum(vm) AS BIGINT) AS value_milli " +
+        "FROM g GROUP BY user_id, sid"),
     "a1_pricing_summary" ->
       ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, " +
         "round(sum(l_extendedprice), 2) AS sum_base_price, " +

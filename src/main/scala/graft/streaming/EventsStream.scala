@@ -77,6 +77,24 @@ object EventsStream {
         col("window.start").as("hour"), col("event_type"),
         col("n"), col("value_milli"))
 
+  /** Per-user sessionization: events separated by less than `gap` of
+    * inactivity merge into one session (`session_window` — state per OPEN
+    * session only once watermarked, the bounded-state shape for clickstream
+    * sessionization at scale). Works identically on batch frames, which is
+    * how [[graft.SparkEntry]] oracle-gates it: DuckDB reproduces the gap
+    * semantics with a lag()-based session id.
+    */
+  def sessionize(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 1000).cast("long")).as("value_milli"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("value_milli"))
+
   /** Replay the on-disk events through the streaming engine with
     * Trigger.AvailableNow into a memory sink and return the final aggregate
     * as a materialized batch frame. The sink's temp view is dropped before

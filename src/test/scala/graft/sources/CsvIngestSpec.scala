@@ -71,6 +71,14 @@ class CsvIngestSpec extends SparkSpec {
     assert(rows(2).getString(2) == "q") // extra field dropped
   }
 
+  test("parseUpload skips blank lines (pandas skip_blank_lines parity)") {
+    val df = CsvIngest.parseUpload(spark, "u.csv", "id,v\n1,a\n\n2,b\n")
+    assert(df.count() == 2)
+    // but an explicitly quoted empty single field is a real record
+    val df2 = CsvIngest.parseUpload(spark, "u.csv", "v\n\"\"\nx\n")
+    assert(df2.count() == 2)
+  }
+
   test("S3/S4: createIfNotExists is a true no-op when the table exists; importInto appends") {
     import spark.implicits._
     val t = "graft_s3_unit"

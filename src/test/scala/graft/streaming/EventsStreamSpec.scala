@@ -22,6 +22,28 @@ class EventsStreamSpec extends SparkSpec {
     assert(!spark.catalog.tableExists("graft_spec_sink2"))
   }
 
+  test("sessionize: gap merge + session bounds on a hand fixture") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    // user 1: 3 events within 30min gaps -> one session; 4th after 31min gap
+    // -> new session. user 2: single event.
+    val ev = Seq(
+      (t("2024-01-01 10:00:00"), 1L, 1.0),
+      (t("2024-01-01 10:20:00"), 1L, 2.0),
+      (t("2024-01-01 10:45:00"), 1L, 3.0),
+      (t("2024-01-01 11:16:00"), 1L, 4.0),
+      (t("2024-01-01 09:00:00"), 2L, 5.0)
+    ).toDF("ts", "user_id", "value")
+    val out = EventsStream.sessionize(ev).orderBy("user_id", "session_start").collect()
+    assert(out.length == 3)
+    assert(out(0).getTimestamp(0) == t("2024-01-01 10:00:00"))
+    assert(out(0).getTimestamp(1) == t("2024-01-01 11:15:00")) // last + 30min
+    assert(out(0).getLong(3) == 3 && out(0).getLong(4) == 6000L)
+    assert(out(1).getTimestamp(0) == t("2024-01-01 11:16:00"))
+    assert(out(1).getLong(3) == 1)
+    assert(out(2).getLong(2) == 2L && out(2).getLong(3) == 1)
+  }
+
   test("watermark append mode: windows finalize once passed; late rows drop") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
