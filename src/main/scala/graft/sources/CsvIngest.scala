@@ -165,13 +165,18 @@ object CsvIngest {
   }
 
   /** Import end-to-end (flatfile→table): ensure table, append rows, return the
-    * inserted count — envelope parity with main.py:288-294.
+    * inserted count — envelope parity with main.py:288-294; failures wrap as
+    * `Import failed: …` (main.py:295-302).
     */
-  def importInto(df: DataFrame, table: String = DefaultImportTable): Long = {
-    createIfNotExists(df, table)
-    append(df, table)
-    df.count()
-  }
+  def importInto(df: DataFrame, table: String = DefaultImportTable): Long =
+    try {
+      createIfNotExists(df, table)
+      append(df, table)
+      df.count()
+    } catch {
+      case e: IngestError => throw e
+      case e: Exception   => throw IngestError.ImportFailed(e.getMessage)
+    }
 
   /** All-string schema helper for symmetric round-trips. */
   def allStringSchema(names: Seq[String]): StructType =

@@ -98,6 +98,23 @@ class CsvIngestSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("importInto wraps failures as ImportFailed (main.py:295-302)") {
+    import spark.implicits._
+    val t = "graft_import_fail_unit"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val leftover = new java.io.File("spark-warehouse/" + t)
+    if (leftover.exists()) {
+      leftover.listFiles().foreach(_.delete()); leftover.delete()
+    }
+    try {
+      CsvIngest.importInto(Seq(("1", "a")).toDF("id", "v"), t)
+      val mismatched = Seq((1, 2, 3)).toDF("x", "y", "z")
+      intercept[IngestError.ImportFailed] {
+        CsvIngest.importInto(mismatched, t)
+      }
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("B5: export round-trip emits BOM, header, no index column") {
     val p = write("b5.csv", "id,name,note\n1,alpha,hello\n2,beta,\n3,,NA\n")
     val df = CsvIngest.readAllString(spark, p)
