@@ -138,6 +138,8 @@ object SparkEntry {
       graft.operators.TextAnalysis.fingerprint(t(s, dir, "documents"))),
     "x5_corpus_stats" -> ((s, dir) =>
       graft.operators.TextAnalysis.corpusStats(t(s, dir, "documents"))),
+    "x6_token_counts" -> ((s, dir) =>
+      graft.operators.TextAnalysis.tokenCounts(t(s, dir, "documents"))),
     // ---- Multimodal plumbing (binary columns; decode stubbed) ----
     "m1_media_features" -> ((s, dir) =>
       graft.operators.Multimodal.mediaFeatures(
@@ -395,6 +397,10 @@ object SparkEntry {
       ("SELECT lang, source, count(*) AS n_docs, " +
         "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens, " +
         "round(avg(len(text)), 4) AS avg_chars FROM documents GROUP BY 1, 2"),
+    "x6_token_counts" ->
+      ("SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens, " +
+        "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_tokens " +
+        "FROM documents"),
     "k1_topk_cosine" ->
       ("WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
         "FROM embeddings), " +

@@ -97,6 +97,22 @@ object TextAnalysis {
             THEN array_min(transform(${Dedup.wordShingleExpr(textCol, 3)}, s -> md5(s)))
             ELSE md5($textCol) END""").as("fingerprint"))
 
+  /** BPE-ish regex token count: splits into letter runs, digit runs, and
+    * single other-symbols — the pre-tokenization pass BPE vocabularies are
+    * trained over. Both whitespace and regex counts in one map-only pass;
+    * the simple character-class pattern means Java and RE2-family engines
+    * agree.
+    */
+  def tokenCounts(
+      docs: DataFrame,
+      pattern: String = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]",
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(
+      col(idCol),
+      expr(s"CAST(size(split($textCol, ' ')) AS BIGINT)").as("ws_tokens"),
+      expr(s"CAST(size(regexp_extract_all($textCol, '$pattern', 0)) AS BIGINT)").as("bpe_tokens"))
+
   /** Corpus rollup per (lang, source): doc count, token volume, mean doc
     * length — map-side partial agg into a tiny (|lang| x |source|) shuffle.
     */

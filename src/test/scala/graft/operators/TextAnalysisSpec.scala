@@ -51,6 +51,17 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("tokenCounts: regex tokens >= whitespace tokens on alnum text") {
+    val out = TextAnalysis.tokenCounts(docs)
+    // pure-word corpus: every whitespace token is >= one regex token
+    assert(out.filter(col("bpe_tokens") < col("ws_tokens")).count() == 0)
+    import spark.implicits._
+    val mixed = Seq((1L, "ab12 cd, e-f")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCounts(mixed).head()
+    assert(r.getLong(1) == 3)  // whitespace
+    assert(r.getLong(2) == 7)  // ab|12|cd|,|e|-|f
+  }
+
   test("corpusStats: partitions the corpus exactly") {
     val out = TextAnalysis.corpusStats(docs)
     assert(out.agg(sum("n_docs")).head().getLong(0) == docs.count())
