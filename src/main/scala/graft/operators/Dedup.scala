@@ -200,12 +200,16 @@ object Dedup {
       blockCols: Seq[String] = Seq("lang", "source"),
       ngram: Int = 5,
       threshold: Double = 0.5): DataFrame = {
+    // fused shingle+hash: one HOF pass, no intermediate string array
+    val hashedGrams =
+      s"""CASE WHEN length($textCol) >= $ngram
+          THEN array_distinct(transform(sequence(1, length($textCol) - ${ngram - 1}),
+               i -> xxhash64(substring($textCol, i, $ngram))))
+          ELSE CAST(array() AS ARRAY<BIGINT>) END"""
     val sets = docs.select(
       (col(idCol).as("id") +: blockCols.map(col)) :+
-        expr(charShingleExpr(textCol, ngram)).as("shs"): _*)
-      .filter(size(col("shs")) > 0)
-      .withColumn("sh", expr("array_distinct(transform(shs, s -> xxhash64(s)))"))
-      .drop("shs")
+        expr(hashedGrams).as("sh"): _*)
+      .filter(size(col("sh")) > 0)
     // Pair generation carries ONLY (block, id, |sh|): the heavy arrays never
     // ride the pair join (one copy per pair = the dominant shuffle cost
     // otherwise). Size-ratio prefilter: J(A,B) <= min/max sizes, so pairs
