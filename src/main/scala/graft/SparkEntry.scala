@@ -106,6 +106,10 @@ object SparkEntry {
         t(s, dir, "customer"), t(s, dir, "orders"), minTotal = 300000)),
     "a10_order_rollup" -> ((s, dir) =>
       graft.operators.Analytics.orderStatsRollup(t(s, dir, "orders"))),
+    "a11_order_cube" -> ((s, dir) =>
+      graft.operators.Analytics.orderStatsCube(t(s, dir, "orders"))),
+    "a12_distinct_users" -> ((s, dir) =>
+      graft.operators.Analytics.distinctUsersPerType(t(s, dir, "events"))),
     // Streaming twin of e1: same frame via Structured Streaming file source
     // + Trigger.AvailableNow (replay/backfill mode), same oracle.
     "st1_events_hourly_stream" -> ((s, dir) =>
@@ -252,6 +256,13 @@ object SparkEntry {
       ("SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, " +
         "CAST(sum(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS value_milli " +
         "FROM events GROUP BY 1, 2"),
+    "a11_order_cube" ->
+      ("SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
+        "round(sum(o_totalprice), 2) AS total FROM orders " +
+        "GROUP BY CUBE (o_orderstatus, o_orderpriority)"),
+    "a12_distinct_users" ->
+      ("SELECT event_type, count(DISTINCT user_id) AS n_users, " +
+        "count(*) AS n_events FROM events GROUP BY 1"),
     // Session semantics: new session when the inactivity gap is >= 30min
     // (Spark merges strictly-closer events); end = last ts + gap.
     "st2_sessionize" ->

@@ -114,6 +114,22 @@ object Analytics {
       .rollup("o_orderstatus", "o_orderpriority")
       .agg(count(lit(1)).as("n"), round2(sum("o_totalprice")).as("total"))
 
+  /** CUBE over (status, priority): all 2^k grouping sets in one pass. */
+  def orderStatsCube(orders: DataFrame): DataFrame =
+    orders
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), round2(sum("o_totalprice")).as("total"))
+
+  /** Distinct aggregate (absent from the reference entirely): exact distinct
+    * users per event type. Spark plans this as a two-phase expand+agg; for
+    * approximate at extreme scale swap in approx_count_distinct (HLL) — not
+    * oracle-gated here because sketches differ across engines.
+    */
+  def distinctUsersPerType(events: DataFrame): DataFrame =
+    events
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+
   /** Batch tumbling-window aggregate over the events table (hourly). The
     * streaming twin is [[graft.streaming.EventsStream.hourlyAvailableNow]];
     * both produce this exact frame. `value` is quantized per-row to

@@ -105,6 +105,10 @@ object Dedup {
     // string-concat bodies measured 2x slower at sf0.1.)
     val combineArgs = (0 until shingleWords)
       .map(j => s"element_at(th, i + ${j + 1})").mkString(", ")
+    // Deliberately persisted (Spark-ML-style): the DAG reads `sets` four
+    // times (signature path + both verify broadcasts); without a persist
+    // the shingle computation re-runs each time. MEMORY_AND_DISK + LRU
+    // eviction keeps this safe for long sessions.
     val sets = docs
       .select(col(idCol).as("id"),
         expr(s"transform(split($textCol, ' '), w -> xxhash64(w))").as("th"))
@@ -112,6 +116,7 @@ object Dedup {
       .select(col("id"), expr(
         s"array_distinct(transform(sequence(0, size(th) - $shingleWords), i -> xxhash64($combineArgs)))")
         .as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val hashed = sets
       .select(col("id"), explode(col("sh")).as("v"))
@@ -206,10 +211,13 @@ object Dedup {
           THEN array_distinct(transform(sequence(1, length($textCol) - ${ngram - 1}),
                i -> xxhash64(substring($textCol, i, $ngram))))
           ELSE CAST(array() AS ARRAY<BIGINT>) END"""
+    // persisted for the same reason as in minHashNearDup: read by the slim
+    // pair join and both verify broadcasts
     val sets = docs.select(
       (col(idCol).as("id") +: blockCols.map(col)) :+
         expr(hashedGrams).as("sh"): _*)
       .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Pair generation carries ONLY (block, id, |sh|): the heavy arrays never
     // ride the pair join (one copy per pair = the dominant shuffle cost
     // otherwise). Size-ratio prefilter: J(A,B) <= min/max sizes, so pairs
