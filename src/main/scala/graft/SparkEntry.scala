@@ -160,6 +160,10 @@ object SparkEntry {
     "k2_ann_topk" -> ((s, dir) =>
       graft.operators.Similarity.annTopKCosine(
         t(s, dir, "embeddings"), queryIds = Seq(0L, 1L, 2L), k = 10)),
+    // IVF index variant — also approximate (probe subset), rows-only.
+    "k3_ivf_topk" -> ((s, dir) =>
+      graft.operators.Similarity.ivfTopKCosine(
+        t(s, dir, "embeddings"), queryIds = Seq(0L, 1L, 2L), k = 10)),
     // ---- §2.1/§2.3 catalog + CSV semantics ----
     // DESCRIBE parity: ClickHouse-ish type names from the parquet schema
     // (rows-only check: DuckDB has no equivalent type-name surface).

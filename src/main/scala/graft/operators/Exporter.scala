@@ -43,7 +43,12 @@ object Exporter {
           .filter(expr(cond))
       case _ => base
     }
-    filtered.select(sel.columns.map(c => col(c)): _*)
+    // Alias each projection to the exact requested string: the reference
+    // names output columns with the user's own tokens (main.py:193 uses
+    // selection.columns as the pandas header), so a qualified request like
+    // `customer.c_name` must surface as a column literally named
+    // "customer.c_name", not the resolver-stripped "c_name".
+    filtered.select(sel.columns.map(c => col(c).alias(c)): _*)
   }
 
   /** Export result envelope — main.py:196-202 fields, plus `path` for the

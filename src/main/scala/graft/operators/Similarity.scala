@@ -56,6 +56,63 @@ object Similarity {
         round(col("cos"), 6).as("cosine"), col("rank"))
   }
 
+  /** Exact cosine re-rank of (query_id, id) candidate pairs → top-k. */
+  private def rerank(cand: DataFrame, v: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val q = broadcast(
+      v.filter(col("id").isin(queryIds: _*))
+        .select(col("id").as("query_id"), col("v").as("qv")))
+    val scored = cosineCols(cand.join(v, "id").join(q, "query_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(
+        col("query_id"), col("id").as("neighbor_id"),
+        round(col("cos"), 6).as("cosine"), col("rank"))
+  }
+
+  /** IVF (inverted-file) approximate top-k: the corpus is partitioned into
+    * `nCentroids` cells by nearest centroid; a query probes only its
+    * `nProbe` closest cells and exact-re-ranks their members. The index is
+    * the classic ANN scale shape: candidate volume ≈ nProbe/nCentroids of
+    * the corpus, assignment is a map-side `max_by` over a broadcast
+    * centroid table (no shuffle of corpus vectors, no window).
+    *
+    * Centroids are chosen deterministically by xxhash64 order (a seedless
+    * stand-in for k-means||; production would train real centroids — the
+    * index/probe/re-rank plumbing is identical).
+    */
+  def ivfTopKCosine(
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      k: Int = 10,
+      nCentroids: Int = 32,
+      nProbe: Int = 8): DataFrame = {
+    val v = asVectors(embeddings)
+    val cents = broadcast(
+      v.orderBy(expr("xxhash64(id)"), col("id"))
+        .limit(nCentroids)
+        .select(col("id").as("cid"), col("v").as("qv")))
+    // nearest-centroid assignment: map-side max_by over the broadcast —
+    // deterministic tie-break on (dot, cid)
+    val assign = cosineCols(v.crossJoin(cents))
+      .groupBy(col("id"))
+      .agg(expr("max_by(cid, struct(cos, cid))").as("cid"))
+    val qProbes = cosineCols(
+      v.filter(col("id").isin(queryIds: _*))
+        .select(col("id").as("query_id"), col("v"))
+        .crossJoin(cents))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("cid"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("cid"))
+    val cand = broadcast(qProbes).join(assign, "cid")
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"))
+      .distinct()
+    rerank(cand, v, queryIds, k)
+  }
+
   /** Approximate top-k: candidates = corpus vectors sharing at least one
     * random-hyperplane band bucket with the query ([[Dedup.signBands]]), then
     * exact cosine re-rank of candidates only. Recall/candidate-volume trades
@@ -79,16 +136,6 @@ object Similarity {
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id"))
       .distinct()
-    val q = broadcast(
-      v.filter(col("id").isin(queryIds: _*))
-        .select(col("id").as("query_id"), col("v").as("qv")))
-    val scored = cosineCols(cand.join(v, "id").join(q, "query_id"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("id"))
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(
-        col("query_id"), col("id").as("neighbor_id"),
-        round(col("cos"), 6).as("cosine"), col("rank"))
+    rerank(cand, v, queryIds, k)
   }
 }

@@ -34,6 +34,19 @@ class ExporterSpec extends SparkSpec {
     assert(plan.contains("Join") || plan.contains("join"))
   }
 
+  test("qualified column requests surface verbatim in the output header") {
+    val df = Exporter.buildQuery(
+      ColumnSelection(
+        "customer",
+        Seq("customer.c_name", "orders.o_totalprice"),
+        Seq("orders"),
+        Some("customer.c_custkey = orders.o_custkey")),
+      resolve)
+    // main.py:193: the response header is the user's own column strings
+    assert(df.columns.toSeq == Seq("customer.c_name", "orders.o_totalprice"))
+    assert(df.count() > 0)
+  }
+
   test("projection preserves request order") {
     val df = Exporter.buildQuery(
       ColumnSelection("customer", Seq("c_acctbal", "c_name")), resolve)

@@ -39,6 +39,30 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"ANN recall@10 = $recall below floor")
   }
 
+  test("IVF top-k: k rows per query; recall against exact baseline") {
+    val ivf = Similarity.ivfTopKCosine(emb, queries, k = 10).cache()
+    val perQuery = ivf.groupBy("query_id").count().collect()
+    assert(perQuery.length == queries.length && perQuery.forall(_.getLong(1) == 10))
+    val exact = Similarity.topKCosine(emb, queries, k = 10)
+      .select("query_id", "neighbor_id")
+    val hit = exact.intersect(ivf.select("query_id", "neighbor_id")).count()
+    val recall = hit.toDouble / exact.count()
+    assert(recall >= 0.3, s"IVF recall@10 = $recall below floor (nProbe=8/32 cells)")
+  }
+
+  test("IVF assignment partitions the corpus exactly once") {
+    val v = Similarity.asVectors(emb)
+    val cents = org.apache.spark.sql.functions.broadcast(
+      v.orderBy(expr("xxhash64(id)"), col("id")).limit(32)
+        .select(col("id").as("cid"), col("v").as("qv")))
+    val n = emb.count()
+    val assign = v.crossJoin(cents)
+      .withColumn("dot", expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, p) -> acc + p)"))
+      .groupBy("id").agg(expr("max_by(cid, struct(dot, cid))").as("cid"))
+    assert(assign.count() == n)
+    assert(assign.select("id").distinct().count() == n)
+  }
+
   test("ANN candidate generation bounds the ranking input") {
     // the ann plan must rank only bucket-collision candidates: its scored
     // row count is below the exact variant's |corpus| x |queries|
