@@ -46,13 +46,6 @@ object Dedup {
              i -> array_join(slice(split($textCol, ' '), i + 1, $n), ' ')))
         ELSE CAST(array() AS ARRAY<STRING>) END"""
 
-  /** SQL expr: distinct character `n`-grams. */
-  private[operators] def charShingleExpr(textCol: String, n: Int): String =
-    s"""CASE WHEN length($textCol) >= $n
-        THEN array_distinct(transform(sequence(1, length($textCol) - ${n - 1}),
-             i -> substring($textCol, i, $n)))
-        ELSE CAST(array() AS ARRAY<STRING>) END"""
-
   /** Exact dedup: keep the lowest-id row per identical content. One shuffle on
     * the content hash (high-cardinality ⇒ even partitioning); the window sees
     * tiny per-hash groups, so state is bounded regardless of total rows.
@@ -80,9 +73,14 @@ object Dedup {
     *  5. verify: exact Jaccard on the candidates' shingle sets; keep pairs
     *     `≥ threshold`.
     *
-    * With J ≥ 0.85 pairs and 16 bands × 4 rows, the per-pair miss
-    * probability is ≤ (1-0.85⁴)¹⁶ ≈ 8·10⁻⁶ — and the band parameters are
-    * arguments, so callers can trade recall for candidate volume.
+    * Recall is governed by the banding S-curve (midpoint (1/bands)^(rows⁻¹)
+    * = 0.5 for the 16×4 default): near-dup pairs at J ≥ 0.85 miss with
+    * probability ≤ (1-0.85⁴)¹⁶ ≈ 8·10⁻⁶, but a BORDERLINE pair at exactly
+    * J = threshold = 0.6 misses with probability ≈ 0.11 — callers gating on
+    * exact equality with brute force near the threshold should widen the
+    * banding (e.g. 32×2, at the cost of a J≈0.05 noise floor in the
+    * candidate volume). The band parameters are arguments precisely for
+    * that trade.
     */
   def minHashNearDup(
       docs: DataFrame,
@@ -107,8 +105,12 @@ object Dedup {
       .map(j => s"element_at(th, i + ${j + 1})").mkString(", ")
     // Deliberately persisted (Spark-ML-style): the DAG reads `sets` four
     // times (signature path + both verify broadcasts); without a persist
-    // the shingle computation re-runs each time. MEMORY_AND_DISK + LRU
-    // eviction keeps this safe for long sessions.
+    // the shingle computation re-runs each time (d2: 7.2s -> 2.7s at
+    // sf0.1). Never unpersisted here — the returned frame is lazy, so the
+    // operator cannot know when its consumer is done; memory blocks are
+    // LRU-evicted but DISK blocks live until session end. Long-lived
+    // sessions calling this repeatedly should spark.catalog.clearCache()
+    // between batches.
     val sets = docs
       .select(col(idCol).as("id"),
         expr(s"transform(split($textCol, ' '), w -> xxhash64(w))").as("th"))
@@ -298,11 +300,11 @@ object Dedup {
     *
     * Hyperplanes are ±1 vectors derived deterministically from md5(bit, dim)
     * ([[hyperplaneSigns]]) — no RNG state to ship to executors, same planes
-    * on every run. All `bits` sign bits per vector come from ONE
-    * codegen'd expression over a literal matrix: no explode, no join, no md5
-    * per row. Defaults (72 bits = 6 bands × 12): a cos ≥ 0.99 pair misses
-    * every band with probability < 10⁻⁸, while 4096 buckets/band keep
-    * expected candidate volume near-linear in n.
+    * on every run; bits computed by the shared [[signBands]] (broadcast
+    * join + partial sum — see its doc for why). Defaults (72 bits = 6
+    * bands × 12): a cos ≥ 0.99 pair misses every band with probability
+    * < 10⁻⁸, while 4096 buckets/band keep expected candidate volume
+    * near-linear in n.
     *
     * The input is expected as (idCol, array<double> vecCol); see
     * [[withPerturbedCopy]] for the self-join test fixture.
@@ -315,8 +317,6 @@ object Dedup {
       bits: Int = 72,
       bands: Int = 6,
       dim: Int = 64): DataFrame = {
-    require(bits % bands == 0, "bits must be divisible by bands")
-    val rows = bits / bands
     val v = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
 
     val banded = signBands(v, bits, bands, dim)

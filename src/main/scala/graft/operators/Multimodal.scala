@@ -79,6 +79,9 @@ object Multimodal {
         col("media_id"),
         col("content"),
         expr(s"CAST(ceil(octet_length(content) / ${frameBytes}.0) AS INT)").as("nf"))
+      // nf >= 1 guard: Spark's sequence(0, -1) is the DESCENDING [0, -1],
+      // not empty — zero-byte media must yield zero frames
+      .filter(col("nf") > 0)
       .select(
         col("media_id"),
         explode(expr("sequence(0, nf - 1)")).as("frame_idx"),

@@ -19,8 +19,15 @@ object TextAnalysis {
   /** Tiny illustrative stopword list; real deployments pass their own. */
   val DefaultStopwords: Seq[String] = Seq("the", "a")
 
-  private def stopwordPredicate(stopwords: Seq[String]): String =
-    stopwords.map(w => s"t = '$w'").mkString(" OR ")
+  /** SQL-safe membership predicate: words carried as an array literal via
+    * the function API (never interpolated into SQL text — a quote in a
+    * stopword must not alter the expression), empty list ⇒ constant false.
+    */
+  private def stopwordHits(textCol: String, stopwords: Seq[String]) = {
+    import org.apache.spark.sql.Column
+    val words: Column = lit(stopwords.toArray)
+    size(filter(split(col(textCol), " "), t => array_contains(words, t)))
+  }
 
   /** Per-document surface statistics: whitespace token count, character
     * count, distinct-token count, mean token length. Map-only.
@@ -44,12 +51,12 @@ object TextAnalysis {
       stopwords: Seq[String] = DefaultStopwords,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val pred = stopwordPredicate(stopwords)
+    val nTokens = size(split(col(textCol), " "))
     docs.select(
       col(idCol),
-      expr(s"round(size(filter(split($textCol, ' '), t -> $pred)) * 1.0 / size(split($textCol, ' ')), 4)")
+      round(stopwordHits(textCol, stopwords) * lit(1.0) / nTokens, 4)
         .as("stopword_ratio"),
-      expr(s"round(size(array_distinct(split($textCol, ' '))) * 1.0 / size(split($textCol, ' ')), 4)")
+      round(size(array_distinct(split(col(textCol), " "))) * lit(1.0) / nTokens, 4)
         .as("uniq_ratio"))
       // scale 6, not 4: the inputs are 4-decimal, so the composite has at
       // most 5 decimals — rounding AT a possible half-boundary (scale 4)
@@ -71,10 +78,9 @@ object TextAnalysis {
       threshold: Double = 0.05,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val pred = stopwordPredicate(markers)
     docs.select(
       col(idCol), col("lang"),
-      expr(s"round(size(filter(split($textCol, ' '), t -> $pred)) * 1.0 / size(split($textCol, ' ')), 4)")
+      round(stopwordHits(textCol, markers) * lit(1.0) / size(split(col(textCol), " ")), 4)
         .as("en_score"))
       .withColumn("lang_guess",
         when(col("en_score") >= threshold, lit("en")).otherwise(lit("und")))
@@ -111,7 +117,10 @@ object TextAnalysis {
     docs.select(
       col(idCol),
       expr(s"CAST(size(split($textCol, ' ')) AS BIGINT)").as("ws_tokens"),
-      expr(s"CAST(size(regexp_extract_all($textCol, '$pattern', 0)) AS BIGINT)").as("bpe_tokens"))
+      // pattern via the function API, never spliced into SQL text (quotes/
+      // backslashes in a caller's regex must reach the regex engine intact)
+      size(regexp_extract_all(col(textCol), lit(pattern), lit(0))).cast("long")
+        .as("bpe_tokens"))
 
   /** Corpus rollup per (lang, source): doc count, token volume, mean doc
     * length — map-side partial agg into a tiny (|lang| x |source|) shuffle.

@@ -80,16 +80,24 @@ object CsvIngest {
       delimiter: String = ","): DataFrame = {
     if (!Validation.isSupportedFilename(filename)) throw IngestError.UnsupportedFileType
     if (content.trim.isEmpty) throw IngestError.EmptyFile
-    val records = parseCsvRecords(content, delimiter.headOption.getOrElse(','))
+    // pandas accepts only a single-char C-engine separator here; silently
+    // splitting on the first char of a longer string would corrupt fields
+    if (delimiter.length != 1)
+      throw IngestError.ImportFailed(s"delimiter must be a single character, got '$delimiter'")
+    val records = parseCsvRecords(content, delimiter.head)
     // Header-only (or empty) parse → reference rejects with 400 (main.py:241-245).
     if (records.length <= 1) throw IngestError.EmptyFile
     val header = records.head
     val width = header.length
-    // Ragged rows: pad short rows with "" (pandas NaN → "" under dtype=str)
-    // and drop fields beyond the header width.
-    val rows: java.util.List[org.apache.spark.sql.Row] = records.tail.map { r =>
-      val cells = if (r.length == width) r else r.take(width).padTo(width, "")
-      org.apache.spark.sql.Row.fromSeq(cells)
+    // Ragged rows, pandas parity: FEWER fields than the header → pad with
+    // "" (NaN under dtype=str); MORE fields → tokenizing error (the
+    // reference's read_csv raises, surfacing as an import failure).
+    val rows: java.util.List[org.apache.spark.sql.Row] = records.tail.zipWithIndex.map {
+      case (r, i) =>
+        if (r.length > width)
+          throw IngestError.ImportFailed(
+            s"Error tokenizing data: expected $width fields in line ${i + 2}, saw ${r.length}")
+        org.apache.spark.sql.Row.fromSeq(r.padTo(width, ""))
     }.asJava
     spark.createDataFrame(rows, allStringSchema(header))
   }

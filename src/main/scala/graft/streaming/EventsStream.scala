@@ -111,10 +111,15 @@ object EventsStream {
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
-    val rows = spark.table(queryName).collect().toIndexedSeq
-    val schema = spark.table(queryName).schema
-    spark.catalog.dropTempView(queryName)
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    try {
+      q.awaitTermination()
+      val rows = spark.table(queryName).collect().toIndexedSeq
+      val schema = spark.table(queryName).schema
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    } finally {
+      // always drop — a leaked sink view would poison catalog listings
+      spark.catalog.dropTempView(queryName)
+      ()
+    }
   }
 }

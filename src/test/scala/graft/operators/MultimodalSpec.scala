@@ -43,6 +43,12 @@ class MultimodalSpec extends SparkSpec {
     assert(counts.filter(col("count") =!= col("nf")).count() == 0)
   }
 
+  test("frame sampling of zero-byte media yields zero frames, not sequence(0,-1)") {
+    import spark.implicits._
+    val empty = Seq((1L, "image", Array.empty[Byte])).toDF("media_id", "kind", "content")
+    assert(Multimodal.frameSample(empty).count() == 0)
+  }
+
   test("decode stub is deterministic and bounded") {
     val d = Multimodal.decodeStub(media).select("decoded.width", "decoded.height")
     val r = d.agg(

@@ -61,14 +61,22 @@ class CsvIngestSpec extends SparkSpec {
     assert(rows(1).getString(1) == "plain")
   }
 
-  test("parseUpload: CRLF records, quoted delimiter, ragged rows padded") {
-    val content = "id,a,b\r\n1,\"x,y\",z\r\n2,only\r\n3,p,q,extra\r\n"
+  test("parseUpload: CRLF records, quoted delimiter, short rows padded") {
+    val content = "id,a,b\r\n1,\"x,y\",z\r\n2,only\r\n"
     val df = CsvIngest.parseUpload(spark, "u.csv", content)
     val rows = df.orderBy("id").collect()
-    assert(rows.length == 3)
+    assert(rows.length == 2)
     assert(rows(0).getString(1) == "x,y" && rows(0).getString(2) == "z")
     assert(rows(1).getString(1) == "only" && rows(1).getString(2) == "") // padded
-    assert(rows(2).getString(2) == "q") // extra field dropped
+  }
+
+  test("parseUpload: extra fields raise a tokenizing error (pandas parity); multi-char delimiter rejected") {
+    intercept[IngestError.ImportFailed] {
+      CsvIngest.parseUpload(spark, "u.csv", "id,a\n1,p,extra\n")
+    }
+    intercept[IngestError.ImportFailed] {
+      CsvIngest.parseUpload(spark, "u.csv", "id;;a\n1;;2\n", delimiter = ";;")
+    }
   }
 
   test("parseUpload skips blank lines (pandas skip_blank_lines parity)") {
