@@ -24,6 +24,37 @@ class CatalogSpec extends SparkSpec {
     assert(Catalog.health(spark))
   }
 
+  test("listTempViews: sorted, excludes persistent tables") {
+    Tables.registerAll(spark, sf)
+    val t = "graft_catalog_persist_unit"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val leftover = new java.io.File("spark-warehouse/" + t)
+    if (leftover.exists()) {
+      leftover.listFiles().foreach(_.delete()); leftover.delete()
+    }
+    import spark.implicits._
+    try {
+      Seq((1, "a")).toDF("id", "v").write.saveAsTable(t)
+      val views = Catalog.listTempViews(spark)
+      assert(views == views.sorted)
+      assert(Tables.all.forall(views.contains))
+      assert(!views.contains(t)) // persistent table excluded
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("Engine.session applies AQE + UTC + shuffle sizing policy") {
+    // getOrCreate reuses the suite's JVM-singleton session and applies the
+    // sql confs to it — assert, then restore the suite's shuffle sizing so
+    // later suites aren't affected
+    val s = graft.core.Engine.session(master = Some("local[2]"), shufflePartitions = 2)
+    try {
+      assert(s.conf.get("spark.sql.adaptive.enabled") == "true")
+      assert(s.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+      assert(s.conf.get("spark.sql.session.timeZone") == "UTC")
+      assert(s.conf.get("spark.sql.shuffle.partitions") == "2")
+    } finally s.conf.set("spark.sql.shuffle.partitions", "4")
+  }
+
   test("type mapping is the reference table both ways (main.py:250-256)") {
     assert(Types.toExternalName(LongType) == "Int64")
     assert(Types.toExternalName(DoubleType) == "Float64")
