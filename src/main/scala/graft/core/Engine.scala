@@ -36,6 +36,8 @@ object Engine {
       // not a load-time side effect.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // native graft expressions (graft_dot) resolve in every session
+      .withExtensions(new graft.functions.GraftExtensions)
     master.fold(b)(b.master).getOrCreate()
   }
 

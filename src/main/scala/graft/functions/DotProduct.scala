@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expression: dot product of two array<double> columns.
+  *
+  * This is the one hot-loop where built-ins genuinely bottleneck (SURVEY.md
+  * §7.3 escalation ladder): `aggregate(zip_with(...))` evaluates its lambda
+  * per ELEMENT through the interpreted HOF path, while this expression
+  * compiles to a tight primitive `for` loop inside whole-stage codegen via
+  * [[doGenCode]] — no per-element closure dispatch, no boxing.
+  *
+  * Accumulation order is ascending-index, identical to the left fold of
+  * `aggregate(zip_with(a, b, (x, y) -> x*y), 0D, (acc, p) -> acc + p)`, so
+  * results are bit-identical to the HOF formulation (pinned by spec) and
+  * the DuckDB oracle comparisons are unaffected.
+  *
+  * Length mismatch truncates to the shorter array (zip semantics); array
+  * ELEMENTS are assumed non-null (embedding vectors by construction —
+  * a null element reads as 0.0 rather than poisoning the whole result).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_dot requires two array<double> arguments, got ${l.sql} and ${r.sql}")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { $s += $a.getDouble($i) * $b.getDouble($i); }
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration for graft's native expressions. */
+object GraftFunctions {
+
+  val dotInfo = new ExpressionInfo(classOf[DotProduct].getName, "graft_dot")
+
+  val dotBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2, "graft_dot expects exactly 2 arguments")
+    DotProduct(children.head, children(1))
+  }
+
+  /** Imperative, idempotent registration into an existing session (used by
+    * the operators so any session works, not just extension-built ones).
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("graft_dot", dotBuilder, "built-in")
+}
+
+/** `spark.sql.extensions`-style injection: sessions built with
+  * `.withExtensions(new GraftExtensions)` (see `Engine.session`) resolve
+  * `graft_dot` natively without imperative registration.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((FunctionIdentifier("graft_dot"), GraftFunctions.dotInfo, GraftFunctions.dotBuilder))
+}

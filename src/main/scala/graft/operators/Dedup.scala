@@ -329,13 +329,14 @@ object Dedup {
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
       .distinct()
 
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
     cand
       .join(v.select(col("id").as("a_id"), col("v").as("va")), "a_id")
       .join(v.select(col("id").as("b_id"), col("v").as("vb")), "b_id")
-      .withColumn("dot",
-        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, p) -> acc + p)"))
-      .withColumn("na", expr("sqrt(aggregate(va, 0D, (acc, x) -> acc + x * x))"))
-      .withColumn("nb", expr("sqrt(aggregate(vb, 0D, (acc, x) -> acc + x * x))"))
+      // native codegen'd dot product; same fold order as the HOF form
+      .withColumn("dot", expr("graft_dot(va, vb)"))
+      .withColumn("na", expr("sqrt(graft_dot(va, va))"))
+      .withColumn("nb", expr("sqrt(graft_dot(vb, vb))"))
       .withColumn("cos", col("dot") / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cosine"))

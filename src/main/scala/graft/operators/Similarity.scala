@@ -26,12 +26,18 @@ object Similarity {
       col(idCol).as("id"),
       expr(s"transform($embCol, x -> CAST(x AS DOUBLE))").as("v"))
 
-  private def cosineCols(df: DataFrame): DataFrame =
+  /** Cosine via the native [[graft.functions.DotProduct]] expression —
+    * bit-identical to the HOF `aggregate(zip_with(...))` fold (same
+    * ascending accumulation) but codegen'd as a primitive loop.
+    */
+  private def cosineCols(df: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     df
-      .withColumn("dot", expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, p) -> acc + p)"))
-      .withColumn("nv", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
-      .withColumn("nq", expr("sqrt(aggregate(qv, 0D, (acc, x) -> acc + x * x))"))
+      .withColumn("dot", expr("graft_dot(v, qv)"))
+      .withColumn("nv", expr("sqrt(graft_dot(v, v))"))
+      .withColumn("nq", expr("sqrt(graft_dot(qv, qv))"))
       .withColumn("cos", col("dot") / (col("nv") * col("nq")))
+  }
 
   /** Exact top-k by cosine for each query vector (identified by id): the
     * brute-force baseline every ANN variant is measured against. Ties broken
