@@ -128,6 +128,8 @@ object SparkEntry {
       graft.operators.Dedup.simHash(t(s, dir, "documents"))),
     "d4_ngram_jaccard" -> ((s, dir) =>
       graft.operators.Dedup.blockedNgramJaccard(t(s, dir, "documents"))),
+    "d6_simhash_neardup" -> ((s, dir) =>
+      graft.operators.Dedup.simHashNearDup(t(s, dir, "documents"))),
     "d5_embedding_neardup" -> ((s, dir) =>
       graft.operators.Dedup.embeddingNearDup(
         graft.operators.Dedup.withPerturbedCopy(t(s, dir, "embeddings")))),
@@ -144,6 +146,8 @@ object SparkEntry {
       graft.operators.TextAnalysis.corpusStats(t(s, dir, "documents"))),
     "x6_token_counts" -> ((s, dir) =>
       graft.operators.TextAnalysis.tokenCounts(t(s, dir, "documents"))),
+    "x7_winnow" -> ((s, dir) =>
+      graft.operators.TextAnalysis.winnow(t(s, dir, "documents"))),
     // ---- Multimodal plumbing (binary columns; decode stubbed) ----
     "m1_media_features" -> ((s, dir) =>
       graft.operators.Multimodal.mediaFeatures(
@@ -349,6 +353,21 @@ object SparkEntry {
         "FROM g a JOIN g b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id) " +
         "SELECT lang, source, a_id, b_id, round(i * 1.0 / u, 6) AS jaccard " +
         "FROM p WHERE i * 1.0 / u >= 0.5"),
+    // Brute-force hamming over the same md5-derived simhash fingerprints;
+    // the Spark side's pigeonhole banding is provably complete, so the
+    // candidate-only result equals this all-pairs answer exactly.
+    "d6_simhash_neardup" ->
+      ("WITH w AS (SELECT DISTINCT doc_id, w FROM (" +
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)), " +
+        "b AS (SELECT doc_id, pos, CASE WHEN sum(" +
+        "2 * ((CAST(concat('0x', substr(md5(w), (pos // 4) + 1, 1)) AS INT) >> (3 - pos % 4)) & 1) - 1" +
+        ") >= 0 THEN '1' ELSE '0' END AS bit " +
+        "FROM w, unnest(generate_series(0, 63)) AS t(pos) GROUP BY doc_id, pos), " +
+        "s AS (SELECT doc_id, string_agg(bit, '' ORDER BY pos) AS sh FROM b GROUP BY doc_id), " +
+        "p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+        "len(list_filter(generate_series(1, 64), i -> substr(a.sh, i, 1) != substr(b.sh, i, 1))) AS hamming " +
+        "FROM s a JOIN s b ON a.doc_id < b.doc_id) " +
+        "SELECT a_id, b_id, hamming FROM p WHERE hamming <= 4"),
     "d5_embedding_neardup" ->
       ("WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
         "FROM embeddings), " +
@@ -416,6 +435,13 @@ object SparkEntry {
       ("SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens, " +
         "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_tokens " +
         "FROM documents"),
+    "x7_winnow" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "h AS (SELECT doc_id, list_transform(generate_series(1, len(t) - 2), " +
+        "i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS hs FROM toks WHERE len(t) >= 3), " +
+        "m AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(hs) - 4 + 1), " +
+        "j -> list_min(hs[j:j+3]))) AS fps FROM h WHERE len(hs) >= 4) " +
+        "SELECT doc_id, unnest(fps) AS fp FROM m"),
     "k1_topk_cosine" ->
       ("WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
         "FROM embeddings), " +

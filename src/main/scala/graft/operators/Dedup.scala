@@ -190,6 +190,60 @@ object Dedup {
         .as("simhash"))
       .select(col("id").as("doc_id"), col("simhash"))
 
+  /** SimHash near-dup pairing: pairs of documents whose 64-bit
+    * [[simHash]] fingerprints differ in at most `maxHamming` bits.
+    *
+    * Candidate generation uses PIGEONHOLE banding, not probabilistic LSH:
+    * the fingerprint is cut into `bands` contiguous slices, and since
+    * `bands > maxHamming`, any pair within the Hamming budget MUST agree
+    * exactly on at least one whole slice — the bucket join is therefore
+    * provably complete (recall = 1 by construction, no S-curve), and the
+    * exact Hamming verify on candidates makes the result identical to the
+    * all-pairs answer. This is the classic Charikar/Manku web-dedup shape.
+    */
+  def simHashNearDup(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxHamming: Int = 4,
+      bands: Int = 5): DataFrame = {
+    require(bands > maxHamming, "pigeonhole completeness needs bands > maxHamming")
+    val fp = simHash(docs, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val width = (64 + bands - 1) / bands
+    val bandCols = (0 until bands).map { j =>
+      val start = j * width + 1
+      val len = math.min(width, 64 - j * width)
+      struct(lit(j).as("band"), expr(s"substring(simhash, $start, $len)").as("key"))
+    }
+    val banded = fp
+      .select(col("doc_id").as("id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.key").as("key"))
+    val cand = banded.as("x")
+      .join(
+        banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      .distinct()
+    // verify on 4x16-bit words: hamming = Σ bit_count(xor) — codegen'd
+    // integer ops instead of 64 interpreted per-character lambda calls
+    val words = fp.select(
+      col("doc_id") +:
+        (0 until 4).map(j =>
+          expr(s"CAST(conv(substring(simhash, ${j * 16 + 1}, 16), 2, 10) AS BIGINT)").as(s"w$j")): _*)
+    val hammingExpr = (0 until 4)
+      .map(j => s"bit_count(a$j ^ b$j)").mkString("CAST(", " + ", " AS BIGINT)")
+    cand
+      .join(broadcast(words.select(
+        col("doc_id").as("a_id") +: (0 until 4).map(j => col(s"w$j").as(s"a$j")): _*)), "a_id")
+      .join(broadcast(words.select(
+        col("doc_id").as("b_id") +: (0 until 4).map(j => col(s"w$j").as(s"b$j")): _*)), "b_id")
+      .withColumn("hamming", expr(hammingExpr))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
   /** Character-n-gram Jaccard near-dup within explicit blocks (e.g. same
     * (lang, source)): blocking is the classic scale move when a natural
     * partition key exists — the self-join is an equi-join on the block key

@@ -122,6 +122,37 @@ object TextAnalysis {
       size(regexp_extract_all(col(textCol), lit(pattern), lit(0))).cast("long")
         .as("bpe_tokens"))
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken — the MOSS
+    * algorithm): hash the ORDERED 3-word shingle sequence, slide a window
+    * of `w` hashes, keep each window's minimum, emit the distinct selected
+    * hashes per document. Guarantees any shared run of ≥ w+2 words between
+    * two documents shares a fingerprint — the positional near-dup primitive
+    * [[fingerprint]] degenerates from (its window = the whole doc).
+    * One map-only pass + explode; md5 so the VALUES are engine-portable.
+    */
+  def winnow(
+      docs: DataFrame,
+      w: Int = 4,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    // hash sequence materialized ONCE per doc before windowing — inlining
+    // it into the per-window slice would re-run every md5 per window
+    // (O(shingles x windows) hashing; measured 100s+ at sf0.1)
+    val hashSeq =
+      s"""CASE WHEN size(split($textCol, ' ')) >= 3
+          THEN transform(sequence(0, size(split($textCol, ' ')) - 3),
+               i -> md5(array_join(slice(split($textCol, ' '), i + 1, 3), ' ')))
+          ELSE CAST(array() AS ARRAY<STRING>) END"""
+    docs
+      .select(col(idCol), expr(hashSeq).as("hs"))
+      // guard: Spark's sequence(1, 0) is the DESCENDING [1, 0], not empty —
+      // docs with fewer windows than w must yield zero fingerprints
+      .filter(size(col("hs")) >= w)
+      .select(col(idCol), explode(expr(
+        s"array_distinct(transform(sequence(1, size(hs) - $w + 1), j -> array_min(slice(hs, j, $w))))"))
+        .as("fp"))
+  }
+
   /** Corpus rollup per (lang, source): doc count, token volume, mean doc
     * length — map-side partial agg into a tiny (|lang| x |source|) shuffle.
     */

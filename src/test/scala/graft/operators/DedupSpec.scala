@@ -61,6 +61,18 @@ class DedupSpec extends SparkSpec {
     assert(maxDist <= 16, s"near-dup pair with Hamming distance $maxDist")
   }
 
+  test("simHashNearDup: pigeonhole banding finds exactly the all-pairs hamming<=4 set") {
+    val fp = Dedup.simHash(docs)
+    val truth = fp.as("a").join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming", expr(
+        "CAST(size(filter(sequence(1, 64), i -> substring(a.simhash, i, 1) != substring(b.simhash, i, 1))) AS BIGINT)"))
+      .filter(col("hamming") <= 4)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"), col("hamming"))
+    val banded = Dedup.simHashNearDup(docs)
+    assert(truth.exceptAll(banded).isEmpty, "pigeonhole banding missed a true pair")
+    assert(banded.exceptAll(truth).isEmpty, "verify let a far pair through")
+  }
+
   test("blocked ngram jaccard joins only within blocks") {
     val out = Dedup.blockedNgramJaccard(docs)
     // every returned pair shares lang+source by construction; spot-check plan

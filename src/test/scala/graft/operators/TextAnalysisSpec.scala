@@ -62,6 +62,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getLong(2) == 7)  // ab|12|cd|,|e|-|f
   }
 
+  test("winnow: shared long runs share a fingerprint; short docs yield none") {
+    import spark.implicits._
+    // two docs sharing a 9-word run (> w+2 = 6) must share >= 1 fingerprint
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val d = Seq(
+      (1L, s"x1 y1 $run z1"),
+      (2L, s"p2 q2 r2 $run"),
+      (3L, "one two three"),      // 1 shingle < w windows -> no fingerprints
+      (4L, "solo")                 // no shingles at all
+    ).toDF("doc_id", "text")
+    val fp = TextAnalysis.winnow(d).cache()
+    val shared = fp.filter(col("doc_id") === 1).select("fp")
+      .intersect(fp.filter(col("doc_id") === 2).select("fp"))
+    assert(shared.count() >= 1, "guaranteed shared fingerprint missing")
+    assert(fp.filter(col("doc_id") >= 3).count() == 0)
+  }
+
   test("corpusStats: partitions the corpus exactly") {
     val out = TextAnalysis.corpusStats(docs)
     assert(out.agg(sum("n_docs")).head().getLong(0) == docs.count())
