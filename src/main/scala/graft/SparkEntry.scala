@@ -110,6 +110,20 @@ object SparkEntry {
       graft.operators.Analytics.orderStatsCube(t(s, dir, "orders"))),
     "a12_distinct_users" -> ((s, dir) =>
       graft.operators.Analytics.distinctUsersPerType(t(s, dir, "events"))),
+    "a13_price_quantiles" -> ((s, dir) =>
+      graft.operators.Analytics.priceQuantiles(t(s, dir, "orders"))),
+    // expr() function-dialect parity (SURVEY §7.3 risk 3): date extraction,
+    // substring, IN-list, CASE, concat — the common ClickHouse/Spark/DuckDB
+    // surface a user types into join_condition / computed columns.
+    "r7_expr_functions" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(expr(
+          "year(l_shipdate) = 1995 AND substring(l_returnflag, 1, 1) IN ('R', 'A')"))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          expr("concat(l_returnflag, '/', l_linestatus)").as("flag_status"),
+          expr("CASE WHEN l_quantity >= 25 THEN 'bulk' ELSE 'small' END").as("size_class"),
+          expr("round(l_extendedprice * (1 - l_discount), 4)").as("net_price"))),
     // Streaming twin of e1: same frame via Structured Streaming file source
     // + Trigger.AvailableNow (replay/backfill mode), same oracle.
     "st1_events_hourly_stream" -> ((s, dir) =>
@@ -271,6 +285,17 @@ object SparkEntry {
     "a12_distinct_users" ->
       ("SELECT event_type, count(DISTINCT user_id) AS n_users, " +
         "count(*) AS n_events FROM events GROUP BY 1"),
+    "a13_price_quantiles" ->
+      ("SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 4) AS p50, " +
+        "round(quantile_cont(o_totalprice, 0.9), 4) AS p90, count(*) AS n " +
+        "FROM orders GROUP BY 1"),
+    "r7_expr_functions" ->
+      ("SELECT l_orderkey, l_linenumber, " +
+        "concat(l_returnflag, '/', l_linestatus) AS flag_status, " +
+        "CASE WHEN l_quantity >= 25 THEN 'bulk' ELSE 'small' END AS size_class, " +
+        "round(l_extendedprice * (1 - l_discount), 4) AS net_price " +
+        "FROM lineitem WHERE year(l_shipdate) = 1995 " +
+        "AND substring(l_returnflag, 1, 1) IN ('R', 'A')"),
     // Session semantics: new session when the inactivity gap is >= 30min
     // (Spark merges strictly-closer events); end = last ts + gap.
     "st2_sessionize" ->

@@ -130,6 +130,20 @@ object Analytics {
       .groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
 
+  /** Exact percentiles per group (ANSI interpolated definition — Spark's
+    * `percentile` and DuckDB's `quantile_cont` share it). Exact sort-based;
+    * swap for approx_percentile (t-digest/KLL) when the per-group data no
+    * longer fits the exact path at scale — sketches aren't oracle-gated
+    * here because implementations differ across engines.
+    */
+  def priceQuantiles(orders: DataFrame): DataFrame =
+    orders
+      .groupBy("o_orderstatus")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("n"))
+
   /** Batch tumbling-window aggregate over the events table (hourly). The
     * streaming twin is [[graft.streaming.EventsStream.hourlyAvailableNow]];
     * both produce this exact frame. `value` is quantized per-row to
