@@ -144,6 +144,14 @@ object SparkEntry {
       graft.operators.Dedup.blockedNgramJaccard(t(s, dir, "documents"))),
     "d6_simhash_neardup" -> ((s, dir) =>
       graft.operators.Dedup.simHashNearDup(t(s, dir, "documents"))),
+    // Pairs -> clusters -> survivors: connected components over the d2
+    // near-dup pair set (min-label propagation vs the oracle's recursive CTE).
+    "d7_dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Dedup.clusters(
+        docs.select(col("doc_id").as("id")),
+        graft.operators.Dedup.minHashNearDup(docs).select("a_id", "b_id"))
+    }),
     "d5_embedding_neardup" -> ((s, dir) =>
       graft.operators.Dedup.embeddingNearDup(
         graft.operators.Dedup.withPerturbedCopy(t(s, dir, "embeddings")))),
@@ -393,6 +401,21 @@ object SparkEntry {
         "len(list_filter(generate_series(1, 64), i -> substr(a.sh, i, 1) != substr(b.sh, i, 1))) AS hamming " +
         "FROM s a JOIN s b ON a.doc_id < b.doc_id) " +
         "SELECT a_id, b_id, hamming FROM p WHERE hamming <= 4"),
+    // Recursive-CTE connected components over the same brute-force J>=0.6
+    // pair set d2 is gated on; min reachable id = cluster id.
+    "d7_dedup_clusters" ->
+      ("WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "sh AS (SELECT doc_id, list(DISTINCT s) AS ss, count(DISTINCT s) AS n FROM (" +
+        "SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s " +
+        "FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)) GROUP BY doc_id), " +
+        "p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM sh a JOIN sh b " +
+        "ON a.doc_id < b.doc_id AND len(list_intersect(a.ss, b.ss)) * 1.0 / " +
+        "(a.n + b.n - len(list_intersect(a.ss, b.ss))) >= 0.6), " +
+        "e AS (SELECT a_id AS src, b_id AS dst FROM p UNION ALL SELECT b_id, a_id FROM p), " +
+        "reach(id, r) AS (SELECT doc_id, doc_id FROM documents " +
+        "UNION SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id) " +
+        "SELECT id, min(r) AS cluster_id, " +
+        "CAST(id = min(r) AS INT) AS is_survivor FROM reach GROUP BY id"),
     "d5_embedding_neardup" ->
       ("WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
         "FROM embeddings), " +

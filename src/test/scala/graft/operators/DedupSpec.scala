@@ -73,6 +73,18 @@ class DedupSpec extends SparkSpec {
     assert(banded.exceptAll(truth).isEmpty, "verify let a far pair through")
   }
 
+  test("clusters: min-label components, survivors, chain topology") {
+    import spark.implicits._
+    // components: {1,2,3} (chain), {5,6}, singleton {9}
+    val verts = Seq(1L, 2L, 3L, 5L, 6L, 9L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")
+    val out = Dedup.clusters(verts, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 1L, 1), (2L, 1L, 0), (3L, 1L, 0),
+      (5L, 5L, 1), (6L, 5L, 0), (9L, 9L, 1)))
+  }
+
   test("blocked ngram jaccard joins only within blocks") {
     val out = Dedup.blockedNgramJaccard(docs)
     // every returned pair shares lang+source by construction; spot-check plan
