@@ -152,6 +152,17 @@ object SparkEntry {
         docs.select(col("doc_id").as("id")),
         graft.operators.Dedup.minHashNearDup(docs).select("a_id", "b_id"))
     }),
+    // The pipeline's end product: the corpus with one representative kept
+    // per near-dup cluster (ingest -> detect -> cluster -> clean).
+    "d8_clean_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val surv = graft.operators.Dedup.clusters(
+        docs.select(col("doc_id").as("id")),
+        graft.operators.Dedup.minHashNearDup(docs).select("a_id", "b_id"))
+        .filter(col("is_survivor") === 1)
+        .select(col("id").as("doc_id"))
+      docs.join(surv, "doc_id").select("doc_id", "lang", "source", "n_chars")
+    }),
     "d5_embedding_neardup" -> ((s, dir) =>
       graft.operators.Dedup.embeddingNearDup(
         graft.operators.Dedup.withPerturbedCopy(t(s, dir, "embeddings")))),
@@ -416,6 +427,20 @@ object SparkEntry {
         "UNION SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id) " +
         "SELECT id, min(r) AS cluster_id, " +
         "CAST(id = min(r) AS INT) AS is_survivor FROM reach GROUP BY id"),
+    "d8_clean_corpus" ->
+      ("WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "sh AS (SELECT doc_id, list(DISTINCT s) AS ss, count(DISTINCT s) AS n FROM (" +
+        "SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s " +
+        "FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)) GROUP BY doc_id), " +
+        "p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM sh a JOIN sh b " +
+        "ON a.doc_id < b.doc_id AND len(list_intersect(a.ss, b.ss)) * 1.0 / " +
+        "(a.n + b.n - len(list_intersect(a.ss, b.ss))) >= 0.6), " +
+        "e AS (SELECT a_id AS src, b_id AS dst FROM p UNION ALL SELECT b_id, a_id FROM p), " +
+        "reach(id, r) AS (SELECT doc_id, doc_id FROM documents " +
+        "UNION SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id), " +
+        "surv AS (SELECT id FROM reach GROUP BY id HAVING id = min(r)) " +
+        "SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d " +
+        "JOIN surv ON d.doc_id = surv.id"),
     "d5_embedding_neardup" ->
       ("WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
         "FROM embeddings), " +
