@@ -59,6 +59,9 @@ object IngestError {
   /** main.py:295-302. */
   final case class ImportFailed(cause: String)
       extends IngestError(500, s"Import failed: $cause")
+  /** main.py:330-334. */
+  final case class ServiceUnavailable(cause: String)
+      extends IngestError(503, s"Service unavailable: $cause")
 }
 
 object Validation {

@@ -66,4 +66,23 @@ object Catalog {
   /** C4 — connectivity probe (`SELECT 1`, main.py:310-328). */
   def health(spark: SparkSession): Boolean =
     spark.sql("SELECT 1").collect().head.getInt(0) == 1
+
+  /** Health envelope — field parity with main.py:321-328 ({status,
+    * timestamp, services}); a failed probe raises ServiceUnavailable, the
+    * 503 analogue of main.py:330-334.
+    */
+  final case class HealthResult(
+      status: String, timestamp: String, services: Map[String, String])
+
+  def healthEnvelope(spark: SparkSession): HealthResult =
+    try {
+      require(health(spark), "probe returned unexpected result")
+      HealthResult(
+        "healthy",
+        java.time.LocalDateTime.now().toString,
+        Map("database" -> "available", "storage" -> "ok"))
+    } catch {
+      case e: Exception =>
+        throw IngestError.ServiceUnavailable(e.getMessage)
+    }
 }

@@ -50,7 +50,17 @@ object Tables {
 
   /** Register every table as a temp view so `spark.sql`/`expr` can resolve
     * bare names — mirrors the reference's implicit single-database scope.
+    *
+    * Memoized per (session, dir): re-registering reads every table's parquet
+    * footer again (~5s of pure metadata at sf0.1), which misstates the cost
+    * of catalog probes that call this defensively. Switching dirs re-registers.
     */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    if (lastRegisteredDir.get(spark) != dir) {
+      all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+      lastRegisteredDir.put(spark, dir)
+    }
+
+  private val lastRegisteredDir =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
 }

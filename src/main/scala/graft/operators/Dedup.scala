@@ -27,6 +27,19 @@ object Dedup {
   /** Mersenne prime 2^31-1: modulus for the MinHash permutation family. */
   private val P = 2147483647L
 
+  /** Conf switch for the verify-stage doc-set joins: `true` (default) ships
+    * the per-doc shingle/word sets to every executor as a broadcast — optimal
+    * while the doc-set side fits the broadcast budget; `false` plans a plain
+    * shuffle equi-join on id (bucketed/co-partitioned at a real deployment) —
+    * the 100 TB shape, where a corpus-wide broadcast is an executor-memory
+    * wall. Both paths produce identical results (pinned by DedupSpec).
+    */
+  val VerifyBroadcastConf = "spark.graft.dedup.verifyBroadcast"
+
+  private def maybeBroadcast(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.get(VerifyBroadcastConf, "true").toBoolean) broadcast(df)
+    else df
+
   /** Deterministic affine-permutation coefficients (Knuth multiplicative
     * constant; any fixed family works — this one is pinned by tests).
     */
@@ -155,13 +168,13 @@ object Dedup {
     * joins: the per-doc array crosses the wire once, in the broadcast — never
     * once per pair through a shuffle (measured 2 GB of pair-duplicated array
     * shuffle at sf0.1 without this). At the 100 TB point, where the doc-set
-    * side outgrows broadcast, swap for a bucketed co-partitioned join on id —
-    * the pair relation stays id-only either way.
+    * side outgrows broadcast, [[VerifyBroadcastConf]] switches to a shuffle
+    * equi-join on id — the pair relation stays id-only either way.
     */
   private def verifyJaccard(cand: DataFrame, sets: DataFrame, threshold: Double): DataFrame =
     cand
-      .join(broadcast(sets.select(col("id").as("a_id"), col("sh").as("sa"))), "a_id")
-      .join(broadcast(sets.select(col("id").as("b_id"), col("sh").as("sb"))), "b_id")
+      .join(maybeBroadcast(sets.select(col("id").as("a_id"), col("sh").as("sa"))), "a_id")
+      .join(maybeBroadcast(sets.select(col("id").as("b_id"), col("sh").as("sb"))), "b_id")
       .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jacc", col("i").cast("double") / (size(col("sa")) + size(col("sb")) - col("i")))
       .filter(col("jacc") >= threshold)
@@ -178,9 +191,18 @@ object Dedup {
   def simHash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     docs
       .select(col(idCol).as("id"), explode(array_distinct(split(col(textCol), " "))).as("w"))
-      .select(col("id"), col("w"), explode(expr("sequence(0, 63)")).as("pos"))
-      .withColumn("nib", expr("CAST(conv(substr(md5(w), (pos div 4) + 1, 1), 16, 10) AS INT)"))
-      .withColumn("contrib", expr("2 * (shiftright(nib, 3 - pos % 4) & 1) - 1"))
+      // md5 ONCE per distinct token — the digest is materialized as its own
+      // column before the position explode (was: md5(w) inside the 64-way
+      // explode = 64 digests per token; d6 27.3s -> the digest count is the
+      // hot cost). The 16-nibble unpack reads the already-computed digest,
+      // and everything after the explode is integer shift/mask.
+      .withColumn("h", md5(col("w")))
+      .select(col("id"), posexplode(expr(
+        "transform(sequence(0, 15), i -> CAST(conv(substring(h, i + 1, 1), 16, 10) AS INT))"))
+        .as(Seq("np", "nib")))
+      .select(col("id"), col("np"), col("nib"), explode(expr("sequence(0, 3)")).as("k"))
+      .withColumn("pos", expr("np * 4 + k"))
+      .withColumn("contrib", expr("2 * (shiftright(nib, 3 - k) & 1) - 1"))
       .groupBy(col("id"), col("pos"))
       .agg(sum("contrib").as("s"))
       .withColumn("bit", when(col("s") >= 0, lit("1")).otherwise(lit("0")))
@@ -235,9 +257,9 @@ object Dedup {
     val hammingExpr = (0 until 4)
       .map(j => s"bit_count(a$j ^ b$j)").mkString("CAST(", " + ", " AS BIGINT)")
     cand
-      .join(broadcast(words.select(
+      .join(maybeBroadcast(words.select(
         col("doc_id").as("a_id") +: (0 until 4).map(j => col(s"w$j").as(s"a$j")): _*)), "a_id")
-      .join(broadcast(words.select(
+      .join(maybeBroadcast(words.select(
         col("doc_id").as("b_id") +: (0 until 4).map(j => col(s"w$j").as(s"b$j")): _*)), "b_id")
       .withColumn("hamming", expr(hammingExpr))
       .filter(col("hamming") <= maxHamming)
@@ -290,8 +312,8 @@ object Dedup {
         blockCols.map(c => col(s"x.$c")) ++
           Seq(col("x.id").as("a_id"), col("y.id").as("b_id")): _*)
     pairs
-      .join(broadcast(sets.select(col("id").as("a_id"), col("sh").as("sa"))), "a_id")
-      .join(broadcast(sets.select(col("id").as("b_id"), col("sh").as("sb"))), "b_id")
+      .join(maybeBroadcast(sets.select(col("id").as("a_id"), col("sh").as("sa"))), "a_id")
+      .join(maybeBroadcast(sets.select(col("id").as("b_id"), col("sh").as("sb"))), "b_id")
       .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jacc",
         col("i").cast("double") / (size(col("sa")) + size(col("sb")) - col("i")))

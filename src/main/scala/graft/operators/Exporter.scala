@@ -51,13 +51,17 @@ object Exporter {
     filtered.select(sel.columns.map(c => col(c).alias(c)): _*)
   }
 
-  /** Export result envelope — main.py:196-202 fields, plus `path` for the
+  private val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Export result envelope — main.py:196-202 fields (`status`, `data`,
+    * `count`, `query`, `exported_at`; the empty-result envelope at
+    * main.py:186-191 carries `message` and no timestamp), plus `path` for the
     * over-cap spill route (the reference has no such route: it materializes
     * every result as one in-memory string, main.py:183-194 — its OOM ceiling).
     */
   final case class ExportResult(
-      data: String, count: Long, query: String, message: String,
-      path: Option[String] = None)
+      status: String, data: String, count: Long, query: String, message: String,
+      exportedAt: Option[String] = None, path: Option[String] = None)
 
   /** Results at or under this row count are returned inline as a CSV string
     * (reference envelope parity); larger results take the distributed path.
@@ -83,26 +87,36 @@ object Exporter {
       inlineRowCap: Int = DefaultInlineRowCap,
       spillDir: Option[String] = None): ExportResult = {
     val sql = renderSql(sel)
+    // main.py:182 — the executed query is logged truncated to 200 chars
+    logger.info(s"Executing query: ${sql.take(200)}...")
     try {
       val df = buildQuery(sel, resolve)
       val head = df.take(inlineRowCap + 1)
-      if (head.isEmpty) ExportResult("", 0L, sql, "No data found")
+      if (head.isEmpty) ExportResult("success", "", 0L, sql, "No data found")
       else if (head.length <= inlineRowCap)
         ExportResult(
+          "success",
           graft.sources.CsvIngest.rowsToCsvString(df.columns, head, delimiter),
-          head.length.toLong, sql, "success")
+          head.length.toLong, sql, "success", Some(now()))
       else {
         val dir = spillDir.getOrElse(
           java.nio.file.Files.createTempDirectory("graft_export_").toString)
         val n = graft.sources.CsvIngest.writeCsvCounted(df, dir, delimiter)
         graft.sources.CsvIngest.bomPrefixParts(dir)
-        ExportResult("", n, sql, "success", Some(dir))
+        ExportResult("success", "", n, sql, "success", Some(now()), Some(dir))
       }
     } catch {
-      case e: IngestError => throw e
-      case e: Exception   => throw IngestError.ExportFailed(e.getMessage)
+      case e: IngestError =>
+        logger.error(s"Export error: ${e.getMessage}")
+        throw e
+      case e: Exception =>
+        logger.error(s"Export error: ${e.getMessage}")
+        throw IngestError.ExportFailed(e.getMessage)
     }
   }
+
+  /** `datetime.now().isoformat()` parity (main.py:200-201, :293). */
+  private def now(): String = java.time.LocalDateTime.now().toString
 
   /** The SQL string the reference would have built (main.py:176-180) — logged
     * truncated to 200 chars as at main.py:182, and echoed in the envelope.

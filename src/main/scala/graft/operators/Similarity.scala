@@ -84,9 +84,11 @@ object Similarity {
     * the corpus, assignment is a map-side `max_by` over a broadcast
     * centroid table (no shuffle of corpus vectors, no window).
     *
-    * Centroids are chosen deterministically by xxhash64 order (a seedless
+    * Centroids are chosen deterministically by md5(id) order (a seedless
     * stand-in for k-means||; production would train real centroids — the
-    * index/probe/re-rank plumbing is identical).
+    * index/probe/re-rank plumbing is identical). md5, not xxhash64, so the
+    * selection is reproducible in any engine — the whole pipeline is
+    * value-oracle-gated, not rows-only.
     */
   def ivfTopKCosine(
       embeddings: DataFrame,
@@ -96,7 +98,7 @@ object Similarity {
       nProbe: Int = 8): DataFrame = {
     val v = asVectors(embeddings)
     val cents = broadcast(
-      v.orderBy(expr("xxhash64(id)"), col("id"))
+      v.orderBy(md5(col("id").cast("string")), col("id"))
         .limit(nCentroids)
         .select(col("id").as("cid"), col("v").as("qv")))
     // nearest-centroid assignment: map-side max_by over the broadcast —

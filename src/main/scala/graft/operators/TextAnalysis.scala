@@ -38,7 +38,10 @@ object TextAnalysis {
       expr(s"CAST(size(split($textCol, ' ')) AS BIGINT)").as("n_tokens"),
       expr(s"CAST(length($textCol) AS BIGINT)").as("n_chars_actual"),
       expr(s"CAST(size(array_distinct(split($textCol, ' '))) AS BIGINT)").as("n_uniq_tokens"),
-      expr(s"round(length(replace($textCol, ' ', '')) * 1.0 / size(split($textCol, ' ')), 4)")
+      // scale 6, not 4: chars/tokens is a small-integer ratio that lands
+      // exactly on .xxxx5 half-boundaries, where binary-double rounding is
+      // engine-dependent (same rule as the quality composite below).
+      expr(s"round(length(replace($textCol, ' ', '')) * 1.0 / size(split($textCol, ' ')), 6)")
         .as("avg_token_len"))
 
   /** Per-document quality signals: stopword ratio, lexical diversity

@@ -172,18 +172,35 @@ object CsvIngest {
     df.write.mode(SaveMode.Append).saveAsTable(table)
   }
 
-  /** Import end-to-end (flatfile→table): ensure table, append rows, return the
-    * inserted count — envelope parity with main.py:288-294; failures wrap as
+  private val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Import result envelope — field-for-field parity with main.py:288-294
+    * (`status`, `count`, `columns`, `table`, `imported_at`).
+    */
+  final case class ImportResult(
+      status: String, count: Long, columns: Seq[String], table: String,
+      importedAt: String)
+
+  /** Import end-to-end (flatfile→table): ensure table, append rows, return
+    * the envelope — parity with main.py:288-294; failures wrap as
     * `Import failed: …` (main.py:295-302).
     */
-  def importInto(df: DataFrame, table: String = DefaultImportTable): Long =
+  def importInto(df: DataFrame, table: String = DefaultImportTable): ImportResult =
     try {
       createIfNotExists(df, table)
       append(df, table)
-      df.count()
+      val n = df.count()
+      logger.info(s"Inserted $n/$n rows") // main.py:286 (single distributed batch)
+      ImportResult(
+        "success", n, df.columns.toSeq, table,
+        java.time.LocalDateTime.now().toString)
     } catch {
-      case e: IngestError => throw e
-      case e: Exception   => throw IngestError.ImportFailed(e.getMessage)
+      case e: IngestError =>
+        logger.error(s"Import error: ${e.getMessage}")
+        throw e
+      case e: Exception =>
+        logger.error(s"Import error: ${e.getMessage}")
+        throw IngestError.ImportFailed(e.getMessage)
     }
 
   /** All-string schema helper for symmetric round-trips. */

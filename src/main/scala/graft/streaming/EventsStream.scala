@@ -96,30 +96,66 @@ object EventsStream {
         col("user_id"), col("n_events"), col("value_milli"))
 
   /** Replay the on-disk events through the streaming engine with
-    * Trigger.AvailableNow into a memory sink and return the final aggregate
-    * as a materialized batch frame. The sink's temp view is dropped before
-    * returning so catalog listings stay deterministic.
+    * Trigger.AvailableNow and return the final aggregate as a batch frame.
+    *
+    * Complete-mode aggregates can't use the built-in file sink (append-only),
+    * so the sink is `foreachBatch`: each micro-batch OVERWRITES a parquet
+    * directory with the full updated aggregate, executor-parallel — nothing
+    * ever transits the driver (a memory sink + collect() would cap this at
+    * driver RAM; at the 100 TB point the aggregate is itself large). The
+    * returned frame reads the last batch's parquet.
     */
   def hourlyAvailableNow(
       spark: SparkSession,
       dir: String,
       queryName: String = "graft_events_hourly_stream"): DataFrame = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_stream_out_").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stream_ckpt_").toString
     val q = hourlyAggregate(readEvents(spark, dir))
       .writeStream
-      .format("memory")
       .queryName(queryName)
       .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(out)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+  }
+
+  /** Replay the on-disk events through the WATERMARKED append-mode aggregate
+    * ([[hourlyWindowedWatermarked]]) with Trigger.AvailableNow into a real
+    * file sink — the 24/7 production shape, run in backfill mode.
+    *
+    * Append mode emits only FINALIZED windows: with the watermark ending at
+    * max(event ts) − delay, windows that end after it are still open when
+    * the replay stops and are withheld. The deterministic contract (oracle-
+    * gated as `st3`): emitted = exactly the hourly windows whose end ≤
+    * max(ts) − delay.
+    */
+  def hourlyWatermarkedAvailableNow(
+      spark: SparkSession,
+      dir: String,
+      delay: String = "1 hour",
+      queryName: String = "graft_events_hourly_wm"): DataFrame = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_stream_wm_out_").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stream_wm_ckpt_").toString
+    val q = hourlyWindowedWatermarked(readEvents(spark, dir), delay)
+      .writeStream
+      .queryName(queryName)
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    try {
-      q.awaitTermination()
-      val rows = spark.table(queryName).collect().toIndexedSeq
-      val schema = spark.table(queryName).schema
-      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
-    } finally {
-      // always drop — a leaked sink view would poison catalog listings
-      spark.catalog.dropTempView(queryName)
-      ()
-    }
+    q.awaitTermination()
+    spark.read.parquet(out)
   }
 }

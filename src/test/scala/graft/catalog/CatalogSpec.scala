@@ -24,6 +24,13 @@ class CatalogSpec extends SparkSpec {
     assert(Catalog.health(spark))
   }
 
+  test("C4: health envelope carries status/timestamp/services (main.py:321-328)") {
+    val env = Catalog.healthEnvelope(spark)
+    assert(env.status == "healthy")
+    assert(env.timestamp.nonEmpty)
+    assert(env.services == Map("database" -> "available", "storage" -> "ok"))
+  }
+
   test("listTempViews: sorted, excludes persistent tables") {
     Tables.registerAll(spark, sf)
     val t = "graft_catalog_persist_unit"

@@ -108,6 +108,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("verify-join gate: shuffle path (no broadcast) is result-identical for d2/d4/d6") {
+    def run(): (Set[String], Set[String], Set[String]) = (
+      Dedup.minHashNearDup(docs).collect().map(_.toString).toSet,
+      Dedup.blockedNgramJaccard(docs).collect().map(_.toString).toSet,
+      Dedup.simHashNearDup(docs).collect().map(_.toString).toSet)
+    val broadcastPath = run()
+    // force TRUE shuffle joins: gate off AND auto-broadcast disabled (at test
+    // scale Catalyst's size estimator would otherwise still broadcast)
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set(Dedup.VerifyBroadcastConf, "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val shufflePath = run()
+      assert(shufflePath == broadcastPath,
+        "shuffle verify path diverged from broadcast path")
+    } finally {
+      spark.conf.set(Dedup.VerifyBroadcastConf, "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+    }
+  }
+
   test("embedding LSH near-dup: full recall of the planted perturbed pairs") {
     val fixture = Dedup.withPerturbedCopy(emb)
     val out = Dedup.embeddingNearDup(fixture)

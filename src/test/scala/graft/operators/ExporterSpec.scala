@@ -112,6 +112,8 @@ class ExporterSpec extends SparkSpec {
     val r = Exporter.export(
       spark, ColumnSelection("nation", Seq("n_nationkey", "n_name")), resolve)
     assert(r.count == 25 && r.path.isEmpty)
+    // envelope parity (main.py:196-202): status + exported_at present
+    assert(r.status == "success" && r.exportedAt.exists(_.nonEmpty))
     // header + count rows, formatted from the rows already in hand
     assert(r.data.linesIterator.size == 26)
     assert(r.data.startsWith(graft.sources.CsvIngest.Bom + "n_nationkey,n_name"))
@@ -152,6 +154,8 @@ class ExporterSpec extends SparkSpec {
         Some("orders.o_totalprice < 0 AND orders.o_custkey = customer.c_custkey")),
       resolve)
     assert(r.count == 0 && r.data == "" && r.message == "No data found")
+    // main.py:186-191: the empty envelope carries no exported_at
+    assert(r.status == "success" && r.exportedAt.isEmpty)
   }
 
   test("renderSql matches the reference's string shapes") {

@@ -101,8 +101,12 @@ class CsvIngestSpec extends SparkSpec {
       CsvIngest.append(df1, t)
       CsvIngest.createIfNotExists(df1, t) // must not truncate or recreate
       assert(spark.table(t).count() == 1)
-      assert(CsvIngest.importInto(df1, t) == 1) // returns inserted count
-      assert(spark.table(t).count() == 2)       // append, not overwrite
+      // envelope parity: {status, count, columns, table, imported_at}
+      val env = CsvIngest.importInto(df1, t)
+      assert(env.status == "success" && env.count == 1)
+      assert(env.columns == Seq("id", "v") && env.table == t)
+      assert(env.importedAt.nonEmpty)
+      assert(spark.table(t).count() == 2) // append, not overwrite
     } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 

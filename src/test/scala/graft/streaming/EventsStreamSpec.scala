@@ -17,9 +17,22 @@ class EventsStreamSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
-  test("memory-sink temp view is dropped after materialization") {
+  test("streaming materialization leaves no catalog residue (file sink, no temp view)") {
     EventsStream.hourlyAvailableNow(spark, sf, "graft_spec_sink2")
     assert(!spark.catalog.tableExists("graft_spec_sink2"))
+  }
+
+  test("watermarked AvailableNow replay emits exactly the finalized windows") {
+    val out = EventsStream.hourlyWatermarkedAvailableNow(spark, sf)
+    val ev = Tables.load(spark, sf, "events")
+    // contract: emitted = windows with end <= (max event ts @ ms) - 1h delay
+    val cutoff = ev
+      .agg(expr("date_trunc('MILLISECOND', max(ts)) - INTERVAL 1 HOUR"))
+      .head().getTimestamp(0)
+    val expect = Analytics.eventsHourly(ev)
+      .filter(expr(s"hour + INTERVAL 1 HOUR <= timestamp'$cutoff'"))
+    assert(out.count() > 0)
+    assert(out.exceptAll(expect).isEmpty && expect.exceptAll(out).isEmpty)
   }
 
   test("readStream -> transform -> parquet writeStream round-trips (file sink e2e)") {
