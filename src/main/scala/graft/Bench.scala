@@ -17,8 +17,13 @@ object Bench {
     // cache per query: otherwise first-touch parquet footer reads and
     // persisted RDDs shared across entries land on whichever query happens
     // to run first, making per-query numbers unattributable across rounds.
+    // SPARK_GRAFT_COLD=1 drops the cross-query pipeline memos before every
+    // entry, measuring each as a standalone rebuild; default keeps them, and
+    // the affected entries are flagged in the output as "memo_warm".
+    val cold = sys.env.get("SPARK_GRAFT_COLD").contains("1")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       spark.catalog.clearCache()
+      if (cold) SparkEntry.invalidateMemos(spark)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
@@ -30,7 +35,9 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val warm = if (cold) "[]"
+      else SparkEntry.memoWarm.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"memo_warm":$warm,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

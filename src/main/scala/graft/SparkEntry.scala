@@ -45,6 +45,25 @@ object SparkEntry {
         minHashPairs(s, dir).select("a_id", "b_id"))
         .localCheckpoint(true))
 
+  /** Entries whose bench time can be memo-warm: d7 reuses d2's checkpointed
+    * pair set, d8 reuses d7's clusters — their per-query numbers measure
+    * incremental pipeline work, not a standalone rebuild. Bench reports this
+    * set so round-over-round comparisons stay attributable.
+    */
+  val memoWarm: Set[String] = Set("d7_dedup_clusters", "d8_clean_corpus")
+
+  /** Drop the memoized pipeline stages for one session (all dirs) — lets a
+    * bench opt into cold per-query measurement, and unpins the session and
+    * its checkpoint blocks (freed by the ContextCleaner once unreferenced)
+    * in long-lived JVMs.
+    */
+  def invalidateMemos(s: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    Seq(pairMemo, clusterMemo).foreach { m =>
+      m.keySet.asScala.filter(_._1 eq s).toList.foreach(m.remove)
+    }
+  }
+
   private def resolver(s: SparkSession, dir: String): Exporter.Resolver =
     name => t(s, dir, name)
 
@@ -514,7 +533,7 @@ object SparkEntry {
       ("SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, " +
         "len(text) AS n_chars_actual, " +
         "len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens, " +
-        "round(len(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')), 6) AS avg_token_len " +
+        "CAST(round(len(replace(text, ' ', '')) * 1000000.0 / len(string_split(text, ' '))) AS BIGINT) AS avg_token_len_micro " +
         "FROM documents"),
     "x2_quality_score" ->
       ("SELECT doc_id, " +
@@ -579,8 +598,10 @@ object SparkEntry {
         "hp AS (SELECT b, d, CASE WHEN substr(md5(CAST(b AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1) < '8' " +
         "THEN 1.0 ELSE -1.0 END AS sign " +
         "FROM generate_series(0, 71) t(b), generate_series(0, 63) u(d)), " +
-        "bits AS (SELECT id, b, CASE WHEN sum(sign * v.v[d + 1]) >= 0 THEN '1' ELSE '0' END AS bit " +
-        "FROM v, hp GROUP BY id, b), " +
+        // terms integer-quantized (1e7) before the sum — exactly associative,
+        // so Spark's partition-order fold and DuckDB's agree bit-for-bit
+        "bits AS (SELECT id, b, CASE WHEN sum(CAST(round(sign * v.v[d + 1] * 10000000) AS BIGINT)) >= 0 " +
+        "THEN '1' ELSE '0' END AS bit FROM v, hp GROUP BY id, b), " +
         "bands AS (SELECT id, b // 4 AS band, string_agg(bit, '' ORDER BY b) AS bkey " +
         "FROM bits GROUP BY id, band), " +
         "qb AS (SELECT id AS query_id, band, bkey FROM bands WHERE id < 3), " +

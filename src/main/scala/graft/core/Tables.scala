@@ -53,13 +53,19 @@ object Tables {
     *
     * Memoized per (session, dir): re-registering reads every table's parquet
     * footer again (~5s of pure metadata at sf0.1), which misstates the cost
-    * of catalog probes that call this defensively. Switching dirs re-registers.
+    * of catalog probes that call this defensively. Switching dirs — or any
+    * view having been dropped/shadowed since — re-registers (the existence
+    * probe is a pure catalog lookup, no footer reads), so callers that drop
+    * temp views between calls still see a complete database.
     */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    if (lastRegisteredDir.get(spark) != dir) {
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    val fresh = lastRegisteredDir.get(spark) == dir &&
+      all.forall(n => spark.catalog.tableExists(n))
+    if (!fresh) {
       all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
       lastRegisteredDir.put(spark, dir)
     }
+  }
 
   private val lastRegisteredDir =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()

@@ -362,9 +362,14 @@ object Dedup {
       .select(col("id"), posexplode(col("v")).as(Seq("d", "x")))
       .join(hpDf, "d")
       .groupBy(col("id"), col("bit"))
-      .agg(sum(col("sign") * col("x")).as("s"))
+      // Each ±x term is integer-quantized (1e7) BEFORE the sum: a double
+      // sum's accumulation order is partitioning-dependent, so a projection
+      // landing near 0 could flip its sign bit between runs/cluster layouts.
+      // Integer addition is exactly associative — every run (and the DuckDB
+      // oracle, which folds in its own order) computes the identical bit.
+      .agg(sum(expr("CAST(round(sign * x * 10000000D) AS BIGINT)")).as("s"))
       .withColumn("band", expr(s"bit div $rows"))
-      .withColumn("bv", expr("IF(s >= 0D, '1', '0')"))
+      .withColumn("bv", expr("IF(s >= 0L, '1', '0')"))
       .groupBy(col("id"), col("band"))
       .agg(array_join(
         expr("transform(array_sort(collect_list(struct(bit, bv))), x -> x.bv)"), "")

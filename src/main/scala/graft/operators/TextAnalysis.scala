@@ -38,11 +38,13 @@ object TextAnalysis {
       expr(s"CAST(size(split($textCol, ' ')) AS BIGINT)").as("n_tokens"),
       expr(s"CAST(length($textCol) AS BIGINT)").as("n_chars_actual"),
       expr(s"CAST(size(array_distinct(split($textCol, ' '))) AS BIGINT)").as("n_uniq_tokens"),
-      // scale 6, not 4: chars/tokens is a small-integer ratio that lands
-      // exactly on .xxxx5 half-boundaries, where binary-double rounding is
-      // engine-dependent (same rule as the quality composite below).
-      expr(s"round(length(replace($textCol, ' ', '')) * 1.0 / size(split($textCol, ' ')), 6)")
-        .as("avg_token_len"))
+      // Integer-quantized (micro-units) rather than round(x, n): fractional
+      // decimal rounding of a double is engine-dependent near .xxx5
+      // boundaries at ANY scale (Spark rounds the shortest-decimal repr,
+      // DuckDB the binary value). Scale-0 rounding after *1e6 is safe —
+      // x.5 is exactly representable, and both engines round it up.
+      expr(s"CAST(round(length(replace($textCol, ' ', '')) * 1000000.0 / size(split($textCol, ' '))) AS BIGINT)")
+        .as("avg_token_len_micro"))
 
   /** Per-document quality signals: stopword ratio, lexical diversity
     * (distinct/total tokens), and a composite score. The composite is the

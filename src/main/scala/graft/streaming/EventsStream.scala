@@ -26,6 +26,44 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
+  /** Output/checkpoint scratch dirs, deleted recursively at JVM exit —
+    * repeated bench/verify/test runs must not accumulate parquet and state
+    * under /tmp. (Eager post-read deletion is impossible: the returned frame
+    * is lazy and reads the files when the caller finally acts on it.)
+    */
+  private val tmpDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+
+  private lazy val cleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tmpDirs.forEach { d =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(d)
+            .sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala
+            .foreach(p => try java.nio.file.Files.delete(p)
+                          catch { case _: Exception => () })
+        } catch { case _: Exception => () }
+      }))
+
+  private def tempDir(prefix: String): String = {
+    cleanupHook
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    tmpDirs.add(p)
+    p.toString
+  }
+
+  /** Schema of the hourly aggregate frames, for reading the sink output back
+    * without inference — a zero-batch run leaves the sink dir empty, where
+    * schema inference would throw; an explicit schema yields an empty frame.
+    */
+  val hourlySchema: StructType = StructType(Seq(
+    StructField("hour", TimestampType),
+    StructField("event_type", StringType),
+    StructField("n", LongType),
+    StructField("value_milli", LongType)))
+
   /** Raw schema of events.parquet with ts as nanos-since-epoch long (how the
     * scan surfaces TIMESTAMP(NANOS) under `parquet.nanosAsLong`).
     */
@@ -109,10 +147,8 @@ object EventsStream {
       spark: SparkSession,
       dir: String,
       queryName: String = "graft_events_hourly_stream"): DataFrame = {
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_stream_out_").toString
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_stream_ckpt_").toString
+    val out = tempDir("graft_stream_out_")
+    val ckpt = tempDir("graft_stream_ckpt_")
     val q = hourlyAggregate(readEvents(spark, dir))
       .writeStream
       .queryName(queryName)
@@ -124,7 +160,7 @@ object EventsStream {
       }
       .start()
     q.awaitTermination()
-    spark.read.parquet(out)
+    spark.read.schema(hourlySchema).parquet(out)
   }
 
   /** Replay the on-disk events through the WATERMARKED append-mode aggregate
@@ -142,10 +178,8 @@ object EventsStream {
       dir: String,
       delay: String = "1 hour",
       queryName: String = "graft_events_hourly_wm"): DataFrame = {
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_stream_wm_out_").toString
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_stream_wm_ckpt_").toString
+    val out = tempDir("graft_stream_wm_out_")
+    val ckpt = tempDir("graft_stream_wm_ckpt_")
     val q = hourlyWindowedWatermarked(readEvents(spark, dir), delay)
       .writeStream
       .queryName(queryName)
@@ -156,6 +190,6 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(out)
+    spark.read.schema(hourlySchema).parquet(out)
   }
 }

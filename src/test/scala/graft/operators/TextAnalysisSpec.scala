@@ -13,9 +13,9 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.count() == docs.count())
     assert(out.filter(col("n_uniq_tokens") > col("n_tokens")).count() == 0)
     assert(out.filter(col("n_tokens") <= 0).count() == 0)
-    // avg token length x token count ~ char count minus separators
+    // avg token length (micro-units) x token count ~ char count minus separators
     val bad = out.filter(
-      abs(col("avg_token_len") * col("n_tokens") -
+      abs(col("avg_token_len_micro") / lit(1e6) * col("n_tokens") -
         (col("n_chars_actual") - col("n_tokens") + 1)) > 1).count()
     assert(bad == 0)
   }
