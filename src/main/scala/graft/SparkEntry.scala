@@ -158,6 +158,28 @@ object SparkEntry {
       graft.operators.Analytics.distinctUsersPerType(t(s, dir, "events"))),
     "a13_price_quantiles" -> ((s, dir) =>
       graft.operators.Analytics.priceQuantiles(t(s, dir, "orders"))),
+    // Exact deterministic stratified sample (md5-order, per-stratum window).
+    "a14_stratified_sample" -> ((s, dir) =>
+      graft.operators.Analytics.stratifiedSample(t(s, dir, "documents"))),
+    // Cumulative window sum (running totals) — centi-quantized exact prefix.
+    "a15_running_revenue" -> ((s, dir) =>
+      graft.operators.Analytics.runningRevenue(t(s, dir, "orders"))),
+    // Semi-structured extraction: JSONPath over the events props column.
+    "e2_props_json" -> ((s, dir) =>
+      graft.operators.Analytics.propsExtract(t(s, dir, "events"))),
+    // As-of join (most recent purchase at or before each click, per user) —
+    // the union + last-carry-forward shape, one shuffle on the key.
+    "j1_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.Joins.asofJoin(
+        left = ev.filter(col("event_type") === "click"),
+        right = ev.filter(col("event_type") === "purchase")
+          .withColumn("value_milli", round(col("value") * 1000).cast("long")),
+        keyCol = "user_id", tsCol = "ts", seqCol = "event_id",
+        leftCols = Seq("event_id", "user_id", "ts"),
+        rightCols = Seq("event_id", "ts", "value_milli"),
+        rightPrefix = "purchase_")
+    }),
     // expr() function-dialect parity (SURVEY §7.3 risk 3): date extraction,
     // substring, IN-list, CASE, concat — the common ClickHouse/Spark/DuckDB
     // surface a user types into join_condition / computed columns.
@@ -227,6 +249,9 @@ object SparkEntry {
       graft.operators.TextAnalysis.tokenCounts(t(s, dir, "documents"))),
     "x7_winnow" -> ((s, dir) =>
       graft.operators.TextAnalysis.winnow(t(s, dir, "documents"))),
+    // Top-k corpus terms per language, linear-idf tf·idf (exact int math).
+    "x9_tfidf_terms" -> ((s, dir) =>
+      graft.operators.TextAnalysis.topTermsTfIdf(t(s, dir, "documents"))),
     // ---- Multimodal plumbing (binary columns; decode stubbed) ----
     "m1_media_features" -> ((s, dir) =>
       graft.operators.Multimodal.mediaFeatures(
@@ -367,6 +392,40 @@ object SparkEntry {
       ("SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 4) AS p50, " +
         "round(quantile_cont(o_totalprice, 0.9), 4) AS p90, count(*) AS n " +
         "FROM orders GROUP BY 1"),
+    // Same md5 selection order + integer ceil as the Spark window.
+    "a14_stratified_sample" ->
+      ("SELECT doc_id, lang, source FROM documents " +
+        "QUALIFY row_number() OVER (PARTITION BY lang, source " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) " +
+        "<= (count(*) OVER (PARTITION BY lang, source) * 20 + 99) // 100"),
+    "a15_running_revenue" ->
+      ("SELECT o_custkey, o_orderkey, o_orderdate, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_revenue_centi FROM orders"),
+    "e2_props_json" ->
+      ("SELECT event_id, event_type, " +
+        "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, " +
+        "CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50 AS INT) AS k_high " +
+        "FROM events"),
+    // As-of semantics replayed as the same union + last_value(IGNORE NULLS)
+    // carry-forward over the identical (ts, side, seq) total order.
+    "j1_asof_join" ->
+      ("WITH u AS (" +
+        "SELECT user_id, ts, 0 AS side, event_id AS seq, event_id AS p_eid, ts AS p_ts, " +
+        "CAST(round(value*1000) AS BIGINT) AS p_vm, NULL::BIGINT AS l_eid " +
+        "FROM events WHERE event_type = 'purchase' " +
+        "UNION ALL " +
+        "SELECT user_id, ts, 1, event_id, NULL, NULL, NULL, event_id " +
+        "FROM events WHERE event_type = 'click'), " +
+        "w AS (SELECT user_id, ts, side, l_eid, " +
+        "last_value(p_eid IGNORE NULLS) OVER win AS purchase_event_id, " +
+        "last_value(p_ts IGNORE NULLS) OVER win AS purchase_ts, " +
+        "last_value(p_vm IGNORE NULLS) OVER win AS purchase_value_milli " +
+        "FROM u WINDOW win AS (PARTITION BY user_id ORDER BY ts, side, seq " +
+        "ROWS UNBOUNDED PRECEDING)) " +
+        "SELECT l_eid AS event_id, user_id, ts, purchase_event_id, purchase_ts, " +
+        "purchase_value_milli FROM w WHERE side = 1"),
     "r7_expr_functions" ->
       ("SELECT l_orderkey, l_linenumber, " +
         "concat(l_returnflag, '/', l_linestatus) AS flag_status, " +
@@ -574,6 +633,19 @@ object SparkEntry {
         "m AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(hs) - 4 + 1), " +
         "j -> list_min(hs[j:j+3]))) AS fps FROM h WHERE len(hs) >= 4) " +
         "SELECT doc_id, unnest(fps) AS fp FROM m"),
+    // Linear idf (tf·N·1e6 div df) — exact integer scoring, see
+    // TextAnalysis.topTermsTfIdf for why ln-idf isn't oracle-safe.
+    "x9_tfidf_terms" ->
+      ("WITH toks AS (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
+        "st AS (SELECT lang, token, count(*) AS tf, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1, 2), " +
+        "n AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1) " +
+        "SELECT lang, token, tf, df, score_micro, rank FROM (" +
+        "SELECT st.lang AS lang, st.token AS token, CAST(st.tf AS BIGINT) AS tf, " +
+        "CAST(st.df AS BIGINT) AS df, " +
+        "CAST(st.tf * n.n_docs * 1000000 // st.df AS BIGINT) AS score_micro, " +
+        "CAST(row_number() OVER (PARTITION BY st.lang " +
+        "ORDER BY st.tf * n.n_docs * 1000000 // st.df DESC, st.token) AS BIGINT) AS rank " +
+        "FROM st JOIN n ON st.lang = n.lang) WHERE rank <= 10"),
     "k1_topk_cosine" ->
       ("WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
         "FROM embeddings), " +

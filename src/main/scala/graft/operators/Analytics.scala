@@ -158,4 +158,61 @@ object Analytics {
       .agg(
         count(lit(1)).as("n"),
         sum(round(col("value") * 1000).cast("long")).as("value_milli"))
+
+  /** Exact deterministic stratified sample: from every stratum, keep the
+    * first ⌈n·percent/100⌉ rows in md5(id) order. Hash order makes the
+    * selection a pure function of the data (re-runs, engines and cluster
+    * layouts agree — no RNG state), and the per-stratum window gives EXACT
+    * per-stratum counts, which per-row Bernoulli sampling can't. One shuffle
+    * on the strata columns; at 100 TB the window state is one counter per
+    * stratum partition stream. Skew note: a single giant stratum serializes
+    * into one task — for corpus-scale strata switch to per-row hash
+    * thresholding (approximate counts, no shuffle at all).
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      strataCols: Seq[String] = Seq("lang", "source"),
+      percent: Int = 20,
+      idCol: String = "doc_id"): DataFrame = {
+    require(percent >= 0 && percent <= 100, "percent must be in [0, 100]")
+    val part = Window.partitionBy(strataCols.map(col): _*)
+    val ord = part.orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df
+      .withColumn("__rn", row_number().over(ord).cast("long"))
+      .withColumn("__n", count(lit(1)).over(part))
+      // integer ceil(n·percent/100) — float fractions would reopen the
+      // engine-dependent-rounding trap on exact multiples
+      .filter(col("__rn") <= expr(s"(__n * $percent + 99) div 100"))
+      .select(col(idCol) +: strataCols.map(col): _*)
+  }
+
+  /** Per-customer running revenue: cumulative window sum in o_orderdate
+    * order. Prices are centi-quantized per row BEFORE the cumulative sum so
+    * every prefix is exact integer math (a double running sum would drift
+    * differently per engine/order). Partitioned on the high-cardinality
+    * customer key — bounded state per task at any scale.
+    */
+  def runningRevenue(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders.select(
+      col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+      sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).over(w)
+        .as("cum_revenue_centi"))
+  }
+
+  /** Semi-structured column extraction: pull typed fields out of a JSON
+    * string column with JSONPath (`get_json_object`) — the pattern for
+    * event-property columns at scale (map-only, codegen'd, no shuffle;
+    * for repeated multi-field extraction prefer one `from_json` with an
+    * explicit schema over N path probes).
+    */
+  def propsExtract(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id"),
+      col("event_type"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"),
+      (get_json_object(col("props"), "$.k").cast("long") >= 50).cast("int")
+        .as("k_high"))
 }

@@ -158,6 +158,40 @@ object TextAnalysis {
         .as("fp"))
   }
 
+  /** Top-k corpus terms per language by tf·idf with a LINEAR idf
+    * (score = tf · N / df, micro-scaled): `ln`-based idf is deliberately
+    * avoided because transcendental functions aren't bit-identical across
+    * engines — the linear variant ranks identically for fixed N and keeps
+    * every value exact integer math. Explode → one (lang, token) partial-agg
+    * shuffle → broadcast-joined per-lang doc counts → per-lang top-k window
+    * over the (small) distinct-term relation. At web-corpus scale the
+    * explode's map-side partial agg is what keeps the shuffle proportional
+    * to the VOCABULARY, not the token stream.
+    */
+  def topTermsTfIdf(
+      docs: DataFrame,
+      k: Int = 10,
+      textCol: String = "text",
+      langCol: String = "lang"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(
+      col(langCol), col("doc_id"),
+      explode(split(col(textCol), " ")).as("token"))
+    val stats = toks
+      .groupBy(langCol, "token")
+      .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("df"))
+    val n = broadcast(docs.groupBy(langCol).agg(count(lit(1)).as("n_docs")))
+    stats.join(n, langCol)
+      .withColumn("score_micro", expr("tf * n_docs * 1000000L div df"))
+      .withColumn("rank",
+        row_number().over(
+          Window.partitionBy(langCol)
+            .orderBy(col("score_micro").desc, col("token"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(langCol), col("token"), col("tf"), col("df"),
+        col("score_micro"), col("rank"))
+  }
+
   /** Corpus rollup per (lang, source): doc count, token volume, mean doc
     * length — map-side partial agg into a tiny (|lang| x |source|) shuffle.
     */

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 import graft.core.Tables
+import org.apache.spark.sql.functions._
 
 /** Analytics layer — correctness sanity + the plan shapes that matter at
   * scale (partial aggregation, broadcast dims, TakeOrderedAndProject top-k,
@@ -70,5 +71,47 @@ class AnalyticsSpec extends SparkSpec {
     val a = Analytics.eventsHourly(t("events"))
     val b = graft.SparkEntry.queries("e1_events_hourly")(spark, sf)
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("stratifiedSample: exact ceil(n*p/100) rows per stratum, deterministic") {
+    val docs = t("documents")
+    val sampled = Analytics.stratifiedSample(docs, percent = 20).cache()
+    val got = sampled.groupBy("lang", "source").count()
+    val want = docs.groupBy("lang", "source").count()
+      .withColumnRenamed("count", "n")
+      .withColumn("want", expr("(n * 20 + 99) div 100"))
+    val mismatch = got.join(want, Seq("lang", "source"))
+      .filter(col("count") =!= col("want")).count()
+    assert(mismatch == 0)
+    assert(want.count() == got.count()) // every stratum represented
+    // pure function of the data: a second evaluation picks the same rows
+    val again = Analytics.stratifiedSample(docs, percent = 20)
+    assert(sampled.exceptAll(again).isEmpty && again.exceptAll(sampled).isEmpty)
+  }
+
+  test("stratifiedSample: percent edge cases (0 -> empty, 100 -> everything)") {
+    val docs = t("documents")
+    assert(Analytics.stratifiedSample(docs, percent = 0).count() == 0)
+    assert(Analytics.stratifiedSample(docs, percent = 100).count() == docs.count())
+  }
+
+  test("runningRevenue: final cumulative value equals per-customer total") {
+    val orders = t("orders")
+    val last = Analytics.runningRevenue(orders)
+      .groupBy("o_custkey").agg(max("cum_revenue_centi").as("cum"))
+    val want = orders.groupBy("o_custkey")
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("tot"))
+    assert(last.join(want, "o_custkey")
+      .filter(col("cum") =!= col("tot")).count() == 0)
+    // row-per-order, and prefixes are non-decreasing (prices are positive)
+    assert(Analytics.runningRevenue(orders).count() == orders.count())
+  }
+
+  test("propsExtract: k parsed from every JSON props, flag consistent") {
+    val out = Analytics.propsExtract(t("events")).cache()
+    assert(out.filter(col("k").isNull).count() == 0)
+    assert(out.filter(
+      (col("k") >= 50 && col("k_high") =!= 1) ||
+      (col("k") < 50 && col("k_high") =!= 0)).count() == 0)
   }
 }

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class JoinsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // (key, ts-second, seq, label)
+  private def frame(rows: Seq[(Long, Long, Long, String)]) =
+    rows.toDF("user_id", "sec", "event_id", "label")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .select("user_id", "ts", "event_id", "label")
+
+  private def run(left: Seq[(Long, Long, Long, String)],
+                  right: Seq[(Long, Long, Long, String)]) =
+    Joins.asofJoin(
+      frame(left), frame(right),
+      keyCol = "user_id", tsCol = "ts", seqCol = "event_id",
+      leftCols = Seq("event_id", "user_id", "ts"),
+      rightCols = Seq("event_id", "label"),
+      rightPrefix = "m_")
+      .select(col("event_id"), col("m_event_id"), col("m_label"))
+      .collect().map(r =>
+        r.getLong(0) ->
+          ((if (r.isNullAt(1)) -1L else r.getLong(1),
+            if (r.isNullAt(2)) "" else r.getString(2))))
+      .toMap
+
+  test("asofJoin: latest right row at or before each left row, per key") {
+    val out = run(
+      left = Seq((1L, 100L, 10L, "l"), (1L, 200L, 11L, "l"), (2L, 150L, 12L, "l")),
+      right = Seq((1L, 50L, 1L, "a"), (1L, 150L, 2L, "b"), (2L, 151L, 3L, "c")))
+    assert(out(10L) == ((1L, "a")))   // only ts=50 precedes ts=100
+    assert(out(11L) == ((2L, "b")))   // ts=150 is the latest <= 200
+    assert(out(12L) == ((-1L, "")))   // right at ts=151 is AFTER the left row
+  }
+
+  test("asofJoin: inclusive tie on ts, and same-ts right rows pick max seq") {
+    val out = run(
+      left = Seq((1L, 100L, 10L, "l")),
+      right = Seq((1L, 100L, 1L, "a"), (1L, 100L, 2L, "b"), (1L, 99L, 3L, "c")))
+    // equal-ts right rows are visible (inclusive), and seq=2 wins the tie
+    assert(out(10L) == ((2L, "b")))
+  }
+
+  test("asofJoin: left-outer — keys with no right rows keep nulls") {
+    val out = run(
+      left = Seq((7L, 100L, 10L, "l")),
+      right = Seq((8L, 50L, 1L, "a")))
+    assert(out(10L) == ((-1L, "")))
+  }
+
+  test("asofJoin: one shuffle on the key, no cartesian/range residue") {
+    val plan = Joins.asofJoin(
+      frame(Seq((1L, 100L, 10L, "l"))), frame(Seq((1L, 50L, 1L, "a"))),
+      "user_id", "ts", "event_id", Seq("event_id"), Seq("event_id"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    // the physical plan is union -> window (sort within key partitions)
+    assert(plan.contains("Window"))
+  }
+}

@@ -83,4 +83,22 @@ class TextAnalysisSpec extends SparkSpec {
     val out = TextAnalysis.corpusStats(docs)
     assert(out.agg(sum("n_docs")).head().getLong(0) == docs.count())
   }
+
+  test("topTermsTfIdf: k rows per lang, ranked by score, rare terms outrank") {
+    val out = TextAnalysis.topTermsTfIdf(docs, k = 10).cache()
+    val perLang = out.groupBy("lang").count().collect()
+    assert(perLang.forall(_.getLong(1) == 10))
+    // rank order matches score order within each lang
+    val badOrder = out.as("a").join(out.as("b"),
+      col("a.lang") === col("b.lang") && (col("a.rank") < col("b.rank")) &&
+        (col("a.score_micro") < col("b.score_micro"))).count()
+    assert(badOrder == 0)
+    // score = tf * N / df scaled: df == tf for singleton-use terms means
+    // score == n_docs * 1e6; sanity-check the formula on one joined row
+    val n = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val bad = out.join(n, "lang")
+      .filter(col("score_micro") =!=
+        expr("tf * n_docs * 1000000L div df")).count()
+    assert(bad == 0)
+  }
 }
