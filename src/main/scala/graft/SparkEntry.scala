@@ -167,6 +167,36 @@ object SparkEntry {
     // Semi-structured extraction: JSONPath over the events props column.
     "e2_props_json" -> ((s, dir) =>
       graft.operators.Analytics.propsExtract(t(s, dir, "events"))),
+    // Pivot long->wide with an explicit value list (one shuffle).
+    "a16_event_pivot" -> ((s, dir) =>
+      graft.operators.Analytics.eventTypePivot(t(s, dir, "events"))),
+    // Banded range join — |ts_p − ts_e| <= 60s with NO equi-key, planned as
+    // a bucket equi-join + residual filter instead of a nested-loop join.
+    "j2_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.Joins.rangeJoin(
+        left = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("ts")),
+        right = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("error_id"), col("ts")),
+        tsCol = "ts", maxGapSec = 60L,
+        leftCols = Seq("purchase_id"), rightCols = Seq("error_id"),
+        rightPrefix = "")
+    }),
+    // Keyed upsert (MERGE): update every 3rd customer, insert a shifted copy
+    // of every 7th — one full-outer shuffle join, update wins row-wise.
+    "j3_upsert" -> ((s, dir) => {
+      val base = t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+      val upd = base.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"),
+          concat(lit("upd_"), col("c_name")).as("c_name"),
+          (col("c_acctbal") + 100).as("c_acctbal"))
+      val ins = base.filter(col("c_custkey") % 7 === 0)
+        .select((col("c_custkey") + 10000000L).as("c_custkey"),
+          concat(lit("new_"), col("c_name")).as("c_name"),
+          lit(0.0).as("c_acctbal"))
+      graft.operators.Joins.upsert(base, upd.unionByName(ins), "c_custkey")
+    }),
     // As-of join (most recent purchase at or before each click, per user) —
     // the union + last-carry-forward shape, one shuffle on the key.
     "j1_asof_join" -> ((s, dir) => {
@@ -408,6 +438,31 @@ object SparkEntry {
         "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, " +
         "CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50 AS INT) AS k_high " +
         "FROM events"),
+    "a16_event_pivot" ->
+      ("SELECT user_id, " +
+        "count(CASE WHEN event_type = 'click' THEN 1 END) AS click, " +
+        "count(CASE WHEN event_type = 'error' THEN 1 END) AS error, " +
+        "count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase, " +
+        "count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup, " +
+        "count(CASE WHEN event_type = 'view' THEN 1 END) AS \"view\" " +
+        "FROM events GROUP BY 1"),
+    // Brute-force truth for the banded range join: plain theta predicate.
+    "j2_range_join" ->
+      ("WITH p AS (SELECT event_id AS purchase_id, ts FROM events WHERE event_type = 'purchase'), " +
+        "e AS (SELECT event_id AS error_id, ts FROM events WHERE event_type = 'error') " +
+        "SELECT purchase_id, error_id, epoch_us(e.ts) - epoch_us(p.ts) AS gap_micros " +
+        "FROM p, e WHERE abs(epoch_us(e.ts) - epoch_us(p.ts)) <= 60000000"),
+    "j3_upsert" ->
+      ("WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer), " +
+        "upd AS (SELECT c_custkey, 'upd_' || c_name AS c_name, c_acctbal + 100 AS c_acctbal " +
+        "FROM base WHERE c_custkey % 3 = 0), " +
+        "ins AS (SELECT c_custkey + 10000000 AS c_custkey, 'new_' || c_name AS c_name, " +
+        "0.0 AS c_acctbal FROM base WHERE c_custkey % 7 = 0), " +
+        "u AS (SELECT * FROM upd UNION ALL SELECT * FROM ins) " +
+        "SELECT coalesce(u.c_custkey, b.c_custkey) AS c_custkey, " +
+        "CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name ELSE b.c_name END AS c_name, " +
+        "CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal ELSE b.c_acctbal END AS c_acctbal " +
+        "FROM base b FULL JOIN u ON b.c_custkey = u.c_custkey"),
     // As-of semantics replayed as the same union + last_value(IGNORE NULLS)
     // carry-forward over the identical (ts, side, seq) total order.
     "j1_asof_join" ->

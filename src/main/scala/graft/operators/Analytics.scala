@@ -208,6 +208,23 @@ object Analytics {
     * for repeated multi-field extraction prefer one `from_json` with an
     * explicit schema over N path probes).
     */
+  /** Pivot (long → wide): per-user event counts, one column per event type.
+    * The value list is EXPLICIT — with it, pivot is a single groupBy with
+    * conditional aggregates (one shuffle, map-side partials); without it
+    * Spark must first run a distinct-values job, and the output schema
+    * becomes data-dependent (a breaking move at 100 TB and for any oracle).
+    * Missing cells filled with 0 to match conditional-count semantics.
+    */
+  def eventTypePivot(
+      events: DataFrame,
+      types: Seq[String] = Seq("click", "error", "purchase", "signup", "view"))
+      : DataFrame =
+    events
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0, types)
+
   def propsExtract(events: DataFrame): DataFrame =
     events.select(
       col("event_id"),

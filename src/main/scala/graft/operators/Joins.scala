@@ -66,4 +66,78 @@ object Joins {
         leftCols.map(c => col(s"__lpay.$c").as(c)) ++
           rightCols.map(c => col(s"__match.$c").as(s"$rightPrefix$c")): _*)
   }
+
+  /** Banded (bucketized) range join: all (left, right) pairs with
+    * |left.ts − right.ts| ≤ maxGap, WITHOUT any equi-key.
+    *
+    * Naively this is a theta join — Catalyst can only plan it as a
+    * BroadcastNestedLoopJoin (quadratic work, broadcast-bounded). Instead
+    * both sides are bucketed by ⌊epoch/maxGap⌋: any qualifying pair's
+    * buckets differ by at most 1, so exploding the left row into buckets
+    * {b−1, b, b+1} turns the range predicate into an EQUI join on the
+    * bucket + an exact residual filter. Each right row carries exactly one
+    * bucket, so no pair is emitted twice. Work becomes O(pairs-in-band)
+    * with a plain shuffle hash join — the standard interval-join shape
+    * (Flink's interval join and streaming state joins bucket time the same
+    * way). Skew = a hot time bucket; shrink the band or sub-salt if one
+    * window dominates.
+    *
+    * Output: `leftCols` as-is, `rightCols` prefixed, plus `gap_micros`
+    * (right − left, signed, exact integer — no division, whose floor/trunc
+    * semantics differ across engines).
+    */
+  def rangeJoin(
+      left: DataFrame,
+      right: DataFrame,
+      tsCol: String,
+      maxGapSec: Long,
+      leftCols: Seq[String],
+      rightCols: Seq[String],
+      rightPrefix: String = "r_"): DataFrame = {
+    require(maxGapSec > 0, "maxGapSec must be positive")
+    val gapUs = maxGapSec * 1000000L
+    val l = left.select(
+      struct(leftCols.map(col): _*).as("__lpay"),
+      unix_micros(col(tsCol)).as("__lus"))
+      .withColumn("__b", explode(array(
+        expr(s"__lus div $gapUs - 1"),
+        expr(s"__lus div $gapUs"),
+        expr(s"__lus div $gapUs + 1"))))
+    val r = right.select(
+      struct(rightCols.map(col): _*).as("__rpay"),
+      unix_micros(col(tsCol)).as("__rus"))
+      .withColumn("__b", expr(s"__rus div $gapUs"))
+    l.join(r, "__b")
+      .filter(abs(col("__rus") - col("__lus")) <= gapUs)
+      .select(
+        leftCols.map(c => col(s"__lpay.$c").as(c)) ++
+          rightCols.map(c => col(s"__rpay.$c").as(s"$rightPrefix$c")) :+
+          (col("__rus") - col("__lus")).as("gap_micros"): _*)
+  }
+
+  /** Keyed upsert (MERGE): rows from `updates` replace same-key rows in
+    * `base`; unmatched update rows are inserted; unmatched base rows are
+    * kept. The natural extension of the reference's append-only import
+    * (`backend/main.py:274-286` only ever INSERTs) — implemented as ONE
+    * full-outer shuffle join on the key with per-column coalesce
+    * (update wins). At table-format scale the same statement is Delta/
+    * Iceberg MERGE INTO; this is the engine-level equivalent for plain
+    * relations. `updates` must be unique per key (enforce upstream);
+    * column sets must match `base`'s.
+    */
+  def upsert(base: DataFrame, updates: DataFrame, keyCol: String): DataFrame = {
+    require(base.columns.sameElements(updates.columns),
+      "base and updates must share the same schema")
+    val cols = base.columns.toSeq
+    // Row-wise update-wins (keyed on the update key's presence), NOT
+    // per-column coalesce: an update row's legitimate NULL must replace the
+    // base value, exactly as MERGE ... WHEN MATCHED THEN UPDATE does.
+    base.as("b")
+      .join(updates.as("u"), col(s"b.$keyCol") === col(s"u.$keyCol"), "full_outer")
+      .select(cols.map { c =>
+        (if (c == keyCol) coalesce(col(s"u.$keyCol"), col(s"b.$keyCol"))
+         else when(col(s"u.$keyCol").isNotNull, col(s"u.$c"))
+           .otherwise(col(s"b.$c"))).as(c)
+      }: _*)
+  }
 }

@@ -107,6 +107,16 @@ class AnalyticsSpec extends SparkSpec {
     assert(Analytics.runningRevenue(orders).count() == orders.count())
   }
 
+  test("eventTypePivot: one row per user, cells sum back to the event count") {
+    val events = t("events")
+    val out = Analytics.eventTypePivot(events).cache()
+    assert(out.count() == events.select("user_id").distinct().count())
+    val cellSum = out.select(
+      (col("click") + col("error") + col("purchase") + col("signup") + col("view"))
+        .as("s")).agg(sum("s")).head().getLong(0)
+    assert(cellSum == events.count())
+  }
+
   test("propsExtract: k parsed from every JSON props, flag consistent") {
     val out = Analytics.propsExtract(t("events")).cache()
     assert(out.filter(col("k").isNull).count() == 0)

@@ -52,6 +52,58 @@ class JoinsSpec extends SparkSpec {
     assert(out(10L) == ((-1L, "")))
   }
 
+  test("rangeJoin: equals the brute-force theta join, boundary inclusive") {
+    val ev = graft.core.Tables.load(spark, sf, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("ts"))
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("eid"), col("ts"))
+    val banded = Joins.rangeJoin(p, e, "ts", 60L, Seq("pid"), Seq("eid"), "")
+      .select("pid", "eid", "gap_micros")
+    val brute = p.as("p").join(e.as("e"),
+        abs(unix_micros(col("e.ts")) - unix_micros(col("p.ts"))) <= 60000000L)
+      .select(col("pid"), col("eid"),
+        (unix_micros(col("e.ts")) - unix_micros(col("p.ts"))).as("gap_micros"))
+    assert(banded.exceptAll(brute).isEmpty && brute.exceptAll(banded).isEmpty)
+    // exact-boundary pair (gap == maxGap) must match: synthetic check
+    import spark.implicits._
+    val a = Seq((1L, 0L)).toDF("pid", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val b = Seq((2L, 60L), (3L, 61L)).toDF("eid", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val out = Joins.rangeJoin(a, b, "ts", 60L, Seq("pid"), Seq("eid"), "")
+      .select("eid").collect().map(_.getLong(0)).toSet
+    assert(out == Set(2L)) // 60s in, 61s out
+  }
+
+  test("rangeJoin: plans as a shuffle equi-join on the bucket, not BNLJ") {
+    val ev = graft.core.Tables.load(spark, sf, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("ts"))
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("eid"), col("ts"))
+    val plan = Joins.rangeJoin(p, e, "ts", 60L, Seq("pid"), Seq("eid"), "")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("upsert: update wins row-wise (incl. nulls), insert added, rest kept") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "bal")
+    val updates = Seq((2L, null.asInstanceOf[String], 99.0), (9L, "new", 0.0))
+      .toDF("k", "name", "bal")
+    val out = Joins.upsert(base, updates, "k")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)).getOrElse("<null>"), r.getDouble(2)))).toMap
+    assert(out.size == 4)
+    assert(out(1L) == (("a", 10.0)))          // untouched
+    assert(out(2L) == (("<null>", 99.0)))     // update's NULL wins
+    assert(out(3L) == (("c", 30.0)))          // untouched
+    assert(out(9L) == (("new", 0.0)))         // inserted
+  }
+
   test("asofJoin: one shuffle on the key, no cartesian/range residue") {
     val plan = Joins.asofJoin(
       frame(Seq((1L, 100L, 10L, "l"))), frame(Seq((1L, 50L, 1L, "a"))),
