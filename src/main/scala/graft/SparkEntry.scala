@@ -282,6 +282,15 @@ object SparkEntry {
     // Top-k corpus terms per language, linear-idf tf·idf (exact int math).
     "x9_tfidf_terms" -> ((s, dir) =>
       graft.operators.TextAnalysis.topTermsTfIdf(t(s, dir, "documents"))),
+    // Gopher-style duplicate-3-gram repetition fraction (micro-quantized).
+    "x10_repetition" -> ((s, dir) =>
+      graft.operators.TextAnalysis.repetition(t(s, dir, "documents"))),
+    // Deterministic md5-bucket train/val/test split (80/10/10).
+    "x11_hash_split" -> ((s, dir) =>
+      graft.operators.TextAnalysis.hashSplit(t(s, dir, "documents"))),
+    // Concat-and-chunk sequence packing into 2048-token bins, per shard.
+    "x12_seq_pack" -> ((s, dir) =>
+      graft.operators.TextAnalysis.packSequences(t(s, dir, "documents"))),
     // ---- Multimodal plumbing (binary columns; decode stubbed) ----
     "m1_media_features" -> ((s, dir) =>
       graft.operators.Multimodal.mediaFeatures(
@@ -701,6 +710,31 @@ object SparkEntry {
         "CAST(row_number() OVER (PARTITION BY st.lang " +
         "ORDER BY st.tf * n.n_docs * 1000000 // st.df DESC, st.token) AS BIGINT) AS rank " +
         "FROM st JOIN n ON st.lang = n.lang) WHERE rank <= 10"),
+    "x10_repetition" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "tot AS (SELECT doc_id, greatest(len(t) - 2, 0) AS n_ngrams FROM toks), " +
+        "d AS (SELECT doc_id, count(DISTINCT s) AS nd FROM (" +
+        "SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s " +
+        "FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)) GROUP BY doc_id) " +
+        "SELECT tot.doc_id, CAST(n_ngrams AS BIGINT) AS n_ngrams, " +
+        "CAST(coalesce(nd, 0) AS BIGINT) AS n_distinct_ngrams, " +
+        "CAST(CASE WHEN n_ngrams = 0 THEN 0 ELSE " +
+        "(n_ngrams - coalesce(nd, 0)) * 1000000 // n_ngrams END AS BIGINT) AS rep_micro " +
+        "FROM tot LEFT JOIN d ON tot.doc_id = d.doc_id"),
+    "x11_hash_split" ->
+      ("SELECT doc_id, CASE " +
+        "WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) * 100 " +
+        "< 80 * 4294967296 THEN 'train' " +
+        "WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) * 100 " +
+        "< 90 * 4294967296 THEN 'val' ELSE 'test' END AS split FROM documents"),
+    "x12_seq_pack" ->
+      ("WITH b AS (SELECT doc_id, source, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), " +
+        "c AS (SELECT doc_id, source, n_tokens, " +
+        "CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id " +
+        "ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset FROM b) " +
+        "SELECT doc_id, source, n_tokens, start_offset, " +
+        "CAST(start_offset // 2048 AS BIGINT) AS bin_id FROM c"),
     "k1_topk_cosine" ->
       ("WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
         "FROM embeddings), " +

@@ -202,4 +202,69 @@ object TextAnalysis {
         count(lit(1)).as("n_docs"),
         sum(expr(s"CAST(size(split($textCol, ' ')) AS BIGINT)")).as("total_tokens"),
         round(avg(length(col(textCol))), 4).as("avg_chars"))
+
+  /** Within-document repetition (the Gopher/MassiveText duplicate-n-gram
+    * filter): fraction of a document's n-gram occurrences that are repeats
+    * of an earlier n-gram, micro-quantized to exact integer math
+    * ((total − distinct)·1e6 div total; 0 for docs shorter than n tokens).
+    * Map-only — the canonical cheap pre-training quality gate alongside
+    * [[qualityScore]].
+    */
+  def repetition(docs: DataFrame, n: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(
+      col(idCol),
+      expr(s"CAST(greatest(size(split($textCol, ' ')) - ${n - 1}, 0) AS BIGINT)")
+        .as("n_ngrams"),
+      expr(s"CAST(size(${Dedup.wordShingleExpr(textCol, n)}) AS BIGINT)")
+        .as("n_distinct_ngrams"))
+      .withColumn("rep_micro",
+        expr("CASE WHEN n_ngrams = 0 THEN 0L ELSE " +
+          "(n_ngrams - n_distinct_ngrams) * 1000000L div n_ngrams END"))
+
+  /** Deterministic train/val/test split: the first 8 hex digits of
+    * md5(id) read as a 32-bit value place each document in a bucket;
+    * cumulative percent thresholds carve the buckets into splits. A pure
+    * function of the id — stable across runs, engines, partitionings and
+    * re-ingests (rows added later never reshuffle earlier assignments),
+    * which is exactly what a 100 TB corpus needs from its split. Integer
+    * threshold compare (v·100 < pct·2^32) — no float fractions.
+    */
+  def hashSplit(
+      docs: DataFrame,
+      trainPct: Int = 80,
+      valPct: Int = 10,
+      idCol: String = "doc_id"): DataFrame = {
+    require(trainPct + valPct <= 100, "train + val must leave room for test")
+    val v = s"CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+    docs.select(
+      col(idCol),
+      expr(s"""CASE WHEN $v * 100 < ${trainPct}L * 4294967296L THEN 'train'
+               WHEN $v * 100 < ${trainPct + valPct}L * 4294967296L THEN 'val'
+               ELSE 'test' END""").as("split"))
+  }
+
+  /** Sequence packing (GPT-style): concatenate each shard's documents in
+    * id order and chop into fixed token-budget bins; a document's bin is
+    * where its first token lands (documents may straddle bins, exactly like
+    * concat-and-chunk training pipelines). The cumulative sum is windowed
+    * PER SHARD (`source`) — the parallel unit at scale is the shard, never
+    * a single global ordering (a global cumsum would serialize the corpus
+    * through one task).
+    */
+  def packSequences(
+      docs: DataFrame,
+      budget: Int = 2048,
+      shardCol: String = "source",
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(shardCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(idCol), col(shardCol),
+        expr(s"CAST(size(split($textCol, ' ')) AS BIGINT)").as("n_tokens"))
+      .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("bin_id", expr(s"start_offset div $budget"))
+  }
 }

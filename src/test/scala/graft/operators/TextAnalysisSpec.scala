@@ -84,6 +84,47 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.agg(sum("n_docs")).head().getLong(0) == docs.count())
   }
 
+  test("repetition: bounds hold; a literal repeat scores, distinct text doesn't") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c a b c a b c"),     // 7 3-grams, 3 distinct -> rep 4/7
+      (2L, "p q r s t u v"),         // all distinct -> rep 0
+      (3L, "x y")                    // too short -> 0 ngrams, rep 0
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((7L, 3L, 4L * 1000000L / 7L)))
+    assert(out(2L) == ((5L, 5L, 0L)))
+    assert(out(3L) == ((0L, 0L, 0L)))
+    val corpus = TextAnalysis.repetition(docs)
+    assert(corpus.filter(col("rep_micro") < 0 || col("rep_micro") > 1000000).count() == 0)
+    assert(corpus.filter(col("n_distinct_ngrams") > col("n_ngrams")).count() == 0)
+  }
+
+  test("hashSplit: labels partition the corpus, stable, ratios near 80/10/10") {
+    val out = TextAnalysis.hashSplit(docs).cache()
+    assert(out.count() == docs.count())
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet.subsetOf(Set("train", "val", "test")))
+    val n = docs.count().toDouble
+    assert(counts("train") / n > 0.6 && counts("train") / n < 0.95)
+    // determinism: a second evaluation assigns identically
+    val again = TextAnalysis.hashSplit(docs)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
+  test("packSequences: offsets are contiguous per shard, bins respect budget") {
+    val out = TextAnalysis.packSequences(docs, budget = 2048).cache()
+    // per shard: offsets start at 0 and sum(n_tokens) == max(start+n_tokens)
+    val perShard = out.groupBy("source").agg(
+      min("start_offset").as("mn"),
+      max(col("start_offset") + col("n_tokens")).as("end"),
+      sum("n_tokens").as("tot"))
+    assert(perShard.filter(col("mn") =!= 0 || col("end") =!= col("tot")).count() == 0)
+    assert(out.filter(col("bin_id") =!= expr("start_offset div 2048")).count() == 0)
+  }
+
   test("topTermsTfIdf: k rows per lang, ranked by score, rare terms outrank") {
     val out = TextAnalysis.topTermsTfIdf(docs, k = 10).cache()
     val perLang = out.groupBy("lang").count().collect()
