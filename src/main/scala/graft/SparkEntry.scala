@@ -759,9 +759,11 @@ object SparkEntry {
         "hp AS (SELECT b, d, CASE WHEN substr(md5(CAST(b AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1) < '8' " +
         "THEN 1.0 ELSE -1.0 END AS sign " +
         "FROM generate_series(0, 71) t(b), generate_series(0, 63) u(d)), " +
-        // terms integer-quantized (1e7) before the sum — exactly associative,
-        // so Spark's partition-order fold and DuckDB's agree bit-for-bit
-        "bits AS (SELECT id, b, CASE WHEN sum(CAST(round(sign * v.v[d + 1] * 10000000) AS BIGINT)) >= 0 " +
+        // terms floor-quantized (1e7) to integers before the sum — floor of
+        // a double is bit-exact in every engine and integer addition is
+        // exactly associative, so DuckDB's fold, Spark's, and the native
+        // HyperplaneSums loop agree bit-for-bit in any accumulation order
+        "bits AS (SELECT id, b, CASE WHEN sum(CAST(floor(sign * v.v[d + 1] * 10000000) AS BIGINT)) >= 0 " +
         "THEN '1' ELSE '0' END AS bit FROM v, hp GROUP BY id, b), " +
         "bands AS (SELECT id, b // 4 AS band, string_agg(bit, '' ORDER BY b) AS bkey " +
         "FROM bits GROUP BY id, band), " +

@@ -79,12 +79,31 @@ object GraftFunctions {
     DotProduct(children.head, children(1))
   }
 
+  val hpSumsInfo = new ExpressionInfo(classOf[HyperplaneSums].getName, "graft_hp_sums")
+
+  /** graft_hp_sums(v, bits, dim) — bits/dim must be foldable int literals
+    * (they size the driver-computed sign matrix baked into the expression).
+    */
+  val hpSumsBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 3,
+      "graft_hp_sums expects (vector, bits, dim)")
+    require(children(1).foldable && children(2).foldable,
+      "graft_hp_sums bits/dim must be literals")
+    HyperplaneSums(
+      children.head,
+      children(1).eval().asInstanceOf[Number].intValue,
+      children(2).eval().asInstanceOf[Number].intValue)
+  }
+
   /** Imperative, idempotent registration into an existing session (used by
     * the operators so any session works, not just extension-built ones).
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("graft_dot", dotBuilder, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("graft_hp_sums", hpSumsBuilder, "built-in")
+  }
 }
 
 /** `spark.sql.extensions`-style injection: sessions built with
@@ -92,6 +111,8 @@ object GraftFunctions {
   * `graft_dot` natively without imperative registration.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("graft_dot"), GraftFunctions.dotInfo, GraftFunctions.dotBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_hp_sums"), GraftFunctions.hpSumsInfo, GraftFunctions.hpSumsBuilder))
+  }
 }

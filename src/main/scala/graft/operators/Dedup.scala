@@ -324,56 +324,44 @@ object Dedup {
   }
 
   /** Deterministic ±1 hyperplane matrix: sign(bit, dim) = +1 iff the first
-    * hex digit of md5("bit_dim") is < '8'. Computed once on the driver and
-    * shipped as a literal — identical on every run and engine, and keeps md5
-    * out of the per-row hot path entirely.
+    * hex digit of md5("bit_dim") is < '8'. Computed once on the driver —
+    * identical on every run and engine; see
+    * [[graft.functions.HyperplaneSums.signs]] (row-major flat layout).
     */
   private[operators] def hyperplaneSigns(bits: Int, dim: Int): Array[Array[Double]] = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(bits, dim) { (b, d) =>
-      val hex = digest.digest(s"${b}_$d".getBytes("UTF-8"))
-      // first hex digit < '8' ⇔ high bit of first byte clear
-      if ((hex(0) & 0x80) == 0) 1.0 else -1.0
-    }
+    val flat = graft.functions.HyperplaneSums.signs(bits, dim)
+    Array.tabulate(bits, dim)((b, d) => flat(b * dim + d))
   }
 
   /** Random-hyperplane band keys for a (id, v: array<double>) relation: one
     * row per (id, band) with the band's sign bits as a bitstring key.
     *
-    * Sign bits via posexplode + broadcast hyperplane join + map-side partial
-    * sum — every operator codegen'd with small expressions. (The obvious
-    * alternative, one giant ±term projection per bit, blows past the JVM
-    * method-size limit and falls back to interpreted eval: 2.5x slower
-    * measured at sf0.1. A single broadcast of bits x dim rows scales to any
-    * realistic dim.) Shared by [[embeddingNearDup]] and
+    * All bits·dim projections run in ONE codegen'd pass per row via the
+    * native [[graft.functions.HyperplaneSums]] expression — map-only, no
+    * shuffle. (The declarative posexplode + broadcast-sign-join + groupBy
+    * partial-sum formulation materialized n·dim·bits rows — ~46M at sf0.1 —
+    * through an exchange before collapsing them; the giant unrolled ±term
+    * projection alternative blows the JVM method-size limit and falls out
+    * of codegen, measured 2.5× slower.) Per-bit sums are floor-quantized
+    * integers, exactly associative — every run, engine, and the DuckDB
+    * oracle compute identical sign bits in any accumulation order. Band
+    * keys are assembled per row with a cheap HOF over the 72-element sums
+    * array, then one posexplode emits (id, band, key) — n·bands rows, not
+    * n·dim·bits. Shared by [[embeddingNearDup]] and
     * [[Similarity.annTopKCosine]].
     */
   private[operators] def signBands(
       v: DataFrame, bits: Int, bands: Int, dim: Int): DataFrame = {
     require(bits % bands == 0, "bits must be divisible by bands")
     val rows = bits / bands
-    val spark = v.sparkSession
-    import spark.implicits._
-    val hp = hyperplaneSigns(bits, dim)
-    val hpDf = broadcast(
-      (for { b <- 0 until bits; d <- 0 until dim } yield (b, d, hp(b)(d)))
-        .toDF("bit", "d", "sign"))
+    graft.functions.GraftFunctions.register(v.sparkSession)
     v
-      .select(col("id"), posexplode(col("v")).as(Seq("d", "x")))
-      .join(hpDf, "d")
-      .groupBy(col("id"), col("bit"))
-      // Each ±x term is integer-quantized (1e7) BEFORE the sum: a double
-      // sum's accumulation order is partitioning-dependent, so a projection
-      // landing near 0 could flip its sign bit between runs/cluster layouts.
-      // Integer addition is exactly associative — every run (and the DuckDB
-      // oracle, which folds in its own order) computes the identical bit.
-      .agg(sum(expr("CAST(round(sign * x * 10000000D) AS BIGINT)")).as("s"))
-      .withColumn("band", expr(s"bit div $rows"))
-      .withColumn("bv", expr("IF(s >= 0L, '1', '0')"))
-      .groupBy(col("id"), col("band"))
-      .agg(array_join(
-        expr("transform(array_sort(collect_list(struct(bit, bv))), x -> x.bv)"), "")
-        .as("key"))
+      .select(col("id"), expr(s"graft_hp_sums(v, $bits, $dim)").as("sums"))
+      .select(col("id"), posexplode(expr(
+        s"""transform(sequence(0, ${bands - 1}), b ->
+            array_join(transform(sequence(0, ${rows - 1}),
+              i -> IF(sums[b * $rows + i] >= 0L, '1', '0')), ''))"""))
+        .as(Seq("band", "key")))
   }
 
   /** Embedding near-dedup: random-hyperplane (sign) LSH for candidates, exact
