@@ -95,6 +95,13 @@ object GraftFunctions {
       children(2).eval().asInstanceOf[Number].intValue)
   }
 
+  val isectInfo = new ExpressionInfo(classOf[SortedIntersectSize].getName, "graft_isect_size")
+
+  val isectBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2, "graft_isect_size expects exactly 2 arguments")
+    SortedIntersectSize(children.head, children(1))
+  }
+
   /** Imperative, idempotent registration into an existing session (used by
     * the operators so any session works, not just extension-built ones).
     */
@@ -103,6 +110,8 @@ object GraftFunctions {
       .createOrReplaceTempFunction("graft_dot", dotBuilder, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("graft_hp_sums", hpSumsBuilder, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("graft_isect_size", isectBuilder, "built-in")
   }
 }
 
@@ -114,5 +123,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("graft_dot"), GraftFunctions.dotInfo, GraftFunctions.dotBuilder))
     ext.injectFunction((FunctionIdentifier("graft_hp_sums"), GraftFunctions.hpSumsInfo, GraftFunctions.hpSumsBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_isect_size"), GraftFunctions.isectInfo, GraftFunctions.isectBuilder))
   }
 }

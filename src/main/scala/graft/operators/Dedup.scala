@@ -128,8 +128,11 @@ object Dedup {
       .select(col(idCol).as("id"),
         expr(s"transform(split($textCol, ' '), w -> xxhash64(w))").as("th"))
       .filter(size(col("th")) >= shingleWords)
+      // sorted ONCE here (persisted) so every pairwise verification can run
+      // the linear two-pointer graft_isect_size scan instead of building a
+      // hash set per candidate pair (see SortedIntersectSize)
       .select(col("id"), expr(
-        s"array_distinct(transform(sequence(0, size(th) - $shingleWords), i -> xxhash64($combineArgs)))")
+        s"array_sort(array_distinct(transform(sequence(0, size(th) - $shingleWords), i -> xxhash64($combineArgs))))")
         .as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -171,14 +174,17 @@ object Dedup {
     * side outgrows broadcast, [[VerifyBroadcastConf]] switches to a shuffle
     * equi-join on id — the pair relation stays id-only either way.
     */
-  private def verifyJaccard(cand: DataFrame, sets: DataFrame, threshold: Double): DataFrame =
+  private def verifyJaccard(cand: DataFrame, sets: DataFrame, threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(cand.sparkSession)
     cand
       .join(maybeBroadcast(sets.select(col("id").as("a_id"), col("sh").as("sa"))), "a_id")
       .join(maybeBroadcast(sets.select(col("id").as("b_id"), col("sh").as("sb"))), "b_id")
-      .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
+      // sets are sorted at build time — linear codegen'd two-pointer scan
+      .withColumn("i", expr("graft_isect_size(sa, sb)"))
       .withColumn("jacc", col("i").cast("double") / (size(col("sa")) + size(col("sb")) - col("i")))
       .filter(col("jacc") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jacc"), 6).as("jaccard"))
+  }
 
   /** SimHash document fingerprint: 64-bit signature as a bitstring.
     *
@@ -284,10 +290,11 @@ object Dedup {
       ngram: Int = 5,
       threshold: Double = 0.5): DataFrame = {
     // fused shingle+hash: one HOF pass, no intermediate string array
+    // sorted once at build (persisted) for the two-pointer verify scan
     val hashedGrams =
       s"""CASE WHEN length($textCol) >= $ngram
-          THEN array_distinct(transform(sequence(1, length($textCol) - ${ngram - 1}),
-               i -> xxhash64(substring($textCol, i, $ngram))))
+          THEN array_sort(array_distinct(transform(sequence(1, length($textCol) - ${ngram - 1}),
+               i -> xxhash64(substring($textCol, i, $ngram)))))
           ELSE CAST(array() AS ARRAY<BIGINT>) END"""
     // persisted for the same reason as in minHashNearDup: read by the slim
     // pair join and both verify broadcasts
@@ -311,10 +318,12 @@ object Dedup {
       .select(
         blockCols.map(c => col(s"x.$c")) ++
           Seq(col("x.id").as("a_id"), col("y.id").as("b_id")): _*)
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     pairs
       .join(maybeBroadcast(sets.select(col("id").as("a_id"), col("sh").as("sa"))), "a_id")
       .join(maybeBroadcast(sets.select(col("id").as("b_id"), col("sh").as("sb"))), "b_id")
-      .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
+      // sets sorted at build — linear codegen'd two-pointer scan per pair
+      .withColumn("i", expr("graft_isect_size(sa, sb)"))
       .withColumn("jacc",
         col("i").cast("double") / (size(col("sa")) + size(col("sb")) - col("i")))
       .filter(col("jacc") >= threshold)
