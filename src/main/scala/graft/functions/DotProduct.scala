@@ -102,6 +102,13 @@ object GraftFunctions {
     SortedIntersectSize(children.head, children(1))
   }
 
+  val simHashInfo = new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64")
+
+  val simHashBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 1, "graft_simhash64 expects exactly 1 argument")
+    SimHash64(children.head)
+  }
+
   /** Imperative, idempotent registration into an existing session (used by
     * the operators so any session works, not just extension-built ones).
     */
@@ -112,6 +119,8 @@ object GraftFunctions {
       .createOrReplaceTempFunction("graft_hp_sums", hpSumsBuilder, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("graft_isect_size", isectBuilder, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("graft_simhash64", simHashBuilder, "built-in")
   }
 }
 
@@ -124,5 +133,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_dot"), GraftFunctions.dotInfo, GraftFunctions.dotBuilder))
     ext.injectFunction((FunctionIdentifier("graft_hp_sums"), GraftFunctions.hpSumsInfo, GraftFunctions.hpSumsBuilder))
     ext.injectFunction((FunctionIdentifier("graft_isect_size"), GraftFunctions.isectInfo, GraftFunctions.isectBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_simhash64"), GraftFunctions.simHashInfo, GraftFunctions.simHashBuilder))
   }
 }

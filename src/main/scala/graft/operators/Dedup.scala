@@ -194,29 +194,18 @@ object Dedup {
     * bitstring slices. The fingerprint itself is the oracle-gated output —
     * engine-independent by construction (md5 + integer ops only).
     */
-  def simHash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    docs
-      .select(col(idCol).as("id"), explode(array_distinct(split(col(textCol), " "))).as("w"))
-      // md5 ONCE per distinct token — the digest is materialized as its own
-      // column before the position explode (was: md5(w) inside the 64-way
-      // explode = 64 digests per token; d6 27.3s -> the digest count is the
-      // hot cost). The 16-nibble unpack reads the already-computed digest,
-      // and everything after the explode is integer shift/mask.
-      .withColumn("h", md5(col("w")))
-      .select(col("id"), posexplode(expr(
-        "transform(sequence(0, 15), i -> CAST(conv(substring(h, i + 1, 1), 16, 10) AS INT))"))
-        .as(Seq("np", "nib")))
-      .select(col("id"), col("np"), col("nib"), explode(expr("sequence(0, 3)")).as("k"))
-      .withColumn("pos", expr("np * 4 + k"))
-      .withColumn("contrib", expr("2 * (shiftright(nib, 3 - k) & 1) - 1"))
-      .groupBy(col("id"), col("pos"))
-      .agg(sum("contrib").as("s"))
-      .withColumn("bit", when(col("s") >= 0, lit("1")).otherwise(lit("0")))
-      .groupBy(col("id"))
-      .agg(array_join(
-        expr("transform(array_sort(collect_list(struct(pos, bit))), x -> x.bit)"), "")
-        .as("simhash"))
-      .select(col("id").as("doc_id"), col("simhash"))
+  def simHash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // Whole fingerprint in one map-only native pass (tokens split, deduped,
+    // digested and bit-accumulated per row — see
+    // [[graft.functions.SimHash64]]). The declarative form shuffled 64 rows
+    // per (doc, token) — ~48M at sf0.1 — through two aggregations to build
+    // sums that fit in one 64-slot array per document. Per-bit integer sums
+    // are order-insensitive, so the result is bit-identical to the SQL
+    // formulation (pinned in DedupSpec) and the DuckDB oracle.
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col(idCol).as("doc_id"),
+      expr(s"graft_simhash64($textCol)").as("simhash"))
+  }
 
   /** SimHash near-dup pairing: pairs of documents whose 64-bit
     * [[simHash]] fingerprints differ in at most `maxHamming` bits.
