@@ -109,6 +109,15 @@ object GraftFunctions {
     SimHash64(children.head)
   }
 
+  val minHashInfo = new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash")
+
+  val minHashBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2, "graft_minhash expects (shingles, numHashes)")
+    require(children(1).foldable, "graft_minhash numHashes must be a literal")
+    MinHashSignature(children.head,
+      children(1).eval().asInstanceOf[Number].intValue)
+  }
+
   /** Imperative, idempotent registration into an existing session (used by
     * the operators so any session works, not just extension-built ones).
     */
@@ -121,6 +130,8 @@ object GraftFunctions {
       .createOrReplaceTempFunction("graft_isect_size", isectBuilder, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("graft_simhash64", simHashBuilder, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("graft_minhash", minHashBuilder, "built-in")
   }
 }
 
@@ -134,5 +145,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_hp_sums"), GraftFunctions.hpSumsInfo, GraftFunctions.hpSumsBuilder))
     ext.injectFunction((FunctionIdentifier("graft_isect_size"), GraftFunctions.isectInfo, GraftFunctions.isectBuilder))
     ext.injectFunction((FunctionIdentifier("graft_simhash64"), GraftFunctions.simHashInfo, GraftFunctions.simHashBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_minhash"), GraftFunctions.minHashInfo, GraftFunctions.minHashBuilder))
   }
 }

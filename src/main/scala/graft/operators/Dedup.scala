@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Mersenne prime 2^31-1: modulus for the MinHash permutation family. */
-  private val P = 2147483647L
+  private val P = graft.functions.MinHashSignature.P
 
   /** Conf switch for the verify-stage doc-set joins: `true` (default) ships
     * the per-doc shingle/word sets to every executor as a broadcast — optimal
@@ -41,14 +41,13 @@ object Dedup {
     else df
 
   /** Deterministic affine-permutation coefficients (Knuth multiplicative
-    * constant; any fixed family works — this one is pinned by tests).
+    * constant; any fixed family works — this one is pinned by tests). Now
+    * owned by [[graft.functions.MinHashSignature.coeffs]].
     */
-  private def hashCoeffs(n: Int): Seq[(Long, Long)] =
-    (0 until n).map { i =>
-      val a = (2654435761L * (i + 1)) % P
-      val b = (40503L * (i + 1) * (i + 1) + 1) % P
-      (if (a == 0L) 1L else a, b)
-    }
+  private[operators] def hashCoeffs(n: Int): Seq[(Long, Long)] = {
+    val (as, bs) = graft.functions.MinHashSignature.coeffs(n)
+    as.toSeq.zip(bs.toSeq)
+  }
 
   /** SQL expr: distinct `n`-word shingles of a whitespace-tokenized text
     * column; empty array when the text has fewer than `n` tokens.
@@ -136,19 +135,17 @@ object Dedup {
         .as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val hashed = sets
-      .select(col("id"), explode(col("sh")).as("v"))
-      .withColumn("h", expr(s"pmod(v, $P)"))
-
-    val aggs = hashCoeffs(numHashes).zipWithIndex.map { case ((a, b), i) =>
-      min(expr(s"($a * h + $b) % $P")).as(s"m$i")
-    }
-    val sig = hashed.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    // Full signature in one map-only native pass per document
+    // ([[graft.functions.MinHashSignature]], same affine family term for
+    // term) — the declarative form exploded every (doc, shingle) pair and
+    // ran 64 simultaneous min aggregates through a shuffle.
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sig = sets.select(col("id"), expr(s"graft_minhash(sh, $numHashes)").as("m"))
 
     val bandCols = (0 until bands).map { j =>
       struct(
         lit(j).as("band"),
-        concat_ws("_", (0 until rows).map(r => col(s"m${j * rows + r}")): _*).as("key"))
+        concat_ws("_", (0 until rows).map(r => expr(s"m[${j * rows + r}]")): _*).as("key"))
     }
     val banded = sig
       .select(col("id"), explode(array(bandCols: _*)).as("b"))
