@@ -350,6 +350,15 @@ object SparkEntry {
     }),
     // C4 — connectivity probe (SELECT 1, main.py:310-328).
     "c4_health" -> ((s, _) => s.sql("SELECT 1 AS ok")),
+    // S6 — JSONL round-trip: parquet → JSON lines → schema'd read (typed,
+    // single pass, no inference job).
+    "s6_jsonl_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_jsonl_rt").toString + "/nation"
+      val src = t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+      graft.sources.JsonIngest.writeJsonl(src, out)
+      graft.sources.JsonIngest.readJsonl(s, out, src.schema)
+    }),
     // S3+S4 — the import flow end-to-end: parquet → CSV → all-string read →
     // createIfNotExists + append (importInto) → scan the managed table.
     "s3_import_roundtrip" -> ((s, dir) => {
@@ -821,6 +830,9 @@ object SparkEntry {
     "c4_health" -> "SELECT 1 AS ok",
     "s3_import_roundtrip" ->
       ("SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name, " +
-        "CAST(n_regionkey AS VARCHAR) AS n_regionkey FROM nation")
+        "CAST(n_regionkey AS VARCHAR) AS n_regionkey FROM nation"),
+    // Typed JSONL round-trip is lossless for (bigint, varchar, bigint).
+    "s6_jsonl_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation"
   )
 }

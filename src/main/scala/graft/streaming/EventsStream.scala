@@ -24,6 +24,9 @@ import org.apache.spark.sql.types._
   *    stream's state finite. Late-data semantics are pinned in
   *    StreamingSpec with a MemoryStream.
   */
+/** Typed state for [[EventsStream.userRunningTotals]]. */
+final case class UserTotals(n: Long, valueMilli: Long)
+
 object EventsStream {
 
   /** Output/checkpoint scratch dirs, deleted recursively at JVM exit —
@@ -132,6 +135,40 @@ object EventsStream {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("value_milli"))
+
+  /** Per-user running totals via explicit typed state
+    * (`mapGroupsWithState`) — the custom-state streaming shape for logic
+    * windowed aggregates can't express (counters, ML feature state,
+    * session-scoped models). State is one [[UserTotals]] per key, updated
+    * per micro-batch and emitted in Update mode; at scale the state store
+    * is partitioned by the (high-cardinality) user key, so per-task state
+    * stays bounded. Production deployments add a timeout
+    * (`GroupStateTimeout.ProcessingTimeTimeout` + `state.remove()`) to
+    * retire idle keys; the replay/backfill form here keeps all keys live.
+    * Works identically on a batch Dataset (tested both ways —
+    * EventsStreamSpec pins the streaming semantics with a MemoryStream).
+    */
+  def userRunningTotals(
+      events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row])
+      : org.apache.spark.sql.DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    events
+      .selectExpr("user_id", "CAST(round(value * 1000) AS BIGINT) AS vm")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(0L, 0L))
+          var n = prev.n
+          var v = prev.valueMilli
+          rows.foreach { r => n += 1; v += r._2 }
+          state.update(UserTotals(n, v))
+          (user, n, v)
+      }
+      .toDF("user_id", "n_events", "value_milli")
+  }
 
   /** Replay the on-disk events through the streaming engine with
     * Trigger.AvailableNow and return the final aggregate as a batch frame.

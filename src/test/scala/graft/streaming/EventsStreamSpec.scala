@@ -35,6 +35,39 @@ class EventsStreamSpec extends SparkSpec {
     assert(out.exceptAll(expect).isEmpty && expect.exceptAll(out).isEmpty)
   }
 
+  test("userRunningTotals: mapGroupsWithState carries state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Double)]
+    val events = input.toDF().toDF("event_id", "user_id", "value")
+    val q = EventsStream.userRunningTotals(events)
+      .writeStream.format("memory").queryName("graft_mgws")
+      .outputMode("update").start()
+    try {
+      input.addData((1L, 7L, 1.0), (2L, 7L, 2.0), (3L, 8L, 5.0))
+      q.processAllAvailable()
+      val b1 = spark.table("graft_mgws").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(b1.contains((7L, 2L, 3000L)) && b1.contains((8L, 1L, 5000L)))
+      // second batch: state for user 7 must carry (2 events, 3000 milli)
+      input.addData((4L, 7L, 0.5))
+      q.processAllAvailable()
+      val last = spark.table("graft_mgws").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .filter(_._1 == 7L).maxBy(_._2)
+      assert(last == ((7L, 3L, 3500L)))
+    } finally q.stop()
+  }
+
+  test("userRunningTotals on a batch frame equals groupBy totals") {
+    val ev = Tables.load(spark, sf, "events")
+    val got = EventsStream.userRunningTotals(ev)
+    val want = ev.groupBy("user_id").agg(
+      count(lit(1)).as("n_events"),
+      sum(expr("CAST(round(value * 1000) AS BIGINT)")).as("value_milli"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("readStream -> transform -> parquet writeStream round-trips (file sink e2e)") {
     val outDir = tmpDir("stream_sink") + "/out"
     val ckDir = tmpDir("stream_ck")
