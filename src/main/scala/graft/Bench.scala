@@ -23,7 +23,14 @@ object Bench {
     val cold = sys.env.get("SPARK_GRAFT_COLD").contains("1")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       spark.catalog.clearCache()
-      if (cold) SparkEntry.invalidateMemos(spark)
+      if (cold) {
+        SparkEntry.invalidateMemos(spark)
+        // checkpoint/persist blocks aren't touched by clearCache and are
+        // only GC'd lazily via ContextCleaner — unpersist eagerly so cold
+        // runs don't accumulate dead blocks that skew later entries
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>

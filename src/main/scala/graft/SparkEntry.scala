@@ -324,8 +324,7 @@ object SparkEntry {
     }),
     // All-string CSV round-trip (S1+S5): parquet → CSV → all-string read.
     "s1_csv_roundtrip" -> ((s, dir) => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_csv_rt").toString + "/nation"
+      val out = graft.core.TempDirs.create("graft_csv_rt") + "/nation"
       val src = t(s, dir, "nation")
       graft.sources.CsvIngest.writeCsv(src, out)
       graft.sources.CsvIngest.readAllString(s, out)
@@ -353,8 +352,7 @@ object SparkEntry {
     // S6 — JSONL round-trip: parquet → JSON lines → schema'd read (typed,
     // single pass, no inference job).
     "s6_jsonl_roundtrip" -> ((s, dir) => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_jsonl_rt").toString + "/nation"
+      val out = graft.core.TempDirs.create("graft_jsonl_rt") + "/nation"
       val src = t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
       graft.sources.JsonIngest.writeJsonl(src, out)
       graft.sources.JsonIngest.readJsonl(s, out, src.schema)
@@ -362,8 +360,7 @@ object SparkEntry {
     // S3+S4 — the import flow end-to-end: parquet → CSV → all-string read →
     // createIfNotExists + append (importInto) → scan the managed table.
     "s3_import_roundtrip" -> ((s, dir) => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_import_rt").toString + "/nation"
+      val out = graft.core.TempDirs.create("graft_import_rt") + "/nation"
       val src = t(s, dir, "nation")
       graft.sources.CsvIngest.writeCsv(src, out)
       val csv = graft.sources.CsvIngest.readAllString(s, out)
@@ -706,19 +703,19 @@ object SparkEntry {
         "m AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(hs) - 4 + 1), " +
         "j -> list_min(hs[j:j+3]))) AS fps FROM h WHERE len(hs) >= 4) " +
         "SELECT doc_id, unnest(fps) AS fp FROM m"),
-    // Linear idf (tf·N·1e6 div df) — exact integer scoring, see
+    // Linear idf (tf·1e6 div df — N is constant per lang partition, so the
+    // ranking equals tf·N/df without its 64-bit overflow); see
     // TextAnalysis.topTermsTfIdf for why ln-idf isn't oracle-safe.
     "x9_tfidf_terms" ->
       ("WITH toks AS (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
-        "st AS (SELECT lang, token, count(*) AS tf, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1, 2), " +
-        "n AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1) " +
+        "st AS (SELECT lang, token, count(*) AS tf, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1, 2) " +
         "SELECT lang, token, tf, df, score_micro, rank FROM (" +
-        "SELECT st.lang AS lang, st.token AS token, CAST(st.tf AS BIGINT) AS tf, " +
-        "CAST(st.df AS BIGINT) AS df, " +
-        "CAST(st.tf * n.n_docs * 1000000 // st.df AS BIGINT) AS score_micro, " +
-        "CAST(row_number() OVER (PARTITION BY st.lang " +
-        "ORDER BY st.tf * n.n_docs * 1000000 // st.df DESC, st.token) AS BIGINT) AS rank " +
-        "FROM st JOIN n ON st.lang = n.lang) WHERE rank <= 10"),
+        "SELECT lang, token, CAST(tf AS BIGINT) AS tf, " +
+        "CAST(df AS BIGINT) AS df, " +
+        "CAST(tf * 1000000 // df AS BIGINT) AS score_micro, " +
+        "CAST(row_number() OVER (PARTITION BY lang " +
+        "ORDER BY tf * 1000000 // df DESC, token) AS BIGINT) AS rank " +
+        "FROM st) WHERE rank <= 10"),
     "x10_repetition" ->
       ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
         "tot AS (SELECT doc_id, greatest(len(t) - 2, 0) AS n_ngrams FROM toks), " +

@@ -1,0 +1,34 @@
+package graft.core
+
+/** Scratch directories deleted recursively at JVM exit — every round-trip
+  * entry, streaming sink, and spill path shares this so repeated
+  * bench/verify/test runs don't accumulate data under /tmp. (Eager
+  * post-read deletion is impossible for most callers: returned frames are
+  * lazy and read their files when the consumer finally acts on them.)
+  */
+object TempDirs {
+
+  private val dirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+
+  private lazy val hook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      dirs.forEach { d =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(d)
+            .sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala
+            .foreach(p => try java.nio.file.Files.delete(p)
+                          catch { case _: Exception => () })
+        } catch { case _: Exception => () }
+      }))
+
+  /** Create a tracked scratch directory (deleted recursively at JVM exit). */
+  def create(prefix: String): String = {
+    hook
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    dirs.add(p)
+    p.toString
+  }
+}

@@ -89,11 +89,17 @@ object GraftFunctions {
       "graft_hp_sums expects (vector, bits, dim)")
     require(children(1).foldable && children(2).foldable,
       "graft_hp_sums bits/dim must be literals")
-    HyperplaneSums(
-      children.head,
-      children(1).eval().asInstanceOf[Number].intValue,
-      children(2).eval().asInstanceOf[Number].intValue)
+    HyperplaneSums(children.head,
+      intLiteral(children(1), "graft_hp_sums bits"),
+      intLiteral(children(2), "graft_hp_sums dim"))
   }
+
+  private def intLiteral(e: Expression, what: String): Int =
+    e.eval() match {
+      case n: Number => n.intValue
+      case other => throw new IllegalArgumentException(
+        s"$what must be a non-null integer literal, got $other")
+    }
 
   val isectInfo = new ExpressionInfo(classOf[SortedIntersectSize].getName, "graft_isect_size")
 
@@ -115,7 +121,7 @@ object GraftFunctions {
     require(children.length == 2, "graft_minhash expects (shingles, numHashes)")
     require(children(1).foldable, "graft_minhash numHashes must be a literal")
     MinHashSignature(children.head,
-      children(1).eval().asInstanceOf[Number].intValue)
+      intLiteral(children(1), "graft_minhash numHashes"))
   }
 
   /** Imperative, idempotent registration into an existing session (used by

@@ -202,12 +202,6 @@ object Analytics {
         .as("cum_revenue_centi"))
   }
 
-  /** Semi-structured column extraction: pull typed fields out of a JSON
-    * string column with JSONPath (`get_json_object`) — the pattern for
-    * event-property columns at scale (map-only, codegen'd, no shuffle;
-    * for repeated multi-field extraction prefer one `from_json` with an
-    * explicit schema over N path probes).
-    */
   /** Pivot (long → wide): per-user event counts, one column per event type.
     * The value list is EXPLICIT — with it, pivot is a single groupBy with
     * conditional aggregates (one shuffle, map-side partials); without it
@@ -225,6 +219,12 @@ object Analytics {
       .agg(count(lit(1)))
       .na.fill(0, types)
 
+  /** Semi-structured column extraction: pull typed fields out of a JSON
+    * string column with JSONPath (`get_json_object`) — the pattern for
+    * event-property columns at scale (map-only, codegen'd, no shuffle;
+    * for repeated multi-field extraction prefer one `from_json` with an
+    * explicit schema over N path probes).
+    */
   def propsExtract(events: DataFrame): DataFrame =
     events.select(
       col("event_id"),

@@ -200,8 +200,12 @@ object Dedup {
     // are order-insensitive, so the result is bit-identical to the SQL
     // formulation (pinned in DedupSpec) and the DuckDB oracle.
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    docs.select(col(idCol).as("doc_id"),
-      expr(s"graft_simhash64($textCol)").as("simhash"))
+    docs
+      // NULL text produces no fingerprint — same cardinality as the
+      // explode-based formulation (and the oracle), which dropped such rows
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        expr(s"graft_simhash64($textCol)").as("simhash"))
   }
 
   /** SimHash near-dup pairing: pairs of documents whose 64-bit
@@ -351,6 +355,10 @@ object Dedup {
     val rows = bits / bands
     graft.functions.GraftFunctions.register(v.sparkSession)
     v
+      // empty/NULL vectors carry no signature — excluded from banding
+      // (the SQL sum-of-no-terms is NULL where the native loop yields 0;
+      // neither is a meaningful bucket, so neither engine sees such rows)
+      .filter(col("v").isNotNull && size(col("v")) > 0)
       .select(col("id"), expr(s"graft_hp_sums(v, $bits, $dim)").as("sums"))
       .select(col("id"), posexplode(expr(
         s"""transform(sequence(0, ${bands - 1}), b ->

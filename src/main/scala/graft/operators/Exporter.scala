@@ -100,7 +100,7 @@ object Exporter {
           head.length.toLong, sql, "success", Some(now()))
       else {
         val dir = spillDir.getOrElse(
-          java.nio.file.Files.createTempDirectory("graft_export_").toString)
+          graft.core.TempDirs.create("graft_export_"))
         val n = graft.sources.CsvIngest.writeCsvCounted(df, dir, delimiter)
         graft.sources.CsvIngest.bomPrefixParts(dir)
         ExportResult("success", "", n, sql, "success", Some(now()), Some(dir))

@@ -159,30 +159,31 @@ object TextAnalysis {
   }
 
   /** Top-k corpus terms per language by tf·idf with a LINEAR idf
-    * (score = tf · N / df, micro-scaled): `ln`-based idf is deliberately
+    * (score = tf / df, micro-scaled): `ln`-based idf is deliberately
     * avoided because transcendental functions aren't bit-identical across
-    * engines — the linear variant ranks identically for fixed N and keeps
-    * every value exact integer math. Explode → one (lang, token) partial-agg
-    * shuffle → broadcast-joined per-lang doc counts → per-lang top-k window
-    * over the (small) distinct-term relation. At web-corpus scale the
-    * explode's map-side partial agg is what keeps the shuffle proportional
-    * to the VOCABULARY, not the token stream.
+    * engines, and the classic N·tf/df product overflows 64-bit integers at
+    * web-corpus tf·N magnitudes. Within a language partition N is CONSTANT,
+    * so ranking by tf·1e6 div df is order-identical to tf·N·1e6/df while
+    * tf·1e6 stays < 2⁶³ for any physical tf. Explode → one (lang, token)
+    * partial-agg shuffle → per-lang top-k window over the (small)
+    * distinct-term relation. At web-corpus scale the explode's map-side
+    * partial agg is what keeps the shuffle proportional to the VOCABULARY,
+    * not the token stream.
     */
   def topTermsTfIdf(
       docs: DataFrame,
       k: Int = 10,
       textCol: String = "text",
-      langCol: String = "lang"): DataFrame = {
+      langCol: String = "lang",
+      idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(
-      col(langCol), col("doc_id"),
+      col(langCol), col(idCol),
       explode(split(col(textCol), " ")).as("token"))
-    val stats = toks
+    toks
       .groupBy(langCol, "token")
-      .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("df"))
-    val n = broadcast(docs.groupBy(langCol).agg(count(lit(1)).as("n_docs")))
-    stats.join(n, langCol)
-      .withColumn("score_micro", expr("tf * n_docs * 1000000L div df"))
+      .agg(count(lit(1)).as("tf"), countDistinct(idCol).as("df"))
+      .withColumn("score_micro", expr("tf * 1000000L div df"))
       .withColumn("rank",
         row_number().over(
           Window.partitionBy(langCol)

@@ -29,33 +29,11 @@ final case class UserTotals(n: Long, valueMilli: Long)
 
 object EventsStream {
 
-  /** Output/checkpoint scratch dirs, deleted recursively at JVM exit —
-    * repeated bench/verify/test runs must not accumulate parquet and state
-    * under /tmp. (Eager post-read deletion is impossible: the returned frame
-    * is lazy and reads the files when the caller finally acts on it.)
+  /** Output/checkpoint scratch dirs — JVM-exit-cleaned via
+    * [[graft.core.TempDirs]] (shared with the source round-trip entries).
     */
-  private val tmpDirs =
-    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
-
-  private lazy val cleanupHook: Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      tmpDirs.forEach { d =>
-        try {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(d)
-            .sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala
-            .foreach(p => try java.nio.file.Files.delete(p)
-                          catch { case _: Exception => () })
-        } catch { case _: Exception => () }
-      }))
-
-  private def tempDir(prefix: String): String = {
-    cleanupHook
-    val p = java.nio.file.Files.createTempDirectory(prefix)
-    tmpDirs.add(p)
-    p.toString
-  }
+  private def tempDir(prefix: String): String =
+    graft.core.TempDirs.create(prefix)
 
   /** Schema of the hourly aggregate frames, for reading the sink output back
     * without inference — a zero-batch run leaves the sink dir empty, where

@@ -134,12 +134,10 @@ class TextAnalysisSpec extends SparkSpec {
       col("a.lang") === col("b.lang") && (col("a.rank") < col("b.rank")) &&
         (col("a.score_micro") < col("b.score_micro"))).count()
     assert(badOrder == 0)
-    // score = tf * N / df scaled: df == tf for singleton-use terms means
-    // score == n_docs * 1e6; sanity-check the formula on one joined row
-    val n = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
-    val bad = out.join(n, "lang")
-      .filter(col("score_micro") =!=
-        expr("tf * n_docs * 1000000L div df")).count()
+    // score = tf·1e6 div df (N constant per lang ⇒ rank-equivalent to
+    // tf·N/df without its overflow); pin the formula on every output row
+    val bad = out.filter(col("score_micro") =!=
+      expr("tf * 1000000L div df")).count()
     assert(bad == 0)
   }
 }
