@@ -264,6 +264,24 @@ object SparkEntry {
     "d5_embedding_neardup" -> ((s, dir) =>
       graft.operators.Dedup.embeddingNearDup(
         graft.operators.Dedup.withPerturbedCopy(t(s, dir, "embeddings")))),
+    // Capstone: the full training-data pipeline as ONE composed query —
+    // near-dup cluster survivors (reusing the memoized d7 stage) → quality
+    // gate → deterministic split assignment → per-shard sequence packing.
+    // Every stage is an already-oracle-gated operator; the composition is
+    // itself value-gated end-to-end.
+    "p1_training_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val surv = dedupClusters(s, dir)
+        .filter(col("is_survivor") === 1).select(col("id").as("doc_id"))
+      val clean = docs.join(surv, "doc_id")
+      val kept = clean.join(
+        graft.operators.TextAnalysis.qualityScore(clean)
+          .filter(col("quality") >= 0.68).select("doc_id"),
+        "doc_id")
+      graft.operators.TextAnalysis.packSequences(kept)
+        .join(graft.operators.TextAnalysis.hashSplit(kept), "doc_id")
+        .select("doc_id", "source", "split", "n_tokens", "start_offset", "bin_id")
+    }),
     // ---- Text analysis over documents ----
     "x1_text_stats" -> ((s, dir) =>
       graft.operators.TextAnalysis.textStats(t(s, dir, "documents"))),
@@ -629,6 +647,36 @@ object SparkEntry {
         "surv AS (SELECT id FROM reach GROUP BY id HAVING id = min(r)) " +
         "SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d " +
         "JOIN surv ON d.doc_id = surv.id"),
+    // Capstone composition: d8's recursive-CTE survivor chain + x2's quality
+    // formula + x11's split thresholds + x12's packing windows, end-to-end.
+    "p1_training_pipeline" ->
+      ("WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "sh AS (SELECT doc_id, list(DISTINCT s) AS ss, count(DISTINCT s) AS n FROM (" +
+        "SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s " +
+        "FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)) GROUP BY doc_id), " +
+        "p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM sh a JOIN sh b " +
+        "ON a.doc_id < b.doc_id AND len(list_intersect(a.ss, b.ss)) * 1.0 / " +
+        "(a.n + b.n - len(list_intersect(a.ss, b.ss))) >= 0.6), " +
+        "e AS (SELECT a_id AS src, b_id AS dst FROM p UNION ALL SELECT b_id, a_id FROM p), " +
+        "reach(id, r) AS (SELECT doc_id, doc_id FROM documents " +
+        "UNION SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id), " +
+        "surv AS (SELECT id FROM reach GROUP BY id HAVING id = min(r)), " +
+        "clean AS (SELECT d.* FROM documents d JOIN surv ON d.doc_id = surv.id), " +
+        "kept AS (SELECT * FROM clean WHERE " +
+        "round(0.5 * round(len(list_distinct(string_split(text, ' '))) * 1.0 / " +
+        "len(string_split(text, ' ')), 4) + 0.5 * (1 - " +
+        "round(len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a')) * 1.0 / " +
+        "len(string_split(text, ' ')), 4)), 6) >= 0.68), " +
+        "b AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) * 100 " +
+        "< 80 * 4294967296 THEN 'train' " +
+        "WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) * 100 " +
+        "< 90 * 4294967296 THEN 'val' ELSE 'test' END AS split FROM kept), " +
+        "c2 AS (SELECT doc_id, source, split, n_tokens, " +
+        "CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id " +
+        "ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset FROM b) " +
+        "SELECT doc_id, source, split, n_tokens, start_offset, " +
+        "CAST(start_offset // 2048 AS BIGINT) AS bin_id FROM c2"),
     "d5_embedding_neardup" ->
       ("WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
         "FROM embeddings), " +

@@ -125,6 +125,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.filter(col("bin_id") =!= expr("start_offset div 2048")).count() == 0)
   }
 
+  test("p1 pipeline: stages compose consistently (subset chain, exact packing)") {
+    val out = graft.SparkEntry.queries("p1_training_pipeline")(spark, sf).cache()
+    val d8 = graft.SparkEntry.queries("d8_clean_corpus")(spark, sf)
+    // pipeline output ⊆ cleaned corpus, and per-shard offsets are contiguous
+    assert(out.count() <= d8.count() && out.count() > 0)
+    assert(out.join(d8.select("doc_id"), Seq("doc_id"), "left_anti").count() == 0)
+    val perShard = out.groupBy("source").agg(
+      min("start_offset").as("mn"),
+      max(col("start_offset") + col("n_tokens")).as("end"),
+      sum("n_tokens").as("tot"))
+    assert(perShard.filter(col("mn") =!= 0 || col("end") =!= col("tot")).count() == 0)
+    assert(out.filter(!col("split").isin("train", "val", "test")).count() == 0)
+  }
+
   test("topTermsTfIdf: k rows per lang, ranked by score, rare terms outrank") {
     val out = TextAnalysis.topTermsTfIdf(docs, k = 10).cache()
     val perLang = out.groupBy("lang").count().collect()
