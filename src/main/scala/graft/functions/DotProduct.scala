@@ -115,6 +115,14 @@ object GraftFunctions {
     SimHash64(children.head)
   }
 
+  val winnowInfo = new ExpressionInfo(classOf[WinnowFingerprints].getName, "graft_winnow")
+
+  val winnowBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2, "graft_winnow expects (text, w)")
+    require(children(1).foldable, "graft_winnow w must be a literal")
+    WinnowFingerprints(children.head, intLiteral(children(1), "graft_winnow w"))
+  }
+
   val minHashInfo = new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash")
 
   val minHashBuilder: Seq[Expression] => Expression = { children =>
@@ -138,6 +146,8 @@ object GraftFunctions {
       .createOrReplaceTempFunction("graft_simhash64", simHashBuilder, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("graft_minhash", minHashBuilder, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("graft_winnow", winnowBuilder, "built-in")
   }
 }
 
@@ -152,5 +162,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_isect_size"), GraftFunctions.isectInfo, GraftFunctions.isectBuilder))
     ext.injectFunction((FunctionIdentifier("graft_simhash64"), GraftFunctions.simHashInfo, GraftFunctions.simHashBuilder))
     ext.injectFunction((FunctionIdentifier("graft_minhash"), GraftFunctions.minHashInfo, GraftFunctions.minHashBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_winnow"), GraftFunctions.winnowInfo, GraftFunctions.winnowBuilder))
   }
 }

@@ -140,22 +140,15 @@ object TextAnalysis {
       w: Int = 4,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    // hash sequence materialized ONCE per doc before windowing — inlining
-    // it into the per-window slice would re-run every md5 per window
-    // (O(shingles x windows) hashing; measured 100s+ at sf0.1)
-    val hashSeq =
-      s"""CASE WHEN size(split($textCol, ' ')) >= 3
-          THEN transform(sequence(0, size(split($textCol, ' ')) - 3),
-               i -> md5(array_join(slice(split($textCol, ' '), i + 1, 3), ' ')))
-          ELSE CAST(array() AS ARRAY<STRING>) END"""
+    // One native per-row pass ([[graft.functions.WinnowFingerprints]]):
+    // shingle digests + sliding minima + distinct, no interpreted HOF
+    // slices (the declarative form ran array_min(slice(hs, j, w)) per
+    // window through the boxed path — O(windows·w) with an allocation per
+    // window). Bit-identical output, pinned in spec.
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
-      .select(col(idCol), expr(hashSeq).as("hs"))
-      // guard: Spark's sequence(1, 0) is the DESCENDING [1, 0], not empty —
-      // docs with fewer windows than w must yield zero fingerprints
-      .filter(size(col("hs")) >= w)
-      .select(col(idCol), explode(expr(
-        s"array_distinct(transform(sequence(1, size(hs) - $w + 1), j -> array_min(slice(hs, j, $w))))"))
-        .as("fp"))
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(expr(s"graft_winnow($textCol, $w)")).as("fp"))
   }
 
   /** Top-k corpus terms per language by tf·idf with a LINEAR idf
