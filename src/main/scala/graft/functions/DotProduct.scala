@@ -123,6 +123,13 @@ object GraftFunctions {
     WinnowFingerprints(children.head, intLiteral(children(1), "graft_winnow w"))
   }
 
+  val tokenCountsInfo = new ExpressionInfo(classOf[TokenCounts].getName, "graft_token_counts")
+
+  val tokenCountsBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 1, "graft_token_counts expects exactly 1 argument")
+    TokenCounts(children.head)
+  }
+
   val minHashInfo = new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash")
 
   val minHashBuilder: Seq[Expression] => Expression = { children =>
@@ -148,6 +155,8 @@ object GraftFunctions {
       .createOrReplaceTempFunction("graft_minhash", minHashBuilder, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("graft_winnow", winnowBuilder, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("graft_token_counts", tokenCountsBuilder, "built-in")
   }
 }
 
@@ -163,5 +172,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_simhash64"), GraftFunctions.simHashInfo, GraftFunctions.simHashBuilder))
     ext.injectFunction((FunctionIdentifier("graft_minhash"), GraftFunctions.minHashInfo, GraftFunctions.minHashBuilder))
     ext.injectFunction((FunctionIdentifier("graft_winnow"), GraftFunctions.winnowInfo, GraftFunctions.winnowBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_token_counts"), GraftFunctions.tokenCountsInfo, GraftFunctions.tokenCountsBuilder))
   }
 }

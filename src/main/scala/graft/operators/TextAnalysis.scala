@@ -170,12 +170,16 @@ object TextAnalysis {
       langCol: String = "lang",
       idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(
-      col(langCol), col(idCol),
-      explode(split(col(textCol), " ")).as("token"))
-    toks
+    // per-row token pre-aggregation ([[graft.functions.TokenCounts]]):
+    // one shuffled row per DISTINCT token per doc instead of per token
+    // occurrence, and df becomes a plain count(1) — no distinct-expand
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(langCol),
+        explode(expr(s"graft_token_counts($textCol)")).as(Seq("token", "c")))
       .groupBy(langCol, "token")
-      .agg(count(lit(1)).as("tf"), countDistinct(idCol).as("df"))
+      .agg(sum("c").cast("long").as("tf"), count(lit(1)).as("df"))
       .withColumn("score_micro", expr("tf * 1000000L div df"))
       .withColumn("rank",
         row_number().over(
