@@ -130,6 +130,14 @@ object GraftFunctions {
     TokenCounts(children.head)
   }
 
+  val ngramInfo = new ExpressionInfo(classOf[NgramHashes].getName, "graft_ngram_hashes")
+
+  val ngramBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2, "graft_ngram_hashes expects (text, n)")
+    require(children(1).foldable, "graft_ngram_hashes n must be a literal")
+    NgramHashes(children.head, intLiteral(children(1), "graft_ngram_hashes n"))
+  }
+
   val minHashInfo = new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash")
 
   val minHashBuilder: Seq[Expression] => Expression = { children =>
@@ -157,6 +165,8 @@ object GraftFunctions {
       .createOrReplaceTempFunction("graft_winnow", winnowBuilder, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("graft_token_counts", tokenCountsBuilder, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("graft_ngram_hashes", ngramBuilder, "built-in")
   }
 }
 
@@ -173,5 +183,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_minhash"), GraftFunctions.minHashInfo, GraftFunctions.minHashBuilder))
     ext.injectFunction((FunctionIdentifier("graft_winnow"), GraftFunctions.winnowInfo, GraftFunctions.winnowBuilder))
     ext.injectFunction((FunctionIdentifier("graft_token_counts"), GraftFunctions.tokenCountsInfo, GraftFunctions.tokenCountsBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_ngram_hashes"), GraftFunctions.ngramInfo, GraftFunctions.ngramBuilder))
   }
 }

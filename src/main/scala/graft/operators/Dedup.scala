@@ -280,17 +280,17 @@ object Dedup {
       ngram: Int = 5,
       threshold: Double = 0.5): DataFrame = {
     // fused shingle+hash: one HOF pass, no intermediate string array
-    // sorted once at build (persisted) for the two-pointer verify scan
-    val hashedGrams =
-      s"""CASE WHEN length($textCol) >= $ngram
-          THEN array_sort(array_distinct(transform(sequence(1, length($textCol) - ${ngram - 1}),
-               i -> xxhash64(substring($textCol, i, $ngram)))))
-          ELSE CAST(array() AS ARRAY<BIGINT>) END"""
+    // one native per-row pass ([[graft.functions.NgramHashes]]): hash every
+    // gram (zero-alloc for ASCII), sort + dedup on primitive longs — the
+    // declarative transform ran its lambda per gram through the interpreted
+    // HOF path with a substring allocation each. Sorted output feeds the
+    // two-pointer verify scan directly.
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     // persisted for the same reason as in minHashNearDup: read by the slim
     // pair join and both verify broadcasts
     val sets = docs.select(
       (col(idCol).as("id") +: blockCols.map(col)) :+
-        expr(hashedGrams).as("sh"): _*)
+        expr(s"graft_ngram_hashes($textCol, $ngram)").as("sh"): _*)
       .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Pair generation carries ONLY (block, id, |sh|): the heavy arrays never
