@@ -138,6 +138,14 @@ object GraftFunctions {
     NgramHashes(children.head, intLiteral(children(1), "graft_ngram_hashes n"))
   }
 
+  val wordShingleInfo = new ExpressionInfo(classOf[WordShingleHashes].getName, "graft_word_shingles")
+
+  val wordShingleBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2, "graft_word_shingles expects (text, n)")
+    require(children(1).foldable, "graft_word_shingles n must be a literal")
+    WordShingleHashes(children.head, intLiteral(children(1), "graft_word_shingles n"))
+  }
+
   val minHashInfo = new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash")
 
   val minHashBuilder: Seq[Expression] => Expression = { children =>
@@ -167,6 +175,8 @@ object GraftFunctions {
       .createOrReplaceTempFunction("graft_token_counts", tokenCountsBuilder, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("graft_ngram_hashes", ngramBuilder, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("graft_word_shingles", wordShingleBuilder, "built-in")
   }
 }
 
@@ -184,5 +194,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_winnow"), GraftFunctions.winnowInfo, GraftFunctions.winnowBuilder))
     ext.injectFunction((FunctionIdentifier("graft_token_counts"), GraftFunctions.tokenCountsInfo, GraftFunctions.tokenCountsBuilder))
     ext.injectFunction((FunctionIdentifier("graft_ngram_hashes"), GraftFunctions.ngramInfo, GraftFunctions.ngramBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_word_shingles"), GraftFunctions.wordShingleInfo, GraftFunctions.wordShingleBuilder))
   }
 }

@@ -106,15 +106,12 @@ object Dedup {
     val rows = numHashes / bands
 
     // Shingles carried as longs end-to-end: each TOKEN is xxhash64'd once,
-    // and a shingle's identity is the variadic xxhash64 of its tokens'
-    // hashes — no per-shingle string building, ~shingleWords-fold fewer
-    // character hashes, 8 bytes per shingle through every shuffle, and no
-    // arithmetic that could trip ANSI overflow. Collisions are ~2^-64: the
+    // a shingle's identity is the chained xxhash64 of its tokens' hashes —
+    // 8 bytes per shingle through every shuffle, collisions ~2^-64, so the
     // exact-Jaccard verify on these longs equals the string-shingle
-    // Jaccard. (Lambda bodies stay tiny — HOF lambdas are interpreted;
-    // string-concat bodies measured 2x slower at sf0.1.)
-    val combineArgs = (0 until shingleWords)
-      .map(j => s"element_at(th, i + ${j + 1})").mkString(", ")
+    // Jaccard. The whole set (token hashes, shingle combine, sort, dedup)
+    // is ONE native per-row pass ([[graft.functions.WordShingleHashes]]);
+    // sorted output feeds the two-pointer graft_isect_size verify directly.
     // Deliberately persisted (Spark-ML-style): the DAG reads `sets` four
     // times (signature path + both verify broadcasts); without a persist
     // the shingle computation re-runs each time (d2: 7.2s -> 2.7s at
@@ -123,16 +120,12 @@ object Dedup {
     // LRU-evicted but DISK blocks live until session end. Long-lived
     // sessions calling this repeatedly should spark.catalog.clearCache()
     // between batches.
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val sets = docs
+      .filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
-        expr(s"transform(split($textCol, ' '), w -> xxhash64(w))").as("th"))
-      .filter(size(col("th")) >= shingleWords)
-      // sorted ONCE here (persisted) so every pairwise verification can run
-      // the linear two-pointer graft_isect_size scan instead of building a
-      // hash set per candidate pair (see SortedIntersectSize)
-      .select(col("id"), expr(
-        s"array_sort(array_distinct(transform(sequence(0, size(th) - $shingleWords), i -> xxhash64($combineArgs))))")
-        .as("sh"))
+        expr(s"graft_word_shingles($textCol, $shingleWords)").as("sh"))
+      .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Full signature in one map-only native pass per document
