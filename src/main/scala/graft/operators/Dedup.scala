@@ -121,12 +121,15 @@ object Dedup {
     // sessions calling this repeatedly should spark.catalog.clearCache()
     // between batches.
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    // the empties filter sits ABOVE the persist: below it, Catalyst pushes
+    // size(sh) > 0 under the projection by substituting sh's definition,
+    // re-evaluating the whole shingle pass per row (verified in the plan)
     val sets = docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
         expr(s"graft_word_shingles($textCol, $shingleWords)").as("sh"))
-      .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .filter(size(col("sh")) > 0)
 
     // Full signature in one map-only native pass per document
     // ([[graft.functions.MinHashSignature]], same affine family term for
@@ -280,12 +283,14 @@ object Dedup {
     // two-pointer verify scan directly.
     graft.functions.GraftFunctions.register(docs.sparkSession)
     // persisted for the same reason as in minHashNearDup: read by the slim
-    // pair join and both verify broadcasts
+    // pair join and both verify broadcasts; the empties filter sits ABOVE
+    // the persist so Catalyst can't substitute sh's definition into it and
+    // re-run the gram pass per row
     val sets = docs.select(
       (col(idCol).as("id") +: blockCols.map(col)) :+
         expr(s"graft_ngram_hashes($textCol, $ngram)").as("sh"): _*)
-      .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .filter(size(col("sh")) > 0)
     // Pair generation carries ONLY (block, id, |sh|): the heavy arrays never
     // ride the pair join (one copy per pair = the dominant shuffle cost
     // otherwise). Size-ratio prefilter: J(A,B) <= min/max sizes, so pairs
