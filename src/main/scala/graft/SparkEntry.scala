@@ -264,6 +264,22 @@ object SparkEntry {
     "d5_embedding_neardup" -> ((s, dir) =>
       graft.operators.Dedup.embeddingNearDup(
         graft.operators.Dedup.withPerturbedCopy(t(s, dir, "embeddings")))),
+    // Train/test contamination check: test-split documents sharing a
+    // winnowing fingerprint with any train-split document (eval-leakage
+    // detection — x11's split composed with x7's fingerprints; one shuffle
+    // equi-join on the high-cardinality fingerprint).
+    "p2_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tagged = graft.operators.TextAnalysis.winnow(docs)
+        .join(graft.operators.TextAnalysis.hashSplit(docs), "doc_id")
+      tagged.filter(col("split") === "test")
+        .select(col("fp"), col("doc_id").as("test_doc"))
+        .join(
+          tagged.filter(col("split") === "train")
+            .select(col("fp"), col("doc_id").as("train_doc")),
+          "fp")
+        .select("test_doc", "train_doc").distinct()
+    }),
     // Capstone: the full training-data pipeline as ONE composed query —
     // near-dup cluster survivors (reusing the memoized d7 stage) → quality
     // gate → deterministic split assignment → per-shard sequence packing.
@@ -647,6 +663,24 @@ object SparkEntry {
         "surv AS (SELECT id FROM reach GROUP BY id HAVING id = min(r)) " +
         "SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d " +
         "JOIN surv ON d.doc_id = surv.id"),
+    // x7's winnow chain + x11's split thresholds, joined on fingerprint.
+    "p2_contamination" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "h AS (SELECT doc_id, list_transform(generate_series(1, len(t) - 2), " +
+        "i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS hs FROM toks WHERE len(t) >= 3), " +
+        "m AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(hs) - 4 + 1), " +
+        "j -> list_min(hs[j:j+3]))) AS fps FROM h WHERE len(hs) >= 4), " +
+        "fps AS (SELECT doc_id, unnest(fps) AS fp FROM m), " +
+        "sp AS (SELECT doc_id, CASE " +
+        "WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) * 100 " +
+        "< 80 * 4294967296 THEN 'train' " +
+        "WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) * 100 " +
+        "< 90 * 4294967296 THEN 'val' ELSE 'test' END AS split FROM documents), " +
+        "te AS (SELECT fp, f.doc_id AS test_doc FROM fps f JOIN sp ON f.doc_id = sp.doc_id " +
+        "WHERE sp.split = 'test'), " +
+        "tr AS (SELECT fp, f.doc_id AS train_doc FROM fps f JOIN sp ON f.doc_id = sp.doc_id " +
+        "WHERE sp.split = 'train') " +
+        "SELECT DISTINCT test_doc, train_doc FROM te JOIN tr ON te.fp = tr.fp"),
     // Capstone composition: d8's recursive-CTE survivor chain + x2's quality
     // formula + x11's split thresholds + x12's packing windows, end-to-end.
     "p1_training_pipeline" ->

@@ -125,6 +125,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.filter(col("bin_id") =!= expr("start_offset div 2048")).count() == 0)
   }
 
+  test("p2 contamination: pairs cross the split and share a fingerprint") {
+    val out = graft.SparkEntry.queries("p2_contamination")(spark, sf).cache()
+    val split = TextAnalysis.hashSplit(docs)
+    // every flagged test_doc is in 'test', every train_doc in 'train'
+    val sides = out
+      .join(split.withColumnRenamed("doc_id", "test_doc")
+        .withColumnRenamed("split", "ts"), "test_doc")
+      .join(split.withColumnRenamed("doc_id", "train_doc")
+        .withColumnRenamed("split", "rs"), "train_doc")
+    assert(sides.filter(col("ts") =!= "test" || col("rs") =!= "train").count() == 0)
+    // and each pair genuinely shares >= 1 winnow fingerprint
+    val fps = TextAnalysis.winnow(docs)
+    val shared = out
+      .join(fps.withColumnRenamed("doc_id", "test_doc"), "test_doc")
+      .join(fps.withColumnRenamed("doc_id", "train_doc")
+        .withColumnRenamed("fp", "fp2"), "train_doc")
+      .filter(col("fp") === col("fp2"))
+      .select("test_doc", "train_doc").distinct()
+    assert(out.exceptAll(shared).isEmpty)
+  }
+
   test("p1 pipeline: stages compose consistently (subset chain, exact packing)") {
     val out = graft.SparkEntry.queries("p1_training_pipeline")(spark, sf).cache()
     val d8 = graft.SparkEntry.queries("d8_clean_corpus")(spark, sf)
