@@ -125,6 +125,33 @@ object Joins {
     * relations. `updates` must be unique per key (enforce upstream);
     * column sets must match `base`'s.
     */
+  /** Salted equi-join for SKEWED key distributions: a hot key's rows land
+    * in one shuffle partition and serialize through one task; salting
+    * splits each left key into `salts` sub-keys (deterministically, from
+    * xxhash64 of a unique left column — no RNG state) and replicates the
+    * right side across all salts, so the hot key fans out over `salts`
+    * tasks. Result set is identical to the plain inner equi-join (pinned
+    * by spec). Cost: the right side shuffles `salts`× — use for
+    * many-to-one joins where the right side is modest but too big to
+    * broadcast and the left is heavily skewed. (AQE's skewJoin handles
+    * sort-merge skew automatically at runtime — [[graft.core.Engine]]
+    * enables it; this is the explicit form for when the optimizer can't,
+    * e.g. non-SMJ plans or pre-AQE engines.)
+    */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      salts: Int,
+      leftSeedCol: String): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(col(leftSeedCol)), lit(salts.toLong)).cast("int"))
+    val r = right.withColumn("__salt",
+      explode(expr(s"sequence(0, ${salts - 1})")))
+    l.join(r, Seq(keyCol, "__salt")).drop("__salt")
+  }
+
   def upsert(base: DataFrame, updates: DataFrame, keyCol: String): DataFrame = {
     require(base.columns.sameElements(updates.columns),
       "base and updates must share the same schema")

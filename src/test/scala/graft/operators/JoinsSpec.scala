@@ -104,6 +104,51 @@ class JoinsSpec extends SparkSpec {
     assert(out(9L) == (("new", 0.0)))         // inserted
   }
 
+  test("saltedJoin: identical result to the plain join on skewed data") {
+    import spark.implicits._
+    // heavy skew: 900 of 1000 left rows share key 1
+    val left = (1L to 1000L).map(i => (if (i <= 900) 1L else i, i))
+      .toDF("k", "row_id")
+    val right = Seq((1L, "hot"), (950L, "cold"), (2L, "unmatched-side"))
+      .toDF("k", "label")
+    val salted = Joins.saltedJoin(left, right, "k", salts = 8, leftSeedCol = "row_id")
+      .select("k", "row_id", "label")
+    val plain = left.join(right, "k").select("k", "row_id", "label")
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    assert(plain.count() == 901)
+    // the hot key genuinely fans out over multiple salts
+    val saltsUsed = left.filter(col("k") === 1L)
+      .withColumn("__salt", pmod(xxhash64(col("row_id")), lit(8L)))
+      .select("__salt").distinct().count()
+    assert(saltsUsed > 1)
+  }
+
+  test("bucketed tables join with zero shuffle exchanges") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.sql("DROP TABLE IF EXISTS graft_bt_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_bt_customer")
+      val orders = graft.core.Tables.load(spark, sf, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val customer = graft.core.Tables.load(spark, sf, "customer")
+        .select("c_custkey", "c_name")
+      graft.core.Bucketing.writeBucketed(orders, "graft_bt_orders", "o_custkey", 4)
+      graft.core.Bucketing.writeBucketed(customer, "graft_bt_customer", "c_custkey", 4)
+      val joined = spark.table("graft_bt_orders")
+        .join(spark.table("graft_bt_customer"),
+          col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == orders.join(customer,
+        orders("o_custkey") === customer("c_custkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_bt_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_bt_customer")
+    }
+  }
+
   test("asofJoin: one shuffle on the key, no cartesian/range residue") {
     val plan = Joins.asofJoin(
       frame(Seq((1L, 100L, 10L, "l"))), frame(Seq((1L, 50L, 1L, "a"))),
