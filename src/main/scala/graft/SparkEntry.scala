@@ -270,8 +270,13 @@ object SparkEntry {
     // equi-join on the high-cardinality fingerprint).
     "p2_contamination" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // localCheckpoint: the frame is read twice (test side + train side),
+      // and the pushed-down split filters make the subtrees non-identical,
+      // so ReuseExchange can't dedup them — without materialization the
+      // winnow fingerprint pass would run twice
       val tagged = graft.operators.TextAnalysis.winnow(docs)
         .join(graft.operators.TextAnalysis.hashSplit(docs), "doc_id")
+        .localCheckpoint(true)
       tagged.filter(col("split") === "test")
         .select(col("fp"), col("doc_id").as("test_doc"))
         .join(

@@ -135,7 +135,6 @@ object Dedup {
     // ([[graft.functions.MinHashSignature]], same affine family term for
     // term) — the declarative form exploded every (doc, shingle) pair and
     // ran 64 simultaneous min aggregates through a shuffle.
-    graft.functions.GraftFunctions.register(docs.sparkSession)
     val sig = sets.select(col("id"), expr(s"graft_minhash(sh, $numHashes)").as("m"))
 
     val bandCols = (0 until bands).map { j =>
@@ -286,9 +285,11 @@ object Dedup {
     // pair join and both verify broadcasts; the empties filter sits ABOVE
     // the persist so Catalyst can't substitute sh's definition into it and
     // re-run the gram pass per row
-    val sets = docs.select(
-      (col(idCol).as("id") +: blockCols.map(col)) :+
-        expr(s"graft_ngram_hashes($textCol, $ngram)").as("sh"): _*)
+    val sets = docs
+      .filter(col(textCol).isNotNull)
+      .select(
+        (col(idCol).as("id") +: blockCols.map(col)) :+
+          expr(s"graft_ngram_hashes($textCol, $ngram)").as("sh"): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .filter(size(col("sh")) > 0)
     // Pair generation carries ONLY (block, id, |sh|): the heavy arrays never

@@ -125,6 +125,22 @@ object Joins {
     * relations. `updates` must be unique per key (enforce upstream);
     * column sets must match `base`'s.
     */
+  def upsert(base: DataFrame, updates: DataFrame, keyCol: String): DataFrame = {
+    require(base.columns.sameElements(updates.columns),
+      "base and updates must share the same schema")
+    val cols = base.columns.toSeq
+    // Row-wise update-wins (keyed on the update key's presence), NOT
+    // per-column coalesce: an update row's legitimate NULL must replace the
+    // base value, exactly as MERGE ... WHEN MATCHED THEN UPDATE does.
+    base.as("b")
+      .join(updates.as("u"), col(s"b.$keyCol") === col(s"u.$keyCol"), "full_outer")
+      .select(cols.map { c =>
+        (if (c == keyCol) coalesce(col(s"u.$keyCol"), col(s"b.$keyCol"))
+         else when(col(s"u.$keyCol").isNotNull, col(s"u.$c"))
+           .otherwise(col(s"b.$c"))).as(c)
+      }: _*)
+  }
+
   /** Salted equi-join for SKEWED key distributions: a hot key's rows land
     * in one shuffle partition and serialize through one task; salting
     * splits each left key into `salts` sub-keys (deterministically, from
@@ -145,26 +161,12 @@ object Joins {
       salts: Int,
       leftSeedCol: String): DataFrame = {
     require(salts > 0, "salts must be positive")
+    require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
+      "saltedJoin reserves the __salt column name; rename it on the inputs")
     val l = left.withColumn("__salt",
       pmod(xxhash64(col(leftSeedCol)), lit(salts.toLong)).cast("int"))
     val r = right.withColumn("__salt",
       explode(expr(s"sequence(0, ${salts - 1})")))
     l.join(r, Seq(keyCol, "__salt")).drop("__salt")
-  }
-
-  def upsert(base: DataFrame, updates: DataFrame, keyCol: String): DataFrame = {
-    require(base.columns.sameElements(updates.columns),
-      "base and updates must share the same schema")
-    val cols = base.columns.toSeq
-    // Row-wise update-wins (keyed on the update key's presence), NOT
-    // per-column coalesce: an update row's legitimate NULL must replace the
-    // base value, exactly as MERGE ... WHEN MATCHED THEN UPDATE does.
-    base.as("b")
-      .join(updates.as("u"), col(s"b.$keyCol") === col(s"u.$keyCol"), "full_outer")
-      .select(cols.map { c =>
-        (if (c == keyCol) coalesce(col(s"u.$keyCol"), col(s"b.$keyCol"))
-         else when(col(s"u.$keyCol").isNotNull, col(s"u.$c"))
-           .otherwise(col(s"b.$c"))).as(c)
-      }: _*)
   }
 }

@@ -172,14 +172,16 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     // per-row token pre-aggregation ([[graft.functions.TokenCounts]]):
     // one shuffled row per DISTINCT token per doc instead of per token
-    // occurrence, and df becomes a plain count(1) — no distinct-expand
+    // occurrence. df stays countDistinct(id) — NOT count(1) — so inputs
+    // with duplicate id rows keep exact document frequencies (and oracle
+    // parity); the distinct-expand now runs over the pre-aggregated rows.
     graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
       .filter(col(textCol).isNotNull)
-      .select(col(langCol),
+      .select(col(langCol), col(idCol),
         explode(expr(s"graft_token_counts($textCol)")).as(Seq("token", "c")))
       .groupBy(langCol, "token")
-      .agg(sum("c").cast("long").as("tf"), count(lit(1)).as("df"))
+      .agg(sum("c").cast("long").as("tf"), countDistinct(idCol).as("df"))
       .withColumn("score_micro", expr("tf * 1000000L div df"))
       .withColumn("rank",
         row_number().over(

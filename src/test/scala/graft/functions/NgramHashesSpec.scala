@@ -16,7 +16,12 @@ class NgramHashesSpec extends SparkSpec {
 
   test("native gram hashes equal xxhash64(substring) declarative form (corpus)") {
     GraftFunctions.register(spark)
+    // non-null filter: the declarative CASE yields an empty array for null
+    // text only because length(NULL) is NULL -> ELSE branch; the native
+    // expression is null-intolerant (null in -> null out), so compare on
+    // the non-null corpus (operators filter nulls before calling it)
     val docs = graft.core.Tables.load(spark, sf, "documents")
+      .filter(col("text").isNotNull)
     val native = docs.select(col("doc_id"),
       expr("graft_ngram_hashes(text, 5)").as("sh"))
     val sql = declarative(docs, 5)
@@ -38,9 +43,14 @@ class NgramHashesSpec extends SparkSpec {
   test("output is sorted ascending and distinct (SortedIntersectSize precondition)") {
     GraftFunctions.register(spark)
     val docs = graft.core.Tables.load(spark, sf, "documents")
-    val bad = docs.select(expr("graft_ngram_hashes(text, 5)").as("sh"))
+    // CASE guard INSIDE the predicate: SQL conjuncts don't short-circuit,
+    // and sequence(0, -1) is DESCENDING, so an unguarded exists would index
+    // out of bounds (ANSI error) on docs with <= 1 gram
+    val bad = docs.filter(col("text").isNotNull)
+      .select(expr("graft_ngram_hashes(text, 5)").as("sh"))
       .filter(expr(
-        "exists(sequence(0, size(sh) - 2), i -> sh[i] >= sh[i + 1])") && size(col("sh")) > 1)
+        "CASE WHEN size(sh) <= 1 THEN false ELSE " +
+          "exists(sequence(0, size(sh) - 2), i -> sh[i] >= sh[i + 1]) END"))
     assert(bad.count() == 0)
   }
 }
