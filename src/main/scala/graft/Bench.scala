@@ -13,6 +13,12 @@ object Bench {
     // JVM/codegen warmup outside the timed region so the first query's
     // number measures the query, not classloading
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // one untimed real query warms the parquet reader, agg/join codegen and
+    // broadcast machinery — otherwise the alphabetically-first entry pays
+    // all of it (a10 measured ~3x its repeat-run time)
+    try SparkEntry.queries.get("a11_order_cube")
+      .foreach(fn => fn(spark, sfDir).count())
+    catch { case _: Throwable => () }
     // Deterministic order (hash-Map order varied run to run) and a cold
     // cache per query: otherwise first-touch parquet footer reads and
     // persisted RDDs shared across entries land on whichever query happens
