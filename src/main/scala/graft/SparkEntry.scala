@@ -241,6 +241,16 @@ object SparkEntry {
       graft.operators.Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
         .select("doc_id", "lang", "source", "n_chars")),
     "d2_near_dedup" -> ((s, dir) => minHashPairs(s, dir)),
+    // The 100 TB shape of d2's verify stage: doc-set joins as plain shuffle
+    // equi-joins instead of corpus-wide broadcasts (VerifyBroadcastConf
+    // off). Same oracle as d2 — both physical paths are value-gated.
+    // Conf is read at PLAN-BUILD time (maybeBroadcast), so restoring it
+    // after construction is safe.
+    "d2b_near_dedup_shuffle" -> ((s, dir) => {
+      s.conf.set(graft.operators.Dedup.VerifyBroadcastConf, "false")
+      try graft.operators.Dedup.minHashNearDup(t(s, dir, "documents"))
+      finally s.conf.set(graft.operators.Dedup.VerifyBroadcastConf, "true")
+    }),
     "d3_simhash" -> ((s, dir) =>
       graft.operators.Dedup.simHash(t(s, dir, "documents"))),
     "d4_ngram_jaccard" -> ((s, dir) =>
@@ -596,6 +606,16 @@ object SparkEntry {
     "d1_exact_dedup" ->
       ("SELECT doc_id, lang, source, n_chars FROM documents " +
         "QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1"),
+    "d2b_near_dedup_shuffle" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "sh AS (SELECT doc_id, list(DISTINCT s) AS ss, count(DISTINCT s) AS n FROM (" +
+        "SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s " +
+        "FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)) GROUP BY doc_id), " +
+        "p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+        "len(list_intersect(a.ss, b.ss)) AS i, " +
+        "a.n + b.n - len(list_intersect(a.ss, b.ss)) AS u " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) " +
+        "SELECT a_id, b_id, round(i * 1.0 / u, 6) AS jaccard FROM p WHERE i * 1.0 / u >= 0.6"),
     "d2_near_dedup" ->
       ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
         "sh AS (SELECT doc_id, list(DISTINCT s) AS ss, count(DISTINCT s) AS n FROM (" +
