@@ -164,6 +164,9 @@ object SparkEntry {
     // Cumulative window sum (running totals) — centi-quantized exact prefix.
     "a15_running_revenue" -> ((s, dir) =>
       graft.operators.Analytics.runningRevenue(t(s, dir, "orders"))),
+    // Navigation window function (lag): inter-order gaps per customer.
+    "a17_order_gaps" -> ((s, dir) =>
+      graft.operators.Analytics.orderGaps(t(s, dir, "orders"))),
     // Semi-structured extraction: JSONPath over the events props column.
     "e2_props_json" -> ((s, dir) =>
       graft.operators.Analytics.propsExtract(t(s, dir, "events"))),
@@ -497,6 +500,11 @@ object SparkEntry {
         "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER " +
         "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
         "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_revenue_centi FROM orders"),
+    "a17_order_gaps" ->
+      ("SELECT o_custkey, o_orderkey, o_orderdate, " +
+        "lag(o_orderdate) OVER w AS prev_orderdate, " +
+        "epoch_us(o_orderdate) - epoch_us(lag(o_orderdate) OVER w) AS gap_micros " +
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"),
     "e2_props_json" ->
       ("SELECT event_id, event_type, " +
         "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, " +

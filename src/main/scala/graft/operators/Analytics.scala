@@ -202,6 +202,25 @@ object Analytics {
         .as("cum_revenue_centi"))
   }
 
+  /** Inter-order gaps per customer: `lag` over the (high-cardinality)
+    * customer key — the navigation-function shape for sessionization-style
+    * derivations on batch data. The gap is exact integer micros (no
+    * division — floor/trunc semantics differ across engines); first order
+    * per customer has a NULL gap, standard lag semantics.
+    */
+  def orderGaps(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders.select(
+      col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+      lag(col("o_orderdate"), 1).over(w).as("prev_orderdate"))
+      // NTZ timestamps cast through TIMESTAMP under the UTC session the
+      // gates run with — identical to DuckDB's epoch_us on the naive value
+      .withColumn("gap_micros",
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) - " +
+          "unix_micros(CAST(prev_orderdate AS TIMESTAMP))"))
+  }
+
   /** Pivot (long → wide): per-user event counts, one column per event type.
     * The value list is EXPLICIT — with it, pivot is a single groupBy with
     * conditional aggregates (one shuffle, map-side partials); without it

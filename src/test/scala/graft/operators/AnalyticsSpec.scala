@@ -107,6 +107,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(Analytics.runningRevenue(orders).count() == orders.count())
   }
 
+  test("orderGaps: first order per customer has null gap, gaps non-negative") {
+    val out = Analytics.orderGaps(t("orders")).cache()
+    val orders = t("orders")
+    assert(out.count() == orders.count())
+    // exactly one null-gap row (the first order) per customer
+    val firsts = out.filter(col("prev_orderdate").isNull)
+      .groupBy("o_custkey").count().filter(col("count") =!= 1).count()
+    assert(firsts == 0)
+    assert(out.filter(col("o_custkey").isNotNull).select("o_custkey").distinct().count() ==
+      out.filter(col("prev_orderdate").isNull).count())
+    // ascending order within customer => non-negative gaps
+    assert(out.filter(col("gap_micros") < 0).count() == 0)
+  }
+
   test("eventTypePivot: one row per user, cells sum back to the event count") {
     val events = t("events")
     val out = Analytics.eventTypePivot(events).cache()
