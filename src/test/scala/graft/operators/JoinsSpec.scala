@@ -149,6 +149,29 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin: randomized pin vs per-row brute force (deterministic seeds)") {
+    import spark.implicits._
+    // deterministic pseudo-random fixtures: ts collisions guaranteed by a
+    // tiny time domain, several keys, both sides sharing the domain
+    for (seed <- Seq(7L, 23L, 91L)) {
+      val rnd = new scala.util.Random(seed)
+      val left = (1L to 120L).map(i =>
+        (rnd.nextInt(4).toLong, rnd.nextInt(12).toLong, i, s"l$i"))
+      val right = (1L to 80L).map(i =>
+        (rnd.nextInt(4).toLong, rnd.nextInt(12).toLong, 1000L + i, s"r$i"))
+      val out = run(left, right)
+      // brute force: per left row, the right rows with (ts < lts) or
+      // (ts == lts) [inclusive], max by (ts, seq)
+      left.foreach { case (k, lts, lseq, _) =>
+        val cands = right.filter(r => r._1 == k && r._2 <= lts)
+        val want =
+          if (cands.isEmpty) (-1L, "")
+          else { val m = cands.maxBy(r => (r._2, r._3)); (m._3, m._4) }
+        assert(out(lseq) == want, s"seed=$seed left seq=$lseq")
+      }
+    }
+  }
+
   test("asofJoin: one shuffle on the key, no cartesian/range residue") {
     val plan = Joins.asofJoin(
       frame(Seq((1L, 100L, 10L, "l"))), frame(Seq((1L, 50L, 1L, "a"))),
