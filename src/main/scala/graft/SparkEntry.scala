@@ -233,6 +233,11 @@ object SparkEntry {
     // streaming form is identical (see EventsStream.sessionize doc).
     "st2_sessionize" -> ((s, dir) =>
       graft.streaming.EventsStream.sessionize(t(s, dir, "events"))),
+    // Custom typed state (mapGroupsWithState) evaluated in batch mode —
+    // identical code path to the streaming form (MemoryStream-pinned in
+    // EventsStreamSpec); final per-user state is value-gated here.
+    "st4_user_totals" -> ((s, dir) =>
+      graft.streaming.EventsStream.userRunningTotals(t(s, dir, "events"))),
     // The 24/7 production streaming shape: watermarked append-mode windows
     // through a real file sink; emitted = windows finalized by the final
     // watermark (max event ts − 1h). Late/dropped semantics are additionally
@@ -467,6 +472,10 @@ object SparkEntry {
       ("SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, " +
         "CAST(sum(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS value_milli " +
         "FROM events GROUP BY 1, 2"),
+    "st4_user_totals" ->
+      ("SELECT user_id, count(*) AS n_events, " +
+        "CAST(sum(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS value_milli " +
+        "FROM events GROUP BY 1"),
     // Watermarked append-mode contract (pinned empirically + in
     // EventsStreamSpec): emitted = hourly windows whose END <= final
     // watermark = (max event ts, ms precision) - 1h delay. Same exact
