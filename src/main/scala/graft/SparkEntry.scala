@@ -170,6 +170,12 @@ object SparkEntry {
     // Semi-structured extraction: JSONPath over the events props column.
     "e2_props_json" -> ((s, dir) =>
       graft.operators.Analytics.propsExtract(t(s, dir, "events"))),
+    // Partition pruning over the date-partitioned layout: the window
+    // predicate prunes event_date=... DIRECTORIES (PartitionFilters,
+    // pinned in PlanSpec) — the scan shape that keeps a months-deep
+    // 100 TB events table queryable by day.
+    "e3_events_daily_pruned" -> ((s, dir) =>
+      graft.core.PartitionedTables.dailyRollup(s, dir, "2024-01-08", "2024-01-14")),
     // Pivot long->wide with an explicit value list (one shuffle).
     "a16_event_pivot" -> ((s, dir) =>
       graft.operators.Analytics.eventTypePivot(t(s, dir, "events"))),
@@ -233,11 +239,12 @@ object SparkEntry {
     // streaming form is identical (see EventsStream.sessionize doc).
     "st2_sessionize" -> ((s, dir) =>
       graft.streaming.EventsStream.sessionize(t(s, dir, "events"))),
-    // Custom typed state (mapGroupsWithState) evaluated in batch mode —
-    // identical code path to the streaming form (MemoryStream-pinned in
-    // EventsStreamSpec); final per-user state is value-gated here.
+    // Custom typed state (mapGroupsWithState) replayed through the real
+    // streaming engine: multi-file staged source, one micro-batch per file,
+    // state carried across batches; the final per-user state is value-gated.
+    // Idle-key timeout retirement is MemoryStream-pinned in EventsStreamSpec.
     "st4_user_totals" -> ((s, dir) =>
-      graft.streaming.EventsStream.userRunningTotals(t(s, dir, "events"))),
+      graft.streaming.EventsStream.userTotalsAvailableNow(s, dir)),
     // The 24/7 production streaming shape: watermarked append-mode windows
     // through a real file sink; emitted = windows finalized by the final
     // watermark (max event ts − 1h). Late/dropped semantics are additionally
@@ -250,15 +257,14 @@ object SparkEntry {
         .select("doc_id", "lang", "source", "n_chars")),
     "d2_near_dedup" -> ((s, dir) => minHashPairs(s, dir)),
     // The 100 TB shape of d2's verify stage: doc-set joins as plain shuffle
-    // equi-joins instead of corpus-wide broadcasts (VerifyBroadcastConf
-    // off). Same oracle as d2 — both physical paths are value-gated.
-    // Conf is read at PLAN-BUILD time (maybeBroadcast), so restoring it
-    // after construction is safe.
-    "d2b_near_dedup_shuffle" -> ((s, dir) => {
-      s.conf.set(graft.operators.Dedup.VerifyBroadcastConf, "false")
-      try graft.operators.Dedup.minHashNearDup(t(s, dir, "documents"))
-      finally s.conf.set(graft.operators.Dedup.VerifyBroadcastConf, "true")
-    }),
+    // equi-joins instead of corpus-wide broadcasts — forced via the
+    // verifyBroadcast PARAMETER (no session-conf mutation, so a concurrent
+    // d2 build can't observe the wrong plan). Same oracle as d2 — both
+    // physical paths are value-gated; the unforced default auto-switches on
+    // the estimated doc-set size (Dedup.resolveVerifyBroadcast).
+    "d2b_near_dedup_shuffle" -> ((s, dir) =>
+      graft.operators.Dedup.minHashNearDup(
+        t(s, dir, "documents"), verifyBroadcast = Some(false))),
     "d3_simhash" -> ((s, dir) =>
       graft.operators.Dedup.simHash(t(s, dir, "documents"))),
     "d4_ngram_jaccard" -> ((s, dir) =>
@@ -514,6 +520,11 @@ object SparkEntry {
         "lag(o_orderdate) OVER w AS prev_orderdate, " +
         "epoch_us(o_orderdate) - epoch_us(lag(o_orderdate) OVER w) AS gap_micros " +
         "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"),
+    "e3_events_daily_pruned" ->
+      ("SELECT CAST(ts AS DATE) AS event_date, event_type, count(*) AS n, " +
+        "CAST(sum(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS value_milli " +
+        "FROM events WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14' " +
+        "GROUP BY 1, 2"),
     "e2_props_json" ->
       ("SELECT event_id, event_type, " +
         "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, " +
@@ -909,13 +920,36 @@ object SparkEntry {
         "SELECT query_id, id AS neighbor_id, cos, " +
         "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rank FROM s) " +
         "WHERE rank <= 10"),
-    // k3: IVF replayed in SQL — centroids = first 32 ids by md5(id) order;
+    // k3: IVF replayed in SQL — seed centroids = first 32 ids by md5(id)
+    // order, then TWO Lloyd iterations with micro-quantized means (per-dim
+    // sums of floor(x*1e6) as BIGINT — associative, so any accumulation
+    // order agrees with Spark's; empty cells keep their previous centroid);
     // assignment = argmax (cos, cid); probes = top-8 centroids per query;
     // candidates = probed cells; exact re-rank. nCentroids=32, nProbe=8.
     "k3_ivf_topk" ->
       ("WITH v AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
         "FROM embeddings), " +
-        "c AS (SELECT id AS cid, v AS cv FROM v ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 32), " +
+        "c0 AS (SELECT id AS cid, v AS cv FROM v ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 32), " +
+        "ac0 AS (SELECT v.id, c0.cid, " +
+        "list_sum(list_transform(generate_series(1, 64), i -> v.v[i] * c0.cv[i])) / " +
+        "(sqrt(list_sum(list_transform(v.v, x -> x * x))) * " +
+        "sqrt(list_sum(list_transform(c0.cv, x -> x * x)))) AS cos FROM v, c0), " +
+        "as0 AS (SELECT id, cid FROM (SELECT id, cid, " +
+        "row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid DESC) AS rn FROM ac0) WHERE rn = 1), " +
+        "u0 AS (SELECT a.cid, d, sum(CAST(floor(v.v[d] * 1000000) AS BIGINT)) AS s, count(*) AS n " +
+        "FROM v JOIN as0 a ON v.id = a.id, unnest(generate_series(1, 64)) AS t(d) GROUP BY a.cid, d), " +
+        "m0 AS (SELECT cid, list(CAST(s AS DOUBLE) / (n * 1000000.0) ORDER BY d) AS nv FROM u0 GROUP BY cid), " +
+        "c1 AS (SELECT c0.cid, coalesce(m0.nv, c0.cv) AS cv FROM c0 LEFT JOIN m0 ON c0.cid = m0.cid), " +
+        "ac1 AS (SELECT v.id, c1.cid, " +
+        "list_sum(list_transform(generate_series(1, 64), i -> v.v[i] * c1.cv[i])) / " +
+        "(sqrt(list_sum(list_transform(v.v, x -> x * x))) * " +
+        "sqrt(list_sum(list_transform(c1.cv, x -> x * x)))) AS cos FROM v, c1), " +
+        "as1 AS (SELECT id, cid FROM (SELECT id, cid, " +
+        "row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid DESC) AS rn FROM ac1) WHERE rn = 1), " +
+        "u1 AS (SELECT a.cid, d, sum(CAST(floor(v.v[d] * 1000000) AS BIGINT)) AS s, count(*) AS n " +
+        "FROM v JOIN as1 a ON v.id = a.id, unnest(generate_series(1, 64)) AS t(d) GROUP BY a.cid, d), " +
+        "m1 AS (SELECT cid, list(CAST(s AS DOUBLE) / (n * 1000000.0) ORDER BY d) AS nv FROM u1 GROUP BY cid), " +
+        "c AS (SELECT c1.cid, coalesce(m1.nv, c1.cv) AS cv FROM c1 LEFT JOIN m1 ON c1.cid = m1.cid), " +
         "ac AS (SELECT v.id, c.cid, " +
         "list_sum(list_transform(generate_series(1, 64), i -> v.v[i] * c.cv[i])) / " +
         "(sqrt(list_sum(list_transform(v.v, x -> x * x))) * " +

@@ -41,6 +41,24 @@ object Engine {
     master.fold(b)(b.master).getOrCreate()
   }
 
+  /** Drop the cross-query pipeline memos and any operator-persisted blocks
+    * for this session — the cached state graft operators deliberately leave
+    * behind (lazy return frames can't know when their consumer is done; see
+    * Dedup's persist notes). Called by [[shutdown]]; also callable alone by
+    * a long-lived multi-tenant JVM between logical "databases" so pinned
+    * checkpoint/cache blocks never accumulate (EngineSpec pins zero
+    * persistent RDDs after release).
+    */
+  def releaseCachedState(spark: SparkSession): Unit = {
+    graft.SparkEntry.invalidateMemos(spark)
+    try spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    catch { case _: Exception => () } // context may already be stopped
+  }
+
   /** The reference closes pooled clients on shutdown (`main.py:336-340`). */
-  def shutdown(spark: SparkSession): Unit = spark.stop()
+  def shutdown(spark: SparkSession): Unit = {
+    releaseCachedState(spark)
+    spark.stop()
+  }
 }

@@ -31,4 +31,22 @@ object TempDirs {
     dirs.add(p)
     p.toString
   }
+
+  /** Like [[create]] but on tmpfs (`/dev/shm`) when available: for scratch
+    * whose durability is irrelevant (streaming-replay checkpoints, transient
+    * sinks) every fsync a checkpoint log issues (~5-10 ms each on this
+    * host's disk, a dozen per micro-batch) becomes a memory write. Falls
+    * back to the regular temp dir when tmpfs is absent. A 24/7 deployment
+    * points its checkpoints at durable storage instead — this path is for
+    * replays whose checkpoint dies with the JVM anyway.
+    */
+  def createFast(prefix: String): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) {
+      hook
+      val p = java.nio.file.Files.createTempDirectory(shm, prefix)
+      dirs.add(p)
+      p.toString
+    } else create(prefix)
+  }
 }

@@ -27,18 +27,40 @@ object Dedup {
   /** Mersenne prime 2^31-1: modulus for the MinHash permutation family. */
   private val P = graft.functions.MinHashSignature.P
 
-  /** Conf switch for the verify-stage doc-set joins: `true` (default) ships
-    * the per-doc shingle/word sets to every executor as a broadcast — optimal
-    * while the doc-set side fits the broadcast budget; `false` plans a plain
-    * shuffle equi-join on id (bucketed/co-partitioned at a real deployment) —
-    * the 100 TB shape, where a corpus-wide broadcast is an executor-memory
-    * wall. Both paths produce identical results (pinned by DedupSpec).
+  /** Size cap (bytes) for broadcasting the doc-set side of the verify-stage
+    * joins; see [[resolveVerifyBroadcast]]. The default is a deliberate
+    * executor-memory budget for a hash relation of per-doc arrays — far
+    * above Spark's 10 MB `autoBroadcastJoinThreshold` (these joins hit every
+    * candidate pair twice, so broadcasting earns its memory), far below any
+    * whole-corpus size at scale.
     */
-  val VerifyBroadcastConf = "spark.graft.dedup.verifyBroadcast"
+  val VerifyBroadcastMaxBytes = "spark.graft.dedup.verifyBroadcastMaxBytes"
+  private val DefaultVerifyBroadcastMaxBytes: Long = 128L << 20
 
-  private def maybeBroadcast(df: DataFrame): DataFrame =
-    if (df.sparkSession.conf.get(VerifyBroadcastConf, "true").toBoolean) broadcast(df)
-    else df
+  /** Decide the physical shape of the verify-stage doc-set joins.
+    *
+    * `choice = Some(true)` ships the per-doc shingle/word sets to every
+    * executor as a broadcast — optimal while the doc-set side fits the
+    * budget; `Some(false)` plans a plain shuffle equi-join on id
+    * (bucketed/co-partitioned at a real deployment) — the 100 TB shape,
+    * where a corpus-wide broadcast is an executor-memory wall. `None`
+    * (the default everywhere) decides AUTOMATICALLY from Catalyst's size
+    * estimate of the sets relation vs [[VerifyBroadcastMaxBytes]], so a
+    * caller scaling from a 1 GB corpus to a 100 TB one never has to know
+    * the switch exists. The choice is an explicit parameter, not session
+    * conf — concurrent queries on one session can't race each other's
+    * toggles. Both paths produce identical results (pinned by DedupSpec).
+    */
+  private[operators] def resolveVerifyBroadcast(
+      sets: DataFrame, choice: Option[Boolean]): Boolean =
+    choice.getOrElse {
+      val cap = sets.sparkSession.conf
+        .get(VerifyBroadcastMaxBytes, DefaultVerifyBroadcastMaxBytes.toString).toLong
+      sets.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(cap)
+    }
+
+  private def maybeBroadcast(df: DataFrame, doBroadcast: Boolean): DataFrame =
+    if (doBroadcast) broadcast(df) else df
 
   /** Deterministic affine-permutation coefficients (Knuth multiplicative
     * constant; any fixed family works — this one is pinned by tests). Now
@@ -101,7 +123,8 @@ object Dedup {
       threshold: Double = 0.6,
       shingleWords: Int = 3,
       numHashes: Int = 64,
-      bands: Int = 16): DataFrame = {
+      bands: Int = 16,
+      verifyBroadcast: Option[Boolean] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
 
@@ -154,7 +177,7 @@ object Dedup {
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
       .distinct()
 
-    verifyJaccard(cand, sets, threshold)
+    verifyJaccard(cand, sets, threshold, resolveVerifyBroadcast(sets, verifyBroadcast))
   }
 
   /** Exact-Jaccard verification of candidate pairs against shingle sets.
@@ -163,14 +186,18 @@ object Dedup {
     * joins: the per-doc array crosses the wire once, in the broadcast — never
     * once per pair through a shuffle (measured 2 GB of pair-duplicated array
     * shuffle at sf0.1 without this). At the 100 TB point, where the doc-set
-    * side outgrows broadcast, [[VerifyBroadcastConf]] switches to a shuffle
-    * equi-join on id — the pair relation stays id-only either way.
+    * side outgrows broadcast, [[resolveVerifyBroadcast]] auto-switches to a
+    * shuffle equi-join on id — the pair relation stays id-only either way.
     */
-  private def verifyJaccard(cand: DataFrame, sets: DataFrame, threshold: Double): DataFrame = {
+  private def verifyJaccard(
+      cand: DataFrame, sets: DataFrame, threshold: Double,
+      doBroadcast: Boolean): DataFrame = {
     graft.functions.GraftFunctions.register(cand.sparkSession)
     cand
-      .join(maybeBroadcast(sets.select(col("id").as("a_id"), col("sh").as("sa"))), "a_id")
-      .join(maybeBroadcast(sets.select(col("id").as("b_id"), col("sh").as("sb"))), "b_id")
+      .join(maybeBroadcast(
+        sets.select(col("id").as("a_id"), col("sh").as("sa")), doBroadcast), "a_id")
+      .join(maybeBroadcast(
+        sets.select(col("id").as("b_id"), col("sh").as("sb")), doBroadcast), "b_id")
       // sets are sorted at build time — linear codegen'd two-pointer scan
       .withColumn("i", expr("graft_isect_size(sa, sb)"))
       .withColumn("jacc", col("i").cast("double") / (size(col("sa")) + size(col("sb")) - col("i")))
@@ -219,7 +246,8 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id",
       maxHamming: Int = 4,
-      bands: Int = 5): DataFrame = {
+      bands: Int = 5,
+      verifyBroadcast: Option[Boolean] = None): DataFrame = {
     require(bands > maxHamming, "pigeonhole completeness needs bands > maxHamming")
     val fp = simHash(docs, textCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -247,11 +275,14 @@ object Dedup {
           expr(s"CAST(conv(substring(simhash, ${j * 16 + 1}, 16), 2, 10) AS BIGINT)").as(s"w$j")): _*)
     val hammingExpr = (0 until 4)
       .map(j => s"bit_count(a$j ^ b$j)").mkString("CAST(", " + ", " AS BIGINT)")
+    val doBroadcast = resolveVerifyBroadcast(fp, verifyBroadcast)
     cand
       .join(maybeBroadcast(words.select(
-        col("doc_id").as("a_id") +: (0 until 4).map(j => col(s"w$j").as(s"a$j")): _*)), "a_id")
+        col("doc_id").as("a_id") +: (0 until 4).map(j => col(s"w$j").as(s"a$j")): _*),
+        doBroadcast), "a_id")
       .join(maybeBroadcast(words.select(
-        col("doc_id").as("b_id") +: (0 until 4).map(j => col(s"w$j").as(s"b$j")): _*)), "b_id")
+        col("doc_id").as("b_id") +: (0 until 4).map(j => col(s"w$j").as(s"b$j")): _*),
+        doBroadcast), "b_id")
       .withColumn("hamming", expr(hammingExpr))
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
@@ -273,7 +304,8 @@ object Dedup {
       idCol: String = "doc_id",
       blockCols: Seq[String] = Seq("lang", "source"),
       ngram: Int = 5,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      verifyBroadcast: Option[Boolean] = None): DataFrame = {
     // fused shingle+hash: one HOF pass, no intermediate string array
     // one native per-row pass ([[graft.functions.NgramHashes]]): hash every
     // gram (zero-alloc for ASCII), sort + dedup on primitive longs — the
@@ -308,9 +340,12 @@ object Dedup {
         blockCols.map(c => col(s"x.$c")) ++
           Seq(col("x.id").as("a_id"), col("y.id").as("b_id")): _*)
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    val doBroadcast = resolveVerifyBroadcast(sets, verifyBroadcast)
     pairs
-      .join(maybeBroadcast(sets.select(col("id").as("a_id"), col("sh").as("sa"))), "a_id")
-      .join(maybeBroadcast(sets.select(col("id").as("b_id"), col("sh").as("sb"))), "b_id")
+      .join(maybeBroadcast(
+        sets.select(col("id").as("a_id"), col("sh").as("sa")), doBroadcast), "a_id")
+      .join(maybeBroadcast(
+        sets.select(col("id").as("b_id"), col("sh").as("sb")), doBroadcast), "b_id")
       // sets sorted at build — linear codegen'd two-pointer scan per pair
       .withColumn("i", expr("graft_isect_size(sa, sb)"))
       .withColumn("jacc",

@@ -77,6 +77,40 @@ object Similarity {
         round(col("cos"), 6).as("cosine"), col("rank"))
   }
 
+  /** One deterministic Lloyd (k-means) iteration over broadcast centroids:
+    * assign every vector to its nearest centroid (cosine, max_by tie-break
+    * on (cos, cid)), then recompute each centroid as the MEAN of its
+    * members. The mean is exactly engine-replayable: each component is
+    * floor-quantized to integer micro-units per row, summed (integer
+    * addition — associative, so any accumulation order agrees), and divided
+    * back as `sum / (n · 10⁶)` — one double division on exact integers.
+    * A centroid whose cell went empty keeps its previous position (the
+    * standard Lloyd fallback, and the LEFT-join makes it deterministic).
+    *
+    * Shuffle shape: the per-(cid, dim) partial sums aggregate map-side
+    * before one shuffle of ≤ nCentroids·dim rows — centroid training never
+    * shuffles corpus vectors, so the iteration cost at 100 TB is the
+    * assignment scan, not data movement.
+    */
+  private def lloydIterate(v: DataFrame, cents: DataFrame): DataFrame = {
+    val assign = cosineCols(v.crossJoin(broadcast(cents)))
+      .groupBy(col("id"))
+      .agg(expr("max_by(cid, struct(cos, cid))").as("cid"))
+    val sums = v.join(assign, "id")
+      .select(col("cid"), posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy("cid", "d")
+      .agg(
+        sum(expr("CAST(floor(x * 1000000) AS BIGINT)")).as("s"),
+        count(lit(1)).as("n"))
+    val means = sums.groupBy("cid")
+      .agg(expr(
+        """transform(
+             array_sort(collect_list(struct(d, CAST(s AS DOUBLE) / (n * 1000000.0D) AS m))),
+             p -> p.m)""").as("nv"))
+    cents.join(means, Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("nv"), col("qv")).as("qv"))
+  }
+
   /** IVF (inverted-file) approximate top-k: the corpus is partitioned into
     * `nCentroids` cells by nearest centroid; a query probes only its
     * `nProbe` closest cells and exact-re-ranks their members. The index is
@@ -84,23 +118,28 @@ object Similarity {
     * the corpus, assignment is a map-side `max_by` over a broadcast
     * centroid table (no shuffle of corpus vectors, no window).
     *
-    * Centroids are chosen deterministically by md5(id) order (a seedless
-    * stand-in for k-means||; production would train real centroids — the
-    * index/probe/re-rank plumbing is identical). md5, not xxhash64, so the
-    * selection is reproducible in any engine — the whole pipeline is
-    * value-oracle-gated, not rows-only.
+    * Centroids: seeds are chosen deterministically by md5(id) order
+    * (seedless init, reproducible in any engine), then TRAINED with
+    * `nIter` Lloyd iterations ([[lloydIterate]] — micro-quantized means,
+    * so the trained positions are bit-identical across engines and the
+    * whole pipeline stays value-oracle-gated, not rows-only).
+    * SimilaritySpec additionally pins that training does not lose recall
+    * vs the untrained (nIter = 0) index.
     */
   def ivfTopKCosine(
       embeddings: DataFrame,
       queryIds: Seq[Long],
       k: Int = 10,
       nCentroids: Int = 32,
-      nProbe: Int = 8): DataFrame = {
+      nProbe: Int = 8,
+      nIter: Int = 2): DataFrame = {
     val v = asVectors(embeddings)
-    val cents = broadcast(
+    val seeds =
       v.orderBy(md5(col("id").cast("string")), col("id"))
         .limit(nCentroids)
-        .select(col("id").as("cid"), col("v").as("qv")))
+        .select(col("id").as("cid"), col("v").as("qv"))
+    val cents = broadcast(
+      (0 until nIter).foldLeft(seeds)((c, _) => lloydIterate(v, c)))
     // nearest-centroid assignment: map-side max_by over the broadcast —
     // deterministic tie-break on (dot, cid)
     val assign = cosineCols(v.crossJoin(cents))

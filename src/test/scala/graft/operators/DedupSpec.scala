@@ -109,24 +109,40 @@ class DedupSpec extends SparkSpec {
   }
 
   test("verify-join gate: shuffle path (no broadcast) is result-identical for d2/d4/d6") {
-    def run(): (Set[String], Set[String], Set[String]) = (
-      Dedup.minHashNearDup(docs).collect().map(_.toString).toSet,
-      Dedup.blockedNgramJaccard(docs).collect().map(_.toString).toSet,
-      Dedup.simHashNearDup(docs).collect().map(_.toString).toSet)
-    val broadcastPath = run()
-    // force TRUE shuffle joins: gate off AND auto-broadcast disabled (at test
-    // scale Catalyst's size estimator would otherwise still broadcast)
+    def run(b: Option[Boolean]): (Set[String], Set[String], Set[String]) = (
+      Dedup.minHashNearDup(docs, verifyBroadcast = b).collect().map(_.toString).toSet,
+      Dedup.blockedNgramJaccard(docs, verifyBroadcast = b).collect().map(_.toString).toSet,
+      Dedup.simHashNearDup(docs, verifyBroadcast = b).collect().map(_.toString).toSet)
+    val broadcastPath = run(Some(true))
+    // force TRUE shuffle joins: param off AND Catalyst auto-broadcast
+    // disabled (at test scale the size estimator would otherwise still
+    // promote the small side to broadcast on its own)
     val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set(Dedup.VerifyBroadcastConf, "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val shufflePath = run()
+      val shufflePath = run(Some(false))
       assert(shufflePath == broadcastPath,
         "shuffle verify path diverged from broadcast path")
     } finally {
-      spark.conf.set(Dedup.VerifyBroadcastConf, "true")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
     }
+  }
+
+  test("verify-join auto gate: size estimate vs cap picks the physical path") {
+    val sets = docs.select(col("doc_id").as("id"),
+      split(col("text"), " ").as("sh"))
+    // small corpus under the default 128 MB cap → broadcast
+    assert(Dedup.resolveVerifyBroadcast(sets, None),
+      "test-scale doc-set should auto-pick the broadcast path")
+    // a 100 TB corpus — modeled by a tiny cap — flips to the shuffle path
+    // with NO caller knowledge, and the explicit parameter still overrides
+    spark.conf.set(Dedup.VerifyBroadcastMaxBytes, "1")
+    try {
+      assert(!Dedup.resolveVerifyBroadcast(sets, None),
+        "above-cap doc-set must auto-pick the shuffle path")
+      assert(Dedup.resolveVerifyBroadcast(sets, Some(true)),
+        "explicit parameter must override the auto gate")
+    } finally spark.conf.unset(Dedup.VerifyBroadcastMaxBytes)
   }
 
   test("embedding LSH near-dup: full recall of the planted perturbed pairs") {

@@ -14,7 +14,66 @@ class EventsStreamSpec extends SparkSpec {
     val streamed = EventsStream.hourlyAvailableNow(spark, sf, "graft_spec_sink")
     val batch = Analytics.eventsHourly(Tables.load(spark, sf, "events"))
     assert(streamed.count() > 0)
+    assert(EventsStream.lastReplayBatches >= 2,
+      s"staged replay must run multiple micro-batches, got ${EventsStream.lastReplayBatches}")
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("userTotalsAvailableNow replay equals batch totals, across >=2 batches") {
+    val streamed = EventsStream.userTotalsAvailableNow(spark, sf, "graft_spec_ut")
+    val want = Tables.load(spark, sf, "events").groupBy("user_id").agg(
+      count(lit(1)).as("n_events"),
+      sum(expr("CAST(round(value * 1000) AS BIGINT)")).as("value_milli"))
+    assert(EventsStream.lastReplayBatches >= 2,
+      s"staged replay must run multiple micro-batches, got ${EventsStream.lastReplayBatches}")
+    assert(streamed.exceptAll(want).isEmpty && want.exceptAll(streamed).isEmpty)
+  }
+
+  test("userRunningTotals: idle key expires after processing-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Double)]
+    val events = input.toDF().toDF("event_id", "user_id", "value")
+    // CAUTION: with ProcessingTimeTimeout armed, the engine must keep
+    // scheduling batches so pending timeouts can fire even with no input
+    // (FlatMapGroupsWithStateExec.shouldRunAnotherBatch is unconditionally
+    // true for this conf) — so `processAllAvailable()` NEVER observes
+    // quiescence and hangs forever. Assert by polling the sink with a
+    // deadline instead, and throttle the perpetual batch loop with a real
+    // trigger interval (the default 0 ms trigger would busy-loop state
+    // commits back to back).
+    val q = EventsStream.userRunningTotals(events, idleTimeout = Some("1 millisecond"))
+      .writeStream.format("memory").queryName("graft_mgws_timeout")
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime("25 milliseconds"))
+      .start()
+    def rows(): Seq[(Long, Long, Long)] =
+      spark.table("graft_mgws_timeout").collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def await(what: String)(pred: Seq[(Long, Long, Long)] => Boolean): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (!pred(rows())) {
+        assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+        assert(System.currentTimeMillis() < deadline,
+          s"$what: timed out; sink=${rows().mkString(", ")}")
+        Thread.sleep(50)
+      }
+    }
+    try {
+      input.addData((1L, 7L, 1.0), (2L, 7L, 2.0))
+      // update-mode emission when the data batch lands
+      await("pre-expiry totals")(_.contains((7L, 2L, 3000L)))
+      // the 1 ms idle timeout lapses; a timeout-driven batch fires the
+      // expiry branch, which emits the final totals ONCE MORE and removes
+      // the state — the sink accumulates a second identical row
+      await("expiry emission")(_.count(_ == (7L, 2L, 3000L)) >= 2)
+      // state was removed on expiry → new data restarts from zero
+      input.addData((4L, 7L, 0.25))
+      await("state must restart from zero after expiry")(_.contains((7L, 1L, 250L)))
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("graft_mgws_timeout")
+    }
   }
 
   test("streaming materialization leaves no catalog residue (file sink, no temp view)") {
@@ -24,6 +83,8 @@ class EventsStreamSpec extends SparkSpec {
 
   test("watermarked AvailableNow replay emits exactly the finalized windows") {
     val out = EventsStream.hourlyWatermarkedAvailableNow(spark, sf)
+    assert(EventsStream.lastReplayBatches >= 2,
+      s"staged replay must run multiple micro-batches, got ${EventsStream.lastReplayBatches}")
     val ev = Tables.load(spark, sf, "events")
     // contract: emitted = windows with end <= (max event ts @ ms) - 1h delay
     val cutoff = ev
