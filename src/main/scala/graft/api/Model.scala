@@ -62,6 +62,19 @@ object IngestError {
   /** main.py:330-334. */
   final case class ServiceUnavailable(cause: String)
       extends IngestError(503, s"Service unavailable: $cause")
+  /** main.py:114-119 — connect endpoint's catch-all 400. */
+  final case class ConnectionFailed(cause: String)
+      extends IngestError(400, s"Connection failed: $cause")
+  /** main.py:134-139 — get-columns' 404, worded differently from the export
+    * path's [[TableNotFound]].
+    */
+  final case class TableDoesNotExist(table: String)
+      extends IngestError(404, s"Table $table does not exist")
+  /** main.py:156-161 — get-columns' catch-all 400 (no pydantic guard on the
+    * `table` query param in the reference; bad identifiers fail here).
+    */
+  final case class ColumnsFetchFailed(cause: String)
+      extends IngestError(400, s"Failed to get columns: $cause")
 }
 
 object Validation {
