@@ -156,6 +156,11 @@ object SparkEntry {
       graft.operators.Analytics.orderStatsCube(t(s, dir, "orders"))),
     "a12_distinct_users" -> ((s, dir) =>
       graft.operators.Analytics.distinctUsersPerType(t(s, dir, "events"))),
+    // KMV approximate-distinct sketch: the fixed-size, mergeable shape that
+    // replaces exact distinct at 100 TB — md5-deterministic, so the estimate
+    // itself is oracle-gated (HLL never is; sketches are engine-private).
+    "a18_kmv_distinct" -> ((s, dir) =>
+      graft.operators.Analytics.kmvDistinctUsers(t(s, dir, "events"))),
     "a13_price_quantiles" -> ((s, dir) =>
       graft.operators.Analytics.priceQuantiles(t(s, dir, "orders"))),
     // Exact deterministic stratified sample (md5-order, per-stratum window).
@@ -251,6 +256,24 @@ object SparkEntry {
     // unit-pinned with a MemoryStream in EventsStreamSpec.
     "st3_events_hourly_watermarked" -> ((s, dir) =>
       graft.streaming.EventsStream.hourlyWatermarkedAvailableNow(s, dir)),
+    // Streaming exact dedup of at-least-once deliveries: a duplicate-injected
+    // replay through watermarked dropDuplicates(event_id, ts) must emit
+    // exactly the original events table (state bounded by the watermark
+    // horizon because the event-time column is part of the dedup key).
+    "st5_stream_dedup" -> ((s, dir) =>
+      graft.streaming.EventsStream.dedupReplay(s, dir)
+        .selectExpr("event_id", "user_id", "event_type",
+          "unix_micros(ts) AS ts_micros",
+          "CAST(round(value * 1000) AS BIGINT) AS value_milli")),
+    // Stream-stream interval join (view→purchase attribution within 1h per
+    // user): both sides watermarked, range condition on both event times →
+    // bounded join state; the time-ordered replay emits exactly the batch
+    // interval join.
+    "st6_attribution_join" -> ((s, dir) =>
+      graft.streaming.EventsStream.attributionReplay(s, dir)
+        .selectExpr("user_id", "view_id", "purchase_id",
+          "unix_micros(v_ts) AS v_ts_micros",
+          "unix_micros(p_ts) AS p_ts_micros")),
     // ---- Dedup suite (LLM-pipeline north star) over documents/embeddings ----
     "d1_exact_dedup" -> ((s, dir) =>
       graft.operators.Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
@@ -482,6 +505,18 @@ object SparkEntry {
       ("SELECT user_id, count(*) AS n_events, " +
         "CAST(sum(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS value_milli " +
         "FROM events GROUP BY 1"),
+    // st5: the deduped replay of the duplicate-injected stream must equal
+    // the original table row-for-row (every redelivery dropped).
+    "st5_stream_dedup" ->
+      ("SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_micros, " +
+        "CAST(round(value*1000) AS BIGINT) AS value_milli FROM events"),
+    // st6: the streamed interval join equals the batch range join exactly.
+    "st6_attribution_join" ->
+      ("SELECT a.user_id, a.event_id AS view_id, b.event_id AS purchase_id, " +
+        "epoch_us(a.ts) AS v_ts_micros, epoch_us(b.ts) AS p_ts_micros " +
+        "FROM events a JOIN events b ON a.user_id = b.user_id " +
+        "AND a.event_type = 'view' AND b.event_type = 'purchase' " +
+        "AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR"),
     // Watermarked append-mode contract (pinned empirically + in
     // EventsStreamSpec): emitted = hourly windows whose END <= final
     // watermark = (max event ts, ms precision) - 1h delay. Same exact
@@ -500,6 +535,19 @@ object SparkEntry {
     "a12_distinct_users" ->
       ("SELECT event_type, count(DISTINCT user_id) AS n_users, " +
         "count(*) AS n_events FROM events GROUP BY 1"),
+    // a18: KMV sketch replay — k=32 smallest md5(user_id) per type; estimate
+    // (k-1)/U(k) with U(k) = first 15 hex digits of the k-th hash over 16^15,
+    // left-associative double chain and floor-milli quantization matching the
+    // Spark side literally; under-k groups are exact.
+    "a18_kmv_distinct" ->
+      ("WITH h AS (SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events), " +
+        "r AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h), " +
+        "t AS (SELECT event_type, count(*) AS sketch_k, max(h) AS hk FROM r WHERE rn <= 32 GROUP BY 1) " +
+        "SELECT event_type, sketch_k, " +
+        "CASE WHEN sketch_k < 32 THEN sketch_k * 1000 " +
+        "ELSE CAST(floor(31.0 * CAST(1152921504606846976 AS DOUBLE) / " +
+        "CAST(('0x' || substring(hk, 1, 15))::BIGINT AS DOUBLE) * 1000.0) AS BIGINT) END AS est_milli " +
+        "FROM t"),
     "a13_price_quantiles" ->
       ("SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 4) AS p50, " +
         "round(quantile_cont(o_totalprice, 0.9), 4) AS p90, count(*) AS n " +
@@ -920,34 +968,38 @@ object SparkEntry {
         "SELECT query_id, id AS neighbor_id, cos, " +
         "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rank FROM s) " +
         "WHERE rank <= 10"),
-    // k3: IVF replayed in SQL — seed centroids = first 32 ids by md5(id)
-    // order, then TWO Lloyd iterations with micro-quantized means (per-dim
-    // sums of floor(x*1e6) as BIGINT — associative, so any accumulation
-    // order agrees with Spark's; empty cells keep their previous centroid);
-    // assignment = argmax (cos, cid); probes = top-8 centroids per query;
+    // k3: IVF replayed in SQL — training runs over the deterministic hash
+    // sample vs (md5(id) hex < '2' ≈ 1/8 of the corpus): seed centroids =
+    // first 32 sample ids by md5(id) order (identical to the global pick —
+    // the 32 smallest md5s are all < '2'), then TWO Lloyd iterations with
+    // micro-quantized means (per-dim sums of floor(x*1e6) as BIGINT —
+    // associative, so any accumulation order agrees with Spark's; empty
+    // cells keep their previous centroid); the FULL corpus is assigned once
+    // to the trained centroids; probes = top-8 centroids per query;
     // candidates = probed cells; exact re-rank. nCentroids=32, nProbe=8.
     "k3_ivf_topk" ->
       ("WITH v AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
         "FROM embeddings), " +
-        "c0 AS (SELECT id AS cid, v AS cv FROM v ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 32), " +
-        "ac0 AS (SELECT v.id, c0.cid, " +
-        "list_sum(list_transform(generate_series(1, 64), i -> v.v[i] * c0.cv[i])) / " +
-        "(sqrt(list_sum(list_transform(v.v, x -> x * x))) * " +
-        "sqrt(list_sum(list_transform(c0.cv, x -> x * x)))) AS cos FROM v, c0), " +
+        "vs AS (SELECT * FROM v WHERE md5(CAST(id AS VARCHAR)) < '2'), " +
+        "c0 AS (SELECT id AS cid, v AS cv FROM vs ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 32), " +
+        "ac0 AS (SELECT vs.id, c0.cid, " +
+        "list_sum(list_transform(generate_series(1, 64), i -> vs.v[i] * c0.cv[i])) / " +
+        "(sqrt(list_sum(list_transform(vs.v, x -> x * x))) * " +
+        "sqrt(list_sum(list_transform(c0.cv, x -> x * x)))) AS cos FROM vs, c0), " +
         "as0 AS (SELECT id, cid FROM (SELECT id, cid, " +
         "row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid DESC) AS rn FROM ac0) WHERE rn = 1), " +
-        "u0 AS (SELECT a.cid, d, sum(CAST(floor(v.v[d] * 1000000) AS BIGINT)) AS s, count(*) AS n " +
-        "FROM v JOIN as0 a ON v.id = a.id, unnest(generate_series(1, 64)) AS t(d) GROUP BY a.cid, d), " +
+        "u0 AS (SELECT a.cid, d, sum(CAST(floor(vs.v[d] * 1000000) AS BIGINT)) AS s, count(*) AS n " +
+        "FROM vs JOIN as0 a ON vs.id = a.id, unnest(generate_series(1, 64)) AS t(d) GROUP BY a.cid, d), " +
         "m0 AS (SELECT cid, list(CAST(s AS DOUBLE) / (n * 1000000.0) ORDER BY d) AS nv FROM u0 GROUP BY cid), " +
         "c1 AS (SELECT c0.cid, coalesce(m0.nv, c0.cv) AS cv FROM c0 LEFT JOIN m0 ON c0.cid = m0.cid), " +
-        "ac1 AS (SELECT v.id, c1.cid, " +
-        "list_sum(list_transform(generate_series(1, 64), i -> v.v[i] * c1.cv[i])) / " +
-        "(sqrt(list_sum(list_transform(v.v, x -> x * x))) * " +
-        "sqrt(list_sum(list_transform(c1.cv, x -> x * x)))) AS cos FROM v, c1), " +
+        "ac1 AS (SELECT vs.id, c1.cid, " +
+        "list_sum(list_transform(generate_series(1, 64), i -> vs.v[i] * c1.cv[i])) / " +
+        "(sqrt(list_sum(list_transform(vs.v, x -> x * x))) * " +
+        "sqrt(list_sum(list_transform(c1.cv, x -> x * x)))) AS cos FROM vs, c1), " +
         "as1 AS (SELECT id, cid FROM (SELECT id, cid, " +
         "row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid DESC) AS rn FROM ac1) WHERE rn = 1), " +
-        "u1 AS (SELECT a.cid, d, sum(CAST(floor(v.v[d] * 1000000) AS BIGINT)) AS s, count(*) AS n " +
-        "FROM v JOIN as1 a ON v.id = a.id, unnest(generate_series(1, 64)) AS t(d) GROUP BY a.cid, d), " +
+        "u1 AS (SELECT a.cid, d, sum(CAST(floor(vs.v[d] * 1000000) AS BIGINT)) AS s, count(*) AS n " +
+        "FROM vs JOIN as1 a ON vs.id = a.id, unnest(generate_series(1, 64)) AS t(d) GROUP BY a.cid, d), " +
         "m1 AS (SELECT cid, list(CAST(s AS DOUBLE) / (n * 1000000.0) ORDER BY d) AS nv FROM u1 GROUP BY cid), " +
         "c AS (SELECT c1.cid, coalesce(m1.nv, c1.cv) AS cv FROM c1 LEFT JOIN m1 ON c1.cid = m1.cid), " +
         "ac AS (SELECT v.id, c.cid, " +

@@ -130,6 +130,46 @@ object Analytics {
       .groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
 
+  /** KMV (k-minimum-values) approximate-distinct sketch — the
+    * oracle-gateable sketch: unlike HLL (whose hash and bias correction are
+    * engine-private, see [[distinctUsersPerType]]'s note), KMV over md5 is
+    * bit-deterministic in any engine, so the ESTIMATE itself hash-matches
+    * DuckDB. Estimator (Bar-Yossef et al.): the k-th smallest of n uniform
+    * hashes sits at ≈ k/(n+1) of the hash space, so n̂ = (k−1)/U(k) with
+    * U(k) = the k-th smallest hash as a fraction of the space (first 15 md5
+    * hex digits → integer / 16¹⁵; double math on exact integers, floor
+    * milli-quantized). A group with fewer than k distinct hashes is exact
+    * by definition — the sketch holds every value.
+    *
+    * Scale shape: the sketch is what makes distinct counting cheap at
+    * 100 TB — fixed k values per group, mergeable by union+truncate
+    * (partial aggregation). This formulation exercises the estimator
+    * through a distinct + per-group top-k-min (window over the tiny
+    * distinct-hash relation); a production build would carry the k minima
+    * in a typed aggregation buffer — same estimate, same merge algebra.
+    */
+  def kmvDistinctUsers(events: DataFrame, k: Int = 32): DataFrame = {
+    // 16^15 = 2^60 — the hash space of 15 md5 hex digits, exact as a double;
+    // spelled as an integer literal so both engines derive the identical
+    // double, and the a*b/c*d chain is left-associative in both SQL dialects
+    val est = s"CAST(floor(${k - 1}.0D * CAST(1152921504606846976L AS DOUBLE) / " +
+      "CAST(CAST(conv(substring(hk, 1, 15), 16, 10) AS BIGINT) AS DOUBLE) " +
+      "* 1000.0D) AS BIGINT)"
+    events
+      .select(col("event_type"), md5(col("user_id").cast("string")).as("h"))
+      .distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy("h")))
+      .filter(col("rn") <= k)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("sketch_k"), max(col("h")).as("hk"))
+      .select(
+        col("event_type"), col("sketch_k"),
+        when(col("sketch_k") < k, col("sketch_k") * 1000L)
+          .otherwise(expr(est))
+          .as("est_milli"))
+  }
+
   /** Exact percentiles per group (ANSI interpolated definition — Spark's
     * `percentile` and DuckDB's `quantile_cont` share it). Exact sort-based;
     * swap for approx_percentile (t-digest/KLL) when the per-group data no

@@ -111,6 +111,24 @@ object Similarity {
       .select(col("cid"), coalesce(col("nv"), col("qv")).as("qv"))
   }
 
+  /** Materialize a centroid frame to a local relation (collect + recreate).
+    *
+    * Bounded by construction (nCentroids × dim doubles — KB, not data), and
+    * load-bearing for the iteration: without it each [[lloydIterate]] embeds
+    * the previous iteration's whole plan TWICE (assignment + empty-cell
+    * fallback join), so the logical plan — and the work re-executed per
+    * reference — doubles every iteration. Collecting the tiny centroid
+    * state per round is exactly how distributed k-means implementations
+    * iterate; the values are micro-quantized integers divided once, so the
+    * materialized doubles are bit-stable across engines and runs.
+    */
+  private def materializeCentroids(cents: DataFrame): DataFrame = {
+    val spark = cents.sparkSession
+    val rows = cents.select(col("cid"), col("qv")).collect().toIndexedSeq
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), cents.schema)
+  }
+
   /** IVF (inverted-file) approximate top-k: the corpus is partitioned into
     * `nCentroids` cells by nearest centroid; a query probes only its
     * `nProbe` closest cells and exact-re-ranks their members. The index is
@@ -120,11 +138,14 @@ object Similarity {
     *
     * Centroids: seeds are chosen deterministically by md5(id) order
     * (seedless init, reproducible in any engine), then TRAINED with
-    * `nIter` Lloyd iterations ([[lloydIterate]] — micro-quantized means,
-    * so the trained positions are bit-identical across engines and the
-    * whole pipeline stays value-oracle-gated, not rows-only).
-    * SimilaritySpec additionally pins that training does not lose recall
-    * vs the untrained (nIter = 0) index.
+    * `nIter` Lloyd iterations over a deterministic ~1/8 hash sample of the
+    * corpus ([[lloydIterate]] — micro-quantized means, so the trained
+    * positions are bit-identical across engines and the whole pipeline
+    * stays value-oracle-gated, not rows-only; per-round centroid state is
+    * driver-materialized, see [[materializeCentroids]]). Training on a
+    * sample is the standard IVF build: only the single final assignment
+    * scans the full corpus. SimilaritySpec additionally pins that training
+    * does not lose recall vs the untrained (nIter = 0) index.
     */
   def ivfTopKCosine(
       embeddings: DataFrame,
@@ -134,12 +155,18 @@ object Similarity {
       nProbe: Int = 8,
       nIter: Int = 2): DataFrame = {
     val v = asVectors(embeddings)
+    // Training sample: md5(id) hex < '2' ≈ 1/8 of the corpus, map-only (no
+    // sort/limit) and engine-replayable. k-means needs a REPRESENTATIVE
+    // sample, not the full corpus — at 100 TB the training loop must not
+    // scan everything nIter times; only the single final assignment does.
+    val vt = v.filter(md5(col("id").cast("string")) < lit("2"))
     val seeds =
-      v.orderBy(md5(col("id").cast("string")), col("id"))
+      vt.orderBy(md5(col("id").cast("string")), col("id"))
         .limit(nCentroids)
         .select(col("id").as("cid"), col("v").as("qv"))
     val cents = broadcast(
-      (0 until nIter).foldLeft(seeds)((c, _) => lloydIterate(v, c)))
+      (0 until nIter).foldLeft(materializeCentroids(seeds))((c, _) =>
+        materializeCentroids(lloydIterate(vt, broadcast(c)))))
     // nearest-centroid assignment: map-side max_by over the broadcast —
     // deterministic tie-break on (dot, cid)
     val assign = cosineCols(v.crossJoin(cents))

@@ -89,13 +89,16 @@ object EventsStream {
   private val stagedDirs =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
 
-  private def stagedEventsDir(spark: SparkSession, dir: String, n: Int): String =
-    stagedDirs.computeIfAbsent((dir, n), _ => {
+  private def stagedEventsDir(
+      spark: SparkSession, dir: String, n: Int,
+      variant: String = "",
+      xform: DataFrame => DataFrame = identity): String =
+    stagedDirs.computeIfAbsent((s"$dir#$variant", n), _ => {
       val out = tempDir("graft_stream_staged_")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       // raw read (ts stays a nanos long) so the staged schema matches the
       // original file's and the streaming-side conversion applies unchanged
-      spark.read.parquet(s"$dir/events.parquet")
+      xform(spark.read.parquet(s"$dir/events.parquet"))
         .repartitionByRange(n, col("ts"))
         .write.mode("overwrite").parquet(out)
       // ascending mtimes pin the file-source processing order to time order
@@ -158,6 +161,24 @@ object EventsStream {
   def readEventsStaged(spark: SparkSession, dir: String): DataFrame = {
     val n = spark.conf.get(ReplayFilesConf, "2").toInt
     val staged = stagedEventsDir(spark, dir, n)
+    spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "part-*")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Multi-batch streaming source with DUPLICATE DELIVERIES: every 7th event
+    * (id mod 7 == 0) appears twice, same payload and event time — the
+    * at-least-once redelivery pattern of any real ingestion bus. Range
+    * repartitioning on ts keeps each duplicate time-adjacent to its
+    * original, exactly where a redelivery lands.
+    */
+  def readEventsStagedWithDups(spark: SparkSession, dir: String): DataFrame = {
+    val n = spark.conf.get(ReplayFilesConf, "2").toInt
+    val staged = stagedEventsDir(spark, dir, n, variant = "dup7",
+      xform = raw => raw.unionAll(raw.filter(col("event_id") % 7 === 0)))
     spark.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "part-*")
@@ -381,5 +402,112 @@ object EventsStream {
             .partitionBy("user_id").orderBy(col("batch_id").desc)))
       .filter(col("__rn") === 1)
       .select("user_id", "n_events", "value_milli")
+  }
+
+  /** Stream-stream interval join — event-time attribution: each `view` is
+    * joined to the same user's `purchase`s that occur within `horizon`
+    * AFTER it. Two independent streams over the staged source, both
+    * watermarked, joined on the user key plus a RANGE condition on both
+    * event times — the condition is what lets the engine bound join state:
+    * a buffered view can only match purchases up to `horizon` later, so
+    * once the purchase-side watermark passes `view.ts + horizon` the view's
+    * state row is evicted (and symmetrically for purchases). Without the
+    * range bound, stream-stream join state grows forever — the same
+    * unbounded-state footgun st5 pins for dedup.
+    *
+    * The time-ordered staged replay never drops late rows, so the emitted
+    * pairs are exactly the batch interval join — value-oracle-gated as a
+    * plain SQL range join.
+    */
+  def attributionReplay(
+      spark: SparkSession,
+      dir: String,
+      horizon: String = "1 hour",
+      queryName: String = "graft_attribution_stream"): DataFrame = {
+    val ss = streamSession(spark)
+    val out = tempDir("graft_stream_attr_out_")
+    val ckpt = tempDir("graft_stream_attr_ckpt_")
+    val views = readEventsStaged(ss, dir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val purchases = readEventsStaged(ss, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val q = views
+      .join(purchases,
+        col("v_user") === col("p_user") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"),
+        col("v_ts"), col("p_ts"))
+      .writeStream
+      .queryName(queryName)
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    lastReplayBatches = q.recentProgress.map(_.batchId).distinct.length.toLong
+    spark.read.schema(StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("view_id", LongType),
+      StructField("purchase_id", LongType),
+      StructField("v_ts", TimestampType),
+      StructField("p_ts", TimestampType)))).parquet(out)
+  }
+
+  /** Streaming exact dedup of at-least-once deliveries: replay the
+    * duplicate-injected staged source ([[readEventsStagedWithDups]]) through
+    * watermarked `dropDuplicates` and return everything emitted — which must
+    * be exactly the original events table, each redelivery dropped.
+    *
+    * The dedup key is (event_id, ts): including the WATERMARK column is what
+    * makes this the 24/7 shape — state for keys older than the watermark is
+    * evicted every batch, so per-executor state is bounded by the watermark
+    * horizon (1 h) times the event rate, not by stream lifetime. A
+    * redelivery either finds its original's state live (same batch or within
+    * the horizon → deduped) or arrives below the watermark (→ dropped as
+    * late); both paths leave exactly one copy in the sink. Keying on
+    * event_id alone would dedup the same but grow state forever — the
+    * classic unbounded-state footgun this entry exists to pin against.
+    *
+    * Append mode emits first-seen rows in the batch they arrive (no window
+    * finalization wait), so the file sink accumulates the deduped stream
+    * incrementally — the LLM-pipeline ingestion front door: exactly-once
+    * document landing from an at-least-once bus.
+    */
+  def dedupReplay(
+      spark: SparkSession,
+      dir: String,
+      queryName: String = "graft_events_dedup_stream"): DataFrame = {
+    val ss = streamSession(spark)
+    val out = tempDir("graft_stream_dedup_out_")
+    val ckpt = tempDir("graft_stream_dedup_ckpt_")
+    val q = readEventsStagedWithDups(ss, dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id", "ts")
+      .writeStream
+      .queryName(queryName)
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    lastReplayBatches = q.recentProgress.map(_.batchId).distinct.length.toLong
+    spark.read.schema(StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))).parquet(out)
   }
 }

@@ -21,6 +21,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.nonEmpty && rows.length <= 6) // |returnflag| x |linestatus|
   }
 
+  test("KMV distinct sketch: exact under k, inside estimator error above k") {
+    val ev = t("events")
+    val exact = Analytics.distinctUsersPerType(ev)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // under-k regime (15 distinct users per type at this sf, k=32): the
+    // sketch holds every hash — estimate must be EXACT
+    Analytics.kmvDistinctUsers(ev, k = 32).collect().foreach { r =>
+      assert(r.getLong(1) < 32L)
+      assert(r.getLong(2) == exact(r.getString(0)) * 1000,
+        s"${r.getString(0)} under-k sketch must be exact")
+    }
+    // estimator regime (k=8 < 15): (k-1)/U(k), stderr ~ 1/sqrt(k-1) ≈ 38%
+    val est = Analytics.kmvDistinctUsers(ev, k = 8).collect()
+    assert(est.nonEmpty && est.forall(_.getLong(1) == 8L),
+      "every group must reach the sketch cap in the estimator regime")
+    est.foreach { r =>
+      val ex = exact(r.getString(0))
+      val rel = math.abs(r.getLong(2) / 1000.0 - ex) / ex
+      assert(rel <= 0.55, s"${r.getString(0)}: ${r.getLong(2) / 1000.0} vs $ex (rel $rel)")
+    }
+  }
+
   test("revenueByNation: nation dim is broadcast, never shuffled") {
     val df = Analytics.revenueByNation(t("customer"), t("orders"), t("nation"))
     val plan = df.queryExecution.executedPlan.toString
