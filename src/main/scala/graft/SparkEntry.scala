@@ -308,6 +308,16 @@ object SparkEntry {
       t(s, dir, "documents")
         .join(surv, "doc_id").select("doc_id", "lang", "source", "n_chars")
     }),
+    // Incremental (daily-ingest) dedup: a deterministic 1/16 md5 slice of
+    // the documents plays the newly arrived delta; it is matched against
+    // the remaining corpus via the stored band-key index plus against
+    // itself — cost scales with |delta|, never |corpus|².
+    "d9_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isDelta = expr("substring(md5(CAST(doc_id AS STRING)), 1, 1) = '0'")
+      graft.operators.Dedup.incrementalMinHashNearDup(
+        docs.filter(!isDelta), docs.filter(isDelta))
+    }),
     "d5_embedding_neardup" -> ((s, dir) =>
       graft.operators.Dedup.embeddingNearDup(
         graft.operators.Dedup.withPerturbedCopy(t(s, dir, "embeddings")))),
@@ -702,6 +712,24 @@ object SparkEntry {
         "a.n + b.n - len(list_intersect(a.ss, b.ss)) AS u " +
         "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) " +
         "SELECT a_id, b_id, round(i * 1.0 / u, 6) AS jaccard FROM p WHERE i * 1.0 / u >= 0.6"),
+    // d9: the incremental run must find exactly the brute-force near-dup
+    // pairs that TOUCH the delta slice (md5 first hex digit '0' = the
+    // newly-arrived generation) — corpus-internal pairs are excluded, they
+    // were handled when the corpus was ingested.
+    "d9_incremental_dedup" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "sh AS (SELECT doc_id, list(DISTINCT s) AS ss, count(DISTINCT s) AS n FROM (" +
+        "SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s " +
+        "FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)) GROUP BY doc_id), " +
+        "d AS (SELECT doc_id FROM documents " +
+        "WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'), " +
+        "p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+        "len(list_intersect(a.ss, b.ss)) AS i, " +
+        "a.n + b.n - len(list_intersect(a.ss, b.ss)) AS u " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) " +
+        "SELECT a_id, b_id, round(i * 1.0 / u, 6) AS jaccard FROM p " +
+        "WHERE i * 1.0 / u >= 0.6 " +
+        "AND (a_id IN (SELECT doc_id FROM d) OR b_id IN (SELECT doc_id FROM d))"),
     "d3_simhash" ->
       ("WITH w AS (SELECT DISTINCT doc_id, w FROM (" +
         "SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)), " +

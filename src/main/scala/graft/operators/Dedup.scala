@@ -126,48 +126,8 @@ object Dedup {
       bands: Int = 16,
       verifyBroadcast: Option[Boolean] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val rows = numHashes / bands
-
-    // Shingles carried as longs end-to-end: each TOKEN is xxhash64'd once,
-    // a shingle's identity is the chained xxhash64 of its tokens' hashes —
-    // 8 bytes per shingle through every shuffle, collisions ~2^-64, so the
-    // exact-Jaccard verify on these longs equals the string-shingle
-    // Jaccard. The whole set (token hashes, shingle combine, sort, dedup)
-    // is ONE native per-row pass ([[graft.functions.WordShingleHashes]]);
-    // sorted output feeds the two-pointer graft_isect_size verify directly.
-    // Deliberately persisted (Spark-ML-style): the DAG reads `sets` four
-    // times (signature path + both verify broadcasts); without a persist
-    // the shingle computation re-runs each time (d2: 7.2s -> 2.7s at
-    // sf0.1). Never unpersisted here — the returned frame is lazy, so the
-    // operator cannot know when its consumer is done; memory blocks are
-    // LRU-evicted but DISK blocks live until session end. Long-lived
-    // sessions calling this repeatedly should spark.catalog.clearCache()
-    // between batches.
-    graft.functions.GraftFunctions.register(docs.sparkSession)
-    // the empties filter sits ABOVE the persist: below it, Catalyst pushes
-    // size(sh) > 0 under the projection by substituting sh's definition,
-    // re-evaluating the whole shingle pass per row (verified in the plan)
-    val sets = docs
-      .filter(col(textCol).isNotNull)
-      .select(col(idCol).as("id"),
-        expr(s"graft_word_shingles($textCol, $shingleWords)").as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .filter(size(col("sh")) > 0)
-
-    // Full signature in one map-only native pass per document
-    // ([[graft.functions.MinHashSignature]], same affine family term for
-    // term) — the declarative form exploded every (doc, shingle) pair and
-    // ran 64 simultaneous min aggregates through a shuffle.
-    val sig = sets.select(col("id"), expr(s"graft_minhash(sh, $numHashes)").as("m"))
-
-    val bandCols = (0 until bands).map { j =>
-      struct(
-        lit(j).as("band"),
-        concat_ws("_", (0 until rows).map(r => expr(s"m[${j * rows + r}]")): _*).as("key"))
-    }
-    val banded = sig
-      .select(col("id"), explode(array(bandCols: _*)).as("b"))
-      .select(col("id"), col("b.band").as("band"), col("b.key").as("key"))
+    val sets = shingleSets(docs, textCol, idCol, shingleWords)
+    val banded = bandedKeys(sets, numHashes, bands)
 
     val cand = banded.as("x")
       .join(
@@ -177,6 +137,108 @@ object Dedup {
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
       .distinct()
 
+    verifyJaccard(cand, sets, threshold, resolveVerifyBroadcast(sets, verifyBroadcast))
+  }
+
+  /** Sorted-distinct word-shingle hash sets per document.
+    *
+    * Shingles carried as longs end-to-end: each TOKEN is xxhash64'd once,
+    * a shingle's identity is the chained xxhash64 of its tokens' hashes —
+    * 8 bytes per shingle through every shuffle, collisions ~2^-64, so the
+    * exact-Jaccard verify on these longs equals the string-shingle
+    * Jaccard. The whole set (token hashes, shingle combine, sort, dedup)
+    * is ONE native per-row pass ([[graft.functions.WordShingleHashes]]);
+    * sorted output feeds the two-pointer graft_isect_size verify directly.
+    * Deliberately persisted (Spark-ML-style): the DAG reads the sets
+    * several times (signature path + both verify sides); without a persist
+    * the shingle computation re-runs each time (d2: 7.2s -> 2.7s at
+    * sf0.1). Never unpersisted here — the returned frame is lazy, so the
+    * operator cannot know when its consumer is done; memory blocks are
+    * LRU-evicted but DISK blocks live until session end. Long-lived
+    * sessions calling this repeatedly should spark.catalog.clearCache()
+    * between batches.
+    */
+  private def shingleSets(
+      docs: DataFrame, textCol: String, idCol: String, shingleWords: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // the empties filter sits ABOVE the persist: below it, Catalyst pushes
+    // size(sh) > 0 under the projection by substituting sh's definition,
+    // re-evaluating the whole shingle pass per row (verified in the plan)
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        expr(s"graft_word_shingles($textCol, $shingleWords)").as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .filter(size(col("sh")) > 0)
+  }
+
+  /** LSH band keys per document: full MinHash signature in one map-only
+    * native pass ([[graft.functions.MinHashSignature]], same affine family
+    * term for term — the declarative form exploded every (doc, shingle)
+    * pair and ran 64 simultaneous min aggregates through a shuffle), split
+    * into `bands` bucket keys. This relation IS the dedup index: at a real
+    * deployment it is computed once per document and STORED, so a new
+    * batch joins against it instead of re-shingling the corpus (see
+    * [[incrementalMinHashNearDup]]).
+    */
+  private def bandedKeys(sets: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val sig = sets.select(col("id"), expr(s"graft_minhash(sh, $numHashes)").as("m"))
+    val bandCols = (0 until bands).map { j =>
+      struct(
+        lit(j).as("band"),
+        concat_ws("_", (0 until rows).map(r => expr(s"m[${j * rows + r}]")): _*).as("key"))
+    }
+    sig
+      .select(col("id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.key").as("key"))
+  }
+
+  /** Incremental near-dedup: match a DELTA of newly arrived documents
+    * against an already-ingested corpus — and against itself — without an
+    * all-corpus self-join. This is the daily-ingest shape at 100 TB: the
+    * corpus's band keys ([[bandedKeys]]) are the stored dedup INDEX, so a
+    * run's cost scales with |delta| (delta shingling + two equi-joins
+    * against index buckets), not |corpus|²; corpus documents never pair
+    * with each other (they were deduped when they arrived).
+    *
+    * Output matches [[minHashNearDup]]'s orientation (a_id < b_id,
+    * jaccard ≥ threshold), restricted to pairs with at least one delta
+    * side. Corpus and delta ids must be disjoint (they are different
+    * ingestion generations of one id space).
+    */
+  def incrementalMinHashNearDup(
+      corpus: DataFrame,
+      delta: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      threshold: Double = 0.6,
+      shingleWords: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      verifyBroadcast: Option[Boolean] = None): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val corpusSets = shingleSets(corpus, textCol, idCol, shingleWords)
+    val deltaSets = shingleSets(delta, textCol, idCol, shingleWords)
+    val corpusBands = bandedKeys(corpusSets, numHashes, bands) // the stored index
+    val deltaBands = bandedKeys(deltaSets, numHashes, bands)
+
+    // delta × corpus: sides are disjoint, so normalize orientation after
+    val cross = deltaBands.as("x")
+      .join(corpusBands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+      .select(
+        least(col("x.id"), col("y.id")).as("a_id"),
+        greatest(col("x.id"), col("y.id")).as("b_id"))
+    // delta × delta: the new batch can contain its own near-dups
+    val within = deltaBands.as("x")
+      .join(deltaBands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+    val cand = cross.unionByName(within).distinct()
+
+    val sets = corpusSets.unionByName(deltaSets)
     verifyJaccard(cand, sets, threshold, resolveVerifyBroadcast(sets, verifyBroadcast))
   }
 

@@ -294,12 +294,16 @@ object EventsStream {
   /** Replay the on-disk events through the streaming engine with
     * Trigger.AvailableNow and return the final aggregate as a batch frame.
     *
-    * Complete-mode aggregates can't use the built-in file sink (append-only),
-    * so the sink is `foreachBatch`: each micro-batch OVERWRITES a parquet
-    * directory with the full updated aggregate, executor-parallel — nothing
-    * ever transits the driver (a memory sink + collect() would cap this at
-    * driver RAM; at the 100 TB point the aggregate is itself large). The
-    * returned frame reads the last batch's parquet.
+    * UPDATE output mode: each micro-batch emits only the groups that
+    * CHANGED in that batch (appended to a parquet dir with the batch id,
+    * executor-parallel — nothing transits the driver), and the final answer
+    * is each group's last emission. This is the scale-correct replay-twin
+    * shape: per-batch output is proportional to the keys the batch touched,
+    * where complete mode would rewrite the ENTIRE aggregate every batch —
+    * fine for a bounded (hour×type) rollup, quadratic waste on an
+    * open-ended one. (Unlike the watermarked [[hourlyWatermarkedAvailableNow]]
+    * twin, update mode emits not-yet-finalized windows too, which is what
+    * makes the result equal the batch aggregate exactly.)
     */
   def hourlyAvailableNow(
       spark: SparkSession,
@@ -311,16 +315,27 @@ object EventsStream {
     val q = hourlyAggregate(readEventsStaged(ss, dir))
       .writeStream
       .queryName(queryName)
-      .outputMode("complete")
+      .outputMode("update")
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("overwrite").parquet(out)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(out)
       }
       .start()
     q.awaitTermination()
     lastReplayBatches = q.recentProgress.map(_.batchId).distinct.length.toLong
-    spark.read.schema(hourlySchema).parquet(out)
+    val emitted = spark.read
+      .schema(hourlySchema.add(StructField("batch_id", LongType)))
+      .parquet(out)
+    // the aggregate for a group is monotone in batch id — last emission wins
+    emitted
+      .withColumn("__rn",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("hour", "event_type").orderBy(col("batch_id").desc)))
+      .filter(col("__rn") === 1)
+      .select("hour", "event_type", "n", "value_milli")
   }
 
   /** Replay the on-disk events through the WATERMARKED append-mode aggregate

@@ -40,6 +40,20 @@ class DedupSpec extends SparkSpec {
     assert(lsh.count() > 0, "fixture should contain planted near-dups")
   }
 
+  test("incremental dedup equals the full run restricted to delta-touching pairs") {
+    val isDelta = col("doc_id") % 3 === 0
+    val incremental = Dedup.incrementalMinHashNearDup(
+      docs.filter(!isDelta), docs.filter(isDelta))
+    val deltaIds = docs.filter(isDelta).select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    val full = Dedup.minHashNearDup(docs)
+      .filter(col("a_id").isin(deltaIds.toSeq: _*) ||
+        col("b_id").isin(deltaIds.toSeq: _*))
+    assert(incremental.count() > 0, "fixture should have delta-touching pairs")
+    assert(incremental.exceptAll(full).isEmpty && full.exceptAll(incremental).isEmpty,
+      "incremental pair set diverged from the filtered full run")
+  }
+
   test("minhash-LSH candidate generation is an equi-join, no cartesian") {
     val plan = Dedup.minHashNearDup(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"cartesian in LSH plan:\n$plan")
