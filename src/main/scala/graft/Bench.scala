@@ -10,6 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_ONLY=a1_x,st2_y benches a subset — profiling aid, same
+    // contract as Verify's filter. Resolved before the warmups so a subset
+    // run only pays the warmup classes it will actually time.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     // JVM/codegen warmup outside the timed region so the first query's
     // number measures the query, not classloading
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -19,14 +26,16 @@ object Bench {
     try SparkEntry.queries.get("a11_order_cube")
       .foreach(fn => fn(spark, sfDir).count())
     catch { case _: Throwable => () }
-    // likewise one untimed streaming replay: the first streaming entry
-    // otherwise pays ~3-4s of one-time cost (micro-batch engine + state
-    // store classloading/JIT, and the staged multi-file source write) that
-    // belongs to none of the entries; after this, each st* number is the
-    // steady-state marginal cost of its own replay
-    try SparkEntry.queries.get("st1_events_hourly_stream")
-      .foreach(fn => fn(spark, sfDir).count())
-    catch { case _: Throwable => () }
+    // likewise one untimed streaming replay IF any streaming entry is
+    // selected: the first streaming entry otherwise pays ~3-4s of one-time
+    // cost (micro-batch engine + state store classloading/JIT, and the
+    // staged multi-file source write) that belongs to none of the entries;
+    // after this, each st* number is the steady-state marginal cost of its
+    // own replay
+    if (selected.exists(_._1.startsWith("st")))
+      try SparkEntry.queries.get("st1_events_hourly_stream")
+        .foreach(fn => fn(spark, sfDir).count())
+      catch { case _: Throwable => () }
     // Deterministic order (hash-Map order varied run to run) and a cold
     // cache per query: otherwise first-touch parquet footer reads and
     // persisted RDDs shared across entries land on whichever query happens
@@ -35,12 +44,6 @@ object Bench {
     // entry, measuring each as a standalone rebuild; default keeps them, and
     // the affected entries are flagged in the output as "memo_warm".
     val cold = sys.env.get("SPARK_GRAFT_COLD").contains("1")
-    // SPARK_GRAFT_ONLY=a1_x,st2_y benches a subset — profiling aid, same
-    // contract as Verify's filter.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
     val results = selected.map { case (name, fn) =>
       spark.catalog.clearCache()
       if (cold) {

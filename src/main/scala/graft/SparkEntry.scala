@@ -387,6 +387,18 @@ object SparkEntry {
     // Concat-and-chunk sequence packing into 2048-token bins, per shard.
     "x12_seq_pack" -> ((s, dir) =>
       graft.operators.TextAnalysis.packSequences(t(s, dir, "documents"))),
+    // PII redaction with audit counts. The synthetic corpus carries no real
+    // PII, so every 5th document gets a deterministic email+phone appended
+    // first (replayed identically in the oracle) — the redacted text itself
+    // is then hash-gated via md5, not just the counts.
+    "x13_redact_pii" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").withColumn("text", expr(
+        "CASE WHEN doc_id % 5 = 0 THEN concat(text, ' contact: user', " +
+          "CAST(doc_id AS STRING), '@example.com tel 555-123-', " +
+          "lpad(CAST(doc_id % 10000 AS STRING), 4, '0')) ELSE text END"))
+      graft.operators.TextAnalysis.redactPii(injected)
+        .selectExpr("doc_id", "n_emails", "n_phones", "md5(redacted) AS redacted_md5")
+    }),
     // ---- Multimodal plumbing (binary columns; decode stubbed) ----
     "m1_media_features" -> ((s, dir) =>
       graft.operators.Multimodal.mediaFeatures(
@@ -952,6 +964,18 @@ object SparkEntry {
         "ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset FROM b) " +
         "SELECT doc_id, source, n_tokens, start_offset, " +
         "CAST(start_offset // 2048 AS BIGINT) AS bin_id FROM c"),
+    // x13: same injection, same Java∩RE2 patterns, email pass before phone
+    // pass; the redacted text is compared via md5.
+    "x13_redact_pii" ->
+      ("WITH d AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN " +
+        "text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com tel 555-123-' || " +
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE text END AS text FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, " +
+        "CAST(len(regexp_extract_all(text, '\\d{3}[-.]\\d{3}[-.]\\d{4}')) AS BIGINT) AS n_phones, " +
+        "md5(regexp_replace(regexp_replace(text, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\d{3}[-.]\\d{3}[-.]\\d{4}', '<PHONE>', 'g')) AS redacted_md5 FROM d"),
     "k1_topk_cosine" ->
       ("WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
         "FROM embeddings), " +
@@ -996,10 +1020,10 @@ object SparkEntry {
         "SELECT query_id, id AS neighbor_id, cos, " +
         "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rank FROM s) " +
         "WHERE rank <= 10"),
-    // k3: IVF replayed in SQL — training runs over the deterministic hash
-    // sample vs (md5(id) hex < '2' ≈ 1/8 of the corpus): seed centroids =
-    // first 32 sample ids by md5(id) order (identical to the global pick —
-    // the 32 smallest md5s are all < '2'), then TWO Lloyd iterations with
+    // k3: IVF replayed in SQL — seed centroids = first 32 ids by md5(id)
+    // order over the FULL corpus (robust to tiny corpora); training runs
+    // over the deterministic hash sample vs (md5(id) hex < '2' ≈ 1/8 of
+    // the corpus), TWO Lloyd iterations with
     // micro-quantized means (per-dim sums of floor(x*1e6) as BIGINT —
     // associative, so any accumulation order agrees with Spark's; empty
     // cells keep their previous centroid); the FULL corpus is assigned once
@@ -1009,7 +1033,7 @@ object SparkEntry {
       ("WITH v AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
         "FROM embeddings), " +
         "vs AS (SELECT * FROM v WHERE md5(CAST(id AS VARCHAR)) < '2'), " +
-        "c0 AS (SELECT id AS cid, v AS cv FROM vs ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 32), " +
+        "c0 AS (SELECT id AS cid, v AS cv FROM v ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 32), " +
         "ac0 AS (SELECT vs.id, c0.cid, " +
         "list_sum(list_transform(generate_series(1, 64), i -> vs.v[i] * c0.cv[i])) / " +
         "(sqrt(list_sum(list_transform(vs.v, x -> x * x))) * " +

@@ -42,12 +42,18 @@ object Engine {
   }
 
   /** Drop the cross-query pipeline memos and any operator-persisted blocks
-    * for this session — the cached state graft operators deliberately leave
-    * behind (lazy return frames can't know when their consumer is done; see
-    * Dedup's persist notes). Called by [[shutdown]]; also callable alone by
-    * a long-lived multi-tenant JVM between logical "databases" so pinned
-    * checkpoint/cache blocks never accumulate (EngineSpec pins zero
-    * persistent RDDs after release).
+    * — the cached state graft operators deliberately leave behind (lazy
+    * return frames can't know when their consumer is done; see Dedup's
+    * persist notes). Called by [[shutdown]]; also callable alone between
+    * logical "databases" so pinned checkpoint/cache blocks never accumulate
+    * (EngineSpec pins zero persistent RDDs after release).
+    *
+    * CONTEXT-WIDE, not session-scoped: `getPersistentRDDs` is global to the
+    * SparkContext, so this unpersists every session's blocks — including
+    * another session's localCheckpoint-backed memoized frames, which become
+    * unrecoverable (truncated lineage). Only call it when this session owns
+    * all cached state in the JVM (the single-engine deployments here); a
+    * true multi-session host must scope eviction itself.
     */
   def releaseCachedState(spark: SparkSession): Unit = {
     graft.SparkEntry.invalidateMemos(spark)

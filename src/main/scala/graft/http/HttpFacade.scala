@@ -42,7 +42,8 @@ final class HttpFacade(
 
   private val logger = org.slf4j.LoggerFactory.getLogger(getClass)
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+  private val handlerPool = java.util.concurrent.Executors.newFixedThreadPool(8)
+  server.setExecutor(handlerPool)
 
   /** Connection-pool parity (main.py:64-87): validated configs are memoized
     * by `host:port:database:username`; a pooled key skips re-validation
@@ -54,8 +55,12 @@ final class HttpFacade(
 
   def start(): HttpFacade = { server.start(); this }
 
-  /** main.py:336-340 — shutdown closes pooled clients. */
-  def stop(): Unit = { pool.clear(); server.stop(0) }
+  /** main.py:336-340 — shutdown closes pooled clients. The handler pool is
+    * explicitly shut down too: `HttpServer.stop` does NOT terminate a
+    * caller-supplied executor, and its 8 non-daemon threads would otherwise
+    * outlive the façade and pin the JVM.
+    */
+  def stop(): Unit = { pool.clear(); server.stop(0); handlerPool.shutdown() }
 
   // ---- routing ----------------------------------------------------------
 
@@ -142,6 +147,10 @@ final class HttpFacade(
           // no pydantic guard on this query param in the reference: a bad
           // identifier fails inside the handler → 400 (main.py:156-161)
           throw IngestError.ColumnsFetchFailed(e.detail)
+        case scala.util.control.NonFatal(e) =>
+          // the reference's handler-wide `except Exception` → 400 — any
+          // resolution/runtime error must take the same 400 text, not a 500
+          throw IngestError.ColumnsFetchFailed(e.getMessage)
       }
     withCount(ex, cols.length)
     respond(ex, 200, JObj(

@@ -160,8 +160,13 @@ object Similarity {
     // sample, not the full corpus — at 100 TB the training loop must not
     // scan everything nIter times; only the single final assignment does.
     val vt = v.filter(md5(col("id").cast("string")) < lit("2"))
+    // Seeds are picked over the FULL corpus (orderBy+limit = one TakeOrdered
+    // pass, no global sort): on a corpus with ≥ nCentroids·16/2 rows this
+    // equals picking from the sample (the smallest md5s all hash below
+    // '2'), but on a tiny corpus the sample alone could yield fewer than
+    // nCentroids seeds and silently degrade the index.
     val seeds =
-      vt.orderBy(md5(col("id").cast("string")), col("id"))
+      v.orderBy(md5(col("id").cast("string")), col("id"))
         .limit(nCentroids)
         .select(col("id").as("cid"), col("v").as("qv"))
     val cents = broadcast(

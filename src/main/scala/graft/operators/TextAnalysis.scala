@@ -108,6 +108,39 @@ object TextAnalysis {
             THEN array_min(transform(${Dedup.wordShingleExpr(textCol, 3)}, s -> md5(s)))
             ELSE md5($textCol) END""").as("fingerprint"))
 
+  /** Email pattern shared by [[redactPii]] and its oracle replay: character
+    * classes + bounded quantifiers only, so Java regex and RE2-family
+    * engines agree (no backreferences, no lookaround).
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** NNN-NNN-NNNN / NNN.NNN.NNNN phone shape — same dialect-safe subset. */
+  val PhonePattern = "\\d{3}[-.]\\d{3}[-.]\\d{4}"
+
+  /** PII scrubbing — the redaction pass every training corpus runs before
+    * anything else: emails and phone numbers are replaced with typed
+    * placeholder tokens and the per-document hit counts are kept for
+    * filtering/auditing (a document with many redactions is often a
+    * contact-dump page worth dropping wholesale). Map-only, one pass; the
+    * pattern dialect is deliberately the Java∩RE2 subset so the transform
+    * is engine-replayable (x13 hash-gates the REDACTED TEXT itself via
+    * md5, not just the counts). Email runs before phone so a digit-bearing
+    * address can't be half-eaten by the phone pass.
+    */
+  def redactPii(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(
+      col(idCol),
+      size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(PhonePattern), lit(0)))
+        .cast("long").as("n_phones"),
+      regexp_replace(
+        regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>").as("redacted"))
+
   /** BPE-ish regex token count: splits into letter runs, digit runs, and
     * single other-symbols — the pre-tokenization pass BPE vocabularies are
     * trained over. Both whitespace and regex counts in one map-only pass;

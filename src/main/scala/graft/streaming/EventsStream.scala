@@ -57,7 +57,11 @@ object EventsStream {
 
   /** Micro-batch count of the most recent AvailableNow replay (any of the
     * replay entry points) — lets specs assert the multi-batch contract
-    * without reaching into the query object.
+    * without reaching into the query object. DIAGNOSTIC ONLY, last writer
+    * wins: concurrent replays in one JVM clobber each other's value here
+    * (the replays themselves are isolated — each runs on its own cloned
+    * session); a caller needing per-query counts should read
+    * `query.recentProgress` via its own listener.
     */
   @volatile var lastReplayBatches: Long = -1L
 
@@ -71,8 +75,13 @@ object EventsStream {
     */
   private def streamSession(spark: SparkSession): SparkSession = {
     val ss = spark.newSession()
+    // copy the replay knobs from the CALLER's session: a fresh newSession()
+    // sees only builder-time conf, so runtime settings the caller made
+    // (state partitions, staged file count) would silently fall back to
+    // defaults if read from the clone
     val parts = spark.conf.get(StatePartitionsConf, "4")
     ss.conf.set("spark.sql.shuffle.partitions", parts)
+    ss.conf.set(ReplayFilesConf, spark.conf.get(ReplayFilesConf, "2"))
     ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ss
   }
@@ -104,17 +113,13 @@ object EventsStream {
       // ascending mtimes pin the file-source processing order to time order
       // (the source sorts by modification timestamp; same-ms ties would
       // otherwise make batch boundaries nondeterministic)
-      val files = java.nio.file.Files.list(java.nio.file.Paths.get(out))
-        .iterator()
-      val parts = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
-      while (files.hasNext) {
-        val p = files.next()
-        if (p.getFileName.toString.startsWith("part-")) parts += p
-      }
+      val parts = Option(new java.io.File(out).listFiles())
+        .getOrElse(Array.empty[java.io.File]).toSeq
+        .filter(_.getName.startsWith("part-"))
       val base = System.currentTimeMillis() - 3600L * 1000
-      parts.sortBy(_.getFileName.toString).zipWithIndex.foreach { case (p, i) =>
+      parts.sortBy(_.getName).zipWithIndex.foreach { case (p, i) =>
         java.nio.file.Files.setLastModifiedTime(
-          p, java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L))
+          p.toPath, java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L))
       }
       out
     })
@@ -310,9 +315,34 @@ object EventsStream {
       dir: String,
       queryName: String = "graft_events_hourly_stream"): DataFrame = {
     val ss = streamSession(spark)
-    val out = tempDir("graft_stream_out_")
-    val ckpt = tempDir("graft_stream_ckpt_")
-    val q = hourlyAggregate(readEventsStaged(ss, dir))
+    updateModeFinal(
+      hourlyAggregate(readEventsStaged(ss, dir)),
+      keyCols = Seq("hour", "event_type"),
+      schema = hourlySchema,
+      queryName = queryName,
+      reader = spark,
+      prefix = "graft_stream_")
+  }
+
+  /** Shared plumbing of the update-mode replay twins: run `streamed` to
+    * completion with Trigger.AvailableNow through a batch_id-stamped
+    * append sink (executor-parallel, nothing transits the driver), then
+    * return each key's LAST emission — the final aggregate/state. Update
+    * mode emits only the keys a batch touched, so per-batch output is
+    * proportional to the batch, not the whole group domain; the aggregate
+    * per key is monotone in batch id, so last emission wins with one small
+    * shuffle on the key columns.
+    */
+  private def updateModeFinal(
+      streamed: DataFrame,
+      keyCols: Seq[String],
+      schema: StructType,
+      queryName: String,
+      reader: SparkSession,
+      prefix: String): DataFrame = {
+    val out = tempDir(s"${prefix}out_")
+    val ckpt = tempDir(s"${prefix}ckpt_")
+    val q = streamed
       .writeStream
       .queryName(queryName)
       .outputMode("update")
@@ -325,17 +355,15 @@ object EventsStream {
       .start()
     q.awaitTermination()
     lastReplayBatches = q.recentProgress.map(_.batchId).distinct.length.toLong
-    val emitted = spark.read
-      .schema(hourlySchema.add(StructField("batch_id", LongType)))
+    reader.read
+      .schema(schema.add(StructField("batch_id", LongType)))
       .parquet(out)
-    // the aggregate for a group is monotone in batch id — last emission wins
-    emitted
       .withColumn("__rn",
         row_number().over(
           org.apache.spark.sql.expressions.Window
-            .partitionBy("hour", "event_type").orderBy(col("batch_id").desc)))
+            .partitionBy(keyCols.map(col): _*).orderBy(col("batch_id").desc)))
       .filter(col("__rn") === 1)
-      .select("hour", "event_type", "n", "value_milli")
+      .drop("__rn", "batch_id")
   }
 
   /** Replay the on-disk events through the WATERMARKED append-mode aggregate
@@ -388,35 +416,16 @@ object EventsStream {
       dir: String,
       queryName: String = "graft_user_totals_stream"): DataFrame = {
     val ss = streamSession(spark)
-    val out = tempDir("graft_stream_ut_out_")
-    val ckpt = tempDir("graft_stream_ut_ckpt_")
-    val q = userRunningTotals(readEventsStaged(ss, dir))
-      .writeStream
-      .queryName(queryName)
-      .outputMode("update")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        batch.withColumn("batch_id", lit(id))
-          .write.mode("append").parquet(out)
-      }
-      .start()
-    q.awaitTermination()
-    lastReplayBatches = q.recentProgress.map(_.batchId).distinct.length.toLong
-    val emitted = spark.read.schema(StructType(Seq(
-      StructField("user_id", LongType),
-      StructField("n_events", LongType),
-      StructField("value_milli", LongType),
-      StructField("batch_id", LongType)))).parquet(out)
-    // totals are monotone in batch id, so the last emission per user is the
-    // final state; one small shuffle on user_id
-    emitted
-      .withColumn("__rn",
-        row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("user_id").orderBy(col("batch_id").desc)))
-      .filter(col("__rn") === 1)
-      .select("user_id", "n_events", "value_milli")
+    updateModeFinal(
+      userRunningTotals(readEventsStaged(ss, dir)),
+      keyCols = Seq("user_id"),
+      schema = StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("n_events", LongType),
+        StructField("value_milli", LongType))),
+      queryName = queryName,
+      reader = spark,
+      prefix = "graft_stream_ut_")
   }
 
   /** Stream-stream interval join — event-time attribution: each `view` is

@@ -81,4 +81,10 @@ class PlanSpec extends SparkSpec {
     assert(scanned.nonEmpty && scanned.forall(_ == 7),
       s"expected exactly 7 date partitions scanned, got $scanned")
   }
+
+  test("d9 incremental dedup plans equi-joins only — no cartesian, no BNLJ") {
+    val p = plan("d9_incremental_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in the incremental dedup plan:\n$p")
+  }
 }

@@ -20,6 +20,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("redactPii: scrubs emails and phones, counts hits, leaves clean text alone") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "write to a.b@test.org or call 555-123-4567 now"),
+      (2L, "no contact info here"),
+      (3L, "two mails x@y.io z@w.co and 111.222.3333")).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(fixture).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 1 && out(1L).getLong(2) == 1)
+    assert(out(1L).getString(3) == "write to <EMAIL> or call <PHONE> now")
+    assert(out(2L).getLong(1) == 0 && out(2L).getLong(2) == 0)
+    assert(out(2L).getString(3) == "no contact info here")
+    assert(out(3L).getLong(1) == 2 && out(3L).getLong(2) == 1)
+    assert(out(3L).getString(3) == "two mails <EMAIL> <EMAIL> and <PHONE>")
+  }
+
   test("qualityScore: ratios in [0,1], composite consistent") {
     val out = TextAnalysis.qualityScore(docs).cache()
     assert(out.filter(col("stopword_ratio") < 0 || col("stopword_ratio") > 1).count() == 0)

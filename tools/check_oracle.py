@@ -30,13 +30,18 @@ def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    import os
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # When the dump was a SPARK_GRAFT_ONLY subset, queries outside the subset
+    # have no result dir — skip those. In a FULL run a missing dir means the
+    # Verify entry crashed, and that must stay a hard FAIL (Verify logs the
+    # error but exits 0), so the skip is gated on the env var being set.
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    only_set = set(s.strip() for s in only.split(",")) if only else None
     ok = fail = skipped = 0
     for name, sql in sorted(oracle.items()):
-        import os
-        if not os.path.isdir(f"{out_dir}/{name}"):
-            # SPARK_GRAFT_ONLY subset run: the query wasn't dumped at all —
-            # that's a skip, not a correctness failure
+        if (only_set is not None and name not in only_set
+                and not os.path.isdir(f"{out_dir}/{name}")):
             skipped += 1
             continue
         try:
