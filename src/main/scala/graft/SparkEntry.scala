@@ -274,6 +274,15 @@ object SparkEntry {
         .selectExpr("user_id", "view_id", "purchase_id",
           "unix_micros(v_ts) AS v_ts_micros",
           "unix_micros(p_ts) AS p_ts_micros")),
+    // Left-outer variant: views without a purchase in the horizon emit
+    // null-extended ONCE the watermark proves the absence; still-open
+    // windows at end of replay don't emit (oracle applies the same
+    // final-watermark cutoff).
+    "st7_attribution_outer" -> ((s, dir) =>
+      graft.streaming.EventsStream.attributionOuterReplay(s, dir)
+        .selectExpr("user_id", "view_id", "purchase_id",
+          "unix_micros(v_ts) AS v_ts_micros",
+          "unix_micros(p_ts) AS p_ts_micros")),
     // ---- Dedup suite (LLM-pipeline north star) over documents/embeddings ----
     "d1_exact_dedup" -> ((s, dir) =>
       graft.operators.Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
@@ -539,6 +548,23 @@ object SparkEntry {
         "FROM events a JOIN events b ON a.user_id = b.user_id " +
         "AND a.event_type = 'view' AND b.event_type = 'purchase' " +
         "AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR"),
+    // st7: matched pairs = st6; unmatched views emit null-extended iff
+    // their horizon closed under the final watermark (max ts @ ms − 1h),
+    // the append-mode cutoff pinned empirically like st3's.
+    "st7_attribution_outer" ->
+      ("WITH mx AS (SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 1 HOUR AS wm FROM events), " +
+        "v AS (SELECT user_id, event_id AS view_id, ts AS v_ts FROM events WHERE event_type = 'view'), " +
+        "p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts FROM events WHERE event_type = 'purchase'), " +
+        "m AS (SELECT v.user_id, v.view_id, p.purchase_id, " +
+        "epoch_us(v.v_ts) AS v_ts_micros, epoch_us(p.p_ts) AS p_ts_micros " +
+        "FROM v JOIN p ON v.user_id = p.user_id " +
+        "AND p.p_ts >= v.v_ts AND p.p_ts <= v.v_ts + INTERVAL 1 HOUR), " +
+        "u AS (SELECT v.user_id, v.view_id, CAST(NULL AS BIGINT) AS purchase_id, " +
+        "epoch_us(v.v_ts) AS v_ts_micros, CAST(NULL AS BIGINT) AS p_ts_micros " +
+        "FROM v, mx WHERE v.v_ts + INTERVAL 1 HOUR < mx.wm " +
+        "AND NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = v.user_id " +
+        "AND p.p_ts >= v.v_ts AND p.p_ts <= v.v_ts + INTERVAL 1 HOUR)) " +
+        "SELECT * FROM m UNION ALL SELECT * FROM u"),
     // Watermarked append-mode contract (pinned empirically + in
     // EventsStreamSpec): emitted = hourly windows whose END <= final
     // watermark = (max event ts, ms precision) - 1h delay. Same exact

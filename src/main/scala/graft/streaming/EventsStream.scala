@@ -486,6 +486,60 @@ object EventsStream {
       StructField("p_ts", TimestampType)))).parquet(out)
   }
 
+  /** LEFT-OUTER stream-stream interval join — attribution with explicit
+    * non-conversion: like [[attributionReplay]], but a view with NO
+    * purchase inside its horizon is still emitted, null-extended, once the
+    * engine can PROVE the absence — i.e. when the purchase-side watermark
+    * passes `view.ts + horizon`, closing the view's match window. That
+    * proof obligation is what distinguishes outer streaming joins: the
+    * null row must wait for the watermark, so views whose window is still
+    * open when the replay ends are NOT emitted (the oracle applies the
+    * same final-watermark cutoff — exactly st3's append-mode pattern).
+    */
+  def attributionOuterReplay(
+      spark: SparkSession,
+      dir: String,
+      horizon: String = "1 hour",
+      queryName: String = "graft_attribution_outer_stream"): DataFrame = {
+    val ss = streamSession(spark)
+    val out = tempDir("graft_stream_attro_out_")
+    val ckpt = tempDir("graft_stream_attro_ckpt_")
+    val views = readEventsStaged(ss, dir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val purchases = readEventsStaged(ss, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val q = views
+      .join(purchases,
+        col("v_user") === col("p_user") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr(s"INTERVAL $horizon"),
+        "left_outer")
+      .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"),
+        col("v_ts"), col("p_ts"))
+      .writeStream
+      .queryName(queryName)
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    lastReplayBatches = q.recentProgress.map(_.batchId).distinct.length.toLong
+    spark.read.schema(StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("view_id", LongType),
+      StructField("purchase_id", LongType),
+      StructField("v_ts", TimestampType),
+      StructField("p_ts", TimestampType)))).parquet(out)
+  }
+
   /** Streaming exact dedup of at-least-once deliveries: replay the
     * duplicate-injected staged source ([[readEventsStagedWithDups]]) through
     * watermarked `dropDuplicates` and return everything emitted — which must

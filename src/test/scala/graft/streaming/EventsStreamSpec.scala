@@ -108,6 +108,35 @@ class EventsStreamSpec extends SparkSpec {
     assert(streamed.exceptAll(want).isEmpty && want.exceptAll(streamed).isEmpty)
   }
 
+  test("left-outer interval join: matches plus watermark-proven non-conversions") {
+    val streamed = EventsStream.attributionOuterReplay(spark, sf, queryName = "graft_spec_attro")
+    val ev = Tables.load(spark, sf, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("v_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    val rangeCond = col("user_id") === col("p_user") &&
+      col("p_ts") >= col("v_ts") &&
+      col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR")
+    val matched = views.join(purchases, rangeCond)
+    // final watermark = max ts (ms) − 1h; only views whose horizon closed
+    // STRICTLY before it may emit a null-extended row (empirically pinned,
+    // same as the oracle's cutoff)
+    val wm = ev.selectExpr("date_trunc('MILLISECOND', max(ts)) - INTERVAL 1 HOUR AS wm")
+    val eligibleUnmatched = views.join(purchases, rangeCond, "left_anti")
+      .crossJoin(wm)
+      .filter(col("v_ts") + expr("INTERVAL 1 HOUR") < col("wm"))
+      .select("user_id", "view_id")
+    val nulls = streamed.filter(col("purchase_id").isNull).select("user_id", "view_id")
+    val hits = streamed.filter(col("purchase_id").isNotNull)
+    assert(hits.count() == matched.count(), "matched-pair set diverged from batch join")
+    assert(nulls.count() > 0, "fixture should contain non-conversions")
+    assert(nulls.exceptAll(eligibleUnmatched).isEmpty &&
+      eligibleUnmatched.exceptAll(nulls).isEmpty,
+      "null-extended set diverged from the watermark-eligible anti-join")
+  }
+
   test("streaming materialization leaves no catalog residue (file sink, no temp view)") {
     EventsStream.hourlyAvailableNow(spark, sf, "graft_spec_sink2")
     assert(!spark.catalog.tableExists("graft_spec_sink2"))
