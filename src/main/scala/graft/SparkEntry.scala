@@ -549,10 +549,16 @@ object SparkEntry {
         "AND a.event_type = 'view' AND b.event_type = 'purchase' " +
         "AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR"),
     // st7: matched pairs = st6; unmatched views emit null-extended iff
-    // their horizon closed under the final watermark (max ts @ ms − 1h),
-    // the append-mode cutoff pinned empirically like st3's.
+    // their horizon closed strictly under the final GLOBAL watermark. With
+    // two watermarked inputs that is the MIN of the per-side watermarks
+    // (each side's max event ts @ ms − its delay; multipleWatermarkPolicy
+    // defaults to min) — NOT max(ts) over all events: rows of other event
+    // types feed neither side and must not advance the cutoff.
     "st7_attribution_outer" ->
-      ("WITH mx AS (SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 1 HOUR AS wm FROM events), " +
+      ("WITH mx AS (SELECT least(" +
+        "(SELECT date_trunc('milliseconds', max(ts)) FROM events WHERE event_type = 'view'), " +
+        "(SELECT date_trunc('milliseconds', max(ts)) FROM events WHERE event_type = 'purchase')" +
+        ") - INTERVAL 1 HOUR AS wm), " +
         "v AS (SELECT user_id, event_id AS view_id, ts AS v_ts FROM events WHERE event_type = 'view'), " +
         "p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts FROM events WHERE event_type = 'purchase'), " +
         "m AS (SELECT v.user_id, v.view_id, p.purchase_id, " +
@@ -990,18 +996,22 @@ object SparkEntry {
         "ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset FROM b) " +
         "SELECT doc_id, source, n_tokens, start_offset, " +
         "CAST(start_offset // 2048 AS BIGINT) AS bin_id FROM c"),
-    // x13: same injection, same Java∩RE2 patterns, email pass before phone
-    // pass; the redacted text is compared via md5.
-    "x13_redact_pii" ->
-      ("WITH d AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN " +
+    // x13: same injection; the pattern literals are SPLICED from the
+    // shared TextAnalysis constants so the Spark/DuckDB parity cannot
+    // silently drift; phone hits counted on the email-redacted text,
+    // mirroring the operator; the redacted text is compared via md5.
+    "x13_redact_pii" -> {
+      val em = graft.operators.TextAnalysis.EmailPattern
+      val ph = graft.operators.TextAnalysis.PhonePattern
+      "WITH d AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN " +
         "text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com tel 555-123-' || " +
-        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE text END AS text FROM documents) " +
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE text END AS text FROM documents), " +
+        s"r AS (SELECT doc_id, text, regexp_replace(text, '$em', '<EMAIL>', 'g') AS er FROM d) " +
         "SELECT doc_id, " +
-        "CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, " +
-        "CAST(len(regexp_extract_all(text, '\\d{3}[-.]\\d{3}[-.]\\d{4}')) AS BIGINT) AS n_phones, " +
-        "md5(regexp_replace(regexp_replace(text, " +
-        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
-        "'\\d{3}[-.]\\d{3}[-.]\\d{4}', '<PHONE>', 'g')) AS redacted_md5 FROM d"),
+        s"CAST(len(regexp_extract_all(text, '$em')) AS BIGINT) AS n_emails, " +
+        s"CAST(len(regexp_extract_all(er, '$ph')) AS BIGINT) AS n_phones, " +
+        s"md5(regexp_replace(er, '$ph', '<PHONE>', 'g')) AS redacted_md5 FROM r"
+    },
     "k1_topk_cosine" ->
       ("WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
         "FROM embeddings), " +

@@ -149,8 +149,12 @@ final class HttpFacade(
           throw IngestError.ColumnsFetchFailed(e.detail)
         case scala.util.control.NonFatal(e) =>
           // the reference's handler-wide `except Exception` → 400 — any
-          // resolution/runtime error must take the same 400 text, not a 500
-          throw IngestError.ColumnsFetchFailed(e.getMessage)
+          // resolution/runtime error must take the same 400 text, not a
+          // 500 (getMessage can be null — e.g. a bare NPE — and a null
+          // detail would NPE the JSON renderer, producing exactly the 500
+          // this catch exists to prevent)
+          throw IngestError.ColumnsFetchFailed(
+            Option(e.getMessage).getOrElse(e.toString))
       }
     withCount(ex, cols.length)
     respond(ex, 200, JObj(

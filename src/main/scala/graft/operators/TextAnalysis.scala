@@ -131,15 +131,20 @@ object TextAnalysis {
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame =
-    docs.select(
-      col(idCol),
-      size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0)))
-        .cast("long").as("n_emails"),
-      size(regexp_extract_all(col(textCol), lit(PhonePattern), lit(0)))
-        .cast("long").as("n_phones"),
-      regexp_replace(
-        regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
-        PhonePattern, "<PHONE>").as("redacted"))
+    docs
+      // phone hits are counted AFTER the email pass so the counts equal
+      // the placeholder tokens actually emitted: a phone-shaped substring
+      // inside an email local part is consumed by <EMAIL> and must not be
+      // audited as a phone redaction
+      .withColumn("__er",
+        regexp_replace(col(textCol), EmailPattern, "<EMAIL>"))
+      .select(
+        col(idCol),
+        size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("__er"), lit(PhonePattern), lit(0)))
+          .cast("long").as("n_phones"),
+        regexp_replace(col("__er"), PhonePattern, "<PHONE>").as("redacted"))
 
   /** BPE-ish regex token count: splits into letter runs, digit runs, and
     * single other-symbols — the pre-tokenization pass BPE vocabularies are

@@ -447,10 +447,26 @@ object EventsStream {
       spark: SparkSession,
       dir: String,
       horizon: String = "1 hour",
-      queryName: String = "graft_attribution_stream"): DataFrame = {
+      queryName: String = "graft_attribution_stream"): DataFrame =
+    attributionJoinReplay(spark, dir, horizon, queryName,
+      joinType = "inner", prefix = "graft_stream_attr_")
+
+  /** Shared attribution-join plumbing (inner and left-outer twins differ
+    * only in join type): two watermarked streams over the staged source,
+    * user-key equi-condition plus a range condition on both event times —
+    * the range bound is what lets the engine evict join state once the
+    * global watermark passes a row's match window.
+    */
+  private def attributionJoinReplay(
+      spark: SparkSession,
+      dir: String,
+      horizon: String,
+      queryName: String,
+      joinType: String,
+      prefix: String): DataFrame = {
     val ss = streamSession(spark)
-    val out = tempDir("graft_stream_attr_out_")
-    val ckpt = tempDir("graft_stream_attr_ckpt_")
+    val out = tempDir(s"${prefix}out_")
+    val ckpt = tempDir(s"${prefix}ckpt_")
     val views = readEventsStaged(ss, dir)
       .filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
@@ -465,7 +481,8 @@ object EventsStream {
       .join(purchases,
         col("v_user") === col("p_user") &&
           col("p_ts") >= col("v_ts") &&
-          col("p_ts") <= col("v_ts") + expr(s"INTERVAL $horizon"))
+          col("p_ts") <= col("v_ts") + expr(s"INTERVAL $horizon"),
+        joinType)
       .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"),
         col("v_ts"), col("p_ts"))
       .writeStream
@@ -489,56 +506,22 @@ object EventsStream {
   /** LEFT-OUTER stream-stream interval join — attribution with explicit
     * non-conversion: like [[attributionReplay]], but a view with NO
     * purchase inside its horizon is still emitted, null-extended, once the
-    * engine can PROVE the absence — i.e. when the purchase-side watermark
-    * passes `view.ts + horizon`, closing the view's match window. That
-    * proof obligation is what distinguishes outer streaming joins: the
-    * null row must wait for the watermark, so views whose window is still
-    * open when the replay ends are NOT emitted (the oracle applies the
-    * same final-watermark cutoff — exactly st3's append-mode pattern).
+    * engine can PROVE the absence — when the GLOBAL watermark passes the
+    * end of the view's match window. With two watermarked inputs the
+    * global watermark is the MIN of the per-side watermarks (each side's
+    * max event time, ms precision, minus its delay; default
+    * `multipleWatermarkPolicy=min`) — NOT the max over all events; the
+    * oracle and spec pin exactly that min-based cutoff. Views whose window
+    * is still open when the replay ends are NOT emitted (st3's append-mode
+    * pattern, one level up).
     */
   def attributionOuterReplay(
       spark: SparkSession,
       dir: String,
       horizon: String = "1 hour",
-      queryName: String = "graft_attribution_outer_stream"): DataFrame = {
-    val ss = streamSession(spark)
-    val out = tempDir("graft_stream_attro_out_")
-    val ckpt = tempDir("graft_stream_attro_ckpt_")
-    val views = readEventsStaged(ss, dir)
-      .filter(col("event_type") === "view")
-      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
-        col("ts").as("v_ts"))
-      .withWatermark("v_ts", "1 hour")
-    val purchases = readEventsStaged(ss, dir)
-      .filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
-        col("ts").as("p_ts"))
-      .withWatermark("p_ts", "1 hour")
-    val q = views
-      .join(purchases,
-        col("v_user") === col("p_user") &&
-          col("p_ts") >= col("v_ts") &&
-          col("p_ts") <= col("v_ts") + expr(s"INTERVAL $horizon"),
-        "left_outer")
-      .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"),
-        col("v_ts"), col("p_ts"))
-      .writeStream
-      .queryName(queryName)
-      .format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", ckpt)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    lastReplayBatches = q.recentProgress.map(_.batchId).distinct.length.toLong
-    spark.read.schema(StructType(Seq(
-      StructField("user_id", LongType),
-      StructField("view_id", LongType),
-      StructField("purchase_id", LongType),
-      StructField("v_ts", TimestampType),
-      StructField("p_ts", TimestampType)))).parquet(out)
-  }
+      queryName: String = "graft_attribution_outer_stream"): DataFrame =
+    attributionJoinReplay(spark, dir, horizon, queryName,
+      joinType = "left_outer", prefix = "graft_stream_attro_")
 
   /** Streaming exact dedup of at-least-once deliveries: replay the
     * duplicate-injected staged source ([[readEventsStagedWithDups]]) through

@@ -25,7 +25,8 @@ class TextAnalysisSpec extends SparkSpec {
     val fixture = Seq(
       (1L, "write to a.b@test.org or call 555-123-4567 now"),
       (2L, "no contact info here"),
-      (3L, "two mails x@y.io z@w.co and 111.222.3333")).toDF("doc_id", "text")
+      (3L, "two mails x@y.io z@w.co and 111.222.3333"),
+      (4L, "odd but legal: 555-123-4567@corp.example.com here")).toDF("doc_id", "text")
     val out = TextAnalysis.redactPii(fixture).collect()
       .map(r => r.getLong(0) -> r).toMap
     assert(out(1L).getLong(1) == 1 && out(1L).getLong(2) == 1)
@@ -34,6 +35,10 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L).getString(3) == "no contact info here")
     assert(out(3L).getLong(1) == 2 && out(3L).getLong(2) == 1)
     assert(out(3L).getString(3) == "two mails <EMAIL> <EMAIL> and <PHONE>")
+    // a phone-shaped substring CONSUMED by the email pass is not a phone
+    // redaction: counts must equal the placeholder tokens actually emitted
+    assert(out(4L).getLong(1) == 1 && out(4L).getLong(2) == 0)
+    assert(out(4L).getString(3) == "odd but legal: <EMAIL> here")
   }
 
   test("qualityScore: ratios in [0,1], composite consistent") {

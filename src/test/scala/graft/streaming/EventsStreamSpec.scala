@@ -120,10 +120,15 @@ class EventsStreamSpec extends SparkSpec {
       col("p_ts") >= col("v_ts") &&
       col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR")
     val matched = views.join(purchases, rangeCond)
-    // final watermark = max ts (ms) − 1h; only views whose horizon closed
-    // STRICTLY before it may emit a null-extended row (empirically pinned,
-    // same as the oracle's cutoff)
-    val wm = ev.selectExpr("date_trunc('MILLISECOND', max(ts)) - INTERVAL 1 HOUR AS wm")
+    // final GLOBAL watermark = min of the per-side watermarks (each side's
+    // max event ts @ ms − 1h; multipleWatermarkPolicy=min) — NOT max(ts)
+    // over all events. Only views whose horizon closed STRICTLY before it
+    // may emit a null-extended row (empirically pinned, same as the oracle)
+    val wm = ev.selectExpr(
+      "least(" +
+        "date_trunc('MILLISECOND', max(CASE WHEN event_type = 'view' THEN ts END)), " +
+        "date_trunc('MILLISECOND', max(CASE WHEN event_type = 'purchase' THEN ts END))" +
+        ") - INTERVAL 1 HOUR AS wm")
     val eligibleUnmatched = views.join(purchases, rangeCond, "left_anti")
       .crossJoin(wm)
       .filter(col("v_ts") + expr("INTERVAL 1 HOUR") < col("wm"))
