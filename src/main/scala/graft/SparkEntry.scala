@@ -408,6 +408,20 @@ object SparkEntry {
       graft.operators.TextAnalysis.redactPii(injected)
         .selectExpr("doc_id", "n_emails", "n_phones", "md5(redacted) AS redacted_md5")
     }),
+    // Gopher-rules quality gate. The synthetic corpus is all-lowercase
+    // alphabetic single-line text, so two of the five rules (symbols,
+    // alpha fraction) would be constant-pass on the raw table; like x13's
+    // PII injection, deterministic noise is appended first (replayed
+    // identically in the oracle) so EVERY rule discriminates in the gated
+    // data: every 7th doc gets symbol tokens ('#' and '...'), every 11th
+    // gets digit-only tokens.
+    "x14_gopher_filter" -> ((s, dir) => {
+      val noisy = t(s, dir, "documents").withColumn("text", expr(
+        "CASE WHEN doc_id % 7 = 0 THEN concat(text, ' # # # # ... ... ... ...') " +
+          "WHEN doc_id % 11 = 0 THEN concat(text, " +
+          "' 00 11 22 33 44 55 66 77 88 99 00 11 22 33 44') ELSE text END"))
+      graft.operators.TextAnalysis.gopherFilter(noisy)
+    }),
     // ---- Multimodal plumbing (binary columns; decode stubbed) ----
     "m1_media_features" -> ((s, dir) =>
       graft.operators.Multimodal.mediaFeatures(
@@ -1012,6 +1026,35 @@ object SparkEntry {
         s"CAST(len(regexp_extract_all(er, '$ph')) AS BIGINT) AS n_phones, " +
         s"md5(regexp_replace(er, '$ph', '<PHONE>', 'g')) AS redacted_md5 FROM r"
     },
+    // x14: same noise injection; every signal and flag replayed in integer
+    // micro-units so the keep verdict is bit-identical across engines.
+    "x14_gopher_filter" ->
+      ("WITH d AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN " +
+        "text || ' # # # # ... ... ... ...' WHEN doc_id % 11 = 0 THEN " +
+        "text || ' 00 11 22 33 44 55 66 77 88 99 00 11 22 33 44' " +
+        "ELSE text END AS text FROM documents), " +
+        "s AS (SELECT doc_id, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, " +
+        "CAST(round(len(replace(text, ' ', '')) * 1000000.0 / " +
+        "len(string_split(text, ' '))) AS BIGINT) AS mean_word_len_micro, " +
+        "CAST((len(text) - len(replace(text, '#', ''))) " +
+        "+ (len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT) AS n_symbols, " +
+        "CAST(len(list_filter(string_split(text, ' '), " +
+        "w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words, " +
+        "CAST(len(list_filter(list_distinct(string_split(text, ' ')), " +
+        "w -> w = 'the' OR w = 'a')) AS BIGINT) AS n_stopword_kinds FROM d), " +
+        "r AS (SELECT doc_id, n_words, mean_word_len_micro, n_stopword_kinds, " +
+        "CAST(n_symbols * 1000000 // n_words AS BIGINT) AS symbol_ratio_micro, " +
+        "CAST(n_alpha_words * 1000000 // n_words AS BIGINT) AS alpha_ratio_micro " +
+        "FROM s), " +
+        "f AS (SELECT *, " +
+        "CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS f_word_count, " +
+        "CAST(mean_word_len_micro >= 3000000 AND mean_word_len_micro <= 10000000 AS INT) AS f_word_len, " +
+        "CAST(symbol_ratio_micro <= 100000 AS INT) AS f_symbols, " +
+        "CAST(alpha_ratio_micro >= 800000 AS INT) AS f_alpha, " +
+        "CAST(n_stopword_kinds >= 2 AS INT) AS f_stopwords FROM r) " +
+        "SELECT *, CAST(f_word_count + f_word_len + f_symbols + f_alpha " +
+        "+ f_stopwords = 5 AS INT) AS keep FROM f"),
     "k1_topk_cosine" ->
       ("WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
         "FROM embeddings), " +

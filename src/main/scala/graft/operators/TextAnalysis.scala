@@ -260,6 +260,70 @@ object TextAnalysis {
         expr("CASE WHEN n_ngrams = 0 THEN 0L ELSE " +
           "(n_ngrams - n_distinct_ngrams) * 1000000L div n_ngrams END"))
 
+  /** Gopher-style rule-based document filter (Rae et al. 2021, MassiveText
+    * §A1.1 — the public heuristic gate every web-scale corpus runs before
+    * any model-based scoring): word-count bounds, mean-word-length bounds,
+    * symbol-to-word ratio, alphabetic-word fraction, and a minimum distinct-
+    * stopword requirement. Emits every signal, one 0/1 flag per rule, and
+    * the composite `keep` — pipelines keep the flags so drop REASONS are
+    * auditable, not just the verdict. Map-only, one pass, no shuffle; all
+    * ratios are integer micro-units (`x * 1e6 div n`) so the verdict is
+    * bit-identical in any engine. Thresholds are parameters; the defaults
+    * are Gopher's except `minStopwords`, scaled to [[DefaultStopwords]]'s
+    * 2-word list (Gopher: ≥2 of a 7-word list).
+    */
+  def gopherFilter(
+      docs: DataFrame,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minWordLenMicro: Long = 3000000L,
+      maxWordLenMicro: Long = 10000000L,
+      maxSymbolRatioMicro: Long = 100000L,
+      minAlphaRatioMicro: Long = 800000L,
+      minStopwords: Int = 2,
+      stopwords: Seq[String] = DefaultStopwords,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.Column
+    val words = split(col(textCol), " ")
+    val nWords = size(words).cast("long")
+    val stops: Column = lit(stopwords.toArray)
+    docs
+      .select(
+        col(idCol),
+        nWords.as("n_words"),
+        // non-space chars * 1e6 / words — scale-0 round after *1e6 is the
+        // engine-safe quantization (see textStats); 0 words can't occur
+        // (split of even "" yields one element)
+        expr(s"CAST(round(length(replace($textCol, ' ', '')) * 1000000.0 / size(split($textCol, ' '))) AS BIGINT)")
+          .as("mean_word_len_micro"),
+        // Gopher's "symbols" = '#' and '…' (here the ASCII '...'): count
+        // occurrences by length difference after a literal replace — pure
+        // integer arithmetic (Column./ would promote to double), and plain
+        // replace (not regexp) so both engines share left-to-right
+        // non-overlapping semantics
+        expr(s"""CAST((length($textCol) - length(replace($textCol, '#', '')))
+                 + (length($textCol) - length(replace($textCol, '...', ''))) div 3 AS BIGINT)""")
+          .as("n_symbols"),
+        size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long").as("n_alpha_words"),
+        size(filter(array_distinct(words), w => array_contains(stops, w))).cast("long")
+          .as("n_stopword_kinds"))
+      .withColumn("symbol_ratio_micro", expr("n_symbols * 1000000L div n_words"))
+      .withColumn("alpha_ratio_micro", expr("n_alpha_words * 1000000L div n_words"))
+      .withColumn("f_word_count",
+        (col("n_words") >= minWords && col("n_words") <= maxWords).cast("int"))
+      .withColumn("f_word_len",
+        (col("mean_word_len_micro") >= minWordLenMicro &&
+          col("mean_word_len_micro") <= maxWordLenMicro).cast("int"))
+      .withColumn("f_symbols", (col("symbol_ratio_micro") <= maxSymbolRatioMicro).cast("int"))
+      .withColumn("f_alpha", (col("alpha_ratio_micro") >= minAlphaRatioMicro).cast("int"))
+      .withColumn("f_stopwords", (col("n_stopword_kinds") >= minStopwords).cast("int"))
+      .withColumn("keep",
+        (col("f_word_count") + col("f_word_len") + col("f_symbols")
+          + col("f_alpha") + col("f_stopwords") === 5).cast("int"))
+      .drop("n_symbols", "n_alpha_words")
+  }
+
   /** Deterministic train/val/test split: the first 8 hex digits of
     * md5(id) read as a 32-bit value place each document in a bucket;
     * cumulative percent thresholds carve the buckets into splits. A pure

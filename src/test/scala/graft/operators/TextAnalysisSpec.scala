@@ -41,6 +41,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L).getString(3) == "odd but legal: <EMAIL> here")
   }
 
+  test("gopherFilter: each rule flags exactly its crafted violator") {
+    import spark.implicits._
+    val pad = (1 to 60).map(i => s"word$i").mkString(" ") // 60 alpha words
+    val fixture = Seq(
+      (1L, s"the a $pad"),                                    // clean: all pass
+      (2L, "the a tiny doc"),                                 // too few words
+      (3L, s"the a $pad # # # # # # # #"),                    // symbol-heavy
+      (4L, s"the a $pad ... ... ... ... ... ... ... ..."),    // ellipsis-heavy
+      (5L, s"the a $pad 00 11 22 33 44 55 66 77 88 99 00 11 22 33 44 55 66"), // digit-heavy
+      (6L, pad + " extra words here again"),                  // no stopwords
+      (7L, ("a " * 62).trim)                                  // mean word length 1 < 3
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherFilter(fixture).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def flags(id: Long) = Seq("f_word_count", "f_word_len", "f_symbols", "f_alpha", "f_stopwords")
+      .map(f => f -> out(id).getInt(out(id).fieldIndex(f))).toMap
+    assert(out(1L).getInt(out(1L).fieldIndex("keep")) == 1)
+    assert(flags(2L)("f_word_count") == 0)
+    assert(flags(3L)("f_symbols") == 0 && flags(3L)("f_alpha") == 1)
+    assert(flags(4L)("f_symbols") == 0)
+    assert(flags(5L)("f_alpha") == 0 && flags(5L)("f_symbols") == 1)
+    assert(flags(6L)("f_stopwords") == 0)
+    assert(flags(7L)("f_word_len") == 0)
+    // every violator is dropped
+    (2L to 7L).foreach(id => assert(out(id).getInt(out(id).fieldIndex("keep")) == 0, s"doc $id"))
+    // signal sanity on the real corpus: ratios are in micro-range
+    val corpus = TextAnalysis.gopherFilter(docs)
+    assert(corpus.filter(col("alpha_ratio_micro") > 1000000).count() == 0)
+    assert(corpus.filter(col("keep") === 1).count() > 0)
+    assert(corpus.filter(col("keep") === 0).count() > 0)
+  }
+
   test("qualityScore: ratios in [0,1], composite consistent") {
     val out = TextAnalysis.qualityScore(docs).cache()
     assert(out.filter(col("stopword_ratio") < 0 || col("stopword_ratio") > 1).count() == 0)
