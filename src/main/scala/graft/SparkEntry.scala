@@ -239,29 +239,32 @@ object SparkEntry {
     // Streaming twin of e1: same frame via Structured Streaming file source
     // + Trigger.AvailableNow (replay/backfill mode), same oracle.
     "st1_events_hourly_stream" -> ((s, dir) =>
-      graft.streaming.EventsStream.hourlyAvailableNow(s, dir)),
-    // Sessionization (session_window) applied to the batch frame; the
-    // streaming form is identical (see EventsStream.sessionize doc).
+      graft.streaming.EventsStream.hourlyAvailableNow(s, dir).frame),
+    // Sessionization (session_window) replayed THROUGH the streaming engine:
+    // watermarked append mode over the staged multi-file source, session
+    // state merged across micro-batches. Emitted = sessions whose end <=
+    // final watermark (max event ts @ ms − 1h); the oracle applies the same
+    // cutoff to its lag-derived sessions.
     "st2_sessionize" -> ((s, dir) =>
-      graft.streaming.EventsStream.sessionize(t(s, dir, "events"))),
+      graft.streaming.EventsStream.sessionizeAvailableNow(s, dir).frame),
     // Custom typed state (mapGroupsWithState) replayed through the real
     // streaming engine: multi-file staged source, one micro-batch per file,
     // state carried across batches; the final per-user state is value-gated.
     // Idle-key timeout retirement is MemoryStream-pinned in EventsStreamSpec.
     "st4_user_totals" -> ((s, dir) =>
-      graft.streaming.EventsStream.userTotalsAvailableNow(s, dir)),
+      graft.streaming.EventsStream.userTotalsAvailableNow(s, dir).frame),
     // The 24/7 production streaming shape: watermarked append-mode windows
     // through a real file sink; emitted = windows finalized by the final
     // watermark (max event ts − 1h). Late/dropped semantics are additionally
     // unit-pinned with a MemoryStream in EventsStreamSpec.
     "st3_events_hourly_watermarked" -> ((s, dir) =>
-      graft.streaming.EventsStream.hourlyWatermarkedAvailableNow(s, dir)),
+      graft.streaming.EventsStream.hourlyWatermarkedAvailableNow(s, dir).frame),
     // Streaming exact dedup of at-least-once deliveries: a duplicate-injected
     // replay through watermarked dropDuplicates(event_id, ts) must emit
     // exactly the original events table (state bounded by the watermark
     // horizon because the event-time column is part of the dedup key).
     "st5_stream_dedup" -> ((s, dir) =>
-      graft.streaming.EventsStream.dedupReplay(s, dir)
+      graft.streaming.EventsStream.dedupReplay(s, dir).frame
         .selectExpr("event_id", "user_id", "event_type",
           "unix_micros(ts) AS ts_micros",
           "CAST(round(value * 1000) AS BIGINT) AS value_milli")),
@@ -270,7 +273,7 @@ object SparkEntry {
     // bounded join state; the time-ordered replay emits exactly the batch
     // interval join.
     "st6_attribution_join" -> ((s, dir) =>
-      graft.streaming.EventsStream.attributionReplay(s, dir)
+      graft.streaming.EventsStream.attributionReplay(s, dir).frame
         .selectExpr("user_id", "view_id", "purchase_id",
           "unix_micros(v_ts) AS v_ts_micros",
           "unix_micros(p_ts) AS p_ts_micros")),
@@ -279,7 +282,7 @@ object SparkEntry {
     // windows at end of replay don't emit (oracle applies the same
     // final-watermark cutoff).
     "st7_attribution_outer" -> ((s, dir) =>
-      graft.streaming.EventsStream.attributionOuterReplay(s, dir)
+      graft.streaming.EventsStream.attributionOuterReplay(s, dir).frame
         .selectExpr("user_id", "view_id", "purchase_id",
           "unix_micros(v_ts) AS v_ts_micros",
           "unix_micros(p_ts) AS p_ts_micros")),
@@ -697,17 +700,22 @@ object SparkEntry {
         "FROM lineitem WHERE year(l_shipdate) = 1995 " +
         "AND substring(l_returnflag, 1, 1) IN ('R', 'A')"),
     // Session semantics: new session when the inactivity gap is >= 30min
-    // (Spark merges strictly-closer events); end = last ts + gap.
+    // (Spark merges strictly-closer events); end = last ts + gap. Streamed
+    // in append mode, so only sessions FINALIZED by the final watermark
+    // (max event ts @ ms precision − 1h delay) are emitted — the same
+    // cutoff st3 pins for tumbling windows, applied to merging windows.
     "st2_sessionize" ->
-      ("WITH e AS (SELECT user_id, ts, CAST(round(value * 1000) AS BIGINT) AS vm FROM events), " +
+      ("WITH mx AS (SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 1 HOUR AS wm FROM events), " +
+        "e AS (SELECT user_id, ts, CAST(round(value * 1000) AS BIGINT) AS vm FROM events), " +
         "f AS (SELECT user_id, ts, vm, CASE WHEN lag(ts) OVER w IS NULL OR " +
         "ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns " +
         "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
         "g AS (SELECT user_id, ts, vm, sum(ns) OVER (PARTITION BY user_id ORDER BY ts " +
         "ROWS UNBOUNDED PRECEDING) AS sid FROM f) " +
+        "SELECT session_start, session_end, user_id, n_events, value_milli FROM (" +
         "SELECT min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end, " +
         "user_id, count(*) AS n_events, CAST(sum(vm) AS BIGINT) AS value_milli " +
-        "FROM g GROUP BY user_id, sid"),
+        "FROM g GROUP BY user_id, sid), mx WHERE session_end <= wm"),
     "a1_pricing_summary" ->
       ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, " +
         "round(sum(l_extendedprice), 2) AS sum_base_price, " +

@@ -16,16 +16,21 @@ object StreamProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def time(name: String)(f: => Long): Unit = {
+    def time(name: String)(f: => graft.streaming.Replayed): Unit = {
       val t0 = System.nanoTime()
-      val n = f
-      println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n  batches=${graft.streaming.EventsStream.lastReplayBatches}")
+      val r = f
+      val n = r.frame.count()
+      println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n  batches=${r.batches}")
     }
     for (round <- 1 to 3) {
       println(s"[probe] --- round $round ---")
-      time("st1_hourly")(graft.streaming.EventsStream.hourlyAvailableNow(spark, sfDir).count())
-      time("st3_watermarked")(graft.streaming.EventsStream.hourlyWatermarkedAvailableNow(spark, sfDir).count())
-      time("st4_user_totals")(graft.streaming.EventsStream.userTotalsAvailableNow(spark, sfDir).count())
+      time("st1_hourly")(graft.streaming.EventsStream.hourlyAvailableNow(spark, sfDir))
+      time("st2_sessionize")(graft.streaming.EventsStream.sessionizeAvailableNow(spark, sfDir))
+      time("st3_watermarked")(graft.streaming.EventsStream.hourlyWatermarkedAvailableNow(spark, sfDir))
+      time("st4_user_totals")(graft.streaming.EventsStream.userTotalsAvailableNow(spark, sfDir))
+      time("st5_dedup")(graft.streaming.EventsStream.dedupReplay(spark, sfDir))
+      time("st6_attr")(graft.streaming.EventsStream.attributionReplay(spark, sfDir))
+      time("st7_attr_outer")(graft.streaming.EventsStream.attributionOuterReplay(spark, sfDir))
     }
     spark.stop()
   }

@@ -155,10 +155,23 @@ object GraftFunctions {
       intLiteral(children(1), "graft_minhash numHashes"))
   }
 
+  val topKInfo = new ExpressionInfo(classOf[TopKByScore].getName, "graft_topk")
+
+  /** graft_topk(score, id, k) — k must be a foldable int literal (it sizes
+    * the bounded aggregation heap).
+    */
+  val topKBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 3, "graft_topk expects (score, id, k)")
+    require(children(2).foldable, "graft_topk k must be a literal")
+    TopKByScore(children.head, children(1), intLiteral(children(2), "graft_topk k"))
+  }
+
   /** Imperative, idempotent registration into an existing session (used by
     * the operators so any session works, not just extension-built ones).
     */
   def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("graft_topk", topKBuilder, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("graft_dot", dotBuilder, "built-in")
     spark.sessionState.functionRegistry
@@ -195,5 +208,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_token_counts"), GraftFunctions.tokenCountsInfo, GraftFunctions.tokenCountsBuilder))
     ext.injectFunction((FunctionIdentifier("graft_ngram_hashes"), GraftFunctions.ngramInfo, GraftFunctions.ngramBuilder))
     ext.injectFunction((FunctionIdentifier("graft_word_shingles"), GraftFunctions.wordShingleInfo, GraftFunctions.wordShingleBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_topk"), GraftFunctions.topKInfo, GraftFunctions.topKBuilder))
   }
 }

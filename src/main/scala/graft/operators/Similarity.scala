@@ -39,9 +39,32 @@ object Similarity {
       .withColumn("cos", col("dot") / (col("nv") * col("nq")))
   }
 
+  /** Rank scored (query_id, id, cos) rows to per-query top-k via the
+    * bounded [[graft.functions.TopKByScore]] aggregate: per-partition
+    * k-heaps combine map-side, the shuffle carries one ≤k buffer per
+    * (partition, query), and the k winners unfold with `posexplode` — rank
+    * = array position. The `row_number()` window this replaces shuffled ALL
+    * scored rows into one partition per query and sorted an entire corpus
+    * in a single task (the round-6 scale flag on k1); same deterministic
+    * (cos desc, id asc) order, no global per-group sort anywhere.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(scored.sparkSession)
+    scored
+      .groupBy("query_id")
+      .agg(expr(s"graft_topk(cos, id, $k)").as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(
+        col("query_id"), col("e.id").as("neighbor_id"),
+        round(col("e.score"), 6).as("cosine"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** Exact top-k by cosine for each query vector (identified by id): the
     * brute-force baseline every ANN variant is measured against. Ties broken
-    * on neighbor id for a deterministic ranking.
+    * on neighbor id for a deterministic ranking. Scoring is a map-only pass
+    * over the corpus (queries broadcast); ranking is the bounded top-k
+    * aggregate — no stage ever holds more than k rows per query.
     */
   def topKCosine(
       embeddings: DataFrame,
@@ -53,13 +76,7 @@ object Similarity {
         .select(col("id").as("query_id"), col("v").as("qv")))
     val scored = cosineCols(
       v.crossJoin(q).filter(col("id") =!= col("query_id")))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("id"))
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(
-        col("query_id"), col("id").as("neighbor_id"),
-        round(col("cos"), 6).as("cosine"), col("rank"))
+    rankTopK(scored, k)
   }
 
   /** Exact cosine re-rank of (query_id, id) candidate pairs → top-k. */
@@ -67,14 +84,7 @@ object Similarity {
     val q = broadcast(
       v.filter(col("id").isin(queryIds: _*))
         .select(col("id").as("query_id"), col("v").as("qv")))
-    val scored = cosineCols(cand.join(v, "id").join(q, "query_id"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("id"))
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(
-        col("query_id"), col("id").as("neighbor_id"),
-        round(col("cos"), 6).as("cosine"), col("rank"))
+    rankTopK(cosineCols(cand.join(v, "id").join(q, "query_id")), k)
   }
 
   /** One deterministic Lloyd (k-means) iteration over broadcast centroids:

@@ -27,6 +27,13 @@ import org.apache.spark.sql.types._
 /** Typed state for [[EventsStream.userRunningTotals]]. */
 final case class UserTotals(n: Long, valueMilli: Long)
 
+/** Result of an AvailableNow replay: the final frame plus the number of
+  * distinct micro-batches the engine ran. Returned per call (not via shared
+  * mutable state) so concurrent replays in one JVM can each assert their own
+  * multi-batch contract without racing a global.
+  */
+final case class Replayed(frame: DataFrame, batches: Long)
+
 object EventsStream {
 
   /** Output/checkpoint scratch dirs — JVM-exit-cleaned via
@@ -55,15 +62,13 @@ object EventsStream {
     */
   val ReplayFilesConf = "spark.graft.stream.replayFiles"
 
-  /** Micro-batch count of the most recent AvailableNow replay (any of the
-    * replay entry points) — lets specs assert the multi-batch contract
-    * without reaching into the query object. DIAGNOSTIC ONLY, last writer
-    * wins: concurrent replays in one JVM clobber each other's value here
-    * (the replays themselves are isolated — each runs on its own cloned
-    * session); a caller needing per-query counts should read
-    * `query.recentProgress` via its own listener.
+  /** Distinct micro-batch count of a finished replay query. recentProgress
+    * is ring-buffered (default 100 entries) — far above the staged replays'
+    * file count, so the count is exact here; a replay staging >100 files
+    * would need a progress listener instead.
     */
-  @volatile var lastReplayBatches: Long = -1L
+  private def batchCount(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.map(_.batchId).distinct.length.toLong
 
   /** Streaming queries run on a cloned session (shared SparkContext, private
     * SQLConf) so the stream's state-partition count can differ from the
@@ -313,7 +318,7 @@ object EventsStream {
   def hourlyAvailableNow(
       spark: SparkSession,
       dir: String,
-      queryName: String = "graft_events_hourly_stream"): DataFrame = {
+      queryName: String = "graft_events_hourly_stream"): Replayed = {
     val ss = streamSession(spark)
     updateModeFinal(
       hourlyAggregate(readEventsStaged(ss, dir)),
@@ -339,7 +344,7 @@ object EventsStream {
       schema: StructType,
       queryName: String,
       reader: SparkSession,
-      prefix: String): DataFrame = {
+      prefix: String): Replayed = {
     val out = tempDir(s"${prefix}out_")
     val ckpt = tempDir(s"${prefix}ckpt_")
     val q = streamed
@@ -354,8 +359,7 @@ object EventsStream {
       }
       .start()
     q.awaitTermination()
-    lastReplayBatches = q.recentProgress.map(_.batchId).distinct.length.toLong
-    reader.read
+    val frame = reader.read
       .schema(schema.add(StructField("batch_id", LongType)))
       .parquet(out)
       .withColumn("__rn",
@@ -364,6 +368,7 @@ object EventsStream {
             .partitionBy(keyCols.map(col): _*).orderBy(col("batch_id").desc)))
       .filter(col("__rn") === 1)
       .drop("__rn", "batch_id")
+    Replayed(frame, batchCount(q))
   }
 
   /** Replay the on-disk events through the WATERMARKED append-mode aggregate
@@ -380,7 +385,7 @@ object EventsStream {
       spark: SparkSession,
       dir: String,
       delay: String = "1 hour",
-      queryName: String = "graft_events_hourly_wm"): DataFrame = {
+      queryName: String = "graft_events_hourly_wm"): Replayed = {
     val ss = streamSession(spark)
     val out = tempDir("graft_stream_wm_out_")
     val ckpt = tempDir("graft_stream_wm_ckpt_")
@@ -394,8 +399,58 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    lastReplayBatches = q.recentProgress.map(_.batchId).distinct.length.toLong
-    spark.read.schema(hourlySchema).parquet(out)
+    Replayed(spark.read.schema(hourlySchema).parquet(out), batchCount(q))
+  }
+
+  /** Schema of the sessionization frames (read-back without inference). */
+  val sessionSchema: StructType = StructType(Seq(
+    StructField("session_start", TimestampType),
+    StructField("session_end", TimestampType),
+    StructField("user_id", LongType),
+    StructField("n_events", LongType),
+    StructField("value_milli", LongType)))
+
+  /** Replay the on-disk events through the STREAMING sessionization
+    * ([[sessionize]] under a watermark) with Trigger.AvailableNow into a
+    * file sink — `session_window` state exercised through the real engine
+    * across micro-batches, not evaluated in batch mode.
+    *
+    * Streaming session windows only support append/complete output
+    * (update mode is rejected by the engine); append is the bounded-state
+    * production shape: a session is emitted — and its state evicted — once
+    * the watermark passes the session END (last event + gap), because no
+    * later event can merge into it past that point. The deterministic
+    * contract (oracle-gated as `st2`): emitted = exactly the sessions whose
+    * end <= final watermark = (max event ts @ ms precision) − delay;
+    * sessions still open when the replay stops are withheld (st3's
+    * append-mode pattern, applied to merging windows). The <=-vs-< boundary
+    * is pinned by an equality-crafted MemoryStream spec in EventsStreamSpec.
+    *
+    * Cross-batch merging is real: with the time-ordered staged source a
+    * session whose events span a file boundary is carried as open state into
+    * the next micro-batch and extended there — the thing the batch-mode
+    * evaluation never exercised.
+    */
+  def sessionizeAvailableNow(
+      spark: SparkSession,
+      dir: String,
+      gap: String = "30 minutes",
+      delay: String = "1 hour",
+      queryName: String = "graft_sessionize_stream"): Replayed = {
+    val ss = streamSession(spark)
+    val out = tempDir("graft_stream_sess_out_")
+    val ckpt = tempDir("graft_stream_sess_ckpt_")
+    val q = sessionize(readEventsStaged(ss, dir).withWatermark("ts", delay), gap)
+      .writeStream
+      .queryName(queryName)
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Replayed(spark.read.schema(sessionSchema).parquet(out), batchCount(q))
   }
 
   /** Replay the on-disk events through [[userRunningTotals]] (Update-mode
@@ -414,7 +469,7 @@ object EventsStream {
   def userTotalsAvailableNow(
       spark: SparkSession,
       dir: String,
-      queryName: String = "graft_user_totals_stream"): DataFrame = {
+      queryName: String = "graft_user_totals_stream"): Replayed = {
     val ss = streamSession(spark)
     updateModeFinal(
       userRunningTotals(readEventsStaged(ss, dir)),
@@ -447,7 +502,7 @@ object EventsStream {
       spark: SparkSession,
       dir: String,
       horizon: String = "1 hour",
-      queryName: String = "graft_attribution_stream"): DataFrame =
+      queryName: String = "graft_attribution_stream"): Replayed =
     attributionJoinReplay(spark, dir, horizon, queryName,
       joinType = "inner", prefix = "graft_stream_attr_")
 
@@ -463,7 +518,7 @@ object EventsStream {
       horizon: String,
       queryName: String,
       joinType: String,
-      prefix: String): DataFrame = {
+      prefix: String): Replayed = {
     val ss = streamSession(spark)
     val out = tempDir(s"${prefix}out_")
     val ckpt = tempDir(s"${prefix}ckpt_")
@@ -494,13 +549,12 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    lastReplayBatches = q.recentProgress.map(_.batchId).distinct.length.toLong
-    spark.read.schema(StructType(Seq(
+    Replayed(spark.read.schema(StructType(Seq(
       StructField("user_id", LongType),
       StructField("view_id", LongType),
       StructField("purchase_id", LongType),
       StructField("v_ts", TimestampType),
-      StructField("p_ts", TimestampType)))).parquet(out)
+      StructField("p_ts", TimestampType)))).parquet(out), batchCount(q))
   }
 
   /** LEFT-OUTER stream-stream interval join — attribution with explicit
@@ -519,7 +573,7 @@ object EventsStream {
       spark: SparkSession,
       dir: String,
       horizon: String = "1 hour",
-      queryName: String = "graft_attribution_outer_stream"): DataFrame =
+      queryName: String = "graft_attribution_outer_stream"): Replayed =
     attributionJoinReplay(spark, dir, horizon, queryName,
       joinType = "left_outer", prefix = "graft_stream_attro_")
 
@@ -546,7 +600,7 @@ object EventsStream {
   def dedupReplay(
       spark: SparkSession,
       dir: String,
-      queryName: String = "graft_events_dedup_stream"): DataFrame = {
+      queryName: String = "graft_events_dedup_stream"): Replayed = {
     val ss = streamSession(spark)
     val out = tempDir("graft_stream_dedup_out_")
     val ckpt = tempDir("graft_stream_dedup_ckpt_")
@@ -562,13 +616,12 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    lastReplayBatches = q.recentProgress.map(_.batchId).distinct.length.toLong
-    spark.read.schema(StructType(Seq(
+    Replayed(spark.read.schema(StructType(Seq(
       StructField("event_id", LongType),
       StructField("ts", TimestampType),
       StructField("user_id", LongType),
       StructField("event_type", StringType),
       StructField("value", DoubleType),
-      StructField("props", StringType)))).parquet(out)
+      StructField("props", StringType)))).parquet(out), batchCount(q))
   }
 }

@@ -82,6 +82,17 @@ class PlanSpec extends SparkSpec {
       s"expected exactly 7 date partitions scanned, got $scanned")
   }
 
+  test("k1 ranking is the bounded top-k aggregate — no window, no global per-query sort") {
+    val p = plan("k1_topk_cosine")
+    assert(!p.contains("Window"),
+      s"k1 regressed to a row_number window (single task sorts the corpus per query):\n$p")
+    assert(p.contains("graft_topk") && p.contains("ObjectHashAggregate"),
+      s"bounded top-k aggregate missing from the plan:\n$p")
+    // scoring side stays broadcast — corpus vectors never shuffle for scoring
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$p")
+  }
+
   test("d9 incremental dedup plans equi-joins only — no cartesian, no BNLJ") {
     val p = plan("d9_incremental_dedup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

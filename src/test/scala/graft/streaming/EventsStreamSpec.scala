@@ -11,21 +11,23 @@ import java.sql.Timestamp
 class EventsStreamSpec extends SparkSpec {
 
   test("AvailableNow replay equals the batch eventsHourly frame exactly") {
-    val streamed = EventsStream.hourlyAvailableNow(spark, sf, "graft_spec_sink")
+    val r = EventsStream.hourlyAvailableNow(spark, sf, "graft_spec_sink")
+    val streamed = r.frame
     val batch = Analytics.eventsHourly(Tables.load(spark, sf, "events"))
     assert(streamed.count() > 0)
-    assert(EventsStream.lastReplayBatches >= 2,
-      s"staged replay must run multiple micro-batches, got ${EventsStream.lastReplayBatches}")
+    assert(r.batches >= 2,
+      s"staged replay must run multiple micro-batches, got ${r.batches}")
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
   test("userTotalsAvailableNow replay equals batch totals, across >=2 batches") {
-    val streamed = EventsStream.userTotalsAvailableNow(spark, sf, "graft_spec_ut")
+    val r = EventsStream.userTotalsAvailableNow(spark, sf, "graft_spec_ut")
+    val streamed = r.frame
     val want = Tables.load(spark, sf, "events").groupBy("user_id").agg(
       count(lit(1)).as("n_events"),
       sum(expr("CAST(round(value * 1000) AS BIGINT)")).as("value_milli"))
-    assert(EventsStream.lastReplayBatches >= 2,
-      s"staged replay must run multiple micro-batches, got ${EventsStream.lastReplayBatches}")
+    assert(r.batches >= 2,
+      s"staged replay must run multiple micro-batches, got ${r.batches}")
     assert(streamed.exceptAll(want).isEmpty && want.exceptAll(streamed).isEmpty)
   }
 
@@ -77,10 +79,11 @@ class EventsStreamSpec extends SparkSpec {
   }
 
   test("streaming dedup drops at-least-once redeliveries exactly") {
-    val deduped = EventsStream.dedupReplay(spark, sf, "graft_spec_dedup")
+    val r = EventsStream.dedupReplay(spark, sf, "graft_spec_dedup")
+    val deduped = r.frame
     val want = Tables.load(spark, sf, "events")
-    assert(EventsStream.lastReplayBatches >= 2,
-      s"staged replay must run multiple micro-batches, got ${EventsStream.lastReplayBatches}")
+    assert(r.batches >= 2,
+      s"staged replay must run multiple micro-batches, got ${r.batches}")
     // fixture sanity: the staged source really injected redeliveries
     assert(want.filter(col("event_id") % 7 === 0).count() > 0,
       "no event_id divisible by 7 — duplicate fixture is empty")
@@ -92,7 +95,8 @@ class EventsStreamSpec extends SparkSpec {
   }
 
   test("stream-stream interval join equals the batch range join") {
-    val streamed = EventsStream.attributionReplay(spark, sf, queryName = "graft_spec_attr")
+    val ar = EventsStream.attributionReplay(spark, sf, queryName = "graft_spec_attr")
+    val streamed = ar.frame
     val ev = Tables.load(spark, sf, "events")
     val views = ev.filter(col("event_type") === "view")
       .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("v_ts"))
@@ -102,14 +106,14 @@ class EventsStreamSpec extends SparkSpec {
       .filter(col("p_ts") >= col("v_ts") &&
         col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
       .select("user_id", "view_id", "purchase_id", "v_ts", "p_ts")
-    assert(EventsStream.lastReplayBatches >= 2,
-      s"staged replay must run multiple micro-batches, got ${EventsStream.lastReplayBatches}")
+    assert(ar.batches >= 2,
+      s"staged replay must run multiple micro-batches, got ${ar.batches}")
     assert(streamed.count() > 0, "attribution fixture produced no matches")
     assert(streamed.exceptAll(want).isEmpty && want.exceptAll(streamed).isEmpty)
   }
 
   test("left-outer interval join: matches plus watermark-proven non-conversions") {
-    val streamed = EventsStream.attributionOuterReplay(spark, sf, queryName = "graft_spec_attro")
+    val streamed = EventsStream.attributionOuterReplay(spark, sf, queryName = "graft_spec_attro").frame
     val ev = Tables.load(spark, sf, "events")
     val views = ev.filter(col("event_type") === "view")
       .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("v_ts"))
@@ -143,14 +147,15 @@ class EventsStreamSpec extends SparkSpec {
   }
 
   test("streaming materialization leaves no catalog residue (file sink, no temp view)") {
-    EventsStream.hourlyAvailableNow(spark, sf, "graft_spec_sink2")
+    EventsStream.hourlyAvailableNow(spark, sf, "graft_spec_sink2").frame
     assert(!spark.catalog.tableExists("graft_spec_sink2"))
   }
 
   test("watermarked AvailableNow replay emits exactly the finalized windows") {
-    val out = EventsStream.hourlyWatermarkedAvailableNow(spark, sf)
-    assert(EventsStream.lastReplayBatches >= 2,
-      s"staged replay must run multiple micro-batches, got ${EventsStream.lastReplayBatches}")
+    val wr = EventsStream.hourlyWatermarkedAvailableNow(spark, sf)
+    val out = wr.frame
+    assert(wr.batches >= 2,
+      s"staged replay must run multiple micro-batches, got ${wr.batches}")
     val ev = Tables.load(spark, sf, "events")
     // contract: emitted = windows with end <= (max event ts @ ms) - 1h delay
     val cutoff = ev
@@ -217,6 +222,64 @@ class EventsStreamSpec extends SparkSpec {
     val expect = src.selectExpr("event_id", "ts", "event_type",
       "CAST(round(value * 1000) AS BIGINT) AS value_milli")
     assert(back.exceptAll(expect).isEmpty && expect.exceptAll(back).isEmpty)
+  }
+
+  test("sessionizeAvailableNow: streamed session_window equals the watermark-filtered batch sessions") {
+    val r = EventsStream.sessionizeAvailableNow(spark, sf, queryName = "graft_spec_sess")
+    assert(r.batches >= 2,
+      s"staged replay must run multiple micro-batches, got ${r.batches}")
+    val ev = Tables.load(spark, sf, "events")
+    // append-mode contract: emitted = sessions with end <= final watermark
+    // (max event ts @ ms precision − 1h); still-open sessions are withheld
+    val cutoff = ev
+      .agg(expr("date_trunc('MILLISECOND', max(ts)) - INTERVAL 1 HOUR"))
+      .head().getTimestamp(0)
+    val expect = EventsStream.sessionize(ev)
+      .filter(expr(s"session_end <= timestamp'$cutoff'"))
+    assert(r.frame.count() > 0, "no finalized sessions emitted")
+    assert(r.frame.exceptAll(expect).isEmpty && expect.exceptAll(r.frame).isEmpty,
+      "streamed sessions diverged from the watermark-filtered batch sessions")
+  }
+
+  test("streaming session_window: emission boundary is end <= watermark; state merges across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val events = mem.toDF().toDF("ts", "user_id", "value")
+    val q = EventsStream.sessionize(events.withWatermark("ts", "1 hour"))
+      .writeStream.format("memory").queryName("graft_sess_wm")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    def t(s: String) = Timestamp.valueOf(s)
+    def starts(): Seq[Timestamp] =
+      spark.table("graft_sess_wm").collect().toSeq.map(_.getTimestamp(0))
+    try {
+      // batch 1: user 1 opens a session at 10:00 (end 10:30); max ts 11:00
+      // puts the post-batch watermark at 10:00 — below the session end, so
+      // nothing may emit (processAllAvailable includes the no-data batch
+      // the engine runs after a watermark advance)
+      mem.addData((t("2024-01-01 10:00:00"), 1L, 1.0),
+        (t("2024-01-01 11:00:00"), 2L, 5.0))
+      q.processAllAvailable()
+      assert(starts().isEmpty,
+        "session with end 10:30 > wm 10:00 must stay open")
+
+      // batch 2: user 1's 10:29 event MERGES into the batch-1 session state
+      // (cross-batch merging — end extends 10:30 → 10:59); max ts 11:59
+      // advances the post-batch watermark to exactly 10:59:00.000 == the
+      // merged session's end. Emission here pins the <= boundary (strict-<
+      // semantics would withhold it).
+      mem.addData((t("2024-01-01 10:29:00"), 1L, 2.0),
+        (t("2024-01-01 11:59:00"), 3L, 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("graft_sess_wm").collect()
+        .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      assert(rows.contains((t("2024-01-01 10:00:00"), t("2024-01-01 10:59:00"), 1L, 2L, 3000L)),
+        s"merged session ending exactly at the watermark must emit (<= boundary); sink=${rows.mkString(", ")}")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("graft_sess_wm")
+    }
   }
 
   test("sessionize: gap merge + session bounds on a hand fixture") {
