@@ -42,6 +42,11 @@ object Bench {
     if (selected.exists(_._1 == "e3_events_daily_pruned"))
       try graft.core.PartitionedTables.eventsByDateRoot(spark, sfDir)
       catch { case _: Throwable => () }
+    // pre-build the stored d9 dedup index (ingest-time artifact) so d9
+    // times the delta-vs-index run — the operation the entry models
+    if (selected.exists(_._1 == "d9_incremental_dedup"))
+      try SparkEntry.d9IndexDir(spark, sfDir)
+      catch { case _: Throwable => () }
     // Deterministic order (hash-Map order varied run to run) and a cold
     // cache per query: otherwise first-touch parquet footer reads and
     // persisted RDDs shared across entries land on whichever query happens

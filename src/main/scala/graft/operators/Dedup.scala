@@ -219,8 +219,78 @@ object Dedup {
       verifyBroadcast: Option[Boolean] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val corpusSets = shingleSets(corpus, textCol, idCol, shingleWords)
+    incrementalCore(
+      corpusSets, bandedKeys(corpusSets, numHashes, bands),
+      delta, textCol, idCol, threshold, shingleWords, numHashes, bands,
+      verifyBroadcast)
+  }
+
+  /** PERSIST the dedup index of an ingested corpus: the per-doc band keys
+    * (the LSH buckets new batches probe) plus the sorted shingle-hash sets
+    * (what the exact-Jaccard verify stage needs) as two parquet relations
+    * under `path`. Written once when a generation is ingested; every later
+    * [[incrementalFromIndex]] run reads these instead of re-shingling the
+    * corpus — the difference between an O(delta) and an O(corpus) daily
+    * ingest at 100 TB. Band keys are written partitioned-friendly (plain
+    * columnar), sets carry 8-byte shingle hashes, not strings.
+    */
+  def writeIndex(
+      corpus: DataFrame,
+      path: String,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleWords: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16): Unit = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val sets = shingleSets(corpus, textCol, idCol, shingleWords)
+    sets.select("id", "sh").write.mode("overwrite").parquet(s"$path/sets")
+    bandedKeys(sets, numHashes, bands)
+      .write.mode("overwrite").parquet(s"$path/bands")
+  }
+
+  /** Incremental near-dedup against a STORED index ([[writeIndex]]): the
+    * corpus side is read back as (band keys, shingle sets) parquet — the
+    * corpus text is never touched, so a daily run's cost is delta shingling
+    * plus equi-joins against index buckets. Same output contract as
+    * [[incrementalMinHashNearDup]] (which recomputes the index inline; the
+    * two are result-identical, spec-pinned).
+    */
+  def incrementalFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      delta: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      threshold: Double = 0.6,
+      shingleWords: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      verifyBroadcast: Option[Boolean] = None): DataFrame =
+    incrementalCore(
+      spark.read.parquet(s"$indexPath/sets"),
+      spark.read.parquet(s"$indexPath/bands"),
+      delta, textCol, idCol, threshold, shingleWords, numHashes, bands,
+      verifyBroadcast)
+
+  /** Shared incremental-dedup core: delta×corpus + delta×delta candidate
+    * generation over band-key equi-joins, then exact-Jaccard verify. The
+    * corpus arrives as its INDEX relations (computed or read back); only
+    * the delta is shingled here.
+    */
+  private def incrementalCore(
+      corpusSets: DataFrame,
+      corpusBands: DataFrame,
+      delta: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      shingleWords: Int,
+      numHashes: Int,
+      bands: Int,
+      verifyBroadcast: Option[Boolean]): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val deltaSets = shingleSets(delta, textCol, idCol, shingleWords)
-    val corpusBands = bandedKeys(corpusSets, numHashes, bands) // the stored index
     val deltaBands = bandedKeys(deltaSets, numHashes, bands)
 
     // delta × corpus: sides are disjoint, so normalize orientation after

@@ -54,6 +54,42 @@ class DedupSpec extends SparkSpec {
       "incremental pair set diverged from the filtered full run")
   }
 
+  test("incrementalFromIndex equals the inline incremental run") {
+    val isDelta = col("doc_id") % 3 === 0
+    val path = tmpDir("d9_index")
+    Dedup.writeIndex(docs.filter(!isDelta), path)
+    val fromIndex = Dedup.incrementalFromIndex(spark, path, docs.filter(isDelta))
+    val inline = Dedup.incrementalMinHashNearDup(
+      docs.filter(!isDelta), docs.filter(isDelta))
+    assert(fromIndex.count() > 0, "fixture should have delta-touching pairs")
+    assert(fromIndex.exceptAll(inline).isEmpty && inline.exceptAll(fromIndex).isEmpty,
+      "stored-index run diverged from the inline incremental run")
+  }
+
+  test("delta run against the stored index never re-reads corpus text") {
+    import spark.implicits._
+    val path = tmpDir("d9_index_scan")
+    Dedup.writeIndex(docs, path)
+    // in-memory delta (LocalRelation, no file scan) so EVERY file scan in
+    // the plan must be an index read — proving the corpus is not re-shingled
+    val delta = Seq(
+      (1000001L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1000002L, "a completely different sentence with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalFromIndex(spark, path, delta)
+    val scans = out.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "expected index parquet scans in the plan")
+    scans.foreach { f =>
+      assert(!f.requiredSchema.fieldNames.contains("text"),
+        s"index-path scan reads a text column — corpus re-shingled: ${f.requiredSchema}")
+      f.relation.location.rootPaths.foreach(p =>
+        assert(p.toString.contains(new java.io.File(path).getName),
+          s"file scan outside the stored index: $p"))
+    }
+  }
+
   test("minhash-LSH candidate generation is an equi-join, no cartesian") {
     val plan = Dedup.minHashNearDup(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"cartesian in LSH plan:\n$plan")
