@@ -949,7 +949,11 @@ object SparkEntry {
         "SELECT a_id, b_id, round(dot / (na * nb), 6) AS cosine FROM p " +
         "WHERE dot / (na * nb) >= 0.99"),
     // Multimodal oracles: the fixture corpus is ASCII, so DuckDB can compute
-    // the same bytes-level features from the text column directly.
+    // the same bytes-level features from the text column directly. The
+    // DECODED columns verify the real JDK PNG encode→decode round-trip:
+    // the per-id fixture image has closed-form dimensions and channel
+    // means (Multimodal.encodePngFixture), so the oracle states what the
+    // codec must recover without decoding anything itself.
     "m1_media_features" ->
       ("SELECT doc_id AS media_id, " +
         "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, " +
@@ -957,7 +961,11 @@ object SparkEntry {
         "hex(CAST(substr(text, 1, 8) AS BLOB)) AS header_hex, " +
         "CAST(ceil(len(text) / 256.0) AS BIGINT) AS n_frames, " +
         "md5(substr(text, (CAST(ceil(len(text) / 256.0) AS INT) // 2) * 256 + 1, 256)) AS mid_frame_md5, " +
-        "16 + len(text) % 1024 AS width, 16 + (len(text) * 7) % 1024 AS height " +
+        "4 + doc_id % 29 AS width, 4 + (doc_id * 7) % 23 AS height, " +
+        "CAST(3 AS BIGINT) AS channels, " +
+        "(doc_id % 200) * 1000000 + (doc_id % 29 + 3) * 500000 AS mean_r_micro, " +
+        "((doc_id * 3) % 200) * 1000000 + ((doc_id * 7) % 23 + 3) * 500000 AS mean_g_micro, " +
+        "((doc_id * 5) % 256) * 1000000 AS mean_b_micro " +
         "FROM documents"),
     "m2_frame_sample" ->
       ("SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_idx, " +

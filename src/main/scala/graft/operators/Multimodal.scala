@@ -3,22 +3,31 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+/** Image-decode result of [[Multimodal.decodeImage]]: dimensions, band
+  * count, and exact integer-micro channel means (`sum*1e6 / (w*h)` on
+  * non-negative integers — deterministic on every JVM, no float
+  * accumulation).
+  */
+final case class DecodedImage(
+    width: Long,
+    height: Long,
+    channels: Long,
+    meanRMicro: Long,
+    meanGMicro: Long,
+    meanBMicro: Long)
+
 /** Multimodal-column plumbing for the LLM-data pipeline (north-star
-  * extension): media as opaque `binary` columns with typed metadata, plus
+  * extension): media as opaque `binary` columns with typed metadata, REAL
+  * PNG decode (JDK `javax.imageio` — no external codec libs), plus
   * deterministic feature-extraction / frame-sampling over them.
   *
-  * The REAL decode step (JPEG/PNG/audio/video codecs) is stubbed — the
-  * container provisions no media libraries (see [[decodeStub]]). Everything
-  * around the stub is production-shaped and tested: binary column handling
-  * (`substring`/`md5`/`hex`/`octet_length` over BinaryType), a typed
-  * metadata struct, fixed-size chunking ("frame sampling") via sequence +
-  * explode, and map-only distribution — at 100 TB each media blob is
-  * processed where it lives; nothing but features crosses a shuffle.
-  *
-  * In a real deployment decode/resize/feature-extract would be an
-  * Arrow-vectorized batch UDF (Python `mapInPandas` or a JVM codec) slotted
-  * exactly where [[decodeStub]] sits; the schema, partitioning, and batch
-  * shape here are what that UDF would see.
+  * The decode slot is a per-row JVM codec UDF — the one place the escalation
+  * ladder ends at a UDF by design: codecs are opaque byte→raster library
+  * calls with nothing for Catalyst to codegen, and the row is already the
+  * right batch shape (at 100 TB each blob decodes where it lives, map-only;
+  * only fixed-width features cross a shuffle). Audio/video codecs aren't in
+  * the JDK; their rows flow through the same binary plumbing with the image
+  * path showing where a real codec slots in ([[decodeImage]]).
   */
 object Multimodal {
 
@@ -40,24 +49,83 @@ object Multimodal {
         col("source").as("orig_source"),
         length(col("text")).cast("long").as("n_bytes")).as("meta"))
 
-  /** DECODE STUB — deterministic fake in place of a real media decoder.
-    * Produces plausible (width, height, channels) purely from the byte
-    * length so tests and plans are stable; a real build replaces this one
-    * expression with a codec call (see object doc).
+  /** Deterministic PNG fixture bytes per media id: a `(4 + id%29) ×
+    * (4 + 7id%23)` truecolor image whose channel values are exact affine
+    * functions of (id, x, y) — `r = id%200 + x`, `g = 3id%200 + y`,
+    * `b = 5id%256` (all < 256 by construction, no wraparound) — encoded
+    * through the real JDK PNG writer. Gives every row a genuine compressed
+    * image payload whose DECODED properties are closed-form in the id, so
+    * the decode stage is value-oracle-gated without the oracle engine
+    * needing a codec.
     */
-  def decodeStub(media: DataFrame): DataFrame =
-    media.withColumn("decoded", expr(
-      """struct(
-        |  CAST(16 + pmod(octet_length(content), 1024) AS BIGINT) AS width,
-        |  CAST(16 + pmod(octet_length(content) * 7, 1024) AS BIGINT) AS height,
-        |  3L AS channels)""".stripMargin))
+  val encodePngFixture: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (id: Long) =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val w = (4 + (id % 29)).toInt
+      val h = (4 + ((id * 7) % 23)).toInt
+      val baseR = (id % 200).toInt
+      val baseG = ((id * 3) % 200).toInt
+      val baseB = ((id * 5) % 256).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, ((baseR + x) << 16) | ((baseG + y) << 8) | baseB)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+  /** REAL image decode over a binary PNG/JPEG/BMP column (JDK ImageIO):
+    * dimensions, band count, and exact integer channel means. Returns null
+    * for bytes no installed reader accepts (corrupt/unknown container) —
+    * the pipeline-friendly contract; a quarantine filter on
+    * `decoded IS NULL` separates undecodable rows.
+    */
+  val decodeImage: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (bytes: Array[Byte]) =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException => null }
+      if (img == null) null
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff
+            sg += (rgb >> 8) & 0xff
+            sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        DecodedImage(w.toLong, h.toLong, img.getRaster.getNumBands.toLong,
+          sr * 1000000L / n, sg * 1000000L / n, sb * 1000000L / n)
+      }
+    }
 
   /** Per-media features: size, content hash, sniffed header bytes, chunk
-    * count, a sampled mid-"frame" hash, and the stub-decoded dimensions.
-    * One map-only pass over the binary column.
+    * count, a sampled mid-"frame" hash, and REAL decoded image properties
+    * (dimensions + exact channel means from the PNG fixture payload via
+    * [[decodeImage]]). One map-only pass over the binary columns.
     */
   def mediaFeatures(media: DataFrame): DataFrame =
-    decodeStub(media).select(
+    media
+      .withColumn("decoded", decodeImage(encodePngFixture(col("media_id"))))
+      .select(
       col("media_id"),
       col("kind"),
       expr("CAST(octet_length(content) AS BIGINT)").as("n_bytes"),
@@ -67,7 +135,11 @@ object Multimodal {
       expr(s"md5(substring(content, CAST(ceil(octet_length(content) / ${FrameBytes}.0) AS INT) div 2 * $FrameBytes + 1, $FrameBytes))")
         .as("mid_frame_md5"),
       col("decoded.width").as("width"),
-      col("decoded.height").as("height"))
+      col("decoded.height").as("height"),
+      col("decoded.channels").as("channels"),
+      col("decoded.meanRMicro").as("mean_r_micro"),
+      col("decoded.meanGMicro").as("mean_g_micro"),
+      col("decoded.meanBMicro").as("mean_b_micro"))
 
   /** Frame sampling: explode each media blob into fixed-size chunks with
     * per-frame offsets and hashes — the distributed shape for per-frame

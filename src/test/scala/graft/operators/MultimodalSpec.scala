@@ -49,11 +49,42 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.frameSample(empty).count() == 0)
   }
 
-  test("decode stub is deterministic and bounded") {
-    val d = Multimodal.decodeStub(media).select("decoded.width", "decoded.height")
-    val r = d.agg(
-      min("width"), max("width"), min("height"), max("height")).head()
-    assert(r.getLong(0) >= 16 && r.getLong(1) < 16 + 1024)
-    assert(r.getLong(2) >= 16 && r.getLong(3) < 16 + 1024)
+  test("PNG decode recovers the closed-form dimensions and channel means") {
+    val decoded = media
+      .withColumn("decoded", Multimodal.decodeImage(Multimodal.encodePngFixture(col("media_id"))))
+      .select(col("media_id"), col("decoded.*"))
+    assert(decoded.filter(col("width").isNull).count() == 0,
+      "every fixture PNG must decode")
+    val bad = decoded.filter(
+      col("width") =!= expr("4 + media_id % 29") ||
+        col("height") =!= expr("4 + (media_id * 7) % 23") ||
+        col("channels") =!= 3 ||
+        col("meanRMicro") =!=
+          expr("(media_id % 200) * 1000000 + (media_id % 29 + 3) * 500000") ||
+        col("meanGMicro") =!=
+          expr("((media_id * 3) % 200) * 1000000 + ((media_id * 7) % 23 + 3) * 500000") ||
+        col("meanBMicro") =!= expr("((media_id * 5) % 256) * 1000000"))
+    assert(bad.count() == 0, "decoded properties diverged from the encode-side formulas")
+  }
+
+  test("decode is a real codec: it reads an independently-built PNG, rejects garbage") {
+    import spark.implicits._
+    // PNG built directly here (not via encodePngFixture) — proves decodeImage
+    // parses actual PNG bytes rather than pattern-matching its own fixture
+    val img = new java.awt.image.BufferedImage(
+      5, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 5) img.setRGB(x, y, (10 << 16) | (20 << 8) | 30)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val rows = Seq(
+      (1L, bos.toByteArray),
+      (2L, Array.tabulate[Byte](64)(i => (i * 7).toByte))) // not an image
+      .toDF("id", "bytes")
+      .withColumn("decoded", Multimodal.decodeImage(col("bytes")))
+    val ok = rows.filter(col("id") === 1).select("decoded.*").head()
+    assert(ok.getLong(0) == 5L && ok.getLong(1) == 2L && ok.getLong(2) == 3L)
+    assert(ok.getLong(3) == 10000000L && ok.getLong(4) == 20000000L && ok.getLong(5) == 30000000L)
+    assert(rows.filter(col("id") === 2).select("decoded").head().isNullAt(0),
+      "garbage bytes must decode to null, not crash or fake values")
   }
 }
