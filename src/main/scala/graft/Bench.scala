@@ -85,7 +85,11 @@ object Bench {
     val json =
       s"""{"metric":"total","unit":"sec","queries":$qs,"memo_warm":$warm,"sf":"$sfDir","value":$total}"""
     println(json)
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    // a SPARK_GRAFT_ONLY subset run must not clobber the repo's full-run
+    // headline artifact with a partial total — divert to BENCH.subset.json
+    // unless the caller named an output explicitly
+    val defaultOut = if (only.isDefined) "BENCH.subset.json" else "BENCH.json"
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -46,6 +46,13 @@ object Compaction {
       outDir: String,
       targetBytes: Long = DefaultTargetBytes): CompactStats = {
     require(targetBytes > 0, "targetBytes must be positive")
+    // SaveMode.Overwrite deletes outDir BEFORE the lazy read of inDir runs:
+    // equal or nested paths would destroy the input instead of compacting
+    // it. Canonical paths so symlinked spellings of the same dir are caught.
+    val inPath = new java.io.File(inDir).getCanonicalFile.toPath
+    val outPath = new java.io.File(outDir).getCanonicalFile.toPath
+    require(!outPath.startsWith(inPath) && !inPath.startsWith(outPath),
+      s"compaction output must not equal or nest with the input: in=$inPath out=$outPath")
     val files = partFiles(inDir)
     val bytes = files.map(_.length()).sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt

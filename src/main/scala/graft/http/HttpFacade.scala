@@ -25,23 +25,31 @@ import scala.collection.immutable.ListMap
   *  - the connection body is validated and pooled by key (main.py:64-87)
   *    but "connects" to the embedded Spark session — there is no external
   *    ClickHouse; the session IS the database.
-  *  - `/flatfile-to-clickhouse` accepts the CSV as the raw request body
-  *    with `filename` as a query parameter instead of multipart framing
-  *    (a transport detail FastAPI's `UploadFile` hides; multipart adds no
-  *    semantics — filename validation, empty-file rejection, dtype=str
-  *    parsing and the import envelope are identical, main.py:218-302).
+  *  - `/flatfile-to-clickhouse` accepts BOTH framings: real
+  *    `multipart/form-data` with a `conn` JSON part and a `file` part (what
+  *    FastAPI's `UploadFile = File(...)` + body param produce, so a drop-in
+  *    reference client works unchanged, main.py:217-233), and the raw CSV
+  *    body with `filename` as a query parameter (the curl-friendly form).
+  *    Filename validation, empty-file rejection, dtype=str parsing and the
+  *    import envelope are identical either way (main.py:218-302).
   *
   * Threading: handlers run on a fixed pool; Spark work is submitted on the
   * caller thread and the session is thread-safe for reads. Port 0 binds an
   * ephemeral port (tests); [[boundPort]] reports it.
+  *
+  * Binding: loopback by default — the façade is an unauthenticated dev/test
+  * surface (SQL export + table import), so exposing it beyond the host must
+  * be an explicit choice: `bindHost` parameter or `GRAFT_HTTP_BIND` env
+  * (e.g. "0.0.0.0").
   */
 final class HttpFacade(
     spark: SparkSession,
     resolve: String => DataFrame,
-    port: Int = 8000) {
+    port: Int = 8000,
+    bindHost: String = sys.env.getOrElse("GRAFT_HTTP_BIND", "127.0.0.1")) {
 
   private val logger = org.slf4j.LoggerFactory.getLogger(getClass)
-  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  private val server = HttpServer.create(new InetSocketAddress(bindHost, port), 0)
   private val handlerPool = java.util.concurrent.Executors.newFixedThreadPool(8)
   server.setExecutor(handlerPool)
 
@@ -195,16 +203,31 @@ final class HttpFacade(
     })
   }
 
-  /** POST /flatfile-to-clickhouse?table=&delimiter=&filename= — body is the
-    * CSV text (see class doc); parse/validate/import per main.py:218-302.
+  /** POST /flatfile-to-clickhouse?table=&delimiter= — multipart/form-data
+    * with a `conn` JSON part and a `file` part (the reference client's
+    * framing, main.py:217-233), or the raw CSV body with `filename` as a
+    * query parameter (see class doc); parse/validate/import per
+    * main.py:218-302.
     */
   private def importFlatfile(ex: HttpExchange): Unit = {
     val table = queryParam(ex, "table").getOrElse(CsvIngest.DefaultImportTable)
     val delimiter = queryParam(ex, "delimiter").getOrElse(",")
-    val filename = queryParam(ex, "filename").getOrElse("")
+    val contentType =
+      Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+    val (filename, csvText) =
+      if (contentType.toLowerCase.startsWith("multipart/form-data")) {
+        val parts = Multipart.parse(contentType, body(ex))
+        // FastAPI declares `conn` as a required body model → its absence is
+        // a 422 before the handler runs; the JSON rides as a form part
+        parseConn(parse(parts.field("conn").getOrElse(
+          throw new IllegalArgumentException("field required: conn"))))
+        val file = parts.file("file").getOrElse(
+          throw new IllegalArgumentException("field required: file"))
+        (file.filename, file.content)
+      } else (queryParam(ex, "filename").getOrElse(""), body(ex))
     logger.info(s"Import request for file $filename")
     Validation.requireValidTable(table)
-    val df = CsvIngest.parseUpload(spark, filename, body(ex), delimiter)
+    val df = CsvIngest.parseUpload(spark, filename, csvText, delimiter)
     val r = CsvIngest.importInto(df, table)
     withCount(ex, r.count)
     respond(ex, 200, JObj(
@@ -237,9 +260,18 @@ final class HttpFacade(
       throw new IllegalArgumentException("connection must be a JSON object"))
     def req(k: String): String = o(k).str.getOrElse(
       throw new IllegalArgumentException(s"field required: $k"))
+    // pydantic int-coercion parity: a number or a numeric string is a
+    // port; a present-but-untyped value is 422, never a silent default
+    val portValue = o("port") match {
+      case JNull => 8123
+      case JNum(n) if n == math.floor(n) && !n.isInfinite => n.toInt
+      case JStr(s) if s.trim.nonEmpty && s.trim.forall(_.isDigit) => s.trim.toInt
+      case other => throw new IllegalArgumentException(
+        s"port must be an integer, got: ${render(other)}")
+    }
     val conn = ConnectionConfig(
       host = Validation.requireValidHost(req("host")),
-      port = o("port").num.map(_.toInt).getOrElse(8123),
+      port = portValue,
       database = req("database"),
       username = req("username"),
       password = o("password").str.getOrElse(""),

@@ -32,4 +32,19 @@ class CompactionSpec extends SparkSpec {
     assert(stats.outputFiles == 2, s"got ${stats.outputFiles} files for a 2-file target")
     assert(stats.inputBytes == bytes)
   }
+
+  test("compacting a directory onto itself (or a nested path) is refused, input intact") {
+    val in = tmpDir("graft_compact_guard_")
+    Tables.load(spark, sf, "nation").repartition(4).write
+      .mode("overwrite").parquet(in)
+    val before = spark.read.parquet(in).count()
+    // overwrite would delete the target before the lazy input read runs —
+    // all three spellings must be refused up front
+    intercept[IllegalArgumentException](Compaction.compact(spark, in, in))
+    intercept[IllegalArgumentException](
+      Compaction.compact(spark, in, in + "/nested_out"))
+    intercept[IllegalArgumentException](
+      Compaction.compact(spark, in + "/sub", in))
+    assert(spark.read.parquet(in).count() == before, "guard must not touch the input")
+  }
 }

@@ -172,6 +172,70 @@ class HttpFacadeSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("POST /flatfile-to-clickhouse accepts the reference client's multipart framing") {
+    val tbl = s"graft_http_mp_${System.nanoTime()}"
+    try {
+      val boundary = "GraftBoundary7431"
+      val mp = new StringBuilder
+      mp ++= s"--$boundary\r\n"
+      mp ++= "Content-Disposition: form-data; name=\"conn\"\r\n\r\n"
+      mp ++= conn + "\r\n"
+      mp ++= s"--$boundary\r\n"
+      mp ++= "Content-Disposition: form-data; name=\"file\"; filename=\"upload.csv\"\r\n"
+      mp ++= "Content-Type: text/csv\r\n\r\n"
+      mp ++= "city,pop\nparis,2100000\nlyon,520000\n\r\n"
+      mp ++= s"--$boundary--\r\n"
+      val r = send(HttpRequest.newBuilder(URI.create(
+        base + s"/flatfile-to-clickhouse?table=$tbl"))
+        .header("Content-Type", s"multipart/form-data; boundary=$boundary")
+        .POST(HttpRequest.BodyPublishers.ofString(mp.toString)).build())
+      assert(r.statusCode() == 200, r.body())
+      val o = jobj(r)
+      assert(o("status").str.contains("success"))
+      assert(o("count").num.contains(2.0))
+      assert(o("columns").arr.get.flatMap(_.str) == Vector("city", "pop"))
+      assert(o("table").str.contains(tbl))
+      assert(o("imported_at").str.exists(_.nonEmpty))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("multipart rejections: missing conn part → 422; bad filename → 400") {
+    val boundary = "GraftBoundary7431"
+    def mpPost(bodyText: String): HttpResponse[String] =
+      send(HttpRequest.newBuilder(URI.create(base + "/flatfile-to-clickhouse"))
+        .header("Content-Type", s"multipart/form-data; boundary=$boundary")
+        .POST(HttpRequest.BodyPublishers.ofString(bodyText)).build())
+    val noConn = mpPost(
+      s"--$boundary\r\n" +
+        "Content-Disposition: form-data; name=\"file\"; filename=\"a.csv\"\r\n\r\n" +
+        "a,b\n1,2\n\r\n" + s"--$boundary--\r\n")
+    assert(noConn.statusCode() == 422)
+    assert(jobj(noConn)("detail").str.contains("field required: conn"))
+    val badName = mpPost(
+      s"--$boundary\r\n" +
+        "Content-Disposition: form-data; name=\"conn\"\r\n\r\n" + conn + "\r\n" +
+        s"--$boundary\r\n" +
+        "Content-Disposition: form-data; name=\"file\"; filename=\"a.doc\"\r\n\r\n" +
+        "a,b\n1,2\n\r\n" + s"--$boundary--\r\n")
+    assert(badName.statusCode() == 400)
+    assert(jobj(badName)("detail").str.contains("Only CSV files are supported"))
+  }
+
+  test("port coercion parity: numeric string accepted, garbage 422s, absent defaults") {
+    val strPort = post("/connect-clickhouse",
+      """{"host":"localhost","port":"9000","database":"d","username":"u"}""")
+    assert(strPort.statusCode() == 200)
+    assert(jobj(strPort)("connection").str.contains("localhost:9000"))
+    val garbage = post("/connect-clickhouse",
+      """{"host":"localhost","port":"eightthousand","database":"d","username":"u"}""")
+    assert(garbage.statusCode() == 422)
+    assert(jobj(garbage)("detail").str.exists(_.contains("port")))
+    val absent = post("/connect-clickhouse",
+      """{"host":"localhost","database":"d","username":"u"}""")
+    assert(absent.statusCode() == 200)
+    assert(jobj(absent)("connection").str.contains("localhost:8123"))
+  }
+
   test("import rejections: non-CSV filename → 400; empty body → 400") {
     val bad = post("/flatfile-to-clickhouse?filename=up.doc", "a,b\n1,2\n")
     assert(bad.statusCode() == 400)
