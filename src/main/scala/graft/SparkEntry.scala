@@ -90,7 +90,9 @@ object SparkEntry {
       m.keySet.asScala.filter(_._1 eq s).toList.foreach(m.remove)
     }
     dedupIndexMemo.keySet.asScala.filter(_._1 eq s).toList
-      .foreach(dedupIndexMemo.remove)
+      .foreach { k =>
+        Option(dedupIndexMemo.remove(k)).foreach(graft.core.TempDirs.drop)
+      }
   }
 
   private def resolver(s: SparkSession, dir: String): Exporter.Resolver =

@@ -57,6 +57,11 @@ object Engine {
     */
   def releaseCachedState(spark: SparkSession): Unit = {
     graft.SparkEntry.invalidateMemos(spark)
+    // staged scratch copies (streaming replay sources, partitioned-layout
+    // tables) are JVM-wide memos that survive any session — reclaim their
+    // disk here rather than at JVM exit; same context-wide caveat as above
+    graft.streaming.EventsStream.releaseStaged()
+    PartitionedTables.releaseStaged()
     try spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
     catch { case _: Exception => () } // context may already be stopped

@@ -40,6 +40,23 @@ object PartitionedTables {
       out
     })
 
+  /** Number of staged partitioned copies currently memoized (diagnostic —
+    * Engine release hooks are pinned empty by EngineSpec).
+    */
+  def stagedCount: Int = staged.size
+
+  /** Drop every staged partitioned copy and reclaim its scratch space now
+    * (otherwise reclaimed only at JVM exit). Outstanding frames over a
+    * dropped copy become unreadable — callers release between workloads,
+    * not mid-query (Engine.releaseCachedState's existing contract).
+    */
+  def releaseStaged(): Unit = {
+    // values() is a live view — copy before clear or there is nothing to drop
+    val paths = new java.util.ArrayList(staged.values())
+    staged.clear()
+    paths.forEach(TempDirs.drop(_))
+  }
+
   /** The partitioned events table. `event_date` is a partition column —
     * predicates on it prune directories, not rows.
     */

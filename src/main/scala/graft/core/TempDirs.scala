@@ -32,6 +32,24 @@ object TempDirs {
     p.toString
   }
 
+  /** Delete a tracked scratch directory NOW (and stop tracking it) — for
+    * release hooks reclaiming space in a long-lived JVM instead of waiting
+    * for exit. Unknown/already-deleted paths are a no-op.
+    */
+  def drop(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    dirs.remove(p)
+    try {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala
+          .foreach(q => try java.nio.file.Files.delete(q)
+                        catch { case _: Exception => () })
+    } catch { case _: Exception => () }
+  }
+
   /** Like [[create]] but on tmpfs (`/dev/shm`) when available: for scratch
     * whose durability is irrelevant (streaming-replay checkpoints, transient
     * sinks) every fsync a checkpoint log issues (~5-10 ms each on this

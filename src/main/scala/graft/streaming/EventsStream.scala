@@ -103,6 +103,23 @@ object EventsStream {
   private val stagedDirs =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
 
+  /** Number of staged source copies currently memoized (diagnostic —
+    * Engine release hooks are pinned empty by EngineSpec).
+    */
+  def stagedCount: Int = stagedDirs.size
+
+  /** Drop every staged source copy and reclaim its scratch space now
+    * (otherwise reclaimed only at JVM exit). Replays in flight over a
+    * dropped copy fail — release between workloads (the
+    * Engine.releaseCachedState contract).
+    */
+  def releaseStaged(): Unit = {
+    // values() is a live view — copy before clear or there is nothing to drop
+    val paths = new java.util.ArrayList(stagedDirs.values())
+    stagedDirs.clear()
+    paths.forEach(graft.core.TempDirs.drop(_))
+  }
+
   private def stagedEventsDir(
       spark: SparkSession, dir: String, n: Int,
       variant: String = "",

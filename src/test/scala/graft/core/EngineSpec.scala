@@ -18,4 +18,24 @@ class EngineSpec extends SparkSpec {
     val again = graft.SparkEntry.queries("d2_near_dedup")(spark, sf)
     assert(again.columns.toSeq == Seq("a_id", "b_id", "jaccard"))
   }
+
+  test("releaseCachedState evicts staged scratch copies (streams + partitioned layout)") {
+    // populate both JVM-wide staging memos, then release and assert the
+    // memo maps are empty AND the scratch dirs are gone from disk
+    graft.streaming.EventsStream.hourlyAvailableNow(spark, sf, "graft_engine_rel").frame.count()
+    val partRoot = PartitionedTables.eventsByDateRoot(spark, sf)
+    assert(graft.streaming.EventsStream.stagedCount > 0,
+      "fixture should have staged a streaming source copy")
+    assert(PartitionedTables.stagedCount > 0)
+    Engine.releaseCachedState(spark)
+    assert(graft.streaming.EventsStream.stagedCount == 0,
+      "staged streaming copies must be evicted on release")
+    assert(PartitionedTables.stagedCount == 0,
+      "staged partitioned copies must be evicted on release")
+    assert(!new java.io.File(partRoot).exists(),
+      "released scratch dir must be deleted from disk, not just forgotten")
+    // staging must transparently rebuild after a release
+    assert(graft.streaming.EventsStream.hourlyAvailableNow(spark, sf, "graft_engine_rel2")
+      .frame.count() > 0)
+  }
 }
