@@ -88,6 +88,14 @@ object EventsStream {
     ss.conf.set("spark.sql.shuffle.partitions", parts)
     ss.conf.set(ReplayFilesConf, spark.conf.get(ReplayFilesConf, "2"))
     ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Spark 4.1 writes a checksum sidecar for every checkpoint file through
+    // ChecksumCheckpointFileManager — each rename forks a subprocess on the
+    // local FS (RawLocalFileSystem readlink), a fixed ~ms tax per state
+    // partition per micro-batch. Replay checkpoints are transient by
+    // construction (fresh tmpfs dir, die with the JVM), so integrity
+    // sidecars buy nothing here; a 24/7 deployment checkpointing to durable
+    // storage should leave the default ON.
+    ss.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
     ss
   }
 
@@ -539,12 +547,19 @@ object EventsStream {
     val ss = streamSession(spark)
     val out = tempDir(s"${prefix}out_")
     val ckpt = tempDir(s"${prefix}ckpt_")
-    val views = readEventsStaged(ss, dir)
+    // ONE staged source, self-joined: both sides are filters of the same
+    // streaming relation, so the engine tracks (and lists/admits files for)
+    // a single source instead of two — one offset-log entry per batch, one
+    // maxFilesPerTrigger budget, same per-side watermarks. This is the
+    // standard streaming self-join shape; two independent readers would
+    // also each stage and list the directory separately.
+    val src = readEventsStaged(ss, dir)
+    val views = src
       .filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
         col("ts").as("v_ts"))
       .withWatermark("v_ts", "1 hour")
-    val purchases = readEventsStaged(ss, dir)
+    val purchases = src
       .filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
         col("ts").as("p_ts"))
