@@ -463,6 +463,12 @@ object SparkEntry {
     "m2_frame_sample" -> ((s, dir) =>
       graft.operators.Multimodal.frameSample(
         graft.operators.Multimodal.mediaFromDocuments(t(s, dir, "documents")))),
+    // Real JDK WAV codec round-trip (javax.sound.sampled): per-id square-wave
+    // fixtures have closed-form format + sample statistics, so the decode is
+    // value-gated like m1's PNG path.
+    "m3_wav_decode" -> ((s, dir) =>
+      graft.operators.Multimodal.wavFeatures(
+        graft.operators.Multimodal.mediaFromDocuments(t(s, dir, "documents")))),
     // ---- Similarity search over embeddings ----
     "k1_topk_cosine" -> ((s, dir) =>
       graft.operators.Similarity.topKCosine(
@@ -974,6 +980,18 @@ object SparkEntry {
         "CAST(i * 256 + 1 AS BIGINT) AS frame_offset, " +
         "md5(substr(text, i * 256 + 1, 256)) AS frame_md5 " +
         "FROM documents, unnest(generate_series(0, CAST(ceil(len(text) / 256.0) AS INT) - 1)) AS t(i)"),
+    // m3: the WAV fixture's format and square-wave statistics are pure
+    // functions of the id (every sample is ±A ⇒ mean|s| = peak = A); the
+    // oracle states what the JDK audio codec must recover.
+    "m3_wav_decode" ->
+      ("SELECT doc_id AS media_id, " +
+        "8000 + (doc_id % 8) * 1000 AS sample_rate, " +
+        "CAST(1 AS BIGINT) AS channels, " +
+        "CAST(16 AS BIGINT) AS bits_per_sample, " +
+        "64 + doc_id % 192 AS n_samples, " +
+        "1000 + doc_id % 9000 AS peak, " +
+        "(1000 + doc_id % 9000) * 1000 AS mean_abs_milli " +
+        "FROM documents"),
     "x1_text_stats" ->
       ("SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, " +
         "len(text) AS n_chars_actual, " +

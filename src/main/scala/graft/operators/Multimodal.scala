@@ -16,18 +16,32 @@ final case class DecodedImage(
     meanGMicro: Long,
     meanBMicro: Long)
 
+/** Audio-decode result of [[Multimodal.decodeWav]]: container format plus
+  * exact integer sample statistics (mean |sample| and peak in milli-units —
+  * integer math only, deterministic on every JVM).
+  */
+final case class DecodedAudio(
+    sampleRate: Long,
+    channels: Long,
+    bitsPerSample: Long,
+    nSamples: Long,
+    peak: Long,
+    meanAbsMilli: Long)
+
 /** Multimodal-column plumbing for the LLM-data pipeline (north-star
   * extension): media as opaque `binary` columns with typed metadata, REAL
-  * PNG decode (JDK `javax.imageio` — no external codec libs), plus
-  * deterministic feature-extraction / frame-sampling over them.
+  * image and audio decode (JDK `javax.imageio` + `javax.sound.sampled` —
+  * no external codec libs), plus deterministic feature-extraction /
+  * frame-sampling over them.
   *
-  * The decode slot is a per-row JVM codec UDF — the one place the escalation
-  * ladder ends at a UDF by design: codecs are opaque byte→raster library
-  * calls with nothing for Catalyst to codegen, and the row is already the
-  * right batch shape (at 100 TB each blob decodes where it lives, map-only;
-  * only fixed-width features cross a shuffle). Audio/video codecs aren't in
-  * the JDK; their rows flow through the same binary plumbing with the image
-  * path showing where a real codec slots in ([[decodeImage]]).
+  * The decode slots are per-row JVM codec UDFs — the one place the
+  * escalation ladder ends at a UDF by design: codecs are opaque
+  * byte→raster/sample library calls with nothing for Catalyst to codegen,
+  * and the row is already the right batch shape (at 100 TB each blob
+  * decodes where it lives, map-only; only fixed-width features cross a
+  * shuffle). Video codecs aren't in the JDK; those rows flow through the
+  * same binary plumbing with the image/audio paths showing where a codec
+  * slots in ([[decodeImage]], [[decodeWav]]).
   */
 object Multimodal {
 
@@ -116,6 +130,99 @@ object Multimodal {
           sr * 1000000L / n, sg * 1000000L / n, sb * 1000000L / n)
       }
     }
+
+  /** Deterministic WAV fixture bytes per media id, through the real JDK
+    * WAVE writer: PCM signed 16-bit little-endian mono, sample rate
+    * `8000 + (id%8)·1000`, `64 + id%192` samples of a ±A square wave with
+    * amplitude `A = 1000 + id%9000` and half-period `16 + id%16` samples.
+    * Every sample is ±A, so mean |sample| = peak = A exactly — the decoded
+    * statistics are closed-form in the id, value-oracle-gateable like the
+    * PNG fixture's.
+    */
+  val encodeWavFixture: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (id: Long) =>
+      val sampleRate = (8000 + (id % 8) * 1000).toInt
+      val n = (64 + (id % 192)).toInt
+      val amp = (1000 + (id % 9000)).toInt
+      val halfPeriod = (16 + (id % 16)).toInt
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val s = if ((i / halfPeriod) % 2 == 0) amp else -amp
+        pcm(i * 2) = (s & 0xff).toByte
+        pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        sampleRate.toFloat, 16, 1, 2, sampleRate.toFloat, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+  /** REAL audio decode over a binary WAV column (JDK AudioSystem): container
+    * format (rate/channels/bits/frames) plus exact integer sample stats.
+    * Returns null for bytes no installed reader accepts — the same
+    * quarantine contract as [[decodeImage]]. PCM 16-bit little-endian
+    * payloads only (the JDK WAVE reader's bread and butter); anything else
+    * the reader accepts but we can't do integer-exact stats on also
+    * quarantines as null rather than returning approximate numbers.
+    */
+  val decodeWav: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (bytes: Array[Byte]) =>
+      val ais =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => null
+          case _: java.io.IOException => null
+        }
+      if (ais == null) null
+      else {
+        val fmt = ais.getFormat
+        val ok = fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+          fmt.getChannels == 1
+        if (!ok) null
+        else {
+          val pcm = ais.readAllBytes()
+          val n = pcm.length / 2
+          var sumAbs = 0L
+          var peak = 0L
+          var i = 0
+          while (i < n) {
+            val s = ((pcm(i * 2) & 0xff) | (pcm(i * 2 + 1) << 8)).toShort.toLong
+            val a = math.abs(s)
+            sumAbs += a
+            if (a > peak) peak = a
+            i += 1
+          }
+          DecodedAudio(
+            fmt.getSampleRate.toLong, fmt.getChannels.toLong, 16L, n.toLong,
+            peak, if (n == 0) 0L else sumAbs * 1000L / n)
+        }
+      }
+    }
+
+  /** Per-media WAV features: the real JDK audio codec round-trip, gated on
+    * the closed-form fixture statistics ([[encodeWavFixture]]).
+    */
+  def wavFeatures(media: DataFrame): DataFrame =
+    media
+      .withColumn("decoded", decodeWav(encodeWavFixture(col("media_id"))))
+      .select(
+        col("media_id"),
+        col("decoded.sampleRate").as("sample_rate"),
+        col("decoded.channels").as("channels"),
+        col("decoded.bitsPerSample").as("bits_per_sample"),
+        col("decoded.nSamples").as("n_samples"),
+        col("decoded.peak").as("peak"),
+        col("decoded.meanAbsMilli").as("mean_abs_milli"))
 
   /** Per-media features: size, content hash, sniffed header bytes, chunk
     * count, a sampled mid-"frame" hash, and REAL decoded image properties

@@ -67,6 +67,43 @@ class MultimodalSpec extends SparkSpec {
     assert(bad.count() == 0, "decoded properties diverged from the encode-side formulas")
   }
 
+  test("WAV decode recovers the closed-form format and square-wave statistics") {
+    val decoded = Multimodal.wavFeatures(media)
+    assert(decoded.filter(col("sample_rate").isNull).count() == 0,
+      "every fixture WAV must decode")
+    val bad = decoded.filter(
+      col("sample_rate") =!= expr("8000 + (media_id % 8) * 1000") ||
+        col("channels") =!= 1 || col("bits_per_sample") =!= 16 ||
+        col("n_samples") =!= expr("64 + media_id % 192") ||
+        col("peak") =!= expr("1000 + media_id % 9000") ||
+        col("mean_abs_milli") =!= expr("(1000 + media_id % 9000) * 1000"))
+    assert(bad.count() == 0, "decoded audio stats diverged from the encode-side formulas")
+  }
+
+  test("WAV decode is a real codec: independently-built WAV parses, garbage quarantines") {
+    import spark.implicits._
+    // hand-build a 4-sample PCM16LE mono WAV at 8000 Hz, samples 100,-100,100,-100
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, false)
+    val pcm = Array[Short](100, -100, 100, -100)
+      .flatMap(s => Array((s & 0xff).toByte, ((s >> 8) & 0xff).toByte))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 4L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val rows = Seq(
+      (1L, bos.toByteArray),
+      (2L, Array.tabulate[Byte](64)(i => (i * 3).toByte)))
+      .toDF("id", "bytes")
+      .withColumn("decoded", Multimodal.decodeWav(col("bytes")))
+    val ok = rows.filter(col("id") === 1).select("decoded.*").head()
+    assert(ok.getLong(0) == 8000L && ok.getLong(1) == 1L && ok.getLong(2) == 16L)
+    assert(ok.getLong(3) == 4L && ok.getLong(4) == 100L && ok.getLong(5) == 100000L)
+    assert(rows.filter(col("id") === 2).select("decoded").head().isNullAt(0),
+      "non-audio bytes must decode to null")
+  }
+
   test("decode is a real codec: it reads an independently-built PNG, rejects garbage") {
     import spark.implicits._
     // PNG built directly here (not via encodePngFixture) — proves decodeImage
