@@ -192,6 +192,14 @@ object SparkEntry {
     // itself is oracle-gated (HLL never is; sketches are engine-private).
     "a18_kmv_distinct" -> ((s, dir) =>
       graft.operators.Analytics.kmvDistinctUsers(t(s, dir, "events"))),
+    // Ordered conversion funnel (view → click → purchase, strict event-time
+    // order): per-stage filter + per-user partial min BEFORE any shuffle —
+    // the fact table never shuffles whole.
+    "a19_funnel" -> ((s, dir) =>
+      graft.operators.Analytics.funnel(t(s, dir, "events"))
+        .selectExpr("user_id", "unix_micros(t_step1) AS t1_micros",
+          "unix_micros(t_step2) AS t2_micros",
+          "unix_micros(t_step3) AS t3_micros")),
     "a13_price_quantiles" -> ((s, dir) =>
       graft.operators.Analytics.priceQuantiles(t(s, dir, "orders"))),
     // Exact deterministic stratified sample (md5-order, per-stratum window).
@@ -317,6 +325,13 @@ object SparkEntry {
         .selectExpr("user_id", "view_id", "purchase_id",
           "unix_micros(v_ts) AS v_ts_micros",
           "unix_micros(p_ts) AS p_ts_micros")),
+    // Streaming keyed UPSERT sink (foreachBatch merge): the profile table
+    // after the replay equals "latest event per user" over the whole
+    // stream — CDC-style dimension maintenance, idempotent per batch.
+    "st8_upsert_sink" -> ((s, dir) =>
+      graft.streaming.EventsStream.upsertReplay(s, dir).frame
+        .selectExpr("user_id", "unix_micros(ts) AS ts_micros", "event_id",
+          "event_type", "value_milli")),
     // ---- Dedup suite (LLM-pipeline north star) over documents/embeddings ----
     "d1_exact_dedup" -> ((s, dir) =>
       graft.operators.Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
@@ -361,6 +376,19 @@ object SparkEntry {
       graft.operators.Dedup.incrementalFromIndex(
         s, d9IndexDir(s, dir),
         t(s, dir, "documents").filter(expr(d9DeltaPredicate)))),
+    // Cross-corpus paragraph dedup (CCNet-style line dedup). The synthetic
+    // docs are single-paragraph, so shared boilerplate paragraphs are
+    // appended first (replayed identically in the oracle): every 3rd doc a
+    // newsletter footer, every remaining 4th a rights notice — the repeats
+    // the operator exists to strip (first occurrence survives, all later
+    // ones drop; original body paragraphs are mostly unique and survive).
+    "d10_paragraph_dedup" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").withColumn("text", expr(
+        "CASE WHEN doc_id % 3 = 0 THEN concat(text, chr(10), chr(10), 'subscribe to our newsletter for updates') " +
+          "WHEN doc_id % 4 = 0 THEN concat(text, chr(10), chr(10), 'all rights reserved contact us for details') " +
+          "ELSE text END"))
+      graft.operators.Dedup.paragraphDedup(injected)
+    }),
     "d5_embedding_neardup" -> ((s, dir) =>
       graft.operators.Dedup.embeddingNearDup(
         graft.operators.Dedup.withPerturbedCopy(t(s, dir, "embeddings")))),
@@ -456,6 +484,10 @@ object SparkEntry {
           "' 00 11 22 33 44 55 66 77 88 99 00 11 22 33 44') ELSE text END"))
       graft.operators.TextAnalysis.gopherFilter(noisy)
     }),
+    // Per-domain document cap via the bounded graft_topk aggregate (no
+    // per-domain window sort — domain skew is the norm in web crawls).
+    "x15_domain_cap" -> ((s, dir) =>
+      graft.operators.TextAnalysis.domainCap(t(s, dir, "documents"))),
     // ---- Multimodal plumbing (binary columns; decode stubbed) ----
     "m1_media_features" -> ((s, dir) =>
       graft.operators.Multimodal.mediaFeatures(
@@ -527,6 +559,16 @@ object SparkEntry {
       val src = t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
       graft.sources.JsonIngest.writeJsonl(src, out)
       graft.sources.JsonIngest.readJsonl(s, out, src.schema)
+    }),
+    // S7 — ORC interchange roundtrip (columnar: pushdown reaches the stripe
+    // reader); the read-back goes through the footer-schema path, proving
+    // the sink wrote a self-describing container.
+    "s7_orc_roundtrip" -> ((s, dir) => {
+      val out = graft.core.TempDirs.create("graft_orc_rt") + "/customer"
+      val src = t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      graft.sources.OrcIngest.writeOrc(src, out)
+      graft.sources.OrcIngest.readOrcSelfDescribed(s, out)
     }),
     // S3+S4 — the import flow end-to-end: parquet → CSV → all-string read →
     // createIfNotExists + append (importInto) → scan the managed table.
@@ -625,6 +667,12 @@ object SparkEntry {
         "AND NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = v.user_id " +
         "AND p.p_ts >= v.v_ts AND p.p_ts <= v.v_ts + INTERVAL 1 HOUR)) " +
         "SELECT * FROM m UNION ALL SELECT * FROM u"),
+    // st8: the upserted profile table equals "latest event per user" over
+    // the whole stream (last-writer-wins on (ts, event_id)).
+    "st8_upsert_sink" ->
+      ("SELECT user_id, epoch_us(ts) AS ts_micros, event_id, event_type, " +
+        "CAST(round(value*1000) AS BIGINT) AS value_milli FROM events " +
+        "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1"),
     // Watermarked append-mode contract (pinned empirically + in
     // EventsStreamSpec): emitted = hourly windows whose END <= final
     // watermark = (max event ts, ms precision) - 1h delay. Same exact
@@ -656,6 +704,17 @@ object SparkEntry {
         "ELSE CAST(floor(31.0 * CAST(1152921504606846976 AS DOUBLE) / " +
         "CAST(('0x' || substring(hk, 1, 15))::BIGINT AS DOUBLE) * 1000.0) AS BIGINT) END AS est_milli " +
         "FROM t"),
+    // a19: strict ordering — each stage's first event must be strictly
+    // after the previous stage's; LEFT joins keep users who stall mid-funnel.
+    "a19_funnel" ->
+      ("WITH v AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1), " +
+        "c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v ON e.user_id = v.user_id " +
+        "WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1), " +
+        "p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c ON e.user_id = c.user_id " +
+        "WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1) " +
+        "SELECT v.user_id, epoch_us(v.t1) AS t1_micros, epoch_us(c.t2) AS t2_micros, " +
+        "epoch_us(p.t3) AS t3_micros " +
+        "FROM v LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON v.user_id = p.user_id"),
     "a13_price_quantiles" ->
       ("SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 4) AS p50, " +
         "round(quantile_cont(o_totalprice, 0.9), 4) AS p90, count(*) AS n " +
@@ -833,6 +892,24 @@ object SparkEntry {
         "SELECT a_id, b_id, round(i * 1.0 / u, 6) AS jaccard FROM p " +
         "WHERE i * 1.0 / u >= 0.6 " +
         "AND (a_id IN (SELECT doc_id FROM d) OR b_id IN (SELECT doc_id FROM d))"),
+    // d10: globally-first paragraph occurrence survives, ordered by the
+    // packed (doc_id, position) ordinal; docs re-assembled from survivors
+    // in position order (empty string when everything was boilerplate).
+    "d10_paragraph_dedup" ->
+      ("WITH injected AS (SELECT doc_id, " +
+        "CASE WHEN doc_id % 3 = 0 THEN text || chr(10) || chr(10) || 'subscribe to our newsletter for updates' " +
+        "WHEN doc_id % 4 = 0 THEN text || chr(10) || chr(10) || 'all rights reserved contact us for details' " +
+        "ELSE text END AS text FROM documents), " +
+        "paras AS (SELECT doc_id, generate_subscripts(parts, 1) - 1 AS pos, unnest(parts) AS para " +
+        "FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS parts FROM injected)), " +
+        "keyed AS (SELECT doc_id, pos, para, md5(para) AS h, " +
+        "doc_id * 1048576 + pos AS ord FROM paras), " +
+        "winners AS (SELECT h, min(ord) AS w_ord FROM keyed GROUP BY h) " +
+        "SELECT k.doc_id, count(*) AS n_paras, " +
+        "CAST(sum(CASE WHEN k.ord = w.w_ord THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+        "md5(coalesce(string_agg(k.para, chr(10) || chr(10) ORDER BY k.pos) " +
+        "FILTER (WHERE k.ord = w.w_ord), '')) AS cleaned_md5 " +
+        "FROM keyed k JOIN winners w ON k.h = w.h GROUP BY k.doc_id"),
     "d3_simhash" ->
       ("WITH w AS (SELECT DISTINCT doc_id, w FROM (" +
         "SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)), " +
@@ -1120,6 +1197,12 @@ object SparkEntry {
         "CAST(n_stopword_kinds >= 2 AS INT) AS f_stopwords FROM r) " +
         "SELECT *, CAST(f_word_count + f_word_len + f_symbols + f_alpha " +
         "+ f_stopwords = 5 AS INT) AS keep FROM f"),
+    // x15: first `cap` docs per source by id — a web-crawl domain cap.
+    "x15_domain_cap" ->
+      ("SELECT doc_id, source, lang, n_chars FROM (" +
+        "SELECT doc_id, source, lang, n_chars, " +
+        "row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn " +
+        "FROM documents) WHERE rn <= 15"),
     "k1_topk_cosine" ->
       ("WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
         "FROM embeddings), " +
@@ -1236,6 +1319,10 @@ object SparkEntry {
         "CAST(n_regionkey AS VARCHAR) AS n_regionkey FROM nation"),
     // Typed JSONL round-trip is lossless for (bigint, varchar, bigint).
     "s6_jsonl_roundtrip" ->
-      "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    // s7: the ORC roundtrip must reproduce the source rows bit-for-bit
+    // (doubles roundtrip exactly through the binary container).
+    "s7_orc_roundtrip" ->
+      "SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer"
   )
 }

@@ -291,4 +291,40 @@ object Analytics {
       get_json_object(col("props"), "$.k").cast("long").as("k"),
       (get_json_object(col("props"), "$.k").cast("long") >= 50).cast("int")
         .as("k_high"))
+
+  /** Ordered event funnel (product analytics): for each user, the time of
+    * the FIRST step-1 event, the first step-2 event STRICTLY AFTER it, and
+    * the first step-3 event strictly after that — the standard "view →
+    * click → purchase within a session" conversion measure, with strict
+    * event-time ordering (a purchase before the first view does not count).
+    *
+    * Shape at 100 TB: each stage filters the fact table to ONE event type
+    * before anything shuffles (the filter + partial min reach the scan), so
+    * the per-stage shuffle carries one (user, min-ts) pair per user, not
+    * events. The stage joins are equi-joins on the user id between those
+    * per-user aggregates and the next type-slice; every successive stage's
+    * build side shrinks (users who reached step k), which is exactly the
+    * funnel's own selectivity working for the plan. No windows, no
+    * collect-events-per-user arrays — a power user with 10^8 events costs
+    * the same as anyone else.
+    */
+  def funnel(
+      events: DataFrame,
+      steps: Seq[String] = Seq("view", "click", "purchase"),
+      tsCol: String = "ts",
+      userCol: String = "user_id",
+      typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnel requires at least one step")
+    val firstStep = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t_step1"))
+    val reached = steps.zipWithIndex.drop(1).foldLeft(firstStep) {
+      case (prev, (step, i)) =>
+        val nextFirst = events.filter(col(typeCol) === step)
+          .join(prev.select(col(userCol), col(s"t_step$i")), userCol)
+          .filter(col(tsCol) > col(s"t_step$i"))
+          .groupBy(col(userCol)).agg(min(col(tsCol)).as(s"t_step${i + 1}"))
+        prev.join(nextFirst, Seq(userCol), "left")
+    }
+    reached
+  }
 }

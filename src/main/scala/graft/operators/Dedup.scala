@@ -646,4 +646,54 @@ object Dedup {
         .as("vec"))
     base.unionByName(pert)
   }
+
+  /** Cross-corpus paragraph-level dedup (CCNet/RefinedWeb-style line dedup):
+    * a paragraph occurrence survives iff it is the globally FIRST occurrence
+    * of that exact paragraph text, ordered by (doc id, position); every
+    * later repeat — boilerplate headers, navigation chrome, repeated quotes
+    * — is dropped, and each document is re-assembled from its surviving
+    * paragraphs in original order.
+    *
+    * Shape at 100 TB: one explode (map-only), one groupBy on the paragraph
+    * hash (the only shuffle that carries paragraph text is this partial-agg
+    * min — and it aggregates the PACKED ORDINAL, an 8-byte long, per hash),
+    * one equi-join back on the hash, one groupBy on the doc id to
+    * re-assemble. Never all-pairs; hot paragraphs (the whole point — a
+    * footer repeated a billion times) collapse map-side in the partial min
+    * before they shuffle.
+    *
+    * The occurrence ordinal is packed as `doc_id * 2^20 + position` so the
+    * global-first rule is a single integer `min` (exact i64 math in any
+    * engine; positions are capped at 2^20 paragraphs per document and ids
+    * must stay under 2^43 — both far beyond real corpora).
+    *
+    * Output per input document: `n_paras`, `n_kept`, and `cleaned_md5` (md5
+    * of the re-joined surviving text; "" when everything was boilerplate —
+    * the md5 keeps the gated frame slim while still pinning every byte).
+    */
+  def paragraphDedup(
+      docs: DataFrame,
+      sep: String = "\n\n",
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val paras = docs.select(
+      col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "para")))
+      .withColumn("h", md5(col("para")))
+      .withColumn("ord", col(idCol) * lit(1L << 20) + col("pos"))
+    val winners = paras.groupBy("h").agg(min("ord").as("w_ord"))
+    paras
+      .join(winners, "h")
+      .withColumn("keep", col("ord") === col("w_ord"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(col("keep"), struct(col("pos"), col("para"))))),
+            e => e.getField("para")),
+          sep)).as("cleaned_md5"))
+  }
 }

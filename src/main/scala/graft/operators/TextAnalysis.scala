@@ -369,4 +369,32 @@ object TextAnalysis {
       .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .withColumn("bin_id", expr(s"start_offset div $budget"))
   }
+
+  /** Per-domain document cap (web-crawl curation): keep at most `cap`
+    * documents per source/domain, preferring the smallest ids (first
+    * crawled). A boilerplate-heavy domain must not dominate the training
+    * mixture, so this runs right after dedup in crawl pipelines.
+    *
+    * Ranking reuses the bounded [[graft.functions.TopKByScore]] aggregate
+    * (score = −id, so "best" = smallest id): map-side partial ≤cap heaps
+    * combine per (partition, domain), the shuffle carries one ≤cap buffer
+    * per domain, and no task ever sorts a whole domain — the same shape
+    * that fixed k1's scale flag, applied to the curation axis where domain
+    * skew (one domain = half the crawl) is the norm, not the exception.
+    * The join back to the full rows is a plain equi-join on the id — at
+    * scale the capped side is |domains|·cap rows, broadcastable.
+    */
+  def domainCap(
+      docs: DataFrame,
+      cap: Int = 15,
+      domainCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val kept = docs
+      .groupBy(col(domainCol))
+      .agg(expr(s"graft_topk(CAST(-$idCol AS DOUBLE), $idCol, $cap)").as("tk"))
+      .select(col(domainCol), explode(col("tk.id")).as(idCol))
+    kept.join(docs.select(col(idCol), col("lang"), col("n_chars")), idCol)
+      .select(col(idCol), col(domainCol), col("lang"), col("n_chars"))
+  }
 }

@@ -160,4 +160,28 @@ class AnalyticsSpec extends SparkSpec {
       (col("k") >= 50 && col("k_high") =!= 1) ||
       (col("k") < 50 && col("k_high") =!= 0)).count() == 0)
   }
+
+  test("funnel: strict event-time ordering per stage, stalls keep nulls") {
+    import spark.implicits._
+    val ts = (s: Long) => new java.sql.Timestamp(s * 1000)
+    val ev = Seq(
+      // user 1 converts fully in order
+      (1L, ts(10), "view"), (1L, ts(20), "click"), (1L, ts(30), "purchase"),
+      // user 2: purchase BEFORE the first view-then-click chain -> no step3
+      (2L, ts(10), "purchase"), (2L, ts(20), "view"), (2L, ts(30), "click"),
+      // user 3: click at the SAME instant as first view (not strictly after)
+      (3L, ts(10), "view"), (3L, ts(10), "click"),
+      // user 4: never views -> absent from the funnel
+      (4L, ts(10), "click"), (4L, ts(20), "purchase"),
+      // user 5: second click is the one after the view
+      (5L, ts(5), "click"), (5L, ts(10), "view"), (5L, ts(15), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Analytics.funnel(ev).collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 5L))
+    assert(out(1L) == ((Some(ts(10)), Some(ts(20)), Some(ts(30)))))
+    assert(out(2L) == ((Some(ts(20)), Some(ts(30)), None)))
+    assert(out(3L) == ((Some(ts(10)), None, None)))
+    assert(out(5L) == ((Some(ts(10)), Some(ts(15)), None)))
+  }
 }

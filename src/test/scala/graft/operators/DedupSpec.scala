@@ -206,4 +206,29 @@ class DedupSpec extends SparkSpec {
     val minCos = out.agg(min("cosine")).head().getDouble(0)
     assert(minCos >= 0.999, s"planted pair cosine unexpectedly low: $minCos")
   }
+
+  test("paragraphDedup: first occurrence survives, later repeats drop, reassembly ordered") {
+    import spark.implicits._
+    val sep = "\n\n"
+    val fixture = Seq(
+      (1L, s"alpha body one${sep}shared footer"),
+      (2L, s"beta body two${sep}shared footer${sep}beta tail"),
+      (3L, s"shared footer"), // all boilerplate once deduped
+      (4L, s"gamma body${sep}gamma body") // intra-doc repeat: second drops
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(fixture).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    def md5(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    // doc 1 owns the first "shared footer" -> keeps both paragraphs
+    assert(out(1L) == ((2L, 2L, md5(s"alpha body one${sep}shared footer"))))
+    // doc 2 loses only the footer, keeps order body->tail
+    assert(out(2L) == ((3L, 2L, md5(s"beta body two${sep}beta tail"))))
+    // doc 3 is pure boilerplate -> empty reassembly ("" not null)
+    assert(out(3L) == ((1L, 0L, md5(""))))
+    // intra-document repeat also deduped (position ordinal breaks the tie)
+    assert(out(4L) == ((2L, 1L, md5("gamma body"))))
+  }
 }

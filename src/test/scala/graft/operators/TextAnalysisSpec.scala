@@ -228,4 +228,21 @@ class TextAnalysisSpec extends SparkSpec {
       expr("tf * 1000000L div df")).count()
     assert(bad == 0)
   }
+
+  test("domainCap: at most cap docs per domain, smallest ids, no window in the plan") {
+    val docs = Tables.load(spark, sf, "documents")
+    val out = TextAnalysis.domainCap(docs, cap = 3)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"domain cap must not rank via a window sort:\n$plan")
+    val kept = out.collect().map(r => (r.getString(1), r.getLong(0)))
+    kept.groupBy(_._1).foreach { case (srcName, rows) =>
+      assert(rows.length <= 3, s"$srcName over cap")
+    }
+    // per domain the kept set is exactly the 3 smallest ids
+    val want = docs.collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.take(3).toSet).toMap
+    kept.groupBy(_._1).foreach { case (srcName, rows) =>
+      assert(rows.map(_._2).toSet == want(srcName), s"$srcName kept wrong ids")
+    }
+  }
 }

@@ -339,4 +339,21 @@ class EventsStreamSpec extends SparkSpec {
       spark.catalog.dropTempView("graft_wm_sink")
     }
   }
+
+  test("upsertReplay: profile table equals latest-event-per-user, across >=2 batches") {
+    val r = EventsStream.upsertReplay(spark, sf, "graft_spec_upsert")
+    assert(r.batches >= 2,
+      s"staged replay must run multiple micro-batches, got ${r.batches}")
+    val ev = Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "ts", "event_id", "event_type",
+        "CAST(round(value * 1000) AS BIGINT) AS value_milli")
+    val want = ev
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("__rn") === 1).drop("__rn")
+    val got = r.frame
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
 }
