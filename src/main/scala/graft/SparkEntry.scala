@@ -570,6 +570,22 @@ object SparkEntry {
       graft.sources.OrcIngest.writeOrc(src, out)
       graft.sources.OrcIngest.readOrcSelfDescribed(s, out)
     }),
+    // S8 — schema evolution across ingest batches: an early batch (key,
+    // name) and a later batch (key, regionkey) of one logical table read as
+    // ONE frame via mergeSchema; absent columns null-fill per batch. The
+    // 100 TB reality this models: a table's schema changes mid-history and
+    // re-writing old batches is off the table — the reader, not a backfill,
+    // reconciles. (mergeSchema is an explicit opt-in: it footer-reads every
+    // batch, so steady-state reads pass the reconciled schema instead.)
+    "s8_schema_evolution" -> ((s, dir) => {
+      val root = graft.core.TempDirs.create("graft_schema_evo")
+      val src = t(s, dir, "nation")
+      src.select("n_nationkey", "n_name")
+        .write.mode("overwrite").parquet(s"$root/b1")
+      src.select((col("n_nationkey") + 100).as("n_nationkey"), col("n_regionkey"))
+        .write.mode("overwrite").parquet(s"$root/b2")
+      s.read.option("mergeSchema", "true").parquet(s"$root/b1", s"$root/b2")
+    }),
     // S3+S4 — the import flow end-to-end: parquet → CSV → all-string read →
     // createIfNotExists + append (importInto) → scan the managed table.
     "s3_import_roundtrip" -> ((s, dir) => {
@@ -1323,6 +1339,12 @@ object SparkEntry {
     // s7: the ORC roundtrip must reproduce the source rows bit-for-bit
     // (doubles roundtrip exactly through the binary container).
     "s7_orc_roundtrip" ->
-      "SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer"
+      "SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer",
+    // s8: the merged read equals the union of both batch projections with
+    // per-batch null fill.
+    "s8_schema_evolution" ->
+      ("SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey FROM nation " +
+        "UNION ALL SELECT n_nationkey + 100 AS n_nationkey, " +
+        "CAST(NULL AS VARCHAR) AS n_name, n_regionkey FROM nation")
   )
 }

@@ -33,12 +33,19 @@ object PartitionedTables {
   def eventsByDateRoot(spark: SparkSession, dir: String): String =
     staged.computeIfAbsent(dir, _ => {
       val out = TempDirs.create("graft_part_events_")
-      Tables.load(spark, dir, "events")
-        .withColumn("event_date", to_date(col("ts")))
-        .repartition(col("event_date"))
-        .write.partitionBy("event_date").mode("overwrite").parquet(out)
+      writePartitioned(spark, dir, out)
       out
     })
+
+  /** Write the date-partitioned copy of `dir`/events.parquet under `out`
+    * (the memoized staging above, exposed so callers — and the retention
+    * spec — can build a private, mutable copy).
+    */
+  def writePartitioned(spark: SparkSession, dir: String, out: String): Unit =
+    Tables.load(spark, dir, "events")
+      .withColumn("event_date", to_date(col("ts")))
+      .repartition(col("event_date"))
+      .write.partitionBy("event_date").mode("overwrite").parquet(out)
 
   /** Number of staged partitioned copies currently memoized (diagnostic —
     * Engine release hooks are pinned empty by EngineSpec).
@@ -68,6 +75,35 @@ object PartitionedTables {
     * pruning), and the aggregate is one partial-then-final shuffle keyed by
     * (event_date, event_type).
     */
+  /** TTL retention over a date-partitioned root: drop every
+    * `event_date=<d>` partition with `d` strictly before `cutoff`
+    * (ISO date). Returns the number of partitions dropped.
+    *
+    * This is the 100 TB retention shape: deleting expired data is a
+    * DIRECTORY operation — O(partitions) metadata work, zero data read or
+    * rewritten — which is the entire argument for partitioning by the
+    * retention axis. A delete expressed as `WHERE ts >= cutoff` over a flat
+    * layout would rewrite the surviving 100 TB to drop a day.
+    *
+    * Only direct children matching the `event_date=` partition pattern with
+    * a parseable date are candidates; anything else (data files, `_SUCCESS`,
+    * malformed names) is left untouched.
+    */
+  def dropPartitionsBefore(root: String, cutoff: String): Int = {
+    val cut = java.time.LocalDate.parse(cutoff)
+    val children = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+    val expired = children.filter { f =>
+      f.isDirectory && f.getName.startsWith("event_date=") &&
+        (try {
+          java.time.LocalDate
+            .parse(f.getName.stripPrefix("event_date=")).isBefore(cut)
+        } catch { case _: java.time.format.DateTimeParseException => false })
+    }
+    expired.foreach(f => TempDirs.drop(f.toString))
+    expired.length
+  }
+
   def dailyRollup(
       spark: SparkSession,
       dir: String,

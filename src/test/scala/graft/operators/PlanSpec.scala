@@ -4,6 +4,7 @@ import graft.SparkSpec
 import graft.SparkEntry
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions.{col, lit, when}
 
 /** Plan-invariant regression tests: the physical shapes the per-round plan
   * audits verified by hand, pinned so a future change that silently
@@ -97,5 +98,64 @@ class PlanSpec extends SparkSpec {
     val p = plan("d9_incremental_dedup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"non-equi join in the incremental dedup plan:\n$p")
+  }
+
+  test("d10 paragraph dedup: equi-joins only, ranking is aggregate min — no window") {
+    val p = plan("d10_paragraph_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in the paragraph dedup plan:\n$p")
+    assert(!p.contains("Window"),
+      s"first-occurrence rule regressed to a window rank:\n$p")
+  }
+
+  test("a19 funnel: per-user mins via aggregates and equi-joins — no window, no cartesian") {
+    val p = plan("a19_funnel")
+    assert(!p.contains("Window"), s"funnel stage ranked via a window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in the funnel plan:\n$p")
+    // stage filters reach the scans: each stage reads one event type
+    val f = formatted(SparkEntry.queries("a19_funnel")(spark, sf))
+    assert(f.contains("EqualTo(event_type,view)"),
+      s"type-slice filter not pushed to the events scan:\n$f")
+  }
+
+  test("AQE splits a skewed sort-merge join (skew=true in the final plan)") {
+    val s = spark
+    import s.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // tiny thresholds so the fixture's hot key counts as skewed
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // one hot key (80% of rows) + a spread tail, joined to a small dim
+      val fact = spark.range(0, 100000)
+        .select(when(col("id") % 5 =!= 0, lit(0L)).otherwise(col("id") % 97).as("k"),
+          col("id").as("payload"))
+      val dim = spark.range(0, 97).select(col("id").as("k"), (col("id") * 2).as("v"))
+      val joined = fact.join(dim, "k")
+      // AQE decides at runtime: run THIS frame's own QueryExecution
+      // (count()/write wrap it in a fresh one and would leave joined's
+      // adaptive plan unexecuted), then read the final plan
+      joined.collect()
+      val finalPlan = joined.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+        case p => p.toString
+      }
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$finalPlan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
   }
 }
