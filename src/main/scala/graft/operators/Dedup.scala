@@ -249,6 +249,28 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$path/bands")
   }
 
+  /** Absorb a delta into a STORED index ([[writeIndex]]) by APPENDING its
+    * shingle sets and band keys — the end-of-day step of the daily dedup
+    * loop. With it, every day is O(delta): dedup the delta against the
+    * index ([[incrementalFromIndex]]), then append the delta's own
+    * relations; the corpus text is never re-read on any day after day one.
+    * Parquet append is file-level, so the write is O(delta) too.
+    */
+  def appendToIndex(
+      index: String,
+      delta: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleWords: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16): Unit = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val sets = shingleSets(delta, textCol, idCol, shingleWords)
+    sets.select("id", "sh").write.mode("append").parquet(s"$index/sets")
+    bandedKeys(sets, numHashes, bands)
+      .write.mode("append").parquet(s"$index/bands")
+  }
+
   /** Incremental near-dedup against a STORED index ([[writeIndex]]): the
     * corpus side is read back as (band keys, shingle sets) parquet — the
     * corpus text is never touched, so a daily run's cost is delta shingling

@@ -689,22 +689,31 @@ object EventsStream {
     * it already produced, which is what makes foreachBatch's at-least-once
     * contract exactly-once here.
     *
-    * State versions are whole-table parquet rewrites (`v{batchId}`, latest
-    * pointer advanced after the write lands — the swap, not the write, is
-    * the commit). A 100 TB deployment points this same foreachBatch body at
-    * a merge-capable table format (MERGE INTO on the key), turning the
-    * per-batch cost from O(state) rewrite into O(batch) row-level merge;
-    * the streaming topology — batch-local collapse, keyed merge, commit by
-    * pointer swap — is identical, which is what this replay pins.
+    * The state is HASH-BUCKETED on the key (`bucket=` partition dirs) and
+    * each batch rewrites ONLY the buckets its keys touch, via dynamic
+    * partition overwrite: per-batch cost is O(touched buckets), not
+    * O(state) — with real CDC key locality most buckets sit untouched most
+    * batches. The merged buckets are eagerly localCheckpoint-ed before the
+    * write (the overwrite reads the same directories it replaces; severing
+    * lineage is what makes the in-place rewrite legal). The per-bucket
+    * directory swap is not atomic ACROSS buckets — a mid-write crash can
+    * leave buckets at mixed batch versions, healed by the at-least-once
+    * replay of the batch; a 100 TB deployment gets cross-bucket atomicity
+    * by pointing this same body at a merge-capable table format (MERGE
+    * INTO on the key), keeping the topology — batch-local collapse, keyed
+    * merge, bounded rewrite — identical.
     */
   def upsertReplay(
       spark: SparkSession,
       dir: String,
-      queryName: String = "graft_events_upsert_stream"): Replayed = {
+      queryName: String = "graft_events_upsert_stream",
+      nBuckets: Int = 8): Replayed = {
     val ss = streamSession(spark)
-    val root = tempDir("graft_stream_upsert_state_")
+    ss.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val state = tempDir("graft_stream_upsert_state_") + "/profile"
     val ckpt = tempDir("graft_stream_upsert_ckpt_")
-    @volatile var latest: Option[String] = None
+    def readState(s: SparkSession): Option[DataFrame] =
+      if (new java.io.File(state).exists()) Some(s.read.parquet(state)) else None
     val q = readEventsStaged(ss, dir)
       .selectExpr("user_id", "ts", "event_id", "event_type",
         "CAST(round(value * 1000) AS BIGINT) AS value_milli")
@@ -713,22 +722,27 @@ object EventsStream {
       .option("checkpointLocation", ckpt)
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, id: Long) =>
+      .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
-        val prev = latest match {
-          case Some(p) => s.read.schema(profileSchema).parquet(p)
-          case None => s.createDataFrame(
-            s.sparkContext.emptyRDD[org.apache.spark.sql.Row], profileSchema)
+        val batchLast = lastPerUser(batch)
+          .withColumn("bucket", pmod(col("user_id"), lit(nBuckets)).cast("int"))
+        val touched = batchLast.select("bucket").distinct()
+          .collect().map(_.getInt(0)) // bounded by nBuckets
+        val prev = readState(s) match {
+          case Some(st) => st.filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+          case None => batchLast.limit(0)
         }
-        val next = s"$root/v$id"
-        lastPerUser(prev.unionByName(lastPerUser(batch)))
-          .write.mode("overwrite").parquet(next)
-        latest = Some(next)
+        val merged = lastPerUser(
+          prev.select(profileSchema.fieldNames.map(col): _*)
+            .unionByName(batchLast.select(profileSchema.fieldNames.map(col): _*)))
+          .withColumn("bucket", pmod(col("user_id"), lit(nBuckets)).cast("int"))
+          .localCheckpoint(true)
+        merged.write.partitionBy("bucket").mode("overwrite").parquet(state)
       }
       .start()
     q.awaitTermination()
-    val frame = latest match {
-      case Some(p) => spark.read.schema(profileSchema).parquet(p)
+    val frame = readState(spark) match {
+      case Some(st) => st.select(profileSchema.fieldNames.map(col): _*)
       case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], profileSchema)
     }

@@ -66,6 +66,22 @@ class DedupSpec extends SparkSpec {
       "stored-index run diverged from the inline incremental run")
   }
 
+  test("appendToIndex: day-2 runs against the appended index equal a full rebuild") {
+    val day0 = col("doc_id") % 3 === 0
+    val day1 = col("doc_id") % 3 === 1
+    val day2 = col("doc_id") % 3 === 2
+    val appended = tmpDir("d9_append")
+    Dedup.writeIndex(docs.filter(day0), appended)
+    Dedup.appendToIndex(appended, docs.filter(day1)) // end of day 1: O(delta)
+    val rebuilt = tmpDir("d9_rebuild")
+    Dedup.writeIndex(docs.filter(day0 || day1), rebuilt) // O(corpus) alternative
+    val viaAppend = Dedup.incrementalFromIndex(spark, appended, docs.filter(day2))
+    val viaRebuild = Dedup.incrementalFromIndex(spark, rebuilt, docs.filter(day2))
+    assert(viaAppend.count() > 0, "fixture should have day-2-touching pairs")
+    assert(viaAppend.exceptAll(viaRebuild).isEmpty && viaRebuild.exceptAll(viaAppend).isEmpty,
+      "appended index diverged from a full index rebuild")
+  }
+
   test("delta run against the stored index never re-reads corpus text") {
     import spark.implicits._
     val path = tmpDir("d9_index_scan")
