@@ -400,46 +400,46 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id",
       maxHamming: Int = 4,
-      bands: Int = 5,
-      verifyBroadcast: Option[Boolean] = None): DataFrame = {
+      bands: Int = 5): DataFrame = {
     require(bands > maxHamming, "pigeonhole completeness needs bands > maxHamming")
+    // single downstream consumer since the verify was fused into the band
+    // join — no persist: the fingerprint pass streams straight into banding
     val fp = simHash(docs, textCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val width = (64 + bands - 1) / bands
     val bandCols = (0 until bands).map { j =>
       val start = j * width + 1
       val len = math.min(width, 64 - j * width)
       struct(lit(j).as("band"), expr(s"substring(simhash, $start, $len)").as("key"))
     }
+    // The whole verify payload is the fingerprint itself — 4×16-bit words,
+    // 32 bytes — so it RIDES the banded rows instead of joining back after
+    // candidate generation: hamming = Σ bit_count(xor) evaluates inline in
+    // the band self-join's codegen, the ≤maxHamming filter runs BEFORE the
+    // pair distinct (fewer rows deduped), and the two post-hoc verify joins
+    // of the unfused form (and their broadcast-vs-shuffle gate) disappear
+    // entirely. This is the special case of the verify-gate design where
+    // the verification payload is O(1) per row — d2/d4 carry whole shingle
+    // sets and still need [[resolveVerifyBroadcast]].
     val banded = fp
-      .select(col("doc_id").as("id"), explode(array(bandCols: _*)).as("b"))
-      .select(col("id"), col("b.band").as("band"), col("b.key").as("key"))
-    val cand = banded.as("x")
+      .select(
+        col("doc_id").as("id") +:
+          (0 until 4).map(j =>
+            expr(s"CAST(conv(substring(simhash, ${j * 16 + 1}, 16), 2, 10) AS BIGINT)")
+              .as(s"w$j")) :+
+          explode(array(bandCols: _*)).as("b"): _*)
+      .select(col("id"), col("b.band").as("band"), col("b.key").as("key"),
+        col("w0"), col("w1"), col("w2"), col("w3"))
+    val hammingExpr = (0 until 4)
+      .map(j => s"bit_count(x.w$j ^ y.w$j)").mkString("CAST(", " + ", " AS BIGINT)")
+    banded.as("x")
       .join(
         banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
-      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
-      .distinct()
-    // verify on 4x16-bit words: hamming = Σ bit_count(xor) — codegen'd
-    // integer ops instead of 64 interpreted per-character lambda calls
-    val words = fp.select(
-      col("doc_id") +:
-        (0 until 4).map(j =>
-          expr(s"CAST(conv(substring(simhash, ${j * 16 + 1}, 16), 2, 10) AS BIGINT)").as(s"w$j")): _*)
-    val hammingExpr = (0 until 4)
-      .map(j => s"bit_count(a$j ^ b$j)").mkString("CAST(", " + ", " AS BIGINT)")
-    val doBroadcast = resolveVerifyBroadcast(fp, verifyBroadcast)
-    cand
-      .join(maybeBroadcast(words.select(
-        col("doc_id").as("a_id") +: (0 until 4).map(j => col(s"w$j").as(s"a$j")): _*),
-        doBroadcast), "a_id")
-      .join(maybeBroadcast(words.select(
-        col("doc_id").as("b_id") +: (0 until 4).map(j => col(s"w$j").as(s"b$j")): _*),
-        doBroadcast), "b_id")
       .withColumn("hamming", expr(hammingExpr))
       .filter(col("hamming") <= maxHamming)
-      .select(col("a_id"), col("b_id"), col("hamming"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"), col("hamming"))
+      .distinct()
   }
 
   /** Character-n-gram Jaccard near-dup within explicit blocks (e.g. same

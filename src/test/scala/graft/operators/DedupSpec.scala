@@ -175,10 +175,13 @@ class DedupSpec extends SparkSpec {
   }
 
   test("verify-join gate: shuffle path (no broadcast) is result-identical for d2/d4/d6") {
+    // d6 has no verify join (the 32-byte fingerprint rides the band rows),
+    // but its band self-join still flips broadcast↔shuffle with the conf —
+    // covered by running it under both modes parameter-free
     def run(b: Option[Boolean]): (Set[String], Set[String], Set[String]) = (
       Dedup.minHashNearDup(docs, verifyBroadcast = b).collect().map(_.toString).toSet,
       Dedup.blockedNgramJaccard(docs, verifyBroadcast = b).collect().map(_.toString).toSet,
-      Dedup.simHashNearDup(docs, verifyBroadcast = b).collect().map(_.toString).toSet)
+      Dedup.simHashNearDup(docs).collect().map(_.toString).toSet)
     val broadcastPath = run(Some(true))
     // force TRUE shuffle joins: param off AND Catalyst auto-broadcast
     // disabled (at test scale the size estimator would otherwise still
