@@ -396,6 +396,27 @@ object SparkEntry {
     // winnowing fingerprint with any train-split document (eval-leakage
     // detection — x11's split composed with x7's fingerprints; one shuffle
     // equi-join on the high-cardinality fingerprint).
+    // Crawl-curation pipeline composed end-to-end: per-domain cap →
+    // cross-corpus paragraph dedup over the capped subset → per
+    // (source, lang) curation summary (docs kept, paragraphs kept/dropped,
+    // boilerplate-free docs). Each stage is an already-gated operator (x15,
+    // d10); the composition is what a crawl-ingest job actually runs.
+    "p3_crawl_curation" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").withColumn("text", expr(
+        "CASE WHEN doc_id % 3 = 0 THEN concat(text, chr(10), chr(10), 'subscribe to our newsletter for updates') " +
+          "WHEN doc_id % 4 = 0 THEN concat(text, chr(10), chr(10), 'all rights reserved contact us for details') " +
+          "ELSE text END"))
+      val capped = injected.join(
+        graft.operators.TextAnalysis.domainCap(injected).select("doc_id"), "doc_id")
+      graft.operators.Dedup.paragraphDedup(capped)
+        .join(capped.select("doc_id", "source", "lang"), "doc_id")
+        .groupBy("source", "lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_paras")).as("n_paras"),
+          sum(col("n_kept")).as("n_kept"),
+          sum((col("n_kept") === col("n_paras")).cast("long")).as("n_clean_docs"))
+    }),
     "p2_contamination" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       // localCheckpoint: the frame is read twice (test side + train side),
@@ -488,7 +509,7 @@ object SparkEntry {
     // per-domain window sort — domain skew is the norm in web crawls).
     "x15_domain_cap" -> ((s, dir) =>
       graft.operators.TextAnalysis.domainCap(t(s, dir, "documents"))),
-    // ---- Multimodal plumbing (binary columns; decode stubbed) ----
+    // ---- Multimodal (binary media columns; real JDK PNG + WAV decode) ----
     "m1_media_features" -> ((s, dir) =>
       graft.operators.Multimodal.mediaFeatures(
         graft.operators.Multimodal.mediaFromDocuments(t(s, dir, "documents")))),
@@ -988,6 +1009,27 @@ object SparkEntry {
         "surv AS (SELECT id FROM reach GROUP BY id HAVING id = min(r)) " +
         "SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d " +
         "JOIN surv ON d.doc_id = surv.id"),
+    // p3: x15's window cap + d10's winner CTE composed, summarized per
+    // (source, lang).
+    "p3_crawl_curation" ->
+      ("WITH injected AS (SELECT doc_id, source, lang, " +
+        "CASE WHEN doc_id % 3 = 0 THEN text || chr(10) || chr(10) || 'subscribe to our newsletter for updates' " +
+        "WHEN doc_id % 4 = 0 THEN text || chr(10) || chr(10) || 'all rights reserved contact us for details' " +
+        "ELSE text END AS text FROM documents), " +
+        "capped AS (SELECT doc_id, source, lang, text FROM (" +
+        "SELECT i.*, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM injected i) WHERE rn <= 15), " +
+        "paras AS (SELECT doc_id, generate_subscripts(parts, 1) - 1 AS pos, unnest(parts) AS para " +
+        "FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS parts FROM capped)), " +
+        "keyed AS (SELECT doc_id, pos, md5(para) AS h, doc_id * 1048576 + pos AS ord FROM paras), " +
+        "winners AS (SELECT h, min(ord) AS w_ord FROM keyed GROUP BY h), " +
+        "pd AS (SELECT k.doc_id, count(*) AS n_paras, " +
+        "sum(CASE WHEN k.ord = w.w_ord THEN 1 ELSE 0 END) AS n_kept " +
+        "FROM keyed k JOIN winners w ON k.h = w.h GROUP BY 1) " +
+        "SELECT c.source, c.lang, count(*) AS n_docs, " +
+        "CAST(sum(pd.n_paras) AS BIGINT) AS n_paras, " +
+        "CAST(sum(pd.n_kept) AS BIGINT) AS n_kept, " +
+        "CAST(sum(CASE WHEN pd.n_kept = pd.n_paras THEN 1 ELSE 0 END) AS BIGINT) AS n_clean_docs " +
+        "FROM pd JOIN capped c ON pd.doc_id = c.doc_id GROUP BY 1, 2"),
     // x7's winnow chain + x11's split thresholds, joined on fingerprint.
     "p2_contamination" ->
       ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
