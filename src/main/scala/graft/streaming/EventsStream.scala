@@ -703,6 +703,37 @@ object EventsStream {
     * INTO on the key), keeping the topology — batch-local collapse, keyed
     * merge, bounded rewrite — identical.
     */
+  /** One micro-batch of the keyed-upsert sink: collapse the batch to its
+    * last-per-user rows, merge them into the bucketed profile state, and
+    * rewrite ONLY the touched `bucket=` partitions (the caller's session
+    * must have dynamic partition overwrite on — [[upsertReplay]] sets it on
+    * its cloned stream session; the unit spec pins that untouched buckets
+    * SURVIVE a merge, the property that distinguishes dynamic from static
+    * overwrite). Exposed for direct spec coverage of the merge semantics —
+    * the replay's time-split batches touch every bucket at test scale, so
+    * the untouched-bucket path would otherwise never be exercised.
+    */
+  private[streaming] def mergeProfileBatch(
+      state: String, batch: DataFrame, nBuckets: Int): Unit = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val s = batch.sparkSession
+    val batchLast = lastPerUser(batch)
+      .withColumn("bucket", pmod(col("user_id"), lit(nBuckets)).cast("int"))
+    val touched = batchLast.select("bucket").distinct()
+      .collect().map(_.getInt(0)) // bounded by nBuckets
+    val prev =
+      if (new java.io.File(state).exists())
+        s.read.parquet(state)
+          .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+      else batchLast.limit(0)
+    val merged = lastPerUser(
+      prev.select(profileSchema.fieldNames.map(col): _*)
+        .unionByName(batchLast.select(profileSchema.fieldNames.map(col): _*)))
+      .withColumn("bucket", pmod(col("user_id"), lit(nBuckets)).cast("int"))
+      .localCheckpoint(true)
+    merged.write.partitionBy("bucket").mode("overwrite").parquet(state)
+  }
+
   def upsertReplay(
       spark: SparkSession,
       dir: String,
@@ -723,21 +754,7 @@ object EventsStream {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val s = batch.sparkSession
-        val batchLast = lastPerUser(batch)
-          .withColumn("bucket", pmod(col("user_id"), lit(nBuckets)).cast("int"))
-        val touched = batchLast.select("bucket").distinct()
-          .collect().map(_.getInt(0)) // bounded by nBuckets
-        val prev = readState(s) match {
-          case Some(st) => st.filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
-          case None => batchLast.limit(0)
-        }
-        val merged = lastPerUser(
-          prev.select(profileSchema.fieldNames.map(col): _*)
-            .unionByName(batchLast.select(profileSchema.fieldNames.map(col): _*)))
-          .withColumn("bucket", pmod(col("user_id"), lit(nBuckets)).cast("int"))
-          .localCheckpoint(true)
-        merged.write.partitionBy("bucket").mode("overwrite").parquet(state)
+        mergeProfileBatch(state, batch, nBuckets)
       }
       .start()
     q.awaitTermination()
