@@ -46,6 +46,23 @@ object SparkEntry {
   /** Deterministic 1/16 md5 slice playing the newly-arrived d9 delta. */
   private val d9DeltaPredicate = "substring(md5(CAST(doc_id AS STRING)), 1, 1) = '0'"
 
+  /** Deterministic boilerplate injection shared by the d10 and p3 fixtures
+    * (the synthetic docs are single-paragraph; these appended footers are
+    * the cross-document repeats paragraph dedup exists to strip). The Spark
+    * and DuckDB forms below MUST stay value-equivalent — the oracle hash
+    * gate compares their outputs byte-for-byte.
+    */
+  private val boilerplateInjectExpr: String =
+    "CASE WHEN doc_id % 3 = 0 THEN concat(text, chr(10), chr(10), 'subscribe to our newsletter for updates') " +
+      "WHEN doc_id % 4 = 0 THEN concat(text, chr(10), chr(10), 'all rights reserved contact us for details') " +
+      "ELSE text END"
+
+  /** DuckDB twin of [[boilerplateInjectExpr]], spliced into both oracles. */
+  private val boilerplateInjectSql: String =
+    "CASE WHEN doc_id % 3 = 0 THEN text || chr(10) || chr(10) || 'subscribe to our newsletter for updates' " +
+      "WHEN doc_id % 4 = 0 THEN text || chr(10) || chr(10) || 'all rights reserved contact us for details' " +
+      "ELSE text END"
+
   /** Build (once) and return the stored d9 index path for this (session, dir). */
   def d9IndexDir(s: SparkSession, dir: String): String =
     dedupIndexMemo.computeIfAbsent((s, dir), _ => {
@@ -382,32 +399,27 @@ object SparkEntry {
     // newsletter footer, every remaining 4th a rights notice — the repeats
     // the operator exists to strip (first occurrence survives, all later
     // ones drop; original body paragraphs are mostly unique and survive).
-    "d10_paragraph_dedup" -> ((s, dir) => {
-      val injected = t(s, dir, "documents").withColumn("text", expr(
-        "CASE WHEN doc_id % 3 = 0 THEN concat(text, chr(10), chr(10), 'subscribe to our newsletter for updates') " +
-          "WHEN doc_id % 4 = 0 THEN concat(text, chr(10), chr(10), 'all rights reserved contact us for details') " +
-          "ELSE text END"))
-      graft.operators.Dedup.paragraphDedup(injected)
-    }),
+    "d10_paragraph_dedup" -> ((s, dir) =>
+      graft.operators.Dedup.paragraphDedup(
+        t(s, dir, "documents").withColumn("text", expr(boilerplateInjectExpr)))),
     "d5_embedding_neardup" -> ((s, dir) =>
       graft.operators.Dedup.embeddingNearDup(
         graft.operators.Dedup.withPerturbedCopy(t(s, dir, "embeddings")))),
-    // Train/test contamination check: test-split documents sharing a
-    // winnowing fingerprint with any train-split document (eval-leakage
-    // detection — x11's split composed with x7's fingerprints; one shuffle
-    // equi-join on the high-cardinality fingerprint).
     // Crawl-curation pipeline composed end-to-end: per-domain cap →
     // cross-corpus paragraph dedup over the capped subset → per
     // (source, lang) curation summary (docs kept, paragraphs kept/dropped,
     // boilerplate-free docs). Each stage is an already-gated operator (x15,
     // d10); the composition is what a crawl-ingest job actually runs.
     "p3_crawl_curation" -> ((s, dir) => {
-      val injected = t(s, dir, "documents").withColumn("text", expr(
-        "CASE WHEN doc_id % 3 = 0 THEN concat(text, chr(10), chr(10), 'subscribe to our newsletter for updates') " +
-          "WHEN doc_id % 4 = 0 THEN concat(text, chr(10), chr(10), 'all rights reserved contact us for details') " +
-          "ELSE text END"))
+      val injected = t(s, dir, "documents")
+        .withColumn("text", expr(boilerplateInjectExpr))
+      // localCheckpoint: capped feeds BOTH the paragraph dedup and the
+      // source/lang join-back with different projections, so ReuseExchange
+      // can't dedup the subtrees — without materialization the domain-cap
+      // aggregate (and the documents scan under it) would run twice
       val capped = injected.join(
         graft.operators.TextAnalysis.domainCap(injected).select("doc_id"), "doc_id")
+        .localCheckpoint(true)
       graft.operators.Dedup.paragraphDedup(capped)
         .join(capped.select("doc_id", "source", "lang"), "doc_id")
         .groupBy("source", "lang")
@@ -417,6 +429,10 @@ object SparkEntry {
           sum(col("n_kept")).as("n_kept"),
           sum((col("n_kept") === col("n_paras")).cast("long")).as("n_clean_docs"))
     }),
+    // Train/test contamination check: test-split documents sharing a
+    // winnowing fingerprint with any train-split document (eval-leakage
+    // detection — x11's split composed with x7's fingerprints; one shuffle
+    // equi-join on the high-cardinality fingerprint).
     "p2_contamination" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       // localCheckpoint: the frame is read twice (test side + train side),
@@ -933,10 +949,7 @@ object SparkEntry {
     // packed (doc_id, position) ordinal; docs re-assembled from survivors
     // in position order (empty string when everything was boilerplate).
     "d10_paragraph_dedup" ->
-      ("WITH injected AS (SELECT doc_id, " +
-        "CASE WHEN doc_id % 3 = 0 THEN text || chr(10) || chr(10) || 'subscribe to our newsletter for updates' " +
-        "WHEN doc_id % 4 = 0 THEN text || chr(10) || chr(10) || 'all rights reserved contact us for details' " +
-        "ELSE text END AS text FROM documents), " +
+      (s"WITH injected AS (SELECT doc_id, $boilerplateInjectSql AS text FROM documents), " +
         "paras AS (SELECT doc_id, generate_subscripts(parts, 1) - 1 AS pos, unnest(parts) AS para " +
         "FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS parts FROM injected)), " +
         "keyed AS (SELECT doc_id, pos, para, md5(para) AS h, " +
@@ -1012,10 +1025,7 @@ object SparkEntry {
     // p3: x15's window cap + d10's winner CTE composed, summarized per
     // (source, lang).
     "p3_crawl_curation" ->
-      ("WITH injected AS (SELECT doc_id, source, lang, " +
-        "CASE WHEN doc_id % 3 = 0 THEN text || chr(10) || chr(10) || 'subscribe to our newsletter for updates' " +
-        "WHEN doc_id % 4 = 0 THEN text || chr(10) || chr(10) || 'all rights reserved contact us for details' " +
-        "ELSE text END AS text FROM documents), " +
+      (s"WITH injected AS (SELECT doc_id, source, lang, $boilerplateInjectSql AS text FROM documents), " +
         "capped AS (SELECT doc_id, source, lang, text FROM (" +
         "SELECT i.*, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM injected i) WHERE rn <= 15), " +
         "paras AS (SELECT doc_id, generate_subscripts(parts, 1) - 1 AS pos, unnest(parts) AS para " +

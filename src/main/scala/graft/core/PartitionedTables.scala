@@ -101,6 +101,15 @@ object PartitionedTables {
         } catch { case _: java.time.format.DateTimeParseException => false })
     }
     expired.foreach(f => TempDirs.drop(f.toString))
+    // TempDirs.drop is best-effort (scratch-dir semantics); retention on
+    // durable data must SURFACE a failed delete, not count it as dropped —
+    // a partition that survives the sweep would silently re-count next run
+    // and the "expired data removed" log line would be a lie
+    val survivors = expired.filter(_.exists())
+    if (survivors.nonEmpty)
+      throw new java.io.IOException(
+        s"retention could not delete ${survivors.length} partition(s): " +
+          survivors.map(_.getName).mkString(", "))
     expired.length
   }
 

@@ -243,32 +243,57 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16): Unit = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val sets = shingleSets(corpus, textCol, idCol, shingleWords)
-    sets.select("id", "sh").write.mode("overwrite").parquet(s"$path/sets")
-    bandedKeys(sets, numHashes, bands)
-      .write.mode("overwrite").parquet(s"$path/bands")
+    writeIndexBatch(corpus, path, "base", textCol, idCol, shingleWords,
+      numHashes, bands)
   }
 
-  /** Absorb a delta into a STORED index ([[writeIndex]]) by APPENDING its
-    * shingle sets and band keys — the end-of-day step of the daily dedup
-    * loop. With it, every day is O(delta): dedup the delta against the
-    * index ([[incrementalFromIndex]]), then append the delta's own
-    * relations; the corpus text is never re-read on any day after day one.
-    * Parquet append is file-level, so the write is O(delta) too.
+  /** Absorb a delta into a STORED index ([[writeIndex]]) — the end-of-day
+    * step of the daily dedup loop. With it, every day is O(delta): dedup
+    * the delta against the index ([[incrementalFromIndex]]), then absorb
+    * the delta's own relations; the corpus text is never re-read on any day
+    * after day one.
+    *
+    * `batchId` names the ingest batch and makes the absorb IDEMPOTENT: each
+    * batch lands in its own `batch=<id>` partition with mode Overwrite, so
+    * a retried append (crash between the write and the success record)
+    * replaces its own partition instead of duplicating rows — duplicate
+    * index entries would otherwise multiply every downstream pair and emit
+    * jaccard-1.0 self-pairs. Distinct days must use distinct batch ids.
     */
   def appendToIndex(
       index: String,
       delta: DataFrame,
+      batchId: String,
       textCol: String = "text",
       idCol: String = "doc_id",
       shingleWords: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16): Unit = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val sets = shingleSets(delta, textCol, idCol, shingleWords)
-    sets.select("id", "sh").write.mode("append").parquet(s"$index/sets")
-    bandedKeys(sets, numHashes, bands)
-      .write.mode("append").parquet(s"$index/bands")
+    require(batchId.nonEmpty && batchId != "base",
+      "batchId must be a non-empty ingest-batch name other than the reserved 'base'")
+    writeIndexBatch(delta, index, batchId, textCol, idCol, shingleWords,
+      numHashes, bands)
+  }
+
+  /** Shared index-batch writer: sets/bands land under `batch=<id>` hive
+    * partitions (Overwrite scoped to that partition dir), so both the base
+    * build and every delta absorb are exactly-once per batch id.
+    */
+  private def writeIndexBatch(
+      docs: DataFrame,
+      path: String,
+      batchId: String,
+      textCol: String,
+      idCol: String,
+      shingleWords: Int,
+      numHashes: Int,
+      bands: Int): Unit = {
+    val sets = shingleSets(docs, textCol, idCol, shingleWords)
+    sets.select("id", "sh").write.mode("overwrite")
+      .parquet(s"$path/sets/batch=$batchId")
+    bandedKeys(sets, numHashes, bands).write.mode("overwrite")
+      .parquet(s"$path/bands/batch=$batchId")
   }
 
   /** Incremental near-dedup against a STORED index ([[writeIndex]]): the
@@ -290,8 +315,9 @@ object Dedup {
       bands: Int = 16,
       verifyBroadcast: Option[Boolean] = None): DataFrame =
     incrementalCore(
-      spark.read.parquet(s"$indexPath/sets"),
-      spark.read.parquet(s"$indexPath/bands"),
+      // project away the batch partition column the absorb layout adds
+      spark.read.parquet(s"$indexPath/sets").select("id", "sh"),
+      spark.read.parquet(s"$indexPath/bands").select("id", "band", "key"),
       delta, textCol, idCol, threshold, shingleWords, numHashes, bands,
       verifyBroadcast)
 
@@ -315,10 +341,13 @@ object Dedup {
     val deltaSets = shingleSets(delta, textCol, idCol, shingleWords)
     val deltaBands = bandedKeys(deltaSets, numHashes, bands)
 
-    // delta × corpus: sides are disjoint, so normalize orientation after
+    // delta × corpus: sides are CONTRACTUALLY disjoint; the id inequality
+    // is defense in depth (a delta re-delivering an already-indexed id
+    // must not emit a jaccard-1.0 self-pair), then normalize orientation
     val cross = deltaBands.as("x")
       .join(corpusBands.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") =!= col("y.id"))
       .select(
         least(col("x.id"), col("y.id")).as("a_id"),
         greatest(col("x.id"), col("y.id")).as("b_id"))
@@ -687,7 +716,8 @@ object Dedup {
     * The occurrence ordinal is packed as `doc_id * 2^20 + position` so the
     * global-first rule is a single integer `min` (exact i64 math in any
     * engine; positions are capped at 2^20 paragraphs per document and ids
-    * must stay under 2^43 — both far beyond real corpora).
+    * must stay in [0, 2^43) — both far beyond real corpora, and ENFORCED:
+    * an out-of-range row fails the query rather than silently mis-ranking).
     *
     * Output per input document: `n_paras`, `n_kept`, and `cleaned_md5` (md5
     * of the re-joined surviving text; "" when everything was boilerplate —
@@ -703,7 +733,19 @@ object Dedup {
       posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
         .as(Seq("pos", "para")))
       .withColumn("h", md5(col("para")))
-      .withColumn("ord", col(idCol) * lit(1L << 20) + col("pos"))
+      // the bounds the packing depends on are ENFORCED, not assumed: an
+      // out-of-range row would silently crown wrong first-occurrence
+      // winners, so it fails the query instead (assert_true is codegen'd,
+      // returns null when the bound holds — the +0 keeps it in the plan)
+      .withColumn("ord",
+        col(idCol) * lit(1L << 20) + col("pos") +
+          coalesce(
+            assert_true(
+              col("pos") < lit(1 << 20) &&
+                col(idCol).between(0L, (1L << 43) - 1),
+              lit("paragraphDedup: doc id or paragraph position exceeds the packed-ordinal range"))
+              .cast("long"),
+            lit(0L)))
     val winners = paras.groupBy("h").agg(min("ord").as("w_ord"))
     paras
       .join(winners, "h")

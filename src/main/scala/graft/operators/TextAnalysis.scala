@@ -388,13 +388,15 @@ object TextAnalysis {
       docs: DataFrame,
       cap: Int = 15,
       domainCol: String = "source",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      payload: Seq[String] = Seq("lang", "n_chars")): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val kept = docs
       .groupBy(col(domainCol))
       .agg(expr(s"graft_topk(CAST(-$idCol AS DOUBLE), $idCol, $cap)").as("tk"))
       .select(col(domainCol), explode(col("tk.id")).as(idCol))
-    kept.join(docs.select(col(idCol), col("lang"), col("n_chars")), idCol)
-      .select(col(idCol), col(domainCol), col("lang"), col("n_chars"))
+    if (payload.isEmpty) kept.select(col(idCol), col(domainCol))
+    else kept.join(docs.select((idCol +: payload).map(col): _*), idCol)
+      .select((Seq(idCol, domainCol) ++ payload).map(col): _*)
   }
 }

@@ -717,8 +717,12 @@ object EventsStream {
       state: String, batch: DataFrame, nBuckets: Int): Unit = {
     require(nBuckets > 0, "nBuckets must be positive")
     val s = batch.sparkSession
+    // materialized once: the touched-bucket collect AND the merge write
+    // both consume it — without this the batch's groupBy shuffle (the
+    // sink's most expensive step) would execute twice per micro-batch
     val batchLast = lastPerUser(batch)
       .withColumn("bucket", pmod(col("user_id"), lit(nBuckets)).cast("int"))
+      .localCheckpoint(true)
     val touched = batchLast.select("bucket").distinct()
       .collect().map(_.getInt(0)) // bounded by nBuckets
     val prev =

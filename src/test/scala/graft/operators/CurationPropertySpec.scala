@@ -59,10 +59,9 @@ class CurationPropertySpec extends SparkSpec {
       val rows = sample(Gen.choose(1, 30).flatMap(n => Gen.listOfN(n, domainRowGen)), seed)
         .zipWithIndex.map { case ((_, d), i) => (i.toLong, d) }
       val df = rows.toDF("doc_id", "source")
-        .withColumn("lang", lit("en")).withColumn("n_chars", lit(1L))
       val cap = 1 + (seed % 4).toInt
-      val kept = TextAnalysis.domainCap(df, cap = cap).collect()
-        .map(r => (r.getString(1), r.getLong(0))).toList
+      val kept = TextAnalysis.domainCap(df, cap = cap, payload = Seq.empty)
+        .collect().map(r => (r.getString(1), r.getLong(0))).toList
       val want = rows.groupBy(_._2).view
         .mapValues(_.map(_._1).sorted.take(cap).toSet).toMap
       assert(kept.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap == want,

@@ -72,14 +72,17 @@ class DedupSpec extends SparkSpec {
     val day2 = col("doc_id") % 3 === 2
     val appended = tmpDir("d9_append")
     Dedup.writeIndex(docs.filter(day0), appended)
-    Dedup.appendToIndex(appended, docs.filter(day1)) // end of day 1: O(delta)
+    Dedup.appendToIndex(appended, docs.filter(day1), "day1") // end of day 1: O(delta)
+    // a crash-retry of the same ingest batch must be a no-op, not a
+    // row-duplicating second append
+    Dedup.appendToIndex(appended, docs.filter(day1), "day1")
     val rebuilt = tmpDir("d9_rebuild")
     Dedup.writeIndex(docs.filter(day0 || day1), rebuilt) // O(corpus) alternative
     val viaAppend = Dedup.incrementalFromIndex(spark, appended, docs.filter(day2))
     val viaRebuild = Dedup.incrementalFromIndex(spark, rebuilt, docs.filter(day2))
     assert(viaAppend.count() > 0, "fixture should have day-2-touching pairs")
     assert(viaAppend.exceptAll(viaRebuild).isEmpty && viaRebuild.exceptAll(viaAppend).isEmpty,
-      "appended index diverged from a full index rebuild")
+      "appended (and batch-retried) index diverged from a full index rebuild")
   }
 
   test("delta run against the stored index never re-reads corpus text") {
