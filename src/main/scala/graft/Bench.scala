@@ -10,6 +10,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CONF=k=v,k=v applies session confs before anything runs —
+    // profiling aid (e.g. spark.graft.stream.stateStore=rocksdb to A/B the
+    // state-store backend without a code change)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => spark.conf.set(k, v)
+        case _ => ()
+      }
+    })
     // SPARK_GRAFT_ONLY=a1_x,st2_y benches a subset — profiling aid, same
     // contract as Verify's filter. Resolved before the warmups so a subset
     // run only pays the warmup classes it will actually time.

@@ -62,6 +62,13 @@ object EventsStream {
     */
   val ReplayFilesConf = "spark.graft.stream.replayFiles"
 
+  /** State-store backend selector for the replays: "default" (HDFS-backed
+    * in-memory store) or "rocksdb". See the measurement note in
+    * streamSession — default wins at replay sizes; rocksdb is for 24/7
+    * state that outgrows the heap.
+    */
+  val StateStoreConf = "spark.graft.stream.stateStore"
+
   /** Distinct micro-batch count of a finished replay query. recentProgress
     * is ring-buffered (default 100 entries) — far above the staged replays'
     * file count, so the count is exact here; a replay staging >100 files
@@ -87,6 +94,15 @@ object EventsStream {
     val parts = spark.conf.get(StatePartitionsConf, "4")
     ss.conf.set("spark.sql.shuffle.partitions", parts)
     ss.conf.set(ReplayFilesConf, spark.conf.get(ReplayFilesConf, "2"))
+    // state-store backend: "rocksdb" opts the replay into the RocksDB
+    // provider. Measured on the st1/st3/st4/st5 subset at sf0.1: 12.2 s vs
+    // 11.6 s default (~6% slower) — at replay sizes the per-batch engine
+    // commit cost dominates and the backend barely matters, so the default
+    // in-heap store stays; the knob exists because at 24/7 scale, where
+    // state outgrows executor heap, RocksDB is the right call.
+    if (spark.conf.get(StateStoreConf, "default") == "rocksdb")
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Spark 4.1 writes a checksum sidecar for every checkpoint file through
     // ChecksumCheckpointFileManager — each rename forks a subprocess on the
