@@ -217,6 +217,10 @@ object SparkEntry {
         .selectExpr("user_id", "unix_micros(t_step1) AS t1_micros",
           "unix_micros(t_step2) AS t2_micros",
           "unix_micros(t_step3) AS t3_micros")),
+    // Arbitrary grouping-set lattice (beyond a10 rollup / a11 cube).
+    "a20_grouping_sets" -> ((s, dir) =>
+      graft.operators.Analytics.orderGroupingSets(t(s, dir, "orders"))
+        .withColumn("gid", col("gid").cast("int"))),
     "a13_price_quantiles" -> ((s, dir) =>
       graft.operators.Analytics.priceQuantiles(t(s, dir, "orders"))),
     // Exact deterministic stratified sample (md5-order, per-stratum window).
@@ -525,6 +529,17 @@ object SparkEntry {
     // per-domain window sort — domain skew is the norm in web crawls).
     "x15_domain_cap" -> ((s, dir) =>
       graft.operators.TextAnalysis.domainCap(t(s, dir, "documents"))),
+    // Text canonicalization. The synthetic corpus is already lowercase
+    // single-spaced, so deterministic mess is injected first (upper case,
+    // punctuation, space runs, trailing blanks — replayed identically in
+    // the oracle) and the canonical form is md5-gated.
+    "x16_normalize" -> ((s, dir) => {
+      val messy = t(s, dir, "documents").withColumn("text", expr(
+        "CASE WHEN doc_id % 2 = 0 THEN concat(upper(text), '  Extra,  SPACES!!  ') ELSE text END"))
+      graft.operators.TextAnalysis.normalizeText(messy)
+        .selectExpr("doc_id", "md5(normalized) AS norm_md5",
+          "CAST(length(normalized) AS BIGINT) AS n_chars_norm")
+    }),
     // ---- Multimodal (binary media columns; real JDK PNG + WAV decode) ----
     "m1_media_features" -> ((s, dir) =>
       graft.operators.Multimodal.mediaFeatures(
@@ -768,6 +783,14 @@ object SparkEntry {
         "SELECT v.user_id, epoch_us(v.t1) AS t1_micros, epoch_us(c.t2) AS t2_micros, " +
         "epoch_us(p.t3) AS t3_micros " +
         "FROM v LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON v.user_id = p.user_id"),
+    // a20: explicit set lattice; grouping() bit vector (leftmost column =
+    // most significant bit) matches Spark's grouping_id convention.
+    "a20_grouping_sets" ->
+      ("SELECT o_orderstatus, o_orderpriority, " +
+        "CAST(grouping(o_orderstatus, o_orderpriority) AS INTEGER) AS gid, " +
+        "count(*) AS n, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_centi " +
+        "FROM orders GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())"),
     "a13_price_quantiles" ->
       ("SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 4) AS p50, " +
         "round(quantile_cont(o_totalprice, 0.9), 4) AS p90, count(*) AS n " +
@@ -1271,6 +1294,16 @@ object SparkEntry {
         "SELECT doc_id, source, lang, n_chars, " +
         "row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn " +
         "FROM documents) WHERE rn <= 15"),
+    // x16: canonical form md5-gated; DuckDB regexp_replace needs the 'g'
+    // flag for the replace-all semantics Spark applies by default.
+    "x16_normalize" ->
+      ("WITH messy AS (SELECT doc_id, " +
+        "CASE WHEN doc_id % 2 = 0 THEN upper(text) || '  Extra,  SPACES!!  ' ELSE text END AS text " +
+        "FROM documents), " +
+        "n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), " +
+        "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS normalized FROM messy) " +
+        "SELECT doc_id, md5(normalized) AS norm_md5, " +
+        "CAST(length(normalized) AS BIGINT) AS n_chars_norm FROM n"),
     "k1_topk_cosine" ->
       ("WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
         "FROM embeddings), " +

@@ -292,6 +292,28 @@ object Analytics {
       (get_json_object(col("props"), "$.k").cast("long") >= 50).cast("int")
         .as("k_high"))
 
+  /** Arbitrary GROUPING SETS (beyond the rollup/cube lattices of a10/a11):
+    * the caller picks exactly which grouping combinations materialize —
+    * here (status, priority), (status), and the grand total, skipping the
+    * (priority)-only set a cube would force. One pass over the fact table:
+    * Spark expands the sets via Expand (rows × |sets|) and aggregates with
+    * the usual partial/final split, so the shuffle carries one partial row
+    * per (set, group), never the fact table. `grouping_id` disambiguates
+    * the all-null total row from a genuine null group.
+    */
+  def orderGroupingSets(orders: DataFrame): DataFrame =
+    orders
+      .groupingSets(
+        Seq(
+          Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")),
+          Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("price_centi"))
+
   /** Ordered event funnel (product analytics): for each user, the time of
     * the FIRST step-1 event, the first step-2 event STRICTLY AFTER it, and
     * the first step-3 event strictly after that — the standard "view →

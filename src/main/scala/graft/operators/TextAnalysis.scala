@@ -370,6 +370,23 @@ object TextAnalysis {
       .withColumn("bin_id", expr(s"start_offset div $budget"))
   }
 
+  /** Text canonicalization (the first step of most dedup/quality stacks,
+    * where "Hello,  World!" and "hello world" must collide): lowercase,
+    * strip every character outside [a-z0-9 ], collapse space runs, trim.
+    * Map-only, all codegen'd built-ins; the charset is the deliberately
+    * narrow pre-dedup canonical form, not a display transform. Patterns
+    * stay in the Java∩RE2 subset (x13's rule) so any engine replays them.
+    */
+  def normalizeText(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(
+      col(idCol),
+      trim(regexp_replace(
+        regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""),
+        " +", " ")).as("normalized"))
+
   /** Per-domain document cap (web-crawl curation): keep at most `cap`
     * documents per source/domain, preferring the smallest ids (first
     * crawled). A boilerplate-heavy domain must not dominate the training

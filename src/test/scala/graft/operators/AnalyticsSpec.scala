@@ -184,4 +184,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(3L) == ((Some(ts(10)), None, None)))
     assert(out(5L) == ((Some(ts(10)), Some(ts(15)), None)))
   }
+
+  test("orderGroupingSets: exactly the requested sets, totals consistent") {
+    val out = Analytics.orderGroupingSets(t("orders")).collect()
+    // gid 0 = (status, priority), 1 = (status), 3 = grand total — the
+    // (priority)-only set (gid 2) a cube would add must NOT appear
+    val byGid = out.groupBy(_.getAs[Long]("gid"))
+    assert(byGid.keySet == Set(0L, 1L, 3L), s"unexpected sets: ${byGid.keySet}")
+    assert(byGid(3L).length == 1, "grand total must be a single row")
+    val total = byGid(3L).head.getAs[Long]("n")
+    assert(byGid(0L).map(_.getAs[Long]("n")).sum == total, "detail rows don't sum to total")
+    assert(byGid(1L).map(_.getAs[Long]("n")).sum == total, "status subtotals don't sum to total")
+    assert(byGid(1L).forall(_.isNullAt(1)), "status subtotal rows must null the priority")
+  }
 }

@@ -245,4 +245,24 @@ class TextAnalysisSpec extends SparkSpec {
       assert(rows.map(_._2).toSet == want(srcName), s"$srcName kept wrong ids")
     }
   }
+
+  test("normalizeText: canonical charset, collapsed spacing, idempotent") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "Hello,   World!!"), (2L, "hello world"),
+      (3L, "  A.B;C  d__e  "), (4L, "!!!"), (5L, "MiXeD 42 CaSe")
+    ).toDF("doc_id", "text")
+    val once = TextAnalysis.normalizeText(fixture)
+    val got = once.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 1 and 2 collide after normalization — the whole point of the pass
+    assert(got(1L) == "hello world" && got(2L) == "hello world")
+    assert(got(3L) == "abc de", s"got '${got(3L)}'")
+    assert(got(4L) == "", "pure punctuation must normalize to empty")
+    assert(got(5L) == "mixed 42 case")
+    // idempotent: normalizing the canonical form is the identity
+    val twice = TextAnalysis.normalizeText(
+      once.select(col("doc_id"), col("normalized").as("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(twice == got, "normalizeText is not idempotent")
+  }
 }
