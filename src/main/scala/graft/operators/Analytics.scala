@@ -320,15 +320,20 @@ object Analytics {
     * click → purchase within a session" conversion measure, with strict
     * event-time ordering (a purchase before the first view does not count).
     *
-    * Shape at 100 TB: each stage filters the fact table to ONE event type
-    * before anything shuffles (the filter + partial min reach the scan), so
-    * the per-stage shuffle carries one (user, min-ts) pair per user, not
-    * events. The stage joins are equi-joins on the user id between those
-    * per-user aggregates and the next type-slice; every successive stage's
-    * build side shrinks (users who reached step k), which is exactly the
-    * funnel's own selectivity working for the plan. No windows, no
-    * collect-events-per-user arrays — a power user with 10^8 events costs
-    * the same as anyone else.
+    * Shape at 100 TB: each stage's plan branch scans a DISJOINT pushed-down
+    * slice of the fact table (`event_type = <step>` reaches the columnar
+    * scan — PlanSpec pins the pushed filters), so although the plan shows
+    * one scan node per stage, the total bytes read equal one combined scan
+    * of the funnel's types; row groups outside a branch's slice are skipped
+    * by the pushed predicate. (A shared-scan formulation — pre-filter +
+    * repartition reused across stages — was measured and rejected: filter
+    * pushdown through the shared exchange is exactly what Catalyst gives
+    * up, and materializing the slim fact to force reuse would checkpoint
+    * the whole slice set.) Each stage shuffles only its slice's per-user
+    * partial mins, and each stage's build side shrinks (users who reached
+    * step k) — the funnel's own selectivity working for the plan. No
+    * windows, no collect-events-per-user arrays — a power user with 10^8
+    * events costs the same as anyone else.
     */
   def funnel(
       events: DataFrame,

@@ -108,15 +108,20 @@ class PlanSpec extends SparkSpec {
       s"first-occurrence rule regressed to a window rank:\n$p")
   }
 
-  test("a19 funnel: per-user mins via aggregates and equi-joins — no window, no cartesian") {
-    val p = plan("a19_funnel")
+  test("a19 funnel: disjoint pushed type-slices per stage, no window, no cartesian") {
+    val df = SparkEntry.queries("a19_funnel")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("Window"), s"funnel stage ranked via a window:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"non-equi join in the funnel plan:\n$p")
-    // stage filters reach the scans: each stage reads one event type
-    val f = formatted(SparkEntry.queries("a19_funnel")(spark, sf))
-    assert(f.contains("EqualTo(event_type,view)"),
-      s"type-slice filter not pushed to the events scan:\n$f")
+    // every stage branch reads its own DISJOINT slice at the scan: all
+    // three per-step equality filters must be PUSHED — together the
+    // branches read the bytes of one combined scan (see funnel's doc)
+    val f = formatted(df)
+    Seq("view", "click", "purchase").foreach { step =>
+      assert(f.contains(s"EqualTo(event_type,$step)"),
+        s"stage filter for '$step' not pushed to the events scan:\n$f")
+    }
   }
 
   test("AQE splits a skewed sort-merge join (skew=true in the final plan)") {
