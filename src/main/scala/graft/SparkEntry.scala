@@ -529,6 +529,18 @@ object SparkEntry {
     // per-domain window sort — domain skew is the norm in web crawls).
     "x15_domain_cap" -> ((s, dir) =>
       graft.operators.TextAnalysis.domainCap(t(s, dir, "documents"))),
+    // n-gram containment decontamination (GPT-3/PaLM-style, complements
+    // p2's fingerprint variant). The synthetic corpus has no real leakage,
+    // so a shared 16-word canary passage is appended to every 13th doc
+    // (replayed identically in the oracle): canary docs landing in the
+    // test split show nonzero containment against the canary docs that
+    // landed in train — the leak path the check exists to catch.
+    "x17_decontamination" -> ((s, dir) => {
+      val seeded = t(s, dir, "documents").withColumn("text", expr(
+        "CASE WHEN doc_id % 13 = 0 THEN concat(text, ' leaked canary passage alpha beta " +
+          "gamma delta epsilon zeta eta theta iota kappa lambda mu nu') ELSE text END"))
+      graft.operators.TextAnalysis.decontamination(seeded)
+    }),
     // Text canonicalization. The synthetic corpus is already lowercase
     // single-spaced, so deterministic mess is injected first (upper case,
     // punctuation, space runs, trailing blanks — replayed identically in
@@ -1294,6 +1306,28 @@ object SparkEntry {
         "SELECT doc_id, source, lang, n_chars, " +
         "row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn " +
         "FROM documents) WHERE rn <= 15"),
+    // x17: per-test-doc distinct-13-gram containment vs the train split;
+    // grams compared as 16-hex md5 prefixes in both engines.
+    "x17_decontamination" ->
+      ("WITH injected AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0 " +
+        "THEN text || ' leaked canary passage alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu' " +
+        "ELSE text END AS text FROM documents), " +
+        "s AS (SELECT doc_id, CASE " +
+        "WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) * 100 " +
+        "< 80 * 4294967296 THEN 'train' " +
+        "WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) * 100 " +
+        "< 90 * 4294967296 THEN 'val' ELSE 'test' END AS split FROM documents), " +
+        "toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM injected), " +
+        "grams AS (SELECT DISTINCT doc_id, " +
+        "substring(md5(array_to_string(t[i:i+12], ' ')), 1, 16) AS gh " +
+        "FROM toks, unnest(generate_series(1, len(t) - 12)) AS u(i) WHERE len(t) >= 13), " +
+        "tr AS (SELECT DISTINCT gh FROM grams JOIN s USING (doc_id) WHERE s.split = 'train'), " +
+        "te AS (SELECT g.doc_id, g.gh FROM grams g JOIN s USING (doc_id) WHERE s.split = 'test') " +
+        "SELECT te.doc_id, count(*) AS n_grams, " +
+        "CAST(sum(CASE WHEN tr.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated, " +
+        "CAST(sum(CASE WHEN tr.gh IS NOT NULL THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) " +
+        "AS contamination_micro " +
+        "FROM te LEFT JOIN tr ON te.gh = tr.gh GROUP BY te.doc_id"),
     // x16: canonical form md5-gated; DuckDB regexp_replace needs the 'g'
     // flag for the replace-all semantics Spark applies by default.
     "x16_normalize" ->

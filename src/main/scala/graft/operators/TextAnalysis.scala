@@ -387,6 +387,43 @@ object TextAnalysis {
         regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""),
         " +", " ")).as("normalized"))
 
+  /** Eval-set decontamination by n-gram CONTAINMENT (the GPT-3/PaLM-style
+    * check, complementing p2's winnow-fingerprint variant): for every
+    * test-split document, the fraction of its distinct word n-grams (n=13
+    * by convention) that appear anywhere in the train split. A test doc
+    * with high containment leaked into training even if no single document
+    * matches it wholesale — the case fingerprint overlap misses.
+    *
+    * Shape at 100 TB: grams travel as 16-hex md5 prefixes (8 bytes of
+    * hash instead of ~80 bytes of 13-gram text; md5 keeps the oracle
+    * replayable where xxhash64 would not be), the train side collapses to
+    * DISTINCT gram keys with map-side partial aggregation before its
+    * shuffle, and the containment test is one equi-join on the gram key —
+    * never doc×doc. Output: per test doc, distinct-gram count, contaminated
+    * count, and the integer-micro containment ratio.
+    */
+  def decontamination(
+      docs: DataFrame,
+      n: Int = 13,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val grams = docs.join(hashSplit(docs, idCol = idCol), idCol)
+      .select(col(idCol), col("split"),
+        explode(expr(Dedup.wordShingleExpr(textCol, n))).as("g"))
+      .select(col(idCol), col("split"),
+        expr("substring(md5(g), 1, 16)").as("gh"))
+    val trainGrams = grams.filter(col("split") === "train")
+      .select("gh").distinct()
+    grams.filter(col("split") === "test")
+      .join(trainGrams.withColumn("hit", lit(1L)), Seq("gh"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      .withColumn("contamination_micro",
+        expr("n_contaminated * 1000000L div n_grams"))
+  }
+
   /** Per-domain document cap (web-crawl curation): keep at most `cap`
     * documents per source/domain, preferring the smallest ids (first
     * crawled). A boilerplate-heavy domain must not dominate the training

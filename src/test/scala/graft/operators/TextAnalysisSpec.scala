@@ -265,4 +265,26 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(twice == got, "normalizeText is not idempotent")
   }
+
+  test("decontamination: leaked passage counted, clean test doc at zero") {
+    import spark.implicits._
+    // md5-split fixture ids: 1 -> train, 3 -> test (verified constants)
+    val w13 = (1 to 13).map(i => s"w$i").mkString(" ")          // 13-word passage
+    val uniq = (1 to 13).map(i => s"u$i").mkString(" ")         // disjoint 13 words
+    val fixture = Seq(
+      (1L, s"train prefix words $w13"),  // train doc carries the passage
+      (3L, s"$w13 and trailing junk after the leaked passage block")
+    ).toDF("doc_id", "text")
+    val leaked = TextAnalysis.decontamination(fixture)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(leaked.keySet == Set(3L), "only test docs appear")
+    val (n, hit, micro) = leaked(3L)
+    assert(hit >= 1, "shared 13-gram not counted as contaminated")
+    assert(micro == hit * 1000000L / n, "ratio not derived from the counts")
+    // clean variant: disjoint vocabularies -> zero containment
+    val clean = TextAnalysis.decontamination(Seq(
+      (1L, s"train prefix words $w13"), (3L, s"$uniq completely different tail here")
+    ).toDF("doc_id", "text")).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(clean(3L) == 0L, "disjoint test doc must have zero contamination")
+  }
 }
