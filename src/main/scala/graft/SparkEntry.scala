@@ -353,6 +353,11 @@ object SparkEntry {
       graft.streaming.EventsStream.upsertReplay(s, dir).frame
         .selectExpr("user_id", "unix_micros(ts) AS ts_micros", "event_id",
           "event_type", "value_milli")),
+    // Incremental materialized-view maintenance: per-user running totals
+    // kept in a durable bucketed table by fenced ADDITIVE folds (batch-id
+    // high-water mark per row makes the non-idempotent merge exactly-once).
+    "st9_running_mv" -> ((s, dir) =>
+      graft.streaming.EventsStream.runningMvReplay(s, dir).frame),
     // ---- Dedup suite (LLM-pipeline north star) over documents/embeddings ----
     "d1_exact_dedup" -> ((s, dir) =>
       graft.operators.Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
@@ -753,6 +758,12 @@ object SparkEntry {
       ("SELECT user_id, epoch_us(ts) AS ts_micros, event_id, event_type, " +
         "CAST(round(value*1000) AS BIGINT) AS value_milli FROM events " +
         "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1"),
+    // st9: the incrementally-maintained view equals the batch aggregate
+    // over the whole stream (st4's totals, as a durable table).
+    "st9_running_mv" ->
+      ("SELECT user_id, count(*) AS n_events, " +
+        "CAST(sum(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS value_milli " +
+        "FROM events GROUP BY 1"),
     // Watermarked append-mode contract (pinned empirically + in
     // EventsStreamSpec): emitted = hourly windows whose END <= final
     // watermark = (max event ts, ms precision) - 1h delay. Same exact

@@ -754,6 +754,101 @@ object EventsStream {
     merged.write.partitionBy("bucket").mode("overwrite").parquet(state)
   }
 
+  /** Schema of the additive running-aggregate state ([[runningMvReplay]]):
+    * per-user event count + milli-quantized value sum, plus the id of the
+    * last batch folded in (the exactly-once fence).
+    */
+  val runningMvSchema: StructType = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("n_events", LongType),
+    StructField("value_milli", LongType),
+    StructField("last_batch", LongType)))
+
+  /** One micro-batch of the incremental materialized-view sink: fold the
+    * batch's per-user (count, sum) into the bucketed state ADDITIVELY.
+    *
+    * Additive merges are NOT naturally idempotent — foreachBatch's
+    * at-least-once redelivery would double-count — so every state row
+    * carries `last_batch`, the id of the last batch folded into it, and a
+    * user's delta is applied ONLY when `batchId > last_batch` (per-ROW
+    * fencing, not per-file: a crash between two bucket writes leaves mixed
+    * versions, and the row-level fence heals exactly the rows that missed
+    * the fold while skipping the ones that got it). This is the classic
+    * "idempotent sink = state + high-water mark" recipe that makes
+    * foreachBatch exactly-once for non-idempotent aggregates.
+    */
+  private[streaming] def mergeRunningBatch(
+      state: String, batch: DataFrame, batchId: Long, nBuckets: Int): Unit = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val s = batch.sparkSession
+    val delta = batch
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("d_n"),
+        sum(expr("CAST(round(value * 1000) AS BIGINT)")).as("d_milli"))
+      .withColumn("bucket", pmod(col("user_id"), lit(nBuckets)).cast("int"))
+      .localCheckpoint(true)
+    val touched = delta.select("bucket").distinct()
+      .collect().map(_.getInt(0))
+    val prev =
+      if (new java.io.File(state).exists())
+        s.read.parquet(state)
+          .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+          .select(runningMvSchema.fieldNames.map(col): _*)
+      else s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], runningMvSchema)
+    val apply_ = col("d_n").isNotNull &&
+      (col("last_batch").isNull || col("last_batch") < batchId)
+    val merged = prev
+      .join(delta.drop("bucket"), Seq("user_id"), "full_outer")
+      .select(
+        col("user_id"),
+        (coalesce(col("n_events"), lit(0L)) +
+          when(apply_, col("d_n")).otherwise(lit(0L))).as("n_events"),
+        (coalesce(col("value_milli"), lit(0L)) +
+          when(apply_, col("d_milli")).otherwise(lit(0L))).as("value_milli"),
+        when(apply_, lit(batchId)).otherwise(col("last_batch")).as("last_batch"))
+      .withColumn("bucket", pmod(col("user_id"), lit(nBuckets)).cast("int"))
+      .localCheckpoint(true)
+    merged.write.partitionBy("bucket").mode("overwrite").parquet(state)
+  }
+
+  /** Streaming incremental MATERIALIZED-VIEW maintenance: per-user running
+    * (count, sum) totals kept continuously up to date in a queryable
+    * bucketed table — st4's running totals as a durable table instead of
+    * operator state, maintained by [[mergeRunningBatch]]'s fenced additive
+    * folds (O(touched buckets) per batch, exactly-once under replay).
+    */
+  def runningMvReplay(
+      spark: SparkSession,
+      dir: String,
+      queryName: String = "graft_events_running_mv",
+      nBuckets: Int = 8): Replayed = {
+    val ss = streamSession(spark)
+    ss.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val state = tempDir("graft_stream_mv_state_") + "/totals"
+    val ckpt = tempDir("graft_stream_mv_ckpt_")
+    val q = readEventsStaged(ss, dir)
+      .select("user_id", "value")
+      .writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        mergeRunningBatch(state, batch, id, nBuckets)
+      }
+      .start()
+    q.awaitTermination()
+    val frame =
+      if (new java.io.File(state).exists())
+        spark.read.parquet(state)
+          .select("user_id", "n_events", "value_milli")
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(runningMvSchema.fields.take(3)))
+    Replayed(frame, batchCount(q))
+  }
+
   def upsertReplay(
       spark: SparkSession,
       dir: String,

@@ -393,4 +393,48 @@ class EventsStreamSpec extends SparkSpec {
     assert(got.count() == want.count())
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
+
+  test("mergeRunningBatch: fenced additive folds — replay-safe, crash-heal, untouched buckets intact") {
+    import spark.implicits._
+    val state = tmpDir("graft_mv_merge") + "/totals"
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      def batch(rows: (Long, Double)*) = rows.toSeq.toDF("user_id", "value")
+      def readState() = spark.read.parquet(state)
+        .select("user_id", "n_events", "value_milli").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // batch 0: users 0 (bucket 0) and 1 (bucket 1) of 4
+      EventsStream.mergeRunningBatch(state, batch((0L, 1.0), (0L, 2.0), (1L, 5.0)), 0L, 4)
+      assert(readState() == Map(0L -> ((2L, 3000L)), 1L -> ((1L, 5000L))))
+      // batch 1 touches only bucket 1; bucket 0 must be untouched
+      EventsStream.mergeRunningBatch(state, batch((1L, 1.0)), 1L, 4)
+      val after1 = readState()
+      assert(after1 == Map(0L -> ((2L, 3000L)), 1L -> ((2L, 6000L))))
+      // REDELIVERY of batch 1 (foreachBatch at-least-once): the fence must
+      // reject the double-count an unfenced additive merge would apply
+      EventsStream.mergeRunningBatch(state, batch((1L, 1.0)), 1L, 4)
+      assert(readState() == after1, "replayed batch double-counted — fence broken")
+      // out-of-order stale batch id is also rejected
+      EventsStream.mergeRunningBatch(state, batch((1L, 99.0)), 0L, 4)
+      assert(readState() == after1, "stale batch id folded in")
+      // a NEW user arriving in a replayed-id batch for an untouched bucket
+      // still lands (its row has no last_batch yet -> fence passes)
+      EventsStream.mergeRunningBatch(state, batch((2L, 7.0)), 1L, 4)
+      assert(readState()(2L) == ((1L, 7000L)))
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+  }
+
+  test("runningMvReplay: maintained view equals batch totals, across >=2 batches") {
+    val r = EventsStream.runningMvReplay(spark, sf, "graft_spec_mv")
+    assert(r.batches >= 2,
+      s"staged replay must run multiple micro-batches, got ${r.batches}")
+    val want = Tables.load(spark, sf, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(round(value * 1000) AS BIGINT)")).as("value_milli"))
+    val got = r.frame
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
 }
