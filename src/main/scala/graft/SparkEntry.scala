@@ -358,6 +358,11 @@ object SparkEntry {
     // high-water mark per row makes the non-idempotent merge exactly-once).
     "st9_running_mv" -> ((s, dir) =>
       graft.streaming.EventsStream.runningMvReplay(s, dir).frame),
+    // The SAME session_window operator st2 streams, evaluated in batch
+    // mode over the full history (backfill parity: no watermark cutoff, so
+    // every session emits — batch and stream agree wherever both emit).
+    "a21_sessions_batch" -> ((s, dir) =>
+      graft.streaming.EventsStream.sessionize(t(s, dir, "events"))),
     // ---- Dedup suite (LLM-pipeline north star) over documents/embeddings ----
     "d1_exact_dedup" -> ((s, dir) =>
       graft.operators.Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
@@ -764,6 +769,18 @@ object SparkEntry {
       ("SELECT user_id, count(*) AS n_events, " +
         "CAST(sum(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS value_milli " +
         "FROM events GROUP BY 1"),
+    // a21: st2's lag-derived session oracle WITHOUT the watermark cutoff —
+    // batch mode emits every session.
+    "a21_sessions_batch" ->
+      ("WITH e AS (SELECT user_id, ts, CAST(round(value * 1000) AS BIGINT) AS vm FROM events), " +
+        "f AS (SELECT user_id, ts, vm, CASE WHEN lag(ts) OVER w IS NULL OR " +
+        "ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
+        "g AS (SELECT user_id, ts, vm, sum(ns) OVER (PARTITION BY user_id ORDER BY ts " +
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM f) " +
+        "SELECT min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end, " +
+        "user_id, count(*) AS n_events, CAST(sum(vm) AS BIGINT) AS value_milli " +
+        "FROM g GROUP BY user_id, sid"),
     // Watermarked append-mode contract (pinned empirically + in
     // EventsStreamSpec): emitted = hourly windows whose END <= final
     // watermark = (max event ts, ms precision) - 1h delay. Same exact
