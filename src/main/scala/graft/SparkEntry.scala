@@ -221,6 +221,11 @@ object SparkEntry {
     "a20_grouping_sets" -> ((s, dir) =>
       graft.operators.Analytics.orderGroupingSets(t(s, dir, "orders"))
         .withColumn("gid", col("gid").cast("int"))),
+    // Footer-only stats: count/min/max pushed INTO the parquet scan
+    // (PushedAggregation, V2 source) — a metadata pass, not a data scan.
+    "a22_metadata_stats" -> ((s, dir) =>
+      graft.operators.Analytics.metadataStats(
+        s, graft.core.Tables.path(dir, "lineitem"))),
     "a13_price_quantiles" -> ((s, dir) =>
       graft.operators.Analytics.priceQuantiles(t(s, dir, "orders"))),
     // Exact deterministic stratified sample (md5-order, per-stratum window).
@@ -270,6 +275,21 @@ object SparkEntry {
           concat(lit("new_"), col("c_name")).as("c_name"),
           lit(0.0).as("c_acctbal"))
       graft.operators.Joins.upsert(base, upd.unionByName(ins), "c_custkey")
+    }),
+    // Bloom-pruned semi join: urgent-order lineitems via a build-side Bloom
+    // filter probed BEFORE the fact shuffle (false positives removed by the
+    // exact semi join, so values equal the plain semi join — the oracle).
+    "j6_bloom_semi" -> ((s, dir) => {
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      graft.operators.Joins.bloomPrunedSemiJoin(
+        t(s, dir, "lineitem"), urgent, "l_orderkey", "o_orderkey")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+            .as("revenue_centi"))
     }),
     // As-of join (most recent purchase at or before each click, per user) —
     // the union + last-carry-forward shape, one shuffle on the key.
@@ -358,6 +378,13 @@ object SparkEntry {
     // high-water mark per row makes the non-idempotent merge exactly-once).
     "st9_running_mv" -> ((s, dir) =>
       graft.streaming.EventsStream.runningMvReplay(s, dir).frame),
+    // Stream-static broadcast enrichment (fact stream × dimension table):
+    // stateless, per-batch dim re-read, map-side hash join — the stream
+    // never shuffles for the join. Values = the batch inner join.
+    "st10_stream_enrich" -> ((s, dir) =>
+      graft.streaming.EventsStream.enrichReplay(s, dir).frame
+        .selectExpr("event_id", "unix_micros(ts) AS ts_micros", "user_id",
+          "event_type", "value_milli", "c_name", "c_mktsegment")),
     // The SAME session_window operator st2 streams, evaluated in batch
     // mode over the full history (backfill parity: no watermark cutoff, so
     // every session emits — batch and stream agree wherever both emit).
@@ -769,6 +796,12 @@ object SparkEntry {
       ("SELECT user_id, count(*) AS n_events, " +
         "CAST(sum(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS value_milli " +
         "FROM events GROUP BY 1"),
+    // st10: the stream-static join is stateless, so the streamed result is
+    // exactly the batch inner join — no watermark cutoff to model.
+    "st10_stream_enrich" ->
+      ("SELECT event_id, epoch_us(e.ts) AS ts_micros, user_id, event_type, " +
+        "CAST(round(value * 1000) AS BIGINT) AS value_milli, c_name, c_mktsegment " +
+        "FROM events e JOIN customer c ON e.user_id = c.c_custkey"),
     // a21: st2's lag-derived session oracle WITHOUT the watermark cutoff —
     // batch mode emits every session.
     "a21_sessions_batch" ->
@@ -831,6 +864,13 @@ object SparkEntry {
         "count(*) AS n, " +
         "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_centi " +
         "FROM orders GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())"),
+    // a22: the VALUES are a plain aggregate in any engine — what the Spark
+    // side adds is the physical shape (footer-only PushedAggregation scan,
+    // pinned in PlanSpec); DuckDB computes the same five numbers exactly.
+    "a22_metadata_stats" ->
+      ("SELECT count(*) AS cnt, min(l_orderkey) AS min_orderkey, " +
+        "max(l_orderkey) AS max_orderkey, min(l_extendedprice) AS min_price, " +
+        "max(l_extendedprice) AS max_price FROM lineitem"),
     "a13_price_quantiles" ->
       ("SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 4) AS p50, " +
         "round(quantile_cont(o_totalprice, 0.9), 4) AS p90, count(*) AS n " +
@@ -886,6 +926,14 @@ object SparkEntry {
         "CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name ELSE b.c_name END AS c_name, " +
         "CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal ELSE b.c_acctbal END AS c_acctbal " +
         "FROM base b FULL JOIN u ON b.c_custkey = u.c_custkey"),
+    // j6: values are the PLAIN semi join — the Bloom prune is a physical
+    // optimization whose false positives the exact join removes.
+    "j6_bloom_semi" ->
+      ("SELECT l_returnflag, count(*) AS n, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_centi " +
+        "FROM lineitem WHERE l_orderkey IN " +
+        "(SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT') " +
+        "GROUP BY 1"),
     // As-of semantics replayed as the same union + last_value(IGNORE NULLS)
     // carry-forward over the identical (ts, side, seq) total order.
     "j1_asof_join" ->

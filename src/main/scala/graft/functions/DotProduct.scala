@@ -166,10 +166,36 @@ object GraftFunctions {
     TopKByScore(children.head, children(1), intLiteral(children(2), "graft_topk k"))
   }
 
+  val bloomInfo = new ExpressionInfo(classOf[BloomAggregate].getName, "graft_bloom")
+
+  /** graft_bloom(key, numBits, numHashes) — sizing args must be foldable int
+    * literals (they size the fixed aggregation bit array).
+    */
+  val bloomBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 3, "graft_bloom expects (key, numBits, numHashes)")
+    require(children(1).foldable && children(2).foldable,
+      "graft_bloom numBits/numHashes must be literals")
+    BloomAggregate(children.head,
+      intLiteral(children(1), "graft_bloom numBits"),
+      intLiteral(children(2), "graft_bloom numHashes"))
+  }
+
+  val bloomContainsInfo =
+    new ExpressionInfo(classOf[BloomMightContain].getName, "graft_bloom_contains")
+
+  val bloomContainsBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2, "graft_bloom_contains expects (bloom, key)")
+    BloomMightContain(children.head, children(1))
+  }
+
   /** Imperative, idempotent registration into an existing session (used by
     * the operators so any session works, not just extension-built ones).
     */
   def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("graft_bloom", bloomBuilder, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("graft_bloom_contains", bloomContainsBuilder, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("graft_topk", topKBuilder, "built-in")
     spark.sessionState.functionRegistry
@@ -209,5 +235,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_ngram_hashes"), GraftFunctions.ngramInfo, GraftFunctions.ngramBuilder))
     ext.injectFunction((FunctionIdentifier("graft_word_shingles"), GraftFunctions.wordShingleInfo, GraftFunctions.wordShingleBuilder))
     ext.injectFunction((FunctionIdentifier("graft_topk"), GraftFunctions.topKInfo, GraftFunctions.topKBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_bloom"), GraftFunctions.bloomInfo, GraftFunctions.bloomBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_bloom_contains"), GraftFunctions.bloomContainsInfo, GraftFunctions.bloomContainsBuilder))
   }
 }

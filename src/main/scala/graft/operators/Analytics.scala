@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -353,5 +353,35 @@ object Analytics {
         prev.join(nextFirst, Seq(userCol), "left")
     }
     reached
+  }
+
+  /** Footer-only table statistics: COUNT(*)/MIN/MAX answered from parquet
+    * row-group metadata via aggregate pushdown — the scan reads footers, not
+    * data pages. At 100 TB this is the difference between a multi-minute
+    * full scan and a metadata pass measured in file-listing time: row counts
+    * and column min/max are already materialized in every parquet footer,
+    * and the V2 parquet source pushes the whole aggregate into the scan
+    * (`PushedAggregation` in the plan — pinned by PlanSpec).
+    *
+    * Pushdown preconditions (why this runs on a cloned session): aggregate
+    * pushdown is a DataSource V2 feature, and parquet defaults to the V1
+    * path — the clone drops `parquet` from `useV1SourceList` and enables
+    * `parquet.aggregatePushdown` without perturbing the caller's session.
+    * No row filter is applied (a data filter disables the pushdown), and
+    * the aggregated columns are plain INT64/DOUBLE — types whose footer
+    * min/max statistics are trustworthy (no truncated binary stats).
+    */
+  def metadataStats(spark: SparkSession, lineitemPath: String): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    ss.conf.set(
+      "spark.sql.sources.useV1SourceList", "avro,csv,json,kafka,orc,text")
+    ss.read.parquet(lineitemPath)
+      .agg(
+        expr("count(*)").as("cnt"),
+        min(col("l_orderkey")).as("min_orderkey"),
+        max(col("l_orderkey")).as("max_orderkey"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
   }
 }

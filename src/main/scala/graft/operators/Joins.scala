@@ -169,4 +169,40 @@ object Joins {
       explode(expr(s"sequence(0, ${salts - 1})")))
     l.join(r, Seq(keyCol, "__salt")).drop("__salt")
   }
+
+  /** Bloom-pruned semi join: semi-join reduction for the case where the
+    * build side is too large to broadcast as a hash relation but its KEY SET
+    * compresses into a fixed-size Bloom filter. The build side aggregates
+    * into one `binary` filter ([[graft.functions.BloomAggregate]] — partial
+    * per-partition bit arrays OR-merged, so the build never shuffles its
+    * rows), the single-row filter broadcasts to every probe task, and the
+    * probe side drops non-members BEFORE its shuffle — at 100 TB the
+    * exchange then carries only the ~selectivity fraction of the fact table
+    * (plus the filter's false positives). The exact semi join downstream
+    * removes false positives, so the result is row-identical to
+    * `fact SEMI JOIN build` with any sizing (pinned by spec and by the j6
+    * value oracle).
+    *
+    * This is Spark's own runtime-filter shape (InjectRuntimeFilter) exposed
+    * as a composable operator: explicit sizing, any build-side expression,
+    * and a filter you could persist and reuse across queries (it is just a
+    * binary value). The one-row crossJoin plans as a single-row broadcast
+    * nested loop — constant work per probe task, not a data-dependent join.
+    */
+  def bloomPrunedSemiJoin(
+      fact: DataFrame,
+      build: DataFrame,
+      factKey: String,
+      buildKey: String,
+      numBits: Int = 1 << 22,
+      numHashes: Int = 7): DataFrame = {
+    graft.functions.GraftFunctions.register(fact.sparkSession)
+    val bloom = broadcast(
+      build.agg(
+        expr(s"graft_bloom($buildKey, $numBits, $numHashes)").as("__bloom")))
+    val pruned = fact.crossJoin(bloom)
+      .filter(expr(s"graft_bloom_contains(__bloom, $factKey)"))
+      .drop("__bloom")
+    pruned.join(build, col(factKey) === col(buildKey), "left_semi")
+  }
 }

@@ -880,4 +880,54 @@ object EventsStream {
     }
     Replayed(frame, batchCount(q))
   }
+
+  /** Stream-static BROADCAST enrichment join: every event picks up its
+    * user's dimension attributes (name, market segment) as it streams
+    * through — the most common production streaming shape (fact stream ×
+    * dimension table) and the one stateless join Structured Streaming
+    * offers: no watermark, no join state, nothing to evict. The static side
+    * is re-read per micro-batch (which is how a slowly-changing dimension
+    * stays fresh in a 24/7 job) and explicitly `broadcast()` so each batch
+    * plans a map-side hash join — the event stream never shuffles for the
+    * join at any scale; the dimension just has to fit an executor, which a
+    * user/customer table does long before the fact stream stops fitting
+    * anything.
+    *
+    * Inner join semantics: events without a dimension row are dropped
+    * (every replay user has one — the batch-join oracle pins exactly this).
+    */
+  def enrichReplay(
+      spark: SparkSession,
+      dir: String,
+      queryName: String = "graft_events_enrich_stream"): Replayed = {
+    val ss = streamSession(spark)
+    val out = tempDir("graft_stream_enrich_out_")
+    val ckpt = tempDir("graft_stream_enrich_ckpt_")
+    val dim = broadcast(
+      graft.core.Tables.load(ss, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment")))
+    val q = readEventsStaged(ss, dir)
+      .join(dim, col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"),
+        expr("CAST(round(value * 1000) AS BIGINT)").as("value_milli"),
+        col("c_name"), col("c_mktsegment"))
+      .writeStream
+      .queryName(queryName)
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Replayed(spark.read.schema(StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value_milli", LongType),
+      StructField("c_name", StringType),
+      StructField("c_mktsegment", StringType)))).parquet(out), batchCount(q))
+  }
 }

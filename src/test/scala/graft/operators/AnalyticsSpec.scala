@@ -89,6 +89,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(df.count() == detail + statuses + 1)
   }
 
+  test("metadataStats: footer-pushed values equal a plain data-scan aggregate") {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    val pushed = Analytics.metadataStats(spark, graft.core.Tables.path(sf, "lineitem"))
+    val plain = t("lineitem").agg(
+      count(lit(1)).as("cnt"),
+      min(col("l_orderkey")).as("min_orderkey"),
+      max(col("l_orderkey")).as("max_orderkey"),
+      min(col("l_extendedprice")).as("min_price"),
+      max(col("l_extendedprice")).as("max_price"))
+    assert(pushed.collect().toSeq == plain.collect().toSeq)
+  }
+
   test("eventsHourly matches the oracle-gated e1 derivation exactly") {
     val a = Analytics.eventsHourly(t("events"))
     val b = graft.SparkEntry.queries("e1_events_hourly")(spark, sf)

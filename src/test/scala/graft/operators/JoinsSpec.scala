@@ -182,4 +182,48 @@ class JoinsSpec extends SparkSpec {
     // the physical plan is union -> window (sort within key partitions)
     assert(plan.contains("Window"))
   }
+
+  test("bloom kernel: no false negatives, FP rate near design point") {
+    import graft.functions.GraftBloom
+    val numBits = 1 << 14 // 16384 bits for 1000 keys ≈ 16 bits/key
+    val words = new Array[Long](numBits / 64)
+    (0L until 1000L).foreach(k => GraftBloom.setBits(words, k * 7919L, 7))
+    val bytes = GraftBloom.serialize(words, 7)
+    // every inserted key answers true — Bloom's hard guarantee
+    assert((0L until 1000L).forall(k => GraftBloom.mightContain(bytes, k * 7919L)))
+    // non-members: expect ~0.2% FPs at 16 bits/key, k=7; allow generous slack
+    val fps = (1L to 20000L).count(k => GraftBloom.mightContain(bytes, -k))
+    assert(fps < 200, s"false-positive rate too high: $fps / 20000")
+  }
+
+  test("bloomPrunedSemiJoin: identical rows to the plain semi join, even undersized") {
+    val orders = graft.core.Tables.load(spark, sf, "orders")
+    val lineitem = graft.core.Tables.load(spark, sf, "lineitem")
+    val build = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    val plain = lineitem.join(
+      build, col("l_orderkey") === col("o_orderkey"), "left_semi")
+    // a deliberately tiny filter (64 bits for ~hundreds of keys) floods the
+    // probe with false positives — the exact join must still remove them all
+    for (bits <- Seq(64, 1 << 20)) {
+      val pruned = Joins.bloomPrunedSemiJoin(
+        lineitem, build, "l_orderkey", "o_orderkey", numBits = bits)
+      assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty,
+        s"bloom-pruned semi join diverged at numBits=$bits")
+    }
+  }
+
+  test("bloomPrunedSemiJoin: probe filter sits in the plan before the semi join") {
+    val orders = graft.core.Tables.load(spark, sf, "orders")
+    val lineitem = graft.core.Tables.load(spark, sf, "lineitem")
+    val build = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    val plan = Joins.bloomPrunedSemiJoin(
+      lineitem, build, "l_orderkey", "o_orderkey")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bloom_contains"),
+      s"bloom probe missing from the plan:\n$plan")
+    assert(plan.contains("LeftSemi"), s"exact semi join missing:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
+  }
 }

@@ -83,6 +83,15 @@ class PlanSpec extends SparkSpec {
       s"expected exactly 7 date partitions scanned, got $scanned")
   }
 
+  test("a22 stats aggregate is pushed into the parquet scan (footer-only)") {
+    val df = SparkEntry.queries("a22_metadata_stats")(spark, sf)
+    val p = formatted(df)
+    val pushed = p.linesIterator.filter(_.contains("PushedAggregation")).mkString
+    assert(pushed.contains("COUNT(*)") && pushed.contains("MIN(l_orderkey)") &&
+      pushed.contains("MAX(l_extendedprice)"),
+      s"aggregate not pushed to the scan (expected footer-only metadata pass):\n$p")
+  }
+
   test("k1 ranking is the bounded top-k aggregate — no window, no global per-query sort") {
     val p = plan("k1_topk_cosine")
     assert(!p.contains("Window"),

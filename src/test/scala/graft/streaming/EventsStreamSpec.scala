@@ -31,6 +31,22 @@ class EventsStreamSpec extends SparkSpec {
     assert(streamed.exceptAll(want).isEmpty && want.exceptAll(streamed).isEmpty)
   }
 
+  test("stream-static enrichment equals the batch dim join, across >=2 batches") {
+    val r = EventsStream.enrichReplay(spark, sf, "graft_spec_enrich")
+    assert(r.batches >= 2,
+      s"staged replay must run multiple micro-batches, got ${r.batches}")
+    val events = Tables.load(spark, sf, "events")
+    val dim = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val want = events.join(dim, col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        expr("CAST(round(value * 1000) AS BIGINT)").as("value_milli"),
+        col("c_name"), col("c_mktsegment"))
+    val streamed = r.frame
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(want).isEmpty && want.exceptAll(streamed).isEmpty)
+  }
+
   test("userRunningTotals: idle key expires after processing-time timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
