@@ -451,6 +451,12 @@ object SparkEntry {
     // (source, lang) curation summary (docs kept, paragraphs kept/dropped,
     // boilerplate-free docs). Each stage is an already-gated operator (x15,
     // d10); the composition is what a crawl-ingest job actually runs.
+    // Mixture construction: equal-share domain rebalancing to a ~26k-token
+    // budget (targets ~1300 tokens/domain at sf0.01: the scarce domains
+    // clip at rate 1, the dominant ones downsample — both paths exercised).
+    "p4_mixture_sample" -> ((s, dir) =>
+      graft.operators.TextAnalysis.mixtureSample(
+        t(s, dir, "documents"), budgetTokens = 26000L)),
     "p3_crawl_curation" -> ((s, dir) => {
       val injected = t(s, dir, "documents")
         .withColumn("text", expr(boilerplateInjectExpr))
@@ -1151,6 +1157,19 @@ object SparkEntry {
         "CAST(sum(pd.n_kept) AS BIGINT) AS n_kept, " +
         "CAST(sum(CASE WHEN pd.n_kept = pd.n_paras THEN 1 ELSE 0 END) AS BIGINT) AS n_clean_docs " +
         "FROM pd JOIN capped c ON pd.doc_id = c.doc_id GROUP BY 1, 2"),
+    // p4: rate = min(1, (budget/n_domains)/domain_tokens) with the SAME
+    // double-division order as the Spark side; keep iff the first 8 md5 hex
+    // digits of the id, over 2^32, fall under the domain's rate.
+    "p4_mixture_sample" ->
+      ("WITH tok AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens " +
+        "FROM documents), " +
+        "tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS domain_tokens FROM tok GROUP BY 1), " +
+        "n AS (SELECT count(*) AS n_domains FROM tot), " +
+        "r AS (SELECT source, least(1.0, CAST(26000 AS DOUBLE) / n_domains / domain_tokens) AS rate " +
+        "FROM tot, n) " +
+        "SELECT t.doc_id, t.source, t.n_tokens FROM tok t JOIN r ON t.source = r.source " +
+        "WHERE CAST(('0x' || substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE) " +
+        "/ 4294967296.0 < r.rate"),
     // x7's winnow chain + x11's split thresholds, joined on fingerprint.
     "p2_contamination" ->
       ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +

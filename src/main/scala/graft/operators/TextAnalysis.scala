@@ -453,4 +453,48 @@ object TextAnalysis {
     else kept.join(docs.select((idCol +: payload).map(col): _*), idCol)
       .select((Seq(idCol, domainCol) ++ payload).map(col): _*)
   }
+
+  /** Domain-weighted mixture sampling to a token budget: build a training
+    * mixture of ~`budgetTokens` whitespace tokens with every domain given
+    * an EQUAL token share (the Pile/DoReMi-style rebalancing move — upweight
+    * scarce domains, downsample dominant ones). Per domain: target =
+    * budget / n_domains, sampling rate = min(1, target / domain_tokens),
+    * and a document is kept iff the uniform hash of its id falls under the
+    * domain's rate — selection is a pure function of (doc_id, corpus
+    * composition), so the sample is reproducible run-to-run and engine-to-
+    * engine (the p4 oracle replays it in SQL), and a re-run over a grown
+    * corpus keeps maximal overlap with the previous sample (rates drift,
+    * but each doc's hash never changes — unlike any RNG-based sampler).
+    *
+    * Shape at 100 TB: one partial-aggregated shuffle of |domains| rows for
+    * the totals, a broadcast of the |domains|-row rate table back onto the
+    * corpus, and a map-side filter — the corpus itself never shuffles. The
+    * uniform hash is the first 8 hex digits of md5(id) over 2³², the same
+    * deterministic-sampling primitive the stratified sampler (a14) and the
+    * IVF training sample (k3) use.
+    */
+  def mixtureSample(
+      docs: DataFrame,
+      budgetTokens: Long,
+      domainCol: String = "source",
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(budgetTokens > 0, "mixtureSample requires a positive token budget")
+    val tok = docs.select(
+      col(idCol), col(domainCol),
+      expr(s"CAST(size(split($textCol, ' ')) AS BIGINT)").as("n_tokens"))
+    val totals = tok.groupBy(col(domainCol))
+      .agg(sum(col("n_tokens")).as("domain_tokens"))
+    val rates = totals
+      .crossJoin(broadcast(totals.agg(count(lit(1)).as("n_domains"))))
+      .withColumn("rate",
+        least(lit(1.0),
+          lit(budgetTokens).cast("double") / col("n_domains") / col("domain_tokens")))
+      .select(col(domainCol), col("rate"))
+    tok.join(broadcast(rates), domainCol)
+      .filter(
+        expr(s"CAST(CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 8), 16, 10) AS BIGINT) AS DOUBLE)")
+          / lit(4294967296.0) < col("rate"))
+      .select(col(idCol), col(domainCol), col("n_tokens"))
+  }
 }

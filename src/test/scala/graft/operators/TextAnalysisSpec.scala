@@ -287,4 +287,27 @@ class TextAnalysisSpec extends SparkSpec {
     ).toDF("doc_id", "text")).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(clean(3L) == 0L, "disjoint test doc must have zero contamination")
   }
+
+  test("mixtureSample: over-budget keeps the whole corpus; tight budget downsamples; deterministic") {
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+    val tokens = docs.selectExpr("doc_id", "source",
+      "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens")
+    val totalDocs = tokens.count()
+    val totalTokens = tokens.agg(sum("n_tokens")).collect()(0).getLong(0)
+    val nDomains = tokens.select("source").distinct().count()
+    // budget >= n_domains * max(domain total): every rate clips at 1
+    val maxDomain = tokens.groupBy("source").agg(sum("n_tokens").as("t"))
+      .agg(max("t")).collect()(0).getLong(0)
+    val all = TextAnalysis.mixtureSample(docs, maxDomain * nDomains)
+    assert(all.count() == totalDocs, "over-budget sample must keep every doc")
+    // tight budget (~1/4 of the corpus): the sample must actually shrink,
+    // and every domain must still be within its own total
+    val tight = TextAnalysis.mixtureSample(docs, math.max(1L, totalTokens / 4))
+    val keptTokens = tight.agg(coalesce(sum("n_tokens"), lit(0L)))
+      .collect()(0).getLong(0)
+    assert(keptTokens < totalTokens, "tight budget failed to downsample")
+    // deterministic: a second run selects the identical doc set
+    val again = TextAnalysis.mixtureSample(docs, math.max(1L, totalTokens / 4))
+    assert(tight.exceptAll(again).isEmpty && again.exceptAll(tight).isEmpty)
+  }
 }
