@@ -623,6 +623,11 @@ object SparkEntry {
     "k3_ivf_topk" -> ((s, dir) =>
       graft.operators.Similarity.ivfTopKCosine(
         t(s, dir, "embeddings"), queryIds = Seq(0L, 1L, 2L), k = 10)),
+    // PQ ANN: trained per-subspace codebooks, integer-ADC shortlist, exact
+    // re-rank — the memory-bounded index shape (m bytes/vector, not dim·4).
+    "k4_pq_topk" -> ((s, dir) =>
+      graft.operators.Similarity.pqTopKCosine(
+        t(s, dir, "embeddings"), queryIds = Seq(0L, 1L, 2L), k = 10)),
     // ---- §2.1/§2.3 catalog + CSV semantics ----
     // DESCRIBE parity: ClickHouse-ish type names from the parquet schema
     // (rows-only check: DuckDB has no equivalent type-name surface).
@@ -1531,6 +1536,51 @@ object SparkEntry {
         "SELECT query_id, id AS neighbor_id, cos, " +
         "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rank FROM s) " +
         "WHERE rank <= 10"),
+    // k4: PQ replayed in SQL — normalize, chop into 8 subspaces, seed 16
+    // codes by md5(id) order, TWO Lloyd iterations over the 1/8 hash sample
+    // (micro-quantized means, empty cells keep their centroid), encode the
+    // full corpus, integer-ADC via the query lookup table, top-100
+    // shortlist (adc asc, id asc — graft_topk semantics), exact re-rank.
+    "k4_pq_topk" ->
+      ("WITH v AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM " +
+        "embeddings), vn AS (SELECT id, list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> " +
+        "y * y)))) AS v FROM v), sv AS (SELECT id, s AS sub, list_slice(v, s * 8 + 1, s * 8 + 8) AS sv " +
+        "FROM vn, unnest(generate_series(0, 7)) AS t(s)), svt AS (SELECT * FROM sv WHERE md5(CAST(id AS " +
+        "VARCHAR)) < '2'), sid AS (SELECT id FROM v ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 16), c0 " +
+        "AS (SELECT sv.sub, sv.id AS cid, sv.sv AS cv FROM sv JOIN sid ON sv.id = sid.id), ad0 AS " +
+        "(SELECT svt.id, svt.sub, c.cid, list_sum(list_transform(generate_series(1, 8), i -> (svt.sv[i] " +
+        "- c.cv[i]) * (svt.sv[i] - c.cv[i]))) AS d2 FROM svt JOIN c0 c ON svt.sub = c.sub), as0 AS " +
+        "(SELECT id, sub, cid FROM (SELECT id, sub, cid, row_number() OVER (PARTITION BY id, sub ORDER " +
+        "BY d2 ASC, cid ASC) AS rn FROM ad0) WHERE rn = 1), u0 AS (SELECT a.sub, a.cid, d, " +
+        "sum(CAST(floor(svt.sv[d] * 1000000) AS BIGINT)) AS s, count(*) AS n FROM svt JOIN as0 a ON " +
+        "svt.id = a.id AND svt.sub = a.sub, unnest(generate_series(1, 8)) AS t(d) GROUP BY a.sub, a.cid, " +
+        "d), m0 AS (SELECT sub, cid, list(CAST(s AS DOUBLE) / (n * 1000000.0) ORDER BY d) AS nv FROM u0 " +
+        "GROUP BY sub, cid), c1 AS (SELECT c.sub, c.cid, coalesce(m.nv, c.cv) AS cv FROM c0 c LEFT JOIN " +
+        "m0 m ON c.sub = m.sub AND c.cid = m.cid), ad1 AS (SELECT svt.id, svt.sub, c.cid, " +
+        "list_sum(list_transform(generate_series(1, 8), i -> (svt.sv[i] - c.cv[i]) * (svt.sv[i] - " +
+        "c.cv[i]))) AS d2 FROM svt JOIN c1 c ON svt.sub = c.sub), as1 AS (SELECT id, sub, cid FROM " +
+        "(SELECT id, sub, cid, row_number() OVER (PARTITION BY id, sub ORDER BY d2 ASC, cid ASC) AS rn " +
+        "FROM ad1) WHERE rn = 1), u1 AS (SELECT a.sub, a.cid, d, sum(CAST(floor(svt.sv[d] * 1000000) AS " +
+        "BIGINT)) AS s, count(*) AS n FROM svt JOIN as1 a ON svt.id = a.id AND svt.sub = a.sub, " +
+        "unnest(generate_series(1, 8)) AS t(d) GROUP BY a.sub, a.cid, d), m1 AS (SELECT sub, cid, " +
+        "list(CAST(s AS DOUBLE) / (n * 1000000.0) ORDER BY d) AS nv FROM u1 GROUP BY sub, cid), c2 AS " +
+        "(SELECT c.sub, c.cid, coalesce(m.nv, c.cv) AS cv FROM c1 c LEFT JOIN m1 m ON c.sub = m.sub AND " +
+        "c.cid = m.cid), ed AS (SELECT sv.id, sv.sub, c.cid, list_sum(list_transform(generate_series(1, " +
+        "8), i -> (sv.sv[i] - c.cv[i]) * (sv.sv[i] - c.cv[i]))) AS d2 FROM sv JOIN c2 c ON sv.sub = " +
+        "c.sub), enc AS (SELECT id, sub, cid AS code FROM (SELECT id, sub, cid, row_number() OVER " +
+        "(PARTITION BY id, sub ORDER BY d2 ASC, cid ASC) AS rn FROM ed) WHERE rn = 1), qd AS (SELECT " +
+        "q.id AS query_id, q.sub, c.cid AS code, CAST(floor(list_sum(list_transform(generate_series(1, " +
+        "8), i -> (q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i]))) * 1000000) AS BIGINT) AS dm FROM sv q JOIN " +
+        "c2 c ON q.sub = c.sub WHERE q.id < 3), adc AS (SELECT qd.query_id, e.id, sum(qd.dm) AS adc FROM " +
+        "enc e JOIN qd ON e.sub = qd.sub AND e.code = qd.code WHERE e.id != qd.query_id GROUP BY 1, 2), " +
+        "cand AS (SELECT query_id, id FROM (SELECT query_id, id, row_number() OVER (PARTITION BY " +
+        "query_id ORDER BY adc ASC, id ASC) AS rn FROM adc) WHERE rn <= 100), s AS (SELECT c.query_id, " +
+        "c.id, list_sum(list_transform(generate_series(1, 64), i -> av.v[i] * qv.v[i])) / " +
+        "(sqrt(list_sum(list_transform(av.v, x -> x * x))) * sqrt(list_sum(list_transform(qv.v, x -> x * " +
+        "x)))) AS cos FROM cand c JOIN v av ON c.id = av.id JOIN v qv ON c.query_id = qv.id) SELECT " +
+        "query_id, neighbor_id, round(cos, 6) AS cosine, rank FROM (SELECT query_id, id AS neighbor_id, " +
+        "cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rank FROM s) WHERE rank " +
+        "<= 10"),
     "c1_list_tables" ->
       ("SELECT * FROM (VALUES ('customer'),('documents'),('embeddings'),('events')," +
         "('lineitem'),('nation'),('orders'),('part'),('region'),('supplier')) AS t(table_name)"),

@@ -227,4 +227,134 @@ object Similarity {
       .distinct()
     rerank(cand, v, queryIds, k)
   }
+
+  /** Split (id, v) into per-subspace rows (id, sub, sv): sub ∈ [0, m),
+    * sv = the subDim-length slice of v starting at sub·subDim.
+    */
+  private def subvectors(df: DataFrame, m: Int, subDim: Int): DataFrame =
+    df.select(col("id"), expr(
+      s"""explode(transform(sequence(0, ${m - 1}),
+            s -> struct(s AS sub, slice(v, s * $subDim + 1, $subDim) AS sv)))""").as("e"))
+      .select(col("id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+
+  /** Squared-L2 between the row's `sv` and `cv` columns: ascending-index
+    * fold, so Spark's HOF evaluation and DuckDB's `list_sum(list_transform)`
+    * produce bit-identical doubles (the same portability contract as
+    * [[graft.functions.DotProduct]]).
+    */
+  private val subL2: String =
+    "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, p) -> acc + p)"
+
+  /** Product quantization (PQ) approximate top-k: vectors are chopped into
+    * `m` subspaces; each subspace gets its own `nCodes`-entry codebook
+    * (trained Lloyd, like the IVF index); a corpus vector is stored as just
+    * its m code ids. A query precomputes an m × nCodes distance lookup
+    * table, scores every corpus vector by the INTEGER sum of m table
+    * lookups (asymmetric distance, ADC), keeps the `k·candMult` best per
+    * query with the bounded [[graft.functions.TopKByScore]] aggregate, and
+    * exact-re-ranks only those by true cosine.
+    *
+    * Why this exists next to IVF/LSH: PQ bounds MEMORY, not just candidate
+    * volume — m codes ≈ m bytes per vector vs dim·4 raw (32× here), so the
+    * scannable index for a 100 TB embedding corpus fits a cluster's RAM.
+    * The scale shape: codebooks are bounded driver state (m·nCodes·subDim
+    * doubles — the k3 centroid contract), training scans only the 1/8 hash
+    * sample, encoding is one corpus pass whose (id, sub) partial aggregates
+    * collapse map-side (the code table is built ONCE, then persisted in a
+    * real deployment), and the query-time LUT join broadcasts
+    * |queries|·m·nCodes rows — the corpus never shuffles its vectors, and
+    * no stage holds more than k·candMult ids per query.
+    *
+    * Determinism/oracle: subspace distances are ascending-index folds;
+    * assignment ties break on the smaller cid (`min_by(cid, struct(d2,
+    * cid))`); per-subspace query distances are floor-micro-quantized to
+    * BIGINT before the ADC sum, so the sum is associative integer math any
+    * engine reproduces — the k4 oracle replays training, encoding, ADC and
+    * re-rank in SQL.
+    */
+  def pqTopKCosine(
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      k: Int = 10,
+      m: Int = 8,
+      nCodes: Int = 16,
+      nIter: Int = 2,
+      candMult: Int = 10,
+      dim: Int = 64): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+    val subDim = dim / m
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val v = asVectors(embeddings)
+    // cosine metric ⇒ L2-normalize BEFORE chopping: on unit vectors
+    // ‖a−b‖² = 2 − 2·cos, so the subspace-decomposed L2 the codebooks
+    // quantize is monotone in the cosine the re-rank targets (without this
+    // the ADC ordering mixes in vector norms and recall collapses)
+    val vn = v.select(col("id"),
+      expr("transform(v, x -> x / sqrt(graft_dot(v, v)))").as("v"))
+    val sv = subvectors(vn, m, subDim)
+    // training sample + seeds: the k3 conventions (md5 hash sample; seeds
+    // by md5 order over the FULL corpus so tiny corpora still seed fully)
+    val svt = sv.filter(md5(col("id").cast("string")) < lit("2"))
+    val seedIds = v.orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(nCodes).select(col("id").as("cid"))
+    val seeds = sv.join(broadcast(seedIds), sv("id") === seedIds("cid"))
+      .select(col("sub"), col("cid"), col("sv").as("cv"))
+
+    // one Lloyd iteration over every subspace at once (keyed by (sub, cid)):
+    // nearest-code assignment, then micro-quantized integer means; empty
+    // cells keep their previous centroid via the LEFT join
+    def lloydSub(cents: DataFrame): DataFrame = {
+      val assign = svt.join(broadcast(cents), "sub")
+        .withColumn("d2", expr(subL2))
+        .groupBy(col("id"), col("sub"))
+        .agg(expr("min_by(cid, struct(d2, cid))").as("cid"))
+      val sums = svt.join(assign, Seq("id", "sub"))
+        .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("d", "x")))
+        .groupBy("sub", "cid", "d")
+        .agg(
+          sum(expr("CAST(floor(x * 1000000) AS BIGINT)")).as("s"),
+          count(lit(1)).as("n"))
+      val means = sums.groupBy("sub", "cid")
+        .agg(expr(
+          """transform(
+               array_sort(collect_list(struct(d, CAST(s AS DOUBLE) / (n * 1000000.0D) AS mv))),
+               p -> p.mv)""").as("nv"))
+      cents.join(means, Seq("sub", "cid"), "left")
+        .select(col("sub"), col("cid"), coalesce(col("nv"), col("cv")).as("cv"))
+    }
+    // bounded driver state per round: m · nCodes · subDim doubles
+    def materialize(cents: DataFrame): DataFrame = {
+      val spark = cents.sparkSession
+      val rows = cents.select(col("sub"), col("cid"), col("cv")).collect().toIndexedSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), cents.schema)
+    }
+    val codebook = broadcast(
+      (0 until nIter).foldLeft(materialize(seeds))((c, _) =>
+        materialize(lloydSub(c))))
+
+    // encode the FULL corpus: one pass; the (id, sub) regroup collapses
+    // map-side (all m rows of an id originate in the same partition)
+    val codes = sv.join(codebook, "sub")
+      .withColumn("d2", expr(subL2))
+      .groupBy(col("id"), col("sub"))
+      .agg(expr("min_by(cid, struct(d2, cid))").as("code"))
+    // query LUT: micro-quantized distance to EVERY (sub, cid)
+    val qd = broadcast(
+      subvectors(vn.filter(col("id").isin(queryIds: _*)), m, subDim)
+        .withColumnRenamed("id", "query_id")
+        .join(codebook, "sub")
+        .select(col("query_id"), col("sub"), col("cid").as("code"),
+          expr(s"CAST(floor($subL2 * 1000000) AS BIGINT)").as("d_micro")))
+    // ADC score: associative integer sum of the m lookups
+    val adc = codes.join(qd, Seq("sub", "code"))
+      .filter(col("id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("d_micro")).as("adc"))
+    // bounded per-query shortlist: smallest ADC first (score = −adc)
+    val cand = adc
+      .groupBy("query_id")
+      .agg(expr(s"graft_topk(CAST(-adc AS DOUBLE), id, ${k * candMult})").as("tk"))
+      .select(col("query_id"), explode(col("tk.id")).as("id"))
+    rerank(cand, v, queryIds, k)
+  }
 }

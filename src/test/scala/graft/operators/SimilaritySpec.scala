@@ -50,6 +50,20 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall@10 = $recall below floor (nProbe=8/32 cells)")
   }
 
+  test("PQ top-k: k rows per query; recall against exact baseline; deterministic") {
+    val pq = Similarity.pqTopKCosine(emb, queries, k = 10).cache()
+    val perQuery = pq.groupBy("query_id").count().collect()
+    assert(perQuery.length == queries.length && perQuery.forall(_.getLong(1) == 10))
+    val exact = Similarity.topKCosine(emb, queries, k = 10)
+      .select("query_id", "neighbor_id")
+    val hit = exact.intersect(pq.select("query_id", "neighbor_id")).count()
+    val recall = hit.toDouble / exact.count()
+    assert(recall >= 0.6, s"PQ recall@10 = $recall below floor (m=8, 16 codes)")
+    // idempotent training + selection: a rerun reproduces the ranking
+    val again = Similarity.pqTopKCosine(emb, queries, k = 10)
+    assert(pq.exceptAll(again).isEmpty && again.exceptAll(pq).isEmpty)
+  }
+
   test("IVF Lloyd training does not lose recall vs the untrained index") {
     // measured at sf0.01 over 30 queries so the comparison is out of the
     // small-sample noise floor (3 queries at sf0.001 swing ±0.1 either
