@@ -276,6 +276,16 @@ object SparkEntry {
           lit(0.0).as("c_acctbal"))
       graft.operators.Joins.upsert(base, upd.unionByName(ins), "c_custkey")
     }),
+    // SCD Type-2 historization: the events change stream becomes versioned
+    // (user_id, event_type) dimension rows with validity ranges; consecutive
+    // same-type deliveries collapse, same-ts versions resolve by event_id.
+    "j7_scd2" -> ((s, dir) =>
+      graft.operators.Joins.scd2Historize(
+        t(s, dir, "events"), "user_id", "ts", "event_id", Seq("event_type"))
+        .selectExpr("user_id", "event_type",
+          "unix_micros(effective_from) AS from_micros",
+          "unix_micros(effective_to) AS to_micros",
+          "CAST(is_current AS INT) AS is_current")),
     // Bloom-pruned semi join: urgent-order lineitems via a build-side Bloom
     // filter probed BEFORE the fact shuffle (false positives removed by the
     // exact semi join, so values equal the plain semi join — the oracle).
@@ -530,6 +540,9 @@ object SparkEntry {
       graft.operators.TextAnalysis.tokenCounts(t(s, dir, "documents"))),
     "x7_winnow" -> ((s, dir) =>
       graft.operators.TextAnalysis.winnow(t(s, dir, "documents"))),
+    // Unigram corpus-frequency quality (exact-math perplexity stand-in).
+    "x18_unigram_quality" -> ((s, dir) =>
+      graft.operators.TextAnalysis.unigramQuality(t(s, dir, "documents"))),
     // Top-k corpus terms per language, linear-idf tf·idf (exact int math).
     "x9_tfidf_terms" -> ((s, dir) =>
       graft.operators.TextAnalysis.topTermsTfIdf(t(s, dir, "documents"))),
@@ -937,6 +950,27 @@ object SparkEntry {
         "CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name ELSE b.c_name END AS c_name, " +
         "CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal ELSE b.c_acctbal END AS c_acctbal " +
         "FROM base b FULL JOIN u ON b.c_custkey = u.c_custkey"),
+    // j7: change-collapse (IS DISTINCT FROM prev) then ranges via lead();
+    // zero-width same-ts versions drop, the last same-ts change wins.
+    "j7_scd2" ->
+      ("WITH l AS (SELECT user_id, ts, event_id, event_type, " +
+        "lag(event_type) OVER w AS prev_type, lag(ts) OVER w AS prev_ts " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "v AS (SELECT user_id, ts, event_id, event_type FROM l " +
+        "WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_type), " +
+        "r AS (SELECT user_id, event_type, ts AS ef, " +
+        "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS et FROM v) " +
+        "SELECT user_id, event_type, epoch_us(ef) AS from_micros, epoch_us(et) AS to_micros, " +
+        "CAST(et IS NULL AS INT) AS is_current FROM r WHERE et IS NULL OR ef != et"),
+    // x18: LEFT join to the >=2-count vocabulary; integer floor-div micros.
+    "x18_unigram_quality" ->
+      ("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "v AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1 HAVING count(*) >= 2), " +
+        "j AS (SELECT t.doc_id, v.cnt FROM t LEFT JOIN v ON t.tok = v.tok) " +
+        "SELECT doc_id, count(*) AS n_tokens, " +
+        "CAST(CAST(sum(coalesce(cnt, 0)) AS BIGINT) * 1000000 // count(*) AS BIGINT) AS freq_micro, " +
+        "CAST(sum(CASE WHEN cnt IS NULL THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS oov_micro " +
+        "FROM j GROUP BY 1"),
     // j6: values are the PLAIN semi join — the Bloom prune is a physical
     // optimization whose false positives the exact join removes.
     "j6_bloom_semi" ->

@@ -170,6 +170,55 @@ object Joins {
     l.join(r, Seq(keyCol, "__salt")).drop("__salt")
   }
 
+  /** SCD Type-2 historization: turn a change stream (key, ts, attributes)
+    * into versioned dimension rows with [effective_from, effective_to)
+    * validity ranges — `effective_to` NULL marks the current version. The
+    * standard warehouse move for "what did this dimension row look like
+    * when the fact happened" (the as-of join J1 then consumes exactly this
+    * shape). Complements J3/ST8, which keep only the latest version (SCD1).
+    *
+    * Consecutive duplicate versions are collapsed: a change row that
+    * repeats the previous row's attributes verbatim opens no new version
+    * (at-least-once delivery of the same snapshot must not fragment
+    * history). Comparison is null-safe per attribute (`<=>`).
+    *
+    * Determinism: rows are ordered per key by (ts, seq) where `seqCol` is
+    * unique per key — ties at the same timestamp resolve by seq, and the
+    * LAST of same-ts changes wins the open version (its predecessors get
+    * zero-width [ts, ts) ranges, dropped by the width filter).
+    *
+    * Shape at 100 TB: ONE shuffle on the key; both windows (change
+    * detection + range close) share the same (key, ts, seq) sort, so
+    * Catalyst plans a single Sort + two Window passes streamed per key
+    * partition — state is one previous row, never a per-key buffer.
+    */
+  def scd2Historize(
+      changes: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      seqCol: String,
+      attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "scd2Historize requires at least one attribute")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(seqCol))
+    val changed = attrCols
+      .map(a => !(col(a) <=> lag(col(a), 1).over(w)))
+      .reduce(_ || _) || lag(col(tsCol), 1).over(w).isNull
+    val versions = changes
+      .withColumn("__new_version", changed)
+      .filter(col("__new_version"))
+      .drop("__new_version")
+    val w2 = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(seqCol))
+    versions
+      .withColumn("effective_from", col(tsCol))
+      .withColumn("effective_to", lead(col(tsCol), 1).over(w2))
+      // zero-width versions (several distinct versions at one ts): only the
+      // last survives; [t, t) ranges can never match an as-of probe
+      .filter(col("effective_to").isNull || col("effective_from") =!= col("effective_to"))
+      .withColumn("is_current", col("effective_to").isNull)
+      .select((keyCol +: attrCols).map(col) ++ Seq(
+        col("effective_from"), col("effective_to"), col("is_current")): _*)
+  }
+
   /** Bloom-pruned semi join: semi-join reduction for the case where the
     * build side is too large to broadcast as a hash relation but its KEY SET
     * compresses into a fixed-size Bloom filter. The build side aggregates

@@ -454,6 +454,46 @@ object TextAnalysis {
       .select((Seq(idCol, domainCol) ++ payload).map(col): _*)
   }
 
+  /** Unigram corpus-frequency quality score: how "ordinary" a document's
+    * vocabulary is relative to the corpus it lives in — the exact-math
+    * stand-in for unigram-LM perplexity filtering (CCNet's quality axis).
+    * Gibberish, OCR noise and boilerplate-free junk score LOW (their tokens
+    * are rare corpus-wide); stopword-y prose scores high. Emitted per doc:
+    * token count, mean corpus frequency of its tokens (micro-units) and the
+    * out-of-vocabulary ratio (tokens below `minCount` occurrences).
+    *
+    * All integer math — token counts, integer-division micro quantization —
+    * so the score is engine-exact (no log(), whose last-bit behavior is
+    * libm-specific and would break value-gating; the frequency mean ranks
+    * documents the same way a unigram logprob does for filtering purposes).
+    *
+    * Shape at 100 TB: one token-count aggregation (map-side combined — the
+    * zipfian head collapses in the partials), the `>= minCount` vocabulary
+    * is bounded (Heaps' law keeps distinct-above-threshold tokens far below
+    * corpus size) and BROADCAST back, so scoring is map-only and each doc's
+    * token rows collapse map-side in the per-doc sum. Nothing quadratic,
+    * nothing driver-side.
+    */
+  def unigramQuality(
+      docs: DataFrame,
+      minCount: Int = 2,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+    val vocab = toks.groupBy("tok")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("cnt"), lit(0L))).as("__sum_cnt"),
+        sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("__n_oov"))
+      .select(col(idCol), col("n_tokens"),
+        expr("__sum_cnt * 1000000L div n_tokens").as("freq_micro"),
+        expr("__n_oov * 1000000L div n_tokens").as("oov_micro"))
+  }
+
   /** Domain-weighted mixture sampling to a token budget: build a training
     * mixture of ~`budgetTokens` whitespace tokens with every domain given
     * an EQUAL token share (the Pile/DoReMi-style rebalancing move — upweight

@@ -183,6 +183,32 @@ class JoinsSpec extends SparkSpec {
     assert(plan.contains("Window"))
   }
 
+  test("scd2Historize: dup collapse, validity ranges, same-ts last-wins, null-safe attrs") {
+    import spark.implicits._
+    val changes = Seq(
+      (1L, 10L, 1L, Some("a")),  // opens a
+      (1L, 20L, 2L, Some("a")),  // duplicate delivery -> collapsed
+      (1L, 30L, 3L, Some("b")),  // a->b: a closes at 30
+      (2L, 10L, 4L, Some("x")),  // same-ts pair: y (higher seq) wins,
+      (2L, 10L, 5L, Some("y")),  //   x's zero-width version drops
+      (3L, 10L, 6L, None),       // null attr opens a version
+      (3L, 20L, 7L, None),       // null <=> null -> collapse
+      (3L, 30L, 8L, Some("z"))
+    ).toDF("k", "sec", "seq", "attr")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val out = Joins.scd2Historize(changes, "k", "ts", "seq", Seq("attr"))
+      .selectExpr("k", "attr", "unix_seconds(effective_from) AS ef",
+        "unix_seconds(effective_to) AS et", "is_current")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("<null>"),
+        r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+      .toSet
+    assert(out == Set(
+      (1L, "a", 10L, 30L, false), (1L, "b", 30L, -1L, true),
+      (2L, "y", 10L, -1L, true),
+      (3L, "<null>", 10L, 30L, false), (3L, "z", 30L, -1L, true)))
+  }
+
   test("bloom kernel: no false negatives, FP rate near design point") {
     import graft.functions.GraftBloom
     val numBits = 1 << 14 // 16384 bits for 1000 keys ≈ 16 bits/key

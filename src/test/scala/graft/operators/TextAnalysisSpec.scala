@@ -288,6 +288,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(clean(3L) == 0L, "disjoint test doc must have zero contamination")
   }
 
+  test("unigramQuality: common vocabulary outranks rare; pure-OOV doc scores zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat"),
+      (3L, "zxq qwv bnm")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramQuality(docs, minCount = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // vocab (>=2 corpus occurrences): the=3, cat=2, sat=2
+    assert(out(2L) == ((3L, (3L + 2 + 2) * 1000000L / 3, 0L)))       // all in vocab
+    assert(out(1L) == ((6L, (3L + 2 + 2 + 0 + 3 + 0) * 1000000L / 6, 2 * 1000000L / 6)))
+    assert(out(3L) == ((3L, 0L, 1000000L)))                          // gibberish: all OOV
+    assert(out(2L)._2 > out(1L)._2 && out(1L)._2 > out(3L)._2)
+  }
+
   test("mixtureSample: over-budget keeps the whole corpus; tight budget downsamples; deterministic") {
     val docs = graft.core.Tables.load(spark, sf, "documents")
     val tokens = docs.selectExpr("doc_id", "source",
