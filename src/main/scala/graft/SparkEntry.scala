@@ -43,8 +43,31 @@ object SparkEntry {
   private val dedupIndexMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
+  private val streamedIndexMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
   /** Deterministic 1/16 md5 slice playing the newly-arrived d9 delta. */
   private val d9DeltaPredicate = "substring(md5(CAST(doc_id AS STRING)), 1, 1) = '0'"
+
+  /** Brute-force incremental-dedup truth (pairs touching the delta) —
+    * shared verbatim by d9 (batch-built index) and st11 (the SAME index
+    * maintained through the streaming engine): identical values are the
+    * point of the st11 entry.
+    */
+  private val d9OracleSql: String =
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "sh AS (SELECT doc_id, list(DISTINCT s) AS ss, count(DISTINCT s) AS n FROM (" +
+        "SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s " +
+        "FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)) GROUP BY doc_id), " +
+        "d AS (SELECT doc_id FROM documents " +
+        "WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'), " +
+        "p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+        "len(list_intersect(a.ss, b.ss)) AS i, " +
+        "a.n + b.n - len(list_intersect(a.ss, b.ss)) AS u " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) " +
+        "SELECT a_id, b_id, round(i * 1.0 / u, 6) AS jaccard FROM p " +
+        "WHERE i * 1.0 / u >= 0.6 " +
+        "AND (a_id IN (SELECT doc_id FROM d) OR b_id IN (SELECT doc_id FROM d))")
 
   /** Deterministic boilerplate injection shared by the d10 and p3 fixtures
     * (the synthetic docs are single-paragraph; these appended footers are
@@ -69,6 +92,19 @@ object SparkEntry {
       val path = graft.core.TempDirs.create("graft_d9_index")
       graft.operators.Dedup.writeIndex(
         t(s, dir, "documents").filter(!expr(d9DeltaPredicate)), path)
+      path
+    })
+
+  /** The SAME corpus index as [[d9IndexDir]], but maintained THROUGH the
+    * streaming engine: each micro-batch of arriving base documents is
+    * absorbed via `Dedup.appendToIndex` under a `batch=b<id>` fence
+    * (memoized once per (session, dir); >=2 micro-batches spec-asserted).
+    */
+  def st11IndexDir(s: SparkSession, dir: String): String =
+    streamedIndexMemo.computeIfAbsent((s, dir), _ => {
+      val path = graft.core.TempDirs.create("graft_st11_index")
+      graft.streaming.EventsStream.indexMaintainReplay(
+        s, dir, path, s"NOT ($d9DeltaPredicate)")
       path
     })
 
@@ -106,10 +142,10 @@ object SparkEntry {
     Seq(pairMemo, clusterMemo).foreach { m =>
       m.keySet.asScala.filter(_._1 eq s).toList.foreach(m.remove)
     }
-    dedupIndexMemo.keySet.asScala.filter(_._1 eq s).toList
-      .foreach { k =>
-        Option(dedupIndexMemo.remove(k)).foreach(graft.core.TempDirs.drop)
-      }
+    Seq(dedupIndexMemo, streamedIndexMemo).foreach { m =>
+      m.keySet.asScala.filter(_._1 eq s).toList
+        .foreach(k => Option(m.remove(k)).foreach(graft.core.TempDirs.drop))
+    }
   }
 
   private def resolver(s: SparkSession, dir: String): Exporter.Resolver =
@@ -226,6 +262,10 @@ object SparkEntry {
     "a22_metadata_stats" -> ((s, dir) =>
       graft.operators.Analytics.metadataStats(
         s, graft.core.Tables.path(dir, "lineitem"))),
+    // Time-RANGE moving window (trailing 30-day revenue) — the event-time
+    // frame a15's ROWS prefix sum can't express.
+    "a23_trailing_revenue" -> ((s, dir) =>
+      graft.operators.Analytics.trailingRevenue(t(s, dir, "orders"))),
     "a13_price_quantiles" -> ((s, dir) =>
       graft.operators.Analytics.priceQuantiles(t(s, dir, "orders"))),
     // Exact deterministic stratified sample (md5-order, per-stratum window).
@@ -444,6 +484,13 @@ object SparkEntry {
       graft.operators.Dedup.incrementalFromIndex(
         s, d9IndexDir(s, dir),
         t(s, dir, "documents").filter(expr(d9DeltaPredicate)))),
+    // The d9 contract with the index maintained THROUGH the streaming
+    // engine (foreachBatch absorbs, batch=b<id> exactly-once fences) —
+    // values must equal d9's exactly, so they share one oracle.
+    "st11_index_maintain" -> ((s, dir) =>
+      graft.operators.Dedup.incrementalFromIndex(
+        s, st11IndexDir(s, dir),
+        t(s, dir, "documents").filter(expr(d9DeltaPredicate)))),
     // Cross-corpus paragraph dedup (CCNet-style line dedup). The synthetic
     // docs are single-paragraph, so shared boilerplate paragraphs are
     // appended first (replayed identically in the oracle): every 3rd doc a
@@ -641,6 +688,10 @@ object SparkEntry {
     "k4_pq_topk" -> ((s, dir) =>
       graft.operators.Similarity.pqTopKCosine(
         t(s, dir, "embeddings"), queryIds = Seq(0L, 1L, 2L), k = 10)),
+    // kNN graph over ALL nodes (bucket-bounded candidates, bounded top-k
+    // rank) — the semantic-dedup / clustering primitive.
+    "k5_knn_graph" -> ((s, dir) =>
+      graft.operators.Similarity.knnGraph(t(s, dir, "embeddings"), k = 5)),
     // ---- §2.1/§2.3 catalog + CSV semantics ----
     // DESCRIBE parity: ClickHouse-ish type names from the parquet schema
     // (rows-only check: DuckDB has no equivalent type-name surface).
@@ -888,6 +939,14 @@ object SparkEntry {
         "count(*) AS n, " +
         "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_centi " +
         "FROM orders GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())"),
+    // a23: numeric range frame over epoch-micros (identical frame in both
+    // engines); centi-quantized integer sum (associative, order-free).
+    "a23_trailing_revenue" ->
+      ("SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS odate_micros, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER " +
+        "(PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate) " +
+        "RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_centi " +
+        "FROM orders"),
     // a22: the VALUES are a plain aggregate in any engine — what the Spark
     // side adds is the physical shape (footer-only PushedAggregation scan,
     // pinned in PlanSpec); DuckDB computes the same five numbers exactly.
@@ -1087,20 +1146,9 @@ object SparkEntry {
     // pairs that TOUCH the delta slice (md5 first hex digit '0' = the
     // newly-arrived generation) — corpus-internal pairs are excluded, they
     // were handled when the corpus was ingested.
-    "d9_incremental_dedup" ->
-      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
-        "sh AS (SELECT doc_id, list(DISTINCT s) AS ss, count(DISTINCT s) AS n FROM (" +
-        "SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s " +
-        "FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)) GROUP BY doc_id), " +
-        "d AS (SELECT doc_id FROM documents " +
-        "WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'), " +
-        "p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
-        "len(list_intersect(a.ss, b.ss)) AS i, " +
-        "a.n + b.n - len(list_intersect(a.ss, b.ss)) AS u " +
-        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) " +
-        "SELECT a_id, b_id, round(i * 1.0 / u, 6) AS jaccard FROM p " +
-        "WHERE i * 1.0 / u >= 0.6 " +
-        "AND (a_id IN (SELECT doc_id FROM d) OR b_id IN (SELECT doc_id FROM d))"),
+    "d9_incremental_dedup" -> d9OracleSql,
+    // st11: same truth as d9 — the streamed index must be value-identical.
+    "st11_index_maintain" -> d9OracleSql,
     // d10: globally-first paragraph occurrence survives, ordered by the
     // packed (doc_id, position) ordinal; docs re-assembled from survivors
     // in position order (empty string when everything was boilerplate).
@@ -1516,6 +1564,23 @@ object SparkEntry {
         "SELECT query_id, id AS neighbor_id, cos, " +
         "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rank FROM s) " +
         "WHERE rank <= 10"),
+    // k5: the k2 band replay with ALL nodes as queries — bucket-bounded
+    // pairs, cosine, per-node rank <= 5.
+    "k5_knn_graph" ->
+      ("WITH v AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM " +
+        "embeddings), hp AS (SELECT b, d, CASE WHEN substr(md5(CAST(b AS VARCHAR) || '_' || CAST(d AS " +
+        "VARCHAR)), 1, 1) < '8' THEN 1.0 ELSE -1.0 END AS sign FROM generate_series(0, 71) t(b), " +
+        "generate_series(0, 63) u(d)), bits AS (SELECT id, b, CASE WHEN sum(CAST(floor(sign * v.v[d + 1] " +
+        "* 10000000) AS BIGINT)) >= 0 THEN '1' ELSE '0' END AS bit FROM v, hp GROUP BY id, b), bands AS " +
+        "(SELECT id, b // 4 AS band, string_agg(bit, '' ORDER BY b) AS bkey FROM bits GROUP BY id, " +
+        "band), cand AS (SELECT DISTINCT a.id AS query_id, bd.id FROM bands a JOIN bands bd ON a.band = " +
+        "bd.band AND a.bkey = bd.bkey WHERE bd.id != a.id), s AS (SELECT c.query_id, c.id, " +
+        "list_sum(list_transform(generate_series(1, 64), i -> av.v[i] * qv.v[i])) / " +
+        "(sqrt(list_sum(list_transform(av.v, x -> x * x))) * sqrt(list_sum(list_transform(qv.v, x -> x * " +
+        "x)))) AS cos FROM cand c JOIN v av ON c.id = av.id JOIN v qv ON c.query_id = qv.id) SELECT " +
+        "query_id, neighbor_id, round(cos, 6) AS cosine, rank FROM (SELECT query_id, id AS neighbor_id, " +
+        "cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rank FROM s) WHERE rank " +
+        "<= 5"),
     // k3: IVF replayed in SQL — seed centroids = first 32 ids by md5(id)
     // order over the FULL corpus (robust to tiny corpora); training runs
     // over the deterministic hash sample vs (md5(id) hex < '2' ≈ 1/8 of

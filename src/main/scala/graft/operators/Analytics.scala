@@ -355,6 +355,34 @@ object Analytics {
     reached
   }
 
+  /** Trailing time-RANGE window aggregate: per-customer revenue over the
+    * last `days` days as of each order — the moving-window class a15's
+    * ROWS-frame prefix sum can't express (the frame is defined by event
+    * TIME, not row count: gaps shrink it, same-day peers share it). Ordered
+    * by integer epoch-micros with a numeric range frame so Spark and the
+    * oracle compute the identical frame; summed centi-quantized for exact
+    * integer accumulation in any order.
+    *
+    * Shape at 100 TB: one shuffle on the key; the range frame is a single
+    * ordered pass per key partition with a sliding two-pointer window —
+    * state is the in-frame slice, bounded by the densest `days` span, never
+    * the whole key history.
+    */
+  def trailingRevenue(orders: DataFrame, days: Int = 30): DataFrame = {
+    val micros = days.toLong * 86400L * 1000000L
+    // NTZ timestamps cast through TIMESTAMP under the UTC session the gates
+    // run with — identical to DuckDB's epoch_us on the naive value (a17)
+    val odateMicros = expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(odateMicros)
+      .rangeBetween(-micros, 0)
+    orders.select(
+      col("o_orderkey"), col("o_custkey"),
+      odateMicros.as("odate_micros"),
+      sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).over(w)
+        .as("trailing_centi"))
+  }
+
   /** Footer-only table statistics: COUNT(*)/MIN/MAX answered from parquet
     * row-group metadata via aggregate pushdown — the scan reads footers, not
     * data pages. At 100 TB this is the difference between a multi-minute

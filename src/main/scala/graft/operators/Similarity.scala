@@ -228,6 +228,39 @@ object Similarity {
     rerank(cand, v, queryIds, k)
   }
 
+  /** kNN-graph build: for EVERY corpus vector, its top-k cosine neighbors
+    * among the vectors sharing at least one hyperplane-LSH band bucket —
+    * the batch primitive under semantic dedup, embedding clustering and
+    * graph-based retrieval indexes (HNSW layers start from exactly this).
+    * [[annTopKCosine]] answers a few queries; this ranks ALL n nodes, so
+    * candidate generation must stay bucket-bounded: the band self-join
+    * yields O(Σ bucket²) slim pairs, never the n² cross product, and the
+    * per-node ranking is the bounded `graft_topk` aggregate — no window,
+    * no global sort, no stage holding more than k rows per node.
+    *
+    * Nodes whose buckets contain no other vector emit no rows (isolated
+    * graph nodes) — recall/edge-count trades via (bits, bands) exactly as
+    * in the query-time ANN.
+    */
+  def knnGraph(
+      embeddings: DataFrame,
+      k: Int = 5,
+      bits: Int = 72,
+      bands: Int = 18,
+      dim: Int = 64): DataFrame = {
+    val v = asVectors(embeddings)
+    val banded = Dedup.signBands(v, bits, bands, dim)
+    val pairs = banded.select(col("id").as("query_id"), col("band"), col("key"))
+      .join(banded.select(col("id"), col("band"), col("key")), Seq("band", "key"))
+      .filter(col("id") =!= col("query_id"))
+      .select("query_id", "id")
+      .distinct()
+    val scored = cosineCols(pairs
+      .join(v, "id")
+      .join(v.select(col("id").as("query_id"), col("v").as("qv")), "query_id"))
+    rankTopK(scored, k)
+  }
+
   /** Split (id, v) into per-subspace rows (id, sub, sv): sub ∈ [0, m),
     * sv = the subDim-length slice of v starting at sub·subDim.
     */

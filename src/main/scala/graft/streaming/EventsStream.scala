@@ -156,17 +156,9 @@ object EventsStream {
       xform(spark.read.parquet(s"$dir/events.parquet"))
         .repartitionByRange(n, col("ts"))
         .write.mode("overwrite").parquet(out)
-      // ascending mtimes pin the file-source processing order to time order
-      // (the source sorts by modification timestamp; same-ms ties would
-      // otherwise make batch boundaries nondeterministic)
-      val parts = Option(new java.io.File(out).listFiles())
-        .getOrElse(Array.empty[java.io.File]).toSeq
-        .filter(_.getName.startsWith("part-"))
-      val base = System.currentTimeMillis() - 3600L * 1000
-      parts.sortBy(_.getName).zipWithIndex.foreach { case (p, i) =>
-        java.nio.file.Files.setLastModifiedTime(
-          p.toPath, java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L))
-      }
+      // time-ordered files => the watermark after batch k is behind every
+      // row of batch k+1 (see doc above)
+      orderStagedFiles(out)
       out
     })
 
@@ -929,5 +921,81 @@ object EventsStream {
       StructField("value_milli", LongType),
       StructField("c_name", StringType),
       StructField("c_mktsegment", StringType)))).parquet(out), batchCount(q))
+  }
+
+  /** Schema of documents.parquet (for the staged streaming source). */
+  val docsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Multi-batch streaming source over a filtered slice of the documents
+    * table: `n` id-ordered staged files, one micro-batch each — the
+    * document-ingest twin of [[readEventsStaged]] (no event-time column, so
+    * files order by doc id and mtimes pin the processing order).
+    */
+  def readDocsStaged(spark: SparkSession, dir: String, filterSql: String): DataFrame = {
+    val n = spark.conf.get(ReplayFilesConf, "2").toInt
+    val staged = stagedDirs.computeIfAbsent((s"$dir#docs:$filterSql", n), _ => {
+      val out = tempDir("graft_stream_docs_")
+      spark.read.parquet(s"$dir/documents.parquet")
+        .filter(expr(filterSql))
+        .repartitionByRange(n, col("doc_id"))
+        .write.mode("overwrite").parquet(out)
+      orderStagedFiles(out)
+      out
+    })
+    spark.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", "part-*")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+  }
+
+  /** Ascending mtimes pin the file-source processing order (the source
+    * sorts by modification timestamp; same-ms ties would make batch
+    * boundaries nondeterministic).
+    */
+  private def orderStagedFiles(out: String): Unit = {
+    val parts = Option(new java.io.File(out).listFiles())
+      .getOrElse(Array.empty[java.io.File]).toSeq
+      .filter(_.getName.startsWith("part-"))
+    val base = System.currentTimeMillis() - 3600L * 1000
+    parts.sortBy(_.getName).zipWithIndex.foreach { case (p, i) =>
+      java.nio.file.Files.setLastModifiedTime(
+        p.toPath, java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L))
+    }
+  }
+
+  /** Streaming maintenance of the MinHash dedup index: each micro-batch of
+    * arriving documents is absorbed into the stored band-key/shingle-set
+    * index via [[graft.operators.Dedup.appendToIndex]] — the 24/7 front
+    * door that keeps incremental dedup (d9) O(delta) forever. foreachBatch
+    * hands the sink an at-least-once batch; the absorb writes land under
+    * `batch=b<id>` hive partitions (scoped overwrite), so a replayed batch
+    * rewrites its own partition — exactly-once index state, the same fence
+    * st8/st9 use. Returns the number of micro-batches absorbed; the index
+    * at `index` is the artifact.
+    */
+  def indexMaintainReplay(
+      spark: SparkSession,
+      dir: String,
+      index: String,
+      filterSql: String,
+      queryName: String = "graft_index_maintain_stream"): Long = {
+    val ss = streamSession(spark)
+    val ckpt = tempDir("graft_index_ckpt_")
+    val q = readDocsStaged(ss, dir, filterSql)
+      .writeStream
+      .queryName(queryName)
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        graft.operators.Dedup.appendToIndex(index, batch, s"b$bid"))
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    batchCount(q)
   }
 }

@@ -89,6 +89,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(df.count() == detail + statuses + 1)
   }
 
+  test("trailingRevenue: event-time frame (gaps shrink it), same-day peers share it") {
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    import spark.implicits._
+    val day = 86400L
+    val orders = Seq(
+      (1L, 7L, 0L * day, 100.0),   // day 0
+      (2L, 7L, 10L * day, 50.0),   // day 10: frame = {0, 10}
+      (3L, 7L, 50L * day, 25.0),   // day 50: 30-day frame excludes 0 and 10
+      (4L, 8L, 10L * day, 10.0),   // same-day peers: RANGE frame includes
+      (5L, 8L, 10L * day, 20.0)    //   both rows in both frames
+    ).toDF("o_orderkey", "o_custkey", "sec", "o_totalprice")
+      .withColumn("o_orderdate", timestamp_seconds(col("sec"))).drop("sec")
+    val out = Analytics.trailingRevenue(orders, days = 30)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out == Map(
+      1L -> 10000L, 2L -> 15000L, 3L -> 2500L,
+      4L -> 3000L, 5L -> 3000L))
+  }
+
   test("metadataStats: footer-pushed values equal a plain data-scan aggregate") {
     import org.apache.spark.sql.functions.{col, count, lit, max, min}
     val pushed = Analytics.metadataStats(spark, graft.core.Tables.path(sf, "lineitem"))

@@ -109,6 +109,38 @@ class PlanSpec extends SparkSpec {
       s"non-equi join in the incremental dedup plan:\n$p")
   }
 
+  test("j6 bloom probe is a plain filter (literal filter, no join for the probe)") {
+    val p = plan("j6_bloom_semi")
+    assert(p.contains("graft_bloom_contains"), s"bloom probe missing:\n$p")
+    // the filter must NOT reintroduce the one-row cross join that copied
+    // the 512 KB filter into every probe row (the round-7 j6 regression)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bloom probe regressed to a join:\n$p")
+  }
+
+  test("j7 SCD2 windows share one sort: a single exchange on the key") {
+    val p = plan("j7_scd2")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"SCD2 expected exactly one key shuffle, found $exchanges:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian leaked:\n$p")
+  }
+
+  test("k4 PQ: no window ranking, no cartesian; shortlist is the bounded aggregate") {
+    val p = plan("k4_pq_topk")
+    assert(!p.contains("Window"),
+      s"PQ ranking regressed to a window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian leaked:\n$p")
+    assert(p.contains("graft_topk"), s"bounded shortlist aggregate missing:\n$p")
+  }
+
+  test("p4 mixture sampling: rate table broadcast back, corpus never shuffles whole rows") {
+    val p = plan("p4_mixture_sample")
+    assert(p.contains("BroadcastHashJoin"), s"rate join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"corpus-side shuffle join leaked into the sampling plan:\n$p")
+  }
+
   test("d10 paragraph dedup: equi-joins only, ranking is aggregate min — no window") {
     val p = plan("d10_paragraph_dedup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -64,6 +64,26 @@ class SimilaritySpec extends SparkSpec {
     assert(pq.exceptAll(again).isEmpty && again.exceptAll(pq).isEmpty)
   }
 
+  test("knnGraph: <=k edges per node, no self-edges, ranks descend, edges beat exact floor") {
+    val g = Similarity.knnGraph(emb, k = 5).cache()
+    assert(g.filter(col("query_id") === col("neighbor_id")).count() == 0)
+    val per = g.groupBy("query_id").count().collect()
+    assert(per.forall(_.getLong(1) <= 5))
+    // rank is dense 1..n per node, cosine non-increasing with rank
+    val bad = g.as("a").join(g.as("b"),
+      col("a.query_id") === col("b.query_id") &&
+        (col("a.rank") + 1) === col("b.rank") &&
+        col("a.cosine") < col("b.cosine")).count()
+    assert(bad == 0, "cosine increased with rank")
+    // graph edges for the k2 query nodes agree with the query-time ANN
+    val ann = Similarity.annTopKCosine(emb, Seq(0L, 1L, 2L), k = 5)
+      .select("query_id", "neighbor_id")
+    val graphEdges = g.filter(col("query_id").isin(0L, 1L, 2L))
+      .select("query_id", "neighbor_id")
+    assert(ann.exceptAll(graphEdges).isEmpty && graphEdges.exceptAll(ann).isEmpty,
+      "per-node graph edges diverge from the query-time ANN for the same nodes")
+  }
+
   test("IVF Lloyd training does not lose recall vs the untrained index") {
     // measured at sf0.01 over 30 queries so the comparison is out of the
     // small-sample noise floor (3 queries at sf0.001 swing ±0.1 either

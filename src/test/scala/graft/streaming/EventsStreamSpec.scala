@@ -47,6 +47,23 @@ class EventsStreamSpec extends SparkSpec {
     assert(streamed.exceptAll(want).isEmpty && want.exceptAll(streamed).isEmpty)
   }
 
+  test("streamed dedup-index maintenance equals the batch-built index, >=2 batches") {
+    val deltaPred = "substring(md5(CAST(doc_id AS STRING)), 1, 1) = '0'"
+    val streamedIdx = tmpDir("graft_spec_st11_idx")
+    val batches = EventsStream.indexMaintainReplay(
+      spark, sf, streamedIdx, s"NOT ($deltaPred)", "graft_spec_idx_maintain")
+    assert(batches >= 2,
+      s"staged replay must absorb multiple micro-batches, got $batches")
+    val batchIdx = tmpDir("graft_spec_d9_idx")
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+    graft.operators.Dedup.writeIndex(
+      docs.filter(!expr(deltaPred)), batchIdx)
+    val delta = docs.filter(expr(deltaPred))
+    val viaStream = graft.operators.Dedup.incrementalFromIndex(spark, streamedIdx, delta)
+    val viaBatch = graft.operators.Dedup.incrementalFromIndex(spark, batchIdx, delta)
+    assert(viaStream.exceptAll(viaBatch).isEmpty && viaBatch.exceptAll(viaStream).isEmpty)
+  }
+
   test("userRunningTotals: idle key expires after processing-time timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
