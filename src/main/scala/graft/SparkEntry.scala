@@ -662,6 +662,12 @@ object SparkEntry {
     "m2_frame_sample" -> ((s, dir) =>
       graft.operators.Multimodal.frameSample(
         graft.operators.Multimodal.mediaFromDocuments(t(s, dir, "documents")))),
+    // Real decode -> x2 nearest-neighbor resample -> re-encode -> re-decode,
+    // all through the JDK codec; gated on the thumb's decoded properties
+    // (closed-form in the id for the affine fixtures).
+    "m4_thumbnail" -> ((s, dir) =>
+      graft.operators.Multimodal.thumbnails(
+        graft.operators.Multimodal.mediaFromDocuments(t(s, dir, "documents")))),
     // Real JDK WAV codec round-trip (javax.sound.sampled): per-id square-wave
     // fixtures have closed-form format + sample statistics, so the decode is
     // value-gated like m1's PNG path.
@@ -1335,6 +1341,17 @@ object SparkEntry {
         "CAST(3 AS BIGINT) AS channels, " +
         "(doc_id % 200) * 1000000 + (doc_id % 29 + 3) * 500000 AS mean_r_micro, " +
         "((doc_id * 3) % 200) * 1000000 + ((doc_id * 7) % 23 + 3) * 500000 AS mean_g_micro, " +
+        "((doc_id * 5) % 256) * 1000000 AS mean_b_micro " +
+        "FROM documents"),
+    // m4: thumb dims = ceil(dim/2); sampled xs {0,2,..,2(w2-1)} shift the
+    // affine channel means by exactly (w2-1)/(h2-1); b is constant.
+    "m4_thumbnail" ->
+      ("SELECT doc_id AS media_id, " +
+        "CAST((4 + doc_id % 29 + 1) // 2 AS BIGINT) AS thumb_w, " +
+        "CAST((4 + (doc_id * 7) % 23 + 1) // 2 AS BIGINT) AS thumb_h, " +
+        "CAST(3 AS BIGINT) AS channels, " +
+        "(doc_id % 200 + (4 + doc_id % 29 + 1) // 2 - 1) * 1000000 AS mean_r_micro, " +
+        "((doc_id * 3) % 200 + (4 + (doc_id * 7) % 23 + 1) // 2 - 1) * 1000000 AS mean_g_micro, " +
         "((doc_id * 5) % 256) * 1000000 AS mean_b_micro " +
         "FROM documents"),
     "m2_frame_sample" ->

@@ -248,6 +248,63 @@ object Multimodal {
       col("decoded.meanGMicro").as("mean_g_micro"),
       col("decoded.meanBMicro").as("mean_b_micro"))
 
+  /** Factor-2 nearest-neighbor downsample through the real JDK codec:
+    * decode, sample every other pixel (ceil semantics — odd edges keep
+    * their last row/column), re-encode as PNG. Null for undecodable bytes,
+    * like [[decodeImage]]. PNG is lossless, so the thumb's DECODED
+    * properties are exact functions of the source pixels — which for the
+    * affine fixture payloads are closed-form in the id (sampled xs are
+    * {0,2,…,2(w₂−1)}, so the r-mean shifts by exactly w₂−1): the whole
+    * decode → resample → re-encode → re-decode chain is value-oracle-gated
+    * without the oracle engine touching a codec.
+    */
+  val resizeHalf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (bytes: Array[Byte]) =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException => null }
+      if (img == null) null
+      else {
+        val w2 = (img.getWidth + 1) / 2
+        val h2 = (img.getHeight + 1) / 2
+        val out = new java.awt.image.BufferedImage(
+          w2, h2, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        var y = 0
+        while (y < h2) {
+          var x = 0
+          while (x < w2) {
+            out.setRGB(x, y, img.getRGB(2 * x, 2 * y))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        bos.toByteArray
+      }
+    }
+
+  /** Thumbnail features: the resample chain run end-to-end per media row
+    * (map-only — the 100 TB shape for any per-asset media transform), with
+    * the thumb's decoded dimensions and exact channel means emitted for the
+    * value gate. The thumb BYTES are also produced (a real pipeline would
+    * sink them); byte-level output is deflate-version-dependent, so only
+    * decoded properties are gated.
+    */
+  def thumbnails(media: DataFrame): DataFrame =
+    media
+      .withColumn("thumb", resizeHalf(encodePngFixture(col("media_id"))))
+      .withColumn("decoded", decodeImage(col("thumb")))
+      .select(
+        col("media_id"),
+        col("decoded.width").as("thumb_w"),
+        col("decoded.height").as("thumb_h"),
+        col("decoded.channels").as("channels"),
+        col("decoded.meanRMicro").as("mean_r_micro"),
+        col("decoded.meanGMicro").as("mean_g_micro"),
+        col("decoded.meanBMicro").as("mean_b_micro"))
+
   /** Frame sampling: explode each media blob into fixed-size chunks with
     * per-frame offsets and hashes — the distributed shape for per-frame
     * model inference (each frame row is independently schedulable).

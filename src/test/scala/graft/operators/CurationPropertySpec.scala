@@ -68,4 +68,46 @@ class CurationPropertySpec extends SparkSpec {
         s"seed=$seed cap=$cap wrong kept set")
     }
   }
+
+  // change streams with few keys, a tiny time domain (guaranteed same-ts
+  // collisions) and a tiny attribute alphabet (guaranteed consecutive dups)
+  private val changesGen: Gen[List[(Long, Long, Long, String)]] = for {
+    n <- Gen.choose(1, 40)
+    rows <- Gen.listOfN(n, for {
+      k <- Gen.choose(1L, 3L)
+      ts <- Gen.choose(0L, 6L)
+      a <- Gen.oneOf("x", "y", "z")
+    } yield (k, ts, a))
+  } yield rows.zipWithIndex.map { case ((k, ts, a), i) => (k, ts, i.toLong, a) }
+
+  test("property: scd2Historize equals the per-key brute force on arbitrary change streams") {
+    import spark.implicits._
+    (1L to 25L).foreach { seed =>
+      val rows = sample(changesGen, seed)
+      val df = rows.toDF("k", "sec", "seq", "attr")
+        .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+      val got = Joins.scd2Historize(df, "k", "ts", "seq", Seq("attr"))
+        .selectExpr("k", "attr", "unix_seconds(effective_from)",
+          "unix_seconds(effective_to)", "is_current")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) Long.MaxValue else r.getLong(3), r.getBoolean(4)))
+        .toSet
+      // brute force: per key, order by (ts, seq); collapse consecutive
+      // duplicates; close each version at the next version's ts; drop
+      // zero-width versions
+      val want = rows.groupBy(_._1).flatMap { case (k, rs) =>
+        val ordered = rs.sortBy(r => (r._2, r._3))
+        val versions = ordered.foldLeft(List.empty[(Long, String)]) {
+          case (acc, (_, ts, _, a)) =>
+            if (acc.nonEmpty && acc.head._2 == a) acc else (ts, a) :: acc
+        }.reverse
+        versions.zipAll(versions.drop(1).map(v => Some(v._1)), null, None)
+          .collect { case ((ef, a), et) if et.forall(_ != ef) =>
+            (k, a, ef, et.getOrElse(Long.MaxValue), et.isEmpty)
+          }
+      }.toSet
+      assert(got == want, s"seed=$seed scd2 diverged from brute force")
+    }
+  }
 }

@@ -67,6 +67,27 @@ class MultimodalSpec extends SparkSpec {
     assert(bad.count() == 0, "decoded properties diverged from the encode-side formulas")
   }
 
+  test("thumbnails: ceil-half dims, means shift by (w2-1)/(h2-1), b constant; garbage quarantines") {
+    val thumbs = Multimodal.thumbnails(media)
+    assert(thumbs.filter(col("thumb_w").isNull).count() == 0,
+      "every fixture thumb must decode")
+    val bad = thumbs.filter(
+      col("thumb_w") =!= expr("(4 + media_id % 29 + 1) div 2") ||
+        col("thumb_h") =!= expr("(4 + (media_id * 7) % 23 + 1) div 2") ||
+        col("channels") =!= 3 ||
+        col("mean_r_micro") =!=
+          expr("(media_id % 200 + (4 + media_id % 29 + 1) div 2 - 1) * 1000000") ||
+        col("mean_g_micro") =!=
+          expr("((media_id * 3) % 200 + (4 + (media_id * 7) % 23 + 1) div 2 - 1) * 1000000") ||
+        col("mean_b_micro") =!= expr("((media_id * 5) % 256) * 1000000"))
+    assert(bad.count() == 0, "thumb properties diverged from the closed form")
+    // non-image bytes quarantine as null, like decodeImage
+    import spark.implicits._
+    val junk = Seq(Array[Byte](1, 2, 3)).toDF("b")
+      .select(Multimodal.resizeHalf(col("b")).as("t"))
+    assert(junk.filter(col("t").isNull).count() == 1)
+  }
+
   test("WAV decode recovers the closed-form format and square-wave statistics") {
     val decoded = Multimodal.wavFeatures(media)
     assert(decoded.filter(col("sample_rate").isNull).count() == 0,
