@@ -428,6 +428,11 @@ object SparkEntry {
     // high-water mark per row makes the non-idempotent merge exactly-once).
     "st9_running_mv" -> ((s, dir) =>
       graft.streaming.EventsStream.runningMvReplay(s, dir).frame),
+    // Chained stateful aggregations (hourly → daily window-of-window, one
+    // watermark, both state levels horizon-bounded) — Spark 3.4+ multiple-
+    // stateful-operator support exercised through the engine.
+    "st12_daily_chained" -> ((s, dir) =>
+      graft.streaming.EventsStream.dailyRollupChained(s, dir).frame),
     // Stream-static broadcast enrichment (fact stream × dimension table):
     // stateless, per-batch dim re-read, map-side hash join — the stream
     // never shuffles for the join. Values = the batch inner join.
@@ -877,6 +882,15 @@ object SparkEntry {
       ("SELECT user_id, count(*) AS n_events, " +
         "CAST(sum(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS value_milli " +
         "FROM events GROUP BY 1"),
+    // st12: batch daily aggregate with the st3 watermark cutoff lifted to
+    // the DAY boundary (by then every inner hourly window finalized too).
+    "st12_daily_chained" ->
+      ("WITH mx AS (SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 1 HOUR AS wm FROM events), " +
+        "agg AS (SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n, " +
+        "CAST(sum(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS value_milli " +
+        "FROM events GROUP BY 1, 2) " +
+        "SELECT day, event_type, n, value_milli FROM agg, mx " +
+        "WHERE day + INTERVAL 1 DAY <= wm"),
     // st10: the stream-static join is stateless, so the streamed result is
     // exactly the batch inner join — no watermark cutoff to model.
     "st10_stream_enrich" ->

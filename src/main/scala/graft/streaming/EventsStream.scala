@@ -969,6 +969,58 @@ object EventsStream {
     }
   }
 
+  /** Schema of the chained daily-rollup frames. */
+  val dailySchema: StructType = StructType(Seq(
+    StructField("day", TimestampType),
+    StructField("event_type", StringType),
+    StructField("n", LongType),
+    StructField("value_milli", LongType)))
+
+  /** CHAINED stateful aggregations in one streaming query (Spark 3.4+
+    * multiple-stateful-operator support): hourly tumbling windows feed a
+    * daily rollup via window-of-window — `window(col("window"), "1 day")` —
+    * with ONE watermark driving both finalization frontiers. The 24/7
+    * cascade shape (minutely → hourly → daily) without intermediate sinks:
+    * each level's state evicts as the shared watermark passes its window
+    * end, so both levels stay bounded by their horizon.
+    *
+    * Emission contract (oracle-gated as st12): a daily row emits iff
+    * day end <= final watermark = (max event ts @ ms) − delay — by then
+    * every hourly window inside the day has also finalized, so the emitted
+    * values equal the direct batch daily aggregate (counts/sums re-
+    * aggregate associatively through the hourly level).
+    */
+  def dailyRollupChained(
+      spark: SparkSession,
+      dir: String,
+      delay: String = "1 hour",
+      queryName: String = "graft_events_daily_chained"): Replayed = {
+    val ss = streamSession(spark)
+    val out = tempDir("graft_stream_daily_out_")
+    val ckpt = tempDir("graft_stream_daily_ckpt_")
+    val hourly = readEventsStaged(ss, dir)
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 1000) AS BIGINT)")).as("value_milli"))
+    val daily = hourly
+      .groupBy(window(col("window"), "1 day"), col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("value_milli")).as("value_milli"))
+      .select(col("window.start").as("day"), col("event_type"),
+        col("n"), col("value_milli"))
+    val q = daily.writeStream
+      .queryName(queryName)
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Replayed(spark.read.schema(dailySchema).parquet(out), batchCount(q))
+  }
+
   /** Streaming maintenance of the MinHash dedup index: each micro-batch of
     * arriving documents is absorbed into the stored band-key/shingle-set
     * index via [[graft.operators.Dedup.appendToIndex]] — the 24/7 front

@@ -47,6 +47,23 @@ class EventsStreamSpec extends SparkSpec {
     assert(streamed.exceptAll(want).isEmpty && want.exceptAll(streamed).isEmpty)
   }
 
+  test("chained hourly->daily rollup equals the batch daily aggregate under the day cutoff, >=2 batches") {
+    val r = EventsStream.dailyRollupChained(spark, sf, queryName = "graft_spec_daily")
+    assert(r.batches >= 2,
+      s"staged replay must run multiple micro-batches, got ${r.batches}")
+    val events = Tables.load(spark, sf, "events")
+    val wm = events.agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime
+    val cutoff = new java.sql.Timestamp(wm - 3600L * 1000)
+    val want = events
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 1000) AS BIGINT)")).as("value_milli"))
+      .filter(col("day") + expr("INTERVAL 1 DAY") <= lit(cutoff))
+    val got = r.frame
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("streamed dedup-index maintenance equals the batch-built index, >=2 batches") {
     val deltaPred = "substring(md5(CAST(doc_id AS STRING)), 1, 1) = '0'"
     val streamedIdx = tmpDir("graft_spec_st11_idx")
