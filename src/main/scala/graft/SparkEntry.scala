@@ -595,6 +595,10 @@ object SparkEntry {
     // Unigram corpus-frequency quality (exact-math perplexity stand-in).
     "x18_unigram_quality" -> ((s, dir) =>
       graft.operators.TextAnalysis.unigramQuality(t(s, dir, "documents"))),
+    // Heavy-hitter tokens (count·k > n): Misra–Gries discovery + exact
+    // verify — values identical to the brute-force threshold query.
+    "a24_heavy_hitters" -> ((s, dir) =>
+      graft.operators.TextAnalysis.heavyTokens(t(s, dir, "documents"))),
     // Top-k corpus terms per language, linear-idf tf·idf (exact int math).
     "x9_tfidf_terms" -> ((s, dir) =>
       graft.operators.TextAnalysis.topTermsTfIdf(t(s, dir, "documents"))),
@@ -1041,6 +1045,13 @@ object SparkEntry {
         "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS et FROM v) " +
         "SELECT user_id, event_type, epoch_us(ef) AS from_micros, epoch_us(et) AS to_micros, " +
         "CAST(et IS NULL AS INT) AS is_current FROM r WHERE et IS NULL OR ef != et"),
+    // a24: the MG discovery is invisible in the values — the contract is
+    // exactly "tokens with count·k > n", a plain threshold aggregate.
+    "a24_heavy_hitters" ->
+      ("WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents), " +
+        "n AS (SELECT count(*) AS n FROM t) " +
+        "SELECT token, count(*) AS n_occurrences FROM t, n " +
+        "GROUP BY token, n.n HAVING count(*) * 64 > n.n"),
     // x18: LEFT join to the >=2-count vocabulary; integer floor-div micros.
     "x18_unigram_quality" ->
       ("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +

@@ -180,6 +180,15 @@ object GraftFunctions {
       intLiteral(children(2), "graft_bloom numHashes"))
   }
 
+  val mgInfo = new ExpressionInfo(classOf[MisraGriesAgg].getName, "graft_mg")
+
+  /** graft_mg(item, k) — k must be a foldable int literal (summary size). */
+  val mgBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2, "graft_mg expects (item, k)")
+    require(children(1).foldable, "graft_mg k must be a literal")
+    MisraGriesAgg(children.head, intLiteral(children(1), "graft_mg k"))
+  }
+
   val bloomContainsInfo =
     new ExpressionInfo(classOf[BloomMightContain].getName, "graft_bloom_contains")
 
@@ -192,6 +201,8 @@ object GraftFunctions {
     * the operators so any session works, not just extension-built ones).
     */
   def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("graft_mg", mgBuilder, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("graft_bloom", bloomBuilder, "built-in")
     spark.sessionState.functionRegistry
@@ -235,6 +246,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_ngram_hashes"), GraftFunctions.ngramInfo, GraftFunctions.ngramBuilder))
     ext.injectFunction((FunctionIdentifier("graft_word_shingles"), GraftFunctions.wordShingleInfo, GraftFunctions.wordShingleBuilder))
     ext.injectFunction((FunctionIdentifier("graft_topk"), GraftFunctions.topKInfo, GraftFunctions.topKBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_mg"), GraftFunctions.mgInfo, GraftFunctions.mgBuilder))
     ext.injectFunction((FunctionIdentifier("graft_bloom"), GraftFunctions.bloomInfo, GraftFunctions.bloomBuilder))
     ext.injectFunction((FunctionIdentifier("graft_bloom_contains"), GraftFunctions.bloomContainsInfo, GraftFunctions.bloomContainsBuilder))
   }

@@ -494,6 +494,43 @@ object TextAnalysis {
         expr("__n_oov * 1000000L div n_tokens").as("oov_micro"))
   }
 
+  /** Heavy-hitter tokens — every token whose exact count exceeds n/k —
+    * discovered with a Misra–Gries summary and then EXACT-verified, so the
+    * values are deterministic (and oracle-gateable) while the discovery
+    * never shuffles a full (token, count) table:
+    *
+    *  1. one pass aggregates all tokens into a single k-counter MG summary
+    *     ([[graft.functions.MisraGriesAgg]] — fixed-size mergeable partials,
+    *     the frequency twin of the A18 KMV sketch) plus the exact total n;
+    *  2. the ≤k candidates (a guaranteed SUPERSET of every over-threshold
+    *     token, under any merge order) collect to the driver — bounded by
+    *     k, the same contract as the Bloom/centroid materializations;
+    *  3. a second pass exact-counts ONLY the candidates (map-side filter on
+    *     a k-item literal) and keeps those with count·k > n.
+    *
+    * At 100 TB this is how dominant tokens/domains/URLs are found: the
+    * shuffle carries k-bounded summaries and then |candidates| counts —
+    * never the full vocabulary.
+    */
+  def heavyTokens(
+      docs: DataFrame,
+      k: Int = 64,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val toks = docs.select(explode(split(col(textCol), " ")).as("token"))
+    val row = toks
+      .agg(expr(s"graft_mg(token, $k)").as("cands"), count(lit(1)).as("n"))
+      .collect()(0)
+    val cands = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](0)
+      .map(_.getString(0)).toSeq
+    val n = row.getLong(1)
+    toks.filter(col("token").isin(cands: _*))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") * k > n)
+  }
+
   /** Domain-weighted mixture sampling to a token budget: build a training
     * mixture of ~`budgetTokens` whitespace tokens with every domain given
     * an EQUAL token share (the Pile/DoReMi-style rebalancing move — upweight

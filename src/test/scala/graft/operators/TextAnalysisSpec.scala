@@ -288,6 +288,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(clean(3L) == 0L, "disjoint test doc must have zero contamination")
   }
 
+  test("MG summary: over-threshold items always survive; weights are lower bounds") {
+    import graft.functions.MGSummary
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 10) {
+      // skewed stream: 'hot' is ~40% of 500 items, k = 4 (threshold 125)
+      val stream = new scala.util.Random(trial).shuffle(
+        (List.fill(200)("hot") ++ List.fill(500)(()).map(_ => s"t${rnd.nextInt(40)}")).take(500))
+      val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // simulate a partial-merge tree: 5 partition summaries merged pairwise
+      val parts = stream.grouped(100).map { chunk =>
+        val s = new MGSummary(4); chunk.foreach(s.insert(_)); s
+      }.toList
+      val merged = parts.reduce { (a, b) => a.mergeFrom(b); a }
+      val cands = merged.sorted.map(_._1).toSet
+      truth.foreach { case (item, c) =>
+        if (c * 4 > stream.size)
+          assert(cands.contains(item), s"trial=$trial lost heavy item $item ($c)")
+      }
+      merged.sorted.foreach { case (item, lb) =>
+        assert(lb <= truth(item), s"trial=$trial weight overestimates $item")
+      }
+    }
+  }
+
+  test("heavyTokens: equals the exact threshold query; small k still exact after verify") {
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+    for (k <- Seq(8, 64)) {
+      val got = TextAnalysis.heavyTokens(docs, k = k)
+      val toks = docs.select(explode(split(col("text"), " ")).as("token"))
+      val n = toks.count()
+      val want = toks.groupBy("token").agg(count(lit(1)).as("n_occurrences"))
+        .filter(col("n_occurrences") * k > n)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"k=$k heavy-hitter set diverged from the exact threshold query")
+    }
+  }
+
   test("unigramQuality: common vocabulary outranks rare; pure-OOV doc scores zero") {
     import spark.implicits._
     val docs = Seq(
