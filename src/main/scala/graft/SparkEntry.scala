@@ -80,6 +80,22 @@ object SparkEntry {
       "WHEN doc_id % 4 = 0 THEN concat(text, chr(10), chr(10), 'all rights reserved contact us for details') " +
       "ELSE text END"
 
+  /** Deterministic quality noise shared by the x14 and p5 fixtures: every
+    * 7th doc gets a symbol-heavy tail, every 11th a digit run — so the
+    * Gopher rules discriminate on the otherwise-clean synthetic corpus.
+    */
+  private val gopherNoiseExpr: String =
+    "CASE WHEN doc_id % 7 = 0 THEN concat(text, ' # # # # ... ... ... ...') " +
+      "WHEN doc_id % 11 = 0 THEN concat(text, " +
+      "' 00 11 22 33 44 55 66 77 88 99 00 11 22 33 44') ELSE text END"
+
+  /** DuckDB twin of [[gopherNoiseExpr]], spliced into both oracles. */
+  private val gopherNoiseSql: String =
+    "CASE WHEN doc_id % 7 = 0 THEN text || ' # # # # ... ... ... ...' " +
+      "WHEN doc_id % 11 = 0 THEN " +
+      "text || ' 00 11 22 33 44 55 66 77 88 99 00 11 22 33 44' " +
+      "ELSE text END"
+
   /** DuckDB twin of [[boilerplateInjectExpr]], spliced into both oracles. */
   private val boilerplateInjectSql: String =
     "CASE WHEN doc_id % 3 = 0 THEN text || chr(10) || chr(10) || 'subscribe to our newsletter for updates' " +
@@ -519,6 +535,22 @@ object SparkEntry {
     "p4_mixture_sample" -> ((s, dir) =>
       graft.operators.TextAnalysis.mixtureSample(
         t(s, dir, "documents"), budgetTokens = 26000L)),
+    // The round-7 curation stack composed end-to-end: Gopher quality gate
+    // over the noise-injected corpus → equal-share mixture to a 20k-token
+    // budget → fixed-budget sequence packing of exactly the sampled docs.
+    "p5_pretraining_mixture" -> ((s, dir) => {
+      val noisy = t(s, dir, "documents")
+        .withColumn("text", expr(gopherNoiseExpr))
+      val kept = graft.operators.TextAnalysis.gopherFilter(noisy)
+        .filter(col("keep") === 1).select("doc_id")
+      // localCheckpoint: the gated subset feeds the mixture's totals, its
+      // sampling join and the final pack — three consumers of one subtree
+      val clean = noisy.join(kept, "doc_id").localCheckpoint(true)
+      val sampled = graft.operators.TextAnalysis.mixtureSample(
+        clean, budgetTokens = 20000L)
+      graft.operators.TextAnalysis.packSequences(
+        clean.join(sampled.select("doc_id"), "doc_id"))
+    }),
     "p3_crawl_curation" -> ((s, dir) => {
       val injected = t(s, dir, "documents")
         .withColumn("text", expr(boilerplateInjectExpr))
@@ -631,10 +663,8 @@ object SparkEntry {
     // data: every 7th doc gets symbol tokens ('#' and '...'), every 11th
     // gets digit-only tokens.
     "x14_gopher_filter" -> ((s, dir) => {
-      val noisy = t(s, dir, "documents").withColumn("text", expr(
-        "CASE WHEN doc_id % 7 = 0 THEN concat(text, ' # # # # ... ... ... ...') " +
-          "WHEN doc_id % 11 = 0 THEN concat(text, " +
-          "' 00 11 22 33 44 55 66 77 88 99 00 11 22 33 44') ELSE text END"))
+      val noisy = t(s, dir, "documents")
+        .withColumn("text", expr(gopherNoiseExpr))
       graft.operators.TextAnalysis.gopherFilter(noisy)
     }),
     // Per-domain document cap via the bounded graft_topk aggregate (no
@@ -1275,6 +1305,34 @@ object SparkEntry {
         "CAST(sum(pd.n_kept) AS BIGINT) AS n_kept, " +
         "CAST(sum(CASE WHEN pd.n_kept = pd.n_paras THEN 1 ELSE 0 END) AS BIGINT) AS n_clean_docs " +
         "FROM pd JOIN capped c ON pd.doc_id = c.doc_id GROUP BY 1, 2"),
+    // p5: x14 gate -> p4 mixture -> x12 pack, composed in one SQL chain
+    // (keepers: all five Gopher flags; rates over the KEPT corpus only).
+    "p5_pretraining_mixture" ->
+      ("WITH d AS (SELECT doc_id, source, CASE WHEN doc_id % 7 = 0 THEN text || ' # # # # ... ... ... " +
+        "...' WHEN doc_id % 11 = 0 THEN text || ' 00 11 22 33 44 55 66 77 88 99 00 11 22 33 44' ELSE " +
+        "text END AS text FROM documents), s AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS " +
+        "BIGINT) AS n_words, CAST(round(len(replace(text, ' ', '')) * 1000000.0 / len(string_split(text, " +
+        "' '))) AS BIGINT) AS mean_word_len_micro, CAST((len(text) - len(replace(text, '#', ''))) + " +
+        "(len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT) AS n_symbols, " +
+        "CAST(len(list_filter(string_split(text, ' '), w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) " +
+        "AS n_alpha_words, CAST(len(list_filter(list_distinct(string_split(text, ' ')), w -> w = 'the' " +
+        "OR w = 'a')) AS BIGINT) AS n_stopword_kinds FROM d), r AS (SELECT doc_id, n_words, " +
+        "mean_word_len_micro, n_stopword_kinds, CAST(n_symbols * 1000000 // n_words AS BIGINT) AS " +
+        "symbol_ratio_micro, CAST(n_alpha_words * 1000000 // n_words AS BIGINT) AS alpha_ratio_micro " +
+        "FROM s), keepers AS (SELECT doc_id FROM r WHERE CAST(n_words >= 50 AND n_words <= 100000 AS " +
+        "INT) + CAST(mean_word_len_micro >= 3000000 AND mean_word_len_micro <= 10000000 AS INT) + " +
+        "CAST(symbol_ratio_micro <= 100000 AS INT) + CAST(alpha_ratio_micro >= 800000 AS INT) + " +
+        "CAST(n_stopword_kinds >= 2 AS INT) = 5), c AS (SELECT d.doc_id, d.source, d.text FROM d JOIN " +
+        "keepers ON d.doc_id = keepers.doc_id), tok AS (SELECT doc_id, source, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM c), tot AS (SELECT source, " +
+        "CAST(sum(n_tokens) AS BIGINT) AS domain_tokens FROM tok GROUP BY 1), nn AS (SELECT count(*) AS " +
+        "n_domains FROM tot), rt AS (SELECT source, least(1.0, CAST(20000 AS DOUBLE) / n_domains / " +
+        "domain_tokens) AS rate FROM tot, nn), sm AS (SELECT t.doc_id, t.source, t.n_tokens FROM tok t " +
+        "JOIN rt ON t.source = rt.source WHERE CAST(('0x' || substring(md5(CAST(t.doc_id AS VARCHAR)), " +
+        "1, 8))::BIGINT AS DOUBLE) / 4294967296.0 < rt.rate), pk AS (SELECT doc_id, source, n_tokens, " +
+        "CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - " +
+        "n_tokens AS BIGINT) AS start_offset FROM sm) SELECT doc_id, source, n_tokens, start_offset, " +
+        "CAST(start_offset // 2048 AS BIGINT) AS bin_id FROM pk"),
     // p4: rate = min(1, (budget/n_domains)/domain_tokens) with the SAME
     // double-division order as the Spark side; keep iff the first 8 md5 hex
     // digits of the id, over 2^32, fall under the domain's rate.
@@ -1498,10 +1556,7 @@ object SparkEntry {
     // x14: same noise injection; every signal and flag replayed in integer
     // micro-units so the keep verdict is bit-identical across engines.
     "x14_gopher_filter" ->
-      ("WITH d AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN " +
-        "text || ' # # # # ... ... ... ...' WHEN doc_id % 11 = 0 THEN " +
-        "text || ' 00 11 22 33 44 55 66 77 88 99 00 11 22 33 44' " +
-        "ELSE text END AS text FROM documents), " +
+      (s"WITH d AS (SELECT doc_id, $gopherNoiseSql AS text FROM documents), " +
         "s AS (SELECT doc_id, " +
         "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, " +
         "CAST(round(len(replace(text, ' ', '')) * 1000000.0 / " +

@@ -249,6 +249,10 @@ object Similarity {
       bands: Int = 18,
       dim: Int = 64): DataFrame = {
     val v = asVectors(embeddings)
+    // (measured: checkpointing the banding to undo the self-join's subtree
+    // duplication saves only ~5% at sf0.1 — the cost is the Σ bucket²
+    // candidate volume + distinct, which (bits, bands) tune directly — so
+    // the operator stays lazy)
     val banded = Dedup.signBands(v, bits, bands, dim)
     val pairs = banded.select(col("id").as("query_id"), col("band"), col("key"))
       .join(banded.select(col("id"), col("band"), col("key")), Seq("band", "key"))

@@ -288,6 +288,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(clean(3L) == 0L, "disjoint test doc must have zero contamination")
   }
 
+  test("p5 composition: packed docs are quality-kept, offsets contiguous per source") {
+    val out = graft.SparkEntry.queries("p5_pretraining_mixture")(spark, sf).cache()
+    assert(out.count() > 0)
+    // every packed doc passed the quality gate on the SAME noisy text
+    val noisy = graft.core.Tables.load(spark, sf, "documents")
+      .withColumn("text", expr(
+        "CASE WHEN doc_id % 7 = 0 THEN concat(text, ' # # # # ... ... ... ...') " +
+          "WHEN doc_id % 11 = 0 THEN concat(text, " +
+          "' 00 11 22 33 44 55 66 77 88 99 00 11 22 33 44') ELSE text END"))
+    val kept = TextAnalysis.gopherFilter(noisy)
+      .filter(col("keep") === 1).select("doc_id")
+    assert(out.join(kept, Seq("doc_id"), "left_anti").count() == 0,
+      "a packed doc failed the quality gate")
+    // offsets are contiguous per source over the PACKED subset: each doc's
+    // start equals the previous docs' token sum
+    val bad = out.withColumn("expected",
+      sum(col("n_tokens")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+      .filter(coalesce(col("expected"), lit(0L)) =!= col("start_offset"))
+    assert(bad.count() == 0, "pack offsets not contiguous over the sampled subset")
+  }
+
   test("MG summary: over-threshold items always survive; weights are lower bounds") {
     import graft.functions.MGSummary
     val rnd = new scala.util.Random(11)
