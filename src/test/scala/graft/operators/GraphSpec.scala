@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("pageRank: hand graph — sink node accumulates, isolated node keeps base mass") {
+    // 1 -> 3, 2 -> 3, 3 -> 1; node 4 isolated (no in- or out-edges)
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val r = Graph.pageRank(edges, nodes, iterations = 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val share = 1000000000L / 4
+    val base = 15L * share / 100
+    // after one hop: 3 receives from 1 and 2 (whole shares), 1 receives
+    // from 3, 2 and 4 receive nothing
+    assert(r(3L) == base + 85L * (share + share) / 100)
+    assert(r(1L) == base + 85L * share / 100)
+    assert(r(2L) == base && r(4L) == base)
+  }
+
+  test("pageRank: mass conservation when every node has out-edges; determinism") {
+    // ring of 6 nodes: every node outdeg 1 — total mass stays 1e9 exactly
+    val edges = (0L until 6L).map(i => (i, (i + 1) % 6)).toDF("src", "dst")
+    val nodes = (0L until 6L).toDF("id")
+    val r = Graph.pageRank(edges, nodes, iterations = 3)
+    val total = r.agg(sum("rank_nano")).collect()(0).getLong(0)
+    // ring: uniform distribution is stationary; floor losses: up to
+    // (nodes-1) nano from the initial share division plus <= 1 nano per
+    // node per iteration from the 15/85 integer splits
+    assert(total <= 1000000000L && total >= 1000000000L - (5L + 6L * 3),
+      s"mass drifted: $total")
+    val again = Graph.pageRank(edges, nodes, iterations = 3)
+    assert(r.exceptAll(again).isEmpty && again.exceptAll(r).isEmpty)
+  }
+
+  test("pageRank: out-degree normalization — a hub's mass splits across targets") {
+    // hub 1 -> {2, 3}; 2 -> 1; 3 -> 1
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val r = Graph.pageRank(edges, nodes, iterations = 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val share = 1000000000L / 3
+    val base = 15L * share / 100
+    // 2 and 3 each get HALF the hub's share; 1 gets both whole shares
+    assert(r(2L) == base + 85L * (share / 2) / 100)
+    assert(r(2L) == r(3L))
+    assert(r(1L) == base + 85L * (share + share) / 100)
+  }
+}
