@@ -37,6 +37,25 @@ class GraphSpec extends SparkSpec {
     assert(r.exceptAll(again).isEmpty && again.exceptAll(r).isEmpty)
   }
 
+  test("pageRank on the kNN graph: high-indegree nodes outrank zero-indegree nodes") {
+    val emb = graft.core.Tables.load(spark, sf, "embeddings")
+    val edges = Similarity.knnGraph(emb, k = 5)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+      .cache()
+    val nodes = Similarity.asVectors(emb).select("id")
+    val ranks = Graph.pageRank(edges, nodes, iterations = 3)
+    val withDeg = ranks.join(
+      edges.groupBy("dst").agg(count(lit(1)).as("indeg")),
+      ranks("id") === col("dst"), "left")
+      .select(col("id"), col("rank_nano"), coalesce(col("indeg"), lit(0L)).as("indeg"))
+    val avgTop = withDeg.orderBy(col("indeg").desc).limit(20)
+      .agg(avg("rank_nano")).collect()(0).getDouble(0)
+    val avgZero = withDeg.filter(col("indeg") === 0)
+      .agg(avg("rank_nano")).collect()(0).getDouble(0)
+    assert(avgTop > avgZero,
+      s"centrality uncorrelated with in-degree: top $avgTop vs isolated $avgZero")
+  }
+
   test("pageRank: out-degree normalization — a hub's mass splits across targets") {
     // hub 1 -> {2, 3}; 2 -> 1; 3 -> 1
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L)).toDF("src", "dst")

@@ -349,6 +349,24 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("mixtureSample: monotone in budget — a larger budget's sample contains the smaller's") {
+    // rates grow with the budget and selection is a fixed per-doc hash
+    // against the rate threshold, so samples NEST: growing the token budget
+    // only ADDS documents (stable incremental training-set growth — an
+    // RNG-based sampler reshuffles everything instead)
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+    val budgets = Seq(2000L, 8000L, 20000L, 100000L)
+    val samples = budgets.map(b =>
+      TextAnalysis.mixtureSample(docs, b).select("doc_id"))
+    budgets.indices.drop(1).foreach { i =>
+      val missing = samples(i - 1).exceptAll(samples(i)).count()
+      assert(missing == 0,
+        s"budget ${budgets(i - 1)} sample not contained in ${budgets(i)}'s")
+    }
+    // and strictly grows somewhere across this budget range
+    assert(samples.head.count() < samples.last.count())
+  }
+
   test("unigramQuality: common vocabulary outranks rare; pure-OOV doc scores zero") {
     import spark.implicits._
     val docs = Seq(
