@@ -24,16 +24,31 @@ object ZOrder {
     * expression (a fold over the bit positions — integer shifts/masks only,
     * stays inside codegen; no UDF, no custom Expression needed for a value
     * consumed only by repartition/sort).
+    *
+    * The documented domain ([0, 2^bits) on both dimensions) is ENFORCED,
+    * not assumed: a negative value sign-extends through `>> b & 1` and a
+    * too-large one aliases with (value mod 2^bits) — both keep every row
+    * but silently destroy the rectangle/locality property the layout
+    * exists for, a corruption no row-level check downstream would ever
+    * catch. An out-of-domain row therefore FAILS the write (codegen'd
+    * assert_true, null when the bound holds — the coalesce keeps it in
+    * the plan), telling the caller to shift/scale the dimension first.
     */
   def zValue(xCol: String, yCol: String, bits: Int = 16): Column = {
     require(bits > 0 && bits <= 31, "bits must be in [1, 31]")
+    val lim = 1L << bits
     expr(
       s"""aggregate(
             sequence(0, ${bits - 1}),
             0L,
             (acc, b) -> acc
               + shiftleft(CAST($xCol AS BIGINT) >> b & 1, 2 * b)
-              + shiftleft(CAST($yCol AS BIGINT) >> b & 1, 2 * b + 1))""")
+              + shiftleft(CAST($yCol AS BIGINT) >> b & 1, 2 * b + 1))
+          + coalesce(
+              CAST(assert_true(
+                $xCol >= 0 AND $xCol < ${lim}L AND $yCol >= 0 AND $yCol < ${lim}L,
+                'zValue: dimension value outside [0, 2^$bits) — negative or oversized inputs would silently break the Morton locality; shift/scale the column first') AS BIGINT),
+              0L)""")
   }
 
   /** Write `df` z-ordered on (xCol, yCol) into ~`nFiles` files: range

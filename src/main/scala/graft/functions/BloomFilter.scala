@@ -45,11 +45,28 @@ object GraftBloom {
 
   /** Probe a serialized filter. Called from generated code — must stay a
     * cheap static method (header reads + k word probes, no allocation).
+    *
+    * `graft_bloom_contains` is a user-callable SQL function, so the header
+    * is VALIDATED before use: an empty, truncated, or corrupted binary
+    * (anything that is not `[int32 k][int32 words][words × int64]`) raises
+    * a descriptive error instead of surfacing as a bare `% 0`
+    * ArithmeticException or an index error from inside generated code.
     */
   def mightContain(bytes: Array[Byte], key: Long): Boolean = {
+    if (bytes.length < 8)
+      throw new IllegalArgumentException(
+        s"graft_bloom_contains: malformed filter — ${bytes.length} bytes, " +
+          "expected at least the 8-byte [numHashes][numWords] header " +
+          "(is this value really a graft_bloom output?)")
     val bb = ByteBuffer.wrap(bytes)
     val numHashes = bb.getInt(0)
     val numWords = bb.getInt(4)
+    if (numHashes <= 0 || numWords <= 0 || bytes.length != 8 + numWords.toLong * 8)
+      throw new IllegalArgumentException(
+        s"graft_bloom_contains: malformed filter header — numHashes=$numHashes, " +
+          s"numWords=$numWords for ${bytes.length} bytes; expected positive " +
+          s"counts and ${if (numWords > 0) 8 + numWords.toLong * 8 else -1} bytes " +
+          "(is this value really a graft_bloom output?)")
     val m = numWords.toLong * 64L
     val h1 = mix(key)
     val h2 = mix(key ^ 0x9e3779b97f4a7c15L) | 1L

@@ -62,6 +62,64 @@ object Dedup {
   private def maybeBroadcast(df: DataFrame, doBroadcast: Boolean): DataFrame =
     if (doBroadcast) broadcast(df) else df
 
+  /** Default cap on LSH bucket size before hot-bucket sub-salting kicks in
+    * ([[capBuckets]]). Chosen so candidate volume per bucket stays ≤
+    * cap·|bucket| (linear) instead of |bucket|² while buckets at the test
+    * scales (≤ thousands of rows per bucket) pass through untouched — the
+    * capped and uncapped pipelines are bit-identical until a bucket
+    * actually exceeds the cap.
+    */
+  val DefaultBucketCap = 1000
+
+  /** Hot-bucket guard for the band self-joins: sub-salt any (band, key)
+    * bucket whose size exceeds `cap` into ceil(n/cap) salted sub-buckets.
+    *
+    * WHY: candidate generation from an LSH band self-join is O(Σ bucket²).
+    * On realistic duplicate-heavy corpora (boilerplate pages, mirrored
+    * docs) one bucket holds the whole near-identical cluster, and a single
+    * bucket of size B contributes B² joined rows regardless of (bits,
+    * bands) — the one shape that goes quadratic at scale. Sub-salting
+    * bounds every bucket at `cap`, so the join cost per original bucket is
+    * ≤ ceil(B/cap)·cap² ≈ B·cap — linear in B.
+    *
+    * HOW: one cheap slim aggregation counts bucket sizes ((band, key) →
+    * n); rows in oversized buckets get `key := key # salt` where
+    * salt = md5(band_key_id) mod ceil(n/cap). The salt hash includes the
+    * BAND, so a pair split apart in one band lands together in another
+    * band's sub-bucket independently — recall inside a hot bucket decays
+    * to 1-(1-1/nsub)^bands per pair instead of collapsing to a single
+    * partition draw, and (load-bearing for [[clusters]]) the per-band
+    * sub-cliques overlap across bands, keeping a duplicate cluster
+    * CONNECTED in the pair graph with overwhelming probability: the
+    * downstream component/survivor logic still sees one cluster, one
+    * survivor. Buckets at or under the cap keep their key bit-for-bit, so
+    * capped and uncapped results are identical until a bucket actually
+    * overflows — the documented recall trade only exists where the
+    * uncapped join would not have finished anyway.
+    *
+    * Everything is md5 + integer arithmetic on (band, key, id) — fully
+    * deterministic and engine-replayable, same as the banding itself.
+    * Extra columns on `banded` (e.g. d6's fingerprint words) ride through
+    * untouched.
+    */
+  private[operators] def capBuckets(banded: DataFrame, cap: Int): DataFrame = {
+    require(cap > 1, s"bucketCap must be > 1, got $cap")
+    if (cap == Int.MaxValue) banded
+    else {
+      val sizes = banded.groupBy("band", "key").agg(count(lit(1)).as("__bn"))
+      banded.join(sizes, Seq("band", "key"))
+        .withColumn("key",
+          when(col("__bn") <= cap, col("key"))
+            .otherwise(concat_ws("#", col("key"),
+              pmod(
+                conv(substring(md5(concat_ws("_",
+                  col("band").cast("string"), col("key"),
+                  col("id").cast("string"))), 1, 15), 16, 10).cast("long"),
+                ceil(col("__bn").cast("double") / cap).cast("long")))))
+        .drop("__bn")
+    }
+  }
+
   /** Deterministic affine-permutation coefficients (Knuth multiplicative
     * constant; any fixed family works — this one is pinned by tests). Now
     * owned by [[graft.functions.MinHashSignature.coeffs]].
@@ -124,10 +182,11 @@ object Dedup {
       shingleWords: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
-      verifyBroadcast: Option[Boolean] = None): DataFrame = {
+      verifyBroadcast: Option[Boolean] = None,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val sets = shingleSets(docs, textCol, idCol, shingleWords)
-    val banded = bandedKeys(sets, numHashes, bands)
+    val banded = capBuckets(bandedKeys(sets, numHashes, bands), bucketCap)
 
     val cand = banded.as("x")
       .join(
@@ -429,7 +488,8 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id",
       maxHamming: Int = 4,
-      bands: Int = 5): DataFrame = {
+      bands: Int = 5,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
     require(bands > maxHamming, "pigeonhole completeness needs bands > maxHamming")
     // single downstream consumer since the verify was fused into the band
     // join — no persist: the fingerprint pass streams straight into banding
@@ -449,7 +509,15 @@ object Dedup {
     // entirely. This is the special case of the verify-gate design where
     // the verification payload is O(1) per row — d2/d4 carry whole shingle
     // sets and still need [[resolveVerifyBroadcast]].
-    val banded = fp
+    // Hot-bucket guard: pigeonhole completeness (recall = 1) holds exactly
+    // for buckets at or under bucketCap — the common case by orders of
+    // magnitude. A bucket OVER the cap is, by construction, a >cap-strong
+    // cluster of fingerprint-slice-identical docs; there the uncapped
+    // output itself is quadratic (every pair passes the hamming gate), so
+    // the guard bounds output volume as much as join cost, and cross-band
+    // salt independence keeps such a cluster connected for the downstream
+    // component/survivor step (see [[capBuckets]]).
+    val banded = capBuckets(fp
       .select(
         col("doc_id").as("id") +:
           (0 until 4).map(j =>
@@ -457,7 +525,7 @@ object Dedup {
               .as(s"w$j")) :+
           explode(array(bandCols: _*)).as("b"): _*)
       .select(col("id"), col("b.band").as("band"), col("b.key").as("key"),
-        col("w0"), col("w1"), col("w2"), col("w3"))
+        col("w0"), col("w1"), col("w2"), col("w3")), bucketCap)
     val hammingExpr = (0 until 4)
       .map(j => s"bit_count(x.w$j ^ y.w$j)").mkString("CAST(", " + ", " AS BIGINT)")
     banded.as("x")
@@ -605,10 +673,11 @@ object Dedup {
       threshold: Double = 0.99,
       bits: Int = 72,
       bands: Int = 6,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
     val v = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
 
-    val banded = signBands(v, bits, bands, dim)
+    val banded = capBuckets(signBands(v, bits, bands, dim), bucketCap)
 
     val cand = banded.as("x")
       .join(

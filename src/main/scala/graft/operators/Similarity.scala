@@ -247,13 +247,21 @@ object Similarity {
       k: Int = 5,
       bits: Int = 72,
       bands: Int = 18,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64,
+      bucketCap: Int = Dedup.DefaultBucketCap): DataFrame = {
     val v = asVectors(embeddings)
     // (measured: checkpointing the banding to undo the self-join's subtree
     // duplication saves only ~5% at sf0.1 — the cost is the Σ bucket²
     // candidate volume + distinct, which (bits, bands) tune directly — so
     // the operator stays lazy)
-    val banded = Dedup.signBands(v, bits, bands, dim)
+    // Hot-bucket guard ([[Dedup.capBuckets]]): a near-identical cluster of
+    // B docs lands in ONE bucket per band and would contribute B² joined
+    // rows — the quadratic blow-up kNN-graph builds hit on duplicate-heavy
+    // crawls. Sub-salting bounds it at ~B·cap per band; inside a capped
+    // bucket each node still sees ≥ min(B, cap)-1 same-cluster candidates,
+    // so its top-k neighbors are as good as the uncapped ones whenever
+    // cap > k (cosine ties aside).
+    val banded = Dedup.capBuckets(Dedup.signBands(v, bits, bands, dim), bucketCap)
     val pairs = banded.select(col("id").as("query_id"), col("band"), col("key"))
       .join(banded.select(col("id"), col("band"), col("key")), Seq("band", "key"))
       .filter(col("id") =!= col("query_id"))

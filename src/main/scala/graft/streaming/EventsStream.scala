@@ -44,6 +44,18 @@ object EventsStream {
   private def tempDir(prefix: String): String =
     graft.core.TempDirs.createFast(prefix)
 
+  /** Hadoop-FS existence probe for state/table roots: resolves the path
+    * through the session's Hadoop configuration, so sink state can live on
+    * any supported filesystem (local, HDFS, object stores). A
+    * `java.io.File` probe would silently report "missing" for every
+    * non-local URI and make the first batch RESET durable state — the
+    * local-FS-only trap this helper exists to close.
+    */
+  private def pathExists(s: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Number of shuffle partitions — and therefore state-store instances —
     * used by the streaming replays. Each state partition pays a fixed
     * per-micro-batch cost (delta file write + commit to the checkpoint), so
@@ -734,7 +746,7 @@ object EventsStream {
     val touched = batchLast.select("bucket").distinct()
       .collect().map(_.getInt(0)) // bounded by nBuckets
     val prev =
-      if (new java.io.File(state).exists())
+      if (pathExists(s, state))
         s.read.parquet(state)
           .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
       else batchLast.limit(0)
@@ -782,7 +794,7 @@ object EventsStream {
     val touched = delta.select("bucket").distinct()
       .collect().map(_.getInt(0))
     val prev =
-      if (new java.io.File(state).exists())
+      if (pathExists(s, state))
         s.read.parquet(state)
           .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
           .select(runningMvSchema.fieldNames.map(col): _*)
@@ -832,7 +844,7 @@ object EventsStream {
       .start()
     q.awaitTermination()
     val frame =
-      if (new java.io.File(state).exists())
+      if (pathExists(spark, state))
         spark.read.parquet(state)
           .select("user_id", "n_events", "value_milli")
       else spark.createDataFrame(
@@ -851,7 +863,7 @@ object EventsStream {
     val state = tempDir("graft_stream_upsert_state_") + "/profile"
     val ckpt = tempDir("graft_stream_upsert_ckpt_")
     def readState(s: SparkSession): Option[DataFrame] =
-      if (new java.io.File(state).exists()) Some(s.read.parquet(state)) else None
+      if (pathExists(s, state)) Some(s.read.parquet(state)) else None
     val q = readEventsStaged(ss, dir)
       .selectExpr("user_id", "ts", "event_id", "event_type",
         "CAST(round(value * 1000) AS BIGINT) AS value_milli")
@@ -956,7 +968,10 @@ object EventsStream {
 
   /** Ascending mtimes pin the file-source processing order (the source
     * sorts by modification timestamp; same-ms ties would make batch
-    * boundaries nondeterministic).
+    * boundaries nondeterministic). `java.io.File` is correct HERE — this
+    * touches only the replay's own staging dirs, which [[tempDir]] creates
+    * on the LOCAL scratch filesystem by construction (unlike sink state,
+    * which may live on any Hadoop filesystem — see [[pathExists]]).
     */
   private def orderStagedFiles(out: String): Unit = {
     val parts = Option(new java.io.File(out).listFiles())

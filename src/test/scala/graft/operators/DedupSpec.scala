@@ -229,6 +229,62 @@ class DedupSpec extends SparkSpec {
     assert(minCos >= 0.999, s"planted pair cosine unexpectedly low: $minCos")
   }
 
+  test("hot-bucket guard: planted 1000-doc duplicate cluster stays under the candidate budget and connected") {
+    // 1000 identical vectors — the boilerplate-cluster worst case: every row
+    // lands in the SAME bucket in every band, so the unguarded self-join is
+    // bands * C(1000, 2) ≈ 9.0M joined rows and grows quadratically.
+    val n = 1000
+    val cap = 50
+    val cluster = spark.range(n).select(
+      col("id"), expr("transform(sequence(1, 64), i -> 0.5D + 0.001D * i)").as("v"))
+    val banded = Dedup.signBands(cluster, 72, 18, 64)
+    val maxBucket = banded.groupBy("band", "key").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxBucket == n, s"fixture should collapse to one bucket per band, max=$maxBucket")
+
+    val capped = Dedup.capBuckets(banded, cap)
+    // every sub-bucket is ~cap (3x slack for salt-hash imbalance)
+    val maxSub = capped.groupBy("band", "key").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxSub <= 3L * cap, s"sub-bucket $maxSub exceeds 3x cap $cap")
+    val joined = capped.as("x").join(capped.as("y"),
+      col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+        col("x.id") < col("y.id"))
+    val candRows = joined.count()
+    // the budget: linear bands*n*cap, not quadratic bands*C(n,2)
+    assert(candRows <= 18L * n * cap,
+      s"candidate volume $candRows exceeds the linear budget ${18L * n * cap}")
+    assert(candRows * 10 < 18L * n.toLong * (n - 1) / 2,
+      "guard saved less than 10x vs the quadratic join")
+
+    // cross-band salt independence keeps the cluster CONNECTED: the
+    // component/survivor step must still see ONE cluster, ONE survivor
+    val pairs = joined
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id")).distinct()
+    val cl = Dedup.clusters(cluster.select("id"), pairs)
+    assert(cl.select("cluster_id").distinct().count() == 1,
+      "sub-salting split the duplicate cluster into multiple components")
+    assert(cl.filter(col("is_survivor") === 1).count() == 1)
+  }
+
+  test("hot-bucket guard is the identity while no bucket exceeds the cap (d2/d5/d6 defaults)") {
+    // at spec scale every bucket is far under DefaultBucketCap, so the
+    // default-capped pipelines must be bit-identical to the uncapped ones
+    val d2c = Dedup.minHashNearDup(docs)
+    val d2u = Dedup.minHashNearDup(docs, bucketCap = Int.MaxValue)
+    assert(d2c.exceptAll(d2u).isEmpty && d2u.exceptAll(d2c).isEmpty,
+      "default-capped d2 diverged from uncapped")
+    val d6c = Dedup.simHashNearDup(docs)
+    val d6u = Dedup.simHashNearDup(docs, bucketCap = Int.MaxValue)
+    assert(d6c.exceptAll(d6u).isEmpty && d6u.exceptAll(d6c).isEmpty,
+      "default-capped d6 diverged from uncapped")
+    val fixture = Dedup.withPerturbedCopy(emb)
+    val d5c = Dedup.embeddingNearDup(fixture)
+    val d5u = Dedup.embeddingNearDup(fixture, bucketCap = Int.MaxValue)
+    assert(d5c.exceptAll(d5u).isEmpty && d5u.exceptAll(d5c).isEmpty,
+      "default-capped d5 diverged from uncapped")
+  }
+
   test("paragraphDedup: first occurrence survives, later repeats drop, reassembly ordered") {
     import spark.implicits._
     val sep = "\n\n"

@@ -117,6 +117,23 @@ class SimilaritySpec extends SparkSpec {
     assert(assign.select("id").distinct().count() == n)
   }
 
+  test("knnGraph: hot-bucket guard keeps a duplicate cluster linear and every node fully ranked") {
+    // 400 identical vectors (embeddings-table shape): one bucket per band of
+    // size 400 — over the explicit cap of 50, so the guard MUST engage.
+    val n = 400
+    val cluster = spark.range(n).select(
+      col("id").as("vec_id"),
+      expr("transform(sequence(1, 64), i -> CAST(0.3 + 0.001 * i AS FLOAT))").as("embedding"))
+    val g = Similarity.knnGraph(cluster, k = 5, bucketCap = 50).cache()
+    // inside a capped sub-bucket each node still sees ~cap-1 same-cluster
+    // candidates >> k, so every node keeps a full, perfect neighbor list
+    val per = g.groupBy("query_id").count()
+    assert(per.count() == n, "some cluster nodes lost all their edges")
+    assert(per.filter(col("count") =!= 5).count() == 0, "a node ranked fewer than k neighbors")
+    val minCos = g.agg(min("cosine")).head().getDouble(0)
+    assert(minCos >= 0.999999, s"identical-vector neighbor cosine $minCos below 1")
+  }
+
   test("ANN candidate generation bounds the ranking input") {
     // the ann plan must rank only bucket-collision candidates: its scored
     // row count is below the exact variant's |corpus| x |queries|

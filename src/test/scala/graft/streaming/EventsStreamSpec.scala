@@ -475,6 +475,26 @@ class EventsStreamSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
   }
 
+  test("sink state probing resolves file:-URI roots (Hadoop FS, not java.io.File)") {
+    import spark.implicits._
+    // an explicit file:// URI: java.io.File("file:///...").exists() is
+    // false, so a File-based probe would treat existing state as missing
+    // and the second fold would RESET the totals instead of accumulating
+    val state = "file://" + tmpDir("graft_mv_uri") + "/totals"
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      def batch(rows: (Long, Double)*) = rows.toSeq.toDF("user_id", "value")
+      EventsStream.mergeRunningBatch(state, batch((0L, 1.0)), 0L, 2)
+      EventsStream.mergeRunningBatch(state, batch((0L, 1.0)), 1L, 2)
+      val totals = spark.read.parquet(state)
+        .select("n_events", "value_milli").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(totals.toSeq == Seq((2L, 2000L)),
+        s"URI-rooted state did not accumulate across batches: ${totals.toSeq}")
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+  }
+
   test("runningMvReplay: maintained view equals batch totals, across >=2 batches") {
     val r = EventsStream.runningMvReplay(spark, sf, "graft_spec_mv")
     assert(r.batches >= 2,
