@@ -468,22 +468,36 @@ object TextAnalysis {
     * documents the same way a unigram logprob does for filtering purposes).
     *
     * Shape at 100 TB: one token-count aggregation (map-side combined — the
-    * zipfian head collapses in the partials), the `>= minCount` vocabulary
-    * is bounded (Heaps' law keeps distinct-above-threshold tokens far below
-    * corpus size) and BROADCAST back, so scoring is map-only and each doc's
-    * token rows collapse map-side in the per-doc sum. Nothing quadratic,
-    * nothing driver-side.
+    * zipfian head collapses in the partials), then the `>= minCount`
+    * vocabulary joins back for map-only scoring; each doc's token rows
+    * collapse map-side in the per-doc sum. Nothing quadratic, nothing
+    * driver-side.
+    *
+    * The vocabulary join is NOT hard-broadcast-hinted by default: Heaps'
+    * law bounds how FAST distinct-above-threshold tokens grow, not their
+    * absolute size, so on a web-scale corpus the vocabulary can exceed
+    * executor memory and a forced broadcast would OOM with no fallback.
+    * With AQE on (the engine default) the runtime sees the aggregated
+    * vocabulary's true size and picks broadcast exactly when it fits —
+    * `broadcastVocab = Some(true)` forces the hint for callers that know
+    * their vocabulary is small, `Some(false)` pins a shuffle join.
     */
   def unigramQuality(
       docs: DataFrame,
       minCount: Int = 2,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      broadcastVocab: Option[Boolean] = None): DataFrame = {
     val toks = docs.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
-    val vocab = toks.groupBy("tok")
+    val vocab0 = toks.groupBy("tok")
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
-    toks.join(broadcast(vocab), Seq("tok"), "left")
+    val vocab = broadcastVocab match {
+      case Some(true)  => broadcast(vocab0)
+      case Some(false) => vocab0.hint("shuffle_hash")
+      case None        => vocab0
+    }
+    toks.join(vocab, Seq("tok"), "left")
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_tokens"),

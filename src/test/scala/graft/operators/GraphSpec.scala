@@ -56,6 +56,24 @@ class GraphSpec extends SparkSpec {
       s"centrality uncorrelated with in-degree: top $avgTop vs isolated $avgZero")
   }
 
+  test("pageRank: convergence stop ends a 10-iteration budget early at the stationary point") {
+    // ring of 6: uniform mass drifts down ~1 nano/node/iteration (the
+    // 15/85 integer floors) until the EXACT integer fixed point, then
+    // stops moving entirely — so tolNano=1 stops at the fixed point (a
+    // few rounds in) and the remaining budget iterations are provably
+    // no-ops, making early-stop ≡ fixed-10 bit-for-bit
+    val edges = (0L until 6L).map(i => (i, (i + 1) % 6)).toDF("src", "dst")
+    val nodes = (0L until 6L).toDF("id")
+    val (converged, itersRun) =
+      Graph.pageRankRun(edges, nodes, iterations = 10, tolNano = 1L)
+    assert(itersRun < 10, s"convergence stop never fired: ran $itersRun/10")
+    val fixed10 = Graph.pageRank(edges, nodes, iterations = 10)
+    assert(converged.exceptAll(fixed10).isEmpty && fixed10.exceptAll(converged).isEmpty,
+      "early-stopped ranks differ from the fixed-10 run at the stationary point")
+    // and tolNano = 0 (the g1-oracle configuration) must NOT stop early
+    assert(Graph.pageRankRun(edges, nodes, iterations = 10)._2 == 10)
+  }
+
   test("pageRank: out-degree normalization — a hub's mass splits across targets") {
     // hub 1 -> {2, 3}; 2 -> 1; 3 -> 1
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
