@@ -64,6 +64,24 @@ object Bench {
     // entry, measuring each as a standalone rebuild; default keeps them, and
     // the affected entries are flagged in the output as "memo_warm".
     val cold = sys.env.get("SPARK_GRAFT_COLD").contains("1")
+    // Per-query JVM probes (stderr, one JSON object per line): elapsed
+    // wall-clock since the JVM started, used heap, and CUMULATIVE GC
+    // time/count. Purpose: attribute run-to-run total variance — a run
+    // inflated by session-state/GC pressure shows gc_ms growing in step
+    // with the inflation; a run inflated by machine contention (co-tenant
+    // CPU steal, cold page cache) shows flat GC with wall-time growth.
+    // Round 7's driver-vs-builder 181 s-vs-92.6 s discrepancy is the
+    // motivating case — see BASELINE.md "Bench run-to-run variance".
+    // Stderr only: the stdout contract line is unchanged.
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def gcNow(): (Long, Long) = {
+      var ms = 0L; var n = 0L
+      gcBeans.forEach { b =>
+        ms += math.max(0L, b.getCollectionTime); n += math.max(0L, b.getCollectionCount)
+      }
+      (ms, n)
+    }
+    val jvmT0 = java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime
     val results = selected.map { case (name, fn) =>
       spark.catalog.clearCache()
       if (cold) {
@@ -80,7 +98,15 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           -1L
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      val (gcMs, gcN) = gcNow()
+      val rt = Runtime.getRuntime
+      val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+      val sinceStart = (System.currentTimeMillis() - jvmT0) / 1e3
+      System.err.println(
+        s"""[bench-probe] {"q":"$name","t_s":$sec,"since_start_s":$sinceStart,""" +
+          s""""heap_used_mb":$heapMb,"gc_ms":$gcMs,"gc_count":$gcN}""")
+      name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
