@@ -278,6 +278,11 @@ object SparkEntry {
     "a22_metadata_stats" -> ((s, dir) =>
       graft.operators.Analytics.metadataStats(
         s, graft.core.Tables.path(dir, "lineitem"))),
+    // ANALYZE surface: per-table row/null counts + key min/max via the a22
+    // footer-only pushdown scan, NDV via the a18 KMV sketch; persisted as a
+    // parquet relation and read back — the CBO-input catalog table.
+    "a25_table_stats" -> ((s, dir) =>
+      graft.catalog.TableStats.analyzed(s, dir)),
     // Time-RANGE moving window (trailing 30-day revenue) — the event-time
     // frame a15's ROWS prefix sum can't express.
     "a23_trailing_revenue" -> ((s, dir) =>
@@ -1019,6 +1024,23 @@ object SparkEntry {
       ("SELECT count(*) AS cnt, min(l_orderkey) AS min_orderkey, " +
         "max(l_orderkey) AS max_orderkey, min(l_extendedprice) AS min_price, " +
         "max(l_extendedprice) AS max_price FROM lineitem"),
+    // a25: one branch per (table, key column) — generated from the SAME
+    // list the Spark side analyzes, so the two can't drift. Counts/min/max
+    // are plain aggregates; NDV replays the a18 KMV estimator (k=32
+    // smallest distinct md5, (k-1)/U(k) over 16^15, floor-milli).
+    "a25_table_stats" ->
+      graft.catalog.TableStats.statColumns.map { case (t, c) =>
+        s"SELECT '$t' AS table_name, '$c' AS column_name, " +
+          s"(SELECT count(*) FROM $t) AS n_rows, " +
+          s"(SELECT count(*) - count($c) FROM $t) AS n_nulls, " +
+          s"(SELECT CAST(min($c) AS BIGINT) FROM $t) AS min_key, " +
+          s"(SELECT CAST(max($c) AS BIGINT) FROM $t) AS max_key, " +
+          "(SELECT CASE WHEN count(*) < 32 THEN count(*) * 1000 " +
+          "ELSE CAST(floor(31.0 * CAST(1152921504606846976 AS DOUBLE) / " +
+          "CAST(('0x' || substring(max(h), 1, 15))::BIGINT AS DOUBLE) * 1000.0) AS BIGINT) END " +
+          s"FROM (SELECT DISTINCT md5(CAST($c AS VARCHAR)) AS h FROM $t " +
+          "ORDER BY h LIMIT 32)) AS ndv_milli"
+      }.mkString(" UNION ALL "),
     "a13_price_quantiles" ->
       ("SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 4) AS p50, " +
         "round(quantile_cont(o_totalprice, 0.9), 4) AS p90, count(*) AS n " +

@@ -1,0 +1,67 @@
+package graft.catalog
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TableStatsSpec extends SparkSpec {
+
+  test("columnStats: under-k table is exact (counts, range, NDV) with zero nulls") {
+    val r = TableStats.columnStats(spark, sf, "region", "r_regionkey").collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getString(0) == "region" && row.getString(1) == "r_regionkey")
+    val nRows = row.getLong(2)
+    assert(nRows == 5, s"region should have 5 rows, stats say $nRows")
+    assert(row.getLong(3) == 0, "key column reported nulls")
+    assert(row.getLong(4) == 0 && row.getLong(5) == 4,
+      s"region key range should be [0, 4], got [${row.getLong(4)}, ${row.getLong(5)}]")
+    // 5 distinct < k=32: the sketch holds every value — exact by definition
+    assert(row.getLong(6) == 5000L, s"under-k NDV must be exact*1000, got ${row.getLong(6)}")
+  }
+
+  test("columnStats: KMV NDV estimate lands near the exact distinct count on a key column") {
+    val r = TableStats.columnStats(spark, sf, "orders", "o_orderkey").collect()(0)
+    val exact = graft.core.Tables.load(spark, sf, "orders")
+      .select("o_orderkey").distinct().count()
+    assert(r.getLong(2) >= exact, "row count below distinct count")
+    val est = r.getLong(6) / 1000.0
+    // k=32 → relative std ≈ 1/sqrt(30) ≈ 18%; 3σ bound with slack
+    assert(est > exact * 0.4 && est < exact * 2.5,
+      s"KMV estimate $est implausibly far from exact $exact")
+  }
+
+  test("analyze persists one row per (table, column); statsRelation exposes it to SQL") {
+    val out = tmpDir("graft_stats_spec") + "/stats"
+    TableStats.analyze(spark, sf, out)
+    val rel = TableStats.statsRelation(spark, out)
+    assert(rel.count() == TableStats.statColumns.size.toLong)
+    assert(rel.select("table_name").distinct().count() ==
+      TableStats.statColumns.size.toLong)
+    // the catalog relation answers SQL — the CBO-input / pipeline-gate use
+    val viaSql = spark.sql(
+      s"SELECT n_rows FROM ${TableStats.ViewName} WHERE table_name = 'lineitem'")
+      .collect()(0).getLong(0)
+    val exact = graft.core.Tables.load(spark, sf, "lineitem").count()
+    assert(viaSql == exact, s"persisted lineitem n_rows $viaSql != $exact")
+    // every stats row is internally consistent: no nulls in keys, min <= max,
+    // NDV estimate positive and <= n_rows is NOT guaranteed (estimator
+    // variance) but must be positive and finite
+    val bad = rel.filter(
+      col("n_nulls") =!= 0 || col("min_key") > col("max_key") ||
+        col("ndv_milli") <= 0).count()
+    assert(bad == 0, "inconsistent stats row")
+    // a re-run is a full refresh, not an append
+    TableStats.analyze(spark, sf, out)
+    assert(spark.read.parquet(out).count() == TableStats.statColumns.size.toLong)
+  }
+
+  test("count/min/max ride the footer-only pushdown scan (A22's shape)") {
+    val df = TableStats.columnStats(spark, sf, "orders", "o_orderkey")
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pushed = p.linesIterator.filter(_.contains("PushedAggregation")).mkString
+    assert(pushed.contains("COUNT(*)") && pushed.contains("MIN(o_orderkey)") &&
+      pushed.contains("MAX(o_orderkey)"),
+      s"stats aggregate not pushed into the parquet scan:\n$p")
+  }
+}
