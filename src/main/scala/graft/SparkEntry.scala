@@ -46,6 +46,24 @@ object SparkEntry {
   private val streamedIndexMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
+  /** One-time STORED kNN graph (K5 at graphK=8) for the k6 beam-search
+    * entry — the same ingest-time-artifact contract as [[d9IndexDir]]: a
+    * real deployment builds the navigation graph once at indexing time and
+    * every query traverses it; k6's number measures the SEARCH, not a
+    * from-scratch index build per query.
+    */
+  private val knnGraphMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Build (once) and return the stored k6 navigation-graph path. */
+  def k6GraphDir(s: SparkSession, dir: String): String =
+    knnGraphMemo.computeIfAbsent((s, dir), _ => {
+      val path = graft.core.TempDirs.create("graft_k6_graph")
+      graft.operators.Similarity.knnGraph(t(s, dir, "embeddings"), k = 8)
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
   /** Deterministic 1/16 md5 slice playing the newly-arrived d9 delta. */
   private val d9DeltaPredicate = "substring(md5(CAST(doc_id AS STRING)), 1, 1) = '0'"
 
@@ -145,8 +163,12 @@ object SparkEntry {
     * daily delta run against the already-stored index (the index write is
     * ingest-time cost, pre-built in Bench like the e3 staging).
     */
+  /** k6 shares d9's contract: the stored kNN graph is the ingest-time
+    * index; the entry times seeding + traversal + re-rank against it.
+    */
   val memoWarm: Set[String] =
-    Set("d7_dedup_clusters", "d8_clean_corpus", "d9_incremental_dedup")
+    Set("d7_dedup_clusters", "d8_clean_corpus", "d9_incremental_dedup",
+      "k6_beam_search")
 
   /** Drop the memoized pipeline stages for one session (all dirs) — lets a
     * bench opt into cold per-query measurement, and unpins the session and
@@ -158,7 +180,7 @@ object SparkEntry {
     Seq(pairMemo, clusterMemo).foreach { m =>
       m.keySet.asScala.filter(_._1 eq s).toList.foreach(m.remove)
     }
-    Seq(dedupIndexMemo, streamedIndexMemo).foreach { m =>
+    Seq(dedupIndexMemo, streamedIndexMemo, knnGraphMemo).foreach { m =>
       m.keySet.asScala.filter(_._1 eq s).toList
         .foreach(k => Option(m.remove(k)).foreach(graft.core.TempDirs.drop))
     }
@@ -742,6 +764,15 @@ object SparkEntry {
     // rank) — the semantic-dedup / clustering primitive.
     "k5_knn_graph" -> ((s, dir) =>
       graft.operators.Similarity.knnGraph(t(s, dir, "embeddings"), k = 5)),
+    // Graph-traversal ANN: narrow LSH seeding (3 bands), then 2 fixed beam
+    // rounds over the UNDIRECTED k5 graph — higher recall than k2's bucket
+    // probe at fewer exact-cosine evaluations (pinned in SimilaritySpec).
+    // The graph is the STORED ingest-time index (k6GraphDir, d9's memo
+    // contract): the query reads it back and traverses.
+    "k6_beam_search" -> ((s, dir) =>
+      graft.operators.Similarity.beamSearchTopKCosine(
+        t(s, dir, "embeddings"), Seq(0L, 1L, 2L),
+        graph = Some(s.read.parquet(k6GraphDir(s, dir))))),
     // Integer-exact PageRank over the kNN graph (3 power iterations) —
     // centrality as a document-importance prior (crawl-curation axis).
     "g1_pagerank" -> ((s, dir) => {
@@ -858,7 +889,61 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** k6's DuckDB replay, composed programmatically because the beam rounds
+    * are mechanical repetitions: the k2/k5 banding + cosine conventions,
+    * an undirected rank≤8 kNN graph, 3-band seeding, and 2 beam rounds
+    * (top-32 of everything scored so far → expand out-edges → NOT EXISTS
+    * away already-visited → score the new ones). Parameters mirror
+    * [[graft.operators.Similarity.beamSearchRun]]'s defaults literally.
+    */
+  private def k6OracleSql: String = {
+    def score(cand: String): String =
+      s"SELECT c.query_id, c.id, " +
+        "list_sum(list_transform(generate_series(1, 64), i -> av.v[i] * qv.v[i])) / " +
+        "(sqrt(list_sum(list_transform(av.v, x -> x * x))) * " +
+        "sqrt(list_sum(list_transform(qv.v, x -> x * x)))) AS cos " +
+        s"FROM $cand c JOIN v av ON c.id = av.id JOIN v qv ON c.query_id = qv.id"
+    def round(r: Int): String =
+      s"b$r AS (SELECT query_id, id FROM (SELECT query_id, id, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rn " +
+        s"FROM v${r - 1}) WHERE rn <= 32), " +
+        s"e$r AS (SELECT DISTINCT b.query_id, g.dst AS id FROM b$r b " +
+        "JOIN graph g ON b.id = g.src WHERE g.dst != b.query_id " +
+        s"AND NOT EXISTS (SELECT 1 FROM v${r - 1} pv " +
+        "WHERE pv.query_id = b.query_id AND pv.id = g.dst)), " +
+        s"s$r AS (${score(s"e$r")}), " +
+        s"v$r AS (SELECT * FROM v${r - 1} UNION ALL SELECT * FROM s$r), "
+    "WITH v AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
+      "FROM embeddings), " +
+      "hp AS (SELECT b, d, CASE WHEN substr(md5(CAST(b AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1) < '8' " +
+      "THEN 1.0 ELSE -1.0 END AS sign " +
+      "FROM generate_series(0, 71) t(b), generate_series(0, 63) u(d)), " +
+      "bits AS (SELECT id, b, CASE WHEN sum(CAST(floor(sign * v.v[d + 1] * 10000000) AS BIGINT)) >= 0 " +
+      "THEN '1' ELSE '0' END AS bit FROM v, hp GROUP BY id, b), " +
+      "bands AS (SELECT id, b // 4 AS band, string_agg(bit, '' ORDER BY b) AS bkey " +
+      "FROM bits GROUP BY id, band), " +
+      // the rank<=8 kNN graph (k5's derivation at graphK=8), made undirected
+      "gcand AS (SELECT DISTINCT a.id AS query_id, bd.id FROM bands a " +
+      "JOIN bands bd ON a.band = bd.band AND a.bkey = bd.bkey WHERE bd.id != a.id), " +
+      s"gs AS (${score("gcand")}), " +
+      "graph0 AS (SELECT query_id AS src, id AS dst FROM (SELECT query_id, id, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rn FROM gs) " +
+      "WHERE rn <= 8), " +
+      "graph AS (SELECT src, dst FROM graph0 UNION ALL SELECT dst AS src, src AS dst FROM graph0), " +
+      // seeding: bucket collisions in the first 3 bands only
+      "qb AS (SELECT id AS query_id, band, bkey FROM bands WHERE id < 3 AND band < 3), " +
+      "seed AS (SELECT DISTINCT qb.query_id, bd.id FROM bands bd " +
+      "JOIN qb ON bd.band = qb.band AND bd.bkey = qb.bkey WHERE bd.id != qb.query_id), " +
+      s"v0 AS (${score("seed")}), " +
+      (round(1) + round(2)).stripSuffix(", ") + " " +
+      "SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank FROM (" +
+      "SELECT query_id, id AS neighbor_id, cos, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rank FROM v2) " +
+      "WHERE rank <= 10"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "k6_beam_search" -> k6OracleSql,
     "r1_scan" -> "SELECT r_regionkey, r_name FROM region",
     "r2_projection" -> "SELECT c_name, c_acctbal FROM customer",
     "r3_join_comma" ->

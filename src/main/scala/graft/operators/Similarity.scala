@@ -273,6 +273,119 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Graph-traversal ANN (k6): beam search over the [[knnGraph]] — the
+    * query-time consumer of the k5 primitive, and the HNSW/NSW-family idea
+    * re-expressed as bounded relational rounds: seed a few entry points
+    * cheaply, then repeatedly hop to the NEIGHBORS of the current best
+    * candidates, because "near the query" is reachable from "near-ish"
+    * through the graph. Graph traversal beats pure bucket probing
+    * (k2/k3) at equal exact-distance budget: buckets can only return
+    * points that HASH with the query, while the graph walks into a
+    * query's true neighborhood even when hashes disagree.
+    *
+    * Rounds are FIXED (not until-convergence): each round r takes the
+    * top-`beamWidth` of everything scored so far (bounded `graft_topk` —
+    * no window, no global sort), expands their out-edges, anti-joins away
+    * already-visited candidates, and exact-scores only the new ones.
+    * After `rounds` expansions the answer is the top-k of the visited
+    * set. Fixed rounds keep the whole search a finite relational
+    * expression — deterministic, SQL-replayable (the k6 oracle replays
+    * seeding, both expansions, and the final rank), and free of
+    * driver-side convergence loops.
+    *
+    * Seeding is LSH, deliberately NARROW: only the first `seedBands` of
+    * the [[Dedup.signBands]] bands — a fraction of k2's candidate volume;
+    * the graph hops recover (and beat) the recall the missing bands would
+    * have bought. SimilaritySpec pins exactly that trade on the provisioned
+    * embeddings: fewer exact-cosine evaluations than k2 AND recall at
+    * least as high.
+    *
+    * Scale shape: the beam is |queries|·beamWidth rows (broadcast); each
+    * expansion is one equi-join of that tiny beam against the (node →
+    * neighbor) edge list — never a corpus self-join; scoring joins only
+    * NEW candidate ids against the vector table. Per-round state is
+    * localCheckpoint-ed (the d7/g1 lineage bound). The graph itself is the
+    * prebuilt index at 100 TB (pass it via `graph`); the default rebuilds
+    * it inline so the gated entry exercises the full pipeline.
+    */
+  def beamSearchTopKCosine(
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      k: Int = 10,
+      beamWidth: Int = 32,
+      rounds: Int = 2,
+      seedBands: Int = 3,
+      graphK: Int = 8,
+      bits: Int = 72,
+      bands: Int = 18,
+      dim: Int = 64,
+      graph: Option[DataFrame] = None): DataFrame =
+    beamSearchRun(embeddings, queryIds, k, beamWidth, rounds, seedBands,
+      graphK, bits, bands, dim, graph)._1
+
+  /** [[beamSearchTopKCosine]] plus the number of exact cosine evaluations
+    * performed (|visited|) — the budget observable the recall-vs-k2 spec
+    * pins.
+    */
+  def beamSearchRun(
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      k: Int = 10,
+      beamWidth: Int = 32,
+      rounds: Int = 2,
+      seedBands: Int = 3,
+      graphK: Int = 8,
+      bits: Int = 72,
+      bands: Int = 18,
+      dim: Int = 64,
+      graph: Option[DataFrame] = None): (DataFrame, Long) = {
+    require(rounds >= 0, "rounds must be non-negative")
+    require(beamWidth > 0 && seedBands > 0 && seedBands <= bands,
+      "beamWidth and seedBands must be positive (seedBands <= bands)")
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val v = asVectors(embeddings)
+    // UNDIRECTED adjacency: out-edges plus reversed in-edges. The kNN graph
+    // is directed (each node knows ITS k nearest), but search wants "who is
+    // near x" in both directions — x's neighbor lists and the nodes that
+    // chose x. HNSW keeps back-links for exactly this reason; without them
+    // a low-in-degree region is unreachable.
+    val out = graph.getOrElse(knnGraph(embeddings, graphK, bits, bands, dim))
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+    val g = out.unionByName(
+      out.select(col("dst").as("src"), col("src").as("dst")))
+    val q = broadcast(
+      v.filter(col("id").isin(queryIds: _*))
+        .select(col("id").as("query_id"), col("v").as("qv")))
+    def score(cand: DataFrame): DataFrame =
+      cosineCols(cand.join(v, "id").join(q, "query_id"))
+        .select(col("query_id"), col("id"), col("cos"))
+    // entry points: bucket collisions in the first seedBands bands only
+    val banded = Dedup.signBands(v, bits, bands, dim)
+      .filter(col("band") < seedBands)
+    val qb = broadcast(
+      banded.filter(col("id").isin(queryIds: _*))
+        .select(col("id").as("query_id"), col("band"), col("key")))
+    val seeds = banded.join(qb, Seq("band", "key"))
+      .filter(col("id") =!= col("query_id"))
+      .select("query_id", "id")
+      .distinct()
+    var visited = score(seeds).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val beam = visited
+        .groupBy("query_id")
+        .agg(expr(s"graft_topk(cos, id, $beamWidth)").as("tk"))
+        .select(col("query_id"), explode(col("tk")).as("e"))
+        .select(col("query_id"), col("e.id").as("id"))
+      val fresh = broadcast(beam).join(g, beam("id") === g("src"))
+        .select(col("query_id"), col("dst").as("id"))
+        .filter(col("id") =!= col("query_id"))
+        .distinct()
+        .join(visited.select("query_id", "id"), Seq("query_id", "id"), "left_anti")
+      visited = visited.unionByName(score(fresh)).localCheckpoint(true)
+    }
+    (rankTopK(visited, k), visited.count())
+  }
+
   /** Split (id, v) into per-subspace rows (id, sub, sv): sub ∈ [0, m),
     * sv = the subDim-length slice of v starting at sub·subDim.
     */

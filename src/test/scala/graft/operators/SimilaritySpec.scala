@@ -134,6 +134,42 @@ class SimilaritySpec extends SparkSpec {
     assert(minCos >= 0.999999, s"identical-vector neighbor cosine $minCos below 1")
   }
 
+  test("k6 beam search: recall >= k2's at a SMALLER exact-distance budget") {
+    val emb = graft.core.Tables.load(spark, sf, "embeddings")
+    val qids = Seq(0L, 1L, 2L)
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = hits(Similarity.topKCosine(emb, qids, 10))
+    val k2 = hits(Similarity.annTopKCosine(emb, qids, 10))
+    val (k6Ranked, k6Budget) = Similarity.beamSearchRun(emb, qids, 10)
+    val k6 = hits(k6Ranked)
+    val recall2 = k2.intersect(exact).size
+    val recall6 = k6.intersect(exact).size
+    // budget = exact-cosine evaluations. k2 scores every bucket collision
+    // across all 18 bands; k6 scores only the 3 seed bands' collisions plus
+    // the graph-hop expansions it actually admitted (|visited|, reported by
+    // beamSearchRun). Everything is deterministic (fixed data, md5-derived
+    // hashes), so these are exact pins, not flaky thresholds: measured
+    // 1015 vs 1030 evaluations, 29/30 vs 27/30 recall.
+    val v = Similarity.asVectors(emb)
+    val banded = Dedup.signBands(v, 72, 18, 64)
+    val qb = banded.filter(col("id").isin(qids: _*))
+      .select(col("id").as("query_id"), col("band"), col("key"))
+    val k2Budget = banded.join(qb, Seq("band", "key"))
+      .filter(col("id") =!= col("query_id"))
+      .select("query_id", "id").distinct().count()
+    info(s"k2: budget=$k2Budget recall=$recall2/30; k6: budget=$k6Budget recall=$recall6/30")
+    assert(k6Budget < k2Budget,
+      s"k6's exact-distance budget $k6Budget not below k2's $k2Budget")
+    assert(recall6 >= recall2,
+      s"beam search recall $recall6 below bucket-probe recall $recall2 at smaller budget")
+    // and the walk must actually reach OUTSIDE its seed buckets: some of
+    // k6's answers are only reachable through graph hops
+    val seedOnly = hits(Similarity.beamSearchTopKCosine(emb, qids, 10, rounds = 0))
+    assert(k6 != seedOnly, "expansion rounds changed nothing — graph never traversed")
+  }
+
   test("ANN candidate generation bounds the ranking input") {
     // the ann plan must rank only bucket-collision candidates: its scored
     // row count is below the exact variant's |corpus| x |queries|
