@@ -710,31 +710,35 @@ object EventsStream {
     * contract exactly-once here.
     *
     * The state is HASH-BUCKETED on the key (`bucket=` partition dirs) and
-    * each batch rewrites ONLY the buckets its keys touch, via dynamic
-    * partition overwrite: per-batch cost is O(touched buckets), not
-    * O(state) — with real CDC key locality most buckets sit untouched most
-    * batches. The merged buckets are eagerly localCheckpoint-ed before the
-    * write (the overwrite reads the same directories it replaces; severing
-    * lineage is what makes the in-place rewrite legal). The per-bucket
-    * directory swap is not atomic ACROSS buckets — a mid-write crash can
-    * leave buckets at mixed batch versions, healed by the at-least-once
-    * replay of the batch; a 100 TB deployment gets cross-bucket atomicity
-    * by pointing this same body at a merge-capable table format (MERGE
-    * INTO on the key), keeping the topology — batch-local collapse, keyed
-    * merge, bounded rewrite — identical.
+    * each batch rewrites ONLY the buckets its keys touch: per-batch cost is
+    * O(touched buckets), not O(state) — with real CDC key locality most
+    * buckets sit untouched most batches. The merged buckets are eagerly
+    * localCheckpoint-ed before the write (the commit reads the same state
+    * it replaces; severing lineage is what makes the rewrite legal).
+    * Cross-bucket ATOMICITY comes from the [[graft.core.ManifestTable]]
+    * commit protocol: immutable data files + a versioned manifest published
+    * by one atomic rename, so readers see a full version, never buckets at
+    * mixed batch versions — the merge-capable-table-format move, in-repo.
     */
   /** One micro-batch of the keyed-upsert sink: collapse the batch to its
     * last-per-user rows, merge them into the bucketed profile state, and
-    * rewrite ONLY the touched `bucket=` partitions (the caller's session
-    * must have dynamic partition overwrite on — [[upsertReplay]] sets it on
-    * its cloned stream session; the unit spec pins that untouched buckets
-    * SURVIVE a merge, the property that distinguishes dynamic from static
-    * overwrite). Exposed for direct spec coverage of the merge semantics —
-    * the replay's time-split batches touch every bucket at test scale, so
-    * the untouched-bucket path would otherwise never be exercised.
+    * commit ONLY the touched `bucket=` partitions through the
+    * [[graft.core.ManifestTable]] protocol — so the multi-bucket rewrite
+    * is ATOMIC across buckets: readers see version N or version N+1 in
+    * full, never a mix (the gap the previous dynamic-partition-overwrite
+    * path documented and deferred to "a merge-capable table format"; the
+    * manifest commit IS that table format's core move). A crash anywhere
+    * mid-commit leaves the previous version intact and the half-written
+    * files invisible ([[graft.core.ManifestTable.vacuum]] sweeps them).
+    * The batch id is the exactly-once fence: a redelivered batch id ≤ the
+    * committed one is skipped wholesale — belt on top of the merge's
+    * natural last-writer-wins idempotence. Exposed for direct spec
+    * coverage of the merge semantics — the replay's time-split batches
+    * touch every bucket at test scale, so the untouched-bucket path would
+    * otherwise never be exercised.
     */
   private[streaming] def mergeProfileBatch(
-      state: String, batch: DataFrame, nBuckets: Int): Unit = {
+      state: String, batch: DataFrame, batchId: Long, nBuckets: Int): Unit = {
     require(nBuckets > 0, "nBuckets must be positive")
     val s = batch.sparkSession
     // materialized once: the touched-bucket collect AND the merge write
@@ -745,17 +749,16 @@ object EventsStream {
       .localCheckpoint(true)
     val touched = batchLast.select("bucket").distinct()
       .collect().map(_.getInt(0)) // bounded by nBuckets
-    val prev =
-      if (pathExists(s, state))
-        s.read.parquet(state)
-          .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
-      else batchLast.limit(0)
+    val prev = graft.core.ManifestTable.read(s, state) match {
+      case Some(st) => st.filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+      case None => batchLast.limit(0)
+    }
     val merged = lastPerUser(
       prev.select(profileSchema.fieldNames.map(col): _*)
         .unionByName(batchLast.select(profileSchema.fieldNames.map(col): _*)))
       .withColumn("bucket", pmod(col("user_id"), lit(nBuckets)).cast("int"))
       .localCheckpoint(true)
-    merged.write.partitionBy("bucket").mode("overwrite").parquet(state)
+    graft.core.ManifestTable.commit(s, state, merged, "bucket", batchId)
   }
 
   /** Schema of the additive running-aggregate state ([[runningMvReplay]]):
@@ -859,11 +862,8 @@ object EventsStream {
       queryName: String = "graft_events_upsert_stream",
       nBuckets: Int = 8): Replayed = {
     val ss = streamSession(spark)
-    ss.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val state = tempDir("graft_stream_upsert_state_") + "/profile"
     val ckpt = tempDir("graft_stream_upsert_ckpt_")
-    def readState(s: SparkSession): Option[DataFrame] =
-      if (pathExists(s, state)) Some(s.read.parquet(state)) else None
     val q = readEventsStaged(ss, dir)
       .selectExpr("user_id", "ts", "event_id", "event_type",
         "CAST(round(value * 1000) AS BIGINT) AS value_milli")
@@ -872,12 +872,12 @@ object EventsStream {
       .option("checkpointLocation", ckpt)
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        mergeProfileBatch(state, batch, nBuckets)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeProfileBatch(state, batch, batchId, nBuckets)
       }
       .start()
     q.awaitTermination()
-    val frame = readState(spark) match {
+    val frame = graft.core.ManifestTable.read(spark, state) match {
       case Some(st) => st.select(profileSchema.fieldNames.map(col): _*)
       case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], profileSchema)

@@ -1,0 +1,81 @@
+package graft.core
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+class ManifestTableSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Int, Long)] =
+    df.select("k", "v").collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+
+  private def part(df: org.apache.spark.sql.DataFrame) =
+    df.withColumn("bucket", pmod(col("k"), lit(4)).cast("int"))
+
+  test("commit/read: versions are complete snapshots; untouched partitions carry forward") {
+    val root = tmpDir("graft_manifest") + "/t"
+    assert(ManifestTable.read(spark, root).isEmpty)
+    assert(ManifestTable.currentVersion(spark, root) == -1L)
+    // v0: buckets 0 and 1
+    val v0 = ManifestTable.commit(spark, root,
+      part(Seq((0, 10L), (1, 11L)).toDF("k", "v")), "bucket", batchId = 0L)
+    assert(v0 == 0L)
+    assert(rows(ManifestTable.read(spark, root).get) == Set((0, 10L), (1, 11L)))
+    // v1 touches ONLY bucket 1 (k=1,5): bucket 0's file carries forward
+    val v1 = ManifestTable.commit(spark, root,
+      part(Seq((1, 21L), (5, 25L)).toDF("k", "v")), "bucket", batchId = 1L)
+    assert(v1 == 1L)
+    assert(rows(ManifestTable.read(spark, root).get) ==
+      Set((0, 10L), (1, 21L), (5, 25L)))
+    assert(ManifestTable.lastBatch(spark, root) == 1L)
+    // the fence: redelivered batch id <= committed is a no-op
+    assert(ManifestTable.commit(spark, root,
+      part(Seq((1, 99L)).toDF("k", "v")), "bucket", batchId = 1L) == 1L)
+    assert(rows(ManifestTable.read(spark, root).get) ==
+      Set((0, 10L), (1, 21L), (5, 25L)))
+  }
+
+  test("a crashed commit is invisible: readers stay on the last full version, vacuum sweeps the debris") {
+    val root = tmpDir("graft_manifest_crash") + "/t"
+    ManifestTable.commit(spark, root,
+      part(Seq((0, 10L), (1, 11L)).toDF("k", "v")), "bucket", 0L)
+    val before = rows(ManifestTable.read(spark, root).get)
+    // crash after data-file writes, BEFORE the manifest rename: emulate by
+    // planting version-named data files with no published manifest
+    val orphan = Paths.get(s"$root/bucket=1/v1-part-00000-dead.parquet")
+    Files.write(orphan, Array.fill(64)(0x13.toByte))
+    val tmpManifest = Paths.get(s"$root/_manifest/v1.json.tmp")
+    Files.write(tmpManifest, "{\"version\":1,\"batch\":1}\nbucket=1/v1-part-00000-dead.parquet".getBytes)
+    // reader: still version 0, still the full old snapshot — never a mix
+    assert(ManifestTable.currentVersion(spark, root) == 0L)
+    assert(rows(ManifestTable.read(spark, root).get) == before,
+      "crashed commit leaked into the read path")
+    // vacuum deletes exactly the unreferenced data file (manifest tmp is
+    // outside the partition dirs; a real recovery just re-runs the batch)
+    val swept = ManifestTable.vacuum(spark, root)
+    assert(swept == 1L, s"expected 1 orphan swept, got $swept")
+    assert(!Files.exists(orphan))
+    assert(rows(ManifestTable.read(spark, root).get) == before)
+    // and the healed re-commit lands normally
+    ManifestTable.commit(spark, root,
+      part(Seq((1, 21L)).toDF("k", "v")), "bucket", 1L)
+    assert(rows(ManifestTable.read(spark, root).get) == Set((0, 10L), (1, 21L)))
+  }
+
+  test("vacuum: superseded files deleted past retention, live versions intact") {
+    val root = tmpDir("graft_manifest_vac") + "/t"
+    ManifestTable.commit(spark, root, part(Seq((0, 10L)).toDF("k", "v")), "bucket", 0L)
+    ManifestTable.commit(spark, root, part(Seq((0, 20L)).toDF("k", "v")), "bucket", 1L)
+    ManifestTable.commit(spark, root, part(Seq((0, 30L)).toDF("k", "v")), "bucket", 2L)
+    // v0/v1's bucket-0 files are superseded; keepVersions=1 retains only v2
+    val swept = ManifestTable.vacuum(spark, root, keepVersions = 1)
+    assert(swept >= 2L, s"expected superseded files + old manifests swept, got $swept")
+    assert(rows(ManifestTable.read(spark, root).get) == Set((0, 30L)))
+    // grace window: a fresh superseded file survives
+    ManifestTable.commit(spark, root, part(Seq((0, 40L)).toDF("k", "v")), "bucket", 3L)
+    assert(ManifestTable.vacuum(spark, root, graceMs = 60 * 60 * 1000L) == 0L)
+    assert(rows(ManifestTable.read(spark, root).get) == Set((0, 40L)))
+  }
+}

@@ -390,41 +390,40 @@ class EventsStreamSpec extends SparkSpec {
     }
   }
 
-  test("mergeProfileBatch: untouched buckets survive, touched merge last-wins, idempotent") {
+  test("mergeProfileBatch: untouched buckets survive, touched merge last-wins, fenced + idempotent") {
     import spark.implicits._
     val ts = (sec: Long) => new java.sql.Timestamp(sec * 1000)
     val state = tmpDir("graft_upsert_merge") + "/profile"
-    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      def batch(rows: (Long, Long, Long, String, Long)*) =
-        rows.toSeq.toDF("user_id", "__s", "event_id", "event_type", "value_milli")
-          .select(col("user_id"), expr("timestamp_seconds(__s)").as("ts"),
-            col("event_id"), col("event_type"), col("value_milli"))
-      def readState() = spark.read.parquet(state)
-        .select("user_id", "ts", "event_id", "event_type", "value_milli")
-        .collect().map(r => r.getLong(0) ->
-          ((r.getTimestamp(1), r.getLong(2), r.getString(3), r.getLong(4)))).toMap
-      // batch A: users 0 (bucket 0) and 1 (bucket 1) of 4
-      EventsStream.mergeProfileBatch(state,
-        batch((0L, 10L, 100L, "view", 1L), (1L, 10L, 101L, "view", 2L)), 4)
-      // batch B touches ONLY bucket 1: user 0's bucket-0 partition is not
-      // rewritten — with STATIC overwrite it would be deleted wholesale
-      EventsStream.mergeProfileBatch(state,
-        batch((1L, 20L, 102L, "purchase", 3L)), 4)
-      val afterB = readState()
-      assert(afterB(0L) == ((ts(10), 100L, "view", 1L)),
-        "untouched bucket lost its rows — dynamic partition overwrite not in effect")
-      assert(afterB(1L) == ((ts(20), 102L, "purchase", 3L)), "touched bucket not merged")
-      // older redelivery for user 1 must NOT win (last-writer-wins on ts)
-      EventsStream.mergeProfileBatch(state,
-        batch((1L, 15L, 103L, "click", 9L)), 4)
-      assert(readState() == afterB, "older event overwrote newer state")
-      // idempotent: replaying batch B converges to the same state
-      EventsStream.mergeProfileBatch(state,
-        batch((1L, 20L, 102L, "purchase", 3L)), 4)
-      assert(readState() == afterB, "replayed batch changed converged state")
-    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    def batch(rows: (Long, Long, Long, String, Long)*) =
+      rows.toSeq.toDF("user_id", "__s", "event_id", "event_type", "value_milli")
+        .select(col("user_id"), expr("timestamp_seconds(__s)").as("ts"),
+          col("event_id"), col("event_type"), col("value_milli"))
+    def readState() = graft.core.ManifestTable.read(spark, state).get
+      .select("user_id", "ts", "event_id", "event_type", "value_milli")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getTimestamp(1), r.getLong(2), r.getString(3), r.getLong(4)))).toMap
+    // batch A: users 0 (bucket 0) and 1 (bucket 1) of 4
+    EventsStream.mergeProfileBatch(state,
+      batch((0L, 10L, 100L, "view", 1L), (1L, 10L, 101L, "view", 2L)), 0L, 4)
+    // batch B touches ONLY bucket 1: user 0's bucket-0 files are carried
+    // forward by the manifest, not rewritten
+    EventsStream.mergeProfileBatch(state,
+      batch((1L, 20L, 102L, "purchase", 3L)), 1L, 4)
+    val afterB = readState()
+    assert(afterB(0L) == ((ts(10), 100L, "view", 1L)),
+      "untouched bucket lost its rows — manifest did not carry them forward")
+    assert(afterB(1L) == ((ts(20), 102L, "purchase", 3L)), "touched bucket not merged")
+    // older redelivery as a NEW batch must NOT win (last-writer-wins on ts)
+    EventsStream.mergeProfileBatch(state,
+      batch((1L, 15L, 103L, "click", 9L)), 2L, 4)
+    assert(readState() == afterB, "older event overwrote newer state")
+    // redelivered batch id <= committed: the fence skips the write entirely
+    val vBefore = graft.core.ManifestTable.currentVersion(spark, state)
+    EventsStream.mergeProfileBatch(state,
+      batch((1L, 20L, 102L, "purchase", 3L)), 1L, 4)
+    assert(graft.core.ManifestTable.currentVersion(spark, state) == vBefore,
+      "redelivered batch id committed a new version past the fence")
+    assert(readState() == afterB, "replayed batch changed converged state")
   }
 
   test("upsertReplay: profile table equals latest-event-per-user, across >=2 batches") {
