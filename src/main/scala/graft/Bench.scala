@@ -56,10 +56,14 @@ object Bench {
     if (selected.exists(_._1 == "d9_incremental_dedup"))
       try SparkEntry.d9IndexDir(spark, sfDir)
       catch { case _: Throwable => () }
-    // likewise the stored k6 navigation graph: k6 times the beam SEARCH,
-    // not the ingest-time graph build
+    // likewise the stored k6 navigation graph and g1 edge list: those
+    // entries time the beam SEARCH / the power iteration, not the
+    // ingest-time graph build
     if (selected.exists(_._1 == "k6_beam_search"))
       try SparkEntry.k6GraphDir(spark, sfDir)
+      catch { case _: Throwable => () }
+    if (selected.exists(_._1 == "g1_pagerank"))
+      try SparkEntry.g1EdgesDir(spark, sfDir)
       catch { case _: Throwable => () }
     // Deterministic order (hash-Map order varied run to run) and a cold
     // cache per query: otherwise first-touch parquet footer reads and

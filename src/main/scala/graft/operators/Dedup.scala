@@ -106,8 +106,14 @@ object Dedup {
     require(cap > 1, s"bucketCap must be > 1, got $cap")
     if (cap == Int.MaxValue) banded
     else {
-      val sizes = banded.groupBy("band", "key").agg(count(lit(1)).as("__bn"))
-      banded.join(sizes, Seq("band", "key"))
+      // eager checkpoint: the bucket-size aggregate and the main join both
+      // consume `banded`; left lazy, the two branches recompute the whole
+      // upstream banding (and can cache-race if persisted) — one
+      // materialization here halves the banding cost of every capped
+      // pipeline
+      val b = banded.localCheckpoint(true)
+      val sizes = b.groupBy("band", "key").agg(count(lit(1)).as("__bn"))
+      b.join(sizes, Seq("band", "key"))
         .withColumn("key",
           when(col("__bn") <= cap, col("key"))
             .otherwise(concat_ws("#", col("key"),

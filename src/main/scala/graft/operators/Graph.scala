@@ -74,6 +74,13 @@ object Graph {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val n = nodes.select(col(idCol).as("id")).persist(lvl)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).persist(lvl)
+    // FORCE the edge cache before anything branches on e: the first
+    // iteration consumes e through two DAG branches (the contribution join
+    // and the out-degree aggregate); if both hit an unfilled cache in the
+    // same job they RACE and each recomputes the full upstream edge
+    // derivation — measured 2x the whole kNN-graph build on g1. One
+    // count() fills the cache once; every branch after reads it.
+    e.count()
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist(lvl)
     // total mass 1.0 in nano-units, split evenly; base = 0.15 of a share
     val nNodes = n.count()
