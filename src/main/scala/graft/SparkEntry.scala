@@ -671,6 +671,10 @@ object SparkEntry {
     // Unigram corpus-frequency quality (exact-math perplexity stand-in).
     "x18_unigram_quality" -> ((s, dir) =>
       graft.operators.TextAnalysis.unigramQuality(t(s, dir, "documents"))),
+    // Bigram LM quality (KenLM-style fluency proxy): mean integer-exact
+    // P(w2|w1) over adjacent pairs + OOV-bigram ratio, map-only extraction.
+    "x19_bigram_quality" -> ((s, dir) =>
+      graft.operators.TextAnalysis.bigramQuality(t(s, dir, "documents"))),
     // Heavy-hitter tokens (count·k > n): Misra–Gries discovery + exact
     // verify — values identical to the brute-force threshold query.
     "a24_heavy_hitters" -> ((s, dir) =>
@@ -790,6 +794,12 @@ object SparkEntry {
       graft.operators.Similarity.beamSearchTopKCosine(
         t(s, dir, "embeddings"), Seq(0L, 1L, 2L),
         graph = Some(s.read.parquet(k6GraphDir(s, dir))))),
+    // Filtered ANN: the metadata-predicate vector search (pre-filter
+    // strategy — index pass and candidates bounded by the qualifying
+    // subset; no post-filter recall cliff).
+    "k7_filtered_ann" -> ((s, dir) =>
+      graft.operators.Similarity.filteredAnnTopKCosine(
+        t(s, dir, "embeddings"), Seq(0L, 1L, 2L), "label = 1")),
     // Integer-exact PageRank over the kNN graph (3 power iterations) —
     // centrality as a document-importance prior (crawl-curation axis).
     "g1_pagerank" -> ((s, dir) => {
@@ -959,6 +969,36 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "k6_beam_search" -> k6OracleSql,
+    // k7: k2's band replay with the corpus side PRE-FILTERED by the
+    // metadata predicate (queries exempt); banding is per-vector, so
+    // filtering before banding changes nothing about the keys.
+    "k7_filtered_ann" ->
+      ("WITH v AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, label " +
+        "FROM embeddings), " +
+        "vc AS (SELECT id, v FROM v WHERE label = 1), " +
+        "hp AS (SELECT b, d, CASE WHEN substr(md5(CAST(b AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1) < '8' " +
+        "THEN 1.0 ELSE -1.0 END AS sign " +
+        "FROM generate_series(0, 71) t(b), generate_series(0, 63) u(d)), " +
+        "cbits AS (SELECT id, b, CASE WHEN sum(CAST(floor(sign * vc.v[d + 1] * 10000000) AS BIGINT)) >= 0 " +
+        "THEN '1' ELSE '0' END AS bit FROM vc, hp GROUP BY id, b), " +
+        "cbands AS (SELECT id, b // 4 AS band, string_agg(bit, '' ORDER BY b) AS bkey " +
+        "FROM cbits GROUP BY id, band), " +
+        "qv AS (SELECT id, v FROM v WHERE id < 3), " +
+        "qbits AS (SELECT id, b, CASE WHEN sum(CAST(floor(sign * qv.v[d + 1] * 10000000) AS BIGINT)) >= 0 " +
+        "THEN '1' ELSE '0' END AS bit FROM qv, hp GROUP BY id, b), " +
+        "qb AS (SELECT id AS query_id, b // 4 AS band, string_agg(bit, '' ORDER BY b) AS bkey " +
+        "FROM qbits GROUP BY id, band), " +
+        "cand AS (SELECT DISTINCT qb.query_id, bd.id FROM cbands bd " +
+        "JOIN qb ON bd.band = qb.band AND bd.bkey = qb.bkey WHERE bd.id != qb.query_id), " +
+        "s AS (SELECT c.query_id, c.id, " +
+        "list_sum(list_transform(generate_series(1, 64), i -> av.v[i] * qv2.v[i])) / " +
+        "(sqrt(list_sum(list_transform(av.v, x -> x * x))) * " +
+        "sqrt(list_sum(list_transform(qv2.v, x -> x * x)))) AS cos " +
+        "FROM cand c JOIN v av ON c.id = av.id JOIN v qv2 ON c.query_id = qv2.id) " +
+        "SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank FROM (" +
+        "SELECT query_id, id AS neighbor_id, cos, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rank FROM s) " +
+        "WHERE rank <= 10"),
     "r1_scan" -> "SELECT r_regionkey, r_name FROM region",
     "r2_projection" -> "SELECT c_name, c_acctbal FROM customer",
     "r3_join_comma" ->
@@ -1216,6 +1256,23 @@ object SparkEntry {
         "SELECT token, count(*) AS n_occurrences FROM t, n " +
         "GROUP BY token, n.n HAVING count(*) * 64 > n.n"),
     // x18: LEFT join to the >=2-count vocabulary; integer floor-div micros.
+    // x19: bigram extraction replayed as a lateral index walk over the
+    // token list; same micro-quantized integer mean as x18.
+    "x19_bigram_quality" ->
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents), " +
+        "bg AS (SELECT doc_id, a[i] AS w1, a[i + 1] AS w2 FROM d, " +
+        "LATERAL (SELECT unnest(generate_series(1, len(a) - 1)) AS i) t WHERE len(a) >= 2), " +
+        "u AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "uc AS (SELECT tok, count(*) AS cnt1 FROM u GROUP BY 1), " +
+        "b2 AS (SELECT w1, w2, count(*) AS cnt2 FROM bg GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "j AS (SELECT bg.doc_id, b2.cnt2, uc.cnt1 FROM bg " +
+        "LEFT JOIN b2 ON bg.w1 = b2.w1 AND bg.w2 = b2.w2 " +
+        "JOIN uc ON bg.w1 = uc.tok) " +
+        "SELECT doc_id, count(*) AS n_bigrams, " +
+        "CAST(CAST(sum(CASE WHEN cnt2 IS NOT NULL THEN cnt2 * 1000000 // cnt1 ELSE 0 END) AS BIGINT) " +
+        "// count(*) AS BIGINT) AS lm_micro, " +
+        "CAST(sum(CASE WHEN cnt2 IS NULL THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS oov_bigram_micro " +
+        "FROM j GROUP BY 1"),
     "x18_unigram_quality" ->
       ("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
         "v AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1 HAVING count(*) >= 2), " +

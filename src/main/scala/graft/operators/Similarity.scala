@@ -228,6 +228,47 @@ object Similarity {
     rerank(cand, v, queryIds, k)
   }
 
+  /** Filtered ANN (k7): approximate top-k cosine among only the corpus
+    * vectors satisfying a metadata predicate — "similar documents in
+    * language X / with license Y", the bread-and-butter vector-database
+    * operation that pure ANN variants (k2/k3/k4/k6) don't express.
+    *
+    * Strategy: PRE-FILTER. The predicate applies BEFORE banding, so the
+    * index pass and the candidate join only ever touch qualifying vectors
+    * — correct for any predicate selectivity (never the "over-fetch k′ and
+    * hope enough survive the filter" recall cliff of post-filtering), and
+    * the candidate volume is bounded by the FILTERED corpus's bucket
+    * sizes, a strict subset of k2's. The trade, documented: banding is
+    * recomputed under the predicate, so this shape fits ad-hoc filters at
+    * query time or per-partition indexes at 100 TB (a production layout
+    * partitions the stored index by the common filter columns — lang,
+    * source — making the pre-filter a partition-pruned index read).
+    * Queries are exempt from the predicate (searching FROM any document
+    * INTO the filtered subset).
+    */
+  def filteredAnnTopKCosine(
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      filterExpr: String,
+      k: Int = 10,
+      bits: Int = 72,
+      bands: Int = 18,
+      dim: Int = 64): DataFrame = {
+    val vAll = asVectors(embeddings)
+    val corpus = asVectors(embeddings.filter(expr(filterExpr)))
+    val banded = Dedup.signBands(corpus, bits, bands, dim)
+    // banding is a pure function of the vector, so banding just the query
+    // rows yields the same keys the full-corpus banding would
+    val qb = broadcast(
+      Dedup.signBands(vAll.filter(col("id").isin(queryIds: _*)), bits, bands, dim)
+        .select(col("id").as("query_id"), col("band"), col("key")))
+    val cand = banded.join(qb, Seq("band", "key"))
+      .filter(col("id") =!= col("query_id"))
+      .select("query_id", "id")
+      .distinct()
+    rerank(cand, vAll, queryIds, k)
+  }
+
   /** kNN-graph build: for EVERY corpus vector, its top-k cosine neighbors
     * among the vectors sharing at least one hyperplane-LSH band bucket —
     * the batch primitive under semantic dedup, embedding clustering and

@@ -508,6 +508,55 @@ object TextAnalysis {
         expr("__n_oov * 1000000L div n_tokens").as("oov_micro"))
   }
 
+  /** Bigram language-model quality (X19) — the KenLM-style fluency filter
+    * one rung above [[unigramQuality]]: a doc scores high when its ADJACENT
+    * token pairs are corpus-frequent ("of the", "in a"), which unigram
+    * frequency cannot see — shuffled or template-stitched text keeps its
+    * unigram profile but loses its bigram mass, exactly the junk class
+    * n-gram LM filters exist to catch.
+    *
+    * Per doc: bigram count, mean conditional frequency in micro-units
+    * (for each bigram (w1,w2): cnt(w1,w2)·10⁶ div cnt(w1) — the integer
+    * rendering of P(w2|w1), engine-exact like x18's mean), and the
+    * out-of-vocabulary bigram ratio (pairs below `minCount` corpus
+    * occurrences score 0 and count as OOV). Docs with fewer than two
+    * tokens have nothing to score and emit no row.
+    *
+    * Shape at 100 TB: bigram extraction is MAP-ONLY (an index fold over
+    * the token array — no self-join, no window); the bigram vocabulary
+    * aggregates map-side (zipfian head collapses in partials); both
+    * vocabulary joins carry no broadcast hint (Heaps-law caveat from x18 —
+    * AQE picks broadcast exactly when the aggregated vocabulary fits).
+    */
+  def bigramQuality(
+      docs: DataFrame,
+      minCount: Int = 2,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val arr = docs.select(col(idCol), split(col(textCol), " ").as("a"))
+      .filter(size(col("a")) >= 2)
+    val bg = arr.select(col(idCol), expr(
+      """explode(transform(sequence(1, size(a) - 1),
+           i -> struct(element_at(a, i) AS w1, element_at(a, i + 1) AS w2)))""").as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uni = docs.select(explode(split(col(textCol), " ")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("cnt1"))
+    val pairs = bg.groupBy("w1", "w2")
+      .agg(count(lit(1)).as("cnt2"))
+      .filter(col("cnt2") >= minCount)
+    bg.join(pairs, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("cnt2").isNotNull, expr("cnt2 * 1000000L div cnt1"))
+          .otherwise(0L)).as("__s"),
+        sum(when(col("cnt2").isNull, 1L).otherwise(0L)).as("__oov"))
+      .select(col(idCol), col("n_bigrams"),
+        expr("__s div n_bigrams").as("lm_micro"),
+        expr("__oov * 1000000L div n_bigrams").as("oov_bigram_micro"))
+  }
+
   /** Heavy-hitter tokens — every token whose exact count exceeds n/k —
     * discovered with a Misra–Gries summary and then EXACT-verified, so the
     * values are deterministic (and oracle-gateable) while the discovery

@@ -170,6 +170,54 @@ class SimilaritySpec extends SparkSpec {
     assert(k6 != seedOnly, "expansion rounds changed nothing — graph never traversed")
   }
 
+  test("k7 filtered ANN: every neighbor satisfies the predicate; recall vs exact filtered top-k; bounded candidates") {
+    val emb = graft.core.Tables.load(spark, sf, "embeddings")
+    val qids = Seq(0L, 1L, 2L)
+    val out = Similarity.filteredAnnTopKCosine(emb, qids, "label = 1").cache()
+    // the filter is a hard guarantee, not best-effort: no neighbor outside it
+    val labels = emb.select(col("vec_id").as("neighbor_id"), col("label"))
+    assert(out.join(labels, "neighbor_id").filter(col("label") =!= 1).count() == 0,
+      "a neighbor escaped the metadata predicate")
+    // exact filtered truth, computed directly (test-scale corpus): per
+    // query, rank ALL label=1 vectors except itself by (cos desc, id)
+    val all = emb.select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0),
+        (r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2))))
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val exact = qids.flatMap { q =>
+      all.toSeq
+        .filter { case (id, (_, lbl)) => lbl == 1 && id != q }
+        .map { case (id, (v, _)) => (id, cos(all(q)._1, v)) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(10)
+        .map { case (id, _) => (q, id) }
+    }.toSet
+    val got = out.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(exact).size
+    assert(recall >= 24, s"filtered-ANN recall $recall/${exact.size} below the pinned floor")
+    // pre-filter bounds work: candidates are a subset of the unfiltered k2
+    // candidate set, so never MORE exact evaluations than unfiltered ANN
+    val v = Similarity.asVectors(emb)
+    val banded = Dedup.signBands(v, 72, 18, 64)
+    val qb = banded.filter(col("id").isin(qids: _*))
+      .select(col("id").as("query_id"), col("band"), col("key"))
+    val unfiltered = banded.join(qb, Seq("band", "key"))
+      .filter(col("id") =!= col("query_id"))
+      .select("query_id", "id").distinct().count()
+    val ids1 = emb.filter(col("label") === 1).select(col("vec_id").as("id"))
+    val filteredCands = banded.join(ids1, "id").join(qb, Seq("band", "key"))
+      .filter(col("id") =!= col("query_id"))
+      .select("query_id", "id").distinct().count()
+    assert(filteredCands < unfiltered / 4,
+      s"pre-filter did not shrink the candidate set: $filteredCands vs $unfiltered")
+  }
+
   test("ANN candidate generation bounds the ranking input") {
     // the ann plan must rank only bucket-collision candidates: its scored
     // row count is below the exact variant's |corpus| x |queries|

@@ -382,6 +382,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L)._2 > out(1L)._2 && out(1L)._2 > out(3L)._2)
   }
 
+  test("bigramQuality: fluent repetition outranks shuffled same-unigrams text; short docs emit nothing") {
+    import spark.implicits._
+    // docs 1 and 2 repeat the SAME fluent bigrams; doc 3 has the same
+    // UNIGRAM profile as doc 1 but scrambled adjacency — unigram scoring
+    // can't separate them, bigram scoring must. doc 4 is too short to score.
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"),
+      (3L, "mat cat on sat the the"),
+      (4L, "single")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramQuality(docs, minCount = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(!out.contains(4L), "a 1-token doc got a bigram score")
+    // vocab (cnt>=2): exactly docs 1/2's five shared pairs (2x each);
+    // unigram counts: the=6, cat=3, sat=3, on=3, mat=3
+    // doc 1 pairs: (the,cat):2/6, (cat,sat):2/3, (sat,on):2/3, (on,the):2/3, (the,mat):2/6
+    val expect1 = (2L * 1000000 / 6 + 2L * 1000000 / 3 + 2L * 1000000 / 3 +
+      2L * 1000000 / 3 + 2L * 1000000 / 6) / 5
+    assert(out(1L) == ((5L, expect1, 0L)), s"doc 1 got ${out(1L)}")
+    assert(out(2L) == out(1L), "identical docs scored differently")
+    // scrambled doc: same unigram multiset, but no pair recurs -> all OOV
+    assert(out(3L) == ((5L, 0L, 1000000L)), s"shuffled doc got ${out(3L)}")
+    assert(out(1L)._2 > out(3L)._2, "bigram score failed to separate fluency from unigram profile")
+  }
+
   test("mixtureSample: over-budget keeps the whole corpus; tight budget downsamples; deterministic") {
     val docs = graft.core.Tables.load(spark, sf, "documents")
     val tokens = docs.selectExpr("doc_id", "source",
