@@ -24,7 +24,13 @@ object Bench {
     // run only pays the warmup classes it will actually time.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+    // SPARK_GRAFT_REVERSE=1 runs the queries in reverse order — the
+    // attribution probe BASELINE.md prescribes for late-run inflation: if a
+    // block is slow only when it runs late, the cause is session/machine
+    // state, not the queries (fast-in-reverse == position-dependent).
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val selected = (if (sys.env.get("SPARK_GRAFT_REVERSE").contains("1"))
+      ordered.reverse else ordered)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     // JVM/codegen warmup outside the timed region so the first query's
     // number measures the query, not classloading

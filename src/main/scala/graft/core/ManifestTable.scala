@@ -77,14 +77,21 @@ object ManifestTable {
     */
   def read(spark: SparkSession, root: String): Option[DataFrame] = {
     val v = currentVersion(spark, root)
-    if (v < 0) None
-    else {
-      val (files, _) = readManifest(spark, root, v)
-      if (files.isEmpty)
-        Some(spark.read.option("basePath", root).parquet(root).limit(0))
-      else Some(spark.read.option("basePath", root)
-        .parquet(files.map(f => s"$root/$f"): _*))
-    }
+    if (v < 0) None else Some(readVersion(spark, root, v))
+  }
+
+  /** TIME TRAVEL: read a specific committed version — every manifest is a
+    * complete snapshot and data files are immutable, so any version still
+    * inside [[vacuum]]'s retention reads back exactly as committed ("what
+    * did the profile table say before yesterday's batch"). Throws if the
+    * version's manifest is missing (never committed, or vacuumed away).
+    */
+  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val (files, _) = readManifest(spark, root, version)
+    if (files.isEmpty)
+      spark.read.option("basePath", root).parquet(root).limit(0)
+    else spark.read.option("basePath", root)
+      .parquet(files.map(f => s"$root/$f"): _*)
   }
 
   /** Batch id that produced the latest version, or -1 — the exactly-once

@@ -55,6 +55,29 @@ class TableStatsSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == TableStats.statColumns.size.toLong)
   }
 
+  test("CBO wiring: ANALYZE TABLE + cbo.enabled surface rowCount to the optimizer, agreeing with a25") {
+    // the stats a25 persists are the same numbers Catalyst's cost-based
+    // optimizer consumes from the metastore — demonstrate the native path
+    // end-to-end: managed table -> ANALYZE -> optimizer sees the row count
+    val prev = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      graft.core.Tables.load(spark, sf, "region")
+        .write.mode("overwrite").saveAsTable("graft_cbo_region")
+      spark.sql("ANALYZE TABLE graft_cbo_region COMPUTE STATISTICS")
+      val rc = spark.table("graft_cbo_region")
+        .queryExecution.optimizedPlan.stats.rowCount
+      assert(rc.isDefined, "optimizer sees no rowCount after ANALYZE with CBO on")
+      val a25 = TableStats.columnStats(spark, sf, "region", "r_regionkey")
+        .collect()(0).getLong(2)
+      assert(rc.get == BigInt(a25),
+        s"catalog rowCount ${rc.get} disagrees with a25 n_rows $a25")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_cbo_region")
+      spark.conf.set("spark.sql.cbo.enabled", prev)
+    }
+  }
+
   test("count/min/max ride the footer-only pushdown scan (A22's shape)") {
     val df = TableStats.columnStats(spark, sf, "orders", "o_orderkey")
     val p = df.queryExecution.explainString(

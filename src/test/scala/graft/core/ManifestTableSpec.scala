@@ -64,6 +64,22 @@ class ManifestTableSpec extends SparkSpec {
     assert(rows(ManifestTable.read(spark, root).get) == Set((0, 10L), (1, 21L)))
   }
 
+  test("time travel: any retained version reads back exactly as committed") {
+    val root = tmpDir("graft_manifest_tt") + "/t"
+    ManifestTable.commit(spark, root,
+      part(Seq((0, 10L), (1, 11L)).toDF("k", "v")), "bucket", 0L)
+    ManifestTable.commit(spark, root, part(Seq((1, 21L)).toDF("k", "v")), "bucket", 1L)
+    ManifestTable.commit(spark, root, part(Seq((0, 30L)).toDF("k", "v")), "bucket", 2L)
+    assert(rows(ManifestTable.readVersion(spark, root, 0L)) == Set((0, 10L), (1, 11L)))
+    assert(rows(ManifestTable.readVersion(spark, root, 1L)) == Set((0, 10L), (1, 21L)))
+    assert(rows(ManifestTable.readVersion(spark, root, 2L)) == Set((0, 30L), (1, 21L)))
+    assert(rows(ManifestTable.read(spark, root).get) ==
+      rows(ManifestTable.readVersion(spark, root, 2L)))
+    // a version vacuumed past retention is gone — and says so
+    ManifestTable.vacuum(spark, root, keepVersions = 1)
+    intercept[Exception] { ManifestTable.readVersion(spark, root, 0L).collect() }
+  }
+
   test("vacuum: superseded files deleted past retention, live versions intact") {
     val root = tmpDir("graft_manifest_vac") + "/t"
     ManifestTable.commit(spark, root, part(Seq((0, 10L)).toDF("k", "v")), "bucket", 0L)

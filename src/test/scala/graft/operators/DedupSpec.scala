@@ -267,6 +267,25 @@ class DedupSpec extends SparkSpec {
     assert(cl.filter(col("is_survivor") === 1).count() == 1)
   }
 
+  test("capBuckets preserves the row multiset — only bucket keys change") {
+    // the guard must never drop or duplicate a banded row, whatever the
+    // skew: salting rewrites `key`, nothing else
+    val skewed = spark.range(300).select(
+      col("id"),
+      lit(0).as("band"),
+      // 250 rows share one hot key; 50 spread across cold keys
+      when(col("id") < 250, lit("hot")).otherwise(concat(lit("c"), col("id"))).as("key"))
+    val capped = Dedup.capBuckets(skewed, cap = 40)
+    assert(capped.count() == 300, "row count changed")
+    assert(capped.select("id").distinct().count() == 300, "ids dropped or duplicated")
+    assert(capped.columns.toSet == skewed.columns.toSet,
+      "column set changed (order may differ: the guard's join keys lead)")
+    // cold keys untouched bit-for-bit; hot key fanned into sub-buckets
+    assert(capped.filter(col("key").startsWith("c")).count() == 50)
+    val hotKeys = capped.filter(col("key").startsWith("hot")).select("key").distinct().count()
+    assert(hotKeys >= 5 && hotKeys <= 7, s"expected ~ceil(250/40)=7 sub-buckets, got $hotKeys")
+  }
+
   test("hot-bucket guard is the identity while no bucket exceeds the cap (d2/d5/d6 defaults)") {
     // at spec scale every bucket is far under DefaultBucketCap, so the
     // default-capped pipelines must be bit-identical to the uncapped ones
