@@ -97,6 +97,7 @@ object Bench {
       (ms, n)
     }
     val jvmT0 = java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime
+    var sinceGc = 0
     val results = selected.map { case (name, fn) =>
       spark.catalog.clearCache()
       if (cold) {
@@ -107,6 +108,18 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
       }
+      // Dead-checkpoint reaping (untimed): per-query localCheckpoint blocks
+      // are reclaimed by the ContextCleaner only after driver GC collects
+      // the dead RDD objects — and on a large-heap box GC may never run
+      // (the r8 forward/reverse probe runs pinned this: late-block queries
+      // inflated 4-10x with ZERO gc_ms delta while used-heap climbed
+      // monotonically; the same queries were fast when run early). Forcing
+      // a periodic GC lets the cleaner release those blocks so storage
+      // pressure from query N's debris can't tax query N+1's execution
+      // memory. Memoized checkpoints (d2/d7 pairs etc.) stay referenced and
+      // therefore stay persisted — memo_warm semantics are unchanged.
+      sinceGc += 1
+      if (sinceGc >= 8) { System.gc(); sinceGc = 0 }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
@@ -118,9 +131,10 @@ object Bench {
       val rt = Runtime.getRuntime
       val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
       val sinceStart = (System.currentTimeMillis() - jvmT0) / 1e3
+      val nPersist = spark.sparkContext.getPersistentRDDs.size
       System.err.println(
         s"""[bench-probe] {"q":"$name","t_s":$sec,"since_start_s":$sinceStart,""" +
-          s""""heap_used_mb":$heapMb,"gc_ms":$gcMs,"gc_count":$gcN}""")
+          s""""heap_used_mb":$heapMb,"gc_ms":$gcMs,"gc_count":$gcN,"persistent_rdds":$nPersist}""")
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

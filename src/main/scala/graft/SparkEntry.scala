@@ -568,6 +568,17 @@ object SparkEntry {
     "d5_embedding_neardup" -> ((s, dir) =>
       graft.operators.Dedup.embeddingNearDup(
         graft.operators.Dedup.withPerturbedCopy(t(s, dir, "embeddings")))),
+    // Semantic dedup (SemDeDup): k-means cells bound the pair search,
+    // exact-cosine verify, CC groups, keep the least-prototypical member
+    // (lowest centroid cosine). Same perturbed fixture as d5 so real
+    // semantic duplicates exist to find.
+    // nCentroids = 128: cells scale with the corpus (the paper's regime —
+    // candidate pairs are Σ cell², so cell size, not cell count, is the
+    // bounded quantity; ~80-doc cells at sf0.1).
+    "d11_semantic_dedup" -> ((s, dir) =>
+      graft.operators.Dedup.semDedup(
+        graft.operators.Dedup.withPerturbedCopy(t(s, dir, "embeddings")),
+        nCentroids = 128)),
     // Crawl-curation pipeline composed end-to-end: per-domain cap →
     // cross-corpus paragraph dedup over the capped subset → per
     // (source, lang) curation summary (docs kept, paragraphs kept/dropped,
@@ -675,6 +686,11 @@ object SparkEntry {
     // P(w2|w1) over adjacent pairs + OOV-bigram ratio, map-only extraction.
     "x19_bigram_quality" -> ((s, dir) =>
       graft.operators.TextAnalysis.bigramQuality(t(s, dir, "documents"))),
+    // DSIR importance selection: top-100 docs whose hashed-bigram profile
+    // best matches the src0 target slice relative to the raw corpus.
+    "x20_importance_select" -> ((s, dir) =>
+      graft.operators.TextAnalysis.importanceSelect(
+        t(s, dir, "documents"), "source = 'src0'", budget = 100)),
     // Heavy-hitter tokens (count·k > n): Misra–Gries discovery + exact
     // verify — values identical to the brute-force threshold query.
     "a24_heavy_hitters" -> ((s, dir) =>
@@ -800,6 +816,12 @@ object SparkEntry {
     "k7_filtered_ann" -> ((s, dir) =>
       graft.operators.Similarity.filteredAnnTopKCosine(
         t(s, dir, "embeddings"), Seq(0L, 1L, 2L), "label = 1")),
+    // IVF-PQ ANN: coarse cells bound candidate volume (k3's leg), PQ codes
+    // bound memory (k4's leg) — the billion-scale composition, FAISS
+    // IndexIVFPQ with by_residual=false; exact re-rank on the shortlist.
+    "k8_ivfpq_topk" -> ((s, dir) =>
+      graft.operators.Similarity.ivfPqTopKCosine(
+        t(s, dir, "embeddings"), queryIds = Seq(0L, 1L, 2L), k = 10)),
     // Integer-exact PageRank over the kNN graph (3 power iterations) —
     // centrality as a document-importance prior (crawl-curation axis).
     "g1_pagerank" -> ((s, dir) => {
@@ -967,8 +989,113 @@ object SparkEntry {
       "WHERE rank <= 10"
   }
 
+  /** The shared `v` CTE opener of every embedding-replay oracle. */
+  private val vectorsCte: String =
+    "WITH v AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
+      "FROM embeddings), "
+
+  /** The shared exact-cosine re-rank tail: score the `cand` (query_id, id)
+    * pairs and emit the top-10 per query — identical across k3/k4/k8.
+    */
+  private val rerankSql: String =
+    "s AS (SELECT c.query_id, c.id, " +
+      "list_sum(list_transform(generate_series(1, 64), i -> av.v[i] * qv.v[i])) / " +
+      "(sqrt(list_sum(list_transform(av.v, x -> x * x))) * " +
+      "sqrt(list_sum(list_transform(qv.v, x -> x * x)))) AS cos " +
+      "FROM cand c JOIN v av ON c.id = av.id JOIN v qv ON c.query_id = qv.id) " +
+      "SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank FROM (" +
+      "SELECT query_id, id AS neighbor_id, cos, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rank FROM s) " +
+      "WHERE rank <= 10"
+
+  /** k3's IVF coarse leg (CTEs i-prefixed so the PQ leg's names never
+    * collide): 32 seeds by md5(id) order, two Lloyd iterations over the 1/8
+    * hash sample (micro-quantized means, empty cells carry forward), the
+    * full-corpus cell assignment `iassign`, and the per-query 8-cell probe
+    * list `qp`. Shared verbatim by the k3 and k8 oracles (nCentroids = 32);
+    * d11 replays the same leg at its own cell count.
+    */
+  private def ivfLegSql: String = ivfLegSqlN(32)
+
+  private def ivfLegSqlN(nCentroids: Int): String = {
+    def cosOf(l: String, r: String): String =
+      s"list_sum(list_transform(generate_series(1, 64), i -> $l.v[i] * $r.cv[i])) / " +
+        s"(sqrt(list_sum(list_transform($l.v, x -> x * x))) * " +
+        s"sqrt(list_sum(list_transform($r.cv, x -> x * x))))"
+    // one coarse Lloyd round: sample assignment (cos DESC, cid DESC = the
+    // max_by(cid, struct(cos, cid)) tie-break), integer-micro means, LEFT
+    // join keeps empty cells
+    def round(prev: String, next: String, i: Int): String =
+      s"iac$i AS (SELECT vs.id, $prev.cid, ${cosOf("vs", prev)} AS cos FROM vs, $prev), " +
+        s"ias$i AS (SELECT id, cid FROM (SELECT id, cid, " +
+        s"row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid DESC) AS rn FROM iac$i) WHERE rn = 1), " +
+        s"iu$i AS (SELECT a.cid, d, sum(CAST(floor(vs.v[d] * 1000000) AS BIGINT)) AS s, count(*) AS n " +
+        s"FROM vs JOIN ias$i a ON vs.id = a.id, unnest(generate_series(1, 64)) AS t(d) GROUP BY a.cid, d), " +
+        s"im$i AS (SELECT cid, list(CAST(s AS DOUBLE) / (n * 1000000.0) ORDER BY d) AS nv FROM iu$i GROUP BY cid), " +
+        s"$next AS (SELECT $prev.cid, coalesce(im$i.nv, $prev.cv) AS cv FROM $prev LEFT JOIN im$i ON $prev.cid = im$i.cid), "
+    "vs AS (SELECT * FROM v WHERE md5(CAST(id AS VARCHAR)) < '2'), " +
+      s"ic0 AS (SELECT id AS cid, v AS cv FROM v ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT $nCentroids), " +
+      round("ic0", "ic1", 0) +
+      round("ic1", "ic", 1) +
+      s"iac AS (SELECT v.id, ic.cid, ${cosOf("v", "ic")} AS cos FROM v, ic), " +
+      "iassign AS (SELECT id, cid, cos FROM (SELECT id, cid, cos, " +
+      "row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid DESC) AS rn FROM iac) WHERE rn = 1), " +
+      "qp AS (SELECT query_id, cid FROM (SELECT id AS query_id, cid, " +
+      "row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid ASC) AS rn FROM iac WHERE id < 3) " +
+      "WHERE rn <= 8), "
+  }
+
+  /** k4's PQ leg: normalize, chop into 8 subspaces, seed 16 codes by
+    * md5(id) order, two Lloyd iterations over the 1/8 hash sample, encode
+    * the full corpus (`enc`), and the per-query integer-ADC lookup table
+    * (`qd`). Shared verbatim by the k4 and k8 oracles.
+    */
+  private def pqLegSql: String =
+    "vn AS (SELECT id, list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> " +
+      "y * y)))) AS v FROM v), sv AS (SELECT id, s AS sub, list_slice(v, s * 8 + 1, s * 8 + 8) AS sv " +
+      "FROM vn, unnest(generate_series(0, 7)) AS t(s)), svt AS (SELECT * FROM sv WHERE md5(CAST(id AS " +
+      "VARCHAR)) < '2'), sid AS (SELECT id FROM v ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 16), c0 " +
+      "AS (SELECT sv.sub, sv.id AS cid, sv.sv AS cv FROM sv JOIN sid ON sv.id = sid.id), ad0 AS " +
+      "(SELECT svt.id, svt.sub, c.cid, list_sum(list_transform(generate_series(1, 8), i -> (svt.sv[i] " +
+      "- c.cv[i]) * (svt.sv[i] - c.cv[i]))) AS d2 FROM svt JOIN c0 c ON svt.sub = c.sub), as0 AS " +
+      "(SELECT id, sub, cid FROM (SELECT id, sub, cid, row_number() OVER (PARTITION BY id, sub ORDER " +
+      "BY d2 ASC, cid ASC) AS rn FROM ad0) WHERE rn = 1), u0 AS (SELECT a.sub, a.cid, d, " +
+      "sum(CAST(floor(svt.sv[d] * 1000000) AS BIGINT)) AS s, count(*) AS n FROM svt JOIN as0 a ON " +
+      "svt.id = a.id AND svt.sub = a.sub, unnest(generate_series(1, 8)) AS t(d) GROUP BY a.sub, a.cid, " +
+      "d), m0 AS (SELECT sub, cid, list(CAST(s AS DOUBLE) / (n * 1000000.0) ORDER BY d) AS nv FROM u0 " +
+      "GROUP BY sub, cid), c1 AS (SELECT c.sub, c.cid, coalesce(m.nv, c.cv) AS cv FROM c0 c LEFT JOIN " +
+      "m0 m ON c.sub = m.sub AND c.cid = m.cid), ad1 AS (SELECT svt.id, svt.sub, c.cid, " +
+      "list_sum(list_transform(generate_series(1, 8), i -> (svt.sv[i] - c.cv[i]) * (svt.sv[i] - " +
+      "c.cv[i]))) AS d2 FROM svt JOIN c1 c ON svt.sub = c.sub), as1 AS (SELECT id, sub, cid FROM " +
+      "(SELECT id, sub, cid, row_number() OVER (PARTITION BY id, sub ORDER BY d2 ASC, cid ASC) AS rn " +
+      "FROM ad1) WHERE rn = 1), u1 AS (SELECT a.sub, a.cid, d, sum(CAST(floor(svt.sv[d] * 1000000) AS " +
+      "BIGINT)) AS s, count(*) AS n FROM svt JOIN as1 a ON svt.id = a.id AND svt.sub = a.sub, " +
+      "unnest(generate_series(1, 8)) AS t(d) GROUP BY a.sub, a.cid, d), m1 AS (SELECT sub, cid, " +
+      "list(CAST(s AS DOUBLE) / (n * 1000000.0) ORDER BY d) AS nv FROM u1 GROUP BY sub, cid), c2 AS " +
+      "(SELECT c.sub, c.cid, coalesce(m.nv, c.cv) AS cv FROM c1 c LEFT JOIN m1 m ON c.sub = m.sub AND " +
+      "c.cid = m.cid), ed AS (SELECT sv.id, sv.sub, c.cid, list_sum(list_transform(generate_series(1, " +
+      "8), i -> (sv.sv[i] - c.cv[i]) * (sv.sv[i] - c.cv[i]))) AS d2 FROM sv JOIN c2 c ON sv.sub = " +
+      "c.sub), enc AS (SELECT id, sub, cid AS code FROM (SELECT id, sub, cid, row_number() OVER " +
+      "(PARTITION BY id, sub ORDER BY d2 ASC, cid ASC) AS rn FROM ed) WHERE rn = 1), qd AS (SELECT " +
+      "q.id AS query_id, q.sub, c.cid AS code, CAST(floor(list_sum(list_transform(generate_series(1, " +
+      "8), i -> (q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i]))) * 1000000) AS BIGINT) AS dm FROM sv q JOIN " +
+      "c2 c ON q.sub = c.sub WHERE q.id < 3), "
+
   def oracleSql: Map[String, String] = Map(
     "k6_beam_search" -> k6OracleSql,
+    // k8: the IVF coarse leg + the PQ leg, ADC restricted to probed-cell
+    // members (cellc), shortlist rn <= 100, exact re-rank.
+    "k8_ivfpq_topk" ->
+      (vectorsCte + ivfLegSql + pqLegSql +
+        "cellc AS (SELECT qp.query_id, a.id FROM qp JOIN iassign a ON qp.cid = a.cid " +
+        "WHERE a.id != qp.query_id), " +
+        "adc AS (SELECT c.query_id, c.id, sum(qd.dm) AS adc FROM cellc c " +
+        "JOIN enc e ON c.id = e.id " +
+        "JOIN qd ON qd.query_id = c.query_id AND qd.sub = e.sub AND qd.code = e.code " +
+        "GROUP BY 1, 2), " +
+        "cand AS (SELECT query_id, id FROM (SELECT query_id, id, row_number() OVER (PARTITION BY " +
+        "query_id ORDER BY adc ASC, id ASC) AS rn FROM adc) WHERE rn <= 100), " +
+        rerankSql),
     // k7: k2's band replay with the corpus side PRE-FILTERED by the
     // metadata predicate (queries exempt); banding is per-vector, so
     // filtering before banding changes nothing about the keys.
@@ -1273,6 +1400,27 @@ object SparkEntry {
         "// count(*) AS BIGINT) AS lm_micro, " +
         "CAST(sum(CASE WHEN cnt2 IS NULL THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS oov_bigram_micro " +
         "FROM j GROUP BY 1"),
+    // x20: hashed-bigram buckets, Laplace-smoothed nano-probabilities under
+    // target (src0) and raw corpora, clamped micro-ratio, mean per doc,
+    // top-100 by (score DESC, id ASC) — the whole derivation in one chain.
+    "x20_importance_select" ->
+      ("WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a, " +
+        "source = 'src0' AS is_tgt FROM documents), " +
+        "feats AS (SELECT doc_id, is_tgt, " +
+        "CAST(concat('0x', substr(md5(a[i] || ' ' || a[i + 1]), 1, 8)) AS BIGINT) % 4096 AS f " +
+        "FROM arr, LATERAL (SELECT unnest(generate_series(1, len(a) - 1)) AS i) t WHERE len(a) >= 2), " +
+        "counts AS (SELECT f, count(*) AS cr, " +
+        "CAST(sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct FROM feats GROUP BY f), " +
+        "tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt FROM counts), " +
+        "ratios AS (SELECT f, least((ct + 1) * 1000000000 // (nt + 4096) * 1000000 " +
+        "// greatest((cr + 1) * 1000000000 // (nr + 4096), 1), 1000000000000) AS ratio_micro " +
+        "FROM counts, tot), " +
+        "scored AS (SELECT feats.doc_id, count(*) AS n_feats, " +
+        "CAST(CAST(sum(ratio_micro) AS BIGINT) // count(*) AS BIGINT) AS dsir_micro " +
+        "FROM feats JOIN ratios USING (f) GROUP BY feats.doc_id), " +
+        "sel AS (SELECT doc_id FROM (SELECT doc_id, " +
+        "row_number() OVER (ORDER BY dsir_micro DESC, doc_id ASC) AS rn FROM scored) WHERE rn <= 100) " +
+        "SELECT scored.doc_id, scored.n_feats, scored.dsir_micro FROM scored JOIN sel USING (doc_id)"),
     "x18_unigram_quality" ->
       ("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
         "v AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1 HAVING count(*) >= 2), " +
@@ -1597,6 +1745,37 @@ object SparkEntry {
         "FROM allv a JOIN allv b ON a.vec_id < b.vec_id) " +
         "SELECT a_id, b_id, round(dot / (na * nb), 6) AS cosine FROM p " +
         "WHERE dot / (na * nb) >= 0.99"),
+    // d11: the k3 coarse leg clusters the perturbed fixture (CTE `v` is the
+    // perturbed union, so the SAME ivfLegSql fragment replays the
+    // clustering), then within-cell pairs -> exact cosine -> recursive-CTE
+    // CC (d7's pattern) -> keep the (centroid-cos, id)-minimal member.
+    "d11_semantic_dedup" ->
+      ("WITH RECURSIVE base AS (SELECT vec_id AS id, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "pert AS (SELECT id + 100000 AS id, " +
+        "list_transform(generate_series(1, 64), i -> v[i] + 0.01 * v[(i % 64) + 1]) AS v FROM base), " +
+        "v AS (SELECT * FROM base UNION ALL SELECT * FROM pert), " +
+        ivfLegSqlN(128) +
+        "pc AS (SELECT a.id AS a_id, b.id AS b_id FROM iassign a JOIN iassign b " +
+        "ON a.cid = b.cid AND a.id < b.id), " +
+        "pv AS (SELECT pc.a_id, pc.b_id, " +
+        "list_sum(list_transform(generate_series(1, 64), i -> av.v[i] * bv.v[i])) / " +
+        "(sqrt(list_sum(list_transform(av.v, x -> x * x))) * " +
+        "sqrt(list_sum(list_transform(bv.v, x -> x * x)))) AS cos " +
+        "FROM pc JOIN v av ON pc.a_id = av.id JOIN v bv ON pc.b_id = bv.id), " +
+        "dup AS (SELECT a_id, b_id FROM pv WHERE cos >= 0.95), " +
+        "e AS (SELECT a_id AS src, b_id AS dst FROM dup UNION ALL SELECT b_id, a_id FROM dup), " +
+        "reach(id, r) AS (SELECT id, id FROM v " +
+        "UNION SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id), " +
+        "lab AS (SELECT id, min(r) AS group_id FROM reach GROUP BY id), " +
+        "wc AS (SELECT lab.id, lab.group_id, " +
+        "CAST(floor(ia.cos * 1000000) AS BIGINT) AS cos_centroid_micro " +
+        "FROM lab JOIN iassign ia ON lab.id = ia.id), " +
+        "keep AS (SELECT group_id, id AS keep_id FROM (SELECT group_id, id, " +
+        "row_number() OVER (PARTITION BY group_id ORDER BY cos_centroid_micro ASC, id ASC) AS rn " +
+        "FROM wc) WHERE rn = 1) " +
+        "SELECT wc.id, wc.group_id, wc.cos_centroid_micro, " +
+        "CAST(wc.id = keep.keep_id AS INT) AS is_kept FROM wc JOIN keep USING (group_id)"),
     // Multimodal oracles: the fixture corpus is ASCII, so DuckDB can compute
     // the same bytes-level features from the text column directly. The
     // DECODED columns verify the real JDK PNG encode→decode round-trip:
@@ -1907,95 +2086,22 @@ object SparkEntry {
     // to the trained centroids; probes = top-8 centroids per query;
     // candidates = probed cells; exact re-rank. nCentroids=32, nProbe=8.
     "k3_ivf_topk" ->
-      ("WITH v AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
-        "FROM embeddings), " +
-        "vs AS (SELECT * FROM v WHERE md5(CAST(id AS VARCHAR)) < '2'), " +
-        "c0 AS (SELECT id AS cid, v AS cv FROM v ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 32), " +
-        "ac0 AS (SELECT vs.id, c0.cid, " +
-        "list_sum(list_transform(generate_series(1, 64), i -> vs.v[i] * c0.cv[i])) / " +
-        "(sqrt(list_sum(list_transform(vs.v, x -> x * x))) * " +
-        "sqrt(list_sum(list_transform(c0.cv, x -> x * x)))) AS cos FROM vs, c0), " +
-        "as0 AS (SELECT id, cid FROM (SELECT id, cid, " +
-        "row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid DESC) AS rn FROM ac0) WHERE rn = 1), " +
-        "u0 AS (SELECT a.cid, d, sum(CAST(floor(vs.v[d] * 1000000) AS BIGINT)) AS s, count(*) AS n " +
-        "FROM vs JOIN as0 a ON vs.id = a.id, unnest(generate_series(1, 64)) AS t(d) GROUP BY a.cid, d), " +
-        "m0 AS (SELECT cid, list(CAST(s AS DOUBLE) / (n * 1000000.0) ORDER BY d) AS nv FROM u0 GROUP BY cid), " +
-        "c1 AS (SELECT c0.cid, coalesce(m0.nv, c0.cv) AS cv FROM c0 LEFT JOIN m0 ON c0.cid = m0.cid), " +
-        "ac1 AS (SELECT vs.id, c1.cid, " +
-        "list_sum(list_transform(generate_series(1, 64), i -> vs.v[i] * c1.cv[i])) / " +
-        "(sqrt(list_sum(list_transform(vs.v, x -> x * x))) * " +
-        "sqrt(list_sum(list_transform(c1.cv, x -> x * x)))) AS cos FROM vs, c1), " +
-        "as1 AS (SELECT id, cid FROM (SELECT id, cid, " +
-        "row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid DESC) AS rn FROM ac1) WHERE rn = 1), " +
-        "u1 AS (SELECT a.cid, d, sum(CAST(floor(vs.v[d] * 1000000) AS BIGINT)) AS s, count(*) AS n " +
-        "FROM vs JOIN as1 a ON vs.id = a.id, unnest(generate_series(1, 64)) AS t(d) GROUP BY a.cid, d), " +
-        "m1 AS (SELECT cid, list(CAST(s AS DOUBLE) / (n * 1000000.0) ORDER BY d) AS nv FROM u1 GROUP BY cid), " +
-        "c AS (SELECT c1.cid, coalesce(m1.nv, c1.cv) AS cv FROM c1 LEFT JOIN m1 ON c1.cid = m1.cid), " +
-        "ac AS (SELECT v.id, c.cid, " +
-        "list_sum(list_transform(generate_series(1, 64), i -> v.v[i] * c.cv[i])) / " +
-        "(sqrt(list_sum(list_transform(v.v, x -> x * x))) * " +
-        "sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS cos FROM v, c), " +
-        "assign AS (SELECT id, cid FROM (SELECT id, cid, " +
-        "row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid DESC) AS rn FROM ac) WHERE rn = 1), " +
-        "qp AS (SELECT query_id, cid FROM (SELECT id AS query_id, cid, " +
-        "row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid ASC) AS rn FROM ac WHERE id < 3) " +
-        "WHERE rn <= 8), " +
-        "cand AS (SELECT DISTINCT qp.query_id, a.id FROM qp JOIN assign a ON qp.cid = a.cid " +
+      (vectorsCte + ivfLegSql +
+        "cand AS (SELECT DISTINCT qp.query_id, a.id FROM qp JOIN iassign a ON qp.cid = a.cid " +
         "WHERE a.id != qp.query_id), " +
-        "s AS (SELECT c.query_id, c.id, " +
-        "list_sum(list_transform(generate_series(1, 64), i -> av.v[i] * qv.v[i])) / " +
-        "(sqrt(list_sum(list_transform(av.v, x -> x * x))) * " +
-        "sqrt(list_sum(list_transform(qv.v, x -> x * x)))) AS cos " +
-        "FROM cand c JOIN v av ON c.id = av.id JOIN v qv ON c.query_id = qv.id) " +
-        "SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank FROM (" +
-        "SELECT query_id, id AS neighbor_id, cos, " +
-        "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rank FROM s) " +
-        "WHERE rank <= 10"),
+        rerankSql),
     // k4: PQ replayed in SQL — normalize, chop into 8 subspaces, seed 16
     // codes by md5(id) order, TWO Lloyd iterations over the 1/8 hash sample
     // (micro-quantized means, empty cells keep their centroid), encode the
     // full corpus, integer-ADC via the query lookup table, top-100
     // shortlist (adc asc, id asc — graft_topk semantics), exact re-rank.
     "k4_pq_topk" ->
-      ("WITH v AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM " +
-        "embeddings), vn AS (SELECT id, list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> " +
-        "y * y)))) AS v FROM v), sv AS (SELECT id, s AS sub, list_slice(v, s * 8 + 1, s * 8 + 8) AS sv " +
-        "FROM vn, unnest(generate_series(0, 7)) AS t(s)), svt AS (SELECT * FROM sv WHERE md5(CAST(id AS " +
-        "VARCHAR)) < '2'), sid AS (SELECT id FROM v ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 16), c0 " +
-        "AS (SELECT sv.sub, sv.id AS cid, sv.sv AS cv FROM sv JOIN sid ON sv.id = sid.id), ad0 AS " +
-        "(SELECT svt.id, svt.sub, c.cid, list_sum(list_transform(generate_series(1, 8), i -> (svt.sv[i] " +
-        "- c.cv[i]) * (svt.sv[i] - c.cv[i]))) AS d2 FROM svt JOIN c0 c ON svt.sub = c.sub), as0 AS " +
-        "(SELECT id, sub, cid FROM (SELECT id, sub, cid, row_number() OVER (PARTITION BY id, sub ORDER " +
-        "BY d2 ASC, cid ASC) AS rn FROM ad0) WHERE rn = 1), u0 AS (SELECT a.sub, a.cid, d, " +
-        "sum(CAST(floor(svt.sv[d] * 1000000) AS BIGINT)) AS s, count(*) AS n FROM svt JOIN as0 a ON " +
-        "svt.id = a.id AND svt.sub = a.sub, unnest(generate_series(1, 8)) AS t(d) GROUP BY a.sub, a.cid, " +
-        "d), m0 AS (SELECT sub, cid, list(CAST(s AS DOUBLE) / (n * 1000000.0) ORDER BY d) AS nv FROM u0 " +
-        "GROUP BY sub, cid), c1 AS (SELECT c.sub, c.cid, coalesce(m.nv, c.cv) AS cv FROM c0 c LEFT JOIN " +
-        "m0 m ON c.sub = m.sub AND c.cid = m.cid), ad1 AS (SELECT svt.id, svt.sub, c.cid, " +
-        "list_sum(list_transform(generate_series(1, 8), i -> (svt.sv[i] - c.cv[i]) * (svt.sv[i] - " +
-        "c.cv[i]))) AS d2 FROM svt JOIN c1 c ON svt.sub = c.sub), as1 AS (SELECT id, sub, cid FROM " +
-        "(SELECT id, sub, cid, row_number() OVER (PARTITION BY id, sub ORDER BY d2 ASC, cid ASC) AS rn " +
-        "FROM ad1) WHERE rn = 1), u1 AS (SELECT a.sub, a.cid, d, sum(CAST(floor(svt.sv[d] * 1000000) AS " +
-        "BIGINT)) AS s, count(*) AS n FROM svt JOIN as1 a ON svt.id = a.id AND svt.sub = a.sub, " +
-        "unnest(generate_series(1, 8)) AS t(d) GROUP BY a.sub, a.cid, d), m1 AS (SELECT sub, cid, " +
-        "list(CAST(s AS DOUBLE) / (n * 1000000.0) ORDER BY d) AS nv FROM u1 GROUP BY sub, cid), c2 AS " +
-        "(SELECT c.sub, c.cid, coalesce(m.nv, c.cv) AS cv FROM c1 c LEFT JOIN m1 m ON c.sub = m.sub AND " +
-        "c.cid = m.cid), ed AS (SELECT sv.id, sv.sub, c.cid, list_sum(list_transform(generate_series(1, " +
-        "8), i -> (sv.sv[i] - c.cv[i]) * (sv.sv[i] - c.cv[i]))) AS d2 FROM sv JOIN c2 c ON sv.sub = " +
-        "c.sub), enc AS (SELECT id, sub, cid AS code FROM (SELECT id, sub, cid, row_number() OVER " +
-        "(PARTITION BY id, sub ORDER BY d2 ASC, cid ASC) AS rn FROM ed) WHERE rn = 1), qd AS (SELECT " +
-        "q.id AS query_id, q.sub, c.cid AS code, CAST(floor(list_sum(list_transform(generate_series(1, " +
-        "8), i -> (q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i]))) * 1000000) AS BIGINT) AS dm FROM sv q JOIN " +
-        "c2 c ON q.sub = c.sub WHERE q.id < 3), adc AS (SELECT qd.query_id, e.id, sum(qd.dm) AS adc FROM " +
-        "enc e JOIN qd ON e.sub = qd.sub AND e.code = qd.code WHERE e.id != qd.query_id GROUP BY 1, 2), " +
+      (vectorsCte + pqLegSql +
+        "adc AS (SELECT qd.query_id, e.id, sum(qd.dm) AS adc FROM enc e JOIN qd ON e.sub = qd.sub " +
+        "AND e.code = qd.code WHERE e.id != qd.query_id GROUP BY 1, 2), " +
         "cand AS (SELECT query_id, id FROM (SELECT query_id, id, row_number() OVER (PARTITION BY " +
-        "query_id ORDER BY adc ASC, id ASC) AS rn FROM adc) WHERE rn <= 100), s AS (SELECT c.query_id, " +
-        "c.id, list_sum(list_transform(generate_series(1, 64), i -> av.v[i] * qv.v[i])) / " +
-        "(sqrt(list_sum(list_transform(av.v, x -> x * x))) * sqrt(list_sum(list_transform(qv.v, x -> x * " +
-        "x)))) AS cos FROM cand c JOIN v av ON c.id = av.id JOIN v qv ON c.query_id = qv.id) SELECT " +
-        "query_id, neighbor_id, round(cos, 6) AS cosine, rank FROM (SELECT query_id, id AS neighbor_id, " +
-        "cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rank FROM s) WHERE rank " +
-        "<= 10"),
+        "query_id ORDER BY adc ASC, id ASC) AS rn FROM adc) WHERE rn <= 100), " +
+        rerankSql),
     "c1_list_tables" ->
       ("SELECT * FROM (VALUES ('customer'),('documents'),('embeddings'),('events')," +
         "('lineitem'),('nation'),('orders'),('part'),('region'),('supplier')) AS t(table_name)"),

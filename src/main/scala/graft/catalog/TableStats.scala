@@ -69,18 +69,17 @@ object TableStats {
       dir: String,
       table: String,
       column: String,
-      k: Int = 32): DataFrame = {
+      k: Int = 32,
+      pushdownSession: Option[SparkSession] = None): DataFrame = {
     require(k > 1, s"KMV needs k > 1, got $k")
     // footer-only: count(*) + count(col) + min/max push to parquet metadata
     // (V2 path + aggregatePushdown, cloned session so the caller's session
     // is not perturbed — see metadataStats). nanosAsLong: events carries a
     // TIMESTAMP(NANOS) column that must convert at footer-read time even
-    // though only the key column is aggregated.
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.parquet.aggregatePushdown", "true")
-    ss.conf.set(
-      "spark.sql.sources.useV1SourceList", "avro,csv,json,kafka,orc,text")
-    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // though only the key column is aggregated. ANALYZE over many tables
+    // passes ONE shared clone via `pushdownSession` instead of paying a
+    // session spin-up per table.
+    val ss = pushdownSession.getOrElse(newPushdownSession(spark))
     val meta = ss.read.parquet(Tables.path(dir, table))
       .agg(
         expr("count(*)").as("__n"),
@@ -124,6 +123,18 @@ object TableStats {
     * refresh, the ANALYZE semantic). A handful of rows regardless of data
     * scale: coalesced to a single file.
     */
+  /** One cloned session with parquet aggregate pushdown enabled (V2 source)
+    * — the A22 recipe, isolated so the caller's session is untouched.
+    */
+  private def newPushdownSession(spark: SparkSession): SparkSession = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    ss.conf.set(
+      "spark.sql.sources.useV1SourceList", "avro,csv,json,kafka,orc,text")
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ss
+  }
+
   def analyze(
       spark: SparkSession,
       dir: String,
@@ -131,8 +142,9 @@ object TableStats {
       tables: Seq[(String, String)] = statColumns,
       k: Int = 32): Unit = {
     require(tables.nonEmpty, "analyze needs at least one (table, column)")
+    val ss = Some(newPushdownSession(spark))
     val stats = tables
-      .map { case (t, c) => columnStats(spark, dir, t, c, k) }
+      .map { case (t, c) => columnStats(spark, dir, t, c, k, ss) }
       .reduce(_.unionByName(_))
     stats.coalesce(1).write.mode("overwrite").parquet(outPath)
   }

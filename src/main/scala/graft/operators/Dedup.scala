@@ -706,6 +706,79 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** Semantic dedup over an embedding column — the SemDeDup shape (Abbas
+    * et al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication"): k-means-cluster the embeddings, compare
+    * pairs ONLY within a cluster, and inside each duplicate group keep the
+    * member LEAST similar to its cluster centroid (prototypical members are
+    * pruned, outliers kept — the opposite keep-rule from [[exact]]'s
+    * min-id, and the reason this operator removes *semantic* redundancy
+    * templated/boilerplate-heavy corpora are full of).
+    *
+    * Composition of already-gated machinery, each stage scale-clean:
+    *  - the coarse clustering IS [[Similarity.ivfCoarse]] (k3/k8's leg):
+    *    sample-trained deterministic Lloyd, map-side broadcast assignment —
+    *    the full corpus is scanned once, never shuffled by vector;
+    *  - candidate pairs come from a cell equi-self-join, O(Σ cell²) with
+    *    cells ~n/nCentroids — `nCentroids` scales with corpus size (the
+    *    paper runs ~10⁵ clusters at web scale) and [[capBuckets]] sub-salts
+    *    any collapsed cell so one dense semantic cluster cannot go
+    *    quadratic (same guard as the LSH band joins);
+    *  - exact cosine verify on candidates only (native [[graft_dot]]);
+    *  - duplicate groups = [[clusters]] min-label connected components;
+    *  - the keep rule ranks on the micro-quantized assignment cosine the
+    *    coarse leg already computed — no extra corpus pass.
+    *
+    * Returns one row per input id: (id, group_id, cos_centroid_micro,
+    * is_kept). Singletons keep themselves; a duplicate group keeps exactly
+    * its (cos, id)-minimal member.
+    */
+  def semDedup(
+      vecs: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "vec",
+      threshold: Double = 0.95,
+      nCentroids: Int = 32,
+      nIter: Int = 2,
+      cellCap: Int = DefaultBucketCap): DataFrame = {
+    val v = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .filter(col("v").isNotNull && size(col("v")) > 0)
+    val (assign, _) = Similarity.ivfCoarse(v, Seq(0L), nCentroids, 1, nIter)
+    // cell self-join via the (band, key) shape so capBuckets guards it
+    val capped = capBuckets(
+      assign.select(col("id"), lit(0).as("band"), col("cid").cast("string").as("key")),
+      cellCap)
+    val cand = capped.as("x")
+      .join(
+        capped.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val dupPairs = cand
+      .join(v.select(col("id").as("a_id"), col("v").as("va")), "a_id")
+      .join(v.select(col("id").as("b_id"), col("v").as("vb")), "b_id")
+      .withColumn("cos",
+        expr("graft_dot(va, vb)") /
+          (expr("sqrt(graft_dot(va, va))") * expr("sqrt(graft_dot(vb, vb))")))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"))
+    val labels = clusters(v.select("id"), dupPairs)
+    val withCos = labels
+      .join(
+        assign.select(col("id"),
+          expr("CAST(floor(cos * 1000000) AS BIGINT)").as("cos_centroid_micro")),
+        "id")
+    val keep = withCos.groupBy("cluster_id")
+      .agg(expr("min_by(id, struct(cos_centroid_micro, id))").as("keep_id"))
+    withCos.join(keep, "cluster_id")
+      .select(
+        col("id"),
+        col("cluster_id").as("group_id"),
+        col("cos_centroid_micro"),
+        (col("id") === col("keep_id")).cast("int").as("is_kept"))
+  }
+
   /** Connected components over near-dup pairs → cluster ids + survivor
     * flags: the step that turns pairwise detection into an actionable
     * dedup (keep one representative per duplicate cluster).

@@ -165,6 +165,27 @@ object Similarity {
       nProbe: Int = 8,
       nIter: Int = 2): DataFrame = {
     val v = asVectors(embeddings)
+    val (assign, qProbes) = ivfCoarse(v, queryIds, nCentroids, nProbe, nIter)
+    val cand = broadcast(qProbes).join(assign, "cid")
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"))
+      .distinct()
+    rerank(cand, v, queryIds, k)
+  }
+
+  /** The IVF coarse quantizer, shared by [[ivfTopKCosine]],
+    * [[ivfPqTopKCosine]] and [[Dedup.semDedup]]: trains `nCentroids` cosine
+    * centroids and returns `(assign, qProbes)` — the full-corpus cell
+    * assignment (id, cid, cos — the winning centroid's cosine, which
+    * semDedup's keep-the-outlier rule ranks on) and the per-query `nProbe`
+    * closest cells (query_id, cid).
+    */
+  private[operators] def ivfCoarse(
+      v: DataFrame,
+      queryIds: Seq[Long],
+      nCentroids: Int,
+      nProbe: Int,
+      nIter: Int): (DataFrame, DataFrame) = {
     // Training sample: md5(id) hex < '2' ≈ 1/8 of the corpus, map-only (no
     // sort/limit) and engine-replayable. k-means needs a REPRESENTATIVE
     // sample, not the full corpus — at 100 TB the training loop must not
@@ -186,7 +207,8 @@ object Similarity {
     // deterministic tie-break on (dot, cid)
     val assign = cosineCols(v.crossJoin(cents))
       .groupBy(col("id"))
-      .agg(expr("max_by(cid, struct(cos, cid))").as("cid"))
+      .agg(expr("max_by(named_struct('cid', cid, 'cos', cos), struct(cos, cid))").as("m"))
+      .select(col("id"), col("m.cid").as("cid"), col("m.cos").as("cos"))
     val qProbes = cosineCols(
       v.filter(col("id").isin(queryIds: _*))
         .select(col("id").as("query_id"), col("v"))
@@ -195,11 +217,7 @@ object Similarity {
         Window.partitionBy("query_id").orderBy(col("cos").desc, col("cid"))))
       .filter(col("rn") <= nProbe)
       .select(col("query_id"), col("cid"))
-    val cand = broadcast(qProbes).join(assign, "cid")
-      .filter(col("id") =!= col("query_id"))
-      .select(col("query_id"), col("id"))
-      .distinct()
-    rerank(cand, v, queryIds, k)
+    (assign, qProbes)
   }
 
   /** Approximate top-k: candidates = corpus vectors sharing at least one
@@ -480,10 +498,44 @@ object Similarity {
       nIter: Int = 2,
       candMult: Int = 10,
       dim: Int = 64): DataFrame = {
+    val v = asVectors(embeddings)
+    val (vn, codebook, codes) = pqCodes(v, m, nCodes, nIter, dim)
+    val subDim = dim / m
+    // query LUT: micro-quantized distance to EVERY (sub, cid)
+    val qd = broadcast(
+      subvectors(vn.filter(col("id").isin(queryIds: _*)), m, subDim)
+        .withColumnRenamed("id", "query_id")
+        .join(codebook, "sub")
+        .select(col("query_id"), col("sub"), col("cid").as("code"),
+          expr(s"CAST(floor($subL2 * 1000000) AS BIGINT)").as("d_micro")))
+    // ADC score: associative integer sum of the m lookups
+    val adc = codes.join(qd, Seq("sub", "code"))
+      .filter(col("id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("d_micro")).as("adc"))
+    // bounded per-query shortlist: smallest ADC first (score = −adc)
+    val cand = adc
+      .groupBy("query_id")
+      .agg(expr(s"graft_topk(CAST(-adc AS DOUBLE), id, ${k * candMult})").as("tk"))
+      .select(col("query_id"), explode(col("tk.id")).as("id"))
+    rerank(cand, v, queryIds, k)
+  }
+
+  /** The PQ fine quantizer, shared by [[pqTopKCosine]] and
+    * [[ivfPqTopKCosine]]: trains the m per-subspace codebooks and encodes
+    * the full corpus. Returns `(vn, codebook, codes)` — the L2-normalized
+    * vectors, the broadcast (sub, cid, cv) codebook, and the (id, sub, code)
+    * corpus encoding.
+    */
+  private def pqCodes(
+      v: DataFrame,
+      m: Int,
+      nCodes: Int,
+      nIter: Int,
+      dim: Int): (DataFrame, DataFrame, DataFrame) = {
     require(m > 0 && dim % m == 0, s"dim=$dim must split into m=$m subspaces")
     val subDim = dim / m
-    graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    val v = asVectors(embeddings)
+    graft.functions.GraftFunctions.register(v.sparkSession)
     // cosine metric ⇒ L2-normalize BEFORE chopping: on unit vectors
     // ‖a−b‖² = 2 − 2·cos, so the subspace-decomposed L2 the codebooks
     // quantize is monotone in the cosine the re-rank targets (without this
@@ -537,19 +589,66 @@ object Similarity {
       .withColumn("d2", expr(subL2))
       .groupBy(col("id"), col("sub"))
       .agg(expr("min_by(cid, struct(d2, cid))").as("code"))
-    // query LUT: micro-quantized distance to EVERY (sub, cid)
+    (vn, codebook, codes)
+  }
+
+  /** IVF-PQ approximate top-k (k8): the two index legs composed the way
+    * billion-scale ANN systems ship them — an IVF coarse quantizer bounds
+    * CANDIDATE VOLUME (a query touches ~nProbe/nCentroids of the corpus)
+    * while PQ codes bound MEMORY (m small codes per vector instead of dim·4
+    * bytes), and only the ADC-shortlisted survivors are exact-re-ranked.
+    * k3 alone still scans raw vectors inside probed cells; k4 alone
+    * ADC-scans the WHOLE corpus; the composition does neither.
+    *
+    * This is the FAISS `IndexIVFPQ` shape with `by_residual=false` (a real,
+    * documented configuration): codes quantize the L2-normalized vectors
+    * themselves against ONE global codebook rather than per-cell residuals.
+    * The trade — residual encoding squeezes more accuracy from the same
+    * code budget; a global codebook keeps the query LUT cell-independent
+    * (m·nCodes entries total, not per probed cell) and the whole pipeline
+    * exactly SQL-replayable. The exact re-rank restores ranking fidelity on
+    * the shortlist either way.
+    *
+    * Scale shape: coarse assignment is a map-side max_by over broadcast
+    * centroids (k3's contract), codes are built once in one corpus pass
+    * (k4's contract), the candidate restriction is one broadcast equi-join
+    * of the ≤|q|·nProbe probe list against the cell assignment, and the ADC
+    * sum + `graft_topk` shortlist never hold more than k·candMult ids per
+    * query. The corpus never shuffles raw vectors.
+    */
+  def ivfPqTopKCosine(
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      k: Int = 10,
+      nCentroids: Int = 32,
+      nProbe: Int = 8,
+      ivfIter: Int = 2,
+      m: Int = 8,
+      nCodes: Int = 16,
+      pqIter: Int = 2,
+      candMult: Int = 10,
+      dim: Int = 64): DataFrame = {
+    val v = asVectors(embeddings)
+    val (assign, qProbes) = ivfCoarse(v, queryIds, nCentroids, nProbe, ivfIter)
+    val (vn, codebook, codes) = pqCodes(v, m, nCodes, pqIter, dim)
+    val subDim = dim / m
+    // the IVF restriction: candidates = members of the query's probed cells
+    val cellCand = broadcast(qProbes).join(assign, "cid")
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"))
+    // query LUT (cell-independent, the by_residual=false payoff): one
+    // micro-quantized distance per (query, sub, code)
     val qd = broadcast(
       subvectors(vn.filter(col("id").isin(queryIds: _*)), m, subDim)
         .withColumnRenamed("id", "query_id")
         .join(codebook, "sub")
         .select(col("query_id"), col("sub"), col("cid").as("code"),
           expr(s"CAST(floor($subL2 * 1000000) AS BIGINT)").as("d_micro")))
-    // ADC score: associative integer sum of the m lookups
-    val adc = codes.join(qd, Seq("sub", "code"))
-      .filter(col("id") =!= col("query_id"))
+    // ADC over probed-cell members only
+    val adc = cellCand.join(codes, "id")
+      .join(qd, Seq("query_id", "sub", "code"))
       .groupBy(col("query_id"), col("id"))
       .agg(sum(col("d_micro")).as("adc"))
-    // bounded per-query shortlist: smallest ADC first (score = −adc)
     val cand = adc
       .groupBy("query_id")
       .agg(expr(s"graft_topk(CAST(-adc AS DOUBLE), id, ${k * candMult})").as("tk"))

@@ -557,6 +557,86 @@ object TextAnalysis {
         expr("__oov * 1000000L div n_bigrams").as("oov_bigram_micro"))
   }
 
+  /** DSIR-style importance selection (X20) — Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling": score every
+    * document by how much its hashed-bigram feature distribution looks like
+    * a small TARGET slice (the high-quality corpus you want more of)
+    * relative to the raw corpus, then keep the top `budget` scorers. This
+    * is the data-selection operator pretraining pipelines run between crawl
+    * curation and mixture sampling: "find me the web documents that read
+    * like Wikipedia".
+    *
+    * Engine-exact rendering of the paper's machinery:
+    *  - features = bigrams hashed into `nBuckets` buckets via the md5
+    *    prefix (the paper's hashed n-gram feature space; md5 keeps the
+    *    bucket assignment engine-replayable, like x11's split hash);
+    *  - per-bucket probabilities under BOTH distributions with Laplace
+    *    smoothing, quantized to integer NANO-probabilities: p = (cnt +
+    *    1)·10⁹ div (total + nBuckets). The 10⁹ scale bounds the
+    *    intermediate at cnt·10⁹ ≤ 2⁶³ for any bucket count up to ~9·10⁹ —
+    *    with 4096 buckets that is ~4·10¹³ total bigrams (≈150 TB of text)
+    *    before overflow, and the scale can drop another decade beyond;
+    *  - per-feature importance ratio in micro-units: p_target·10⁶ div
+    *    p_raw, clamped at 10¹² so a single extreme bucket cannot overflow
+    *    a document's sum (and stays exactly double-representable for the
+    *    top-k heap);
+    *  - document score = MEAN feature ratio (integer div) — the log-free
+    *    surrogate for the paper's mean log-ratio, same convention as
+    *    x18/x19 (monotone agreement on the bulk, no libm in the gated
+    *    path);
+    *  - selection = top-`budget` by (score, id) through the bounded
+    *    `graft_topk` aggregate — one reduce, no global sort, no window.
+    *
+    * Shape at 100 TB: bigram hashing is map-only; both count aggregations
+    * collapse map-side into ≤ nBuckets rows; the bucket-ratio table is ≤
+    * nBuckets rows joined back (AQE broadcasts it); the corpus never
+    * shuffles more than (id, feature-bucket) pairs; the final top-k is a
+    * fixed-size heap per partition. The target slice is identified by
+    * predicate, not a separate table, so the whole derivation is one pass
+    * over the corpus plus bounded small-side state.
+    */
+  def importanceSelect(
+      docs: DataFrame,
+      targetPredicate: String,
+      budget: Int = 100,
+      nBuckets: Int = 4096,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val arr = docs.select(col(idCol), split(col(textCol), " ").as("a"),
+      expr(targetPredicate).as("is_tgt"))
+      .filter(size(col("a")) >= 2)
+    val feats = arr.select(col(idCol), col("is_tgt"), explode(expr(
+      s"""transform(sequence(1, size(a) - 1),
+           i -> CAST(conv(substring(md5(concat(element_at(a, i), ' ', element_at(a, i + 1))), 1, 8), 16, 10) AS BIGINT) % $nBuckets)"""))
+      .as("f"))
+    val counts = feats.groupBy("f").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("is_tgt"), 1L).otherwise(0L)).as("ct"))
+    // 1-row totals cross-joined in (broadcast by AQE) — no driver collect
+    val totals = counts.agg(
+      sum("cr").as("nr"), sum("ct").as("nt"))
+    val ratios = counts.crossJoin(broadcast(totals))
+      .select(col("f"),
+        // greatest(..., 1): beyond ~1e9 features a rare bucket's raw
+        // nano-probability can floor to 0 — clamp so the ratio saturates
+        // at the cap instead of dividing by zero
+        expr(s"least((ct + 1L) * 1000000000L div (nt + ${nBuckets}L) * 1000000L " +
+          s"div greatest((cr + 1L) * 1000000000L div (nr + ${nBuckets}L), 1L), " +
+          "1000000000000L)")
+          .as("ratio_micro"))
+    val scored = feats.join(ratios, "f")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"), sum("ratio_micro").as("__s"))
+      .select(col(idCol), col("n_feats"), expr("__s div n_feats").as("dsir_micro"))
+    // graft_topk's total order (score desc, id asc on ties) makes the
+    // selection deterministic; dsir_micro <= 1e12 casts to double exactly
+    scored
+      .agg(expr(s"graft_topk(CAST(dsir_micro AS DOUBLE), $idCol, $budget)").as("tk"))
+      .select(explode(col("tk.id")).as(idCol))
+      .join(scored, Seq(idCol))
+  }
+
   /** Heavy-hitter tokens — every token whose exact count exceeds n/k —
     * discovered with a Misra–Gries summary and then EXACT-verified, so the
     * values are deterministic (and oracle-gateable) while the discovery

@@ -229,6 +229,37 @@ class DedupSpec extends SparkSpec {
     assert(minCos >= 0.999, s"planted pair cosine unexpectedly low: $minCos")
   }
 
+  test("semDedup: planted semantic dups grouped, exactly one kept per group, outlier-keep rule") {
+    val fixture = Dedup.withPerturbedCopy(emb)
+    val out = Dedup.semDedup(fixture).cache()
+    val n = emb.count()
+    // every input id appears exactly once
+    assert(out.count() == 2 * n && out.select("id").distinct().count() == 2 * n)
+    // recall: most planted (i, i+100000) pairs share a group (they can only
+    // be missed when k-means assigns the pair to different cells)
+    val paired = out.as("a")
+      .join(out.as("b"), col("a.id") + 100000L === col("b.id") &&
+        col("a.group_id") === col("b.group_id"))
+      .count()
+    assert(paired >= (n * 9) / 10, s"semantic recall too low: $paired of $n planted pairs grouped")
+    // exactly one kept member per group
+    val badGroups = out.groupBy("group_id")
+      .agg(sum("is_kept").as("k")).filter(col("k") =!= 1).count()
+    assert(badGroups == 0, s"$badGroups groups do not keep exactly one member")
+    // keep rule: within a multi-member group the kept member has the
+    // group-minimal (cos_centroid_micro, id) — the least-prototypical one
+    val viol = out.as("x").join(out.as("y"),
+        col("x.group_id") === col("y.group_id") && col("x.is_kept") === 1 &&
+          (col("y.cos_centroid_micro") < col("x.cos_centroid_micro") ||
+            (col("y.cos_centroid_micro") === col("x.cos_centroid_micro") &&
+              col("y.id") < col("x.id"))))
+      .count()
+    assert(viol == 0, "a kept member is not its group's (cos, id)-minimum")
+    // determinism: a rerun reproduces the result exactly
+    val again = Dedup.semDedup(fixture)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
   test("hot-bucket guard: planted 1000-doc duplicate cluster stays under the candidate budget and connected") {
     // 1000 identical vectors — the boilerplate-cluster worst case: every row
     // lands in the SAME bucket in every band, so the unguarded self-join is

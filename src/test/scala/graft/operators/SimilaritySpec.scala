@@ -218,6 +218,28 @@ class SimilaritySpec extends SparkSpec {
       s"pre-filter did not shrink the candidate set: $filteredCands vs $unfiltered")
   }
 
+  test("k8 IVF-PQ: k rows per query; recall floor; neighbors confined to probed cells; deterministic") {
+    val out = Similarity.ivfPqTopKCosine(emb, queries, k = 10).cache()
+    val perQuery = out.groupBy("query_id").count().collect()
+    assert(perQuery.length == queries.length && perQuery.forall(_.getLong(1) == 10))
+    assert(out.filter(col("neighbor_id") === col("query_id")).count() == 0)
+    val exact = Similarity.topKCosine(emb, queries, k = 10)
+      .select("query_id", "neighbor_id")
+    val hit = exact.intersect(out.select("query_id", "neighbor_id")).count()
+    val recall = hit.toDouble / exact.count()
+    assert(recall >= 0.25, s"IVF-PQ recall@10 = $recall below floor (nProbe=8/32, m=8)")
+    // the IVF restriction is real: every k8 neighbor is a member of the
+    // query's probed cells — exactly the candidate set k3 ranks, recovered
+    // here by running the same coarse leg with an unbounded k
+    val cellMembers = Similarity.ivfTopKCosine(emb, queries, k = 100000)
+      .select("query_id", "neighbor_id")
+    assert(out.select("query_id", "neighbor_id").exceptAll(cellMembers).isEmpty,
+      "a neighbor came from outside the probed IVF cells")
+    // idempotent training + selection: a rerun reproduces the ranking
+    val again = Similarity.ivfPqTopKCosine(emb, queries, k = 10)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
   test("ANN candidate generation bounds the ranking input") {
     // the ann plan must rank only bucket-collision candidates: its scored
     // row count is below the exact variant's |corpus| x |queries|

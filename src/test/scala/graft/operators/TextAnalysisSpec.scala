@@ -407,6 +407,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L)._2 > out(3L)._2, "bigram score failed to separate fluency from unigram profile")
   }
 
+  test("importanceSelect: exact top-budget by score, target slice enriched, deterministic") {
+    val out = TextAnalysis.importanceSelect(docs, "source = 'src0'", budget = 50).cache()
+    assert(out.count() == 50)
+    // selection is the true top-50: every selected score beats (or ties
+    // with a smaller id than) every unselected score
+    val all = TextAnalysis.importanceSelect(docs, "source = 'src0'", budget = 100000)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("dsir_micro").desc, col("doc_id"))))
+    val expected = all.filter(col("rk") <= 50).select("doc_id")
+    assert(out.select("doc_id").exceptAll(expected).isEmpty,
+      "graft_topk selection disagrees with the window-ranked truth")
+    // the target slice scores what it is measured against: src0 docs are
+    // over-represented in the selection relative to their corpus share
+    val srcShare = docs.filter("source = 'src0'").count().toDouble / docs.count()
+    val selShare = out.join(docs.filter("source = 'src0'").select("doc_id"), "doc_id")
+      .count().toDouble / 50
+    assert(selShare > srcShare,
+      s"target slice not enriched: $selShare of selection vs $srcShare of corpus")
+    val again = TextAnalysis.importanceSelect(docs, "source = 'src0'", budget = 50)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
   test("mixtureSample: over-budget keeps the whole corpus; tight budget downsamples; deterministic") {
     val docs = graft.core.Tables.load(spark, sf, "documents")
     val tokens = docs.selectExpr("doc_id", "source",
