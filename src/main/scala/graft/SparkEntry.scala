@@ -322,6 +322,21 @@ object SparkEntry {
     // parquet relation and read back — the CBO-input catalog table.
     "a25_table_stats" -> ((s, dir) =>
       graft.catalog.TableStats.analyzed(s, dir)),
+    // Incremental ANALYZE: sketch two disjoint halves of each table
+    // independently (as if absorbing two ingest batches), MERGE the
+    // mergeable summaries, derive the estimates — must equal the direct
+    // full-table derivation exactly (the oracle computes the latter).
+    "a26_incremental_stats" -> ((s, dir) => {
+      val ts = graft.catalog.TableStats
+      val halves = Seq(
+        "orders" -> "o_orderkey", "lineitem" -> "l_orderkey",
+        "documents" -> "doc_id")
+        .flatMap { case (tb, c) =>
+          Seq(0, 1).map(h =>
+            ts.sketch(t(s, dir, tb).filter(pmod(col(c), lit(2)) === h), tb, c))
+        }
+      ts.finalizeStats(ts.mergeSketches(halves.reduce(_.unionByName(_))))
+    }),
     // Time-RANGE moving window (trailing 30-day revenue) — the event-time
     // frame a15's ROWS prefix sum can't express.
     "a23_trailing_revenue" -> ((s, dir) =>
@@ -1297,6 +1312,23 @@ object SparkEntry {
     // smallest distinct md5, (k-1)/U(k) over 16^15, floor-milli).
     "a25_table_stats" ->
       graft.catalog.TableStats.statColumns.map { case (t, c) =>
+        s"SELECT '$t' AS table_name, '$c' AS column_name, " +
+          s"(SELECT count(*) FROM $t) AS n_rows, " +
+          s"(SELECT count(*) - count($c) FROM $t) AS n_nulls, " +
+          s"(SELECT CAST(min($c) AS BIGINT) FROM $t) AS min_key, " +
+          s"(SELECT CAST(max($c) AS BIGINT) FROM $t) AS max_key, " +
+          "(SELECT CASE WHEN count(*) < 32 THEN count(*) * 1000 " +
+          "ELSE CAST(floor(31.0 * CAST(1152921504606846976 AS DOUBLE) / " +
+          "CAST(('0x' || substring(max(h), 1, 15))::BIGINT AS DOUBLE) * 1000.0) AS BIGINT) END " +
+          s"FROM (SELECT DISTINCT md5(CAST($c AS VARCHAR)) AS h FROM $t " +
+          "ORDER BY h LIMIT 32)) AS ndv_milli"
+      }.mkString(" UNION ALL "),
+    // a26: the DIRECT full-table derivation — the Spark side must reproduce
+    // it through the two-half sketch + merge path (mergeability is the
+    // claim under test; the KMV union property makes it exact equality).
+    "a26_incremental_stats" ->
+      Seq("orders" -> "o_orderkey", "lineitem" -> "l_orderkey",
+        "documents" -> "doc_id").map { case (t, c) =>
         s"SELECT '$t' AS table_name, '$c' AS column_name, " +
           s"(SELECT count(*) FROM $t) AS n_rows, " +
           s"(SELECT count(*) - count($c) FROM $t) AS n_nulls, " +

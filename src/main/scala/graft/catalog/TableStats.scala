@@ -149,6 +149,75 @@ object TableStats {
     stats.coalesce(1).write.mode("overwrite").parquet(outPath)
   }
 
+  /** Mergeable per-slice statistics sketch (A26) — the incremental half of
+    * ANALYZE. [[columnStats]] is a full-refresh; at 100 TB nobody rescans
+    * the whole table because one partition arrived. Every number here is a
+    * MERGEABLE summary:
+    *  - n_rows / n_nulls merge by addition, min/max by min/max;
+    *  - NDV state is the KMV k-minimum-hash SET itself (not the estimate):
+    *    bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪ bottom-k(B)), so merging
+    *    sketches is EXACTLY the sketch of the union — the estimate derived
+    *    after any merge tree equals the single-pass estimate, which is what
+    *    makes the merge oracle-gateable to equality, not approximation.
+    *
+    * Scan shape: one column-pruned pass over the SLICE only (the delta
+    * being absorbed — the whole point), distinct + bounded TakeOrdered for
+    * the k hashes, every output O(k).
+    */
+  def sketch(
+      df: DataFrame,
+      table: String,
+      column: String,
+      k: Int = 32): DataFrame = {
+    require(k > 1, s"KMV needs k > 1, got $k")
+    val meta = df.agg(
+      expr("count(*)").as("n_rows"),
+      (expr("count(*)") - count(col(column))).as("n_nulls"),
+      min(col(column)).cast("bigint").as("min_key"),
+      max(col(column)).cast("bigint").as("max_key"))
+    val kmv = df.select(md5(col(column).cast("string")).as("h"))
+      .where(col("h").isNotNull)
+      .distinct()
+      .orderBy("h")
+      .limit(k)
+      .agg(sort_array(collect_list(col("h"))).as("kmv"))
+    meta.crossJoin(kmv).select(
+      lit(table).as("table_name"),
+      lit(column).as("column_name"),
+      col("n_rows"), col("n_nulls"), col("min_key"), col("max_key"),
+      col("kmv"))
+  }
+
+  /** Merge any number of [[sketch]] rows per (table, column): additive
+    * counts, min/max of extremes, k smallest of the united hash sets. The
+    * collect_list is bounded at #sketches·k strings per group (merge in
+    * trees if absorbing millions of slices at once).
+    */
+  def mergeSketches(sketches: DataFrame, k: Int = 32): DataFrame =
+    sketches.groupBy("table_name", "column_name").agg(
+      sum("n_rows").as("n_rows"),
+      sum("n_nulls").as("n_nulls"),
+      min("min_key").as("min_key"),
+      max("max_key").as("max_key"),
+      expr(s"slice(array_sort(array_distinct(flatten(collect_list(kmv)))), 1, $k)")
+        .as("kmv"))
+
+  /** Resolve a merged sketch to the [[columnStats]] schema: derive
+    * `ndv_milli` from the k-minimum set with the same estimator a25 gates
+    * (exact by definition under k distinct values).
+    */
+  def finalizeStats(merged: DataFrame, k: Int = 32): DataFrame = {
+    val est = s"CAST(floor(${k - 1}.0D * CAST(1152921504606846976L AS DOUBLE) / " +
+      s"CAST(CAST(conv(substring(element_at(kmv, $k), 1, 15), 16, 10) AS BIGINT) AS DOUBLE) " +
+      "* 1000.0D) AS BIGINT)"
+    merged.select(
+      col("table_name"), col("column_name"),
+      col("n_rows"), col("n_nulls"), col("min_key"), col("max_key"),
+      when(size(col("kmv")) < k, size(col("kmv")).cast("long") * 1000L)
+        .otherwise(expr(est))
+        .as("ndv_milli"))
+  }
+
   /** Read a persisted ANALYZE artifact back and expose it to SQL as
     * [[ViewName]] — the catalog-relation half of the surface.
     */

@@ -19,6 +19,30 @@ class TableStatsSpec extends SparkSpec {
     assert(row.getLong(6) == 5000L, s"under-k NDV must be exact*1000, got ${row.getLong(6)}")
   }
 
+  test("sketch merge: two halves merged equal the direct full-table sketch exactly") {
+    val orders = graft.core.Tables.load(spark, sf, "orders")
+    val direct = TableStats.finalizeStats(
+      TableStats.mergeSketches(TableStats.sketch(orders, "orders", "o_orderkey")))
+    val halves = Seq(0, 1).map(h =>
+      TableStats.sketch(
+        orders.filter(pmod(col("o_orderkey"), lit(2)) === h), "orders", "o_orderkey"))
+    val merged = TableStats.finalizeStats(
+      TableStats.mergeSketches(halves.reduce(_.unionByName(_))))
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty,
+      "merged half-sketches disagree with the direct full-table sketch")
+    // order-insensitive: reversed merge order gives the identical result
+    val reversed = TableStats.finalizeStats(
+      TableStats.mergeSketches(halves.reverse.reduce(_.unionByName(_))))
+    assert(merged.exceptAll(reversed).isEmpty && reversed.exceptAll(merged).isEmpty)
+    // empty-slice identity: merging in a sketch of zero rows changes nothing
+    val withEmpty = TableStats.finalizeStats(TableStats.mergeSketches(
+      halves.reduce(_.unionByName(_))
+        .unionByName(TableStats.sketch(
+          orders.filter(lit(false)), "orders", "o_orderkey"))))
+    assert(merged.exceptAll(withEmpty).isEmpty && withEmpty.exceptAll(merged).isEmpty,
+      "empty sketch is not a merge identity")
+  }
+
   test("columnStats: KMV NDV estimate lands near the exact distinct count on a key column") {
     val r = TableStats.columnStats(spark, sf, "orders", "o_orderkey").collect()(0)
     val exact = graft.core.Tables.load(spark, sf, "orders")
