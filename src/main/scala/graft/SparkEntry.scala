@@ -837,6 +837,12 @@ object SparkEntry {
     "k8_ivfpq_topk" -> ((s, dir) =>
       graft.operators.Similarity.ivfPqTopKCosine(
         t(s, dir, "embeddings"), queryIds = Seq(0L, 1L, 2L), k = 10)),
+    // Binary-quantization ANN: 64-bit packed sign signatures (64x smaller
+    // than raw vectors), XOR+popcount Hamming scan, bounded shortlist,
+    // exact re-rank — the 1-bit memory tier of the index family.
+    "k9_binary_topk" -> ((s, dir) =>
+      graft.operators.Similarity.binaryQuantTopKCosine(
+        t(s, dir, "embeddings"), queryIds = Seq(0L, 1L, 2L), k = 10)),
     // Integer-exact PageRank over the kNN graph (3 power iterations) —
     // centrality as a document-importance prior (crawl-curation axis).
     "g1_pagerank" -> ((s, dir) => {
@@ -1098,6 +1104,24 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "k6_beam_search" -> k6OracleSql,
+    // k9: replay the 64 hyperplane sign bits (k2's hp/bits machinery at 64
+    // planes), Hamming = count of differing bits, shortlist by (hamming
+    // asc, id asc) to k*candMult = 100, exact re-rank via the shared tail.
+    "k9_binary_topk" ->
+      (vectorsCte +
+        "hp AS (SELECT b, d, CASE WHEN substr(md5(CAST(b AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1) < '8' " +
+        "THEN 1.0 ELSE -1.0 END AS sign " +
+        "FROM generate_series(0, 63) t(b), generate_series(0, 63) u(d)), " +
+        "bits AS (SELECT id, b, CASE WHEN sum(CAST(floor(sign * v.v[d + 1] * 10000000) AS BIGINT)) >= 0 " +
+        "THEN 1 ELSE 0 END AS bit FROM v, hp GROUP BY id, b), " +
+        "qb AS (SELECT id AS query_id, b, bit FROM bits WHERE id < 3), " +
+        "ham AS (SELECT qb.query_id, bits.id, " +
+        "sum(CASE WHEN bits.bit != qb.bit THEN 1 ELSE 0 END) AS h " +
+        "FROM bits JOIN qb ON bits.b = qb.b WHERE bits.id != qb.query_id GROUP BY 1, 2), " +
+        "cand AS (SELECT query_id, id FROM (SELECT query_id, id, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY h ASC, id ASC) AS rn FROM ham) " +
+        "WHERE rn <= 100), " +
+        rerankSql),
     // k8: the IVF coarse leg + the PQ leg, ADC restricted to probed-cell
     // members (cellc), shortlist rn <= 100, exact re-rank.
     "k8_ivfpq_topk" ->

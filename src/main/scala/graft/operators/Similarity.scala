@@ -287,6 +287,61 @@ object Similarity {
     rerank(cand, vAll, queryIds, k)
   }
 
+  /** Binary-quantization ANN top-k (K9) — the 1-bit memory tier of the
+    * index family: each vector is compressed to `nBits` hyperplane sign
+    * bits PACKED INTO ONE BIGINT (64 dims · 8-byte doubles → 8 bytes, a
+    * 64× reduction), queries scan signatures by Hamming distance
+    * (XOR + codegen'd `bit_count` — one instruction pair per comparison),
+    * and only the `k`·`candMult` Hamming-closest survivors are exact
+    * re-ranked. On unit vectors the expected Hamming distance is
+    * proportional to the angle (Goemans–Williamson / SimHash bound), so
+    * the shortlist is angle-aware despite costing almost nothing.
+    *
+    * Where it sits in the family: K2 (LSH buckets) prunes by COLLISION —
+    * sub-linear candidate generation but recall cliffs when a true
+    * neighbor misses every band; this scans ALL signatures (like K4's
+    * ADC pass) so nothing is ever missed by hashing bad luck, at 1 bit
+    * per plane instead of K4's 4-bit codes. The scan is map-only: the
+    * corpus signature relation never shuffles (queries broadcast), and
+    * the per-query `graft_topk` heap bounds state at k·candMult — the
+    * same no-window, no-global-sort contract as K1/K4.
+    *
+    * Signatures reuse the d5/k2 hyperplane family ([[graft.functions
+    * .HyperplaneSums]]): md5-derived ±1 planes, integer-quantized
+    * projection sums — the whole pipeline (planes, bits, Hamming ranking,
+    * re-rank) replays bit-identically in the SQL oracle.
+    */
+  def binaryQuantTopKCosine(
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      k: Int = 10,
+      nBits: Int = 64,
+      candMult: Int = 10,
+      dim: Int = 64): DataFrame = {
+    require(nBits > 0 && nBits <= 64, s"signatures pack into one long: nBits=$nBits")
+    val v = asVectors(embeddings)
+    graft.functions.GraftFunctions.register(v.sparkSession)
+    val sigs = v
+      .filter(col("v").isNotNull && size(col("v")) > 0)
+      .select(col("id"), expr(s"graft_hp_sums(v, $nBits, $dim)").as("sums"))
+      .select(col("id"), expr(
+        s"""aggregate(sequence(0, ${nBits - 1}), 0L,
+             (acc, i) -> acc | IF(sums[i] >= 0L, shiftleft(1L, i), 0L))""").as("sig"))
+    val qs = broadcast(
+      sigs.filter(col("id").isin(queryIds: _*))
+        .select(col("id").as("query_id"), col("sig").as("qsig")))
+    val cand = sigs.crossJoin(qs)
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        expr("bit_count(sig ^ qsig)").as("hamming"))
+      .groupBy("query_id")
+      // score = -hamming: graft_topk's (score desc, id asc) order is
+      // exactly (hamming asc, id asc) — deterministic shortlist
+      .agg(expr(s"graft_topk(CAST(-hamming AS DOUBLE), id, ${k * candMult})").as("tk"))
+      .select(col("query_id"), explode(col("tk.id")).as("id"))
+    rerank(cand, v, queryIds, k)
+  }
+
   /** kNN-graph build: for EVERY corpus vector, its top-k cosine neighbors
     * among the vectors sharing at least one hyperplane-LSH band bucket —
     * the batch primitive under semantic dedup, embedding clustering and

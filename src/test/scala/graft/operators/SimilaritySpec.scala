@@ -240,6 +240,25 @@ class SimilaritySpec extends SparkSpec {
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
   }
 
+  test("k9 binary-quant ANN: k rows per query; recall floor; shortlist bounded; deterministic") {
+    val out = Similarity.binaryQuantTopKCosine(emb, queries, k = 10).cache()
+    val perQuery = out.groupBy("query_id").count().collect()
+    assert(perQuery.length == queries.length && perQuery.forall(_.getLong(1) == 10))
+    assert(out.filter(col("neighbor_id") === col("query_id")).count() == 0)
+    val exact = Similarity.topKCosine(emb, queries, k = 10)
+      .select("query_id", "neighbor_id")
+    val hit = exact.intersect(out.select("query_id", "neighbor_id")).count()
+    val recall = hit.toDouble / exact.count()
+    assert(recall >= 0.5, s"binary-quant recall@10 = $recall below floor (64 bits, mult 10)")
+    // a tighter shortlist still yields exactly k rows per query (the
+    // graft_topk cap, not the corpus, bounds the exact-scoring input)
+    val small = Similarity.binaryQuantTopKCosine(emb, queries, k = 2, candMult = 3)
+    assert(small.groupBy("query_id").count().collect().forall(_.getLong(1) == 2))
+    // determinism: a rerun reproduces the ranking exactly
+    val again = Similarity.binaryQuantTopKCosine(emb, queries, k = 10)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
   test("ANN candidate generation bounds the ranking input") {
     // the ann plan must rank only bucket-collision candidates: its scored
     // row count is below the exact variant's |corpus| x |queries|
