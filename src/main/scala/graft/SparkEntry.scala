@@ -608,6 +608,24 @@ object SparkEntry {
     // The round-7 curation stack composed end-to-end: Gopher quality gate
     // over the noise-injected corpus → equal-share mixture to a 20k-token
     // budget → fixed-budget sequence packing of exactly the sampled docs.
+    // Data-selection pipeline (the post-DSIR training-file build): select
+    // the 200 docs most like the src0 target (x20), gate on bigram fluency
+    // over the SELECTION's own LM (x19, lm_micro >= 36000 — the selection
+    // median at both test scales), pack survivors into 2048-token
+    // sequences (x12). Each stage is an already-gated operator.
+    "p6_dsir_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      // localCheckpoint: the selection feeds the fluency stats, the gate
+      // join and the final pack — three consumers of one subtree
+      val selected = docs.join(
+        graft.operators.TextAnalysis.importanceSelect(
+          docs, "source = 'src0'", budget = 200).select("doc_id"),
+        "doc_id").localCheckpoint(true)
+      val fluent = graft.operators.TextAnalysis.bigramQuality(selected)
+        .filter(col("lm_micro") >= 36000L)
+        .select("doc_id")
+      graft.operators.TextAnalysis.packSequences(selected.join(fluent, "doc_id"))
+    }),
     "p5_pretraining_mixture" -> ((s, dir) => {
       val noisy = t(s, dir, "documents")
         .withColumn("text", expr(gopherNoiseExpr))
@@ -1066,6 +1084,29 @@ object SparkEntry {
       "WHERE rn <= 8), "
   }
 
+  /** x20's DSIR chain (shared with the p6 pipeline oracle): hashed-bigram
+    * features over `documents`, smoothed nano-probability ratios vs the
+    * src0 target slice, per-doc mean score, and the top-`budget` selection
+    * `sel` (doc_id) by (dsir_micro DESC, doc_id ASC).
+    */
+  private def x20ChainSql(budget: Int): String =
+    "arr AS (SELECT doc_id, string_split(text, ' ') AS a, " +
+      "source = 'src0' AS is_tgt FROM documents), " +
+      "feats AS (SELECT doc_id, is_tgt, " +
+      "CAST(concat('0x', substr(md5(a[i] || ' ' || a[i + 1]), 1, 8)) AS BIGINT) % 4096 AS f " +
+      "FROM arr, LATERAL (SELECT unnest(generate_series(1, len(a) - 1)) AS i) t WHERE len(a) >= 2), " +
+      "counts AS (SELECT f, count(*) AS cr, " +
+      "CAST(sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct FROM feats GROUP BY f), " +
+      "tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt FROM counts), " +
+      "ratios AS (SELECT f, least((ct + 1) * 1000000000 // (nt + 4096) * 1000000 " +
+      "// greatest((cr + 1) * 1000000000 // (nr + 4096), 1), 1000000000000) AS ratio_micro " +
+      "FROM counts, tot), " +
+      "scored AS (SELECT feats.doc_id, count(*) AS n_feats, " +
+      "CAST(CAST(sum(ratio_micro) AS BIGINT) // count(*) AS BIGINT) AS dsir_micro " +
+      "FROM feats JOIN ratios USING (f) GROUP BY feats.doc_id), " +
+      "sel AS (SELECT doc_id FROM (SELECT doc_id, " +
+      s"row_number() OVER (ORDER BY dsir_micro DESC, doc_id ASC) AS rn FROM scored) WHERE rn <= $budget), "
+
   /** k4's PQ leg: normalize, chop into 8 subspaces, seed 16 codes by
     * md5(id) order, two Lloyd iterations over the 1/8 hash sample, encode
     * the full corpus (`enc`), and the per-query integer-ADC lookup table
@@ -1458,25 +1499,36 @@ object SparkEntry {
         "FROM j GROUP BY 1"),
     // x20: hashed-bigram buckets, Laplace-smoothed nano-probabilities under
     // target (src0) and raw corpora, clamped micro-ratio, mean per doc,
-    // top-100 by (score DESC, id ASC) — the whole derivation in one chain.
+    // top-100 by (score DESC, id ASC) — the whole derivation in one chain
+    // (the CTE fragment is shared with the p6 pipeline oracle).
     "x20_importance_select" ->
-      ("WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a, " +
-        "source = 'src0' AS is_tgt FROM documents), " +
-        "feats AS (SELECT doc_id, is_tgt, " +
-        "CAST(concat('0x', substr(md5(a[i] || ' ' || a[i + 1]), 1, 8)) AS BIGINT) % 4096 AS f " +
-        "FROM arr, LATERAL (SELECT unnest(generate_series(1, len(a) - 1)) AS i) t WHERE len(a) >= 2), " +
-        "counts AS (SELECT f, count(*) AS cr, " +
-        "CAST(sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct FROM feats GROUP BY f), " +
-        "tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt FROM counts), " +
-        "ratios AS (SELECT f, least((ct + 1) * 1000000000 // (nt + 4096) * 1000000 " +
-        "// greatest((cr + 1) * 1000000000 // (nr + 4096), 1), 1000000000000) AS ratio_micro " +
-        "FROM counts, tot), " +
-        "scored AS (SELECT feats.doc_id, count(*) AS n_feats, " +
-        "CAST(CAST(sum(ratio_micro) AS BIGINT) // count(*) AS BIGINT) AS dsir_micro " +
-        "FROM feats JOIN ratios USING (f) GROUP BY feats.doc_id), " +
-        "sel AS (SELECT doc_id FROM (SELECT doc_id, " +
-        "row_number() OVER (ORDER BY dsir_micro DESC, doc_id ASC) AS rn FROM scored) WHERE rn <= 100) " +
-        "SELECT scored.doc_id, scored.n_feats, scored.dsir_micro FROM scored JOIN sel USING (doc_id)"),
+      ("WITH " + x20ChainSql(100) +
+        "fin AS (SELECT scored.doc_id, scored.n_feats, scored.dsir_micro " +
+        "FROM scored JOIN sel USING (doc_id)) SELECT * FROM fin"),
+    // p6: x20's selection chain (shared fragment), x19's bigram LM replay
+    // over the selection, the lm_micro >= 36000 gate, then x12's pack.
+    "p6_dsir_pipeline" ->
+      ("WITH " + x20ChainSql(200) +
+        "sd AS (SELECT d.* FROM documents d JOIN sel ON d.doc_id = sel.doc_id), " +
+        "d19 AS (SELECT doc_id, string_split(text, ' ') AS a FROM sd), " +
+        "bg AS (SELECT doc_id, a[i] AS w1, a[i + 1] AS w2 FROM d19, " +
+        "LATERAL (SELECT unnest(generate_series(1, len(a) - 1)) AS i) t WHERE len(a) >= 2), " +
+        "u AS (SELECT unnest(string_split(text, ' ')) AS tok FROM sd), " +
+        "uc AS (SELECT tok, count(*) AS cnt1 FROM u GROUP BY 1), " +
+        "b2 AS (SELECT w1, w2, count(*) AS cnt2 FROM bg GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "j AS (SELECT bg.doc_id, b2.cnt2, uc.cnt1 FROM bg " +
+        "LEFT JOIN b2 ON bg.w1 = b2.w1 AND bg.w2 = b2.w2 JOIN uc ON bg.w1 = uc.tok), " +
+        "q19 AS (SELECT doc_id, " +
+        "CAST(CAST(sum(CASE WHEN cnt2 IS NOT NULL THEN cnt2 * 1000000 // cnt1 ELSE 0 END) AS BIGINT) " +
+        "// count(*) AS BIGINT) AS lm_micro FROM j GROUP BY 1), " +
+        "fd AS (SELECT sd.* FROM sd JOIN q19 USING (doc_id) WHERE q19.lm_micro >= 36000), " +
+        "b AS (SELECT doc_id, source, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM fd), " +
+        "c AS (SELECT doc_id, source, n_tokens, " +
+        "CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id " +
+        "ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset FROM b) " +
+        "SELECT doc_id, source, n_tokens, start_offset, " +
+        "CAST(start_offset // 2048 AS BIGINT) AS bin_id FROM c"),
     "x18_unigram_quality" ->
       ("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
         "v AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1 HAVING count(*) >= 2), " +

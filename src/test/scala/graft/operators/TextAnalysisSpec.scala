@@ -312,6 +312,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(bad.count() == 0, "pack offsets not contiguous over the sampled subset")
   }
 
+  test("p6 composition: packed docs are selected AND fluent, offsets contiguous") {
+    val out = graft.SparkEntry.queries("p6_dsir_pipeline")(spark, sf).cache()
+    assert(out.count() > 0)
+    // every packed doc is in the DSIR selection
+    val selected = TextAnalysis.importanceSelect(docs, "source = 'src0'", budget = 200)
+      .select("doc_id")
+    assert(out.join(selected, Seq("doc_id"), "left_anti").count() == 0,
+      "a packed doc was never selected")
+    // ... and passed the fluency gate measured on the selection's own LM
+    val fluent = TextAnalysis.bigramQuality(docs.join(selected, "doc_id"))
+      .filter(col("lm_micro") >= 36000L).select("doc_id")
+    assert(out.join(fluent, Seq("doc_id"), "left_anti").count() == 0,
+      "a packed doc failed the fluency gate")
+    assert(out.count() < 200, "the fluency gate dropped nothing — degenerate")
+    // offsets contiguous per source over the packed subset
+    val bad = out.withColumn("expected",
+      sum(col("n_tokens")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+      .filter(coalesce(col("expected"), lit(0L)) =!= col("start_offset"))
+    assert(bad.count() == 0, "pack offsets not contiguous over the gated subset")
+  }
+
   test("MG summary: over-threshold items always survive; weights are lower bounds") {
     import graft.functions.MGSummary
     val rnd = new scala.util.Random(11)
