@@ -401,6 +401,20 @@ object SparkEntry {
           "unix_micros(effective_from) AS from_micros",
           "unix_micros(effective_to) AS to_micros",
           "CAST(is_current AS INT) AS is_current")),
+    // Interval coalescing (gaps-and-islands): each customer's order windows
+    // [orderdate, orderdate + 7..27d] merged into maximal contiguous
+    // activity stretches; epoch-micro integer bounds, deterministic
+    // derived durations (orderkey-seeded) so both engines see the same
+    // intervals.
+    "j8_interval_coalesce" -> ((s, dir) =>
+      graft.operators.Joins.intervalCoalesce(
+        t(s, dir, "orders").select(
+          col("o_custkey").as("key"),
+          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("start"),
+          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) + " +
+            "(7L + o_orderkey % 21L) * 86400000000L").as("end")))
+        .select(col("key").as("o_custkey"), col("island"),
+          col("window_start"), col("window_end"), col("n_intervals"))),
     // Bloom-pruned semi join: urgent-order lineitems via a build-side Bloom
     // filter probed BEFORE the fact shuffle (false positives removed by the
     // exact semi join, so values equal the plain semi join — the oracle).
@@ -1462,6 +1476,21 @@ object SparkEntry {
         "FROM base b FULL JOIN u ON b.c_custkey = u.c_custkey"),
     // j7: change-collapse (IS DISTINCT FROM prev) then ranges via lead();
     // zero-width same-ts versions drop, the last same-ts change wins.
+    // j8: same two frames over one (key, start, end) sort; island = prefix
+    // sum of starts-beyond-running-max flags; count CASTs close DuckDB's
+    // HUGEINT sums.
+    "j8_interval_coalesce" ->
+      ("WITH iv AS (SELECT o_custkey, epoch_us(o_orderdate) AS s, " +
+        "epoch_us(o_orderdate) + (7 + o_orderkey % 21) * 86400000000 AS e FROM orders), " +
+        "f AS (SELECT o_custkey, s, e, CASE WHEN " +
+        "max(e) OVER (PARTITION BY o_custkey ORDER BY s, e " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL OR " +
+        "s > max(e) OVER (PARTITION BY o_custkey ORDER BY s, e " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) THEN 1 ELSE 0 END AS ni FROM iv), " +
+        "g AS (SELECT o_custkey, s, e, CAST(sum(ni) OVER (PARTITION BY o_custkey " +
+        "ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island FROM f) " +
+        "SELECT o_custkey, island, min(s) AS window_start, max(e) AS window_end, " +
+        "count(*) AS n_intervals FROM g GROUP BY 1, 2"),
     "j7_scd2" ->
       ("WITH l AS (SELECT user_id, ts, event_id, event_type, " +
         "lag(event_type) OVER w AS prev_type, lag(ts) OVER w AS prev_ts " +

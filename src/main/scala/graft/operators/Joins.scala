@@ -262,4 +262,40 @@ object Joins {
       call_function("graft_bloom_contains", lit(bloomBytes), col(factKey)))
     pruned.join(build, col(factKey) === col(buildKey), "left_semi")
   }
+
+  /** Interval coalescing (J8) — the gaps-and-islands operator: merge each
+    * key's overlapping-or-touching [start, end] intervals into maximal
+    * contiguous coverage windows ("islands"), the primitive behind uptime
+    * windows, customer-activity stretches, sensor coverage, CDC validity
+    * compaction. Closed-interval semantics: `start == previous end` merges.
+    *
+    * Shape: ONE shuffle on the key; the new-island flag (start beyond the
+    * running max of all previous ends) and the island number (prefix sum of
+    * flags) are two frames over the SAME (key × (start, end)) sort — one
+    * sort, j7's pattern — then a per-(key, island) aggregate that rides the
+    * same partitioning. Bounds are plain integers (epoch micros by
+    * convention), so every comparison is engine-exact. Equal (start, end)
+    * duplicates are order-insensitive by construction: a row whose start
+    * lies inside ANY earlier interval of its island can never open a new
+    * one, whichever side of the tie it sorts on.
+    */
+  def intervalCoalesce(
+      intervals: DataFrame,
+      keyCol: String = "key",
+      startCol: String = "start",
+      endCol: String = "end"): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(startCol), col(endCol))
+    val prevMax = max(col(endCol))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    intervals
+      .withColumn("__ni",
+        when(prevMax.isNull || col(startCol) > prevMax, 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("__ni")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(keyCol), col("island"))
+      .agg(
+        min(col(startCol)).as("window_start"),
+        max(col(endCol)).as("window_end"),
+        count(lit(1)).as("n_intervals"))
+  }
 }

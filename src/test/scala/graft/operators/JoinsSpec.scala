@@ -252,4 +252,35 @@ class JoinsSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), s"exact semi join missing:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
   }
+
+  test("intervalCoalesce: chain/touch/nest merge, gaps split, duplicates counted, one sort") {
+    import spark.implicits._
+    val iv = Seq(
+      // key 1: [0,10] chains [5,20], [20,30] touches (closed: merges),
+      // [25,28] nests -> ONE island of 4; [40,50] after a gap -> island 2
+      (1L, 0L, 10L), (1L, 5L, 20L), (1L, 20L, 30L), (1L, 25L, 28L), (1L, 40L, 50L),
+      // key 2: exact duplicates share an island and both count
+      (2L, 0L, 5L), (2L, 0L, 5L), (2L, 7L, 9L))
+      .toDF("key", "start", "end")
+    val out = Joins.intervalCoalesce(iv).cache()
+    val k1 = out.filter(col("key") === 1).orderBy("island").collect()
+    assert(k1.length == 2)
+    assert(k1(0).getLong(2) == 0L && k1(0).getLong(3) == 30L && k1(0).getLong(4) == 4L)
+    assert(k1(1).getLong(2) == 40L && k1(1).getLong(3) == 50L && k1(1).getLong(4) == 1L)
+    val k2 = out.filter(col("key") === 2).orderBy("island").collect()
+    assert(k2.length == 2)
+    assert(k2(0).getLong(2) == 0L && k2(0).getLong(3) == 5L && k2(0).getLong(4) == 2L)
+    assert(k2(1).getLong(2) == 7L && k2(1).getLong(3) == 9L && k2(1).getLong(4) == 1L)
+    // islands of a key never overlap and always leave a real gap
+    val adj = out.as("a").join(out.as("b"),
+        col("a.key") === col("b.key") && col("a.island") + 1 === col("b.island"))
+      .filter(col("b.window_start") <= col("a.window_end"))
+    assert(adj.count() == 0, "adjacent islands overlap or touch")
+    // both window frames ride ONE sort: exactly one Sort operator in the
+    // (final) plan — AQE prints Final + Initial sections, slice the first
+    val plan = Joins.intervalCoalesce(iv).queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.split("Sort \\[").length - 1 == 1,
+      s"island derivation re-sorts per frame:\n$plan")
+  }
 }
