@@ -45,6 +45,8 @@ object SparkEntry {
 
   private val streamedIndexMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private val statsStateMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
   /** One-time STORED kNN graph (K5 at graphK=8) for the k6 beam-search
     * entry — the same ingest-time-artifact contract as [[d9IndexDir]]: a
@@ -158,6 +160,13 @@ object SparkEntry {
       path
     })
 
+  def st13StatsDir(s: SparkSession, dir: String): String =
+    statsStateMemo.computeIfAbsent((s, dir), _ => {
+      val path = graft.core.TempDirs.create("graft_st13_stats")
+      graft.streaming.EventsStream.statsMaintainReplay(s, dir, path)
+      path
+    })
+
   private def minHashPairs(s: SparkSession, dir: String): DataFrame =
     pairMemo.computeIfAbsent((s, dir), _ =>
       graft.operators.Dedup.minHashNearDup(t(s, dir, "documents"))
@@ -197,7 +206,8 @@ object SparkEntry {
     Seq(pairMemo, clusterMemo).foreach { m =>
       m.keySet.asScala.filter(_._1 eq s).toList.foreach(m.remove)
     }
-    Seq(dedupIndexMemo, streamedIndexMemo, knnGraphMemo, g1EdgesMemo).foreach { m =>
+    Seq(dedupIndexMemo, streamedIndexMemo, statsStateMemo, knnGraphMemo,
+      g1EdgesMemo).foreach { m =>
       m.keySet.asScala.filter(_._1 eq s).toList
         .foreach(k => Option(m.remove(k)).foreach(graft.core.TempDirs.drop))
     }
@@ -343,6 +353,12 @@ object SparkEntry {
       graft.operators.Analytics.trailingRevenue(t(s, dir, "orders"))),
     "a13_price_quantiles" -> ((s, dir) =>
       graft.operators.Analytics.priceQuantiles(t(s, dir, "orders"))),
+    // Equi-width histogram quantiles per order status: the mergeable
+    // selectivity sketch (CBO histogram), quantiles answered from the
+    // cumulative histogram — no sort, no rank pass.
+    "a27_histogram_quantiles" -> ((s, dir) =>
+      graft.operators.Analytics.histogramQuantiles(
+        t(s, dir, "orders"), "o_totalprice", "o_orderstatus")),
     // Exact deterministic stratified sample (md5-order, per-stratum window).
     "a14_stratified_sample" -> ((s, dir) =>
       graft.operators.Analytics.stratifiedSample(t(s, dir, "documents"))),
@@ -585,6 +601,12 @@ object SparkEntry {
       graft.operators.Dedup.incrementalFromIndex(
         s, st11IndexDir(s, dir),
         t(s, dir, "documents").filter(expr(d9DeltaPredicate)))),
+    // Streamed ANALYZE (a26's sketches maintained by the stream): each
+    // micro-batch commits its mergeable sketch under a batch fence; the
+    // fold over committed sketches must equal the direct full-corpus
+    // derivation — a26's truth reached through the stream.
+    "st13_stats_maintain" -> ((s, dir) =>
+      graft.streaming.EventsStream.streamedStats(s, st13StatsDir(s, dir))),
     // Cross-corpus paragraph dedup (CCNet-style line dedup). The synthetic
     // docs are single-paragraph, so shared boilerplate paragraphs are
     // appended first (replayed identically in the oracle): every 3rd doc a
@@ -1402,6 +1424,38 @@ object SparkEntry {
           s"FROM (SELECT DISTINCT md5(CAST($c AS VARCHAR)) AS h FROM $t " +
           "ORDER BY h LIMIT 32)) AS ndv_milli"
       }.mkString(" UNION ALL "),
+    // a27: identical IEEE bucket expression, integer ceiling thresholds,
+    // right-edge estimate — the whole histogram path replayed.
+    "a27_histogram_quantiles" ->
+      ("WITH mm AS (SELECT CAST(min(o_totalprice) AS DOUBLE) AS lo, " +
+        "CAST(max(o_totalprice) AS DOUBLE) AS hi FROM orders), " +
+        "b AS (SELECT o_orderstatus, CASE WHEN hi = lo THEN 0 ELSE " +
+        "least(CAST(floor((o_totalprice - lo) * 256.0 / (hi - lo)) AS BIGINT), 255) END AS bucket " +
+        "FROM orders, mm), " +
+        "h AS (SELECT o_orderstatus, bucket, count(*) AS cnt FROM b GROUP BY 1, 2), " +
+        "n AS (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1), " +
+        "c AS (SELECT o_orderstatus, bucket, CAST(sum(cnt) OVER (PARTITION BY o_orderstatus " +
+        "ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM h), " +
+        "q AS (SELECT unnest([500, 900, 990]) AS q_milli), " +
+        "sel AS (SELECT c.o_orderstatus, q.q_milli, min(c.bucket) AS bucket " +
+        "FROM c JOIN n USING (o_orderstatus) CROSS JOIN q " +
+        "WHERE c.cum >= (n.n * q.q_milli + 999) // 1000 GROUP BY 1, 2) " +
+        "SELECT sel.o_orderstatus, sel.q_milli, sel.bucket, " +
+        "CAST(floor((mm.lo + (sel.bucket + 1) * (mm.hi - mm.lo) / 256.0) * 100) AS BIGINT) AS est_centi " +
+        "FROM sel, mm"),
+    // st13: the same direct derivation, documents only — the streamed fold
+    // must land on it exactly.
+    "st13_stats_maintain" ->
+      ("SELECT 'documents' AS table_name, 'doc_id' AS column_name, " +
+        "(SELECT count(*) FROM documents) AS n_rows, " +
+        "(SELECT count(*) - count(doc_id) FROM documents) AS n_nulls, " +
+        "(SELECT CAST(min(doc_id) AS BIGINT) FROM documents) AS min_key, " +
+        "(SELECT CAST(max(doc_id) AS BIGINT) FROM documents) AS max_key, " +
+        "(SELECT CASE WHEN count(*) < 32 THEN count(*) * 1000 " +
+        "ELSE CAST(floor(31.0 * CAST(1152921504606846976 AS DOUBLE) / " +
+        "CAST(('0x' || substring(max(h), 1, 15))::BIGINT AS DOUBLE) * 1000.0) AS BIGINT) END " +
+        "FROM (SELECT DISTINCT md5(CAST(doc_id AS VARCHAR)) AS h FROM documents " +
+        "ORDER BY h LIMIT 32)) AS ndv_milli"),
     // a26: the DIRECT full-table derivation — the Spark side must reproduce
     // it through the two-half sketch + merge path (mergeability is the
     // claim under test; the KMV union property makes it exact equality).

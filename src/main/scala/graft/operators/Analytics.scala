@@ -412,4 +412,58 @@ object Analytics {
         min(col("l_extendedprice")).as("min_price"),
         max(col("l_extendedprice")).as("max_price"))
   }
+
+  /** Equi-width histogram quantiles (A27) — the selectivity half of
+    * ANALYZE, completing A25/A26's statistics surface: per group, bucket a
+    * value column into `nBuckets` equal-width bins over the GLOBAL
+    * [min, max] and answer quantiles from the cumulative histogram (the
+    * estimate = the right edge of the first bucket whose cumulative count
+    * reaches ceil(q·n)). Histograms are what a cost-based planner consults
+    * for range-predicate selectivity, and unlike rank-based exact
+    * quantiles (A13's percentile pass) the histogram is MERGEABLE BY
+    * ADDITION — per-partition histograms sum into the global one, so the
+    * sketch maintains incrementally (A26's regime) and never re-sorts.
+    *
+    * Everything is engine-exact: bucket assignment is one IEEE expression
+    * (identical op order in the oracle), thresholds are integer ceiling
+    * divisions, and the estimate is a fixed double expression of (lo, hi,
+    * bucket). Shape at 100 TB: one min/max pass (or A22 footer stats), one
+    * (group, bucket) aggregate that collapses map-side into ≤ groups ·
+    * nBuckets rows, a window over that tiny relation, output
+    * groups × quantiles rows.
+    */
+  def histogramQuantiles(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      nBuckets: Int = 256,
+      qMilli: Seq[Int] = Seq(500, 900, 990)): DataFrame = {
+    require(nBuckets > 1 && qMilli.nonEmpty, "need buckets and quantiles")
+    val mm = df.agg(
+      min(col(valueCol)).cast("double").as("lo"),
+      max(col(valueCol)).cast("double").as("hi"))
+    val bucketed = df.crossJoin(broadcast(mm)).select(
+      col(groupCol),
+      expr(s"""CASE WHEN hi = lo THEN 0L ELSE
+                least(CAST(floor(($valueCol - lo) * $nBuckets.0D / (hi - lo)) AS BIGINT),
+                      ${nBuckets - 1}L) END""").as("bucket"))
+    val hist = bucketed.groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val n = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+    val cum = hist.withColumn("cum",
+      sum(col("cnt")).over(
+        Window.partitionBy(groupCol).orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val qs = qMilli.map(q => s"$q").mkString(", ")
+    val sel = cum.join(n, groupCol)
+      .crossJoin(broadcast(
+        df.sparkSession.range(1).select(explode(expr(s"array($qs)")).as("q_milli"))))
+      .filter(col("cum") >= expr("(n * q_milli + 999L) div 1000L"))
+      .groupBy(col(groupCol), col("q_milli"))
+      .agg(min(col("bucket")).as("bucket"))
+    sel.crossJoin(broadcast(mm)).select(
+      col(groupCol), col("q_milli"), col("bucket"),
+      expr(s"CAST(floor((lo + (bucket + 1) * (hi - lo) / $nBuckets.0D) * 100) AS BIGINT)")
+        .as("est_centi"))
+  }
 }

