@@ -134,6 +134,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("graft_topk"), s"bounded shortlist aggregate missing:\n$p")
   }
 
+  test("k9 binary-quant: signature scan is broadcast-only, shortlist bounded, no window") {
+    val p = plan("k9_binary_topk")
+    assert(!p.contains("Window"), s"k9 ranking regressed to a window:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus signatures shuffled for the Hamming scan:\n$p")
+    assert(p.contains("graft_topk"), s"bounded shortlist aggregate missing:\n$p")
+  }
+
+  test("x20 DSIR: no window, no cartesian on the corpus; selection is the bounded aggregate") {
+    val p = plan("x20_importance_select")
+    assert(!p.contains("Window"),
+      s"x20 selection regressed to a window rank:\n$p")
+    assert(p.contains("graft_topk"), s"bounded selection aggregate missing:\n$p")
+  }
+
+  test("d11 semantic dedup: candidate generation equi-only — no cartesian pair join") {
+    val p = plan("d11_semantic_dedup")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in the semantic-dedup plan:\n$p")
+  }
+
+  test("a27 histogram: no global sort of the data; only the tiny histogram window sorts") {
+    val p = plan("a27_histogram_quantiles")
+    // rangepartitioning = a global data sort; the histogram path must not
+    // have one (the only Sort serves the <= groups x buckets window)
+    assert(!p.contains("rangepartitioning"),
+      s"histogram quantiles global-sorted the data:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian leaked:\n$p")
+  }
+
   test("p4 mixture sampling: rate table broadcast back, corpus never shuffles whole rows") {
     val p = plan("p4_mixture_sample")
     assert(p.contains("BroadcastHashJoin"), s"rate join not broadcast:\n$p")
