@@ -906,6 +906,17 @@ object SparkEntry {
         graft.operators.Similarity.asVectors(emb).select("id"),
         iterations = 3)
     }),
+    // Personalized PageRank: teleport mass concentrated on the query seed
+    // set — graph proximity from the seeds, the related-document /
+    // graph-re-ranking score. Same edges, same integer iteration.
+    "g2_personalized_pagerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Graph.personalizedPageRank(
+        s.read.parquet(g1EdgesDir(s, dir)),
+        graft.operators.Similarity.asVectors(emb).select("id"),
+        seeds = Seq(0L, 1L, 2L),
+        iterations = 3)
+    }),
     // ---- §2.1/§2.3 catalog + CSV semantics ----
     // DESCRIBE parity: ClickHouse-ish type names from the parquet schema
     // (rows-only check: DuckDB has no equivalent type-name surface).
@@ -1118,6 +1129,40 @@ object SparkEntry {
       "qp AS (SELECT query_id, cid FROM (SELECT id AS query_id, cid, " +
       "row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid ASC) AS rn FROM iac WHERE id < 3) " +
       "WHERE rn <= 8), "
+  }
+
+  /** The g1/g2 oracle generator: the k5 edge replay (72-bit banded LSH →
+    * exact-cosine top-5 per node) feeding three integer power iterations.
+    * `initSql` is evaluated against `v` (columns id) for the starting mass,
+    * `baseSql` against `v` (qualified v.id) for the per-node teleport term —
+    * the ONLY difference between uniform (g1) and personalized (g2)
+    * PageRank.
+    */
+  private def pageRankOracleSql(initSql: String, baseSql: String): String = {
+    val edges =
+      "WITH v AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM " +
+        "embeddings), hp AS (SELECT b, d, CASE WHEN substr(md5(CAST(b AS VARCHAR) || '_' || CAST(d AS " +
+        "VARCHAR)), 1, 1) < '8' THEN 1.0 ELSE -1.0 END AS sign FROM generate_series(0, 71) t(b), " +
+        "generate_series(0, 63) u(d)), bits AS (SELECT id, b, CASE WHEN sum(CAST(floor(sign * v.v[d + 1] " +
+        "* 10000000) AS BIGINT)) >= 0 THEN '1' ELSE '0' END AS bit FROM v, hp GROUP BY id, b), bands AS " +
+        "(SELECT id, b // 4 AS band, string_agg(bit, '' ORDER BY b) AS bkey FROM bits GROUP BY id, " +
+        "band), cand AS (SELECT DISTINCT a.id AS query_id, bd.id FROM bands a JOIN bands bd ON a.band = " +
+        "bd.band AND a.bkey = bd.bkey WHERE bd.id != a.id), s AS (SELECT c.query_id, c.id, " +
+        "list_sum(list_transform(generate_series(1, 64), i -> av.v[i] * qv.v[i])) / " +
+        "(sqrt(list_sum(list_transform(av.v, x -> x * x))) * sqrt(list_sum(list_transform(qv.v, x -> x * " +
+        "x)))) AS cos FROM cand c JOIN v av ON c.id = av.id JOIN v qv ON c.query_id = qv.id), g AS " +
+        "(SELECT query_id AS src, neighbor_id AS dst FROM (SELECT query_id, id AS neighbor_id, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rank FROM s) WHERE rank <= " +
+        "5), deg AS (SELECT src, count(*) AS outdeg FROM g GROUP BY 1), nn AS (SELECT count(*) AS n FROM " +
+        "v), "
+    val iters = (1 to 3).map { i =>
+      s"c$i AS (SELECT g.dst, CAST(sum(p${i - 1}.rank_nano // deg.outdeg) AS BIGINT) AS insum " +
+        s"FROM g JOIN p${i - 1} ON g.src = p${i - 1}.id JOIN deg ON g.src = deg.src GROUP BY 1), " +
+        s"p$i AS (SELECT v.id, CAST($baseSql + (85 * coalesce(c$i.insum, 0)) // 100 AS BIGINT) AS " +
+        s"rank_nano FROM v LEFT JOIN c$i ON v.id = c$i.dst)"
+    }.mkString(", ")
+    edges + s"p0 AS (SELECT id, CAST($initSql AS BIGINT) AS rank_nano FROM v), " +
+      iters + " SELECT id, rank_nano FROM p3"
   }
 
   /** x20's DSIR chain (shared with the p6 pipeline oracle): hashed-bigram
@@ -2240,33 +2285,14 @@ object SparkEntry {
         "<= 5"),
     // g1: the k5 edge derivation + 3 integer power iterations — floor
     // divisions and integer sums only, so every engine agrees bit-exact.
-    "g1_pagerank" ->
-      ("WITH v AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM " +
-        "embeddings), hp AS (SELECT b, d, CASE WHEN substr(md5(CAST(b AS VARCHAR) || '_' || CAST(d AS " +
-        "VARCHAR)), 1, 1) < '8' THEN 1.0 ELSE -1.0 END AS sign FROM generate_series(0, 71) t(b), " +
-        "generate_series(0, 63) u(d)), bits AS (SELECT id, b, CASE WHEN sum(CAST(floor(sign * v.v[d + 1] " +
-        "* 10000000) AS BIGINT)) >= 0 THEN '1' ELSE '0' END AS bit FROM v, hp GROUP BY id, b), bands AS " +
-        "(SELECT id, b // 4 AS band, string_agg(bit, '' ORDER BY b) AS bkey FROM bits GROUP BY id, " +
-        "band), cand AS (SELECT DISTINCT a.id AS query_id, bd.id FROM bands a JOIN bands bd ON a.band = " +
-        "bd.band AND a.bkey = bd.bkey WHERE bd.id != a.id), s AS (SELECT c.query_id, c.id, " +
-        "list_sum(list_transform(generate_series(1, 64), i -> av.v[i] * qv.v[i])) / " +
-        "(sqrt(list_sum(list_transform(av.v, x -> x * x))) * sqrt(list_sum(list_transform(qv.v, x -> x * " +
-        "x)))) AS cos FROM cand c JOIN v av ON c.id = av.id JOIN v qv ON c.query_id = qv.id), g AS " +
-        "(SELECT query_id AS src, neighbor_id AS dst FROM (SELECT query_id, id AS neighbor_id, " +
-        "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rank FROM s) WHERE rank <= " +
-        "5), deg AS (SELECT src, count(*) AS outdeg FROM g GROUP BY 1), nn AS (SELECT count(*) AS n FROM " +
-        "v), p0 AS (SELECT id, CAST(1000000000 // (SELECT n FROM nn) AS BIGINT) AS rank_nano FROM v), c1 " +
-        "AS (SELECT g.dst, CAST(sum(p0.rank_nano // deg.outdeg) AS BIGINT) AS insum FROM g JOIN p0 ON " +
-        "g.src = p0.id JOIN deg ON g.src = deg.src GROUP BY 1), p1 AS (SELECT v.id, CAST((15 * " +
-        "(1000000000 // (SELECT n FROM nn))) // 100 + (85 * coalesce(c1.insum, 0)) // 100 AS BIGINT) AS " +
-        "rank_nano FROM v LEFT JOIN c1 ON v.id = c1.dst), c2 AS (SELECT g.dst, CAST(sum(p1.rank_nano // " +
-        "deg.outdeg) AS BIGINT) AS insum FROM g JOIN p1 ON g.src = p1.id JOIN deg ON g.src = deg.src " +
-        "GROUP BY 1), p2 AS (SELECT v.id, CAST((15 * (1000000000 // (SELECT n FROM nn))) // 100 + (85 * " +
-        "coalesce(c2.insum, 0)) // 100 AS BIGINT) AS rank_nano FROM v LEFT JOIN c2 ON v.id = c2.dst), c3 " +
-        "AS (SELECT g.dst, CAST(sum(p2.rank_nano // deg.outdeg) AS BIGINT) AS insum FROM g JOIN p2 ON " +
-        "g.src = p2.id JOIN deg ON g.src = deg.src GROUP BY 1), p3 AS (SELECT v.id, CAST((15 * " +
-        "(1000000000 // (SELECT n FROM nn))) // 100 + (85 * coalesce(c3.insum, 0)) // 100 AS BIGINT) AS " +
-        "rank_nano FROM v LEFT JOIN c3 ON v.id = c3.dst) SELECT id, rank_nano FROM p3"),
+    "g1_pagerank" -> pageRankOracleSql(
+      initSql = "1000000000 // (SELECT n FROM nn)",
+      baseSql = "(15 * (1000000000 // (SELECT n FROM nn))) // 100"),
+    // g2: same k5-edge derivation and iteration chain; only the mass vector
+    // changes — seeds (id < 3) hold all initial and teleport mass.
+    "g2_personalized_pagerank" -> pageRankOracleSql(
+      initSql = "CASE WHEN id < 3 THEN 1000000000 // 3 ELSE 0 END",
+      baseSql = "CASE WHEN v.id < 3 THEN (15 * CAST(1000000000 // 3 AS BIGINT)) // 100 ELSE 0 END"),
     // k3: IVF replayed in SQL — seed centroids = first 32 ids by md5(id)
     // order over the FULL corpus (robust to tiny corpora); training runs
     // over the deterministic hash sample vs (md5(id) hex < '2' ≈ 1/8 of

@@ -69,11 +69,65 @@ object Graph {
       dstCol: String = "dst",
       idCol: String = "id",
       tolNano: Long = 0L): (DataFrame, Int) = {
+    val n0 = nodes.select(col(idCol).as("id"))
+    // uniform teleport: every node starts with an even share and receives
+    // base mass 0.15 of a share
+    powerIterate(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")),
+      (n, share) => n
+        .withColumn("init_nano", lit(share))
+        .withColumn("base_nano", lit((15L * share) / 100L)),
+      n0, iterations, tolNano)
+  }
+
+  /** Personalized PageRank (G2): teleport mass concentrated on a SEED set —
+    * "importance as seen from these nodes", the graph-proximity score
+    * behind related-document retrieval, seed-expanded crawl frontiers and
+    * graph re-ranking of ANN results (seed = the query's neighbors). Same
+    * integer-exact power iteration as [[pageRank]] — only the mass vector
+    * changes: seeds start with 1/|S| shares (nano) and are the only nodes
+    * receiving teleport mass 0.15/|S|; everyone else accumulates purely
+    * through in-links, so rank decays with graph distance from the seeds.
+    * Dangling decay matches g1's convention. Identical per-iteration shape
+    * and the same fixed-iteration bit-reproducibility.
+    */
+  def personalizedPageRank(
+      edges: DataFrame,
+      nodes: DataFrame,
+      seeds: Seq[Long],
+      iterations: Int = 3,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      idCol: String = "id",
+      tolNano: Long = 0L): DataFrame = {
+    require(seeds.nonEmpty, "personalized PageRank needs at least one seed")
+    val seedShare = 1000000000L / seeds.size
+    val seedBase = (15L * seedShare) / 100L
+    powerIterate(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")),
+      (n, _) => n
+        .withColumn("init_nano",
+          when(col("id").isin(seeds: _*), seedShare).otherwise(0L))
+        .withColumn("base_nano",
+          when(col("id").isin(seeds: _*), seedBase).otherwise(0L)),
+      nodes.select(col(idCol).as("id")), iterations, tolNano)._1
+  }
+
+  /** The shared damped power iteration: `massOf` attaches per-node
+    * (init_nano, base_nano) columns given the node set and the even share
+    * 10⁹/N; the loop is g1's exact job sequence (persisted inputs, eager
+    * per-round checkpoints, optional Σ|Δ| stop).
+    */
+  private def powerIterate(
+      edgesIn: DataFrame,
+      massOf: (DataFrame, Long) => DataFrame,
+      nodesIn: DataFrame,
+      iterations: Int,
+      tolNano: Long): (DataFrame, Int) = {
     require(iterations >= 0, "iterations must be non-negative")
     require(tolNano >= 0L, "tolNano must be non-negative")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val n = nodes.select(col(idCol).as("id")).persist(lvl)
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).persist(lvl)
+    val e = edgesIn.persist(lvl)
     // FORCE the edge cache before anything branches on e: the first
     // iteration consumes e through two DAG branches (the contribution join
     // and the out-degree aggregate); if both hit an unfilled cache in the
@@ -82,12 +136,12 @@ object Graph {
     // count() fills the cache once; every branch after reads it.
     e.count()
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist(lvl)
-    // total mass 1.0 in nano-units, split evenly; base = 0.15 of a share
-    val nNodes = n.count()
+    val nIds = nodesIn.persist(lvl)
+    val nNodes = nIds.count()
     require(nNodes > 0, "pageRank requires at least one node")
-    val share = 1000000000L / nNodes
-    val base = (15L * share) / 100L
-    var r = n.withColumn("rank_nano", lit(share)).localCheckpoint(true)
+    val n = massOf(nIds, 1000000000L / nNodes).persist(lvl)
+    var r = n.select(col("id"), col("init_nano").as("rank_nano"))
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (iter < iterations && !converged) {
@@ -99,7 +153,7 @@ object Graph {
         .agg(sum("c").as("insum"))
       val next = n.join(contrib, n("id") === contrib("dst"), "left")
         .select(col("id"),
-          (lit(base) + expr("85L * coalesce(insum, 0L) div 100")).as("rank_nano"))
+          (col("base_nano") + expr("85L * coalesce(insum, 0L) div 100")).as("rank_nano"))
         .localCheckpoint(true)
       if (tolNano > 0L) {
         val delta = next.as("a").join(r.as("b"), col("a.id") === col("b.id"))
@@ -113,6 +167,7 @@ object Graph {
     // the result is checkpointed — its lineage no longer references the
     // persisted inputs, so they can be released immediately
     e.unpersist(false); deg.unpersist(false); n.unpersist(false)
+    nIds.unpersist(false)
     (r, iter)
   }
 }

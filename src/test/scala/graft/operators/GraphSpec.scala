@@ -87,4 +87,34 @@ class GraphSpec extends SparkSpec {
     assert(r(2L) == r(3L))
     assert(r(1L) == base + 85L * (share + share) / 100)
   }
+
+  test("personalizedPageRank: mass radiates from seeds, unreachable nodes stay at zero") {
+    // chain 1 -> 2 -> 3 -> 4; node 5 points INTO the seed but is unreachable
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 1L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val r = Graph.personalizedPageRank(edges, nodes, seeds = Seq(1L), iterations = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // closed-form wave: the initial packet travels the chain undivided
+    // (every node has one out-edge) while the seed's steady teleport mass
+    // radiates behind it; node 5 (not a seed, no in-links from the seed
+    // side) ends at exactly zero
+    assert(r(1L) == 150000000L, s"seed must hold exactly the teleport mass, got ${r(1L)}")
+    assert(r(2L) == 127500000L && r(3L) == 108375000L,
+      s"steady radiation from the seed must decay with distance: $r")
+    assert(r(4L) == 614125000L, s"the initial packet should reach node 4 undivided: $r")
+    assert(r(5L) == 0L, s"unreachable non-seed must score zero, got ${r(5L)}")
+    // determinism
+    val again = Graph.personalizedPageRank(edges, nodes, seeds = Seq(1L), iterations = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == again)
+  }
+
+  test("personalizedPageRank: multi-seed mass splits evenly and uniform == pageRank when all nodes are seeds") {
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val ppr = Graph.personalizedPageRank(edges, nodes, seeds = Seq(1L, 2L, 3L), iterations = 3)
+    val pr = Graph.pageRank(edges, nodes, iterations = 3)
+    assert(ppr.exceptAll(pr).isEmpty && pr.exceptAll(ppr).isEmpty,
+      "all-nodes-seeded PPR must equal uniform PageRank")
+  }
 }
