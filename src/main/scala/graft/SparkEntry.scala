@@ -897,6 +897,13 @@ object SparkEntry {
     "k9_binary_topk" -> ((s, dir) =>
       graft.operators.Similarity.binaryQuantTopKCosine(
         t(s, dir, "embeddings"), queryIds = Seq(0L, 1L, 2L), k = 10)),
+    // Progressive refinement cascade: binary Hamming (200) -> integer ADC
+    // (50) -> exact cosine (10) — each stage cheaper per candidate than
+    // the next and feeding it strictly fewer rows; the production serving
+    // shape composing k9's and k4's proven legs.
+    "k10_cascade_topk" -> ((s, dir) =>
+      graft.operators.Similarity.cascadeTopKCosine(
+        t(s, dir, "embeddings"), queryIds = Seq(0L, 1L, 2L), k = 10)),
     // Integer-exact PageRank over the kNN graph (3 power iterations) —
     // centrality as a document-importance prior (crawl-curation axis).
     "g1_pagerank" -> ((s, dir) => {
@@ -1131,6 +1138,26 @@ object SparkEntry {
       "WHERE rn <= 8), "
   }
 
+  /** The k9 binary leg (shared with k10's cascade oracle): 64 hyperplane
+    * sign bits per id (k2's hp/bits machinery at 64 planes), per-query
+    * Hamming distances, and the `limit`-deep shortlist `outName`
+    * (query_id, id) ordered by (hamming asc, id asc) — `graft_topk`'s
+    * total order on score = -hamming.
+    */
+  private def binaryLegSql(limit: Int, outName: String): String =
+    "hp AS (SELECT b, d, CASE WHEN substr(md5(CAST(b AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1) < '8' " +
+      "THEN 1.0 ELSE -1.0 END AS sign " +
+      "FROM generate_series(0, 63) t(b), generate_series(0, 63) u(d)), " +
+      "bits AS (SELECT id, b, CASE WHEN sum(CAST(floor(sign * v.v[d + 1] * 10000000) AS BIGINT)) >= 0 " +
+      "THEN 1 ELSE 0 END AS bit FROM v, hp GROUP BY id, b), " +
+      "qb AS (SELECT id AS query_id, b, bit FROM bits WHERE id < 3), " +
+      "ham AS (SELECT qb.query_id, bits.id, " +
+      "sum(CASE WHEN bits.bit != qb.bit THEN 1 ELSE 0 END) AS h " +
+      "FROM bits JOIN qb ON bits.b = qb.b WHERE bits.id != qb.query_id GROUP BY 1, 2), " +
+      s"$outName AS (SELECT query_id, id FROM (SELECT query_id, id, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY h ASC, id ASC) AS rn FROM ham) " +
+      s"WHERE rn <= $limit), "
+
   /** The g1/g2 oracle generator: the k5 edge replay (72-bit banded LSH →
     * exact-cosine top-5 per node) feeding three integer power iterations.
     * `initSql` is evaluated against `v` (columns id) for the starting mass,
@@ -1230,19 +1257,18 @@ object SparkEntry {
     // planes), Hamming = count of differing bits, shortlist by (hamming
     // asc, id asc) to k*candMult = 100, exact re-rank via the shared tail.
     "k9_binary_topk" ->
-      (vectorsCte +
-        "hp AS (SELECT b, d, CASE WHEN substr(md5(CAST(b AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1) < '8' " +
-        "THEN 1.0 ELSE -1.0 END AS sign " +
-        "FROM generate_series(0, 63) t(b), generate_series(0, 63) u(d)), " +
-        "bits AS (SELECT id, b, CASE WHEN sum(CAST(floor(sign * v.v[d + 1] * 10000000) AS BIGINT)) >= 0 " +
-        "THEN 1 ELSE 0 END AS bit FROM v, hp GROUP BY id, b), " +
-        "qb AS (SELECT id AS query_id, b, bit FROM bits WHERE id < 3), " +
-        "ham AS (SELECT qb.query_id, bits.id, " +
-        "sum(CASE WHEN bits.bit != qb.bit THEN 1 ELSE 0 END) AS h " +
-        "FROM bits JOIN qb ON bits.b = qb.b WHERE bits.id != qb.query_id GROUP BY 1, 2), " +
-        "cand AS (SELECT query_id, id FROM (SELECT query_id, id, " +
-        "row_number() OVER (PARTITION BY query_id ORDER BY h ASC, id ASC) AS rn FROM ham) " +
-        "WHERE rn <= 100), " +
+      (vectorsCte + binaryLegSql(100, "cand") + rerankSql),
+    // k10: the k9 binary leg at a wider budget (200) feeds the k4 ADC leg
+    // restricted to stage-1 survivors (50 out), then the shared re-rank —
+    // the three-stage cascade in one chain.
+    "k10_cascade_topk" ->
+      (vectorsCte + binaryLegSql(200, "cand1") + pqLegSql +
+        "adc AS (SELECT c.query_id, c.id, sum(qd.dm) AS adc FROM cand1 c " +
+        "JOIN enc e ON c.id = e.id " +
+        "JOIN qd ON qd.query_id = c.query_id AND qd.sub = e.sub AND qd.code = e.code " +
+        "GROUP BY 1, 2), " +
+        "cand AS (SELECT query_id, id FROM (SELECT query_id, id, row_number() OVER (PARTITION BY " +
+        "query_id ORDER BY adc ASC, id ASC) AS rn FROM adc) WHERE rn <= 50), " +
         rerankSql),
     // k8: the IVF coarse leg + the PQ leg, ADC restricted to probed-cell
     // members (cellc), shortlist rn <= 100, exact re-rank.

@@ -318,8 +318,21 @@ object Similarity {
       nBits: Int = 64,
       candMult: Int = 10,
       dim: Int = 64): DataFrame = {
-    require(nBits > 0 && nBits <= 64, s"signatures pack into one long: nBits=$nBits")
     val v = asVectors(embeddings)
+    rerank(binaryShortlist(v, queryIds, k * candMult, nBits, dim), v, queryIds, k)
+  }
+
+  /** The packed-signature Hamming shortlist shared by [[binaryQuantTopKCosine]]
+    * and [[cascadeTopKCosine]]: per query, the `limit` signature-closest
+    * corpus ids (hamming asc, id asc — the `graft_topk` total order).
+    */
+  private def binaryShortlist(
+      v: DataFrame,
+      queryIds: Seq[Long],
+      limit: Int,
+      nBits: Int,
+      dim: Int): DataFrame = {
+    require(nBits > 0 && nBits <= 64, s"signatures pack into one long: nBits=$nBits")
     graft.functions.GraftFunctions.register(v.sparkSession)
     val sigs = v
       .filter(col("v").isNotNull && size(col("v")) > 0)
@@ -330,16 +343,62 @@ object Similarity {
     val qs = broadcast(
       sigs.filter(col("id").isin(queryIds: _*))
         .select(col("id").as("query_id"), col("sig").as("qsig")))
-    val cand = sigs.crossJoin(qs)
+    sigs.crossJoin(qs)
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id"),
         expr("bit_count(sig ^ qsig)").as("hamming"))
       .groupBy("query_id")
       // score = -hamming: graft_topk's (score desc, id asc) order is
       // exactly (hamming asc, id asc) — deterministic shortlist
-      .agg(expr(s"graft_topk(CAST(-hamming AS DOUBLE), id, ${k * candMult})").as("tk"))
+      .agg(expr(s"graft_topk(CAST(-hamming AS DOUBLE), id, $limit)").as("tk"))
       .select(col("query_id"), explode(col("tk.id")).as("id"))
-    rerank(cand, v, queryIds, k)
+  }
+
+  /** Progressive-refinement cascade (K10) — the production ANN serving
+    * shape: each stage is cheaper per candidate than the next and feeds it
+    * a strictly smaller set, so the expensive scorer only ever sees a few
+    * dozen rows.
+    *
+    *   stage 1  1-bit signatures, XOR+popcount  corpus → k·stage1Mult
+    *   stage 2  4-bit PQ codes, integer ADC     → k·stage2Mult
+    *   stage 3  exact cosine on raw vectors     → k
+    *
+    * K9 proved stage 1, K4/K8 proved stage 2's scorer; the cascade is how
+    * they actually deploy together (binary pre-filter in RAM, PQ refine,
+    * exact re-rank from storage). Every stage keeps the established
+    * contracts: map-only broadcast scans, bounded `graft_topk` heaps
+    * (deterministic (score, id) total orders), the corpus never shuffles
+    * raw vectors.
+    */
+  def cascadeTopKCosine(
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      k: Int = 10,
+      nBits: Int = 64,
+      stage1Mult: Int = 20,
+      stage2Mult: Int = 5,
+      m: Int = 8,
+      nCodes: Int = 16,
+      pqIter: Int = 2,
+      dim: Int = 64): DataFrame = {
+    val v = asVectors(embeddings)
+    val s1 = binaryShortlist(v, queryIds, k * stage1Mult, nBits, dim)
+    val (vn, codebook, codes) = pqCodes(v, m, nCodes, pqIter, dim)
+    val subDim = dim / m
+    val qd = broadcast(
+      subvectors(vn.filter(col("id").isin(queryIds: _*)), m, subDim)
+        .withColumnRenamed("id", "query_id")
+        .join(codebook, "sub")
+        .select(col("query_id"), col("sub"), col("cid").as("code"),
+          expr(s"CAST(floor($subL2 * 1000000) AS BIGINT)").as("d_micro")))
+    val s2 = s1.join(codes, "id")
+      .join(qd, Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("d_micro")).as("adc"))
+      .groupBy("query_id")
+      .agg(expr(s"graft_topk(CAST(-adc AS DOUBLE), id, ${k * stage2Mult})").as("tk"))
+      .select(col("query_id"), explode(col("tk.id")).as("id"))
+    rerank(s2, v, queryIds, k)
   }
 
   /** kNN-graph build: for EVERY corpus vector, its top-k cosine neighbors

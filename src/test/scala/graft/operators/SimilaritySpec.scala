@@ -259,6 +259,27 @@ class SimilaritySpec extends SparkSpec {
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
   }
 
+  test("k10 cascade: k rows per query; recall floor; stage containment; deterministic") {
+    val out = Similarity.cascadeTopKCosine(emb, queries, k = 10).cache()
+    val perQuery = out.groupBy("query_id").count().collect()
+    assert(perQuery.length == queries.length && perQuery.forall(_.getLong(1) == 10))
+    assert(out.filter(col("neighbor_id") === col("query_id")).count() == 0)
+    val exact = Similarity.topKCosine(emb, queries, k = 10)
+      .select("query_id", "neighbor_id")
+    val hit = exact.intersect(out.select("query_id", "neighbor_id")).count()
+    val recall = hit.toDouble / exact.count()
+    assert(recall >= 0.4, s"cascade recall@10 = $recall below floor (200 -> 50 -> 10)")
+    // stage containment: every cascade neighbor survived the stage-1
+    // binary shortlist (recovered as binaryQuant with k=200, mult=1 —
+    // re-rank of the full 200-deep shortlist returns exactly that set)
+    val stage1 = Similarity.binaryQuantTopKCosine(emb, queries, k = 200, candMult = 1)
+      .select("query_id", "neighbor_id")
+    assert(out.select("query_id", "neighbor_id").exceptAll(stage1).isEmpty,
+      "a cascade neighbor bypassed the binary stage")
+    val again = Similarity.cascadeTopKCosine(emb, queries, k = 10)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
   test("ANN candidate generation bounds the ranking input") {
     // the ann plan must rank only bucket-collision candidates: its scored
     // row count is below the exact variant's |corpus| x |queries|
