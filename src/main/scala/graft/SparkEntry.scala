@@ -194,7 +194,9 @@ object SparkEntry {
     */
   val memoWarm: Set[String] =
     Set("d7_dedup_clusters", "d8_clean_corpus", "d9_incremental_dedup",
-      "k6_beam_search", "g1_pagerank")
+      "k6_beam_search", "g1_pagerank",
+      // g2 shares g1's prebuilt edge memo (g1 sorts first and pays it)
+      "g2_personalized_pagerank")
 
   /** Drop the memoized pipeline stages for one session (all dirs) — lets a
     * bench opt into cold per-query measurement, and unpins the session and
@@ -845,6 +847,12 @@ object SparkEntry {
     // value-gated like m1's PNG path.
     "m3_wav_decode" -> ((s, dir) =>
       graft.operators.Multimodal.wavFeatures(
+        graft.operators.Multimodal.mediaFromDocuments(t(s, dir, "documents")))),
+    // Audio decimation through the real codec: decode -> every-2nd-sample
+    // -> re-encode at half rate -> re-decode; the square-wave fixture's
+    // peak and mean|s| survive decimation exactly (every sample is ±A).
+    "m5_audio_resample" -> ((s, dir) =>
+      graft.operators.Multimodal.audioResample(
         graft.operators.Multimodal.mediaFromDocuments(t(s, dir, "documents")))),
     // ---- Similarity search over embeddings ----
     "k1_topk_cosine" -> ((s, dir) =>
@@ -2076,6 +2084,16 @@ object SparkEntry {
     // m3: the WAV fixture's format and square-wave statistics are pure
     // functions of the id (every sample is ±A ⇒ mean|s| = peak = A); the
     // oracle states what the JDK audio codec must recover.
+    // m5: the decimated artifact's stats are closed-form in the id — rate
+    // halves exactly (all fixture rates even), frames halve with ceil,
+    // peak and mean|s| are invariant under keeping every 2nd ±A sample.
+    "m5_audio_resample" ->
+      ("SELECT doc_id AS media_id, " +
+        "(8000 + (doc_id % 8) * 1000) // 2 AS sample_rate, " +
+        "(64 + doc_id % 192 + 1) // 2 AS n_samples, " +
+        "1000 + doc_id % 9000 AS peak, " +
+        "(1000 + doc_id % 9000) * 1000 AS mean_abs_milli " +
+        "FROM documents"),
     "m3_wav_decode" ->
       ("SELECT doc_id AS media_id, " +
         "8000 + (doc_id % 8) * 1000 AS sample_rate, " +

@@ -224,6 +224,72 @@ object Multimodal {
         col("decoded.peak").as("peak"),
         col("decoded.meanAbsMilli").as("mean_abs_milli"))
 
+  /** Factor-2 audio decimation THROUGH the real JDK codec (M5 — the audio
+    * analog of [[resizeHalf]]'s image chain): decode the WAV container,
+    * keep every 2nd PCM sample, re-encode at half the sample rate, return
+    * the new WAV bytes. Same quarantine contract as [[decodeWav]]
+    * (non-PCM-16LE-mono → null). On the ±A square-wave fixtures every
+    * surviving sample is still ±A, so peak and mean |sample| are UNCHANGED
+    * while frames halve (ceil) and the rate halves exactly — closed-form
+    * in the id, so the whole decode→decimate→encode→decode chain is
+    * value-oracle-gateable with no codec in the oracle engine.
+    */
+  val decimateWav: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (bytes: Array[Byte]) =>
+      val ais =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => null
+          case _: java.io.IOException => null
+        }
+      if (ais == null) null
+      else {
+        val fmt = ais.getFormat
+        val ok = fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+          fmt.getChannels == 1
+        if (!ok) null
+        else {
+          val pcm = ais.readAllBytes()
+          val n = pcm.length / 2
+          val n2 = (n + 1) / 2
+          val out = new Array[Byte](n2 * 2)
+          var i = 0
+          while (i < n2) {
+            out(i * 2) = pcm(i * 4)
+            out(i * 2 + 1) = pcm(i * 4 + 1)
+            i += 1
+          }
+          val rate2 = fmt.getSampleRate / 2f
+          val fmt2 = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            rate2, 16, 1, 2, rate2, false)
+          val ais2 = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(out), fmt2, n2.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            ais2, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          bos.toByteArray
+        }
+      }
+    }
+
+  /** The m5 chain: fixture → decimate through the codec → re-decode →
+    * container + exact integer stats of the HALF-RATE artifact.
+    */
+  def audioResample(media: DataFrame): DataFrame =
+    media
+      .withColumn("decoded",
+        decodeWav(decimateWav(encodeWavFixture(col("media_id")))))
+      .select(
+        col("media_id"),
+        col("decoded.sampleRate").as("sample_rate"),
+        col("decoded.nSamples").as("n_samples"),
+        col("decoded.peak").as("peak"),
+        col("decoded.meanAbsMilli").as("mean_abs_milli"))
+
   /** Per-media features: size, content hash, sniffed header bytes, chunk
     * count, a sampled mid-"frame" hash, and REAL decoded image properties
     * (dimensions + exact channel means from the PNG fixture payload via

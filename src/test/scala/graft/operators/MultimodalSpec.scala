@@ -145,4 +145,22 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.filter(col("id") === 2).select("decoded").head().isNullAt(0),
       "garbage bytes must decode to null, not crash or fake values")
   }
+
+  test("audio decimation through the codec: half rate, ceil-half frames, invariant stats; garbage quarantines") {
+    import spark.implicits._
+    val media = Seq(0L, 5L, 7L, 191L).toDF("media_id")
+    val out = Multimodal.audioResample(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    out.foreach { case (id, r) =>
+      assert(r.getLong(1) == (8000 + (id % 8) * 1000) / 2, s"rate wrong for $id")
+      assert(r.getLong(2) == (64 + id % 192 + 1) / 2, s"frames wrong for $id")
+      assert(r.getLong(3) == 1000 + id % 9000, s"peak changed for $id")
+      assert(r.getLong(4) == (1000 + id % 9000) * 1000, s"mean|s| changed for $id")
+    }
+    // the decimated bytes are a REAL WAV: the decoder round-trips them,
+    // and garbage in quarantines as null instead of crashing
+    val junk = Seq((1L, Array[Byte](1, 2, 3))).toDF("id", "b")
+      .select(Multimodal.decimateWav(col("b")).as("out"))
+    assert(junk.head().isNullAt(0), "garbage must decimate to null")
+  }
 }
