@@ -439,17 +439,27 @@ object Analytics {
       nBuckets: Int = 256,
       qMilli: Seq[Int] = Seq(500, 900, 990)): DataFrame = {
     require(nBuckets > 1 && qMilli.nonEmpty, "need buckets and quantiles")
+    // eager checkpoint: the 1-row extremes feed both the bucketing scan and
+    // the final estimate projection — materialize once, not two min/max
+    // passes over the data
     val mm = df.agg(
       min(col(valueCol)).cast("double").as("lo"),
       max(col(valueCol)).cast("double").as("hi"))
+      .localCheckpoint(true)
     val bucketed = df.crossJoin(broadcast(mm)).select(
       col(groupCol),
       expr(s"""CASE WHEN hi = lo THEN 0L ELSE
                 least(CAST(floor(($valueCol - lo) * $nBuckets.0D / (hi - lo)) AS BIGINT),
                       ${nBuckets - 1}L) END""").as("bucket"))
+    // eager checkpoint: the cumulative window AND the per-group totals both
+    // consume the histogram; left lazy, the two branches would each rerun
+    // the full bucketing scan (the capBuckets lesson) — one materialization
+    // of <= groups*buckets rows serves both
     val hist = bucketed.groupBy(col(groupCol), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
-    val n = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    // per-group totals from the histogram itself — no second data scan
+    val n = hist.groupBy(col(groupCol)).agg(sum(col("cnt")).as("n"))
     val cum = hist.withColumn("cum",
       sum(col("cnt")).over(
         Window.partitionBy(groupCol).orderBy("bucket")
