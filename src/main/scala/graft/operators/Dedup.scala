@@ -741,9 +741,15 @@ object Dedup {
       nCentroids: Int = 32,
       nIter: Int = 2,
       cellCap: Int = DefaultBucketCap): DataFrame = {
+    // eager checkpoints: `v` feeds four branches (assignment scan, both
+    // pair sides, CC vertices) and `assign` two (candidates + the keep
+    // rule's cosine) — left lazy, every branch re-reads and re-derives the
+    // whole upstream (the full centroid-assignment pass would run twice)
     val v = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
       .filter(col("v").isNotNull && size(col("v")) > 0)
-    val (assign, _) = Similarity.ivfCoarse(v, Seq(0L), nCentroids, 1, nIter)
+      .localCheckpoint(true)
+    val (assign0, _) = Similarity.ivfCoarse(v, Seq(0L), nCentroids, 1, nIter)
+    val assign = assign0.localCheckpoint(true)
     // cell self-join via the (band, key) shape so capBuckets guards it
     val capped = capBuckets(
       assign.select(col("id"), lit(0).as("band"), col("cid").cast("string").as("key")),
