@@ -419,6 +419,26 @@ object SparkEntry {
           "unix_micros(effective_from) AS from_micros",
           "unix_micros(effective_to) AS to_micros",
           "CAST(is_current AS INT) AS is_current")),
+    // Snapshot diff (CDC changelog extraction): v2 = orders with
+    // deterministic deletes (%97), price updates (%13, +1.50) and key-
+    // shifted inserts (%501); the diff must emit exactly those rows as
+    // I/U/D with the new image (old image for D).
+    "j9_snapshot_diff" -> ((s, dir) => {
+      def shaped(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_centi"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("odate_micros"))
+      val orders = t(s, dir, "orders")
+      val v1 = shaped(orders)
+      val v2 = shaped(
+        orders.filter(expr("o_orderkey % 97 != 0"))
+          .withColumn("o_totalprice",
+            expr("CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.5D ELSE o_totalprice END")))
+        .unionByName(shaped(
+          orders.filter(expr("o_orderkey % 501 = 0"))
+            .withColumn("o_orderkey", expr("o_orderkey + 10000000L"))))
+      graft.operators.Joins.snapshotDiff(v1, v2, "o_orderkey")
+    }),
     // Interval coalescing (gaps-and-islands): each customer's order windows
     // [orderdate, orderdate + 7..27d] merged into maximal contiguous
     // activity stretches; epoch-micro integer bounds, deterministic
@@ -1609,6 +1629,32 @@ object SparkEntry {
         "FROM base b FULL JOIN u ON b.c_custkey = u.c_custkey"),
     // j7: change-collapse (IS DISTINCT FROM prev) then ranges via lead();
     // zero-width same-ts versions drop, the last same-ts change wins.
+    // j9: v2 rebuilt in SQL, FULL OUTER on the key, op classified by side
+    // presence + payload inequality; D carries the old image.
+    "j9_snapshot_diff" ->
+      ("WITH v1 AS (SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS price_centi, " +
+        "epoch_us(o_orderdate) AS odate_micros FROM orders), " +
+        "v2 AS (SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "CAST(round((CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.5 ELSE o_totalprice END) * 100) AS BIGINT) AS price_centi, " +
+        "epoch_us(o_orderdate) AS odate_micros FROM orders WHERE o_orderkey % 97 != 0 " +
+        "UNION ALL SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT), epoch_us(o_orderdate) FROM orders WHERE o_orderkey % 501 = 0), " +
+        "j AS (SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS o_orderkey, " +
+        "CASE WHEN v2.o_orderkey IS NULL THEN 'D' WHEN v1.o_orderkey IS NULL THEN 'I' " +
+        "WHEN v1.o_custkey IS DISTINCT FROM v2.o_custkey " +
+        "OR v1.o_orderstatus IS DISTINCT FROM v2.o_orderstatus " +
+        "OR v1.price_centi IS DISTINCT FROM v2.price_centi " +
+        "OR v1.odate_micros IS DISTINCT FROM v2.odate_micros THEN 'U' END AS op, " +
+        // side-level selection (NOT per-value coalesce): an update that
+        // nulls a column must still carry the NEW image
+        "CASE WHEN v2.o_orderkey IS NULL THEN v1.o_custkey ELSE v2.o_custkey END AS o_custkey, " +
+        "CASE WHEN v2.o_orderkey IS NULL THEN v1.o_orderstatus ELSE v2.o_orderstatus END AS o_orderstatus, " +
+        "CASE WHEN v2.o_orderkey IS NULL THEN v1.price_centi ELSE v2.price_centi END AS price_centi, " +
+        "CASE WHEN v2.o_orderkey IS NULL THEN v1.odate_micros ELSE v2.odate_micros END AS odate_micros " +
+        "FROM v1 FULL JOIN v2 ON v1.o_orderkey = v2.o_orderkey) " +
+        "SELECT op, o_orderkey, o_custkey, o_orderstatus, price_centi, odate_micros " +
+        "FROM j WHERE op IS NOT NULL"),
     // j8: same two frames over one (key, start, end) sort; island = prefix
     // sum of starts-beyond-running-max flags; count CASTs close DuckDB's
     // HUGEINT sums.

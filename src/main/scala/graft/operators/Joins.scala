@@ -263,6 +263,42 @@ object Joins {
     pruned.join(build, col(factKey) === col(buildKey), "left_semi")
   }
 
+  /** Snapshot diff (J9) — CDC changelog EXTRACTION, the inverse of [[upsert]]
+    * and the feed for [[scd2Historize]]: given two keyed versions of a
+    * table, emit exactly the rows that changed as an (op, key, payload)
+    * changelog — `I` new-only keys, `D` old-only keys, `U` keys present in
+    * both whose payload differs (null-safe struct compare, so null→value
+    * and value→null edits count). Unchanged rows emit nothing, which is
+    * the point: downstream consumers process O(changes), not O(table).
+    *
+    * Shape: ONE full-outer shuffle join on the key (both sides collapse to
+    * (key, payload-struct) first, so the wire carries each row once);
+    * payload equality is a single codegen'd struct `<=>`. For `U`/`I` the
+    * payload is the NEW side, for `D` the final OLD image.
+    */
+  def snapshotDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      keyCol: String): DataFrame = {
+    require(oldDf.columns.sameElements(newDf.columns),
+      "snapshotDiff expects identical schemas " +
+        s"(old: ${oldDf.columns.mkString(",")}, new: ${newDf.columns.mkString(",")})")
+    val payload = oldDf.columns.filterNot(_ == keyCol).toSeq
+    val o = oldDf.select(col(keyCol).as("__k"),
+      struct(payload.map(col): _*).as("__old"))
+    val n = newDf.select(col(keyCol).as("__k"),
+      struct(payload.map(col): _*).as("__new"))
+    o.join(n, Seq("__k"), "full_outer")
+      .withColumn("op",
+        when(col("__new").isNull, lit("D"))
+          .when(col("__old").isNull, lit("I"))
+          .when(!(col("__old") <=> col("__new")), lit("U")))
+      .filter(col("op").isNotNull)
+      .withColumn("__row", coalesce(col("__new"), col("__old")))
+      .select(col("op") +: col("__k").as(keyCol) +:
+        payload.map(p => col(s"__row.$p").as(p)): _*)
+  }
+
   /** Interval coalescing (J8) — the gaps-and-islands operator: merge each
     * key's overlapping-or-touching [start, end] intervals into maximal
     * contiguous coverage windows ("islands"), the primitive behind uptime

@@ -253,6 +253,33 @@ class JoinsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
   }
 
+  test("snapshotDiff: I/U/D classification, null transitions count as U, unchanged silent") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, Some("a"), 10L),  // unchanged
+      (2L, Some("b"), 20L),  // value update
+      (3L, Some("c"), 30L),  // deleted
+      (4L, None: Option[String], 40L), // null -> value (U)
+      (5L, Some("e"), 50L))  // value -> null (U)
+      .toDF("k", "s", "n")
+    val neu = Seq(
+      (1L, Some("a"), 10L),
+      (2L, Some("B"), 20L),
+      (4L, Some("d"), 40L),
+      (5L, None: Option[String], 50L),
+      (6L, Some("f"), 60L))  // inserted
+      .toDF("k", "s", "n")
+    val out = Joins.snapshotDiff(old, neu, "k").collect()
+      .map(r => r.getLong(1) -> (r.getString(0), Option(r.getString(2)), r.getLong(3))).toMap
+    assert(!out.contains(1L), "unchanged row leaked into the changelog")
+    assert(out(2L) == (("U", Some("B"), 20L)))
+    assert(out(3L) == (("D", Some("c"), 30L)), "delete must carry the old image")
+    assert(out(4L) == (("U", Some("d"), 40L)), "null -> value must be an update")
+    assert(out(5L) == (("U", None, 50L)), "value -> null must be an update CARRYING the null")
+    assert(out(6L) == (("I", Some("f"), 60L)))
+    assert(out.size == 5)
+  }
+
   test("intervalCoalesce: chain/touch/nest merge, gaps split, duplicates counted, one sort") {
     import spark.implicits._
     val iv = Seq(
