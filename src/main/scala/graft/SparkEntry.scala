@@ -623,6 +623,12 @@ object SparkEntry {
       graft.operators.Dedup.incrementalFromIndex(
         s, st11IndexDir(s, dir),
         t(s, dir, "documents").filter(expr(d9DeltaPredicate)))),
+    // CDC emission from the manifest upsert sink: one version per batch,
+    // changelog v0 -> v1 = time-travel reads diffed by j9's differ — the
+    // profile changes caused by the second batch alone.
+    "st14_cdc_upsert" -> ((s, dir) =>
+      graft.streaming.EventsStream.cdcUpsertReplay(
+        s, dir, cutoffNanos = 1705363200000000000L)),
     // Streamed ANALYZE (a26's sketches maintained by the stream): each
     // micro-batch commits its mergeable sketch under a batch fence; the
     // fold over committed sketches must equal the direct full-corpus
@@ -1542,6 +1548,31 @@ object SparkEntry {
         "SELECT sel.o_orderstatus, sel.q_milli, sel.bucket, " +
         "CAST(floor((mm.lo + (sel.bucket + 1) * (mm.hi - mm.lo) / 256.0) * 100) AS BIGINT) AS est_centi " +
         "FROM sel, mm"),
+    // st14: v0 = last-per-user over pre-cutoff events, v1 = over all;
+    // classification per the j9 pattern; ranking at MICRO precision (the
+    // profile's stored granularity), side-level image selection.
+    "st14_cdc_upsert" ->
+      ("WITH ev AS (SELECT user_id, ts, event_id, event_type, " +
+        "CAST(round(value * 1000) AS BIGINT) AS value_milli FROM events), " +
+        "s1 AS (SELECT user_id, epoch_us(ts) AS ts_micros, event_id, event_type, value_milli " +
+        "FROM ev WHERE ts < TIMESTAMP '2024-01-16 00:00:00' " +
+        "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1), " +
+        "s2 AS (SELECT user_id, epoch_us(ts) AS ts_micros, event_id, event_type, value_milli " +
+        "FROM ev " +
+        "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1), " +
+        "j AS (SELECT coalesce(s1.user_id, s2.user_id) AS user_id, " +
+        "CASE WHEN s2.user_id IS NULL THEN 'D' WHEN s1.user_id IS NULL THEN 'I' " +
+        "WHEN s1.ts_micros IS DISTINCT FROM s2.ts_micros " +
+        "OR s1.event_id IS DISTINCT FROM s2.event_id " +
+        "OR s1.event_type IS DISTINCT FROM s2.event_type " +
+        "OR s1.value_milli IS DISTINCT FROM s2.value_milli THEN 'U' END AS op, " +
+        "CASE WHEN s2.user_id IS NULL THEN s1.ts_micros ELSE s2.ts_micros END AS ts_micros, " +
+        "CASE WHEN s2.user_id IS NULL THEN s1.event_id ELSE s2.event_id END AS event_id, " +
+        "CASE WHEN s2.user_id IS NULL THEN s1.event_type ELSE s2.event_type END AS event_type, " +
+        "CASE WHEN s2.user_id IS NULL THEN s1.value_milli ELSE s2.value_milli END AS value_milli " +
+        "FROM s1 FULL JOIN s2 ON s1.user_id = s2.user_id) " +
+        "SELECT op, user_id, ts_micros, event_id, event_type, value_milli " +
+        "FROM j WHERE op IS NOT NULL"),
     // st13: the same direct derivation, documents only — the streamed fold
     // must land on it exactly.
     "st13_stats_maintain" ->

@@ -1066,6 +1066,89 @@ object EventsStream {
     batchCount(q)
   }
 
+  /** Two-batch staged events stream split at an EXPLICIT ts cutoff (nanos):
+    * file 0 = rows strictly before the cutoff, file 1 = the rest, names and
+    * mtimes pinned so batch order is fully deterministic — unlike the
+    * range-repartitioned staging (whose sampled boundaries are whole-stream
+    * invariant but not per-batch reproducible), this split is a pure
+    * predicate, so PER-BATCH state (the st14 version diff) can be
+    * value-oracle-gated.
+    */
+  def readEventsStagedCutoff(
+      spark: SparkSession, dir: String, cutoffNanos: Long): DataFrame = {
+    val staged = stagedDirs.computeIfAbsent((s"$dir#cut$cutoffNanos", 2), _ => {
+      val out = tempDir("graft_stream_staged_")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      def writeOne(df: DataFrame, name: String): Unit = {
+        val tmp = tempDir("graft_stream_cutpart_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.startsWith("part-"))
+          .getOrElse(sys.error(s"no part file under $tmp"))
+        java.nio.file.Files.move(
+          part.toPath, new java.io.File(out, name).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      new java.io.File(out).mkdirs()
+      writeOne(raw.filter(col("ts") < cutoffNanos), "part-00000-pre.parquet")
+      writeOne(raw.filter(col("ts") >= cutoffNanos), "part-00001-post.parquet")
+      orderStagedFiles(out)
+      out
+    })
+    spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "part-*")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** ST14: CDC changelog EMISSION from the manifest-committed upsert state —
+    * U5's time travel feeding J9's differ. The st8 profile sink commits one
+    * manifest version per micro-batch; because every version is a complete,
+    * immutable snapshot, the changelog BETWEEN two versions is just
+    * [[graft.operators.Joins.snapshotDiff]] of their time-travel reads — no
+    * extra bookkeeping in the write path, which is exactly how
+    * log-structured table formats derive their CDC feeds. Runs the upsert
+    * over the deterministic cutoff-staged stream (two batches), then emits
+    * the (op, user_id, payload) changelog of version 0 → 1: the profile
+    * changes caused by the second batch alone.
+    *
+    * At 100 TB: the diff is one full-outer join of two O(keys) snapshots —
+    * and both sides prune to the buckets the later version actually
+    * rewrote, since untouched buckets share identical files.
+    */
+  def cdcUpsertReplay(
+      spark: SparkSession,
+      dir: String,
+      cutoffNanos: Long,
+      queryName: String = "graft_events_cdc_stream",
+      nBuckets: Int = 8): org.apache.spark.sql.DataFrame = {
+    val ss = streamSession(spark)
+    val state = tempDir("graft_stream_cdc_state_") + "/profile"
+    val ckpt = tempDir("graft_stream_cdc_ckpt_")
+    val q = readEventsStagedCutoff(ss, dir, cutoffNanos)
+      .selectExpr("user_id", "ts", "event_id", "event_type",
+        "CAST(round(value * 1000) AS BIGINT) AS value_milli")
+      .writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeProfileBatch(state, batch, batchId, nBuckets)
+      }
+      .start()
+    q.awaitTermination()
+    def shaped(version: Long): DataFrame =
+      graft.core.ManifestTable.readVersion(spark, state, version)
+        .select(col("user_id"),
+          expr("unix_micros(ts)").as("ts_micros"),
+          col("event_id"), col("event_type"), col("value_milli"))
+    graft.operators.Joins.snapshotDiff(shaped(0L), shaped(1L), "user_id")
+  }
+
   /** ST13: streaming maintenance of the A26 statistics artifact — ANALYZE
     * that stays fresh as data arrives, without ever rescanning history.
     * Each document micro-batch is reduced to its MERGEABLE statistics

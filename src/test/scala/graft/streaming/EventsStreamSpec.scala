@@ -81,6 +81,31 @@ class EventsStreamSpec extends SparkSpec {
     assert(viaStream.exceptAll(viaBatch).isEmpty && viaBatch.exceptAll(viaStream).isEmpty)
   }
 
+  test("CDC from the manifest upsert: changelog equals the batch-side snapshot diff; no deletes") {
+    val cutoffNanos = 1705363200000000000L // 2024-01-16T00:00:00Z
+    val out = EventsStream.cdcUpsertReplay(
+      spark, sf, cutoffNanos, "graft_spec_cdc").cache()
+    // batch-side truth: last-per-user snapshots on both sides of the cutoff
+    val ev = Tables.load(spark, sf, "events").selectExpr(
+      "user_id", "ts", "event_id", "event_type",
+      "CAST(round(value * 1000) AS BIGINT) AS value_milli")
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .selectExpr("user_id", "unix_micros(ts) AS ts_micros", "event_id",
+        "event_type", "value_milli")
+    val expected = graft.operators.Joins.snapshotDiff(
+      snap(ev.filter(expr("ts < TIMESTAMP '2024-01-16 00:00:00'"))),
+      snap(ev), "user_id")
+    assert(out.exceptAll(expected).isEmpty && expected.exceptAll(out).isEmpty,
+      "manifest-version changelog diverges from the batch snapshot diff")
+    // an upsert sink never deletes; second-half activity must yield updates
+    assert(out.filter(col("op") === "D").count() == 0)
+    assert(out.filter(col("op") === "U").count() > 0)
+  }
+
   test("streamed ANALYZE equals the direct full-corpus stats; replayed batch is idempotent") {
     val stateRoot = tmpDir("graft_spec_st13_stats")
     val batches = EventsStream.statsMaintainReplay(
