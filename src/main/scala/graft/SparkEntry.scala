@@ -111,6 +111,18 @@ object SparkEntry {
     * and DuckDB forms below MUST stay value-equivalent — the oracle hash
     * gate compares their outputs byte-for-byte.
     */
+  /** x21's injected boilerplate: two FIXED disclaimers of >= 14 tokens, so
+    * 13-token windows entirely inside them repeat across docs (the spans
+    * the operator must strip), while windows crossing from a doc's unique
+    * tail into the disclaimer stay unique (and must survive).
+    */
+  private val exactSubstrInjectExpr: String =
+    "CASE WHEN doc_id % 3 = 0 THEN concat(text, " +
+      "' this document is provided as is without warranty of any kind either express or implied') " +
+      "WHEN doc_id % 5 = 0 THEN concat(text, " +
+      "' unauthorized reproduction or distribution of this material is strictly prohibited by law everywhere') " +
+      "ELSE text END"
+
   private val boilerplateInjectExpr: String =
     "CASE WHEN doc_id % 3 = 0 THEN concat(text, chr(10), chr(10), 'subscribe to our newsletter for updates') " +
       "WHEN doc_id % 4 = 0 THEN concat(text, chr(10), chr(10), 'all rights reserved contact us for details') " +
@@ -647,6 +659,12 @@ object SparkEntry {
     "d5_embedding_neardup" -> ((s, dir) =>
       graft.operators.Dedup.embeddingNearDup(
         graft.operators.Dedup.withPerturbedCopy(t(s, dir, "embeddings")))),
+    // Exact-substring dedup (Lee et al. ExactSubstr): strip every token
+    // covered by a 13-token span occurring verbatim >1 time in the corpus;
+    // injected >=14-token disclaimers plant the cross-doc duplicate runs.
+    "x21_exact_substring" -> ((s, dir) =>
+      graft.operators.Dedup.exactSubstringDedup(
+        t(s, dir, "documents").withColumn("text", expr(exactSubstrInjectExpr)))),
     // Semantic dedup (SemDeDup): k-means cells bound the pair search,
     // exact-cosine verify, CC groups, keep the least-prototypical member
     // (lowest centroid cosine). Same perturbed fixture as d5 so real
@@ -1768,6 +1786,26 @@ object SparkEntry {
         "ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset FROM b) " +
         "SELECT doc_id, source, n_tokens, start_offset, " +
         "CAST(start_offset // 2048 AS BIGINT) AS bin_id FROM c"),
+    // x21: same injection, window hashes with positions, duplicated hashes,
+    // covered-position explode, anti-join, ordered reassembly md5-gated.
+    "x21_exact_substring" ->
+      ("WITH d AS (SELECT doc_id, " + exactSubstrInjectExpr + " AS text FROM documents), " +
+        "t AS (SELECT doc_id, string_split(text, ' ') AS a FROM d), " +
+        "w AS (SELECT doc_id, i, md5(array_to_string(a[i:i+12], ' ')) AS h FROM t, " +
+        "LATERAL (SELECT unnest(generate_series(1, len(a) - 12)) AS i) g WHERE len(a) >= 13), " +
+        "dh AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2), " +
+        "cov AS (SELECT DISTINCT w.doc_id, p FROM w JOIN dh USING (h), " +
+        "LATERAL (SELECT unnest(generate_series(i, i + 12)) AS p) g), " +
+        "tok AS (SELECT doc_id, p, a[p] AS tok FROM t, " +
+        "LATERAL (SELECT unnest(generate_series(1, len(a))) AS p) g), " +
+        "kept AS (SELECT tok.doc_id, tok.p, tok.tok FROM tok LEFT JOIN cov " +
+        "ON tok.doc_id = cov.doc_id AND tok.p = cov.p WHERE cov.p IS NULL), " +
+        "agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text, " +
+        "count(*) AS n_kept FROM kept GROUP BY 1) " +
+        "SELECT t.doc_id, md5(coalesce(agg.clean_text, '')) AS clean_md5, " +
+        "CAST(len(t.a) AS BIGINT) AS n_tokens, " +
+        "CAST(len(t.a) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed " +
+        "FROM t LEFT JOIN agg USING (doc_id)"),
     "x18_unigram_quality" ->
       ("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
         "v AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1 HAVING count(*) >= 2), " +

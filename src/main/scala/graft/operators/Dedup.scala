@@ -706,6 +706,63 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** Exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better" — the ExactSubstr operator, rendered
+    * relationally): remove every token covered by a `window`-token span
+    * that occurs VERBATIM more than once in the corpus. Unlike D1 (whole
+    * doc) and D10 (whole paragraph), this strips duplicated RUNS wherever
+    * they hide inside otherwise-unique documents — templated disclaimers,
+    * quoted passages, syndicated fragments — which is why the paper found
+    * it removes more duplication than any document-level method.
+    *
+    * Relational rendering (vs the paper's suffix array, which is a
+    * single-machine construction): window hashes travel as md5 keys with
+    * start positions — a MAP-ONLY index fold per doc, x19's trick, so the
+    * corpus never self-joins — duplicated hashes fall out of one groupBy
+    * (zipfian head collapses map-side), covered positions explode only
+    * from duplicated windows, and the cleaned text reassembles with d10's
+    * ordered-struct trick. Shapes: two groupBys + one equi-join + one
+    * anti-join, all key-partitioned; nothing quadratic at any scale.
+    *
+    * Docs shorter than `window` tokens carry no spans and pass through
+    * unchanged. Returns (id, clean_md5, n_tokens, n_removed) — the cleaned
+    * text is gated by hash, like d10.
+    */
+  def exactSubstringDedup(
+      docs: DataFrame,
+      window: Int = 13,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol), split(col(textCol), " ").as("a"))
+      .localCheckpoint(true) // feeds windows, positions, and sizes
+    val wins = toks.filter(size(col("a")) >= window)
+      .select(col(idCol), explode(expr(
+        s"""transform(sequence(1, size(a) - ${window - 1}),
+             i -> struct(i AS i, md5(array_join(slice(a, i, $window), ' ')) AS h))"""))
+        .as("w"))
+      .select(col(idCol), col("w.i").as("i"), col("w.h").as("h"))
+    val dupH = wins.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("h")
+    val covered = wins.join(dupH, "h")
+      .select(col(idCol), explode(expr(s"sequence(i, i + ${window - 1})")).as("p"))
+      .distinct()
+    val kept = toks
+      .select(col(idCol), posexplode(col("a")).as(Seq("p0", "tok")))
+      .withColumn("p", col("p0") + 1)
+      .join(covered, Seq(idCol, "p"), "left_anti")
+    val reassembled = kept.groupBy(col(idCol)).agg(
+      expr("array_join(transform(array_sort(collect_list(struct(p, tok))), x -> x.tok), ' ')")
+        .as("clean_text"),
+      count(lit(1)).as("n_kept"))
+    toks.select(col(idCol), size(col("a")).cast("long").as("n_tokens"))
+      .join(reassembled, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        md5(coalesce(col("clean_text"), lit(""))).as("clean_md5"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Semantic dedup over an embedding column — the SemDeDup shape (Abbas
     * et al. 2023, "SemDeDup: Data-efficient learning at web-scale through
     * semantic deduplication"): k-means-cluster the embeddings, compare

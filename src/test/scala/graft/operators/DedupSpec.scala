@@ -229,6 +229,38 @@ class DedupSpec extends SparkSpec {
     assert(minCos >= 0.999, s"planted pair cosine unexpectedly low: $minCos")
   }
 
+  test("exactSubstringDedup: cross-doc and within-doc duplicate runs stripped, unique text intact") {
+    import spark.implicits._
+    val run = (1 to 15).map(i => s"dup$i").mkString(" ") // 15-token shared run
+    val fixture = Seq(
+      (1L, s"alpha beta $run gamma"),
+      (2L, s"delta $run epsilon zeta"),
+      (3L, "totally unique words that never repeat anywhere in this corpus at all today"),
+      (4L, "short doc"),
+      (5L, s"selfrep $run and again $run end")) // within-doc repeat too
+      .toDF("doc_id", "text")
+    val out = Dedup.exactSubstringDedup(fixture).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 3: nothing duplicated — reassembly hash equals the original text
+    assert(out(3L).getLong(3) == 0)
+    assert(out(3L).getString(1) ==
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("totally unique words that never repeat anywhere in this corpus at all today".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+    // doc 4: shorter than the window — passes through untouched
+    assert(out(4L).getLong(3) == 0 && out(4L).getLong(2) == 2)
+    // docs 1/2: the 15 shared tokens are covered in both (windows crossing
+    // into unique context stay unique, so ONLY the shared run is removed)
+    assert(out(1L).getLong(3) == 15L, s"doc1 removed ${out(1L).getLong(3)}")
+    assert(out(2L).getLong(3) == 15L, s"doc2 removed ${out(2L).getLong(3)}")
+    // doc 5: both occurrences of the run are covered
+    assert(out(5L).getLong(3) >= 30L, s"doc5 removed ${out(5L).getLong(3)}")
+    // determinism
+    val again = Dedup.exactSubstringDedup(fixture).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keys.forall(k => out(k).getString(1) == again(k)))
+  }
+
   test("semDedup: planted semantic dups grouped, exactly one kept per group, outlier-keep rule") {
     val fixture = Dedup.withPerturbedCopy(emb)
     val out = Dedup.semDedup(fixture).cache()
