@@ -949,6 +949,12 @@ object SparkEntry {
     "k9_binary_topk" -> ((s, dir) =>
       graft.operators.Similarity.binaryQuantTopKCosine(
         t(s, dir, "embeddings"), queryIds = Seq(0L, 1L, 2L), k = 10)),
+    // MMR diversified top-k: greedy lambda-weighted marginal relevance over
+    // the k1 shortlist — answers close to the query AND spread apart; the
+    // re-ranker RAG stacks run after ANN.
+    "k11_mmr_topk" -> ((s, dir) =>
+      graft.operators.Similarity.mmrTopKCosine(
+        t(s, dir, "embeddings"), queryIds = Seq(0L, 1L, 2L), k = 5)),
     // Progressive refinement cascade: binary Hamming (200) -> integer ADC
     // (50) -> exact cosine (10) — each stage cheaper per candidate than
     // the next and feeding it strictly fewer rows; the production serving
@@ -1190,6 +1196,44 @@ object SparkEntry {
       "WHERE rn <= 8), "
   }
 
+  /** The k11 oracle generator: the exact top-`shortlist` relevance leg,
+    * the pairwise candidate-sim relation, then `k` chained greedy rounds
+    * (the k6/g1 fixed-round pattern) — each round takes max-sim to the
+    * selected set, scores `λ·rel − (1−λ)·maxsim` in integers, and picks
+    * the (score desc, id asc) argmax among the unselected.
+    */
+  private def mmrOracleSql(k: Int, lambdaMicro: Long, shortlist: Int): String = {
+    val inv = 1000000L - lambdaMicro
+    def cosOf(a: String, b: String): String =
+      s"list_sum(list_transform(generate_series(1, 64), i -> $a.v[i] * $b.v[i])) / " +
+        s"(sqrt(list_sum(list_transform($a.v, x -> x * x))) * " +
+        s"sqrt(list_sum(list_transform($b.v, x -> x * x))))"
+    val head = vectorsCte +
+      s"s AS (SELECT qv.id AS query_id, cv.id AS id, ${cosOf("qv", "cv")} AS cos " +
+      "FROM v qv, v cv WHERE qv.id < 3 AND cv.id != qv.id), " +
+      "sl AS (SELECT query_id, id, CAST(round(round(cos, 6) * 1000000) AS BIGINT) AS rel FROM (" +
+      "SELECT query_id, id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rn " +
+      s"FROM s) WHERE rn <= $shortlist), " +
+      s"pw AS (SELECT a.query_id, a.id AS ca, b.id AS cb, " +
+      s"CAST(round(${cosOf("va", "vb")} * 1000000) AS BIGINT) AS sim " +
+      "FROM sl a JOIN sl b ON a.query_id = b.query_id AND a.id != b.id " +
+      "JOIN v va ON a.id = va.id JOIN v vb ON b.id = vb.id), " +
+      "cum1 AS (SELECT query_id, id, rel, 1 AS mmr_rank FROM (SELECT query_id, id, rel, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, id ASC) AS rn FROM sl) WHERE rn = 1), "
+    val rounds = (2 to k).map { r =>
+      s"ms$r AS (SELECT pw.query_id, pw.ca AS id, max(pw.sim) AS ms FROM pw " +
+        s"JOIN cum${r - 1} c ON pw.query_id = c.query_id AND pw.cb = c.id GROUP BY 1, 2), " +
+        s"sc$r AS (SELECT sl.query_id, sl.id, sl.rel, $lambdaMicro * sl.rel - $inv * m.ms AS score " +
+        s"FROM sl JOIN ms$r m ON sl.query_id = m.query_id AND sl.id = m.id " +
+        s"LEFT JOIN cum${r - 1} c ON c.query_id = sl.query_id AND c.id = sl.id WHERE c.id IS NULL), " +
+        s"sel$r AS (SELECT query_id, id, rel, $r AS mmr_rank FROM (SELECT query_id, id, rel, " +
+        s"row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id ASC) AS rn FROM sc$r) WHERE rn = 1), " +
+        s"cum$r AS (SELECT * FROM cum${r - 1} UNION ALL SELECT * FROM sel$r), "
+    }.mkString
+    (head + rounds).dropRight(2) +
+      s" SELECT query_id, id AS neighbor_id, mmr_rank, rel AS rel_micro FROM cum$k"
+  }
+
   /** The k9 binary leg (shared with k10's cascade oracle): 64 hyperplane
     * sign bits per id (k2's hp/bits machinery at 64 planes), per-query
     * Hamming distances, and the `limit`-deep shortlist `outName`
@@ -1305,6 +1349,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "k6_beam_search" -> k6OracleSql,
+    "k11_mmr_topk" -> mmrOracleSql(5, 700000L, 20),
     // k9: replay the 64 hyperplane sign bits (k2's hp/bits machinery at 64
     // planes), Hamming = count of differing bits, shortlist by (hamming
     // asc, id asc) to k*candMult = 100, exact re-rank via the shared tail.

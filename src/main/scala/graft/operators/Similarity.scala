@@ -401,6 +401,79 @@ object Similarity {
     rerank(s2, v, queryIds, k)
   }
 
+  /** MMR diversified top-k (K11) — Maximal Marginal Relevance (Carbonell &
+    * Goldstein 1998), the re-ranker RAG retrieval stacks run after ANN:
+    * greedily pick the candidate maximizing
+    * `λ·relevance − (1−λ)·max-similarity-to-already-picked`, so the final
+    * k answers are both close to the query AND spread apart (plain top-k
+    * happily returns k near-copies of one passage — exactly what D11/X21
+    * exist to show corpora are full of).
+    *
+    * Integer-exact rendering: relevance and pairwise similarities are
+    * micro-quantized once, the marginal score is pure integer arithmetic
+    * (`λ_micro·rel − (10⁶−λ_micro)·maxsim`, ~10¹² range), and every argmax
+    * is `max_by` over (score, −id) — a deterministic total order, so the
+    * greedy trajectory replays bit-identically in the SQL oracle (k chained
+    * rounds, the k6 fixed-round pattern).
+    *
+    * Shape: the expensive part is the K1 relevance shortlist (broadcast
+    * map-only scan); everything after operates on `shortlist` rows per
+    * query — the ≤ shortlist² pairwise-sim relation and k tiny
+    * argmax/anti-join rounds. Per-round frames are eagerly checkpointed
+    * (the d7 lineage rule).
+    */
+  def mmrTopKCosine(
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      k: Int = 5,
+      lambdaMicro: Long = 700000L,
+      shortlist: Int = 20): DataFrame = {
+    require(k >= 1 && shortlist >= k, s"need shortlist >= k, got $shortlist < $k")
+    require(lambdaMicro >= 0L && lambdaMicro <= 1000000L, "lambda in [0, 1e6]")
+    val v = asVectors(embeddings)
+    graft.functions.GraftFunctions.register(v.sparkSession)
+    val sl = topKCosine(embeddings, queryIds, shortlist)
+      .select(col("query_id"), col("neighbor_id").as("id"),
+        expr("CAST(round(cosine * 1000000) AS BIGINT)").as("rel_micro"))
+      .localCheckpoint(true)
+    val sims = sl.as("a")
+      .join(sl.as("b"),
+        col("a.query_id") === col("b.query_id") && col("a.id") =!= col("b.id"))
+      .select(col("a.query_id").as("query_id"),
+        col("a.id").as("ca"), col("b.id").as("cb"))
+      .join(v.select(col("id").as("ca"), col("v").as("va")), "ca")
+      .join(v.select(col("id").as("cb"), col("v").as("vb")), "cb")
+      .withColumn("sim", expr(
+        "CAST(round(graft_dot(va, vb) / (sqrt(graft_dot(va, va)) * " +
+          "sqrt(graft_dot(vb, vb))) * 1000000) AS BIGINT)"))
+      .select("query_id", "ca", "cb", "sim")
+      .localCheckpoint(true)
+    var selected = sl.groupBy("query_id")
+      .agg(expr("max_by(named_struct('id', id, 'rel', rel_micro), struct(rel_micro, -id))").as("m"))
+      .select(col("query_id"), col("m.id").as("id"),
+        col("m.rel").as("rel_micro"), lit(1).as("mmr_rank"))
+      .localCheckpoint(true)
+    for (r <- 2 to k) {
+      val maxSim = sims
+        .join(selected.select(col("query_id"), col("id").as("cb")),
+          Seq("query_id", "cb"))
+        .groupBy(col("query_id"), col("ca").as("id"))
+        .agg(max(col("sim")).as("ms"))
+      val next = sl
+        .join(selected.select("query_id", "id"), Seq("query_id", "id"), "left_anti")
+        .join(maxSim, Seq("query_id", "id"))
+        .withColumn("score",
+          expr(s"${lambdaMicro}L * rel_micro - ${1000000L - lambdaMicro}L * ms"))
+        .groupBy("query_id")
+        .agg(expr("max_by(named_struct('id', id, 'rel', rel_micro), struct(score, -id))").as("m"))
+        .select(col("query_id"), col("m.id").as("id"),
+          col("m.rel").as("rel_micro"), lit(r).as("mmr_rank"))
+      selected = selected.unionByName(next).localCheckpoint(true)
+    }
+    selected.select(col("query_id"), col("id").as("neighbor_id"),
+      col("mmr_rank"), col("rel_micro"))
+  }
+
   /** kNN-graph build: for EVERY corpus vector, its top-k cosine neighbors
     * among the vectors sharing at least one hyperplane-LSH band bucket —
     * the batch primitive under semantic dedup, embedding clustering and

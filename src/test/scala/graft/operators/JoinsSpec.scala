@@ -280,6 +280,22 @@ class JoinsSpec extends SparkSpec {
     assert(out.size == 5)
   }
 
+  test("snapshotDiff round-trip: applying the changelog through upsert reconstructs v2") {
+    import spark.implicits._
+    val v1 = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "s", "n")
+    val v2 = Seq((1L, "a", 10L), (2L, "B", 21L), (4L, "d", 40L))
+      .toDF("k", "s", "n")
+    val diff = Joins.snapshotDiff(v1, v2, "k").cache()
+    // I/U rows feed the J3 upsert; D keys anti-join away — the changelog
+    // plus the old version is exactly the new version
+    val applied = Joins.upsert(
+      v1, diff.filter(col("op") =!= "D").drop("op"), "k")
+      .join(diff.filter(col("op") === "D").select("k"), Seq("k"), "left_anti")
+    assert(applied.exceptAll(v2).isEmpty && v2.exceptAll(applied).isEmpty,
+      "changelog application does not reconstruct the new snapshot")
+  }
+
   test("intervalCoalesce: chain/touch/nest merge, gaps split, duplicates counted, one sort") {
     import spark.implicits._
     val iv = Seq(

@@ -280,6 +280,36 @@ class SimilaritySpec extends SparkSpec {
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
   }
 
+  test("k11 MMR: k rows ranked; rank1 = top relevance; lambda=1 degenerates to plain top-k; diversity bites") {
+    val out = Similarity.mmrTopKCosine(emb, queries, k = 5).cache()
+    val perQuery = out.groupBy("query_id").count().collect()
+    assert(perQuery.length == queries.length && perQuery.forall(_.getLong(1) == 5))
+    // the first pick is pure relevance: k1's #1 neighbor
+    val top1 = Similarity.topKCosine(emb, queries, k = 1)
+      .select("query_id", "neighbor_id")
+    assert(out.filter(col("mmr_rank") === 1).select("query_id", "neighbor_id")
+      .exceptAll(top1).isEmpty, "MMR rank 1 is not the most relevant neighbor")
+    // λ = 1 removes the diversity term entirely — MMR must equal plain top-5
+    val pure = Similarity.mmrTopKCosine(emb, queries, k = 5, lambdaMicro = 1000000L)
+      .select("query_id", "neighbor_id")
+    val plain = Similarity.topKCosine(emb, queries, k = 5)
+      .select("query_id", "neighbor_id")
+    assert(pure.exceptAll(plain).isEmpty && plain.exceptAll(pure).isEmpty,
+      "lambda=1 MMR diverges from plain top-k")
+    // at λ = 0.7 on the near-dup-heavy fixture the trade-off must actually
+    // reorder something vs pure relevance (otherwise the operator is inert)
+    val dup = Dedup.withPerturbedCopy(emb).withColumnRenamed("vec", "embedding")
+      .select(col("vec_id"), col("embedding"))
+    val mmrDup = Similarity.mmrTopKCosine(dup, queries, k = 5)
+      .select("query_id", "neighbor_id")
+    val plainDup = Similarity.topKCosine(dup, queries, k = 5)
+      .select("query_id", "neighbor_id")
+    assert(mmrDup.exceptAll(plainDup).count() > 0,
+      "MMR never deviates from plain top-k on a duplicate-heavy corpus")
+    val again = Similarity.mmrTopKCosine(emb, queries, k = 5)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
   test("ANN candidate generation bounds the ranking input") {
     // the ann plan must rank only bucket-collision candidates: its scored
     // row count is below the exact variant's |corpus| x |queries|
