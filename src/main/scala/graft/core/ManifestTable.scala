@@ -172,12 +172,16 @@ object ManifestTable {
     next
   }
 
-  /** Physical deletion of data files no version ≤ retention needs: sweep
-    * every file under the partition dirs that the LATEST manifest does not
-    * reference (crashed-commit debris and files superseded by newer
-    * versions), plus manifests older than the latest `keepVersions`.
-    * Grace-gated like [[Vacuum]] — a file younger than `graceMs` may
-    * belong to an in-flight commit.
+  /** Physical deletion of data files no RETAINED version needs: "live" is
+    * the UNION of the file lists of every manifest inside the retention
+    * window (versions > v - keepVersions), not just the newest one — time
+    * travel back to any retained version must keep working after a vacuum,
+    * so a file is only dead once no retained snapshot references it.
+    * Also sweeps crashed-commit `_stage-v*` staging dirs (a crash between
+    * the staged write and its cleanup strands one; nothing else deletes
+    * it) plus manifests older than the latest `keepVersions`. Grace-gated
+    * like [[Vacuum]] — a file younger than `graceMs` may belong to an
+    * in-flight commit.
     */
   def vacuum(
       spark: SparkSession,
@@ -189,7 +193,10 @@ object ManifestTable {
     val f = fs(spark, rootPath)
     val v = currentVersion(spark, root)
     if (v < 0) return 0L
-    val live = readManifest(spark, root, v)._1.toSet
+    val retainedVersions = (math.max(0L, v - keepVersions + 1) to v)
+      .filter(rv => f.exists(new Path(manifestDir(root), s"v$rv.json")))
+    val live: Set[String] =
+      retainedVersions.flatMap(rv => readManifest(spark, root, rv)._1).toSet
     val cutoff = System.currentTimeMillis() - graceMs
     var deleted = 0L
     for (partDir <- f.listStatus(rootPath)
@@ -201,6 +208,15 @@ object ManifestTable {
           f.delete(df0.getPath, false); deleted += 1
         }
       }
+    }
+    // crashed-commit staging debris: `_stage-v<N>` survives only if the
+    // writer died between its parquet write and the post-move cleanup —
+    // by then every file the commit published has been renamed OUT of it,
+    // so an age-gated recursive delete can never touch live data
+    for (d <- f.listStatus(rootPath)
+         if d.isDirectory && d.getPath.getName.startsWith("_stage-") &&
+           d.getModificationTime <= cutoff) {
+      f.delete(d.getPath, true); deleted += 1
     }
     // expired manifests (never the newest keepVersions)
     val mDir = manifestDir(root)

@@ -28,7 +28,11 @@ import org.apache.spark.sql.SparkSession
   *     `_SUCCESS` is the commit fence; a fence-less batch dir is a crashed
   *     append (its writer will re-run under the same batch id — the
   *     idempotence contract — so removing the partial leftover is always
-  *     safe).
+  *     safe). SCOPE GUARD: a plain `df.write.partitionBy("batch")` table
+  *     commits with ONE `_SUCCESS` at the table ROOT (partition dirs never
+  *     get their own) — when the parent directory carries that root-level
+  *     marker, its `batch=` children are committed table partitions, not
+  *     per-batch index appends, and the fence rule must not apply.
   *
   * Everything is age-gated by `graceMs`: a staging dir younger than the
   * grace window may belong to a LIVE job, so production callers pass hours
@@ -72,13 +76,18 @@ object Vacuum {
     if (!st.isDirectory) Zero
     else {
       val children = fs.listStatus(st.getPath)
+      // parent-level commit marker => the batch= children below belong to a
+      // plain partitionBy("batch") table (committed as a whole), not to the
+      // per-batch-fenced index layout — never fence-gate those
+      val parentCommitted =
+        children.exists(c => !c.isDirectory && c.getPath.getName == "_SUCCESS")
       children.foldLeft(Zero) { (acc, c) =>
         val name = c.getPath.getName
         val debris =
           c.isDirectory && (
             name == "_temporary" ||
             name.startsWith(".spark-staging-") ||
-            (name.startsWith("batch=") && !committed(fs, c)))
+            (name.startsWith("batch=") && !parentCommitted && !committed(fs, c)))
         if (debris && oldEnough(fs, c, graceMs))
           acc.merge(remove(fs, c, dryRun))
         else if (c.isDirectory)

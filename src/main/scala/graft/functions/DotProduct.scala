@@ -166,6 +166,15 @@ object GraftFunctions {
     TopKByScore(children.head, children(1), intLiteral(children(2), "graft_topk k"))
   }
 
+  val kmvInfo = new ExpressionInfo(classOf[KmvStrings].getName, "graft_kmv")
+
+  /** graft_kmv(s, k) — k must be a foldable int literal (bounded set size). */
+  val kmvBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2, "graft_kmv expects (s, k)")
+    require(children(1).foldable, "graft_kmv k must be a literal")
+    KmvStrings(children.head, intLiteral(children(1), "graft_kmv k"))
+  }
+
   val bloomInfo = new ExpressionInfo(classOf[BloomAggregate].getName, "graft_bloom")
 
   /** graft_bloom(key, numBits, numHashes) — sizing args must be foldable int
@@ -201,6 +210,8 @@ object GraftFunctions {
     * the operators so any session works, not just extension-built ones).
     */
   def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("graft_kmv", kmvBuilder, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("graft_mg", mgBuilder, "built-in")
     spark.sessionState.functionRegistry
@@ -246,6 +257,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_ngram_hashes"), GraftFunctions.ngramInfo, GraftFunctions.ngramBuilder))
     ext.injectFunction((FunctionIdentifier("graft_word_shingles"), GraftFunctions.wordShingleInfo, GraftFunctions.wordShingleBuilder))
     ext.injectFunction((FunctionIdentifier("graft_topk"), GraftFunctions.topKInfo, GraftFunctions.topKBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_kmv"), GraftFunctions.kmvInfo, GraftFunctions.kmvBuilder))
     ext.injectFunction((FunctionIdentifier("graft_mg"), GraftFunctions.mgInfo, GraftFunctions.mgBuilder))
     ext.injectFunction((FunctionIdentifier("graft_bloom"), GraftFunctions.bloomInfo, GraftFunctions.bloomBuilder))
     ext.injectFunction((FunctionIdentifier("graft_bloom_contains"), GraftFunctions.bloomContainsInfo, GraftFunctions.bloomContainsBuilder))

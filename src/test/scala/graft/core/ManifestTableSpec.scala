@@ -80,6 +80,42 @@ class ManifestTableSpec extends SparkSpec {
     intercept[Exception] { ManifestTable.readVersion(spark, root, 0L).collect() }
   }
 
+  test("vacuum keepVersions=2: every retained version still time-travels after the sweep") {
+    val root = tmpDir("graft_manifest_vac2") + "/t"
+    // three versions all rewriting bucket 0 — v0's file is needed by NO
+    // retained version, v1's is needed by retained v1 even though the
+    // LATEST manifest (v2) no longer references it
+    ManifestTable.commit(spark, root, part(Seq((0, 10L)).toDF("k", "v")), "bucket", 0L)
+    ManifestTable.commit(spark, root, part(Seq((0, 20L)).toDF("k", "v")), "bucket", 1L)
+    ManifestTable.commit(spark, root, part(Seq((0, 30L)).toDF("k", "v")), "bucket", 2L)
+    ManifestTable.vacuum(spark, root, keepVersions = 2)
+    // the retention contract: BOTH retained versions read back intact
+    assert(rows(ManifestTable.readVersion(spark, root, 1L)) == Set((0, 20L)),
+      "vacuum deleted a data file a retained version still references")
+    assert(rows(ManifestTable.readVersion(spark, root, 2L)) == Set((0, 30L)))
+    // ...and the version past retention is actually gone
+    intercept[Exception] { ManifestTable.readVersion(spark, root, 0L).collect() }
+  }
+
+  test("vacuum sweeps stranded _stage-* dirs from a crashed commit") {
+    val root = tmpDir("graft_manifest_stage") + "/t"
+    ManifestTable.commit(spark, root, part(Seq((0, 10L)).toDF("k", "v")), "bucket", 0L)
+    // crash between the staged parquet write and its cleanup: a full
+    // _stage-v1 tree survives with no published manifest
+    val stage = Paths.get(s"$root/_stage-v1/bucket=0")
+    Files.createDirectories(stage)
+    Files.write(stage.resolve("part-00000-dead.parquet"), Array.fill(32)(0x7.toByte))
+    assert(rows(ManifestTable.read(spark, root).get) == Set((0, 10L)))
+    val swept = ManifestTable.vacuum(spark, root)
+    assert(swept >= 1L, "stranded staging dir was not swept")
+    assert(!Files.exists(Paths.get(s"$root/_stage-v1")))
+    assert(rows(ManifestTable.read(spark, root).get) == Set((0, 10L)))
+    // grace window protects an IN-FLIGHT commit's staging dir
+    Files.createDirectories(Paths.get(s"$root/_stage-v2"))
+    assert(ManifestTable.vacuum(spark, root, graceMs = 60 * 60 * 1000L) == 0L)
+    assert(Files.exists(Paths.get(s"$root/_stage-v2")))
+  }
+
   test("vacuum: superseded files deleted past retention, live versions intact") {
     val root = tmpDir("graft_manifest_vac") + "/t"
     ManifestTable.commit(spark, root, part(Seq((0, 10L)).toDF("k", "v")), "bucket", 0L)

@@ -63,6 +63,21 @@ class VacuumSpec extends SparkSpec {
     assert(hits.count() >= 1, "vacuumed index no longer serves queries")
   }
 
+  test("a plain partitionBy(batch) table with a root-level _SUCCESS is never fence-gated") {
+    val root = tmpDir("graft_vacuum_plainbatch") + "/t"
+    // standard Spark table partitioned BY a column named batch: the
+    // committer writes ONE _SUCCESS at the root; partition dirs have none
+    Seq((1L, "b0"), (2L, "b1")).toDF("id", "batch")
+      .write.partitionBy("batch").parquet(root)
+    assert(Files.exists(Paths.get(s"$root/_SUCCESS")))
+    assert(!Files.exists(Paths.get(s"$root/batch=b0/_SUCCESS")))
+    val before = spark.read.parquet(root).orderBy("id").collect().toSeq
+    val r = Vacuum.vacuum(spark, root)
+    assert(r == Vacuum.VacuumReport(0, 0, 0),
+      s"vacuum destroyed committed partitions of a plain batch-partitioned table: $r")
+    assert(spark.read.parquet(root).orderBy("id").collect().toSeq == before)
+  }
+
   test("grace window protects young debris; dry run reports without deleting") {
     val root = tmpDir("graft_vacuum_grace") + "/t"
     touch(s"$root/_temporary/0/part-00000.parquet", 32)

@@ -106,6 +106,16 @@ class EventsStreamSpec extends SparkSpec {
     assert(out.filter(col("op") === "U").count() > 0)
   }
 
+  test("CDC degenerate cutoff: all events on one side yields an empty changelog, not a crash") {
+    // far-future cutoff: every event lands in the first micro-batch; the
+    // second batch (and possibly its manifest version) carries no change —
+    // the changelog must be empty whether one or two versions committed
+    val out = EventsStream.cdcUpsertReplay(
+      spark, sf, Long.MaxValue, "graft_spec_cdc_degenerate")
+    assert(out.count() == 0,
+      "degenerate cutoff produced a non-empty changelog")
+  }
+
   test("streamed ANALYZE equals the direct full-corpus stats; replayed batch is idempotent") {
     val stateRoot = tmpDir("graft_spec_st13_stats")
     val batches = EventsStream.statsMaintainReplay(
