@@ -20,10 +20,12 @@ import org.apache.spark.sql.functions._
   * comparing n_rows across ANALYZE runs).
   *
   * HOW each number is computed, and why the shapes survive 100×:
-  *  - n_rows / n_nulls / min / max ride the A22 parquet aggregate-pushdown
-  *    scan ([[graft.operators.Analytics.metadataStats]]'s path): footer
-  *    statistics only, zero data pages read — ANALYZE cost is O(files), not
-  *    O(rows), exactly how production ANALYZE stays cheap.
+  *  - ANALYZE ([[analyze]]) does ONE column-pruned data scan per TABLE: all
+  *    profiled columns' counts, min/max, and KMV sets are parallel
+  *    aggregates of a single `agg` ([[tableSketch]]), so a C-column table
+  *    costs one pass, not C. ([[columnStats]] keeps the per-column
+  *    footer-pushdown variant — O(files) count/min/max via the A22 recipe —
+  *    for single-column probes.)
   *  - NDV is the A18 KMV sketch (k smallest md5 values of the column),
   *    bit-deterministic in any engine — unlike HLL, whose hash and bias
   *    table are engine-private — so the ESTIMATE itself is oracle-gateable.
@@ -118,11 +120,6 @@ object TableStats {
       col("ndv_milli"))
   }
 
-  /** ANALYZE: compute stats for every (table, column) pair and persist as
-    * one parquet relation at `outPath` (overwrite — each run is a full
-    * refresh, the ANALYZE semantic). A handful of rows regardless of data
-    * scale: coalesced to a single file.
-    */
   /** One cloned session with parquet aggregate pushdown enabled (V2 source)
     * — the A22 recipe, isolated so the caller's session is untouched.
     */
@@ -135,6 +132,57 @@ object TableStats {
     ss
   }
 
+  /** All of one table's profiled columns sketched in ONE data pass: the
+    * per-column (non-null count, min, max, KMV bottom-k set) are C parallel
+    * aggregates of a single `agg` over one column-pruned scan — the
+    * `graft_kmv` bounded aggregate replaces [[columnStats]]'s per-column
+    * `distinct → sort → limit` (a full shuffle of every unique hash, once
+    * per column). A C-column table costs ONE scan, not C; the one-row wide
+    * result explodes into the per-column [[sketch]] schema.
+    */
+  def tableSketch(
+      spark: SparkSession,
+      dir: String,
+      table: String,
+      columns: Seq[String],
+      k: Int = 32): DataFrame = {
+    require(columns.nonEmpty, s"tableSketch($table) needs at least one column")
+    require(k > 1, s"KMV needs k > 1, got $k")
+    graft.functions.GraftFunctions.register(spark)
+    val df = Tables.load(spark, dir, table)
+    val aggs: Seq[org.apache.spark.sql.Column] =
+      expr("count(*)").as("n_rows") +: columns.map { c =>
+        struct(
+          count(col(c)).as("nn"),
+          min(col(c)).cast("bigint").as("min_key"),
+          max(col(c)).cast("bigint").as("max_key"),
+          expr(s"graft_kmv(md5(cast(`$c` as string)), $k)").as("kmv")
+        ).as(s"__s_$c")
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // reshape the single wide row to one row per column WITHOUT re-running
+    // the aggregate per column: one array-of-structs, one explode
+    val entries = array(columns.map(c =>
+      struct(lit(c).as("column_name"), col(s"__s_$c").as("s"))): _*)
+    one.select(col("n_rows"), explode(entries).as("e"))
+      .select(
+        lit(table).as("table_name"),
+        col("e.column_name").as("column_name"),
+        col("n_rows"),
+        (col("n_rows") - col("e.s.nn")).as("n_nulls"),
+        col("e.s.min_key").as("min_key"),
+        col("e.s.max_key").as("max_key"),
+        col("e.s.kmv").as("kmv"))
+  }
+
+  /** ANALYZE: stats for every (table, column) pair, persisted as one parquet
+    * relation at `outPath` (overwrite — each run is a full refresh, the
+    * ANALYZE semantic). Physical shape: ONE data scan per TABLE via
+    * [[tableSketch]] (all of a table's columns ride the same pass), NDV
+    * resolved from the KMV sets by [[finalizeStats]] — numerically identical
+    * to the old per-column derivation, minus the per-column rescans. A
+    * handful of rows regardless of data scale: coalesced to a single file.
+    */
   def analyze(
       spark: SparkSession,
       dir: String,
@@ -142,11 +190,12 @@ object TableStats {
       tables: Seq[(String, String)] = statColumns,
       k: Int = 32): Unit = {
     require(tables.nonEmpty, "analyze needs at least one (table, column)")
-    val ss = Some(newPushdownSession(spark))
-    val stats = tables
-      .map { case (t, c) => columnStats(spark, dir, t, c, k, ss) }
+    val tableOrder = tables.map(_._1).distinct
+    val stats = tableOrder
+      .map(t => tableSketch(spark, dir, t,
+        tables.collect { case (`t`, c) => c }, k))
       .reduce(_.unionByName(_))
-    stats.coalesce(1).write.mode("overwrite").parquet(outPath)
+    finalizeStats(stats, k).coalesce(1).write.mode("overwrite").parquet(outPath)
   }
 
   /** Mergeable per-slice statistics sketch (A26) — the incremental half of
@@ -170,18 +219,18 @@ object TableStats {
       column: String,
       k: Int = 32): DataFrame = {
     require(k > 1, s"KMV needs k > 1, got $k")
-    val meta = df.agg(
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // ONE aggregation over one pass of the slice: counts/min/max and the
+    // bounded `graft_kmv` bottom-k set ride the same scan (the old shape
+    // cross-joined a counts agg with a distinct→sort→limit leg — two scans
+    // and a full unique-hash shuffle per absorbed slice)
+    df.agg(
       expr("count(*)").as("n_rows"),
       (expr("count(*)") - count(col(column))).as("n_nulls"),
       min(col(column)).cast("bigint").as("min_key"),
-      max(col(column)).cast("bigint").as("max_key"))
-    val kmv = df.select(md5(col(column).cast("string")).as("h"))
-      .where(col("h").isNotNull)
-      .distinct()
-      .orderBy("h")
-      .limit(k)
-      .agg(sort_array(collect_list(col("h"))).as("kmv"))
-    meta.crossJoin(kmv).select(
+      max(col(column)).cast("bigint").as("max_key"),
+      expr(s"graft_kmv(md5(cast(`$column` as string)), $k)").as("kmv"))
+    .select(
       lit(table).as("table_name"),
       lit(column).as("column_name"),
       col("n_rows"), col("n_nulls"), col("min_key"), col("max_key"),

@@ -43,6 +43,25 @@ class TableStatsSpec extends SparkSpec {
       "empty sketch is not a merge identity")
   }
 
+  test("tableSketch: C columns of one table ride ONE scan, values agree with per-column sketches") {
+    val df = TableStats.tableSketch(spark, sf, "orders",
+      Seq("o_orderkey", "o_custkey", "o_totalprice"))
+    // the 100× claim: the executed plan reads the orders parquet ONCE — the
+    // old shape was one distinct→sort→limit data pass PER column
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(plan).length +
+      "BatchScan".r.findAllIn(plan).length
+    assert(scans == 1, s"expected exactly 1 scan of orders, got $scans\n$plan")
+    // and each exploded row equals the independent single-column sketch
+    val orders = graft.core.Tables.load(spark, sf, "orders")
+    for (c <- Seq("o_orderkey", "o_custkey", "o_totalprice")) {
+      val one = df.filter(col("column_name") === c)
+      val ref = TableStats.sketch(orders, "orders", c)
+      assert(one.exceptAll(ref).isEmpty && ref.exceptAll(one).isEmpty,
+        s"tableSketch disagrees with sketch on $c")
+    }
+  }
+
   test("columnStats: KMV NDV estimate lands near the exact distinct count on a key column") {
     val r = TableStats.columnStats(spark, sf, "orders", "o_orderkey").collect()(0)
     val exact = graft.core.Tables.load(spark, sf, "orders")
