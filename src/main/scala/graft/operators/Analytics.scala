@@ -200,14 +200,31 @@ object Analytics {
         sum(round(col("value") * 1000).cast("long")).as("value_milli"))
 
   /** Exact deterministic stratified sample: from every stratum, keep the
-    * first ⌈n·percent/100⌉ rows in md5(id) order. Hash order makes the
-    * selection a pure function of the data (re-runs, engines and cluster
-    * layouts agree — no RNG state), and the per-stratum window gives EXACT
-    * per-stratum counts, which per-row Bernoulli sampling can't. One shuffle
-    * on the strata columns; at 100 TB the window state is one counter per
-    * stratum partition stream. Skew note: a single giant stratum serializes
-    * into one task — for corpus-scale strata switch to per-row hash
-    * thresholding (approximate counts, no shuffle at all).
+    * first m = ⌈n·percent/100⌉ rows in (md5(id), id) order. Hash order makes
+    * the selection a pure function of the data (re-runs, engines and cluster
+    * layouts agree — no RNG state), with EXACT per-stratum counts, which
+    * per-row Bernoulli sampling can't give.
+    *
+    * Scale shape — two passes, NO stratum-wide sort anywhere:
+    *  1. per-stratum count agg → m, plus hash thresholds [t_lo, t_hi]
+    *     bracketing the m-th order statistic of the (uniform) 60-bit hash
+    *     prefix with an 8σ + constant margin;
+    *  2. map-only classification against the broadcast stats: rows with
+    *     hash < t_lo are DEFINITELY in the sample (they precede the m-th
+    *     row), rows past t_hi are definitely out, and only the narrow
+    *     BOUNDARY BAND — O(√n) rows per stratum by order-statistic
+    *     concentration, vs the stratum's n — is ranked to fill the exact
+    *     remainder m − |definite|. The old formulation ranked ENTIRE strata
+    *     (`row_number` over the strata partition), serializing a
+    *     corpus-scale stratum into one sort task; here that window sees
+    *     only the band.
+    *
+    * The brackets are chance-constrained, so exactness is GUARDED, not
+    * assumed: one bounded driver-side check (per-stratum counts only)
+    * verifies |h < t_lo| ≤ m ≤ |h ≤ t_hi|; a stratum that defies its
+    * brackets (adversarial non-uniform ids) falls back to the windowed
+    * selection FOR THAT STRATUM alone. On real data the band check is the
+    * plan; the fallback never fires (spec-pinned).
     */
   def stratifiedSample(
       df: DataFrame,
@@ -215,6 +232,93 @@ object Analytics {
       percent: Int = 20,
       idCol: String = "doc_id"): DataFrame = {
     require(percent >= 0 && percent <= 100, "percent must be in [0, 100]")
+    val R = 1152921504606846976L // 2^60: the 15-hex-digit hash prefix space
+    val keep = col(idCol) +: strataCols.map(col)
+    // 60-bit prefix of the ordering hash: ORDER BY (md5, id) is identical
+    // to ORDER BY (__h, md5, id) because __h is a monotone function (string
+    // prefix) of md5 — so h-thresholds select PREFIXES of the true order.
+    val withH = df
+      .withColumn("__md5", md5(col(idCol).cast("string")))
+      .withColumn("__h",
+        expr("CAST(conv(substring(__md5, 1, 15), 16, 10) AS BIGINT)"))
+    // pass 1: stratum sizes, targets, and hash brackets. m-th smallest of n
+    // uniform draws over [0,R) concentrates at R·m/(n+1) with σ ≈ R·√m/n;
+    // the +64/n constant floors the margin so tiny strata bracket the whole
+    // range (their band IS the stratum — trivially correct and trivially
+    // small). All double math here only PLACES the brackets; selection
+    // stays exact integer logic, so FP rounding cannot change results.
+    val stats = withH.groupBy(strataCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__m", expr(s"(__n * $percent + 99) div 100"))
+      .withColumn("__mu", expr(s"CAST($R AS DOUBLE) * __m / (__n + 1)"))
+      .withColumn("__margin",
+        expr(s"CAST($R AS DOUBLE) * (8.0D * sqrt(CAST(__m AS DOUBLE)) / __n + 64.0D / __n)"))
+      .withColumn("__t_lo",
+        expr(s"CAST(greatest(0.0D, floor(__mu - __margin)) AS BIGINT)"))
+      .withColumn("__t_hi",
+        expr(s"CAST(least(CAST($R AS DOUBLE), ceil(__mu + __margin)) AS BIGINT)"))
+      .select(strataCols.map(col) :+ col("__n") :+ col("__m") :+
+        col("__t_lo") :+ col("__t_hi"): _*)
+    // null-safe equi-join (<=>): a null stratum value is its own group,
+    // exactly as a window PARTITION BY treats it
+    def nullSafeJoin(left: DataFrame, right: DataFrame): DataFrame = {
+      val renamed = strataCols.foldLeft(right)((d, c) =>
+        d.withColumnRenamed(c, s"__r_$c"))
+      left.join(broadcast(renamed),
+          strataCols.map(c => col(c) <=> col(s"__r_$c")).reduce(_ && _))
+        .drop(strataCols.map(c => s"__r_$c"): _*)
+    }
+    val tagged = nullSafeJoin(withH, stats)
+    // bracket audit — per-stratum counts only (bounded by #strata): a
+    // stratum is SAFE iff |h < t_lo| ≤ m ≤ |h ≤ t_hi|
+    val audit = tagged.groupBy(strataCols.map(col): _*)
+      .agg(
+        sum(when(col("__h") < col("__t_lo"), 1L).otherwise(0L)).as("__c_lo"),
+        sum(when(col("__h") <= col("__t_hi"), 1L).otherwise(0L)).as("__c_hi"),
+        first(col("__m")).as("__m"))
+    val unsafe = audit
+      .filter(col("__c_lo") > col("__m") || col("__c_hi") < col("__m"))
+      .select(strataCols.map(col): _*).collect() // ≤ #strata rows, ~always 0
+    val isUnsafe: Column =
+      if (unsafe.isEmpty) lit(false)
+      else unsafe.map(r => strataCols.zipWithIndex
+          .map { case (c, i) => col(c) <=> lit(r.get(i)) }.reduce(_ && _))
+        .reduce(_ || _)
+    val safe = tagged.filter(!isUnsafe)
+    // definite keeps: strictly below the lower bracket — they precede the
+    // m-th row of their stratum in (md5, id) order by construction
+    val definite = safe.filter(col("__h") < col("__t_lo"))
+    val cLo = definite.groupBy(strataCols.map(col): _*)
+      .agg(count(lit(1)).as("__c_lo"))
+    // boundary band: ranked by the true order, fills the exact remainder.
+    // This is the ONLY window, and it sees O(√n) rows per stratum.
+    val bandOrd = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(col("__md5"), col(idCol))
+    val cLoRenamed = strataCols.foldLeft(cLo)((d, c) =>
+      d.withColumnRenamed(c, s"__r_$c"))
+    val band = safe
+      .filter(col("__h") >= col("__t_lo") && col("__h") <= col("__t_hi"))
+      .join(broadcast(cLoRenamed),
+        strataCols.map(c => col(c) <=> col(s"__r_$c")).reduce(_ && _), "left")
+      .drop(strataCols.map(c => s"__r_$c"): _*)
+      .na.fill(0L, Seq("__c_lo"))
+      .withColumn("__rn", row_number().over(bandOrd).cast("long"))
+      .filter(col("__rn") <= col("__m") - col("__c_lo"))
+    val fast = definite.select(keep: _*).unionByName(band.select(keep: _*))
+    if (unsafe.isEmpty) fast
+    else fast.unionByName(
+      stratifiedSampleWindowed(df.filter(isUnsafe), strataCols, percent, idCol))
+  }
+
+  /** The stratum-wide windowed selection — exact but serializes each
+    * stratum into one sort task, so it serves only as [[stratifiedSample]]'s
+    * per-stratum fallback for data that defies the hash brackets.
+    */
+  private[operators] def stratifiedSampleWindowed(
+      df: DataFrame,
+      strataCols: Seq[String] = Seq("lang", "source"),
+      percent: Int = 20,
+      idCol: String = "doc_id"): DataFrame = {
     val part = Window.partitionBy(strataCols.map(col): _*)
     val ord = part.orderBy(md5(col(idCol).cast("string")), col(idCol))
     df

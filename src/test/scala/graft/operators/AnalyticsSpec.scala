@@ -142,6 +142,39 @@ class AnalyticsSpec extends SparkSpec {
     assert(sampled.exceptAll(again).isEmpty && again.exceptAll(sampled).isEmpty)
   }
 
+  test("stratifiedSample: giant stratum — equals windowed truth, band is O(sqrt n), brackets hold") {
+    // plant ONE corpus-wide stratum: the exact shape that serialized the old
+    // stratum-wide window into a single sort task. 100k rows so the
+    // concentration bound (not the small-n constant floor) is what's tested.
+    val docs = spark.range(100000).select(
+      col("id").as("doc_id"), lit("zz").as("lang"), lit("planted").as("source"))
+    val n = docs.count()
+    val fast = Analytics.stratifiedSample(docs, percent = 20)
+    val truth = Analytics.stratifiedSampleWindowed(docs, percent = 20)
+    assert(fast.exceptAll(truth).isEmpty && truth.exceptAll(fast).isEmpty,
+      "two-pass selection diverges from the stratum-wide windowed truth")
+    // replay the bracket math and pin (a) the audit held — the windowed
+    // fallback never fired — and (b) the only window's input (the boundary
+    // band) is O(sqrt n) of the stratum, not the stratum
+    val R = 1152921504606846976L
+    val m = (n * 20 + 99) / 100
+    val mu = R.toDouble * m / (n + 1)
+    val margin = R.toDouble * (8.0 * math.sqrt(m.toDouble) / n + 64.0 / n)
+    val tLo = math.max(0.0, math.floor(mu - margin)).toLong
+    val tHi = math.min(R.toDouble, math.ceil(mu + margin)).toLong
+    val h = docs.selectExpr(
+      "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) AS h")
+    val cLo = h.filter(col("h") < tLo).count()
+    val cHi = h.filter(col("h") <= tHi).count()
+    assert(cLo <= m && m <= cHi,
+      s"hash brackets failed on real data: c_lo=$cLo m=$m c_hi=$cHi")
+    val band = h.filter(col("h") >= tLo && col("h") <= tHi).count()
+    val bound = (40.0 * math.sqrt(n.toDouble) + 130).toLong
+    assert(band <= bound,
+      s"boundary band $band rows exceeds O(sqrt n) bound $bound for n=$n")
+    assert(band < n / 10, s"band $band is not small vs stratum $n")
+  }
+
   test("stratifiedSample: percent edge cases (0 -> empty, 100 -> everything)") {
     val docs = t("documents")
     assert(Analytics.stratifiedSample(docs, percent = 0).count() == 0)
