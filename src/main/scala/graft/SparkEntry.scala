@@ -819,9 +819,22 @@ object SparkEntry {
     // Deterministic md5-bucket train/val/test split (80/10/10).
     "x11_hash_split" -> ((s, dir) =>
       graft.operators.TextAnalysis.hashSplit(t(s, dir, "documents"))),
-    // Concat-and-chunk sequence packing into 2048-token bins, per shard.
-    "x12_seq_pack" -> ((s, dir) =>
-      graft.operators.TextAnalysis.packSequences(t(s, dir, "documents"))),
+    // Concat-and-chunk sequence packing into 2048-token bins, per shard —
+    // budgeted in TRUE x22 BPE tokens, not the whitespace approximation.
+    "x12_seq_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.TextAnalysis.packSequences(docs, tokenCounts = Some(
+        graft.operators.TextAnalysis.bpeTokenCounts(docs)
+          .withColumnRenamed("bpe_tokens", "n_tokens")))
+    }),
+    // Trained BPE (x22): the learned merge table — 32 deterministic merges
+    // over the top-256 words, (count DESC, pair ASC) argmax each round.
+    "x22_bpe_merges" -> ((s, dir) =>
+      graft.operators.TextAnalysis.bpeMerges(t(s, dir, "documents"))),
+    // Trained BPE (x22): true per-document subword counts — vocabulary
+    // encoded once through the rank-ordered merges, corpus counts by join.
+    "x22_bpe_tokens" -> ((s, dir) =>
+      graft.operators.TextAnalysis.bpeTokenCounts(t(s, dir, "documents"))),
     // PII redaction with audit counts. The synthetic corpus carries no real
     // PII, so every 5th document gets a deterministic email+phone appended
     // first (replayed identically in the oracle) — the redacted text itself
@@ -1202,6 +1215,49 @@ object SparkEntry {
     * selected set, scores `λ·rel − (1−λ)·maxsim` in integers, and picks
     * the (score desc, id asc) argmax among the unselected.
     */
+  /** X22 oracle generator — BPE TRAINING replayed in SQL: the top-`v` word
+    * table, then `m` unrolled argmax rounds (the k3/k11 fixed-round
+    * pattern). Each round counts adjacent pairs of the double-space symbol
+    * sequences, picks the (count DESC, l, r) argmax as a 1-row CTE `bb_i`,
+    * and applies it with a LITERAL `replace` — engine-identical to the
+    * Spark/driver sides (see TextAnalysis.bpeTrain for the representation
+    * argument). Emits trailing-comma CTE text for composition.
+    */
+  private def bpeTrainCtes(m: Int, v: Int): String = {
+    val pat = graft.operators.TextAnalysis.BpePreTokenPattern
+    val head =
+      s"bw AS MATERIALIZED (SELECT doc_id, unnest(regexp_extract_all(text, '$pat')) AS w FROM documents), " +
+        "bwf AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM bw GROUP BY w), " +
+        s"btv AS MATERIALIZED (SELECT w, freq FROM bwf ORDER BY freq DESC, w LIMIT $v), " +
+        "bt0 AS MATERIALIZED (SELECT w, freq, ' ' || array_to_string(list_transform(" +
+        "generate_series(1, length(w)), i -> substring(w, i, 1)), '  ') || '  </w> ' AS seq FROM btv), "
+    val rounds = (1 to m).map { i =>
+      val p = i - 1
+      s"bk$i AS MATERIALIZED (SELECT freq, string_split(trim(seq), '  ') AS s FROM bt$p), " +
+        s"bp$i AS MATERIALIZED (SELECT s[j] AS l, s[j + 1] AS r, sum(freq) AS c " +
+        s"FROM bk$i, unnest(generate_series(1, len(s) - 1)) AS t(j) GROUP BY 1, 2), " +
+        s"bb$i AS MATERIALIZED (SELECT l, r FROM bp$i ORDER BY c DESC, l, r LIMIT 1), " +
+        s"bt$i AS MATERIALIZED (SELECT w, freq, replace(seq, ' ' || bb$i.l || '  ' || bb$i.r || ' ', " +
+        s"' ' || bb$i.l || bb$i.r || ' ') AS seq FROM bt$p, bb$i), "
+    }.mkString
+    head + rounds
+  }
+
+  /** X22 oracle generator — ENCODING: the corpus's distinct words pushed
+    * through the learned merges in rank order (one replace per rank), then
+    * per-document counts by word join. Requires [[bpeTrainCtes]]'s CTEs.
+    */
+  private def bpeEncodeCtes(m: Int): String =
+    "bvo AS MATERIALIZED (SELECT DISTINCT w FROM bw), " +
+      "bv0 AS MATERIALIZED (SELECT w, ' ' || array_to_string(list_transform(" +
+      "generate_series(1, length(w)), i -> substring(w, i, 1)), '  ') || '  </w> ' AS seq FROM bvo), " +
+      (1 to m).map { i =>
+        s"bv$i AS MATERIALIZED (SELECT w, replace(seq, ' ' || bb$i.l || '  ' || bb$i.r || ' ', " +
+          s"' ' || bb$i.l || bb$i.r || ' ') AS seq FROM bv${i - 1}, bb$i), "
+      }.mkString +
+      s"bvt AS MATERIALIZED (SELECT w, CAST(len(string_split(trim(seq), '  ')) AS BIGINT) AS nt FROM bv$m), " +
+      "bdt AS MATERIALIZED (SELECT doc_id, CAST(sum(nt) AS BIGINT) AS bpe_tokens FROM bw JOIN bvt USING (w) GROUP BY doc_id), "
+
   private def mmrOracleSql(k: Int, lambdaMicro: Long, shortlist: Int): String = {
     val inv = 1000000L - lambdaMicro
     def cosOf(a: String, b: String): String =
@@ -2338,14 +2394,30 @@ object SparkEntry {
         "< 80 * 4294967296 THEN 'train' " +
         "WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) * 100 " +
         "< 90 * 4294967296 THEN 'val' ELSE 'test' END AS split FROM documents"),
+    // x12: packing re-gated on TRUE x22 BPE tokens — the full train+encode
+    // replay feeds the same windowed offsets as before.
     "x12_seq_pack" ->
-      ("WITH b AS (SELECT doc_id, source, " +
-        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), " +
+      ("WITH " + bpeTrainCtes(32, 256) + bpeEncodeCtes(32) +
+        "b AS (SELECT d.doc_id, d.source, " +
+        "CAST(coalesce(bdt.bpe_tokens, 0) AS BIGINT) AS n_tokens " +
+        "FROM documents d LEFT JOIN bdt USING (doc_id)), " +
         "c AS (SELECT doc_id, source, n_tokens, " +
         "CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id " +
         "ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset FROM b) " +
         "SELECT doc_id, source, n_tokens, start_offset, " +
         "CAST(start_offset // 2048 AS BIGINT) AS bin_id FROM c"),
+    // x22: the learned merge table itself — training fully replayed, one
+    // row per rank from each round's argmax CTE.
+    "x22_bpe_merges" ->
+      ("WITH " + bpeTrainCtes(32, 256).dropRight(2) + " " +
+        (1 to 32).map(i =>
+          s"SELECT CAST($i AS BIGINT) AS merge_rank, l AS pair_left, " +
+            s"r AS pair_right FROM bb$i").mkString(" UNION ALL ")),
+    // x22: true per-document subword counts; wordless docs count 0.
+    "x22_bpe_tokens" ->
+      ("WITH " + bpeTrainCtes(32, 256) + bpeEncodeCtes(32).dropRight(2) + " " +
+        "SELECT d.doc_id, CAST(coalesce(bdt.bpe_tokens, 0) AS BIGINT) AS bpe_tokens " +
+        "FROM documents d LEFT JOIN bdt USING (doc_id)"),
     // x13: same injection; the pattern literals are SPLICED from the
     // shared TextAnalysis constants so the Spark/DuckDB parity cannot
     // silently drift; phone hits counted on the email-redacted text,

@@ -359,13 +359,22 @@ object TextAnalysis {
       budget: Int = 2048,
       shardCol: String = "source",
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      tokenCounts: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(shardCol).orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .select(col(idCol), col(shardCol),
-        expr(s"CAST(size(split($textCol, ' ')) AS BIGINT)").as("n_tokens"))
+    // the packing budget's currency: the caller's (idCol, n_tokens)
+    // relation — x12 passes [[bpeTokenCounts]] so bins are TRUE subword
+    // budgets — falling back to the whitespace approximation
+    val base = tokenCounts match {
+      case Some(tc) =>
+        docs.select(col(idCol), col(shardCol)).join(tc, Seq(idCol))
+      case None =>
+        docs.select(col(idCol), col(shardCol),
+          expr(s"CAST(size(split($textCol, ' ')) AS BIGINT)").as("n_tokens"))
+    }
+    base
       .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .withColumn("bin_id", expr(s"start_offset div $budget"))
   }
@@ -717,4 +726,139 @@ object TextAnalysis {
           / lit(4294967296.0) < col("rate"))
       .select(col(idCol), col(domainCol), col("n_tokens"))
   }
+
+  /** The BPE pre-tokenization pattern — x6's letter-run/digit-run/symbol
+    * classes, the split BPE vocabularies are trained over. Java∩RE2 subset
+    * (x13's rule) so the oracle replays it.
+    */
+  val BpePreTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  /** X22: a REAL trained BPE tokenizer — deterministic, integer-exact, and
+    * oracle-replayable, replacing x6's "count the pre-tokens" approximation
+    * as the engine's token-budget currency.
+    *
+    * Design (every step a pure function of the corpus):
+    *  - TRAINING corpus = the top-`vocabWords` pre-token words by
+    *    (freq DESC, word ASC) — a bounded top-k, so the merge learner sees
+    *    O(V) rows at any data scale (the K3 sample-only-Lloyd contract).
+    *  - A word is represented as its symbol sequence joined by TWO spaces
+    *    with single-space sentinels (`" l  o  w  </w> "`). On this form,
+    *    applying merge (a,b) is the LITERAL string replace
+    *    `" a  b " -> " ab "` — left-to-right, non-overlapping — which Java's
+    *    `String.replace`, Spark's `replace`, and DuckDB's `replace` all
+    *    implement identically (no regex, no lookarounds RE2 lacks). The
+    *    double-space separator is what makes back-to-back occurrences
+    *    (`a b a b`) both merge in one pass: with single spaces the two
+    *    matches would share a boundary character and the second would be
+    *    skipped.
+    *  - Each of `merges` rounds counts adjacent pairs (freq-weighted, ALL
+    *    adjacent positions) and merges the (count DESC, left ASC, right
+    *    ASC) argmax everywhere — classic BPE learning with a total-order
+    *    tie-break.
+    *  - ENCODING applies the learned merges IN RANK ORDER, one replace per
+    *    rank, to the corpus's DISTINCT words only — O(vocab · merges) work
+    *    however big the corpus, with per-doc counts recovered through a
+    *    broadcast word→length join. (Rank-order application is itself the
+    *    deterministic spec here and in the oracle; it coincides with
+    *    min-rank iteration except when a later merge recreates an earlier
+    *    pair's text, which single-character seeds make pathological.)
+    *
+    * Training runs on the driver over the collected top-V table — bounded
+    * like the centroid/codebook collects (V rows, not data) — because M
+    * sequential argmax rounds on V tiny strings are driver-trivial but M
+    * Spark jobs would dominate wall-clock.
+    */
+  def bpeTrain(
+      docs: DataFrame,
+      merges: Int = 32,
+      vocabWords: Int = 256,
+      textCol: String = "text"): Seq[(String, String)] = {
+    require(merges > 0 && vocabWords > 1, "bpeTrain needs merges > 0, vocabWords > 1")
+    val top = wordRelation(docs, textCol)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w"))
+      .limit(vocabWords)
+      .collect() // bounded: vocabWords rows
+    var entries = top.map(r => (seqOf(r.getString(0)), r.getLong(1)))
+    val learned = scala.collection.mutable.ListBuffer[(String, String)]()
+    for (_ <- 1 to merges) {
+      val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+      for ((seq, freq) <- entries) {
+        val toks = seq.trim.split("  ")
+        var i = 0
+        while (i < toks.length - 1) {
+          val k = (toks(i), toks(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + freq
+          i += 1
+        }
+      }
+      require(counts.nonEmpty,
+        s"BPE pair inventory exhausted before $merges merges — lower `merges`")
+      val ((l, r), _) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+      learned += ((l, r))
+      entries = entries.map { case (seq, freq) =>
+        (seq.replace(s" $l  $r ", s" $l$r "), freq)
+      }
+    }
+    learned.toList
+  }
+
+  /** The learned merge table as a relation: (merge_rank, pair_left,
+    * pair_right) — x22's auditable artifact, 1-indexed in learning order.
+    */
+  def bpeMerges(
+      docs: DataFrame,
+      merges: Int = 32,
+      vocabWords: Int = 256,
+      textCol: String = "text"): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    bpeTrain(docs, merges, vocabWords, textCol).zipWithIndex
+      .map { case ((l, r), i) => (i + 1L, l, r) }
+      .toDF("merge_rank", "pair_left", "pair_right")
+  }
+
+  /** Per-document TRUE token counts under the trained BPE: encode the
+    * distinct-word vocabulary once (merges in rank order), then recover
+    * each document's count as the sum of its words' subword lengths via a
+    * broadcast-size join — the corpus is touched by exactly one explode
+    * pass and never carries the merge chain itself. Wordless documents
+    * count 0.
+    */
+  def bpeTokenCounts(
+      docs: DataFrame,
+      merges: Int = 32,
+      vocabWords: Int = 256,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val learned = bpeTrain(docs, merges, vocabWords, textCol)
+    val words = docs.select(col(idCol),
+      explode(expr(
+        s"regexp_extract_all($textCol, '$BpePreTokenPattern', 0)")).as("w"))
+    val vocab = words.select("w").distinct()
+      .withColumn("seq", expr(
+        "concat(' ', array_join(transform(sequence(1, length(w)), " +
+          "i -> substring(w, i, 1)), '  '), '  </w> ')"))
+    val encoded = learned.foldLeft(vocab) { case (df, (l, r)) =>
+      df.withColumn("seq",
+        replace(col("seq"), lit(s" $l  $r "), lit(s" $l$r ")))
+    }.select(col("w"),
+      size(split(trim(col("seq")), "  ")).cast("long").as("nt"))
+    val perDoc = words.join(encoded, "w")
+      .groupBy(col(idCol)).agg(sum(col("nt")).as("bpe_tokens"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .na.fill(0L, Seq("bpe_tokens"))
+  }
+
+  /** One (doc_id, word) row per pre-token occurrence — training and
+    * encoding share this relation.
+    */
+  private def wordRelation(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(expr(
+      s"regexp_extract_all($textCol, '$BpePreTokenPattern', 0)")).as("w"))
+
+  /** The double-space symbol-sequence form of one word. */
+  private def seqOf(w: String): String =
+    w.map(_.toString).mkString(" ", "  ", "  </w> ")
 }

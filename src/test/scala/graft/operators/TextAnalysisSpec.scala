@@ -454,6 +454,50 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
   }
 
+  test("BPE: closed-form merges on a crafted corpus; counts exact; deterministic") {
+    import spark.implicits._
+    // freq-weighted corpus: "ab" dominates, so (a,b) then (ab,</w>) must be
+    // the first merges; ties broken (count desc, left asc, right asc)
+    val docs = Seq(
+      (1L, "ab ab ab ab cd"),
+      (2L, "ab ab cd cd ee"),
+      (3L, "ab cd ee")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, merges = 4, vocabWords = 8)
+    assert(merges.head == ("a", "b"), s"first merge should be (a,b), got ${merges.head}")
+    assert(merges(1) == ("ab", "</w>"), s"second merge should be (ab,</w>), got ${merges(1)}")
+    // counts: after (a,b)+(ab,</w>), "ab" is ONE token; "cd"/"ee" depend on
+    // the remaining 2 merges — verify against a hand-computed encode
+    val counts = TextAnalysis.bpeTokenCounts(docs, merges = 4, vocabWords = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val learned = merges
+    def encode(w: String): Int = {
+      var s = w.map(_.toString).mkString(" ", "  ", "  </w> ")
+      learned.foreach { case (l, r) => s = s.replace(s" $l  $r ", s" $l$r ") }
+      s.trim.split("  ").length
+    }
+    def docCount(text: String): Long =
+      text.split(" ").filter(_.nonEmpty).map(encode(_).toLong).sum
+    assert(counts == Map(
+      1L -> docCount("ab ab ab ab cd"),
+      2L -> docCount("ab ab cd cd ee"),
+      3L -> docCount("ab cd ee")), s"counts $counts diverge from replay")
+    assert(encode("ab") == 1, "dominant word should collapse to one token")
+    // determinism on the real corpus: identical merge tables run-to-run
+    val corpus = graft.core.Tables.load(spark, sf, "documents")
+    val m1 = TextAnalysis.bpeMerges(corpus).collect().toSeq
+    val m2 = TextAnalysis.bpeMerges(corpus).collect().toSeq
+    assert(m1 == m2, "BPE training is not deterministic")
+    assert(m1.size == 32)
+    // true counts never exceed the character count + word count (each word
+    // adds one </w> and merging only shrinks), and are >= word count
+    val joined = TextAnalysis.bpeTokenCounts(corpus)
+      .join(corpus.selectExpr("doc_id",
+        s"CAST(size(regexp_extract_all(text, '${TextAnalysis.BpePreTokenPattern}', 0)) AS BIGINT) AS nw"),
+        "doc_id")
+    assert(joined.filter(col("bpe_tokens") < col("nw")).count() == 0,
+      "a word encodes to at least one token")
+  }
+
   test("mixtureSample: over-budget keeps the whole corpus; tight budget downsamples; deterministic") {
     val docs = graft.core.Tables.load(spark, sf, "documents")
     val tokens = docs.selectExpr("doc_id", "source",
