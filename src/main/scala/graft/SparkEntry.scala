@@ -604,6 +604,15 @@ object SparkEntry {
       graft.operators.Dedup.blockedNgramJaccard(t(s, dir, "documents"))),
     "d6_simhash_neardup" -> ((s, dir) =>
       graft.operators.Dedup.simHashNearDup(t(s, dir, "documents"))),
+    // Image near-dup (d12): texture-PNG fixtures with planted perturbed
+    // copies, REAL decode -> dHash -> pigeonhole Hamming pairing; the
+    // oracle replays the closed-form pixel function, never the codec.
+    "d12_image_neardup" -> ((s, dir) =>
+      graft.operators.Dedup.imageNearDup(
+        t(s, dir, "documents").select(
+          col("doc_id").as("media_id"),
+          graft.operators.Multimodal.encodeTexturePngFixture(col("doc_id"))
+            .as("content")))),
     // Pairs -> clusters -> survivors: connected components over the d2
     // near-dup pair set (min-label propagation vs the oracle's recursive CTE).
     // Stage reuse: d7 clusters d2's memoized pair set; d8 joins d7's memoized
@@ -2082,6 +2091,29 @@ object SparkEntry {
         "len(list_filter(generate_series(1, 64), i -> substr(a.sh, i, 1) != substr(b.sh, i, 1))) AS hamming " +
         "FROM s a JOIN s b ON a.doc_id < b.doc_id) " +
         "SELECT a_id, b_id, hamming FROM p WHERE hamming <= 4"),
+    // d12: brute-force dHash Hamming over the CLOSED-FORM texture-fixture
+    // pixels — the oracle recomputes each sampled grid gray directly from
+    // the generator ((7·base + 17x + 29y) mod 256, +64 on perturbed cells),
+    // so the real decode→dHash chain is value-gated with no codec here.
+    "d12_image_neardup" -> {
+      def grayOf(x: String, y: String): String =
+        s"CASE WHEN pert = 1 AND (($x) + ($y) * w) % 37 = 0 " +
+          s"THEN ((base * 7 + ($x) * 17 + ($y) * 29) % 256 + 64) % 256 " +
+          s"ELSE (base * 7 + ($x) * 17 + ($y) * 29) % 256 END"
+      val g1 = grayOf("(i * w) // 9", "(j * h) // 8")
+      val g2 = grayOf("((i + 1) * w) // 9", "(j * h) // 8")
+      "WITH f AS (SELECT doc_id, CASE WHEN doc_id % 5 = 4 THEN doc_id - 1 ELSE doc_id END AS base, " +
+        "CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END AS pert FROM documents), " +
+        "g AS (SELECT doc_id, base, pert, 8 + base % 13 AS w, 8 + (base * 3) % 11 AS h FROM f), " +
+        "bits AS (SELECT doc_id, j * 8 + i AS pos, " +
+        s"CASE WHEN ($g2) > ($g1) THEN '1' ELSE '0' END AS bit " +
+        "FROM g, unnest(generate_series(0, 7)) AS ti(i), unnest(generate_series(0, 7)) AS tj(j)), " +
+        "s AS (SELECT doc_id, string_agg(bit, '' ORDER BY pos) AS sh FROM bits GROUP BY doc_id), " +
+        "p AS (SELECT a.doc_id AS a_media_id, b.doc_id AS b_media_id, " +
+        "len(list_filter(generate_series(1, 64), i -> substr(a.sh, i, 1) != substr(b.sh, i, 1))) AS hamming " +
+        "FROM s a JOIN s b ON a.doc_id < b.doc_id) " +
+        "SELECT a_media_id, b_media_id, hamming FROM p WHERE hamming <= 4"
+    },
     // Recursive-CTE connected components over the same brute-force J>=0.6
     // pair set d2 is gated on; min reachable id = cluster id.
     "d7_dedup_clusters" ->

@@ -496,10 +496,23 @@ object Dedup {
       maxHamming: Int = 4,
       bands: Int = 5,
       bucketCap: Int = DefaultBucketCap): DataFrame = {
-    require(bands > maxHamming, "pigeonhole completeness needs bands > maxHamming")
     // single downstream consumer since the verify was fused into the band
     // join — no persist: the fingerprint pass streams straight into banding
-    val fp = simHash(docs, textCol, idCol)
+    hammingNearDup(simHash(docs, textCol, idCol), maxHamming, bands, bucketCap)
+  }
+
+  /** The shared pigeonhole Hamming-pairing core: `fp` is any
+    * `(doc_id, simhash)` frame whose `simhash` is a 64-char bitstring —
+    * D6's text SimHash and D12's image dHash both land here. Pairs within
+    * `maxHamming` bits, provably complete per the [[simHashNearDup]]
+    * banding argument.
+    */
+  private[operators] def hammingNearDup(
+      fp: DataFrame,
+      maxHamming: Int,
+      bands: Int,
+      bucketCap: Int): DataFrame = {
+    require(bands > maxHamming, "pigeonhole completeness needs bands > maxHamming")
     val width = (64 + bands - 1) / bands
     val bandCols = (0 until bands).map { j =>
       val start = j * width + 1
@@ -543,6 +556,37 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"), col("hamming"))
       .distinct()
+  }
+
+  /** D12: perceptual-hash IMAGE near-dup — the multimodal rung of the dedup
+    * ladder. Each image decodes (real JDK codec,
+    * [[graft.operators.Multimodal.dHash]]) to a 64-bit DIFFERENCE HASH
+    * (adjacent-brightness signs on a 9×8 nearest-neighbor grid): re-encoded,
+    * resized, or slightly-edited copies land within a few bits, unrelated
+    * images ~32 apart — then pairs flow through the same provably-complete
+    * pigeonhole banding + fused Hamming verify as D6's text SimHash
+    * ([[hammingNearDup]]). Undecodable rows quarantine out (null hash), as
+    * in every m-series decode.
+    *
+    * At 100 TB: decode + hash is map-only where the blobs live (the only
+    * per-row codec work), and the pair search shuffles 64-BIT FINGERPRINTS,
+    * never image bytes — banding and `capBuckets` bound the self-join
+    * exactly as for text.
+    */
+  def imageNearDup(
+      media: DataFrame,
+      contentCol: String = "content",
+      idCol: String = "media_id",
+      maxHamming: Int = 4,
+      bands: Int = 5,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
+    val fp = media
+      .select(col(idCol).as("doc_id"),
+        graft.operators.Multimodal.dHash(col(contentCol)).as("simhash"))
+      .filter(col("simhash").isNotNull)
+    hammingNearDup(fp, maxHamming, bands, bucketCap)
+      .withColumnRenamed("a_id", "a_media_id")
+      .withColumnRenamed("b_id", "b_media_id")
   }
 
   /** Character-n-gram Jaccard near-dup within explicit blocks (e.g. same

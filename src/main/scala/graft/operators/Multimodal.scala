@@ -371,6 +371,82 @@ object Multimodal {
         col("decoded.meanGMicro").as("mean_g_micro"),
         col("decoded.meanBMicro").as("mean_b_micro"))
 
+  /** Deterministic TEXTURE PNG fixture per media id, with PLANTED near-dup
+    * copies — d12's input. Unlike [[encodePngFixture]]'s affine gradients
+    * (whose difference hash would collapse to a function of width alone),
+    * the grayscale here wraps mod 256 — `g(x,y) = (7·base + 17·x + 29·y)
+    * mod 256` — so adjacent-pixel comparisons vary pseudo-randomly per
+    * image while staying closed-form for the oracle. Ids with `id % 5 == 4`
+    * encode a PERTURBED COPY of id−1's texture (`base = id−1`): pixels at
+    * `(x + y·w) % 37 == 0` shift by +64 mod 256 — a ~3% pixel defect, the
+    * re-encoded-with-small-edits duplicate every image-dedup pipeline
+    * hunts. All through the real JDK PNG writer.
+    */
+  val encodeTexturePngFixture: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (id: Long) =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val perturbed = id % 5 == 4
+      val base = if (perturbed) id - 1 else id
+      val w = (8 + base % 13).toInt
+      val h = (8 + (base * 3) % 11).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var g = ((base * 7 + x * 17 + y * 29) % 256).toInt
+          if (perturbed && (x + y * w) % 37 == 0) g = (g + 64) % 256
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+  /** Difference hash (dHash) over a REAL decoded image: nearest-neighbor
+    * sample a 9×8 grayscale grid (`xs_i = ⌊i·w/9⌋`, `ys_j = ⌊j·h/8⌋` — the
+    * [[resizeHalf]] sampling rule generalized), bit `j·8+i` = 1 iff the
+    * right neighbor is strictly brighter. Size-invariant (any image lands
+    * on the same 64-bit grid), integer-exact (gray = (r+g+b) div 3), and
+    * returned as the 64-char bitstring the D6 pigeonhole machinery banding
+    * consumes. Null for undecodable bytes — [[decodeImage]]'s quarantine
+    * contract.
+    */
+  val dHash: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (bytes: Array[Byte]) =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException => null }
+      if (img == null) null
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        def gray(x: Int, y: Int): Int = {
+          val rgb = img.getRGB(x, y)
+          (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+        }
+        val sb = new java.lang.StringBuilder(64)
+        var j = 0
+        while (j < 8) {
+          val yj = j * h / 8
+          var i = 0
+          while (i < 8) {
+            val a = gray(i * w / 9, yj)
+            val b = gray((i + 1) * w / 9, yj)
+            sb.append(if (b > a) '1' else '0')
+            i += 1
+          }
+          j += 1
+        }
+        sb.toString
+      }
+    }
+
   /** Frame sampling: explode each media blob into fixed-size chunks with
     * per-frame offsets and hashes — the distributed shape for per-frame
     * model inference (each frame row is independently schedulable).

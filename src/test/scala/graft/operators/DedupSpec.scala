@@ -367,6 +367,37 @@ class DedupSpec extends SparkSpec {
       "default-capped d5 diverged from uncapped")
   }
 
+  test("imageNearDup: every planted perturbed copy pairs with its source; corrupt bytes quarantine") {
+    import spark.implicits._
+    val media = spark.range(200).select(
+      col("id").as("media_id"),
+      graft.operators.Multimodal.encodeTexturePngFixture(col("id")).as("content"))
+    val pairs = Dedup.imageNearDup(media).cache()
+    // planted: every id%5==4 is a ~3%-pixel-perturbed copy of id-1 — the
+    // dHash must place ALL of them within the hamming budget
+    val planted = pairs.filter(
+      col("b_media_id") === col("a_media_id") + 1 && col("b_media_id") % 5 === 4)
+    assert(planted.count() == 40, // ids 4,9,...,199
+      s"expected all 40 planted copies paired, got ${planted.count()}")
+    assert(pairs.filter(col("hamming") > 4).count() == 0)
+    // equality with the brute-force all-pairs answer over the same hashes
+    // (pigeonhole completeness on real decoded images)
+    val fp = media.select(col("media_id"),
+      graft.operators.Multimodal.dHash(col("content")).as("h"))
+    val brute = fp.as("a").join(fp.as("b"), col("a.media_id") < col("b.media_id"))
+      .withColumn("hamming", expr(
+        "CAST(size(filter(sequence(1, 64), i -> substring(a.h, i, 1) != substring(b.h, i, 1))) AS BIGINT)"))
+      .filter(col("hamming") <= 4)
+      .select(col("a.media_id").as("a_media_id"),
+        col("b.media_id").as("b_media_id"), col("hamming"))
+    assert(pairs.exceptAll(brute).isEmpty && brute.exceptAll(pairs).isEmpty,
+      "banded image pairing diverges from brute force")
+    // quarantine: undecodable bytes yield no fingerprint, no pairs, no crash
+    val junk = Seq((900L, Array[Byte](1, 2, 3)), (901L, Array[Byte]()))
+      .toDF("media_id", "content")
+    assert(Dedup.imageNearDup(media.unionByName(junk)).count() == pairs.count())
+  }
+
   test("paragraphDedup: first occurrence survives, later repeats drop, reassembly ordered") {
     import spark.implicits._
     val sep = "\n\n"
