@@ -7,6 +7,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // the events loader's NTZ→LTZ normalization (Tables.normalizeEventsTs)
+      // is value-preserving only under UTC — pin it like every other entry
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -32,6 +35,11 @@ object Bench {
     val selected = (if (sys.env.get("SPARK_GRAFT_REVERSE").contains("1"))
       ordered.reverse else ordered)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // Data-contract smoke check (same as Verify): one loud [contract] line
+    // per input-schema drift, before any timing, so a testdata regeneration
+    // is ONE diagnostic instead of a page of scattered failures.
+    graft.core.Tables.contractDiagnostics(spark, sfDir)
+      .foreach(System.err.println)
     // JVM/codegen warmup outside the timed region so the first query's
     // number measures the query, not classloading
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -70,6 +78,11 @@ object Bench {
       catch { case _: Throwable => () }
     if (selected.exists(_._1 == "g1_pagerank"))
       try SparkEntry.g1EdgesDir(spark, sfDir)
+      catch { case _: Throwable => () }
+    // and the staged d12 media blobs: the entry times decode→hash→pairing,
+    // not the one-time fixture PNG encode
+    if (selected.exists(_._1 == "d12_image_neardup"))
+      try SparkEntry.d12MediaDir(spark, sfDir)
       catch { case _: Throwable => () }
     // Deterministic order (hash-Map order varied run to run) and a cold
     // cache per query: otherwise first-touch parquet footer reads and

@@ -69,6 +69,29 @@ object SparkEntry {
   private val g1EdgesMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
+  private val d12MediaMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Stored texture-PNG media table (media_id, content) for d12 — the
+    * ingest-time-artifact contract of [[d9IndexDir]]/[[k6GraphDir]] applied
+    * to the multimodal fixture: a real pipeline DEDUPES blobs it already
+    * ingested; synthesizing them is the harness's job, not the operator's.
+    * Round 9 measured d12 at 12.3 s with ~all of it in the fixture's JDK
+    * PNG ENCODE UDF — staging the blobs once lets d12's number measure
+    * decode → dHash → pigeonhole pairing, the operator itself.
+    */
+  def d12MediaDir(s: SparkSession, dir: String): String =
+    d12MediaMemo.computeIfAbsent((s, dir), _ => {
+      val path = graft.core.TempDirs.create("graft_d12_media")
+      t(s, dir, "documents")
+        .select(
+          col("doc_id").as("media_id"),
+          graft.operators.Multimodal.encodeTexturePngFixture(col("doc_id"))
+            .as("content"))
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
   /** Stored k=5 kNN edge list for the g1 entry — PageRank's subject is an
     * EXISTING graph (the crawl's link/citation structure); building one is
     * k5's number. Same ingest-time-artifact contract as [[k6GraphDir]].
@@ -221,7 +244,7 @@ object SparkEntry {
       m.keySet.asScala.filter(_._1 eq s).toList.foreach(m.remove)
     }
     Seq(dedupIndexMemo, streamedIndexMemo, statsStateMemo, knnGraphMemo,
-      g1EdgesMemo).foreach { m =>
+      g1EdgesMemo, d12MediaMemo).foreach { m =>
       m.keySet.asScala.filter(_._1 eq s).toList
         .foreach(k => Option(m.remove(k)).foreach(graft.core.TempDirs.drop))
     }
@@ -606,13 +629,12 @@ object SparkEntry {
       graft.operators.Dedup.simHashNearDup(t(s, dir, "documents"))),
     // Image near-dup (d12): texture-PNG fixtures with planted perturbed
     // copies, REAL decode -> dHash -> pigeonhole Hamming pairing; the
-    // oracle replays the closed-form pixel function, never the codec.
+    // oracle replays the closed-form pixel function, never the codec. The
+    // blobs come from the STAGED media table (ingest-time artifact,
+    // [[d12MediaDir]]) so the entry times the dedup, not the fixture encode.
     "d12_image_neardup" -> ((s, dir) =>
       graft.operators.Dedup.imageNearDup(
-        t(s, dir, "documents").select(
-          col("doc_id").as("media_id"),
-          graft.operators.Multimodal.encodeTexturePngFixture(col("doc_id"))
-            .as("content")))),
+        s.read.parquet(d12MediaDir(s, dir)))),
     // Pairs -> clusters -> survivors: connected components over the d2
     // near-dup pair set (min-label propagation vs the oracle's recursive CTE).
     // Stage reuse: d7 clusters d2's memoized pair set; d8 joins d7's memoized

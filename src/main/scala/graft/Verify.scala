@@ -15,6 +15,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Data-contract smoke check: one loud [contract] line per schema drift
+    // in the input tables (round 9: a silent testdata regeneration flipped
+    // events.ts NANOS→MICROS and cost 24 queries before anything said why).
+    // Non-fatal — the adaptive loaders may still cope — but always printed.
+    graft.core.Tables.contractDiagnostics(spark, sfDir)
+      .foreach(System.err.println)
     // Optional comma-separated name filter for fast local iteration
     // (driver runs without it → full suite).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)

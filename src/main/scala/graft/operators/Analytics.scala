@@ -268,7 +268,17 @@ object Analytics {
           strataCols.map(c => col(c) <=> col(s"__r_$c")).reduce(_ && _))
         .drop(strataCols.map(c => s"__r_$c"): _*)
     }
-    val tagged = nullSafeJoin(withH, stats)
+    // materialized ONCE (eager localCheckpoint, the d2/d7 memo pattern):
+    // the audit, definite-keep, remainder-count and band passes below all
+    // re-read this frame — without the checkpoint each pass re-scans the
+    // source, re-md5s and re-joins (round 9 measured 3× the runtime on
+    // recompute alone). Pruned to the sample/selection columns FIRST: a
+    // checkpoint materializes rows as-is, and the payload columns the
+    // output never carries (e.g. documents.text) must not ride along —
+    // the lazy plan pruned them at the scan, so the checkpoint must too.
+    val tagged = nullSafeJoin(
+        withH.select(keep :+ col("__md5") :+ col("__h"): _*), stats)
+      .localCheckpoint(true)
     // bracket audit — per-stratum counts only (bounded by #strata): a
     // stratum is SAFE iff |h < t_lo| ≤ m ≤ |h ≤ t_hi|
     val audit = tagged.groupBy(strataCols.map(col): _*)

@@ -11,10 +11,13 @@ import org.apache.spark.sql.types._
   *
   * Shapes:
   *  - file source with an explicit schema (streaming reads never infer);
-  *    the parquet TIMESTAMP(NANOS) column arrives as long under the
-  *    nanosAsLong conf and is converted with the same exact integer
-  *    `div 1000` as the batch path (`graft.core.Tables.loadEvents`), so
-  *    stream and batch agree to the microsecond;
+  *    the file's physical ts representation (nanos-long vs micros — testdata
+  *    generations have shipped both) is probed with a footer-only batch read
+  *    and normalized through the SAME `graft.core.Tables.normalizeEventsTs`
+  *    as the batch path, so stream and batch agree to the microsecond
+  *    whatever unit the writer chose; staged replay copies are written
+  *    already-normalized, so every staged reader shares one canonical
+  *    schema ([[EventsStream.stagedSchema]]);
   *  - [[hourlyAggregate]] is the complete-mode tumbling aggregate used for
   *    the replay/backfill path (Trigger.AvailableNow: process everything
   *    already on disk, then stop — Spark's batch-equivalent streaming mode);
@@ -163,9 +166,12 @@ object EventsStream {
     stagedDirs.computeIfAbsent((s"$dir#$variant", n), _ => {
       val out = tempDir("graft_stream_staged_")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // raw read (ts stays a nanos long) so the staged schema matches the
-      // original file's and the streaming-side conversion applies unchanged
-      xform(spark.read.parquet(s"$dir/events.parquet"))
+      // stage a NORMALIZED copy (ts → canonical µs TimestampType via the
+      // shared batch-path normalizer) so the staged schema is ONE fixed
+      // shape — [[stagedSchema]] — regardless of which physical timestamp
+      // unit the source file carries
+      xform(graft.core.Tables.normalizeEventsTs(
+          spark.read.parquet(s"$dir/events.parquet")))
         .repartitionByRange(n, col("ts"))
         .write.mode("overwrite").parquet(out)
       // time-ordered files => the watermark after batch k is behind every
@@ -184,29 +190,36 @@ object EventsStream {
     StructField("n", LongType),
     StructField("value_milli", LongType)))
 
-  /** Raw schema of events.parquet with ts as nanos-since-epoch long (how the
-    * scan surfaces TIMESTAMP(NANOS) under `parquet.nanosAsLong`).
+  /** Canonical schema of the STAGED events copies: ts already normalized to
+    * a microsecond TimestampType at staging time (see [[stagedEventsDir]]),
+    * so read-back never re-assumes the original file's physical unit — the
+    * round-9 lesson: a hardcoded nanos-long read-back schema silently
+    * misinterpreted a micros staged copy 1000× too small.
     */
-  val rawSchema: StructType = StructType(Seq(
+  val stagedSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming source over the events parquet file(s) in `dir`, ts converted
-    * to a microsecond timestamp exactly as the batch loader does.
+  /** Streaming source over the events parquet file(s) in `dir`, ts
+    * normalized to a microsecond timestamp exactly as the batch loader does.
+    * The file's physical schema is probed with a footer-only batch read
+    * (streaming reads never infer), then the shared normalizer branches on
+    * whatever ts type that surfaced.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val physical = spark.read.parquet(s"$dir/events.parquet").schema
     // the file source's basePath must be a DIRECTORY; select the events
     // file(s) within the sf dir via glob filter
-    spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.core.Tables.normalizeEventsTs(
+      spark.readStream
+        .schema(physical)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** Multi-batch streaming source: the staged time-ordered copy of the
@@ -217,11 +230,10 @@ object EventsStream {
     val n = spark.conf.get(ReplayFilesConf, "2").toInt
     val staged = stagedEventsDir(spark, dir, n)
     spark.readStream
-      .schema(rawSchema)
+      .schema(stagedSchema)
       .option("pathGlobFilter", "part-*")
       .option("maxFilesPerTrigger", "1")
       .parquet(staged)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Multi-batch streaming source with DUPLICATE DELIVERIES: every 7th event
@@ -235,11 +247,10 @@ object EventsStream {
     val staged = stagedEventsDir(spark, dir, n, variant = "dup7",
       xform = raw => raw.unionAll(raw.filter(col("event_id") % 7 === 0)))
     spark.readStream
-      .schema(rawSchema)
+      .schema(stagedSchema)
       .option("pathGlobFilter", "part-*")
       .option("maxFilesPerTrigger", "1")
       .parquet(staged)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Hourly tumbling aggregate, identical to the batch
@@ -1079,7 +1090,11 @@ object EventsStream {
     val staged = stagedDirs.computeIfAbsent((s"$dir#cut$cutoffNanos", 2), _ => {
       val out = tempDir("graft_stream_staged_")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(s"$dir/events.parquet")
+      // normalized at staging like stagedEventsDir; the nanos cutoff (API
+      // kept in the source's native unit) compares against canonical µs
+      val raw = graft.core.Tables.normalizeEventsTs(
+        spark.read.parquet(s"$dir/events.parquet"))
+      val cutoff = timestamp_micros(lit(Math.floorDiv(cutoffNanos, 1000L)))
       def writeOne(df: DataFrame, name: String): Unit = {
         val tmp = tempDir("graft_stream_cutpart_")
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -1094,17 +1109,16 @@ object EventsStream {
             java.nio.file.StandardCopyOption.REPLACE_EXISTING))
       }
       new java.io.File(out).mkdirs()
-      writeOne(raw.filter(col("ts") < cutoffNanos), "part-00000-pre.parquet")
-      writeOne(raw.filter(col("ts") >= cutoffNanos), "part-00001-post.parquet")
+      writeOne(raw.filter(col("ts") < cutoff), "part-00000-pre.parquet")
+      writeOne(raw.filter(col("ts") >= cutoff), "part-00001-post.parquet")
       orderStagedFiles(out)
       out
     })
     spark.readStream
-      .schema(rawSchema)
+      .schema(stagedSchema)
       .option("pathGlobFilter", "part-*")
       .option("maxFilesPerTrigger", "1")
       .parquet(staged)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** ST14: CDC changelog EMISSION from the manifest-committed upsert state —
