@@ -128,6 +128,25 @@ object SparkEntry {
         "WHERE i * 1.0 / u >= 0.6 " +
         "AND (a_id IN (SELECT doc_id FROM d) OR b_id IN (SELECT doc_id FROM d))")
 
+  /** Recursive-CTE connected-components truth over the brute-force J>=0.6
+    * near-dup pair set — min reachable id = cluster id. Shared by d7
+    * (min-label propagation) and d13 (alternating star operations): two
+    * distributed algorithms, one answer.
+    */
+  private val ccClustersOracleSql: String =
+    "WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+      "sh AS (SELECT doc_id, list(DISTINCT s) AS ss, count(DISTINCT s) AS n FROM (" +
+      "SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s " +
+      "FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)) GROUP BY doc_id), " +
+      "p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM sh a JOIN sh b " +
+      "ON a.doc_id < b.doc_id AND len(list_intersect(a.ss, b.ss)) * 1.0 / " +
+      "(a.n + b.n - len(list_intersect(a.ss, b.ss))) >= 0.6), " +
+      "e AS (SELECT a_id AS src, b_id AS dst FROM p UNION ALL SELECT b_id, a_id FROM p), " +
+      "reach(id, r) AS (SELECT doc_id, doc_id FROM documents " +
+      "UNION SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id) " +
+      "SELECT id, min(r) AS cluster_id, " +
+      "CAST(id = min(r) AS INT) AS is_survivor FROM reach GROUP BY id"
+
   /** Deterministic boilerplate injection shared by the d10 and p3 fixtures
     * (the synthetic docs are single-paragraph; these appended footers are
     * the cross-document repeats paragraph dedup exists to strip). The Spark
@@ -228,7 +247,8 @@ object SparkEntry {
     * iteration against it.
     */
   val memoWarm: Set[String] =
-    Set("d7_dedup_clusters", "d8_clean_corpus", "d9_incremental_dedup",
+    Set("d7_dedup_clusters", "d13_cc_twophase", "d8_clean_corpus",
+      "d9_incremental_dedup",
       "k6_beam_search", "g1_pagerank",
       // g2 shares g1's prebuilt edge memo (g1 sorts first and pays it)
       "g2_personalized_pagerank")
@@ -640,6 +660,13 @@ object SparkEntry {
     // Stage reuse: d7 clusters d2's memoized pair set; d8 joins d7's memoized
     // clusters — one pipeline, evaluated once.
     "d7_dedup_clusters" -> ((s, dir) => dedupClusters(s, dir)),
+    // The O(log n)-round CC (alternating star operations) over the same
+    // memoized pair set — the algorithm for duplicate CHAINS whose diameter
+    // defeats bounded-round label propagation; same truth as d7.
+    "d13_cc_twophase" -> ((s, dir) =>
+      graft.operators.Dedup.clustersTwoPhase(
+        t(s, dir, "documents").select(col("doc_id").as("id")),
+        minHashPairs(s, dir).select("a_id", "b_id"))),
     // The pipeline's end product: the corpus with one representative kept
     // per near-dup cluster (ingest -> detect -> cluster -> clean).
     "d8_clean_corpus" -> ((s, dir) => {
@@ -2138,19 +2165,11 @@ object SparkEntry {
     },
     // Recursive-CTE connected components over the same brute-force J>=0.6
     // pair set d2 is gated on; min reachable id = cluster id.
-    "d7_dedup_clusters" ->
-      ("WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
-        "sh AS (SELECT doc_id, list(DISTINCT s) AS ss, count(DISTINCT s) AS n FROM (" +
-        "SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s " +
-        "FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)) GROUP BY doc_id), " +
-        "p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM sh a JOIN sh b " +
-        "ON a.doc_id < b.doc_id AND len(list_intersect(a.ss, b.ss)) * 1.0 / " +
-        "(a.n + b.n - len(list_intersect(a.ss, b.ss))) >= 0.6), " +
-        "e AS (SELECT a_id AS src, b_id AS dst FROM p UNION ALL SELECT b_id, a_id FROM p), " +
-        "reach(id, r) AS (SELECT doc_id, doc_id FROM documents " +
-        "UNION SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id) " +
-        "SELECT id, min(r) AS cluster_id, " +
-        "CAST(id = min(r) AS INT) AS is_survivor FROM reach GROUP BY id"),
+    "d7_dedup_clusters" -> ccClustersOracleSql,
+    // d13 answers the SAME question as d7 through a different distributed
+    // algorithm (alternating star operations vs min-label propagation) —
+    // identical truth, so identical oracle.
+    "d13_cc_twophase" -> ccClustersOracleSql,
     "d8_clean_corpus" ->
       ("WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
         "sh AS (SELECT doc_id, list(DISTINCT s) AS ss, count(DISTINCT s) AS n FROM (" +

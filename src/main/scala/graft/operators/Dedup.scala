@@ -896,7 +896,9 @@ object Dedup {
     * id — deterministic, and each round is one broadcast-free equi-join +
     * partial-min aggregation (the standard large-graph CC shape; diameter
     * of near-dup clusters is tiny in practice, `maxIter` caps pathology).
-    * Survivor = the row whose id IS its cluster id.
+    * Survivor = the row whose id IS its cluster id. For graphs whose
+    * diameter may EXCEED the round budget (gradually-drifting duplicate
+    * chains), use [[clustersTwoPhase]] — O(log n) rounds on any topology.
     */
   def clusters(
       vertices: DataFrame, // one column: id
@@ -917,12 +919,19 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min("label").as("nlabel"))
+      // the previous label rides INSIDE the checkpointed frame, so the
+      // convergence probe is a local scan of the checkpoint blocks — the
+      // old formulation re-joined two O(V) checkpointed frames every round
+      // just to count changes, a per-round shuffle that grows with the
+      // vertex set (noise at sf0.1, real at corpus scale)
       val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .select(
+          col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          col("label").as("old"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      val changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select("id", "label")
       converged = changed == 0L
       iter += 1
     }
@@ -930,6 +939,87 @@ object Dedup {
       col("id"),
       col("label").as("cluster_id"),
       (col("id") === col("label")).cast("int").as("is_survivor"))
+  }
+
+  /** Connected components by ALTERNATING STAR OPERATIONS (Kiveris et al.
+    * 2014, "Connected Components in MapReduce and Beyond" — the industrial
+    * CC for graphs whose diameter is NOT small): converges in O(log n)
+    * rounds on ANY graph, where [[clusters]]' min-label propagation needs
+    * diameter rounds — a duplicate CHAIN (doc A ≈ B ≈ C ≈ … — common when
+    * a template drifts gradually across a crawl) defeats a bounded-round
+    * label propagation but not this.
+    *
+    * Each round rewires the edge set toward rooted stars:
+    *  - large-star: every node u computes m = min(Γ(u) ∪ {u}) over its FULL
+    *    neighborhood and re-parents its LARGER neighbors to m — emit
+    *    (v, m) for v ∈ Γ(u), v > u;
+    *  - small-star: every node u re-parents its smaller-or-equal closure —
+    *    over S = {v ∈ Γ(u) : v < u} ∪ {u}, emit (v, m) for v ∈ S \ {m}.
+    * Both are one groupBy-min + one equi-join on the node id — partial
+    * aggregation collapses high-degree neighborhoods map-side, and no step
+    * ever materializes a neighborhood list in one task. Fixed point = the
+    * edge set is a union of stars (every member points at its component
+    * min), checked EXACTLY with a symmetric `exceptAll` count.
+    *
+    * Same output contract as [[clusters]]: (id, cluster_id, is_survivor),
+    * survivor = the component-minimum id. The two implementations are
+    * interchangeable; spec-pinned equal on near-dup pair sets, and this one
+    * additionally solves the high-diameter graphs the bounded-round
+    * propagation cannot (also spec-pinned, on a 64-node path).
+    */
+  def clustersTwoPhase(
+      vertices: DataFrame, // one column: id
+      pairs: DataFrame,    // columns: a_id, b_id
+      maxIter: Int = 25): DataFrame = {
+    // canonical parent orientation (u, v): u > v, self-loops dropped
+    var edges = pairs
+      .filter(col("a_id") =!= col("b_id"))
+      .select(
+        greatest(col("a_id"), col("b_id")).as("u"),
+        least(col("a_id"), col("b_id")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = edges.isEmpty
+    while (iter < maxIter && !converged) {
+      // large-star over the full (symmetric) neighborhood
+      val adj = edges.select(col("u").as("x"), col("v").as("y"))
+        .unionByName(edges.select(col("v").as("x"), col("u").as("y")))
+      val mins = adj.groupBy("x").agg(min("y").as("mn"))
+        .select(col("x"), least(col("x"), col("mn")).as("m"))
+      val large = adj.join(mins, "x")
+        .filter(col("y") > col("x"))
+        .select(col("y").as("u"), col("m").as("v"))
+        .distinct()
+        .localCheckpoint(true)
+      // small-star over each node's smaller-neighbor closure (the parent
+      // edges alone carry exactly that: (u, v) with v < u)
+      val sMins = large.groupBy("u").agg(min("v").as("m"))
+      val small = large.join(sMins, "u")
+        .select(col("u"), col("v"), col("m"))
+        // re-parent u itself and every smaller neighbor except the min
+        .select(
+          explode(array(
+            struct(col("u").as("a"), col("m").as("b")),
+            struct(col("v").as("a"), col("m").as("b")))).as("e"))
+        .select(col("e.a").as("u"), col("e.b").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+      val changed =
+        small.exceptAll(edges).count() + edges.exceptAll(small).count()
+      edges = small
+      converged = changed == 0L
+      iter += 1
+    }
+    // at the fixed point the edge set is a union of stars: (member, root)
+    val roots = edges.groupBy(col("u").as("id")).agg(min("v").as("label"))
+    vertices.join(roots, Seq("id"), "left")
+      .select(
+        col("id"),
+        coalesce(col("label"), col("id")).as("cluster_id"),
+        (coalesce(col("label"), col("id")) === col("id")).cast("int")
+          .as("is_survivor"))
   }
 
   /** Deterministic near-dup fixture: the embeddings table ∪ a slightly

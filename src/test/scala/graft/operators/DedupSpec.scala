@@ -154,6 +154,40 @@ class DedupSpec extends SparkSpec {
       (5L, 5L, 1), (6L, 5L, 0), (9L, 9L, 1)))
   }
 
+  test("clustersTwoPhase equals clusters on near-dup-shaped pair sets") {
+    import spark.implicits._
+    val verts = Seq(1L, 2L, 3L, 5L, 6L, 9L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")
+    val a = Dedup.clusters(verts, pairs)
+    val b = Dedup.clustersTwoPhase(verts, pairs)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // with duplicate/reversed/self pairs thrown in — same answer
+    val messy = pairs.unionByName(
+      Seq((2L, 1L), (3L, 3L), (6L, 5L)).toDF("a_id", "b_id"))
+    val c = Dedup.clustersTwoPhase(verts, messy)
+    assert(a.exceptAll(c).isEmpty && c.exceptAll(a).isEmpty)
+  }
+
+  test("clustersTwoPhase solves the high-diameter chain bounded-round propagation cannot") {
+    import spark.implicits._
+    // a 64-node path: diameter 63. Min-label propagation moves the minimum
+    // one hop per round, so 15 rounds CANNOT finish it — the alternating
+    // star algorithm converges in O(log n) rounds and must.
+    val n = 64
+    val verts = (0L until n.toLong).toDF("id")
+    val pairs = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val two = Dedup.clustersTwoPhase(verts, pairs)
+    assert(two.filter(col("cluster_id") =!= 0L).count() == 0L,
+      "two-phase CC failed to collapse the chain to its minimum")
+    assert(two.filter(col("is_survivor") === 1).count() == 1L)
+    // pin the MOTIVATION: the bounded-round label propagation really does
+    // leave the far end of the chain unconverged (if this ever starts
+    // passing, clusters() gained rounds and the two ops should be re-tiered)
+    val propagated = Dedup.clusters(verts, pairs)
+    assert(propagated.filter(col("cluster_id") =!= 0L).count() > 0L,
+      "clusters(maxIter=15) unexpectedly solved a 63-diameter chain")
+  }
+
   test("blocked ngram jaccard joins only within blocks") {
     val out = Dedup.blockedNgramJaccard(docs)
     // every returned pair shares lang+source by construction; spot-check plan
