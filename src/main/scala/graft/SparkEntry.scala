@@ -973,6 +973,13 @@ object SparkEntry {
     "k1_topk_cosine" -> ((s, dir) =>
       graft.operators.Similarity.topKCosine(
         t(s, dir, "embeddings"), queryIds = Seq(0L, 1L, 2L), k = 10)),
+    // Exact MIPS through the norm-augmentation reduction to cosine: the
+    // corpus is reweighted to non-unit norms (id-mod-7 scale), one extra
+    // sqrt(M^2-|x|^2) component makes every corpus norm constant, and the
+    // K1 cosine machinery answers inner-product search unchanged.
+    "k12_mips_topk" -> ((s, dir) =>
+      graft.operators.Similarity.mipsTopK(
+        t(s, dir, "embeddings"), queryIds = Seq(0L, 1L, 2L), k = 10)),
     // Approximate-by-design (LSH candidate subset) but fully DETERMINISTIC:
     // the hyperplanes are md5-derived signs, so DuckDB reproduces the exact
     // bucket→candidate→re-rank pipeline and the result is value-oracle-gated.
@@ -2581,6 +2588,26 @@ object SparkEntry {
         "sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cos " +
         "FROM v, q WHERE v.vec_id != q.query_id) " +
         "SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank FROM (" +
+        "SELECT query_id, neighbor_id, cos, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank " +
+        "FROM s) WHERE rank <= 10"),
+    // k12: the MIPS reduction replayed in SQL — weighted vectors, corpus-max
+    // squared norm, the sqrt(M^2-|x|^2) augmentation, 65-dim cosine (the
+    // query's 65th component is 0, so its term adds exactly 0.0 in both
+    // engines), ranked per query. Same fold/round conventions as k1.
+    "k12_mips_topk" ->
+      ("WITH w AS (SELECT vec_id, list_transform(embedding, " +
+        "x -> CAST(x AS DOUBLE) * (1.0 + CAST(vec_id % 7 AS DOUBLE))) AS v FROM embeddings), " +
+        "n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS n2 FROM w), " +
+        "m AS (SELECT max(n2) AS m2 FROM n), " +
+        "a AS (SELECT vec_id, list_append(v, sqrt(greatest(0.0, m.m2 - n2))) AS va FROM n, m), " +
+        "q AS (SELECT vec_id AS query_id, list_append(v, 0.0) AS qv FROM w WHERE vec_id < 3), " +
+        "s AS (SELECT q.query_id, a.vec_id AS neighbor_id, " +
+        "list_sum(list_transform(generate_series(1, 65), i -> a.va[i] * q.qv[i])) / " +
+        "(sqrt(list_sum(list_transform(a.va, x -> x * x))) * " +
+        "sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cos " +
+        "FROM a, q WHERE a.vec_id != q.query_id) " +
+        "SELECT query_id, neighbor_id, round(cos, 6) AS mips_cos, rank FROM (" +
         "SELECT query_id, neighbor_id, cos, " +
         "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank " +
         "FROM s) WHERE rank <= 10"),

@@ -79,6 +79,55 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** K12: exact Maximum-Inner-Product Search (MIPS) — the retrieval/
+    * recommendation scoring problem, where the answer is argmax ⟨q, x⟩ and
+    * vector NORMS matter (a long vector beats a well-aligned short one) —
+    * via the norm-augmentation reduction to cosine (Bachrach et al. 2014;
+    * Shrivastava & Li 2014 L2-ALSH lineage): append one component
+    * `sqrt(M² − |x|²)` to every corpus vector (M = max corpus norm, one
+    * bounded aggregate) and `0` to the query. Every augmented corpus
+    * vector then has CONSTANT norm M, so augmented-cosine order ≡ raw
+    * inner-product order — and the whole cosine stack (LSH/IVF/PQ buckets,
+    * K2–K10) answers MIPS unchanged on the augmented vectors. Here the
+    * exact leg runs (queries broadcast, map-only scoring, bounded top-k
+    * aggregate — the K1 shape), ranking BY the augmented cosine to
+    * exercise the reduction for real; the spec pins that this order equals
+    * direct-dot order and differs from plain cosine on non-unit norms.
+    *
+    * `weightExpr` (over `id`) rescales the unit-norm fixture vectors so
+    * the corpus has genuinely diverse norms — without it MIPS degenerates
+    * to cosine and the reduction is untestable.
+    *
+    * Output: (query_id, neighbor_id, mips_cos, rank) — one map-only
+    * scoring pass, bounded top-k aggregate, no join-back. The reported
+    * score is the augmented cosine (monotone in ⟨q, x⟩: the raw inner
+    * product is `mips_cos · M · |q|`), rounded like K1's.
+    */
+  def mipsTopK(
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      k: Int = 10,
+      weightExpr: String = "1.0D + CAST(id % 7 AS DOUBLE)"): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val raw = asVectors(embeddings)
+      .withColumn("v", expr(s"transform(v, x -> x * ($weightExpr))"))
+    // M²: one bounded aggregate reduced to a scalar (like the centroid/
+    // strata collects — never a data collect)
+    val m2 = raw.agg(max(expr("graft_dot(v, v)"))).head().getDouble(0)
+    val aug = raw.select(
+      col("id"),
+      expr(s"array_append(v, sqrt(greatest(0.0D, $m2 - graft_dot(v, v))))")
+        .as("v"))
+    val q = broadcast(
+      raw.filter(col("id").isin(queryIds: _*))
+        .select(
+          col("id").as("query_id"),
+          expr("array_append(v, 0.0D)").as("qv")))
+    rankTopK(cosineCols(
+        aug.crossJoin(q).filter(col("id") =!= col("query_id"))), k)
+      .withColumnRenamed("cosine", "mips_cos")
+  }
+
   /** Exact cosine re-rank of (query_id, id) candidate pairs → top-k. */
   private def rerank(cand: DataFrame, v: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
     val q = broadcast(

@@ -168,6 +168,23 @@ class DedupSpec extends SparkSpec {
     assert(a.exceptAll(c).isEmpty && c.exceptAll(a).isEmpty)
   }
 
+  test("clustersTwoPhase equals converged min-label propagation on random graphs (fixed seed)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 4) {
+      val n = 20 + rnd.nextInt(20)
+      val verts = (0L until n.toLong).toDF("id")
+      val pairs = (1 to n * 2).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter(p => p._1 != p._2).toDF("a_id", "b_id")
+      // maxIter = n: propagation provably converges within diameter < n
+      val a = Dedup.clusters(verts, pairs, maxIter = n)
+      val b = Dedup.clustersTwoPhase(verts, pairs)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"CC algorithms disagree on random graph trial $trial (n=$n)")
+    }
+  }
+
   test("clustersTwoPhase solves the high-diameter chain bounded-round propagation cannot") {
     import spark.implicits._
     // a 64-node path: diameter 63. Min-label propagation moves the minimum

@@ -20,6 +20,36 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("MIPS reduction: augmented-cosine selection equals direct inner-product ranking") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val out = Similarity.mipsTopK(emb, queries, k = 10).cache()
+    // direct truth: brute-force inner product over the same weighted corpus
+    val w = Similarity.asVectors(emb)
+      .withColumn("v", expr("transform(v, x -> x * (1.0D + CAST(id % 7 AS DOUBLE)))"))
+    val q = broadcast(w.filter(col("id").isin(queries: _*))
+      .select(col("id").as("query_id"), col("v").as("qv")))
+    val want = w.crossJoin(q).filter(col("id") =!= col("query_id"))
+      .withColumn("dot", expr("graft_dot(v, qv)"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("dot").desc, col("id"))))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"))
+    val got = out.select("query_id", "neighbor_id", "rank")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "augmented-cosine order diverged from inner-product order")
+  }
+
+  test("MIPS differs from cosine top-k on a non-unit-norm corpus (norms matter)") {
+    val mips = Similarity.mipsTopK(emb, queries, k = 10)
+      .select("query_id", "neighbor_id")
+    val cos = Similarity.topKCosine(emb, queries, k = 10)
+      .select("query_id", "neighbor_id")
+    assert(mips.exceptAll(cos).count() > 0,
+      "MIPS selection identical to cosine selection — weighted fixture is not exercising norms")
+  }
+
   test("exact top-k scoring is broadcast + map-only: no corpus-side shuffle join") {
     val plan = Similarity.topKCosine(emb, queries).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
