@@ -980,6 +980,12 @@ object SparkEntry {
     "k12_mips_topk" -> ((s, dir) =>
       graft.operators.Similarity.mipsTopK(
         t(s, dir, "embeddings"), queryIds = Seq(0L, 1L, 2L), k = 10)),
+    // The same augmentation feeding the K2 LSH index: approximate MIPS,
+    // bucket-bounded candidates, exact re-rank against the 0-appended
+    // query. Deterministic md5 hyperplanes -> value-oracle-gated like k2.
+    "k12b_mips_ann" -> ((s, dir) =>
+      graft.operators.Similarity.mipsAnnTopK(
+        t(s, dir, "embeddings"), queryIds = Seq(0L, 1L, 2L), k = 10)),
     // Approximate-by-design (LSH candidate subset) but fully DETERMINISTIC:
     // the hyperplanes are md5-derived signs, so DuckDB reproduces the exact
     // bucket→candidate→re-rank pipeline and the result is value-oracle-gated.
@@ -2610,6 +2616,36 @@ object SparkEntry {
         "SELECT query_id, neighbor_id, round(cos, 6) AS mips_cos, rank FROM (" +
         "SELECT query_id, neighbor_id, cos, " +
         "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank " +
+        "FROM s) WHERE rank <= 10"),
+    // k12b: the k2 LSH replay over AUGMENTED (65-dim, constant-norm)
+    // vectors — signatures from the corpus-augmented form, re-rank cosine
+    // against the 0-appended query (the corpus-augmented query form would
+    // add a cross-term and corrupt the inner-product order).
+    "k12b_mips_ann" ->
+      ("WITH w AS (SELECT vec_id AS id, list_transform(embedding, " +
+        "x -> CAST(x AS DOUBLE) * (1.0 + CAST(vec_id % 7 AS DOUBLE))) AS v FROM embeddings), " +
+        "n AS (SELECT id, v, list_sum(list_transform(v, x -> x * x)) AS n2 FROM w), " +
+        "m AS (SELECT max(n2) AS m2 FROM n), " +
+        "a AS (SELECT id, list_append(v, sqrt(greatest(0.0, m.m2 - n2))) AS va FROM n, m), " +
+        "hp AS (SELECT b, d, CASE WHEN substr(md5(CAST(b AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1) < '8' " +
+        "THEN 1.0 ELSE -1.0 END AS sign " +
+        "FROM generate_series(0, 71) t(b), generate_series(0, 64) u(d)), " +
+        "bits AS (SELECT id, b, CASE WHEN sum(CAST(floor(sign * a.va[d + 1] * 10000000) AS BIGINT)) >= 0 " +
+        "THEN '1' ELSE '0' END AS bit FROM a, hp GROUP BY id, b), " +
+        "bands AS (SELECT id, b // 4 AS band, string_agg(bit, '' ORDER BY b) AS bkey " +
+        "FROM bits GROUP BY id, band), " +
+        "qb AS (SELECT id AS query_id, band, bkey FROM bands WHERE id < 3), " +
+        "cand AS (SELECT DISTINCT qb.query_id, bd.id FROM bands bd " +
+        "JOIN qb ON bd.band = qb.band AND bd.bkey = qb.bkey WHERE bd.id != qb.query_id), " +
+        "q0 AS (SELECT id AS query_id, list_append(v, 0.0) AS qv FROM w WHERE id < 3), " +
+        "s AS (SELECT c.query_id, c.id, " +
+        "list_sum(list_transform(generate_series(1, 65), i -> av.va[i] * q0.qv[i])) / " +
+        "(sqrt(list_sum(list_transform(av.va, x -> x * x))) * " +
+        "sqrt(list_sum(list_transform(q0.qv, x -> x * x)))) AS cos " +
+        "FROM cand c JOIN a av ON c.id = av.id JOIN q0 ON c.query_id = q0.query_id) " +
+        "SELECT query_id, neighbor_id, round(cos, 6) AS mips_cos, rank FROM (" +
+        "SELECT query_id, id AS neighbor_id, cos, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rank " +
         "FROM s) WHERE rank <= 10"),
     // k2: full LSH pipeline replayed in SQL — the hyperplane sign matrix is
     // md5-derived (first hex digit of md5("bit_dim") < '8' ⇒ +1, else −1,

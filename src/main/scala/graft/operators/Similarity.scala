@@ -128,6 +128,52 @@ object Similarity {
       .withColumnRenamed("cosine", "mips_cos")
   }
 
+  /** K12b: APPROXIMATE MIPS — the [[mipsTopK]] augmentation feeding the K2
+    * LSH stack unchanged, which is the entire point of the reduction: once
+    * every corpus vector has constant norm, inner-product search IS cosine
+    * search, and the hyperplane band index (md5-derived signs, engine-
+    * replayable) bounds the candidate set exactly as for K2.
+    *
+    * One asymmetry matters: bucket signatures come from the CONSTANT-NORM
+    * augmented corpus vectors (the queries are corpus rows, so they bucket
+    * by their corpus-augmented form), but the exact re-rank scores
+    * candidates against the 0-APPENDED query — scoring with the query's
+    * corpus-augmented form would add a sqrt(M²−|q|²)·sqrt(M²−|x|²)
+    * cross-term and corrupt the inner-product order.
+    *
+    * Same candidate-volume/recall trade as K2 via (bits, bands); scoring is
+    * bucket-bounded, never |corpus|.
+    */
+  def mipsAnnTopK(
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      k: Int = 10,
+      bits: Int = 72,
+      bands: Int = 18,
+      dim: Int = 64,
+      weightExpr: String = "1.0D + CAST(id % 7 AS DOUBLE)"): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val raw = asVectors(embeddings)
+      .withColumn("v", expr(s"transform(v, x -> x * ($weightExpr))"))
+    val m2 = raw.agg(max(expr("graft_dot(v, v)"))).head().getDouble(0)
+    val aug = raw.select(
+      col("id"),
+      expr(s"array_append(v, sqrt(greatest(0.0D, $m2 - graft_dot(v, v))))")
+        .as("v"))
+    val banded = Dedup.signBands(aug, bits, bands, dim + 1)
+    val qb = broadcast(
+      banded.filter(col("id").isin(queryIds: _*))
+        .select(col("id").as("query_id"), col("band"), col("key")))
+    val cand = banded.join(qb, Seq("band", "key"))
+      .filter(col("id") =!= col("query_id"))
+      .select("query_id", "id").distinct()
+    val q0 = broadcast(
+      raw.filter(col("id").isin(queryIds: _*))
+        .select(col("id").as("query_id"), expr("array_append(v, 0.0D)").as("qv")))
+    rankTopK(cosineCols(cand.join(aug, "id").join(q0, "query_id")), k)
+      .withColumnRenamed("cosine", "mips_cos")
+  }
+
   /** Exact cosine re-rank of (query_id, id) candidate pairs → top-k. */
   private def rerank(cand: DataFrame, v: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
     val q = broadcast(

@@ -41,6 +41,18 @@ class SimilaritySpec extends SparkSpec {
       "augmented-cosine order diverged from inner-product order")
   }
 
+  test("approximate MIPS: recall@10 vs the exact MIPS baseline; never scores |corpus|") {
+    val exact = Similarity.mipsTopK(emb, queries, k = 10)
+      .select("query_id", "neighbor_id")
+    val ann = Similarity.mipsAnnTopK(emb, queries, k = 10)
+      .select("query_id", "neighbor_id")
+    val hit = exact.intersect(ann).count()
+    val total = exact.count()
+    assert(total == 30)
+    val recall = hit.toDouble / total
+    assert(recall >= 0.5, s"approximate-MIPS recall@10 = $recall below floor")
+  }
+
   test("MIPS differs from cosine top-k on a non-unit-norm corpus (norms matter)") {
     val mips = Similarity.mipsTopK(emb, queries, k = 10)
       .select("query_id", "neighbor_id")
