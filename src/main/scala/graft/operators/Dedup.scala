@@ -959,7 +959,11 @@ object Dedup {
     * aggregation collapses high-degree neighborhoods map-side, and no step
     * ever materializes a neighborhood list in one task. Fixed point = the
     * edge set is a union of stars (every member points at its component
-    * min), checked EXACTLY with a symmetric `exceptAll` count.
+    * min). Convergence is probed cheaply first — (count, xxhash64-sum) of
+    * the edge set, one aggregate job; fingerprint INEQUALITY proves set
+    * inequality, so rounds that are still moving pay no join — and only a
+    * fingerprint MATCH runs the exact symmetric `exceptAll` confirmation,
+    * once, at the end.
     *
     * Same output contract as [[clusters]]: (id, cluster_id, is_survivor),
     * survivor = the component-minimum id. The two implementations are
@@ -979,6 +983,18 @@ object Dedup {
         least(col("a_id"), col("b_id")).as("v"))
       .distinct()
       .localCheckpoint(true)
+    // set fingerprint: (count, XOR of per-edge xxhash64) — XOR is
+    // associative/commutative and cannot overflow (the edge frames are
+    // `distinct`, so XOR-cancellation of repeats is moot). Inequality
+    // PROVES the sets differ (so no exact check is needed while the
+    // algorithm is still moving); equality is confirmed exactly below.
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.agg(
+        count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var edgesFp = fingerprint(edges)
     var iter = 0
     var converged = edges.isEmpty
     while (iter < maxIter && !converged) {
@@ -1006,10 +1022,11 @@ object Dedup {
         .filter(col("u") =!= col("v"))
         .distinct()
         .localCheckpoint(true)
-      val changed =
-        small.exceptAll(edges).count() + edges.exceptAll(small).count()
+      val smallFp = fingerprint(small)
+      converged = smallFp == edgesFp &&
+        small.exceptAll(edges).count() + edges.exceptAll(small).count() == 0L
       edges = small
-      converged = changed == 0L
+      edgesFp = smallFp
       iter += 1
     }
     // at the fixed point the edge set is a union of stars: (member, root)

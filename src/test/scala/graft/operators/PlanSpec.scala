@@ -103,6 +103,13 @@ class PlanSpec extends SparkSpec {
       s"query side not broadcast:\n$p")
   }
 
+  test("k12 MIPS scoring is broadcast + map-only like k1: no corpus-side shuffle join") {
+    val p = plan("k12_mips_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for MIPS scoring:\n$p")
+  }
+
   test("d9 incremental dedup plans equi-joins only — no cartesian, no BNLJ") {
     val p = plan("d9_incremental_dedup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
