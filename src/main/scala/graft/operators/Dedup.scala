@@ -974,7 +974,7 @@ object Dedup {
   def clustersTwoPhase(
       vertices: DataFrame, // one column: id
       pairs: DataFrame,    // columns: a_id, b_id
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 50): DataFrame = {
     // canonical parent orientation (u, v): u > v, self-loops dropped
     var edges = pairs
       .filter(col("a_id") =!= col("b_id"))
@@ -1029,6 +1029,13 @@ object Dedup {
       edgesFp = smallFp
       iter += 1
     }
+    // labels below are only valid AT the fixed point (edge set = union of
+    // stars). Exhausting the round budget without converging must be LOUD:
+    // emitting labels from a half-rewired edge set silently mis-clusters.
+    // The default budget (50 ≫ the O(log n) bound for any feasible vertex
+    // count) means this fires only on a genuine bug, not on big data.
+    if (!converged) throw new IllegalStateException(
+      s"clustersTwoPhase did not reach its fixed point in $maxIter rounds")
     // at the fixed point the edge set is a union of stars: (member, root)
     val roots = edges.groupBy(col("u").as("id")).agg(min("v").as("label"))
     vertices.join(roots, Seq("id"), "left")

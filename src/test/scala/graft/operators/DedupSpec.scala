@@ -185,6 +185,18 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("clustersTwoPhase refuses to emit labels from an unconverged edge set") {
+    import spark.implicits._
+    // labels are only valid at the star fixed point — a budget too small to
+    // get there must fail loudly, never silently mis-cluster
+    val verts = (0L until 16L).toDF("id")
+    val pairs = (0L until 15L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val e = intercept[IllegalStateException] {
+      Dedup.clustersTwoPhase(verts, pairs, maxIter = 1)
+    }
+    assert(e.getMessage.contains("fixed point"))
+  }
+
   test("clustersTwoPhase solves the high-diameter chain bounded-round propagation cannot") {
     import spark.implicits._
     // a 64-node path: diameter 63. Min-label propagation moves the minimum
