@@ -406,6 +406,12 @@ object SparkEntry {
     }),
     // Time-RANGE moving window (trailing 30-day revenue) — the event-time
     // frame a15's ROWS prefix sum can't express.
+    // Rolling distinct actives (DAU over a trailing 7-day window): the
+    // set shape a RANGE window frame cannot express — distinct (day, user)
+    // pairs fan out to the window days they serve, one count(DISTINCT) per
+    // day, clipped to days that exist.
+    "a28_rolling_actives" -> ((s, dir) =>
+      graft.operators.Analytics.rollingActiveUsers(t(s, dir, "events"))),
     "a23_trailing_revenue" -> ((s, dir) =>
       graft.operators.Analytics.trailingRevenue(t(s, dir, "orders"))),
     "a13_price_quantiles" -> ((s, dir) =>
@@ -877,6 +883,11 @@ object SparkEntry {
     // Deterministic md5-bucket train/val/test split (80/10/10).
     "x11_hash_split" -> ((s, dir) =>
       graft.operators.TextAnalysis.hashSplit(t(s, dir, "documents"))),
+    // Leakage-safe variant: the same md5-threshold rule on the GROUP key,
+    // so a whole source/domain lands in one split (near-dups cluster
+    // within domains; an id-hashed split leaks them across the boundary).
+    "x23_grouped_split" -> ((s, dir) =>
+      graft.operators.TextAnalysis.groupedSplit(t(s, dir, "documents"))),
     // Concat-and-chunk sequence packing into 2048-token bins, per shard —
     // budgeted in TRUE x22 BPE tokens, not the whitespace approximation.
     "x12_seq_pack" -> ((s, dir) => {
@@ -1687,6 +1698,14 @@ object SparkEntry {
         "count(*) AS n, " +
         "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_centi " +
         "FROM orders GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())"),
+    // a28: trailing 7-day distinct actives — distinct (day, user) pairs,
+    // day set, banded join, count(DISTINCT) per day.
+    "a28_rolling_actives" ->
+      ("WITH p AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events), " +
+        "d AS (SELECT DISTINCT day FROM p) " +
+        "SELECT d.day AS day, count(DISTINCT p.user_id) AS active_users " +
+        "FROM d JOIN p ON p.day <= d.day AND p.day >= d.day - 6 " +
+        "GROUP BY d.day"),
     // a23: numeric range frame over epoch-micros (identical frame in both
     // engines); centi-quantized integer sum (associative, order-free).
     "a23_trailing_revenue" ->
@@ -2479,6 +2498,14 @@ object SparkEntry {
         "WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) * 100 " +
         "< 80 * 4294967296 THEN 'train' " +
         "WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) * 100 " +
+        "< 90 * 4294967296 THEN 'val' ELSE 'test' END AS split FROM documents"),
+    // x23: x11's threshold rule keyed on source — one hash decision per
+    // GROUP, broadcast to its documents.
+    "x23_grouped_split" ->
+      ("SELECT doc_id, source, CASE " +
+        "WHEN CAST(concat('0x', substr(md5(CAST(source AS VARCHAR)), 1, 8)) AS BIGINT) * 100 " +
+        "< 80 * 4294967296 THEN 'train' " +
+        "WHEN CAST(concat('0x', substr(md5(CAST(source AS VARCHAR)), 1, 8)) AS BIGINT) * 100 " +
         "< 90 * 4294967296 THEN 'val' ELSE 'test' END AS split FROM documents"),
     // x12: packing re-gated on TRUE x22 BPE tokens — the full train+encode
     // replay feeds the same windowed offsets as before.

@@ -497,6 +497,42 @@ object Analytics {
         .as("trailing_centi"))
   }
 
+  /** A28: trailing-window COUNT DISTINCT — rolling active users (the DAU/
+    * WAU shape: for every day with events, how many distinct users were
+    * active in the trailing `days`-day window). SQL window frames cannot
+    * express DISTINCT over a RANGE frame, so the windowed formulation
+    * simply does not exist; the set shape has to be built:
+    *
+    *  1. one groupBy collapses raw events to distinct (day, user) pairs —
+    *     the ONLY pass over the events table, partial-agg collapsing
+    *     map-side (a user's thousandth event that day never shuffles);
+    *  2. each distinct pair fans out to the ≤`days` window-days it serves
+    *     (map-only `sequence` explode: rows ≈ pairs × days, bounded by the
+    *     window length, never events × days);
+    *  3. one count(DISTINCT user) per window day, clipped by a semi-join
+    *     to days that actually have events (no phantom trailing days past
+    *     the data's edge).
+    *
+    * At 100 TB the shuffles carry (day, user) pairs and their ×`days`
+    * fan-out — both orders of magnitude below the raw event volume.
+    */
+  def rollingActiveUsers(events: DataFrame, days: Int = 7): DataFrame = {
+    require(days >= 1, s"window must be at least one day, got $days")
+    val pairs = events
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val daySet = pairs.select(col("day").as("window_day")).distinct()
+    pairs
+      .select(
+        explode(expr(s"sequence(day, date_add(day, ${days - 1}))"))
+          .as("window_day"),
+        col("user_id"))
+      .join(daySet, "window_day")
+      .groupBy("window_day")
+      .agg(countDistinct("user_id").as("active_users"))
+      .select(col("window_day").as("day"), col("active_users"))
+  }
+
   /** Footer-only table statistics: COUNT(*)/MIN/MAX answered from parquet
     * row-group metadata via aggregate pushdown — the scan reads footers, not
     * data pages. At 100 TB this is the difference between a multi-minute

@@ -346,6 +346,35 @@ object TextAnalysis {
                ELSE 'test' END""").as("split"))
   }
 
+  /** X23: LEAKAGE-SAFE grouped split — [[hashSplit]]'s md5-threshold rule
+    * applied to the GROUP key instead of the document id, so every document
+    * of one `source` (domain, site, crawl shard) lands in the SAME split.
+    * Near-duplicates cluster within a domain (templates, mirrors,
+    * syndication), so an id-hashed split leaks training content into the
+    * eval split through near-copies the X17 decontaminator then has to
+    * catch one by one; hashing the group closes the channel structurally —
+    * the standard grouped/leave-domain-out split for contamination-safe
+    * evaluation. Deterministic, engine-replayable, no RNG; realized split
+    * FRACTIONS are lumpier than X11's (the unit of assignment is a whole
+    * group), which is the accepted cost of the guarantee.
+    */
+  def groupedSplit(
+      docs: DataFrame,
+      trainPct: Int = 80,
+      valPct: Int = 10,
+      idCol: String = "doc_id",
+      groupCol: String = "source"): DataFrame = {
+    require(trainPct + valPct <= 100, "train + val must leave room for test")
+    val v =
+      s"CAST(conv(substring(md5(CAST($groupCol AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+    docs.select(
+      col(idCol),
+      col(groupCol),
+      expr(s"""CASE WHEN $v * 100 < ${trainPct}L * 4294967296L THEN 'train'
+               WHEN $v * 100 < ${trainPct + valPct}L * 4294967296L THEN 'val'
+               ELSE 'test' END""").as("split"))
+  }
+
   /** Sequence packing (GPT-style): concatenate each shard's documents in
     * id order and chop into fixed token-budget bins; a document's bin is
     * where its first token lands (documents may straddle bins, exactly like

@@ -21,6 +21,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.nonEmpty && rows.length <= 6) // |returnflag| x |linestatus|
   }
 
+  test("rollingActiveUsers: hand-checked trailing-7-day distinct counts on a tiny fixture") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.timestamp_micros
+    // users: u1 active day 1; u1,u2 day 3; u2 day 10 (a gap > window)
+    def ts(day: Int) = 1704067200000000L + day.toLong * 86400000000L // 2024-01-01 + day
+    val ev = Seq(
+      (ts(1), 1L), (ts(1), 1L), // same (day, user) twice: collapses
+      (ts(3), 1L), (ts(3), 2L),
+      (ts(10), 2L)
+    ).toDF("us", "user_id").select(timestamp_micros(col("us")).as("ts"), col("user_id"))
+    val out = Analytics.rollingActiveUsers(ev, days = 7).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // day 1: {u1}; day 3: {u1(d1), u1, u2} = {u1, u2}; day 10: window
+    // [day 4, day 10] sees only u2 — day-3 activity has aged out.
+    // (UTC session: epoch 2024-01-01 + N days.)
+    assert(out == Map(
+      "2024-01-02" -> 1L, "2024-01-04" -> 2L, "2024-01-11" -> 1L),
+      s"unexpected rolling counts: $out")
+    // only days WITH events appear — no phantom trailing days
+    assert(out.size == 3)
+  }
+
   test("KMV distinct sketch: exact under k, inside estimator error above k") {
     val ev = t("events")
     val exact = Analytics.distinctUsersPerType(ev)

@@ -8,6 +8,25 @@ class TextAnalysisSpec extends SparkSpec {
 
   private lazy val docs = Tables.load(spark, sf, "documents")
 
+  test("groupedSplit: every document of a source shares its split; rule matches hashSplit's thresholds") {
+    val out = TextAnalysis.groupedSplit(docs).cache()
+    assert(out.count() == docs.count())
+    // the leakage guarantee: one split per group
+    val perSource = out.groupBy("source")
+      .agg(countDistinct("split").as("n"))
+      .filter(col("n") =!= 1)
+    assert(perSource.count() == 0, "a source straddles splits")
+    assert(out.filter(!col("split").isin("train", "val", "test")).count() == 0)
+    // the split of each source equals hashSplit's decision for that key:
+    // same md5-threshold rule, keyed on the group
+    val srcAsId = docs.select(col("source").as("doc_id")).distinct()
+    val viaHash = TextAnalysis.hashSplit(srcAsId)
+      .select(col("doc_id").as("source"), col("split").as("want"))
+    val joined = out.select("source", "split").distinct().join(viaHash, "source")
+    assert(joined.filter(col("split") =!= col("want")).count() == 0,
+      "grouped split diverges from the hashSplit rule on the group key")
+  }
+
   test("textStats: token/char/distinct counts are internally consistent") {
     val out = TextAnalysis.textStats(docs).cache()
     assert(out.count() == docs.count())
