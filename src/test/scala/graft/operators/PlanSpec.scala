@@ -103,6 +103,19 @@ class PlanSpec extends SparkSpec {
       s"query side not broadcast:\n$p")
   }
 
+  test("a28 rolling actives: map-side partial aggregation, no cartesian") {
+    val p = plan("a28_rolling_actives")
+    // pairs collapse + final count(DISTINCT) both want partial/final pairs
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian leaked:\n$p")
+  }
+
+  test("k12b approximate MIPS: candidates from band equi-joins, no cartesian") {
+    val p = plan("k12b_mips_ann")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in the MIPS LSH candidate join:\n$p")
+  }
+
   test("k12 MIPS scoring is broadcast + map-only like k1: no corpus-side shuffle join") {
     val p = plan("k12_mips_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
