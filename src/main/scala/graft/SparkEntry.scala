@@ -762,7 +762,9 @@ object SparkEntry {
     "p6_dsir_pipeline" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       // localCheckpoint: the selection feeds the fluency stats, the gate
-      // join and the final pack — three consumers of one subtree
+      // join and the final pack — three consumers of one subtree; without
+      // materialization each would re-scan the documents table (3 corpus
+      // scans at scale for a budget-bounded 200-row frame)
       val selected = docs.join(
         graft.operators.TextAnalysis.importanceSelect(
           docs, "source = 'src0'", budget = 200).select("doc_id"),

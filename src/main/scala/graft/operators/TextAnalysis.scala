@@ -648,9 +648,14 @@ object TextAnalysis {
       s"""transform(sequence(1, size(a) - 1),
            i -> CAST(conv(substring(md5(concat(element_at(a, i), ' ', element_at(a, i + 1))), 1, 8), 16, 10) AS BIGINT) % $nBuckets)"""))
       .as("f"))
+    // localCheckpoint: `counts` (≤ nBuckets rows, tiny at any corpus size)
+    // is consumed by BOTH the totals aggregate and the ratio projection —
+    // without materialization each consumer re-runs the full corpus explode
+    // underneath it (the subtrees differ, so ReuseExchange can't dedup)
     val counts = feats.groupBy("f").agg(
       count(lit(1)).as("cr"),
       sum(when(col("is_tgt"), 1L).otherwise(0L)).as("ct"))
+      .localCheckpoint(true)
     // 1-row totals cross-joined in (broadcast by AQE) — no driver collect
     val totals = counts.agg(
       sum("cr").as("nr"), sum("ct").as("nt"))
@@ -663,10 +668,17 @@ object TextAnalysis {
           s"div greatest((cr + 1L) * 1000000000L div (nr + ${nBuckets}L), 1L), " +
           "1000000000000L)")
           .as("ratio_micro"))
-    val scored = feats.join(ratios, "f")
+    // localCheckpoint: `scored` (one row per doc — orders of magnitude
+    // smaller than the bigram stream) feeds both the top-k aggregate and
+    // the join-back that recovers (n_feats, dsir_micro) for the winners;
+    // materializing it caps the whole derivation at TWO corpus explodes
+    // (the counts pass and the scoring pass) instead of re-deriving the
+    // chain once per consumer. broadcast(ratios): ≤ nBuckets rows.
+    val scored = feats.join(broadcast(ratios), "f")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_feats"), sum("ratio_micro").as("__s"))
       .select(col(idCol), col("n_feats"), expr("__s div n_feats").as("dsir_micro"))
+      .localCheckpoint(true)
     // graft_topk's total order (score desc, id asc on ties) makes the
     // selection deterministic; dsir_micro <= 1e12 casts to double exactly
     scored
