@@ -105,6 +105,68 @@ object SparkEntry {
       path
     })
 
+  private val vectorIndexMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private val vectorIndexIncrMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private val streamedVectorIndexMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Stored full-corpus IVF-PQ index for k8 ([[graft.operators.VectorIndex]]
+    * — the d9/k6 ingest-time-artifact contract applied to ANN): quantizers
+    * trained + corpus encoded ONCE at ingest; the k8 entry times the
+    * SEARCH. Value-identical to the former inline retrain-per-query
+    * (same deterministic training on the same corpus), so the k8 oracle is
+    * unchanged.
+    */
+  def k8IndexDir(s: SparkSession, dir: String): String =
+    vectorIndexMemo.computeIfAbsent((s, dir), _ => {
+      val path = graft.core.TempDirs.create("graft_k8_vindex")
+      graft.operators.VectorIndex.build(t(s, dir, "embeddings"), path)
+      path
+    })
+
+  /** Deterministic 1/16 md5 slice playing the newly-arrived vector delta
+    * (k13/st15) — the d9 convention on vec_id.
+    */
+  private val k13DeltaPredicate =
+    "substring(md5(CAST(vec_id AS STRING)), 1, 1) = '0'"
+
+  /** k13's index: quantizers trained on the BASE slice only, the base
+    * encoded as `batch=base`, then the delta slice absorbed as `batch=b1`
+    * with the frozen quantizers — one O(delta) day of the incremental
+    * ANN-ingest loop. The search over this composed index is value-gated
+    * against the full SQL replay (training restricted to the base).
+    */
+  def k13IndexDir(s: SparkSession, dir: String): String =
+    vectorIndexIncrMemo.computeIfAbsent((s, dir), _ => {
+      val path = graft.core.TempDirs.create("graft_k13_vindex")
+      val emb = t(s, dir, "embeddings")
+      graft.operators.VectorIndex.build(
+        emb.filter(!expr(k13DeltaPredicate)), path)
+      graft.operators.VectorIndex.absorb(
+        s, path, emb.filter(expr(k13DeltaPredicate)), "b1")
+      path
+    })
+
+  /** The SAME composed index as [[k13IndexDir]], but with the base corpus
+    * absorbed THROUGH the streaming engine (st15): quantizers trained once
+    * at bootstrap, then each micro-batch of arriving vectors lands via
+    * `VectorIndex.absorb` under a `batch=b<id>` fence, and the delta is
+    * absorbed last. Values must equal k13's exactly — they share one
+    * oracle.
+    */
+  def st15IndexDir(s: SparkSession, dir: String): String =
+    streamedVectorIndexMemo.computeIfAbsent((s, dir), _ => {
+      val path = graft.core.TempDirs.create("graft_st15_vindex")
+      graft.streaming.EventsStream.vectorIndexMaintainReplay(
+        s, dir, path, s"NOT ($k13DeltaPredicate)")
+      graft.operators.VectorIndex.absorb(
+        s, path, t(s, dir, "embeddings").filter(expr(k13DeltaPredicate)),
+        "delta")
+      path
+    })
+
   /** Deterministic 1/16 md5 slice playing the newly-arrived d9 delta. */
   private val d9DeltaPredicate = "substring(md5(CAST(doc_id AS STRING)), 1, 1) = '0'"
 
@@ -249,9 +311,15 @@ object SparkEntry {
   val memoWarm: Set[String] =
     Set("d7_dedup_clusters", "d13_cc_twophase", "d8_clean_corpus",
       "d9_incremental_dedup",
+      // d12 reads the pre-staged media blobs (d12MediaDir, staged untimed
+      // in Bench) — flagged like every other ingest-time artifact
+      "d12_image_neardup",
       "k6_beam_search", "g1_pagerank",
       // g2 shares g1's prebuilt edge memo (g1 sorts first and pays it)
-      "g2_personalized_pagerank")
+      "g2_personalized_pagerank",
+      // the stored IVF-PQ indexes (k8IndexDir/k13IndexDir/st15IndexDir):
+      // the entries time the search against the ingest-time artifact
+      "k8_ivfpq_topk", "k13_index_incremental", "st15_vector_index_maintain")
 
   /** Drop the memoized pipeline stages for one session (all dirs) — lets a
     * bench opt into cold per-query measurement, and unpins the session and
@@ -264,7 +332,8 @@ object SparkEntry {
       m.keySet.asScala.filter(_._1 eq s).toList.foreach(m.remove)
     }
     Seq(dedupIndexMemo, streamedIndexMemo, statsStateMemo, knnGraphMemo,
-      g1EdgesMemo, d12MediaMemo).foreach { m =>
+      g1EdgesMemo, d12MediaMemo, vectorIndexMemo, vectorIndexIncrMemo,
+      streamedVectorIndexMemo).foreach { m =>
       m.keySet.asScala.filter(_._1 eq s).toList
         .foreach(k => Option(m.remove(k)).foreach(graft.core.TempDirs.drop))
     }
@@ -1037,9 +1106,28 @@ object SparkEntry {
     // IVF-PQ ANN: coarse cells bound candidate volume (k3's leg), PQ codes
     // bound memory (k4's leg) — the billion-scale composition, FAISS
     // IndexIVFPQ with by_residual=false; exact re-rank on the shortlist.
+    // Served from the STORED index (k8IndexDir — quantizers trained +
+    // corpus encoded once at ingest): the entry times the SEARCH, the
+    // operation a deployed ANN system runs per query.
     "k8_ivfpq_topk" -> ((s, dir) =>
-      graft.operators.Similarity.ivfPqTopKCosine(
-        t(s, dir, "embeddings"), queryIds = Seq(0L, 1L, 2L), k = 10)),
+      graft.operators.VectorIndex.searchTopKCosine(
+        s, k8IndexDir(s, dir), t(s, dir, "embeddings"),
+        queryIds = Seq(0L, 1L, 2L), k = 10)),
+    // Incremental vector-index maintenance: quantizers trained on the BASE
+    // slice, the 1/16 md5 delta absorbed with them FROZEN (batch=b1), the
+    // search spanning both generations — one O(delta) day of the ANN
+    // ingest loop, value-gated end to end.
+    "k13_index_incremental" -> ((s, dir) =>
+      graft.operators.VectorIndex.searchTopKCosine(
+        s, k13IndexDir(s, dir), t(s, dir, "embeddings"),
+        queryIds = Seq(0L, 1L, 2L), k = 10)),
+    // k13's index with the base absorbed THROUGH the streaming engine
+    // (>=2 micro-batches, batch=b<id> exactly-once fences) — values must
+    // equal k13's exactly, so they share one oracle.
+    "st15_vector_index_maintain" -> ((s, dir) =>
+      graft.operators.VectorIndex.searchTopKCosine(
+        s, st15IndexDir(s, dir), t(s, dir, "embeddings"),
+        queryIds = Seq(0L, 1L, 2L), k = 10)),
     // Binary-quantization ANN: 64-bit packed sign signatures (64x smaller
     // than raw vectors), XOR+popcount Hamming scan, bounded shortlist,
     // exact re-rank — the 1-bit memory tier of the index family.
@@ -1265,7 +1353,15 @@ object SparkEntry {
     */
   private def ivfLegSql: String = ivfLegSqlN(32)
 
-  private def ivfLegSqlN(nCentroids: Int): String = {
+  private def ivfLegSqlN(nCentroids: Int): String = ivfLegSqlN(nCentroids, "", "")
+
+  /** `trainAnd` (an `AND …` clause on the Lloyd sample) and `seedWhere`
+    * (a `WHERE …` clause on the seed pick) restrict TRAINING to a corpus
+    * slice — the k13 oracle trains on the base generation only while
+    * assignment/probing still span the full corpus (frozen-quantizer
+    * absorption). Empty strings reproduce the k3/k8 full-corpus text.
+    */
+  private def ivfLegSqlN(nCentroids: Int, trainAnd: String, seedWhere: String): String = {
     def cosOf(l: String, r: String): String =
       s"list_sum(list_transform(generate_series(1, 64), i -> $l.v[i] * $r.cv[i])) / " +
         s"(sqrt(list_sum(list_transform($l.v, x -> x * x))) * " +
@@ -1281,8 +1377,9 @@ object SparkEntry {
         s"FROM vs JOIN ias$i a ON vs.id = a.id, unnest(generate_series(1, 64)) AS t(d) GROUP BY a.cid, d), " +
         s"im$i AS (SELECT cid, list(CAST(s AS DOUBLE) / (n * 1000000.0) ORDER BY d) AS nv FROM iu$i GROUP BY cid), " +
         s"$next AS (SELECT $prev.cid, coalesce(im$i.nv, $prev.cv) AS cv FROM $prev LEFT JOIN im$i ON $prev.cid = im$i.cid), "
-    "vs AS (SELECT * FROM v WHERE md5(CAST(id AS VARCHAR)) < '2'), " +
-      s"ic0 AS (SELECT id AS cid, v AS cv FROM v ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT $nCentroids), " +
+    s"vs AS (SELECT * FROM v WHERE md5(CAST(id AS VARCHAR)) < '2'$trainAnd), " +
+      s"ic0 AS (SELECT id AS cid, v AS cv FROM v $seedWhere" +
+      s"ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT $nCentroids), " +
       round("ic0", "ic1", 0) +
       round("ic1", "ic", 1) +
       s"iac AS (SELECT v.id, ic.cid, ${cosOf("v", "ic")} AS cos FROM v, ic), " +
@@ -1456,11 +1553,16 @@ object SparkEntry {
     * the full corpus (`enc`), and the per-query integer-ADC lookup table
     * (`qd`). Shared verbatim by the k4 and k8 oracles.
     */
-  private def pqLegSql: String =
+  private def pqLegSql: String = pqLegSqlWith("", "")
+
+  /** Same training-slice parametrization as [[ivfLegSqlN]] (k13: codebooks
+    * trained on the base generation, encoding spans the full corpus).
+    */
+  private def pqLegSqlWith(trainAnd: String, seedWhere: String): String =
     "vn AS (SELECT id, list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> " +
       "y * y)))) AS v FROM v), sv AS (SELECT id, s AS sub, list_slice(v, s * 8 + 1, s * 8 + 8) AS sv " +
       "FROM vn, unnest(generate_series(0, 7)) AS t(s)), svt AS (SELECT * FROM sv WHERE md5(CAST(id AS " +
-      "VARCHAR)) < '2'), sid AS (SELECT id FROM v ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 16), c0 " +
+      s"VARCHAR)) < '2'$trainAnd), sid AS (SELECT id FROM v ${seedWhere}ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 16), c0 " +
       "AS (SELECT sv.sub, sv.id AS cid, sv.sv AS cv FROM sv JOIN sid ON sv.id = sid.id), ad0 AS " +
       "(SELECT svt.id, svt.sub, c.cid, list_sum(list_transform(generate_series(1, 8), i -> (svt.sv[i] " +
       "- c.cv[i]) * (svt.sv[i] - c.cv[i]))) AS d2 FROM svt JOIN c0 c ON svt.sub = c.sub), as0 AS " +
@@ -1487,8 +1589,33 @@ object SparkEntry {
       "8), i -> (q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i]))) * 1000000) AS BIGINT) AS dm FROM sv q JOIN " +
       "c2 c ON q.sub = c.sub WHERE q.id < 3), "
 
+  /** k13/st15 oracle: the full k8 IVF-PQ replay with TRAINING (Lloyd
+    * samples + seed picks, both legs) restricted to the base generation
+    * (md5 first hex digit != '0') — assignment, encoding, probing and
+    * re-rank still span the full corpus, exactly the frozen-quantizer
+    * absorption the stored index performs. st15 shares it verbatim: the
+    * streamed absorption must be value-identical to the batch one.
+    */
+  private def k13OracleSql: String = {
+    val baseAnd = " AND substr(md5(CAST(id AS VARCHAR)), 1, 1) != '0'"
+    val baseWhere = "WHERE substr(md5(CAST(id AS VARCHAR)), 1, 1) != '0' "
+    vectorsCte + ivfLegSqlN(32, baseAnd, baseWhere) +
+      pqLegSqlWith(baseAnd, baseWhere) +
+      "cellc AS (SELECT qp.query_id, a.id FROM qp JOIN iassign a ON qp.cid = a.cid " +
+      "WHERE a.id != qp.query_id), " +
+      "adc AS (SELECT c.query_id, c.id, sum(qd.dm) AS adc FROM cellc c " +
+      "JOIN enc e ON c.id = e.id " +
+      "JOIN qd ON qd.query_id = c.query_id AND qd.sub = e.sub AND qd.code = e.code " +
+      "GROUP BY 1, 2), " +
+      "cand AS (SELECT query_id, id FROM (SELECT query_id, id, row_number() OVER (PARTITION BY " +
+      "query_id ORDER BY adc ASC, id ASC) AS rn FROM adc) WHERE rn <= 100), " +
+      rerankSql
+  }
+
   def oracleSql: Map[String, String] = Map(
     "k6_beam_search" -> k6OracleSql,
+    "k13_index_incremental" -> k13OracleSql,
+    "st15_vector_index_maintain" -> k13OracleSql,
     "k11_mmr_topk" -> mmrOracleSql(5, 700000L, 20),
     // k9: replay the 64 hyperplane sign bits (k2's hp/bits machinery at 64
     // planes), Hamming = count of differing bits, shortlist by (hamming

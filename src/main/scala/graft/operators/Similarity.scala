@@ -30,7 +30,7 @@ object Similarity {
     * bit-identical to the HOF `aggregate(zip_with(...))` fold (same
     * ascending accumulation) but codegen'd as a primitive loop.
     */
-  private def cosineCols(df: DataFrame): DataFrame = {
+  private[operators] def cosineCols(df: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     df
       .withColumn("dot", expr("graft_dot(v, qv)"))
@@ -48,7 +48,7 @@ object Similarity {
     * in a single task (the round-6 scale flag on k1); same deterministic
     * (cos desc, id asc) order, no global per-group sort anywhere.
     */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+  private[operators] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(scored.sparkSession)
     scored
       .groupBy("query_id")
@@ -175,7 +175,7 @@ object Similarity {
   }
 
   /** Exact cosine re-rank of (query_id, id) candidate pairs → top-k. */
-  private def rerank(cand: DataFrame, v: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+  private[operators] def rerank(cand: DataFrame, v: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
     val q = broadcast(
       v.filter(col("id").isin(queryIds: _*))
         .select(col("id").as("query_id"), col("v").as("qv")))
@@ -227,7 +227,7 @@ object Similarity {
     * iterate; the values are micro-quantized integers divided once, so the
     * materialized doubles are bit-stable across engines and runs.
     */
-  private def materializeCentroids(cents: DataFrame): DataFrame = {
+  private[operators] def materializeCentroids(cents: DataFrame): DataFrame = {
     val spark = cents.sparkSession
     val rows = cents.select(col("cid"), col("qv")).collect().toIndexedSeq
     spark.createDataFrame(
@@ -275,44 +275,70 @@ object Similarity {
     * semDedup's keep-the-outlier rule ranks on) and the per-query `nProbe`
     * closest cells (query_id, cid).
     */
+  /** Train the IVF coarse quantizer over `v`: deterministic md5-order
+    * seeds, `nIter` Lloyd iterations over the ~1/8 hash sample, returned as
+    * a driver-materialized (cid, qv) relation — the bounded artifact
+    * [[VectorIndex]] persists and [[ivfCoarse]] uses inline.
+    *
+    * Training sample: md5(id) hex < '2' ≈ 1/8 of the corpus, map-only (no
+    * sort/limit) and engine-replayable. k-means needs a REPRESENTATIVE
+    * sample, not the full corpus — at 100 TB the training loop must not
+    * scan everything nIter times; only the single final assignment does.
+    * Seeds are picked over the FULL corpus (orderBy+limit = one TakeOrdered
+    * pass, no global sort): on a corpus with ≥ nCentroids·16/2 rows this
+    * equals picking from the sample (the smallest md5s all hash below
+    * '2'), but on a tiny corpus the sample alone could yield fewer than
+    * nCentroids seeds and silently degrade the index.
+    */
+  private[operators] def ivfCentroids(
+      v: DataFrame,
+      nCentroids: Int,
+      nIter: Int): DataFrame = {
+    val vt = v.filter(md5(col("id").cast("string")) < lit("2"))
+    val seeds =
+      v.orderBy(md5(col("id").cast("string")), col("id"))
+        .limit(nCentroids)
+        .select(col("id").as("cid"), col("v").as("qv"))
+    (0 until nIter).foldLeft(materializeCentroids(seeds))((c, _) =>
+      materializeCentroids(lloydIterate(vt, broadcast(c))))
+  }
+
+  /** Nearest-centroid assignment of every vector in `v`: map-side max_by
+    * over the broadcast centroid table — deterministic tie-break on
+    * (cos, cid). `cents` must be (cid, qv).
+    */
+  private[operators] def ivfAssign(v: DataFrame, cents: DataFrame): DataFrame =
+    cosineCols(v.crossJoin(broadcast(cents)))
+      .groupBy(col("id"))
+      .agg(expr("max_by(named_struct('cid', cid, 'cos', cos), struct(cos, cid))").as("m"))
+      .select(col("id"), col("m.cid").as("cid"), col("m.cos").as("cos"))
+
+  /** The per-query probe list: each query's `nProbe` closest centroids by
+    * (cos desc, cid asc) — a window over the tiny |queries| × nCentroids
+    * frame only.
+    */
+  private[operators] def ivfQueryProbes(
+      v: DataFrame,
+      queryIds: Seq[Long],
+      cents: DataFrame,
+      nProbe: Int): DataFrame =
+    cosineCols(
+      v.filter(col("id").isin(queryIds: _*))
+        .select(col("id").as("query_id"), col("v"))
+        .crossJoin(broadcast(cents)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("cid"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("cid"))
+
   private[operators] def ivfCoarse(
       v: DataFrame,
       queryIds: Seq[Long],
       nCentroids: Int,
       nProbe: Int,
       nIter: Int): (DataFrame, DataFrame) = {
-    // Training sample: md5(id) hex < '2' ≈ 1/8 of the corpus, map-only (no
-    // sort/limit) and engine-replayable. k-means needs a REPRESENTATIVE
-    // sample, not the full corpus — at 100 TB the training loop must not
-    // scan everything nIter times; only the single final assignment does.
-    val vt = v.filter(md5(col("id").cast("string")) < lit("2"))
-    // Seeds are picked over the FULL corpus (orderBy+limit = one TakeOrdered
-    // pass, no global sort): on a corpus with ≥ nCentroids·16/2 rows this
-    // equals picking from the sample (the smallest md5s all hash below
-    // '2'), but on a tiny corpus the sample alone could yield fewer than
-    // nCentroids seeds and silently degrade the index.
-    val seeds =
-      v.orderBy(md5(col("id").cast("string")), col("id"))
-        .limit(nCentroids)
-        .select(col("id").as("cid"), col("v").as("qv"))
-    val cents = broadcast(
-      (0 until nIter).foldLeft(materializeCentroids(seeds))((c, _) =>
-        materializeCentroids(lloydIterate(vt, broadcast(c)))))
-    // nearest-centroid assignment: map-side max_by over the broadcast —
-    // deterministic tie-break on (dot, cid)
-    val assign = cosineCols(v.crossJoin(cents))
-      .groupBy(col("id"))
-      .agg(expr("max_by(named_struct('cid', cid, 'cos', cos), struct(cos, cid))").as("m"))
-      .select(col("id"), col("m.cid").as("cid"), col("m.cos").as("cos"))
-    val qProbes = cosineCols(
-      v.filter(col("id").isin(queryIds: _*))
-        .select(col("id").as("query_id"), col("v"))
-        .crossJoin(cents))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cos").desc, col("cid"))))
-      .filter(col("rn") <= nProbe)
-      .select(col("query_id"), col("cid"))
-    (assign, qProbes)
+    val cents = broadcast(ivfCentroids(v, nCentroids, nIter))
+    (ivfAssign(v, cents), ivfQueryProbes(v, queryIds, cents, nProbe))
   }
 
   /** Approximate top-k: candidates = corpus vectors sharing at least one
@@ -730,7 +756,7 @@ object Similarity {
   /** Split (id, v) into per-subspace rows (id, sub, sv): sub ∈ [0, m),
     * sv = the subDim-length slice of v starting at sub·subDim.
     */
-  private def subvectors(df: DataFrame, m: Int, subDim: Int): DataFrame =
+  private[operators] def subvectors(df: DataFrame, m: Int, subDim: Int): DataFrame =
     df.select(col("id"), expr(
       s"""explode(transform(sequence(0, ${m - 1}),
             s -> struct(s AS sub, slice(v, s * $subDim + 1, $subDim) AS sv)))""").as("e"))
@@ -741,7 +767,7 @@ object Similarity {
     * produce bit-identical doubles (the same portability contract as
     * [[graft.functions.DotProduct]]).
     */
-  private val subL2: String =
+  private[operators] val subL2: String =
     "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, p) -> acc + p)"
 
   /** Product quantization (PQ) approximate top-k: vectors are chopped into
@@ -803,27 +829,55 @@ object Similarity {
     rerank(cand, v, queryIds, k)
   }
 
-  /** The PQ fine quantizer, shared by [[pqTopKCosine]] and
-    * [[ivfPqTopKCosine]]: trains the m per-subspace codebooks and encodes
-    * the full corpus. Returns `(vn, codebook, codes)` — the L2-normalized
-    * vectors, the broadcast (sub, cid, cv) codebook, and the (id, sub, code)
-    * corpus encoding.
+  /** L2-normalize (id, v) rows — the cosine-metric precondition for PQ:
+    * on unit vectors ‖a−b‖² = 2 − 2·cos, so the subspace-decomposed L2 the
+    * codebooks quantize is monotone in the cosine the re-rank targets
+    * (without this the ADC ordering mixes in vector norms and recall
+    * collapses).
     */
-  private def pqCodes(
+  private[operators] def normalizeVectors(v: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(v.sparkSession)
+    v.select(col("id"),
+      expr("transform(v, x -> x / sqrt(graft_dot(v, v)))").as("v"))
+  }
+
+  /** Encode vectors against a FROZEN codebook: chop each L2-normalized
+    * vector into its m subspaces and take the nearest code per subspace
+    * (min_by on (d2, cid) — the deterministic tie-break shared with
+    * training). One map-side pass; the (id, sub) regroup collapses
+    * map-side since all m rows of an id originate in the same partition.
+    * This is the absorption step of the persisted index ([[VectorIndex]]):
+    * new vectors are encoded with the trained quantizer, FAISS `add`
+    * semantics.
+    */
+  private[operators] def pqEncode(
+      v: DataFrame,
+      codebook: DataFrame,
+      m: Int,
+      dim: Int): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+    subvectors(normalizeVectors(v), m, dim / m)
+      .join(broadcast(codebook), "sub")
+      .withColumn("d2", expr(subL2))
+      .groupBy(col("id"), col("sub"))
+      .agg(expr("min_by(cid, struct(d2, cid))").as("code"))
+  }
+
+  /** Train the m per-subspace PQ codebooks over `v` (Lloyd on the ~1/8
+    * hash sample, md5-order seeds) and return the driver-materialized
+    * (sub, cid, cv) relation — the bounded artifact [[VectorIndex]]
+    * persists and [[pqCodes]] uses inline.
+    */
+  private[operators] def pqCodebook(
       v: DataFrame,
       m: Int,
       nCodes: Int,
       nIter: Int,
-      dim: Int): (DataFrame, DataFrame, DataFrame) = {
+      dim: Int): DataFrame = {
     require(m > 0 && dim % m == 0, s"dim=$dim must split into m=$m subspaces")
     val subDim = dim / m
     graft.functions.GraftFunctions.register(v.sparkSession)
-    // cosine metric ⇒ L2-normalize BEFORE chopping: on unit vectors
-    // ‖a−b‖² = 2 − 2·cos, so the subspace-decomposed L2 the codebooks
-    // quantize is monotone in the cosine the re-rank targets (without this
-    // the ADC ordering mixes in vector norms and recall collapses)
-    val vn = v.select(col("id"),
-      expr("transform(v, x -> x / sqrt(graft_dot(v, v)))").as("v"))
+    val vn = normalizeVectors(v)
     val sv = subvectors(vn, m, subDim)
     // training sample + seeds: the k3 conventions (md5 hash sample; seeds
     // by md5 order over the FULL corpus so tiny corpora still seed fully)
@@ -861,17 +915,24 @@ object Similarity {
       val rows = cents.select(col("sub"), col("cid"), col("cv")).collect().toIndexedSeq
       spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), cents.schema)
     }
-    val codebook = broadcast(
-      (0 until nIter).foldLeft(materialize(seeds))((c, _) =>
-        materialize(lloydSub(c))))
+    (0 until nIter).foldLeft(materialize(seeds))((c, _) =>
+      materialize(lloydSub(c)))
+  }
 
-    // encode the FULL corpus: one pass; the (id, sub) regroup collapses
-    // map-side (all m rows of an id originate in the same partition)
-    val codes = sv.join(codebook, "sub")
-      .withColumn("d2", expr(subL2))
-      .groupBy(col("id"), col("sub"))
-      .agg(expr("min_by(cid, struct(d2, cid))").as("code"))
-    (vn, codebook, codes)
+  /** The PQ fine quantizer, shared by [[pqTopKCosine]] and
+    * [[ivfPqTopKCosine]]: trains the m per-subspace codebooks and encodes
+    * the full corpus. Returns `(vn, codebook, codes)` — the L2-normalized
+    * vectors, the broadcast (sub, cid, cv) codebook, and the (id, sub, code)
+    * corpus encoding.
+    */
+  private def pqCodes(
+      v: DataFrame,
+      m: Int,
+      nCodes: Int,
+      nIter: Int,
+      dim: Int): (DataFrame, DataFrame, DataFrame) = {
+    val codebook = broadcast(pqCodebook(v, m, nCodes, nIter, dim))
+    (normalizeVectors(v), codebook, pqEncode(v, codebook, m, dim))
   }
 
   /** IVF-PQ approximate top-k (k8): the two index legs composed the way

@@ -977,6 +977,34 @@ object EventsStream {
       .parquet(staged)
   }
 
+  /** Schema of embeddings.parquet (for the staged streaming source). */
+  val embeddingsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Multi-batch streaming source over a filtered slice of the embeddings
+    * table — the vector-ingest twin of [[readDocsStaged]] (id-ordered
+    * staged files, one micro-batch each, mtimes pin the order).
+    */
+  def readEmbeddingsStaged(spark: SparkSession, dir: String, filterSql: String): DataFrame = {
+    val n = spark.conf.get(ReplayFilesConf, "2").toInt
+    val staged = stagedDirs.computeIfAbsent((s"$dir#emb:$filterSql", n), _ => {
+      val out = tempDir("graft_stream_emb_")
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(expr(filterSql))
+        .repartitionByRange(n, col("vec_id"))
+        .write.mode("overwrite").parquet(out)
+      orderStagedFiles(out)
+      out
+    })
+    spark.readStream
+      .schema(embeddingsSchema)
+      .option("pathGlobFilter", "part-*")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+  }
+
   /** Ascending mtimes pin the file-source processing order (the source
     * sorts by modification timestamp; same-ms ties would make batch
     * boundaries nondeterministic). `java.io.File` is correct HERE — this
@@ -1070,6 +1098,40 @@ object EventsStream {
       .queryName(queryName)
       .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
         graft.operators.Dedup.appendToIndex(index, batch, s"b$bid"))
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    batchCount(q)
+  }
+
+  /** Streaming maintenance of the IVF-PQ vector index (st15 — the ANN twin
+    * of [[indexMaintainReplay]]): quantizers are TRAINED once at bootstrap
+    * (a batch step — FAISS `train` semantics; a stream cannot retrain the
+    * quantizer per batch without invalidating every prior encoding), then
+    * each micro-batch of arriving vectors is absorbed via
+    * [[graft.operators.VectorIndex.absorb]] under a `batch=b<id>` scoped
+    * overwrite — the same exactly-once fence as the MinHash index
+    * maintenance. Returns the number of micro-batches absorbed; the index
+    * at `index` is the artifact.
+    */
+  def vectorIndexMaintainReplay(
+      spark: SparkSession,
+      dir: String,
+      index: String,
+      filterSql: String,
+      queryName: String = "graft_vindex_maintain_stream"): Long = {
+    val ss = streamSession(spark)
+    graft.operators.VectorIndex.train(
+      ss.read.parquet(s"$dir/embeddings.parquet").filter(expr(filterSql)),
+      index)
+    val ckpt = tempDir("graft_vindex_ckpt_")
+    val q = readEmbeddingsStaged(ss, dir, filterSql)
+      .writeStream
+      .queryName(queryName)
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        graft.operators.VectorIndex.absorb(
+          batch.sparkSession, index, batch, s"b$bid"))
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()

@@ -81,6 +81,30 @@ class EventsStreamSpec extends SparkSpec {
     assert(viaStream.exceptAll(viaBatch).isEmpty && viaBatch.exceptAll(viaStream).isEmpty)
   }
 
+  test("streamed vector-index maintenance equals the batch-built index, >=2 batches") {
+    val deltaPred = "substring(md5(CAST(vec_id AS STRING)), 1, 1) = '0'"
+    val emb = Tables.load(spark, sf, "embeddings")
+    val streamedIdx = tmpDir("graft_spec_st15_idx")
+    val batches = EventsStream.vectorIndexMaintainReplay(
+      spark, sf, streamedIdx, s"NOT ($deltaPred)", "graft_spec_vindex_maintain")
+    assert(batches >= 2,
+      s"staged replay must absorb multiple micro-batches, got $batches")
+    val batchIdx = tmpDir("graft_spec_k13_idx")
+    graft.operators.VectorIndex.build(emb.filter(!expr(deltaPred)), batchIdx)
+    // both indexes then absorb the same delta with their frozen quantizers
+    graft.operators.VectorIndex.absorb(
+      spark, streamedIdx, emb.filter(expr(deltaPred)), "delta")
+    graft.operators.VectorIndex.absorb(
+      spark, batchIdx, emb.filter(expr(deltaPred)), "delta")
+    val qs = Seq(0L, 1L, 2L)
+    val viaStream = graft.operators.VectorIndex.searchTopKCosine(
+      spark, streamedIdx, emb, qs, k = 10)
+    val viaBatch = graft.operators.VectorIndex.searchTopKCosine(
+      spark, batchIdx, emb, qs, k = 10)
+    assert(viaStream.count() == 30)
+    assert(viaStream.exceptAll(viaBatch).isEmpty && viaBatch.exceptAll(viaStream).isEmpty)
+  }
+
   test("CDC from the manifest upsert: changelog equals the batch-side snapshot diff; no deletes") {
     val cutoffNanos = 1705363200000000000L // 2024-01-16T00:00:00Z
     val out = EventsStream.cdcUpsertReplay(
