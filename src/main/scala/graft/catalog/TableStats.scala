@@ -190,11 +190,28 @@ object TableStats {
       tables: Seq[(String, String)] = statColumns,
       k: Int = 32): Unit = {
     require(tables.nonEmpty, "analyze needs at least one (table, column)")
+    import scala.concurrent.duration.DurationInt
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
     val tableOrder = tables.map(_._1).distinct
-    val stats = tableOrder
-      .map(t => tableSketch(spark, dir, t,
-        tables.collect { case (`t`, c) => c }, k))
-      .reduce(_.unionByName(_))
+    // CONCURRENT per-table jobs: each sketch is a single footer/one-pass
+    // aggregate over a DIFFERENT table, so the jobs contend on nothing and
+    // their fixed per-job overhead (planning, codegen, stage scheduling)
+    // overlaps instead of serializing — the former single unioned action
+    // paid it 10x back to back. Each result is ≤ #columns rows (a bounded
+    // driver materialization, the centroid contract); the tiny union is
+    // finalized and written once.
+    val futures = tableOrder.map { t =>
+      Future {
+        val df = tableSketch(spark, dir, t,
+          tables.collect { case (`t`, c) => c }, k)
+        (df.schema, df.collect().toIndexedSeq)
+      }
+    }
+    val collected = futures.map(Await.result(_, 10.minutes))
+    val stats = spark.createDataFrame(
+      spark.sparkContext.parallelize(collected.flatMap(_._2), 1),
+      collected.head._1)
     finalizeStats(stats, k).coalesce(1).write.mode("overwrite").parquet(outPath)
   }
 
