@@ -473,14 +473,14 @@ object SparkEntry {
         }
       ts.finalizeStats(ts.mergeSketches(halves.reduce(_.unionByName(_))))
     }),
-    // Time-RANGE moving window (trailing 30-day revenue) — the event-time
-    // frame a15's ROWS prefix sum can't express.
     // Rolling distinct actives (DAU over a trailing 7-day window): the
     // set shape a RANGE window frame cannot express — distinct (day, user)
     // pairs fan out to the window days they serve, one count(DISTINCT) per
     // day, clipped to days that exist.
     "a28_rolling_actives" -> ((s, dir) =>
       graft.operators.Analytics.rollingActiveUsers(t(s, dir, "events"))),
+    // Time-RANGE moving window (trailing 30-day revenue) — the event-time
+    // frame a15's ROWS prefix sum can't express.
     "a23_trailing_revenue" -> ((s, dir) =>
       graft.operators.Analytics.trailingRevenue(t(s, dir, "orders"))),
     "a13_price_quantiles" -> ((s, dir) =>

@@ -152,7 +152,18 @@ object Tables {
     */
   def contractDiagnostics(spark: SparkSession, dir: String): Seq[String] =
     all.flatMap { t =>
-      val want = expectedSchemas(t)
+      expectedSchemas.get(t) match {
+        case None =>
+          // Fail-soft: a table registered in `all` without a schema entry is
+          // itself a contract drift, not a reason to crash the diagnostic.
+          Seq(s"[contract] $t: no expected schema registered")
+        case Some(want) => diagnoseTable(spark, dir, t, want)
+      }
+    }
+
+  private def diagnoseTable(
+      spark: SparkSession, dir: String, t: String,
+      want: Seq[(String, String)]): Seq[String] = {
       try {
         val got = load(spark, dir, t).schema
           .map(f => f.name -> f.dataType.simpleString)
@@ -168,5 +179,5 @@ object Tables {
           val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
           Seq(s"[contract] $t: load failed: ${msg.linesIterator.next()}")
       }
-    }
+  }
 }

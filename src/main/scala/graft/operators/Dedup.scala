@@ -974,7 +974,19 @@ object Dedup {
   def clustersTwoPhase(
       vertices: DataFrame, // one column: id
       pairs: DataFrame,    // columns: a_id, b_id
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50): DataFrame =
+    clustersTwoPhaseWithRounds(vertices, pairs, maxIter)._1
+
+  /** [[clustersTwoPhase]] plus the number of large/small-star rounds it ran
+    * before reaching the fixed point. The loop is EAGER (each round ends in
+    * a fingerprint action), so the count is exact at return time — DedupSpec
+    * pins it ≤ ⌈log₂ n⌉ + 2 on the bench fixture, turning the Kiveris
+    * round bound from a comment into a regression gate.
+    */
+  def clustersTwoPhaseWithRounds(
+      vertices: DataFrame, // one column: id
+      pairs: DataFrame,    // columns: a_id, b_id
+      maxIter: Int = 50): (DataFrame, Int) = {
     // canonical parent orientation (u, v): u > v, self-loops dropped
     var edges = pairs
       .filter(col("a_id") =!= col("b_id"))
@@ -995,8 +1007,32 @@ object Dedup {
       (r.getLong(0), r.getLong(1))
     }
     var edgesFp = fingerprint(edges)
+    // Right-size the loop's shuffle width to the measured edge count (known
+    // for free from the fingerprint). Every round is 2 checkpointed star
+    // rewrites + 1 fingerprint aggregate; at the session's full shuffle
+    // width a small edge set pays width × rounds × jobs of pure task
+    // scheduling — the dominant cost of the whole operator on near-dup
+    // pair sets, whose edge count is orders of magnitude below the corpus.
+    // A cloned session (private SQLConf, shared context) carries the
+    // narrower width so the caller's conf is never mutated; above the
+    // re-bind threshold the loop keeps the caller's width — at 100 TB the
+    // edge set is genuinely large and the full width is correct.
+    val callerSession = edges.sparkSession
+    val loopSession = {
+      val cur = callerSession.sessionState.conf.numShufflePartitions
+      val target = math.min(cur.toLong, edgesFp._1 / 50000L + 1L).toInt
+      if (target < cur && edgesFp._1 <= 2000000L) {
+        val ss = callerSession.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", target.toString)
+        // re-bind through the checkpointed blocks (row conversion only —
+        // cheap by construction in the small-edge-set branch)
+        edges = ss.createDataFrame(edges.toDF().rdd, edges.schema)
+          .localCheckpoint(true)
+        ss
+      } else callerSession
+    }
     var iter = 0
-    var converged = edges.isEmpty
+    var converged = edgesFp._1 == 0L
     while (iter < maxIter && !converged) {
       // large-star over the full (symmetric) neighborhood
       val adj = edges.select(col("u").as("x"), col("v").as("y"))
@@ -1036,14 +1072,20 @@ object Dedup {
     // count) means this fires only on a genuine bug, not on big data.
     if (!converged) throw new IllegalStateException(
       s"clustersTwoPhase did not reach its fixed point in $maxIter rounds")
-    // at the fixed point the edge set is a union of stars: (member, root)
-    val roots = edges.groupBy(col("u").as("id")).agg(min("v").as("label"))
-    vertices.join(roots, Seq("id"), "left")
+    // at the fixed point the edge set is a union of stars: (member, root).
+    // Fold back onto the CALLER's session first so the output plan (and the
+    // vertices join below) carries the caller's conf, not the loop's.
+    val finalEdges =
+      if (loopSession eq callerSession) edges
+      else callerSession.createDataFrame(edges.toDF().rdd, edges.schema)
+    val roots = finalEdges.groupBy(col("u").as("id")).agg(min("v").as("label"))
+    val out = vertices.join(roots, Seq("id"), "left")
       .select(
         col("id"),
         coalesce(col("label"), col("id")).as("cluster_id"),
         (coalesce(col("label"), col("id")) === col("id")).cast("int")
           .as("is_survivor"))
+    (out, iter)
   }
 
   /** Deterministic near-dup fixture: the embeddings table ∪ a slightly

@@ -185,6 +185,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("clustersTwoPhase converges within the Kiveris O(log n) round bound") {
+    import spark.implicits._
+    // the round bound is the whole point of the algorithm — pin it so a
+    // regression (a broken star step that still converges, just slowly)
+    // fails here instead of showing up as a silent bench cost. A 64-node
+    // path is the adversarial topology (max diameter for its size); the
+    // alternating star schedule must finish within ~log2(n) + slack.
+    val n = 64
+    val verts = (0L until n.toLong).toDF("id")
+    val pairs = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val (out, rounds) = Dedup.clustersTwoPhaseWithRounds(verts, pairs)
+    assert(out.filter(col("cluster_id") =!= 0L).count() == 0L)
+    val bound = (math.log(n) / math.log(2)).ceil.toInt + 2 // = 8
+    assert(rounds <= bound,
+      s"two-phase CC took $rounds rounds on a $n-node path; bound is $bound")
+    // near-dup-shaped input (tiny star components) must converge almost
+    // immediately — this is the shape the bench fixture actually has
+    val (_, starRounds) = Dedup.clustersTwoPhaseWithRounds(
+      Seq(1L, 2L, 3L, 5L, 6L, 9L).toDF("id"),
+      Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id"))
+    assert(starRounds <= 3, s"tiny components took $starRounds rounds")
+  }
+
   test("clustersTwoPhase refuses to emit labels from an unconverged edge set") {
     import spark.implicits._
     // labels are only valid at the star fixed point — a budget too small to
