@@ -88,6 +88,38 @@ object SparkEntry {
           col("doc_id").as("media_id"),
           graft.operators.Multimodal.encodeTexturePngFixture(col("doc_id"))
             .as("content"))
+        // shard like d14MediaDir: one compact blob file = one scan split =
+        // single-core decode otherwise
+        .repartition(s.sparkContext.defaultParallelism, col("media_id"))
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
+  private val d14MediaMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Stored video-frame table (video_id, frame_idx, content) for d14 —
+    * the [[d12MediaDir]] ingest-time-artifact contract applied to the
+    * VIDEO fixture: every other document becomes a 5-frame video
+    * ([[graft.operators.Multimodal.encodeVideoFrameFixture]]), ids with
+    * `id % 10 == 8` a temporally-shifted perturbed repost of id−2. Staged
+    * once so the d14 entry times decode → per-frame dHash → banding →
+    * alignment verify, not the fixture PNG encode.
+    */
+  def d14MediaDir(s: SparkSession, dir: String): String =
+    d14MediaMemo.computeIfAbsent((s, dir), _ => {
+      val path = graft.core.TempDirs.create("graft_d14_media")
+      t(s, dir, "documents")
+        .filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("video_id"),
+          explode(expr("sequence(0, 4)")).as("frame_idx"))
+        .select(col("video_id"), col("frame_idx"),
+          graft.operators.Multimodal.encodeVideoFrameFixture(
+            col("video_id"), col("frame_idx")).as("content"))
+        // shard the staged blobs: tiny-blob fixtures compress to ONE scan
+        // split, which would serialize the per-frame JDK decode onto one
+        // core — at real scale media files are many-file by construction
+        .repartition(s.sparkContext.defaultParallelism, col("video_id"))
         .write.mode("overwrite").parquet(path)
       path
     })
@@ -314,6 +346,8 @@ object SparkEntry {
       // d12 reads the pre-staged media blobs (d12MediaDir, staged untimed
       // in Bench) — flagged like every other ingest-time artifact
       "d12_image_neardup",
+      // d14 reads the pre-staged video frames (d14MediaDir), same contract
+      "d14_video_neardup",
       "k6_beam_search", "g1_pagerank",
       // g2 shares g1's prebuilt edge memo (g1 sorts first and pays it)
       "g2_personalized_pagerank",
@@ -332,7 +366,7 @@ object SparkEntry {
       m.keySet.asScala.filter(_._1 eq s).toList.foreach(m.remove)
     }
     Seq(dedupIndexMemo, streamedIndexMemo, statsStateMemo, knnGraphMemo,
-      g1EdgesMemo, d12MediaMemo, vectorIndexMemo, vectorIndexIncrMemo,
+      g1EdgesMemo, d12MediaMemo, d14MediaMemo, vectorIndexMemo, vectorIndexIncrMemo,
       streamedVectorIndexMemo).foreach { m =>
       m.keySet.asScala.filter(_._1 eq s).toList
         .foreach(k => Option(m.remove(k)).foreach(graft.core.TempDirs.drop))
@@ -730,6 +764,14 @@ object SparkEntry {
     "d12_image_neardup" -> ((s, dir) =>
       graft.operators.Dedup.imageNearDup(
         s.read.parquet(d12MediaDir(s, dir)))),
+    // Video near-dup (d14): per-frame dHash sequences + pigeonhole banding
+    // + temporal-alignment verify — finds the one-frame-trimmed perturbed
+    // reposts the fixture plants (offset −1, 4 of 5 frames matched). Blobs
+    // from the staged video table ([[d14MediaDir]]), same ingest-time
+    // contract as d12.
+    "d14_video_neardup" -> ((s, dir) =>
+      graft.operators.Dedup.videoNearDup(
+        s.read.parquet(d14MediaDir(s, dir)))),
     // Pairs -> clusters -> survivors: connected components over the d2
     // near-dup pair set (min-label propagation vs the oracle's recursive CTE).
     // Stage reuse: d7 clusters d2's memoized pair set; d8 joins d7's memoized
@@ -2323,6 +2365,49 @@ object SparkEntry {
         "len(list_filter(generate_series(1, 64), i -> substr(a.sh, i, 1) != substr(b.sh, i, 1))) AS hamming " +
         "FROM s a JOIN s b ON a.doc_id < b.doc_id) " +
         "SELECT a_media_id, b_media_id, hamming FROM p WHERE hamming <= 4"
+    },
+    // d14: brute-force frame-sequence alignment over the CLOSED-FORM video
+    // fixture — per-frame dHash bits recomputed from the generator (gray =
+    // (base·7 + (f+pert)·11 + 17x + 29y) mod 256, +64 on perturbed cells,
+    // temporal shift via f+pert), packed into two 32-bit halves so the
+    // per-pair hamming is integer bit_count(xor), then every video pair ×
+    // offset ∈ [−2,2] scored and the best (ties → smallest offset) kept at
+    // matched ≥ 3. No codec here — the real decode→hash→alignment chain is
+    // value-gated against pure arithmetic.
+    "d14_video_neardup" -> {
+      def grayOf(x: String, y: String): String =
+        s"CASE WHEN pert = 1 AND (($x) + ($y) * w) % 37 = 0 " +
+          s"THEN ((base * 7 + (f + pert) * 11 + ($x) * 17 + ($y) * 29) % 256 + 64) % 256 " +
+          s"ELSE (base * 7 + (f + pert) * 11 + ($x) * 17 + ($y) * 29) % 256 END"
+      val g1 = grayOf("(i * w) // 9", "(j * h) // 8")
+      val g2 = grayOf("((i + 1) * w) // 9", "(j * h) // 8")
+      "WITH v AS (SELECT doc_id AS vid, " +
+        "CASE WHEN doc_id % 10 = 8 THEN doc_id - 2 ELSE doc_id END AS base, " +
+        "CASE WHEN doc_id % 10 = 8 THEN 1 ELSE 0 END AS pert " +
+        "FROM documents WHERE doc_id % 2 = 0), " +
+        "g AS (SELECT vid, base, pert, 8 + base % 13 AS w, 8 + (base * 3) % 11 AS h FROM v), " +
+        "bits AS (SELECT vid, f, j * 8 + i AS pos, " +
+        s"CASE WHEN ($g2) > ($g1) THEN 1 ELSE 0 END AS bit " +
+        "FROM g, unnest(generate_series(0, 4)) AS tf(f), " +
+        "unnest(generate_series(0, 7)) AS ti(i), unnest(generate_series(0, 7)) AS tj(j)), " +
+        "fh AS (SELECT vid, f, " +
+        "sum(CASE WHEN pos < 32 THEN bit * (1::BIGINT << pos) ELSE 0 END) AS h1, " +
+        "sum(CASE WHEN pos >= 32 THEN bit * (1::BIGINT << (pos - 32)) ELSE 0 END) AS h2 " +
+        "FROM bits GROUP BY vid, f), " +
+        "sq AS (SELECT vid, list(h1 ORDER BY f) AS l1, list(h2 ORDER BY f) AS l2 FROM fh GROUP BY vid), " +
+        "p AS (SELECT a.vid AS a, b.vid AS b, a.l1 AS a1, a.l2 AS a2, b.l1 AS b1, b.l2 AS b2 " +
+        "FROM sq a JOIN sq b ON a.vid < b.vid), " +
+        "al AS (SELECT a, b, o, count(*) FILTER (WHERE " +
+        "bit_count(xor(a1[f + 1], b1[f + o + 1])) + bit_count(xor(a2[f + 1], b2[f + o + 1])) <= 4) AS m " +
+        "FROM p, unnest(generate_series(-2, 2)) AS t_o(o), unnest(generate_series(0, 4)) AS t_f(f) " +
+        "WHERE f + o BETWEEN 0 AND 4 GROUP BY a, b, o), " +
+        "best AS (SELECT a, b, max(m) AS matched FROM al GROUP BY a, b), " +
+        "off AS (SELECT al.a, al.b, best.matched, min(al.o) AS best_offset " +
+        "FROM al JOIN best ON al.a = best.a AND al.b = best.b AND al.m = best.matched " +
+        "GROUP BY al.a, al.b, best.matched) " +
+        "SELECT a AS a_video_id, b AS b_video_id, " +
+        "CAST(best_offset AS BIGINT) AS best_offset, CAST(matched AS BIGINT) AS matched_frames " +
+        "FROM off WHERE matched >= 3"
     },
     // Recursive-CTE connected components over the same brute-force J>=0.6
     // pair set d2 is gated on; min reachable id = cluster id.

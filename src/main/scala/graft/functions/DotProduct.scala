@@ -198,6 +198,24 @@ object GraftFunctions {
     MisraGriesAgg(children.head, intLiteral(children(1), "graft_mg k"))
   }
 
+  val alignScoreInfo =
+    new ExpressionInfo(classOf[AlignSeqScore].getName, "graft_align_score")
+
+  /** graft_align_score(afs, bfs, wordsPerFrame, maxOffset, maxHamming) —
+    * the three shape parameters must be foldable int literals (they size
+    * the codegen'd loop).
+    */
+  val alignScoreBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 5,
+      "graft_align_score expects (afs, bfs, wordsPerFrame, maxOffset, maxHamming)")
+    require(children.drop(2).forall(_.foldable),
+      "graft_align_score shape arguments must be literals")
+    AlignSeqScore(children.head, children(1),
+      intLiteral(children(2), "graft_align_score wordsPerFrame"),
+      intLiteral(children(3), "graft_align_score maxOffset"),
+      intLiteral(children(4), "graft_align_score maxHamming"))
+  }
+
   val bloomContainsInfo =
     new ExpressionInfo(classOf[BloomMightContain].getName, "graft_bloom_contains")
 
@@ -238,6 +256,8 @@ object GraftFunctions {
       .createOrReplaceTempFunction("graft_ngram_hashes", ngramBuilder, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("graft_word_shingles", wordShingleBuilder, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("graft_align_score", alignScoreBuilder, "built-in")
   }
 }
 
@@ -261,5 +281,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_mg"), GraftFunctions.mgInfo, GraftFunctions.mgBuilder))
     ext.injectFunction((FunctionIdentifier("graft_bloom"), GraftFunctions.bloomInfo, GraftFunctions.bloomBuilder))
     ext.injectFunction((FunctionIdentifier("graft_bloom_contains"), GraftFunctions.bloomContainsInfo, GraftFunctions.bloomContainsBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_align_score"), GraftFunctions.alignScoreInfo, GraftFunctions.alignScoreBuilder))
   }
 }

@@ -589,6 +589,101 @@ object Dedup {
       .withColumnRenamed("b_id", "b_media_id")
   }
 
+  /** D14: VIDEO near-dup — sequence-level alignment over per-frame
+    * perceptual hashes, the temporal rung above D12. A re-cut repost (same
+    * footage, trimmed a frame, re-encoded with small defects) shares no
+    * byte-level content, but its frame dHashes are a SHIFTED, slightly
+    * noisy copy of the source's: detect it by (1) hashing every frame
+    * (map-only, real JDK decode → [[graft.operators.Multimodal.dHash]]),
+    * (2) generating candidate VIDEO pairs through the same provably
+    * complete pigeonhole banding as D6/D12 — a qualifying pair must have
+    * ≥ `minMatched` aligned frame pairs within `maxHamming` bits, and each
+    * such frame pair must agree exactly on one of the `bands` hash slices,
+    * so any qualifying pair surfaces in some band bucket (recall = 1) —
+    * then (3) verifying by exact temporal alignment: for each offset in
+    * `[-maxOffset, maxOffset]`, count aligned frame pairs within
+    * `maxHamming`; keep pairs whose best offset matches ≥ `minMatched`
+    * frames (ties → smallest offset).
+    *
+    * At 100 TB: decode + hash stays where the blobs live; only 64-bit
+    * fingerprints shuffle. The verify joins candidate pairs to per-video
+    * hash SEQUENCES (a few longs per video, never frame bytes), and the
+    * alignment scoring is pure codegen'd HOFs (`transform`/`filter` +
+    * `bit_count(xor)`) over those bounded arrays — O(offsets·frames) per
+    * candidate, no window, no cross join.
+    */
+  def videoNearDup(
+      frames: DataFrame,
+      contentCol: String = "content",
+      videoCol: String = "video_id",
+      frameCol: String = "frame_idx",
+      maxHamming: Int = 4,
+      bands: Int = 5,
+      maxOffset: Int = 2,
+      minMatched: Int = 3,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
+    require(bands > maxHamming, "pigeonhole completeness needs bands > maxHamming")
+    // one decode+hash pass per frame, persisted: both the banding leg and
+    // the sequence build read it, and the JDK codec UDF is the dominant
+    // per-row cost — recomputing it would double the operator
+    val fp = frames
+      .select(col(videoCol).as("vid"), col(frameCol).as("f"),
+        graft.operators.Multimodal.dHash(col(contentCol)).as("simhash"))
+      .filter(col("simhash").isNotNull)
+      .select(
+        col("vid") +: col("f") +: col("simhash") +:
+          (0 until 4).map(j =>
+            expr(s"CAST(conv(substring(simhash, ${j * 16 + 1}, 16), 2, 10) AS BIGINT)")
+              .as(s"w$j")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val width = (64 + bands - 1) / bands
+    val bandCols = (0 until bands).map { j =>
+      val start = j * width + 1
+      val len = math.min(width, 64 - j * width)
+      struct(lit(j).as("band"), expr(s"substring(simhash, $start, $len)").as("key"))
+    }
+    // candidate VIDEO pairs: any cross-video frame pair sharing a band
+    // bucket, prefiltered by the frame-level Hamming gate (a qualifying
+    // pair has at least one such frame pair at SOME alignment, so the
+    // video-pair set is a complete superset of the qualifying pairs)
+    val banded = capBuckets(fp
+      .select(col("vid").as("id"), col("w0"), col("w1"), col("w2"), col("w3"),
+        explode(array(bandCols: _*)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.key").as("key"),
+        col("w0"), col("w1"), col("w2"), col("w3")), bucketCap)
+    val hammingExpr = (0 until 4)
+      .map(j => s"bit_count(x.w$j ^ y.w$j)").mkString(" + ")
+    val cand = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .filter(expr(s"$hammingExpr <= $maxHamming"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+    // per-video hash sequence, frame order, FLATTENED to array<bigint>
+    // (4 words per frame) — the shape the native alignment kernel scans;
+    // sort_array orders by the leading struct field (f)
+    val seqs = fp.groupBy("vid").agg(
+      expr("flatten(transform(sort_array(collect_list(struct(f, w0, w1, w2, w3))), " +
+        "e -> array(e.w0, e.w1, e.w2, e.w3)))").as("fs"))
+    // verify: the alignment scoring runs in [[graft.functions.AlignSeqScore]]
+    // — one codegen'd integer loop per candidate pair. The declarative
+    // transform/filter HOF form was this operator's bottleneck (7.8 s of
+    // 8.6 at sf0.1): HOF lambdas evaluate interpreted, per offset × frame
+    // × word, per pair.
+    graft.functions.GraftFunctions.register(frames.sparkSession)
+    cand
+      .join(seqs.select(col("vid").as("a"), col("fs").as("afs")), "a")
+      .join(seqs.select(col("vid").as("b"), col("fs").as("bfs")), "b")
+      .withColumn("al",
+        expr(s"graft_align_score(afs, bfs, 4, $maxOffset, $maxHamming)"))
+      .withColumn("matched_frames", expr("CAST(element_at(al, 2) AS BIGINT)"))
+      .filter(col("matched_frames") >= minMatched)
+      .withColumn("best_offset", expr("CAST(element_at(al, 1) AS BIGINT)"))
+      .select(col("a").as("a_video_id"), col("b").as("b_video_id"),
+        col("best_offset"), col("matched_frames"))
+  }
+
   /** Character-n-gram Jaccard near-dup within explicit blocks (e.g. same
     * (lang, source)): blocking is the classic scale move when a natural
     * partition key exists — the self-join is an equi-join on the block key

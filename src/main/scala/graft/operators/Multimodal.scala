@@ -407,6 +407,46 @@ object Multimodal {
       bos.toByteArray
     }
 
+  /** Deterministic VIDEO fixture: frame `f` of video `id` is a texture PNG
+    * in the [[encodeTexturePngFixture]] family, the frame index advancing
+    * the texture phase by 11 gray levels — consecutive frames of one video
+    * are distinct but related, like consecutive stills of a slow pan. Ids
+    * with `id % 10 == 8` encode a RE-CUT PERTURBED COPY of video id−2: a
+    * temporal shift of one frame (frame f carries source frame f+1's
+    * texture) plus the d12 pixel defect (+64 mod 256 at `(x + y·w) % 37 ==
+    * 0`) — the re-encoded, trimmed-and-edited repost every video-dedup
+    * pipeline hunts. Frame dimensions are constant within a video (they
+    * follow `base`), as real video frames are. All through the real JDK PNG
+    * writer; the decoded grays are closed-form in (id, f), so the whole
+    * decode→hash→alignment chain is value-oracle-gateable with no codec in
+    * the oracle engine.
+    */
+  val encodeVideoFrameFixture: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (id: Long, f: Int) =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val perturbed = id % 10 == 8
+      val base = if (perturbed) id - 2 else id
+      val fb = f + (if (perturbed) 1 else 0)
+      val w = (8 + base % 13).toInt
+      val h = (8 + (base * 3) % 11).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var g = ((base * 7 + fb * 11 + x * 17 + y * 29) % 256).toInt
+          if (perturbed && (x + y * w) % 37 == 0) g = (g + 64) % 256
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
   /** Difference hash (dHash) over a REAL decoded image: nearest-neighbor
     * sample a 9×8 grayscale grid (`xs_i = ⌊i·w/9⌋`, `ys_j = ⌊j·h/8⌋` — the
     * [[resizeHalf]] sampling rule generalized), bit `j·8+i` = 1 iff the

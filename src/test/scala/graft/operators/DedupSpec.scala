@@ -484,6 +484,52 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.imageNearDup(media.unionByName(junk)).count() == pairs.count())
   }
 
+  test("videoNearDup: planted shifted reposts found at offset -1; equals brute-force alignment; junk quarantines") {
+    import spark.implicits._
+    val frames = spark.range(200).filter(col("id") % 2 === 0)
+      .select(col("id").as("video_id"),
+        explode(expr("sequence(0, 4)")).as("frame_idx"))
+      .select(col("video_id"), col("frame_idx"),
+        graft.operators.Multimodal.encodeVideoFrameFixture(
+          col("video_id"), col("frame_idx")).as("content"))
+    val pairs = Dedup.videoNearDup(frames).cache()
+    // planted: every id%10==8 is a one-frame-trimmed perturbed repost of
+    // id-2 — 4 of its 5 frames align at offset -1 within the hamming budget
+    val planted = pairs.filter(
+      col("b_video_id") === col("a_video_id") + 2 && col("b_video_id") % 10 === 8)
+    assert(planted.count() == 20, // ids 8,18,...,198
+      s"expected all 20 planted reposts paired, got ${planted.count()}")
+    assert(planted.filter(col("best_offset") =!= -1 || col("matched_frames") =!= 4)
+      .count() == 0, "planted repost scored at wrong offset or match count")
+    // equality with brute-force all-pairs alignment over the same hashes
+    // (pigeonhole completeness at the video level), scored independently
+    // via per-character bitstring compares
+    val fp = frames.select(col("video_id"), col("frame_idx"),
+      graft.operators.Multimodal.dHash(col("content")).as("h"))
+    val seqs = fp.groupBy("video_id").agg(
+      expr("transform(sort_array(collect_list(struct(frame_idx, h))), e -> e.h)").as("hs"))
+    val brute = seqs.as("a").join(seqs.as("b"), col("a.video_id") < col("b.video_id"))
+      .withColumn("scores", expr(
+        """transform(sequence(-2, 2), o ->
+             size(filter(sequence(0, size(a.hs) - 1), f ->
+               f + o >= 0 AND f + o < size(b.hs) AND
+               size(filter(sequence(1, 64), i ->
+                 substring(element_at(a.hs, f + 1), i, 1) !=
+                 substring(element_at(b.hs, f + o + 1), i, 1))) <= 4)))"""))
+      .withColumn("matched_frames", expr("CAST(array_max(scores) AS BIGINT)"))
+      .filter(col("matched_frames") >= 3)
+      .withColumn("best_offset", expr(
+        "CAST(element_at(filter(sequence(-2, 2), o -> element_at(scores, o + 3) = array_max(scores)), 1) AS BIGINT)"))
+      .select(col("a.video_id").as("a_video_id"), col("b.video_id").as("b_video_id"),
+        col("best_offset"), col("matched_frames"))
+    assert(pairs.exceptAll(brute).isEmpty && brute.exceptAll(pairs).isEmpty,
+      "banded video pairing diverges from brute-force alignment")
+    // quarantine: an all-corrupt video contributes no fingerprints, no pairs
+    val junk = Seq((901L, 0, Array[Byte](9, 9)), (901L, 1, Array[Byte]()))
+      .toDF("video_id", "frame_idx", "content")
+    assert(Dedup.videoNearDup(frames.unionByName(junk)).count() == pairs.count())
+  }
+
   test("paragraphDedup: first occurrence survives, later repeats drop, reassembly ordered") {
     import spark.implicits._
     val sep = "\n\n"
