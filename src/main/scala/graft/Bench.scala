@@ -99,6 +99,10 @@ object Bench {
     if (selected.exists(_._1 == "st15_vector_index_maintain"))
       try SparkEntry.st15IndexDir(spark, sfDir)
       catch { case _: Throwable => () }
+    // and the stream-built BM25 postings index: st16 times the SEARCH
+    if (selected.exists(_._1 == "st16_bm25_index_maintain"))
+      try SparkEntry.st16IndexDir(spark, sfDir)
+      catch { case _: Throwable => () }
     // Deterministic order (hash-Map order varied run to run) and a cold
     // cache per query: otherwise first-touch parquet footer reads and
     // persisted RDDs shared across entries land on whichever query happens

@@ -143,6 +143,23 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
   private val streamedVectorIndexMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private val streamedTextIndexMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** st16's artifact: the BM25 postings index built by absorbing the whole
+    * documents table THROUGH the streaming engine (micro-batch per staged
+    * file, `batch=b<id>` fences — [[graft.streaming.EventsStream
+    * .textIndexMaintainReplay]]). Postings are a pure per-doc map, so the
+    * stream-built index is value-identical to a batch build and the st16
+    * search shares k14's oracle.
+    */
+  def st16IndexDir(s: SparkSession, dir: String): String =
+    streamedTextIndexMemo.computeIfAbsent((s, dir), _ => {
+      val path = graft.core.TempDirs.create("graft_st16_tindex")
+      graft.streaming.EventsStream.textIndexMaintainReplay(
+        s, dir, path, "TRUE")
+      path
+    })
 
   /** Stored full-corpus IVF-PQ index for k8 ([[graft.operators.VectorIndex]]
     * — the d9/k6 ingest-time-artifact contract applied to ANN): quantizers
@@ -198,6 +215,19 @@ object SparkEntry {
         "delta")
       path
     })
+
+  /** x24's planted canaries: 45 tokens OUTSIDE the corpus vocabulary; the
+    * eval variant edits tokens 7, 20 and 33 — every 13-gram window of the
+    * passage spans an edit (exact-13 containment from the plant = 0,
+    * brute-force-pinned in TextAnalysisSpec) while 15 of its 38 8-grams
+    * survive (fuzzy containment fires). Shared between the Spark entry
+    * and the oracle SQL so the injection replays identically.
+    */
+  private val x24CanaryTrain: String =
+    (1 to 45).map(i => s"qq$i").mkString(" ")
+  private val x24CanaryEval: String =
+    (1 to 45).map(i => if (i == 7 || i == 20 || i == 33) s"zz$i" else s"qq$i")
+      .mkString(" ")
 
   /** Deterministic 1/16 md5 slice playing the newly-arrived d9 delta. */
   private val d9DeltaPredicate = "substring(md5(CAST(doc_id AS STRING)), 1, 1) = '0'"
@@ -353,7 +383,9 @@ object SparkEntry {
       "g2_personalized_pagerank",
       // the stored IVF-PQ indexes (k8IndexDir/k13IndexDir/st15IndexDir):
       // the entries time the search against the ingest-time artifact
-      "k8_ivfpq_topk", "k13_index_incremental", "st15_vector_index_maintain")
+      "k8_ivfpq_topk", "k13_index_incremental", "st15_vector_index_maintain",
+      // st16 searches the stream-built BM25 postings index (st16IndexDir)
+      "st16_bm25_index_maintain")
 
   /** Drop the memoized pipeline stages for one session (all dirs) — lets a
     * bench opt into cold per-query measurement, and unpins the session and
@@ -367,7 +399,7 @@ object SparkEntry {
     }
     Seq(dedupIndexMemo, streamedIndexMemo, statsStateMemo, knnGraphMemo,
       g1EdgesMemo, d12MediaMemo, d14MediaMemo, vectorIndexMemo, vectorIndexIncrMemo,
-      streamedVectorIndexMemo).foreach { m =>
+      streamedVectorIndexMemo, streamedTextIndexMemo).foreach { m =>
       m.keySet.asScala.filter(_._1 eq s).toList
         .foreach(k => Option(m.remove(k)).foreach(graft.core.TempDirs.drop))
     }
@@ -1057,6 +1089,23 @@ object SparkEntry {
           "gamma delta epsilon zeta eta theta iota kappa lambda mu nu') ELSE text END"))
       graft.operators.TextAnalysis.decontamination(seeded)
     }),
+    // Fuzzy decontamination (x24): graded 8-gram containment of each
+    // src19 "benchmark" doc against the train corpus. The planted fixture
+    // is the case exact-13-gram checks MISS: train docs (id%7=0) carry a
+    // 45-token canary, eval docs (id%3=0) carry the SAME canary with
+    // tokens 7, 20 and 33 edited — every 13-gram spans an edit (zero
+    // exact hits) but 15 of its 38 8-grams survive. Canary
+    // tokens (qq1..qq45) are outside the corpus vocabulary, so shared
+    // grams trace to the plant alone. Injection replayed in the oracle.
+    "x24_fuzzy_decontamination" -> ((s, dir) => {
+      val seeded = t(s, dir, "documents").withColumn("text", expr(
+        s"CASE WHEN source <> 'src19' AND doc_id % 7 = 0 " +
+          s"THEN concat(text, ' $x24CanaryTrain') " +
+          s"WHEN source = 'src19' AND doc_id % 3 = 0 " +
+          s"THEN concat(text, ' $x24CanaryEval') ELSE text END"))
+      graft.operators.TextAnalysis.fuzzyDecontamination(
+        seeded, "source = 'src19'")
+    }),
     // Text canonicalization. The synthetic corpus is already lowercase
     // single-spaced, so deterministic mess is injected first (upper case,
     // punctuation, space runs, trailing blanks — replayed identically in
@@ -1097,6 +1146,24 @@ object SparkEntry {
     "k1_topk_cosine" -> ((s, dir) =>
       graft.operators.Similarity.topKCosine(
         t(s, dir, "embeddings"), queryIds = Seq(0L, 1L, 2L), k = 10)),
+    // BM25 lexical retrieval (integer-exact milli scoring, Robertson-odds
+    // IDF): 5 query docs (ids 0-4), query = the doc's first 6 distinct
+    // tokens, top-10 over the whole corpus. The sparse leg of the
+    // retrieval stack; k15 fuses it with the dense cosine leg.
+    "k14_bm25_topk" -> ((s, dir) =>
+      graft.operators.Retrieval.bm25TopK(
+        t(s, dir, "documents"),
+        t(s, dir, "documents").filter(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"), col("text").as("qtext")),
+        k = 10)),
+    // Hybrid sparse+dense retrieval by Reciprocal Rank Fusion: BM25
+    // top-20 + exact-cosine top-20 per query doc (doc_id ≡ vec_id — the
+    // corpus's embedding correspondence), fused on rank alone
+    // (1000000 div (60 + rank)), final top-10. Both legs exclude self.
+    "k15_hybrid_rrf" -> ((s, dir) =>
+      graft.operators.Retrieval.hybridRrfTopK(
+        t(s, dir, "documents"), t(s, dir, "embeddings"),
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
     // Exact MIPS through the norm-augmentation reduction to cosine: the
     // corpus is reweighted to non-unit norms (id-mod-7 scale), one extra
     // sqrt(M^2-|x|^2) component makes every corpus norm constant, and the
@@ -1170,6 +1237,16 @@ object SparkEntry {
       graft.operators.VectorIndex.searchTopKCosine(
         s, st15IndexDir(s, dir), t(s, dir, "embeddings"),
         queryIds = Seq(0L, 1L, 2L), k = 10)),
+    // Streamed maintenance of the BM25 postings index (st16): documents
+    // absorbed micro-batch by micro-batch under batch=b<id> fences, then
+    // BM25 search answered from the stored postings alone — value-equal
+    // to k14's inline build (shared oracle).
+    "st16_bm25_index_maintain" -> ((s, dir) =>
+      graft.operators.Retrieval.searchTextIndex(
+        s, st16IndexDir(s, dir),
+        t(s, dir, "documents").filter(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"), col("text").as("qtext")),
+        k = 10)),
     // Binary-quantization ANN: 64-bit packed sign signatures (64x smaller
     // than raw vectors), XOR+popcount Hamming scan, bounded shortlist,
     // exact re-rank — the 1-bit memory tier of the index family.
@@ -1654,10 +1731,76 @@ object SparkEntry {
       rerankSql
   }
 
+  /** k14/k15/st16 BM25 oracle core: the integer-exact milli BM25 replayed
+    * in DuckDB — tokenization (single-space split, empties dropped),
+    * postings tf, doc length dl, corpus stats, Robertson-odds IDF milli,
+    * and the summed per-term score, all in the exact integer-division
+    * order the Spark side evaluates ([[graft.operators.Retrieval
+    * .bm25Scores]]). Queries = first 6 distinct tokens of docs 0-4.
+    * Emits CTEs ending in `sc` = (query_id, doc_id, score_milli).
+    */
+  private def bm25OracleCtes: String =
+    "toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+      "tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks " +
+      "WHERE tok <> '' GROUP BY doc_id, tok), " +
+      "dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id), " +
+      "stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl), " +
+      "dfr AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok), " +
+      "q AS (SELECT DISTINCT doc_id AS query_id, tok FROM " +
+      "(SELECT doc_id, unnest(list_slice(string_split(text, ' '), 1, 6)) AS tok " +
+      "FROM documents WHERE doc_id < 5) WHERE tok <> ''), " +
+      "m AS (SELECT q.query_id, tf.doc_id, tf.tf, dl.dl, dfr.df, s.n_docs, s.sum_dl " +
+      "FROM tf JOIN q USING (tok) JOIN dl USING (doc_id) JOIN dfr USING (tok) " +
+      "CROSS JOIN stats s), " +
+      "sc AS (SELECT query_id, doc_id, CAST(sum(" +
+      "(((2 * (n_docs - df) + 1) * 1000) // (2 * df + 1)) * tf * 2200 // " +
+      "(tf * 1000 + (1200 * (1000 - 750 + (750 * dl * n_docs) // sum_dl)) // 1000)" +
+      ") AS BIGINT) AS score_milli FROM m GROUP BY query_id, doc_id)"
+
+  /** k14/st16 oracle: BM25 top-10 per query (score desc, doc_id ties). */
+  private def k14OracleSql: String =
+    "WITH " + bm25OracleCtes +
+      " SELECT query_id, doc_id, score_milli, rank FROM " +
+      "(SELECT query_id, doc_id, score_milli, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY score_milli DESC, doc_id) AS rank FROM sc) " +
+      "WHERE rank <= 10"
+
   def oracleSql: Map[String, String] = Map(
     "k6_beam_search" -> k6OracleSql,
     "k13_index_incremental" -> k13OracleSql,
     "st15_vector_index_maintain" -> k13OracleSql,
+    "k14_bm25_topk" -> k14OracleSql,
+    // st16: the stream-built postings index must answer BM25 identically
+    // to k14's inline build — shared oracle, verbatim.
+    "st16_bm25_index_maintain" -> k14OracleSql,
+    // k15: both 20-deep legs replayed (BM25 self-excluded + k1-style
+    // cosine over vec_id<5), fused on rank: 1000000 // (60 + rank),
+    // final top-10 by (rrf desc, doc_id).
+    "k15_hybrid_rrf" ->
+      ("WITH " + bm25OracleCtes + ", " +
+        "sp AS (SELECT query_id, doc_id, rnk FROM (SELECT query_id, doc_id, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY score_milli DESC, doc_id) AS rnk " +
+        "FROM sc WHERE doc_id <> query_id) WHERE rnk <= 20), " +
+        "v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
+        "FROM embeddings), " +
+        "qv AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 5), " +
+        "cs AS (SELECT qv.query_id, v.vec_id AS doc_id, " +
+        "list_sum(list_transform(generate_series(1, 64), i -> v.v[i] * qv.qv[i])) / " +
+        "(sqrt(list_sum(list_transform(v.v, x -> x * x))) * " +
+        "sqrt(list_sum(list_transform(qv.qv, x -> x * x)))) AS cos " +
+        "FROM v, qv WHERE v.vec_id != qv.query_id), " +
+        "dn AS (SELECT query_id, doc_id, rnk FROM (SELECT query_id, doc_id, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rnk " +
+        "FROM cs) WHERE rnk <= 20), " +
+        "u AS (SELECT query_id, doc_id, rnk FROM sp " +
+        "UNION ALL SELECT query_id, doc_id, rnk FROM dn), " +
+        "f AS (SELECT query_id, doc_id, CAST(sum(1000000 // (60 + rnk)) AS BIGINT) " +
+        "AS rrf_micro FROM u GROUP BY query_id, doc_id) " +
+        "SELECT query_id, doc_id, rrf_micro, rank FROM " +
+        "(SELECT query_id, doc_id, rrf_micro, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id) AS rank FROM f) " +
+        "WHERE rank <= 10"),
     "k11_mmr_topk" -> mmrOracleSql(5, 700000L, 20),
     // k9: replay the 64 hyperplane sign bits (k2's hp/bits machinery at 64
     // planes), Hamming = count of differing bits, shortlist by (hamming
@@ -2815,6 +2958,38 @@ object SparkEntry {
         "CAST(sum(CASE WHEN tr.gh IS NOT NULL THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) " +
         "AS contamination_micro " +
         "FROM te LEFT JOIN tr ON te.gh = tr.gh GROUP BY te.doc_id"),
+    // x24: the fuzzy (8-gram containment) decontamination replayed —
+    // identical canary injection, distinct md5-prefix grams, map of each
+    // src19 eval doc to its max-shared train doc (ties → smallest id),
+    // integer-division micro containment, 10% flag.
+    "x24_fuzzy_decontamination" ->
+      (s"WITH seeded AS (SELECT doc_id, source, " +
+        s"CASE WHEN source <> 'src19' AND doc_id % 7 = 0 THEN text || ' $x24CanaryTrain' " +
+        s"WHEN source = 'src19' AND doc_id % 3 = 0 THEN text || ' $x24CanaryEval' " +
+        "ELSE text END AS text FROM documents), " +
+        "toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM seeded), " +
+        "grams AS (SELECT DISTINCT doc_id, source, " +
+        "substring(md5(array_to_string(t[i:i+7], ' ')), 1, 16) AS gh " +
+        "FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i) WHERE len(t) >= 8), " +
+        "eg AS (SELECT doc_id AS eval_id, gh FROM grams WHERE source = 'src19'), " +
+        "ec AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS n_grams FROM eg GROUP BY eval_id), " +
+        "tg AS (SELECT doc_id AS train_id, gh FROM grams WHERE source <> 'src19'), " +
+        "sh AS (SELECT eg.eval_id, tg.train_id, CAST(count(*) AS BIGINT) AS shared_grams " +
+        "FROM tg JOIN eg USING (gh) GROUP BY eg.eval_id, tg.train_id), " +
+        "top AS (SELECT eval_id, train_id AS top_train_id, shared_grams FROM " +
+        "(SELECT eval_id, train_id, shared_grams, row_number() OVER " +
+        "(PARTITION BY eval_id ORDER BY shared_grams DESC, train_id) AS rn FROM sh) " +
+        "WHERE rn = 1), " +
+        "base AS (SELECT doc_id AS eval_id FROM documents WHERE source = 'src19') " +
+        "SELECT b.eval_id AS doc_id, CAST(coalesce(ec.n_grams, 0) AS BIGINT) AS n_grams, " +
+        "top.top_train_id, CAST(coalesce(top.shared_grams, 0) AS BIGINT) AS shared_grams, " +
+        "CAST(CASE WHEN coalesce(ec.n_grams, 0) = 0 THEN 0 " +
+        "ELSE coalesce(top.shared_grams, 0) * 1000000 // ec.n_grams END AS BIGINT) " +
+        "AS containment_micro, " +
+        "CAST(CASE WHEN (CASE WHEN coalesce(ec.n_grams, 0) = 0 THEN 0 " +
+        "ELSE coalesce(top.shared_grams, 0) * 1000000 // ec.n_grams END) >= 100000 " +
+        "THEN 1 ELSE 0 END AS INTEGER) AS is_contaminated " +
+        "FROM base b LEFT JOIN ec USING (eval_id) LEFT JOIN top USING (eval_id)"),
     // x16: canonical form md5-gated; DuckDB regexp_replace needs the 'g'
     // flag for the replace-all semantics Spark applies by default.
     "x16_normalize" ->

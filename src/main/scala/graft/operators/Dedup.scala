@@ -339,6 +339,10 @@ object Dedup {
       "batchId must be a non-empty ingest-batch name other than the reserved 'base'")
     writeIndexBatch(delta, index, batchId, textCol, idCol, shingleWords,
       numHashes, bands)
+    // retried absorbs replace their partition's files — invalidate the
+    // session's cached listings so same-session readers see the new parts
+    Seq("sets", "bands").foreach(rel =>
+      delta.sparkSession.catalog.refreshByPath(s"$index/$rel"))
   }
 
   /** Shared index-batch writer: sets/bands land under `batch=<id>` hive

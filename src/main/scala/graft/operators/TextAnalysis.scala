@@ -462,6 +462,68 @@ object TextAnalysis {
         expr("n_contaminated * 1000000L div n_grams"))
   }
 
+  /** X24 — FUZZY decontamination by n-gram containment (the graded
+    * variant of [[decontamination]]'s any-13-gram flag): for each eval
+    * document e, containment(e) = max over train docs t of
+    * |grams(e) ∩ grams(t)| / |grams(e)| with n = 8 — the Llama-2/GPT-4
+    * style check that catches PARAPHRASED benchmark leakage an exact
+    * 13-gram hit misses (a two-token edit in a 45-token passage kills
+    * every 13-gram but leaves most 8-grams intact; the x24 fixture plants
+    * exactly that). Emits one row per eval doc: distinct-gram count, the
+    * top contaminating train doc (max shared grams, ties → smallest id),
+    * shared-gram count, containment in micro-units (integer-exact), and
+    * the ≥`thresholdMicro` flag.
+    *
+    * Shape at 100 TB: the eval/benchmark side is SMALL by nature (the
+    * realistic asymmetry), so its distinct-gram index broadcasts and the
+    * train corpus streams through a map-side hash join — one pass over
+    * the corpus, no doc×doc, no shuffle of corpus grams; the per-pair
+    * counts aggregate map-side (a train doc meets few eval docs). Grams
+    * are 16-hex md5 prefixes (the x17 cross-engine convention).
+    */
+  def fuzzyDecontamination(
+      docs: DataFrame,
+      evalPredicate: String,
+      n: Int = 8,
+      thresholdMicro: Long = 100000L,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val grams = docs.select(col(idCol), expr(evalPredicate).as("is_eval"),
+        explode(expr(Dedup.wordShingleExpr(textCol, n))).as("g"))
+      .select(col(idCol), col("is_eval"),
+        expr("substring(md5(g), 1, 16)").as("gh"))
+    // per-doc grams are already distinct (wordShingleExpr array_distincts),
+    // so (id, gh) is unique on both sides and plain counts are set sizes
+    val evalGrams = grams.filter(col("is_eval"))
+      .select(col(idCol).as("eval_id"), col("gh"))
+    val evalCounts = evalGrams.groupBy("eval_id")
+      .agg(count(lit(1)).as("n_grams"))
+    val shared = grams.filter(!col("is_eval"))
+      .select(col(idCol).as("train_id"), col("gh"))
+      .join(broadcast(evalGrams), "gh")
+      .groupBy("eval_id", "train_id")
+      .agg(count(lit(1)).as("shared_grams"))
+    val top = shared.groupBy("eval_id").agg(
+      max(col("shared_grams")).as("shared_grams"),
+      expr("max_by(train_id, struct(shared_grams, -train_id))")
+        .as("top_train_id"))
+    // base the output on the eval doc LIST (not the gram stream) so an
+    // eval doc shorter than n tokens still gets its zero row
+    docs.filter(expr(evalPredicate)).select(col(idCol).as("eval_id"))
+      .join(evalCounts, Seq("eval_id"), "left")
+      .join(top, Seq("eval_id"), "left")
+      .select(
+        col("eval_id").as(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        col("top_train_id"),
+        coalesce(col("shared_grams"), lit(0L)).as("shared_grams"))
+      .withColumn("containment_micro",
+        expr("CASE WHEN n_grams = 0 THEN 0L " +
+          "ELSE shared_grams * 1000000L div n_grams END"))
+      .withColumn("is_contaminated",
+        (col("containment_micro") >= thresholdMicro).cast("int"))
+  }
+
   /** Per-domain document cap (web-crawl curation): keep at most `cap`
     * documents per source/domain, preferring the smallest ids (first
     * crawled). A boilerplate-heavy domain must not dominate the training

@@ -90,6 +90,10 @@ object VectorIndex {
     val codebook = spark.read.parquet(s"$path/codebook")
     Similarity.pqEncode(v, codebook, m, dim)
       .write.mode("overwrite").parquet(s"$path/codes/batch=$batchId")
+    // retried absorbs replace their partition's files — invalidate the
+    // session's cached listings so same-session readers see the new parts
+    Seq("assign", "codes").foreach(rel =>
+      spark.catalog.refreshByPath(s"$path/$rel"))
   }
 
   /** Build a complete index from scratch: [[train]] on the corpus, then

@@ -1105,6 +1105,36 @@ object EventsStream {
     batchCount(q)
   }
 
+  /** Streaming maintenance of the BM25 postings index (st16 — the sparse-
+    * retrieval twin of [[indexMaintainReplay]]): each micro-batch of
+    * arriving documents is tokenized/counted and absorbed into the stored
+    * postings via [[graft.operators.Retrieval.absorbTextIndex]] under a
+    * `batch=b<id>` scoped overwrite — the same exactly-once fence as the
+    * MinHash (st11) and IVF-PQ (st15) index maintenance. Postings are a
+    * pure per-doc map, so stream-built ≡ batch-built regardless of batch
+    * boundaries; the entry searches the artifact and shares k14's oracle.
+    * Returns the number of micro-batches absorbed.
+    */
+  def textIndexMaintainReplay(
+      spark: SparkSession,
+      dir: String,
+      index: String,
+      filterSql: String,
+      queryName: String = "graft_tindex_maintain_stream"): Long = {
+    val ss = streamSession(spark)
+    val ckpt = tempDir("graft_tindex_ckpt_")
+    val q = readDocsStaged(ss, dir, filterSql)
+      .writeStream
+      .queryName(queryName)
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        graft.operators.Retrieval.absorbTextIndex(index, batch, s"b$bid"))
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    batchCount(q)
+  }
+
   /** Streaming maintenance of the IVF-PQ vector index (st15 — the ANN twin
     * of [[indexMaintainReplay]]): quantizers are TRAINED once at bootstrap
     * (a batch step — FAISS `train` semantics; a stream cannot retrain the

@@ -285,6 +285,52 @@ class TextAnalysisSpec extends SparkSpec {
     assert(twice == got, "normalizeText is not idempotent")
   }
 
+  test("fuzzyDecontamination: perturbed passage fires fuzzy but not exact-13; closed-form count") {
+    import spark.implicits._
+    // 45-token shared passage; the eval copy edits tokens 7, 20, 33 —
+    // the x24 fixture geometry: 8-grams total 38, kill windows
+    // [1,7]∪[13,20]∪[26,33] = 23, surviving 15; every 13-gram window
+    // spans an edit (brute-force-checked below)
+    val train = (1 to 45).map(i => s"qq$i").mkString(" ")
+    val eval_ = (1 to 45).map(i => if (i == 7 || i == 20 || i == 33) s"zz$i" else s"qq$i").mkString(" ")
+    val fixture = Seq(
+      (1L, "train", s"aa1 aa2 aa3 aa4 aa5 aa6 aa7 aa8 $train"),
+      (2L, "train", "bb1 bb2 bb3 bb4 bb5 bb6 bb7 bb8 bb9 bb10"),
+      (3L, "eval", s"cc1 cc2 cc3 cc4 cc5 cc6 cc7 cc8 $eval_")
+    ).toDF("doc_id", "kind", "text")
+    val out = TextAnalysis.fuzzyDecontamination(
+      fixture, "kind = 'eval'", thresholdMicro = 300000L)
+      .collect()
+    assert(out.length == 1 && out.head.getLong(0) == 3L)
+    val r = out.head
+    // eval doc: 8 own tokens + 45 passage tokens = 53 -> 46 distinct grams
+    assert(r.getLong(1) == 46L, s"n_grams ${r.getLong(1)}")
+    assert(r.getLong(2) == 1L, "top contaminating train doc must be doc 1")
+    assert(r.getLong(3) == 15L, s"surviving canary grams ${r.getLong(3)}")
+    assert(r.getLong(4) == 15L * 1000000L / 46L)
+    assert(r.getInt(5) == 1, "containment above threshold must flag")
+    // the EXACT 13-gram check on the same geometry sees nothing: every
+    // 13-gram of the passage covers an edited position
+    val g13 = fixture.selectExpr("doc_id",
+      s"explode(${Dedup.wordShingleExpr("text", 13)}) AS g")
+    val shared13 = g13.filter(col("doc_id") === 1L).select("g")
+      .intersect(g13.filter(col("doc_id") === 3L).select("g"))
+    assert(shared13.isEmpty, "exact 13-gram containment must miss this plant")
+  }
+
+  test("fuzzyDecontamination: zero-match eval doc gets its zero row, null top id") {
+    import spark.implicits._
+    val out = TextAnalysis.fuzzyDecontamination(Seq(
+      (1L, "train", (1 to 20).map(i => s"t$i").mkString(" ")),
+      (2L, "eval", (1 to 20).map(i => s"e$i").mkString(" "))
+    ).toDF("doc_id", "kind", "text"), "kind = 'eval'").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 13L)
+    assert(r.isNullAt(2), "no contaminating doc -> null top_train_id")
+    assert(r.getLong(3) == 0L && r.getLong(4) == 0L && r.getInt(5) == 0)
+  }
+
   test("decontamination: leaked passage counted, clean test doc at zero") {
     import spark.implicits._
     // md5-split fixture ids: 1 -> train, 3 -> test (verified constants)

@@ -105,6 +105,22 @@ class EventsStreamSpec extends SparkSpec {
     assert(viaStream.exceptAll(viaBatch).isEmpty && viaBatch.exceptAll(viaStream).isEmpty)
   }
 
+  test("streamed BM25 postings maintenance equals the batch-built index, >=2 batches") {
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+    val queries = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+    val streamedIdx = tmpDir("graft_spec_st16_idx")
+    val batches = EventsStream.textIndexMaintainReplay(
+      spark, sf, streamedIdx, "TRUE", "graft_spec_tindex_maintain")
+    assert(batches >= 2,
+      s"staged replay must absorb multiple micro-batches, got $batches")
+    val viaStream = graft.operators.Retrieval.searchTextIndex(
+      spark, streamedIdx, queries, k = 10)
+    val inline = graft.operators.Retrieval.bm25TopK(docs, queries, k = 10)
+    assert(viaStream.count() == 50)
+    assert(viaStream.exceptAll(inline).isEmpty && inline.exceptAll(viaStream).isEmpty)
+  }
+
   test("CDC from the manifest upsert: changelog equals the batch-side snapshot diff; no deletes") {
     val cutoffNanos = 1705363200000000000L // 2024-01-16T00:00:00Z
     val out = EventsStream.cdcUpsertReplay(
