@@ -103,6 +103,34 @@ class PlanSpec extends SparkSpec {
       s"query side not broadcast:\n$p")
   }
 
+  test("k14 BM25: no window, no cartesian; query terms broadcast; ranking is the bounded aggregate") {
+    val p = plan("k14_bm25_topk")
+    assert(!p.contains("Window"),
+      s"k14 regressed to a row_number window over the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in BM25 scoring:\n$p")
+    assert(p.contains("graft_topk"),
+      s"bounded top-k aggregate missing:\n$p")
+    // the (tiny) query-term relation must broadcast into the postings scan
+    assert(p.contains("BroadcastHashJoin"),
+      s"query terms not broadcast against postings:\n$p")
+  }
+
+  test("k15 RRF fusion: both legs window-free, fusion is a plain aggregate") {
+    val p = plan("k15_hybrid_rrf")
+    assert(!p.contains("Window"), s"RRF legs regressed to window ranking:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in fusion:\n$p")
+    assert(p.contains("graft_topk"), s"bounded ranking missing:\n$p")
+  }
+
+  test("x24 fuzzy decontamination: eval gram index broadcast, train side never shuffles grams") {
+    val p = plan("x24_fuzzy_decontamination")
+    assert(!p.contains("CartesianProduct"), s"doc×doc pairing crept in:\n$p")
+    // the gh-key candidate join must be broadcast (eval side is small by
+    // nature); the only shuffles are the bounded per-pair/per-eval aggs
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval gram index not broadcast:\n$p")
+  }
+
   test("a28 rolling actives: map-side partial aggregation, no cartesian") {
     val p = plan("a28_rolling_actives")
     // pairs collapse + final count(DISTINCT) both want partial/final pairs
