@@ -198,11 +198,12 @@ object Similarity {
     * assignment scan, not data movement.
     */
   private def lloydIterate(v: DataFrame, cents: DataFrame): DataFrame = {
-    val assign = cosineCols(v.crossJoin(broadcast(cents)))
-      .groupBy(col("id"))
-      .agg(expr("max_by(cid, struct(cos, cid))").as("cid"))
-    val sums = v.join(assign, "id")
-      .select(col("cid"), posexplode(col("v")).as(Seq("d", "x")))
+    // map-only assignment column: no crossJoin row explosion and no id
+    // re-join — each sample row carries its cell straight into the
+    // per-(cid, dim) partial sums
+    val sums = v
+      .select(argmaxCosineCol(v, cents).getField("cid").as("cid"),
+        posexplode(col("v")).as(Seq("d", "x")))
       .groupBy("cid", "d")
       .agg(
         sum(expr("CAST(floor(x * 1000000) AS BIGINT)")).as("s"),
@@ -303,14 +304,51 @@ object Similarity {
       materializeCentroids(lloydIterate(vt, broadcast(c))))
   }
 
-  /** Nearest-centroid assignment of every vector in `v`: map-side max_by
-    * over the broadcast centroid table — deterministic tie-break on
-    * (cos, cid). `cents` must be (cid, qv).
+  /** The centroid table as a map-only argmax-cosine COLUMN over `v`: the
+    * bounded (cid, qv) relation is collected (nCentroids·dim doubles — the
+    * same driver state Lloyd training already materializes) and baked into
+    * one native [[graft.functions.ArgmaxCosine]] expression, so nearest-
+    * centroid assignment is a codegen'd per-row loop instead of an
+    * n·nCentroids row-explosion join + re-aggregation. Value-identical to
+    * the former `crossJoin(broadcast) + max_by(struct(cos, cid))`
+    * (spec-pinned, same tie-break under the nan-safe double order).
+    */
+  private val argmaxSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  private def argmaxCosineCol(v: DataFrame, cents: DataFrame): org.apache.spark.sql.Column = {
+    val rows = cents.select(col("cid"), col("qv")).collect().sortBy(_.getLong(0))
+    require(rows.nonEmpty, "centroid table is empty")
+    val cids = rows.map(_.getLong(0))
+    val dim = rows.head.getSeq[Double](1).length
+    val matrix = new Array[Double](rows.length * dim)
+    var c = 0
+    while (c < rows.length) {
+      val q = rows(c).getSeq[Double](1)
+      var d = 0
+      while (d < dim) { matrix(c * dim + d) = q(d); d += 1 }
+      c += 1
+    }
+    // the expression carries runtime data (the baked matrix), which the
+    // SQL surface can't express as literals — a uniquely-named registry
+    // builder CLOSING OVER the arrays bridges it through the supported
+    // function-registry API (no private Column constructors)
+    // register in the CONSUMING frame's session (micro-batch clones
+    // resolve functions against their own registry, not the writer's)
+    val fn = s"graft_argmax_cos_${argmaxSeq.incrementAndGet()}"
+    v.sparkSession.sessionState.functionRegistry
+      .createOrReplaceTempFunction(fn, { children =>
+        require(children.length == 1, s"$fn expects (vector)")
+        graft.functions.ArgmaxCosine(children.head, cids, matrix, dim)
+      }, "built-in")
+    expr(s"$fn(v)")
+  }
+
+  /** Nearest-centroid assignment of every vector in `v`: map-only
+    * [[argmaxCosineCol]] over the baked centroid table — deterministic
+    * tie-break on (cos, cid). `cents` must be (cid, qv).
     */
   private[operators] def ivfAssign(v: DataFrame, cents: DataFrame): DataFrame =
-    cosineCols(v.crossJoin(broadcast(cents)))
-      .groupBy(col("id"))
-      .agg(expr("max_by(named_struct('cid', cid, 'cos', cos), struct(cos, cid))").as("m"))
+    v.select(col("id"), argmaxCosineCol(v, cents).as("m"))
       .select(col("id"), col("m.cid").as("cid"), col("m.cos").as("cos"))
 
   /** The per-query probe list: each query's `nProbe` closest centroids by
