@@ -894,11 +894,40 @@ object Similarity {
       m: Int,
       dim: Int): DataFrame = {
     require(m > 0 && dim % m == 0, s"dim=$dim must split into m=$m subspaces")
-    subvectors(normalizeVectors(v), m, dim / m)
-      .join(broadcast(codebook), "sub")
-      .withColumn("d2", expr(subL2))
-      .groupBy(col("id"), col("sub"))
-      .agg(expr("min_by(cid, struct(d2, cid))").as("code"))
+    val subDim = dim / m
+    // bake the bounded (sub, cid, cv) relation into one native
+    // all-subspaces encode ([[graft.functions.PqNearestCodes]]) — the
+    // explode + broadcast-join + min_by re-agg formulation materialized
+    // n·m·nCodes subvector-carrying rows; this is one map-only pass
+    // emitting m codes per row. Value-identical (spec-pinned): same
+    // ascending d² fold, same min_by (d2, cid) nan-safe tie-break.
+    val rows = codebook.select(col("sub"), col("cid"), col("cv")).collect()
+    val bySub = rows.groupBy(_.getInt(0))
+    require((0 until m).forall(bySub.contains), "codebook must cover every subspace")
+    val offsets = new Array[Int](m + 1)
+    (0 until m).foreach(s => offsets(s + 1) = offsets(s) + bySub(s).length)
+    val cids = new Array[Long](rows.length)
+    val matrix = new Array[Double](rows.length * subDim)
+    var j = 0
+    (0 until m).foreach { s =>
+      bySub(s).sortBy(_.getLong(1)).foreach { r =>
+        cids(j) = r.getLong(1)
+        val cv = r.getSeq[Double](2)
+        require(cv.length == subDim,
+          s"codebook entry of subspace $s has ${cv.length} dims, want $subDim")
+        var i = 0
+        while (i < subDim) { matrix(j * subDim + i) = cv(i); i += 1 }
+        j += 1
+      }
+    }
+    val fn = s"graft_pq_codes_${argmaxSeq.incrementAndGet()}"
+    v.sparkSession.sessionState.functionRegistry
+      .createOrReplaceTempFunction(fn, { children =>
+        require(children.length == 1, s"$fn expects (vector)")
+        graft.functions.PqNearestCodes(children.head, offsets, cids, matrix, m, subDim)
+      }, "built-in")
+    normalizeVectors(v)
+      .select(col("id"), posexplode(expr(s"$fn(v)")).as(Seq("sub", "code")))
   }
 
   /** Train the m per-subspace PQ codebooks over `v` (Lloyd on the ~1/8
