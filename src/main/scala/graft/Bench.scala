@@ -88,6 +88,10 @@ object Bench {
     if (selected.exists(_._1 == "d14_video_neardup"))
       try SparkEntry.d14MediaDir(spark, sfDir)
       catch { case _: Throwable => () }
+    // and the staged d15 audio blobs — same contract
+    if (selected.exists(_._1 == "d15_audio_neardup"))
+      try SparkEntry.d15MediaDir(spark, sfDir)
+      catch { case _: Throwable => () }
     // and the stored IVF-PQ indexes (train + encode at ingest time): the
     // k8/k13/st15 entries time the SEARCH against the artifact
     if (selected.exists(_._1 == "k8_ivfpq_topk"))

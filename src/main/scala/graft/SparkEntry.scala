@@ -137,6 +137,33 @@ object SparkEntry {
       path
     })
 
+  private val d15MediaMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Stored audio table (audio_id, content WAV bytes) for d15 — the
+    * [[d14MediaDir]] ingest-time-artifact contract on the audio axis:
+    * every odd document becomes a 6-frame audio fixture
+    * ([[graft.operators.Multimodal.encodeAudioFixture]]), ids with
+    * `id % 10 == 3` a one-frame-trimmed perturbed repost of id−2. Staged
+    * once so the d15 entry times decode → frame hashing → banding →
+    * alignment verify, not the fixture WAV encode.
+    */
+  def d15MediaDir(s: SparkSession, dir: String): String =
+    d15MediaMemo.computeIfAbsent((s, dir), _ => {
+      val path = graft.core.TempDirs.create("graft_d15_media")
+      t(s, dir, "documents")
+        .filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id").as("audio_id"))
+        .select(col("audio_id"),
+          graft.operators.Multimodal.encodeAudioFixture(col("audio_id"))
+            .as("content"))
+        // one compact blob file = one scan split = single-core decode
+        // otherwise — the d12/d14 sharding rule
+        .repartition(s.sparkContext.defaultParallelism, col("audio_id"))
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
   private val vectorIndexMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
   private val vectorIndexIncrMemo =
@@ -378,6 +405,8 @@ object SparkEntry {
       "d12_image_neardup",
       // d14 reads the pre-staged video frames (d14MediaDir), same contract
       "d14_video_neardup",
+      // d15 reads the pre-staged audio blobs (d15MediaDir), same contract
+      "d15_audio_neardup",
       "k6_beam_search", "g1_pagerank",
       // g2 shares g1's prebuilt edge memo (g1 sorts first and pays it)
       "g2_personalized_pagerank",
@@ -398,7 +427,7 @@ object SparkEntry {
       m.keySet.asScala.filter(_._1 eq s).toList.foreach(m.remove)
     }
     Seq(dedupIndexMemo, streamedIndexMemo, statsStateMemo, knnGraphMemo,
-      g1EdgesMemo, d12MediaMemo, d14MediaMemo, vectorIndexMemo, vectorIndexIncrMemo,
+      g1EdgesMemo, d12MediaMemo, d14MediaMemo, d15MediaMemo, vectorIndexMemo, vectorIndexIncrMemo,
       streamedVectorIndexMemo, streamedTextIndexMemo).foreach { m =>
       m.keySet.asScala.filter(_._1 eq s).toList
         .foreach(k => Option(m.remove(k)).foreach(graft.core.TempDirs.drop))
@@ -804,6 +833,14 @@ object SparkEntry {
     "d14_video_neardup" -> ((s, dir) =>
       graft.operators.Dedup.videoNearDup(
         s.read.parquet(d14MediaDir(s, dir)))),
+    // Audio near-dup (d15): per-frame window-sum hashes over the real JDK
+    // WAV decode + the d14 banding/alignment core — finds the planted
+    // one-frame-trimmed perturbed reposts (id%10==3 vs id-2) at offset -1
+    // with 5/6 frames matched. Reads the staged audio table
+    // ([[d15MediaDir]]), same ingest-time contract as d12/d14.
+    "d15_audio_neardup" -> ((s, dir) =>
+      graft.operators.Dedup.audioNearDup(
+        s.read.parquet(d15MediaDir(s, dir)))),
     // Pairs -> clusters -> survivors: connected components over the d2
     // near-dup pair set (min-label propagation vs the oracle's recursive CTE).
     // Stage reuse: d7 clusters d2's memoized pair set; d8 joins d7's memoized
@@ -2551,6 +2588,45 @@ object SparkEntry {
         "SELECT a AS a_video_id, b AS b_video_id, " +
         "CAST(best_offset AS BIGINT) AS best_offset, CAST(matched AS BIGINT) AS matched_frames " +
         "FROM off WHERE matched >= 3"
+    },
+    // d15: the audio plant replayed closed-form — window amplitudes from
+    // the md5-int formula (no codec in the oracle), circular window
+    // comparisons packed to two 32-bit words (any consistent packing
+    // preserves Hamming), brute-force all-pairs alignment over 6 frames,
+    // offsets -2..2, Hamming <= 4, matched >= 4 (ties -> smallest offset).
+    "d15_audio_neardup" -> {
+      val h = "CAST(concat('0x', substr(md5(CAST(base AS VARCHAR) || '_' || " +
+        "CAST((f + pert) AS VARCHAR) || '_' || CAST(w AS VARCHAR)), 1, 8)) AS BIGINT)"
+      "WITH v AS (SELECT doc_id AS aid, " +
+        "CASE WHEN doc_id % 10 = 3 THEN doc_id - 2 ELSE doc_id END AS base, " +
+        "CASE WHEN doc_id % 10 = 3 THEN 1 ELSE 0 END AS pert " +
+        "FROM documents WHERE doc_id % 2 = 1), " +
+        "amp AS (SELECT aid, f, w, " +
+        s"CASE WHEN pert = 1 AND (w + (f + pert) * 64) % 37 = 0 " +
+        s"THEN 200 + ($h + 1500) % 7000 ELSE 200 + $h % 7000 END AS a " +
+        "FROM v, unnest(generate_series(0, 5)) AS tf(f), " +
+        "unnest(generate_series(0, 63)) AS tw(w)), " +
+        "bits AS (SELECT x.aid, x.f, x.w AS pos, " +
+        "CASE WHEN y.a > x.a THEN 1 ELSE 0 END AS bit " +
+        "FROM amp x JOIN amp y ON x.aid = y.aid AND x.f = y.f AND y.w = (x.w + 1) % 64), " +
+        "fh AS (SELECT aid, f, " +
+        "sum(CASE WHEN pos < 32 THEN bit * (1::BIGINT << pos) ELSE 0 END) AS h1, " +
+        "sum(CASE WHEN pos >= 32 THEN bit * (1::BIGINT << (pos - 32)) ELSE 0 END) AS h2 " +
+        "FROM bits GROUP BY aid, f), " +
+        "sq AS (SELECT aid, list(h1 ORDER BY f) AS l1, list(h2 ORDER BY f) AS l2 FROM fh GROUP BY aid), " +
+        "p AS (SELECT a.aid AS a, b.aid AS b, a.l1 AS a1, a.l2 AS a2, b.l1 AS b1, b.l2 AS b2 " +
+        "FROM sq a JOIN sq b ON a.aid < b.aid), " +
+        "al AS (SELECT a, b, o, count(*) FILTER (WHERE " +
+        "bit_count(xor(a1[f + 1], b1[f + o + 1])) + bit_count(xor(a2[f + 1], b2[f + o + 1])) <= 4) AS m " +
+        "FROM p, unnest(generate_series(-2, 2)) AS t_o(o), unnest(generate_series(0, 5)) AS t_f(f) " +
+        "WHERE f + o BETWEEN 0 AND 5 GROUP BY a, b, o), " +
+        "best AS (SELECT a, b, max(m) AS matched FROM al GROUP BY a, b), " +
+        "off AS (SELECT al.a, al.b, best.matched, min(al.o) AS best_offset " +
+        "FROM al JOIN best ON al.a = best.a AND al.b = best.b AND al.m = best.matched " +
+        "GROUP BY al.a, al.b, best.matched) " +
+        "SELECT a AS a_audio_id, b AS b_audio_id, " +
+        "CAST(best_offset AS BIGINT) AS best_offset, CAST(matched AS BIGINT) AS matched_frames " +
+        "FROM off WHERE matched >= 4"
     },
     // Recursive-CTE connected components over the same brute-force J>=0.6
     // pair set d2 is gated on; min reachable id = cluster id.

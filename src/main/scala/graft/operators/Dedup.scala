@@ -625,14 +625,61 @@ object Dedup {
       bands: Int = 5,
       maxOffset: Int = 2,
       minMatched: Int = 3,
-      bucketCap: Int = DefaultBucketCap): DataFrame = {
+      bucketCap: Int = DefaultBucketCap): DataFrame =
+    frameSeqNearDup(
+      frames.select(col(videoCol).as("vid"), col(frameCol).as("f"),
+        graft.operators.Multimodal.dHash(col(contentCol)).as("simhash")),
+      maxHamming, bands, maxOffset, minMatched, bucketCap)
+      .select(col("a").as("a_video_id"), col("b").as("b_video_id"),
+        col("best_offset"), col("matched_frames"))
+
+  /** D15: AUDIO near-dup — the d14 machinery on the audio axis. Each WAV
+    * blob decodes through the REAL JDK codec into per-frame perceptual
+    * hashes ([[graft.operators.Multimodal.audioFrameHashes]]: 64 window
+    * sums compared circularly — robust to gain-preserving edits the way
+    * dHash is to resizes), then the SAME pigeonhole banding + temporal
+    * alignment core as d14 finds trimmed/perturbed reposts. Undecodable
+    * blobs quarantine (null hash array → no frames). Scale shape is d14's:
+    * decode stays with the blobs, only 64-bit fingerprints shuffle,
+    * alignment is one codegen'd integer kernel per candidate pair.
+    */
+  def audioNearDup(
+      media: DataFrame,
+      contentCol: String = "content",
+      audioCol: String = "audio_id",
+      windows: Int = 64,
+      wsamples: Int = 4,
+      maxHamming: Int = 4,
+      bands: Int = 5,
+      maxOffset: Int = 2,
+      minMatched: Int = 4,
+      bucketCap: Int = DefaultBucketCap): DataFrame =
+    frameSeqNearDup(
+      media.select(col(audioCol).as("vid"),
+        posexplode(graft.operators.Multimodal.audioFrameHashes(
+          col(contentCol), lit(windows), lit(wsamples))).as(Seq("f", "simhash"))),
+      maxHamming, bands, maxOffset, minMatched, bucketCap)
+      .select(col("a").as("a_audio_id"), col("b").as("b_audio_id"),
+        col("best_offset"), col("matched_frames"))
+
+  /** Shared d14/d15 core: candidate pairs by pigeonhole banding over
+    * per-frame 64-bit hashes, then exact temporal-alignment verify with
+    * the native [[graft.functions.AlignSeqScore]] kernel. Input is the
+    * already-hashed (vid, f, simhash-bitstring) frame table; output
+    * (a, b, best_offset, matched_frames).
+    */
+  private def frameSeqNearDup(
+      hashed: DataFrame,
+      maxHamming: Int,
+      bands: Int,
+      maxOffset: Int,
+      minMatched: Int,
+      bucketCap: Int): DataFrame = {
     require(bands > maxHamming, "pigeonhole completeness needs bands > maxHamming")
     // one decode+hash pass per frame, persisted: both the banding leg and
     // the sequence build read it, and the JDK codec UDF is the dominant
     // per-row cost — recomputing it would double the operator
-    val fp = frames
-      .select(col(videoCol).as("vid"), col(frameCol).as("f"),
-        graft.operators.Multimodal.dHash(col(contentCol)).as("simhash"))
+    val fp = hashed
       .filter(col("simhash").isNotNull)
       .select(
         col("vid") +: col("f") +: col("simhash") +:
@@ -675,7 +722,7 @@ object Dedup {
     // transform/filter HOF form was this operator's bottleneck (7.8 s of
     // 8.6 at sf0.1): HOF lambdas evaluate interpreted, per offset × frame
     // × word, per pair.
-    graft.functions.GraftFunctions.register(frames.sparkSession)
+    graft.functions.GraftFunctions.register(hashed.sparkSession)
     cand
       .join(seqs.select(col("vid").as("a"), col("fs").as("afs")), "a")
       .join(seqs.select(col("vid").as("b"), col("fs").as("bfs")), "b")
@@ -684,8 +731,7 @@ object Dedup {
       .withColumn("matched_frames", expr("CAST(element_at(al, 2) AS BIGINT)"))
       .filter(col("matched_frames") >= minMatched)
       .withColumn("best_offset", expr("CAST(element_at(al, 1) AS BIGINT)"))
-      .select(col("a").as("a_video_id"), col("b").as("b_video_id"),
-        col("best_offset"), col("matched_frames"))
+      .select(col("a"), col("b"), col("best_offset"), col("matched_frames"))
   }
 
   /** Character-n-gram Jaccard near-dup within explicit blocks (e.g. same

@@ -164,6 +164,117 @@ object Multimodal {
       bos.toByteArray
     }
 
+  /** Deterministic AUDIO fixture bytes per audio id for d15, through the
+    * real JDK WAVE writer: 6 frames × 64 windows × 4 samples of PCM16 mono
+    * at 8 kHz; every 4-sample window holds the constant amplitude
+    * `a(base, fb, w) = 200 + H % 7000` where `H` is the first-8-hex-chars
+    * md5 integer of `"base_fb_w"` (the x17 split convention — replayable
+    * in any engine, no RNG). Ids with `id % 10 == 3` are a one-frame-
+    * trimmed PERTURBED repost of id−2: frames shift by one (`fb = f + 1`)
+    * and windows with `(w + fb·64) % 37 == 0` (≤2 per frame) take the
+    * shifted amplitude `200 + (H + 1500) % 7000` — at most 4 flipped bits
+    * per frame hash, inside the banding gate, exactly the d14 plant
+    * geometry on the audio axis.
+    */
+  val encodeAudioFixture: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (id: Long) =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      val perturbed = id % 10 == 3
+      val base = if (perturbed) id - 2 else id
+      val frames = 6
+      val windows = 64
+      val wsamples = 4
+      val pcm = new Array[Byte](frames * windows * wsamples * 2)
+      var f = 0
+      while (f < frames) {
+        val fb = f + (if (perturbed) 1 else 0)
+        var w = 0
+        while (w < windows) {
+          val hex = digest.digest(s"${base}_${fb}_$w".getBytes("UTF-8"))
+          val h = java.lang.Integer.toUnsignedLong(
+            java.nio.ByteBuffer.wrap(hex).getInt)
+          val a =
+            if (perturbed && (w + fb * windows) % 37 == 0)
+              (200L + (h + 1500L) % 7000L).toInt
+            else (200L + h % 7000L).toInt
+          var s = 0
+          while (s < wsamples) {
+            val i = (f * windows + w) * wsamples + s
+            pcm(i * 2) = (a & 0xff).toByte
+            pcm(i * 2 + 1) = ((a >> 8) & 0xff).toByte
+            s += 1
+          }
+          w += 1
+        }
+        f += 1
+      }
+      val n = frames * windows * wsamples
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        8000f, 16, 1, 2, 8000f, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+  /** Per-frame perceptual hashes of one WAV blob (d15's fingerprint, the
+    * audio analog of [[dHash]]): REAL JDK decode to PCM16, the sample
+    * stream split into frames of `windows`×`wsamples` samples, each
+    * frame's 64 window SUMS compared circularly — bit w = 1 iff the next
+    * window's sum is strictly greater. Emits one 64-char bitstring per
+    * complete frame (trailing partial frames dropped); null for bytes the
+    * reader rejects or non-PCM16-mono payloads — the [[decodeWav]]
+    * quarantine contract.
+    */
+  val audioFrameHashes: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (bytes: Array[Byte], windows: Int, wsamples: Int) =>
+      val ais =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => null
+          case _: java.io.IOException => null
+        }
+      if (ais == null) null
+      else {
+        val fmt = ais.getFormat
+        if (fmt.getChannels != 1 || fmt.getSampleSizeInBits != 16 ||
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.isBigEndian) null
+        else {
+          val raw = ais.readAllBytes()
+          val n = raw.length / 2
+          val fsamples = windows * wsamples
+          val frames = n / fsamples
+          (0 until frames).map { f =>
+            val sums = new Array[Long](windows)
+            var w = 0
+            while (w < windows) {
+              var s = 0L
+              var i = 0
+              while (i < wsamples) {
+                val p = (f * fsamples + w * wsamples + i) * 2
+                s += ((raw(p) & 0xff) | (raw(p + 1).toInt << 8))
+                i += 1
+              }
+              sums(w) = s
+              w += 1
+            }
+            val sb = new java.lang.StringBuilder(windows)
+            var b = 0
+            while (b < windows) {
+              sb.append(if (sums((b + 1) % windows) > sums(b)) '1' else '0')
+              b += 1
+            }
+            sb.toString
+          }
+        }
+      }
+    }
+
   /** REAL audio decode over a binary WAV column (JDK AudioSystem): container
     * format (rate/channels/bits/frames) plus exact integer sample stats.
     * Returns null for bytes no installed reader accepts — the same

@@ -530,6 +530,34 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.videoNearDup(frames.unionByName(junk)).count() == pairs.count())
   }
 
+  test("audioNearDup: planted trimmed reposts found at offset -1; junk quarantines") {
+    import spark.implicits._
+    val media = spark.range(200).filter(col("id") % 2 === 1)
+      .select(col("id").as("audio_id"),
+        graft.operators.Multimodal.encodeAudioFixture(col("id")).as("content"))
+    val pairs = Dedup.audioNearDup(media).cache()
+    // planted: every id%10==3 is a one-frame-trimmed perturbed repost of
+    // id-2 — 5 of its 6 frames align at offset -1 within the hamming budget
+    val planted = pairs.filter(
+      col("b_audio_id") === col("a_audio_id") + 2 && col("b_audio_id") % 10 === 3)
+    assert(planted.count() == 20, // ids 3,13,...,193
+      s"expected all 20 planted reposts paired, got ${planted.count()}")
+    assert(planted.filter(col("best_offset") =!= -1 || col("matched_frames") =!= 5)
+      .count() == 0, "planted repost scored at wrong offset or match count")
+    assert(pairs.count() == planted.count(),
+      "unplanted audio pairs must not qualify")
+    // frame hashes: 6 frames of 64 bits per decodable blob
+    val hashed = media.select(
+      posexplode(graft.operators.Multimodal.audioFrameHashes(
+        col("content"), lit(64), lit(4))).as(Seq("f", "h")))
+    assert(hashed.count() == media.count() * 6)
+    assert(hashed.filter(length(col("h")) =!= 64).count() == 0)
+    // quarantine: undecodable bytes yield no fingerprints, no pairs
+    val junk = Seq((901L, Array[Byte](9, 9, 9)), (903L, Array[Byte]()))
+      .toDF("audio_id", "content")
+    assert(Dedup.audioNearDup(media.unionByName(junk)).count() == pairs.count())
+  }
+
   test("paragraphDedup: first occurrence survives, later repeats drop, reassembly ordered") {
     import spark.implicits._
     val sep = "\n\n"
