@@ -1183,6 +1183,12 @@ object SparkEntry {
     "k1_topk_cosine" -> ((s, dir) =>
       graft.operators.Similarity.topKCosine(
         t(s, dir, "embeddings"), queryIds = Seq(0L, 1L, 2L), k = 10)),
+    // ANN recall monitor (k16): recall@10 of the LSH/IVF/binary legs
+    // against the exact k1 truth, per query, integer micro-units — the
+    // index-quality check a real deployment runs after every rebuild.
+    "k16_ann_recall" -> ((s, dir) =>
+      graft.operators.Similarity.annRecall(
+        t(s, dir, "embeddings"), queryIds = Seq(0L, 1L, 2L), k = 10)),
     // BM25 lexical retrieval (integer-exact milli scoring, Robertson-odds
     // IDF): 5 query docs (ids 0-4), query = the doc's first 6 distinct
     // tokens, top-10 over the whole corpus. The sparse leg of the
@@ -1803,7 +1809,35 @@ object SparkEntry {
       "(PARTITION BY query_id ORDER BY score_milli DESC, doc_id) AS rank FROM sc) " +
       "WHERE rank <= 10"
 
-  def oracleSql: Map[String, String] = Map(
+  /** k16 oracle: recall@10 of each approximate leg against the exact k1
+    * truth, composed from the LEGS' OWN oracle SQL verbatim (each embedded
+    * as a derived table with its private WITH scope) — the evaluation must
+    * grade the same replayed truth the per-method gates use, not a second
+    * derivation that could drift.
+    */
+  private def k16OracleSql(base: Map[String, String]): String = {
+    def sub(name: String) = "(" + base(name) + ")"
+    "WITH exact AS (SELECT query_id, neighbor_id FROM " + sub("k1_topk_cosine") + "), " +
+      "lsh AS (SELECT query_id, neighbor_id FROM " + sub("k2_ann_topk") + "), " +
+      "ivf AS (SELECT query_id, neighbor_id FROM " + sub("k3_ivf_topk") + "), " +
+      "bin AS (SELECT query_id, neighbor_id FROM " + sub("k9_binary_topk") + "), " +
+      "u AS (SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh " +
+      "UNION ALL SELECT 'ivf', query_id, neighbor_id FROM ivf " +
+      "UNION ALL SELECT 'binary', query_id, neighbor_id FROM bin), " +
+      "hits AS (SELECT method, u.query_id, CAST(count(*) AS BIGINT) AS n_hits FROM u " +
+      "JOIN exact ON u.query_id = exact.query_id AND u.neighbor_id = exact.neighbor_id " +
+      "GROUP BY 1, 2), " +
+      "b AS (SELECT m.method, q.query_id FROM (VALUES ('lsh'), ('ivf'), ('binary')) m(method), " +
+      "(SELECT DISTINCT query_id FROM exact) q) " +
+      "SELECT b.method, b.query_id, CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits, " +
+      "CAST(coalesce(hits.n_hits, 0) * 1000000 // 10 AS BIGINT) AS recall_micro " +
+      "FROM b LEFT JOIN hits ON b.method = hits.method AND b.query_id = hits.query_id"
+  }
+
+  def oracleSql: Map[String, String] =
+    baseOracleSql + ("k16_ann_recall" -> k16OracleSql(baseOracleSql))
+
+  private lazy val baseOracleSql: Map[String, String] = Map(
     "k6_beam_search" -> k6OracleSql,
     "k13_index_incremental" -> k13OracleSql,
     "st15_vector_index_maintain" -> k13OracleSql,

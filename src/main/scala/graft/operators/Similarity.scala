@@ -79,6 +79,46 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** K16: ANN recall evaluation — the index-quality monitor every ANN
+    * deployment runs ("measure, don't guess" applied to the index family
+    * itself): for each approximate method (K2 hyperplane LSH, K3 IVF,
+    * K9 binary quantization) and each query, recall@k against the exact
+    * K1 ground truth, in integer micro-units. The operational use: run it
+    * on a held-out query sample after every index rebuild/absorption and
+    * alert when a method's recall drifts — an index can silently degrade
+    * as the corpus distribution shifts (cells overfull, hyperplanes
+    * unbalanced) while still returning k plausible ids.
+    *
+    * Scale shape: each leg is its own already-bounded operator; the
+    * fusion is |methods|·|queries|·k rows — nothing new shuffles. Output:
+    * (method, query_id, n_hits, recall_micro), one row per method ×
+    * query even at zero hits.
+    */
+  def annRecall(
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      k: Int = 10): DataFrame = {
+    val exact = topKCosine(embeddings, queryIds, k)
+      .select("query_id", "neighbor_id")
+    val legs = Seq(
+      "lsh" -> annTopKCosine(embeddings, queryIds, k),
+      "ivf" -> ivfTopKCosine(embeddings, queryIds, k),
+      "binary" -> binaryQuantTopKCosine(embeddings, queryIds, k))
+    val u = legs.map { case (n, df) =>
+      df.select(lit(n).as("method"), col("query_id"), col("neighbor_id"))
+    }.reduce(_.unionByName(_))
+    val hits = u.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy("method", "query_id")
+      .agg(count(lit(1)).as("n_hits"))
+    val methods = embeddings.sparkSession
+      .createDataFrame(legs.map(l => Tuple1(l._1))).toDF("method")
+    methods.crossJoin(exact.select("query_id").distinct())
+      .join(hits, Seq("method", "query_id"), "left")
+      .select(col("method"), col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall_micro", expr(s"n_hits * 1000000L div $k"))
+  }
+
   /** K12: exact Maximum-Inner-Product Search (MIPS) — the retrieval/
     * recommendation scoring problem, where the answer is argmax ⟨q, x⟩ and
     * vector NORMS matter (a long vector beats a well-aligned short one) —

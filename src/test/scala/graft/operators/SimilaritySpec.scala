@@ -352,6 +352,30 @@ class SimilaritySpec extends SparkSpec {
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
   }
 
+  test("k16 recall monitor: one row per method x query, hits equal the independent intersection") {
+    val out = Similarity.annRecall(emb, queries, k = 10).cache()
+    assert(out.count() == 3 * queries.length)
+    assert(out.filter(col("recall_micro") < 0 || col("recall_micro") > 1000000L)
+      .count() == 0)
+    assert(out.filter(col("recall_micro") =!= expr("n_hits * 1000000L div 10"))
+      .count() == 0)
+    // independent truth for one leg: |ivf top-10 ∩ exact top-10| per query
+    val exact = Similarity.topKCosine(emb, queries, k = 10)
+      .select("query_id", "neighbor_id")
+    val ivfHits = Similarity.ivfTopKCosine(emb, queries, k = 10)
+      .select("query_id", "neighbor_id")
+      .intersect(exact)
+      .groupBy("query_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reported = out.filter(col("method") === "ivf")
+      .select("query_id", "n_hits")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    queries.foreach { q =>
+      assert(reported(q) == ivfHits.getOrElse(q, 0L),
+        s"ivf recall for query $q diverges from the independent intersection")
+    }
+  }
+
   test("ANN candidate generation bounds the ranking input") {
     // the ann plan must rank only bucket-collision candidates: its scored
     // row count is below the exact variant's |corpus| x |queries|
