@@ -205,6 +205,15 @@ object Bench {
       case (name, fn) if watchlist.contains(name) =>
         val reps = (1 to 2).map { _ =>
           spark.catalog.clearCache()
+          // the repeats must follow the main loop's EXACT protocol —
+          // under SPARK_GRAFT_COLD=1 that includes the memo invalidation,
+          // or a memo-backed query's "minimum" silently mixes a cold first
+          // run with memo-warm repeats
+          if (cold) {
+            SparkEntry.invalidateMemos(spark)
+            spark.sparkContext.getPersistentRDDs.values
+              .foreach(_.unpersist(blocking = false))
+          }
           sinceGc += 1
           if (sinceGc >= 8) { System.gc(); sinceGc = 0 }
           val t0 = System.nanoTime()

@@ -190,7 +190,7 @@ object TableStats {
       tables: Seq[(String, String)] = statColumns,
       k: Int = 32): Unit = {
     require(tables.nonEmpty, "analyze needs at least one (table, column)")
-    import scala.concurrent.duration.DurationInt
+    import scala.concurrent.duration.Duration
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     val tableOrder = tables.map(_._1).distinct
@@ -208,7 +208,11 @@ object TableStats {
         (df.schema, df.collect().toIndexedSeq)
       }
     }
-    val collected = futures.map(Await.result(_, 10.minutes))
+    // wait for completion, not for a deadline: an arbitrary cap would be a
+    // silent scale ceiling (a 100 TB table's sketch can legitimately run
+    // long, and the job would keep running detached after the timeout
+    // anyway) — failure surfaces through the job's own exception
+    val collected = futures.map(Await.result(_, Duration.Inf))
     val stats = spark.createDataFrame(
       spark.sparkContext.parallelize(collected.flatMap(_._2), 1),
       collected.head._1)

@@ -505,6 +505,32 @@ object Dedup {
     hammingNearDup(simHash(docs, textCol, idCol), maxHamming, bands, bucketCap)
   }
 
+  /** The `bands` equal-width slices of a 64-char fingerprint bitstring,
+    * as (band, key) struct columns over a `simhash` column — the shared
+    * candidate-generation geometry of d6/d12 ([[hammingNearDup]]) and
+    * d14/d15 ([[frameSeqNearDup]]). Zero-width trailing slices (possible
+    * when `bands` does not divide 64, e.g. bands = 9 -> width 8 covers all
+    * bits in 8 bands) would be one global bucket containing EVERY row —
+    * they are dropped, and pigeonhole completeness is re-checked against
+    * the NON-EMPTY band count: <= maxHamming mismatching bits cannot
+    * touch every one of > maxHamming disjoint non-empty slices.
+    */
+  private def fingerprintBandCols(
+      bands: Int, maxHamming: Int): Seq[org.apache.spark.sql.Column] = {
+    val width = (64 + bands - 1) / bands
+    val cols = (0 until bands).flatMap { j =>
+      val start = j * width + 1
+      val len = math.min(width, 64 - j * width)
+      if (len <= 0) None
+      else Some(struct(lit(j).as("band"),
+        expr(s"substring(simhash, $start, $len)").as("key")))
+    }
+    require(maxHamming < cols.length,
+      s"only ${cols.length} non-empty bands cover the 64 bits - " +
+        "pigeonhole completeness needs maxHamming < that")
+    cols
+  }
+
   /** The shared pigeonhole Hamming-pairing core: `fp` is any
     * `(doc_id, simhash)` frame whose `simhash` is a 64-char bitstring —
     * D6's text SimHash and D12's image dHash both land here. Pairs within
@@ -516,13 +542,7 @@ object Dedup {
       maxHamming: Int,
       bands: Int,
       bucketCap: Int): DataFrame = {
-    require(bands > maxHamming, "pigeonhole completeness needs bands > maxHamming")
-    val width = (64 + bands - 1) / bands
-    val bandCols = (0 until bands).map { j =>
-      val start = j * width + 1
-      val len = math.min(width, 64 - j * width)
-      struct(lit(j).as("band"), expr(s"substring(simhash, $start, $len)").as("key"))
-    }
+    val bandCols = fingerprintBandCols(bands, maxHamming)
     // The whole verify payload is the fingerprint itself — 4×16-bit words,
     // 32 bytes — so it RIDES the banded rows instead of joining back after
     // candidate generation: hamming = Σ bit_count(xor) evaluates inline in
@@ -675,24 +695,29 @@ object Dedup {
       maxOffset: Int,
       minMatched: Int,
       bucketCap: Int): DataFrame = {
-    require(bands > maxHamming, "pigeonhole completeness needs bands > maxHamming")
-    // one decode+hash pass per frame, persisted: both the banding leg and
-    // the sequence build read it, and the JDK codec UDF is the dominant
-    // per-row cost — recomputing it would double the operator
-    val fp = hashed
-      .filter(col("simhash").isNotNull)
+    val bandCols = fingerprintBandCols(bands, maxHamming)
+    // QUARANTINE is whole-id: a sequence with a decode hole would be
+    // COMPACTED (frame 3 sliding into position 2), so alignment offsets
+    // would mix real temporal shifts with hole-induced ones — matched
+    // counts silently wrong. An id with any undecodable frame therefore
+    // drops entirely (the audio path's whole-blob quarantine, applied to
+    // per-frame media), rather than pretending its gapless prefix is the
+    // sequence.
+    // one decode+hash pass per frame, materialized once (eager
+    // localCheckpoint — the capBuckets convention): the quarantine probe,
+    // the banding leg and the sequence build all read it, the JDK codec
+    // UDF is the dominant per-row cost, and checkpoint blocks release via
+    // the ContextCleaner when the frame dies instead of pinning executor
+    // storage the way an unpaired persist() would in a long-lived session
+    val marked = hashed.localCheckpoint(true)
+    val bad = marked.filter(col("simhash").isNull).select("vid").distinct()
+    val fp = marked
+      .join(bad, Seq("vid"), "left_anti")
       .select(
         col("vid") +: col("f") +: col("simhash") +:
           (0 until 4).map(j =>
             expr(s"CAST(conv(substring(simhash, ${j * 16 + 1}, 16), 2, 10) AS BIGINT)")
               .as(s"w$j")): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val width = (64 + bands - 1) / bands
-    val bandCols = (0 until bands).map { j =>
-      val start = j * width + 1
-      val len = math.min(width, 64 - j * width)
-      struct(lit(j).as("band"), expr(s"substring(simhash, $start, $len)").as("key"))
-    }
     // candidate VIDEO pairs: any cross-video frame pair sharing a band
     // bucket, prefiltered by the frame-level Hamming gate (a qualifying
     // pair has at least one such frame pair at SOME alignment, so the

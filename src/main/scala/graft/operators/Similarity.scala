@@ -353,7 +353,24 @@ object Similarity {
     * the former `crossJoin(broadcast) + max_by(struct(cos, cid))`
     * (spec-pinned, same tie-break under the nan-safe double order).
     */
-  private val argmaxSeq = new java.util.concurrent.atomic.AtomicLong()
+  /** Content key for a baked-array native function registration: md5 over
+    * the arrays' raw bits. Same quantizers => same name => the
+    * registration is an idempotent overwrite instead of a fresh entry, so
+    * the session registry is bounded by the number of DISTINCT quantizer
+    * sets (one per trained index generation), not by query count — a
+    * per-call unique suffix leaked an entry (and its pinned arrays) per
+    * ivfAssign/pqEncode/Lloyd-iteration call in long-lived sessions.
+    */
+  private def contentKey(cids: Array[Long], matrix: Array[Double]): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    val bb = java.nio.ByteBuffer.allocate(8)
+    cids.foreach { c => bb.clear(); bb.putLong(c); digest.update(bb.array()) }
+    matrix.foreach { d =>
+      bb.clear(); bb.putLong(java.lang.Double.doubleToLongBits(d))
+      digest.update(bb.array())
+    }
+    digest.digest().map("%02x".format(_)).mkString
+  }
 
   private def argmaxCosineCol(v: DataFrame, cents: DataFrame): org.apache.spark.sql.Column = {
     val rows = cents.select(col("cid"), col("qv")).collect().sortBy(_.getLong(0))
@@ -374,7 +391,7 @@ object Similarity {
     // function-registry API (no private Column constructors)
     // register in the CONSUMING frame's session (micro-batch clones
     // resolve functions against their own registry, not the writer's)
-    val fn = s"graft_argmax_cos_${argmaxSeq.incrementAndGet()}"
+    val fn = s"graft_argmax_cos_${contentKey(cids, matrix)}"
     v.sparkSession.sessionState.functionRegistry
       .createOrReplaceTempFunction(fn, { children =>
         require(children.length == 1, s"$fn expects (vector)")
@@ -960,7 +977,7 @@ object Similarity {
         j += 1
       }
     }
-    val fn = s"graft_pq_codes_${argmaxSeq.incrementAndGet()}"
+    val fn = s"graft_pq_codes_${contentKey(cids, matrix)}"
     v.sparkSession.sessionState.functionRegistry
       .createOrReplaceTempFunction(fn, { children =>
         require(children.length == 1, s"$fn expects (vector)")

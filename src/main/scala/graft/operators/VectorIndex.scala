@@ -67,6 +67,36 @@ object VectorIndex {
       .write.mode("overwrite").parquet(s"$path/centroids")
     Similarity.pqCodebook(v, m, nCodes, pqIter, dim)
       .write.mode("overwrite").parquet(s"$path/codebook")
+    // the index's IMMUTABLE hyperparameters ride with the artifact: a
+    // later absorb/search with a mismatched (m, dim) would otherwise
+    // silently encode with wrong subspace slicing (the subset guard in
+    // pqEncode passes when the stored codebook has MORE subspaces than
+    // the caller asked for) — validated loudly instead
+    import corpus.sparkSession.implicits._
+    Seq((nCentroids, m, nCodes, dim))
+      .toDF("n_centroids", "m", "n_codes", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Read the stored hyperparameters and fail loudly if the caller's
+    * (m, dim) disagree — the silent-wrong-encode guard. Indexes written
+    * before the meta relation existed (none in this repo's lifecycle) are
+    * rejected with a clear message rather than guessed at.
+    */
+  private def requireMeta(
+      spark: SparkSession, path: String, m: Int, dim: Int): Unit = {
+    val meta =
+      try spark.read.parquet(s"$path/meta").head()
+      catch {
+        case e: Exception => throw new IllegalStateException(
+          s"vector index at $path has no meta relation — rebuild with " +
+            s"VectorIndex.train (${e.getMessage})")
+      }
+    val (sm, sdim) = (meta.getAs[Int]("m"), meta.getAs[Int]("dim"))
+    require(sm == m && sdim == dim,
+      s"vector index at $path was trained with (m=$sm, dim=$sdim); " +
+        s"caller asked (m=$m, dim=$dim) — frozen quantizers cannot be " +
+        "re-sliced, retrain or match the stored hyperparameters")
   }
 
   /** Absorb one ingest batch into a trained index: nearest-cell assignment
@@ -83,6 +113,7 @@ object VectorIndex {
       m: Int = 8,
       dim: Int = 64): Unit = {
     require(batchId.nonEmpty, "batchId must be a non-empty ingest-batch name")
+    requireMeta(spark, path, m, dim)
     val v = Similarity.asVectors(batch)
     val cents = spark.read.parquet(s"$path/centroids")
     Similarity.ivfAssign(v, cents).select("id", "cid")
@@ -130,6 +161,7 @@ object VectorIndex {
       m: Int = 8,
       dim: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    requireMeta(spark, path, m, dim)
     val subDim = dim / m
     val v = Similarity.asVectors(embeddings)
     val cents = spark.read.parquet(s"$path/centroids")

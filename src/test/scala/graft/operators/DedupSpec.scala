@@ -528,6 +528,21 @@ class DedupSpec extends SparkSpec {
     val junk = Seq((901L, 0, Array[Byte](9, 9)), (901L, 1, Array[Byte]()))
       .toDF("video_id", "frame_idx", "content")
     assert(Dedup.videoNearDup(frames.unionByName(junk)).count() == pairs.count())
+    // PARTIAL corruption quarantines the WHOLE video: a decode hole would
+    // compact the sequence and shift alignment positions, so the id drops
+    // entirely — here video 8 (a planted repost of 6) loses one frame and
+    // with it its pair, while every other pair survives untouched
+    val oneBad = frames
+      .withColumn("content",
+        when(col("video_id") === 8 && col("frame_idx") === 2,
+          lit(Array[Byte](9, 9))).otherwise(col("content")))
+    val q = Dedup.videoNearDup(oneBad).cache()
+    assert(q.filter(col("a_video_id") === 8 || col("b_video_id") === 8)
+      .count() == 0, "partially-corrupt video must not pair")
+    val v8 = pairs.filter(col("a_video_id") === 8 || col("b_video_id") === 8).count()
+    assert(v8 >= 1, "fixture must plant at least the (6, 8) pair")
+    assert(q.count() == pairs.count() - v8,
+      "quarantining one video must not disturb other pairs")
   }
 
   test("audioNearDup: planted trimmed reposts found at offset -1; junk quarantines") {

@@ -64,4 +64,19 @@ class VectorIndexSpec extends SparkSpec {
     assert(spark.read.parquet(s"$path/centroids").count() <= 32)
     assert(spark.read.parquet(s"$path/codebook").count() == 8L * 16)
   }
+
+  test("absorb/search with mismatched hyperparameters fail loudly, not silently wrong") {
+    val path = tmpDir("vindex_meta")
+    VectorIndex.build(emb, path, m = 16)
+    // m=8 against an m=16 index: the codebook HAS subspaces 0..7, so
+    // without the meta guard the encode would silently mis-slice
+    val e1 = intercept[IllegalArgumentException] {
+      VectorIndex.absorb(spark, path, emb.filter(expr(deltaPred)), "b1", m = 8)
+    }
+    assert(e1.getMessage.contains("m=16"))
+    val e2 = intercept[IllegalArgumentException] {
+      VectorIndex.searchTopKCosine(spark, path, emb, queries, k = 10, m = 8)
+    }
+    assert(e2.getMessage.contains("m=16"))
+  }
 }
