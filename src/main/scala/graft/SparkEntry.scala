@@ -188,6 +188,24 @@ object SparkEntry {
       path
     })
 
+  private val streamedHeavyHittersMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** st17's artifact: per-micro-batch Misra–Gries summaries absorbed
+    * THROUGH the streaming engine ([[graft.streaming.EventsStream
+    * .heavyHittersMaintainReplay]], `batch=b<id>` fences). The candidate
+    * UNION across batches is a guaranteed superset of every global heavy
+    * hitter under any batch split, so the exact-verified st17 search is
+    * batch-boundary-independent and shares a24's oracle verbatim.
+    */
+  def st17SummaryDir(s: SparkSession, dir: String): String =
+    streamedHeavyHittersMemo.computeIfAbsent((s, dir), _ => {
+      val path = graft.core.TempDirs.create("graft_st17_hh")
+      graft.streaming.EventsStream.heavyHittersMaintainReplay(
+        s, dir, path, "TRUE")
+      path
+    })
+
   /** Stored full-corpus IVF-PQ index for k8 ([[graft.operators.VectorIndex]]
     * — the d9/k6 ingest-time-artifact contract applied to ANN): quantizers
     * trained + corpus encoded ONCE at ingest; the k8 entry times the
@@ -414,7 +432,10 @@ object SparkEntry {
       // the entries time the search against the ingest-time artifact
       "k8_ivfpq_topk", "k13_index_incremental", "st15_vector_index_maintain",
       // st16 searches the stream-built BM25 postings index (st16IndexDir)
-      "st16_bm25_index_maintain")
+      "st16_bm25_index_maintain",
+      // st17 exact-verifies candidates from the stream-built MG summary
+      // artifact (st17SummaryDir), same ingest-time contract
+      "st17_heavy_hitters_maintain")
 
   /** Drop the memoized pipeline stages for one session (all dirs) — lets a
     * bench opt into cold per-query measurement, and unpins the session and
@@ -428,7 +449,8 @@ object SparkEntry {
     }
     Seq(dedupIndexMemo, streamedIndexMemo, statsStateMemo, knnGraphMemo,
       g1EdgesMemo, d12MediaMemo, d14MediaMemo, d15MediaMemo, vectorIndexMemo, vectorIndexIncrMemo,
-      streamedVectorIndexMemo, streamedTextIndexMemo).foreach { m =>
+      streamedVectorIndexMemo, streamedTextIndexMemo,
+      streamedHeavyHittersMemo).foreach { m =>
       m.keySet.asScala.filter(_._1 eq s).toList
         .foreach(k => Option(m.remove(k)).foreach(graft.core.TempDirs.drop))
     }
@@ -1290,6 +1312,13 @@ object SparkEntry {
         t(s, dir, "documents").filter(col("doc_id") < 5)
           .select(col("doc_id").as("query_id"), col("text").as("qtext")),
         k = 10)),
+    // Streamed maintenance of the heavy-hitters summary (st17): per-micro-
+    // batch Misra-Gries summaries absorbed under batch=b<id> fences, then
+    // the candidate union exact-verified against the corpus — value-equal
+    // to a24's one-pass discovery (shared oracle).
+    "st17_heavy_hitters_maintain" -> ((s, dir) =>
+      graft.operators.TextAnalysis.searchHeavyHitters(
+        s, st17SummaryDir(s, dir), t(s, dir, "documents"))),
     // Binary-quantization ANN: 64-bit packed sign signatures (64x smaller
     // than raw vectors), XOR+popcount Hamming scan, bounded shortlist,
     // exact re-rank — the 1-bit memory tier of the index family.
@@ -1801,6 +1830,16 @@ object SparkEntry {
       "(tf * 1000 + (1200 * (1000 - 750 + (750 * dl * n_docs) // sum_dl)) // 1000)" +
       ") AS BIGINT) AS score_milli FROM m GROUP BY query_id, doc_id)"
 
+  /** a24/st17 oracle: the MG machinery is invisible in the values — the
+    * contract is exactly "tokens with count·k > n" (k = 64), a plain
+    * threshold aggregate over the whitespace token stream.
+    */
+  private def a24OracleSql: String =
+    "WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents), " +
+      "n AS (SELECT count(*) AS n FROM t) " +
+      "SELECT token, count(*) AS n_occurrences FROM t, n " +
+      "GROUP BY token, n.n HAVING count(*) * 64 > n.n"
+
   /** k14/st16 oracle: BM25 top-10 per query (score desc, doc_id ties). */
   private def k14OracleSql: String =
     "WITH " + bm25OracleCtes +
@@ -2307,11 +2346,11 @@ object SparkEntry {
         "CAST(et IS NULL AS INT) AS is_current FROM r WHERE et IS NULL OR ef != et"),
     // a24: the MG discovery is invisible in the values — the contract is
     // exactly "tokens with count·k > n", a plain threshold aggregate.
-    "a24_heavy_hitters" ->
-      ("WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents), " +
-        "n AS (SELECT count(*) AS n FROM t) " +
-        "SELECT token, count(*) AS n_occurrences FROM t, n " +
-        "GROUP BY token, n.n HAVING count(*) * 64 > n.n"),
+    "a24_heavy_hitters" -> a24OracleSql,
+    // st17: the stream-built per-batch MG summaries must surface the SAME
+    // exact-verified heavy hitters as a24's one-pass discovery (candidate
+    // union ⊇ truth under any batch split) — shared oracle, verbatim.
+    "st17_heavy_hitters_maintain" -> a24OracleSql,
     // x18: LEFT join to the >=2-count vocabulary; integer floor-div micros.
     // x19: bigram extraction replayed as a lateral index walk over the
     // token list; same micro-quantized integer mean as x18.

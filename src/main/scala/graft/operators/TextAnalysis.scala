@@ -786,6 +786,63 @@ object TextAnalysis {
       .filter(col("n_occurrences") * k > n)
   }
 
+  // ── persisted heavy-hitters summary (st17's artifact) ─────────────────
+
+  /** Absorb one ingest batch into the stored heavy-hitters summary at
+    * `path`: ONE k-counter Misra–Gries pass over this batch only writes its
+    * ≤ k candidates (plus the batch token total) under `batch=<id>` with
+    * partition-scoped overwrite — idempotent per batch id, the
+    * [[Retrieval.absorbTextIndex]] fence.
+    *
+    * Why per-batch summaries compose: if a token's GLOBAL count exceeds
+    * n/k, then with batch totals n_i (Σn_i = n) its per-batch counts c_i
+    * (Σc_i = c > n/k = Σn_i/k) must exceed n_i/k in at least one batch —
+    * otherwise c ≤ n/k — and MG over that batch is guaranteed to keep any
+    * item with c_i > n_i/k. So the UNION of per-batch candidate sets is a
+    * guaranteed superset of every global heavy hitter under ANY batch
+    * split, and the exact verify in [[searchHeavyHitters]] makes the final
+    * values identical to the single-pass [[heavyTokens]].
+    */
+  def absorbHeavyHitters(
+      path: String,
+      batch: DataFrame,
+      batchId: String,
+      k: Int = 64,
+      textCol: String = "text"): Unit = {
+    require(batchId.nonEmpty, "batchId must be a non-empty ingest-batch name")
+    graft.functions.GraftFunctions.register(batch.sparkSession)
+    batch.select(explode(split(col(textCol), " ")).as("token"))
+      .agg(expr(s"graft_mg(token, $k)").as("cands"), count(lit(1)).as("n"))
+      .select(explode(col("cands")).as("c"), col("n"))
+      .select(col("c.item").as("token"), col("c.lb").as("lb"),
+        col("n").as("batch_n"))
+      .write.mode("overwrite").parquet(s"$path/cands/batch=$batchId")
+    batch.sparkSession.catalog.refreshByPath(s"$path/cands")
+  }
+
+  /** Heavy-hitter tokens answered from the STORED per-batch summaries —
+    * value-identical to [[heavyTokens]] on the same corpus (shared oracle):
+    * the stored candidate union (≤ batches·k rows — driver-bounded, the
+    * centroid/Bloom contract) is exact-verified with one bounded pass over
+    * the corpus, exactly [[heavyTokens]] steps 2–3, so WHICH batch
+    * boundaries produced the summaries can never change the result.
+    */
+  def searchHeavyHitters(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      docs: DataFrame,
+      k: Int = 64,
+      textCol: String = "text"): DataFrame = {
+    val cands = spark.read.parquet(s"$path/cands")
+      .select("token").distinct().collect().map(_.getString(0)).toSeq
+    val toks = docs.select(explode(split(col(textCol), " ")).as("token"))
+    val n = toks.count()
+    toks.filter(col("token").isin(cands: _*))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") * k > n)
+  }
+
   /** Domain-weighted mixture sampling to a token budget: build a training
     * mixture of ~`budgetTokens` whitespace tokens with every domain given
     * an EQUAL token share (the Pile/DoReMi-style rebalancing move — upweight

@@ -1135,6 +1135,37 @@ object EventsStream {
     batchCount(q)
   }
 
+  /** Streaming maintenance of the heavy-hitters summary (st17 — the
+    * frequency-sketch twin of [[textIndexMaintainReplay]]): each arriving
+    * document micro-batch is summarized by ONE k-counter Misra–Gries pass
+    * and absorbed under a `batch=b<id>` fence
+    * ([[graft.operators.TextAnalysis.absorbHeavyHitters]]). Unlike
+    * postings, per-batch MG summaries are NOT value-identical to a global
+    * one — but their candidate UNION is a guaranteed superset of every
+    * global heavy hitter under any batch split (proof at the absorber), so
+    * the exact-verified search result is batch-boundary-independent and
+    * shares a24's oracle. Returns the number of micro-batches absorbed.
+    */
+  def heavyHittersMaintainReplay(
+      spark: SparkSession,
+      dir: String,
+      index: String,
+      filterSql: String,
+      queryName: String = "graft_hh_maintain_stream"): Long = {
+    val ss = streamSession(spark)
+    val ckpt = tempDir("graft_hh_ckpt_")
+    val q = readDocsStaged(ss, dir, filterSql)
+      .writeStream
+      .queryName(queryName)
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        graft.operators.TextAnalysis.absorbHeavyHitters(index, batch, s"b$bid"))
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    batchCount(q)
+  }
+
   /** Streaming maintenance of the IVF-PQ vector index (st15 — the ANN twin
     * of [[indexMaintainReplay]]): quantizers are TRAINED once at bootstrap
     * (a batch step — FAISS `train` semantics; a stream cannot retrain the

@@ -438,6 +438,34 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("absorbHeavyHitters: adversarial batch splits all yield heavyTokens' exact set; retry idempotent") {
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+    val want = TextAnalysis.heavyTokens(docs)
+    // three very different batch geometries: near-even halves, a 1-doc
+    // sliver + the rest, and ten hash slices — the superset guarantee
+    // (some batch sees c_i > n_i/k for every global hitter) is split-
+    // independent, so the exact-verified result must be too
+    val splits = Seq(
+      Seq("doc_id % 2 = 0", "doc_id % 2 = 1"),
+      Seq("doc_id = 0", "doc_id != 0"),
+      (0 until 10).map(i => s"doc_id % 10 = $i"))
+    splits.foreach { preds =>
+      val path = tmpDir("hh_summary")
+      preds.zipWithIndex.foreach { case (p, i) =>
+        TextAnalysis.absorbHeavyHitters(path, docs.filter(expr(p)), s"b$i")
+      }
+      val got = TextAnalysis.searchHeavyHitters(spark, path, docs)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"split ${preds.length} ways diverged from the one-pass discovery")
+    }
+    // retried absorb (same batch id) overwrites, never double-counts
+    val path = tmpDir("hh_retry")
+    TextAnalysis.absorbHeavyHitters(path, docs, "b0")
+    TextAnalysis.absorbHeavyHitters(path, docs, "b0")
+    val got = TextAnalysis.searchHeavyHitters(spark, path, docs)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("mixtureSample: monotone in budget — a larger budget's sample contains the smaller's") {
     // rates grow with the budget and selection is a fixed per-doc hash
     // against the rate threshold, so samples NEST: growing the token budget

@@ -121,6 +121,20 @@ class EventsStreamSpec extends SparkSpec {
     assert(viaStream.exceptAll(inline).isEmpty && inline.exceptAll(viaStream).isEmpty)
   }
 
+  test("streamed heavy-hitters maintenance equals the one-pass discovery, >=2 batches") {
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+    val summary = tmpDir("graft_spec_st17_hh")
+    val batches = EventsStream.heavyHittersMaintainReplay(
+      spark, sf, summary, "TRUE", "graft_spec_hh_maintain")
+    assert(batches >= 2,
+      s"staged replay must absorb multiple micro-batches, got $batches")
+    val viaStream = graft.operators.TextAnalysis.searchHeavyHitters(
+      spark, summary, docs)
+    val inline = graft.operators.TextAnalysis.heavyTokens(docs)
+    assert(viaStream.count() == inline.count() && inline.count() > 0)
+    assert(viaStream.exceptAll(inline).isEmpty && inline.exceptAll(viaStream).isEmpty)
+  }
+
   test("CDC from the manifest upsert: changelog equals the batch-side snapshot diff; no deletes") {
     val cutoffNanos = 1705363200000000000L // 2024-01-16T00:00:00Z
     val out = EventsStream.cdcUpsertReplay(
