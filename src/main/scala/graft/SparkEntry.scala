@@ -423,6 +423,8 @@ object SparkEntry {
       "d12_image_neardup",
       // d14 reads the pre-staged video frames (d14MediaDir), same contract
       "d14_video_neardup",
+      // m6 shares d14's staged video table
+      "m6_scene_keyframes",
       // d15 reads the pre-staged audio blobs (d15MediaDir), same contract
       "d15_audio_neardup",
       "k6_beam_search", "g1_pagerank",
@@ -854,6 +856,14 @@ object SparkEntry {
     // contract as d12.
     "d14_video_neardup" -> ((s, dir) =>
       graft.operators.Dedup.videoNearDup(
+        s.read.parquet(d14MediaDir(s, dir)))),
+    // Scene-change keyframes (m6): per-frame dHash through the real JDK
+    // decode, then per-video transition Hamming via a bounded lag window —
+    // a frame is a keyframe iff it opens the video or its perceptual
+    // distance to the previous frame exceeds 4 bits. Shares d14's staged
+    // video table (ingest-time-artifact contract).
+    "m6_scene_keyframes" -> ((s, dir) =>
+      graft.operators.Multimodal.sceneKeyframes(
         s.read.parquet(d14MediaDir(s, dir)))),
     // Audio near-dup (d15): per-frame window-sum hashes over the real JDK
     // WAV decode + the d14 banding/alignment core — finds the planted
@@ -2661,6 +2671,40 @@ object SparkEntry {
         "SELECT a AS a_video_id, b AS b_video_id, " +
         "CAST(best_offset AS BIGINT) AS best_offset, CAST(matched AS BIGINT) AS matched_frames " +
         "FROM off WHERE matched >= 3"
+    },
+    // m6: the d14 closed-form frame-hash replay (same pixel formula, same
+    // two-32-bit-word packing), then the transition series via lag over
+    // (vid, f) — hamming_prev null on each video's opening frame,
+    // is_keyframe = opener or hamming > 4. No codec in the oracle.
+    "m6_scene_keyframes" -> {
+      def grayOf(x: String, y: String): String =
+        s"CASE WHEN pert = 1 AND (($x) + ($y) * w) % 37 = 0 " +
+          s"THEN ((base * 7 + (f + pert) * 11 + ($x) * 17 + ($y) * 29) % 256 + 64) % 256 " +
+          s"ELSE (base * 7 + (f + pert) * 11 + ($x) * 17 + ($y) * 29) % 256 END"
+      val g1 = grayOf("(i * w) // 9", "(j * h) // 8")
+      val g2 = grayOf("((i + 1) * w) // 9", "(j * h) // 8")
+      "WITH v AS (SELECT doc_id AS vid, " +
+        "CASE WHEN doc_id % 10 = 8 THEN doc_id - 2 ELSE doc_id END AS base, " +
+        "CASE WHEN doc_id % 10 = 8 THEN 1 ELSE 0 END AS pert " +
+        "FROM documents WHERE doc_id % 2 = 0), " +
+        "g AS (SELECT vid, base, pert, 8 + base % 13 AS w, 8 + (base * 3) % 11 AS h FROM v), " +
+        "bits AS (SELECT vid, f, j * 8 + i AS pos, " +
+        s"CASE WHEN ($g2) > ($g1) THEN 1 ELSE 0 END AS bit " +
+        "FROM g, unnest(generate_series(0, 4)) AS tf(f), " +
+        "unnest(generate_series(0, 7)) AS ti(i), unnest(generate_series(0, 7)) AS tj(j)), " +
+        "fh AS (SELECT vid, f, " +
+        "sum(CASE WHEN pos < 32 THEN bit * (1::BIGINT << pos) ELSE 0 END) AS h1, " +
+        "sum(CASE WHEN pos >= 32 THEN bit * (1::BIGINT << (pos - 32)) ELSE 0 END) AS h2 " +
+        "FROM bits GROUP BY vid, f), " +
+        "lg AS (SELECT vid, f, h1, h2, " +
+        "lag(h1) OVER (PARTITION BY vid ORDER BY f) AS q1, " +
+        "lag(h2) OVER (PARTITION BY vid ORDER BY f) AS q2 FROM fh) " +
+        "SELECT vid AS video_id, CAST(f AS BIGINT) AS frame_idx, " +
+        "CAST(CASE WHEN q1 IS NULL THEN NULL " +
+        "ELSE bit_count(xor(h1, q1)) + bit_count(xor(h2, q2)) END AS BIGINT) AS hamming_prev, " +
+        "CAST(CASE WHEN q1 IS NULL OR " +
+        "bit_count(xor(h1, q1)) + bit_count(xor(h2, q2)) > 4 THEN 1 ELSE 0 END AS INT) AS is_keyframe " +
+        "FROM lg"
     },
     // d15: the audio plant replayed closed-form — window amplitudes from
     // the md5-int formula (no codec in the oracle), circular window

@@ -620,4 +620,62 @@ object Multimodal {
         col("frame_idx").cast("long").as("frame_idx"),
         expr(s"CAST(frame_idx * $frameBytes + 1 AS BIGINT)").as("frame_offset"),
         expr(s"md5(substring(content, frame_idx * $frameBytes + 1, $frameBytes))").as("frame_md5"))
+
+  /** M6: scene-change keyframe detection — the shot-boundary pass a video
+    * curation pipeline runs before sampling frames for captioning/training:
+    * every frame decodes through the REAL JDK codec to its 64-bit dHash
+    * ([[dHash]]), and a frame is a keyframe iff it opens its video or its
+    * perceptual distance to the PREVIOUS frame exceeds `threshold` bits (a
+    * hard cut moves most of the 64 luminance-gradient bits; codec noise and
+    * slow pans move few). Output is per-frame: (video_id, frame_idx,
+    * hamming_prev — null on the opening frame, is_keyframe 0/1), so the
+    * same pass also yields the transition-score series segmentation or
+    * shot-length stats would consume.
+    *
+    * Quarantine is whole-video on ANY undecodable frame — a decode hole
+    * would make `hamming_prev` compare ACROSS the hole and fabricate a cut
+    * at the splice (the d14 alignment-compaction argument, applied to
+    * transitions); fail loud-by-omission rather than silently wrong.
+    *
+    * Scale shape at 100 TB: decode + hash is map-only and stays with the
+    * blobs; only (vid, f, 4×16-bit words) shuffles ONCE, partitioned by
+    * video for the lag window — each window partition is one video's frame
+    * count (bounded by construction), never the corpus, so state is flat
+    * and the plan has no global sort.
+    */
+  def sceneKeyframes(
+      frames: DataFrame,
+      contentCol: String = "content",
+      videoCol: String = "video_id",
+      frameCol: String = "frame_idx",
+      threshold: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // one decode+hash pass, materialized once (the frameSeqNearDup
+    // convention): the quarantine probe and the lag leg both read it
+    val marked = frames
+      .select(col(videoCol).as("video_id"), col(frameCol).as("frame_idx"),
+        dHash(col(contentCol)).as("simhash"))
+      .localCheckpoint(true)
+    val bad = marked.filter(col("simhash").isNull).select("video_id").distinct()
+    val fp = marked
+      .join(bad, Seq("video_id"), "left_anti")
+      .select(
+        col("video_id") +: col("frame_idx") +:
+          (0 until 4).map(j =>
+            expr(s"CAST(conv(substring(simhash, ${j * 16 + 1}, 16), 2, 10) AS BIGINT)")
+              .as(s"w$j")): _*)
+    val w = Window.partitionBy("video_id").orderBy("frame_idx")
+    val withPrev = (0 until 4).foldLeft(fp) { (df, j) =>
+      df.withColumn(s"p$j", lag(col(s"w$j"), 1).over(w))
+    }
+    val hammingExpr = (0 until 4).map(j => s"bit_count(w$j ^ p$j)").mkString(" + ")
+    withPrev
+      .withColumn("hamming_prev",
+        when(col("p0").isNull, lit(null).cast("long"))
+          .otherwise(expr(s"CAST($hammingExpr AS BIGINT)")))
+      .select(col("video_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("hamming_prev"),
+        when(col("hamming_prev").isNull || col("hamming_prev") > threshold, 1)
+          .otherwise(0).as("is_keyframe"))
+  }
 }

@@ -163,4 +163,48 @@ class MultimodalSpec extends SparkSpec {
       .select(Multimodal.decimateWav(col("b")).as("out"))
     assert(junk.head().isNullAt(0), "garbage must decimate to null")
   }
+
+  test("sceneKeyframes: equals brute-force bitstring transitions; openers flag; partial corruption quarantines whole video") {
+    import spark.implicits._
+    val frames = spark.range(60).filter(col("id") % 2 === 0)
+      .select(col("id").as("video_id"),
+        explode(expr("sequence(0, 4)")).as("frame_idx"))
+      .select(col("video_id"), col("frame_idx"),
+        Multimodal.encodeVideoFrameFixture(
+          col("video_id"), col("frame_idx")).as("content"))
+    val got = Multimodal.sceneKeyframes(frames).cache()
+    // every frame of every video present; every video's frame 0 is a
+    // keyframe with null transition
+    assert(got.count() == 30L * 5)
+    val openers = got.filter(col("frame_idx") === 0)
+    assert(openers.count() == 30 &&
+      openers.filter(col("is_keyframe") =!= 1 || col("hamming_prev").isNotNull)
+        .count() == 0)
+    // brute-force truth via independent per-character bitstring compares
+    val fp = frames.select(col("video_id"), col("frame_idx"),
+      Multimodal.dHash(col("content")).as("h"))
+    val brute = fp.as("a").join(fp.as("b"),
+        col("a.video_id") === col("b.video_id") &&
+          col("a.frame_idx") === col("b.frame_idx") + 1)
+      .select(col("a.video_id").as("video_id"),
+        col("a.frame_idx").cast("long").as("frame_idx"),
+        expr("CAST(size(filter(sequence(1, 64), i -> substring(a.h, i, 1) != substring(b.h, i, 1))) AS BIGINT)")
+          .as("hamming_prev"))
+      .withColumn("is_keyframe",
+        when(col("hamming_prev") > 4, 1).otherwise(0))
+    val gotTransitions = got.filter(col("frame_idx") > 0)
+    assert(gotTransitions.exceptAll(brute).isEmpty &&
+      brute.exceptAll(gotTransitions).isEmpty,
+      "lag-window transitions diverge from brute-force compare")
+    // partial corruption: one bad frame drops the WHOLE video (a hole
+    // would fabricate a transition across the splice), others untouched
+    val oneBad = frames.withColumn("content",
+      when(col("video_id") === 4 && col("frame_idx") === 2,
+        lit(Array[Byte](9, 9))).otherwise(col("content")))
+    val q = Multimodal.sceneKeyframes(oneBad)
+    assert(q.filter(col("video_id") === 4).count() == 0,
+      "partially-corrupt video must quarantine entirely")
+    assert(q.count() == got.count() - 5,
+      "quarantine must not disturb other videos")
+  }
 }
