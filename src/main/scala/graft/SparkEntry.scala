@@ -423,8 +423,8 @@ object SparkEntry {
       "d12_image_neardup",
       // d14 reads the pre-staged video frames (d14MediaDir), same contract
       "d14_video_neardup",
-      // m6 shares d14's staged video table
-      "m6_scene_keyframes",
+      // m6 and p7 share d14's staged video table
+      "m6_scene_keyframes", "p7_media_curation",
       // d15 reads the pre-staged audio blobs (d15MediaDir), same contract
       "d15_audio_neardup",
       "k6_beam_search", "g1_pagerank",
@@ -986,6 +986,14 @@ object SparkEntry {
         .select("doc_id")
       graft.operators.TextAnalysis.packSequences(selected.join(fluent, "doc_id"))
     }),
+    // Multimodal curation pipeline (p7): scene-change keyframes over the
+    // staged video table (m6), then cross-video keyframe dedup through the
+    // d6/d12 pigeonhole Hamming core — one decode pass, pairs only among
+    // keyframes, deterministic (video, frame)-min keep rule. The media
+    // twin of the p1-p6 text pipelines.
+    "p7_media_curation" -> ((s, dir) =>
+      graft.operators.Multimodal.curateKeyframes(
+        s.read.parquet(d14MediaDir(s, dir)))),
     "p5_pretraining_mixture" -> ((s, dir) => {
       val noisy = t(s, dir, "documents")
         .withColumn("text", expr(gopherNoiseExpr))
@@ -2705,6 +2713,44 @@ object SparkEntry {
         "CAST(CASE WHEN q1 IS NULL OR " +
         "bit_count(xor(h1, q1)) + bit_count(xor(h2, q2)) > 4 THEN 1 ELSE 0 END AS INT) AS is_keyframe " +
         "FROM lg"
+    },
+    // p7: the m6 replay (closed-form pixels → dHash words → lag), keyframe
+    // filter, then brute-force all-pairs Hamming over keyframes (Spark's
+    // pigeonhole banding is provably complete, so candidate-only == this)
+    // and the (vid, frame)-min keep rule on the composite ordinal.
+    "p7_media_curation" -> {
+      def grayOf(x: String, y: String): String =
+        s"CASE WHEN pert = 1 AND (($x) + ($y) * w) % 37 = 0 " +
+          s"THEN ((base * 7 + (f + pert) * 11 + ($x) * 17 + ($y) * 29) % 256 + 64) % 256 " +
+          s"ELSE (base * 7 + (f + pert) * 11 + ($x) * 17 + ($y) * 29) % 256 END"
+      val g1 = grayOf("(i * w) // 9", "(j * h) // 8")
+      val g2 = grayOf("((i + 1) * w) // 9", "(j * h) // 8")
+      "WITH v AS (SELECT doc_id AS vid, " +
+        "CASE WHEN doc_id % 10 = 8 THEN doc_id - 2 ELSE doc_id END AS base, " +
+        "CASE WHEN doc_id % 10 = 8 THEN 1 ELSE 0 END AS pert " +
+        "FROM documents WHERE doc_id % 2 = 0), " +
+        "g AS (SELECT vid, base, pert, 8 + base % 13 AS w, 8 + (base * 3) % 11 AS h FROM v), " +
+        "bits AS (SELECT vid, f, j * 8 + i AS pos, " +
+        s"CASE WHEN ($g2) > ($g1) THEN 1 ELSE 0 END AS bit " +
+        "FROM g, unnest(generate_series(0, 4)) AS tf(f), " +
+        "unnest(generate_series(0, 7)) AS ti(i), unnest(generate_series(0, 7)) AS tj(j)), " +
+        "fh AS (SELECT vid, f, " +
+        "sum(CASE WHEN pos < 32 THEN bit * (1::BIGINT << pos) ELSE 0 END) AS h1, " +
+        "sum(CASE WHEN pos >= 32 THEN bit * (1::BIGINT << (pos - 32)) ELSE 0 END) AS h2 " +
+        "FROM bits GROUP BY vid, f), " +
+        "lg AS (SELECT vid, f, h1, h2, " +
+        "lag(h1) OVER (PARTITION BY vid ORDER BY f) AS q1, " +
+        "lag(h2) OVER (PARTITION BY vid ORDER BY f) AS q2 FROM fh), " +
+        "kf AS (SELECT vid, f, h1, h2, vid * 1048576 + f AS ord FROM lg " +
+        "WHERE q1 IS NULL OR bit_count(xor(h1, q1)) + bit_count(xor(h2, q2)) > 4), " +
+        "pr AS (SELECT x.ord AS ord, y.ord AS p FROM kf x JOIN kf y " +
+        "ON x.ord != y.ord AND " +
+        "bit_count(xor(x.h1, y.h1)) + bit_count(xor(x.h2, y.h2)) <= 4), " +
+        "ag AS (SELECT ord, count(*) AS n_dups, min(p) AS mp FROM pr GROUP BY ord) " +
+        "SELECT kf.vid AS video_id, CAST(kf.f AS BIGINT) AS frame_idx, " +
+        "CAST(coalesce(ag.n_dups, 0) AS BIGINT) AS n_dups, " +
+        "CAST(CASE WHEN ag.mp IS NOT NULL AND ag.mp < kf.ord THEN 0 ELSE 1 END AS INT) AS is_kept " +
+        "FROM kf LEFT JOIN ag ON kf.ord = ag.ord"
     },
     // d15: the audio plant replayed closed-form — window amplitudes from
     // the md5-int formula (no codec in the oracle), circular window

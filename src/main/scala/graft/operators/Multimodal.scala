@@ -648,6 +648,20 @@ object Multimodal {
       contentCol: String = "content",
       videoCol: String = "video_id",
       frameCol: String = "frame_idx",
+      threshold: Int = 4): DataFrame =
+    sceneKeyframesHashed(frames, contentCol, videoCol, frameCol, threshold)
+      .select("video_id", "frame_idx", "hamming_prev", "is_keyframe")
+
+  /** [[sceneKeyframes]] with the per-frame fingerprint still attached
+    * (simhash bitstring) — the internal shape downstream media operators
+    * compose on (P7 dedupes the surviving keyframes across videos through
+    * the D6/D12 pigeonhole core without re-decoding a single blob).
+    */
+  private[operators] def sceneKeyframesHashed(
+      frames: DataFrame,
+      contentCol: String = "content",
+      videoCol: String = "video_id",
+      frameCol: String = "frame_idx",
       threshold: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // one decode+hash pass, materialized once (the frameSeqNearDup
@@ -660,7 +674,7 @@ object Multimodal {
     val fp = marked
       .join(bad, Seq("video_id"), "left_anti")
       .select(
-        col("video_id") +: col("frame_idx") +:
+        col("video_id") +: col("frame_idx") +: col("simhash") +:
           (0 until 4).map(j =>
             expr(s"CAST(conv(substring(simhash, ${j * 16 + 1}, 16), 2, 10) AS BIGINT)")
               .as(s"w$j")): _*)
@@ -674,8 +688,53 @@ object Multimodal {
         when(col("p0").isNull, lit(null).cast("long"))
           .otherwise(expr(s"CAST($hammingExpr AS BIGINT)")))
       .select(col("video_id"), col("frame_idx").cast("long").as("frame_idx"),
-        col("hamming_prev"),
+        col("simhash"), col("hamming_prev"),
         when(col("hamming_prev").isNull || col("hamming_prev") > threshold, 1)
           .otherwise(0).as("is_keyframe"))
+  }
+
+  /** P7 building block: curate the keyframe set — scene-change keyframes
+    * ([[sceneKeyframesHashed]]) deduplicated ACROSS videos through the
+    * D6/D12 pigeonhole Hamming core (a syndicated intro, a repost's shots,
+    * a shared stock clip all collapse to one kept copy). Per surviving
+    * keyframe: n_dups = cross-keyframe partners within `maxHamming` bits,
+    * is_kept = no partner precedes it in (video_id, frame_idx) order — the
+    * deterministic min-ordinal keep rule.
+    *
+    * Scale shape: decode+hash once (shared with the keyframe pass), then
+    * the pair generation is the banded [[Dedup.hammingNearDup]] over the
+    * KEYFRAMES ONLY — typically a small fraction of frames — never an
+    * all-frames join; the keep rule is one groupBy over the pair list.
+    */
+  def curateKeyframes(
+      frames: DataFrame,
+      contentCol: String = "content",
+      videoCol: String = "video_id",
+      frameCol: String = "frame_idx",
+      threshold: Int = 4,
+      maxHamming: Int = 4,
+      bands: Int = 5): DataFrame = {
+    val kf = sceneKeyframesHashed(frames, contentCol, videoCol, frameCol, threshold)
+      .filter(col("is_keyframe") === 1)
+      // composite ordinal: frame_idx is bounded far below 1<<20 in any
+      // real container (validated loudly — a silent wrap would corrupt
+      // the keep order), so (vid << 20 | f) is (vid, f)-lexicographic
+      .select(col("video_id"), col("frame_idx"), col("simhash"),
+        (col("video_id") * 1048576 + col("frame_idx")).as("ord"))
+      .localCheckpoint(true)
+    require(kf.filter(col("frame_idx") >= 1048576).isEmpty,
+      "frame_idx >= 2^20 breaks the composite keep-order encoding")
+    val pairs = Dedup.hammingNearDup(
+      kf.select(col("ord").as("doc_id"), col("simhash")),
+      maxHamming, bands, Dedup.DefaultBucketCap)
+    val partners = pairs.select(col("a_id").as("ord"), col("b_id").as("p"))
+      .unionByName(pairs.select(col("b_id").as("ord"), col("a_id").as("p")))
+    val agg = partners.groupBy("ord")
+      .agg(count(lit(1)).as("n_dups"), min("p").as("min_partner"))
+    kf.join(agg, Seq("ord"), "left")
+      .select(col("video_id"), col("frame_idx"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        when(col("min_partner").isNotNull && col("min_partner") < col("ord"), 0)
+          .otherwise(1).as("is_kept"))
   }
 }

@@ -207,4 +207,47 @@ class MultimodalSpec extends SparkSpec {
     assert(q.count() == got.count() - 5,
       "quarantine must not disturb other videos")
   }
+
+  test("curateKeyframes: equals brute-force keyframe dedup; keep rule is (vid, frame)-minimal") {
+    val frames = spark.range(60).filter(col("id") % 2 === 0)
+      .select(col("id").as("video_id"),
+        explode(expr("sequence(0, 4)")).as("frame_idx"))
+      .select(col("video_id"), col("frame_idx"),
+        Multimodal.encodeVideoFrameFixture(
+          col("video_id"), col("frame_idx")).as("content"))
+    val got = Multimodal.curateKeyframes(frames).cache()
+    // brute force: keyframes via bitstring lag compare, all-pairs hamming
+    val fp = frames.select(col("video_id"), col("frame_idx"),
+      Multimodal.dHash(col("content")).as("h"))
+    val lagged = fp.as("a").join(fp.as("b"),
+        col("a.video_id") === col("b.video_id") &&
+          col("a.frame_idx") === col("b.frame_idx") + 1, "left")
+      .select(col("a.video_id").as("video_id"),
+        col("a.frame_idx").cast("long").as("frame_idx"), col("a.h").as("h"),
+        when(col("b.h").isNull, lit(null).cast("int"))
+          .otherwise(expr(
+            "size(filter(sequence(1, 64), i -> substring(a.h, i, 1) != substring(b.h, i, 1)))"))
+          .as("hp"))
+    val kf = lagged.filter(col("hp").isNull || col("hp") > 4)
+      .withColumn("ord", col("video_id") * 1048576 + col("frame_idx"))
+    val pr = kf.as("x").join(kf.as("y"),
+        col("x.ord") =!= col("y.ord") &&
+          expr("size(filter(sequence(1, 64), i -> substring(x.h, i, 1) != substring(y.h, i, 1))) <= 4"))
+      .select(col("x.ord").as("ord"), col("y.ord").as("p"))
+    val ag = pr.groupBy("ord")
+      .agg(count(lit(1)).as("n_dups"), min("p").as("mp"))
+    val want = kf.join(ag, Seq("ord"), "left")
+      .select(col("video_id"), col("frame_idx"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        when(col("mp").isNotNull && col("mp") < col("ord"), 0)
+          .otherwise(1).as("is_kept"))
+    assert(got.count() == want.count() && got.count() >= 30,
+      "every video contributes at least its opener")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "banded keyframe dedup diverges from brute force")
+    // at least one duplicate group collapses (the planted reposts), and
+    // exactly one member per group is kept
+    assert(got.filter(col("is_kept") === 0).count() > 0,
+      "fixture must produce at least one dropped duplicate keyframe")
+  }
 }
