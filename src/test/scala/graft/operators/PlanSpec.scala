@@ -203,6 +203,30 @@ class PlanSpec extends SparkSpec {
       s"cartesian in the semantic-dedup plan:\n$p")
   }
 
+  test("m6 scene keyframes: one per-video lag window, no cartesian, no corpus sort beyond it") {
+    val p = plan("m6_scene_keyframes")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi fallback in the keyframe plan:\n$p")
+    // exactly one Window operator — the bounded per-video lag; a second
+    // would mean the transition series is derived twice
+    assert(p.sliding("Window".length).count(_ == "Window") >= 1 &&
+      "Window \\[".r.findAllIn(p).length <= 1,
+      s"unexpected window count in:\n$p")
+  }
+
+  test("p7 media curation: keyframe pair join equi-only, no cartesian") {
+    val p = plan("p7_media_curation")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi fallback in the curation plan:\n$p")
+  }
+
+  test("st17 heavy-hitters search: candidate filter is a literal map-side filter — no join, no window") {
+    val p = plan("st17_heavy_hitters_maintain")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct") &&
+      !p.contains("Window"),
+      s"st17 search must be filter+aggregate only:\n$p")
+  }
+
   test("a27 histogram: no global sort of the data; only the tiny histogram window sorts") {
     val p = plan("a27_histogram_quantiles")
     // rangepartitioning = a global data sort; the histogram path must not
