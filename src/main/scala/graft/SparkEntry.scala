@@ -1343,6 +1343,13 @@ object SparkEntry {
     "k9_binary_topk" -> ((s, dir) =>
       graft.operators.Similarity.binaryQuantTopKCosine(
         t(s, dir, "embeddings"), queryIds = Seq(0L, 1L, 2L), k = 10)),
+    // Scalar-quantized ANN (SQ8): per-dimension affine uint8 codes from an
+    // integer-exact min/max scan, asymmetric full-precision-query scoring
+    // against the dequantized corpus, bounded shortlist, exact re-rank —
+    // the 8-bit memory tier between k9 (1-bit) and k4 (PQ).
+    "k17_sq8_topk" -> ((s, dir) =>
+      graft.operators.Similarity.sq8TopKCosine(
+        t(s, dir, "embeddings"), queryIds = Seq(0L, 1L, 2L), k = 10)),
     // MMR diversified top-k: greedy lambda-weighted marginal relevance over
     // the k1 shortlist — answers close to the query AND spread apart; the
     // re-ranker RAG stacks run after ANN.
@@ -1935,6 +1942,29 @@ object SparkEntry {
     // asc, id asc) to k*candMult = 100, exact re-rank via the shared tail.
     "k9_binary_topk" ->
       (vectorsCte + binaryLegSql(100, "cand") + rerankSql),
+    // k17: SQ8 replayed integer-exactly — micro-quantize, per-dim exact
+    // extrema, code = (vm-mn)*255 // rng, dequant = mn + code*rng // 255
+    // (all operands non-negative, so DuckDB // == Spark div), asymmetric
+    // approximate cosine shortlist (rn <= 100), shared exact re-rank.
+    "k17_sq8_topk" ->
+      (vectorsCte +
+        "vm AS (SELECT id, list_transform(v, x -> CAST(floor(x * 1000000) AS BIGINT)) AS vm FROM v), " +
+        "st AS (SELECT d, min(vm[d + 1]) AS mn, max(vm[d + 1]) AS mx " +
+        "FROM vm, generate_series(0, 63) t(d) GROUP BY d), " +
+        "dq AS (SELECT id, d, CAST(CASE WHEN mx = mn THEN mn " +
+        "ELSE mn + ((vm[d + 1] - mn) * 255 // (mx - mn)) * (mx - mn) // 255 END AS DOUBLE) AS dv " +
+        "FROM vm, st), " +
+        "dqa AS (SELECT id, list(dv ORDER BY d) AS dvv FROM dq GROUP BY id), " +
+        "qm AS (SELECT id AS query_id, list_transform(vm, x -> CAST(x AS DOUBLE)) AS qv " +
+        "FROM vm WHERE id IN (0, 1, 2)), " +
+        "sc AS (SELECT q.query_id, a.id, " +
+        "list_sum(list_transform(generate_series(1, 64), i -> a.dvv[i] * q.qv[i])) / " +
+        "(sqrt(list_sum(list_transform(a.dvv, x -> x * x))) * " +
+        "sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS acos " +
+        "FROM dqa a, qm q WHERE a.id != q.query_id), " +
+        "cand AS (SELECT query_id, id FROM (SELECT query_id, id, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY acos DESC, id) AS rn FROM sc) WHERE rn <= 100), " +
+        rerankSql),
     // k10: the k9 binary leg at a wider budget (200) feeds the k4 ADC leg
     // restricted to stage-1 survivors (50 out), then the shared re-rank —
     // the three-stage cascade in one chain.

@@ -570,6 +570,72 @@ object Similarity {
       .select(col("query_id"), explode(col("tk.id")).as("id"))
   }
 
+  /** K17: scalar-quantized ANN (SQ8 — FAISS `ScalarQuantizer` semantics,
+    * the 8-bit rung between K9's 1-bit signatures and K4's subspace PQ):
+    * per-DIMENSION affine quantization of the corpus to uint8 codes
+    * (8× smaller than float32, no codebook training — just a min/max
+    * scan), asymmetric scoring (full-precision query against dequantized
+    * corpus — the standard SQ trade: query precision is free, corpus
+    * memory is not), bounded shortlist, exact re-rank.
+    *
+    * INTEGER-EXACT everywhere the engines must agree: vectors are
+    * floor-micro-quantized to BIGINT first, per-dim (min, max) are exact
+    * integer extrema, `code = (vm−min)·255 div range` and
+    * `dequant = min + code·range div 255` are non-negative integer
+    * divisions (identical in Spark `div` and DuckDB `//`), and the
+    * approximate cosine divides exact-bigint-derived doubles in the same
+    * fold order as every other gated cosine leg.
+    *
+    * Shape at 100 TB: the (min, max) scan partial-aggregates to `dim`
+    * rows; the 2·dim stats bake into a map-only encode/score expression
+    * (driver state bounded by dim — the centroid contract); scoring is a
+    * broadcast-query scan; the shortlist is the bounded `graft_topk`
+    * heap; only the ≤ k·candMult shortlist reaches exact re-rank.
+    */
+  def sq8TopKCosine(
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      k: Int = 10,
+      candMult: Int = 10,
+      dim: Int = 64): DataFrame = {
+    val v = asVectors(embeddings)
+    graft.functions.GraftFunctions.register(v.sparkSession)
+    val vm = v
+      .filter(col("v").isNotNull && size(col("v")) > 0)
+      .select(col("id"),
+        expr("transform(v, x -> CAST(floor(x * 1000000) AS BIGINT))").as("vm"))
+    // per-dim exact extrema: map-side partials collapse to `dim` rows
+    // before the one tiny shuffle (the centroid-training shape)
+    val stats = vm
+      .select(posexplode(col("vm")).as(Seq("d", "x")))
+      .groupBy("d").agg(min("x").as("mn"), max("x").as("mx"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    require(stats.length == dim, s"expected $dim dims, got ${stats.length}")
+    val mnLit = stats.map(_._2).mkString("array(", "L,", "L)")
+    val rgLit = stats.map(s => s._3 - s._2).mkString("array(", "L,", "L)")
+    // dequantized corpus values as doubles (each an exact bigint < 2^53):
+    // dq_d = mn_d + ((vm_d - mn_d)·255 div rng_d)·rng_d div 255; a
+    // zero-range dim dequantizes to its constant
+    val dqExpr =
+      s"""transform(sequence(0, ${dim - 1}), d -> CAST(
+            IF(element_at($rgLit, d + 1) = 0L, element_at($mnLit, d + 1),
+               element_at($mnLit, d + 1) +
+               ((vm[d] - element_at($mnLit, d + 1)) * 255L div element_at($rgLit, d + 1))
+                 * element_at($rgLit, d + 1) div 255L) AS DOUBLE))"""
+    val dqv = vm.select(col("id"), expr(dqExpr).as("v"))
+    val q = broadcast(
+      vm.filter(col("id").isin(queryIds: _*))
+        .select(col("id").as("query_id"),
+          expr("transform(vm, x -> CAST(x AS DOUBLE))").as("qv")))
+    val shortlist = cosineCols(dqv.crossJoin(q))
+      .filter(col("id") =!= col("query_id"))
+      .groupBy("query_id")
+      .agg(expr(s"graft_topk(cos, id, ${k * candMult})").as("tk"))
+      .select(col("query_id"), explode(col("tk.id")).as("id"))
+    rerank(shortlist, v, queryIds, k)
+  }
+
   /** Progressive-refinement cascade (K10) — the production ANN serving
     * shape: each stage is cheaper per candidate than the next and feeds it
     * a strictly smaller set, so the expensive scorer only ever sees a few

@@ -301,6 +301,24 @@ class SimilaritySpec extends SparkSpec {
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
   }
 
+  test("k17 SQ8 ANN: k rows per query; high recall (8-bit beats 1-bit); shortlist bounded; deterministic") {
+    val out = Similarity.sq8TopKCosine(emb, queries, k = 10).cache()
+    val perQuery = out.groupBy("query_id").count().collect()
+    assert(perQuery.length == queries.length && perQuery.forall(_.getLong(1) == 10))
+    assert(out.filter(col("neighbor_id") === col("query_id")).count() == 0)
+    val exact = Similarity.topKCosine(emb, queries, k = 10)
+      .select("query_id", "neighbor_id")
+    val hit = exact.intersect(out.select("query_id", "neighbor_id")).count()
+    val recall = hit.toDouble / exact.count()
+    // 255 levels per dimension lose almost nothing on these vectors —
+    // far above k9's 1-bit floor by construction
+    assert(recall >= 0.9, s"SQ8 recall@10 = $recall below floor")
+    val small = Similarity.sq8TopKCosine(emb, queries, k = 2, candMult = 3)
+    assert(small.groupBy("query_id").count().collect().forall(_.getLong(1) == 2))
+    val again = Similarity.sq8TopKCosine(emb, queries, k = 10)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
   test("k10 cascade: k rows per query; recall floor; stage containment; deterministic") {
     val out = Similarity.cascadeTopKCosine(emb, queries, k = 10).cache()
     val perQuery = out.groupBy("query_id").count().collect()
