@@ -53,21 +53,37 @@ object ManifestTable {
 
   private val VersionRe = "v(\\d+)\\.json".r
 
-  /** The (relative data-file paths, producing batch id) of a version. */
+  /** The (relative data-file paths, producing batch id) of a version.
+    * Zone-map suffixes (`path|min|max` — see [[commit]]'s `statsCol`) are
+    * stripped: callers that plan a full scan see paths only.
+    */
   def readManifest(
       spark: SparkSession, root: String, version: Long): (Seq[String], Long) = {
+    val (lines, batch, _) = readManifestLines(spark, root, version)
+    (lines.map(_.split('|')(0)), batch)
+  }
+
+  /** Raw manifest lines (stats suffixes intact) + batch + the registered
+    * zone-map column, if any — the carry-forward and pruning shape.
+    */
+  private def readManifestLines(
+      spark: SparkSession, root: String,
+      version: Long): (Seq[String], Long, Option[String]) = {
     val p = new Path(manifestDir(root), s"v$version.json")
     val in = fs(spark, p).open(p)
     val text =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    // line 1: {"version":N,"batch":B}; following lines: one rel path each
+    // line 1: {"version":N,"batch":B[,"statsCol":"c"]};
+    // following lines: one rel path each, optionally `|min|max` suffixed
     val lines = text.linesIterator.toList
     val batch = "\"batch\":(-?\\d+)".r.findFirstMatchIn(lines.head)
       .map(_.group(1).toLong)
       .getOrElse(throw new IllegalStateException(
         s"malformed manifest header at $p: ${lines.head}"))
-    (lines.tail.filter(_.nonEmpty), batch)
+    val statsCol = "\"statsCol\":\"([^\"]+)\"".r
+      .findFirstMatchIn(lines.head).map(_.group(1))
+    (lines.tail.filter(_.nonEmpty), batch, statsCol)
   }
 
   /** Read the latest committed version as a DataFrame (partition columns
@@ -119,7 +135,8 @@ object ManifestTable {
       root: String,
       touched: DataFrame,
       partitionCol: String,
-      batchId: Long): Long = {
+      batchId: Long,
+      statsCol: Option[String] = None): Long = {
     val rootPath = new Path(root)
     val f = fs(spark, rootPath)
     val prev = currentVersion(spark, root)
@@ -150,13 +167,43 @@ object ManifestTable {
       }
     }
     f.delete(stage, true)
-    // 2. the new manifest: carry forward every untouched partition's files
-    val carried: Seq[String] =
-      if (prev < 0) Seq.empty
-      else readManifest(spark, root, prev)._1
-        .filterNot(p => touchedParts.exists(tp => p.startsWith(tp + "/")))
-    val body = (s"""{"version":$next,"batch":$batchId}""" +:
-      (carried ++ newFiles).sorted).mkString("\n")
+    // 2. the new manifest: carry forward every untouched partition's LINES
+    //    (zone-map suffixes ride along — data files are immutable, so a
+    //    file's stats can never go stale)
+    val (carried, prevStatsCol) =
+      if (prev < 0) (Seq.empty[String], None)
+      else {
+        val (lines, _, sc) = readManifestLines(spark, root, prev)
+        (lines.filterNot(l =>
+          touchedParts.exists(tp => l.startsWith(tp + "/"))), sc)
+      }
+    // the table's zone-map column is a property of the TABLE, not of one
+    // commit: a second writer registering a different column would leave
+    // the manifest with suffixes meaning two different things
+    val effStatsCol = (statsCol, prevStatsCol) match {
+      case (Some(a), Some(b)) =>
+        require(a == b,
+          s"zone-map column mismatch: table has '$b', commit passed '$a'")
+        Some(a)
+      case (a, b) => a.orElse(b)
+    }
+    // 2b. zone maps for the NEW files: exact per-file (min, max) straight
+    //     from the parquet FOOTERS the write just produced — metadata-only
+    //     reads (the a22/a25 footer discipline), no data scan. A file
+    //     whose footer carries no usable stats for the column gets a bare
+    //     line — readers keep it conservatively.
+    val newLines = effStatsCol match {
+      case None => newFiles.toList
+      case Some(c) => newFiles.toList.map { rel =>
+        footerStats(spark, new Path(rootPath, rel), c) match {
+          case Some((mn, mx)) => s"$rel|$mn|$mx"
+          case None => rel
+        }
+      }
+    }
+    val header = s"""{"version":$next,"batch":$batchId""" +
+      effStatsCol.map(c => s""","statsCol":"$c"""").getOrElse("") + "}"
+    val body = (header +: (carried ++ newLines).sorted).mkString("\n")
     // 3. publish: tmp write + ONE rename — the atomic commit point
     val mDir = manifestDir(root)
     f.mkdirs(mDir)
@@ -170,6 +217,90 @@ object ManifestTable {
       throw new IllegalStateException(
         s"manifest publish lost the race for version $next under $root")
     next
+  }
+
+  /** Exact (min, max) of an integer column from a parquet file's FOOTER —
+    * metadata-only, no row is read. None when the column is absent, not an
+    * integer type, or any row group lacks stats (readers must then keep
+    * the file conservatively — pruning may only ever drop files PROVEN
+    * row-free for the predicate).
+    */
+  private def footerStats(
+      spark: SparkSession, file: Path, column: String): Option[(Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(file, spark.sparkContext.hadoopConfiguration)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val perBlock = reader.getFooter.getBlocks.asScala.toList.map { b =>
+        b.getColumns.asScala
+          .find(_.getPath.toDotString == column)
+          .flatMap { c =>
+            c.getStatistics match {
+              case s: org.apache.parquet.column.statistics.LongStatistics
+                  if !s.isEmpty && s.hasNonNullValue =>
+                Some((s.getMin, s.getMax))
+              case s: org.apache.parquet.column.statistics.IntStatistics
+                  if !s.isEmpty && s.hasNonNullValue =>
+                Some((s.getMin.toLong, s.getMax.toLong))
+              case _ => None
+            }
+          }
+      }
+      if (perBlock.isEmpty || perBlock.exists(_.isEmpty)) None
+      else Some((perBlock.flatten.map(_._1).min, perBlock.flatten.map(_._2).max))
+    } finally reader.close()
+  }
+
+  /** ZONE-MAP file pruning (U6 — the manifest-resident data-skipping move
+    * of every log-structured table format): the relative paths of the
+    * latest version's files whose recorded [min, max] for the registered
+    * `statsCol` INTERSECTS [lo, hi], plus the version's total file count.
+    * Files without recorded stats are kept (conservative); a column other
+    * than the registered one refuses loudly rather than pruning on
+    * meaningless bounds. At 100 TB this is the difference between
+    * planning a scan from one small manifest read and listing/opening
+    * every file: the manifest already knows which files can matter.
+    */
+  def prunedFiles(
+      spark: SparkSession,
+      root: String,
+      column: String,
+      lo: Long,
+      hi: Long): (Seq[String], Int) = {
+    require(lo <= hi, s"empty predicate interval [$lo, $hi]")
+    val v = currentVersion(spark, root)
+    require(v >= 0, s"no committed version under $root")
+    val (lines, _, statsCol) = readManifestLines(spark, root, v)
+    require(statsCol.contains(column),
+      s"zone maps under $root are for ${statsCol.getOrElse("<none>")}, " +
+        s"not '$column' — prune on the registered column or re-commit with it")
+    val kept = lines.flatMap { l =>
+      l.split('|') match {
+        case Array(p, mn, mx) =>
+          if (mx.toLong >= lo && mn.toLong <= hi) Some(p) else None
+        case parts => Some(parts(0)) // no stats recorded: keep
+      }
+    }
+    (kept, lines.length)
+  }
+
+  /** Read the latest version restricted to files that can contain rows
+    * with `column` in [lo, hi] — a SUPERSET of the matching rows (the
+    * PushedFilters contract: the caller still applies the row filter; the
+    * zone maps only bound which FILES are opened).
+    */
+  def readPruned(
+      spark: SparkSession,
+      root: String,
+      column: String,
+      lo: Long,
+      hi: Long): DataFrame = {
+    val (files, _) = prunedFiles(spark, root, column, lo, hi)
+    if (files.isEmpty)
+      readVersion(spark, root, currentVersion(spark, root)).limit(0)
+    else spark.read.option("basePath", root)
+      .parquet(files.map(f => s"$root/$f"): _*)
   }
 
   /** Physical deletion of data files no RETAINED version needs: "live" is

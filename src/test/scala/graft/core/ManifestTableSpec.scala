@@ -37,6 +37,52 @@ class ManifestTableSpec extends SparkSpec {
       Set((0, 10L), (1, 21L), (5, 25L)))
   }
 
+  test("zone maps: footer stats prune files by value interval; carry-forward keeps them; conservative without stats") {
+    val root = tmpDir("graft_manifest_zone") + "/t"
+    // buckets with DISJOINT v ranges: bucket b holds v in [100b, 100b+9]
+    val data = (0 until 4).flatMap(b => (0 until 10).map(i => (b, 100L * b + i)))
+    ManifestTable.commit(spark, root,
+      data.toDF("k", "v").withColumn("bucket", col("k")),
+      "bucket", batchId = 0L, statsCol = Some("v"))
+    val (kept, total) = ManifestTable.prunedFiles(spark, root, "v", 105L, 210L)
+    assert(total >= 4 && kept.length < total,
+      s"no pruning: kept ${kept.length} of $total files")
+    assert(kept.forall(p => p.startsWith("bucket=1/") || p.startsWith("bucket=2/")),
+      s"pruning kept a provably-empty file: $kept")
+    // the pruned read is a superset; after the row filter it's exact
+    val full = ManifestTable.read(spark, root).get
+      .filter(col("v") >= 105 && col("v") <= 210).select("k", "v")
+    val pruned = ManifestTable.readPruned(spark, root, "v", 105L, 210L)
+      .filter(col("v") >= 105 && col("v") <= 210).select("k", "v")
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+    // v1 rewrites ONLY bucket 0: carried buckets keep their zone maps and
+    // still prune; bucket 0's new file gets fresh stats
+    ManifestTable.commit(spark, root,
+      Seq((0, 999L)).toDF("k", "v").withColumn("bucket", col("k")),
+      "bucket", batchId = 1L, statsCol = Some("v"))
+    val (kept2, total2) = ManifestTable.prunedFiles(spark, root, "v", 300L, 399L)
+    assert(kept2.forall(_.startsWith("bucket=3/")) && kept2.length < total2)
+    val (kept3, _) = ManifestTable.prunedFiles(spark, root, "v", 999L, 999L)
+    assert(kept3.nonEmpty && kept3.forall(_.startsWith("bucket=0/")))
+    // registering a DIFFERENT column refuses loudly
+    intercept[IllegalArgumentException] {
+      ManifestTable.commit(spark, root,
+        Seq((0, 1L)).toDF("k", "v").withColumn("bucket", col("k")),
+        "bucket", batchId = 2L, statsCol = Some("k"))
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.prunedFiles(spark, root, "k", 0L, 1L)
+    }
+    // a table committed WITHOUT statsCol never prunes (and says why)
+    val plain = tmpDir("graft_manifest_plain") + "/t"
+    ManifestTable.commit(spark, plain,
+      Seq((0, 1L)).toDF("k", "v").withColumn("bucket", col("k")),
+      "bucket", batchId = 0L)
+    intercept[IllegalArgumentException] {
+      ManifestTable.prunedFiles(spark, plain, "v", 0L, 1L)
+    }
+  }
+
   test("a crashed commit is invisible: readers stay on the last full version, vacuum sweeps the debris") {
     val root = tmpDir("graft_manifest_crash") + "/t"
     ManifestTable.commit(spark, root,
