@@ -1855,6 +1855,39 @@ object SparkEntry {
       "(tf * 1000 + (1200 * (1000 - 750 + (750 * dl * n_docs) // sum_dl)) // 1000)" +
       ") AS BIGINT) AS score_milli FROM m GROUP BY query_id, doc_id)"
 
+  /** Closed-form SQL replay of the d14 video fixture's per-frame dHash —
+    * CTEs v/g/bits/fh ending in (vid, f, h1, h2) packed 32-bit word pairs;
+    * shared VERBATIM by the d14, m6 and p7 oracles so the pixel formula,
+    * the perturbation rule and the word packing live in exactly one place.
+    */
+  private def videoFrameHashCtes: String = {
+    def grayOf(x: String, y: String): String =
+      s"CASE WHEN pert = 1 AND (($x) + ($y) * w) % 37 = 0 " +
+        s"THEN ((base * 7 + (f + pert) * 11 + ($x) * 17 + ($y) * 29) % 256 + 64) % 256 " +
+        s"ELSE (base * 7 + (f + pert) * 11 + ($x) * 17 + ($y) * 29) % 256 END"
+    val g1 = grayOf("(i * w) // 9", "(j * h) // 8")
+    val g2 = grayOf("((i + 1) * w) // 9", "(j * h) // 8")
+    "v AS (SELECT doc_id AS vid, " +
+      "CASE WHEN doc_id % 10 = 8 THEN doc_id - 2 ELSE doc_id END AS base, " +
+      "CASE WHEN doc_id % 10 = 8 THEN 1 ELSE 0 END AS pert " +
+      "FROM documents WHERE doc_id % 2 = 0), " +
+      "g AS (SELECT vid, base, pert, 8 + base % 13 AS w, 8 + (base * 3) % 11 AS h FROM v), " +
+      "bits AS (SELECT vid, f, j * 8 + i AS pos, " +
+      s"CASE WHEN ($g2) > ($g1) THEN 1 ELSE 0 END AS bit " +
+      "FROM g, unnest(generate_series(0, 4)) AS tf(f), " +
+      "unnest(generate_series(0, 7)) AS ti(i), unnest(generate_series(0, 7)) AS tj(j)), " +
+      "fh AS (SELECT vid, f, " +
+      "sum(CASE WHEN pos < 32 THEN bit * (1::BIGINT << pos) ELSE 0 END) AS h1, " +
+      "sum(CASE WHEN pos >= 32 THEN bit * (1::BIGINT << (pos - 32)) ELSE 0 END) AS h2 " +
+      "FROM bits GROUP BY vid, f)"
+  }
+
+  /** m6/p7 shared: the per-video transition lag over [[videoFrameHashCtes]]. */
+  private def videoLagCte: String =
+    "lg AS (SELECT vid, f, h1, h2, " +
+      "lag(h1) OVER (PARTITION BY vid ORDER BY f) AS q1, " +
+      "lag(h2) OVER (PARTITION BY vid ORDER BY f) AS q2 FROM fh)"
+
   /** a24/st17 oracle: the MG machinery is invisible in the values — the
     * contract is exactly "tokens with count·k > n" (k = 64), a plain
     * threshold aggregate over the whitespace token stream.
@@ -2676,25 +2709,7 @@ object SparkEntry {
     // matched ≥ 3. No codec here — the real decode→hash→alignment chain is
     // value-gated against pure arithmetic.
     "d14_video_neardup" -> {
-      def grayOf(x: String, y: String): String =
-        s"CASE WHEN pert = 1 AND (($x) + ($y) * w) % 37 = 0 " +
-          s"THEN ((base * 7 + (f + pert) * 11 + ($x) * 17 + ($y) * 29) % 256 + 64) % 256 " +
-          s"ELSE (base * 7 + (f + pert) * 11 + ($x) * 17 + ($y) * 29) % 256 END"
-      val g1 = grayOf("(i * w) // 9", "(j * h) // 8")
-      val g2 = grayOf("((i + 1) * w) // 9", "(j * h) // 8")
-      "WITH v AS (SELECT doc_id AS vid, " +
-        "CASE WHEN doc_id % 10 = 8 THEN doc_id - 2 ELSE doc_id END AS base, " +
-        "CASE WHEN doc_id % 10 = 8 THEN 1 ELSE 0 END AS pert " +
-        "FROM documents WHERE doc_id % 2 = 0), " +
-        "g AS (SELECT vid, base, pert, 8 + base % 13 AS w, 8 + (base * 3) % 11 AS h FROM v), " +
-        "bits AS (SELECT vid, f, j * 8 + i AS pos, " +
-        s"CASE WHEN ($g2) > ($g1) THEN 1 ELSE 0 END AS bit " +
-        "FROM g, unnest(generate_series(0, 4)) AS tf(f), " +
-        "unnest(generate_series(0, 7)) AS ti(i), unnest(generate_series(0, 7)) AS tj(j)), " +
-        "fh AS (SELECT vid, f, " +
-        "sum(CASE WHEN pos < 32 THEN bit * (1::BIGINT << pos) ELSE 0 END) AS h1, " +
-        "sum(CASE WHEN pos >= 32 THEN bit * (1::BIGINT << (pos - 32)) ELSE 0 END) AS h2 " +
-        "FROM bits GROUP BY vid, f), " +
+      "WITH " + videoFrameHashCtes + ", " +
         "sq AS (SELECT vid, list(h1 ORDER BY f) AS l1, list(h2 ORDER BY f) AS l2 FROM fh GROUP BY vid), " +
         "p AS (SELECT a.vid AS a, b.vid AS b, a.l1 AS a1, a.l2 AS a2, b.l1 AS b1, b.l2 AS b2 " +
         "FROM sq a JOIN sq b ON a.vid < b.vid), " +
@@ -2715,28 +2730,7 @@ object SparkEntry {
     // (vid, f) — hamming_prev null on each video's opening frame,
     // is_keyframe = opener or hamming > 4. No codec in the oracle.
     "m6_scene_keyframes" -> {
-      def grayOf(x: String, y: String): String =
-        s"CASE WHEN pert = 1 AND (($x) + ($y) * w) % 37 = 0 " +
-          s"THEN ((base * 7 + (f + pert) * 11 + ($x) * 17 + ($y) * 29) % 256 + 64) % 256 " +
-          s"ELSE (base * 7 + (f + pert) * 11 + ($x) * 17 + ($y) * 29) % 256 END"
-      val g1 = grayOf("(i * w) // 9", "(j * h) // 8")
-      val g2 = grayOf("((i + 1) * w) // 9", "(j * h) // 8")
-      "WITH v AS (SELECT doc_id AS vid, " +
-        "CASE WHEN doc_id % 10 = 8 THEN doc_id - 2 ELSE doc_id END AS base, " +
-        "CASE WHEN doc_id % 10 = 8 THEN 1 ELSE 0 END AS pert " +
-        "FROM documents WHERE doc_id % 2 = 0), " +
-        "g AS (SELECT vid, base, pert, 8 + base % 13 AS w, 8 + (base * 3) % 11 AS h FROM v), " +
-        "bits AS (SELECT vid, f, j * 8 + i AS pos, " +
-        s"CASE WHEN ($g2) > ($g1) THEN 1 ELSE 0 END AS bit " +
-        "FROM g, unnest(generate_series(0, 4)) AS tf(f), " +
-        "unnest(generate_series(0, 7)) AS ti(i), unnest(generate_series(0, 7)) AS tj(j)), " +
-        "fh AS (SELECT vid, f, " +
-        "sum(CASE WHEN pos < 32 THEN bit * (1::BIGINT << pos) ELSE 0 END) AS h1, " +
-        "sum(CASE WHEN pos >= 32 THEN bit * (1::BIGINT << (pos - 32)) ELSE 0 END) AS h2 " +
-        "FROM bits GROUP BY vid, f), " +
-        "lg AS (SELECT vid, f, h1, h2, " +
-        "lag(h1) OVER (PARTITION BY vid ORDER BY f) AS q1, " +
-        "lag(h2) OVER (PARTITION BY vid ORDER BY f) AS q2 FROM fh) " +
+      "WITH " + videoFrameHashCtes + ", " + videoLagCte + " " +
         "SELECT vid AS video_id, CAST(f AS BIGINT) AS frame_idx, " +
         "CAST(CASE WHEN q1 IS NULL THEN NULL " +
         "ELSE bit_count(xor(h1, q1)) + bit_count(xor(h2, q2)) END AS BIGINT) AS hamming_prev, " +
@@ -2749,28 +2743,7 @@ object SparkEntry {
     // pigeonhole banding is provably complete, so candidate-only == this)
     // and the (vid, frame)-min keep rule on the composite ordinal.
     "p7_media_curation" -> {
-      def grayOf(x: String, y: String): String =
-        s"CASE WHEN pert = 1 AND (($x) + ($y) * w) % 37 = 0 " +
-          s"THEN ((base * 7 + (f + pert) * 11 + ($x) * 17 + ($y) * 29) % 256 + 64) % 256 " +
-          s"ELSE (base * 7 + (f + pert) * 11 + ($x) * 17 + ($y) * 29) % 256 END"
-      val g1 = grayOf("(i * w) // 9", "(j * h) // 8")
-      val g2 = grayOf("((i + 1) * w) // 9", "(j * h) // 8")
-      "WITH v AS (SELECT doc_id AS vid, " +
-        "CASE WHEN doc_id % 10 = 8 THEN doc_id - 2 ELSE doc_id END AS base, " +
-        "CASE WHEN doc_id % 10 = 8 THEN 1 ELSE 0 END AS pert " +
-        "FROM documents WHERE doc_id % 2 = 0), " +
-        "g AS (SELECT vid, base, pert, 8 + base % 13 AS w, 8 + (base * 3) % 11 AS h FROM v), " +
-        "bits AS (SELECT vid, f, j * 8 + i AS pos, " +
-        s"CASE WHEN ($g2) > ($g1) THEN 1 ELSE 0 END AS bit " +
-        "FROM g, unnest(generate_series(0, 4)) AS tf(f), " +
-        "unnest(generate_series(0, 7)) AS ti(i), unnest(generate_series(0, 7)) AS tj(j)), " +
-        "fh AS (SELECT vid, f, " +
-        "sum(CASE WHEN pos < 32 THEN bit * (1::BIGINT << pos) ELSE 0 END) AS h1, " +
-        "sum(CASE WHEN pos >= 32 THEN bit * (1::BIGINT << (pos - 32)) ELSE 0 END) AS h2 " +
-        "FROM bits GROUP BY vid, f), " +
-        "lg AS (SELECT vid, f, h1, h2, " +
-        "lag(h1) OVER (PARTITION BY vid ORDER BY f) AS q1, " +
-        "lag(h2) OVER (PARTITION BY vid ORDER BY f) AS q2 FROM fh), " +
+      "WITH " + videoFrameHashCtes + ", " + videoLagCte + ", " +
         "kf AS (SELECT vid, f, h1, h2, vid * 1048576 + f AS ord FROM lg " +
         "WHERE q1 IS NULL OR bit_count(xor(h1, q1)) + bit_count(xor(h2, q2)) > 4), " +
         "pr AS (SELECT x.ord AS ord, y.ord AS p FROM kf x JOIN kf y " +

@@ -140,7 +140,22 @@ object ManifestTable {
     val rootPath = new Path(root)
     val f = fs(spark, rootPath)
     val prev = currentVersion(spark, root)
-    if (prev >= 0 && batchId <= readManifest(spark, root, prev)._2) return prev
+    val prevState =
+      if (prev < 0) None else Some(readManifestLines(spark, root, prev))
+    if (prevState.exists(batchId <= _._2)) return prev
+    // the table's zone-map column is a property of the TABLE, not of one
+    // commit: a second writer registering a different column would leave
+    // the manifest with suffixes meaning two different things. Validate
+    // BEFORE the data write — a refusal must cost nothing and leave no
+    // orphan files in live partition dirs.
+    val prevStatsCol = prevState.flatMap(_._3)
+    val effStatsCol = (statsCol, prevStatsCol) match {
+      case (Some(a), Some(b)) =>
+        require(a == b,
+          s"zone-map column mismatch: table has '$b', commit passed '$a'")
+        Some(a)
+      case (a, b) => a.orElse(b)
+    }
     val next = prev + 1
     // 1. data files: write the touched partitions into a version-private
     //    staging dir (unique names by construction), then move each file
@@ -153,6 +168,13 @@ object ManifestTable {
     val newFiles = scala.collection.mutable.ListBuffer[String]()
     for (partDir <- f.listStatus(stage) if partDir.isDirectory) {
       val partName = partDir.getPath.getName // e.g. bucket=3
+      // '|' is the manifest's stats delimiter (U6): a partition VALUE
+      // containing it (Spark does not escape '|' in partition dir names)
+      // would truncate to a nonexistent path on read and make vacuum
+      // treat the real file as dead. Refuse before any file moves.
+      require(!partName.contains('|'),
+        s"partition value '$partName' contains '|' (the manifest stats " +
+          "delimiter) — choose a '|'-free partition value")
       touchedParts += partName
       val dest = new Path(rootPath, partName)
       f.mkdirs(dest)
@@ -170,22 +192,10 @@ object ManifestTable {
     // 2. the new manifest: carry forward every untouched partition's LINES
     //    (zone-map suffixes ride along — data files are immutable, so a
     //    file's stats can never go stale)
-    val (carried, prevStatsCol) =
-      if (prev < 0) (Seq.empty[String], None)
-      else {
-        val (lines, _, sc) = readManifestLines(spark, root, prev)
-        (lines.filterNot(l =>
-          touchedParts.exists(tp => l.startsWith(tp + "/"))), sc)
-      }
-    // the table's zone-map column is a property of the TABLE, not of one
-    // commit: a second writer registering a different column would leave
-    // the manifest with suffixes meaning two different things
-    val effStatsCol = (statsCol, prevStatsCol) match {
-      case (Some(a), Some(b)) =>
-        require(a == b,
-          s"zone-map column mismatch: table has '$b', commit passed '$a'")
-        Some(a)
-      case (a, b) => a.orElse(b)
+    val carried: Seq[String] = prevState match {
+      case None => Seq.empty
+      case Some((lines, _, _)) =>
+        lines.filterNot(l => touchedParts.exists(tp => l.startsWith(tp + "/")))
     }
     // 2b. zone maps for the NEW files: exact per-file (min, max) straight
     //     from the parquet FOOTERS the write just produced — metadata-only

@@ -722,8 +722,15 @@ object Multimodal {
       .select(col("video_id"), col("frame_idx"), col("simhash"),
         (col("video_id") * 1048576 + col("frame_idx")).as("ord"))
       .localCheckpoint(true)
-    require(kf.filter(col("frame_idx") >= 1048576).isEmpty,
-      "frame_idx >= 2^20 breaks the composite keep-order encoding")
+    // the encoding is (vid, frame)-lexicographic ONLY on the validated
+    // domain: negative ids/frames (or a vid large enough to overflow the
+    // Long product) would silently reorder the keep rule
+    require(kf.filter(
+      col("frame_idx") < 0 || col("frame_idx") >= 1048576 ||
+        col("video_id") < 0 ||
+        col("video_id") > (Long.MaxValue / 1048576) - 1).isEmpty,
+      "composite keep-order encoding needs 0 <= frame_idx < 2^20 and " +
+        "0 <= video_id < Long.MaxValue/2^20")
     val pairs = Dedup.hammingNearDup(
       kf.select(col("ord").as("doc_id"), col("simhash")),
       maxHamming, bands, Dedup.DefaultBucketCap)

@@ -780,10 +780,7 @@ object TextAnalysis {
     val cands = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](0)
       .map(_.getString(0)).toSeq
     val n = row.getLong(1)
-    toks.filter(col("token").isin(cands: _*))
-      .groupBy("token")
-      .agg(count(lit(1)).as("n_occurrences"))
-      .filter(col("n_occurrences") * k > n)
+    verifyHeavyCandidates(toks, cands, k, n)
   }
 
   // ── persisted heavy-hitters summary (st17's artifact) ─────────────────
@@ -814,8 +811,11 @@ object TextAnalysis {
     batch.select(explode(split(col(textCol), " ")).as("token"))
       .agg(expr(s"graft_mg(token, $k)").as("cands"), count(lit(1)).as("n"))
       .select(explode(col("cands")).as("c"), col("n"))
+      // summary_k rides with the batch: the superset guarantee only covers
+      // searches at k' <= k (a coarser threshold than the summary's) — the
+      // search validates against it instead of silently under-reporting
       .select(col("c.item").as("token"), col("c.lb").as("lb"),
-        col("n").as("batch_n"))
+        col("n").as("batch_n"), lit(k).as("summary_k"))
       .write.mode("overwrite").parquet(s"$path/cands/batch=$batchId")
     batch.sparkSession.catalog.refreshByPath(s"$path/cands")
   }
@@ -833,15 +833,33 @@ object TextAnalysis {
       docs: DataFrame,
       k: Int = 64,
       textCol: String = "text"): DataFrame = {
-    val cands = spark.read.parquet(s"$path/cands")
+    val stored = spark.read.parquet(s"$path/cands")
+    // a search at k' > summary k asks for a FINER threshold (n/k' < n/k)
+    // than the summaries guarantee candidates for — a true hitter between
+    // the two thresholds could be missing from every batch summary, so
+    // the result would be silently incomplete. Refuse loudly.
+    val minStoredK = stored.agg(min("summary_k")).head().getInt(0)
+    require(k <= minStoredK,
+      s"summaries at $path were absorbed with k=$minStoredK; searching at " +
+        s"k=$k needs a finer candidate threshold than they guarantee — " +
+        "re-absorb with the larger k or search at k <= " + minStoredK)
+    val cands = stored
       .select("token").distinct().collect().map(_.getString(0)).toSeq
     val toks = docs.select(explode(split(col(textCol), " ")).as("token"))
-    val n = toks.count()
+    verifyHeavyCandidates(toks, cands, k, toks.count())
+  }
+
+  /** [[heavyTokens]] steps 2–3, shared with the st17 search so the
+    * tokenize/threshold contract can never fork: exact-count ONLY the
+    * candidate superset (map-side literal filter) and keep tokens with
+    * count·k > n.
+    */
+  private def verifyHeavyCandidates(
+      toks: DataFrame, cands: Seq[String], k: Int, n: Long): DataFrame =
     toks.filter(col("token").isin(cands: _*))
       .groupBy("token")
       .agg(count(lit(1)).as("n_occurrences"))
       .filter(col("n_occurrences") * k > n)
-  }
 
   /** Domain-weighted mixture sampling to a token budget: build a training
     * mixture of ~`budgetTokens` whitespace tokens with every domain given

@@ -81,6 +81,14 @@ class ManifestTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       ManifestTable.prunedFiles(spark, plain, "v", 0L, 1L)
     }
+    // '|' in a partition VALUE would truncate manifest lines (it is the
+    // stats delimiter) — refused before any file reaches a live dir
+    val bars = tmpDir("graft_manifest_bars") + "/t"
+    intercept[IllegalArgumentException] {
+      ManifestTable.commit(spark, bars,
+        Seq(("a|b", 1L)).toDF("k", "v").withColumn("bucket", col("k")),
+        "bucket", batchId = 0L)
+    }
   }
 
   test("a crashed commit is invisible: readers stay on the last full version, vacuum sweeps the debris") {

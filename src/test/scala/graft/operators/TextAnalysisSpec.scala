@@ -464,6 +464,17 @@ class TextAnalysisSpec extends SparkSpec {
     TextAnalysis.absorbHeavyHitters(path, docs, "b0")
     val got = TextAnalysis.searchHeavyHitters(spark, path, docs)
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // searching at a FINER threshold than the summaries guarantee (k' > k)
+    // could silently miss true hitters — must refuse, and a coarser
+    // search (k' < k) stays valid (its hitters exceed the stored bound too)
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.searchHeavyHitters(spark, path, docs, k = 128)
+    }
+    assert(e.getMessage.contains("k=64"))
+    val coarse = TextAnalysis.searchHeavyHitters(spark, path, docs, k = 8)
+    val coarseWant = TextAnalysis.heavyTokens(docs, k = 8)
+    assert(coarse.exceptAll(coarseWant).isEmpty &&
+      coarseWant.exceptAll(coarse).isEmpty)
   }
 
   test("mixtureSample: monotone in budget — a larger budget's sample contains the smaller's") {
