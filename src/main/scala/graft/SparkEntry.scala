@@ -1087,6 +1087,11 @@ object SparkEntry {
     // P(w2|w1) over adjacent pairs + OOV-bigram ratio, map-only extraction.
     "x19_bigram_quality" -> ((s, dir) =>
       graft.operators.TextAnalysis.bigramQuality(t(s, dir, "documents"))),
+    // Collocation mining (x25): top-50 bigrams by integer-exact PMI lift
+    // (Church-Hanks association ratio as a milli-ratio — monotone in PMI,
+    // no libm log), min-count 5 gate, global top-k via TakeOrdered.
+    "x25_collocations" -> ((s, dir) =>
+      graft.operators.TextAnalysis.collocations(t(s, dir, "documents"))),
     // DSIR importance selection: top-100 docs whose hashed-bigram profile
     // best matches the src0 target slice relative to the raw corpus.
     "x20_importance_select" -> ((s, dir) =>
@@ -2432,6 +2437,25 @@ object SparkEntry {
     // exact-verified heavy hitters as a24's one-pass discovery (candidate
     // union ⊇ truth under any batch split) — shared oracle, verbatim.
     "st17_heavy_hitters_maintain" -> a24OracleSql,
+    // x25: collocations replayed with the IDENTICAL division order
+    // (((n_pair*1e6) // c1) * n // (c2*1e3)) and the full deterministic
+    // tie-break (lift desc, n_pair desc, w1, w2) at the top-50 boundary.
+    "x25_collocations" ->
+      ("WITH d AS (SELECT string_split(text, ' ') AS a FROM documents " +
+        "WHERE len(string_split(text, ' ')) >= 2), " +
+        "bg AS (SELECT a[i] AS w1, a[i + 1] AS w2 FROM d, " +
+        "LATERAL (SELECT unnest(generate_series(1, len(a) - 1)) AS i) t), " +
+        "nn AS (SELECT count(*) AS n FROM bg), " +
+        "uc AS (SELECT w, count(*) AS cnt FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1), " +
+        "pc AS (SELECT w1, w2, count(*) AS n_pair FROM bg GROUP BY 1, 2 " +
+        "HAVING count(*) >= 5), " +
+        "sc AS (SELECT pc.w1, pc.w2, pc.n_pair, " +
+        "((pc.n_pair * 1000000) // u1.cnt) * nn.n // (u2.cnt * 1000) AS lift_milli " +
+        "FROM pc JOIN uc u1 ON pc.w1 = u1.w JOIN uc u2 ON pc.w2 = u2.w, nn) " +
+        "SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair, " +
+        "CAST(lift_milli AS BIGINT) AS lift_milli FROM sc " +
+        "ORDER BY lift_milli DESC, n_pair DESC, w1, w2 LIMIT 50"),
     // x18: LEFT join to the >=2-count vocabulary; integer floor-div micros.
     // x19: bigram extraction replayed as a lateral index walk over the
     // token list; same micro-quantized integer mean as x18.

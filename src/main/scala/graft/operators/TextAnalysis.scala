@@ -657,6 +657,55 @@ object TextAnalysis {
         expr("__oov * 1000000L div n_bigrams").as("oov_bigram_micro"))
   }
 
+  /** X25: collocation extraction — the top-k bigrams most over-represented
+    * relative to their parts (Church & Hanks 1990's association-ratio /
+    * PMI measure), the classic first pass for multi-word-expression and
+    * named-entity vocabulary mining over a corpus. PMI = log of the lift
+    * n·c₁₂/(c₁·c₂); `log` is libm-specific in its last bit (the BM25/k14
+    * argument), so the score IS the lift in integer milli-units, monotone
+    * in PMI — ranking preserved, values engine-exact:
+    *
+    *   lift_milli = ((c₁₂·10⁶) div c₁) · n div (c₂·10³)
+    *
+    * with that EXACT division order (each stage bounded: c₁₂ ≤ c₁ keeps
+    * the first factor ≤ 10⁶, so the product stays < 2⁶³ for corpora up to
+    * ~9·10¹² bigrams — no overflow at 100 TB). `minCount` gates the
+    * rare-pair noise PMI is notorious for (a 2-occurrence typo pair has
+    * sky-high lift).
+    *
+    * Shape at scale: two aggregations (unigrams, bigrams) that collapse
+    * map-side; the unigram join carries no broadcast hint (Heaps-law/AQE,
+    * the x18 convention); the final global top-k is sort+limit — Spark
+    * plans TakeOrderedAndProject (per-partition heaps), never a full sort.
+    */
+  def collocations(
+      docs: DataFrame,
+      k: Int = 50,
+      minCount: Int = 5,
+      textCol: String = "text"): DataFrame = {
+    val arr = docs.select(split(col(textCol), " ").as("a"))
+      .filter(size(col("a")) >= 2)
+    val bg = arr.select(expr(
+      """explode(transform(sequence(1, size(a) - 1),
+           i -> struct(element_at(a, i) AS w1, element_at(a, i + 1) AS w2)))""").as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .localCheckpoint(true) // read by the pair counts AND the total
+    val uni = docs.select(explode(split(col(textCol), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val n = bg.count()
+    bg.groupBy("w1", "w2")
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("cnt").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cnt").as("c2")), "w2")
+      .select(col("w1"), col("w2"), col("n_pair"),
+        expr(s"((n_pair * 1000000L) div c1) * ${n}L div (c2 * 1000L)")
+          .as("lift_milli"))
+      .orderBy(col("lift_milli").desc, col("n_pair").desc,
+        col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** DSIR-style importance selection (X20) — Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling": score every
     * document by how much its hashed-bigram feature distribution looks like

@@ -227,6 +227,12 @@ class PlanSpec extends SparkSpec {
       s"st17 search must be filter+aggregate only:\n$p")
   }
 
+  test("x25 collocations: global top-k is TakeOrderedAndProject, never a full sort; no cartesian") {
+    val p = plan("x25_collocations")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not limit-pushed:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian leaked:\n$p")
+  }
+
   test("a27 histogram: no global sort of the data; only the tiny histogram window sorts") {
     val p = plan("a27_histogram_quantiles")
     // rangepartitioning = a global data sort; the histogram path must not

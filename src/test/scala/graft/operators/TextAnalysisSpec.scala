@@ -477,6 +477,43 @@ class TextAnalysisSpec extends SparkSpec {
       coarseWant.exceptAll(coarse).isEmpty)
   }
 
+  test("collocations: lift equals brute-force ratio; minCount gates; planted pair tops the list") {
+    import spark.implicits._
+    // 'new york' always adjacent and exclusive (high lift); 'the'
+    // promiscuous (low lift); a rare pair below minCount must not appear
+    val docs = (
+      (1 to 20).map(i => (i.toLong, "new york is the city the people the like")) ++
+        Seq((100L, "rare pair rare pair rare pair rare pair"))
+      ).toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(docs, k = 10, minCount = 5).cache()
+    // brute force the same definition
+    val bg = docs.select(explode(expr(
+      """transform(sequence(1, size(split(text, ' ')) - 1),
+           i -> struct(element_at(split(text, ' '), i) AS w1,
+                       element_at(split(text, ' '), i + 1) AS w2))""")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val n = bg.count()
+    val uni = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val want = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= 5)
+      .join(uni.select(col("w").as("w1"), col("cnt").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cnt").as("c2")), "w2")
+      .select(col("w1"), col("w2"), col("n_pair"),
+        expr(s"((n_pair * 1000000L) div c1) * ${n}L div (c2 * 1000L)").as("lift_milli"))
+      .orderBy(col("lift_milli").desc, col("n_pair").desc, col("w1"), col("w2"))
+      .limit(10)
+    assert(out.exceptAll(want).isEmpty && want.exceptAll(out).isEmpty)
+    val top = out.orderBy(col("lift_milli").desc).head()
+    assert(top.getString(0) == "new" && top.getString(1) == "york",
+      s"exclusive adjacent pair must top the lift ranking, got $top")
+    assert(out.filter(col("w1") === "rare").count() == 0,
+      "a 4-occurrence pair must fall below minCount = 5")
+    // 'the x' pairs score below the exclusive pair (promiscuous left part)
+    val theLift = out.filter(col("w1") === "the").agg(max("lift_milli")).head().getLong(0)
+    assert(theLift < top.getLong(3))
+  }
+
   test("mixtureSample: monotone in budget — a larger budget's sample contains the smaller's") {
     // rates grow with the budget and selection is a fixed per-doc hash
     // against the rate threshold, so samples NEST: growing the token budget
