@@ -190,6 +190,23 @@ object SparkEntry {
 
   private val streamedHeavyHittersMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private val zoneMapTableMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** st18's artifact: the events stream ingested append-only into a
+    * zone-mapped manifest table ([[graft.streaming.EventsStream
+    * .zoneMapIngestReplay]] — one `part=b<id>` partition per micro-batch,
+    * per-file ts (min, max) recorded from the parquet footers at commit).
+    * The st18 entry answers a time-range query through
+    * [[graft.core.ManifestTable.readPruned]], so the manifest's file
+    * skipping is on the gated value path, not just unit-pinned.
+    */
+  def st18TableDir(s: SparkSession, dir: String): String =
+    zoneMapTableMemo.computeIfAbsent((s, dir), _ => {
+      val path = graft.core.TempDirs.create("graft_st18_zm")
+      graft.streaming.EventsStream.zoneMapIngestReplay(s, dir, path)
+      path
+    })
 
   /** st17's artifact: per-micro-batch Misra–Gries summaries absorbed
     * THROUGH the streaming engine ([[graft.streaming.EventsStream
@@ -437,7 +454,9 @@ object SparkEntry {
       "st16_bm25_index_maintain",
       // st17 exact-verifies candidates from the stream-built MG summary
       // artifact (st17SummaryDir), same ingest-time contract
-      "st17_heavy_hitters_maintain")
+      "st17_heavy_hitters_maintain",
+      // st18 range-reads the stream-built zone-mapped table (st18TableDir)
+      "st18_zonemap_range")
 
   /** Drop the memoized pipeline stages for one session (all dirs) — lets a
     * bench opt into cold per-query measurement, and unpins the session and
@@ -452,7 +471,7 @@ object SparkEntry {
     Seq(dedupIndexMemo, streamedIndexMemo, statsStateMemo, knnGraphMemo,
       g1EdgesMemo, d12MediaMemo, d14MediaMemo, d15MediaMemo, vectorIndexMemo, vectorIndexIncrMemo,
       streamedVectorIndexMemo, streamedTextIndexMemo,
-      streamedHeavyHittersMemo).foreach { m =>
+      streamedHeavyHittersMemo, zoneMapTableMemo).foreach { m =>
       m.keySet.asScala.filter(_._1 eq s).toList
         .foreach(k => Option(m.remove(k)).foreach(graft.core.TempDirs.drop))
     }
@@ -1342,6 +1361,18 @@ object SparkEntry {
     "st17_heavy_hitters_maintain" -> ((s, dir) =>
       graft.operators.TextAnalysis.searchHeavyHitters(
         s, st17SummaryDir(s, dir), t(s, dir, "documents"))),
+    // Streamed zone-mapped event log (st18): micro-batches committed as
+    // their own manifest partitions with footer-derived ts (min, max);
+    // the one-day range query reads through the manifest's file skipping
+    // (readPruned is a proven superset; the row filter makes it exact).
+    "st18_zonemap_range" -> ((s, dir) => {
+      val lo = 1705363200000000L // 2024-01-16T00:00:00Z in micros
+      val hi = lo + 86400L * 1000000L
+      graft.core.ManifestTable
+        .readPruned(s, st18TableDir(s, dir), "ts_micros", lo, hi)
+        .filter(col("ts_micros") >= lo && col("ts_micros") < hi)
+        .select("user_id", "ts_micros", "event_id", "event_type", "value_milli")
+    }),
     // Binary-quantization ANN: 64-bit packed sign signatures (64x smaller
     // than raw vectors), XOR+popcount Hamming scan, bounded shortlist,
     // exact re-rank — the 1-bit memory tier of the index family.
@@ -2125,6 +2156,13 @@ object SparkEntry {
       ("SELECT user_id, epoch_us(ts) AS ts_micros, event_id, event_type, " +
         "CAST(round(value*1000) AS BIGINT) AS value_milli FROM events " +
         "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1"),
+    // st18: the zone-mapped stream-built event log answers the one-day
+    // range query identically to a plain range scan of the source —
+    // file skipping is invisible in the values (superset + row filter).
+    "st18_zonemap_range" ->
+      ("SELECT user_id, epoch_us(ts) AS ts_micros, event_id, event_type, " +
+        "CAST(round(value*1000) AS BIGINT) AS value_milli FROM events " +
+        "WHERE epoch_us(ts) >= 1705363200000000 AND epoch_us(ts) < 1705449600000000"),
     // st9: the incrementally-maintained view equals the batch aggregate
     // over the whole stream (st4's totals, as a durable table).
     "st9_running_mv" ->

@@ -1166,6 +1166,46 @@ object EventsStream {
     batchCount(q)
   }
 
+  /** st18: streamed APPEND-ONLY ingestion into a zone-mapped manifest
+    * table — the event-log lakehouse shape: each arriving micro-batch
+    * commits as its own `part=b<id>` partition through the
+    * [[graft.core.ManifestTable]] protocol with `statsCol = ts_micros`,
+    * so every immutable data file carries its exact event-time (min, max)
+    * in the manifest. The staged replay is time-ordered, so files cover
+    * near-disjoint time ranges and a time-range read
+    * ([[graft.core.ManifestTable.readPruned]]) opens only the files that
+    * can matter — min/max file skipping, the scan-planning move every
+    * log-structured table format makes for append-mostly event data.
+    * Exactly-once: the commit's batch-id fence (a redelivered batch is a
+    * no-op), same as st8/st14. Returns micro-batches absorbed.
+    */
+  def zoneMapIngestReplay(
+      spark: SparkSession,
+      dir: String,
+      root: String,
+      queryName: String = "graft_zonemap_ingest_stream"): Long = {
+    val ss = streamSession(spark)
+    val ckpt = tempDir("graft_zm_ckpt_")
+    val q = readEventsStaged(ss, dir)
+      .writeStream
+      .queryName(queryName)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        graft.core.ManifestTable.commit(
+          batch.sparkSession, root,
+          batch.selectExpr(
+            "user_id", "unix_micros(ts) AS ts_micros", "event_id",
+            "event_type", "CAST(round(value * 1000) AS BIGINT) AS value_milli")
+            .withColumn("part", concat(lit("b"), lit(bid))),
+          "part", bid, statsCol = Some("ts_micros"))
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    batchCount(q)
+  }
+
   /** Streaming maintenance of the IVF-PQ vector index (st15 — the ANN twin
     * of [[indexMaintainReplay]]): quantizers are TRAINED once at bootstrap
     * (a batch step — FAISS `train` semantics; a stream cannot retrain the

@@ -135,6 +135,33 @@ class EventsStreamSpec extends SparkSpec {
     assert(viaStream.exceptAll(inline).isEmpty && inline.exceptAll(viaStream).isEmpty)
   }
 
+  test("streamed zone-map ingest: time-range read skips files; equals the batch range query") {
+    val root = tmpDir("graft_spec_st18_zm") + "/t"
+    // 4 time-ordered micro-batches -> 4 near-disjoint ts-range files: the
+    // one-day predicate must provably skip at least one
+    spark.conf.set(EventsStream.ReplayFilesConf, "4")
+    val batches =
+      try EventsStream.zoneMapIngestReplay(spark, sf, root, "graft_spec_zm_ingest")
+      finally spark.conf.set(EventsStream.ReplayFilesConf, "2")
+    assert(batches >= 4, s"expected 4 micro-batches, got $batches")
+    val lo = 1705363200000000L
+    val hi = lo + 86400L * 1000000L
+    val (kept, total) = graft.core.ManifestTable.prunedFiles(
+      spark, root, "ts_micros", lo, hi)
+    assert(total >= 4 && kept.length < total,
+      s"zone maps skipped nothing: kept ${kept.length} of $total files")
+    val got = graft.core.ManifestTable.readPruned(spark, root, "ts_micros", lo, hi)
+      .filter(col("ts_micros") >= lo && col("ts_micros") < hi)
+      .select("user_id", "ts_micros", "event_id", "event_type", "value_milli")
+    val want = Tables.load(spark, sf, "events").selectExpr(
+        "user_id", "unix_micros(ts) AS ts_micros", "event_id", "event_type",
+        "CAST(round(value * 1000) AS BIGINT) AS value_milli")
+      .filter(col("ts_micros") >= lo && col("ts_micros") < hi)
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "pruned range read diverges from the plain range scan")
+  }
+
   test("CDC from the manifest upsert: changelog equals the batch-side snapshot diff; no deletes") {
     val cutoffNanos = 1705363200000000000L // 2024-01-16T00:00:00Z
     val out = EventsStream.cdcUpsertReplay(
