@@ -448,8 +448,11 @@ object SparkEntry {
       // g2 shares g1's prebuilt edge memo (g1 sorts first and pays it)
       "g2_personalized_pagerank",
       // the stored IVF-PQ indexes (k8IndexDir/k13IndexDir/st15IndexDir):
-      // the entries time the search against the ingest-time artifact
-      "k8_ivfpq_topk", "k13_index_incremental", "st15_vector_index_maintain",
+      // the entries time the search against the ingest-time artifact;
+      // k10's ADC stage serves from k8's stored codes, k9 and k10's
+      // stage 1 from its stored binary signatures
+      "k8_ivfpq_topk", "k9_binary_topk", "k10_cascade_topk",
+      "k13_index_incremental", "st15_vector_index_maintain",
       // st16 searches the stream-built BM25 postings index (st16IndexDir)
       "st16_bm25_index_maintain",
       // st17 exact-verifies candidates from the stream-built MG summary
@@ -1376,9 +1379,14 @@ object SparkEntry {
     // Binary-quantization ANN: 64-bit packed sign signatures (64x smaller
     // than raw vectors), XOR+popcount Hamming scan, bounded shortlist,
     // exact re-rank — the 1-bit memory tier of the index family.
+    // Binary tier served from the stored signatures (the k8/k10 staged-
+    // artifact move): one long per corpus vector scans, bounded exact
+    // re-rank — value-identical to the inline derivation (deterministic
+    // md5 hyperplanes; spec-pinned), so the oracle is unchanged.
     "k9_binary_topk" -> ((s, dir) =>
-      graft.operators.Similarity.binaryQuantTopKCosine(
-        t(s, dir, "embeddings"), queryIds = Seq(0L, 1L, 2L), k = 10)),
+      graft.operators.VectorIndex.binarySearch(
+        s, k8IndexDir(s, dir), t(s, dir, "embeddings"),
+        queryIds = Seq(0L, 1L, 2L), k = 10)),
     // Scalar-quantized ANN (SQ8): per-dimension affine uint8 codes from an
     // integer-exact min/max scan, asymmetric full-precision-query scoring
     // against the dequantized corpus, bounded shortlist, exact re-rank —
@@ -1396,9 +1404,14 @@ object SparkEntry {
     // (50) -> exact cosine (10) — each stage cheaper per candidate than
     // the next and feeding it strictly fewer rows; the production serving
     // shape composing k9's and k4's proven legs.
+    // Cascade served from the stored index (the k8 staged-artifact move):
+    // binary stage-1 map-only, ADC stage-2 against the persisted PQ codes,
+    // exact re-rank — value-identical to the inline cascade (deterministic
+    // training; spec-pinned), so the oracle is unchanged.
     "k10_cascade_topk" -> ((s, dir) =>
-      graft.operators.Similarity.cascadeTopKCosine(
-        t(s, dir, "embeddings"), queryIds = Seq(0L, 1L, 2L), k = 10)),
+      graft.operators.VectorIndex.cascadeSearch(
+        s, k8IndexDir(s, dir), t(s, dir, "embeddings"),
+        queryIds = Seq(0L, 1L, 2L), k = 10)),
     // Integer-exact PageRank over the kNN graph (3 power iterations) —
     // centrality as a document-importance prior (crawl-curation axis).
     "g1_pagerank" -> ((s, dir) => {

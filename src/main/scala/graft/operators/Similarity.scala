@@ -542,22 +542,45 @@ object Similarity {
     * and [[cascadeTopKCosine]]: per query, the `limit` signature-closest
     * corpus ids (hamming asc, id asc — the `graft_topk` total order).
     */
-  private def binaryShortlist(
+  private[operators] def binaryShortlist(
+      v: DataFrame,
+      queryIds: Seq[Long],
+      limit: Int,
+      nBits: Int,
+      dim: Int): DataFrame =
+    signatureShortlist(
+      binarySignatures(v, nBits, dim), v, queryIds, limit, nBits, dim)
+
+  /** Packed 1-bit hyperplane signatures (id, sig) for every vector — the
+    * per-vector encoding [[graft.operators.VectorIndex]] persists (64×
+    * smaller than raw vectors; hyperplanes are md5-derived, so signatures
+    * are a pure deterministic function of the vector and nBits).
+    */
+  private[operators] def binarySignatures(
+      v: DataFrame, nBits: Int, dim: Int): DataFrame = {
+    require(nBits > 0 && nBits <= 64, s"signatures pack into one long: nBits=$nBits")
+    graft.functions.GraftFunctions.register(v.sparkSession)
+    v.filter(col("v").isNotNull && size(col("v")) > 0)
+      .select(col("id"), expr(s"graft_hp_sums(v, $nBits, $dim)").as("sums"))
+      .select(col("id"), expr(
+        s"""aggregate(sequence(0, ${nBits - 1}), 0L,
+             (acc, i) -> acc | IF(sums[i] >= 0L, shiftleft(1L, i), 0L))""").as("sig"))
+  }
+
+  /** The signature-Hamming shortlist over a (id, sig) relation — corpus
+    * signatures may be computed inline ([[binaryShortlist]]) or read from
+    * the stored index; query signatures are always computed fresh from the
+    * query vectors (a ≤|queries|-row map).
+    */
+  private[operators] def signatureShortlist(
+      sigs: DataFrame,
       v: DataFrame,
       queryIds: Seq[Long],
       limit: Int,
       nBits: Int,
       dim: Int): DataFrame = {
-    require(nBits > 0 && nBits <= 64, s"signatures pack into one long: nBits=$nBits")
-    graft.functions.GraftFunctions.register(v.sparkSession)
-    val sigs = v
-      .filter(col("v").isNotNull && size(col("v")) > 0)
-      .select(col("id"), expr(s"graft_hp_sums(v, $nBits, $dim)").as("sums"))
-      .select(col("id"), expr(
-        s"""aggregate(sequence(0, ${nBits - 1}), 0L,
-             (acc, i) -> acc | IF(sums[i] >= 0L, shiftleft(1L, i), 0L))""").as("sig"))
     val qs = broadcast(
-      sigs.filter(col("id").isin(queryIds: _*))
+      binarySignatures(v.filter(col("id").isin(queryIds: _*)), nBits, dim)
         .select(col("id").as("query_id"), col("sig").as("qsig")))
     sigs.crossJoin(qs)
       .filter(col("id") =!= col("query_id"))

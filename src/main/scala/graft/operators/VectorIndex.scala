@@ -45,6 +45,7 @@ import org.apache.spark.sql.functions._
   *   path/codebook/           (sub, cid, cv)   — PQ fine quantizer
   *   path/assign/batch=<id>   (id, cid)        — cell membership
   *   path/codes/batch=<id>    (id, sub, code)  — PQ encoding
+  *   path/sigs/batch=<id>     (id, sig)        — packed 1-bit signatures
   * }}}
   */
 object VectorIndex {
@@ -121,11 +122,23 @@ object VectorIndex {
     val codebook = spark.read.parquet(s"$path/codebook")
     Similarity.pqEncode(v, codebook, m, dim)
       .write.mode("overwrite").parquet(s"$path/codes/batch=$batchId")
+    // packed 1-bit signatures ride in the same artifact (64x smaller than
+    // raw vectors — the binary tier the cascade's stage 1 scans): the
+    // hyperplanes are md5-derived, so a batch's signatures are a pure map
+    // of the frozen (nBits, dim) — frozen-quantizer semantics for free
+    Similarity.binarySignatures(v, SigBits, dim)
+      .write.mode("overwrite").parquet(s"$path/sigs/batch=$batchId")
     // retried absorbs replace their partition's files — invalidate the
     // session's cached listings so same-session readers see the new parts
-    Seq("assign", "codes").foreach(rel =>
+    Seq("assign", "codes", "sigs").foreach(rel =>
       spark.catalog.refreshByPath(s"$path/$rel"))
   }
+
+  /** Signature width of the stored binary tier — fixed at the packed-long
+    * maximum; a narrower width would change stored signatures' meaning, so
+    * it is a constant of the artifact format, not a per-call knob.
+    */
+  val SigBits = 64
 
   /** Build a complete index from scratch: [[train]] on the corpus, then
     * [[absorb]] it as the reserved `base` batch.
@@ -194,5 +207,74 @@ object VectorIndex {
       .agg(expr(s"graft_topk(CAST(-adc AS DOUBLE), id, ${k * candMult})").as("tk"))
       .select(col("query_id"), explode(col("tk.id")).as("id"))
     Similarity.rerank(cand, v, queryIds, k)
+  }
+
+  /** K10's cascade answered from the STORED index — binary stage-1 over
+    * map-only signatures (1-bit signatures are a cheap per-query scan, not
+    * stored state), ADC stage-2 against the persisted PQ codes/codebook,
+    * exact re-rank — value-identical to the inline
+    * [[Similarity.cascadeTopKCosine]] on the same corpus (the quantizer
+    * training is deterministic, so stored codes ≡ inline codes;
+    * spec-pinned): the k8 staged-artifact move applied to the cascade, so
+    * a production query pays the SEARCH, never per-query PQ retraining.
+    */
+  def cascadeSearch(
+      spark: SparkSession,
+      path: String,
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      k: Int = 10,
+      stage1Mult: Int = 20,
+      stage2Mult: Int = 5,
+      m: Int = 8,
+      dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    requireMeta(spark, path, m, dim)
+    val subDim = dim / m
+    val v = Similarity.asVectors(embeddings)
+    val sigs = spark.read.parquet(s"$path/sigs").select("id", "sig")
+    val s1 = Similarity.signatureShortlist(
+      sigs, v, queryIds, k * stage1Mult, SigBits, dim)
+    val codes = spark.read.parquet(s"$path/codes").select("id", "sub", "code")
+    val codebook = broadcast(spark.read.parquet(s"$path/codebook"))
+    val qd = broadcast(
+      Similarity.subvectors(
+        Similarity.normalizeVectors(v.filter(col("id").isin(queryIds: _*))),
+        m, subDim)
+        .withColumnRenamed("id", "query_id")
+        .join(codebook, "sub")
+        .select(col("query_id"), col("sub"), col("cid").as("code"),
+          expr(s"CAST(floor(${Similarity.subL2} * 1000000) AS BIGINT)").as("d_micro")))
+    val s2 = s1.join(codes, "id")
+      .join(qd, Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("d_micro")).as("adc"))
+      .groupBy("query_id")
+      .agg(expr(s"graft_topk(CAST(-adc AS DOUBLE), id, ${k * stage2Mult})").as("tk"))
+      .select(col("query_id"), explode(col("tk.id")).as("id"))
+    Similarity.rerank(s2, v, queryIds, k)
+  }
+
+  /** K9's binary-quantization top-k answered from the STORED signatures —
+    * value-identical to the inline [[Similarity.binaryQuantTopKCosine]]
+    * (signatures are a deterministic map of the vectors; spec-pinned):
+    * the query scans one long per corpus vector (the 64×-compression
+    * memory tier doing its job) plus the bounded exact re-rank.
+    */
+  def binarySearch(
+      spark: SparkSession,
+      path: String,
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      k: Int = 10,
+      candMult: Int = 10,
+      dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val v = Similarity.asVectors(embeddings)
+    val sigs = spark.read.parquet(s"$path/sigs").select("id", "sig")
+    Similarity.rerank(
+      Similarity.signatureShortlist(
+        sigs, v, queryIds, k * candMult, SigBits, dim),
+      v, queryIds, k)
   }
 }

@@ -20,6 +20,22 @@ class VectorIndexSpec extends SparkSpec {
       "search from the persisted index diverged from the inline derivation")
   }
 
+  test("cascade served from the stored index is value-identical to the inline cascade") {
+    val path = tmpDir("vindex_cascade")
+    VectorIndex.build(emb, path)
+    val stored = VectorIndex.cascadeSearch(spark, path, emb, queries, k = 10)
+    val inline = Similarity.cascadeTopKCosine(emb, queries, k = 10)
+    assert(stored.count() == 30)
+    assert(stored.exceptAll(inline).isEmpty && inline.exceptAll(stored).isEmpty,
+      "cascade from the persisted index diverged from the inline derivation")
+    // the stored binary tier answers k9 identically too
+    val storedBin = VectorIndex.binarySearch(spark, path, emb, queries, k = 10)
+    val inlineBin = Similarity.binaryQuantTopKCosine(emb, queries, k = 10)
+    assert(storedBin.exceptAll(inlineBin).isEmpty &&
+      inlineBin.exceptAll(storedBin).isEmpty,
+      "binary search from stored signatures diverged from inline")
+  }
+
   test("absorb with frozen quantizers: base build + delta append == one-shot encode of the union") {
     val base = emb.filter(!expr(deltaPred))
     val delta = emb.filter(expr(deltaPred))
@@ -35,7 +51,7 @@ class VectorIndexSpec extends SparkSpec {
     VectorIndex.train(base, once)
     VectorIndex.absorb(spark, once, emb, "all")
 
-    for (rel <- Seq("assign", "codes")) {
+    for (rel <- Seq("assign", "codes", "sigs")) {
       val a = spark.read.parquet(s"$incr/$rel").drop("batch")
       val b = spark.read.parquet(s"$once/$rel").drop("batch")
       assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
