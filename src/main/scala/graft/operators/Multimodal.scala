@@ -719,8 +719,12 @@ object Multimodal {
       // composite ordinal: frame_idx is bounded far below 1<<20 in any
       // real container (validated loudly — a silent wrap would corrupt
       // the keep order), so (vid << 20 | f) is (vid, f)-lexicographic
+      // widen to long BEFORE multiplying — an IntegerType video_id would
+      // wrap at vid >= 2048 in its native type, silently corrupting the
+      // keep order before the domain require below could catch it
       .select(col("video_id"), col("frame_idx"), col("simhash"),
-        (col("video_id") * 1048576 + col("frame_idx")).as("ord"))
+        (col("video_id").cast("long") * 1048576L + col("frame_idx"))
+          .as("ord"))
       .localCheckpoint(true)
     // the encoding is (vid, frame)-lexicographic ONLY on the validated
     // domain: negative ids/frames (or a vid large enough to overflow the

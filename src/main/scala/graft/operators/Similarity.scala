@@ -112,7 +112,13 @@ object Similarity {
       .agg(count(lit(1)).as("n_hits"))
     val methods = embeddings.sparkSession
       .createDataFrame(legs.map(l => Tuple1(l._1))).toDF("method")
-    methods.crossJoin(exact.select("query_id").distinct())
+    // the axis comes from the queryIds ARGUMENT, not from the exact
+    // result: a query absent from embeddings (or with an empty exact
+    // top-k) must still surface as a zero-recall row — that's precisely
+    // the drift signal the monitor exists to catch
+    val queries = embeddings.sparkSession
+      .createDataFrame(queryIds.map(Tuple1(_))).toDF("query_id")
+    methods.crossJoin(queries)
       .join(hits, Seq("method", "query_id"), "left")
       .select(col("method"), col("query_id"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"))
@@ -340,8 +346,16 @@ object Similarity {
       v.orderBy(md5(col("id").cast("string")), col("id"))
         .limit(nCentroids)
         .select(col("id").as("cid"), col("v").as("qv"))
-    (0 until nIter).foldLeft(materializeCentroids(seeds))((c, _) =>
-      materializeCentroids(lloydIterate(vt, broadcast(c))))
+    (0 until nIter).foldLeft(materializeCentroids(seeds)) { (c, _) =>
+      // materializeCentroids collects eagerly, so the iteration's baked
+      // argmax registration is dead the moment `next` exists — drop it,
+      // leaving one live registry entry per trained generation (the final
+      // centroids register at their first consuming call), not one per
+      // Lloyd iteration
+      val next = materializeCentroids(lloydIterate(vt, broadcast(c)))
+      dropArgmax(vt, c)
+      next
+    }
   }
 
   /** The centroid table as a map-only argmax-cosine COLUMN over `v`: the
@@ -372,7 +386,12 @@ object Similarity {
     digest.digest().map("%02x".format(_)).mkString
   }
 
-  private def argmaxCosineCol(v: DataFrame, cents: DataFrame): org.apache.spark.sql.Column = {
+  /** Collect a centroid frame's (cids, matrix, dim) and register the baked
+    * [[graft.functions.ArgmaxCosine]] under its content-keyed name,
+    * returning the name — the single registration path, so [[dropArgmax]]
+    * can recompute the same key to unregister a dead generation.
+    */
+  private def registerArgmax(v: DataFrame, cents: DataFrame): String = {
     val rows = cents.select(col("cid"), col("qv")).collect().sortBy(_.getLong(0))
     require(rows.nonEmpty, "centroid table is empty")
     val cids = rows.map(_.getLong(0))
@@ -397,8 +416,36 @@ object Similarity {
         require(children.length == 1, s"$fn expects (vector)")
         graft.functions.ArgmaxCosine(children.head, cids, matrix, dim)
       }, "built-in")
-    expr(s"$fn(v)")
+    fn
   }
+
+  /** Unregister the argmax entry baked from `cents` (content-keyed, so the
+    * name is recomputable from the tiny centroid frame). Called by the
+    * Lloyd fold once an iteration's assignment is driver-materialized and
+    * the registration is dead — keeping the registry bounded by LIVE index
+    * generations, not by one-entry-per-iteration growth.
+    */
+  private def dropArgmax(v: DataFrame, cents: DataFrame): Unit = {
+    val rows = cents.select(col("cid"), col("qv")).collect().sortBy(_.getLong(0))
+    if (rows.nonEmpty) {
+      val cids = rows.map(_.getLong(0))
+      val dim = rows.head.getSeq[Double](1).length
+      val matrix = new Array[Double](rows.length * dim)
+      var c = 0
+      while (c < rows.length) {
+        val q = rows(c).getSeq[Double](1)
+        var d = 0
+        while (d < dim) { matrix(c * dim + d) = q(d); d += 1 }
+        c += 1
+      }
+      v.sparkSession.sessionState.functionRegistry.dropFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(
+          s"graft_argmax_cos_${contentKey(cids, matrix)}"))
+    }
+  }
+
+  private def argmaxCosineCol(v: DataFrame, cents: DataFrame): org.apache.spark.sql.Column =
+    expr(s"${registerArgmax(v, cents)}(v)")
 
   /** Nearest-centroid assignment of every vector in `v`: map-only
     * [[argmaxCosineCol]] over the baked centroid table — deterministic

@@ -100,6 +100,28 @@ object VectorIndex {
         "re-sliced, retrain or match the stored hyperparameters")
   }
 
+  /** Dim-only variant of [[requireMeta]] for the binary tier, which has no
+    * PQ subspace slicing but is just as silently wrong under a dim
+    * mismatch: query signatures computed with `dim`-hyperplanes compared
+    * against corpus signatures stored under a different dim return
+    * plausible-but-wrong top-k instead of failing.
+    */
+  private def requireMetaDim(
+      spark: SparkSession, path: String, dim: Int): Unit = {
+    val meta =
+      try spark.read.parquet(s"$path/meta").head()
+      catch {
+        case e: Exception => throw new IllegalStateException(
+          s"vector index at $path has no meta relation — rebuild with " +
+            s"VectorIndex.train (${e.getMessage})")
+      }
+    val sdim = meta.getAs[Int]("dim")
+    require(sdim == dim,
+      s"vector index at $path was trained with dim=$sdim; caller asked " +
+        s"dim=$dim — stored signatures were hashed with $sdim-component " +
+        "hyperplanes, retrain or match the stored dim")
+  }
+
   /** Absorb one ingest batch into a trained index: nearest-cell assignment
     * and PQ encoding against the FROZEN stored quantizers, written under
     * `batch=<batchId>` (Overwrite scoped to that partition — a retried
@@ -270,6 +292,7 @@ object VectorIndex {
       candMult: Int = 10,
       dim: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    requireMetaDim(spark, path, dim)
     val v = Similarity.asVectors(embeddings)
     val sigs = spark.read.parquet(s"$path/sigs").select("id", "sig")
     Similarity.rerank(
