@@ -308,6 +308,10 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16): Unit = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    require(graft.core.IndexOptimize.foldedBatches(path).isEmpty,
+      s"dedup index at $path has OPTIMIZE-folded batches — rebuilding in " +
+        "place would duplicate consolidated rows; delete the artifact " +
+        "directory first")
     writeIndexBatch(corpus, path, "base", textCol, idCol, shingleWords,
       numHashes, bands)
   }
@@ -337,6 +341,15 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     require(batchId.nonEmpty && batchId != "base",
       "batchId must be a non-empty ingest-batch name other than the reserved 'base'")
+    require(batchId != graft.core.IndexOptimize.FoldedPartition,
+      s"batch id '$batchId' is reserved for the consolidated OPTIMIZE partition")
+    if (graft.core.IndexOptimize.isFolded(index, batchId)) {
+      // retry-after-OPTIMIZE fence: rows already in the consolidated
+      // partition — re-absorbing would duplicate every downstream pair
+      System.err.println(s"[index-optimize] batch=$batchId already folded " +
+        s"into $index — absorb is a no-op")
+      return
+    }
     writeIndexBatch(delta, index, batchId, textCol, idCol, shingleWords,
       numHashes, bands)
     // retried absorbs replace their partition's files — invalidate the
@@ -344,6 +357,20 @@ object Dedup {
     Seq("sets", "bands").foreach(rel =>
       delta.sparkSession.catalog.refreshByPath(s"$index/$rel"))
   }
+
+  /** OPTIMIZE the stored dedup index: fold the accumulated `batch=*`
+    * absorb partitions of sets/bands into one consolidated partition each
+    * ([[graft.core.IndexOptimize]]). Physical re-layout only — the
+    * incremental dedup reads the union of rows and never the batch
+    * column, so results are value-identical (spec-pinned).
+    */
+  def optimizeIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      index: String,
+      targetBytes: Long = graft.core.Compaction.DefaultTargetBytes)
+      : Seq[graft.core.IndexOptimize.RelOptStats] =
+    graft.core.IndexOptimize.optimize(
+      spark, index, Seq("sets", "bands"), targetBytes)
 
   /** Shared index-batch writer: sets/bands land under `batch=<id>` hive
     * partitions (Overwrite scoped to that partition dir), so both the base

@@ -179,8 +179,13 @@ object Retrieval {
   /** Build the stored postings index at `path` from a corpus — postings
     * land under `batch=base` (hive partition), the d9/k13 layout.
     */
-  def buildTextIndex(docs: DataFrame, path: String): Unit =
+  def buildTextIndex(docs: DataFrame, path: String): Unit = {
+    require(graft.core.IndexOptimize.foldedBatches(path).isEmpty,
+      s"text index at $path has OPTIMIZE-folded batches — rebuilding in " +
+        "place would duplicate consolidated postings; delete the artifact " +
+        "directory first")
     absorbTextIndex(path, docs, "base")
+  }
 
   /** Absorb one ingest batch of documents into the stored index: tokenize
     * + count THIS batch only (O(delta)), write under `batch=<id>` with
@@ -191,6 +196,15 @@ object Retrieval {
     */
   def absorbTextIndex(path: String, batch: DataFrame, batchId: String): Unit = {
     require(batchId.nonEmpty, "batchId must be a non-empty ingest-batch name")
+    require(batchId != graft.core.IndexOptimize.FoldedPartition,
+      s"batch id '$batchId' is reserved for the consolidated OPTIMIZE partition")
+    if (graft.core.IndexOptimize.isFolded(path, batchId)) {
+      // retry-after-OPTIMIZE fence: the batch's postings already live in
+      // the consolidated partition — re-absorbing would double its tf rows
+      System.err.println(s"[index-optimize] batch=$batchId already folded " +
+        s"into $path — absorb is a no-op")
+      return
+    }
     textIndexPostings(batch)
       .write.mode("overwrite").parquet(s"$path/postings/batch=$batchId")
     // a RETRIED absorb replaces the partition's files — drop the session's
@@ -198,6 +212,19 @@ object Retrieval {
     // part files (the idempotency contract includes the re-read)
     batch.sparkSession.catalog.refreshByPath(s"$path/postings")
   }
+
+  /** OPTIMIZE the stored postings: fold accumulated `batch=*` absorb
+    * partitions into one consolidated partition ([[graft.core
+    * .IndexOptimize]]). BM25 stats re-derive from the row union, so the
+    * search is value-identical post-fold (spec-pinned).
+    */
+  def optimizeTextIndex(
+      spark: SparkSession,
+      path: String,
+      targetBytes: Long = graft.core.Compaction.DefaultTargetBytes)
+      : Seq[graft.core.IndexOptimize.RelOptStats] =
+    graft.core.IndexOptimize.optimize(
+      spark, path, Seq("postings"), targetBytes)
 
   /** BM25 top-k answered from the STORED postings — value-identical to
     * [[bm25TopK]] on the same corpus (shared oracle): df/dl/corpus stats

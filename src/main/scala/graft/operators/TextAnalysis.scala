@@ -856,6 +856,17 @@ object TextAnalysis {
       k: Int = 64,
       textCol: String = "text"): Unit = {
     require(batchId.nonEmpty, "batchId must be a non-empty ingest-batch name")
+    require(batchId != graft.core.IndexOptimize.FoldedPartition,
+      s"batch id '$batchId' is reserved for the consolidated OPTIMIZE partition")
+    if (graft.core.IndexOptimize.isFolded(path, batchId)) {
+      // retry-after-OPTIMIZE fence: the batch's candidates already live in
+      // the consolidated partition. A duplicate would not change the
+      // candidate UNION (the search exact-verifies), but it would re-grow
+      // the layout the fold just collapsed — no-op like the sibling fences
+      System.err.println(s"[index-optimize] batch=$batchId already folded " +
+        s"into $path — absorb is a no-op")
+      return
+    }
     graft.functions.GraftFunctions.register(batch.sparkSession)
     batch.select(explode(split(col(textCol), " ")).as("token"))
       .agg(expr(s"graft_mg(token, $k)").as("cands"), count(lit(1)).as("n"))
@@ -868,6 +879,20 @@ object TextAnalysis {
       .write.mode("overwrite").parquet(s"$path/cands/batch=$batchId")
     batch.sparkSession.catalog.refreshByPath(s"$path/cands")
   }
+
+  /** OPTIMIZE the stored summaries: fold accumulated `batch=*` absorb
+    * partitions into one consolidated partition ([[graft.core
+    * .IndexOptimize]]). The search takes the candidate UNION and
+    * min(summary_k) over rows — batch-agnostic, so value-identical
+    * post-fold (spec-pinned).
+    */
+  def optimizeHeavyHitters(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      targetBytes: Long = graft.core.Compaction.DefaultTargetBytes)
+      : Seq[graft.core.IndexOptimize.RelOptStats] =
+    graft.core.IndexOptimize.optimize(
+      spark, path, Seq("cands"), targetBytes)
 
   /** Heavy-hitter tokens answered from the STORED per-batch summaries —
     * value-identical to [[heavyTokens]] on the same corpus (shared oracle):

@@ -136,6 +136,15 @@ object VectorIndex {
       m: Int = 8,
       dim: Int = 64): Unit = {
     require(batchId.nonEmpty, "batchId must be a non-empty ingest-batch name")
+    require(batchId != graft.core.IndexOptimize.FoldedPartition,
+      s"batch id '$batchId' is reserved for the consolidated OPTIMIZE partition")
+    if (graft.core.IndexOptimize.isFolded(path, batchId)) {
+      // retry-after-OPTIMIZE fence: the batch's rows already live in the
+      // consolidated partition — re-absorbing would duplicate the index
+      System.err.println(s"[index-optimize] batch=$batchId already folded " +
+        s"into $path — absorb is a no-op")
+      return
+    }
     requireMeta(spark, path, m, dim)
     val v = Similarity.asVectors(batch)
     val cents = spark.read.parquet(s"$path/centroids")
@@ -174,9 +183,27 @@ object VectorIndex {
       nCodes: Int = 16,
       pqIter: Int = 2,
       dim: Int = 64): Unit = {
+    require(graft.core.IndexOptimize.foldedBatches(path).isEmpty,
+      s"index at $path has OPTIMIZE-folded batches — rebuilding in place " +
+        "would mix old consolidated rows with new quantizers; delete the " +
+        "artifact directory first")
     train(corpus, path, nCentroids, ivfIter, m, nCodes, pqIter, dim)
     absorb(corpus.sparkSession, path, corpus, "base", m, dim)
   }
+
+  /** OPTIMIZE the per-vector relations (assign/codes/sigs): fold the
+    * accumulated `batch=*` absorb partitions into one consolidated
+    * partition each ([[graft.core.IndexOptimize]] — physical re-layout
+    * only; searches are batch-agnostic, so results are value-identical,
+    * spec-pinned). Quantizer relations are bounded and never folded.
+    */
+  def optimize(
+      spark: SparkSession,
+      path: String,
+      targetBytes: Long = graft.core.Compaction.DefaultTargetBytes)
+      : Seq[graft.core.IndexOptimize.RelOptStats] =
+    graft.core.IndexOptimize.optimize(
+      spark, path, Seq("assign", "codes", "sigs"), targetBytes)
 
   /** IVF-PQ top-k answered from the STORED index — value-identical to
     * [[Similarity.ivfPqTopKCosine]] when the index was built from the same

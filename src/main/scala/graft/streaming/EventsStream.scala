@@ -1102,6 +1102,12 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // end-of-run OPTIMIZE: fold the per-micro-batch partitions so the
+    // artifact's directory count stays bounded across maintenance runs
+    // (value-identical physical re-layout; a 24/7 deployment runs the same
+    // call on a cadence from this maintenance loop — the single-writer
+    // position the fold's retry fence requires)
+    graft.operators.Dedup.optimizeIndex(spark, index)
     batchCount(q)
   }
 
@@ -1132,6 +1138,9 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // end-of-run OPTIMIZE (see indexMaintainReplay) — the gated st16
+    // search runs against the folded postings
+    graft.operators.Retrieval.optimizeTextIndex(spark, index)
     batchCount(q)
   }
 
@@ -1163,6 +1172,9 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // end-of-run OPTIMIZE (see indexMaintainReplay) — the gated st17
+    // search reads the folded candidate summaries
+    graft.operators.TextAnalysis.optimizeHeavyHitters(spark, index)
     batchCount(q)
   }
 
@@ -1237,6 +1249,9 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // end-of-run OPTIMIZE (see indexMaintainReplay) — the gated st15
+    // search serves the folded assign/codes/sigs relations
+    graft.operators.VectorIndex.optimize(spark, index)
     batchCount(q)
   }
 
