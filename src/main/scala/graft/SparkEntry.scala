@@ -190,6 +190,23 @@ object SparkEntry {
 
   private val streamedHeavyHittersMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private val statsArtifactMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** a29's artifact: the persisted ANALYZE relation ([[graft.catalog
+    * .TableStats.analyze]] — a25's pipeline) built once per (session, dir);
+    * the a29 entry PLANS from it ([[graft.catalog.StatsPlanner]]), which is
+    * the whole point — stats produced at ANALYZE time, consumed at plan
+    * time, the metastore-CBO loop for path-based tables.
+    */
+  def a29StatsDir(s: SparkSession, dir: String): String =
+    statsArtifactMemo.computeIfAbsent((s, dir), _ => {
+      // memo stores the TRACKED parent (what invalidateMemos drops); the
+      // artifact itself lives one level down
+      val root = graft.core.TempDirs.createFast("graft_a29_stats_")
+      graft.catalog.TableStats.analyze(s, dir, root + "/stats")
+      root
+    }) + "/stats"
   private val zoneMapTableMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
@@ -474,7 +491,7 @@ object SparkEntry {
     Seq(dedupIndexMemo, streamedIndexMemo, statsStateMemo, knnGraphMemo,
       g1EdgesMemo, d12MediaMemo, d14MediaMemo, d15MediaMemo, vectorIndexMemo, vectorIndexIncrMemo,
       streamedVectorIndexMemo, streamedTextIndexMemo,
-      streamedHeavyHittersMemo, zoneMapTableMemo).foreach { m =>
+      streamedHeavyHittersMemo, zoneMapTableMemo, statsArtifactMemo).foreach { m =>
       m.keySet.asScala.filter(_._1 eq s).toList
         .foreach(k => Option(m.remove(k)).foreach(graft.core.TempDirs.drop))
     }
@@ -620,6 +637,29 @@ object SparkEntry {
     // day, clipped to days that exist.
     "a28_rolling_actives" -> ((s, dir) =>
       graft.operators.Analytics.rollingActiveUsers(t(s, dir, "events"))),
+    // a29: the CONSUMER side of a25's ANALYZE artifact on a gated value
+    // path — a star join planned by StatsPlanner.orderedJoin: join order
+    // and broadcast sides come from the PERSISTED stats relation
+    // (smallest-first, positive-evidence broadcasts), the decision AQE
+    // cannot make because it precedes the first shuffle. Values are
+    // decision-invariant (the oracle replays the plain unordered SQL);
+    // the stats-driven plan shape is pinned in PlanSpec.
+    "a29_stats_join" -> ((s, dir) => {
+      val statsPath = a29StatsDir(s, dir)
+      graft.catalog.StatsPlanner.orderedJoin(
+        s, statsPath,
+        Seq(
+          ("orders", t(s, dir, "orders"),
+            col("o_custkey") === col("c_custkey")),
+          ("nation", t(s, dir, "nation"),
+            col("c_nationkey") === col("n_nationkey"))),
+        base = t(s, dir, "customer"))
+        .groupBy(col("n_name"), col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .as("revenue_centi"))
+    }),
     // Time-RANGE moving window (trailing 30-day revenue) — the event-time
     // frame a15's ROWS prefix sum can't express.
     "a23_trailing_revenue" -> ((s, dir) =>
@@ -2261,6 +2301,14 @@ object SparkEntry {
         "FROM orders GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())"),
     // a28: trailing 7-day distinct actives — distinct (day, user) pairs,
     // day set, banded join, count(DISTINCT) per day.
+    // a29: values are join-order/broadcast-invariant — the oracle replays
+    // the plain star join; centi-quantized integer revenue (associative).
+    "a29_stats_join" ->
+      ("SELECT n_name, c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_centi " +
+        "FROM customer, orders, nation " +
+        "WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey " +
+        "GROUP BY 1, 2"),
     "a28_rolling_actives" ->
       ("WITH p AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events), " +
         "d AS (SELECT DISTINCT day FROM p) " +

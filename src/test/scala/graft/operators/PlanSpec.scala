@@ -59,6 +59,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"dim join not broadcast:\n$p")
   }
 
+  test("a29 stats-planned join: broadcasts chosen from the ANALYZE artifact before any stage runs") {
+    // the INITIAL physical plan (nothing executed yet) must already carry
+    // the stats-chosen broadcasts — the decision AQE can only make after
+    // the first shuffle's runtime sizes exist; here it comes from the
+    // persisted a25 relation at plan time. At sf0.001 every star side is
+    // under the ceiling, so both joins must be broadcast hash joins with
+    // zero shuffle exchanges on the build sides.
+    val p = plan("a29_stats_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"stats-chosen sides not broadcast at initial planning:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"stats-planned star degraded to a shuffle join:\n$p")
+  }
+
   test("e3 date-window scan prunes partitions at the directory level") {
     val df = SparkEntry.queries("e3_events_daily_pruned")(spark, sf)
     val p = formatted(df)
