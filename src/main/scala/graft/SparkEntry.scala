@@ -417,6 +417,23 @@ object SparkEntry {
       path
     })
 
+  private val streamedClusterMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** st19's artifact: the full documents table streamed through
+    * [[graft.streaming.EventsStream.clusterMaintainReplay]] — per
+    * micro-batch, delta pairs + condensed-CC fold into the persisted
+    * two-level union-find state ([[graft.operators.ClusterIndex]]). The
+    * final labels equal batch CC over the full pair set (any batch split),
+    * so the entry shares d7's oracle verbatim.
+    */
+  def st19ClusterDir(s: SparkSession, dir: String): String =
+    streamedClusterMemo.computeIfAbsent((s, dir), _ => {
+      val root = graft.core.TempDirs.create("graft_st19_cluster")
+      graft.streaming.EventsStream.clusterMaintainReplay(s, dir, root, "TRUE")
+      root
+    })
+
   def st13StatsDir(s: SparkSession, dir: String): String =
     statsStateMemo.computeIfAbsent((s, dir), _ => {
       val path = graft.core.TempDirs.create("graft_st13_stats")
@@ -476,7 +493,10 @@ object SparkEntry {
       // artifact (st17SummaryDir), same ingest-time contract
       "st17_heavy_hitters_maintain",
       // st18 range-reads the stream-built zone-mapped table (st18TableDir)
-      "st18_zonemap_range")
+      "st18_zonemap_range",
+      // st19 reads the stream-maintained cluster state (st19ClusterDir),
+      // same ingest-time-artifact contract
+      "st19_cluster_maintain")
 
   /** Drop the memoized pipeline stages for one session (all dirs) — lets a
     * bench opt into cold per-query measurement, and unpins the session and
@@ -491,7 +511,8 @@ object SparkEntry {
     Seq(dedupIndexMemo, streamedIndexMemo, statsStateMemo, knnGraphMemo,
       g1EdgesMemo, d12MediaMemo, d14MediaMemo, d15MediaMemo, vectorIndexMemo, vectorIndexIncrMemo,
       streamedVectorIndexMemo, streamedTextIndexMemo,
-      streamedHeavyHittersMemo, zoneMapTableMemo, statsArtifactMemo).foreach { m =>
+      streamedHeavyHittersMemo, zoneMapTableMemo, statsArtifactMemo,
+      streamedClusterMemo).foreach { m =>
       m.keySet.asScala.filter(_._1 eq s).toList
         .foreach(k => Option(m.remove(k)).foreach(graft.core.TempDirs.drop))
     }
@@ -1416,6 +1437,12 @@ object SparkEntry {
         .filter(col("ts_micros") >= lo && col("ts_micros") < hi)
         .select("user_id", "ts_micros", "event_id", "event_type", "value_milli")
     }),
+    // st19: cluster assignment read from the STREAM-MAINTAINED union-find
+    // state (delta pairs + condensed CC per micro-batch, manifest-fenced)
+    // — values equal d7's batch CC under any batch split, so the oracle is
+    // d7's recursive CTE verbatim.
+    "st19_cluster_maintain" -> ((s, dir) =>
+      graft.operators.ClusterIndex.labels(s, st19ClusterDir(s, dir))),
     // Binary-quantization ANN: 64-bit packed sign signatures (64x smaller
     // than raw vectors), XOR+popcount Hamming scan, bounded shortlist,
     // exact re-rank — the 1-bit memory tier of the index family.
@@ -2216,6 +2243,9 @@ object SparkEntry {
       ("SELECT user_id, epoch_us(ts) AS ts_micros, event_id, event_type, " +
         "CAST(round(value*1000) AS BIGINT) AS value_milli FROM events " +
         "WHERE epoch_us(ts) >= 1705363200000000 AND epoch_us(ts) < 1705449600000000"),
+    // st19: the streamed union-find state answers the SAME question as d7
+    // (any batch split folds to the full-pair-set CC) — identical oracle.
+    "st19_cluster_maintain" -> ccClustersOracleSql,
     // st9: the incrementally-maintained view equals the batch aggregate
     // over the whole stream (st4's totals, as a durable table).
     "st9_running_mv" ->

@@ -1,0 +1,241 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+
+/** ST19: PERSISTED dedup-cluster state with O(delta) incremental
+  * maintenance — the missing third leg of the streamed dedup loop. ST11
+  * keeps the pair INDEX current per micro-batch, but cluster assignment
+  * (D7/D13) was batch-only: every arriving document forced a full CC
+  * recompute over all pairs. This object maintains the assignment itself
+  * incrementally — distributed union-find split into two relations, both
+  * committed through the [[graft.core.ManifestTable]] protocol (atomic
+  * multi-bucket rewrites, batch-id fence):
+  *
+  *  - `members` (id, rep): APPEND-ONLY — one row per document, written once
+  *    at its arrival batch with `rep` = its component's min-label AT THAT
+  *    TIME, never rewritten. Bucketed by pmod(id), so the per-batch
+  *    endpoint-label lookup reads only the buckets containing the delta's
+  *    pair endpoints — never a corpus scan.
+  *  - `reps` (old_rep, cur_label): the union-find FOREST — one row per
+  *    SUPERSEDED label, kept fully path-compressed (every row points
+  *    directly at a current component min; the per-batch compression
+  *    touches only rows whose target was remapped this batch, found via
+  *    pmod(cur_label) bucket pruning). Size is bounded by the number of
+  *    merge events, not by corpus size.
+  *
+  * Per batch, [[mergeBatch]]: delta pairs from the stored MinHash index
+  * (O(delta) — [[Dedup.incrementalFromIndex]]), endpoint labels from
+  * bucket-pruned members + the reps map, then CC over the CONDENSED graph
+  * (nodes = current component labels of the delta's endpoints, edges =
+  * delta pairs mapped through labels) — correct because stored labels are
+  * component minima (the D7 contract): the min over merged old minima IS
+  * the merged component's min, so condensed CC produces exactly the labels
+  * batch CC over all pairs would (spec-pinned under ≥2 batch geometries).
+  * The condensed graph is delta-neighborhood-sized; nothing in the merge
+  * path scales with the corpus.
+  *
+  * Exactly-once: both relations commit under the manifest's batch-id fence;
+  * `members` commits FIRST. Every crash ordering re-converges on retry
+  * (argued at [[mergeBatch]]); duplicate delta edges (a retried batch
+  * re-deriving pairs already absorbed) are harmless — CC is idempotent in
+  * its edge set. Doc ids must be globally unique across batches (the same
+  * ingest contract as the pair index).
+  *
+  * Reference scope: clustering semantics mirror the D7 surface
+  * (`backend/main.py` has no dedup; SURVEY §2.5 extension family D).
+  */
+object ClusterIndex {
+
+  val DefaultBuckets = 32
+
+  private val membersSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("rep", LongType),
+    StructField("bucket", IntegerType)))
+
+  private val repsSchema = StructType(Seq(
+    StructField("old_rep", LongType),
+    StructField("cur_label", LongType),
+    StructField("bucket", IntegerType)))
+
+  private def empty(s: SparkSession, schema: StructType): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
+
+  /** Current cluster assignment — the D7 output contract
+    * (id, cluster_id, is_survivor): members resolved through the
+    * path-compressed forest in ONE join (no iteration at read time — the
+    * per-batch compression is what buys this).
+    */
+  def labels(spark: SparkSession, root: String): DataFrame = {
+    val members = graft.core.ManifestTable.read(spark, s"$root/members")
+      .getOrElse(throw new IllegalStateException(
+        s"no cluster state at $root — run mergeBatch first"))
+      .select("id", "rep")
+    val reps = graft.core.ManifestTable.read(spark, s"$root/reps")
+      .map(_.select("old_rep", "cur_label"))
+      .getOrElse(empty(spark, repsSchema).select("old_rep", "cur_label"))
+    members
+      .join(reps.withColumnRenamed("old_rep", "rep"), Seq("rep"), "left")
+      .select(
+        col("id"),
+        coalesce(col("cur_label"), col("rep")).as("cluster_id"))
+      .withColumn("is_survivor",
+        (col("id") === col("cluster_id")).cast("int"))
+  }
+
+  /** Absorb one document micro-batch: delta pairs against the stored
+    * MinHash index at `index` (which this call also maintains —
+    * [[Dedup.appendToIndex]] under the same batch id), then fold the pairs
+    * into the persisted cluster state at `root`.
+    *
+    * Crash/retry matrix (foreachBatch is at-least-once): pair derivation
+    * and index absorb are idempotent (scoped-overwrite partitions; a batch
+    * already absorbed re-derives the same pairs, and duplicate edges do not
+    * change CC). If `members` committed but `reps` did not, the retry's
+    * lookups see the old labels (reps unchanged), re-derive the same
+    * remap, the members commit no-ops on its fence and the reps commit
+    * completes — state converges to exactly the one-crash-free outcome.
+    */
+  def mergeBatch(
+      index: String,
+      root: String,
+      batch: DataFrame,
+      batchId: Long,
+      nBuckets: Int = DefaultBuckets,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      threshold: Double = 0.6,
+      shingleWords: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16): Unit = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val s = batch.sparkSession
+    // an empty micro-batch (a file-source tail tick) has nothing to merge,
+    // and committing a ZERO-FILE manifest version would leave a state the
+    // schema-inferring reader cannot open — skip entirely
+    if (batch.isEmpty) return
+
+    // 1. delta pairs BEFORE the index absorb: batch×corpus + batch×batch
+    //    (the d9 contract — the union across arrival order is the full
+    //    pair set, each pair surfacing when its later endpoint arrives)
+    val indexed = new java.io.File(s"$index/sets").isDirectory
+    val pairs = (if (indexed)
+      Dedup.incrementalFromIndex(s, index, batch, textCol, idCol,
+        threshold, shingleWords, numHashes, bands)
+    else
+      Dedup.minHashNearDup(batch, textCol, idCol,
+        threshold, shingleWords, numHashes, bands))
+      .select(col("a_id"), col("b_id"))
+      .localCheckpoint(true) // delta-neighborhood-bounded
+
+    // 2. index absorb (idempotent per batch id)
+    Dedup.appendToIndex(index, batch, s"b$batchId", textCol, idCol,
+      shingleWords, numHashes, bands)
+
+    // 3. endpoint labels: members lookup pruned to the endpoints' id
+    //    buckets, then the (small) forest applied; an id absent from
+    //    members is a batch arrival whose label is itself
+    val epIds = pairs.select(col("a_id").as("id"))
+      .unionByName(pairs.select(col("b_id").as("id")))
+      .distinct().localCheckpoint(true)
+    val epBuckets = epIds
+      .select(pmod(col("id"), lit(nBuckets)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)) // <= nBuckets
+    val membersPrev = graft.core.ManifestTable.read(s, s"$root/members")
+    val epMembers = membersPrev match {
+      case Some(m) =>
+        m.filter(col("bucket").isin(epBuckets.map(Integer.valueOf): _*))
+          .join(broadcast(epIds), Seq("id"))
+          .select(col("id"), col("rep"))
+      case None => empty(s, membersSchema).select("id", "rep")
+    }
+    val repsPrev = graft.core.ManifestTable.read(s, s"$root/reps")
+    val repsMap = repsPrev.map(_.select("old_rep", "cur_label"))
+      .getOrElse(empty(s, repsSchema).select("old_rep", "cur_label"))
+    val epLabeled = epIds
+      .join(epMembers, Seq("id"), "left")
+      .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
+      .join(repsMap.withColumnRenamed("old_rep", "rep"), Seq("rep"), "left")
+      .select(col("id"), coalesce(col("cur_label"), col("rep")).as("label"))
+      .localCheckpoint(true)
+
+    // 4. condensed CC: delta edges mapped through current labels; the min
+    //    over merged component minima is the merged minimum, so this small
+    //    graph's CC equals full-graph CC restricted to touched components
+    val edges = pairs
+      .join(epLabeled.select(col("id").as("a_id"), col("label").as("la")), Seq("a_id"))
+      .join(epLabeled.select(col("id").as("b_id"), col("label").as("lb")), Seq("b_id"))
+      .select(col("la").as("a_id"), col("lb").as("b_id"))
+      .filter(col("a_id") =!= col("b_id"))
+    val vtx = edges.select(col("a_id").as("id"))
+      .unionByName(edges.select(col("b_id").as("id")))
+      .distinct()
+    val cc = Dedup.clusters(vtx, edges)
+      .select(col("id"), col("cluster_id"))
+      .localCheckpoint(true)
+    val remap = cc.filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("old_label"), col("cluster_id").as("new_label"))
+      .localCheckpoint(true) // bounded by merge events this batch
+
+    // 5. members commit FIRST (fence order argued in the scaladoc): new
+    //    arrivals insert with rep = their condensed label (self if no pair)
+    val batchIds = batch.select(col(idCol).cast("long").as("id"))
+      .distinct().localCheckpoint(true)
+    val newMembers = batchIds
+      .join(cc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("rep"),
+        pmod(col("id"), lit(nBuckets)).cast("int").as("bucket"))
+    val mBuckets = newMembers.select("bucket").distinct()
+      .collect().map(_.getInt(0))
+    val prevInTouched = membersPrev match {
+      case Some(m) =>
+        m.filter(col("bucket").isin(mBuckets.map(Integer.valueOf): _*))
+          .select("id", "rep", "bucket")
+      case None => empty(s, membersSchema)
+    }
+    graft.core.ManifestTable.commit(
+      s, s"$root/members", prevInTouched.unionByName(newMembers),
+      "bucket", batchId)
+
+    // 6. reps commit: compress entries whose target was remapped (found by
+    //    pmod(cur_label) bucket pruning) and add this batch's supersessions
+    //    — EXCLUDING brand-new ids that lost immediately (no member outside
+    //    this batch can reference a new id as rep, and this batch's members
+    //    already point at the merged label directly)
+    val newReps = remap
+      .join(batchIds.withColumnRenamed("id", "old_label"), Seq("old_label"), "left_anti")
+    val rBuckets = remap
+      .select(pmod(col("old_label"), lit(nBuckets)).cast("int").as("b"))
+      .unionByName(remap
+        .select(pmod(col("new_label"), lit(nBuckets)).cast("int").as("b")))
+      .distinct().collect().map(_.getInt(0))
+    // remap empty => no supersessions and nothing to compress: skip the
+    // commit entirely (the fence tolerates gaps — ids must only ascend)
+    if (rBuckets.nonEmpty) {
+      val prevR = repsPrev match {
+        case Some(r) =>
+          r.filter(col("bucket").isin(rBuckets.map(Integer.valueOf): _*))
+            .select("old_rep", "cur_label")
+        case None => empty(s, repsSchema).select("old_rep", "cur_label")
+      }
+      val compressed = prevR
+        .join(remap.withColumnRenamed("old_label", "cur_label"), Seq("cur_label"), "left")
+        .select(col("old_rep"),
+          coalesce(col("new_label"), col("cur_label")).as("cur_label"))
+      val outReps = compressed
+        .unionByName(newReps
+          .select(col("old_label").as("old_rep"), col("new_label").as("cur_label")))
+        .withColumn("bucket", pmod(col("cur_label"), lit(nBuckets)).cast("int"))
+        .localCheckpoint(true)
+      // all of this batch's supersessions can be brand-new ids nobody
+      // references (their members rows already point at the merged label
+      // directly) — an empty forest needs no commit, and a zero-file
+      // manifest version would break the schema-inferring reader
+      if (!outReps.isEmpty)
+        graft.core.ManifestTable.commit(
+          s, s"$root/reps", outReps, "bucket", batchId)
+    }
+  }
+}

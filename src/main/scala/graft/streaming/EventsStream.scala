@@ -1178,6 +1178,40 @@ object EventsStream {
     batchCount(q)
   }
 
+  /** st19: streaming maintenance of the persisted CLUSTER state (the
+    * third leg of the dedup loop — st11 keeps the PAIR index current,
+    * this keeps the ASSIGNMENT current): each document micro-batch runs
+    * [[graft.operators.ClusterIndex.mergeBatch]] — delta pairs from the
+    * stored index, condensed-graph CC over the touched components only,
+    * manifest-fenced commits into the two-level union-find state. The
+    * resulting labels are value-identical to batch CC over the full pair
+    * set under ANY batch split (spec-pinned); the entry shares d7's
+    * recursive-CTE oracle. Returns micro-batches absorbed; the index and
+    * the cluster state under `root` are the artifacts.
+    */
+  def clusterMaintainReplay(
+      spark: SparkSession,
+      dir: String,
+      root: String,
+      filterSql: String,
+      queryName: String = "graft_cluster_maintain_stream"): Long = {
+    val ss = streamSession(spark)
+    val ckpt = tempDir("graft_cluster_ckpt_")
+    val q = readDocsStaged(ss, dir, filterSql)
+      .writeStream
+      .queryName(queryName)
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        graft.operators.ClusterIndex.mergeBatch(s"$root/index", root, batch, bid))
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // end-of-run OPTIMIZE (see indexMaintainReplay) — the maintained pair
+    // index folds like st11's
+    graft.operators.Dedup.optimizeIndex(spark, s"$root/index")
+    batchCount(q)
+  }
+
   /** st18: streamed APPEND-ONLY ingestion into a zone-mapped manifest
     * table — the event-log lakehouse shape: each arriving micro-batch
     * commits as its own `part=b<id>` partition through the

@@ -81,6 +81,43 @@ class EventsStreamSpec extends SparkSpec {
     assert(viaStream.exceptAll(viaBatch).isEmpty && viaBatch.exceptAll(viaStream).isEmpty)
   }
 
+  test("streamed cluster maintenance equals batch CC under two batch geometries; fence holds") {
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+    val truth = graft.operators.Dedup.clusters(
+      docs.select(col("doc_id").as("id")),
+      graft.operators.Dedup.minHashNearDup(docs).select("a_id", "b_id"))
+      .localCheckpoint(true)
+
+    // geometry 1: the staged replay (2 id-ranged micro-batches)
+    val rootA = tmpDir("graft_spec_st19_a")
+    val batches = EventsStream.clusterMaintainReplay(
+      spark, sf, rootA, "TRUE", "graft_spec_cluster_maintain")
+    assert(batches >= 2,
+      s"staged replay must absorb multiple micro-batches, got $batches")
+    val viaStream = graft.operators.ClusterIndex.labels(spark, rootA)
+    assert(viaStream.exceptAll(truth).isEmpty && truth.exceptAll(viaStream).isEmpty,
+      "streamed cluster state diverged from batch CC (replay geometry)")
+
+    // geometry 2: a DIFFERENT split (by doc_id parity — interleaved, so
+    // cross-batch merges exercise the condensed CC + reps compression)
+    val rootB = tmpDir("graft_spec_st19_b")
+    graft.operators.ClusterIndex.mergeBatch(
+      s"$rootB/index", rootB, docs.filter(col("doc_id") % 2 === 0), 0L)
+    graft.operators.ClusterIndex.mergeBatch(
+      s"$rootB/index", rootB, docs.filter(col("doc_id") % 2 === 1), 1L)
+    val viaParity = graft.operators.ClusterIndex.labels(spark, rootB)
+    assert(viaParity.exceptAll(truth).isEmpty && truth.exceptAll(viaParity).isEmpty,
+      "streamed cluster state diverged from batch CC (parity geometry)")
+
+    // the manifest fence: re-delivering batch 1 must not change the state
+    val before = viaParity.localCheckpoint(true)
+    graft.operators.ClusterIndex.mergeBatch(
+      s"$rootB/index", rootB, docs.filter(col("doc_id") % 2 === 1), 1L)
+    val after = graft.operators.ClusterIndex.labels(spark, rootB)
+    assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty,
+      "redelivered batch mutated the fenced cluster state")
+  }
+
   test("streamed vector-index maintenance equals the batch-built index, >=2 batches") {
     val deltaPred = "substring(md5(CAST(vec_id AS STRING)), 1, 1) = '0'"
     val emb = Tables.load(spark, sf, "embeddings")
