@@ -373,6 +373,57 @@ object SparkEntry {
       "WHEN doc_id % 4 = 0 THEN concat(text, chr(10), chr(10), 'all rights reserved contact us for details') " +
       "ELSE text END"
 
+  /** Deterministic MARKUP injection for the x26/p3b fixtures (the synthetic
+    * docs are markup-free; this wraps them as crawl pages): body in a <p>
+    * block, a link-heavy nav div on even ids, a short teaser line on %5
+    * ids (fails the length rule), an anchor+copyright footer on %3 ids —
+    * one boilerplate specimen per classifier rule. Spark and DuckDB forms
+    * MUST stay value-equivalent (the kept_md5 gate compares extraction
+    * output byte-for-byte).
+    */
+  private val htmlInjectExpr: String =
+    "concat(" +
+      "CASE WHEN doc_id % 2 = 0 THEN concat('<div><a href=\"#\">home</a> " +
+      "<a href=\"#\">about</a> <a href=\"#\">contact</a></div>', chr(10)) ELSE '' END, " +
+      "CASE WHEN doc_id % 5 = 0 THEN concat('<p>read more</p>', chr(10)) ELSE '' END, " +
+      "'<p>', text, '</p>', " +
+      "CASE WHEN doc_id % 3 = 0 THEN concat(chr(10), '<div><a href=\"#\">terms of use</a> " +
+      "copyright</div>') ELSE '' END)"
+
+  /** DuckDB twin of [[htmlInjectExpr]], spliced into both oracles. */
+  private val htmlInjectSql: String =
+    "CASE WHEN doc_id % 2 = 0 THEN '<div><a href=\"#\">home</a> " +
+      "<a href=\"#\">about</a> <a href=\"#\">contact</a></div>' || chr(10) ELSE '' END || " +
+      "CASE WHEN doc_id % 5 = 0 THEN '<p>read more</p>' || chr(10) ELSE '' END || " +
+      "'<p>' || text || '</p>' || " +
+      "CASE WHEN doc_id % 3 = 0 THEN chr(10) || '<div><a href=\"#\">terms of use</a> " +
+      "copyright</div>' ELSE '' END"
+
+  /** DuckDB replay of [[graft.operators.TextAnalysis.extractMainContent]]'s
+    * per-block classifier over [[htmlInjectSql]] pages, as a CTE body
+    * ending in per-(doc, block) rows `(doc_id, pos, strip, len, link_micro,
+    * n_stop)` — shared by the x26 and p3b oracles.
+    */
+  private val mainContentBlocksSql: String =
+    s"injected AS (SELECT doc_id, $htmlInjectSql AS html FROM documents), " +
+      "blk AS (SELECT doc_id, generate_subscripts(parts, 1) AS pos, unnest(parts) AS block " +
+      "FROM (SELECT doc_id, string_split(html, chr(10)) AS parts FROM injected)), " +
+      "scored AS (SELECT doc_id, pos, " +
+      "trim(regexp_replace(block, '<[^>]*>', '', 'g')) AS strip, " +
+      "COALESCE(list_sum(list_transform(regexp_extract_all(block, '<a [^>]*>([^<]*)</a>', 1), " +
+      "x -> length(x))), 0) AS anchor FROM blk), " +
+      "graded AS (SELECT doc_id, pos, strip, length(strip) AS len, " +
+      "CAST(anchor * 1000000 // greatest(length(strip), 1) AS BIGINT) AS link_micro, " +
+      "len(list_filter(string_split(strip, ' '), t -> t = 'the' OR t = 'a')) AS n_stop " +
+      "FROM scored)"
+
+  /** The x26 content condition (DuckDB side) — MUST mirror
+    * `extractMainContent`'s defaults (minChars = 40, maxLinkMicro =
+    * 200000, minStop = 1).
+    */
+  private val mainContentKeepSql: String =
+    "len >= 40 AND link_micro < 200000 AND n_stop >= 1"
+
   /** Deterministic quality noise shared by the x14 and p5 fixtures: every
     * 7th doc gets a symbol-heavy tail, every 11th a digit run — so the
     * Gopher rules discriminate on the otherwise-clean synthetic corpus.
@@ -1175,6 +1226,36 @@ object SparkEntry {
     // no libm log), min-count 5 gate, global top-k via TakeOrdered.
     "x25_collocations" -> ((s, dir) =>
       graft.operators.TextAnalysis.collocations(t(s, dir, "documents"))),
+    // x26: jusText-style main-content extraction over markup-injected
+    // pages — per-rule block counts + the kept text's md5 (the oracle
+    // replays tag strip, anchor density and thresholds verbatim).
+    "x26_main_content" -> ((s, dir) =>
+      graft.operators.TextAnalysis.extractMainContent(
+        t(s, dir, "documents").withColumn("html", expr(htmlInjectExpr)))
+        .select("doc_id", "n_blocks", "n_content", "n_fail_len",
+          "n_fail_link", "n_fail_stop", "kept_md5")),
+    // p3b: the crawl-curation pipeline fronted by x26 — markup pages →
+    // main-content extraction → paragraph dedup over the EXTRACTED text,
+    // summarized per (source, lang) with the boilerplate-block count.
+    "p3b_html_curation" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      // localCheckpoint: extracted feeds the paragraph dedup AND the
+      // stats join-back with different projections (the p3 rationale)
+      val extracted = graft.operators.TextAnalysis.extractMainContent(
+          docs.withColumn("html", expr(htmlInjectExpr)))
+        .join(docs.select("doc_id", "source", "lang"), "doc_id")
+        .localCheckpoint(true)
+      graft.operators.Dedup.paragraphDedup(
+          extracted.select(col("doc_id"), col("kept_text").as("text")))
+        .join(extracted.select("doc_id", "source", "lang",
+          "n_blocks", "n_content"), "doc_id")
+        .groupBy("source", "lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_blocks") - col("n_content")).as("n_boiler_blocks"),
+          sum(col("n_paras")).as("n_paras"),
+          sum(col("n_kept")).as("n_kept"))
+    }),
     // DSIR importance selection: top-100 docs whose hashed-bigram profile
     // best matches the src0 target slice relative to the raw corpus.
     "x20_importance_select" -> ((s, dir) =>
@@ -2569,6 +2650,43 @@ object SparkEntry {
     // x25: collocations replayed with the IDENTICAL division order
     // (((n_pair*1e6) // c1) * n // (c2*1e3)) and the full deterministic
     // tie-break (lift desc, n_pair desc, w1, w2) at the top-50 boundary.
+    // x26: the block classifier replayed per (doc, block), aggregated per
+    // doc; kept_md5 gates the EXTRACTED TEXT byte-for-byte.
+    "x26_main_content" ->
+      (s"WITH $mainContentBlocksSql " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks, " +
+        s"CAST(count(*) FILTER (WHERE $mainContentKeepSql) AS BIGINT) AS n_content, " +
+        "CAST(count(*) FILTER (WHERE len < 40) AS BIGINT) AS n_fail_len, " +
+        "CAST(count(*) FILTER (WHERE link_micro >= 200000) AS BIGINT) AS n_fail_link, " +
+        "CAST(count(*) FILTER (WHERE n_stop < 1) AS BIGINT) AS n_fail_stop, " +
+        "md5(COALESCE(string_agg(strip, chr(10) ORDER BY pos) " +
+        s"FILTER (WHERE $mainContentKeepSql), '')) AS kept_md5 " +
+        "FROM graded GROUP BY doc_id"),
+    // p3b: x26's extraction feeding d10's winner CTE (p3's shape with the
+    // markup front door), summarized per (source, lang).
+    "p3b_html_curation" ->
+      (s"WITH $mainContentBlocksSql, " +
+        "extracted AS (SELECT doc_id, " +
+        "COALESCE(string_agg(strip, chr(10) ORDER BY pos) " +
+        s"FILTER (WHERE $mainContentKeepSql), '') AS text, " +
+        "CAST(count(*) AS BIGINT) AS n_blocks, " +
+        s"CAST(count(*) FILTER (WHERE $mainContentKeepSql) AS BIGINT) AS n_content " +
+        "FROM graded GROUP BY doc_id), " +
+        "paras AS (SELECT doc_id, generate_subscripts(parts, 1) - 1 AS pos, " +
+        "unnest(parts) AS para FROM (SELECT doc_id, " +
+        "string_split(text, chr(10) || chr(10)) AS parts FROM extracted)), " +
+        "keyed AS (SELECT doc_id, pos, md5(para) AS h, " +
+        "doc_id * 1048576 + pos AS ord FROM paras), " +
+        "winners AS (SELECT h, min(ord) AS w_ord FROM keyed GROUP BY h), " +
+        "pd AS (SELECT k.doc_id, count(*) AS n_paras, " +
+        "sum(CASE WHEN k.ord = w.w_ord THEN 1 ELSE 0 END) AS n_kept " +
+        "FROM keyed k JOIN winners w ON k.h = w.h GROUP BY k.doc_id) " +
+        "SELECT d.source, d.lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(e.n_blocks - e.n_content) AS BIGINT) AS n_boiler_blocks, " +
+        "CAST(sum(pd.n_paras) AS BIGINT) AS n_paras, " +
+        "CAST(sum(pd.n_kept) AS BIGINT) AS n_kept " +
+        "FROM pd JOIN extracted e ON pd.doc_id = e.doc_id " +
+        "JOIN documents d ON d.doc_id = pd.doc_id GROUP BY 1, 2"),
     "x25_collocations" ->
       ("WITH d AS (SELECT string_split(text, ' ') AS a FROM documents " +
         "WHERE len(string_split(text, ' ')) >= 2), " +

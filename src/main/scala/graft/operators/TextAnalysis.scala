@@ -324,6 +324,75 @@ object TextAnalysis {
       .drop("n_symbols", "n_alpha_words")
   }
 
+  /** X26: HTML/boilerplate MAIN-CONTENT extraction — the crawl-curation
+    * front door ahead of paragraph dedup (D10) and the P3 pipeline: raw
+    * crawl pages arrive as markup, and nav bars / footers / link farms
+    * must be stripped BEFORE any dedup or quality signal sees the text
+    * (boilerplate dominates shingle sets and poisons near-dup clusters).
+    * A jusText-style per-block classifier (Pomikálek 2011's core signals),
+    * integer-exact so the whole extraction is oracle-gateable:
+    *
+    *  - blocks = markup lines (chr(10)-separated);
+    *  - per block: `strip` = tags removed + trimmed; `len` = chars of
+    *    strip; LINK DENSITY = anchor-text chars ·10⁶ div len (boilerplate
+    *    nav/footer blocks are mostly anchor text); STOPWORD count over the
+    *    whitespace tokens (real prose contains function words, link lists
+    *    and code don't);
+    *  - a block is CONTENT iff len ≥ minChars AND link density <
+    *    maxLinkMicro AND ≥ minStop stopword hits — each rule also counted
+    *    separately (the x14 per-rule-flag discipline, so a threshold
+    *    change's blast radius is visible per rule).
+    *
+    * Output per document: the extracted text (content blocks joined by
+    * chr(10)), its md5 (the value the oracle gates), block/rule counts.
+    * Map-only — one projection, no shuffle, no UDF: every signal is a
+    * higher-order-function expression over the block array, fully
+    * codegen-friendly and engine-replayable (the DuckDB twin replays
+    * tag-strip regex, anchor extraction and integer thresholds verbatim).
+    */
+  def extractMainContent(
+      docs: DataFrame,
+      htmlCol: String = "html",
+      idCol: String = "doc_id",
+      minChars: Int = 40,
+      maxLinkMicro: Long = 200000L,
+      minStop: Int = 1,
+      stopwords: Seq[String] = Seq("the", "a")): DataFrame = {
+    require(stopwords.nonEmpty && stopwords.forall(_.matches("[A-Za-z]+")),
+      "stopwords must be plain alphabetic words (they ride in a SQL IN list)")
+    val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+    docs
+      .withColumn("__blocks", expr(
+        s"""transform(split($htmlCol, chr(10)), b -> named_struct(
+           |  'strip', trim(regexp_replace(b, '<[^>]*>', '')),
+           |  'anchor', aggregate(
+           |      regexp_extract_all(b, '<a [^>]*>([^<]*)</a>', 1),
+           |      0L, (acc, x) -> acc + length(x))))""".stripMargin))
+      .withColumn("__scored", expr(
+        s"""transform(__blocks, s -> named_struct(
+           |  'strip', s.strip,
+           |  'len', length(s.strip),
+           |  'link_micro', s.anchor * 1000000L div greatest(length(s.strip), 1L),
+           |  'n_stop', size(filter(split(s.strip, ' '), t -> t IN ($stopList)))))""".stripMargin))
+      .withColumn("__kept", expr(
+        s"""filter(__scored, s -> s.len >= $minChars
+           |  AND s.link_micro < ${maxLinkMicro}L
+           |  AND s.n_stop >= $minStop)""".stripMargin))
+      .select(
+        col(idCol),
+        expr("array_join(transform(__kept, s -> s.strip), chr(10))")
+          .as("kept_text"),
+        expr("CAST(size(__scored) AS BIGINT)").as("n_blocks"),
+        expr("CAST(size(__kept) AS BIGINT)").as("n_content"),
+        expr(s"CAST(size(filter(__scored, s -> s.len < $minChars)) AS BIGINT)")
+          .as("n_fail_len"),
+        expr(s"CAST(size(filter(__scored, s -> s.link_micro >= ${maxLinkMicro}L)) AS BIGINT)")
+          .as("n_fail_link"),
+        expr(s"CAST(size(filter(__scored, s -> s.n_stop < $minStop)) AS BIGINT)")
+          .as("n_fail_stop"))
+      .withColumn("kept_md5", md5(col("kept_text")))
+  }
+
   /** Deterministic train/val/test split: the first 8 hex digits of
     * md5(id) read as a 32-bit value place each document in a bucket;
     * cumulative percent thresholds carve the buckets into splits. A pure

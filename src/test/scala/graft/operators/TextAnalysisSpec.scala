@@ -8,6 +8,41 @@ class TextAnalysisSpec extends SparkSpec {
 
   private lazy val docs = Tables.load(spark, sf, "documents")
 
+  test("extractMainContent: hand fixture classifies nav/teaser/body/footer exactly") {
+    import spark.implicits._
+    val body = "the quick brown fox jumps over a lazy dog near the riverbank today"
+    val page = Seq(
+      """<div><a href="#">home</a> <a href="#">about</a> <a href="#">contact</a></div>""",
+      "<p>read more</p>",
+      s"<p>$body</p>",
+      """<div><a href="#">terms of use</a> copyright</div>""").mkString("\n")
+    val out = TextAnalysis.extractMainContent(
+      Seq((1L, page)).toDF("doc_id", "html")).collect()(0)
+    assert(out.getAs[Long]("n_blocks") == 4)
+    // only the body survives: nav and footer fail all three rules,
+    // the teaser fails length + stopwords
+    assert(out.getAs[Long]("n_content") == 1)
+    assert(out.getAs[String]("kept_text") == body)
+    assert(out.getAs[Long]("n_fail_len") == 3)
+    assert(out.getAs[Long]("n_fail_link") == 2)
+    assert(out.getAs[Long]("n_fail_stop") == 3)
+
+    // a page with NO content block extracts the empty string (md5 of "")
+    val none = TextAnalysis.extractMainContent(
+      Seq((2L, """<div><a href="#">x</a></div>""")).toDF("doc_id", "html"))
+      .collect()(0)
+    assert(none.getAs[Long]("n_content") == 0)
+    assert(none.getAs[String]("kept_text") == "")
+    assert(none.getAs[String]("kept_md5") ==
+      "d41d8cd98f00b204e9800998ecf8427e")
+
+    // all-markup block strips to '' — the greatest(len, 1) guard keeps
+    // link density defined and the block fails on length, not a crash
+    val empty = TextAnalysis.extractMainContent(
+      Seq((3L, "<br/>")).toDF("doc_id", "html")).collect()(0)
+    assert(empty.getAs[Long]("n_fail_len") == 1)
+  }
+
   test("groupedSplit: every document of a source shares its split; rule matches hashSplit's thresholds") {
     val out = TextAnalysis.groupedSplit(docs).cache()
     assert(out.count() == docs.count())
