@@ -254,6 +254,22 @@ object SparkEntry {
       path
     })
 
+  private val hierIndexMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** k18's artifact: the persisted hierarchical-graph pyramid
+    * ([[graft.operators.HierarchicalIndex.build]] — levels + per-layer kNN
+    * graphs), built once at ingest; the k18 entry times the layered
+    * SEARCH. The k8/k13 ingest-time-artifact contract applied to graph
+    * ANN.
+    */
+  def k18IndexDir(s: SparkSession, dir: String): String =
+    hierIndexMemo.computeIfAbsent((s, dir), _ => {
+      val path = graft.core.TempDirs.create("graft_k18_hindex")
+      graft.operators.HierarchicalIndex.build(t(s, dir, "embeddings"), path)
+      path
+    })
+
   /** Deterministic 1/16 md5 slice playing the newly-arrived vector delta
     * (k13/st15) — the d9 convention on vec_id.
     */
@@ -537,6 +553,8 @@ object SparkEntry {
       // k10's ADC stage serves from k8's stored codes, k9 and k10's
       // stage 1 from its stored binary signatures
       "k8_ivfpq_topk", "k9_binary_topk", "k10_cascade_topk",
+      // k18 searches the stored hierarchical pyramid (k18IndexDir)
+      "k18_hier_topk",
       "k13_index_incremental", "st15_vector_index_maintain",
       // st16 searches the stream-built BM25 postings index (st16IndexDir)
       "st16_bm25_index_maintain",
@@ -563,7 +581,7 @@ object SparkEntry {
       g1EdgesMemo, d12MediaMemo, d14MediaMemo, d15MediaMemo, vectorIndexMemo, vectorIndexIncrMemo,
       streamedVectorIndexMemo, streamedTextIndexMemo,
       streamedHeavyHittersMemo, zoneMapTableMemo, statsArtifactMemo,
-      streamedClusterMemo).foreach { m =>
+      streamedClusterMemo, hierIndexMemo).foreach { m =>
       m.keySet.asScala.filter(_._1 eq s).toList
         .foreach(k => Option(m.remove(k)).foreach(graft.core.TempDirs.drop))
     }
@@ -1458,6 +1476,12 @@ object SparkEntry {
       graft.operators.Similarity.beamSearchTopKCosine(
         t(s, dir, "embeddings"), Seq(0L, 1L, 2L),
         graph = Some(s.read.parquet(k6GraphDir(s, dir))))),
+    // k18: HNSW-shape layered search from the stored pyramid — entry-point
+    // descent (exact scan of the md5-sampled coarse layer) replaces k6's
+    // LSH seeding; spec-pinned to match k6's recall at fewer exact evals.
+    "k18_hier_topk" -> ((s, dir) =>
+      graft.operators.HierarchicalIndex.searchTopKCosine(
+        s, k18IndexDir(s, dir), t(s, dir, "embeddings"), Seq(0L, 1L, 2L))),
     // Filtered ANN: the metadata-predicate vector search (pre-filter
     // strategy — index pass and candidates bounded by the qualifying
     // subset; no post-filter recall cliff).
@@ -1730,6 +1754,55 @@ object SparkEntry {
       "qb AS (SELECT id AS query_id, band, bkey FROM bands WHERE id < 3 AND band < 3), " +
       "seed AS (SELECT DISTINCT qb.query_id, bd.id FROM bands bd " +
       "JOIN qb ON bd.band = qb.band AND bd.bkey = qb.bkey WHERE bd.id != qb.query_id), " +
+      s"v0 AS (${score("seed")}), " +
+      (round(1) + round(2)).stripSuffix(", ") + " " +
+      "SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank FROM (" +
+      "SELECT query_id, id AS neighbor_id, cos, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rank FROM v2) " +
+      "WHERE rank <= 10"
+  }
+
+  /** k18's layered replay: k6's band/graph machinery with (a) the base
+    * graph at rank ≤ 16 (the pyramid's denser base graph), (b) LSH seeding
+    * replaced by an exact scan of the md5-sampled coarse layer (level ≥ 1
+    * iff md5(id) starts '0'), (c) beam 15 per round. Two rounds, top-10.
+    */
+  private def k18OracleSql: String = {
+    def score(cand: String): String =
+      s"SELECT c.query_id, c.id, " +
+        "list_sum(list_transform(generate_series(1, 64), i -> av.v[i] * qv.v[i])) / " +
+        "(sqrt(list_sum(list_transform(av.v, x -> x * x))) * " +
+        "sqrt(list_sum(list_transform(qv.v, x -> x * x)))) AS cos " +
+        s"FROM $cand c JOIN v av ON c.id = av.id JOIN v qv ON c.query_id = qv.id"
+    def round(r: Int): String =
+      s"b$r AS (SELECT query_id, id FROM (SELECT query_id, id, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rn " +
+        s"FROM v${r - 1}) WHERE rn <= 15), " +
+        s"e$r AS (SELECT DISTINCT b.query_id, g.dst AS id FROM b$r b " +
+        "JOIN graph g ON b.id = g.src WHERE g.dst != b.query_id " +
+        s"AND NOT EXISTS (SELECT 1 FROM v${r - 1} pv " +
+        "WHERE pv.query_id = b.query_id AND pv.id = g.dst)), " +
+        s"s$r AS (${score(s"e$r")}), " +
+        s"v$r AS (SELECT * FROM v${r - 1} UNION ALL SELECT * FROM s$r), "
+    "WITH v AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
+      "FROM embeddings), " +
+      "hp AS (SELECT b, d, CASE WHEN substr(md5(CAST(b AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1) < '8' " +
+      "THEN 1.0 ELSE -1.0 END AS sign " +
+      "FROM generate_series(0, 71) t(b), generate_series(0, 63) u(d)), " +
+      "bits AS (SELECT id, b, CASE WHEN sum(CAST(floor(sign * v.v[d + 1] * 10000000) AS BIGINT)) >= 0 " +
+      "THEN '1' ELSE '0' END AS bit FROM v, hp GROUP BY id, b), " +
+      "bands AS (SELECT id, b // 4 AS band, string_agg(bit, '' ORDER BY b) AS bkey " +
+      "FROM bits GROUP BY id, band), " +
+      "gcand AS (SELECT DISTINCT a.id AS query_id, bd.id FROM bands a " +
+      "JOIN bands bd ON a.band = bd.band AND a.bkey = bd.bkey WHERE bd.id != a.id), " +
+      s"gs AS (${score("gcand")}), " +
+      "graph0 AS (SELECT query_id AS src, id AS dst FROM (SELECT query_id, id, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rn FROM gs) " +
+      "WHERE rn <= 16), " +
+      "graph AS (SELECT src, dst FROM graph0 UNION ALL SELECT dst AS src, src AS dst FROM graph0), " +
+      // entry: exact scan of the coarse layer per query (self excluded)
+      "seed AS (SELECT q.id AS query_id, l.id FROM v q, v l " +
+      "WHERE q.id < 3 AND substr(md5(CAST(l.id AS VARCHAR)), 1, 1) = '0' AND l.id != q.id), " +
       s"v0 AS (${score("seed")}), " +
       (round(1) + round(2)).stripSuffix(", ") + " " +
       "SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank FROM (" +
@@ -2115,13 +2188,15 @@ object SparkEntry {
       "lsh AS (SELECT query_id, neighbor_id FROM " + sub("k2_ann_topk") + "), " +
       "ivf AS (SELECT query_id, neighbor_id FROM " + sub("k3_ivf_topk") + "), " +
       "bin AS (SELECT query_id, neighbor_id FROM " + sub("k9_binary_topk") + "), " +
+      "hier AS (SELECT query_id, neighbor_id FROM " + sub("k18_hier_topk") + "), " +
       "u AS (SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh " +
       "UNION ALL SELECT 'ivf', query_id, neighbor_id FROM ivf " +
-      "UNION ALL SELECT 'binary', query_id, neighbor_id FROM bin), " +
+      "UNION ALL SELECT 'binary', query_id, neighbor_id FROM bin " +
+      "UNION ALL SELECT 'hier', query_id, neighbor_id FROM hier), " +
       "hits AS (SELECT method, u.query_id, CAST(count(*) AS BIGINT) AS n_hits FROM u " +
       "JOIN exact ON u.query_id = exact.query_id AND u.neighbor_id = exact.neighbor_id " +
       "GROUP BY 1, 2), " +
-      "b AS (SELECT m.method, q.query_id FROM (VALUES ('lsh'), ('ivf'), ('binary')) m(method), " +
+      "b AS (SELECT m.method, q.query_id FROM (VALUES ('lsh'), ('ivf'), ('binary'), ('hier')) m(method), " +
       "(SELECT DISTINCT query_id FROM exact) q) " +
       "SELECT b.method, b.query_id, CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits, " +
       "CAST(coalesce(hits.n_hits, 0) * 1000000 // 10 AS BIGINT) AS recall_micro " +
@@ -2133,6 +2208,7 @@ object SparkEntry {
 
   private lazy val baseOracleSql: Map[String, String] = Map(
     "k6_beam_search" -> k6OracleSql,
+    "k18_hier_topk" -> k18OracleSql,
     "k13_index_incremental" -> k13OracleSql,
     "st15_vector_index_maintain" -> k13OracleSql,
     "k14_bm25_topk" -> k14OracleSql,

@@ -103,7 +103,8 @@ object Similarity {
     val legs = Seq(
       "lsh" -> annTopKCosine(embeddings, queryIds, k),
       "ivf" -> ivfTopKCosine(embeddings, queryIds, k),
-      "binary" -> binaryQuantTopKCosine(embeddings, queryIds, k))
+      "binary" -> binaryQuantTopKCosine(embeddings, queryIds, k),
+      "hier" -> HierarchicalIndex.searchInline(embeddings, queryIds, k))
     val u = legs.map { case (n, df) =>
       df.select(lit(n).as("method"), col("query_id"), col("neighbor_id"))
     }.reduce(_.unionByName(_))

@@ -212,6 +212,47 @@ class SimilaritySpec extends SparkSpec {
     assert(k6 != seedOnly, "expansion rounds changed nothing — graph never traversed")
   }
 
+  test("k18 hierarchical search: k6's recall at fewer exact evals; stored pyramid == inline; layered build works") {
+    val emb = graft.core.Tables.load(spark, sf, "embeddings")
+    val qids = Seq(0L, 1L, 2L)
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = hits(Similarity.topKCosine(emb, qids, 10))
+    val (k6Ranked, k6Budget) = Similarity.beamSearchRun(emb, qids, 10)
+    val (hRanked, hBudget) = HierarchicalIndex.searchInlineRun(emb, qids, 10)
+    val recall6 = hits(k6Ranked).intersect(exact).size
+    val recallH = hits(hRanked).intersect(exact).size
+    // deterministic fixture, md5-derived layers and hashes: exact pins,
+    // not flaky thresholds — measured 1000 vs 1015 evals, 29/30 vs 29/30
+    info(s"k6: budget=$k6Budget recall=$recall6/30; k18: budget=$hBudget recall=$recallH/30")
+    assert(hBudget == 1000L, s"k18 eval count drifted: $hBudget (expected 1000)")
+    assert(hBudget < k6Budget,
+      s"k18's exact-eval budget $hBudget not below k6's $k6Budget")
+    assert(recallH >= recall6,
+      s"layered search recall $recallH below k6's $recall6 at smaller budget")
+
+    // the persisted pyramid answers identically to the inline derivation
+    val path = tmpDir("k18_pyramid")
+    HierarchicalIndex.build(emb, path)
+    val stored = HierarchicalIndex.searchTopKCosine(spark, path, emb, qids, 10)
+    assert(stored.exceptAll(hRanked).isEmpty && hRanked.exceptAll(stored).isEmpty,
+      "stored-pyramid search diverged from the inline derivation")
+
+    // a deeper pyramid (two coarse layers) builds and searches coherently:
+    // stored == inline at maxLevel = 2, and the top layer is the 1/256
+    // md5 sample (3 nodes on this fixture)
+    val deep = tmpDir("k18_pyramid_deep")
+    HierarchicalIndex.build(emb, deep, maxLevel = 2)
+    val levels = spark.read.parquet(s"$deep/levels")
+    assert(levels.filter(col("level") === 2).count() == 3)
+    val storedDeep = HierarchicalIndex.searchTopKCosine(spark, deep, emb, qids, 10)
+    val (inlineDeep, _) = HierarchicalIndex.searchInlineRun(emb, qids, 10, maxLevel = 2)
+    assert(storedDeep.exceptAll(inlineDeep).isEmpty &&
+      inlineDeep.exceptAll(storedDeep).isEmpty,
+      "two-layer stored search diverged from inline")
+  }
+
   test("k7 filtered ANN: every neighbor satisfies the predicate; recall vs exact filtered top-k; bounded candidates") {
     val emb = graft.core.Tables.load(spark, sf, "embeddings")
     val qids = Seq(0L, 1L, 2L)
