@@ -562,7 +562,7 @@ object SparkEntry {
       // artifact (st17SummaryDir), same ingest-time contract
       "st17_heavy_hitters_maintain",
       // st18 range-reads the stream-built zone-mapped table (st18TableDir)
-      "st18_zonemap_range",
+      "st18_zonemap_range", "st18b_zonemap_secondary",
       // st19 reads the stream-maintained cluster state (st19ClusterDir),
       // same ingest-time-artifact contract
       "st19_cluster_maintain")
@@ -1542,6 +1542,17 @@ object SparkEntry {
         .filter(col("ts_micros") >= lo && col("ts_micros") < hi)
         .select("user_id", "ts_micros", "event_id", "event_type", "value_milli")
     }),
+    // st18b: range query on the NON-PRIMARY zone-map column (event_id —
+    // ts-correlated in the time-ordered replay, so per-file ranges are
+    // near-disjoint and the manifest provably skips files; spec-pinned).
+    "st18b_zonemap_secondary" -> ((s, dir) => {
+      val (lo, hi) = (100L, 2599L)
+      graft.core.ManifestTable
+        .readPrunedMulti(s, st18TableDir(s, dir),
+          Seq(graft.core.ManifestTable.LongRange("event_id", lo, hi)))
+        .filter(col("event_id") >= lo && col("event_id") <= hi)
+        .select("user_id", "ts_micros", "event_id", "event_type", "value_milli")
+    }),
     // st19: cluster assignment read from the STREAM-MAINTAINED union-find
     // state (delta pairs + condensed CC per micro-batch, manifest-fenced)
     // — values equal d7's batch CC under any batch split, so the oracle is
@@ -2400,6 +2411,12 @@ object SparkEntry {
       ("SELECT user_id, epoch_us(ts) AS ts_micros, event_id, event_type, " +
         "CAST(round(value*1000) AS BIGINT) AS value_milli FROM events " +
         "WHERE epoch_us(ts) >= 1705363200000000 AND epoch_us(ts) < 1705449600000000"),
+    // st18b: the values are a plain range scan — pruning is invisible in
+    // them (the PushedFilters contract, on the secondary column).
+    "st18b_zonemap_secondary" ->
+      ("SELECT user_id, epoch_us(ts) AS ts_micros, event_id, event_type, " +
+        "CAST(round(value*1000) AS BIGINT) AS value_milli FROM events " +
+        "WHERE event_id >= 100 AND event_id <= 2599"),
     // st19: the streamed union-find state answers the SAME question as d7
     // (any batch split folds to the full-pair-set CC) — identical oracle.
     "st19_cluster_maintain" -> ccClustersOracleSql,

@@ -64,26 +64,40 @@ object ManifestTable {
   }
 
   /** Raw manifest lines (stats suffixes intact) + batch + the registered
-    * zone-map column, if any — the carry-forward and pruning shape.
+    * zone-map columns as (name, type) pairs, type ∈ {long, string} — the
+    * carry-forward and pruning shape. A single long column is written in
+    * the original `"statsCol"` header (the U5 format pin); N typed columns
+    * use `"statsCols":"a:long,b:string"`; both are read here.
     */
   private def readManifestLines(
       spark: SparkSession, root: String,
-      version: Long): (Seq[String], Long, Option[String]) = {
+      version: Long): (Seq[String], Long, Seq[(String, String)]) = {
     val p = new Path(manifestDir(root), s"v$version.json")
     val in = fs(spark, p).open(p)
     val text =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    // line 1: {"version":N,"batch":B[,"statsCol":"c"]};
-    // following lines: one rel path each, optionally `|min|max` suffixed
+    // line 1: {"version":N,"batch":B[,"statsCol":"c"|"statsCols":"a:long,b:string"]};
+    // following lines: one rel path each, optionally stats-suffixed
     val lines = text.linesIterator.toList
     val batch = "\"batch\":(-?\\d+)".r.findFirstMatchIn(lines.head)
       .map(_.group(1).toLong)
       .getOrElse(throw new IllegalStateException(
         s"malformed manifest header at $p: ${lines.head}"))
-    val statsCol = "\"statsCol\":\"([^\"]+)\"".r
-      .findFirstMatchIn(lines.head).map(_.group(1))
-    (lines.tail.filter(_.nonEmpty), batch, statsCol)
+    val statsCols: Seq[(String, String)] =
+      "\"statsCols\":\"([^\"]+)\"".r.findFirstMatchIn(lines.head) match {
+        case Some(m) => m.group(1).split(',').toSeq.map { e =>
+          e.split(':') match {
+            case Array(n, t) if t == "long" || t == "string" => (n, t)
+            case _ => throw new IllegalStateException(
+              s"malformed statsCols entry '$e' at $p")
+          }
+        }
+        case None => "\"statsCol\":\"([^\"]+)\"".r
+          .findFirstMatchIn(lines.head).map(c => Seq((c.group(1), "long")))
+          .getOrElse(Seq.empty)
+      }
+    (lines.tail.filter(_.nonEmpty), batch, statsCols)
   }
 
   /** Read the latest committed version as a DataFrame (partition columns
@@ -136,25 +150,44 @@ object ManifestTable {
       touched: DataFrame,
       partitionCol: String,
       batchId: Long,
-      statsCol: Option[String] = None): Long = {
+      statsCol: Option[String] = None,
+      statsColumns: Seq[String] = Nil): Long = {
     val rootPath = new Path(root)
     val f = fs(spark, rootPath)
     val prev = currentVersion(spark, root)
     val prevState =
       if (prev < 0) None else Some(readManifestLines(spark, root, prev))
     if (prevState.exists(batchId <= _._2)) return prev
-    // the table's zone-map column is a property of the TABLE, not of one
-    // commit: a second writer registering a different column would leave
+    // the table's zone-map columns are a property of the TABLE, not of one
+    // commit: a second writer registering different columns would leave
     // the manifest with suffixes meaning two different things. Validate
     // BEFORE the data write — a refusal must cost nothing and leave no
-    // orphan files in live partition dirs.
-    val prevStatsCol = prevState.flatMap(_._3)
-    val effStatsCol = (statsCol, prevStatsCol) match {
-      case (Some(a), Some(b)) =>
-        require(a == b,
-          s"zone-map column mismatch: table has '$b', commit passed '$a'")
-        Some(a)
-      case (a, b) => a.orElse(b)
+    // orphan files in live partition dirs. Types come from the committed
+    // frame's schema (integer → long stats, string → byte-ordered string
+    // stats; anything else refuses loudly — per-column refusal preserved).
+    val prevStats: Seq[(String, String)] = prevState.map(_._3).getOrElse(Nil)
+    val asked: Seq[(String, String)] =
+      (statsCol.toSeq ++ statsColumns).distinct.map { c =>
+        val field = touched.schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"zone-map column '$c' absent from the committed frame"))
+        field.dataType match {
+          case org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.IntegerType => (c, "long")
+          case org.apache.spark.sql.types.StringType => (c, "string")
+          case other => throw new IllegalArgumentException(
+            s"zone-map column '$c' has unsupported type $other — only " +
+              "integer and string columns carry manifest stats")
+        }
+      }
+    val effStats: Seq[(String, String)] = (asked, prevStats) match {
+      case (Nil, p) => p
+      case (a, Nil) => a
+      case (a, p) =>
+        require(a == p,
+          s"zone-map column mismatch: table has '${p.map(x => x._1 + ":" + x._2).mkString(",")}', " +
+            s"commit passed '${a.map(x => x._1 + ":" + x._2).mkString(",")}'")
+        a
     }
     val next = prev + 1
     // 1. data files: write the touched partitions into a version-private
@@ -199,20 +232,27 @@ object ManifestTable {
     }
     // 2b. zone maps for the NEW files: exact per-file (min, max) straight
     //     from the parquet FOOTERS the write just produced — metadata-only
-    //     reads (the a22/a25 footer discipline), no data scan. A file
-    //     whose footer carries no usable stats for the column gets a bare
-    //     line — readers keep it conservatively.
-    val newLines = effStatsCol match {
-      case None => newFiles.toList
-      case Some(c) => newFiles.toList.map { rel =>
-        footerStats(spark, new Path(rootPath, rel), c) match {
-          case Some((mn, mx)) => s"$rel|$mn|$mx"
-          case None => rel
-        }
+    //     reads (the a22/a25 footer discipline), no data scan. A column
+    //     whose footer carries no usable stats gets empty fields (readers
+    //     keep the file conservatively); a file with no stats at all gets
+    //     a bare line. The single-long-column case keeps the original U5
+    //     line and header format byte-for-byte.
+    val newLines =
+      if (effStats.isEmpty) newFiles.toList
+      else newFiles.toList.map { rel =>
+        val stats = footerStatsAll(spark, new Path(rootPath, rel), effStats)
+        if (stats.forall(_.isEmpty)) rel
+        else rel + stats.map {
+          case Some((mn, mx)) => s"|$mn|$mx"
+          case None => "||"
+        }.mkString
       }
-    }
-    val header = s"""{"version":$next,"batch":$batchId""" +
-      effStatsCol.map(c => s""","statsCol":"$c"""").getOrElse("") + "}"
+    val header = s"""{"version":$next,"batch":$batchId""" + (effStats match {
+      case Nil => ""
+      case Seq((c, "long")) => s""","statsCol":"$c""""
+      case cols =>
+        s""","statsCols":"${cols.map(x => x._1 + ":" + x._2).mkString(",")}""""
+    }) + "}"
     val body = (header +: (carried ++ newLines).sorted).mkString("\n")
     // 3. publish: tmp write + ONE rename — the atomic commit point
     val mDir = manifestDir(root)
@@ -229,37 +269,181 @@ object ManifestTable {
     next
   }
 
-  /** Exact (min, max) of an integer column from a parquet file's FOOTER —
-    * metadata-only, no row is read. None when the column is absent, not an
-    * integer type, or any row group lacks stats (readers must then keep
-    * the file conservatively — pruning may only ever drop files PROVEN
-    * row-free for the predicate).
+  /** Unsigned lexicographic byte comparison — parquet's binary-stats
+    * order, so string zone maps compare EXACTLY as the footer ordered
+    * them (Java String order differs outside ASCII; comparing the raw
+    * UTF-8 bytes sidesteps that divergence entirely).
     */
-  private def footerStats(
-      spark: SparkSession, file: Path, column: String): Option[(Long, Long)] = {
+  private def cmpUnsigned(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  private val byteOrdering: Ordering[Array[Byte]] =
+    (a: Array[Byte], b: Array[Byte]) => cmpUnsigned(a, b)
+
+  /** Manifest-safe encoding of a string-stat value: '%', '|', control and
+    * non-ASCII bytes percent-escaped, so a value can never collide with
+    * the line delimiter and the manifest stays a line-oriented text file.
+    */
+  private def encStat(bytes: Array[Byte]): String = {
+    val sb = new StringBuilder
+    bytes.foreach { x =>
+      val u = x & 0xff
+      if (u == '%'.toInt || u == '|'.toInt || u < 0x20 || u >= 0x7f)
+        sb.append(f"%%$u%02X")
+      else sb.append(u.toChar)
+    }
+    sb.toString
+  }
+
+  private def decStat(s: String): Array[Byte] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '%') {
+        out += Integer.parseInt(s.substring(i + 1, i + 3), 16).toByte
+        i += 3
+      } else { out += s.charAt(i).toByte; i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Exact per-column (min, max) of the registered zone-map columns from
+    * one parquet FOOTER — metadata-only, one footer read for all columns.
+    * A column is None when absent, mistyped, or any row group lacks stats
+    * (readers must then keep the file conservatively — pruning may only
+    * ever drop files PROVEN row-free for the predicate). Long stats encode
+    * as decimal; string stats as percent-escaped UTF-8 bytes.
+    */
+  private def footerStatsAll(
+      spark: SparkSession, file: Path,
+      cols: Seq[(String, String)]): Seq[Option[(String, String)]] = {
     import scala.jdk.CollectionConverters._
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
       .fromPath(file, spark.sparkContext.hadoopConfiguration)
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
-      val perBlock = reader.getFooter.getBlocks.asScala.toList.map { b =>
-        b.getColumns.asScala
-          .find(_.getPath.toDotString == column)
-          .flatMap { c =>
-            c.getStatistics match {
-              case s: org.apache.parquet.column.statistics.LongStatistics
-                  if !s.isEmpty && s.hasNonNullValue =>
-                Some((s.getMin, s.getMax))
-              case s: org.apache.parquet.column.statistics.IntStatistics
-                  if !s.isEmpty && s.hasNonNullValue =>
-                Some((s.getMin.toLong, s.getMax.toLong))
-              case _ => None
-            }
+      val blocks = reader.getFooter.getBlocks.asScala.toList
+      cols.map { case (name, typ) =>
+        val perBlock: List[Option[Either[(Long, Long), (Array[Byte], Array[Byte])]]] =
+          blocks.map { b =>
+            b.getColumns.asScala
+              .find(_.getPath.toDotString == name)
+              .flatMap { c =>
+                (typ, c.getStatistics) match {
+                  case ("long", s: org.apache.parquet.column.statistics.LongStatistics)
+                      if !s.isEmpty && s.hasNonNullValue =>
+                    Some(Left((s.getMin, s.getMax)))
+                  case ("long", s: org.apache.parquet.column.statistics.IntStatistics)
+                      if !s.isEmpty && s.hasNonNullValue =>
+                    Some(Left((s.getMin.toLong, s.getMax.toLong)))
+                  case ("string", s: org.apache.parquet.column.statistics.BinaryStatistics)
+                      if !s.isEmpty && s.hasNonNullValue =>
+                    Some(Right((s.genericGetMin.getBytes, s.genericGetMax.getBytes)))
+                  case _ => None
+                }
+              }
           }
+        if (perBlock.isEmpty || perBlock.exists(_.isEmpty)) None
+        else {
+          val longs = perBlock.flatten.collect { case Left(x) => x }
+          val bins = perBlock.flatten.collect { case Right(x) => x }
+          if (longs.nonEmpty)
+            Some((longs.map(_._1).min.toString, longs.map(_._2).max.toString))
+          else
+            Some((encStat(bins.map(_._1).min(byteOrdering)),
+              encStat(bins.map(_._2).max(byteOrdering))))
+        }
       }
-      if (perBlock.isEmpty || perBlock.exists(_.isEmpty)) None
-      else Some((perBlock.flatten.map(_._1).min, perBlock.flatten.map(_._2).max))
     } finally reader.close()
+  }
+
+  /** A zone-map range predicate for [[prunedFilesMulti]] — typed to the
+    * registered column (a long predicate on a string column, or vice
+    * versa, refuses loudly).
+    */
+  sealed trait ZonePred { def column: String }
+  final case class LongRange(column: String, lo: Long, hi: Long)
+      extends ZonePred {
+    require(lo <= hi, s"empty predicate interval [$lo, $hi] on $column")
+  }
+  final case class StringRange(column: String, lo: String, hi: String)
+      extends ZonePred {
+    require(cmpUnsigned(
+      lo.getBytes("UTF-8"), hi.getBytes("UTF-8")) <= 0,
+      s"empty predicate interval ['$lo', '$hi'] on $column")
+  }
+
+  /** Multi-column zone-map pruning: files whose recorded [min, max]
+    * intersects EVERY predicate's interval (mixed predicates take the
+    * intersection — a file provably empty for ANY conjunct is provably
+    * empty for the conjunction), plus the version's total file count.
+    * Per-column refusal semantics: every predicate column must be
+    * registered with the matching type. Files (or individual columns)
+    * without recorded stats are kept conservatively.
+    */
+  def prunedFilesMulti(
+      spark: SparkSession,
+      root: String,
+      preds: Seq[ZonePred]): (Seq[String], Int) = {
+    require(preds.nonEmpty, "need at least one zone-map predicate")
+    val v = currentVersion(spark, root)
+    require(v >= 0, s"no committed version under $root")
+    val (lines, _, statsCols) = readManifestLines(spark, root, v)
+    val idx = statsCols.map(_._1).zipWithIndex.toMap
+    preds.foreach { pr =>
+      val reg = statsCols.find(_._1 == pr.column)
+      require(reg.isDefined,
+        s"zone maps under $root are for " +
+          s"${if (statsCols.isEmpty) "<none>" else statsCols.map(_._1).mkString(",")}, " +
+          s"not '${pr.column}' — prune on a registered column or re-commit with it")
+      val want = pr match {
+        case _: LongRange => "long"
+        case _: StringRange => "string"
+      }
+      require(reg.get._2 == want,
+        s"zone-map column '${pr.column}' is ${reg.get._2}-typed; the " +
+          s"predicate is $want-typed — match the registered type")
+    }
+    val kept = lines.flatMap { l =>
+      val parts = l.split('|').padTo(1 + 2 * statsCols.length, "")
+      val path = parts(0)
+      val keep = l.indexOf('|') < 0 || preds.forall { pr =>
+        val i = idx(pr.column)
+        val (mnS, mxS) = (parts(1 + 2 * i), parts(2 + 2 * i))
+        if (mnS.isEmpty || mxS.isEmpty) true // no stats: conservative keep
+        else pr match {
+          case LongRange(_, lo, hi) => mxS.toLong >= lo && mnS.toLong <= hi
+          case StringRange(_, lo, hi) =>
+            cmpUnsigned(decStat(mxS), lo.getBytes("UTF-8")) >= 0 &&
+              cmpUnsigned(decStat(mnS), hi.getBytes("UTF-8")) <= 0
+        }
+      }
+      if (keep) Some(path) else None
+    }
+    (kept, lines.length)
+  }
+
+  /** Read the latest version restricted to files that can contain rows
+    * matching ALL the zone predicates — a SUPERSET of the matching rows
+    * (the PushedFilters contract: callers still apply the row filter).
+    */
+  def readPrunedMulti(
+      spark: SparkSession,
+      root: String,
+      preds: Seq[ZonePred]): DataFrame = {
+    val (files, _) = prunedFilesMulti(spark, root, preds)
+    if (files.isEmpty)
+      readVersion(spark, root, currentVersion(spark, root)).limit(0)
+    else spark.read.option("basePath", root)
+      .parquet(files.map(f => s"$root/$f"): _*)
   }
 
   /** ZONE-MAP file pruning (U6 — the manifest-resident data-skipping move
@@ -277,23 +461,8 @@ object ManifestTable {
       root: String,
       column: String,
       lo: Long,
-      hi: Long): (Seq[String], Int) = {
-    require(lo <= hi, s"empty predicate interval [$lo, $hi]")
-    val v = currentVersion(spark, root)
-    require(v >= 0, s"no committed version under $root")
-    val (lines, _, statsCol) = readManifestLines(spark, root, v)
-    require(statsCol.contains(column),
-      s"zone maps under $root are for ${statsCol.getOrElse("<none>")}, " +
-        s"not '$column' — prune on the registered column or re-commit with it")
-    val kept = lines.flatMap { l =>
-      l.split('|') match {
-        case Array(p, mn, mx) =>
-          if (mx.toLong >= lo && mn.toLong <= hi) Some(p) else None
-        case parts => Some(parts(0)) // no stats recorded: keep
-      }
-    }
-    (kept, lines.length)
-  }
+      hi: Long): (Seq[String], Int) =
+    prunedFilesMulti(spark, root, Seq(LongRange(column, lo, hi)))
 
   /** Read the latest version restricted to files that can contain rows
     * with `column` in [lo, hi] — a SUPERSET of the matching rows (the
@@ -305,13 +474,8 @@ object ManifestTable {
       root: String,
       column: String,
       lo: Long,
-      hi: Long): DataFrame = {
-    val (files, _) = prunedFiles(spark, root, column, lo, hi)
-    if (files.isEmpty)
-      readVersion(spark, root, currentVersion(spark, root)).limit(0)
-    else spark.read.option("basePath", root)
-      .parquet(files.map(f => s"$root/$f"): _*)
-  }
+      hi: Long): DataFrame =
+    readPrunedMulti(spark, root, Seq(LongRange(column, lo, hi)))
 
   /** Physical deletion of data files no RETAINED version needs: "live" is
     * the UNION of the file lists of every manifest inside the retention

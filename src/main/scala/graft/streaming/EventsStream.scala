@@ -1242,7 +1242,13 @@ object EventsStream {
             "user_id", "unix_micros(ts) AS ts_micros", "event_id",
             "event_type", "CAST(round(value * 1000) AS BIGINT) AS value_milli")
             .withColumn("part", concat(lit("b"), lit(bid))),
-          "part", bid, statsCol = Some("ts_micros"))
+          "part", bid, statsCol = Some("ts_micros"),
+          // the U6 multi-column extension on the gated path: event_id is
+          // ts-correlated in the replay (time-ordered staging), so its
+          // per-file ranges are near-disjoint and the st18b non-primary
+          // range query prunes on it; event_type's string stats ride along
+          // (full domain per file — conservative keep, still validated)
+          statsColumns = Seq("event_id", "event_type"))
         ()
       }
       .option("checkpointLocation", ckpt)

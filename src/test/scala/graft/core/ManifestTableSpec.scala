@@ -91,6 +91,73 @@ class ManifestTableSpec extends SparkSpec {
     }
   }
 
+  test("multi-column zone maps: second-column prune, string ranges, mixed-predicate intersection, typed refusals") {
+    import ManifestTable.{LongRange, StringRange}
+    val root = tmpDir("graft_manifest_multi") + "/t"
+    // buckets with DISJOINT ranges on BOTH columns: bucket b holds
+    // v in [100b, 100b+9] and s in ["sb0", "sb9"] (byte-ordered)
+    val data = (0 until 4).flatMap(b =>
+      (0 until 10).map(i => (b, 100L * b + i, s"s$b$i")))
+    ManifestTable.commit(spark, root,
+      data.toDF("k", "v", "s").withColumn("bucket", col("k")),
+      "bucket", batchId = 0L, statsColumns = Seq("v", "s"))
+
+    // prune on the SECOND (string) column alone
+    val (keptS, totalS) = ManifestTable.prunedFilesMulti(
+      spark, root, Seq(StringRange("s", "s10", "s25")))
+    assert(totalS >= 4 && keptS.nonEmpty && keptS.length < totalS,
+      s"no string pruning: kept ${keptS.length} of $totalS")
+    assert(keptS.forall(p => p.startsWith("bucket=1/") || p.startsWith("bucket=2/")),
+      s"string pruning kept a provably-empty file: $keptS")
+
+    // mixed predicates take the INTERSECTION: v-range admits buckets 1-2,
+    // s-range admits buckets 2-3 => only bucket 2 survives
+    val (keptM, _) = ManifestTable.prunedFilesMulti(spark, root,
+      Seq(LongRange("v", 105L, 299L), StringRange("s", "s20", "s39")))
+    assert(keptM.nonEmpty && keptM.forall(_.startsWith("bucket=2/")),
+      s"mixed predicates did not intersect: $keptM")
+
+    // the pruned read stays a superset: row-filtered result is exact
+    val full = ManifestTable.read(spark, root).get
+      .filter(col("v") >= 105 && col("v") <= 299 &&
+        col("s") >= "s20" && col("s") <= "s39").select("k", "v", "s")
+    val pruned = ManifestTable.readPrunedMulti(spark, root,
+      Seq(LongRange("v", 105L, 299L), StringRange("s", "s20", "s39")))
+      .filter(col("v") >= 105 && col("v") <= 299 &&
+        col("s") >= "s20" && col("s") <= "s39").select("k", "v", "s")
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+
+    // typed refusals: wrong-typed predicate, unregistered column, and a
+    // commit re-registering a different column set
+    intercept[IllegalArgumentException] {
+      ManifestTable.prunedFilesMulti(spark, root, Seq(LongRange("s", 0L, 1L)))
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.prunedFilesMulti(spark, root, Seq(LongRange("x", 0L, 1L)))
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.commit(spark, root,
+        Seq((0, 1L, "a")).toDF("k", "v", "s").withColumn("bucket", col("k")),
+        "bucket", batchId = 1L, statsColumns = Seq("v"))
+    }
+    // a non-integer, non-string column refuses at registration
+    intercept[IllegalArgumentException] {
+      val other = tmpDir("graft_manifest_badtype") + "/t"
+      ManifestTable.commit(spark, other,
+        Seq((0, 1.5)).toDF("k", "d").withColumn("bucket", col("k")),
+        "bucket", batchId = 0L, statsColumns = Seq("d"))
+    }
+
+    // carry-forward: a later commit touching one bucket keeps the other
+    // buckets' multi-column stats pruning
+    ManifestTable.commit(spark, root,
+      Seq((0, 999L, "zzz")).toDF("k", "v", "s").withColumn("bucket", col("k")),
+      "bucket", batchId = 1L, statsColumns = Seq("v", "s"))
+    val (kept2, total2) = ManifestTable.prunedFilesMulti(
+      spark, root, Seq(StringRange("s", "s30", "s39")))
+    assert(kept2.forall(_.startsWith("bucket=3/")) && kept2.length < total2)
+  }
+
   test("a crashed commit is invisible: readers stay on the last full version, vacuum sweeps the debris") {
     val root = tmpDir("graft_manifest_crash") + "/t"
     ManifestTable.commit(spark, root,

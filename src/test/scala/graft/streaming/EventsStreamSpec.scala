@@ -197,6 +197,31 @@ class EventsStreamSpec extends SparkSpec {
     assert(got.count() > 0)
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
       "pruned range read diverges from the plain range scan")
+
+    // st18b: the SECONDARY zone-map column (event_id, ts-correlated in
+    // the ordered replay) also provably skips files, and the pruned read
+    // equals the plain range scan
+    val nEvents = want.unionByName(
+      Tables.load(spark, sf, "events").selectExpr(
+        "user_id", "unix_micros(ts) AS ts_micros", "event_id", "event_type",
+        "CAST(round(value * 1000) AS BIGINT) AS value_milli")
+        .filter(col("ts_micros") < lo || col("ts_micros") >= hi)).count()
+    val (idLo, idHi) = (0L, nEvents / 8)
+    val (keptId, totalId) = graft.core.ManifestTable.prunedFilesMulti(
+      spark, root,
+      Seq(graft.core.ManifestTable.LongRange("event_id", idLo, idHi)))
+    assert(keptId.length < totalId,
+      s"secondary column skipped nothing: kept ${keptId.length} of $totalId")
+    val gotId = graft.core.ManifestTable.readPrunedMulti(spark, root,
+        Seq(graft.core.ManifestTable.LongRange("event_id", idLo, idHi)))
+      .filter(col("event_id") >= idLo && col("event_id") <= idHi)
+      .select("user_id", "event_id")
+    val wantId = Tables.load(spark, sf, "events")
+      .filter(col("event_id") >= idLo && col("event_id") <= idHi)
+      .select("user_id", "event_id")
+    assert(gotId.count() > 0)
+    assert(gotId.exceptAll(wantId).isEmpty && wantId.exceptAll(gotId).isEmpty,
+      "secondary-column pruned read diverges from the plain range scan")
   }
 
   test("CDC from the manifest upsert: changelog equals the batch-side snapshot diff; no deletes") {
