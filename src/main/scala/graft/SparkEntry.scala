@@ -501,6 +501,23 @@ object SparkEntry {
       root
     })
 
+  private val trainingShardsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** p8's artifact: packed sequences md5-shuffled into 8 fixed shards,
+    * committed atomically through the U5 manifest
+    * ([[graft.operators.TextAnalysis.writeTrainingShards]]); the entry
+    * reads the committed table back, so the gated values ARE the artifact.
+    */
+  def p8ShardsDir(s: SparkSession, dir: String): String =
+    trainingShardsMemo.computeIfAbsent((s, dir), _ => {
+      val root = graft.core.TempDirs.create("graft_p8_shards") + "/t"
+      graft.operators.TextAnalysis.writeTrainingShards(
+        graft.operators.TextAnalysis.packSequences(t(s, dir, "documents")),
+        root)
+      root
+    })
+
   def st13StatsDir(s: SparkSession, dir: String): String =
     statsStateMemo.computeIfAbsent((s, dir), _ => {
       val path = graft.core.TempDirs.create("graft_st13_stats")
@@ -563,6 +580,8 @@ object SparkEntry {
       "st17_heavy_hitters_maintain",
       // st18 range-reads the stream-built zone-mapped table (st18TableDir)
       "st18_zonemap_range", "st18b_zonemap_secondary",
+      // p8 reads the committed shard table (p8ShardsDir), same contract
+      "p8_training_shards",
       // st19 reads the stream-maintained cluster state (st19ClusterDir),
       // same ingest-time-artifact contract
       "st19_cluster_maintain")
@@ -581,7 +600,7 @@ object SparkEntry {
       g1EdgesMemo, d12MediaMemo, d14MediaMemo, d15MediaMemo, vectorIndexMemo, vectorIndexIncrMemo,
       streamedVectorIndexMemo, streamedTextIndexMemo,
       streamedHeavyHittersMemo, zoneMapTableMemo, statsArtifactMemo,
-      streamedClusterMemo, hierIndexMemo).foreach { m =>
+      streamedClusterMemo, hierIndexMemo, trainingShardsMemo).foreach { m =>
       m.keySet.asScala.filter(_._1 eq s).toList
         .foreach(k => Option(m.remove(k)).foreach(graft.core.TempDirs.drop))
     }
@@ -1252,6 +1271,13 @@ object SparkEntry {
         t(s, dir, "documents").withColumn("html", expr(htmlInjectExpr)))
         .select("doc_id", "n_blocks", "n_content", "n_fail_len",
           "n_fail_link", "n_fail_stop", "kept_md5")),
+    // p8: the deterministic training-shard table read back from its
+    // manifest commit — shard assignment AND intra-shard order both
+    // md5-derived, so the oracle replays the whole shuffle.
+    "p8_training_shards" -> ((s, dir) =>
+      graft.core.ManifestTable.read(s, p8ShardsDir(s, dir))
+        .getOrElse(sys.error("p8 shard table missing"))
+        .select("source", "bin_id", "n_docs", "n_tokens", "shard", "pos")),
     // p3b: the crawl-curation pipeline fronted by x26 — markup pages →
     // main-content extraction → paragraph dedup over the EXTRACTED text,
     // summarized per (source, lang) with the boilerplate-block count.
@@ -2755,6 +2781,22 @@ object SparkEntry {
         "md5(COALESCE(string_agg(strip, chr(10) ORDER BY pos) " +
         s"FILTER (WHERE $mainContentKeepSql), '')) AS kept_md5 " +
         "FROM graded GROUP BY doc_id"),
+    // p8: the md5 shuffle replayed — whitespace-budget bins (x12's window
+    // at the fallback token count), shard = hash mod 8, pos = hash rank
+    // within shard.
+    "p8_training_shards" ->
+      ("WITH b AS (SELECT doc_id, source, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), " +
+        "c AS (SELECT source, n_tokens, " +
+        "CAST((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id " +
+        "ROWS UNBOUNDED PRECEDING) - n_tokens) // 2048 AS BIGINT) AS bin_id FROM b), " +
+        "g AS (SELECT source, bin_id, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM c GROUP BY 1, 2), " +
+        "k AS (SELECT *, md5(source || ':' || CAST(bin_id AS VARCHAR)) AS skey FROM g) " +
+        "SELECT source, bin_id, n_docs, n_tokens, " +
+        "CAST(CAST(concat('0x', substr(skey, 1, 8)) AS BIGINT) % 8 AS BIGINT) AS shard, " +
+        "CAST(row_number() OVER (PARTITION BY CAST(concat('0x', substr(skey, 1, 8)) AS BIGINT) % 8 " +
+        "ORDER BY skey, source, bin_id) AS BIGINT) AS pos FROM k"),
     // p3b: x26's extraction feeding d10's winner CTE (p3's shape with the
     // markup front door), summarized per (source, lang).
     "p3b_html_curation" ->

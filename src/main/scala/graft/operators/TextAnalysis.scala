@@ -477,6 +477,61 @@ object TextAnalysis {
       .withColumn("bin_id", expr(s"start_offset div $budget"))
   }
 
+  /** P8: the deterministic training-shard writer — the FINAL artifact of
+    * the pipeline family: [[packSequences]]' packed sequences globally
+    * shuffled into `nShards` fixed shards with a deterministic intra-shard
+    * order, so a training run's data order is a pure function of the
+    * corpus (bitwise-reproducible run-to-run, engine-to-engine — the p8
+    * oracle replays shard assignment AND order). The "shuffle" is
+    * md5-derived, the same primitive as x11's split: a sequence's shard is
+    * its key-hash mod nShards, its position the rank of that hash within
+    * the shard — statistically uniform (md5 avalanche ≈ a random permute,
+    * which is what sequence-level shuffling exists to give SGD) yet fully
+    * replayable, unlike any RNG shuffle.
+    *
+    * Scale shape: one row per PACKED SEQUENCE (not per document — the
+    * groupBy collapses doc rows map-side), one hash-partitioned exchange
+    * into shards, and a per-shard rank — sorts run inside each shard in
+    * parallel and never globally. Output: (source, bin_id, n_docs,
+    * n_tokens, shard, pos).
+    */
+  def trainingShards(
+      packed: DataFrame,
+      nShards: Int = 8,
+      shardCol: String = "source"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val bins = packed.groupBy(col(shardCol), col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    bins
+      .withColumn("skey",
+        expr(s"md5(concat($shardCol, ':', CAST(bin_id AS STRING)))"))
+      .withColumn("shard", expr(
+        s"CAST(conv(substring(skey, 1, 8), 16, 10) AS BIGINT) % $nShards"))
+      .withColumn("pos",
+        row_number().over(
+          Window.partitionBy("shard").orderBy(col("skey"), col(shardCol),
+            col("bin_id"))).cast("long"))
+      .select(col(shardCol), col("bin_id"), col("n_docs"), col("n_tokens"),
+        col("shard"), col("pos"))
+  }
+
+  /** Commit [[trainingShards]] through the U5 manifest (shard = partition
+    * column): the shard set publishes ATOMICALLY — a training job never
+    * sees half a shuffle — and the batch-id fence makes re-runs no-ops.
+    */
+  def writeTrainingShards(
+      packed: DataFrame,
+      root: String,
+      nShards: Int = 8,
+      shardCol: String = "source",
+      batchId: Long = 0L): Long =
+    graft.core.ManifestTable.commit(
+      packed.sparkSession, root,
+      trainingShards(packed, nShards, shardCol)
+        .withColumn("bucket", col("shard")),
+      "bucket", batchId)
+
   /** Text canonicalization (the first step of most dedup/quality stacks,
     * where "Hello,  World!" and "hello world" must collide): lowercase,
     * strip every character outside [a-z0-9 ], collapse space runs, trim.

@@ -8,6 +8,31 @@ class TextAnalysisSpec extends SparkSpec {
 
   private lazy val docs = Tables.load(spark, sf, "documents")
 
+  test("trainingShards: deterministic shuffle, contiguous per-shard order, atomic manifest commit") {
+    val packed = TextAnalysis.packSequences(docs)
+    val a = TextAnalysis.trainingShards(packed)
+    val b = TextAnalysis.trainingShards(packed)
+    // a pure function of the corpus: two derivations are identical
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // every shard's positions are exactly 1..count (a training loader can
+    // seek by (shard, pos) with no gaps)
+    val bad = a.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"),
+        countDistinct("pos").as("nd"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1 || col("nd") =!= col("n"))
+    assert(bad.isEmpty, "per-shard positions are not contiguous 1..n")
+    // the committed artifact reads back exactly and is manifest-versioned
+    val root = tmpDir("p8_shards") + "/t"
+    TextAnalysis.writeTrainingShards(packed, root)
+    assert(graft.core.ManifestTable.currentVersion(spark, root) == 0L)
+    val stored = graft.core.ManifestTable.read(spark, root).get
+      .select("source", "bin_id", "n_docs", "n_tokens", "shard", "pos")
+    assert(stored.exceptAll(a).isEmpty && a.exceptAll(stored).isEmpty)
+    // the fence: a re-run with the same batch id is a no-op commit
+    TextAnalysis.writeTrainingShards(packed, root)
+    assert(graft.core.ManifestTable.currentVersion(spark, root) == 0L)
+  }
+
   test("extractMainContent: hand fixture classifies nav/teaser/body/footer exactly") {
     import spark.implicits._
     val body = "the quick brown fox jumps over a lazy dog near the riverbank today"
