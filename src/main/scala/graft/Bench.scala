@@ -107,6 +107,32 @@ object Bench {
     if (selected.exists(_._1 == "st16_bm25_index_maintain"))
       try SparkEntry.st16IndexDir(spark, sfDir)
       catch { case _: Throwable => () }
+    // stream-built MG summaries / zone-mapped table / cluster state: the
+    // st17/st18/st18b/st19 entries time the SEARCH or pruned read against
+    // the maintained artifact (the same ingest-time contract as st15/st16)
+    if (selected.exists(_._1 == "st17_heavy_hitters_maintain"))
+      try SparkEntry.st17SummaryDir(spark, sfDir)
+      catch { case _: Throwable => () }
+    if (selected.exists(n => n._1 == "st18_zonemap_range" ||
+        n._1 == "st18b_zonemap_secondary"))
+      try SparkEntry.st18TableDir(spark, sfDir)
+      catch { case _: Throwable => () }
+    if (selected.exists(_._1 == "st19_cluster_maintain"))
+      try SparkEntry.st19ClusterDir(spark, sfDir)
+      catch { case _: Throwable => () }
+    // the stored hierarchical pyramid: k18 times the layered SEARCH
+    if (selected.exists(_._1 == "k18_hier_topk"))
+      try SparkEntry.k18IndexDir(spark, sfDir)
+      catch { case _: Throwable => () }
+    // the persisted ANALYZE relation: a29 times the stats-PLANNED join,
+    // not the ANALYZE (a25 itself times that)
+    if (selected.exists(_._1 == "a29_stats_join"))
+      try SparkEntry.a29StatsDir(spark, sfDir)
+      catch { case _: Throwable => () }
+    // the committed shard table: p8 times the manifest read-back
+    if (selected.exists(_._1 == "p8_training_shards"))
+      try SparkEntry.p8ShardsDir(spark, sfDir)
+      catch { case _: Throwable => () }
     // Deterministic order (hash-Map order varied run to run) and a cold
     // cache per query: otherwise first-touch parquet footer reads and
     // persisted RDDs shared across entries land on whichever query happens

@@ -582,9 +582,10 @@ object SparkEntry {
       "st18_zonemap_range", "st18b_zonemap_secondary",
       // p8 reads the committed shard table (p8ShardsDir), same contract
       "p8_training_shards",
-      // st19 reads the stream-maintained cluster state (st19ClusterDir),
-      // same ingest-time-artifact contract
-      "st19_cluster_maintain")
+      // st19 reads the stream-maintained cluster state (st19ClusterDir)
+      "st19_cluster_maintain",
+      // a29 plans from the persisted ANALYZE relation (a29StatsDir)
+      "a29_stats_join")
 
   /** Drop the memoized pipeline stages for one session (all dirs) — lets a
     * bench opt into cold per-query measurement, and unpins the session and

@@ -212,7 +212,27 @@ object TableStats {
     // silent scale ceiling (a 100 TB table's sketch can legitimately run
     // long, and the job would keep running detached after the timeout
     // anyway) — failure surfaces through the job's own exception
-    val collected = futures.map(Await.result(_, Duration.Inf))
+    // unbounded wait in 60 s slices WITH a diagnostic: the overall
+    // semantics stay "wait for completion, not a deadline" (an arbitrary
+    // cap would be a silent scale ceiling), but a hung FS call now names
+    // the stuck table on stderr every minute instead of stalling ANALYZE
+    // with no signal at all
+    val collected = tableOrder.zip(futures).map { case (table, fut) =>
+      var res: Option[(org.apache.spark.sql.types.StructType,
+        IndexedSeq[org.apache.spark.sql.Row])] = None
+      var waited = 0L
+      while (res.isEmpty) {
+        try res = Some(Await.result(fut, scala.concurrent.duration.Duration(60, "s")))
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            waited += 60
+            System.err.println(s"[analyze] table '$table' sketch still " +
+              s"running after ${waited}s — waiting (a hung FS call " +
+              "surfaces here, not as a silent stall)")
+        }
+      }
+      res.get
+    }
     val stats = spark.createDataFrame(
       spark.sparkContext.parallelize(collected.flatMap(_._2), 1),
       collected.head._1)
