@@ -413,7 +413,8 @@ class SimilaritySpec extends SparkSpec {
 
   test("k16 recall monitor: one row per method x query, hits equal the independent intersection") {
     val out = Similarity.annRecall(emb, queries, k = 10).cache()
-    assert(out.count() == 3 * queries.length)
+    // four legs: lsh, ivf, binary, hier (the k18 layered search)
+    assert(out.count() == 4 * queries.length)
     assert(out.filter(col("recall_micro") < 0 || col("recall_micro") > 1000000L)
       .count() == 0)
     assert(out.filter(col("recall_micro") =!= expr("n_hits * 1000000L div 10"))
