@@ -59,6 +59,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"dim join not broadcast:\n$p")
   }
 
+  test("x26 main-content extraction is map-only: one projection, no shuffle, no UDF") {
+    val p = plan("x26_main_content")
+    assert(!p.contains("Exchange"), s"extraction shuffled:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"extraction fell off codegen into a UDF:\n$p")
+  }
+
+  test("p8 shard writer: hash exchange + per-shard rank, never a global sort") {
+    // the derivation (not the stored read-back): one partial-aggregated
+    // exchange for the bins, one hash exchange into shards, per-shard
+    // window rank — a global Sort node (no partitioning) would be the
+    // scale bug
+    val packed = graft.operators.TextAnalysis.packSequences(
+      graft.core.Tables.load(spark, sf, "documents"))
+    val p = graft.operators.TextAnalysis.trainingShards(packed)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("rangepartitioning"),
+      s"global sort leaked into the shard writer:\n$p")
+  }
+
   test("a29 stats-planned join: broadcasts chosen from the ANALYZE artifact before any stage runs") {
     // the INITIAL physical plan (nothing executed yet) must already carry
     // the stats-chosen broadcasts — the decision AQE can only make after
