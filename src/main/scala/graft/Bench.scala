@@ -120,8 +120,10 @@ object Bench {
     if (selected.exists(_._1 == "st19_cluster_maintain"))
       try SparkEntry.st19ClusterDir(spark, sfDir)
       catch { case _: Throwable => () }
-    // the stored hierarchical pyramid: k18 times the layered SEARCH
-    if (selected.exists(_._1 == "k18_hier_topk"))
+    // the stored hierarchical pyramid: k18 times the layered SEARCH, and
+    // k16's hier recall leg serves the same artifact
+    if (selected.exists(n => n._1 == "k18_hier_topk" ||
+        n._1 == "k16_ann_recall"))
       try SparkEntry.k18IndexDir(spark, sfDir)
       catch { case _: Throwable => () }
     // the persisted ANALYZE relation: a29 times the stats-PLANNED join,

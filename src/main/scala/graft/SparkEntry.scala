@@ -570,8 +570,9 @@ object SparkEntry {
       // k10's ADC stage serves from k8's stored codes, k9 and k10's
       // stage 1 from its stored binary signatures
       "k8_ivfpq_topk", "k9_binary_topk", "k10_cascade_topk",
-      // k18 searches the stored hierarchical pyramid (k18IndexDir)
-      "k18_hier_topk",
+      // k18 searches the stored hierarchical pyramid (k18IndexDir); k16's
+      // hier recall leg serves the same stored artifact
+      "k18_hier_topk", "k16_ann_recall",
       "k13_index_incremental", "st15_vector_index_maintain",
       // st16 searches the stream-built BM25 postings index (st16IndexDir)
       "st16_bm25_index_maintain",
@@ -1442,7 +1443,8 @@ object SparkEntry {
     // index-quality check a real deployment runs after every rebuild.
     "k16_ann_recall" -> ((s, dir) =>
       graft.operators.Similarity.annRecall(
-        t(s, dir, "embeddings"), queryIds = Seq(0L, 1L, 2L), k = 10)),
+        t(s, dir, "embeddings"), queryIds = Seq(0L, 1L, 2L), k = 10,
+        hierIndexPath = Some(k18IndexDir(s, dir)))),
     // BM25 lexical retrieval (integer-exact milli scoring, Robertson-odds
     // IDF): 5 query docs (ids 0-4), query = the doc's first 6 distinct
     // tokens, top-10 over the whole corpus. The sparse leg of the

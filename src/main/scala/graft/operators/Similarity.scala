@@ -97,14 +97,24 @@ object Similarity {
   def annRecall(
       embeddings: DataFrame,
       queryIds: Seq[Long],
-      k: Int = 10): DataFrame = {
+      k: Int = 10,
+      hierIndexPath: Option[String] = None): DataFrame = {
     val exact = topKCosine(embeddings, queryIds, k)
       .select("query_id", "neighbor_id")
+    // the hier leg serves the STORED pyramid when the caller has one (the
+    // operational monitor runs against the deployed artifact — and the
+    // inline rebuild costs a full k5 graph build per evaluation); inline
+    // derivation is the fallback, spec-pinned value-identical
+    val hier = hierIndexPath match {
+      case Some(p) => HierarchicalIndex.searchTopKCosine(
+        embeddings.sparkSession, p, embeddings, queryIds, k)
+      case None => HierarchicalIndex.searchInline(embeddings, queryIds, k)
+    }
     val legs = Seq(
       "lsh" -> annTopKCosine(embeddings, queryIds, k),
       "ivf" -> ivfTopKCosine(embeddings, queryIds, k),
       "binary" -> binaryQuantTopKCosine(embeddings, queryIds, k),
-      "hier" -> HierarchicalIndex.searchInline(embeddings, queryIds, k))
+      "hier" -> hier)
     val u = legs.map { case (n, df) =>
       df.select(lit(n).as("method"), col("query_id"), col("neighbor_id"))
     }.reduce(_.unionByName(_))
