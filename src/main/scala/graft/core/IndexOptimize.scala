@@ -110,6 +110,35 @@ object IndexOptimize {
     f.delete(): Unit
   }
 
+  /** Recovery for the documented mid-swap crash window: a crash between
+    * the two renames leaves the relation directory ABSENT while its
+    * complete consolidated data sits in `<rel>__optnext` (and possibly the
+    * superseded tree in `<rel>__optold`). Readers fail loudly in that
+    * state; this call finishes the swap — promote `__optnext` to the live
+    * name, drop `__optold` — and is a no-op for healthy relations.
+    * Returns the relations it repaired. Run it before serving an artifact
+    * whose optimize may have crashed; [[optimize]] itself also calls it,
+    * so the next maintenance cycle self-heals.
+    */
+  def recover(spark: SparkSession, root: String, rels: Seq[String]): Seq[String] = {
+    val rootDir = new File(root)
+    rels.flatMap { rel =>
+      val live = new File(rootDir, rel)
+      val next = new File(rootDir, rel + "__optnext")
+      val old = new File(rootDir, rel + "__optold")
+      if (!live.isDirectory && next.isDirectory) {
+        Files.move(next.toPath, live.toPath, StandardCopyOption.ATOMIC_MOVE)
+        deleteRecursively(old)
+        spark.catalog.refreshByPath(live.getPath)
+        Some(rel)
+      } else {
+        // healthy live dir: a stale __optold is a crashed cleanup — sweep
+        if (live.isDirectory) deleteRecursively(old)
+        None
+      }
+    }
+  }
+
   /** Fold every multi-partition relation of the artifact at `root` into one
     * consolidated `batch=__opt__` partition per relation, sized at
     * ~`targetBytes` per output file ([[Compaction]]'s sizing). Relations
@@ -126,6 +155,7 @@ object IndexOptimize {
       targetBytes: Long = Compaction.DefaultTargetBytes): Seq[RelOptStats] = {
     require(targetBytes > 0, "targetBytes must be positive")
     val rootDir = new File(root)
+    recover(spark, root, rels) // self-heal a crashed prior swap first
     val toFold = rels
       .map(r => r -> batchDirs(new File(rootDir, r)))
       .filter(_._2.size > 1)

@@ -139,6 +139,33 @@ class IndexOptimizeSpec extends SparkSpec {
       "heavy-hitters search")
   }
 
+  test("mid-swap crash recovery: recover promotes __optnext, next optimize self-heals") {
+    val c1 = docs.filter(col("doc_id") % 2 === 0)
+    val c2 = docs.filter(col("doc_id") % 2 === 1)
+    val path = tmpDir("opt_crash")
+    Retrieval.buildTextIndex(c1, path)
+    Retrieval.absorbTextIndex(path, c2, "b1")
+    val truth = spark.read.parquet(s"$path/postings").drop("batch")
+      .localCheckpoint(true)
+    Retrieval.optimizeTextIndex(spark, path)
+    // simulate the crash window: live dir renamed away, consolidated data
+    // stranded under __optnext (exactly between the two atomic renames)
+    val live = new java.io.File(s"$path/postings")
+    val next = new java.io.File(s"$path/postings__optnext")
+    java.nio.file.Files.move(live.toPath, next.toPath)
+    // readers fail loudly, not silently partial
+    intercept[Exception] {
+      spark.read.parquet(s"$path/postings").collect()
+    }
+    // recovery promotes the complete consolidated tree
+    assert(IndexOptimize.recover(spark, path, Seq("postings")) == Seq("postings"))
+    val healed = spark.read.parquet(s"$path/postings").drop("batch")
+    assert(healed.exceptAll(truth).isEmpty && truth.exceptAll(healed).isEmpty,
+      "recovered relation lost rows")
+    // and a healthy relation recovers as a no-op
+    assert(IndexOptimize.recover(spark, path, Seq("postings")).isEmpty)
+  }
+
   test("reserved batch id and marker bookkeeping") {
     val path = tmpDir("opt_guard")
     Retrieval.buildTextIndex(docs.limit(10), path)
