@@ -247,26 +247,118 @@ object ManifestTable {
           case None => "||"
         }.mkString
       }
-    val header = s"""{"version":$next,"batch":$batchId""" + (effStats match {
+    publishManifest(spark, root, next,
+      manifestHeader(next, batchId, effStats), carried ++ newLines)
+    next
+  }
+
+  private def manifestHeader(
+      version: Long, batchId: Long, statsCols: Seq[(String, String)]): String =
+    s"""{"version":$version,"batch":$batchId""" + (statsCols match {
       case Nil => ""
       case Seq((c, "long")) => s""","statsCol":"$c""""
       case cols =>
         s""","statsCols":"${cols.map(x => x._1 + ":" + x._2).mkString(",")}""""
     }) + "}"
-    val body = (header +: (carried ++ newLines).sorted).mkString("\n")
-    // 3. publish: tmp write + ONE rename — the atomic commit point
+
+  /** Publish a manifest version: tmp write + ONE rename — the atomic
+    * commit point (overwrite=true on the tmp: a stale tmp is a CRASHED
+    * attempt at this same version slot — single writer per root — and
+    * recovery must supersede it; the rename stays the only commit point).
+    */
+  private def publishManifest(
+      spark: SparkSession, root: String, version: Long,
+      header: String, lines: Seq[String]): Unit = {
+    val f = fs(spark, new Path(root))
+    val body = (header +: lines.sorted).mkString("\n")
     val mDir = manifestDir(root)
     f.mkdirs(mDir)
-    // overwrite=true: a stale tmp is a CRASHED attempt at this same version
-    // slot (single writer per root) — recovery must supersede it; the
-    // rename below stays the one atomic commit point
-    val tmp = new Path(mDir, s"v$next.json.tmp")
+    val tmp = new Path(mDir, s"v$version.json.tmp")
     val out = f.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    if (!f.rename(tmp, new Path(mDir, s"v$next.json")))
+    if (!f.rename(tmp, new Path(mDir, s"v$version.json")))
       throw new IllegalStateException(
-        s"manifest publish lost the race for version $next under $root")
-    next
+        s"manifest publish lost the race for version $version under $root")
+  }
+
+  final case class OptimizeStats(
+      partition: String, inputFiles: Int, outputFiles: Int)
+
+  /** OPTIMIZE the manifest table itself — the Delta/Iceberg small-file
+    * compaction move, manifest-native: a streamed ingest commits one file
+    * per partition per micro-batch, so after 10⁴ batches a scan opens 10⁴
+    * files. This rewrites every partition holding more than one live file
+    * into ~`targetBytes` files and publishes the result as a NEW manifest
+    * version in one atomic rename:
+    *
+    *  - readers are snapshot-isolated throughout (old files are immutable
+    *    and the old manifest stays; time travel to pre-optimize versions
+    *    keeps working until [[vacuum]] retires them);
+    *  - zone maps REGENERATE from the new files' footers, so pruning
+    *    keeps working across the rewrite (spec-pinned);
+    *  - the ingest fence is PRESERVED: the new manifest carries the same
+    *    batch id as the current version — compaction is not an ingest,
+    *    and a redelivered ingest batch must still no-op after it.
+    *
+    * Single-writer contract like [[commit]]: run from the table's own
+    * maintenance loop, not concurrently with an in-flight commit.
+    */
+  def optimize(
+      spark: SparkSession,
+      root: String,
+      targetBytes: Long = Compaction.DefaultTargetBytes): Seq[OptimizeStats] = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val rootPath = new Path(root)
+    val f = fs(spark, rootPath)
+    val v = currentVersion(spark, root)
+    require(v >= 0, s"no committed version under $root")
+    val (lines, batchId, statsCols) = readManifestLines(spark, root, v)
+    val byPart = lines.groupBy(_.split('|')(0).takeWhile(_ != '/'))
+    val toCompact = byPart.filter(_._2.size > 1)
+    if (toCompact.isEmpty) return Nil
+    val next = v + 1
+    val stage = new Path(rootPath, s"_stage-v$next")
+    val newLines = scala.collection.mutable.ListBuffer[String]()
+    val stats = toCompact.toSeq.sortBy(_._1).map { case (partName, ls) =>
+      val rels = ls.map(_.split('|')(0))
+      val bytes = rels.map(r => f.getFileStatus(new Path(rootPath, r)).getLen).sum
+      val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      // read the live files DIRECTLY (no basePath: data columns only —
+      // the partition value lives in the directory name, as commit wrote
+      // it), rewrite evenly, stage beside the table
+      spark.read.parquet(rels.map(r => s"$root/$r"): _*)
+        .repartition(nOut)
+        .write.mode("overwrite").parquet(new Path(stage, partName).toString)
+      val dest = new Path(rootPath, partName)
+      var i = 0
+      for (df0 <- f.listStatus(new Path(stage, partName))
+           if df0.isFile && !df0.getPath.getName.startsWith("_")
+             && !df0.getPath.getName.startsWith(".")) {
+        val name = s"v$next-${df0.getPath.getName}"
+        if (!f.rename(df0.getPath, new Path(dest, name)))
+          throw new IllegalStateException(
+            s"could not stage compacted file ${df0.getPath} -> $dest/$name")
+        val rel = s"$partName/$name"
+        newLines += (if (statsCols.isEmpty) rel
+        else {
+          val st = footerStatsAll(spark, new Path(rootPath, rel), statsCols)
+          if (st.forall(_.isEmpty)) rel
+          else rel + st.map {
+            case Some((mn, mx)) => s"|$mn|$mx"
+            case None => "||"
+          }.mkString
+        })
+        i += 1
+      }
+      OptimizeStats(partName, ls.size, i)
+    }
+    f.delete(stage, true)
+    val carried = lines.filterNot(l =>
+      toCompact.contains(l.split('|')(0).takeWhile(_ != '/')))
+    // SAME batch id: compaction must not advance the ingest fence
+    publishManifest(spark, root, next,
+      manifestHeader(next, batchId, statsCols), carried ++ newLines.toList)
+    stats
   }
 
   /** Unsigned lexicographic byte comparison — parquet's binary-stats
@@ -476,6 +568,81 @@ object ManifestTable {
       lo: Long,
       hi: Long): DataFrame =
     readPrunedMulti(spark, root, Seq(LongRange(column, lo, hi)))
+
+  /** Cross-partition OPTIMIZE for LINEAGE-partitioned append tables (the
+    * st18 shape: one `part=b<id>` partition per micro-batch forever —
+    * [[optimize]] cannot help because each partition holds one file; the
+    * growth is partition COUNT). Rewrites ALL live files into ONE
+    * partition `<col>=<newValue>`, range-clustered on the table's primary
+    * zone-map column so per-file (min, max) stay near-disjoint and file
+    * skipping SURVIVES the rewrite (a round-robin rewrite would smear
+    * every file across the full value range and kill pruning — the
+    * clustering is the point, the OPTIMIZE-ZORDER-lite move).
+    *
+    * ONLY for tables whose partition column is pure lineage (the caller
+    * asserts it by invoking — the partition VALUE of every row changes to
+    * `newValue`). Fence, snapshot isolation and time travel behave as in
+    * [[optimize]]; idempotent under a fixed `newValue` (version-prefixed
+    * file names never collide). Returns None when the table already has
+    * ≤ 1 partition.
+    */
+  def optimizeRewritePartitions(
+      spark: SparkSession,
+      root: String,
+      newValue: String,
+      targetBytes: Long = Compaction.DefaultTargetBytes): Option[OptimizeStats] = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    require(!newValue.contains('|') && !newValue.contains('/'),
+      s"partition value '$newValue' must be '|'- and '/'-free")
+    val rootPath = new Path(root)
+    val f = fs(spark, rootPath)
+    val v = currentVersion(spark, root)
+    require(v >= 0, s"no committed version under $root")
+    val (lines, batchId, statsCols) = readManifestLines(spark, root, v)
+    val parts = lines.map(_.split('|')(0).takeWhile(_ != '/')).distinct
+    if (parts.size <= 1) return None
+    val partitionCol = parts.head.takeWhile(_ != '=')
+    val newPartName = s"$partitionCol=$newValue"
+    val rels = lines.map(_.split('|')(0))
+    val bytes = rels.map(r => f.getFileStatus(new Path(rootPath, r)).getLen).sum
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val next = v + 1
+    val stage = new Path(rootPath, s"_stage-v$next")
+    val df = spark.read.parquet(rels.map(r => s"$root/$r"): _*)
+    val clustered = statsCols.headOption match {
+      case Some((c, _)) => df.repartitionByRange(nOut,
+        org.apache.spark.sql.functions.col(c))
+      case None => df.repartition(nOut)
+    }
+    clustered.write.mode("overwrite")
+      .parquet(new Path(stage, newPartName).toString)
+    val dest = new Path(rootPath, newPartName)
+    f.mkdirs(dest)
+    val newLines = scala.collection.mutable.ListBuffer[String]()
+    for (df0 <- f.listStatus(new Path(stage, newPartName))
+         if df0.isFile && !df0.getPath.getName.startsWith("_")
+           && !df0.getPath.getName.startsWith(".")) {
+      val name = s"v$next-${df0.getPath.getName}"
+      if (!f.rename(df0.getPath, new Path(dest, name)))
+        throw new IllegalStateException(
+          s"could not stage compacted file ${df0.getPath} -> $dest/$name")
+      val rel = s"$newPartName/$name"
+      newLines += (if (statsCols.isEmpty) rel
+      else {
+        val st = footerStatsAll(spark, new Path(rootPath, rel), statsCols)
+        if (st.forall(_.isEmpty)) rel
+        else rel + st.map {
+          case Some((mn, mx)) => s"|$mn|$mx"
+          case None => "||"
+        }.mkString
+      })
+    }
+    f.delete(stage, true)
+    // SAME batch id: compaction must not advance the ingest fence
+    publishManifest(spark, root, next,
+      manifestHeader(next, batchId, statsCols), newLines.toList)
+    Some(OptimizeStats(newPartName, rels.size, newLines.size))
+  }
 
   /** Physical deletion of data files no RETAINED version needs: "live" is
     * the UNION of the file lists of every manifest inside the retention

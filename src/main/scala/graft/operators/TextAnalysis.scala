@@ -525,12 +525,20 @@ object TextAnalysis {
       root: String,
       nShards: Int = 8,
       shardCol: String = "source",
-      batchId: Long = 0L): Long =
-    graft.core.ManifestTable.commit(
+      batchId: Long = 0L): Long = {
+    val v = graft.core.ManifestTable.commit(
       packed.sparkSession, root,
       trainingShards(packed, nShards, shardCol)
         .withColumn("bucket", col("shard")),
       "bucket", batchId)
+    // the partitioned write scatters each shard across the committing
+    // job's tasks (up to shuffle-partition files per shard dir); compact
+    // within partitions so a training loader opens O(shards) files — the
+    // gated p8 read serves the post-OPTIMIZE version (values identical,
+    // spec-pinned at the ManifestTable level)
+    graft.core.ManifestTable.optimize(packed.sparkSession, root)
+    v
+  }
 
   /** Text canonicalization (the first step of most dedup/quality stacks,
     * where "Hello,  World!" and "hello world" must collide): lowercase,

@@ -158,6 +158,69 @@ class ManifestTableSpec extends SparkSpec {
     assert(kept2.forall(_.startsWith("bucket=3/")) && kept2.length < total2)
   }
 
+  test("manifest OPTIMIZE: within-partition file collapse, values intact, fence and time travel preserved") {
+    val root = tmpDir("graft_manifest_opt") + "/t"
+    // one commit whose touched frame scatters each bucket across many
+    // tasks -> several small files per bucket dir
+    val data = (0 until 200).map(i => (i % 2, i.toLong))
+    ManifestTable.commit(spark, root,
+      data.toDF("k", "v").repartition(8).withColumn("bucket", col("k")),
+      "bucket", batchId = 0L, statsCol = Some("v"))
+    val before = ManifestTable.read(spark, root).get
+      .select("k", "v").localCheckpoint(true)
+    val (files0, _) = ManifestTable.prunedFiles(spark, root, "v", Long.MinValue, Long.MaxValue)
+    assert(files0.size > 2, s"fixture produced too few files: ${files0.size}")
+    val stats = ManifestTable.optimize(spark, root)
+    assert(stats.nonEmpty && stats.forall(s => s.outputFiles < s.inputFiles),
+      s"optimize did not collapse files: $stats")
+    val (files1, total1) = ManifestTable.prunedFiles(spark, root, "v", Long.MinValue, Long.MaxValue)
+    assert(total1 < files0.size)
+    val after = ManifestTable.read(spark, root).get.select("k", "v")
+    assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty,
+      "optimize changed table contents")
+    // fence preserved: the pre-optimize batch id still no-ops
+    val vAfterOpt = ManifestTable.currentVersion(spark, root)
+    ManifestTable.commit(spark, root,
+      Seq((0, 999L)).toDF("k", "v").withColumn("bucket", col("k")),
+      "bucket", batchId = 0L, statsCol = Some("v"))
+    assert(ManifestTable.currentVersion(spark, root) == vAfterOpt,
+      "redelivered ingest batch re-committed after optimize")
+    // time travel to the pre-optimize version still reads exactly
+    val old = ManifestTable.readVersion(spark, root, 0L).select("k", "v")
+    assert(old.exceptAll(before).isEmpty && before.exceptAll(old).isEmpty)
+    // idempotent: a second optimize is a no-op
+    assert(ManifestTable.optimize(spark, root).isEmpty)
+  }
+
+  test("manifest OPTIMIZE (lineage partitions): partition fold keeps zone-map pruning via range clustering") {
+    val root = tmpDir("graft_manifest_optr") + "/t"
+    // the st18 shape: one lineage partition per batch, disjoint v ranges
+    for (b <- 0 until 4)
+      ManifestTable.commit(spark, root,
+        (0 until 50).map(i => (100L * b + i))
+          .toDF("v").withColumn("part", lit(s"b$b")),
+        "part", batchId = b.toLong, statsCol = Some("v"))
+    val before = ManifestTable.read(spark, root).get.select("v").localCheckpoint(true)
+    // tiny targetBytes so the fold still produces SEVERAL range-clustered
+    // files — the pruning-survives claim needs more than one file
+    val res = ManifestTable.optimizeRewritePartitions(spark, root, "opt", targetBytes = 1024L)
+    assert(res.nonEmpty && res.get.outputFiles > 1,
+      s"fixture fold produced too few files: $res")
+    val after = ManifestTable.read(spark, root).get.select("v")
+    assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty,
+      "partition fold changed table contents")
+    // range clustering preserved file skipping: a narrow predicate must
+    // provably drop at least one of the folded files
+    val (kept, total) = ManifestTable.prunedFiles(spark, root, "v", 0L, 49L)
+    assert(kept.size < total,
+      s"zone maps died in the fold: kept ${kept.size} of $total")
+    val pruned = ManifestTable.readPruned(spark, root, "v", 0L, 49L)
+      .filter(col("v") <= 49)
+    assert(pruned.count() == 50)
+    // single-partition table: fold is a no-op
+    assert(ManifestTable.optimizeRewritePartitions(spark, root, "opt2").isEmpty)
+  }
+
   test("a crashed commit is invisible: readers stay on the last full version, vacuum sweeps the debris") {
     val root = tmpDir("graft_manifest_crash") + "/t"
     ManifestTable.commit(spark, root,
