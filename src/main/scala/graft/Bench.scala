@@ -94,7 +94,8 @@ object Bench {
       catch { case _: Throwable => () }
     // and the stored IVF-PQ indexes (train + encode at ingest time): the
     // k8/k13/st15 entries time the SEARCH against the artifact
-    if (selected.exists(_._1 == "k8_ivfpq_topk"))
+    if (selected.exists(n => n._1 == "k8_ivfpq_topk" ||
+        n._1 == "k16_ann_recall"))
       try SparkEntry.k8IndexDir(spark, sfDir)
       catch { case _: Throwable => () }
     if (selected.exists(_._1 == "k13_index_incremental"))

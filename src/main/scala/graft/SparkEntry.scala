@@ -1444,7 +1444,8 @@ object SparkEntry {
     "k16_ann_recall" -> ((s, dir) =>
       graft.operators.Similarity.annRecall(
         t(s, dir, "embeddings"), queryIds = Seq(0L, 1L, 2L), k = 10,
-        hierIndexPath = Some(k18IndexDir(s, dir)))),
+        hierIndexPath = Some(k18IndexDir(s, dir)),
+        ivfIndexPath = Some(k8IndexDir(s, dir)))),
     // BM25 lexical retrieval (integer-exact milli scoring, Robertson-odds
     // IDF): 5 query docs (ids 0-4), query = the doc's first 6 distinct
     // tokens, top-10 over the whole corpus. The sparse leg of the

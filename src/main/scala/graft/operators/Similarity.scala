@@ -98,21 +98,28 @@ object Similarity {
       embeddings: DataFrame,
       queryIds: Seq[Long],
       k: Int = 10,
-      hierIndexPath: Option[String] = None): DataFrame = {
+      hierIndexPath: Option[String] = None,
+      ivfIndexPath: Option[String] = None): DataFrame = {
     val exact = topKCosine(embeddings, queryIds, k)
       .select("query_id", "neighbor_id")
-    // the hier leg serves the STORED pyramid when the caller has one (the
-    // operational monitor runs against the deployed artifact — and the
-    // inline rebuild costs a full k5 graph build per evaluation); inline
-    // derivation is the fallback, spec-pinned value-identical
+    // index-backed legs serve the STORED artifacts when the caller has
+    // them (the operational monitor grades the DEPLOYED indexes — and the
+    // inline derivations retrain quantizers / rebuild graphs per
+    // evaluation); inline is the fallback, spec-pinned value-identical in
+    // both cases (deterministic training on the same corpus)
     val hier = hierIndexPath match {
       case Some(p) => HierarchicalIndex.searchTopKCosine(
         embeddings.sparkSession, p, embeddings, queryIds, k)
       case None => HierarchicalIndex.searchInline(embeddings, queryIds, k)
     }
+    val ivf = ivfIndexPath match {
+      case Some(p) => VectorIndex.ivfSearch(
+        embeddings.sparkSession, p, embeddings, queryIds, k)
+      case None => ivfTopKCosine(embeddings, queryIds, k)
+    }
     val legs = Seq(
       "lsh" -> annTopKCosine(embeddings, queryIds, k),
-      "ivf" -> ivfTopKCosine(embeddings, queryIds, k),
+      "ivf" -> ivf,
       "binary" -> binaryQuantTopKCosine(embeddings, queryIds, k),
       "hier" -> hier)
     val u = legs.map { case (n, df) =>

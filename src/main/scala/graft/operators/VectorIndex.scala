@@ -258,6 +258,36 @@ object VectorIndex {
     Similarity.rerank(cand, v, queryIds, k)
   }
 
+  /** K3's IVF-only top-k answered from the STORED index (no PQ stage):
+    * probe list from the stored centroids, candidates from the stored
+    * full-corpus cell assignment, exact re-rank — value-identical to the
+    * inline [[Similarity.ivfTopKCosine]] on the same corpus and
+    * hyperparameters (the training is deterministic, so stored centroids
+    * ≡ inline centroids; spec-pinned). What the recall monitor's ivf leg
+    * serves: a deployment grades its DEPLOYED coarse quantizer, not a
+    * per-evaluation retrain.
+    */
+  def ivfSearch(
+      spark: SparkSession,
+      path: String,
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      k: Int = 10,
+      nProbe: Int = 8,
+      dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    requireMetaDim(spark, path, dim)
+    val v = Similarity.asVectors(embeddings)
+    val cents = spark.read.parquet(s"$path/centroids")
+    val qProbes = Similarity.ivfQueryProbes(v, queryIds, cents, nProbe)
+    val assign = spark.read.parquet(s"$path/assign").select("id", "cid")
+    val cand = broadcast(qProbes).join(assign, "cid")
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"))
+      .distinct()
+    Similarity.rerank(cand, v, queryIds, k)
+  }
+
   /** K10's cascade answered from the STORED index — binary stage-1 over
     * map-only signatures (1-bit signatures are a cheap per-query scan, not
     * stored state), ADC stage-2 against the persisted PQ codes/codebook,

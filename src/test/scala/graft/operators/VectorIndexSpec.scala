@@ -36,6 +36,16 @@ class VectorIndexSpec extends SparkSpec {
       "binary search from stored signatures diverged from inline")
   }
 
+  test("IVF-only search from the stored index is value-identical to inline k3") {
+    val path = tmpDir("vindex_ivfonly")
+    VectorIndex.build(emb, path)
+    val stored = VectorIndex.ivfSearch(spark, path, emb, queries, k = 10)
+    val inline = Similarity.ivfTopKCosine(emb, queries, k = 10)
+    assert(stored.count() == 30)
+    assert(stored.exceptAll(inline).isEmpty && inline.exceptAll(stored).isEmpty,
+      "IVF search from the persisted index diverged from the inline derivation")
+  }
+
   test("absorb with frozen quantizers: base build + delta append == one-shot encode of the union") {
     val base = emb.filter(!expr(deltaPred))
     val delta = emb.filter(expr(deltaPred))
