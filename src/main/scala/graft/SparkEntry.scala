@@ -1136,6 +1136,11 @@ object SparkEntry {
     "p4_mixture_sample" -> ((s, dir) =>
       graft.operators.TextAnalysis.mixtureSample(
         t(s, dir, "documents"), budgetTokens = 26000L)),
+    // p9: α = 0.5 temperature mixture — domain shares ∝ sqrt(tokens),
+    // between p4's equal shares and the natural distribution.
+    "p9_temperature_mixture" -> ((s, dir) =>
+      graft.operators.TextAnalysis.mixtureSampleTemperature(
+        t(s, dir, "documents"), budgetTokens = 26000L)),
     // The round-7 curation stack composed end-to-end: Gopher quality gate
     // over the noise-injected corpus → equal-share mixture to a 20k-token
     // budget → fixed-budget sequence packing of exactly the sampled docs.
@@ -3281,6 +3286,20 @@ object SparkEntry {
         "n AS (SELECT count(*) AS n_domains FROM tot), " +
         "r AS (SELECT source, least(1.0, CAST(26000 AS DOUBLE) / n_domains / domain_tokens) AS rate " +
         "FROM tot, n) " +
+        "SELECT t.doc_id, t.source, t.n_tokens FROM tok t JOIN r ON t.source = r.source " +
+        "WHERE CAST(('0x' || substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE) " +
+        "/ 4294967296.0 < r.rate"),
+    // p9: sqrt micro-quantized once, then integer targets and p4's rate +
+    // hash keep rule verbatim.
+    "p9_temperature_mixture" ->
+      ("WITH tok AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens " +
+        "FROM documents), " +
+        "tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS domain_tokens FROM tok GROUP BY 1), " +
+        "w AS (SELECT source, domain_tokens, " +
+        "CAST(floor(sqrt(CAST(domain_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS w_micro FROM tot), " +
+        "s AS (SELECT CAST(sum(w_micro) AS BIGINT) AS w_total FROM w), " +
+        "r AS (SELECT source, least(1.0, " +
+        "CAST((26000 * w_micro) // w_total AS DOUBLE) / domain_tokens) AS rate FROM w, s) " +
         "SELECT t.doc_id, t.source, t.n_tokens FROM tok t JOIN r ON t.source = r.source " +
         "WHERE CAST(('0x' || substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE) " +
         "/ 4294967296.0 < r.rate"),

