@@ -140,6 +140,14 @@ object ManifestTable {
     * deletion) and replaced by the newly-written ones. Returns the new
     * version.
     *
+    * `touchedValues` DECLARES partition values as touched regardless of
+    * whether any replacement row lands in them — required whenever a
+    * rewrite can EMPTY a partition (a bucketed state table whose rows
+    * migrate buckets, a row-level delete): deriving touched-ness from the
+    * written data alone would treat an emptied partition as untouched and
+    * carry its stale lines forward. A declared partition with no output
+    * rows simply drops its lines from the new manifest.
+    *
     * Idempotent per batch: if `batchId` is not greater than the committed
     * [[lastBatch]], the write is skipped entirely (the caller re-delivered
     * a batch that already committed — at-least-once replay).
@@ -151,7 +159,8 @@ object ManifestTable {
       partitionCol: String,
       batchId: Long,
       statsCol: Option[String] = None,
-      statsColumns: Seq[String] = Nil): Long = {
+      statsColumns: Seq[String] = Nil,
+      touchedValues: Seq[String] = Nil): Long = {
     val rootPath = new Path(root)
     val f = fs(spark, rootPath)
     val prev = currentVersion(spark, root)
@@ -194,10 +203,17 @@ object ManifestTable {
     //    staging dir (unique names by construction), then move each file
     //    under its partition dir with a version-prefixed name. Files are
     //    never overwritten — versions share a dir but not files.
+    // validate DECLARED partition values before any data write — a refusal
+    // must cost nothing and leave no orphan files
+    touchedValues.foreach { v =>
+      require(!v.contains('|') && !v.contains('/'),
+        s"declared partition value '$v' must be '|'- and '/'-free")
+    }
     val stage = new Path(rootPath, s"_stage-v$next")
     touched.write.partitionBy(partitionCol).mode("overwrite")
       .parquet(stage.toString)
     val touchedParts = scala.collection.mutable.ListBuffer[String]()
+    touchedValues.foreach(v => touchedParts += s"$partitionCol=$v")
     val newFiles = scala.collection.mutable.ListBuffer[String]()
     for (partDir <- f.listStatus(stage) if partDir.isDirectory) {
       val partName = partDir.getPath.getName // e.g. bucket=3

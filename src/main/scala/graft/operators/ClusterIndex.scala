@@ -120,7 +120,14 @@ object ClusterIndex {
     // 1. delta pairs BEFORE the index absorb: batch×corpus + batch×batch
     //    (the d9 contract — the union across arrival order is the full
     //    pair set, each pair surfacing when its later endpoint arrives)
-    val indexed = new java.io.File(s"$index/sets").isDirectory
+    // Hadoop FS, not java.io.File: the index lives on whatever filesystem
+    // the ManifestTable commits target — a local-only probe would read
+    // false forever on HDFS/object stores and silently degrade every
+    // batch to batch×batch pairs, dropping all batch×corpus edges
+    val setsPath = new org.apache.hadoop.fs.Path(s"$index/sets")
+    val indexed = setsPath
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+      .exists(setsPath)
     val pairs = (if (indexed)
       Dedup.incrementalFromIndex(s, index, batch, textCol, idCol,
         threshold, shingleWords, numHashes, bands)
@@ -231,11 +238,20 @@ object ClusterIndex {
         .localCheckpoint(true)
       // all of this batch's supersessions can be brand-new ids nobody
       // references (their members rows already point at the merged label
-      // directly) — an empty forest needs no commit, and a zero-file
-      // manifest version would break the schema-inferring reader
+      // directly) — an empty forest needs no commit (outReps empty implies
+      // prevR was empty too, so the skipped buckets hold no stale lines),
+      // and a zero-file manifest version would break the schema-inferring
+      // reader. When we DO commit, every rBuckets bucket is DECLARED
+      // touched: compression migrates rows to pmod(new cur_label), and a
+      // bucket emptied by that migration would otherwise appear in no
+      // output row, be derived "untouched", and carry its stale
+      // (old_rep, superseded_label) line forward — the multi-stage
+      // decreasing-min merge-chain corruption the 3-batch regression spec
+      // pins.
       if (!outReps.isEmpty)
         graft.core.ManifestTable.commit(
-          s, s"$root/reps", outReps, "bucket", batchId)
+          s, s"$root/reps", outReps, "bucket", batchId,
+          touchedValues = rBuckets.map(_.toString).toSeq)
     }
   }
 }

@@ -37,6 +37,34 @@ class ManifestTableSpec extends SparkSpec {
       Set((0, 10L), (1, 21L), (5, 25L)))
   }
 
+  test("commit: a DECLARED touched partition with no replacement rows drops its lines") {
+    // the bucket-migration shape (ClusterIndex reps): a rewrite moves every
+    // row OUT of bucket 1; without the declaration the commit would derive
+    // bucket 1 untouched and carry its stale file forward
+    val root = tmpDir("graft_manifest_declared") + "/t"
+    ManifestTable.commit(spark, root,
+      part(Seq((0, 10L), (1, 11L)).toDF("k", "v")), "bucket", batchId = 0L)
+    // rows that WOULD have lived in bucket 1 migrate to bucket 2; bucket 1
+    // is declared touched and must come back empty
+    ManifestTable.commit(spark, root,
+      Seq((6, 61L)).toDF("k", "v").withColumn("bucket", lit(2)),
+      "bucket", batchId = 1L, touchedValues = Seq("1", "2"))
+    assert(rows(ManifestTable.read(spark, root).get) == Set((0, 10L), (6, 61L)),
+      "stale lines of the emptied declared partition survived")
+    // time travel still sees the pre-delete snapshot
+    assert(rows(ManifestTable.readVersion(spark, root, 0L)) ==
+      Set((0, 10L), (1, 11L)))
+    // an undeclared disjoint partition is untouched as before
+    assert(ManifestTable.read(spark, root).get
+      .filter(col("bucket") === 0).count() == 1L)
+    // '|' and '/' in a declared value refuse loudly
+    intercept[IllegalArgumentException] {
+      ManifestTable.commit(spark, root,
+        Seq((0, 1L)).toDF("k", "v").withColumn("bucket", lit(0)),
+        "bucket", batchId = 2L, touchedValues = Seq("a|b"))
+    }
+  }
+
   test("zone maps: footer stats prune files by value interval; carry-forward keeps them; conservative without stats") {
     val root = tmpDir("graft_manifest_zone") + "/t"
     // buckets with DISJOINT v ranges: bucket b holds v in [100b, 100b+9]

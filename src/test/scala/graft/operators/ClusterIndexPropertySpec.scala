@@ -19,8 +19,10 @@ class ClusterIndexPropertySpec extends SparkSpec {
     g.pureApply(Gen.Parameters.default, Seed(seed))
 
   // a batch-count + a batch assignment for each of the first `n` docs
+  // (k from 3 so every sampled geometry can host a ≥3-stage merge chain —
+  // the regime where the round-12 reps carry-forward bug lived)
   private def geometryGen(n: Int): Gen[(Int, List[Int])] = for {
-    k <- Gen.choose(2, 4)
+    k <- Gen.choose(3, 6)
     assign <- Gen.listOfN(n, Gen.choose(0, k - 1))
   } yield (k, assign)
 
@@ -48,6 +50,66 @@ class ClusterIndexPropertySpec extends SparkSpec {
       val got = ClusterIndex.labels(spark, root)
       assert(got.exceptAll(truth).isEmpty && truth.exceptAll(got).isEmpty,
         s"geometry seed=$seed (k=$k): streamed labels diverge from batch CC")
+    }
+  }
+
+  test("regression: a reps bucket emptied by compression migration drops its stale lines") {
+    // The round-12 judge repro: exact-duplicate texts arriving with
+    // DECREASING minima across 3 batches. Batch 1 superseded label 21 by 5
+    // (reps row (21 -> 5) in bucket pmod(5)); batch 2 remaps 5 -> 2, and
+    // compression rewrites (21 -> 2), (5 -> 2) into bucket pmod(2) — bucket
+    // pmod(5) is now EMPTY. Before the touched-declaration fix, commit
+    // derived touched partitions from written data only, carried bucket
+    // pmod(5)'s stale (21 -> 5) line forward, and labels() emitted ids 33
+    // and 21 twice (clusters 2 AND 5).
+    import spark.implicits._
+    val text = (1 to 30).map(i => s"tok$i").mkString(" ")
+    def batch(ids: Long*) =
+      ids.map(i => (i, text)).toDF("doc_id", "text")
+    val root = tmpDir("st19_regress")
+    ClusterIndex.mergeBatch(s"$root/index", root, batch(33L, 21L), 0L)
+    ClusterIndex.mergeBatch(s"$root/index", root, batch(5L), 1L)
+    ClusterIndex.mergeBatch(s"$root/index", root, batch(2L), 2L)
+    val got = ClusterIndex.labels(spark, root)
+      .select("id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toList
+    assert(got === List((2L, 2L), (5L, 2L), (21L, 2L), (33L, 2L)),
+      s"stale reps row survived bucket migration: $got")
+  }
+
+  test("property: multi-stage decreasing-min merge chains under k in [3,6]") {
+    // Forced ≥3-stage chain geometries the random-assignment property can
+    // miss: one planted duplicate cluster whose arriving ids DECREASE
+    // across batches (every batch supersedes the previous minimum, so
+    // every batch migrates the whole compressed chain to a new bucket),
+    // interleaved with singleton non-dup docs so members stays multi-
+    // bucket. Checked against batch CC over the full pair set.
+    import spark.implicits._
+    val dupText = (1 to 40).map(i => s"dup$i").mkString(" ")
+    for (k <- 3 to 6) {
+      val root = tmpDir(s"st19_chain_$k")
+      // batch b carries duplicate id (100 - 10*b) — strictly decreasing —
+      // plus a unique singleton (1000 + b) with its own text
+      val allIds = scala.collection.mutable.ListBuffer[Long]()
+      for (b <- 0 until k) {
+        val dupId = (100 - 10 * b).toLong
+        val single = (1000 + b).toLong
+        allIds += dupId += single
+        val rows = Seq(
+          (dupId, dupText),
+          (single, (1 to 40).map(i => s"uniq${b}_$i").mkString(" ")))
+        ClusterIndex.mergeBatch(
+          s"$root/index", root, rows.toDF("doc_id", "text"), b.toLong)
+      }
+      val minDup = (100 - 10 * (k - 1)).toLong
+      val got = ClusterIndex.labels(spark, root)
+        .select("id", "cluster_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toList.sorted
+      val want = allIds.toList.map { id =>
+        if (id < 1000L) (id, minDup) else (id, id)
+      }.sorted
+      assert(got === want,
+        s"k=$k decreasing-min chain: got $got, want $want")
     }
   }
 
