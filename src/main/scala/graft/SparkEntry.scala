@@ -2242,8 +2242,13 @@ object SparkEntry {
       "hits AS (SELECT method, u.query_id, CAST(count(*) AS BIGINT) AS n_hits FROM u " +
       "JOIN exact ON u.query_id = exact.query_id AND u.neighbor_id = exact.neighbor_id " +
       "GROUP BY 1, 2), " +
+      // the query AXIS is the LITERAL id list (the Spark side enumerates
+      // its queryIds argument, emitting zero-recall rows for ids absent
+      // from embeddings) — deriving it from DISTINCT exact rows would
+      // report a spurious missing-row mismatch instead of surfacing an
+      // absent id as zero recall on both sides
       "b AS (SELECT m.method, q.query_id FROM (VALUES ('lsh'), ('ivf'), ('binary'), ('hier')) m(method), " +
-      "(SELECT DISTINCT query_id FROM exact) q) " +
+      "(VALUES (CAST(0 AS BIGINT)), (1), (2)) q(query_id)) " +
       "SELECT b.method, b.query_id, CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits, " +
       "CAST(coalesce(hits.n_hits, 0) * 1000000 // 10 AS BIGINT) AS recall_micro " +
       "FROM b LEFT JOIN hits ON b.method = hits.method AND b.query_id = hits.query_id"
@@ -3289,8 +3294,9 @@ object SparkEntry {
         "SELECT t.doc_id, t.source, t.n_tokens FROM tok t JOIN r ON t.source = r.source " +
         "WHERE CAST(('0x' || substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE) " +
         "/ 4294967296.0 < r.rate"),
-    // p9: sqrt micro-quantized once, then integer targets and p4's rate +
-    // hash keep rule verbatim.
+    // p9: sqrt micro-quantized once, then the share in DOUBLE (share =
+    // w_micro/w_total ≤ 1 BEFORE × budget — the integer product would wrap
+    // Long past 2^63 at real budgets) and p4's rate + hash keep rule.
     "p9_temperature_mixture" ->
       ("WITH tok AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens " +
         "FROM documents), " +
@@ -3299,7 +3305,8 @@ object SparkEntry {
         "CAST(floor(sqrt(CAST(domain_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS w_micro FROM tot), " +
         "s AS (SELECT CAST(sum(w_micro) AS BIGINT) AS w_total FROM w), " +
         "r AS (SELECT source, least(1.0, " +
-        "CAST((26000 * w_micro) // w_total AS DOUBLE) / domain_tokens) AS rate FROM w, s) " +
+        "CAST(w_micro AS DOUBLE) / CAST(w_total AS DOUBLE) " +
+        "* CAST(26000 AS DOUBLE) / CAST(domain_tokens AS DOUBLE)) AS rate FROM w, s) " +
         "SELECT t.doc_id, t.source, t.n_tokens FROM tok t JOIN r ON t.source = r.source " +
         "WHERE CAST(('0x' || substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE) " +
         "/ 4294967296.0 < r.rate"),

@@ -58,13 +58,15 @@ object StatsPlanner {
   }
 
   /** Equi-join `left` and `right` with the BUILD SIDE chosen from the
-    * ANALYZE artifact: the side whose recorded `n_rows` is smaller AND
-    * under `broadcastRows` is broadcast; if neither qualifies (or either
-    * table lacks stats), no hint is issued and Spark's own planning
-    * decides. This is the "first plan" decision CBO makes from metastore
-    * stats, applied to path-based tables — and unlike a hardcoded
-    * `broadcast(dim)` it FLIPS when the artifact says the other side is
-    * now the small one (spec-pinned).
+    * ANALYZE artifact: with stats on BOTH sides, the side whose recorded
+    * `n_rows` is smaller AND under `broadcastRows` is broadcast; with
+    * stats on ONE side only, that side is broadcast iff its own evidence
+    * says it fits (the un-analyzed side is never guessed about); with no
+    * stats on either side, no hint is issued and Spark's own planning
+    * (AQE included) decides. This is the "first plan" decision CBO makes
+    * from metastore stats, applied to path-based tables — and unlike a
+    * hardcoded `broadcast(dim)` it FLIPS when the artifact says the other
+    * side is now the small one (spec-pinned).
     */
   def statsJoin(
       spark: SparkSession,

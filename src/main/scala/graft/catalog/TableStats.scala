@@ -208,10 +208,6 @@ object TableStats {
         (df.schema, df.collect().toIndexedSeq)
       }
     }
-    // wait for completion, not for a deadline: an arbitrary cap would be a
-    // silent scale ceiling (a 100 TB table's sketch can legitimately run
-    // long, and the job would keep running detached after the timeout
-    // anyway) — failure surfaces through the job's own exception
     // unbounded wait in 60 s slices WITH a diagnostic: the overall
     // semantics stay "wait for completion, not a deadline" (an arbitrary
     // cap would be a silent scale ceiling), but a hung FS call now names

@@ -1138,12 +1138,18 @@ object TextAnalysis {
       .agg(sum(col("n_tokens")).as("domain_tokens"))
     val weighted = totals.withColumn("w_micro",
       expr("CAST(floor(sqrt(CAST(domain_tokens AS DOUBLE)) * 1000000) AS BIGINT)"))
+    // rate in DOUBLE throughout: budget × w_micro in Long wraps past 2^63
+    // (a ~1e10-token budget over million-token domains — exactly the
+    // large-corpus regime this operator targets), and the oracle's BIGINT
+    // would error rather than wrap. share = w_micro/w_total first (≤ 1),
+    // then × budget / domain_tokens — left-associated, correctly-rounded
+    // IEEE ops in the same order on both engines, so bitwise-replayable.
     val rates = weighted
       .crossJoin(broadcast(weighted.select(sum("w_micro").as("w_total"))))
       .withColumn("rate",
         least(lit(1.0),
-          expr(s"CAST(${budgetTokens}L * w_micro div w_total AS DOUBLE)")
-            / col("domain_tokens")))
+          expr("CAST(w_micro AS DOUBLE) / CAST(w_total AS DOUBLE) " +
+            s"* CAST(${budgetTokens}L AS DOUBLE) / CAST(domain_tokens AS DOUBLE)")))
       .select(col(domainCol), col("rate"))
     tok.join(broadcast(rates), domainCol)
       .filter(

@@ -1196,6 +1196,13 @@ object EventsStream {
       filterSql: String,
       queryName: String = "graft_cluster_maintain_stream"): Long = {
     val ss = streamSession(spark)
+    // st19 stages AT LEAST 3 micro-batches: the reps carry-forward bug
+    // class (a bucket emptied by compression migration) needs a ≥3-stage
+    // decreasing-min merge chain to surface, so a 2-batch replay gates a
+    // geometry that cannot exercise it. Local override — the 3-file
+    // staging is keyed separately, other doc-staged entries keep theirs.
+    ss.conf.set(ReplayFilesConf,
+      math.max(3, ss.conf.get(ReplayFilesConf, "2").toInt).toString)
     val ckpt = tempDir("graft_cluster_ckpt_")
     val q = readDocsStaged(ss, dir, filterSql)
       .writeStream
@@ -1224,12 +1231,24 @@ object EventsStream {
     * log-structured table format makes for append-mostly event data.
     * Exactly-once: the commit's batch-id fence (a redelivered batch is a
     * no-op), same as st8/st14. Returns micro-batches absorbed.
+    *
+    * END-OF-RUN OPTIMIZE (U8, the same move the four index-maintenance
+    * loops make with U7): one `part=b<id>` partition per micro-batch is
+    * exactly the unbounded partition-count growth
+    * [[graft.core.ManifestTable.optimizeRewritePartitions]] was built to
+    * stop — after the replay drains, all lineage partitions fold into one
+    * `part=opt` partition, range-clustered on `ts_micros` (the primary
+    * zone-map column) so per-file (min, max) stay near-disjoint and file
+    * skipping survives the rewrite. Fence, snapshot isolation and time
+    * travel are preserved by the fold (unit-pinned in ManifestTableSpec);
+    * the gated st18/st18b range reads run post-fold.
     */
   def zoneMapIngestReplay(
       spark: SparkSession,
       dir: String,
       root: String,
-      queryName: String = "graft_zonemap_ingest_stream"): Long = {
+      queryName: String = "graft_zonemap_ingest_stream",
+      foldTargetBytes: Long = graft.core.Compaction.DefaultTargetBytes): Long = {
     val ss = streamSession(spark)
     val ckpt = tempDir("graft_zm_ckpt_")
     val q = readEventsStaged(ss, dir)
@@ -1255,6 +1274,10 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // end-of-run U8 fold (scaladoc above): collapse the per-batch lineage
+    // partitions, ts-range-clustered; no-op when ≤ 1 partition remains
+    graft.core.ManifestTable.optimizeRewritePartitions(
+      spark, root, "opt", foldTargetBytes)
     batchCount(q)
   }
 

@@ -174,19 +174,33 @@ class EventsStreamSpec extends SparkSpec {
 
   test("streamed zone-map ingest: time-range read skips files; equals the batch range query") {
     val root = tmpDir("graft_spec_st18_zm") + "/t"
-    // 4 time-ordered micro-batches -> 4 near-disjoint ts-range files: the
-    // one-day predicate must provably skip at least one
+    // 4 time-ordered micro-batches; the replay ENDS with the U8 fold, so
+    // the lineage partitions collapse into one `part=opt` partition whose
+    // files are range-clustered on ts_micros. A small fold target forces
+    // ≥ 2 output files at spec scale so skipping stays provable post-fold.
     spark.conf.set(EventsStream.ReplayFilesConf, "4")
     val batches =
-      try EventsStream.zoneMapIngestReplay(spark, sf, root, "graft_spec_zm_ingest")
+      try EventsStream.zoneMapIngestReplay(spark, sf, root,
+        "graft_spec_zm_ingest", foldTargetBytes = 16384L)
       finally spark.conf.set(EventsStream.ReplayFilesConf, "2")
     assert(batches >= 4, s"expected 4 micro-batches, got $batches")
+    // the fold collapsed partition COUNT (the U8 point) but not pruning:
+    // all live files sit in part=opt, the ingest fence is preserved, and
+    // the pre-fold snapshot still time-travels
+    val vNow = graft.core.ManifestTable.currentVersion(spark, root)
+    val (allFiles, _) = graft.core.ManifestTable.readManifest(spark, root, vNow)
+    assert(allFiles.forall(_.startsWith("part=opt/")),
+      s"expected one folded lineage partition, got $allFiles")
+    assert(graft.core.ManifestTable.lastBatch(spark, root) == batches - 1,
+      "the U8 fold advanced the ingest fence")
+    assert(graft.core.ManifestTable.readVersion(spark, root, vNow - 1)
+      .count() > 0, "pre-fold snapshot lost to the fold")
     val lo = 1705363200000000L
     val hi = lo + 86400L * 1000000L
     val (kept, total) = graft.core.ManifestTable.prunedFiles(
       spark, root, "ts_micros", lo, hi)
-    assert(total >= 4 && kept.length < total,
-      s"zone maps skipped nothing: kept ${kept.length} of $total files")
+    assert(total >= 2 && kept.length < total,
+      s"zone maps skipped nothing post-fold: kept ${kept.length} of $total files")
     val got = graft.core.ManifestTable.readPruned(spark, root, "ts_micros", lo, hi)
       .filter(col("ts_micros") >= lo && col("ts_micros") < hi)
       .select("user_id", "ts_micros", "event_id", "event_type", "value_milli")
@@ -199,7 +213,8 @@ class EventsStreamSpec extends SparkSpec {
       "pruned range read diverges from the plain range scan")
 
     // st18b: the SECONDARY zone-map column (event_id, ts-correlated in
-    // the ordered replay) also provably skips files, and the pruned read
+    // the ordered replay — and still correlated AFTER the ts-range-
+    // clustered fold) also provably skips files, and the pruned read
     // equals the plain range scan
     val nEvents = want.unionByName(
       Tables.load(spark, sf, "events").selectExpr(
