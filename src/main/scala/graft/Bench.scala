@@ -136,6 +136,15 @@ object Bench {
     if (selected.exists(_._1 == "p8_training_shards"))
       try SparkEntry.p8ShardsDir(spark, sfDir)
       catch { case _: Throwable => () }
+    // the post-takedown manifest snapshot / tombstoned postings index:
+    // u9 times the snapshot read, d16 the masked search — commit + delete
+    // are ingest-time artifacts
+    if (selected.exists(_._1 == "u9_takedown"))
+      try SparkEntry.u9TableDir(spark, sfDir)
+      catch { case _: Throwable => () }
+    if (selected.exists(_._1 == "d16_index_takedown"))
+      try SparkEntry.d16IndexDir(spark, sfDir)
+      catch { case _: Throwable => () }
     // Deterministic order (hash-Map order varied run to run) and a cold
     // cache per query: otherwise first-touch parquet footer reads and
     // persisted RDDs shared across entries land on whichever query happens

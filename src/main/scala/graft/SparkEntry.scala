@@ -518,6 +518,54 @@ object SparkEntry {
       root
     })
 
+  private val takedownTableMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** u9's artifact: the documents catalog committed as a U5 manifest table
+    * (bucketed by doc id), then a takedown list (`doc_id % 97 = 3` — the
+    * deterministic stand-in for a DMCA/GDPR list) removed through
+    * [[graft.core.ManifestTable.deleteRows]]: anti-join rewrite of ONLY
+    * the touched buckets, emptied buckets dropped via declared-touched,
+    * fence + time travel preserved. The gated read is the post-delete
+    * snapshot, so the gate proves the rewrite, the carry-forward and the
+    * row filter in one key.
+    */
+  def u9TableDir(s: SparkSession, dir: String): String =
+    takedownTableMemo.computeIfAbsent((s, dir), _ => {
+      val root = graft.core.TempDirs.create("graft_u9_takedown") + "/t"
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .withColumn("bucket", pmod(col("doc_id"), lit(8)).cast("int"))
+      graft.core.ManifestTable.commit(s, root, docs, "bucket", 0L)
+      graft.core.ManifestTable.deleteRows(
+        s, root,
+        t(s, dir, "documents").filter(col("doc_id") % 97 === 3)
+          .select("doc_id"),
+        "doc_id")
+      root
+    })
+
+  private val takedownIndexMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** d16's artifact: the stored BM25 postings index with a takedown list
+    * tombstoned ([[graft.operators.Retrieval.deleteFromTextIndex]] —
+    * `doc_id % 97 = 7`). The gated search must equal BM25 over an index
+    * rebuilt from the surviving corpus — scores included, since df/dl/N/
+    * avgdl re-derive from the masked postings (the oracle IS that rebuilt
+    * computation). The absorb is split in two batches so the later U7+
+    * delete fold exercises the multi-partition path in specs.
+    */
+  def d16IndexDir(s: SparkSession, dir: String): String =
+    takedownIndexMemo.computeIfAbsent((s, dir), _ => {
+      val path = graft.core.TempDirs.create("graft_d16_tindex")
+      val docs = t(s, dir, "documents")
+      graft.operators.Retrieval.buildTextIndex(docs, path)
+      graft.operators.Retrieval.deleteFromTextIndex(
+        s, path, docs.filter(col("doc_id") % 97 === 7).select("doc_id"))
+      path
+    })
+
   def st13StatsDir(s: SparkSession, dir: String): String =
     statsStateMemo.computeIfAbsent((s, dir), _ => {
       val path = graft.core.TempDirs.create("graft_st13_stats")
@@ -586,7 +634,11 @@ object SparkEntry {
       // st19 reads the stream-maintained cluster state (st19ClusterDir)
       "st19_cluster_maintain",
       // a29 plans from the persisted ANALYZE relation (a29StatsDir)
-      "a29_stats_join")
+      "a29_stats_join",
+      // u9 reads the post-takedown manifest snapshot (u9TableDir); d16
+      // searches the tombstoned postings index (d16IndexDir) — the build
+      // + delete are ingest-time artifacts, the entries time the read
+      "u9_takedown", "d16_index_takedown")
 
   /** Drop the memoized pipeline stages for one session (all dirs) — lets a
     * bench opt into cold per-query measurement, and unpins the session and
@@ -602,7 +654,8 @@ object SparkEntry {
       g1EdgesMemo, d12MediaMemo, d14MediaMemo, d15MediaMemo, vectorIndexMemo, vectorIndexIncrMemo,
       streamedVectorIndexMemo, streamedTextIndexMemo,
       streamedHeavyHittersMemo, zoneMapTableMemo, statsArtifactMemo,
-      streamedClusterMemo, hierIndexMemo, trainingShardsMemo).foreach { m =>
+      streamedClusterMemo, hierIndexMemo, trainingShardsMemo,
+      takedownTableMemo, takedownIndexMemo).foreach { m =>
       m.keySet.asScala.filter(_._1 eq s).toList
         .foreach(k => Option(m.remove(k)).foreach(graft.core.TempDirs.drop))
     }
@@ -1594,6 +1647,22 @@ object SparkEntry {
     // d7's recursive CTE verbatim.
     "st19_cluster_maintain" -> ((s, dir) =>
       graft.operators.ClusterIndex.labels(s, st19ClusterDir(s, dir))),
+    // u9: row-level takedown through the U5 manifest — the gated read is
+    // the post-delete snapshot (rewrite of touched buckets only, emptied
+    // buckets dropped, fence + time travel preserved; see u9TableDir)
+    "u9_takedown" -> ((s, dir) =>
+      graft.core.ManifestTable.read(s, u9TableDir(s, dir)).get
+        .select("doc_id", "lang", "source", "n_chars")),
+    // d16: BM25 search over the tombstoned postings index ≡ BM25 over an
+    // index rebuilt from the surviving corpus (the oracle recomputes
+    // df/dl/N/avgdl over the filtered corpus — scores must match, not
+    // just result sets)
+    "d16_index_takedown" -> ((s, dir) =>
+      graft.operators.Retrieval.searchTextIndex(
+        s, d16IndexDir(s, dir),
+        t(s, dir, "documents").filter(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"), col("text").as("qtext")),
+        k = 10)),
     // Binary-quantization ANN: 64-bit packed sign signatures (64x smaller
     // than raw vectors), XOR+popcount Hamming scan, bounded shortlist,
     // exact re-rank — the 1-bit memory tier of the index family.
@@ -2152,8 +2221,17 @@ object SparkEntry {
     * .bm25Scores]]). Queries = first 6 distinct tokens of docs 0-4.
     * Emits CTEs ending in `sc` = (query_id, doc_id, score_milli).
     */
-  private def bm25OracleCtes: String =
-    "toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+  private def bm25OracleCtes: String = bm25OracleCtesOver("documents")
+
+  /** The BM25 replay CTEs over an arbitrary corpus RELATION (a table name
+    * or a parenthesized subquery) — the d16 takedown oracle reruns the
+    * identical computation over the filtered corpus, which is exactly the
+    * "rebuilt index" the tombstoned search must match. Queries stay the
+    * full catalog's doc_id < 5 (those ids are never in a takedown list
+    * here, so the two sources coincide).
+    */
+  private def bm25OracleCtesOver(corpus: String): String =
+    s"toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $corpus), " +
       "tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks " +
       "WHERE tok <> '' GROUP BY doc_id, tok), " +
       "dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id), " +
@@ -2216,11 +2294,22 @@ object SparkEntry {
 
   /** k14/st16 oracle: BM25 top-10 per query (score desc, doc_id ties). */
   private def k14OracleSql: String =
-    "WITH " + bm25OracleCtes +
-      " SELECT query_id, doc_id, score_milli, rank FROM " +
+    "WITH " + bm25OracleCtes + bm25RankTail
+
+  private val bm25RankTail: String =
+    " SELECT query_id, doc_id, score_milli, rank FROM " +
       "(SELECT query_id, doc_id, score_milli, row_number() OVER " +
       "(PARTITION BY query_id ORDER BY score_milli DESC, doc_id) AS rank FROM sc) " +
       "WHERE rank <= 10"
+
+  /** d16 oracle: the k14 BM25 replay over the corpus MINUS the takedown
+    * list — the from-scratch rebuild the tombstone-masked search must
+    * equal bitwise (stats recomputed over survivors, not just results
+    * filtered).
+    */
+  private def d16OracleSql: String =
+    "WITH " + bm25OracleCtesOver(
+      "(SELECT * FROM documents WHERE doc_id % 97 <> 7)") + bm25RankTail
 
   /** k16 oracle: recall@10 of each approximate leg against the exact k1
     * truth, composed from the LEGS' OWN oracle SQL verbatim (each embedded
@@ -2266,6 +2355,11 @@ object SparkEntry {
     // st16: the stream-built postings index must answer BM25 identically
     // to k14's inline build — shared oracle, verbatim.
     "st16_bm25_index_maintain" -> k14OracleSql,
+    "d16_index_takedown" -> d16OracleSql,
+    // u9: the post-takedown snapshot is the filtered catalog
+    "u9_takedown" ->
+      ("SELECT doc_id, lang, source, n_chars FROM documents " +
+        "WHERE doc_id % 97 <> 3"),
     // k15: both 20-deep legs replayed (BM25 self-excluded + k1-style
     // cosine over vec_id<5), fused on rank: 1000000 // (60 + rank),
     // final top-10 by (rrf desc, doc_id).

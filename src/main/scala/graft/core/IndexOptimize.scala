@@ -147,26 +147,45 @@ object IndexOptimize {
     * Value-identity (search over folded ≡ search over unfolded) is pinned
     * per artifact in IndexOptimizeSpec; row counts are verified from the
     * same execution via Observation.
+    *
+    * DELETE ABSORB: when `tombstoneIdCol` is set and the artifact carries
+    * [[Tombstones]], the fold's consolidation pass drops tombstoned rows
+    * (anti-join on that column inside the same distributed read) and the
+    * tombstone list is cleared once EVERY relation has been rewritten —
+    * so deleted rows leave disk at the same moment their mask becomes
+    * redundant. With pending tombstones even single-partition relations
+    * fold (skipping one would resurrect its deleted rows the moment the
+    * list cleared). A crash between the rewrites and the clear is safe:
+    * the mask stays, reads stay filtered, the next fold clears it.
     */
   def optimize(
       spark: SparkSession,
       root: String,
       rels: Seq[String],
-      targetBytes: Long = Compaction.DefaultTargetBytes): Seq[RelOptStats] = {
+      targetBytes: Long = Compaction.DefaultTargetBytes,
+      tombstoneIdCol: Option[String] = None): Seq[RelOptStats] = {
     require(targetBytes > 0, "targetBytes must be positive")
     val rootDir = new File(root)
     recover(spark, root, rels) // self-heal a crashed prior swap first
+    val tomb = tombstoneIdCol.flatMap(c =>
+      Tombstones.read(spark, root).map(ts => (c, ts.localCheckpoint(true))))
     val toFold = rels
       .map(r => r -> batchDirs(new File(rootDir, r)))
-      .filter(_._2.size > 1)
-    if (toFold.isEmpty) return Nil
+      .filter { case (_, dirs) =>
+        if (tomb.isDefined) dirs.nonEmpty else dirs.size > 1
+      }
+    if (toFold.isEmpty) {
+      // nothing on disk at all: a pending tombstone list masks nothing
+      if (tomb.isDefined) Tombstones.clear(spark, root)
+      return Nil
+    }
     // marker FIRST (see the crash-ordering argument in the object doc):
     // the ids about to lose their partitions, folded into the running set
     val ids = toFold.flatMap(_._2)
       .map(_.getName.stripPrefix("batch="))
       .filter(_ != FoldedPartition).toSet
     writeMarker(root, foldedBatches(root) ++ ids)
-    toFold.map { case (rel, dirs) =>
+    val stats = toFold.map { case (rel, dirs) =>
       val relDir = new File(rootDir, rel)
       val files = dirs.flatMap(partFiles)
       val bytes = files.map(_.length()).sum
@@ -174,12 +193,24 @@ object IndexOptimize {
       val next = new File(rootDir, rel + "__optnext")
       deleteRecursively(next) // stale leftovers of a crashed prior run
       val obs = Observation()
-      // one distributed pass: read the union, round-robin to the sized
-      // file count (the Compaction rationale — even layout is the point),
-      // write under the consolidated partition of a SIBLING staging dir so
-      // in-flight readers of the live relation never see a half layout
-      spark.read.parquet(relDir.getPath)
-        .drop("batch")
+      // one distributed pass: read the union, drop tombstoned rows (the
+      // delete absorb — same pass, no extra scan), round-robin to the
+      // sized file count (the Compaction rationale — even layout is the
+      // point), write under the consolidated partition of a SIBLING
+      // staging dir so in-flight readers of the live relation never see a
+      // half layout
+      val union = spark.read.parquet(relDir.getPath).drop("batch")
+      val live = tomb match {
+        case Some((c, ts)) =>
+          require(union.columns.contains(c),
+            s"tombstone id column '$c' absent from relation '$rel' — " +
+              "every folded relation must carry it")
+          union.join(
+            org.apache.spark.sql.functions.broadcast(ts),
+            union(c) === ts("id"), "left_anti")
+        case None => union
+      }
+      live
         .observe(obs, count(lit(1)).as("rows"))
         .repartition(nOut)
         .write.mode(SaveMode.Overwrite)
@@ -198,5 +229,9 @@ object IndexOptimize {
           partFiles(new File(relDir, s"batch=$FoldedPartition")).size,
         rows = obs.get("rows").asInstanceOf[Long])
     }
+    // every relation rewritten without the tombstoned rows — the mask is
+    // redundant now; clearing LAST keeps every crash ordering correct
+    if (tomb.isDefined) Tombstones.clear(spark, root)
+    stats
   }
 }

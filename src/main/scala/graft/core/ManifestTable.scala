@@ -2,6 +2,7 @@ package graft.core
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, lit}
 
 /** Minimal manifest-file commit protocol — cross-partition ATOMICITY for
   * multi-partition state rewrites, the property plain `partitionBy(...)
@@ -209,11 +210,40 @@ object ManifestTable {
       require(!v.contains('|') && !v.contains('/'),
         s"declared partition value '$v' must be '|'- and '/'-free")
     }
+    val (stagedParts, newFiles) =
+      stageDataFiles(f, rootPath, touched, partitionCol, next)
+    val touchedParts =
+      (touchedValues.map(v => s"$partitionCol=$v") ++ stagedParts).distinct
+    // 2. the new manifest: carry forward every untouched partition's LINES
+    //    (zone-map suffixes ride along — data files are immutable, so a
+    //    file's stats can never go stale)
+    val carried: Seq[String] = prevState match {
+      case None => Seq.empty
+      case Some((lines, _, _)) =>
+        lines.filterNot(l => touchedParts.exists(tp => l.startsWith(tp + "/")))
+    }
+    publishManifest(spark, root, next,
+      manifestHeader(next, batchId, effStats),
+      carried ++ statLines(spark, rootPath, newFiles, effStats))
+    next
+  }
+
+  /** Stage `touched` as partition-dir data files of version `next`: write
+    * to a version-private staging dir, then move each file under its live
+    * partition dir with a version-prefixed (never-colliding) name. Returns
+    * (partition names staged, relative paths of the new files). Shared by
+    * [[commit]] and [[deleteRows]].
+    */
+  private def stageDataFiles(
+      f: FileSystem,
+      rootPath: Path,
+      touched: DataFrame,
+      partitionCol: String,
+      next: Long): (Seq[String], Seq[String]) = {
     val stage = new Path(rootPath, s"_stage-v$next")
     touched.write.partitionBy(partitionCol).mode("overwrite")
       .parquet(stage.toString)
-    val touchedParts = scala.collection.mutable.ListBuffer[String]()
-    touchedValues.foreach(v => touchedParts += s"$partitionCol=$v")
+    val parts = scala.collection.mutable.ListBuffer[String]()
     val newFiles = scala.collection.mutable.ListBuffer[String]()
     for (partDir <- f.listStatus(stage) if partDir.isDirectory) {
       val partName = partDir.getPath.getName // e.g. bucket=3
@@ -224,7 +254,7 @@ object ManifestTable {
       require(!partName.contains('|'),
         s"partition value '$partName' contains '|' (the manifest stats " +
           "delimiter) — choose a '|'-free partition value")
-      touchedParts += partName
+      parts += partName
       val dest = new Path(rootPath, partName)
       f.mkdirs(dest)
       for (df0 <- f.listStatus(partDir.getPath)
@@ -238,35 +268,31 @@ object ManifestTable {
       }
     }
     f.delete(stage, true)
-    // 2. the new manifest: carry forward every untouched partition's LINES
-    //    (zone-map suffixes ride along — data files are immutable, so a
-    //    file's stats can never go stale)
-    val carried: Seq[String] = prevState match {
-      case None => Seq.empty
-      case Some((lines, _, _)) =>
-        lines.filterNot(l => touchedParts.exists(tp => l.startsWith(tp + "/")))
-    }
-    // 2b. zone maps for the NEW files: exact per-file (min, max) straight
-    //     from the parquet FOOTERS the write just produced — metadata-only
-    //     reads (the a22/a25 footer discipline), no data scan. A column
-    //     whose footer carries no usable stats gets empty fields (readers
-    //     keep the file conservatively); a file with no stats at all gets
-    //     a bare line. The single-long-column case keeps the original U5
-    //     line and header format byte-for-byte.
-    val newLines =
-      if (effStats.isEmpty) newFiles.toList
-      else newFiles.toList.map { rel =>
-        val stats = footerStatsAll(spark, new Path(rootPath, rel), effStats)
-        if (stats.forall(_.isEmpty)) rel
-        else rel + stats.map {
-          case Some((mn, mx)) => s"|$mn|$mx"
-          case None => "||"
-        }.mkString
-      }
-    publishManifest(spark, root, next,
-      manifestHeader(next, batchId, effStats), carried ++ newLines)
-    next
+    (parts.toList, newFiles.toList)
   }
+
+  /** Manifest lines for freshly-staged files: exact per-file (min, max)
+    * for the registered zone-map columns straight from the parquet FOOTERS
+    * the write just produced — metadata-only reads (the a22/a25 footer
+    * discipline), no data scan. A column whose footer carries no usable
+    * stats gets empty fields (readers keep the file conservatively); a
+    * file with no stats at all gets a bare line. The single-long-column
+    * case keeps the original U5 line and header format byte-for-byte.
+    */
+  private def statLines(
+      spark: SparkSession,
+      rootPath: Path,
+      newFiles: Seq[String],
+      effStats: Seq[(String, String)]): Seq[String] =
+    if (effStats.isEmpty) newFiles
+    else newFiles.map { rel =>
+      val stats = footerStatsAll(spark, new Path(rootPath, rel), effStats)
+      if (stats.forall(_.isEmpty)) rel
+      else rel + stats.map {
+        case Some((mn, mx)) => s"|$mn|$mx"
+        case None => "||"
+      }.mkString
+    }
 
   private def manifestHeader(
       version: Long, batchId: Long, statsCols: Seq[(String, String)]): String =
@@ -658,6 +684,82 @@ object ManifestTable {
     publishManifest(spark, root, next,
       manifestHeader(next, batchId, statsCols), newLines.toList)
     Some(OptimizeStats(newPartName, rels.size, newLines.size))
+  }
+
+  final case class DeleteStats(
+      partitionsRewritten: Int, partitionsEmptied: Int, rowsDeleted: Long)
+
+  /** ROW-LEVEL DELETE — the takedown path (DMCA, GDPR, opt-out lists:
+    * routine in corpus curation, and the one rewrite shape U1–U8 lacked):
+    * remove every row whose `keyCol` appears in `keys`, publishing the
+    * result as a new manifest version in one atomic rename.
+    *
+    *  - Only partitions that actually CONTAIN matching rows are rewritten
+    *    (detected by one broadcast semi-join over the current snapshot);
+    *    untouched partitions carry their files — and zone maps — forward.
+    *  - A partition whose every row is deleted is DECLARED touched, so its
+    *    stale lines drop even though no replacement file lands (the same
+    *    machinery bucketed-state commits use).
+    *  - Snapshot isolation + time travel: pre-delete versions read back
+    *    exactly as committed until [[vacuum]] retires them — which is also
+    *    the REAL deletion point for the bytes; a takedown that must purge
+    *    physically is deleteRows + vacuum(keepVersions = 1).
+    *  - The ingest FENCE is preserved (same batch id, like [[optimize]]):
+    *    a delete is not an ingest, and a redelivered ingest batch must
+    *    still no-op after it. Re-running the same delete is a no-op by
+    *    value (no matching rows remain → None).
+    *
+    * `keys` is broadcast — takedown lists are small by contract (a delete
+    * set rivaling the corpus is a rewrite job, not a takedown). Returns
+    * None when no row matches.
+    */
+  def deleteRows(
+      spark: SparkSession,
+      root: String,
+      keys: DataFrame,
+      keyCol: String): Option[DeleteStats] = {
+    val rootPath = new Path(root)
+    val f = fs(spark, rootPath)
+    val v = currentVersion(spark, root)
+    require(v >= 0, s"no committed version under $root")
+    val (lines, batchId, statsCols) = readManifestLines(spark, root, v)
+    val partitionCol = lines.headOption
+      .map(_.split('|')(0).takeWhile(_ != '='))
+      .getOrElse(return None) // zero-file snapshot: nothing to delete
+    val ks = keys.select(col(keyCol)).distinct().localCheckpoint(true)
+    val snap = readVersion(spark, root, v)
+    val touchedVals = snap
+      .join(broadcast(ks), Seq(keyCol), "left_semi")
+      .select(col(partitionCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    if (touchedVals.isEmpty) return None
+    val touchedNames = touchedVals.map(tv => s"$partitionCol=$tv")
+    // survivors of the touched partitions only (anti-join), counted in the
+    // same pass; the write re-derives the partition dirs it came from
+    val obs = org.apache.spark.sql.Observation()
+    val inTouched = snap
+      .filter(col(partitionCol).cast("string").isin(touchedVals: _*))
+      .observe(obs, org.apache.spark.sql.functions.count(lit(1)).as("n_in"))
+    val survivors = inTouched
+      .join(broadcast(ks), Seq(keyCol), "left_anti")
+    val next = v + 1
+    val (stagedParts, newFiles) =
+      stageDataFiles(f, rootPath, survivors, partitionCol, next)
+    val emptied = touchedNames.diff(stagedParts)
+    val carried = lines.filterNot(l =>
+      touchedNames.exists(tp => l.startsWith(tp + "/")))
+    // SAME batch id: a delete must not advance the ingest fence
+    publishManifest(spark, root, next,
+      manifestHeader(next, batchId, statsCols),
+      carried ++ statLines(spark, rootPath, newFiles, statsCols))
+    val nIn = obs.get("n_in").asInstanceOf[Long]
+    val nKept = if (newFiles.isEmpty) 0L
+      else spark.read.option("basePath", root)
+        .parquet(newFiles.map(nf => s"$root/$nf"): _*).count()
+    Some(DeleteStats(
+      partitionsRewritten = stagedParts.size,
+      partitionsEmptied = emptied.size,
+      rowsDeleted = nIn - nKept))
   }
 
   /** Physical deletion of data files no RETAINED version needs: "live" is

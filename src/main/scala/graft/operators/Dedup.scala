@@ -358,9 +358,23 @@ object Dedup {
       delta.sparkSession.catalog.refreshByPath(s"$index/$rel"))
   }
 
+  /** DELETE documents from the stored dedup index ([[graft.core
+    * .Tombstones]]): a taken-down doc must stop surfacing as a near-dup
+    * pair endpoint immediately. O(|takedown list|) now, physical at the
+    * next [[optimizeIndex]].
+    */
+  def deleteFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      index: String,
+      ids: DataFrame,
+      idCol: String = "doc_id",
+      batchId: String = "takedown"): Unit =
+    graft.core.Tombstones.add(spark, index, ids, idCol, batchId)
+
   /** OPTIMIZE the stored dedup index: fold the accumulated `batch=*`
     * absorb partitions of sets/bands into one consolidated partition each
-    * ([[graft.core.IndexOptimize]]). Physical re-layout only — the
+    * ([[graft.core.IndexOptimize]]), dropping tombstoned docs in the same
+    * pass (the delete absorb). Physical re-layout only otherwise — the
     * incremental dedup reads the union of rows and never the batch
     * column, so results are value-identical (spec-pinned).
     */
@@ -370,7 +384,8 @@ object Dedup {
       targetBytes: Long = graft.core.Compaction.DefaultTargetBytes)
       : Seq[graft.core.IndexOptimize.RelOptStats] =
     graft.core.IndexOptimize.optimize(
-      spark, index, Seq("sets", "bands"), targetBytes)
+      spark, index, Seq("sets", "bands"), targetBytes,
+      tombstoneIdCol = Some("id"))
 
   /** Shared index-batch writer: sets/bands land under `batch=<id>` hive
     * partitions (Overwrite scoped to that partition dir), so both the base
@@ -411,9 +426,15 @@ object Dedup {
       bands: Int = 16,
       verifyBroadcast: Option[Boolean] = None): DataFrame =
     incrementalCore(
-      // project away the batch partition column the absorb layout adds
-      spark.read.parquet(s"$indexPath/sets").select("id", "sh"),
-      spark.read.parquet(s"$indexPath/bands").select("id", "band", "key"),
+      // project away the batch partition column the absorb layout adds;
+      // tombstoned (taken-down) docs are masked out of BOTH relations, so
+      // a deleted doc can neither seed a candidate pair nor survive verify
+      graft.core.Tombstones.filterLive(
+        spark.read.parquet(s"$indexPath/sets").select("id", "sh"),
+        indexPath, "id"),
+      graft.core.Tombstones.filterLive(
+        spark.read.parquet(s"$indexPath/bands").select("id", "band", "key"),
+        indexPath, "id"),
       delta, textCol, idCol, threshold, shingleWords, numHashes, bands,
       verifyBroadcast)
 

@@ -213,10 +213,29 @@ object Retrieval {
     batch.sparkSession.catalog.refreshByPath(s"$path/postings")
   }
 
+  /** DELETE documents from the stored text index ([[graft.core
+    * .Tombstones]]): O(|takedown list|) now, physical at the next
+    * [[optimizeTextIndex]]. Because EVERY BM25 statistic (df, dl, N,
+    * avgdl) re-derives from the postings relation at query time,
+    * anti-joining the mask before aggregation makes the post-delete
+    * search value-identical to an index rebuilt from the surviving
+    * corpus — scores included, not just the result set (spec-pinned;
+    * Lucene's soft-deletes serve stale df/N until merge, this serves
+    * exact ones immediately).
+    */
+  def deleteFromTextIndex(
+      spark: SparkSession,
+      path: String,
+      ids: DataFrame,
+      idCol: String = "doc_id",
+      batchId: String = "takedown"): Unit =
+    graft.core.Tombstones.add(spark, path, ids, idCol, batchId)
+
   /** OPTIMIZE the stored postings: fold accumulated `batch=*` absorb
     * partitions into one consolidated partition ([[graft.core
-    * .IndexOptimize]]). BM25 stats re-derive from the row union, so the
-    * search is value-identical post-fold (spec-pinned).
+    * .IndexOptimize]]), dropping tombstoned documents' rows in the same
+    * pass (the delete absorb). BM25 stats re-derive from the row union,
+    * so the search is value-identical post-fold (spec-pinned).
     */
   def optimizeTextIndex(
       spark: SparkSession,
@@ -224,11 +243,13 @@ object Retrieval {
       targetBytes: Long = graft.core.Compaction.DefaultTargetBytes)
       : Seq[graft.core.IndexOptimize.RelOptStats] =
     graft.core.IndexOptimize.optimize(
-      spark, path, Seq("postings"), targetBytes)
+      spark, path, Seq("postings"), targetBytes,
+      tombstoneIdCol = Some("doc_id"))
 
   /** BM25 top-k answered from the STORED postings — value-identical to
-    * [[bm25TopK]] on the same corpus (shared oracle): df/dl/corpus stats
-    * re-derive from the postings relation by aggregation, so the search
+    * [[bm25TopK]] on the same corpus minus any tombstoned documents
+    * (shared oracle): df/dl/corpus stats re-derive from the postings
+    * relation by aggregation AFTER the tombstone mask, so the search
     * needs no other stored state and never touches raw document text.
     */
   def searchTextIndex(
@@ -237,8 +258,9 @@ object Retrieval {
       queries: DataFrame,
       k: Int = 10,
       nTerms: Int = 6): DataFrame = {
-    val postings = spark.read.parquet(s"$path/postings")
-      .select("doc_id", "tok", "tf")
+    val postings = graft.core.Tombstones.filterLive(
+      spark.read.parquet(s"$path/postings").select("doc_id", "tok", "tf"),
+      path, "doc_id")
     rankTopKMilli(bm25Scores(postings, queryTerms(queries, nTerms)), k)
   }
 }

@@ -191,11 +191,27 @@ object VectorIndex {
     absorb(corpus.sparkSession, path, corpus, "base", m, dim)
   }
 
+  /** DELETE vectors from the stored index — the FAISS `remove_ids` analog
+    * ([[graft.core.Tombstones]]): O(|takedown list|) now (every search
+    * anti-joins the mask before candidate selection, so results equal an
+    * index absorbed from the surviving vectors only — spec-pinned), and
+    * the rows leave disk at the next [[optimize]], which folds the
+    * tombstones physically and clears the list.
+    */
+  def delete(
+      spark: SparkSession,
+      path: String,
+      ids: DataFrame,
+      idCol: String = "vec_id",
+      batchId: String = "takedown"): Unit =
+    graft.core.Tombstones.add(spark, path, ids, idCol, batchId)
+
   /** OPTIMIZE the per-vector relations (assign/codes/sigs): fold the
     * accumulated `batch=*` absorb partitions into one consolidated
     * partition each ([[graft.core.IndexOptimize]] — physical re-layout
     * only; searches are batch-agnostic, so results are value-identical,
-    * spec-pinned). Quantizer relations are bounded and never folded.
+    * spec-pinned), dropping any tombstoned rows in the same pass (the
+    * delete absorb). Quantizer relations are bounded and never folded.
     */
   def optimize(
       spark: SparkSession,
@@ -203,7 +219,8 @@ object VectorIndex {
       targetBytes: Long = graft.core.Compaction.DefaultTargetBytes)
       : Seq[graft.core.IndexOptimize.RelOptStats] =
     graft.core.IndexOptimize.optimize(
-      spark, path, Seq("assign", "codes", "sigs"), targetBytes)
+      spark, path, Seq("assign", "codes", "sigs"), targetBytes,
+      tombstoneIdCol = Some("id"))
 
   /** IVF-PQ top-k answered from the STORED index — value-identical to
     * [[Similarity.ivfPqTopKCosine]] when the index was built from the same
@@ -230,7 +247,8 @@ object VectorIndex {
     val qProbes = Similarity.ivfQueryProbes(v, queryIds, cents, nProbe)
     // the stored per-vector relations; `batch` partition column projected
     // away (partition pruning applies when a caller filters on it)
-    val assign = spark.read.parquet(s"$path/assign").select("id", "cid")
+    val assign = graft.core.Tombstones.filterLive(
+      spark.read.parquet(s"$path/assign").select("id", "cid"), path, "id")
     val codes = spark.read.parquet(s"$path/codes").select("id", "sub", "code")
     val codebook = broadcast(spark.read.parquet(s"$path/codebook"))
     // query LUT (cell-independent): one micro-quantized distance per
@@ -280,7 +298,8 @@ object VectorIndex {
     val v = Similarity.asVectors(embeddings)
     val cents = spark.read.parquet(s"$path/centroids")
     val qProbes = Similarity.ivfQueryProbes(v, queryIds, cents, nProbe)
-    val assign = spark.read.parquet(s"$path/assign").select("id", "cid")
+    val assign = graft.core.Tombstones.filterLive(
+      spark.read.parquet(s"$path/assign").select("id", "cid"), path, "id")
     val cand = broadcast(qProbes).join(assign, "cid")
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id"))
@@ -311,7 +330,8 @@ object VectorIndex {
     requireMeta(spark, path, m, dim)
     val subDim = dim / m
     val v = Similarity.asVectors(embeddings)
-    val sigs = spark.read.parquet(s"$path/sigs").select("id", "sig")
+    val sigs = graft.core.Tombstones.filterLive(
+      spark.read.parquet(s"$path/sigs").select("id", "sig"), path, "id")
     val s1 = Similarity.signatureShortlist(
       sigs, v, queryIds, k * stage1Mult, SigBits, dim)
     val codes = spark.read.parquet(s"$path/codes").select("id", "sub", "code")
@@ -351,7 +371,8 @@ object VectorIndex {
     graft.functions.GraftFunctions.register(spark)
     requireMetaDim(spark, path, dim)
     val v = Similarity.asVectors(embeddings)
-    val sigs = spark.read.parquet(s"$path/sigs").select("id", "sig")
+    val sigs = graft.core.Tombstones.filterLive(
+      spark.read.parquet(s"$path/sigs").select("id", "sig"), path, "id")
     Similarity.rerank(
       Similarity.signatureShortlist(
         sigs, v, queryIds, k * candMult, SigBits, dim),

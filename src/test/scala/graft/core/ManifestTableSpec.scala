@@ -65,6 +65,60 @@ class ManifestTableSpec extends SparkSpec {
     }
   }
 
+  test("deleteRows: takedown rewrites touched partitions only; empties drop; fence + time travel hold") {
+    import org.apache.spark.sql.functions.lit
+    val root = tmpDir("graft_manifest_delete") + "/t"
+    // buckets 0..3 hold k=0..7 (k pmod 4); zone maps on v prove stats
+    // survive the rewrite untouched partitions' carry-forward
+    val data = (0 until 8).map(i => (i, 100L + i))
+    ManifestTable.commit(spark, root, part(data.toDF("k", "v")),
+      "bucket", batchId = 5L, statsCol = Some("v"))
+    // takedown k=1 (bucket 1, partial) and k=2,6 (ALL of bucket 2)
+    val stats = ManifestTable.deleteRows(spark, root,
+      Seq(1, 2, 6).toDF("k"), "k")
+    assert(stats.contains(ManifestTable.DeleteStats(
+      partitionsRewritten = 1, partitionsEmptied = 1, rowsDeleted = 3L)),
+      s"unexpected delete stats: $stats")
+    assert(rows(ManifestTable.read(spark, root).get) ==
+      data.filterNot(d => Set(1, 2, 6)(d._1)).toSet)
+    // untouched buckets carried their FILES (same manifest lines)
+    val (lines1, _) = ManifestTable.readManifest(spark, root, 1L)
+    val (lines0, _) = ManifestTable.readManifest(spark, root, 0L)
+    assert(lines1.filter(_.startsWith("bucket=0/")).toSet ==
+      lines0.filter(_.startsWith("bucket=0/")).toSet,
+      "an untouched partition was rewritten")
+    assert(lines1.forall(!_.startsWith("bucket=2/")),
+      "the fully-emptied partition kept stale lines")
+    // the ingest fence did NOT advance: a redelivered ingest batch still
+    // no-ops, a NEW batch still lands
+    assert(ManifestTable.lastBatch(spark, root) == 5L)
+    // time travel: the pre-delete snapshot is intact until vacuumed
+    assert(rows(ManifestTable.readVersion(spark, root, 0L)) == data.toSet)
+    // zone maps survive on carried files: pruning on v still works
+    val (kept, total) = ManifestTable.prunedFiles(spark, root, "v", 100L, 100L)
+    assert(kept.nonEmpty && kept.length < total)
+    // deleting already-deleted keys is a no-op by value
+    assert(ManifestTable.deleteRows(spark, root,
+      Seq(2, 6).toDF("k"), "k").isEmpty)
+    // physical purge: vacuum(keepVersions=1) removes the pre-delete bytes
+    val purged = ManifestTable.vacuum(spark, root, keepVersions = 1)
+    assert(purged > 0L)
+    intercept[Exception] { // the purged snapshot is gone for good
+      ManifestTable.readVersion(spark, root, 0L).count()
+    }
+    assert(rows(ManifestTable.read(spark, root).get) ==
+      data.filterNot(d => Set(1, 2, 6)(d._1)).toSet)
+    // a table whose snapshot has zero files refuses nothing and returns
+    // None (nothing to delete)
+    val empty = tmpDir("graft_manifest_delete_e") + "/t"
+    ManifestTable.commit(spark, empty,
+      Seq((0, 1L)).toDF("k", "v").withColumn("bucket", lit(0)),
+      "bucket", batchId = 0L)
+    ManifestTable.deleteRows(spark, empty, Seq(0).toDF("k"), "k")
+    assert(ManifestTable.read(spark, empty).get.count() == 0L)
+    assert(ManifestTable.deleteRows(spark, empty, Seq(0).toDF("k"), "k").isEmpty)
+  }
+
   test("zone maps: footer stats prune files by value interval; carry-forward keeps them; conservative without stats") {
     val root = tmpDir("graft_manifest_zone") + "/t"
     // buckets with DISJOINT v ranges: bucket b holds v in [100b, 100b+9]
