@@ -145,6 +145,9 @@ object Bench {
     if (selected.exists(_._1 == "d16_index_takedown"))
       try SparkEntry.d16IndexDir(spark, sfDir)
       catch { case _: Throwable => () }
+    if (selected.exists(_._1 == "u10_schema_evolution"))
+      try SparkEntry.u10TableDir(spark, sfDir)
+      catch { case _: Throwable => () }
     // Deterministic order (hash-Map order varied run to run) and a cold
     // cache per query: otherwise first-touch parquet footer reads and
     // persisted RDDs shared across entries land on whichever query happens

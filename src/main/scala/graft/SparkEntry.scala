@@ -545,6 +545,33 @@ object SparkEntry {
       root
     })
 
+  private val evolutionTableMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** u10's artifact: a lineage-partitioned U5 table whose SECOND ingest
+    * batch arrives with a column the first lacked (`n_chars`) — the
+    * mid-history column add every long-lived table eventually sees. The
+    * manifest records the additively-merged schema; the gated read is the
+    * post-evolution snapshot, so the gate proves the recorded-schema read
+    * and the per-batch null fill (S8's mergeSchema semantics inside U5).
+    */
+  def u10TableDir(s: SparkSession, dir: String): String =
+    evolutionTableMemo.computeIfAbsent((s, dir), _ => {
+      val root = graft.core.TempDirs.create("graft_u10_evolution") + "/t"
+      val docs = t(s, dir, "documents")
+      graft.core.ManifestTable.commit(s, root,
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("lang"))
+          .withColumn("part", lit("b0")),
+        "part", 0L)
+      graft.core.ManifestTable.commit(s, root,
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .withColumn("part", lit("b1")),
+        "part", 1L)
+      root
+    })
+
   private val takedownIndexMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
@@ -638,7 +665,9 @@ object SparkEntry {
       // u9 reads the post-takedown manifest snapshot (u9TableDir); d16
       // searches the tombstoned postings index (d16IndexDir) — the build
       // + delete are ingest-time artifacts, the entries time the read
-      "u9_takedown", "d16_index_takedown")
+      "u9_takedown", "d16_index_takedown",
+      // u10 reads the post-evolution manifest snapshot (u10TableDir)
+      "u10_schema_evolution")
 
   /** Drop the memoized pipeline stages for one session (all dirs) — lets a
     * bench opt into cold per-query measurement, and unpins the session and
@@ -655,7 +684,7 @@ object SparkEntry {
       streamedVectorIndexMemo, streamedTextIndexMemo,
       streamedHeavyHittersMemo, zoneMapTableMemo, statsArtifactMemo,
       streamedClusterMemo, hierIndexMemo, trainingShardsMemo,
-      takedownTableMemo, takedownIndexMemo).foreach { m =>
+      takedownTableMemo, takedownIndexMemo, evolutionTableMemo).foreach { m =>
       m.keySet.asScala.filter(_._1 eq s).toList
         .foreach(k => Option(m.remove(k)).foreach(graft.core.TempDirs.drop))
     }
@@ -1653,6 +1682,12 @@ object SparkEntry {
     "u9_takedown" -> ((s, dir) =>
       graft.core.ManifestTable.read(s, u9TableDir(s, dir)).get
         .select("doc_id", "lang", "source", "n_chars")),
+    // u10: the post-evolution snapshot — batch-0 rows null-fill the
+    // column batch 1 introduced, read under the manifest's recorded
+    // merged schema
+    "u10_schema_evolution" -> ((s, dir) =>
+      graft.core.ManifestTable.read(s, u10TableDir(s, dir)).get
+        .select("doc_id", "lang", "n_chars")),
     // d16: BM25 search over the tombstoned postings index ≡ BM25 over an
     // index rebuilt from the surviving corpus (the oracle recomputes
     // df/dl/N/avgdl over the filtered corpus — scores must match, not
@@ -2360,6 +2395,12 @@ object SparkEntry {
     "u9_takedown" ->
       ("SELECT doc_id, lang, source, n_chars FROM documents " +
         "WHERE doc_id % 97 <> 3"),
+    // u10: per-batch null fill — rows ingested before the column existed
+    // read back NULL
+    "u10_schema_evolution" ->
+      ("SELECT doc_id, lang, " +
+        "CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars " +
+        "FROM documents"),
     // k15: both 20-deep legs replayed (BM25 self-excluded + k1-style
     // cosine over vec_id<5), fused on rank: 1000000 // (60 + rank),
     // final top-10 by (rrf desc, doc_id).

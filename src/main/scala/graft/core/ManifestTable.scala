@@ -60,19 +60,33 @@ object ManifestTable {
     */
   def readManifest(
       spark: SparkSession, root: String, version: Long): (Seq[String], Long) = {
-    val (lines, batch, _) = readManifestLines(spark, root, version)
-    (lines.map(_.split('|')(0)), batch)
+    val st = readManifestLines(spark, root, version)
+    (st.lines.map(_.split('|')(0)), st.batch)
   }
 
-  /** Raw manifest lines (stats suffixes intact) + batch + the registered
-    * zone-map columns as (name, type) pairs, type ∈ {long, string} — the
-    * carry-forward and pruning shape. A single long column is written in
-    * the original `"statsCol"` header (the U5 format pin); N typed columns
-    * use `"statsCols":"a:long,b:string"`; both are read here.
+  /** One version's full manifest state: raw lines (stats suffixes intact),
+    * producing batch id, registered zone-map columns, and the table's
+    * recorded DATA schema (None on tables committed before schema
+    * versioning — those keep the original infer-from-files read).
+    */
+  private final case class ManifestState(
+      lines: Seq[String],
+      batch: Long,
+      statsCols: Seq[(String, String)],
+      schema: Option[org.apache.spark.sql.types.StructType])
+
+  /** Raw manifest lines + batch + the registered zone-map columns as
+    * (name, type) pairs, type ∈ {long, string} — the carry-forward and
+    * pruning shape. A single long column is written in the original
+    * `"statsCol"` header (the U5 format pin); N typed columns use
+    * `"statsCols":"a:long,b:string"`; both are read here. The data schema
+    * travels as `"schemaB64"` (base64 of `StructType.json` — schema JSON
+    * contains quotes and arbitrary names, so it cannot ride inline in the
+    * one-line header).
     */
   private def readManifestLines(
       spark: SparkSession, root: String,
-      version: Long): (Seq[String], Long, Seq[(String, String)]) = {
+      version: Long): ManifestState = {
     val p = new Path(manifestDir(root), s"v$version.json")
     val in = fs(spark, p).open(p)
     val text =
@@ -98,7 +112,13 @@ object ManifestTable {
           .findFirstMatchIn(lines.head).map(c => Seq((c.group(1), "long")))
           .getOrElse(Seq.empty)
       }
-    (lines.tail.filter(_.nonEmpty), batch, statsCols)
+    val schema = "\"schemaB64\":\"([^\"]+)\"".r
+      .findFirstMatchIn(lines.head).map { m =>
+        org.apache.spark.sql.types.DataType.fromJson(new String(
+          java.util.Base64.getDecoder.decode(m.group(1)), "UTF-8"))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+      }
+    ManifestState(lines.tail.filter(_.nonEmpty), batch, statsCols, schema)
   }
 
   /** Read the latest committed version as a DataFrame (partition columns
@@ -118,10 +138,20 @@ object ManifestTable {
     * version's manifest is missing (never committed, or vacuumed away).
     */
   def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
-    val (files, _) = readManifest(spark, root, version)
+    val st = readManifestLines(spark, root, version)
+    val files = st.lines.map(_.split('|')(0))
+    // the recorded data schema (when present) drives the read: files
+    // written before a column was added lack it physically, and parquet
+    // null-fills missing columns under an explicit schema — S8's
+    // mergeSchema semantics without paying schema inference over every
+    // file. Partition columns stay directory-derived via basePath.
+    val reader = st.schema match {
+      case Some(sch) => spark.read.schema(sch)
+      case None => spark.read
+    }
     if (files.isEmpty)
-      spark.read.option("basePath", root).parquet(root).limit(0)
-    else spark.read.option("basePath", root)
+      reader.option("basePath", root).parquet(root).limit(0)
+    else reader.option("basePath", root)
       .parquet(files.map(f => s"$root/$f"): _*)
   }
 
@@ -167,7 +197,7 @@ object ManifestTable {
     val prev = currentVersion(spark, root)
     val prevState =
       if (prev < 0) None else Some(readManifestLines(spark, root, prev))
-    if (prevState.exists(batchId <= _._2)) return prev
+    if (prevState.exists(batchId <= _.batch)) return prev
     // the table's zone-map columns are a property of the TABLE, not of one
     // commit: a second writer registering different columns would leave
     // the manifest with suffixes meaning two different things. Validate
@@ -175,7 +205,7 @@ object ManifestTable {
     // orphan files in live partition dirs. Types come from the committed
     // frame's schema (integer → long stats, string → byte-ordered string
     // stats; anything else refuses loudly — per-column refusal preserved).
-    val prevStats: Seq[(String, String)] = prevState.map(_._3).getOrElse(Nil)
+    val prevStats: Seq[(String, String)] = prevState.map(_.statsCols).getOrElse(Nil)
     val asked: Seq[(String, String)] =
       (statsCol.toSeq ++ statsColumns).distinct.map { c =>
         val field = touched.schema.fields.find(_.name == c).getOrElse(
@@ -190,15 +220,29 @@ object ManifestTable {
               "integer and string columns carry manifest stats")
         }
       }
+    // ADDITIVE zone-map migration: a commit may register a SUPERSET of the
+    // table's columns as long as the existing ones keep their order and
+    // types — appended columns extend the line suffix on the right, so
+    // pre-migration lines (padded with empty fields on read) still align
+    // positionally and simply prune conservatively on the new column until
+    // their files are rewritten. Reordering / retyping / dropping stays a
+    // loud refusal.
     val effStats: Seq[(String, String)] = (asked, prevStats) match {
       case (Nil, p) => p
       case (a, Nil) => a
       case (a, p) =>
-        require(a == p,
+        require(a.startsWith(p),
           s"zone-map column mismatch: table has '${p.map(x => x._1 + ":" + x._2).mkString(",")}', " +
-            s"commit passed '${a.map(x => x._1 + ":" + x._2).mkString(",")}'")
+            s"commit passed '${a.map(x => x._1 + ":" + x._2).mkString(",")}' — " +
+            "only appending new columns is allowed (additive migration)")
         a
     }
+    // the table's recorded DATA schema evolves additively with every
+    // commit (the partition column is directory-derived, never stored)
+    val mergedSchema = evolveSchema(
+      prevState.flatMap(_.schema),
+      org.apache.spark.sql.types.StructType(
+        touched.schema.fields.filterNot(_.name == partitionCol).toSeq))
     val next = prev + 1
     // 1. data files: write the touched partitions into a version-private
     //    staging dir (unique names by construction), then move each file
@@ -219,13 +263,45 @@ object ManifestTable {
     //    file's stats can never go stale)
     val carried: Seq[String] = prevState match {
       case None => Seq.empty
-      case Some((lines, _, _)) =>
-        lines.filterNot(l => touchedParts.exists(tp => l.startsWith(tp + "/")))
+      case Some(st) =>
+        st.lines.filterNot(l => touchedParts.exists(tp => l.startsWith(tp + "/")))
     }
     publishManifest(spark, root, next,
-      manifestHeader(next, batchId, effStats),
+      manifestHeader(next, batchId, effStats, Some(mergedSchema)),
       carried ++ statLines(spark, rootPath, newFiles, effStats))
     next
+  }
+
+  /** ADDITIVE schema evolution: every previously-recorded column must keep
+    * its type (loud refusal on conflict — silent coercion is how a reader
+    * discovers drift three jobs downstream); columns the new commit drops
+    * stay in the table schema (its files simply null-fill them — a column
+    * delete is a rewrite job, not a commit); brand-new columns append in
+    * commit order. All merged fields are nullable: null fill is the whole
+    * point.
+    */
+  private def evolveSchema(
+      prev: Option[org.apache.spark.sql.types.StructType],
+      next: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    prev match {
+      case None => StructType(next.fields.map(_.copy(nullable = true)).toSeq)
+      case Some(p) =>
+        val byName = next.fields.map(f => f.name -> f).toMap
+        p.fields.foreach { pf =>
+          byName.get(pf.name).foreach { nf =>
+            require(nf.dataType == pf.dataType,
+              s"schema evolution conflict on column '${pf.name}': table has " +
+                s"${pf.dataType.simpleString}, commit has " +
+                s"${nf.dataType.simpleString} — additive evolution only")
+          }
+        }
+        val known = p.fieldNames.toSet
+        StructType((p.fields.map(_.copy(nullable = true)) ++
+          next.fields.filterNot(f => known(f.name))
+            .map(_.copy(nullable = true))).toSeq)
+    }
   }
 
   /** Stage `touched` as partition-dir data files of version `next`: write
@@ -295,13 +371,16 @@ object ManifestTable {
     }
 
   private def manifestHeader(
-      version: Long, batchId: Long, statsCols: Seq[(String, String)]): String =
+      version: Long, batchId: Long, statsCols: Seq[(String, String)],
+      schema: Option[org.apache.spark.sql.types.StructType] = None): String =
     s"""{"version":$version,"batch":$batchId""" + (statsCols match {
       case Nil => ""
       case Seq((c, "long")) => s""","statsCol":"$c""""
       case cols =>
         s""","statsCols":"${cols.map(x => x._1 + ":" + x._2).mkString(",")}""""
-    }) + "}"
+    }) + schema.map(sch =>
+      s""","schemaB64":"${java.util.Base64.getEncoder.encodeToString(
+        sch.json.getBytes("UTF-8"))}"""").getOrElse("") + "}"
 
   /** Publish a manifest version: tmp write + ONE rename — the atomic
     * commit point (overwrite=true on the tmp: a stale tmp is a CRASHED
@@ -354,7 +433,8 @@ object ManifestTable {
     val f = fs(spark, rootPath)
     val v = currentVersion(spark, root)
     require(v >= 0, s"no committed version under $root")
-    val (lines, batchId, statsCols) = readManifestLines(spark, root, v)
+    val st = readManifestLines(spark, root, v)
+    val (lines, batchId, statsCols) = (st.lines, st.batch, st.statsCols)
     val byPart = lines.groupBy(_.split('|')(0).takeWhile(_ != '/'))
     val toCompact = byPart.filter(_._2.size > 1)
     if (toCompact.isEmpty) return Nil
@@ -368,7 +448,10 @@ object ManifestTable {
       // read the live files DIRECTLY (no basePath: data columns only —
       // the partition value lives in the directory name, as commit wrote
       // it), rewrite evenly, stage beside the table
-      spark.read.parquet(rels.map(r => s"$root/$r"): _*)
+      (st.schema match { // evolved tables null-fill older files' columns
+        case Some(sch) => spark.read.schema(sch)
+        case None => spark.read
+      }).parquet(rels.map(r => s"$root/$r"): _*)
         .repartition(nOut)
         .write.mode("overwrite").parquet(new Path(stage, partName).toString)
       val dest = new Path(rootPath, partName)
@@ -399,7 +482,8 @@ object ManifestTable {
       toCompact.contains(l.split('|')(0).takeWhile(_ != '/')))
     // SAME batch id: compaction must not advance the ingest fence
     publishManifest(spark, root, next,
-      manifestHeader(next, batchId, statsCols), carried ++ newLines.toList)
+      manifestHeader(next, batchId, statsCols, st.schema),
+      carried ++ newLines.toList)
     stats
   }
 
@@ -530,7 +614,8 @@ object ManifestTable {
     require(preds.nonEmpty, "need at least one zone-map predicate")
     val v = currentVersion(spark, root)
     require(v >= 0, s"no committed version under $root")
-    val (lines, _, statsCols) = readManifestLines(spark, root, v)
+    val st = readManifestLines(spark, root, v)
+    val (lines, statsCols) = (st.lines, st.statsCols)
     val idx = statsCols.map(_._1).zipWithIndex.toMap
     preds.foreach { pr =>
       val reg = statsCols.find(_._1 == pr.column)
@@ -640,7 +725,8 @@ object ManifestTable {
     val f = fs(spark, rootPath)
     val v = currentVersion(spark, root)
     require(v >= 0, s"no committed version under $root")
-    val (lines, batchId, statsCols) = readManifestLines(spark, root, v)
+    val st = readManifestLines(spark, root, v)
+    val (lines, batchId, statsCols) = (st.lines, st.batch, st.statsCols)
     val parts = lines.map(_.split('|')(0).takeWhile(_ != '/')).distinct
     if (parts.size <= 1) return None
     val partitionCol = parts.head.takeWhile(_ != '=')
@@ -650,7 +736,10 @@ object ManifestTable {
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val next = v + 1
     val stage = new Path(rootPath, s"_stage-v$next")
-    val df = spark.read.parquet(rels.map(r => s"$root/$r"): _*)
+    val df = (st.schema match { // evolved tables null-fill older files
+      case Some(sch) => spark.read.schema(sch)
+      case None => spark.read
+    }).parquet(rels.map(r => s"$root/$r"): _*)
     val clustered = statsCols.headOption match {
       case Some((c, _)) => df.repartitionByRange(nOut,
         org.apache.spark.sql.functions.col(c))
@@ -682,7 +771,7 @@ object ManifestTable {
     f.delete(stage, true)
     // SAME batch id: compaction must not advance the ingest fence
     publishManifest(spark, root, next,
-      manifestHeader(next, batchId, statsCols), newLines.toList)
+      manifestHeader(next, batchId, statsCols, st.schema), newLines.toList)
     Some(OptimizeStats(newPartName, rels.size, newLines.size))
   }
 
@@ -722,7 +811,8 @@ object ManifestTable {
     val f = fs(spark, rootPath)
     val v = currentVersion(spark, root)
     require(v >= 0, s"no committed version under $root")
-    val (lines, batchId, statsCols) = readManifestLines(spark, root, v)
+    val st = readManifestLines(spark, root, v)
+    val (lines, batchId, statsCols) = (st.lines, st.batch, st.statsCols)
     val partitionCol = lines.headOption
       .map(_.split('|')(0).takeWhile(_ != '='))
       .getOrElse(return None) // zero-file snapshot: nothing to delete
@@ -750,7 +840,7 @@ object ManifestTable {
       touchedNames.exists(tp => l.startsWith(tp + "/")))
     // SAME batch id: a delete must not advance the ingest fence
     publishManifest(spark, root, next,
-      manifestHeader(next, batchId, statsCols),
+      manifestHeader(next, batchId, statsCols, st.schema),
       carried ++ statLines(spark, rootPath, newFiles, statsCols))
     val nIn = obs.get("n_in").asInstanceOf[Long]
     val nKept = if (newFiles.isEmpty) 0L

@@ -65,6 +65,85 @@ class ManifestTableSpec extends SparkSpec {
     }
   }
 
+  test("schema evolution: additive columns null-fill, old versions time-travel with their own schema, conflicts refuse") {
+    import org.apache.spark.sql.functions.lit
+    val root = tmpDir("graft_manifest_evo") + "/t"
+    // v0: (k, v) in lineage partitions b0 (the st18 append shape — new
+    // batches land beside old files, so mixed schemas actually coexist)
+    ManifestTable.commit(spark, root,
+      Seq((0, 10L), (1, 11L)).toDF("k", "v").withColumn("part", lit("b0")),
+      "part", batchId = 0L)
+    // v1: batch 1 ARRIVES WITH A NEW COLUMN — additive evolution
+    ManifestTable.commit(spark, root,
+      Seq((2, 12L, "x"), (3, 13L, "y")).toDF("k", "v", "extra")
+        .withColumn("part", lit("b1")),
+      "part", batchId = 1L)
+    val now = ManifestTable.read(spark, root).get
+    assert(now.columns.take(3).toSeq == Seq("k", "v", "extra"),
+      s"merged schema drifted: ${now.columns.toSeq}")
+    val got = now.select("k", "extra").collect()
+      .map(r => (r.getInt(0), Option(r.getString(1)))).toSet
+    assert(got == Set((0, None), (1, None), (2, Some("x")), (3, Some("y"))),
+      s"null fill broke: $got")
+    // old-version TIME TRAVEL reads the OLD schema — no phantom column
+    assert(!ManifestTable.readVersion(spark, root, 0L)
+      .columns.contains("extra"))
+    // a commit that DROPS a column keeps it in the table schema (its new
+    // file null-fills) — a column delete is a rewrite job, not a commit
+    ManifestTable.commit(spark, root,
+      Seq((4, "z")).toDF("k", "extra").withColumn("part", lit("b2")),
+      "part", batchId = 2L)
+    val afterDrop = ManifestTable.read(spark, root).get
+    assert(afterDrop.columns.contains("v"))
+    assert(afterDrop.filter(col("k") === 4).select("v")
+      .collect().head.isNullAt(0))
+    // type conflict refuses loudly
+    intercept[IllegalArgumentException] {
+      ManifestTable.commit(spark, root,
+        Seq((5, 1)).toDF("k", "v").withColumn("part", lit("b3")),
+        "part", batchId = 3L) // v was long, now int
+    }
+    // OPTIMIZE on the evolved table null-fills old files in its rewrite
+    // and carries the schema header through
+    ManifestTable.optimizeRewritePartitions(spark, root, "opt")
+    val folded = ManifestTable.read(spark, root).get
+    assert(folded.count() == 5L &&
+      folded.filter(col("extra").isNull).count() == 2L &&
+      folded.filter(col("v").isNull).count() == 1L)
+  }
+
+  test("zone-map additive migration: appended stats column prunes new files, conservative on old; reorder refuses") {
+    import org.apache.spark.sql.functions.lit
+    val root = tmpDir("graft_manifest_zmig") + "/t"
+    ManifestTable.commit(spark, root,
+      Seq((0, 5L, 100L), (1, 6L, 101L)).toDF("k", "v", "w")
+        .withColumn("part", lit("b0")),
+      "part", batchId = 0L, statsCol = Some("v"))
+    // append w to the registration — additive, allowed
+    ManifestTable.commit(spark, root,
+      Seq((2, 7L, 200L), (3, 8L, 201L)).toDF("k", "v", "w")
+        .withColumn("part", lit("b1")),
+      "part", batchId = 1L, statsColumns = Seq("v", "w"))
+    // new column prunes: w in [200, 201] can only be in b1's file; b0's
+    // pre-migration line has no w stats and is kept conservatively
+    val (kept, total) = ManifestTable.prunedFiles(spark, root, "w", 500L, 600L)
+    assert(kept.forall(_.startsWith("part=b0/")) && kept.length < total,
+      s"pre-migration files must be kept conservatively, new ones pruned: $kept")
+    // an interval hitting the new file keeps BOTH files: b1 by its stats,
+    // b0 conservatively (no recorded w)
+    val (kept2, total2) = ManifestTable.prunedFiles(spark, root, "w", 200L, 201L)
+    assert(kept2.length == total2)
+    // the original column still prunes across both generations
+    val (keptV, totalV) = ManifestTable.prunedFiles(spark, root, "v", 7L, 8L)
+    assert(keptV.forall(_.startsWith("part=b1/")) && keptV.length < totalV)
+    // reorder / retype / drop refuse
+    intercept[IllegalArgumentException] {
+      ManifestTable.commit(spark, root,
+        Seq((4, 9L, 300L)).toDF("k", "v", "w").withColumn("part", lit("b2")),
+        "part", batchId = 2L, statsColumns = Seq("w", "v"))
+    }
+  }
+
   test("deleteRows: takedown rewrites touched partitions only; empties drop; fence + time travel hold") {
     import org.apache.spark.sql.functions.lit
     val root = tmpDir("graft_manifest_delete") + "/t"

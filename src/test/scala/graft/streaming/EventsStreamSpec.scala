@@ -237,6 +237,31 @@ class EventsStreamSpec extends SparkSpec {
     assert(gotId.count() > 0)
     assert(gotId.exceptAll(wantId).isEmpty && wantId.exceptAll(gotId).isEmpty,
       "secondary-column pruned read diverges from the plain range scan")
+
+    // EVOLUTION STEP on the live st18 table: a later ingest batch arrives
+    // with an extra column (`ingest_day`) — additive schema evolution
+    // inside the zone-mapped lifecycle: fence advances (it IS an ingest),
+    // old rows null-fill, and time-range planning still works across the
+    // mixed-schema file set
+    import spark.implicits._
+    val preCount = graft.core.ManifestTable.read(spark, root).get.count()
+    graft.core.ManifestTable.commit(spark, root,
+      Seq((9999L, hi + 42L, 999999L, "purchase", 1000L, "2024-01-17"))
+        .toDF("user_id", "ts_micros", "event_id", "event_type",
+          "value_milli", "ingest_day")
+        .withColumn("part", lit(s"b$batches")),
+      "part", batches)
+    assert(graft.core.ManifestTable.lastBatch(spark, root) == batches)
+    val evolved = graft.core.ManifestTable.read(spark, root).get
+    assert(evolved.count() == preCount + 1)
+    assert(evolved.filter(col("ingest_day").isNull).count() == preCount,
+      "pre-evolution rows must null-fill the new column")
+    val newRow = graft.core.ManifestTable
+      .readPruned(spark, root, "ts_micros", hi, hi + 100L)
+      .filter(col("ts_micros") === hi + 42L)
+    assert(newRow.count() == 1 &&
+      newRow.select("ingest_day").collect().head.getString(0) == "2024-01-17",
+      "zone-map planning lost the evolved batch")
   }
 
   test("CDC from the manifest upsert: changelog equals the batch-side snapshot diff; no deletes") {
