@@ -808,7 +808,11 @@ object SparkEntry {
     // footer-only pushdown scan, NDV via the a18 KMV sketch; persisted as a
     // parquet relation and read back — the CBO-input catalog table.
     "a25_table_stats" -> ((s, dir) =>
-      graft.catalog.TableStats.analyzed(s, dir)),
+      // total_bytes stays un-gated (file sizes are not SQL-derivable in
+      // the oracle); the planner consumes it, StatsPlannerSpec pins it
+      graft.catalog.TableStats.analyzed(s, dir)
+        .select("table_name", "column_name", "n_rows", "n_nulls",
+          "min_key", "max_key", "ndv_milli")),
     // Incremental ANALYZE: sketch two disjoint halves of each table
     // independently (as if absorbing two ingest batches), MERGE the
     // mergeable summaries, derive the estimates — must equal the direct

@@ -17,19 +17,29 @@ import org.apache.spark.sql.functions._
   * every downstream join consult the artifact.
   *
   * Decisions are deliberately conservative: a side is only broadcast when
-  * the artifact POSITIVELY says it fits (`n_rows` under the threshold); a
-  * table missing from the artifact is never guessed about — no stats, no
-  * hint, Spark's own planning (AQE included) stays in charge. Stats reads
-  * are bounded: the artifact is one row per (table, column).
+  * the artifact POSITIVELY says it fits — by `total_bytes` under the byte
+  * ceiling when the artifact records it (Spark's own threshold unit), by
+  * `n_rows` under the row ceiling for pre-byte artifacts; a table missing
+  * from the artifact is never guessed about — no stats, no hint, Spark's
+  * own planning (AQE included) stays in charge. Stats reads are bounded:
+  * the artifact is one row per (table, column).
   */
 object StatsPlanner {
 
-  /** Default broadcast ceiling in ROWS — the planner's unit, since that is
-    * what the stats artifact records. Deliberately well under what 10 MB of
+  /** Fallback broadcast ceiling in ROWS — used only for stats artifacts
+    * that predate byte recording. Deliberately well under what 10 MB of
     * typical dimension rows holds, mirroring Spark's own conservative
     * `autoBroadcastJoinThreshold` default.
     */
   val DefaultBroadcastRows: Long = 100000L
+
+  /** Default broadcast ceiling in BYTES — Spark's own threshold unit
+    * (`autoBroadcastJoinThreshold` defaults to 10 MB). When the artifact
+    * records `total_bytes`, the byte ceiling IS the gate: `n_rows` is a
+    * weak proxy for wide rows — a 50k-row table of 5 KB documents is a
+    * 250 MB broadcast the row ceiling would happily approve.
+    */
+  val DefaultBroadcastBytes: Long = 10L * 1024 * 1024
 
   /** Estimated row count for `table` from the persisted ANALYZE artifact at
     * `statsPath`, or None if the table was never analyzed (callers must NOT
@@ -42,6 +52,34 @@ object StatsPlanner {
       .agg(max(col("n_rows")))
       .collect() // one row
     if (rows.isEmpty || rows(0).isNullAt(0)) None else Some(rows(0).getLong(0))
+  }
+
+  /** Estimated on-disk bytes for `table` from the ANALYZE artifact, or
+    * None when the table is absent OR the artifact predates byte recording
+    * (callers fall back to the row ceiling then — additive-evolution
+    * semantics, same as the manifest reader's).
+    */
+  def estimatedBytes(
+      spark: SparkSession, statsPath: String, table: String): Option[Long] = {
+    val df = spark.read.parquet(statsPath)
+    if (!df.columns.contains("total_bytes")) None
+    else {
+      val rows = df.filter(col("table_name") === table)
+        .agg(max(col("total_bytes"))).collect() // one row
+      if (rows.isEmpty || rows(0).isNullAt(0)) None else Some(rows(0).getLong(0))
+    }
+  }
+
+  /** Does the artifact's evidence say this side FITS a broadcast? Byte
+    * evidence decides when present (Spark's own unit); otherwise the row
+    * count under the legacy ceiling. No evidence at all = never fits
+    * (no guessing).
+    */
+  private def fitsBroadcast(
+      rows: Option[Long], bytes: Option[Long],
+      broadcastRows: Long, broadcastBytes: Long): Boolean = bytes match {
+    case Some(b) => b <= broadcastBytes
+    case None => rows.exists(_ <= broadcastRows)
   }
 
   /** Estimated distinct-key count (NDV, from the a25 KMV estimate) for
@@ -58,15 +96,18 @@ object StatsPlanner {
   }
 
   /** Equi-join `left` and `right` with the BUILD SIDE chosen from the
-    * ANALYZE artifact: with stats on BOTH sides, the side whose recorded
-    * `n_rows` is smaller AND under `broadcastRows` is broadcast; with
-    * stats on ONE side only, that side is broadcast iff its own evidence
-    * says it fits (the un-analyzed side is never guessed about); with no
-    * stats on either side, no hint is issued and Spark's own planning
-    * (AQE included) decides. This is the "first plan" decision CBO makes
-    * from metastore stats, applied to path-based tables — and unlike a
-    * hardcoded `broadcast(dim)` it FLIPS when the artifact says the other
-    * side is now the small one (spec-pinned).
+    * ANALYZE artifact: with stats on BOTH sides, prefer to broadcast the
+    * smaller (by rows) side if it FITS ([[fitsBroadcast]] — bytes when
+    * recorded, rows otherwise); if the smaller side is too big to ship
+    * but the larger one fits (narrow-vs-wide, the case a pure row count
+    * gets wrong), broadcast the larger; with stats on ONE side only, that
+    * side is broadcast iff its own evidence fits (the un-analyzed side is
+    * never guessed about); with no stats on either side, no hint is
+    * issued and Spark's own planning (AQE included) decides. This is the
+    * "first plan" decision CBO makes from metastore stats, applied to
+    * path-based tables — and unlike a hardcoded `broadcast(dim)` it FLIPS
+    * when the artifact says the other side is now the small one
+    * (spec-pinned, including the wide-row flip).
     */
   def statsJoin(
       spark: SparkSession,
@@ -77,17 +118,28 @@ object StatsPlanner {
       rightTable: String,
       joinExprs: Column,
       joinType: String = "inner",
-      broadcastRows: Long = DefaultBroadcastRows): DataFrame = {
+      broadcastRows: Long = DefaultBroadcastRows,
+      broadcastBytes: Long = DefaultBroadcastBytes): DataFrame = {
     val lRows = estimatedRows(spark, statsPath, leftTable)
     val rRows = estimatedRows(spark, statsPath, rightTable)
+    val lFits = fitsBroadcast(lRows,
+      estimatedBytes(spark, statsPath, leftTable), broadcastRows, broadcastBytes)
+    val rFits = fitsBroadcast(rRows,
+      estimatedBytes(spark, statsPath, rightTable), broadcastRows, broadcastBytes)
     (lRows, rRows) match {
-      case (Some(l), Some(r)) if r <= l && r <= broadcastRows =>
+      case (Some(l), Some(r)) if r <= l && rFits =>
         left.join(broadcast(right), joinExprs, joinType)
-      case (Some(l), Some(r)) if l < r && l <= broadcastRows =>
+      case (Some(l), Some(r)) if l < r && lFits =>
         broadcast(left).join(right, joinExprs, joinType)
-      case (Some(l), None) if l <= broadcastRows =>
+      // both sides evidenced, the smaller side too big to ship — but the
+      // LARGER side may still fit in bytes (narrow-vs-wide): broadcast it
+      case (Some(l), Some(r)) if r <= l && lFits =>
         broadcast(left).join(right, joinExprs, joinType)
-      case (None, Some(r)) if r <= broadcastRows =>
+      case (Some(l), Some(r)) if l < r && rFits =>
+        left.join(broadcast(right), joinExprs, joinType)
+      case (Some(_), None) if lFits =>
+        broadcast(left).join(right, joinExprs, joinType)
+      case (None, Some(_)) if rFits =>
         left.join(broadcast(right), joinExprs, joinType)
       case _ =>
         left.join(right, joinExprs, joinType)
@@ -107,13 +159,19 @@ object StatsPlanner {
       statsPath: String,
       tables: Seq[(String, DataFrame, Column)],
       base: DataFrame,
-      broadcastRows: Long = DefaultBroadcastRows): DataFrame = {
+      broadcastRows: Long = DefaultBroadcastRows,
+      broadcastBytes: Long = DefaultBroadcastBytes): DataFrame = {
     require(tables.nonEmpty, "orderedJoin needs at least one table")
+    // ordering stays row-driven (selectivity proxy); the broadcast
+    // QUALIFICATION is byte-driven when bytes are recorded (fitsBroadcast)
     val sized = tables.map { case (name, df, cond) =>
-      (name, df, cond, estimatedRows(spark, statsPath, name).getOrElse(Long.MaxValue))
-    }.sortBy { case (name, _, _, n) => (n, name) }
-    sized.foldLeft(base) { case (acc, (_, df, cond, n)) =>
-      if (n <= broadcastRows) acc.join(broadcast(df), cond)
+      val rows = estimatedRows(spark, statsPath, name)
+      val fits = fitsBroadcast(rows,
+        estimatedBytes(spark, statsPath, name), broadcastRows, broadcastBytes)
+      (name, df, cond, rows.getOrElse(Long.MaxValue), fits)
+    }.sortBy { case (name, _, _, n, _) => (n, name) }
+    sized.foldLeft(base) { case (acc, (_, df, cond, _, fits)) =>
+      if (fits) acc.join(broadcast(df), cond)
       else acc.join(df, cond)
     }
   }

@@ -3,6 +3,7 @@ package graft.catalog
 import graft.core.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Table-statistics surface (A25) — the ANALYZE-shaped catalog artifact the
   * reference has no analogue of (its backend delegates all planning to
@@ -232,7 +233,30 @@ object TableStats {
     val stats = spark.createDataFrame(
       spark.sparkContext.parallelize(collected.flatMap(_._2), 1),
       collected.head._1)
-    finalizeStats(stats, k).coalesce(1).write.mode("overwrite").parquet(outPath)
+    // BYTE-aware sizing rides along: per-table on-disk bytes from ONE
+    // filesystem content-summary call each (metadata-only, the unit
+    // Spark's own autoBroadcastJoinThreshold speaks — n_rows is a weak
+    // broadcast proxy for wide rows, the exact case a29's planner would
+    // get wrong). Joined driver-side onto the tiny finalized relation.
+    val bytesDf = spark.createDataFrame(
+      tableOrder.map(t => org.apache.spark.sql.Row(t, tableBytes(spark, dir, t))).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("table_name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("total_bytes",
+          org.apache.spark.sql.types.LongType))))
+    finalizeStats(stats, k)
+      .join(broadcast(bytesDf), Seq("table_name"), "left")
+      .coalesce(1).write.mode("overwrite").parquet(outPath)
+  }
+
+  /** On-disk bytes of one table's backing file/directory — a single
+    * Hadoop content-summary call, no data read.
+    */
+  private def tableBytes(spark: SparkSession, dir: String, table: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(Tables.path(dir, table))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(p).getLength
   }
 
   /** Mergeable per-slice statistics sketch (A26) — the incremental half of

@@ -66,6 +66,48 @@ class StatsPlannerSpec extends SparkSpec {
       s"no-stats-qualify join must not hint a broadcast:\n$logical")
   }
 
+  test("statsJoin: WIDE-row flip — byte evidence vetoes a broadcast the row count would approve") {
+    // wide: FEW rows but ~15 MB of fat strings (over the 10 MB byte
+    // ceiling); thin: MORE rows, well under both ceilings. A row-count
+    // planner broadcasts wide (800 < 5000 rows, both under 100k) — the
+    // 100 TB mistake: shipping megabytes per executor because the row
+    // count looked small. The byte-aware planner must flip to thin.
+    val fixtures = tmpDir("graft_statsplan_wide")
+    val fat = "x" * 20000
+    spark.range(800)
+      .selectExpr("id", s"concat('$fat', CAST(id AS STRING)) AS payload")
+      .coalesce(1).write.mode("overwrite")
+      .option("compression", "uncompressed")
+      .parquet(s"$fixtures/wide.parquet")
+    spark.range(5000).selectExpr("id AS id", "id * 2 AS v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$fixtures/thin.parquet")
+    val out = tmpDir("graft_statsplan_wide_stats") + "/stats"
+    TableStats.analyze(spark, fixtures, out,
+      tables = Seq("wide" -> "id", "thin" -> "id"))
+    assert(StatsPlanner.estimatedBytes(spark, out, "wide")
+      .exists(_ > 10L * 1024 * 1024), "fixture not over the byte ceiling")
+    assert(StatsPlanner.estimatedBytes(spark, out, "thin")
+      .exists(_ < 10L * 1024 * 1024))
+    val wide = spark.read.parquet(s"$fixtures/wide.parquet")
+    val thin = spark.read.parquet(s"$fixtures/thin.parquet")
+    val joined = StatsPlanner.statsJoin(
+      spark, out, wide, "wide", thin, "thin", wide("id") === thin("id"))
+    val p = plan(joined)
+    // thin (the row-count LOSER) is the broadcast side; wide is vetoed
+    assert(p.contains("BroadcastHashJoin") && p.contains("BuildRight"),
+      s"byte evidence must flip the build side to thin:\n$p")
+    // a pre-byte artifact (no total_bytes column) falls back to rows:
+    // wide's 800 rows win the build side again — additive compatibility
+    val legacy = tmpDir("graft_statsplan_wide_legacy") + "/stats"
+    writeStats(legacy, Seq(("wide", "id", 800L, 800L),
+      ("thin", "id", 5000L, 5000L)))
+    assert(StatsPlanner.estimatedBytes(spark, legacy, "wide").isEmpty)
+    val legacyPlan = plan(StatsPlanner.statsJoin(
+      spark, legacy, wide, "wide", thin, "thin", wide("id") === thin("id")))
+    assert(legacyPlan.contains("BuildLeft"),
+      s"row fallback must keep the legacy decision:\n$legacyPlan")
+  }
+
   test("statsJoin wired end-to-end: a real ANALYZE artifact drives a dimension broadcast") {
     // the full loop: ANALYZE the actual tables -> artifact -> join planning
     val out = tmpDir("graft_statsplan_real") + "/stats"
