@@ -148,6 +148,18 @@ object Bench {
     if (selected.exists(_._1 == "u10_schema_evolution"))
       try SparkEntry.u10TableDir(spark, sfDir)
       catch { case _: Throwable => () }
+    if (selected.exists(_._1 == "st20_hier_index_maintain"))
+      try SparkEntry.st20IndexDir(spark, sfDir)
+      catch { case _: Throwable => () }
+    if (selected.exists(_._1 == "d17_pyramid_takedown"))
+      try SparkEntry.d17IndexDir(spark, sfDir)
+      catch { case _: Throwable => () }
+    if (selected.exists(_._1 == "d18_cluster_takedown"))
+      try SparkEntry.d18ClusterDir(spark, sfDir)
+      catch { case _: Throwable => () }
+    if (selected.exists(_._1 == "u11_table_changes"))
+      try SparkEntry.u9TableDir(spark, sfDir)
+      catch { case _: Throwable => () }
     // Deterministic order (hash-Map order varied run to run) and a cold
     // cache per query: otherwise first-touch parquet footer reads and
     // persisted RDDs shared across entries land on whichever query happens

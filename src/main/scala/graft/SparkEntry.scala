@@ -352,8 +352,16 @@ object SparkEntry {
     * (min-label propagation) and d13 (alternating star operations): two
     * distributed algorithms, one answer.
     */
-  private val ccClustersOracleSql: String =
-    "WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+  private val ccClustersOracleSql: String = ccClustersOracleSqlOver("")
+
+  /** [[ccClustersOracleSql]] with the document corpus restricted by
+    * `corpusWhere` — the d18 takedown oracle IS this replay over the
+    * surviving corpus: post-delete cluster state must equal batch CC over
+    * survivors, so the oracle recomputes pairs + reachability there.
+    */
+  private def ccClustersOracleSqlOver(corpusWhere: String): String =
+    "WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t " +
+      s"FROM documents$corpusWhere), " +
       "sh AS (SELECT doc_id, list(DISTINCT s) AS ss, count(DISTINCT s) AS n FROM (" +
       "SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s " +
       "FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)) GROUP BY doc_id), " +
@@ -361,7 +369,7 @@ object SparkEntry {
       "ON a.doc_id < b.doc_id AND len(list_intersect(a.ss, b.ss)) * 1.0 / " +
       "(a.n + b.n - len(list_intersect(a.ss, b.ss))) >= 0.6), " +
       "e AS (SELECT a_id AS src, b_id AS dst FROM p UNION ALL SELECT b_id, a_id FROM p), " +
-      "reach(id, r) AS (SELECT doc_id, doc_id FROM documents " +
+      s"reach(id, r) AS (SELECT doc_id, doc_id FROM documents$corpusWhere " +
       "UNION SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id) " +
       "SELECT id, min(r) AS cluster_id, " +
       "CAST(id = min(r) AS INT) AS is_survivor FROM reach GROUP BY id"
@@ -501,6 +509,29 @@ object SparkEntry {
       root
     })
 
+  private val clusterTakedownMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** d18's artifact: the st19 streamed cluster state with a takedown list
+    * deleted ([[graft.operators.ClusterIndex.delete]] — `doc_id % 13 = 4`):
+    * dead docs tombstoned out of the pair index, affected components'
+    * survivors re-clustered from the stored bands/sets, member rows
+    * rewritten to the new component minima, stale forest rows dropped.
+    * The gated labels must equal batch CC over the surviving corpus — the
+    * oracle is that survivor replay ([[ccClustersOracleSqlOver]]).
+    */
+  def d18ClusterDir(s: SparkSession, dir: String): String =
+    clusterTakedownMemo.computeIfAbsent((s, dir), _ => {
+      val root = graft.core.TempDirs.create("graft_d18_cluster")
+      graft.streaming.EventsStream.clusterMaintainReplay(s, dir, root, "TRUE")
+      graft.operators.ClusterIndex.delete(
+        s"$root/index", root,
+        t(s, dir, "documents").filter(col("doc_id") % 13 === 4)
+          .select("doc_id"),
+        batchId = 1000L)
+      root
+    })
+
   private val trainingShardsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
@@ -516,6 +547,23 @@ object SparkEntry {
         graft.operators.TextAnalysis.packSequences(t(s, dir, "documents")),
         root)
       root
+    })
+
+  private val streamedHierIndexMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** st20's artifact: the embeddings table streamed through
+    * [[graft.streaming.EventsStream.hierIndexMaintainReplay]] — batch 0
+    * builds the pyramid, every later micro-batch runs the exact O(delta)
+    * HNSW-style absorb. absorb ≡ rebuild exactly (spec-pinned), so the
+    * entry shares k18's oracle verbatim.
+    */
+  def st20IndexDir(s: SparkSession, dir: String): String =
+    streamedHierIndexMemo.computeIfAbsent((s, dir), _ => {
+      val path = graft.core.TempDirs.create("graft_st20_hindex")
+      graft.streaming.EventsStream.hierIndexMaintainReplay(
+        s, dir, path, "TRUE")
+      path
     })
 
   private val takedownTableMemo =
@@ -593,6 +641,30 @@ object SparkEntry {
       path
     })
 
+  private val pyramidTakedownMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** d17's artifact: the k18 hierarchical pyramid with a takedown list
+    * deleted ([[graft.operators.HierarchicalIndex.delete]] —
+    * `vec_id % 11 = 3`): dead nodes tombstone-masked out of levels/bands,
+    * affected survivors' edges recomputed from the masked banding, dead
+    * srcs' graph rows physically dropped through the declared-touched
+    * manifest commit. The gated search must equal the layered search over
+    * a pyramid REBUILT from the surviving corpus — the oracle IS that
+    * survivor build ([[k18OracleSqlOver]]).
+    */
+  def d17IndexDir(s: SparkSession, dir: String): String =
+    pyramidTakedownMemo.computeIfAbsent((s, dir), _ => {
+      val path = graft.core.TempDirs.create("graft_d17_hindex")
+      val emb = t(s, dir, "embeddings")
+      graft.operators.HierarchicalIndex.build(emb, path)
+      graft.operators.HierarchicalIndex.delete(s, path,
+        emb.filter(col("vec_id") % 11 =!= 3),
+        emb.filter(col("vec_id") % 11 === 3).select("vec_id"),
+        batchId = 1L, idCol = "vec_id")
+      path
+    })
+
   def st13StatsDir(s: SparkSession, dir: String): String =
     statsStateMemo.computeIfAbsent((s, dir), _ => {
       val path = graft.core.TempDirs.create("graft_st13_stats")
@@ -666,8 +738,18 @@ object SparkEntry {
       // searches the tombstoned postings index (d16IndexDir) — the build
       // + delete are ingest-time artifacts, the entries time the read
       "u9_takedown", "d16_index_takedown",
+      // u11 diffs two committed versions of the u9 artifact
+      "u11_table_changes",
       // u10 reads the post-evolution manifest snapshot (u10TableDir)
-      "u10_schema_evolution")
+      "u10_schema_evolution",
+      // st20 searches the stream-maintained hierarchical pyramid
+      "st20_hier_index_maintain",
+      // d17 searches the post-takedown pyramid (build + delete are
+      // ingest-time artifacts, the entry times the masked layered read)
+      "d17_pyramid_takedown",
+      // d18 reads the post-takedown cluster labels (replay + delete are
+      // ingest-time artifacts)
+      "d18_cluster_takedown")
 
   /** Drop the memoized pipeline stages for one session (all dirs) — lets a
     * bench opt into cold per-query measurement, and unpins the session and
@@ -684,7 +766,9 @@ object SparkEntry {
       streamedVectorIndexMemo, streamedTextIndexMemo,
       streamedHeavyHittersMemo, zoneMapTableMemo, statsArtifactMemo,
       streamedClusterMemo, hierIndexMemo, trainingShardsMemo,
-      takedownTableMemo, takedownIndexMemo, evolutionTableMemo).foreach { m =>
+      takedownTableMemo, takedownIndexMemo, evolutionTableMemo,
+      streamedHierIndexMemo, pyramidTakedownMemo,
+      clusterTakedownMemo).foreach { m =>
       m.keySet.asScala.filter(_._1 eq s).toList
         .foreach(k => Option(m.remove(k)).foreach(graft.core.TempDirs.drop))
     }
@@ -1680,6 +1764,35 @@ object SparkEntry {
     // d7's recursive CTE verbatim.
     "st19_cluster_maintain" -> ((s, dir) =>
       graft.operators.ClusterIndex.labels(s, st19ClusterDir(s, dir))),
+    // d18: row-level takedown from the persisted cluster state — the gated
+    // labels run post-delete and must equal batch CC over the surviving
+    // corpus (relabel + split both exercised by the % 13 dead set)
+    "d18_cluster_takedown" -> ((s, dir) =>
+      graft.operators.ClusterIndex.labels(s, d18ClusterDir(s, dir))),
+    // st20: layered search served from the STREAM-MAINTAINED pyramid —
+    // build at batch 0, exact HNSW-style absorb per later batch; shares
+    // k18's oracle because absorb ≡ rebuild exactly
+    "st20_hier_index_maintain" -> ((s, dir) =>
+      graft.operators.HierarchicalIndex.searchTopKCosine(
+        s, st20IndexDir(s, dir), t(s, dir, "embeddings"), Seq(0L, 1L, 2L))),
+    // d17: row-level takedown from the stored pyramid — the gated search
+    // runs post-delete and must answer exactly like a pyramid rebuilt
+    // from the surviving corpus (the oracle is that survivor build)
+    "d17_pyramid_takedown" -> ((s, dir) =>
+      graft.operators.HierarchicalIndex.searchTopKCosine(
+        s, d17IndexDir(s, dir),
+        t(s, dir, "embeddings").filter(col("vec_id") % 11 =!= 3),
+        Seq(0L, 1L, 2L))),
+    // u11: change-data feed between manifest versions — the incremental
+    // consumer's catch-up read. Across u9's delete version, the NET
+    // removed rows (removed EXCEPT ALL re-added survivors) must be
+    // exactly the takedown list; the oracle is that list from the catalog
+    "u11_table_changes" -> ((s, dir) => {
+      val (added, removed) = graft.core.ManifestTable.changes(
+        s, u9TableDir(s, dir), 0L, 1L)
+      removed.exceptAll(added)
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
     // u9: row-level takedown through the U5 manifest — the gated read is
     // the post-delete snapshot (rewrite of touched buckets only, emptied
     // buckets dropped, fence + time travel preserved; see u9TableDir)
@@ -1921,7 +2034,15 @@ object SparkEntry {
     * replaced by an exact scan of the md5-sampled coarse layer (level ≥ 1
     * iff md5(id) starts '0'), (c) beam 15 per round. Two rounds, top-10.
     */
-  private def k18OracleSql: String = {
+  private def k18OracleSql: String = k18OracleSqlOver("")
+
+  /** [[k18OracleSql]] with the corpus restricted by `corpusWhere` (a
+    * ` WHERE …` clause on the embeddings scan, or "" for the full table) —
+    * the d17 takedown oracle IS the k18 replay over the surviving corpus:
+    * the post-delete pyramid must answer exactly like one built from
+    * survivors, so the oracle builds that survivor pyramid in SQL.
+    */
+  private def k18OracleSqlOver(corpusWhere: String): String = {
     def score(cand: String): String =
       s"SELECT c.query_id, c.id, " +
         "list_sum(list_transform(generate_series(1, 64), i -> av.v[i] * qv.v[i])) / " +
@@ -1939,7 +2060,7 @@ object SparkEntry {
         s"s$r AS (${score(s"e$r")}), " +
         s"v$r AS (SELECT * FROM v${r - 1} UNION ALL SELECT * FROM s$r), "
     "WITH v AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
-      "FROM embeddings), " +
+      s"FROM embeddings$corpusWhere), " +
       "hp AS (SELECT b, d, CASE WHEN substr(md5(CAST(b AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1) < '8' " +
       "THEN 1.0 ELSE -1.0 END AS sign " +
       "FROM generate_series(0, 71) t(b), generate_series(0, 63) u(d)), " +
@@ -2388,6 +2509,12 @@ object SparkEntry {
   private lazy val baseOracleSql: Map[String, String] = Map(
     "k6_beam_search" -> k6OracleSql,
     "k18_hier_topk" -> k18OracleSql,
+    // st20: the stream-maintained pyramid must answer the layered search
+    // identically to a full build — absorb ≡ rebuild, oracle verbatim.
+    "st20_hier_index_maintain" -> k18OracleSql,
+    // d17: the post-takedown pyramid must answer like one rebuilt from
+    // the survivors — k18's replay over the filtered corpus.
+    "d17_pyramid_takedown" -> k18OracleSqlOver(" WHERE vec_id % 11 != 3"),
     "k13_index_incremental" -> k13OracleSql,
     "st15_vector_index_maintain" -> k13OracleSql,
     "k14_bm25_topk" -> k14OracleSql,
@@ -2399,6 +2526,11 @@ object SparkEntry {
     "u9_takedown" ->
       ("SELECT doc_id, lang, source, n_chars FROM documents " +
         "WHERE doc_id % 97 <> 3"),
+    // u11: the net-removed rows across u9's delete version ARE the
+    // takedown list
+    "u11_table_changes" ->
+      ("SELECT doc_id, lang, source, n_chars FROM documents " +
+        "WHERE doc_id % 97 = 3"),
     // u10: per-batch null fill — rows ingested before the column existed
     // read back NULL
     "u10_schema_evolution" ->
@@ -2599,6 +2731,7 @@ object SparkEntry {
     // st19: the streamed union-find state answers the SAME question as d7
     // (any batch split folds to the full-pair-set CC) — identical oracle.
     "st19_cluster_maintain" -> ccClustersOracleSql,
+    "d18_cluster_takedown" -> ccClustersOracleSqlOver(" WHERE doc_id % 13 != 4"),
     // st9: the incrementally-maintained view equals the batch aggregate
     // over the whole stream (st4's totals, as a durable table).
     "st9_running_mv" ->

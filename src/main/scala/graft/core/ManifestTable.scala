@@ -155,6 +155,54 @@ object ManifestTable {
       .parquet(files.map(f => s"$root/$f"): _*)
   }
 
+  /** CHANGE-DATA FEED between two committed versions (the Delta CDF /
+    * Iceberg incremental-read slot, manifest-native): what a downstream
+    * incremental consumer processes to catch up from `fromVersion` to
+    * `toVersion` without re-reading the table. Manifests are complete
+    * snapshots of immutable files, so the diff is exact at FILE level:
+    *
+    *  - `added`   = rows of files in `to` but not `from`;
+    *  - `removed` = rows of files in `from` but not `to`.
+    *
+    * For APPEND commits (the st18 lineage shape) `removed` is empty and
+    * `added` IS the appended rows — the incremental-consumption fast
+    * path. For REWRITE commits (deleteRows / OPTIMIZE / declared-touched
+    * rewrites) rewritten survivors appear on both sides; the NET row
+    * change is the value-level difference — `added EXCEPT ALL removed`
+    * for net inserts, `removed EXCEPT ALL added` for net deletes (an
+    * OPTIMIZE-only version nets to zero both ways, spec-pinned). Both
+    * sides read under `toVersion`'s recorded schema (additive evolution:
+    * the later schema null-fills older files — S8 semantics), so the two
+    * frames are always union/except-compatible.
+    *
+    * Scale shape: one manifest read per endpoint (driver-side set diff of
+    * path lists), then scans restricted to exactly the changed files —
+    * cost tracks the delta, never the table. Versions must both be within
+    * [[vacuum]] retention.
+    */
+  def changes(
+      spark: SparkSession, root: String,
+      fromVersion: Long, toVersion: Long): (DataFrame, DataFrame) = {
+    require(fromVersion <= toVersion,
+      s"changes($fromVersion, $toVersion): versions must ascend")
+    val fromSt = readManifestLines(spark, root, fromVersion)
+    val toSt = readManifestLines(spark, root, toVersion)
+    val fromFiles = fromSt.lines.map(_.split('|')(0)).toSet
+    val toFiles = toSt.lines.map(_.split('|')(0)).toSet
+    def readSubset(files: Seq[String]): DataFrame = {
+      val reader = toSt.schema match {
+        case Some(sch) => spark.read.schema(sch)
+        case None => spark.read
+      }
+      if (files.isEmpty)
+        reader.option("basePath", root).parquet(root).limit(0)
+      else reader.option("basePath", root)
+        .parquet(files.map(f => s"$root/$f"): _*)
+    }
+    (readSubset((toFiles -- fromFiles).toSeq.sorted),
+      readSubset((fromFiles -- toFiles).toSeq.sorted))
+  }
+
   /** Batch id that produced the latest version, or -1 — the exactly-once
     * fence for foreachBatch writers: a redelivered batch id ≤ this is a
     * no-op re-commit.

@@ -8,7 +8,9 @@ import org.apache.spark.sql.functions._
   * `remove_ids` the absorb/OPTIMIZE loop was missing (FAISS has
   * `remove_ids`; Lucene soft-deletes + merge; this is that slot for the
   * `batch=<id>`-partitioned artifacts of [[graft.operators.VectorIndex]],
-  * [[graft.operators.Retrieval]] and [[graft.operators.Dedup]]).
+  * [[graft.operators.Retrieval]], [[graft.operators.Dedup]], and the
+  * levels/bands relations of [[graft.operators.HierarchicalIndex]], whose
+  * `delete` pairs the mask with an exact graph rewrite).
   *
   * A takedown list (DMCA, GDPR, opt-out — routine in corpus curation) must
   * take effect IMMEDIATELY, but the artifacts' data files are immutable

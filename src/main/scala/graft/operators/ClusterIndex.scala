@@ -98,6 +98,163 @@ object ClusterIndex {
     * remap, the members commit no-ops on its fence and the reps commit
     * completes — state converges to exactly the one-crash-free outcome.
     */
+  /** Row-level DELETE from the persisted cluster state (D18 — the
+    * takedown path for the one stateful artifact U9/D16/D17 didn't reach):
+    * post-delete [[labels]] must equal batch CC over the SURVIVING corpus,
+    * exactly. Deleting a document can both RELABEL its component (the dead
+    * doc was the min id) and SPLIT it (the dead doc was a cut vertex), so
+    * affected components re-cluster from real pair evidence:
+    *
+    *  1. the dead ids tombstone out of the MinHash pair index
+    *     ([[Dedup.deleteFromIndex]]) — future [[mergeBatch]] pair
+    *     derivations never resurrect a dead endpoint;
+    *  2. AFFECTED components (those holding a dead doc) are found from the
+    *     dead ids' labels; their labels persist to `_delete/batch=d<id>`
+    *     BEFORE any state commit (the crash anchor — see retry matrix);
+    *  3. surviving members of affected components re-cluster over
+    *     [[Dedup.pairsAmongFromIndex]] (stored bands/sets only — no text,
+    *     no corpus scan; pairs BETWEEN an affected component and the rest
+    *     of the corpus cannot exist, else they'd be one component) and
+    *     their member rows rewrite with rep = new component min, through
+    *     the declared-touched manifest commit (dead rows drop, a
+    *     fully-dead bucket drops its lines);
+    *  4. the forest drops every row pointing at an affected label
+    *     (`cur_label` ∈ deadLabels): affected members now hold DIRECT
+    *     labels, and a stale row could alias a surviving id that becomes
+    *     a label after a split (old_rep = new label) — the one geometry
+    *     that would corrupt reads.
+    *
+    * Invariant preserved for future merges: every member's resolved label
+    * is its component's min surviving id, and new labels have no forest
+    * rows — exactly the state a from-scratch replay over survivors
+    * produces (spec-pinned, relabel + split + cut-vertex geometries).
+    *
+    * Retry matrix (commit order: _delete staging, members, reps; the REPS
+    * fence is the completion marker): crash before staging → full rerun
+    * from intact pre-state; after staging → rerun recomputes the same
+    * deadLabels (scoped overwrite, idempotent); after members commit →
+    * the rerun cannot re-derive deadLabels (dead member rows are gone) so
+    * it READS the staged relation, skips the fenced members commit, and
+    * completes the forest drop; after reps commit → fence no-op.
+    *
+    * Scale shape: dead-label lookup is bucket-pruned point reads; the ONE
+    * corpus-wide touch is a column-pruned (id, rep) scan of `members` to
+    * enumerate affected components — the same cost class as a [[labels]]
+    * read; re-clustering is bounded by affected component sizes, the
+    * rewrite by their buckets.
+    */
+  def delete(
+      index: String,
+      root: String,
+      ids: DataFrame,
+      batchId: Long,
+      nBuckets: Int = DefaultBuckets,
+      idCol: String = "doc_id",
+      threshold: Double = 0.6): Unit = {
+    val s = ids.sparkSession
+    val mLast = graft.core.ManifestTable.lastBatch(s, s"$root/members")
+    val rLast = graft.core.ManifestTable.lastBatch(s, s"$root/reps")
+    require(mLast >= 0, s"no cluster state at $root — run mergeBatch first")
+    if (mLast >= batchId && rLast >= batchId) return // redelivery
+    val dead = ids.select(col(idCol).cast("long").as("id")).distinct()
+      .localCheckpoint(true)
+    if (dead.isEmpty) return
+
+    // 1. pair-index tombstones (idempotent by value)
+    Dedup.deleteFromIndex(s, index, dead, "id", s"d$batchId")
+
+    val stagePath = s"$root/_delete/batch=d$batchId"
+    val repsPrev = graft.core.ManifestTable.read(s, s"$root/reps")
+    val repsMap = repsPrev.map(_.select("old_rep", "cur_label"))
+      .getOrElse(empty(s, repsSchema).select("old_rep", "cur_label"))
+    val stageP = new org.apache.hadoop.fs.Path(stagePath)
+    val staged = stageP
+      .getFileSystem(s.sparkContext.hadoopConfiguration).exists(stageP)
+    val deadLabels: DataFrame = if (mLast >= batchId) {
+      // members landed on a previous attempt: the dead rows are gone —
+      // the staged relation is the only witness of what was affected.
+      // Without a stage, this batch id belonged to an INGEST commit
+      // (merge-free batches leave the reps fence behind the members
+      // fence) — refuse rather than misread the fences as a retry.
+      require(staged,
+        s"delete batch $batchId at $root: members fence is at $mLast with " +
+          "no staged _delete relation — this batch id was used by an " +
+          "ingest; pick one above the members fence")
+      s.read.parquet(stagePath).select("label").localCheckpoint(true)
+    } else {
+      val members = graft.core.ManifestTable.read(s, s"$root/members").get
+      // 2. affected labels from the dead ids (bucket-pruned point reads),
+      //    staged before any commit
+      val deadBuckets = dead
+        .select(pmod(col("id"), lit(nBuckets)).cast("int").as("b"))
+        .distinct().collect().map(_.getInt(0))
+      val labs = members
+        .filter(col("bucket").isin(deadBuckets.map(Integer.valueOf): _*))
+        .join(broadcast(dead), Seq("id"))
+        .select(col("rep"))
+        .join(repsMap.withColumnRenamed("old_rep", "rep"), Seq("rep"), "left")
+        .select(coalesce(col("cur_label"), col("rep")).as("label"))
+        .distinct().localCheckpoint(true)
+      labs.write.mode("overwrite").parquet(stagePath)
+      s.catalog.refreshByPath(s"$root/_delete")
+      if (labs.isEmpty) return // nothing indexed: state untouched
+
+      // 3. re-cluster affected components' survivors from the stored index
+      val affected = members
+        .join(repsMap.withColumnRenamed("old_rep", "rep"), Seq("rep"), "left")
+        .select(col("id"), col("bucket"),
+          coalesce(col("cur_label"), col("rep")).as("label"))
+        .join(broadcast(labs), Seq("label"))
+        .localCheckpoint(true)
+      val survivors = affected
+        .join(broadcast(dead), Seq("id"), "left_anti")
+        .localCheckpoint(true)
+      val pairs = Dedup.pairsAmongFromIndex(
+        s, index, survivors.select("id"), "id", threshold)
+        .select("a_id", "b_id")
+      val cc = Dedup.clusters(survivors.select("id"), pairs)
+        .select(col("id"), col("cluster_id"))
+      val newMembers = survivors.select("id")
+        .join(cc, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("cluster_id"), col("id")).as("rep"),
+          pmod(col("id"), lit(nBuckets)).cast("int").as("bucket"))
+      val mBuckets = affected.select("bucket").distinct()
+        .collect().map(_.getInt(0))
+      val prevInTouched = members
+        .filter(col("bucket").isin(mBuckets.map(Integer.valueOf): _*))
+        .join(broadcast(affected.select("id")), Seq("id"), "left_anti")
+        .select("id", "rep", "bucket")
+      graft.core.ManifestTable.commit(
+        s, s"$root/members", prevInTouched.unionByName(newMembers),
+        "bucket", batchId,
+        touchedValues = mBuckets.sorted.map(_.toString).toSeq)
+      labs
+    }
+
+    // 4. forest drop: every row pointing at an affected label goes (the
+    //    rewritten members hold direct labels; keeping a stale row would
+    //    alias any survivor that became a label in a split)
+    if (repsPrev.isDefined && rLast < batchId) {
+      val reps = repsPrev.get.select("old_rep", "cur_label", "bucket")
+      val dropping = reps
+        .join(broadcast(deadLabels.withColumnRenamed("label", "cur_label")),
+          Seq("cur_label"))
+      val rBuckets = dropping.select("bucket").distinct()
+        .collect().map(_.getInt(0))
+      if (rBuckets.nonEmpty) {
+        val kept = reps
+          .filter(col("bucket").isin(rBuckets.map(Integer.valueOf): _*))
+          .join(broadcast(deadLabels.withColumnRenamed("label", "cur_label")),
+            Seq("cur_label"), "left_anti")
+          .select("old_rep", "cur_label", "bucket")
+        graft.core.ManifestTable.commit(
+          s, s"$root/reps", kept, "bucket", batchId,
+          touchedValues = rBuckets.sorted.map(_.toString).toSeq)
+      }
+    }
+  }
+
   def mergeBatch(
       index: String,
       root: String,

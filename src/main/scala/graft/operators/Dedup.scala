@@ -438,6 +438,44 @@ object Dedup {
       delta, textCol, idCol, threshold, shingleWords, numHashes, bands,
       verifyBroadcast)
 
+  /** Near-dup pairs AMONG a given id set, served ENTIRELY from the stored
+    * index (no document text): band-bucket candidates restricted to `ids`
+    * on both sides, then the exact-Jaccard verify against the stored
+    * shingle sets. Equals [[minHashNearDup]] over those documents (same
+    * persisted bands/sets relations; pair derivation is per-pair
+    * independent, so restricting the id set restricts nothing else).
+    * Tombstoned docs mask out of both relations. The
+    * [[graft.operators.ClusterIndex]] delete path uses this to re-cluster
+    * a taken-down component's survivors — O(|ids| neighborhood), never a
+    * corpus scan.
+    */
+  def pairsAmongFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      ids: DataFrame,
+      idCol: String = "id",
+      threshold: Double = 0.6,
+      verifyBroadcast: Option[Boolean] = None): DataFrame = {
+    val idsD = ids.select(col(idCol).cast("long").as("id")).distinct()
+      .localCheckpoint(true)
+    val bandsR = graft.core.Tombstones.filterLive(
+      spark.read.parquet(s"$indexPath/bands").select("id", "band", "key"),
+      indexPath, "id")
+      .join(broadcast(idsD), Seq("id"))
+    val cand = bandsR.as("x")
+      .join(bandsR.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      .distinct()
+    val sets = graft.core.Tombstones.filterLive(
+      spark.read.parquet(s"$indexPath/sets").select("id", "sh"),
+      indexPath, "id")
+      .join(broadcast(idsD), Seq("id"))
+    verifyJaccard(cand, sets, threshold,
+      resolveVerifyBroadcast(sets, verifyBroadcast))
+  }
+
   /** Shared incremental-dedup core: delta×corpus + delta×delta candidate
     * generation over band-key equi-joins, then exact-Jaccard verify. The
     * corpus arrives as its INDEX relations (computed or read back); only

@@ -29,14 +29,43 @@ import org.apache.spark.sql.functions._
   *    at query time.
   *
   * The index is a K13-style persisted artifact ([[build]] →
-  * levels/graphs/meta relations; [[searchTopKCosine]] only reads). Layer
-  * membership of EXISTING nodes never changes, but a kNN graph's edges are
-  * not frozen under insertion (a new node can displace old ones'
-  * neighbors), so incremental absorption is a periodic REBUILD — the
-  * honest contract for a relational HNSW; SimilaritySpec pins stored ≡
-  * inline so rebuild cost is the k5 build, never a search-path concern.
+  * levels/bands/graphs/meta relations; [[searchTopKCosine]] only reads).
+  *
+  * INCREMENTAL MAINTENANCE ([[absorb]] — closing the round-12 rebuild-only
+  * contract): layer membership of EXISTING nodes never changes (md5
+  * levels), and a node's LSH band keys never change (deterministic in its
+  * vector) — what insertion can change is per-node top-k edge lists. Both
+  * changes are EXACTLY reconstructible from bounded state:
+  *
+  *  - a NEW node's edges = top-k over its co-bucket partners, derived from
+  *    the PERSISTED banding (`bands/level=l`) + the delta's own banding —
+  *    bit-identical to what a from-scratch build computes for that row;
+  *  - an OLD node's rebuilt edges = top-k(stored edges ∪ edges to its
+  *    colliding delta nodes): per-node top-k lists are MERGEABLE under the
+  *    (cos desc, id asc) total order — best-k(A ∪ B) ⊆ best-k(A) ∪ B — so
+  *    only nodes sharing a bucket with the delta are touched, and each
+  *    rewrite reads k stored edges plus its colliders, never its full
+  *    candidate history.
+  *
+  * The one regime where this breaks is a bucket crossing [[Dedup
+  * .capBuckets]]'s cap: sub-salting re-partitions the bucket and old
+  * candidate sets change non-mergeably. `absorb` therefore CHECKS every
+  * touched bucket's post-insert size and REFUSES loudly past the cap —
+  * the staleness monitor: an over-cap refusal IS the rebuild trigger, and
+  * under the check `absorb(build(C), Δ) ≡ build(C ∪ Δ)` holds exactly
+  * (spec-pinned edge-set AND search equality, plus the refusal path).
+  *
+  * Scale shape per absorb: banding the delta is map-only; collider lookup
+  * is one broadcast-semi-join scan of the bands relation (column-pruned;
+  * at 100 TB, bucket it like the ClusterIndex members for point reads);
+  * edge rewrites touch only pmod(src) graph buckets containing affected
+  * or new nodes, committed atomically through the [[graft.core
+  * .ManifestTable]] fence (a redelivered absorb batch no-ops).
   */
 object HierarchicalIndex {
+
+  /** Graph-relation bucket count (pmod(src)) — the manifest rewrite unit. */
+  val GraphBuckets = 32
 
   /** Deterministic level draw: leading-'0' count of md5(id), capped. */
   private def levelCol(maxLevel: Int) =
@@ -45,8 +74,11 @@ object HierarchicalIndex {
          |  length(regexp_extract(md5(CAST(id AS STRING)), '^(0*)', 1))))"""
         .stripMargin).as("level")
 
-  /** Fit and persist the pyramid: levels, one kNN graph per expansion
-    * layer, and the immutable hyperparameters (the K13 meta discipline).
+  /** Fit and persist the pyramid: levels, the PRE-cap banding per layer
+    * (what [[absorb]] derives colliders from), one kNN graph per expansion
+    * layer (a [[graft.core.ManifestTable]] bucketed by pmod(src) — the
+    * absorb rewrite unit), and the immutable hyperparameters (the K13
+    * meta discipline). Build commits as batch 0 of the manifest fence.
     */
   def build(
       corpus: DataFrame,
@@ -56,25 +88,328 @@ object HierarchicalIndex {
       graphKUpper: Int = 8,
       bits: Int = 72,
       bands: Int = 18,
-      dim: Int = 64): Unit = {
+      dim: Int = 64,
+      bucketCap: Int = Dedup.DefaultBucketCap): Unit = {
     require(maxLevel >= 1, "need at least one coarse layer")
     val spark = corpus.sparkSession
     val v = Similarity.asVectors(corpus)
     val levels = v.select(col("id"), levelCol(maxLevel)).localCheckpoint(true)
-    levels.write.mode("overwrite").parquet(s"$path/levels")
+    levels.write.mode("overwrite").parquet(s"$path/levels/batch=base")
     for (l <- 0 until maxLevel) {
       val members = levels.filter(col("level") >= l).select("id")
       val kk = if (l == 0) graphK else graphKUpper
-      Similarity.knnGraph(
-        corpus.join(members, corpus("vec_id") === members("id")).drop("id"),
-        kk, bits, bands, dim)
-        .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
-        .write.mode("overwrite").parquet(s"$path/graph/level=$l")
+      val vL = v.join(members, Seq("id")).localCheckpoint(true)
+      val banded = Dedup.signBands(vL, bits, bands, dim).localCheckpoint(true)
+      banded.write.mode("overwrite").parquet(s"$path/bands/level=$l/batch=base")
+      graft.core.ManifestTable.commit(spark, s"$path/graph/level=$l",
+        Similarity.knnGraphFromBanded(Dedup.capBuckets(banded, bucketCap), vL, kk)
+          .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+          .withColumn("bucket",
+            pmod(col("src"), lit(GraphBuckets)).cast("int")),
+        "bucket", batchId = 0L)
     }
     import spark.implicits._
-    Seq((maxLevel, graphK, graphKUpper, bits, bands, dim))
-      .toDF("max_level", "graph_k", "graph_k_upper", "bits", "bands", "dim")
+    Seq((maxLevel, graphK, graphKUpper, bits, bands, dim, bucketCap))
+      .toDF("max_level", "graph_k", "graph_k_upper", "bits", "bands", "dim",
+        "bucket_cap")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Absorb a delta of NEW vectors into the stored pyramid — O(delta
+    * neighborhood), exactly ≡ a from-scratch [[build]] over the union
+    * (the object doc's mergeability argument), refusing loudly when a
+    * touched LSH bucket would cross the build's `bucketCap` (the rebuild
+    * trigger). `corpus` must contain ALL vectors including the delta's
+    * (searches take the same frame); `delta` holds the new rows only, ids
+    * disjoint from the indexed ones. Exactly-once per `batchId` through
+    * the graph manifests' fence (levels/bands appends are scoped
+    * overwrites, idempotent by construction); commits run top layer first
+    * and level 0 LAST, so the level-0 fence implies the whole absorb
+    * landed.
+    */
+  def absorb(
+      spark: SparkSession,
+      path: String,
+      corpus: DataFrame,
+      delta: DataFrame,
+      batchId: Long): Unit = {
+    require(batchId >= 1, "absorb batch ids start at 1 (build is batch 0)")
+    graft.functions.GraftFunctions.register(spark)
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val maxLevel = meta.getAs[Int]("max_level")
+    val bits = meta.getAs[Int]("bits")
+    val nBands = meta.getAs[Int]("bands")
+    val dim = meta.getAs[Int]("dim")
+    val bucketCap = meta.getAs[Int]("bucket_cap")
+    if (graft.core.ManifestTable.lastBatch(
+        spark, s"$path/graph/level=0") >= batchId) return // redelivery
+    val v = Similarity.asVectors(corpus).localCheckpoint(true)
+    val deltaV = Similarity.asVectors(delta).localCheckpoint(true)
+    if (deltaV.isEmpty) return
+    val deltaLevels = deltaV.select(col("id"), levelCol(maxLevel))
+      .localCheckpoint(true)
+    deltaLevels.write.mode("overwrite")
+      .parquet(s"$path/levels/batch=b$batchId")
+    spark.catalog.refreshByPath(s"$path/levels")
+    for (l <- (maxLevel - 1) to 0 by -1; kkOf = if (l == 0)
+        meta.getAs[Int]("graph_k") else meta.getAs[Int]("graph_k_upper")) {
+      val membersDelta = deltaLevels.filter(col("level") >= l).select("id")
+      if (!membersDelta.isEmpty) {
+        val deltaBand = Dedup.signBands(
+          deltaV.join(membersDelta, Seq("id")), bits, nBands, dim)
+          .localCheckpoint(true)
+        deltaBand.write.mode("overwrite")
+          .parquet(s"$path/bands/level=$l/batch=b$batchId")
+        spark.catalog.refreshByPath(s"$path/bands/level=$l")
+        // colliders: stored band rows sharing a (band, key) bucket with
+        // the delta — one broadcast-semi-join scan of the persisted
+        // banding; distinct dedupes the delta's own rows on a retry
+        // (the stored relation already holds batch=b<id> then)
+        val deltaKeys = deltaBand.select("band", "key").distinct()
+          .localCheckpoint(true)
+        // deleted nodes mask out of the stored banding ([[delete]]'s
+        // tombstones): the absorb's candidate sets — and its cap check —
+        // must see SURVIVORS only, so absorb(delete(I, D), Δ) keeps
+        // matching a build over (corpus − D) ∪ Δ
+        val touched = graft.core.Tombstones.filterLive(
+          spark.read.parquet(s"$path/bands/level=$l")
+            .select("id", "band", "key"), path, "id")
+          .join(broadcast(deltaKeys), Seq("band", "key"))
+          .distinct()
+          .localCheckpoint(true) // delta-neighborhood-bounded
+        // the cap check: a bucket crossing bucketCap re-salts under a
+        // rebuild and old candidate sets stop being mergeable — refuse
+        // with the rebuild instruction instead of silently degrading
+        val over = touched.groupBy("band", "key")
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") > bucketCap)
+          .limit(1).collect()
+        if (over.nonEmpty)
+          throw new IllegalStateException(
+            s"hierarchical index at $path: bucket (band=${over.head.get(0)}, " +
+              s"key=${over.head.get(1)}) holds ${over.head.getLong(2)} " +
+              s"members > bucketCap=$bucketCap after this delta — " +
+              "incremental absorb is exact only below the cap; REBUILD the " +
+              "pyramid for this corpus generation")
+        val deltaIds = membersDelta.localCheckpoint(true)
+        val oldTouched = touched
+          .join(broadcast(deltaIds), Seq("id"), "left_anti")
+        // every (affected old node ↔ colliding delta node) pair, scored
+        // once, consumed by both rewrite directions
+        val colliderPairs = oldTouched.as("o")
+          .join(deltaBand.as("d"),
+            col("o.band") === col("d.band") && col("o.key") === col("d.key"))
+          .select(col("o.id").as("old_id"), col("d.id").as("new_id"))
+          .distinct()
+        val scoredPairs = Similarity.cosineCols(colliderPairs
+          .join(v.select(col("id").as("old_id"), col("v").as("qv")), "old_id")
+          .join(v.select(col("id").as("new_id"), col("v")), "new_id"))
+          .select(col("old_id"), col("new_id"), col("cos"))
+          .localCheckpoint(true)
+        // NEW nodes' edges: top-k over delta×old colliders ∪ delta×delta
+        // co-bucket pairs — exactly the union build's candidate set
+        val ddPairs = deltaBand.as("x")
+          .join(deltaBand.as("y"),
+            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+              col("x.id") =!= col("y.id"))
+          .select(col("x.id").as("query_id"), col("y.id").as("id"))
+          .distinct()
+        val ddScored = Similarity.cosineCols(ddPairs
+          .join(v, "id")
+          .join(v.select(col("id").as("query_id"), col("v").as("qv")), "query_id"))
+          .select(col("query_id"), col("id"), col("cos"))
+        val newScored = scoredPairs
+          .select(col("new_id").as("query_id"), col("old_id").as("id"), col("cos"))
+          .unionByName(ddScored)
+        val newEdges = Similarity.rankTopK(newScored, kkOf)
+          .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+        // AFFECTED old nodes: merge stored top-k with collider scores —
+        // read ONLY the graph buckets holding affected or new srcs
+        val affectedIds = scoredPairs.select(col("old_id").as("id"))
+          .distinct().localCheckpoint(true)
+        val gRoot = s"$path/graph/level=$l"
+        val touchedBuckets = affectedIds
+          .select(pmod(col("id"), lit(GraphBuckets)).cast("int").as("b"))
+          .unionByName(newEdges
+            .select(pmod(col("src"), lit(GraphBuckets)).cast("int").as("b")))
+          .distinct().collect().map(_.getInt(0)) // <= GraphBuckets
+        val storedTouchedG = graft.core.ManifestTable
+          .read(spark, gRoot).get
+          .filter(col("bucket").isin(touchedBuckets.map(Integer.valueOf): _*))
+          .select("src", "dst").localCheckpoint(true)
+        val affStored = storedTouchedG
+          .join(broadcast(affectedIds), storedTouchedG("src") === affectedIds("id"))
+          .select(col("src"), col("dst"))
+        val affStoredScored = Similarity.cosineCols(affStored
+          .join(v.select(col("id").as("src"), col("v").as("qv")), "src")
+          .join(v.select(col("id").as("dst"), col("v")), "dst"))
+          .select(col("src").as("query_id"), col("dst").as("id"), col("cos"))
+        val affNewScored = scoredPairs
+          .select(col("old_id").as("query_id"), col("new_id").as("id"), col("cos"))
+        val affEdges = Similarity.rankTopK(
+          affStoredScored.unionByName(affNewScored), kkOf)
+          .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+        // commit: unaffected rows of touched buckets carry in-frame;
+        // affected rows replaced; new rows appended — fenced per batch
+        val unaffected = storedTouchedG
+          .join(broadcast(affectedIds),
+            storedTouchedG("src") === affectedIds("id"), "left_anti")
+          .select("src", "dst")
+        graft.core.ManifestTable.commit(spark, gRoot,
+          unaffected.unionByName(affEdges).unionByName(newEdges)
+            .withColumn("bucket",
+              pmod(col("src"), lit(GraphBuckets)).cast("int")),
+          "bucket", batchId)
+      }
+    }
+  }
+
+  /** Row-level DELETE from the stored pyramid (the [[graft.core
+    * .Tombstones]] slot for the hierarchical artifact — closing D16's
+    * takedown contract for this index family): post-delete searches must
+    * equal searches over a pyramid REBUILT from the surviving corpus,
+    * exactly. Graphs are rewritten physically; levels/bands rows are
+    * tombstone-masked (every read applies the mask; graph rewrites are the
+    * physical purge for the edge relation).
+    *
+    * Exactness argument (the absorb doc's mirror): a from-scratch build
+    * derives each node's edges from its co-bucket candidates under
+    * [[Dedup.capBuckets]]'s salting, which is a pure function of each
+    * bucket's MEMBERSHIP. Deleting D changes membership only in buckets
+    * holding a dead node, so:
+    *
+    *  - a surviving node whose stored top-k contains NO dead neighbor
+    *    keeps its edges (removing non-top-k candidates can't promote
+    *    anything past rank k);
+    *  - an AFFECTED node (stored edge → dead dst) recomputes its top-k
+    *    from its full co-bucket candidate set over the masked banding,
+    *    salted by [[Dedup.capBuckets]] exactly as the survivor build
+    *    would salt it;
+    *  - a dead node's own rows (edges, band rows, level row) drop — an
+    *    emptied graph bucket drops its manifest lines through the commit's
+    *    declared-touched machinery.
+    *
+    * The one non-mergeable regime, as in [[absorb]]: a DEAD-containing
+    * bucket over the cap was sub-salted at build time with a modulus
+    * derived from its pre-delete size — a survivor rebuild would re-salt
+    * it differently — so `delete` REFUSES loudly there (rebuild trigger).
+    * Buckets without dead members keep their exact membership, so their
+    * (possibly salted) candidate sets replay bit-identically at any size.
+    *
+    * `corpus` must be the SURVIVING vectors (post-delete frame — searches
+    * take the same frame). Exactly-once per `batchId` through the graph
+    * manifests' fence (the tombstone add is idempotent by value); level 0
+    * commits LAST, so its fence implies the whole delete landed.
+    *
+    * Scale shape: O(delete-neighborhood) — dead band rows by broadcast
+    * semi-join, affected srcs from the ≤ GraphBuckets graph partitions
+    * holding dead-or-co-bucket ids, recompute bounded by the affected
+    * nodes' bucket volume (≤ cap per bucket per band); the corpus never
+    * self-joins.
+    */
+  def delete(
+      spark: SparkSession,
+      path: String,
+      corpus: DataFrame,
+      deleteIds: DataFrame,
+      batchId: Long,
+      idCol: String = "id"): Unit = {
+    require(batchId >= 1, "delete batch ids start at 1 (build is batch 0)")
+    graft.functions.GraftFunctions.register(spark)
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val maxLevel = meta.getAs[Int]("max_level")
+    val bucketCap = meta.getAs[Int]("bucket_cap")
+    if (graft.core.ManifestTable.lastBatch(
+        spark, s"$path/graph/level=0") >= batchId) return // redelivery
+    val dead = deleteIds.select(col(idCol).cast("long").as("id")).distinct()
+      .localCheckpoint(true)
+    if (dead.isEmpty) return
+    // mask FIRST (idempotent by value): a crash before the graph rewrite
+    // leaves searches dead-free through the masks; the fence (level 0
+    // still below batchId) redelivers the rewrite
+    graft.core.Tombstones.add(spark, path, dead, "id", s"d$batchId")
+    val v = Similarity.asVectors(corpus)
+    for (l <- (maxLevel - 1) to 0 by -1) {
+      val kk = if (l == 0) meta.getAs[Int]("graph_k")
+        else meta.getAs[Int]("graph_k_upper")
+      val bandsRaw = spark.read.parquet(s"$path/bands/level=$l")
+        .select("id", "band", "key")
+      val deadBand = bandsRaw.join(broadcast(dead), Seq("id"))
+        .localCheckpoint(true)
+      if (!deadBand.isEmpty) {
+        val deadL = deadBand.select("id").distinct().localCheckpoint(true)
+        val touchedKeys = deadBand.select("band", "key").distinct()
+          .localCheckpoint(true)
+        // cap regime check on PRE-delete sizes: an over-cap dead bucket
+        // was salted with a modulus a survivor rebuild won't reproduce
+        val over = bandsRaw
+          .join(broadcast(touchedKeys), Seq("band", "key"))
+          .groupBy("band", "key").agg(count(lit(1)).as("n"))
+          .filter(col("n") > bucketCap)
+          .limit(1).collect()
+        if (over.nonEmpty)
+          throw new IllegalStateException(
+            s"hierarchical index at $path: bucket (band=${over.head.get(0)}, " +
+              s"key=${over.head.get(1)}) holds ${over.head.getLong(2)} " +
+              s"members > bucketCap=$bucketCap and contains a deleted node " +
+              "— its build-time sub-salting is not reconstructible after " +
+              "removal; REBUILD the pyramid from the surviving corpus")
+        val live = graft.core.Tombstones.filterLive(bandsRaw, path, "id")
+          .localCheckpoint(true)
+        // co-bucket survivors of dead nodes: every possibly-affected src
+        val coSurv = live.join(broadcast(touchedKeys), Seq("band", "key"))
+          .select("id").distinct()
+        val gRoot = s"$path/graph/level=$l"
+        val touchedBuckets = coSurv.unionByName(deadL)
+          .select(pmod(col("id"), lit(GraphBuckets)).cast("int").as("b"))
+          .distinct().collect().map(_.getInt(0)) // <= GraphBuckets
+        val storedG = graft.core.ManifestTable.read(spark, gRoot).get
+          .filter(col("bucket").isin(touchedBuckets.map(Integer.valueOf): _*))
+          .select("src", "dst").localCheckpoint(true)
+        // affected = survivors whose stored top-k cites a dead neighbor
+        val affected = storedG
+          .join(broadcast(deadL), storedG("dst") === deadL("id"))
+          .select("src").distinct()
+          .join(broadcast(deadL), col("src") === deadL("id"), "left_anti")
+          .select(col("src").as("id")).localCheckpoint(true)
+        // recompute their top-k over the FULL masked candidate set, salted
+        // exactly as a survivor build would ([[Dedup.capBuckets]] is a
+        // pure function of bucket membership; only whole buckets enter)
+        val affKeys = live.join(broadcast(affected), Seq("id"))
+          .select("band", "key").distinct().localCheckpoint(true)
+        val affBand = live.join(broadcast(affKeys), Seq("band", "key"))
+        val banded = Dedup.capBuckets(affBand, bucketCap)
+        val pairs = banded
+          .select(col("id").as("query_id"), col("band"), col("key"))
+          .join(banded.select(col("id"), col("band"), col("key")),
+            Seq("band", "key"))
+          .filter(col("id") =!= col("query_id"))
+          .select("query_id", "id")
+          .distinct()
+          .join(broadcast(affected.select(col("id").as("query_id"))),
+            Seq("query_id"))
+        val scored = Similarity.cosineCols(pairs
+          .join(v, "id")
+          .join(v.select(col("id").as("query_id"), col("v").as("qv")),
+            "query_id"))
+        val newEdges = Similarity.rankTopK(scored, kk)
+          .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+        // commit: unaffected survivors' rows carry in-frame, affected rows
+        // replaced, dead srcs dropped — every touched bucket DECLARED so a
+        // fully-dead bucket drops its lines
+        val unaffected = storedG
+          .join(broadcast(deadL), storedG("src") === deadL("id"), "left_anti")
+          .join(broadcast(affected), storedG("src") === affected("id"),
+            "left_anti")
+          .select("src", "dst")
+        graft.core.ManifestTable.commit(spark, gRoot,
+          unaffected.unionByName(newEdges)
+            .withColumn("bucket",
+              pmod(col("src"), lit(GraphBuckets)).cast("int")),
+          "bucket", batchId,
+          touchedValues = touchedBuckets.sorted.map(_.toString).toSeq)
+      }
+    }
   }
 
   /** Top-k by cosine from the STORED pyramid. */
@@ -105,9 +440,28 @@ object HierarchicalIndex {
     graft.functions.GraftFunctions.register(spark)
     val meta = spark.read.parquet(s"$path/meta").head()
     val maxLevel = meta.getAs[Int]("max_level")
-    val levels = spark.read.parquet(s"$path/levels")
+    // deleted nodes mask out of every per-row relation BEFORE candidate
+    // selection (the d16 convention): post-[[delete]] the graph is already
+    // physically clean, so the masks are no-op pass-throughs; mid-crash
+    // (tombstones added, rewrite not yet landed) they keep results
+    // dead-free until the fence redelivers the rewrite. The tombstone set
+    // is read ONCE per search (it feeds one levels mask + two per graph
+    // level — seven lazy reads would re-list and re-scan it each time)
+    val tomb = graft.core.Tombstones.read(spark, path)
+      .map(_.localCheckpoint(true))
+    def mask(df: DataFrame, c: String): DataFrame = tomb match {
+      case None => df
+      case Some(ts) => df.join(broadcast(ts), df(c) === ts("id"), "left_anti")
+    }
+    val levels = mask(
+      spark.read.parquet(s"$path/levels").select("id", "level"), "id")
     def graphAt(l: Int): DataFrame = {
-      val out = spark.read.parquet(s"$path/graph/level=$l").select("src", "dst")
+      val out = mask(mask(
+        graft.core.ManifestTable
+          .read(spark, s"$path/graph/level=$l")
+          .getOrElse(throw new IllegalStateException(
+            s"no graph committed at $path/graph/level=$l — build first"))
+          .select("src", "dst"), "src"), "dst")
       out.unionByName(out.select(col("dst").as("src"), col("src").as("dst")))
     }
     searchLayers(embeddings, queryIds, levels, graphAt, maxLevel, k,

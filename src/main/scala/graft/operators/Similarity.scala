@@ -877,7 +877,17 @@ object Similarity {
     // bucket each node still sees ≥ min(B, cap)-1 same-cluster candidates,
     // so its top-k neighbors are as good as the uncapped ones whenever
     // cap > k (cosine ties aside).
-    val banded = Dedup.capBuckets(Dedup.signBands(v, bits, bands, dim), bucketCap)
+    knnGraphFromBanded(
+      Dedup.capBuckets(Dedup.signBands(v, bits, bands, dim), bucketCap), v, k)
+  }
+
+  /** [[knnGraph]]'s pair-generation + scoring + ranking over an ALREADY
+    * banded relation — shared with [[HierarchicalIndex]], whose absorb
+    * path derives candidates from the PERSISTED banding and must produce
+    * bit-identical edges to a from-scratch build.
+    */
+  private[operators] def knnGraphFromBanded(
+      banded: DataFrame, v: DataFrame, k: Int): DataFrame = {
     val pairs = banded.select(col("id").as("query_id"), col("band"), col("key"))
       .join(banded.select(col("id"), col("band"), col("key")), Seq("band", "key"))
       .filter(col("id") =!= col("query_id"))

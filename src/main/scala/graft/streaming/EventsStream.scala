@@ -1219,6 +1219,48 @@ object EventsStream {
     batchCount(q)
   }
 
+  /** st20: streaming maintenance of the hierarchical graph pyramid (the
+    * HNSW twin of [[vectorIndexMaintainReplay]]): micro-batch 0 BUILDS the
+    * pyramid ([[graft.operators.HierarchicalIndex.build]] — batch 0 of the
+    * graph manifests' fence), every later batch runs the exact O(delta)
+    * [[graft.operators.HierarchicalIndex.absorb]] — new nodes link to
+    * their co-bucket neighbors, affected old nodes' top-k lists merge in
+    * their colliders, all under the manifest fence. Because absorb ≡
+    * rebuild EXACTLY (spec-pinned), the maintained pyramid answers
+    * searches identically to one built from the whole corpus — the entry
+    * shares k18's oracle verbatim. Stages ≥ 3 micro-batches so the gated
+    * geometry exercises multi-batch insertion chains. Returns micro-
+    * batches absorbed; the pyramid at `index` is the artifact.
+    */
+  def hierIndexMaintainReplay(
+      spark: SparkSession,
+      dir: String,
+      index: String,
+      filterSql: String,
+      queryName: String = "graft_hier_maintain_stream"): Long = {
+    val ss = streamSession(spark)
+    ss.conf.set(ReplayFilesConf,
+      math.max(3, ss.conf.get(ReplayFilesConf, "2").toInt).toString)
+    val corpus = ss.read.parquet(s"$dir/embeddings.parquet")
+      .filter(expr(filterSql)).localCheckpoint(true)
+    val ckpt = tempDir("graft_hier_ckpt_")
+    val q = readEmbeddingsStaged(ss, dir, filterSql)
+      .writeStream
+      .queryName(queryName)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        if (bid == 0L)
+          graft.operators.HierarchicalIndex.build(batch, index)
+        else
+          graft.operators.HierarchicalIndex.absorb(
+            batch.sparkSession, index, corpus, batch, bid)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    batchCount(q)
+  }
+
   /** st18: streamed APPEND-ONLY ingestion into a zone-mapped manifest
     * table — the event-log lakehouse shape: each arriving micro-batch
     * commits as its own `part=b<id>` partition through the

@@ -382,6 +382,46 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.optimizeRewritePartitions(spark, root, "opt2").isEmpty)
   }
 
+  test("changes: appends feed exactly the new rows; deletes net to the takedown; OPTIMIZE nets to zero") {
+    val root = tmpDir("graft_manifest_cdf") + "/t"
+    ManifestTable.commit(spark, root,
+      part(Seq((0, 10L), (1, 11L), (2, 12L)).toDF("k", "v")), "bucket", 0L)
+    // v1: an append-shaped commit touching only bucket 3
+    ManifestTable.commit(spark, root,
+      part(Seq((3, 13L), (7, 17L)).toDF("k", "v")), "bucket", 1L)
+    val (a1, r1) = ManifestTable.changes(spark, root, 0L, 1L)
+    assert(rows(a1) == Set((3, 13L), (7, 17L)),
+      "append changes must be exactly the new rows")
+    assert(r1.isEmpty, "an append version removes nothing")
+    // v2: delete k=1 (bucket-1 rewrite: survivor k=5 would stay — none
+    // here beyond the rewritten rows)
+    ManifestTable.commit(spark, root,
+      part(Seq((1, 21L), (5, 25L)).toDF("k", "v")), "bucket", 2L)
+    ManifestTable.deleteRows(spark, root, Seq(1).toDF("k"), "k")
+    val (a3, r3) = ManifestTable.changes(spark, root, 2L, 3L)
+    assert(rows(r3.exceptAll(a3)) == Set((1, 21L)),
+      "net-removed across the delete version must be the takedown rows")
+    assert(a3.exceptAll(r3).isEmpty, "a delete nets no inserts")
+    // v4: scatter bucket rows across tasks so OPTIMIZE has files to
+    // collapse — then the feed across the fold must net to zero
+    ManifestTable.commit(spark, root,
+      (0 until 40).map(i => (1 + 4 * (i % 3), i.toLong)).toDF("k", "v")
+        .repartition(8).transform(part),
+      "bucket", 4L)
+    val vPre = ManifestTable.currentVersion(spark, root)
+    ManifestTable.optimize(spark, root)
+    val vPost = ManifestTable.currentVersion(spark, root)
+    assert(vPost == vPre + 1)
+    val (ao, ro) = ManifestTable.changes(spark, root, vPre, vPost)
+    assert(ao.exceptAll(ro).isEmpty && ro.exceptAll(ao).isEmpty,
+      "OPTIMIZE must net to zero row change in the feed")
+    assert(!ao.isEmpty, "the fold did rewrite files")
+    // ascending-version contract
+    intercept[IllegalArgumentException] {
+      ManifestTable.changes(spark, root, 3L, 1L)
+    }
+  }
+
   test("a crashed commit is invisible: readers stay on the last full version, vacuum sweeps the debris") {
     val root = tmpDir("graft_manifest_crash") + "/t"
     ManifestTable.commit(spark, root,

@@ -1,0 +1,171 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** K18 incremental maintenance: the absorb must be EXACTLY a from-scratch
+  * build over the union (edge sets, levels, and search results — the
+  * mergeable-top-k argument in the object doc), idempotent under
+  * redelivery, and must refuse loudly when a touched LSH bucket crosses
+  * the cap (the rebuild trigger).
+  */
+class HierarchicalIndexSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val emb = graft.core.Tables.load(spark, sf, "embeddings")
+    .filter(col("vec_id") < 200).localCheckpoint(true)
+
+  private def graphRows(path: String, l: Int): Set[(Long, Long)] =
+    graft.core.ManifestTable.read(spark, s"$path/graph/level=$l").get
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def levelRows(path: String): Set[(Long, Int)] =
+    spark.read.parquet(s"$path/levels").select("id", "level").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+
+  test("absorb == rebuild: edge sets, levels and search results are bit-identical") {
+    val base = emb.filter(col("vec_id") < 140)
+    val d1 = emb.filter(col("vec_id") >= 140 && col("vec_id") < 170)
+    val d2 = emb.filter(col("vec_id") >= 170)
+    val inc = tmpDir("graft_hier_inc")
+    HierarchicalIndex.build(base, inc, maxLevel = 2)
+    HierarchicalIndex.absorb(spark, inc,
+      emb.filter(col("vec_id") < 170), d1, batchId = 1L)
+    HierarchicalIndex.absorb(spark, inc, emb, d2, batchId = 2L)
+    val full = tmpDir("graft_hier_full")
+    HierarchicalIndex.build(emb, full, maxLevel = 2)
+    assert(levelRows(inc) == levelRows(full), "levels diverge from rebuild")
+    for (l <- 0 until 2) {
+      val (gi, gf) = (graphRows(inc, l), graphRows(full, l))
+      assert(gi == gf,
+        s"level-$l edges diverge: absorbed-only=${(gi -- gf).take(5)}, " +
+          s"rebuilt-only=${(gf -- gi).take(5)}")
+    }
+    val qids = Seq(0L, 1L, 2L)
+    val (ri, bi) = HierarchicalIndex.searchRun(spark, inc, emb, qids, 10)
+    val (rf, bf) = HierarchicalIndex.searchRun(spark, full, emb, qids, 10)
+    assert(bi == bf, s"visited budgets diverge: $bi vs $bf")
+    assert(ri.exceptAll(rf).isEmpty && rf.exceptAll(ri).isEmpty,
+      "search over the absorbed pyramid diverges from the rebuilt one")
+  }
+
+  test("absorb: a redelivered batch no-ops on the manifest fence") {
+    val base = emb.filter(col("vec_id") < 160)
+    val d = emb.filter(col("vec_id") >= 160)
+    val path = tmpDir("graft_hier_retry")
+    HierarchicalIndex.build(base, path)
+    HierarchicalIndex.absorb(spark, path, emb, d, batchId = 1L)
+    val before = graphRows(path, 0)
+    HierarchicalIndex.absorb(spark, path, emb, d, batchId = 1L) // crash-retry
+    assert(graphRows(path, 0) == before, "redelivered absorb mutated the graph")
+    assert(graft.core.ManifestTable.lastBatch(
+      spark, s"$path/graph/level=0") == 1L)
+  }
+
+  test("delete == rebuild over survivors: edges and search results match exactly") {
+    // dead set spans both layers (md5-level draw over the id range) so the
+    // coarse-layer rewrite path runs too
+    val deadIds = Set(3L, 14L, 25L, 36L, 47L, 58L, 69L, 80L)
+    val surv = emb.filter(!col("vec_id").isin(deadIds.toSeq: _*))
+    val path = tmpDir("graft_hier_del")
+    HierarchicalIndex.build(emb, path, maxLevel = 2)
+    HierarchicalIndex.delete(spark, path, surv,
+      emb.filter(col("vec_id").isin(deadIds.toSeq: _*)).select("vec_id"),
+      batchId = 1L, idCol = "vec_id")
+    val ref = tmpDir("graft_hier_surv")
+    HierarchicalIndex.build(surv, ref, maxLevel = 2)
+    for (l <- 0 until 2) {
+      val (gd, gr) = (graphRows(path, l), graphRows(ref, l))
+      assert(gd == gr,
+        s"level-$l edges diverge from the survivor rebuild: " +
+          s"deleted-only=${(gd -- gr).take(5)}, rebuilt-only=${(gr -- gd).take(5)}")
+    }
+    val qids = Seq(0L, 1L, 2L)
+    val (rd, bd) = HierarchicalIndex.searchRun(spark, path, surv, qids, 10)
+    val (rr, br) = HierarchicalIndex.searchRun(spark, ref, surv, qids, 10)
+    assert(bd == br, s"visited budgets diverge: $bd vs $br")
+    assert(rd.exceptAll(rr).isEmpty && rr.exceptAll(rd).isEmpty,
+      "search over the deleted pyramid diverges from the survivor rebuild")
+    assert(rd.filter(col("neighbor_id").isin(deadIds.toSeq: _*)).isEmpty,
+      "a deleted id surfaced in the post-delete search")
+  }
+
+  test("delete: a redelivered batch no-ops on the manifest fence") {
+    val path = tmpDir("graft_hier_del_retry")
+    HierarchicalIndex.build(emb, path)
+    val surv = emb.filter(col("vec_id") =!= 7L)
+    HierarchicalIndex.delete(spark, path, surv,
+      emb.filter(col("vec_id") === 7L).select("vec_id"), 1L, "vec_id")
+    val before = graphRows(path, 0)
+    HierarchicalIndex.delete(spark, path, surv,
+      emb.filter(col("vec_id") === 7L).select("vec_id"), 1L, "vec_id")
+    assert(graphRows(path, 0) == before, "redelivered delete mutated the graph")
+  }
+
+  test("absorb after delete == build over survivors-plus-delta") {
+    val base = emb.filter(col("vec_id") < 160)
+    val path = tmpDir("graft_hier_del_abs")
+    HierarchicalIndex.build(base, path)
+    val deadIds = Seq(5L, 16L, 27L)
+    val surv = base.filter(!col("vec_id").isin(deadIds: _*))
+    HierarchicalIndex.delete(spark, path, surv,
+      base.filter(col("vec_id").isin(deadIds: _*)).select("vec_id"),
+      1L, "vec_id")
+    val delta = emb.filter(col("vec_id") >= 160)
+    val frame = surv.unionByName(delta)
+    HierarchicalIndex.absorb(spark, path, frame, delta, batchId = 2L)
+    val ref = tmpDir("graft_hier_del_abs_ref")
+    HierarchicalIndex.build(frame, ref)
+    val qids = Seq(0L, 1L, 2L)
+    val (ra, ba) = HierarchicalIndex.searchRun(spark, path, frame, qids, 10)
+    val (rr, br) = HierarchicalIndex.searchRun(spark, ref, frame, qids, 10)
+    assert(ba == br, s"visited budgets diverge: $ba vs $br")
+    assert(ra.exceptAll(rr).isEmpty && rr.exceptAll(ra).isEmpty,
+      "absorb over the deleted pyramid diverges from the survivor+delta build")
+  }
+
+  test("delete refuses when a dead-containing bucket is over the cap") {
+    // three identical vectors co-bucket everywhere; cap=2 means their
+    // bucket was sub-salted at build time — removal can't replay the
+    // salting, so the delete must say REBUILD
+    val twinRow = emb.filter(col("vec_id") === 7).select("embedding")
+      .collect().head.getSeq[Float](0)
+    val twins = Seq((10007L, twinRow), (20007L, twinRow), (30007L, twinRow))
+      .toDF("vec_id", "embedding").withColumn("label", lit(0))
+    val corpus = emb.filter(col("vec_id") < 100)
+      .unionByName(twins.select(emb.columns.map(col): _*))
+    val path = tmpDir("graft_hier_del_cap")
+    HierarchicalIndex.build(corpus, path, bucketCap = 2)
+    val ex = intercept[IllegalStateException] {
+      HierarchicalIndex.delete(spark, path,
+        corpus.filter(col("vec_id") =!= 10007L),
+        corpus.filter(col("vec_id") === 10007L).select("vec_id"),
+        1L, "vec_id")
+    }
+    assert(ex.getMessage.contains("REBUILD"),
+      s"refusal must name the rebuild trigger: ${ex.getMessage}")
+  }
+
+  test("absorb refuses past the bucket cap with the rebuild instruction") {
+    // three identical vectors share every band bucket: with cap=2 the
+    // delta's twins push their bucket to 3 > cap — exact mergeability is
+    // gone and the absorb must say REBUILD rather than silently degrade
+    val base = emb.filter(col("vec_id") < 100)
+    val path = tmpDir("graft_hier_cap")
+    HierarchicalIndex.build(base, path, bucketCap = 2)
+    val twinRow = emb.filter(col("vec_id") === 7).select("embedding")
+      .collect().head.getSeq[Float](0)
+    val twins = Seq((10007L, twinRow), (20007L, twinRow))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[IllegalStateException] {
+      HierarchicalIndex.absorb(spark, path,
+        base.unionByName(twins.withColumn("label", lit(0))
+          .select(base.columns.map(col): _*)),
+        twins, batchId = 1L)
+    }
+    assert(ex.getMessage.contains("REBUILD"),
+      s"refusal must name the rebuild trigger: ${ex.getMessage}")
+  }
+}
