@@ -512,23 +512,34 @@ object SparkEntry {
   private val clusterTakedownMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
-  /** d18's artifact: the st19 streamed cluster state with a takedown list
-    * deleted ([[graft.operators.ClusterIndex.delete]] — `doc_id % 13 = 4`):
-    * dead docs tombstoned out of the pair index, affected components'
+  /** d18's artifact: the FULL cluster-state lifecycle — the st19 streamed
+    * replay over most of the corpus, a takedown mid-life
+    * ([[graft.operators.ClusterIndex.delete]] — `doc_id % 13 = 4`: dead
+    * docs tombstoned out of the pair index, affected components'
     * survivors re-clustered from the stored bands/sets, member rows
-    * rewritten to the new component minima, stale forest rows dropped.
-    * The gated labels must equal batch CC over the surviving corpus — the
-    * oracle is that survivor replay ([[ccClustersOracleSqlOver]]).
+    * rewritten to the new component minima, stale forest rows dropped),
+    * then one MORE ingest batch (`doc_id % 10 = 7`, minus the dead) merged
+    * AFTER the delete — so the gate also proves merges stay correct over
+    * the rewritten state (labels still component minima, masked index
+    * never resurrects a dead endpoint). The gated labels must equal batch
+    * CC over the surviving corpus — the oracle is that survivor replay
+    * ([[ccClustersOracleSqlOver]]), which covers all three phases at once.
     */
   def d18ClusterDir(s: SparkSession, dir: String): String =
     clusterTakedownMemo.computeIfAbsent((s, dir), _ => {
       val root = graft.core.TempDirs.create("graft_d18_cluster")
-      graft.streaming.EventsStream.clusterMaintainReplay(s, dir, root, "TRUE")
+      graft.streaming.EventsStream.clusterMaintainReplay(
+        s, dir, root, "doc_id % 10 != 7")
       graft.operators.ClusterIndex.delete(
         s"$root/index", root,
         t(s, dir, "documents").filter(col("doc_id") % 13 === 4)
           .select("doc_id"),
         batchId = 1000L)
+      graft.operators.ClusterIndex.mergeBatch(
+        s"$root/index", root,
+        t(s, dir, "documents")
+          .filter(col("doc_id") % 10 === 7 && col("doc_id") % 13 =!= 4),
+        batchId = 1001L)
       root
     })
 
@@ -662,6 +673,9 @@ object SparkEntry {
         emb.filter(col("vec_id") % 11 =!= 3),
         emb.filter(col("vec_id") % 11 === 3).select("vec_id"),
         batchId = 1L, idCol = "vec_id")
+      // physical purge: the U7 fold drops the tombstoned levels/bands rows
+      // and clears the mask — the gated search runs post-fold, mask-free
+      graft.operators.HierarchicalIndex.optimize(s, path)
       path
     })
 

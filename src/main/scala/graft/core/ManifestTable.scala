@@ -189,18 +189,27 @@ object ManifestTable {
     val toSt = readManifestLines(spark, root, toVersion)
     val fromFiles = fromSt.lines.map(_.split('|')(0)).toSet
     val toFiles = toSt.lines.map(_.split('|')(0)).toSet
+    val addedFiles = (toFiles -- fromFiles).toSeq.sorted
+    val removedFiles = (fromFiles -- toFiles).toSeq.sorted
     def readSubset(files: Seq[String]): DataFrame = {
       val reader = toSt.schema match {
         case Some(sch) => spark.read.schema(sch)
         case None => spark.read
       }
-      if (files.isEmpty)
-        reader.option("basePath", root).parquet(root).limit(0)
-      else reader.option("basePath", root)
-        .parquet(files.map(f => s"$root/$f"): _*)
+      // an empty side borrows the other side's frame (limit 0) so neither
+      // ever lists or schema-infers the whole table; both empty = the
+      // versions are identical and a root-scoped empty read is vacuous
+      val src =
+        if (files.nonEmpty) files
+        else if (addedFiles.nonEmpty) addedFiles
+        else removedFiles
+      val df =
+        if (src.isEmpty) reader.option("basePath", root).parquet(root)
+        else reader.option("basePath", root)
+          .parquet(src.map(f => s"$root/$f"): _*)
+      if (files.isEmpty) df.limit(0) else df
     }
-    (readSubset((toFiles -- fromFiles).toSeq.sorted),
-      readSubset((fromFiles -- toFiles).toSeq.sorted))
+    (readSubset(addedFiles), readSubset(removedFiles))
   }
 
   /** Batch id that produced the latest version, or -1 — the exactly-once

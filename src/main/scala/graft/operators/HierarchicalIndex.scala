@@ -412,6 +412,30 @@ object HierarchicalIndex {
     }
   }
 
+  /** OPTIMIZE the stored pyramid's append-side relations: fold the
+    * accumulated per-batch `batch=` partitions of `levels` and each
+    * layer's `bands` into one consolidated partition
+    * ([[graft.core.IndexOptimize]] — ~128 MB files, crash-safe marker,
+    * absorb retries stay exactly-once via the graph-manifest fence), and
+    * drop [[delete]]-tombstoned rows PHYSICALLY in the same pass, clearing
+    * the mask last — after which searches pay zero mask cost again (the
+    * graphs are already physically clean; they rewrite in place at
+    * [[delete]] and need no fold: a declared-touched commit replaces whole
+    * buckets). Same single-writer contract as every other maintenance
+    * call: run from the index's own loop, never concurrent with an
+    * in-flight absorb/delete.
+    */
+  def optimize(
+      spark: SparkSession,
+      path: String): Seq[graft.core.IndexOptimize.RelOptStats] = {
+    val maxLevel = spark.read.parquet(s"$path/meta").head()
+      .getAs[Int]("max_level")
+    graft.core.IndexOptimize.optimize(
+      spark, path,
+      "levels" +: (0 until maxLevel).map(l => s"bands/level=$l"),
+      tombstoneIdCol = Some("id"))
+  }
+
   /** Top-k by cosine from the STORED pyramid. */
   def searchTopKCosine(
       spark: SparkSession,

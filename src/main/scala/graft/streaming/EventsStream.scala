@@ -1258,6 +1258,10 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // end-of-run OPTIMIZE (the U7 convention of every streamed index
+    // loop): fold the per-batch levels/bands partitions; the gated search
+    // runs post-fold
+    graft.operators.HierarchicalIndex.optimize(spark, index)
     batchCount(q)
   }
 

@@ -420,6 +420,20 @@ class ManifestTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       ManifestTable.changes(spark, root, 3L, 1L)
     }
+    // scale pin: the feed scans ONLY the changed files — its input set
+    // must be the manifest diff, never the table (the whole point of an
+    // incremental read)
+    val (aF, rF) = ManifestTable.changes(spark, root, 0L, 1L)
+    val v0Files = ManifestTable.readManifest(spark, root, 0L)._1.toSet
+    val v1Files = ManifestTable.readManifest(spark, root, 1L)._1.toSet
+    def rel(f: String): String =
+      f.stripPrefix("file://").stripPrefix(s"$root/")
+    assert(aF.inputFiles.toSet.map(rel) == (v1Files -- v0Files),
+      "added side scanned beyond the diff")
+    // the empty removed side borrows the added frame (limit 0) — it must
+    // never list beyond the diff either
+    assert(rF.inputFiles.toSet.map(rel).subsetOf(v1Files -- v0Files),
+      "empty removed side listed beyond the diff")
   }
 
   test("a crashed commit is invisible: readers stay on the last full version, vacuum sweeps the debris") {

@@ -123,26 +123,33 @@ class ClusterIndexDeleteSpec extends SparkSpec {
       .filter(col("doc_id") < n).localCheckpoint(true)
     val geom = for {
       k <- Gen.choose(3, 5)
-      assign <- Gen.listOfN(n, Gen.choose(0, k - 1))
+      assign <- Gen.listOfN(n, Gen.choose(0, k)) // batch k = the LATE slice
       dead <- Gen.listOfN(n / 8, Gen.choose(0L, (n - 1).toLong))
     } yield (k, assign, dead.distinct)
     for (seed <- 1L to 3L) {
       val (k, assign, dead) = sample(geom, seed)
       val byBatch = assign.zipWithIndex.groupBy(_._1)
         .view.mapValues(_.map(_._2.toLong)).toMap
+      def slice(ids: Seq[Long]) =
+        if (ids.isEmpty) docs.limit(0)
+        else docs.filter(col("doc_id").isin(ids.map(java.lang.Long.valueOf): _*))
       val root = tmpDir(s"d18_prop_$seed")
-      for (b <- 0 until k) {
-        val ids = byBatch.getOrElse(b, Nil)
-        val batch =
-          if (ids.isEmpty) docs.limit(0)
-          else docs.filter(col("doc_id").isin(ids.map(java.lang.Long.valueOf): _*))
-        ClusterIndex.mergeBatch(s"$root/index", root, batch, b.toLong)
-      }
+      for (b <- 0 until k)
+        ClusterIndex.mergeBatch(s"$root/index", root,
+          slice(byBatch.getOrElse(b, Nil)), b.toLong)
+      // takedown mid-life (dead ids in the late slice simply no-op),
+      // then one MORE merge over the rewritten state — the full lifecycle
+      val lateIds = byBatch.getOrElse(k, Nil).filterNot(dead.contains)
       ClusterIndex.delete(s"$root/index", root,
         dead.toDF("doc_id"), batchId = 100L + seed)
+      ClusterIndex.mergeBatch(s"$root/index", root, slice(lateIds),
+        200L + seed)
+      // final live set = all docs minus dead: early dead arrived then
+      // deleted, late dead were pruned from the late slice (a takedown of
+      // a never-ingested id is a silent no-op by design)
       assertLabelsEqual(root,
         docs.filter(!col("doc_id").isin(dead.map(java.lang.Long.valueOf): _*)),
-        s"geometry seed=$seed (k=$k, |dead|=${dead.size})")
+        s"geometry seed=$seed (k=$k, |dead|=${dead.size}, |late|=${lateIds.size})")
     }
   }
 

@@ -64,6 +64,51 @@ class HierarchicalIndexSpec extends SparkSpec {
       spark, s"$path/graph/level=0") == 1L)
   }
 
+  test("optimize: fold keeps searches and later absorbs exact; delete purge clears the mask") {
+    val base = emb.filter(col("vec_id") < 140)
+    val d1 = emb.filter(col("vec_id") >= 140 && col("vec_id") < 170)
+    val d2 = emb.filter(col("vec_id") >= 170)
+    val c170 = emb.filter(col("vec_id") < 170)
+    val path = tmpDir("graft_hier_opt")
+    HierarchicalIndex.build(base, path)
+    HierarchicalIndex.absorb(spark, path, c170, d1, batchId = 1L)
+    val qids = Seq(0L, 1L, 2L)
+    val pre = HierarchicalIndex.searchTopKCosine(spark, path, c170, qids)
+      .localCheckpoint(true) // materialize BEFORE the fold relists files
+    val stats = HierarchicalIndex.optimize(spark, path)
+    assert(stats.nonEmpty && stats.forall(s => s.outputFiles <= s.inputFiles),
+      s"fold did nothing: $stats")
+    val post = HierarchicalIndex.searchTopKCosine(spark, path, c170, qids)
+    assert(post.exceptAll(pre).isEmpty && pre.exceptAll(post).isEmpty,
+      "search diverged across the fold")
+    // an absorb AFTER the fold must still equal the from-scratch build
+    HierarchicalIndex.absorb(spark, path, emb, d2, batchId = 2L)
+    val ref = tmpDir("graft_hier_opt_ref")
+    HierarchicalIndex.build(emb, ref)
+    val (ra, ba) = HierarchicalIndex.searchRun(spark, path, emb, qids, 10)
+    val (rr, br) = HierarchicalIndex.searchRun(spark, ref, emb, qids, 10)
+    assert(ba == br && ra.exceptAll(rr).isEmpty && rr.exceptAll(ra).isEmpty,
+      "absorb after the fold diverged from the rebuild")
+    // delete then fold = PHYSICAL purge: mask cleared, dead rows gone
+    val surv = emb.filter(col("vec_id") =!= 7L)
+    HierarchicalIndex.delete(spark, path, surv,
+      emb.filter(col("vec_id") === 7L).select("vec_id"), 3L, "vec_id")
+    assert(graft.core.Tombstones.read(spark, path).isDefined)
+    HierarchicalIndex.optimize(spark, path)
+    assert(graft.core.Tombstones.read(spark, path).isEmpty,
+      "fold must clear the mask after the physical drop")
+    assert(spark.read.parquet(s"$path/bands/level=0")
+      .filter(col("id") === 7L).isEmpty, "dead band rows survived the purge")
+    assert(spark.read.parquet(s"$path/levels")
+      .filter(col("id") === 7L).isEmpty, "dead level row survived the purge")
+    val refS = tmpDir("graft_hier_opt_surv")
+    HierarchicalIndex.build(surv, refS)
+    val (rd, bd) = HierarchicalIndex.searchRun(spark, path, surv, qids, 10)
+    val (rs, bs) = HierarchicalIndex.searchRun(spark, refS, surv, qids, 10)
+    assert(bd == bs && rd.exceptAll(rs).isEmpty && rs.exceptAll(rd).isEmpty,
+      "post-purge search diverged from the survivor rebuild")
+  }
+
   test("delete == rebuild over survivors: edges and search results match exactly") {
     // dead set spans both layers (md5-level draw over the id range) so the
     // coarse-layer rewrite path runs too
