@@ -573,9 +573,12 @@ object HierarchicalIndex {
     // descend the coarse layers: one bounded round each, narrow beam
     for (l <- (maxLevel - 1) to 1 by -1)
       visited = expandRound(visited, graphAt(l), entryK)
-    // base layer: the K6 rounds at full beam width
+    // base layer: the K6 rounds at full beam width — ONE graph frame
+    // reused across rounds (a fresh graphAt(0) per round would re-read
+    // the manifest and re-list the bucket files each time)
+    val g0 = graphAt(0)
     for (_ <- 1 to rounds)
-      visited = expandRound(visited, graphAt(0), beamWidth)
+      visited = expandRound(visited, g0, beamWidth)
     (Similarity.rankTopK(visited, k), visited.count())
   }
 }

@@ -1324,6 +1324,13 @@ object EventsStream {
     // partitions, ts-range-clustered; no-op when ≤ 1 partition remains
     graft.core.ManifestTable.optimizeRewritePartitions(
       spark, root, "opt", foldTargetBytes)
+    // retention: after N micro-batches + the fold the manifest holds N+1
+    // versions, each pinning the pre-fold files on disk — the unbounded
+    // version debris a long-lived ingest loop accumulates. Keep a short
+    // time-travel window (the last 3 versions) and vacuum the rest; the
+    // gated reads are against the head snapshot and survive (spec-pinned
+    // at the ManifestTable level: retained versions still time-travel)
+    graft.core.ManifestTable.vacuum(spark, root, keepVersions = 3)
     batchCount(q)
   }
 
