@@ -160,6 +160,22 @@ object Bench {
     if (selected.exists(_._1 == "u11_table_changes"))
       try SparkEntry.u9TableDir(spark, sfDir)
       catch { case _: Throwable => () }
+    if (selected.exists(_._1 == "u11b_cdf_catchup"))
+      try SparkEntry.u11bTableDir(spark, sfDir)
+      catch { case _: Throwable => () }
+    // u12 counts five stored artifacts; stage any its co-entries didn't
+    if (selected.exists(_._1 == "u12_freshness")) {
+      try SparkEntry.d18ClusterDir(spark, sfDir)
+      catch { case _: Throwable => () }
+      try SparkEntry.d17IndexDir(spark, sfDir)
+      catch { case _: Throwable => () }
+      try SparkEntry.d9IndexDir(spark, sfDir)
+      catch { case _: Throwable => () }
+      try SparkEntry.d16IndexDir(spark, sfDir)
+      catch { case _: Throwable => () }
+      try SparkEntry.k8IndexDir(spark, sfDir)
+      catch { case _: Throwable => () }
+    }
     // Deterministic order (hash-Map order varied run to run) and a cold
     // cache per query: otherwise first-touch parquet footer reads and
     // persisted RDDs shared across entries land on whichever query happens

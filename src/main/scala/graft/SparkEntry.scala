@@ -631,6 +631,37 @@ object SparkEntry {
       root
     })
 
+  private val cdfCatchupMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** u11b's artifact: a lineage-partitioned U5 table whose history crosses
+    * BOTH lifecycle boundaries an incremental consumer must survive in one
+    * catch-up — a schema evolution (batch 1 arrives with `n_chars`, the
+    * u10 shape) and a row-level takedown (`doc_id % 97 = 3` through
+    * [[graft.core.ManifestTable.deleteRows]], the u9 shape). The u11b
+    * entry replays a downstream consumer's catch-up read across v0→v2.
+    */
+  def u11bTableDir(s: SparkSession, dir: String): String =
+    cdfCatchupMemo.computeIfAbsent((s, dir), _ => {
+      val root = graft.core.TempDirs.create("graft_u11b_cdf") + "/t"
+      val docs = t(s, dir, "documents")
+      graft.core.ManifestTable.commit(s, root,
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("lang"))
+          .withColumn("part", lit("b0")),
+        "part", 0L)
+      graft.core.ManifestTable.commit(s, root,
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .withColumn("part", lit("b1")),
+        "part", 1L)
+      graft.core.ManifestTable.deleteRows(
+        s, root,
+        docs.filter(col("doc_id") % 97 === 3).select("doc_id"),
+        "doc_id")
+      root
+    })
+
   private val takedownIndexMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
@@ -754,6 +785,12 @@ object SparkEntry {
       "u9_takedown", "d16_index_takedown",
       // u11 diffs two committed versions of the u9 artifact
       "u11_table_changes",
+      // u11b replays the consumer catch-up over its own staged
+      // evolution+takedown table (u11bTableDir)
+      "u11b_cdf_catchup",
+      // u12 counts five pre-staged artifacts' indexed rows (d18, d17, d9,
+      // d16, k8 — all ingest-time artifacts of their own entries)
+      "u12_freshness",
       // u10 reads the post-evolution manifest snapshot (u10TableDir)
       "u10_schema_evolution",
       // st20 searches the stream-maintained hierarchical pyramid
@@ -782,7 +819,7 @@ object SparkEntry {
       streamedClusterMemo, hierIndexMemo, trainingShardsMemo,
       takedownTableMemo, takedownIndexMemo, evolutionTableMemo,
       streamedHierIndexMemo, pyramidTakedownMemo,
-      clusterTakedownMemo).foreach { m =>
+      clusterTakedownMemo, cdfCatchupMemo).foreach { m =>
       m.keySet.asScala.filter(_._1 eq s).toList
         .foreach(k => Option(m.remove(k)).foreach(graft.core.TempDirs.drop))
     }
@@ -1807,6 +1844,42 @@ object SparkEntry {
       removed.exceptAll(added)
         .select("doc_id", "lang", "source", "n_chars")
     }),
+    // u11b: an incremental CONSUMER's catch-up across a schema-evolution
+    // boundary AND a takedown version in ONE changes() read — the state it
+    // reconstructs (v0 snapshot, null-filled to the target schema, plus
+    // added rows, minus removed rows, by multiset) must equal the current
+    // snapshot; the oracle replays the null-filled net state in SQL
+    "u11b_cdf_catchup" -> ((s, dir) => {
+      val root = u11bTableDir(s, dir)
+      val (added, removed) = graft.core.ManifestTable.changes(s, root, 0L, 2L)
+      val cols = Seq("doc_id", "lang", "n_chars").map(col)
+      val base = graft.core.ManifestTable.readVersion(s, root, 0L)
+        .withColumn("n_chars",
+          lit(null).cast(added.schema("n_chars").dataType))
+      base.select(cols: _*)
+        .unionByName(added.select(cols: _*))
+        .exceptAll(removed.select(cols: _*))
+    }),
+    // u12: the artifact FRESHNESS monitor — each stored index family's
+    // indexed-row count, read exactly as its searches consume it
+    // (tombstone-masked), graded against the survivor corpus: drift is
+    // the staleness signal that triggers a catch-up absorb or the rebuild
+    // D17/ST20's refusals point at
+    "u12_freshness" -> ((s, dir) => {
+      import s.implicits._
+      Seq(
+        ("cluster_members",
+          graft.catalog.ArtifactFreshness.clusterMembers(s, d18ClusterDir(s, dir))),
+        ("hier_pyramid",
+          graft.catalog.ArtifactFreshness.hierIndexedNodes(s, d17IndexDir(s, dir))),
+        ("minhash_index",
+          graft.catalog.ArtifactFreshness.minhashIndexedDocs(s, d9IndexDir(s, dir))),
+        ("text_index",
+          graft.catalog.ArtifactFreshness.textIndexedDocs(s, d16IndexDir(s, dir))),
+        ("vector_index",
+          graft.catalog.ArtifactFreshness.vectorIndexedRows(s, k8IndexDir(s, dir))))
+        .toDF("artifact", "indexed")
+    }),
     // u9: row-level takedown through the U5 manifest — the gated read is
     // the post-delete snapshot (rewrite of touched buckets only, emptied
     // buckets dropped, fence + time travel preserved; see u9TableDir)
@@ -2545,6 +2618,26 @@ object SparkEntry {
     "u11_table_changes" ->
       ("SELECT doc_id, lang, source, n_chars FROM documents " +
         "WHERE doc_id % 97 = 3"),
+    // u11b: the consumer's reconstructed catch-up state across evolution +
+    // takedown = the current null-filled survivor table
+    "u11b_cdf_catchup" ->
+      ("SELECT doc_id, lang, " +
+        "CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars " +
+        "FROM documents WHERE doc_id % 97 <> 3"),
+    // u12: each artifact's masked indexed count equals its survivor corpus
+    // count (the d9 index's corpus is the md5-split base; the d16 mask and
+    // d17/d18 deletes are those fixtures' takedown predicates)
+    "u12_freshness" ->
+      ("SELECT 'cluster_members' AS artifact, CAST(count(*) AS BIGINT) AS indexed " +
+        "FROM documents WHERE doc_id % 13 <> 4 " +
+        "UNION ALL SELECT 'hier_pyramid', CAST(count(*) AS BIGINT) " +
+        "FROM embeddings WHERE vec_id % 11 <> 3 " +
+        "UNION ALL SELECT 'minhash_index', CAST(count(*) AS BIGINT) " +
+        "FROM documents WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0' " +
+        "UNION ALL SELECT 'text_index', CAST(count(*) AS BIGINT) " +
+        "FROM documents WHERE doc_id % 97 <> 7 " +
+        "UNION ALL SELECT 'vector_index', CAST(count(*) AS BIGINT) " +
+        "FROM embeddings"),
     // u10: per-batch null fill — rows ingested before the column existed
     // read back NULL
     "u10_schema_evolution" ->

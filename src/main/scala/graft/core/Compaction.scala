@@ -1,6 +1,7 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.{Observation, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.{count, lit}
 
 /** Small-file compaction — the operational tool every long-lived table
@@ -21,6 +22,11 @@ import org.apache.spark.sql.functions.{count, lit}
   * ABOUT evening out physical layout, so the shuffle is the point.
   * Date-partitioned layouts compact per partition directory (pass the
   * partition dir as `inDir`), preserving pruning.
+  *
+  * All listings and size probes go through the Hadoop FileSystem API — a
+  * `java.io.File` listing silently returns nothing on HDFS/object storage
+  * and would report "0 input files" forever (the silent-degradation mode
+  * the engine's Hadoop-FS rule forbids).
   */
 object Compaction {
 
@@ -29,12 +35,11 @@ object Compaction {
 
   val DefaultTargetBytes: Long = 128L << 20
 
-  /** List the data files of a parquet directory (local FS — the test/bench
-    * environment; a cluster deployment swaps in a FileSystem listing).
-    */
-  private def partFiles(dir: String): Seq[java.io.File] =
-    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty).toSeq
-      .filter(f => f.isFile && f.getName.startsWith("part-"))
+  private def partFiles(
+      f: FileSystem, dir: Path): Seq[FileStatus] =
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
 
   /** Compact `inDir`'s parquet files into `outDir` at ~`targetBytes` per
     * output file. Returns the audit stats; the write is atomic-per-directory
@@ -48,23 +53,36 @@ object Compaction {
     require(targetBytes > 0, "targetBytes must be positive")
     // SaveMode.Overwrite deletes outDir BEFORE the lazy read of inDir runs:
     // equal or nested paths would destroy the input instead of compacting
-    // it. Canonical paths so symlinked spellings of the same dir are caught.
-    val inPath = new java.io.File(inDir).getCanonicalFile.toPath
-    val outPath = new java.io.File(outDir).getCanonicalFile.toPath
-    require(!outPath.startsWith(inPath) && !inPath.startsWith(outPath),
-      s"compaction output must not equal or nest with the input: in=$inPath out=$outPath")
-    val files = partFiles(inDir)
-    val bytes = files.map(_.length()).sum
+    // it. Compare fully-qualified URIs; local paths additionally resolve
+    // symlinked spellings of the same dir via canonicalization.
+    val conf = spark.sparkContext.hadoopConfiguration
+    val inP = new Path(inDir)
+    val f = inP.getFileSystem(conf)
+    def qualified(d: String): String = {
+      val p = new Path(d)
+      val q = p.getFileSystem(conf).makeQualified(p)
+      if (q.toUri.getScheme == "file")
+        new Path("file://" +
+          new java.io.File(q.toUri.getPath).getCanonicalPath).toString
+      else q.toString
+    }
+    val (inQ, outQ) = (qualified(inDir), qualified(outDir))
+    require(!(outQ + "/").startsWith(inQ + "/") &&
+      !(inQ + "/").startsWith(outQ + "/"),
+      s"compaction output must not equal or nest with the input: in=$inQ out=$outQ")
+    val files = partFiles(f, inP)
+    val bytes = files.map(_.getLen).sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val obs = Observation()
     spark.read.parquet(inDir)
       .observe(obs, count(lit(1)).as("rows"))
       .repartition(nOut)
       .write.mode(SaveMode.Overwrite).parquet(outDir)
+    val outP = new Path(outDir)
     CompactStats(
       inputFiles = files.length,
       inputBytes = bytes,
-      outputFiles = partFiles(outDir).length,
+      outputFiles = partFiles(outP.getFileSystem(conf), outP).length,
       rows = obs.get("rows").asInstanceOf[Long])
   }
 }

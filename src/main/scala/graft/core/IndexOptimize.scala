@@ -1,9 +1,8 @@
 package graft.core
 
-import java.io.File
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, StandardCopyOption}
 
+import org.apache.hadoop.fs.{FileContext, FileStatus, FileSystem, Options, Path}
 import org.apache.spark.sql.{Observation, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.{count, lit}
 
@@ -43,8 +42,16 @@ import org.apache.spark.sql.functions.{count, lit}
   *    briefly absent — a concurrent reader fails LOUDLY (no silent partial
   *    result) and the complete consolidated data sits in `<rel>__optnext`
   *    for manual recovery. On a cluster this window is closed by a manifest
-  *    commit ([[ManifestTable]]); for the local-FS artifact layout two
+  *    commit ([[ManifestTable]]); for the directory-swap artifact layout two
   *    atomic renames with loud failure is the honest equivalent.
+  *
+  * Every filesystem operation goes through the Hadoop FileSystem API, so
+  * the artifacts may live on any Hadoop filesystem (HDFS, object stores
+  * with rename support) — a `java.io.File` listing would silently return
+  * nothing there and report "already compact" forever, the silent-
+  * degradation failure mode the engine's Hadoop-FS rule exists to prevent
+  * ([[graft.operators.ClusterIndex]]'s index probe documents the same
+  * rule one layer up).
   *
   * MUST run from the same maintenance loop that runs absorbs (e.g. after
   * the absorb inside `foreachBatch`) or at a quiet point — folding a
@@ -69,15 +76,34 @@ object IndexOptimize {
 
   private val MarkerName = "_folded_batches"
 
+  /** Hadoop configuration for artifact roots addressed by plain string
+    * path (the absorb-fence probes have no SparkSession parameter): the
+    * active/default session's configuration, falling back to defaults —
+    * every engine entry point runs inside a session, so the fallback only
+    * serves bare unit contexts.
+    */
+  private def hconf: org.apache.hadoop.conf.Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  private def fsFor(p: Path): FileSystem = p.getFileSystem(hconf)
+
   /** Batch ids whose rows have been folded into the consolidated partition
     * (empty set when the artifact has never been optimized). Underscore
     * prefix keeps the marker invisible to Spark's file listing.
     */
   def foldedBatches(root: String): Set[String] = {
-    val f = new File(root, MarkerName)
-    if (!f.isFile) Set.empty
-    else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
-      .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSet
+    val p = new Path(root, MarkerName)
+    val f = fsFor(p)
+    if (!f.exists(p) || !f.getFileStatus(p).isFile) Set.empty
+    else {
+      val in = f.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSet
+    }
   }
 
   /** The absorb-side fence: true iff `batchId`'s rows are already present
@@ -87,28 +113,38 @@ object IndexOptimize {
     foldedBatches(root).contains(batchId)
 
   private def writeMarker(root: String, ids: Set[String]): Unit = {
-    val dir = new File(root)
-    require(dir.isDirectory, s"artifact root $root is not a directory")
-    val tmp = new File(dir, MarkerName + ".tmp")
-    Files.write(tmp.toPath,
+    val rootPath = new Path(root)
+    val f = fsFor(rootPath)
+    require(f.exists(rootPath) && f.getFileStatus(rootPath).isDirectory,
+      s"artifact root $root is not a directory")
+    val tmp = new Path(rootPath,
+      s".$MarkerName-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(
       ids.toSeq.sorted.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp.toPath, new File(dir, MarkerName).toPath,
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    finally out.close()
+    // atomic replace: the marker may already exist (second fold) — the
+    // OVERWRITE rename is posix-atomic locally and atomic on HDFS
+    val fc = FileContext.getFileContext(f.getUri, hconf)
+    fc.rename(f.makeQualified(tmp),
+      f.makeQualified(new Path(rootPath, MarkerName)),
+      Options.Rename.OVERWRITE)
   }
 
-  private def batchDirs(relDir: File): Seq[File] =
-    Option(relDir.listFiles()).getOrElse(Array.empty[File]).toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+  private def listDir(f: FileSystem, dir: Path): Seq[FileStatus] =
+    if (!f.exists(dir)) Seq.empty else f.listStatus(dir).toSeq
 
-  private def partFiles(dir: File): Seq[File] =
-    Option(dir.listFiles()).getOrElse(Array.empty[File]).toSeq
-      .filter(f => f.isFile && f.getName.startsWith("part-"))
+  private def batchDirs(f: FileSystem, relDir: Path): Seq[FileStatus] =
+    listDir(f, relDir)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
 
-  private def deleteRecursively(f: File): Unit = {
-    if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty[File]).foreach(deleteRecursively)
-    f.delete(): Unit
-  }
+  private def partFiles(f: FileSystem, dir: Path): Seq[FileStatus] =
+    listDir(f, dir)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+
+  private def rename(f: FileSystem, src: Path, dst: Path): Unit =
+    if (!f.rename(src, dst))
+      throw new java.io.IOException(s"could not rename $src -> $dst")
 
   /** Recovery for the documented mid-swap crash window: a crash between
     * the two renames leaves the relation directory ABSENT while its
@@ -121,19 +157,22 @@ object IndexOptimize {
     * so the next maintenance cycle self-heals.
     */
   def recover(spark: SparkSession, root: String, rels: Seq[String]): Seq[String] = {
-    val rootDir = new File(root)
+    val rootPath = new Path(root)
+    val f = fsFor(rootPath)
     rels.flatMap { rel =>
-      val live = new File(rootDir, rel)
-      val next = new File(rootDir, rel + "__optnext")
-      val old = new File(rootDir, rel + "__optold")
-      if (!live.isDirectory && next.isDirectory) {
-        Files.move(next.toPath, live.toPath, StandardCopyOption.ATOMIC_MOVE)
-        deleteRecursively(old)
-        spark.catalog.refreshByPath(live.getPath)
+      val live = new Path(rootPath, rel)
+      val next = new Path(rootPath, rel + "__optnext")
+      val old = new Path(rootPath, rel + "__optold")
+      val liveDir = f.exists(live) && f.getFileStatus(live).isDirectory
+      val nextDir = f.exists(next) && f.getFileStatus(next).isDirectory
+      if (!liveDir && nextDir) {
+        rename(f, next, live)
+        f.delete(old, true)
+        spark.catalog.refreshByPath(live.toString)
         Some(rel)
       } else {
         // healthy live dir: a stale __optold is a crashed cleanup — sweep
-        if (live.isDirectory) deleteRecursively(old)
+        if (liveDir) f.delete(old, true)
         None
       }
     }
@@ -157,6 +196,9 @@ object IndexOptimize {
     * fold (skipping one would resurrect its deleted rows the moment the
     * list cleared). A crash between the rewrites and the clear is safe:
     * the mask stays, reads stay filtered, the next fold clears it.
+    * Artifacts whose delete pairs the mask with a FENCED rewrite must
+    * check redemption before passing `tombstoneIdCol`
+    * ([[graft.operators.HierarchicalIndex.optimize]]'s fence check).
     */
   def optimize(
       spark: SparkSession,
@@ -165,12 +207,13 @@ object IndexOptimize {
       targetBytes: Long = Compaction.DefaultTargetBytes,
       tombstoneIdCol: Option[String] = None): Seq[RelOptStats] = {
     require(targetBytes > 0, "targetBytes must be positive")
-    val rootDir = new File(root)
+    val rootPath = new Path(root)
+    val f = fsFor(rootPath)
     recover(spark, root, rels) // self-heal a crashed prior swap first
     val tomb = tombstoneIdCol.flatMap(c =>
       Tombstones.read(spark, root).map(ts => (c, ts.localCheckpoint(true))))
     val toFold = rels
-      .map(r => r -> batchDirs(new File(rootDir, r)))
+      .map(r => r -> batchDirs(f, new Path(rootPath, r)))
       .filter { case (_, dirs) =>
         if (tomb.isDefined) dirs.nonEmpty else dirs.size > 1
       }
@@ -182,16 +225,16 @@ object IndexOptimize {
     // marker FIRST (see the crash-ordering argument in the object doc):
     // the ids about to lose their partitions, folded into the running set
     val ids = toFold.flatMap(_._2)
-      .map(_.getName.stripPrefix("batch="))
+      .map(_.getPath.getName.stripPrefix("batch="))
       .filter(_ != FoldedPartition).toSet
     writeMarker(root, foldedBatches(root) ++ ids)
     val stats = toFold.map { case (rel, dirs) =>
-      val relDir = new File(rootDir, rel)
-      val files = dirs.flatMap(partFiles)
-      val bytes = files.map(_.length()).sum
+      val relDir = new Path(rootPath, rel)
+      val files = dirs.flatMap(d => partFiles(f, d.getPath))
+      val bytes = files.map(_.getLen).sum
       val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-      val next = new File(rootDir, rel + "__optnext")
-      deleteRecursively(next) // stale leftovers of a crashed prior run
+      val next = new Path(rootPath, rel + "__optnext")
+      f.delete(next, true) // stale leftovers of a crashed prior run
       val obs = Observation()
       // one distributed pass: read the union, drop tombstoned rows (the
       // delete absorb — same pass, no extra scan), round-robin to the
@@ -199,7 +242,7 @@ object IndexOptimize {
       // point), write under the consolidated partition of a SIBLING
       // staging dir so in-flight readers of the live relation never see a
       // half layout
-      val union = spark.read.parquet(relDir.getPath).drop("batch")
+      val union = spark.read.parquet(relDir.toString).drop("batch")
       val live = tomb match {
         case Some((c, ts)) =>
           require(union.columns.contains(c),
@@ -214,19 +257,19 @@ object IndexOptimize {
         .observe(obs, count(lit(1)).as("rows"))
         .repartition(nOut)
         .write.mode(SaveMode.Overwrite)
-        .parquet(new File(next, s"batch=$FoldedPartition").getPath)
-      val old = new File(rootDir, rel + "__optold")
-      deleteRecursively(old)
-      Files.move(relDir.toPath, old.toPath, StandardCopyOption.ATOMIC_MOVE)
-      Files.move(next.toPath, relDir.toPath, StandardCopyOption.ATOMIC_MOVE)
-      deleteRecursively(old)
-      spark.catalog.refreshByPath(relDir.getPath)
+        .parquet(new Path(next, s"batch=$FoldedPartition").toString)
+      val old = new Path(rootPath, rel + "__optold")
+      f.delete(old, true)
+      rename(f, relDir, old)
+      rename(f, next, relDir)
+      f.delete(old, true)
+      spark.catalog.refreshByPath(relDir.toString)
       RelOptStats(
         rel = rel,
         inputBatches = dirs.size,
         inputFiles = files.size,
         outputFiles =
-          partFiles(new File(relDir, s"batch=$FoldedPartition")).size,
+          partFiles(f, new Path(relDir, s"batch=$FoldedPartition")).size,
         rows = obs.get("rows").asInstanceOf[Long])
     }
     // every relation rewritten without the tombstoned rows — the mask is

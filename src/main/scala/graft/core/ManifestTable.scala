@@ -22,9 +22,12 @@ import org.apache.spark.sql.functions.{broadcast, col, lit}
   *    make up version N (one absolute-relative path per line, plus the
   *    batch id that produced it);
   *  - a commit writes its data files, writes the next manifest to a `.tmp`
-  *    name, then publishes with ONE `rename` — the atomic commit point
-  *    (atomic on local FS and HDFS; object stores need their own atomic
-  *    put-if-absent, same slot in the design);
+  *    name, then publishes with ONE no-overwrite `rename` — the atomic
+  *    commit point (atomic rename-if-absent on HDFS; object stores plug
+  *    their conditional put into the same slot). The rename doubles as
+  *    the MULTI-WRITER arbiter: a writer that loses the version slot
+  *    re-reads the winner, re-derives its lines and retries — optimistic
+  *    concurrency, the Delta/Iceberg commit loop (see [[commit]]);
   *  - readers list `_manifest`, pick the highest version, and read exactly
   *    the files it names. A crash anywhere before the rename leaves the
   *    previous version fully intact and the half-written files INVISIBLE —
@@ -39,6 +42,54 @@ object ManifestTable {
 
   private def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Default (no-op) value of the `beforePublish` hook every publisher
+    * takes — a deterministic interleaving point for the two-writer specs:
+    * it fires exactly once, after the publisher has derived its manifest
+    * from the snapshot it read and staged its data files, immediately
+    * before the first publish attempt. A spec injects a competing writer
+    * here to force the optimistic-concurrency retry (or conflict abort)
+    * deterministically; production callers never pass it.
+    */
+  val NoHook: () => Unit = () => ()
+
+  /** A declared partition value rendered exactly as Spark's partitioned
+    * write renders it in the DIRECTORY name — Hive path escaping (a value
+    * `a=b` writes dir `part=a%3Db`): matching manifest lines against the
+    * RAW value would silently miss the escaped value's files and carry
+    * stale lines forward next to the rewrite. Values that stay unsafe even
+    * escaped refuse loudly: '|' (the manifest stats delimiter, which Spark
+    * does not escape) and the empty string (Spark renders it as the
+    * default-partition sentinel — declare that rendering explicitly if it
+    * is really meant).
+    */
+  private def escapedPartValue(v: String): String = {
+    require(v.nonEmpty,
+      "declared partition value must be non-empty (Spark renders empty " +
+        "values as the __HIVE_DEFAULT_PARTITION__ sentinel directory — " +
+        "declare that rendering explicitly if it is really meant)")
+    val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(v)
+    require(!esc.contains('|'),
+      s"declared partition value '$v' contains '|' (the manifest stats " +
+        "delimiter) — choose a '|'-free partition value")
+    esc
+  }
+
+  /** The given partitions' full line sets in a manifest state — the
+    * optimistic-concurrency conflict witness: a publisher that loses the
+    * rename race compares the partitions it rewrote between the snapshot
+    * it derived from and the winner's state; any difference means its
+    * replacement rows were computed from superseded inputs (a lost
+    * update), which no manifest-level retry can repair.
+    */
+  private def touchedLineSets(
+      st: Option[ManifestState], parts: Seq[String]): Map[String, Set[String]] =
+    st match {
+      case None => Map.empty
+      case Some(s) =>
+        parts.map(p => p -> s.lines.filter(_.startsWith(p + "/")).toSet).toMap
+    }
 
   private def manifestDir(root: String) = new Path(root, "_manifest")
 
@@ -239,6 +290,22 @@ object ManifestTable {
     * Idempotent per batch: if `batchId` is not greater than the committed
     * [[lastBatch]], the write is skipped entirely (the caller re-delivered
     * a batch that already committed — at-least-once replay).
+    *
+    * MULTI-WRITER safe (optimistic concurrency, the Delta/Iceberg commit
+    * loop): the publish is a no-overwrite rename into the version slot; a
+    * writer that loses the race re-reads the WINNING state, re-checks the
+    * fence, re-validates its zone-map registration and schema merge, and
+    * re-derives its carried lines against the winner — its own staged
+    * files are already live under their final (never-colliding) names, so
+    * only the manifest derivation re-runs. Two outcomes end the loop
+    * early: the winner committed this (or a later) batch id → idempotent
+    * skip (the loser's staged files are unreferenced debris for
+    * [[vacuum]]); the winner modified one of THIS commit's touched
+    * partitions → `ConcurrentModificationException` (a lost update — the
+    * replacement rows were derived from a superseded snapshot and must be
+    * recomputed; staged files again fall to vacuum). Maintenance rewrites
+    * ([[optimize]], [[optimizeRewritePartitions]], [[deleteRows]]) carry
+    * the same loop, so they may safely race the ingest.
     */
   def commit(
       spark: SparkSession,
@@ -248,11 +315,19 @@ object ManifestTable {
       batchId: Long,
       statsCol: Option[String] = None,
       statsColumns: Seq[String] = Nil,
-      touchedValues: Seq[String] = Nil): Long = {
+      touchedValues: Seq[String] = Nil,
+      beforePublish: () => Unit = NoHook): Long = {
     val rootPath = new Path(root)
     val f = fs(spark, rootPath)
-    val prev = currentVersion(spark, root)
-    val prevState =
+    // validate DECLARED partition values before any data write — a refusal
+    // must cost nothing and leave no orphan files. Declared values render
+    // into directory names exactly as Spark's partitioned write renders
+    // them (Hive path escaping), so the carried-line match can never miss
+    // an escaped value's files.
+    val declaredParts =
+      touchedValues.map(v => s"$partitionCol=${escapedPartValue(v)}")
+    var prev = currentVersion(spark, root)
+    var prevState =
       if (prev < 0) None else Some(readManifestLines(spark, root, prev))
     if (prevState.exists(batchId <= _.batch)) return prev
     // the table's zone-map columns are a property of the TABLE, not of one
@@ -262,21 +337,6 @@ object ManifestTable {
     // orphan files in live partition dirs. Types come from the committed
     // frame's schema (integer → long stats, string → byte-ordered string
     // stats; anything else refuses loudly — per-column refusal preserved).
-    val prevStats: Seq[(String, String)] = prevState.map(_.statsCols).getOrElse(Nil)
-    val asked: Seq[(String, String)] =
-      (statsCol.toSeq ++ statsColumns).distinct.map { c =>
-        val field = touched.schema.fields.find(_.name == c).getOrElse(
-          throw new IllegalArgumentException(
-            s"zone-map column '$c' absent from the committed frame"))
-        field.dataType match {
-          case org.apache.spark.sql.types.LongType |
-               org.apache.spark.sql.types.IntegerType => (c, "long")
-          case org.apache.spark.sql.types.StringType => (c, "string")
-          case other => throw new IllegalArgumentException(
-            s"zone-map column '$c' has unsupported type $other — only " +
-              "integer and string columns carry manifest stats")
-        }
-      }
     // ADDITIVE zone-map migration: a commit may register a SUPERSET of the
     // table's columns as long as the existing ones keep their order and
     // types — appended columns extend the line suffix on the right, so
@@ -284,49 +344,93 @@ object ManifestTable {
     // positionally and simply prune conservatively on the new column until
     // their files are rewritten. Reordering / retyping / dropping stays a
     // loud refusal.
-    val effStats: Seq[(String, String)] = (asked, prevStats) match {
-      case (Nil, p) => p
-      case (a, Nil) => a
-      case (a, p) =>
-        require(a.startsWith(p),
-          s"zone-map column mismatch: table has '${p.map(x => x._1 + ":" + x._2).mkString(",")}', " +
-            s"commit passed '${a.map(x => x._1 + ":" + x._2).mkString(",")}' — " +
-            "only appending new columns is allowed (additive migration)")
-        a
+    def effStatsFor(prevStats: Seq[(String, String)]): Seq[(String, String)] = {
+      val asked: Seq[(String, String)] =
+        (statsCol.toSeq ++ statsColumns).distinct.map { c =>
+          val field = touched.schema.fields.find(_.name == c).getOrElse(
+            throw new IllegalArgumentException(
+              s"zone-map column '$c' absent from the committed frame"))
+          field.dataType match {
+            case org.apache.spark.sql.types.LongType |
+                 org.apache.spark.sql.types.IntegerType => (c, "long")
+            case org.apache.spark.sql.types.StringType => (c, "string")
+            case other => throw new IllegalArgumentException(
+              s"zone-map column '$c' has unsupported type $other — only " +
+                "integer and string columns carry manifest stats")
+          }
+        }
+      (asked, prevStats) match {
+        case (Nil, p) => p
+        case (a, Nil) => a
+        case (a, p) =>
+          require(a.startsWith(p),
+            s"zone-map column mismatch: table has '${p.map(x => x._1 + ":" + x._2).mkString(",")}', " +
+              s"commit passed '${a.map(x => x._1 + ":" + x._2).mkString(",")}' — " +
+              "only appending new columns is allowed (additive migration)")
+          a
+      }
     }
+    var effStats = effStatsFor(prevState.map(_.statsCols).getOrElse(Nil))
     // the table's recorded DATA schema evolves additively with every
-    // commit (the partition column is directory-derived, never stored)
-    val mergedSchema = evolveSchema(
-      prevState.flatMap(_.schema),
-      org.apache.spark.sql.types.StructType(
-        touched.schema.fields.filterNot(_.name == partitionCol).toSeq))
-    val next = prev + 1
-    // 1. data files: write the touched partitions into a version-private
+    // commit (the partition column is directory-derived, never stored);
+    // legacy tables without a recorded schema first INFER their base
+    // schema from the carried files — see [[recordedOrInferredSchema]]
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      touched.schema.fields.filterNot(_.name == partitionCol).toSeq)
+    def mergedSchemaFor(st: Option[ManifestState]) = evolveSchema(
+      st.flatMap(s => recordedOrInferredSchema(spark, root, s)), dataSchema)
+    var mergedSchema = mergedSchemaFor(prevState)
+    var next = prev + 1
+    // 1. data files: write the touched partitions into a commit-private
     //    staging dir (unique names by construction), then move each file
     //    under its partition dir with a version-prefixed name. Files are
     //    never overwritten — versions share a dir but not files.
-    // validate DECLARED partition values before any data write — a refusal
-    // must cost nothing and leave no orphan files
-    touchedValues.foreach { v =>
-      require(!v.contains('|') && !v.contains('/'),
-        s"declared partition value '$v' must be '|'- and '/'-free")
-    }
     val (stagedParts, newFiles) =
       stageDataFiles(f, rootPath, touched, partitionCol, next)
-    val touchedParts =
-      (touchedValues.map(v => s"$partitionCol=$v") ++ stagedParts).distinct
-    // 2. the new manifest: carry forward every untouched partition's LINES
-    //    (zone-map suffixes ride along — data files are immutable, so a
-    //    file's stats can never go stale)
-    val carried: Seq[String] = prevState match {
-      case None => Seq.empty
-      case Some(st) =>
-        st.lines.filterNot(l => touchedParts.exists(tp => l.startsWith(tp + "/")))
+    val touchedParts = (declaredParts ++ stagedParts).distinct
+    val myLines = statLines(spark, rootPath, newFiles, effStats)
+    // the touched partitions' lines as this derivation saw them — the
+    // conflict witness for the optimistic retry
+    val baseTouched = touchedLineSets(prevState, touchedParts)
+    beforePublish()
+    while (true) {
+      // 2. the new manifest: carry forward every untouched partition's
+      //    LINES (zone-map suffixes ride along — data files are immutable,
+      //    so a file's stats can never go stale)
+      val carried: Seq[String] = prevState match {
+        case None => Seq.empty
+        case Some(st) =>
+          st.lines.filterNot(l => touchedParts.exists(tp => l.startsWith(tp + "/")))
+      }
+      if (publishManifest(spark, root, next,
+        manifestHeader(next, batchId, effStats, Some(mergedSchema)),
+        carried ++ myLines)) return next
+      // lost the publish race: re-read the winning state and retry at the
+      // next slot (my staged files are already live under final names —
+      // only the manifest derivation re-runs)
+      val cur = currentVersion(spark, root)
+      val curState = readManifestLines(spark, root, cur)
+      if (batchId <= curState.batch) return cur // the winner carried this
+        // (or a later) batch — idempotent skip; my staged files are
+        // unreferenced and fall to vacuum
+      val curTouched = touchedLineSets(Some(curState), touchedParts)
+      val conflicted = touchedParts.filter(p =>
+        curTouched.getOrElse(p, Set.empty) != baseTouched.getOrElse(p, Set.empty))
+      if (conflicted.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"commit of batch $batchId under $root lost its publish race to " +
+            s"a writer that modified touched partition(s) " +
+            s"${conflicted.mkString(", ")} — the replacement rows were " +
+            "derived from a superseded snapshot; recompute against the " +
+            "current snapshot and retry (staged files are unreferenced " +
+            "and vacuum-swept)")
+      prev = cur
+      prevState = Some(curState)
+      effStats = effStatsFor(curState.statsCols)
+      mergedSchema = mergedSchemaFor(prevState)
+      next = cur + 1
     }
-    publishManifest(spark, root, next,
-      manifestHeader(next, batchId, effStats, Some(mergedSchema)),
-      carried ++ statLines(spark, rootPath, newFiles, effStats))
-    next
+    throw new IllegalStateException("unreachable")
   }
 
   /** ADDITIVE schema evolution: every previously-recorded column must keep
@@ -361,8 +465,28 @@ object ManifestTable {
     }
   }
 
+  /** The table's base data schema for additive evolution: the recorded one
+    * when present; for LEGACY tables (committed before schema versioning)
+    * the mergeSchema-inferred union over the carried files — so a narrow
+    * first post-upgrade commit cannot hide older files' extra columns
+    * behind a too-small recorded schema (and a later OPTIMIZE cannot then
+    * rewrite them away — the silent-column-loss migration hazard). The
+    * inference is paid once: the merged schema is recorded from this
+    * commit on.
+    */
+  private def recordedOrInferredSchema(
+      spark: SparkSession, root: String,
+      st: ManifestState): Option[org.apache.spark.sql.types.StructType] =
+    st.schema.orElse {
+      if (st.lines.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true")
+        .parquet(st.lines.map(l => s"$root/${l.split('|')(0)}"): _*).schema)
+    }
+
   /** Stage `touched` as partition-dir data files of version `next`: write
-    * to a version-private staging dir, then move each file under its live
+    * to a commit-private staging dir (uniquely named — concurrent writers
+    * must never share one: an overwrite-mode stage write would destroy the
+    * other's files mid-flight), then move each file under its live
     * partition dir with a version-prefixed (never-colliding) name. Returns
     * (partition names staged, relative paths of the new files). Shared by
     * [[commit]] and [[deleteRows]].
@@ -373,7 +497,8 @@ object ManifestTable {
       touched: DataFrame,
       partitionCol: String,
       next: Long): (Seq[String], Seq[String]) = {
-    val stage = new Path(rootPath, s"_stage-v$next")
+    val stage = new Path(rootPath,
+      s"_stage-v$next-${java.util.UUID.randomUUID().toString.take(8)}")
     touched.write.partitionBy(partitionCol).mode("overwrite")
       .parquet(stage.toString)
     val parts = scala.collection.mutable.ListBuffer[String]()
@@ -439,24 +564,44 @@ object ManifestTable {
       s""","schemaB64":"${java.util.Base64.getEncoder.encodeToString(
         sch.json.getBytes("UTF-8"))}"""").getOrElse("") + "}"
 
-  /** Publish a manifest version: tmp write + ONE rename — the atomic
-    * commit point (overwrite=true on the tmp: a stale tmp is a CRASHED
-    * attempt at this same version slot — single writer per root — and
-    * recovery must supersede it; the rename stays the only commit point).
+  /** Publish a manifest version: attempt-private tmp write + ONE
+    * no-overwrite rename — the atomic commit point AND the
+    * optimistic-concurrency arbiter. Returns true iff THIS call created
+    * `v<version>.json`; false iff another writer already owns the slot
+    * (the loser re-reads the winning state and retries at the next slot —
+    * see [[commit]]). The rename goes through
+    * [[org.apache.hadoop.fs.FileContext]] with default `Rename.NONE`
+    * semantics: atomic rename-if-absent on HDFS; filesystems whose
+    * AbstractFileSystem only check-then-renames (local FS) keep the FS's
+    * own window — the slot where an object-store deployment plugs its
+    * conditional put.
     */
   private def publishManifest(
       spark: SparkSession, root: String, version: Long,
-      header: String, lines: Seq[String]): Unit = {
+      header: String, lines: Seq[String]): Boolean = {
     val f = fs(spark, new Path(root))
     val body = (header +: lines.sorted).mkString("\n")
     val mDir = manifestDir(root)
     f.mkdirs(mDir)
-    val tmp = new Path(mDir, s"v$version.json.tmp")
+    val target = new Path(mDir, s"v$version.json")
+    if (f.exists(target)) return false // fast loser path: no tmp written
+    val tmp = new Path(mDir,
+      s".v$version-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = f.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    if (!f.rename(tmp, new Path(mDir, s"v$version.json")))
-      throw new IllegalStateException(
-        s"manifest publish lost the race for version $version under $root")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      f.getUri, spark.sparkContext.hadoopConfiguration)
+    try {
+      fc.rename(f.makeQualified(tmp), f.makeQualified(target))
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        f.delete(tmp, false); false
+      case e: java.io.IOException if f.exists(target) =>
+        // some AbstractFileSystems surface the occupied slot as a generic
+        // IOException — existence of the target is the authoritative signal
+        f.delete(tmp, false); false
+    }
   }
 
   final case class OptimizeStats(
@@ -478,26 +623,36 @@ object ManifestTable {
     *    batch id as the current version — compaction is not an ingest,
     *    and a redelivered ingest batch must still no-op after it.
     *
-    * Single-writer contract like [[commit]]: run from the table's own
-    * maintenance loop, not concurrently with an in-flight commit.
+    * MULTI-WRITER safe like [[commit]]: compaction owns only the exact
+    * input LINES it read, so a concurrent commit that lands NEW partitions
+    * (the lineage-append ingest shape) or replaces partitions the fold
+    * didn't touch composes — the retry carries the winner's lines next to
+    * the compacted output. A writer that REMOVED one of the input lines (a
+    * partition replacement, a delete, another optimize) invalidates the
+    * rewrite: `ConcurrentModificationException`, staged output falls to
+    * [[vacuum]].
     */
   def optimize(
       spark: SparkSession,
       root: String,
-      targetBytes: Long = Compaction.DefaultTargetBytes): Seq[OptimizeStats] = {
+      targetBytes: Long = Compaction.DefaultTargetBytes,
+      beforePublish: () => Unit = NoHook): Seq[OptimizeStats] = {
     require(targetBytes > 0, "targetBytes must be positive")
     val rootPath = new Path(root)
     val f = fs(spark, rootPath)
     val v = currentVersion(spark, root)
     require(v >= 0, s"no committed version under $root")
     val st = readManifestLines(spark, root, v)
-    val (lines, batchId, statsCols) = (st.lines, st.batch, st.statsCols)
+    val (lines, statsCols) = (st.lines, st.statsCols)
     val byPart = lines.groupBy(_.split('|')(0).takeWhile(_ != '/'))
     val toCompact = byPart.filter(_._2.size > 1)
     if (toCompact.isEmpty) return Nil
-    val next = v + 1
-    val stage = new Path(rootPath, s"_stage-v$next")
-    val newLines = scala.collection.mutable.ListBuffer[String]()
+    var next = v + 1
+    val stage = new Path(rootPath,
+      s"_stage-v$next-${java.util.UUID.randomUUID().toString.take(8)}")
+    // per compacted partition: the exact input line set this pass owns and
+    // the replacement lines it produced — the optimistic-retry merge unit
+    val myOutput = scala.collection.mutable.Map[String, Seq[String]]()
     val stats = toCompact.toSeq.sortBy(_._1).map { case (partName, ls) =>
       val rels = ls.map(_.split('|')(0))
       val bytes = rels.map(r => f.getFileStatus(new Path(rootPath, r)).getLen).sum
@@ -512,7 +667,7 @@ object ManifestTable {
         .repartition(nOut)
         .write.mode("overwrite").parquet(new Path(stage, partName).toString)
       val dest = new Path(rootPath, partName)
-      var i = 0
+      val outLines = scala.collection.mutable.ListBuffer[String]()
       for (df0 <- f.listStatus(new Path(stage, partName))
            if df0.isFile && !df0.getPath.getName.startsWith("_")
              && !df0.getPath.getName.startsWith(".")) {
@@ -521,27 +676,53 @@ object ManifestTable {
           throw new IllegalStateException(
             s"could not stage compacted file ${df0.getPath} -> $dest/$name")
         val rel = s"$partName/$name"
-        newLines += (if (statsCols.isEmpty) rel
+        outLines += (if (statsCols.isEmpty) rel
         else {
-          val st = footerStatsAll(spark, new Path(rootPath, rel), statsCols)
-          if (st.forall(_.isEmpty)) rel
-          else rel + st.map {
+          val fst = footerStatsAll(spark, new Path(rootPath, rel), statsCols)
+          if (fst.forall(_.isEmpty)) rel
+          else rel + fst.map {
             case Some((mn, mx)) => s"|$mn|$mx"
             case None => "||"
           }.mkString
         })
-        i += 1
       }
-      OptimizeStats(partName, ls.size, i)
+      myOutput(partName) = outLines.toList
+      OptimizeStats(partName, ls.size, outLines.size)
     }
     f.delete(stage, true)
-    val carried = lines.filterNot(l =>
-      toCompact.contains(l.split('|')(0).takeWhile(_ != '/')))
-    // SAME batch id: compaction must not advance the ingest fence
-    publishManifest(spark, root, next,
-      manifestHeader(next, batchId, statsCols, st.schema),
-      carried ++ newLines.toList)
-    stats
+    val myInput: Map[String, Set[String]] =
+      toCompact.map { case (p, ls) => p -> ls.toSet }.toMap
+    beforePublish()
+    var curSt = st
+    while (true) {
+      // a compacted partition's new line set = its CURRENT lines minus the
+      // exact inputs this pass folded, plus the folded output — lines a
+      // concurrent writer landed elsewhere carry; a writer that removed
+      // one of our inputs aborts (the output would resurrect rows the
+      // other writer deleted or replaced)
+      val curByPart = curSt.lines.groupBy(_.split('|')(0).takeWhile(_ != '/'))
+      val gone = myInput.collect { case (p, ins)
+        if !ins.subsetOf(curByPart.getOrElse(p, Nil).toSet) => p }
+      if (gone.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"optimize under $root lost its publish race to a writer that " +
+            s"removed input file(s) of partition(s) ${gone.mkString(", ")} " +
+            "— the compacted output would resurrect superseded rows; " +
+            "re-run optimize against the current snapshot (staged output " +
+            "is unreferenced and vacuum-swept)")
+      val merged = curSt.lines.filterNot(l =>
+        myInput.getOrElse(l.split('|')(0).takeWhile(_ != '/'), Set.empty)
+          .contains(l)) ++ myOutput.values.flatten
+      // SAME batch id as the winning state: compaction must neither
+      // advance nor regress the ingest fence
+      if (publishManifest(spark, root, next,
+        manifestHeader(next, curSt.batch, curSt.statsCols, curSt.schema),
+        merged)) return stats
+      val cur = currentVersion(spark, root)
+      curSt = readManifestLines(spark, root, cur)
+      next = cur + 1
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Unsigned lexicographic byte comparison — parquet's binary-stats
@@ -774,25 +955,25 @@ object ManifestTable {
       spark: SparkSession,
       root: String,
       newValue: String,
-      targetBytes: Long = Compaction.DefaultTargetBytes): Option[OptimizeStats] = {
+      targetBytes: Long = Compaction.DefaultTargetBytes,
+      beforePublish: () => Unit = NoHook): Option[OptimizeStats] = {
     require(targetBytes > 0, "targetBytes must be positive")
-    require(!newValue.contains('|') && !newValue.contains('/'),
-      s"partition value '$newValue' must be '|'- and '/'-free")
     val rootPath = new Path(root)
     val f = fs(spark, rootPath)
     val v = currentVersion(spark, root)
     require(v >= 0, s"no committed version under $root")
     val st = readManifestLines(spark, root, v)
-    val (lines, batchId, statsCols) = (st.lines, st.batch, st.statsCols)
+    val (lines, statsCols) = (st.lines, st.statsCols)
     val parts = lines.map(_.split('|')(0).takeWhile(_ != '/')).distinct
     if (parts.size <= 1) return None
     val partitionCol = parts.head.takeWhile(_ != '=')
-    val newPartName = s"$partitionCol=$newValue"
+    val newPartName = s"$partitionCol=${escapedPartValue(newValue)}"
     val rels = lines.map(_.split('|')(0))
     val bytes = rels.map(r => f.getFileStatus(new Path(rootPath, r)).getLen).sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val next = v + 1
-    val stage = new Path(rootPath, s"_stage-v$next")
+    var next = v + 1
+    val stage = new Path(rootPath,
+      s"_stage-v$next-${java.util.UUID.randomUUID().toString.take(8)}")
     val df = (st.schema match { // evolved tables null-fill older files
       case Some(sch) => spark.read.schema(sch)
       case None => spark.read
@@ -826,14 +1007,38 @@ object ManifestTable {
       })
     }
     f.delete(stage, true)
-    // SAME batch id: compaction must not advance the ingest fence
-    publishManifest(spark, root, next,
-      manifestHeader(next, batchId, statsCols, st.schema), newLines.toList)
-    Some(OptimizeStats(newPartName, rels.size, newLines.size))
+    beforePublish()
+    // whole-table rewrite: every live line is an input, so ANY concurrent
+    // change (append, delete, another fold) invalidates it — unlike
+    // [[optimize]] there is no disjoint slice to merge around
+    var curSt = st
+    while (true) {
+      if (curSt.lines.toSet != lines.toSet)
+        throw new java.util.ConcurrentModificationException(
+          s"optimizeRewritePartitions under $root lost its publish race " +
+            "to a writer that changed the table — the fold consumed every " +
+            "live file, so it must re-run against the current snapshot " +
+            "(staged output is unreferenced and vacuum-swept)")
+      // SAME batch id as the winning state: the fold must neither advance
+      // nor regress the ingest fence
+      if (publishManifest(spark, root, next,
+        manifestHeader(next, curSt.batch, statsCols, curSt.schema),
+        newLines.toList))
+        return Some(OptimizeStats(newPartName, rels.size, newLines.size))
+      val cur = currentVersion(spark, root)
+      curSt = readManifestLines(spark, root, cur)
+      next = cur + 1
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   final case class DeleteStats(
-      partitionsRewritten: Int, partitionsEmptied: Int, rowsDeleted: Long)
+      partitionsRewritten: Int, partitionsEmptied: Int, rowsDeleted: Long,
+      filesScanned: Int, filesTotal: Int)
+
+  private val stringByteOrdering: Ordering[String] =
+    (a: String, b: String) =>
+      cmpUnsigned(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
 
   /** ROW-LEVEL DELETE — the takedown path (DMCA, GDPR, opt-out lists:
     * routine in corpus curation, and the one rewrite shape U1–U8 lacked):
@@ -858,55 +1063,135 @@ object ManifestTable {
     * `keys` is broadcast — takedown lists are small by contract (a delete
     * set rivaling the corpus is a rewrite job, not a takedown). Returns
     * None when no row matches.
+    *
+    * Detection is TWO-STAGE and path-faithful:
+    *  - when `keyCol` is a registered zone-map column, only files whose
+    *    recorded [min, max] intersects the takedown keys' envelope are
+    *    scanned at all ([[prunedFilesMulti]] — the detection scan opens a
+    *    fraction of the snapshot, spec-pinned via `filesScanned`);
+    *  - touched partitions are read as STRING-typed directory values and
+    *    re-escaped with the same Hive path escaping Spark's partitioned
+    *    write uses — an exact round-trip for every partitionBy-written
+    *    directory (this table format writes no other kind), so a value
+    *    like `a=b` (dir `part=a%3Db`) or `007` can never diverge from the
+    *    manifest's own spelling (partition-type inference would rewrite
+    *    `part=007` as `part=7` and orphan the original lines; matching on
+    *    raw values would miss every escaped directory).
+    *
+    * MULTI-WRITER safe like [[commit]]: the loser of the publish race
+    * re-derives its carried lines against the winner unless the winner
+    * modified one of the TOUCHED partitions (the delete rewrote all their
+    * rows, so any change is a lost update → loud
+    * `ConcurrentModificationException`).
     */
   def deleteRows(
       spark: SparkSession,
       root: String,
       keys: DataFrame,
-      keyCol: String): Option[DeleteStats] = {
+      keyCol: String,
+      beforePublish: () => Unit = NoHook): Option[DeleteStats] = {
     val rootPath = new Path(root)
     val f = fs(spark, rootPath)
     val v = currentVersion(spark, root)
     require(v >= 0, s"no committed version under $root")
     val st = readManifestLines(spark, root, v)
-    val (lines, batchId, statsCols) = (st.lines, st.batch, st.statsCols)
-    val partitionCol = lines.headOption
-      .map(_.split('|')(0).takeWhile(_ != '='))
-      .getOrElse(return None) // zero-file snapshot: nothing to delete
+    if (st.lines.isEmpty) return None // zero-file snapshot: nothing to delete
+    val allRels = st.lines.map(_.split('|')(0))
+    val partitionCol = allRels.head.takeWhile(_ != '=')
     val ks = keys.select(col(keyCol)).distinct().localCheckpoint(true)
-    val snap = readVersion(spark, root, v)
-    val touchedVals = snap
+    // zone-map pre-prune of the detection scan (see scaladoc): the key
+    // ENVELOPE bounds every file that can hold a matching row
+    val candidates: Seq[String] = st.statsCols.find(_._1 == keyCol) match {
+      case Some((_, "long")) =>
+        val kv = ks.collect().flatMap(r => r.get(0) match {
+          case null => None
+          case n: java.lang.Number => Some(n.longValue())
+          case other => throw new IllegalArgumentException(
+            s"zone-map column '$keyCol' is long-typed but the takedown " +
+              s"list holds ${other.getClass.getSimpleName} values")
+        })
+        if (kv.isEmpty) return None
+        prunedFilesMulti(spark, root,
+          Seq(LongRange(keyCol, kv.min, kv.max)))._1
+      case Some(_) =>
+        val kv = ks.collect().flatMap(r => Option(r.get(0)).map(_.toString))
+        if (kv.isEmpty) return None
+        prunedFilesMulti(spark, root, Seq(StringRange(keyCol,
+          kv.min(stringByteOrdering), kv.max(stringByteOrdering))))._1
+      case None => allRels
+    }
+    if (candidates.isEmpty) return None
+    // the rewrite-faithful read schema: recorded (or legacy-inferred) data
+    // columns plus the partition column as a STRING
+    val dataSchema = recordedOrInferredSchema(spark, root, st).get
+    val readSchema = org.apache.spark.sql.types.StructType(
+      dataSchema.fields.toSeq :+ org.apache.spark.sql.types.StructField(
+        partitionCol, org.apache.spark.sql.types.StringType, nullable = true))
+    def readFiles(rels: Seq[String]): DataFrame =
+      spark.read.schema(readSchema).option("basePath", root)
+        .parquet(rels.map(r => s"$root/$r"): _*)
+    // DETECTION: partitions holding matching rows, re-rendered into their
+    // canonical directory spelling (see scaladoc)
+    val matchedVals = readFiles(candidates)
       .join(broadcast(ks), Seq(keyCol), "left_semi")
-      .select(col(partitionCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
-    if (touchedVals.isEmpty) return None
-    val touchedNames = touchedVals.map(tv => s"$partitionCol=$tv")
+      .select(col(partitionCol)).distinct()
+      .collect().map(_.getString(0))
+    if (matchedVals.isEmpty) return None
+    require(!matchedVals.contains(null),
+      s"takedown keys matched rows in the default partition " +
+        s"(__HIVE_DEFAULT_PARTITION__) under $root — its value does not " +
+        "round-trip through a rewrite; rewrite that partition explicitly")
+    val touchedNames = matchedVals.map(v0 => s"$partitionCol=" +
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(v0)).distinct.sorted.toSeq
+    val touchedRels = allRels.filter(r => touchedNames.contains(r.takeWhile(_ != '/')))
     // survivors of the touched partitions only (anti-join), counted in the
     // same pass; the write re-derives the partition dirs it came from
     val obs = org.apache.spark.sql.Observation()
-    val inTouched = snap
-      .filter(col(partitionCol).cast("string").isin(touchedVals: _*))
+    val inTouched = readFiles(touchedRels)
       .observe(obs, org.apache.spark.sql.functions.count(lit(1)).as("n_in"))
-    val survivors = inTouched
-      .join(broadcast(ks), Seq(keyCol), "left_anti")
-    val next = v + 1
+    val survivors = inTouched.join(broadcast(ks), Seq(keyCol), "left_anti")
+    var next = v + 1
     val (stagedParts, newFiles) =
       stageDataFiles(f, rootPath, survivors, partitionCol, next)
-    val emptied = touchedNames.diff(stagedParts)
-    val carried = lines.filterNot(l =>
-      touchedNames.exists(tp => l.startsWith(tp + "/")))
-    // SAME batch id: a delete must not advance the ingest fence
-    publishManifest(spark, root, next,
-      manifestHeader(next, batchId, statsCols, st.schema),
-      carried ++ statLines(spark, rootPath, newFiles, statsCols))
-    val nIn = obs.get("n_in").asInstanceOf[Long]
-    val nKept = if (newFiles.isEmpty) 0L
-      else spark.read.option("basePath", root)
-        .parquet(newFiles.map(nf => s"$root/$nf"): _*).count()
-    Some(DeleteStats(
-      partitionsRewritten = stagedParts.size,
-      partitionsEmptied = emptied.size,
-      rowsDeleted = nIn - nKept))
+    val myLines = statLines(spark, rootPath, newFiles, st.statsCols)
+    val baseTouched = touchedLineSets(Some(st), touchedNames)
+    beforePublish()
+    var curSt = st
+    while (true) {
+      val curTouched = touchedLineSets(Some(curSt), touchedNames)
+      val conflicted = touchedNames.filter(p =>
+        curTouched.getOrElse(p, Set.empty) != baseTouched.getOrElse(p, Set.empty))
+      if (conflicted.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"deleteRows under $root lost its publish race to a writer that " +
+            s"modified touched partition(s) ${conflicted.mkString(", ")} — " +
+            "the survivor rewrite was derived from a superseded snapshot; " +
+            "re-run the delete against the current snapshot (staged files " +
+            "are unreferenced and vacuum-swept)")
+      val carried = curSt.lines.filterNot(l =>
+        touchedNames.exists(tp => l.startsWith(tp + "/")))
+      // SAME batch id as the winning state: a delete must neither advance
+      // nor regress the ingest fence
+      if (publishManifest(spark, root, next,
+        manifestHeader(next, curSt.batch, curSt.statsCols, curSt.schema),
+        carried ++ myLines)) {
+        val nIn = obs.get("n_in").asInstanceOf[Long]
+        val nKept = if (newFiles.isEmpty) 0L
+          else spark.read.option("basePath", root)
+            .parquet(newFiles.map(nf => s"$root/$nf"): _*).count()
+        return Some(DeleteStats(
+          partitionsRewritten = stagedParts.size,
+          partitionsEmptied = touchedNames.diff(stagedParts).size,
+          rowsDeleted = nIn - nKept,
+          filesScanned = candidates.size,
+          filesTotal = allRels.size))
+      }
+      val cur = currentVersion(spark, root)
+      curSt = readManifestLines(spark, root, cur)
+      next = cur + 1
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Physical deletion of data files no RETAINED version needs: "live" is
@@ -955,10 +1240,15 @@ object ManifestTable {
            d.getModificationTime <= cutoff) {
       f.delete(d.getPath, true); deleted += 1
     }
-    // expired manifests (never the newest keepVersions)
+    // expired manifests (never the newest keepVersions), plus tmp files a
+    // publisher left behind by crashing between its tmp write and the
+    // rename (a LOST race deletes its own tmp; only a crash strands one)
     val mDir = manifestDir(root)
     for (m <- f.listStatus(mDir)) m.getPath.getName match {
       case VersionRe(n) if n.toLong <= v - keepVersions &&
+        m.getModificationTime <= cutoff =>
+        f.delete(m.getPath, false); deleted += 1
+      case tmpName if tmpName.startsWith(".v") && tmpName.endsWith(".tmp") &&
         m.getModificationTime <= cutoff =>
         f.delete(m.getPath, false); deleted += 1
       case _ => ()

@@ -91,25 +91,37 @@ object PartitionedTables {
     */
   def dropPartitionsBefore(root: String, cutoff: String): Int = {
     val cut = java.time.LocalDate.parse(cutoff)
-    val children = Option(new java.io.File(root).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-    val expired = children.filter { f =>
-      f.isDirectory && f.getName.startsWith("event_date=") &&
+    // Hadoop FileSystem, not java.io.File: the retention sweep must work
+    // on whatever filesystem the table lives on — a local-only listing
+    // would silently find zero partitions on HDFS/object storage and
+    // report "nothing expired" forever
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val f = rootPath.getFileSystem(
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .map(_.sparkContext.hadoopConfiguration)
+        .getOrElse(new org.apache.hadoop.conf.Configuration()))
+    val children =
+      if (!f.exists(rootPath)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else f.listStatus(rootPath)
+    val expired = children.filter { s =>
+      s.isDirectory && s.getPath.getName.startsWith("event_date=") &&
         (try {
           java.time.LocalDate
-            .parse(f.getName.stripPrefix("event_date=")).isBefore(cut)
+            .parse(s.getPath.getName.stripPrefix("event_date=")).isBefore(cut)
         } catch { case _: java.time.format.DateTimeParseException => false })
     }
-    expired.foreach(f => TempDirs.drop(f.toString))
-    // TempDirs.drop is best-effort (scratch-dir semantics); retention on
-    // durable data must SURFACE a failed delete, not count it as dropped —
-    // a partition that survives the sweep would silently re-count next run
-    // and the "expired data removed" log line would be a lie
-    val survivors = expired.filter(_.exists())
+    // retention on durable data must SURFACE a failed delete, not count it
+    // as dropped — a partition that survives the sweep would silently
+    // re-count next run and the "expired data removed" log would be a lie
+    val survivors = expired.filter { s =>
+      f.delete(s.getPath, true)
+      f.exists(s.getPath)
+    }
     if (survivors.nonEmpty)
       throw new java.io.IOException(
         s"retention could not delete ${survivors.length} partition(s): " +
-          survivors.map(_.getName).mkString(", "))
+          survivors.map(_.getPath.getName).mkString(", "))
     expired.length
   }
 

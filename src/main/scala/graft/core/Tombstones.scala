@@ -16,9 +16,11 @@ import org.apache.spark.sql.functions._
   * take effect IMMEDIATELY, but the artifacts' data files are immutable
   * and rewritten only at OPTIMIZE. The standard two-phase answer:
   *
-  *  - [[add]] records deleted ids under `<root>/_tombstones/batch=<id>`
-  *    (scoped-overwrite per delete-batch id — the same idempotent-retry
-  *    shape as the absorbs). O(|takedown list|), no index rewrite.
+  *  - [[add]] records deleted ids under
+  *    `<root>/_tombstones/batch=<id>-<contentHash>` (scoped-overwrite per
+  *    (delete-batch, list) pair — idempotent under the at-least-once
+  *    retry, ACCUMULATING across distinct takedowns even when they share
+  *    a batch id). O(|takedown list|), no index rewrite.
   *  - Every search consults [[filterLive]]: a broadcast anti-join of the
   *    per-row relation against the tombstone set, applied BEFORE any
   *    candidate selection / stats aggregation — so results are
@@ -52,9 +54,20 @@ object Tombstones {
   }
 
   /** Record a batch of deleted ids. `ids` must expose `idCol` (cast to
-    * long); `batchId` scopes the overwrite so a retried delete replaces
-    * its own partition instead of duplicating rows (duplicates would be
-    * harmless for the anti-join but would grow the broadcast).
+    * long). UNION-PRESERVING: the write lands under a partition keyed by
+    * `batchId` AND an order-independent content hash of the id list, so
+    *
+    *  - a RETRIED delete (same batch, same list — the at-least-once replay
+    *    shape) overwrites its own partition: idempotent, no broadcast
+    *    growth;
+    *  - two DISTINCT takedowns that happen to share a batch id (e.g. both
+    *    left on a caller's default) ACCUMULATE instead of the second
+    *    silently replacing the first — replacement would resurface the
+    *    first list's docs in every search and exempt them from the next
+    *    physical fold, the silent-data-corruption direction.
+    *
+    * The hash costs one tiny aggregate over the (small, by the takedown
+    * contract) id list before the write.
     */
   def add(
       spark: SparkSession,
@@ -65,9 +78,34 @@ object Tombstones {
     require(batchId.nonEmpty, "delete batchId must be non-empty")
     require(!batchId.contains('/') && !batchId.contains('='),
       s"delete batchId '$batchId' must be '/'- and '='-free")
-    ids.select(col(idCol).cast("long").as("id")).distinct()
-      .write.mode("overwrite").parquet(s"$root/$Dir/batch=$batchId")
+    val dedup = ids.select(col(idCol).cast("long").as("id")).distinct()
+    val h = dedup
+      .agg(sum(crc32(col("id").cast("string"))).as("h"),
+        count(lit(1)).as("n")).collect()(0)
+    val tag =
+      if (h.isNullAt(0)) "empty"
+      else java.lang.Long.toHexString(h.getLong(0)) + "x" + h.getLong(1)
+    dedup.write.mode("overwrite").parquet(s"$root/$Dir/batch=$batchId-$tag")
     spark.catalog.refreshByPath(s"$root/$Dir")
+  }
+
+  /** The delete-batch ids currently recorded (the caller-supplied id with
+    * the content-hash tag stripped) — the REDEMPTION check for artifacts
+    * whose delete pairs the mask with a physical rewrite behind a fence
+    * ([[graft.operators.HierarchicalIndex]]): a fold must not absorb-and-
+    * clear a mask whose rewrite has not landed, or the replayed delete
+    * finds nothing to replay and the dead rows outlive their mask.
+    */
+  def batchIds(spark: SparkSession, root: String): Seq[String] = {
+    val p = tombPath(root)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch="))
+      .map(n => if (n.lastIndexOf('-') > 0) n.substring(0, n.lastIndexOf('-'))
+      else n)
+      .distinct
   }
 
   /** The current tombstone set as a distinct (id: Long) frame, or None if

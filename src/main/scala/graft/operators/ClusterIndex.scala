@@ -155,7 +155,10 @@ object ClusterIndex {
     val mLast = graft.core.ManifestTable.lastBatch(s, s"$root/members")
     val rLast = graft.core.ManifestTable.lastBatch(s, s"$root/reps")
     require(mLast >= 0, s"no cluster state at $root — run mergeBatch first")
-    if (mLast >= batchId && rLast >= batchId) return // redelivery
+    if (mLast >= batchId && rLast >= batchId) { // redelivery
+      sweepDeleteAnchors(s, root)
+      return
+    }
     val dead = ids.select(col(idCol).cast("long").as("id")).distinct()
       .localCheckpoint(true)
     if (dead.isEmpty) return
@@ -251,8 +254,44 @@ object ClusterIndex {
         graft.core.ManifestTable.commit(
           s, s"$root/reps", kept, "bucket", batchId,
           touchedValues = rBuckets.sorted.map(_.toString).toSeq)
+      } else {
+        // no forest row points at an affected label — still ADVANCE the
+        // reps fence (an empty-touched commit carries every line): a
+        // completed delete must satisfy the redelivery fast path, and the
+        // anchor sweep below keys off the completed fence
+        graft.core.ManifestTable.commit(
+          s, s"$root/reps", reps.limit(0), "bucket", batchId)
       }
     }
+    sweepDeleteAnchors(s, root)
+  }
+
+  /** Retention for the `_delete/batch=d<id>` crash anchors: an anchor is
+    * only needed while its delete may still RETRY — i.e. until both the
+    * members and reps fences pass its batch id (the same condition the
+    * redelivery fast path checks). Anchors STRICTLY below min(fences)
+    * can never be read again and sweep here; the latest fenced anchor is
+    * deliberately kept as the redelivery witness (a late retry arriving
+    * after an operator restored pre-delete state must still find it), so
+    * debris is bounded at ONE anchor per artifact instead of one per
+    * delete batch forever.
+    */
+  private def sweepDeleteAnchors(s: SparkSession, root: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/_delete")
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) return
+    val fence = math.min(
+      graft.core.ManifestTable.lastBatch(s, s"$root/members"),
+      graft.core.ManifestTable.lastBatch(s, s"$root/reps"))
+    var swept = false
+    f.listStatus(p).foreach { st =>
+      "^batch=d(\\d+)$".r.findFirstMatchIn(st.getPath.getName).foreach { m =>
+        if (m.group(1).toLong < fence) {
+          f.delete(st.getPath, true); swept = true
+        }
+      }
+    }
+    if (swept) s.catalog.refreshByPath(s"$root/_delete")
   }
 
   def mergeBatch(

@@ -424,16 +424,32 @@ object HierarchicalIndex {
     * buckets). Same single-writer contract as every other maintenance
     * call: run from the index's own loop, never concurrent with an
     * in-flight absorb/delete.
+    *
+    * REDEMPTION fence: a [[delete]] masks FIRST and commits its graph
+    * rewrite last (level 0 carries the fence), so a crash in between
+    * leaves a mask whose rewrite never landed. Absorbing THAT mask here
+    * would purge the dead band rows and clear the list — the replayed
+    * delete then finds no dead bands, never rewrites the graphs, and the
+    * dead edges outlive their mask permanently. The fold therefore checks
+    * every recorded delete-batch id against the level-0 fence and, while
+    * any is unredeemed, folds the FILE LAYOUT only (mask kept, rows kept):
+    * searches stay masked-correct, the redelivered delete still finds its
+    * dead bands, and the next post-redemption fold purges as usual
+    * (spec-pinned crash sequence in HierarchicalIndexSpec).
     */
   def optimize(
       spark: SparkSession,
       path: String): Seq[graft.core.IndexOptimize.RelOptStats] = {
     val maxLevel = spark.read.parquet(s"$path/meta").head()
       .getAs[Int]("max_level")
+    val fence = graft.core.ManifestTable.lastBatch(spark, s"$path/graph/level=0")
+    val unredeemed = graft.core.Tombstones.batchIds(spark, path)
+      .flatMap(id => "^d(\\d+)$".r.findFirstMatchIn(id).map(_.group(1).toLong))
+      .exists(_ > fence)
     graft.core.IndexOptimize.optimize(
       spark, path,
       "levels" +: (0 until maxLevel).map(l => s"bands/level=$l"),
-      tombstoneIdCol = Some("id"))
+      tombstoneIdCol = if (unredeemed) None else Some("id"))
   }
 
   /** Top-k by cosine from the STORED pyramid. */

@@ -155,8 +155,11 @@ class ManifestTableSpec extends SparkSpec {
     // takedown k=1 (bucket 1, partial) and k=2,6 (ALL of bucket 2)
     val stats = ManifestTable.deleteRows(spark, root,
       Seq(1, 2, 6).toDF("k"), "k")
-    assert(stats.contains(ManifestTable.DeleteStats(
-      partitionsRewritten = 1, partitionsEmptied = 1, rowsDeleted = 3L)),
+    // k is not the registered stats column, so detection scans the full
+    // snapshot: filesScanned == filesTotal
+    assert(stats.exists(st =>
+      st.partitionsRewritten == 1 && st.partitionsEmptied == 1 &&
+        st.rowsDeleted == 3L && st.filesScanned == st.filesTotal),
       s"unexpected delete stats: $stats")
     assert(rows(ManifestTable.read(spark, root).get) ==
       data.filterNot(d => Set(1, 2, 6)(d._1)).toSet)
@@ -513,6 +516,275 @@ class ManifestTableSpec extends SparkSpec {
     Files.createDirectories(Paths.get(s"$root/_stage-v2"))
     assert(ManifestTable.vacuum(spark, root, graceMs = 60 * 60 * 1000L) == 0L)
     assert(Files.exists(Paths.get(s"$root/_stage-v2")))
+  }
+
+  test("optimistic concurrency: a commit losing the publish race to a disjoint writer retries and converges") {
+    val root = tmpDir("graft_manifest_occ") + "/t"
+    ManifestTable.commit(spark, root,
+      part(Seq((0, 10L), (1, 11L)).toDF("k", "v")), "bucket", 0L)
+    // writer A derives against v0; writer B commits v1 (bucket 2) inside
+    // A's publish window — A must lose the slot, re-derive against B's
+    // state and land at v2 with BOTH commits' rows intact
+    val vA = ManifestTable.commit(spark, root,
+      part(Seq((3, 33L)).toDF("k", "v")), "bucket", batchId = 2L,
+      beforePublish = () => {
+        ManifestTable.commit(spark, root,
+          part(Seq((2, 22L)).toDF("k", "v")), "bucket", batchId = 1L): Unit
+      })
+    assert(vA == 2L, s"loser must land at the NEXT slot, got v$vA")
+    assert(ManifestTable.lastBatch(spark, root) == 2L)
+    assert(rows(ManifestTable.read(spark, root).get) ==
+      Set((0, 10L), (1, 11L), (2, 22L), (3, 33L)),
+      "a lost-race retry dropped lines")
+    // every version stays a complete snapshot: v1 = base + B, v2 = v1 + A
+    assert(rows(ManifestTable.readVersion(spark, root, 1L)) ==
+      Set((0, 10L), (1, 11L), (2, 22L)))
+  }
+
+  test("optimistic concurrency: the same batch delivered by two writers applies once; loser debris is vacuumed") {
+    val root = tmpDir("graft_manifest_occ2") + "/t"
+    ManifestTable.commit(spark, root,
+      part(Seq((0, 10L)).toDF("k", "v")), "bucket", 0L)
+    val vA = ManifestTable.commit(spark, root,
+      part(Seq((1, 21L)).toDF("k", "v")), "bucket", batchId = 1L,
+      beforePublish = () => {
+        // the SAME logical batch lands first through a second writer
+        ManifestTable.commit(spark, root,
+          part(Seq((1, 21L)).toDF("k", "v")), "bucket", batchId = 1L): Unit
+      })
+    assert(vA == 1L && ManifestTable.currentVersion(spark, root) == 1L,
+      "a redelivered batch must not double-apply")
+    assert(rows(ManifestTable.read(spark, root).get) == Set((0, 10L), (1, 21L)))
+    // the loser's staged-but-unreferenced file is real debris in the live
+    // partition dir — vacuum must sweep exactly it
+    val bucketDir = new java.io.File(s"$root/bucket=1")
+    assert(bucketDir.listFiles().count(_.getName.endsWith(".parquet")) == 2,
+      "expected the loser's orphan file beside the winner's")
+    ManifestTable.vacuum(spark, root, keepVersions = 1)
+    assert(bucketDir.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+      "the loser's orphan file was not vacuumed")
+    assert(rows(ManifestTable.read(spark, root).get) == Set((0, 10L), (1, 21L)))
+  }
+
+  test("optimistic concurrency: a racing writer on the SAME partition aborts loudly — never a silent lost update") {
+    val root = tmpDir("graft_manifest_occ3") + "/t"
+    ManifestTable.commit(spark, root,
+      part(Seq((0, 10L), (1, 11L)).toDF("k", "v")), "bucket", 0L)
+    intercept[java.util.ConcurrentModificationException] {
+      ManifestTable.commit(spark, root,
+        part(Seq((1, 99L)).toDF("k", "v")), "bucket", batchId = 2L,
+        beforePublish = () => {
+          ManifestTable.commit(spark, root,
+            part(Seq((1, 50L), (5, 55L)).toDF("k", "v")), "bucket",
+            batchId = 1L): Unit
+        })
+    }
+    // the winner's state is intact; the loser's rows never surfaced
+    assert(rows(ManifestTable.read(spark, root).get) ==
+      Set((0, 10L), (1, 50L), (5, 55L)))
+  }
+
+  test("optimistic concurrency: optimize racing a disjoint ingest carries its lines; racing a delete aborts") {
+    val root = tmpDir("graft_manifest_occ4") + "/t"
+    ManifestTable.commit(spark, root,
+      (0 until 40).map(i => (1, i.toLong)).toDF("k", "v")
+        .repartition(8).transform(part),
+      "bucket", 0L)
+    val stats = ManifestTable.optimize(spark, root,
+      beforePublish = () => {
+        // an ingest lands a NEW partition mid-fold: the fold owns only the
+        // input files it read, so the retry must carry the winner's lines
+        ManifestTable.commit(spark, root,
+          part(Seq((2, 777L)).toDF("k", "v")), "bucket", batchId = 1L): Unit
+      })
+    assert(stats.nonEmpty)
+    assert(ManifestTable.read(spark, root).get.count() == 41L,
+      "the fold's retry lost the concurrently-ingested rows")
+    assert(ManifestTable.read(spark, root).get
+      .filter(col("v") === 777).count() == 1L)
+    // fence: the concurrent ingest's batch id survives as the fence
+    assert(ManifestTable.lastBatch(spark, root) == 1L)
+    // a fold whose INPUT files a racing delete removed must abort — its
+    // output would resurrect the deleted rows
+    val root2 = tmpDir("graft_manifest_occ5") + "/t"
+    ManifestTable.commit(spark, root2,
+      (0 until 40).map(i => (i % 8, 1000L + i)).toDF("k", "v")
+        .repartition(8).transform(part),
+      "bucket", 0L)
+    intercept[java.util.ConcurrentModificationException] {
+      ManifestTable.optimize(spark, root2,
+        beforePublish = () => {
+          ManifestTable.deleteRows(spark, root2,
+            Seq(1000L, 1001L).toDF("v"), "v"): Unit
+        })
+    }
+    // the delete's result is intact — the aborted fold changed nothing
+    assert(ManifestTable.read(spark, root2).get.count() == 38L)
+  }
+
+  test("optimistic concurrency: deleteRows racing a disjoint ingest converges; a same-partition race aborts") {
+    val root = tmpDir("graft_manifest_occ6") + "/t"
+    val data = (0 until 8).map(i => (i, 100L + i))
+    ManifestTable.commit(spark, root, part(data.toDF("k", "v")), "bucket", 0L)
+    // the takedown (k=1, bucket 1) races a bucket-2 replacement — disjoint,
+    // so the delete's retry carries the new bucket-2 lines
+    val st = ManifestTable.deleteRows(spark, root, Seq(1).toDF("k"), "k",
+      beforePublish = () => {
+        ManifestTable.commit(spark, root,
+          part(Seq((2, 222L)).toDF("k", "v")), "bucket", batchId = 1L): Unit
+      })
+    assert(st.exists(_.rowsDeleted == 1L))
+    // bucket 2 (k=2,6) was wholly REPLACED by the winner's {(2,222)};
+    // bucket 1 lost k=1 to the delete and kept k=5
+    assert(rows(ManifestTable.read(spark, root).get) ==
+      Set((0, 100L), (2, 222L), (3, 103L), (4, 104L), (5, 105L),
+        (7, 107L)),
+      "delete retry lost the concurrent bucket replacement")
+    // same-partition race: the ingest replaced the partition the delete
+    // rewrote — lost update, loud abort
+    intercept[java.util.ConcurrentModificationException] {
+      ManifestTable.deleteRows(spark, root, Seq(3).toDF("k"), "k",
+        beforePublish = () => {
+          ManifestTable.commit(spark, root,
+            part(Seq((3, 333L)).toDF("k", "v")), "bucket", batchId = 2L): Unit
+        })
+    }
+    assert(ManifestTable.read(spark, root).get
+      .filter(col("k") === 3).select("v").collect().map(_.getLong(0)).toSeq
+      == Seq(333L), "the winning ingest's replacement must survive the abort")
+  }
+
+  test("optimistic concurrency: two real threads delivering the SAME batch apply it exactly once") {
+    // the realistic genuine race: at-least-once delivery hands the same
+    // micro-batch to two workers at once (distinct batch ids cannot race
+    // freely — the monotonic fence makes the lower id's outcome depend on
+    // arrival order by design). Whoever loses the rename must detect the
+    // winner carried the batch and skip; the final state is deterministic
+    // regardless of who wins.
+    val root = tmpDir("graft_manifest_occ_t") + "/t"
+    ManifestTable.commit(spark, root,
+      part(Seq((0, 10L)).toDF("k", "v")), "bucket", 0L)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val task = new java.util.concurrent.Callable[Long] {
+        def call(): Long = ManifestTable.commit(spark, root,
+          part(Seq((1, 21L)).toDF("k", "v")), "bucket", batchId = 1L)
+      }
+      val (fa, fb) = (pool.submit(task), pool.submit(task))
+      assert(fa.get() == 1L && fb.get() == 1L,
+        "both deliveries must resolve to the winning version")
+    } finally pool.shutdown()
+    assert(rows(ManifestTable.read(spark, root).get) ==
+      Set((0, 10L), (1, 21L)), "the racing redelivery corrupted the table")
+    assert(ManifestTable.currentVersion(spark, root) == 1L,
+      "the same batch committed twice")
+    // the loser's orphaned staged file (if any) is vacuum debris, never
+    // visible to readers
+    ManifestTable.vacuum(spark, root, keepVersions = 1)
+    assert(rows(ManifestTable.read(spark, root).get) == Set((0, 10L), (1, 21L)))
+  }
+
+  test("partition-value escaping: '='/space/leading-zero values rewrite and carry exactly (derived and declared)") {
+    val root = tmpDir("graft_manifest_esc") + "/t"
+    val df = Seq((1L, "a=b"), (2L, "a=b"), (3L, "x 0"), (4L, "007"))
+      .toDF("id", "part")
+    ManifestTable.commit(spark, root, df, "part", batchId = 0L)
+    // the manifest records the ESCAPED directory spelling
+    val (lines0, _) = ManifestTable.readManifest(spark, root, 0L)
+    assert(lines0.exists(_.startsWith("part=a%3Db/")),
+      s"'=' value not Hive-escaped in manifest lines: $lines0")
+    assert(lines0.exists(_.startsWith("part=007/")))
+    // deleteRows inside the escaped partition: survivors rewritten in
+    // place, no stale carry-forward (the round-13 ADVICE hazard)
+    val st = ManifestTable.deleteRows(spark, root, Seq(1L).toDF("id"), "id")
+    assert(st.exists(s0 => s0.partitionsRewritten == 1 && s0.rowsDeleted == 1L),
+      s"unexpected stats: $st")
+    val now = ManifestTable.read(spark, root).get
+    assert(now.count() == 3L && now.filter(col("id") === 1).isEmpty)
+    assert(now.filter(col("part") === "a=b").count() == 1L,
+      "the escaped partition's survivor was lost or duplicated")
+    val (lines1, _) = ManifestTable.readManifest(spark, root, 1L)
+    assert(lines1.count(_.startsWith("part=a%3Db/")) == 1,
+      s"stale pre-delete file carried beside the rewrite: $lines1")
+    // the leading-zero value round-trips VERBATIM — no partition-type
+    // inference rewriting part=007 into part=7
+    ManifestTable.deleteRows(spark, root, Seq(4L).toDF("id"), "id")
+    val (lines2, _) = ManifestTable.readManifest(spark, root, 2L)
+    assert(!lines2.exists(_.startsWith("part=7/")),
+      s"leading-zero partition value lost its rendering: $lines2")
+    assert(!lines2.exists(_.startsWith("part=007/")),
+      "the emptied partition kept stale lines")
+    // a DECLARED '='-bearing value drops the right partition's lines
+    ManifestTable.commit(spark, root,
+      Seq((9L, "x 0")).toDF("id", "part"), "part", batchId = 1L,
+      touchedValues = Seq("a=b"))
+    val after = ManifestTable.read(spark, root).get
+    assert(after.filter(col("part") === "a=b").isEmpty,
+      "declared escaped partition kept stale lines")
+    assert(after.select("id").collect().map(_.getLong(0)).toSeq == Seq(9L))
+    // the empty string refuses (Spark renders it as the default-partition
+    // sentinel — silently matching nothing would be a stale carry-forward)
+    intercept[IllegalArgumentException] {
+      ManifestTable.commit(spark, root,
+        Seq((10L, "x 0")).toDF("id", "part"), "part", batchId = 2L,
+        touchedValues = Seq(""))
+    }
+  }
+
+  test("legacy table (no recorded schema): a narrow first post-upgrade commit must not hide older columns") {
+    val root = tmpDir("graft_manifest_legacy") + "/t"
+    ManifestTable.commit(spark, root,
+      Seq((0, 10L, "x"), (1, 11L, "y")).toDF("k", "v", "extra")
+        .withColumn("part", lit("b0")),
+      "part", batchId = 0L)
+    // simulate a PRE-schema-versioning table: strip the recorded schema
+    // from the manifest header (these tables exist in the wild — every
+    // commit before the U10 upgrade wrote headers without schemaB64)
+    val m = Paths.get(s"$root/_manifest/v0.json")
+    Files.writeString(m, Files.readString(m)
+      .replaceAll(",\"schemaB64\":\"[^\"]+\"", ""))
+    // the out-of-band edit invalidates LocalFileSystem's checksum sidecar
+    Files.deleteIfExists(Paths.get(s"$root/_manifest/.v0.json.crc"))
+    assert(ManifestTable.read(spark, root).get.columns.contains("extra"),
+      "fixture broke: legacy read should infer from files")
+    // the first post-upgrade commit carries a NARROWER frame — the merged
+    // schema must still include the legacy files' columns (inferred from
+    // the carried files), or optimize would rewrite them away for good
+    ManifestTable.commit(spark, root,
+      Seq((2, "z")).toDF("k", "extra").withColumn("part", lit("b1")),
+      "part", batchId = 1L)
+    val now = ManifestTable.read(spark, root).get
+    assert(now.columns.contains("v"),
+      "legacy column lost by the first post-upgrade commit")
+    assert(now.filter(col("k") === 0).select("v").collect().head.getLong(0) == 10L)
+    assert(now.filter(col("k") === 2).select("v").collect().head.isNullAt(0))
+    // and the fold rewrites under the FULL merged schema — no column loss
+    ManifestTable.optimizeRewritePartitions(spark, root, "opt")
+    val folded = ManifestTable.read(spark, root).get
+    assert(folded.columns.contains("v") && folded.columns.contains("extra"),
+      "optimize dropped a legacy column")
+    assert(folded.filter(col("v").isNotNull).count() == 2L &&
+      folded.count() == 3L)
+  }
+
+  test("deleteRows: a registered key column zone-map-prunes the detection scan") {
+    val root = tmpDir("graft_manifest_zdel") + "/t"
+    // buckets with DISJOINT k ranges and k registered: the takedown's key
+    // envelope provably misses every other bucket's files
+    val data = (0 until 4).flatMap(b => (0 until 10).map(i => (100L * b + i, b)))
+    ManifestTable.commit(spark, root,
+      data.toDF("k", "bucket"), "bucket", batchId = 0L, statsCol = Some("k"))
+    val st = ManifestTable.deleteRows(spark, root,
+      Seq(105L, 108L).toDF("k"), "k")
+    assert(st.isDefined)
+    assert(st.get.filesScanned < st.get.filesTotal,
+      s"zone-mapped delete scanned the full snapshot: ${st.get}")
+    assert(st.get.rowsDeleted == 2L)
+    assert(ManifestTable.read(spark, root).get.count() == 38L)
+    // a takedown whose envelope misses EVERY file opens none and no-ops
+    val st2 = ManifestTable.deleteRows(spark, root,
+      Seq(5000L, 6000L).toDF("k"), "k")
+    assert(st2.isEmpty, s"out-of-range takedown should no-op, got $st2")
   }
 
   test("vacuum: superseded files deleted past retention, live versions intact") {

@@ -26,6 +26,18 @@ class TombstonesSpec extends SparkSpec {
     Tombstones.add(spark, root, Seq(3L).toDF("doc_id"), "doc_id", "t1")
     assert(Tombstones.filterLive(df, root, "doc_id")
       .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L))
+    // two DISTINCT takedowns sharing one batch id (e.g. a caller default)
+    // must ALSO accumulate — a silent replace would resurface the first
+    // list's docs in every search and exempt them from the next fold
+    val root2 = tmpDir("graft_tomb_dflt")
+    Tombstones.add(spark, root2, Seq(1L).toDF("doc_id"), "doc_id", "takedown")
+    Tombstones.add(spark, root2, Seq(2L).toDF("doc_id"), "doc_id", "takedown")
+    assert(Tombstones.read(spark, root2).get
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L),
+      "a repeated default batch id replaced the first takedown list")
+    // ...while the same list under the same id stays one partition
+    Tombstones.add(spark, root2, Seq(2L).toDF("doc_id"), "doc_id", "takedown")
+    assert(Tombstones.read(spark, root2).get.count() == 2L)
     Tombstones.clear(spark, root)
     assert(Tombstones.read(spark, root).isEmpty)
     assert(Tombstones.filterLive(df, root, "doc_id").count() == 3L)

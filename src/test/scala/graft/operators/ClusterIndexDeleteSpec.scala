@@ -111,6 +111,25 @@ class ClusterIndexDeleteSpec extends SparkSpec {
     assert(ClusterIndex.labels(spark, root)
       .select("id", "cluster_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toList
       == done, "retry after a lost reps commit did not converge")
+    // anchor RETENTION: the batch-3 crash anchor must survive its own
+    // delete (it is the redelivery witness — the restore above just
+    // proved a late retry still needs it)...
+    def anchors(): Set[String] = Option(
+      new java.io.File(s"$root/_delete").listFiles())
+      .getOrElse(Array.empty).map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(anchors().contains("batch=d3"),
+      s"latest anchor must survive as the redelivery witness: ${anchors()}")
+    // ...but a LATER completed delete fences it off for good and sweeps
+    // it, keeping only its own — debris stays bounded at one anchor
+    ClusterIndex.delete(s"$root/index", root,
+      Seq(21L).toDF("doc_id"), batchId = 4L)
+    assert(ClusterIndex.labels(spark, root)
+      .select("id", "cluster_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toList
+      == List((5L, 5L), (33L, 5L)))
+    assert(!anchors().contains("batch=d3"),
+      s"a fenced-off anchor was never swept: ${anchors()}")
+    assert(anchors().contains("batch=d4"),
+      s"the latest delete's anchor must survive: ${anchors()}")
   }
 
   test("property: delete == rebuild under random batch geometries and random takedowns") {

@@ -137,6 +137,42 @@ class HierarchicalIndexSpec extends SparkSpec {
       "a deleted id surfaced in the post-delete search")
   }
 
+  test("optimize defers the tombstone fold while a delete's rewrite is unredeemed (crash between mask and commit)") {
+    val path = tmpDir("graft_hier_crashdel")
+    HierarchicalIndex.build(emb, path)
+    val deadIds = Seq(5L, 16L)
+    val surv = emb.filter(!col("vec_id").isin(deadIds: _*))
+    val dead = emb.filter(col("vec_id").isin(deadIds: _*)).select("vec_id")
+    // CRASH EMULATION: the delete's first durable step (the mask) landed,
+    // the graph rewrite did not — exactly what delete() leaves behind when
+    // it dies between Tombstones.add and its level-0 commit
+    graft.core.Tombstones.add(spark, path,
+      dead.select(col("vec_id").as("id")), "id", "d1")
+    // a maintenance fold arriving NOW must not purge-and-clear: absorbing
+    // the mask would empty the dead bands, so the replayed delete would
+    // find nothing to rewrite and the dead edges would outlive their mask
+    HierarchicalIndex.optimize(spark, path)
+    assert(graft.core.Tombstones.read(spark, path).isDefined,
+      "the fold absorbed a mask whose graph rewrite never landed")
+    // masked search stays dead-free meanwhile
+    val masked = HierarchicalIndex.searchTopKCosine(
+      spark, path, surv, Seq(0L, 1L), 10)
+    assert(masked.filter(col("neighbor_id").isin(deadIds: _*)).isEmpty,
+      "a dead id surfaced while the delete was unredeemed")
+    // the REPLAYED delete still finds its dead bands and lands
+    HierarchicalIndex.delete(spark, path, surv, dead, 1L, "vec_id")
+    // ...after which the fold purges and clears as usual
+    HierarchicalIndex.optimize(spark, path)
+    assert(graft.core.Tombstones.read(spark, path).isEmpty,
+      "post-redemption fold failed to clear the mask")
+    // and the healed pyramid equals the survivor rebuild — the dead edges
+    // are really gone, not just masked
+    val ref = tmpDir("graft_hier_crashdel_ref")
+    HierarchicalIndex.build(surv, ref)
+    assert(graphRows(path, 0) == graphRows(ref, 0),
+      "healed pyramid diverges from the survivor rebuild")
+  }
+
   test("delete: a redelivered batch no-ops on the manifest fence") {
     val path = tmpDir("graft_hier_del_retry")
     HierarchicalIndex.build(emb, path)
