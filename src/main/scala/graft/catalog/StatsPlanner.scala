@@ -70,6 +70,29 @@ object StatsPlanner {
     }
   }
 
+  /** ONE read of the tiny ANALYZE artifact → per-table (rows, bytes)
+    * evidence. The artifact is one row per (table, column) and planning
+    * passes consult it repeatedly (statsJoin: both sides; orderedJoin:
+    * every spoke) — each lookup was previously its own scan job, bounded
+    * but needless driver latency that dominated a29's per-query time
+    * (the round-13→14 watch item). A single scan per planning call also
+    * keeps the evidence CONSISTENT across one decision.
+    */
+  private def evidence(
+      spark: SparkSession,
+      statsPath: String): Map[String, (Option[Long], Option[Long])] = {
+    val df = spark.read.parquet(statsPath)
+    val bytesCol =
+      if (df.columns.contains("total_bytes")) max(col("total_bytes"))
+      else lit(null).cast("long")
+    df.groupBy("table_name")
+      .agg(max(col("n_rows")).as("r"), bytesCol.as("b"))
+      .collect()
+      .map(r => r.getString(0) -> (
+        (if (r.isNullAt(1)) None else Some(r.getLong(1))),
+        (if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+  }
+
   /** Does the artifact's evidence say this side FITS a broadcast? Byte
     * evidence decides when present (Spark's own unit); otherwise the row
     * count under the legacy ceiling. No evidence at all = never fits
@@ -120,12 +143,11 @@ object StatsPlanner {
       joinType: String = "inner",
       broadcastRows: Long = DefaultBroadcastRows,
       broadcastBytes: Long = DefaultBroadcastBytes): DataFrame = {
-    val lRows = estimatedRows(spark, statsPath, leftTable)
-    val rRows = estimatedRows(spark, statsPath, rightTable)
-    val lFits = fitsBroadcast(lRows,
-      estimatedBytes(spark, statsPath, leftTable), broadcastRows, broadcastBytes)
-    val rFits = fitsBroadcast(rRows,
-      estimatedBytes(spark, statsPath, rightTable), broadcastRows, broadcastBytes)
+    val ev = evidence(spark, statsPath)
+    val (lRows, lBytes) = ev.getOrElse(leftTable, (None, None))
+    val (rRows, rBytes) = ev.getOrElse(rightTable, (None, None))
+    val lFits = fitsBroadcast(lRows, lBytes, broadcastRows, broadcastBytes)
+    val rFits = fitsBroadcast(rRows, rBytes, broadcastRows, broadcastBytes)
     (lRows, rRows) match {
       case (Some(l), Some(r)) if r <= l && rFits =>
         left.join(broadcast(right), joinExprs, joinType)
@@ -164,10 +186,10 @@ object StatsPlanner {
     require(tables.nonEmpty, "orderedJoin needs at least one table")
     // ordering stays row-driven (selectivity proxy); the broadcast
     // QUALIFICATION is byte-driven when bytes are recorded (fitsBroadcast)
+    val ev = evidence(spark, statsPath)
     val sized = tables.map { case (name, df, cond) =>
-      val rows = estimatedRows(spark, statsPath, name)
-      val fits = fitsBroadcast(rows,
-        estimatedBytes(spark, statsPath, name), broadcastRows, broadcastBytes)
+      val (rows, bytes) = ev.getOrElse(name, (None, None))
+      val fits = fitsBroadcast(rows, bytes, broadcastRows, broadcastBytes)
       (name, df, cond, rows.getOrElse(Long.MaxValue), fits)
     }.sortBy { case (name, _, _, n, _) => (n, name) }
     sized.foldLeft(base) { case (acc, (_, df, cond, _, fits)) =>
