@@ -163,6 +163,12 @@ object Bench {
     if (selected.exists(_._1 == "u11b_cdf_catchup"))
       try SparkEntry.u11bTableDir(spark, sfDir)
       catch { case _: Throwable => () }
+    if (selected.exists(_._1 == "u13_restore"))
+      try SparkEntry.u13TableDir(spark, sfDir)
+      catch { case _: Throwable => () }
+    if (selected.exists(_._1 == "st21_cdf_consumer"))
+      try SparkEntry.st21StateDir(spark, sfDir)
+      catch { case _: Throwable => () }
     // u12 counts five stored artifacts; stage any its co-entries didn't
     if (selected.exists(_._1 == "u12_freshness")) {
       try SparkEntry.d18ClusterDir(spark, sfDir)

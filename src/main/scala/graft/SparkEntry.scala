@@ -631,6 +631,69 @@ object SparkEntry {
       root
     })
 
+  private val cdfConsumerMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** st21's artifact: a producer table ingested in four lineage batches
+    * with a takedown between batches 1 and 2 and a schema-evolution
+    * boundary at batch 2 (n_chars arrives), plus the
+    * [[graft.streaming.ChangeFeed]] consumer state caught up purely from
+    * the change feed — one net-delta application per producer version,
+    * offsets riding the state table's own fence. The gated read is the
+    * maintained state; the oracle recomputes it from the catalog.
+    * (Takedown keys hit only already-ingested rows: `%97=3 ∧ %4∈{0,1}` —
+    * later batches are `%4∈{2,3}`, so nothing deleted re-enters.)
+    */
+  def st21StateDir(s: SparkSession, dir: String): String =
+    cdfConsumerMemo.computeIfAbsent((s, dir), _ => {
+      val root = graft.core.TempDirs.create("graft_st21_cdf")
+      val (prod, state) = (root + "/t", root + "/state")
+      val docs = t(s, dir, "documents")
+      graft.core.ManifestTable.commit(s, prod,
+        docs.filter(col("doc_id") % 4 === 0).select("doc_id", "lang")
+          .withColumn("part", lit("b0")), "part", 0L)
+      graft.core.ManifestTable.commit(s, prod,
+        docs.filter(col("doc_id") % 4 === 1).select("doc_id", "lang")
+          .withColumn("part", lit("b1")), "part", 1L)
+      graft.core.ManifestTable.deleteRows(s, prod,
+        docs.filter(col("doc_id") % 97 === 3).select("doc_id"), "doc_id")
+      graft.core.ManifestTable.commit(s, prod,
+        docs.filter(col("doc_id") % 4 === 2)
+          .select("doc_id", "lang", "n_chars")
+          .withColumn("part", lit("b2")), "part", 2L)
+      graft.core.ManifestTable.commit(s, prod,
+        docs.filter(col("doc_id") % 4 === 3)
+          .select("doc_id", "lang", "n_chars")
+          .withColumn("part", lit("b3")), "part", 3L)
+      graft.streaming.ChangeFeed.catchUp(s, prod, state)
+      state
+    })
+
+  private val restoreTableMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** u13's artifact: the u9-shaped bucketed catalog table with a takedown
+    * applied (v1) and then UNDONE through
+    * [[graft.core.ManifestTable.restore]] (v2 — manifest-only, exact v0
+    * file list, fence preserved): the gated read is the post-restore
+    * snapshot, which must equal the FULL catalog again.
+    */
+  def u13TableDir(s: SparkSession, dir: String): String =
+    restoreTableMemo.computeIfAbsent((s, dir), _ => {
+      val root = graft.core.TempDirs.create("graft_u13_restore") + "/t"
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .withColumn("bucket", pmod(col("doc_id"), lit(8)).cast("int"))
+      graft.core.ManifestTable.commit(s, root, docs, "bucket", 0L)
+      graft.core.ManifestTable.deleteRows(
+        s, root,
+        t(s, dir, "documents").filter(col("doc_id") % 97 === 3)
+          .select("doc_id"),
+        "doc_id")
+      graft.core.ManifestTable.restore(s, root, 0L)
+      root
+    })
+
   private val cdfCatchupMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
@@ -788,6 +851,10 @@ object SparkEntry {
       // u11b replays the consumer catch-up over its own staged
       // evolution+takedown table (u11bTableDir)
       "u11b_cdf_catchup",
+      // u13 reads the post-restore manifest snapshot (u13TableDir)
+      "u13_restore",
+      // st21 reads the CDF-maintained consumer state (st21StateDir)
+      "st21_cdf_consumer",
       // u12 counts five pre-staged artifacts' indexed rows (d18, d17, d9,
       // d16, k8 — all ingest-time artifacts of their own entries)
       "u12_freshness",
@@ -819,7 +886,8 @@ object SparkEntry {
       streamedClusterMemo, hierIndexMemo, trainingShardsMemo,
       takedownTableMemo, takedownIndexMemo, evolutionTableMemo,
       streamedHierIndexMemo, pyramidTakedownMemo,
-      clusterTakedownMemo, cdfCatchupMemo).foreach { m =>
+      clusterTakedownMemo, cdfCatchupMemo, restoreTableMemo,
+      cdfConsumerMemo).foreach { m =>
       m.keySet.asScala.filter(_._1 eq s).toList
         .foreach(k => Option(m.remove(k)).foreach(graft.core.TempDirs.drop))
     }
@@ -1886,6 +1954,16 @@ object SparkEntry {
     "u9_takedown" -> ((s, dir) =>
       graft.core.ManifestTable.read(s, u9TableDir(s, dir)).get
         .select("doc_id", "lang", "source", "n_chars")),
+    // u13: RESTORE undoes the takedown — the post-restore snapshot must
+    // be the FULL catalog again (manifest-only undo, zero data IO)
+    "u13_restore" -> ((s, dir) =>
+      graft.core.ManifestTable.read(s, u13TableDir(s, dir)).get
+        .select("doc_id", "lang", "source", "n_chars")),
+    // st21: the CDF-maintained consumer state — per-lang doc and char
+    // rollup applied purely from net deltas across appends, a takedown
+    // and a schema-evolution boundary, offsets in the state fence
+    "st21_cdf_consumer" -> ((s, dir) =>
+      graft.streaming.ChangeFeed.state(s, st21StateDir(s, dir))),
     // u10: the post-evolution snapshot — batch-0 rows null-fill the
     // column batch 1 introduced, read under the manifest's recorded
     // merged schema
@@ -2613,6 +2691,19 @@ object SparkEntry {
     "u9_takedown" ->
       ("SELECT doc_id, lang, source, n_chars FROM documents " +
         "WHERE doc_id % 97 <> 3"),
+    // u13: the post-restore snapshot is the FULL catalog again
+    "u13_restore" ->
+      "SELECT doc_id, lang, source, n_chars FROM documents",
+    // st21: the consumer state recomputed from the catalog — survivors
+    // of the takedown (which hit only the already-ingested %4 in (0,1)
+    // rows), chars contributed only by the post-evolution batches
+    "st21_cdf_consumer" ->
+      ("SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(CASE WHEN doc_id % 4 IN (2, 3) THEN n_chars ELSE 0 END) " +
+        "AS BIGINT) AS chars_total " +
+        "FROM documents " +
+        "WHERE NOT (doc_id % 97 = 3 AND doc_id % 4 IN (0, 1)) " +
+        "GROUP BY lang"),
     // u11: the net-removed rows across u9's delete version ARE the
     // takedown list
     "u11_table_changes" ->

@@ -1032,6 +1032,69 @@ object ManifestTable {
     throw new IllegalStateException("unreachable")
   }
 
+  /** RESTORE the table to an earlier committed version (the Delta RESTORE
+    * move, manifest-native) — the UNDO for a bad ingest, delete or fold:
+    * publishes a NEW version whose file list is exactly `toVersion`'s.
+    * History stays linear — the versions being undone remain
+    * time-travelable until [[vacuum]] retires them, and the restored
+    * files become referenced by the new CURRENT manifest, so a
+    * subsequent vacuum keeps them (live = union of retained versions).
+    *
+    *  - Manifest-only: data files are immutable and shared across
+    *    manifests, so restore costs one manifest read + one publish —
+    *    zero data IO at any table size.
+    *  - The ingest FENCE is PRESERVED: the new manifest carries the
+    *    CURRENT fence, not `toVersion`'s — a restore is not an ingest,
+    *    and a redelivered batch from before the restore must still no-op
+    *    after it (replaying it would double-apply what the restore
+    *    deliberately reinstated).
+    *  - Schema: the CURRENT recorded schema carries (additive evolution
+    *    means it is a superset of `toVersion`'s — restored files
+    *    null-fill columns added since, exactly as any old file does).
+    *    Same for the zone-map registration: old lines' shorter stats
+    *    suffixes pad conservatively under the current column list.
+    *  - `toVersion` must still be inside vacuum retention (its manifest
+    *    must exist); restoring to the current version is a no-op.
+    *
+    * MULTI-WRITER safe like [[commit]]; whole-table semantics like
+    * [[optimizeRewritePartitions]] — the restore declares the ENTIRE
+    * state, so any concurrent change aborts loudly rather than being
+    * silently undone by the retry.
+    */
+  def restore(
+      spark: SparkSession,
+      root: String,
+      toVersion: Long,
+      beforePublish: () => Unit = NoHook): Long = {
+    val v = currentVersion(spark, root)
+    require(v >= 0, s"no committed version under $root")
+    if (toVersion == v) return v
+    require(toVersion >= 0 && toVersion < v,
+      s"restore($toVersion): target must be an earlier committed version " +
+        s"(current is $v)")
+    val target = readManifestLines(spark, root, toVersion) // throws if vacuumed
+    val cur0 = readManifestLines(spark, root, v)
+    beforePublish()
+    var next = v + 1
+    var curSt = cur0
+    while (true) {
+      if (curSt.lines.toSet != cur0.lines.toSet)
+        throw new java.util.ConcurrentModificationException(
+          s"restore under $root lost its publish race to a writer that " +
+            "changed the table — a restore declares the entire state, so " +
+            "retrying would silently undo the concurrent write; re-issue " +
+            "the restore against the current snapshot")
+      // CURRENT fence + schema + stats registration; toVersion's LINES
+      if (publishManifest(spark, root, next,
+        manifestHeader(next, curSt.batch, curSt.statsCols, curSt.schema),
+        target.lines)) return next
+      val cur = currentVersion(spark, root)
+      curSt = readManifestLines(spark, root, cur)
+      next = cur + 1
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   final case class DeleteStats(
       partitionsRewritten: Int, partitionsEmptied: Int, rowsDeleted: Long,
       filesScanned: Int, filesTotal: Int)

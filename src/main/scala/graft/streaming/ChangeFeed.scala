@@ -1,0 +1,151 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ST21: an INCREMENTAL CONSUMER maintained purely from the manifest
+  * table's change-data feed ([[graft.core.ManifestTable.changes]] — U11)
+  * — the downstream half of the CDF story, which u11/u11b gate as reads
+  * and this object turns into a maintained STATE. The canonical shape of
+  * every Delta-CDF / Iceberg-incremental downstream job: poll the
+  * producer's version, apply the net row delta to an aggregate, record
+  * the consumed offset durably, repeat.
+  *
+  * The state here is a per-language rollup (`lang, n_docs, chars_total`)
+  * over a document table — deliberately the simplest aggregate that
+  * exercises every hard part of the contract:
+  *
+  *  - DELETES: a producer `deleteRows` version nets negative — the
+  *    consumer subtracts `removed EXCEPT`-side counts, never re-scans;
+  *  - SCHEMA EVOLUTION: a catch-up step BEFORE the producer recorded
+  *    `n_chars` sees frames without the column (contributes 0), steps
+  *    after see old files null-filled under the evolved schema — the
+  *    consumer handles both regimes, as every long-lived downstream job
+  *    eventually must;
+  *  - EXACTLY-ONCE OFFSETS: the consumer's own state table records the
+  *    last consumed producer version as its manifest BATCH id — the same
+  *    fence the streamed ingests use. A crash after the state commit
+  *    resumes at the next version; a crash before re-reads the same
+  *    delta and the fence makes the re-commit a no-op. No side channel,
+  *    no separate offset store.
+  *
+  * Scale shape: each catch-up step reads exactly the changed files (the
+  * U11 guarantee — cost tracks the delta, never the table), the delta
+  * aggregate is one partial-then-final shuffle keyed by the state key,
+  * and the state rewrite touches only the buckets holding changed keys
+  * (declared-touched commit). State size tracks key cardinality, not
+  * corpus size; catch-up work tracks the delta. Applying one producer
+  * version per step keeps each delta's schema regime clean — a
+  * production consumer would coalesce consecutive versions with no
+  * schema boundary between them.
+  */
+object ChangeFeed {
+
+  /** State-table bucket count (pmod of a stable key hash). */
+  val StateBuckets = 8
+
+  private def keyBucket(c: org.apache.spark.sql.Column) =
+    pmod(abs(hash(c)), lit(StateBuckets)).cast("int")
+
+  /** Per-lang (docs, chars) contribution of one side of a feed step.
+    * Frames from steps before the producer's schema evolution lack
+    * `n_chars` entirely; evolved steps null-fill old files — both read
+    * as zero chars.
+    */
+  private def sideCounts(df: DataFrame, sign: Int): DataFrame = {
+    val chars =
+      if (df.columns.contains("n_chars"))
+        coalesce(col("n_chars").cast("long"), lit(0L))
+      else lit(0L)
+    df.groupBy(col("lang"))
+      .agg((count(lit(1)) * sign).as("d_docs"),
+        (sum(chars) * sign).as("d_chars"))
+  }
+
+  /** Apply producer version `v`'s net change to the state table.
+    * Version 0 is the initial load (its manifest IS the full delta).
+    */
+  private def applyOne(
+      spark: SparkSession, producerRoot: String, stateRoot: String,
+      v: Long): Unit = {
+    val (added, removed) =
+      if (v == 0)
+        (graft.core.ManifestTable.readVersion(spark, producerRoot, 0L),
+          None)
+      else {
+        val (a, r) = graft.core.ManifestTable.changes(
+          spark, producerRoot, v - 1, v)
+        (a, Some(r))
+      }
+    val delta = removed match {
+      case None => sideCounts(added, 1)
+      case Some(r) => sideCounts(added, 1).unionByName(sideCounts(r, -1))
+    }
+    val deltaAgg = delta.groupBy("lang")
+      .agg(sum(col("d_docs")).as("d_docs"), sum(col("d_chars")).as("d_chars"))
+      .localCheckpoint(true) // small: one row per changed key
+    if (deltaAgg.isEmpty) {
+      // a version with zero net key change (pure OPTIMIZE) still must
+      // advance the offset — commit the touched-nothing fence move
+      val empty = graft.core.ManifestTable.read(spark, stateRoot) match {
+        case Some(st) => st.limit(0)
+        case None => deltaAgg.select(col("lang"),
+          col("d_docs").as("n_docs"), col("d_chars").as("chars_total"),
+          keyBucket(col("lang")).as("bucket"))
+      }
+      graft.core.ManifestTable.commit(
+        spark, stateRoot, empty, "bucket", batchId = v)
+      return
+    }
+    val touched = deltaAgg
+      .select(keyBucket(col("lang")).as("b")).distinct()
+      .collect().map(_.getInt(0)).sorted // <= StateBuckets
+    val prev = graft.core.ManifestTable.read(spark, stateRoot)
+    val prevTouched = prev match {
+      case Some(st) =>
+        st.filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+          .select("lang", "n_docs", "chars_total")
+      case None =>
+        deltaAgg.limit(0).select(col("lang"),
+          col("d_docs").as("n_docs"), col("d_chars").as("chars_total"))
+    }
+    // merge: full outer on the key — new keys enter, keys the delta
+    // zeroes stay as explicit zero rows (state rows never vanish outside
+    // a state-table takedown, keeping the merge append-free)
+    val merged = prevTouched
+      .join(deltaAgg, Seq("lang"), "full_outer")
+      .select(col("lang"),
+        (coalesce(col("n_docs"), lit(0L)) +
+          coalesce(col("d_docs"), lit(0L))).as("n_docs"),
+        (coalesce(col("chars_total"), lit(0L)) +
+          coalesce(col("d_chars"), lit(0L))).as("chars_total"))
+      .withColumn("bucket", keyBucket(col("lang")))
+    graft.core.ManifestTable.commit(
+      spark, stateRoot, merged, "bucket", batchId = v,
+      touchedValues = touched.map(_.toString).toSeq)
+  }
+
+  /** Catch the consumer state up to the producer's current version,
+    * returning the offset (last consumed producer version). Idempotent:
+    * already-consumed versions no-op on the state table's fence, so
+    * re-running after any crash converges.
+    */
+  def catchUp(
+      spark: SparkSession, producerRoot: String, stateRoot: String): Long = {
+    val cur = graft.core.ManifestTable.currentVersion(spark, producerRoot)
+    require(cur >= 0, s"producer at $producerRoot has no committed version")
+    val last = graft.core.ManifestTable.lastBatch(spark, stateRoot)
+    for (v <- (last + 1) to cur)
+      applyOne(spark, producerRoot, stateRoot, v)
+    cur
+  }
+
+  /** The maintained state (zero-count rows dropped — a key whose docs all
+    * left reads as absent, matching the batch recompute).
+    */
+  def state(spark: SparkSession, stateRoot: String): DataFrame =
+    graft.core.ManifestTable.read(spark, stateRoot)
+      .map(_.filter(col("n_docs") > 0).select("lang", "n_docs", "chars_total"))
+      .getOrElse(throw new IllegalStateException(
+        s"no consumer state at $stateRoot — run catchUp first"))
+}

@@ -787,6 +787,73 @@ class ManifestTableSpec extends SparkSpec {
     assert(st2.isEmpty, s"out-of-range takedown should no-op, got $st2")
   }
 
+  test("restore: undo reinstates an earlier version's files, keeps history linear, preserves the fence") {
+    val root = tmpDir("graft_manifest_restore") + "/t"
+    val data = (0 until 8).map(i => (i, 100L + i))
+    ManifestTable.commit(spark, root, part(data.toDF("k", "v")),
+      "bucket", batchId = 5L, statsCol = Some("v"))
+    val (v0Lines, _) = ManifestTable.readManifest(spark, root, 0L)
+    // a bad takedown lands as v1...
+    ManifestTable.deleteRows(spark, root, Seq(1, 2, 6).toDF("k"), "k")
+    assert(ManifestTable.read(spark, root).get.count() == 5L)
+    // ...and RESTORE undoes it as v2 — manifest-only, exact file list
+    val rv = ManifestTable.restore(spark, root, 0L)
+    assert(rv == 2L)
+    assert(rows(ManifestTable.read(spark, root).get) == data.toSet,
+      "restore did not reinstate the pre-delete rows")
+    assert(ManifestTable.readManifest(spark, root, 2L)._1.toSet ==
+      v0Lines.toSet, "restore must reference v0's exact files")
+    // history stays LINEAR: the undone delete still time-travels
+    assert(ManifestTable.readVersion(spark, root, 1L).count() == 5L)
+    // fence preserved: the pre-restore ingest batch still no-ops...
+    assert(ManifestTable.commit(spark, root,
+      part(Seq((0, 999L)).toDF("k", "v")), "bucket", batchId = 5L,
+      statsCol = Some("v")) == 2L)
+    // ...and zone maps still prune on the restored lines
+    val (kept, total) = ManifestTable.prunedFiles(spark, root, "v", 100L, 100L)
+    assert(kept.nonEmpty && kept.length < total)
+    // the CDF feed composes across the undo: catching up over the restore
+    // version nets exactly the rows the restore brought back
+    val (ar, rr) = ManifestTable.changes(spark, root, 1L, 2L)
+    assert(rows(ar.exceptAll(rr)) ==
+      Set((1, 101L), (2, 102L), (6, 106L)),
+      "net-added across the restore must be the un-deleted rows")
+    assert(rr.exceptAll(ar).isEmpty, "a restore of a delete nets no removals")
+    // restoring to the current version is a no-op; bad targets refuse
+    assert(ManifestTable.restore(spark, root, 2L) == 2L)
+    intercept[IllegalArgumentException] {
+      ManifestTable.restore(spark, root, 7L)
+    }
+    // vacuum AFTER a restore keeps the restored (old) files — they are
+    // referenced by the new current manifest — and retires the undone
+    // delete's rewrite files past retention
+    ManifestTable.vacuum(spark, root, keepVersions = 1)
+    assert(rows(ManifestTable.read(spark, root).get) == data.toSet,
+      "vacuum deleted files the restored current version references")
+    intercept[Exception] { // the undone version is gone past retention
+      ManifestTable.readVersion(spark, root, 1L).collect()
+    }
+    // restore to a vacuumed version refuses loudly
+    intercept[Exception] { ManifestTable.restore(spark, root, 0L) }
+    // OCC: a restore racing a concurrent write aborts — retrying would
+    // silently undo the winner
+    ManifestTable.commit(spark, root,
+      part(Seq((8, 208L)).toDF("k", "v")), "bucket", batchId = 6L,
+      statsCol = Some("v"))
+    val base = ManifestTable.currentVersion(spark, root)
+    intercept[java.util.ConcurrentModificationException] {
+      ManifestTable.restore(spark, root, base - 1,
+        beforePublish = () => {
+          ManifestTable.commit(spark, root,
+            part(Seq((9, 209L)).toDF("k", "v")), "bucket", batchId = 7L,
+            statsCol = Some("v")): Unit
+        })
+    }
+    assert(ManifestTable.read(spark, root).get
+      .filter(col("k") === 9).count() == 1L,
+      "the aborted restore undid a concurrent commit")
+  }
+
   test("vacuum: superseded files deleted past retention, live versions intact") {
     val root = tmpDir("graft_manifest_vac") + "/t"
     ManifestTable.commit(spark, root, part(Seq((0, 10L)).toDF("k", "v")), "bucket", 0L)
