@@ -169,6 +169,12 @@ object Bench {
     if (selected.exists(_._1 == "st21_cdf_consumer"))
       try SparkEntry.st21StateDir(spark, sfDir)
       catch { case _: Throwable => () }
+    if (selected.exists(_._1 == "u14_partition_ttl"))
+      try SparkEntry.u14TableDir(spark, sfDir)
+      catch { case _: Throwable => () }
+    if (selected.exists(_._1 == "u15_merge_upsert"))
+      try SparkEntry.u15TableDir(spark, sfDir)
+      catch { case _: Throwable => () }
     // u12 counts five stored artifacts; stage any its co-entries didn't
     if (selected.exists(_._1 == "u12_freshness")) {
       try SparkEntry.d18ClusterDir(spark, sfDir)

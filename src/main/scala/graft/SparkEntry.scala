@@ -631,6 +631,57 @@ object SparkEntry {
       root
     })
 
+  private val ttlTableMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** u14's artifact: a lineage-partitioned catalog table whose two oldest
+    * partitions are expired through the METADATA-ONLY
+    * [[graft.core.ManifestTable.dropPartitions]] — the TTL fast path
+    * (zero data IO; bytes leave at vacuum). The gated read is the
+    * post-drop snapshot.
+    */
+  def u14TableDir(s: SparkSession, dir: String): String =
+    ttlTableMemo.computeIfAbsent((s, dir), _ => {
+      val root = graft.core.TempDirs.create("graft_u14_ttl") + "/t"
+      val docs = t(s, dir, "documents")
+      for (b <- 0 until 4)
+        graft.core.ManifestTable.commit(s, root,
+          docs.filter(col("doc_id") % 4 === b).select("doc_id", "lang")
+            .withColumn("part", lit(s"b$b")), "part", batchId = b.toLong)
+      graft.core.ManifestTable.dropPartitions(s, root, Seq("b0", "b1"))
+      root
+    })
+
+  private val mergeTableMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** u15's artifact: a lineage-partitioned catalog table upserted through
+    * [[graft.core.ManifestTable.merge]] — matched rows (doc_id % 7 = 0)
+    * are REPLACED with corrected lang/n_chars and MOVE to fresh `m*`
+    * partitions, unmatched update rows (doc_id % 13 = 0, shifted ids)
+    * INSERT. The gated read is the post-merge snapshot.
+    */
+  def u15TableDir(s: SparkSession, dir: String): String =
+    mergeTableMemo.computeIfAbsent((s, dir), _ => {
+      val root = graft.core.TempDirs.create("graft_u15_merge") + "/t"
+      val docs = t(s, dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+      for (b <- 0 until 4)
+        graft.core.ManifestTable.commit(s, root,
+          docs.filter(col("doc_id") % 4 === b)
+            .withColumn("part", lit(s"b$b")), "part", batchId = b.toLong)
+      val matched = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("lang", lit("upd"))
+        .withColumn("n_chars", col("n_chars") + lit(1000000L))
+        .withColumn("part", concat(lit("m"), col("doc_id") % 2))
+      val inserts = docs.filter(col("doc_id") % 13 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(10000000L))
+        .withColumn("part", concat(lit("b"), col("doc_id") % 4))
+      graft.core.ManifestTable.merge(s, root,
+        matched.unionByName(inserts), "doc_id", batchId = 4L)
+      root
+    })
+
   private val cdfConsumerMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
@@ -855,6 +906,10 @@ object SparkEntry {
       "u13_restore",
       // st21 reads the CDF-maintained consumer state (st21StateDir)
       "st21_cdf_consumer",
+      // u14 reads the post-TTL manifest snapshot (u14TableDir)
+      "u14_partition_ttl",
+      // u15 reads the post-merge manifest snapshot (u15TableDir)
+      "u15_merge_upsert",
       // u12 counts five pre-staged artifacts' indexed rows (d18, d17, d9,
       // d16, k8 — all ingest-time artifacts of their own entries)
       "u12_freshness",
@@ -887,7 +942,7 @@ object SparkEntry {
       takedownTableMemo, takedownIndexMemo, evolutionTableMemo,
       streamedHierIndexMemo, pyramidTakedownMemo,
       clusterTakedownMemo, cdfCatchupMemo, restoreTableMemo,
-      cdfConsumerMemo).foreach { m =>
+      cdfConsumerMemo, ttlTableMemo, mergeTableMemo).foreach { m =>
       m.keySet.asScala.filter(_._1 eq s).toList
         .foreach(k => Option(m.remove(k)).foreach(graft.core.TempDirs.drop))
     }
@@ -1964,6 +2019,16 @@ object SparkEntry {
     // and a schema-evolution boundary, offsets in the state fence
     "st21_cdf_consumer" -> ((s, dir) =>
       graft.streaming.ChangeFeed.state(s, st21StateDir(s, dir))),
+    // u14: metadata-only partition TTL — the post-drop snapshot holds
+    // exactly the surviving lineage partitions
+    "u14_partition_ttl" -> ((s, dir) =>
+      graft.core.ManifestTable.read(s, u14TableDir(s, dir)).get
+        .select("doc_id", "lang")),
+    // u15: MERGE upsert — the post-merge snapshot holds replaced-and-
+    // moved matches, untouched survivors, and the inserted rows
+    "u15_merge_upsert" -> ((s, dir) =>
+      graft.core.ManifestTable.read(s, u15TableDir(s, dir)).get
+        .select("doc_id", "lang", "n_chars")),
     // u10: the post-evolution snapshot — batch-0 rows null-fill the
     // column batch 1 introduced, read under the manifest's recorded
     // merged schema
@@ -2694,6 +2759,21 @@ object SparkEntry {
     // u13: the post-restore snapshot is the FULL catalog again
     "u13_restore" ->
       "SELECT doc_id, lang, source, n_chars FROM documents",
+    // u14: survivors of the partition TTL are the two youngest lineage
+    // batches
+    "u14_partition_ttl" ->
+      "SELECT doc_id, lang FROM documents WHERE doc_id % 4 IN (2, 3)",
+    // u15: the upsert replayed in SQL — matched rows take the update's
+    // values, unmatched updates append as new rows
+    "u15_merge_upsert" ->
+      """SELECT doc_id,
+         |       CASE WHEN doc_id % 7 = 0 THEN 'upd' ELSE lang END AS lang,
+         |       CASE WHEN doc_id % 7 = 0 THEN n_chars + 1000000
+         |            ELSE n_chars END AS n_chars
+         |FROM documents
+         |UNION ALL
+         |SELECT doc_id + 10000000 AS doc_id, lang, n_chars
+         |FROM documents WHERE doc_id % 13 = 0""".stripMargin,
     // st21: the consumer state recomputed from the catalog — survivors
     // of the takedown (which hit only the already-ingested %4 in (0,1)
     // rows), chars contributed only by the post-evolution batches

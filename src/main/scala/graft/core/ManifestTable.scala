@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, lit}
+import org.apache.spark.sql.functions.{broadcast, col, collect_set, count, countDistinct, lit, max, min, sum, when}
 
 /** Minimal manifest-file commit protocol — cross-partition ATOMICITY for
   * multi-partition state rewrites, the property plain `partitionBy(...)
@@ -433,13 +433,37 @@ object ManifestTable {
     throw new IllegalStateException("unreachable")
   }
 
-  /** ADDITIVE schema evolution: every previously-recorded column must keep
-    * its type (loud refusal on conflict — silent coercion is how a reader
-    * discovers drift three jobs downstream); columns the new commit drops
-    * stay in the table schema (its files simply null-fill them — a column
-    * delete is a rewrite job, not a commit); brand-new columns append in
-    * commit order. All merged fields are nullable: null fill is the whole
-    * point.
+  /** The widened type of a (recorded, committed) column pair, when the
+    * pair is a LEGAL widening — the promotions Spark's parquet readers
+    * apply losslessly under an explicit wider read schema (probed and
+    * spec-pinned: an int32 file column reads as long, a float as double).
+    * Either side may be the wide one: a commit may WIDEN the table
+    * (int → long records long; old int files read fine), and a NARROW
+    * late producer may keep writing int into a long table (its files
+    * read widened). None = not a widening — the caller refuses.
+    */
+  private def widened(
+      a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType)
+      : Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    (a, b) match {
+      case (x, y) if x == y => Some(x)
+      case (IntegerType, LongType) | (LongType, IntegerType) => Some(LongType)
+      case (FloatType, DoubleType) | (DoubleType, FloatType) => Some(DoubleType)
+      case _ => None
+    }
+  }
+
+  /** ADDITIVE schema evolution: a previously-recorded column may keep its
+    * type or legally WIDEN ([[widened]] — int→long, float→double, in
+    * either commit order; the recorded type is the wider of the two);
+    * any other type change refuses loudly (silent coercion is how a
+    * reader discovers drift three jobs downstream); columns the new
+    * commit drops stay in the table schema (its files simply null-fill
+    * them — a column delete is a rewrite job, not a commit); brand-new
+    * columns append in commit order. All merged fields are nullable:
+    * null fill is the whole point.
     */
   private def evolveSchema(
       prev: Option[org.apache.spark.sql.types.StructType],
@@ -450,16 +474,21 @@ object ManifestTable {
       case None => StructType(next.fields.map(_.copy(nullable = true)).toSeq)
       case Some(p) =>
         val byName = next.fields.map(f => f.name -> f).toMap
-        p.fields.foreach { pf =>
-          byName.get(pf.name).foreach { nf =>
-            require(nf.dataType == pf.dataType,
-              s"schema evolution conflict on column '${pf.name}': table has " +
-                s"${pf.dataType.simpleString}, commit has " +
-                s"${nf.dataType.simpleString} — additive evolution only")
+        val mergedPrev = p.fields.map { pf =>
+          byName.get(pf.name) match {
+            case None => pf.copy(nullable = true)
+            case Some(nf) =>
+              val w = widened(pf.dataType, nf.dataType).getOrElse(
+                throw new IllegalArgumentException(
+                  s"schema evolution conflict on column '${pf.name}': table has " +
+                    s"${pf.dataType.simpleString}, commit has " +
+                    s"${nf.dataType.simpleString} — only additive columns and " +
+                    "lossless widenings (int->long, float->double) evolve"))
+              StructField(pf.name, w, nullable = true)
           }
         }
         val known = p.fieldNames.toSet
-        StructType((p.fields.map(_.copy(nullable = true)) ++
+        StructType((mergedPrev ++
           next.fields.filterNot(f => known(f.name))
             .map(_.copy(nullable = true))).toSeq)
     }
@@ -869,23 +898,42 @@ object ManifestTable {
         s"zone-map column '${pr.column}' is ${reg.get._2}-typed; the " +
           s"predicate is $want-typed — match the registered type")
     }
-    val kept = lines.flatMap { l =>
+    (pruneLines(lines, statsCols, preds), lines.length)
+  }
+
+  /** The line-level core of [[prunedFilesMulti]]: paths of the lines whose
+    * recorded [min, max] intersects every predicate's interval. A line
+    * without usable stats — or a predicate on a column the given
+    * registration doesn't carry — keeps the line conservatively; the
+    * PUBLIC entry point validates registration loudly, while internal
+    * callers (e.g. [[merge]]'s concurrent-overlap check against a winner
+    * whose registration may have additively grown) want the conservative
+    * read.
+    */
+  private def pruneLines(
+      lines: Seq[String],
+      statsCols: Seq[(String, String)],
+      preds: Seq[ZonePred]): Seq[String] = {
+    val idx = statsCols.map(_._1).zipWithIndex.toMap
+    lines.flatMap { l =>
       val parts = l.split('|').padTo(1 + 2 * statsCols.length, "")
       val path = parts(0)
       val keep = l.indexOf('|') < 0 || preds.forall { pr =>
-        val i = idx(pr.column)
-        val (mnS, mxS) = (parts(1 + 2 * i), parts(2 + 2 * i))
-        if (mnS.isEmpty || mxS.isEmpty) true // no stats: conservative keep
-        else pr match {
-          case LongRange(_, lo, hi) => mxS.toLong >= lo && mnS.toLong <= hi
-          case StringRange(_, lo, hi) =>
-            cmpUnsigned(decStat(mxS), lo.getBytes("UTF-8")) >= 0 &&
-              cmpUnsigned(decStat(mnS), hi.getBytes("UTF-8")) <= 0
+        idx.get(pr.column) match {
+          case None => true // unregistered here: conservative keep
+          case Some(i) =>
+            val (mnS, mxS) = (parts(1 + 2 * i), parts(2 + 2 * i))
+            if (mnS.isEmpty || mxS.isEmpty) true // no stats: conservative keep
+            else pr match {
+              case LongRange(_, lo, hi) => mxS.toLong >= lo && mnS.toLong <= hi
+              case StringRange(_, lo, hi) =>
+                cmpUnsigned(decStat(mxS), lo.getBytes("UTF-8")) >= 0 &&
+                  cmpUnsigned(decStat(mnS), hi.getBytes("UTF-8")) <= 0
+            }
         }
       }
       if (keep) Some(path) else None
     }
-    (kept, lines.length)
   }
 
   /** Read the latest version restricted to files that can contain rows
@@ -1088,6 +1136,292 @@ object ManifestTable {
       if (publishManifest(spark, root, next,
         manifestHeader(next, curSt.batch, curSt.statsCols, curSt.schema),
         target.lines)) return next
+      val cur = currentVersion(spark, root)
+      curSt = readManifestLines(spark, root, cur)
+      next = cur + 1
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** METADATA-ONLY partition drop — the retention fast path for
+    * partition-aligned deletes (TTL on lineage or date partitions —
+    * routine at 100 TB, where expiring a day must never rewrite the
+    * surviving years): publishes a new version WITHOUT the named
+    * partitions' lines. ZERO data IO at any size — one manifest read +
+    * one publish; the bytes leave disk at [[vacuum]] once no retained
+    * version references them, and every retained pre-drop version still
+    * time-travels until then. This is to [[deleteRows]] what directory
+    * TTL is to a row filter: when the delete predicate IS the partition
+    * value, the row-rewrite machinery is pure waste.
+    *
+    * `values` are RAW partition values, rendered through the same Hive
+    * escaping as everywhere else. The ingest FENCE is preserved (a drop
+    * is not an ingest). Returns the number of manifest lines dropped, or
+    * None when no named partition has any line (nothing to do — no empty
+    * version is published).
+    *
+    * MULTI-WRITER safe like [[commit]]: a concurrent writer that touched
+    * one of the DROPPED partitions aborts the drop loudly (it replaced
+    * content this drop never saw — silently deleting it would be a lost
+    * update); writers on other partitions compose through the retry.
+    */
+  def dropPartitions(
+      spark: SparkSession,
+      root: String,
+      values: Seq[String],
+      beforePublish: () => Unit = NoHook): Option[Long] = {
+    require(values.nonEmpty, "dropPartitions needs at least one value")
+    val v = currentVersion(spark, root)
+    require(v >= 0, s"no committed version under $root")
+    val st = readManifestLines(spark, root, v)
+    val partitionCol = st.lines.headOption
+      .map(_.split('|')(0).takeWhile(_ != '='))
+      .getOrElse(return None)
+    val dropNames = values.map(x => s"$partitionCol=${escapedPartValue(x)}")
+    val baseTouched = touchedLineSets(Some(st), dropNames)
+    val dropped = baseTouched.values.map(_.size.toLong).sum
+    if (dropped == 0L) return None
+    beforePublish()
+    var next = v + 1
+    var curSt = st
+    while (true) {
+      val curTouched = touchedLineSets(Some(curSt), dropNames)
+      val conflicted = dropNames.filter(p =>
+        curTouched.getOrElse(p, Set.empty) != baseTouched.getOrElse(p, Set.empty))
+      if (conflicted.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"dropPartitions under $root lost its publish race to a writer " +
+            s"that modified dropped partition(s) ${conflicted.mkString(", ")} " +
+            "— dropping them now would silently delete content this call " +
+            "never saw; re-issue against the current snapshot")
+      val kept = curSt.lines.filterNot(l =>
+        dropNames.exists(dn => l.startsWith(dn + "/")))
+      // SAME batch id as the winning state: a drop is not an ingest
+      if (publishManifest(spark, root, next,
+        manifestHeader(next, curSt.batch, curSt.statsCols, curSt.schema),
+        kept)) return Some(dropped)
+      val cur = currentVersion(spark, root)
+      curSt = readManifestLines(spark, root, cur)
+      next = cur + 1
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  final case class MergeStats(
+      rowsUpdated: Long, rowsInserted: Long,
+      partitionsRewritten: Int, partitionsAppended: Int,
+      filesScanned: Int, filesTotal: Int)
+
+  /** MERGE / upsert — the Delta `MERGE INTO … WHEN MATCHED THEN UPDATE *
+    * WHEN NOT MATCHED THEN INSERT *` slot, and the one lifecycle verb the
+    * commit/delete/restore/TTL family lacked (every CDC apply, entity
+    * refresh, or late-correction pipeline runs it): each update row
+    * REPLACES every table row sharing its `keyCol` value — wherever that
+    * row lives, including a DIFFERENT partition than the update targets,
+    * so an update legally moves a row across partitions — or INSERTS if
+    * no row matches. One new manifest version, atomic rename.
+    *
+    * Work tracks the DELTA, never the table:
+    *  - detection is ONE broadcast semi-join over the zone-map-pruned
+    *    candidate files (when `keyCol` is a registered stats column, only
+    *    files whose [min, max] intersects the update keys' envelope are
+    *    opened — `MergeStats.filesScanned < filesTotal`, spec-pinned);
+    *  - only partitions holding MATCHED rows rewrite (survivors by
+    *    broadcast anti-join); partitions that merely RECEIVE rows get new
+    *    files APPENDED next to their carried ones — an insert-mostly merge
+    *    rewrites nothing;
+    *  - untouched partitions carry files and zone maps forward.
+    *
+    * The update batch's KEY SET is broadcast — merge batches are
+    * delta-sized by contract (a merge rivaling the corpus is a rewrite
+    * job, not a merge). Duplicate or null keys in one batch refuse loudly
+    * (two updates for one key in one batch is an ordering ambiguity no
+    * engine should resolve silently).
+    *
+    * A merge IS an ingest: `batchId` advances the fence, so a redelivered
+    * merge no-ops (returns None — at-least-once replay safe). The table's
+    * recorded schema evolves additively through the update frame exactly
+    * as [[commit]] evolves it (new columns null-fill old rows; widenings
+    * per [[widened]]; conflicts refuse).
+    *
+    * MULTI-WRITER: rewritten partitions and append targets are
+    * conflict-witnessed like [[commit]]; additionally a winner that ADDED
+    * files which could hold one of this merge's keys aborts the retry
+    * loudly — an insert derived from "no match" in a superseded snapshot
+    * would silently duplicate the key (the Delta ConcurrentAppend
+    * hazard). "Could hold" is decided by the winner's own zone maps when
+    * `keyCol` is registered — DISJOINT-key ingests then compose through
+    * the retry; with no registered stats on the key, any concurrent
+    * file addition aborts (register the merge key to let merges race the
+    * ingest).
+    */
+  def merge(
+      spark: SparkSession,
+      root: String,
+      updates: DataFrame,
+      keyCol: String,
+      batchId: Long,
+      beforePublish: () => Unit = NoHook): Option[MergeStats] = {
+    val rootPath = new Path(root)
+    val f = fs(spark, rootPath)
+    val v = currentVersion(spark, root)
+    require(v >= 0, s"no committed version under $root — merge needs a " +
+      "committed table; use commit for the first batch")
+    val st = readManifestLines(spark, root, v)
+    if (batchId <= st.batch) return None // redelivered batch: fence no-op
+    require(st.lines.nonEmpty, s"the current snapshot under $root is " +
+      "empty — merge derives the partition column from it; use commit")
+    val allRels = st.lines.map(_.split('|')(0))
+    val partitionCol = allRels.head.takeWhile(_ != '=')
+    require(updates.schema.fieldNames.contains(keyCol),
+      s"merge key column '$keyCol' absent from the update frame")
+    require(updates.schema.fieldNames.contains(partitionCol),
+      s"the table's partition column '$partitionCol' is absent from the " +
+        "update frame — every update row must name its target partition")
+    // partition values round-trip as strings (the directory spelling);
+    // casting here keeps a typed caller column on the same Hive-escaped
+    // rendering as the survivors read back from their dirs
+    val upd = updates
+      .withColumn(partitionCol, col(partitionCol).cast("string"))
+      .localCheckpoint(true)
+    val nUpd = upd.count()
+    require(nUpd > 0, "merge needs at least one update row")
+    val ks = upd.select(col(keyCol)).distinct().localCheckpoint(true)
+    require(ks.filter(col(keyCol).isNull).isEmpty,
+      "null merge key in the update batch — a null key can match nothing")
+    val nKeys = ks.count()
+    require(nKeys == nUpd,
+      s"duplicate merge keys in the update batch ($nUpd rows, $nKeys " +
+        "distinct keys) — two updates for one key in one batch is an " +
+        "ordering ambiguity; pre-aggregate to one row per key")
+    val targetVals = upd.select(col(partitionCol)).distinct()
+      .collect().map(_.getString(0))
+    require(!targetVals.contains(null),
+      "null partition value in the update batch — name the default " +
+        "partition rendering explicitly if it is really meant")
+    val targetNames =
+      targetVals.map(x => s"$partitionCol=${escapedPartValue(x)}").toSeq
+    // the update keys' zone envelope — prunes BOTH the detection scan and
+    // the concurrent-overlap check in the retry loop
+    val envelope: Option[ZonePred] = st.statsCols.find(_._1 == keyCol).map {
+      case (_, "long") =>
+        val kf = upd.schema.fields.find(_.name == keyCol).get
+        require(kf.dataType == org.apache.spark.sql.types.LongType ||
+          kf.dataType == org.apache.spark.sql.types.IntegerType,
+          s"zone-map column '$keyCol' is long-typed but the update batch " +
+            s"holds ${kf.dataType.simpleString} keys")
+        val r = ks.agg(min(col(keyCol)).cast("long"),
+          max(col(keyCol)).cast("long")).head
+        LongRange(keyCol, r.getLong(0), r.getLong(1))
+      case (_, _) =>
+        val kf = upd.schema.fields.find(_.name == keyCol).get
+        require(kf.dataType == org.apache.spark.sql.types.StringType,
+          s"zone-map column '$keyCol' is string-typed but the update " +
+            s"batch holds ${kf.dataType.simpleString} keys")
+        val r = ks.agg(min(col(keyCol)), max(col(keyCol))).head
+        StringRange(keyCol, r.getString(0), r.getString(1))
+    }
+    val candidates: Seq[String] = envelope match {
+      case Some(env) => pruneLines(st.lines, st.statsCols, Seq(env))
+      case None => allRels
+    }
+    val dataSchema = recordedOrInferredSchema(spark, root, st).get
+    val readSchema = org.apache.spark.sql.types.StructType(
+      dataSchema.fields.toSeq :+ org.apache.spark.sql.types.StructField(
+        partitionCol, org.apache.spark.sql.types.StringType, nullable = true))
+    def readFiles(rels: Seq[String]): DataFrame =
+      spark.read.schema(readSchema).option("basePath", root)
+        .parquet(rels.map(r => s"$root/$r"): _*)
+    // DETECTION: matched row count, matched key count, and the partitions
+    // holding matches — one aggregate over the pruned candidate files
+    val (rowsUpdated, matchedKeys, matchedVals) =
+      if (candidates.isEmpty) (0L, 0L, Seq.empty[String])
+      else {
+        val d = readFiles(candidates)
+          .join(broadcast(ks), Seq(keyCol), "left_semi")
+          .agg(count(lit(1)).as("nrows"),
+            countDistinct(col(keyCol)).as("nkeys"),
+            sum(when(col(partitionCol).isNull, 1L).otherwise(0L)).as("nulls"),
+            collect_set(col(partitionCol)).as("parts")).head
+        require(d.getLong(0) == 0L || d.getLong(2) == 0L,
+          s"merge keys matched rows in the default partition " +
+            s"(__HIVE_DEFAULT_PARTITION__) under $root — its value does " +
+            "not round-trip through a rewrite; rewrite that partition " +
+            "explicitly")
+        (d.getLong(0), d.getLong(1), d.getSeq[String](3))
+      }
+    val rowsInserted = nUpd - matchedKeys
+    val touchedRewriteNames = matchedVals
+      .map(x => s"$partitionCol=${escapedPartValue(x)}").distinct.sorted
+    val touchedRels = allRels.filter(r =>
+      touchedRewriteNames.contains(r.takeWhile(_ != '/')))
+    // survivors of the rewritten partitions ∪ the full update batch, one
+    // partitioned write; unionByName null-fills asymmetric columns (the
+    // additive-evolution read semantics, applied at write time)
+    val toWrite =
+      if (touchedRels.isEmpty) upd
+      else readFiles(touchedRels)
+        .join(broadcast(ks), Seq(keyCol), "left_anti")
+        .unionByName(upd, allowMissingColumns = true)
+    val updSchema = org.apache.spark.sql.types.StructType(
+      upd.schema.fields.filterNot(_.name == partitionCol).toSeq)
+    def mergedSchemaFor(s0: ManifestState) = evolveSchema(
+      recordedOrInferredSchema(spark, root, s0), updSchema)
+    mergedSchemaFor(st) // schema-conflict refusal BEFORE any file stages
+    var next = v + 1
+    val (stagedParts, newFiles) =
+      stageDataFiles(f, rootPath, toWrite, partitionCol, next)
+    val myLines = statLines(spark, rootPath, newFiles, st.statsCols)
+    val witnessNames = (touchedRewriteNames ++ targetNames).distinct
+    val baseTouched = touchedLineSets(Some(st), witnessNames)
+    val baseLineSet = st.lines.toSet
+    beforePublish()
+    var curSt = st
+    while (true) {
+      if (batchId <= curSt.batch) return None // the winner carried this
+        // (or a later) batch — idempotent skip; staged files fall to vacuum
+      val curTouched = touchedLineSets(Some(curSt), witnessNames)
+      val conflicted = witnessNames.filter(p =>
+        curTouched.getOrElse(p, Set.empty) != baseTouched.getOrElse(p, Set.empty))
+      if (conflicted.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"merge of batch $batchId under $root lost its publish race to " +
+            s"a writer that modified touched partition(s) " +
+            s"${conflicted.mkString(", ")} — the replacement rows were " +
+            "derived from a superseded snapshot; re-run the merge against " +
+            "the current snapshot (staged files are unreferenced and " +
+            "vacuum-swept)")
+      // the ConcurrentAppend hazard: a winner-added file that could hold
+      // one of this merge's keys invalidates the no-match evidence behind
+      // every insert (and could hide a row a matched update should have
+      // replaced). The winner's own zone maps decide "could hold".
+      val winnerAdded = curSt.lines.filterNot(baseLineSet)
+      val risky = envelope match {
+        case Some(env) => pruneLines(winnerAdded, curSt.statsCols, Seq(env))
+        case None => winnerAdded.map(_.split('|')(0))
+      }
+      if (risky.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"merge of batch $batchId under $root lost its publish race to " +
+            s"a writer that added file(s) which may hold merge keys " +
+            s"(${risky.take(3).mkString(", ")}${if (risky.size > 3) ", …" else ""}) " +
+            "— the match/no-match split was derived from a superseded " +
+            "snapshot; re-run the merge (register the merge key as a " +
+            "zone-map column to let key-disjoint ingests compose)")
+      val carried = curSt.lines.filterNot(l =>
+        touchedRewriteNames.exists(tp => l.startsWith(tp + "/")))
+      if (publishManifest(spark, root, next,
+        manifestHeader(next, batchId, curSt.statsCols,
+          Some(mergedSchemaFor(curSt))),
+        carried ++ myLines))
+        return Some(MergeStats(
+          rowsUpdated = rowsUpdated,
+          rowsInserted = rowsInserted,
+          partitionsRewritten = touchedRewriteNames.size,
+          partitionsAppended =
+            stagedParts.count(!touchedRewriteNames.contains(_)),
+          filesScanned = candidates.size,
+          filesTotal = allRels.size))
       val cur = currentVersion(spark, root)
       curSt = readManifestLines(spark, root, cur)
       next = cur + 1

@@ -97,11 +97,12 @@ class ManifestTableSpec extends SparkSpec {
     assert(afterDrop.columns.contains("v"))
     assert(afterDrop.filter(col("k") === 4).select("v")
       .collect().head.isNullAt(0))
-    // type conflict refuses loudly
+    // a non-widening type conflict refuses loudly (long -> string; the
+    // int/long pair is a legal widening since round 14 — pinned below)
     intercept[IllegalArgumentException] {
       ManifestTable.commit(spark, root,
-        Seq((5, 1)).toDF("k", "v").withColumn("part", lit("b3")),
-        "part", batchId = 3L) // v was long, now int
+        Seq((5, "oops")).toDF("k", "v").withColumn("part", lit("b3")),
+        "part", batchId = 3L)
     }
     // OPTIMIZE on the evolved table null-fills old files in its rewrite
     // and carries the schema header through
@@ -110,6 +111,47 @@ class ManifestTableSpec extends SparkSpec {
     assert(folded.count() == 5L &&
       folded.filter(col("extra").isNull).count() == 2L &&
       folded.filter(col("v").isNull).count() == 1L)
+  }
+
+  test("schema evolution: int->long and float->double widen losslessly in either order; other changes refuse") {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val root = tmpDir("graft_manifest_widen") + "/t"
+    // b0 writes (n: int, x: float); b1 arrives WIDER (long, double)
+    ManifestTable.commit(spark, root,
+      Seq((0, 10, 1.5f), (1, 11, 2.5f)).toDF("k", "n", "x")
+        .withColumn("part", lit("b0")), "part", 0L)
+    ManifestTable.commit(spark, root,
+      Seq((2, 12L, 3.5d)).toDF("k", "n", "x")
+        .withColumn("part", lit("b1")), "part", 1L)
+    val now = ManifestTable.read(spark, root).get
+    assert(now.schema("n").dataType == LongType &&
+      now.schema("x").dataType == DoubleType,
+      s"widening not recorded: ${now.schema.simpleString}")
+    assert(now.select("k", "n").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet ==
+      Set((0, 10L), (1, 11L), (2, 12L)),
+      "pre-widening files must read widened, values intact")
+    assert(now.filter(col("k") === 0).select("x")
+      .collect().head.getDouble(0) == 1.5d)
+    // a NARROW late producer keeps writing int into the widened table —
+    // its files read widened, the recorded type stays long
+    ManifestTable.commit(spark, root,
+      Seq((3, 13)).toDF("k", "n").withColumn("part", lit("b2")), "part", 2L)
+    val after = ManifestTable.read(spark, root).get
+    assert(after.schema("n").dataType == LongType)
+    assert(after.filter(col("k") === 3).select("n")
+      .collect().head.getLong(0) == 13L)
+    // non-widening changes still refuse
+    intercept[IllegalArgumentException] {
+      ManifestTable.commit(spark, root,
+        Seq((4, "s")).toDF("k", "n").withColumn("part", lit("b3")),
+        "part", 3L)
+    }
+    // the fold rewrites mixed-width generations under the widened schema
+    ManifestTable.optimizeRewritePartitions(spark, root, "opt")
+    val folded = ManifestTable.read(spark, root).get
+    assert(folded.schema("n").dataType == LongType && folded.count() == 4L)
+    assert(folded.agg(sum(col("n"))).collect().head.getLong(0) == 46L)
   }
 
   test("zone-map additive migration: appended stats column prunes new files, conservative on old; reorder refuses") {
@@ -785,6 +827,221 @@ class ManifestTableSpec extends SparkSpec {
     val st2 = ManifestTable.deleteRows(spark, root,
       Seq(5000L, 6000L).toDF("k"), "k")
     assert(st2.isEmpty, s"out-of-range takedown should no-op, got $st2")
+  }
+
+  test("dropPartitions: metadata-only TTL drop — no data IO, time travel intact, vacuum reclaims, conflicts abort") {
+    val root = tmpDir("graft_manifest_ttl") + "/t"
+    // the lineage shape: one partition per day-ish batch
+    for (b <- 0 until 4)
+      ManifestTable.commit(spark, root,
+        (0 until 10).map(i => (10 * b + i).toLong).toDF("v")
+          .withColumn("part", lit(s"d$b")), "part", batchId = b.toLong)
+    def dataFiles(): Long = {
+      import scala.jdk.CollectionConverters._
+      // "/_manifest/" with slashes: the scratch dir's own name contains
+      // the bare substring
+      java.nio.file.Files.walk(Paths.get(root)).iterator().asScala
+        .count(p => p.toString.endsWith(".parquet") &&
+          !p.toString.contains("/_manifest/")).toLong
+    }
+    val filesBefore = dataFiles()
+    // drop the two oldest partitions: METADATA-ONLY — the bytes stay
+    // until vacuum, the read drops them immediately
+    val dropped = ManifestTable.dropPartitions(spark, root, Seq("d0", "d1"))
+    assert(dropped.exists(_ >= 2L), s"unexpected drop count: $dropped")
+    assert(ManifestTable.read(spark, root).get
+      .agg(min(col("v"))).collect().head.getLong(0) == 20L)
+    assert(dataFiles() == filesBefore,
+      "a metadata-only drop must not touch data files")
+    // the fence did not advance; pre-drop versions time-travel
+    assert(ManifestTable.lastBatch(spark, root) == 3L)
+    assert(ManifestTable.readVersion(spark, root, 3L).count() == 40L)
+    // vacuum reclaims the dropped bytes past retention
+    ManifestTable.vacuum(spark, root, keepVersions = 1)
+    assert(dataFiles() < filesBefore, "vacuum did not reclaim dropped bytes")
+    assert(ManifestTable.read(spark, root).get.count() == 20L)
+    // dropping a partition with no lines is a no-op by value
+    assert(ManifestTable.dropPartitions(spark, root, Seq("d0")).isEmpty)
+    // a concurrent writer REPLACING a dropped partition aborts the drop
+    intercept[java.util.ConcurrentModificationException] {
+      ManifestTable.dropPartitions(spark, root, Seq("d2"),
+        beforePublish = () => {
+          ManifestTable.commit(spark, root,
+            Seq(999L).toDF("v").withColumn("part", lit("d2")),
+            "part", batchId = 4L): Unit
+        })
+    }
+    assert(ManifestTable.read(spark, root).get
+      .filter(col("v") === 999L).count() == 1L,
+      "the aborted drop deleted a concurrent replacement")
+    // ...while a writer on a DIFFERENT partition composes via the retry
+    val d2 = ManifestTable.dropPartitions(spark, root, Seq("d2"),
+      beforePublish = () => {
+        ManifestTable.commit(spark, root,
+          Seq(777L).toDF("v").withColumn("part", lit("d4")),
+          "part", batchId = 5L): Unit
+      })
+    assert(d2.isDefined)
+    val fin = ManifestTable.read(spark, root).get
+    assert(fin.filter(col("v") === 777L).count() == 1L &&
+      fin.filter(col("part") === "d2").count() == 0L,
+      "drop retry lost the concurrent disjoint commit")
+  }
+
+  test("merge: matched rows replace (and move partitions), unmatched insert; receiving partitions append, not rewrite") {
+    val root = tmpDir("graft_manifest_merge") + "/t"
+    // one row per bucket so rewrite/append/empty shapes are all visible
+    ManifestTable.commit(spark, root,
+      Seq((0, 10L, 0), (1, 11L, 1), (2, 22L, 2), (3, 33L, 3))
+        .toDF("k", "v", "bucket"), "bucket", batchId = 0L)
+    // k=1 updates to v=110 AND MOVES bucket 1 -> 2; k=7 is a pure insert
+    val st = ManifestTable.merge(spark, root,
+      Seq((1, 110L, 2), (7, 77L, 3)).toDF("k", "v", "bucket"),
+      "k", batchId = 1L)
+    assert(st.isDefined)
+    assert(st.get.rowsUpdated == 1L && st.get.rowsInserted == 1L, s"$st")
+    assert(st.get.partitionsRewritten == 1, // bucket=1 (emptied by the move)
+      s"$st")
+    assert(st.get.partitionsAppended == 2, // bucket=2 and bucket=3 receive
+      s"$st")
+    assert(rows(ManifestTable.read(spark, root).get) ==
+      Set((0, 10L), (1, 110L), (2, 22L), (3, 33L), (7, 77L)))
+    // the emptied source partition dropped its lines
+    assert(ManifestTable.read(spark, root).get
+      .filter(col("bucket") === 1).count() == 0L)
+    // a merge IS an ingest: the fence advanced; redelivery no-ops
+    assert(ManifestTable.lastBatch(spark, root) == 1L)
+    assert(ManifestTable.merge(spark, root,
+      Seq((1, 999L, 2)).toDF("k", "v", "bucket"), "k", batchId = 1L).isEmpty)
+    assert(rows(ManifestTable.read(spark, root).get) ==
+      Set((0, 10L), (1, 110L), (2, 22L), (3, 33L), (7, 77L)),
+      "a redelivered merge batch re-applied")
+    // pre-merge snapshot time-travels
+    assert(rows(ManifestTable.readVersion(spark, root, 0L)) ==
+      Set((0, 10L), (1, 11L), (2, 22L), (3, 33L)))
+    // APPEND, not rewrite: after vacuum past the pre-merge version, the
+    // receiving buckets keep their ORIGINAL file next to the appended one
+    ManifestTable.vacuum(spark, root, keepVersions = 1)
+    val b2 = new java.io.File(s"$root/bucket=2")
+    assert(b2.listFiles().count(_.getName.endsWith(".parquet")) == 2,
+      "the receiving partition's carried file should be live beside the " +
+        "appended one (a rewrite would have replaced it)")
+    assert(!new java.io.File(s"$root/bucket=1").exists() ||
+      new java.io.File(s"$root/bucket=1")
+        .listFiles().count(_.getName.endsWith(".parquet")) == 0,
+      "the emptied source partition's bytes survived vacuum")
+    // refusals: duplicate keys and null keys in one batch
+    intercept[IllegalArgumentException] {
+      ManifestTable.merge(spark, root,
+        Seq((5, 1L, 0), (5, 2L, 0)).toDF("k", "v", "bucket"), "k", 2L)
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.merge(spark, root,
+        Seq((Option.empty[Int], 1L, 0)).toDF("k", "v", "bucket"), "k", 2L)
+    }
+  }
+
+  test("merge: the recorded schema evolves additively through the update frame") {
+    val root = tmpDir("graft_manifest_mergeev") + "/t"
+    ManifestTable.commit(spark, root,
+      Seq((0, 10L, 0), (1, 11L, 1)).toDF("k", "v", "bucket"),
+      "bucket", batchId = 0L)
+    // the update batch carries a column the table lacked: matched row
+    // takes it, carried rows null-fill it
+    ManifestTable.merge(spark, root,
+      Seq((1, 110L, "x", 1), (2, 22L, "y", 0))
+        .toDF("k", "v", "w", "bucket"), "k", batchId = 1L)
+    val got = ManifestTable.read(spark, root).get
+      .select("k", "v", "w").collect()
+      .map(r => (r.getInt(0), r.getLong(1), Option(r.getString(2)))).toSet
+    assert(got == Set((0, 10L, None), (1, 110L, Some("x")),
+      (2, 22L, Some("y"))))
+    // a type conflict refuses BEFORE any file stages (version unchanged)
+    val vBefore = ManifestTable.currentVersion(spark, root)
+    intercept[IllegalArgumentException] {
+      ManifestTable.merge(spark, root,
+        Seq((0, "not-a-long", 0)).toDF("k", "v", "bucket"), "k", 2L)
+    }
+    assert(ManifestTable.currentVersion(spark, root) == vBefore)
+  }
+
+  test("merge: a registered key column zone-map-prunes the detection scan") {
+    val root = tmpDir("graft_manifest_mergez") + "/t"
+    // disjoint k ranges per bucket, k registered (the zdel fixture shape)
+    val data = (0 until 4).flatMap(b => (0 until 10).map(i => (100L * b + i, b)))
+    ManifestTable.commit(spark, root,
+      data.toDF("k", "bucket"), "bucket", batchId = 0L, statsCol = Some("k"))
+    val st = ManifestTable.merge(spark, root,
+      Seq((105L, 2), (108L, 2)).toDF("k", "bucket"), "k", batchId = 1L)
+    assert(st.isDefined)
+    assert(st.get.filesScanned < st.get.filesTotal,
+      s"zone-mapped merge scanned the full snapshot: ${st.get}")
+    assert(st.get.rowsUpdated == 2L && st.get.rowsInserted == 0L, s"$st")
+    // the moved rows live in bucket 2 now; totals unchanged
+    val cur = ManifestTable.read(spark, root).get
+    assert(cur.count() == 40L)
+    assert(cur.filter(col("k").isin(105L, 108L))
+      .select(col("bucket").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("2"))
+  }
+
+  test("merge OCC: key-disjoint ingest composes via zone maps; a key-overlapping append aborts; same-partition aborts") {
+    def freshTable(name: String): String = {
+      val root = tmpDir(name) + "/t"
+      ManifestTable.commit(spark, root,
+        (0L until 10L).map((_, 0)).toDF("k", "bucket"),
+        "bucket", batchId = 0L, statsCol = Some("k"))
+      root
+    }
+    // 1. winner appends a ZONE-DISJOINT bucket inside the merge's publish
+    //    window: the merge's retry proves no key overlap and composes
+    val r1 = freshTable("graft_manifest_mocc1")
+    val st = ManifestTable.merge(spark, r1,
+      Seq((5L, 0)).toDF("k", "bucket"), "k", batchId = 2L,
+      beforePublish = () => {
+        ManifestTable.commit(spark, r1,
+          (200L until 210L).map((_, 9)).toDF("k", "bucket"),
+          "bucket", batchId = 1L, statsCol = Some("k")): Unit
+      })
+    assert(st.isDefined, "a key-disjoint concurrent ingest must compose")
+    assert(ManifestTable.read(spark, r1).get.count() == 20L)
+    // 2. winner adds a file whose zone range COVERS a merge key: the
+    //    no-match evidence is stale — loud abort, winner intact
+    val r2 = freshTable("graft_manifest_mocc2")
+    intercept[java.util.ConcurrentModificationException] {
+      ManifestTable.merge(spark, r2,
+        Seq((205L, 0)).toDF("k", "bucket"), "k", batchId = 2L,
+        beforePublish = () => {
+          ManifestTable.commit(spark, r2,
+            (200L until 210L).map((_, 9)).toDF("k", "bucket"),
+            "bucket", batchId = 1L, statsCol = Some("k")): Unit
+        })
+    }
+    assert(ManifestTable.read(spark, r2).get.count() == 20L)
+    // 3. winner rewrites the partition the merge is rewriting: lost
+    //    update — loud abort
+    val r3 = freshTable("graft_manifest_mocc3")
+    intercept[java.util.ConcurrentModificationException] {
+      ManifestTable.merge(spark, r3,
+        Seq((5L, 0)).toDF("k", "bucket"), "k", batchId = 2L,
+        beforePublish = () => {
+          ManifestTable.commit(spark, r3,
+            (0L until 10L).map((_, 0)).toDF("k", "bucket"),
+            "bucket", batchId = 1L, statsCol = Some("k"),
+            touchedValues = Seq("0")): Unit
+        })
+    }
+    // 4. the same merge batch lands through another writer first: the
+    //    loser's retry sees the fence and no-ops instead of double-applying
+    val r4 = freshTable("graft_manifest_mocc4")
+    val st4 = ManifestTable.merge(spark, r4,
+      Seq((5L, 0)).toDF("k", "bucket"), "k", batchId = 2L,
+      beforePublish = () => {
+        ManifestTable.merge(spark, r4,
+          Seq((5L, 0)).toDF("k", "bucket"), "k", batchId = 2L): Unit
+      })
+    assert(st4.isEmpty, "a redelivered merge batch double-applied")
+    assert(ManifestTable.read(spark, r4).get.count() == 10L)
   }
 
   test("restore: undo reinstates an earlier version's files, keeps history linear, preserves the fence") {
