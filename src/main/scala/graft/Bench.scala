@@ -175,6 +175,9 @@ object Bench {
     if (selected.exists(_._1 == "u15_merge_upsert"))
       try SparkEntry.u15TableDir(spark, sfDir)
       catch { case _: Throwable => () }
+    if (selected.exists(_._1 == "u16_bloom_takedown"))
+      try SparkEntry.u16TableDir(spark, sfDir)
+      catch { case _: Throwable => () }
     // u12 counts five stored artifacts; stage any its co-entries didn't
     if (selected.exists(_._1 == "u12_freshness")) {
       try SparkEntry.d18ClusterDir(spark, sfDir)

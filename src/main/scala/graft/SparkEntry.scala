@@ -682,6 +682,31 @@ object SparkEntry {
       root
     })
 
+  private val bloomTableMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** u16's artifact: a lineage-partitioned catalog table with BOTH skipping
+    * tiers — zone maps on doc_id plus the per-file bloom sidecar — hit by
+    * a SCATTERED takedown (doc_id % 997: keys spread over the whole id
+    * range, the shape where the envelope prunes nothing and the bloom
+    * prunes to the files actually holding a key). The gated read is the
+    * post-takedown snapshot.
+    */
+  def u16TableDir(s: SparkSession, dir: String): String =
+    bloomTableMemo.computeIfAbsent((s, dir), _ => {
+      val root = graft.core.TempDirs.create("graft_u16_bloom") + "/t"
+      val docs = t(s, dir, "documents").select("doc_id", "lang")
+      for (b <- 0 until 4)
+        graft.core.ManifestTable.commit(s, root,
+          docs.filter(col("doc_id") % 4 === b)
+            .withColumn("part", lit(s"b$b")), "part", batchId = b.toLong,
+          statsCol = Some("doc_id"))
+      graft.core.ManifestTable.buildBloomIndex(s, root, "doc_id")
+      graft.core.ManifestTable.deleteRows(s, root,
+        docs.filter(col("doc_id") % 997 === 0).select("doc_id"), "doc_id")
+      root
+    })
+
   private val cdfConsumerMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
@@ -910,6 +935,8 @@ object SparkEntry {
       "u14_partition_ttl",
       // u15 reads the post-merge manifest snapshot (u15TableDir)
       "u15_merge_upsert",
+      // u16 reads the post-takedown bloom-indexed snapshot (u16TableDir)
+      "u16_bloom_takedown",
       // u12 counts five pre-staged artifacts' indexed rows (d18, d17, d9,
       // d16, k8 — all ingest-time artifacts of their own entries)
       "u12_freshness",
@@ -942,7 +969,8 @@ object SparkEntry {
       takedownTableMemo, takedownIndexMemo, evolutionTableMemo,
       streamedHierIndexMemo, pyramidTakedownMemo,
       clusterTakedownMemo, cdfCatchupMemo, restoreTableMemo,
-      cdfConsumerMemo, ttlTableMemo, mergeTableMemo).foreach { m =>
+      cdfConsumerMemo, ttlTableMemo, mergeTableMemo,
+      bloomTableMemo).foreach { m =>
       m.keySet.asScala.filter(_._1 eq s).toList
         .foreach(k => Option(m.remove(k)).foreach(graft.core.TempDirs.drop))
     }
@@ -2029,6 +2057,11 @@ object SparkEntry {
     "u15_merge_upsert" -> ((s, dir) =>
       graft.core.ManifestTable.read(s, u15TableDir(s, dir)).get
         .select("doc_id", "lang", "n_chars")),
+    // u16: bloom-indexed scattered takedown — the post-delete snapshot;
+    // the sidecar changes which files the detection OPENS, never a value
+    "u16_bloom_takedown" -> ((s, dir) =>
+      graft.core.ManifestTable.read(s, u16TableDir(s, dir)).get
+        .select("doc_id", "lang")),
     // u10: the post-evolution snapshot — batch-0 rows null-fill the
     // column batch 1 introduced, read under the manifest's recorded
     // merged schema
@@ -2774,6 +2807,9 @@ object SparkEntry {
          |UNION ALL
          |SELECT doc_id + 10000000 AS doc_id, lang, n_chars
          |FROM documents WHERE doc_id % 13 = 0""".stripMargin,
+    // u16: survivors of the scattered takedown
+    "u16_bloom_takedown" ->
+      "SELECT doc_id, lang FROM documents WHERE doc_id % 997 <> 0",
     // st21: the consumer state recomputed from the catalog — survivors
     // of the takedown (which hit only the already-ingested %4 in (0,1)
     // rows), chars contributed only by the post-evolution batches

@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, collect_set, count, countDistinct, lit, max, min, sum, when}
+import org.apache.spark.sql.functions.{broadcast, call_function, col, collect_set, count, countDistinct, exists, expr, first, input_file_name, lit, max, min, regexp_extract, sum, typedlit, when}
 
 /** Minimal manifest-file commit protocol — cross-partition ATOMICITY for
   * multi-partition state rewrites, the property plain `partitionBy(...)
@@ -1207,6 +1207,186 @@ object ManifestTable {
     throw new IllegalStateException("unreachable")
   }
 
+  private def bloomDir(root: String, keyCol: String) =
+    new Path(root, s"_bloom/col=${escapedPartValue(keyCol)}")
+
+  /** Total row count of one parquet file, straight from the FOOTER —
+    * metadata-only (the a22/a25 footer discipline), no data scan.
+    */
+  private def footerRowCount(spark: SparkSession, file: Path): Long = {
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(file, spark.sparkContext.hadoopConfiguration)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+    finally reader.close()
+  }
+
+  final case class BloomIndexStats(
+      filesIndexed: Int, filesCarried: Int, staleDropped: Int)
+
+  /** Per-file BLOOM-FILTER index for a bigint key column — the POINT-SET
+    * counterpart of the U6 zone maps (the Delta bloom-filter-index /
+    * Iceberg puffin slot). Zone maps prune RANGE predicates; a takedown
+    * or merge key list is the opposite shape — keys SCATTERED across the
+    * key space, whose [min, max] envelope covers nearly every file while
+    * each key actually lives in very few. At 100 TB that is the
+    * difference between a detection scan opening the whole table and
+    * opening a handful of files.
+    *
+    * Layout: a parquet sidecar under `_bloom/col=<key>/` with one row
+    * (file, bloom) per indexed data file; the filter is the engine's own
+    * [[graft.functions.BloomAggregate]] wire format (self-describing
+    * header, so builds with different sizings coexist). Blooms are too
+    * big for manifest lines (~`bitsPerKey`/8 bytes per ROW of data —
+    * megabytes per large file), hence the sidecar.
+    *
+    * INCREMENTAL: only live files without a sidecar row are scanned
+    * (one column-pruned pass over exactly those files, map-side bloom
+    * aggregation, one tiny shuffle of partial filters) — cost tracks the
+    * ingest delta, never the table. Rows for files no current-snapshot
+    * line references are dropped on the same call (sidecar debris stays
+    * bounded by the live file count). The index is ADVISORY and
+    * rebuildable: a file without a row is kept conservatively by every
+    * probe, so a crashed build (the swap is delete-then-rename, not
+    * atomic) costs pruning power, never correctness; concurrent builds
+    * at worst duplicate rows (deterministic content — probes first() per
+    * file).
+    *
+    * Sizing: `bitsPerKey` bits per row of the LARGEST un-indexed file
+    * (~10 bits/key at numHashes=7 ≈ 1% false positives; an FP means one
+    * needlessly opened file). Integer/long key columns only — refuses
+    * loudly otherwise.
+    */
+  def buildBloomIndex(
+      spark: SparkSession,
+      root: String,
+      keyCol: String,
+      bitsPerKey: Int = 10,
+      numHashes: Int = 7): BloomIndexStats = {
+    require(bitsPerKey >= 1 && bitsPerKey <= 64,
+      s"bitsPerKey must be in [1, 64], got $bitsPerKey")
+    require(numHashes >= 1 && numHashes <= 16,
+      s"numHashes must be in [1, 16], got $numHashes")
+    val rootPath = new Path(root)
+    val v = currentVersion(spark, root)
+    require(v >= 0, s"no committed version under $root")
+    val st = readManifestLines(spark, root, v)
+    val live = st.lines.map(_.split('|')(0))
+    val kf = recordedOrInferredSchema(spark, root, st)
+      .flatMap(_.fields.find(_.name == keyCol)).getOrElse(
+        throw new IllegalArgumentException(
+          s"bloom index column '$keyCol' absent from the table schema " +
+            s"under $root"))
+    require(kf.dataType == org.apache.spark.sql.types.LongType ||
+      kf.dataType == org.apache.spark.sql.types.IntegerType,
+      s"bloom index requires an integer key column; '$keyCol' is " +
+        s"${kf.dataType.simpleString}")
+    val dir = bloomDir(root, keyCol)
+    val f = fs(spark, dir)
+    val existing: Option[DataFrame] =
+      if (f.exists(dir)) Some(spark.read.parquet(dir.toString)) else None
+    val indexed: Set[String] = existing.map(_.select("file").distinct()
+      .collect().map(_.getString(0)).toSet).getOrElse(Set.empty)
+    val liveSet = live.toSet
+    val missing = live.filterNot(indexed)
+    val stale = indexed.diff(liveSet)
+    if (missing.isEmpty && stale.isEmpty)
+      return BloomIndexStats(0, indexed.size, 0)
+    val fresh: Option[DataFrame] = if (missing.isEmpty) None else {
+      graft.functions.GraftFunctions.register(spark)
+      val maxRows = missing
+        .map(r => footerRowCount(spark, new Path(rootPath, r))).max
+      val numBits = math.min(Int.MaxValue.toLong,
+        math.max(64L, ((bitsPerKey.toLong * maxRows + 63) / 64) * 64)).toInt
+      val keySchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(keyCol, kf.dataType, true)))
+      Some(spark.read.schema(keySchema).option("basePath", root)
+        .parquet(missing.map(r => s"$root/$r"): _*)
+        .select(
+          // rel path = partitionDir/fileName, the manifest's own spelling
+          regexp_extract(input_file_name(), "([^/]+/[^/]+)$", 1).as("file"),
+          col(keyCol).cast("long").as("__k"))
+        .groupBy("file")
+        .agg(expr(s"graft_bloom(__k, $numBits, $numHashes)").as("bloom")))
+    }
+    val keptOld: Option[DataFrame] =
+      if (stale.isEmpty) existing
+      else existing.map { e =>
+        import org.apache.spark.sql.Encoders
+        val liveDf = spark.createDataset(live)(Encoders.STRING).toDF("file")
+        e.join(broadcast(liveDf), Seq("file"), "left_semi")
+      }
+    if (stale.isEmpty && existing.isDefined) {
+      // fast path: append only the new rows
+      fresh.foreach(_.write.mode("append").parquet(dir.toString))
+    } else {
+      // rewrite (drops stale rows): stage then delete-and-rename. The
+      // window between delete and rename is loss-of-index, not
+      // loss-of-correctness — absence = conservative keep everywhere.
+      val combined = (keptOld, fresh) match {
+        case (Some(a), Some(b)) => a.unionByName(b)
+        case (Some(a), None) => a
+        case (None, Some(b)) => b
+        case (None, None) => return BloomIndexStats(0, 0, stale.size)
+      }
+      val tmp = new Path(rootPath,
+        s"_bloom_tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      combined.write.parquet(tmp.toString)
+      if (f.exists(dir)) f.delete(dir, true)
+      f.mkdirs(dir.getParent)
+      if (!f.rename(tmp, dir))
+        throw new IllegalStateException(
+          s"could not publish bloom sidecar $tmp -> $dir")
+    }
+    BloomIndexStats(missing.size, (indexed -- stale).size, stale.size)
+  }
+
+  /** BLOOM probe of a candidate file list (see [[buildBloomIndex]]):
+    * keeps a candidate iff it has no sidecar row (conservative) or ANY
+    * key might be in its filter. No sidecar → candidates unchanged and
+    * `keys` never forced. False positives keep a file needlessly; false
+    * negatives are impossible — the probe is sound for the same reason
+    * zone pruning is.
+    */
+  private def bloomPrunedCandidates(
+      spark: SparkSession,
+      root: String,
+      keyCol: String,
+      keys: () => Seq[Long],
+      candidates: Seq[String]): Seq[String] = {
+    val dir = bloomDir(root, keyCol)
+    val f = fs(spark, dir)
+    if (candidates.isEmpty || !f.exists(dir)) return candidates
+    val kv = keys()
+    if (kv.isEmpty) return candidates
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.Encoders
+    val cand = spark.createDataset(candidates)(Encoders.STRING).toDF("file")
+    val side = spark.read.parquet(dir.toString)
+      .groupBy("file").agg(first(col("bloom")).as("bloom"))
+    cand.join(side, Seq("file"), "left_outer")
+      .filter(col("bloom").isNull ||
+        exists(typedlit(kv),
+          k => call_function("graft_bloom_contains", col("bloom"), k)))
+      .select("file").collect().map(_.getString(0)).toSeq
+  }
+
+  /** The takedown/merge key list as longs, for the bloom probe — only
+    * called when a sidecar exists; non-integer key frames return None
+    * (the probe is skipped; [[buildBloomIndex]] refuses those columns
+    * anyway, so a sidecar over them cannot exist).
+    */
+  private def bloomKeyFn(
+      ks: DataFrame, keyCol: String): Option[() => Seq[Long]] =
+    ks.schema.fields.find(_.name == keyCol).map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) |
+           Some(org.apache.spark.sql.types.IntegerType) =>
+        Some(() => ks.collect().flatMap(r => Option(r.get(0))
+          .map(_.asInstanceOf[java.lang.Number].longValue())).toSeq)
+      case _ => None
+    }
+
   final case class MergeStats(
       rowsUpdated: Long, rowsInserted: Long,
       partitionsRewritten: Int, partitionsAppended: Int,
@@ -1321,9 +1501,16 @@ object ManifestTable {
         val r = ks.agg(min(col(keyCol)), max(col(keyCol))).head
         StringRange(keyCol, r.getString(0), r.getString(1))
     }
-    val candidates: Seq[String] = envelope match {
+    val candidates0: Seq[String] = envelope match {
       case Some(env) => pruneLines(st.lines, st.statsCols, Seq(env))
       case None => allRels
+    }
+    // per-file BLOOM probe (U16): exact point-set pruning of the match
+    // detection — a merge batch's keys rarely fill their envelope
+    val candidates = bloomKeyFn(ks, keyCol) match {
+      case Some(fn) =>
+        bloomPrunedCandidates(spark, root, keyCol, fn, candidates0)
+      case None => candidates0
     }
     val dataSchema = recordedOrInferredSchema(spark, root, st).get
     val readSchema = org.apache.spark.sql.types.StructType(
@@ -1517,7 +1704,14 @@ object ManifestTable {
           kv.min(stringByteOrdering), kv.max(stringByteOrdering))))._1
       case None => allRels
     }
-    if (candidates.isEmpty) return None
+    // per-file BLOOM probe (U16): point-set pruning where the envelope is
+    // weak — scattered takedown keys span nearly the whole key range, but
+    // each key lives in very few files
+    val cands = bloomKeyFn(ks, keyCol) match {
+      case Some(fn) => bloomPrunedCandidates(spark, root, keyCol, fn, candidates)
+      case None => candidates
+    }
+    if (cands.isEmpty) return None
     // the rewrite-faithful read schema: recorded (or legacy-inferred) data
     // columns plus the partition column as a STRING
     val dataSchema = recordedOrInferredSchema(spark, root, st).get
@@ -1529,7 +1723,7 @@ object ManifestTable {
         .parquet(rels.map(r => s"$root/$r"): _*)
     // DETECTION: partitions holding matching rows, re-rendered into their
     // canonical directory spelling (see scaladoc)
-    val matchedVals = readFiles(candidates)
+    val matchedVals = readFiles(cands)
       .join(broadcast(ks), Seq(keyCol), "left_semi")
       .select(col(partitionCol)).distinct()
       .collect().map(_.getString(0))
@@ -1581,7 +1775,7 @@ object ManifestTable {
           partitionsRewritten = stagedParts.size,
           partitionsEmptied = touchedNames.diff(stagedParts).size,
           rowsDeleted = nIn - nKept,
-          filesScanned = candidates.size,
+          filesScanned = cands.size,
           filesTotal = allRels.size))
       }
       val cur = currentVersion(spark, root)
@@ -1633,7 +1827,8 @@ object ManifestTable {
     // by then every file the commit published has been renamed OUT of it,
     // so an age-gated recursive delete can never touch live data
     for (d <- f.listStatus(rootPath)
-         if d.isDirectory && d.getPath.getName.startsWith("_stage-") &&
+         if d.isDirectory && (d.getPath.getName.startsWith("_stage-") ||
+           d.getPath.getName.startsWith("_bloom_tmp-")) &&
            d.getModificationTime <= cutoff) {
       f.delete(d.getPath, true); deleted += 1
     }

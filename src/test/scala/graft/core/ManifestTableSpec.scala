@@ -1044,6 +1044,91 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.read(spark, r4).get.count() == 10L)
   }
 
+  test("bloom index: scattered takedown keys prune past the zone envelope; absent keys stay a no-op") {
+    val root = tmpDir("graft_manifest_bloom") + "/t"
+    // disjoint k ranges per bucket, k zone-registered (the zdel shape)
+    val data = (0 until 4).flatMap(b => (0 until 10).map(i => (100L * b + i, b)))
+    ManifestTable.commit(spark, root,
+      data.toDF("k", "bucket"), "bucket", batchId = 0L, statsCol = Some("k"))
+    // SCATTERED keys: the envelope [5, 305] intersects every bucket's
+    // range — zone maps alone prune nothing
+    val st0 = ManifestTable.deleteRows(spark, root,
+      Seq(5L, 305L).toDF("k"), "k")
+    assert(st0.get.filesScanned == 4 && st0.get.rowsDeleted == 2L,
+      s"pre-bloom baseline: $st0")
+    // with the bloom sidecar, the same scatter opens exactly the two
+    // files that HOLD a key
+    ManifestTable.buildBloomIndex(spark, root, "k")
+    val st1 = ManifestTable.deleteRows(spark, root,
+      Seq(8L, 308L).toDF("k"), "k")
+    assert(st1.get.filesScanned == 2,
+      s"bloom probe did not prune the scattered takedown: $st1")
+    assert(st1.get.rowsDeleted == 2L)
+    assert(ManifestTable.read(spark, root).get.count() == 36L)
+    // keys inside the envelope but ABSENT from the table no-op (bloom or
+    // detection — either way no row matches)
+    assert(ManifestTable.deleteRows(spark, root,
+      Seq(50L, 150L).toDF("k"), "k").isEmpty)
+    // values survive exactly
+    assert(ManifestTable.read(spark, root).get
+      .filter(col("k").isin(5L, 305L, 8L, 308L)).count() == 0L)
+  }
+
+  test("bloom index: incremental build, stale-row drop, conservative on unindexed files, typed refusal") {
+    val root = tmpDir("graft_manifest_bloom2") + "/t"
+    for (b <- 0 until 3)
+      ManifestTable.commit(spark, root,
+        (0 until 10).map(i => (100L * b + i, b)).toDF("k", "bucket")
+          .repartition(1), "bucket", batchId = b.toLong)
+    val s1 = ManifestTable.buildBloomIndex(spark, root, "k")
+    assert(s1 == ManifestTable.BloomIndexStats(3, 0, 0), s"$s1")
+    // idempotent: nothing new to index
+    val s2 = ManifestTable.buildBloomIndex(spark, root, "k")
+    assert(s2 == ManifestTable.BloomIndexStats(0, 3, 0), s"$s2")
+    // a new commit's files index INCREMENTALLY (old rows carried)
+    ManifestTable.commit(spark, root,
+      (0 until 10).map(i => (300L + i, 3)).toDF("k", "bucket")
+        .repartition(1), "bucket", batchId = 3L)
+    val s3 = ManifestTable.buildBloomIndex(spark, root, "k")
+    assert(s3 == ManifestTable.BloomIndexStats(1, 3, 0), s"$s3")
+    // a rewrite replaces a file: its NEW file is unindexed — deletes on
+    // it still work (conservative keep), and the next build drops the
+    // stale row while indexing the replacement
+    val std = ManifestTable.deleteRows(spark, root, Seq(105L).toDF("k"), "k")
+    assert(std.get.rowsDeleted == 1L)
+    val std2 = ManifestTable.deleteRows(spark, root, Seq(107L).toDF("k"), "k")
+    assert(std2.get.rowsDeleted == 1L,
+      "a delete touching an unindexed replacement file must stay correct")
+    val s4 = ManifestTable.buildBloomIndex(spark, root, "k")
+    assert(s4.staleDropped >= 1 && s4.filesIndexed >= 1, s"$s4")
+    assert(ManifestTable.read(spark, root).get.count() == 38L)
+    // non-integer key columns refuse
+    intercept[IllegalArgumentException] {
+      ManifestTable.buildBloomIndex(spark, root, "bucket_name_not_there")
+    }
+    val root2 = tmpDir("graft_manifest_bloom3") + "/t"
+    ManifestTable.commit(spark, root2,
+      Seq(("a", 0)).toDF("s", "bucket"), "bucket", batchId = 0L)
+    intercept[IllegalArgumentException] {
+      ManifestTable.buildBloomIndex(spark, root2, "s")
+    }
+  }
+
+  test("bloom index: merge detection probes the sidecar even without zone maps") {
+    val root = tmpDir("graft_manifest_bloom4") + "/t"
+    // NO statsCol: the envelope can't prune — the bloom must
+    val data = (0 until 4).flatMap(b => (0 until 10).map(i => (100L * b + i, b)))
+    ManifestTable.commit(spark, root,
+      data.toDF("k", "bucket"), "bucket", batchId = 0L)
+    ManifestTable.buildBloomIndex(spark, root, "k")
+    val st = ManifestTable.merge(spark, root,
+      Seq((8L, 0), (308L, 3)).toDF("k", "bucket"), "k", batchId = 1L)
+    assert(st.get.filesScanned == 2 && st.get.filesTotal == 4,
+      s"merge detection did not bloom-prune: $st")
+    assert(st.get.rowsUpdated == 2L && st.get.rowsInserted == 0L)
+    assert(ManifestTable.read(spark, root).get.count() == 40L)
+  }
+
   test("restore: undo reinstates an earlier version's files, keeps history linear, preserves the fence") {
     val root = tmpDir("graft_manifest_restore") + "/t"
     val data = (0 until 8).map(i => (i, 100L + i))
