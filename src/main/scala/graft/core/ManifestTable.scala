@@ -1255,8 +1255,10 @@ object ManifestTable {
     *
     * Sizing: `bitsPerKey` bits per row of the LARGEST un-indexed file
     * (~10 bits/key at numHashes=7 ≈ 1% false positives; an FP means one
-    * needlessly opened file). Integer/long key columns only — refuses
-    * loudly otherwise.
+    * needlessly opened file). Integer/long keys index directly; STRING
+    * keys (URLs, content hashes — the usual takedown-list currency)
+    * through xxhash64 on both the build scan and the probe, identical by
+    * construction; other types refuse loudly.
     */
   def buildBloomIndex(
       spark: SparkSession,
@@ -1278,10 +1280,19 @@ object ManifestTable {
         throw new IllegalArgumentException(
           s"bloom index column '$keyCol' absent from the table schema " +
             s"under $root"))
-    require(kf.dataType == org.apache.spark.sql.types.LongType ||
-      kf.dataType == org.apache.spark.sql.types.IntegerType,
-      s"bloom index requires an integer key column; '$keyCol' is " +
-        s"${kf.dataType.simpleString}")
+    // integer keys go in directly; string keys through xxhash64 (both
+    // sides of the probe hash identically, so membership stays sound —
+    // a hash collision is just one more way to get a false positive)
+    val keyExpr = kf.dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType =>
+        col(keyCol).cast("long")
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.functions.xxhash64(col(keyCol))
+      case other => throw new IllegalArgumentException(
+        s"bloom index requires an integer or string key column; " +
+          s"'$keyCol' is ${other.simpleString}")
+    }
     val dir = bloomDir(root, keyCol)
     val f = fs(spark, dir)
     val existing: Option[DataFrame] =
@@ -1306,7 +1317,7 @@ object ManifestTable {
         .select(
           // rel path = partitionDir/fileName, the manifest's own spelling
           regexp_extract(input_file_name(), "([^/]+/[^/]+)$", 1).as("file"),
-          col(keyCol).cast("long").as("__k"))
+          keyExpr.as("__k"))
         .groupBy("file")
         .agg(expr(s"graft_bloom(__k, $numBits, $numHashes)").as("bloom")))
     }
@@ -1372,10 +1383,23 @@ object ManifestTable {
       .select("file").collect().map(_.getString(0)).toSeq
   }
 
-  /** The takedown/merge key list as longs, for the bloom probe — only
-    * called when a sidecar exists; non-integer key frames return None
-    * (the probe is skipped; [[buildBloomIndex]] refuses those columns
-    * anyway, so a sidecar over them cannot exist).
+  /** xxhash64 of one string, driver-side — BIT-IDENTICAL to the
+    * `xxhash64(col)` the build scan applies (same Catalyst expression,
+    * same default seed), which is what makes the string-key probe sound.
+    */
+  private def xx64(s: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType)),
+      42L /* xxhash64's fixed SQL-function seed */).eval(null)
+      .asInstanceOf[Long]
+
+  /** The takedown/merge key list as bloom probe values (longs directly;
+    * strings through [[xx64]]) — only called when a sidecar exists;
+    * other key types return None (the probe is skipped;
+    * [[buildBloomIndex]] refuses those columns anyway, so a sidecar over
+    * them cannot exist).
     */
   private def bloomKeyFn(
       ks: DataFrame, keyCol: String): Option[() => Seq[Long]] =
@@ -1384,6 +1408,9 @@ object ManifestTable {
            Some(org.apache.spark.sql.types.IntegerType) =>
         Some(() => ks.collect().flatMap(r => Option(r.get(0))
           .map(_.asInstanceOf[java.lang.Number].longValue())).toSeq)
+      case Some(org.apache.spark.sql.types.StringType) =>
+        Some(() => ks.collect()
+          .flatMap(r => Option(r.getString(0)).map(xx64)).toSeq)
       case _ => None
     }
 

@@ -1102,16 +1102,39 @@ class ManifestTableSpec extends SparkSpec {
     val s4 = ManifestTable.buildBloomIndex(spark, root, "k")
     assert(s4.staleDropped >= 1 && s4.filesIndexed >= 1, s"$s4")
     assert(ManifestTable.read(spark, root).get.count() == 38L)
-    // non-integer key columns refuse
+    // absent and unsupported-typed key columns refuse
     intercept[IllegalArgumentException] {
       ManifestTable.buildBloomIndex(spark, root, "bucket_name_not_there")
     }
     val root2 = tmpDir("graft_manifest_bloom3") + "/t"
     ManifestTable.commit(spark, root2,
-      Seq(("a", 0)).toDF("s", "bucket"), "bucket", batchId = 0L)
+      Seq((1.5d, 0)).toDF("d", "bucket"), "bucket", batchId = 0L)
     intercept[IllegalArgumentException] {
-      ManifestTable.buildBloomIndex(spark, root2, "s")
+      ManifestTable.buildBloomIndex(spark, root2, "d")
     }
+  }
+
+  test("bloom index: string keys hash through xxhash64 on both sides of the probe") {
+    val root = tmpDir("graft_manifest_bloom5") + "/t"
+    // four buckets of url-ish string keys; no zone maps on the key (a
+    // string scatter is exactly where the bloom earns its keep)
+    for (b <- 0 until 4)
+      ManifestTable.commit(spark, root,
+        (0 until 10).map(i => (s"https://host$b/doc$i", b))
+          .toDF("url", "bucket").repartition(1),
+        "bucket", batchId = b.toLong)
+    ManifestTable.buildBloomIndex(spark, root, "url")
+    val st = ManifestTable.deleteRows(spark, root,
+      Seq("https://host0/doc3", "https://host3/doc7").toDF("url"), "url")
+    assert(st.get.filesScanned == 2 && st.get.filesTotal == 4,
+      s"string-key bloom probe did not prune: $st")
+    assert(st.get.rowsDeleted == 2L)
+    assert(ManifestTable.read(spark, root).get.count() == 38L)
+    assert(ManifestTable.read(spark, root).get
+      .filter(col("url") === "https://host0/doc3").count() == 0L)
+    // an absent key no-ops regardless of what the bloom keeps
+    assert(ManifestTable.deleteRows(spark, root,
+      Seq("https://elsewhere/doc1").toDF("url"), "url").isEmpty)
   }
 
   test("bloom index: merge detection probes the sidecar even without zone maps") {
