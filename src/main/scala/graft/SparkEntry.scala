@@ -745,6 +745,38 @@ object SparkEntry {
       state
     })
 
+  private val cdcReplicaMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** st22's artifact: a row-level CDC REPLICA maintained through
+    * [[graft.streaming.ChangeFeed.replicate]] — the producer lives its
+    * whole lifecycle (three lineage appends, a MERGE upsert, a takedown)
+    * with the replica catching up INCREMENTALLY between stages (never
+    * one-shot), producing a hash-bucketed mirror whose content must
+    * equal the producer's final snapshot. The gated read is the replica.
+    */
+  def st22ReplicaDir(s: SparkSession, dir: String): String =
+    cdcReplicaMemo.computeIfAbsent((s, dir), _ => {
+      val root = graft.core.TempDirs.create("graft_st22_cdc")
+      val (prod, rep) = (root + "/t", root + "/r")
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      for (b <- 0 until 3)
+        graft.core.ManifestTable.commit(s, prod,
+          docs.filter(col("doc_id") % 3 === b)
+            .withColumn("part", lit(s"b$b")), "part", batchId = b.toLong)
+      // replica trails the producer mid-lifecycle, then catches up again
+      graft.streaming.ChangeFeed.replicate(s, prod, rep, "doc_id", "part")
+      graft.core.ManifestTable.merge(s, prod,
+        docs.filter(col("doc_id") % 11 === 0)
+          .withColumn("lang", lit("upd11"))
+          .withColumn("part", concat(lit("b"), col("doc_id") % 3)),
+        "doc_id", batchId = 3L)
+      graft.core.ManifestTable.deleteRows(s, prod,
+        docs.filter(col("doc_id") % 13 === 0).select("doc_id"), "doc_id")
+      graft.streaming.ChangeFeed.replicate(s, prod, rep, "doc_id", "part")
+      rep
+    })
+
   private val restoreTableMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
@@ -931,6 +963,8 @@ object SparkEntry {
       "u13_restore",
       // st21 reads the CDF-maintained consumer state (st21StateDir)
       "st21_cdf_consumer",
+      // st22 reads the CDC-maintained replica table (st22ReplicaDir)
+      "st22_cdc_replica",
       // u14 reads the post-TTL manifest snapshot (u14TableDir)
       "u14_partition_ttl",
       // u15 reads the post-merge manifest snapshot (u15TableDir)
@@ -970,7 +1004,7 @@ object SparkEntry {
       streamedHierIndexMemo, pyramidTakedownMemo,
       clusterTakedownMemo, cdfCatchupMemo, restoreTableMemo,
       cdfConsumerMemo, ttlTableMemo, mergeTableMemo,
-      bloomTableMemo).foreach { m =>
+      bloomTableMemo, cdcReplicaMemo).foreach { m =>
       m.keySet.asScala.filter(_._1 eq s).toList
         .foreach(k => Option(m.remove(k)).foreach(graft.core.TempDirs.drop))
     }
@@ -2052,6 +2086,11 @@ object SparkEntry {
     "u14_partition_ttl" -> ((s, dir) =>
       graft.core.ManifestTable.read(s, u14TableDir(s, dir)).get
         .select("doc_id", "lang")),
+    // st22: the CDC-replicated mirror — content must equal the
+    // producer's final snapshot, under the replica's own hash layout
+    "st22_cdc_replica" -> ((s, dir) =>
+      graft.streaming.ChangeFeed.replica(s, st22ReplicaDir(s, dir))
+        .select("doc_id", "lang", "n_chars")),
     // u15: MERGE upsert — the post-merge snapshot holds replaced-and-
     // moved matches, untouched survivors, and the inserted rows
     "u15_merge_upsert" -> ((s, dir) =>
@@ -2810,6 +2849,13 @@ object SparkEntry {
     // u16: survivors of the scattered takedown
     "u16_bloom_takedown" ->
       "SELECT doc_id, lang FROM documents WHERE doc_id % 997 <> 0",
+    // st22: the producer's whole lifecycle replayed in SQL — the replica
+    // must mirror it exactly
+    "st22_cdc_replica" ->
+      """SELECT doc_id,
+         |       CASE WHEN doc_id % 11 = 0 THEN 'upd11' ELSE lang END AS lang,
+         |       n_chars
+         |FROM documents WHERE doc_id % 13 <> 0""".stripMargin,
     // st21: the consumer state recomputed from the catalog — survivors
     // of the takedown (which hit only the already-ingested %4 in (0,1)
     // rows), chars contributed only by the post-evolution batches

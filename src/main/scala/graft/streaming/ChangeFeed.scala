@@ -140,6 +140,116 @@ object ChangeFeed {
     cur
   }
 
+  /** Replica-table bucket count (hash layout — deliberately DIFFERENT
+    * from any producer's lineage partitioning: replication is also a
+    * re-partitioning).
+    */
+  val RepBuckets = 8
+
+  private def repBucket(c: org.apache.spark.sql.Column) =
+    pmod(abs(hash(c)), lit(RepBuckets)).cast("int")
+
+  /** ST22: row-level CDC REPLICATION — maintain a hash-bucketed REPLICA
+    * of a producer manifest table purely from its change feed, the
+    * pipeline every warehouse CDC mirror runs: poll the producer
+    * version, turn the net file-level delta into keyed operations, apply
+    * them with the table format's own verbs.
+    *
+    * Per producer version: `removed EXCEPT ALL added` keys with no
+    * surviving added row are row-DELETES ([[graft.core.ManifestTable
+    * .deleteRows]] on the replica — idempotent by value), every net-added
+    * row is an UPSERT ([[graft.core.ManifestTable.merge]] — a producer
+    * update nets one removed + one added row for the key, and the merge
+    * replaces). EXACTLY-ONCE offsets ride the replica's own fence: the
+    * merge (or, for delete-only / zero-net versions, an empty-touched
+    * fence commit) lands LAST with `batchId = producer version`, so a
+    * crash anywhere re-runs a suffix whose deletes no-op by value and
+    * whose merge no-ops on the fence. No side offset store.
+    *
+    * Scale shape: each step reads exactly the producer's changed files
+    * (the U11 guarantee), the except-all net is one shuffle over the
+    * delta, the replica delete/merge open only zone/bloom-surviving
+    * candidate files and rewrite only buckets holding matched keys —
+    * work tracks the delta and the touched buckets, never either table.
+    * Layout independence is the point: the replica is hash-bucketed on
+    * the key while the producer is lineage-partitioned.
+    */
+  def replicate(
+      spark: SparkSession,
+      producerRoot: String,
+      replicaRoot: String,
+      keyCol: String,
+      producerPartitionCol: String): Long = {
+    val cur = graft.core.ManifestTable.currentVersion(spark, producerRoot)
+    require(cur >= 0, s"producer at $producerRoot has no committed version")
+    val last = graft.core.ManifestTable.lastBatch(spark, replicaRoot)
+    for (v <- (last + 1) to cur)
+      replicateOne(spark, producerRoot, replicaRoot, keyCol,
+        producerPartitionCol, v)
+    cur
+  }
+
+  private def replicateOne(
+      spark: SparkSession, producerRoot: String, replicaRoot: String,
+      keyCol: String, producerPartitionCol: String, v: Long): Unit = {
+    val (added0, removed0) =
+      if (v == 0)
+        (graft.core.ManifestTable.readVersion(spark, producerRoot, 0L), None)
+      else {
+        val (a, r) = graft.core.ManifestTable.changes(
+          spark, producerRoot, v - 1, v)
+        (a, Some(r))
+      }
+    // the producer's partition column is its layout, not its data — the
+    // replica re-derives its own
+    val dataCols = added0.columns.filterNot(_ == producerPartitionCol)
+      .map(col).toSeq
+    val a = added0.select(dataCols: _*)
+    val netAdded = (removed0 match {
+      case None => a
+      case Some(r) => a.exceptAll(r.select(dataCols: _*))
+    }).localCheckpoint(true)
+    val delKeys = (removed0 match {
+      case None => a.limit(0)
+      case Some(r) => r.select(dataCols: _*).exceptAll(a)
+    }).select(col(keyCol)).except(netAdded.select(col(keyCol)))
+      .localCheckpoint(true)
+    // 1. row deletes (idempotent by value — safe under redelivery)
+    if (!delKeys.isEmpty)
+      graft.core.ManifestTable.deleteRows(spark, replicaRoot, delKeys, keyCol)
+    // 2. upserts LAST — their batch id is the consumed-offset fence
+    val replicaEmpty = {
+      val rv = graft.core.ManifestTable.currentVersion(spark, replicaRoot)
+      rv < 0 ||
+        graft.core.ManifestTable.readManifest(spark, replicaRoot, rv)._1.isEmpty
+    }
+    if (!netAdded.isEmpty) {
+      val upd = netAdded.withColumn("bucket", repBucket(col(keyCol)))
+      if (replicaEmpty)
+        graft.core.ManifestTable.commit(
+          spark, replicaRoot, upd, "bucket", batchId = v): Unit
+      else
+        graft.core.ManifestTable.merge(
+          spark, replicaRoot, upd, keyCol, batchId = v): Unit
+    } else {
+      // delete-only or zero-net version: advance the offset fence alone
+      val empty =
+        if (replicaEmpty)
+          netAdded.withColumn("bucket", repBucket(col(keyCol))).limit(0)
+        else graft.core.ManifestTable.read(spark, replicaRoot).get.limit(0)
+      graft.core.ManifestTable.commit(
+        spark, replicaRoot, empty, "bucket", batchId = v): Unit
+    }
+  }
+
+  /** The replicated table's content (layout column dropped). */
+  def replica(spark: SparkSession, replicaRoot: String): DataFrame = {
+    val df = graft.core.ManifestTable.read(spark, replicaRoot)
+      .getOrElse(throw new IllegalStateException(
+        s"no replica at $replicaRoot — run replicate first"))
+    df.select(df.columns.filterNot(_ == "bucket").map(col).toSeq: _*)
+  }
+
   /** The maintained state (zero-count rows dropped — a key whose docs all
     * left reads as absent, matching the batch recompute).
     */

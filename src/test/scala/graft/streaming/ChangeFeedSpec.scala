@@ -77,4 +77,63 @@ class ChangeFeedSpec extends SparkSpec {
         s"chars for $lang: got $chars want ${expChars.getOrElse(lang, 0L)}")
     }
   }
+
+  test("CDC replica mirrors the producer at every catch-up point; delete-only versions advance the offset; re-runs no-op") {
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") < 200).select("doc_id", "lang", "n_chars")
+      .localCheckpoint(true)
+    val root = tmpDir("graft_cdc_rep")
+    val (prod, rep) = (root + "/t", root + "/r")
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long)] =
+      df.select("doc_id", "lang", "n_chars").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    def mirror(clue: String): Unit = {
+      val p = rowsOf(graft.core.ManifestTable.read(spark, prod).get)
+      val r = rowsOf(ChangeFeed.replica(spark, rep))
+      assert(r == p, s"$clue: replica diverged from producer")
+    }
+    // v0: initial load
+    graft.core.ManifestTable.commit(spark, prod,
+      docs.filter(col("doc_id") % 3 === 0).withColumn("part", lit("b0")),
+      "part", 0L)
+    assert(ChangeFeed.replicate(spark, prod, rep, "doc_id", "part") == 0L)
+    mirror("initial load")
+    // v1+v2 consumed in ONE catch-up
+    for (b <- 1 until 3)
+      graft.core.ManifestTable.commit(spark, prod,
+        docs.filter(col("doc_id") % 3 === b)
+          .withColumn("part", lit(s"b$b")), "part", b.toLong)
+    assert(ChangeFeed.replicate(spark, prod, rep, "doc_id", "part") == 2L)
+    mirror("two-version catch-up")
+    // v3: a producer MERGE nets (old row removed, new row added) per key
+    // — the replica applies it as an upsert
+    graft.core.ManifestTable.merge(spark, prod,
+      docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("lang", lit("u7"))
+        .withColumn("part", concat(lit("b"), col("doc_id") % 3)),
+      "doc_id", batchId = 3L)
+    ChangeFeed.replicate(spark, prod, rep, "doc_id", "part")
+    mirror("merge catch-up")
+    assert(ChangeFeed.replica(spark, rep)
+      .filter(col("lang") === "u7").count() > 0L)
+    // v4: a producer takedown is DELETE-ONLY — rows leave the replica AND
+    // the offset still advances (the fence-only commit)
+    graft.core.ManifestTable.deleteRows(spark, prod,
+      docs.filter(col("doc_id") % 10 === 1).select("doc_id"), "doc_id")
+    val vDel = graft.core.ManifestTable.currentVersion(spark, prod)
+    assert(ChangeFeed.replicate(spark, prod, rep, "doc_id", "part") == vDel)
+    mirror("delete catch-up")
+    assert(graft.core.ManifestTable.lastBatch(spark, rep) == vDel,
+      "a delete-only version did not advance the replica offset")
+    // re-run: nothing to consume, nothing changes
+    val repV = graft.core.ManifestTable.currentVersion(spark, rep)
+    assert(ChangeFeed.replicate(spark, prod, rep, "doc_id", "part") == vDel)
+    assert(graft.core.ManifestTable.currentVersion(spark, rep) == repV,
+      "an idle re-run published replica versions")
+    mirror("idle re-run")
+    // the replica really is a DIFFERENT layout: hash buckets, not lineage
+    val repParts = graft.core.ManifestTable.read(spark, rep).get
+      .select(col("bucket").cast("string")).distinct().count()
+    assert(repParts > 1L, "replica should spread across hash buckets")
+  }
 }
