@@ -1812,6 +1812,138 @@ object ManifestTable {
     throw new IllegalStateException("unreachable")
   }
 
+  final case class FsckReport(
+      version: Long,
+      filesLive: Int,
+      missingFiles: Seq[String],
+      orphanDataFiles: Seq[String],
+      badStatLines: Seq[String],
+      statViolations: Seq[String],
+      schemaUnreadable: Boolean,
+      bloomCoverage: Map[String, (Int, Int)]) {
+    /** True iff no CORRUPTION was found. Orphan data files are vacuum
+      * debris (normal after a crashed or lost-race writer), and partial
+      * bloom coverage is advisory — neither fails the check.
+      */
+    def ok: Boolean = missingFiles.isEmpty && badStatLines.isEmpty &&
+      statViolations.isEmpty && !schemaUnreadable
+  }
+
+  /** Table INTEGRITY CHECK — the `fsck` every table format ships, for
+    * the operational question "can I trust this table?" after a crash,
+    * a migration, or a by-hand intervention. Verifies, against the
+    * CURRENT version:
+    *
+    *  - every manifest line's data file physically exists
+    *    (`missingFiles` — a reader would throw mid-scan);
+    *  - every zone-map suffix parses under the registered columns and
+    *    holds min ≤ max (`badStatLines`);
+    *  - every recorded [min, max] CONTAINS the file's parquet-footer
+    *    interval (`statViolations` — the dangerous corruption: a
+    *    too-narrow recorded interval makes pruning skip a file that
+    *    holds matching rows, i.e. silently wrong answers);
+    *  - the recorded schema deserializes (`schemaUnreadable`);
+    *  - per bloom-sidecar column, how many live files are indexed
+    *    (`bloomCoverage`: indexed → live; advisory — unindexed files
+    *    are kept conservatively by probes).
+    *
+    * `orphanDataFiles` lists physical parquet under partition dirs that
+    * no RETAINED manifest references — vacuum debris, reported so an
+    * operator can see reclaimable bytes, never a failure.
+    *
+    * Cost: one manifest read per retained version (driver-side), one
+    * partition-dir listing, and one FOOTER read per live stats-bearing
+    * file (metadata-only — no data scan anywhere).
+    */
+  def fsck(spark: SparkSession, root: String): FsckReport = {
+    val rootPath = new Path(root)
+    val f = fs(spark, rootPath)
+    val v = currentVersion(spark, root)
+    require(v >= 0, s"no committed version under $root")
+    val st = try readManifestLines(spark, root, v) catch {
+      case _: Exception =>
+        // the current header itself doesn't parse (schemaB64 / statsCols
+        // corruption): nothing below it can be trusted — report and stop
+        return FsckReport(v, 0, Nil, Nil, Nil, Nil,
+          schemaUnreadable = true, Map.empty)
+    }
+    val schemaUnreadable = false
+    val live = st.lines.map(_.split('|')(0))
+    val missing = live.filterNot(r => f.exists(new Path(rootPath, r)))
+    // every file ANY retained manifest references (time travel must keep
+    // working, so only files outside all of them are orphans)
+    val retained: Set[String] = (0L to v).flatMap { rv =>
+      if (f.exists(new Path(manifestDir(root), s"v$rv.json")))
+        readManifest(spark, root, rv)._1
+      else Nil
+    }.toSet
+    val orphans = scala.collection.mutable.ListBuffer[String]()
+    if (f.exists(rootPath))
+      for (partDir <- f.listStatus(rootPath)
+           if partDir.isDirectory && partDir.getPath.getName.contains("="))
+        for (df0 <- f.listStatus(partDir.getPath)
+             if df0.isFile && df0.getPath.getName.endsWith(".parquet")) {
+          val rel = s"${partDir.getPath.getName}/${df0.getPath.getName}"
+          if (!retained.contains(rel)) orphans += rel
+        }
+    val badStats = scala.collection.mutable.ListBuffer[String]()
+    val statViol = scala.collection.mutable.ListBuffer[String]()
+    if (st.statsCols.nonEmpty) for (l <- st.lines if l.indexOf('|') >= 0) {
+      val parts = l.split('|')
+      val rel = parts(0)
+      if (parts.length != 1 + 2 * st.statsCols.length) badStats += rel
+      else {
+        val recorded = st.statsCols.zipWithIndex.map { case ((c, t), i) =>
+          (c, t, parts(1 + 2 * i), parts(2 + 2 * i))
+        }
+        val parseOk = recorded.forall { case (_, t, mn, mx) =>
+          (mn.isEmpty && mx.isEmpty) || ((mn.nonEmpty && mx.nonEmpty) &&
+            (try {
+              t match {
+                case "long" => mn.toLong <= mx.toLong
+                case _ => cmpUnsigned(decStat(mn), decStat(mx)) <= 0
+              }
+            } catch { case _: Exception => false }))
+        }
+        if (!parseOk) badStats += rel
+        else if (!missing.contains(rel)) {
+          // the recorded interval must CONTAIN the footer's
+          val actual =
+            footerStatsAll(spark, new Path(rootPath, rel), st.statsCols)
+          recorded.zip(actual).foreach {
+            case ((c, t, mn, mx), Some((amn, amx))) if mn.nonEmpty =>
+              val contained = t match {
+                case "long" =>
+                  mn.toLong <= amn.toLong && amx.toLong <= mx.toLong
+                case _ =>
+                  cmpUnsigned(decStat(mn), decStat(amn)) <= 0 &&
+                    cmpUnsigned(decStat(amx), decStat(mx)) <= 0
+              }
+              if (!contained) statViol += s"$rel[$c]"
+            case _ => () // no footer stats or no recorded stats: nothing to cross-check
+          }
+        }
+      }
+    }
+    val bloomBase = new Path(root, "_bloom")
+    val coverage: Map[String, (Int, Int)] =
+      if (!f.exists(bloomBase)) Map.empty
+      else f.listStatus(bloomBase).filter(_.isDirectory)
+        .flatMap { d =>
+          val name = d.getPath.getName
+          if (!name.startsWith("col=")) None
+          else {
+            val colName = org.apache.spark.sql.catalyst.catalog
+              .ExternalCatalogUtils.unescapePathName(name.drop(4))
+            val indexed = spark.read.parquet(d.getPath.toString)
+              .select("file").distinct().collect().map(_.getString(0)).toSet
+            Some(colName -> (live.count(indexed.contains), live.size))
+          }
+        }.toMap
+    FsckReport(v, live.size, missing, orphans.toList, badStats.toList,
+      statViol.toList, schemaUnreadable, coverage)
+  }
+
   /** Physical deletion of data files no RETAINED version needs: "live" is
     * the UNION of the file lists of every manifest inside the retention
     * window (versions > v - keepVersions), not just the newest one — time

@@ -726,6 +726,36 @@ class ManifestTableSpec extends SparkSpec {
     assert(rows(ManifestTable.read(spark, root).get) == Set((0, 10L), (1, 21L)))
   }
 
+  test("optimistic concurrency: two real threads delivering the SAME merge batch apply it exactly once") {
+    // the merge twin of the redelivered-commit race: at-least-once
+    // delivery hands one CDC batch to two appliers. One wins the rename;
+    // the other must see the fence carried its batch and return None —
+    // never a double-applied upsert.
+    val root = tmpDir("graft_manifest_occ_m") + "/t"
+    ManifestTable.commit(spark, root,
+      part(Seq((0, 10L), (1, 11L)).toDF("k", "v")), "bucket", 0L)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val task = new java.util.concurrent.Callable[Option[ManifestTable.MergeStats]] {
+        def call(): Option[ManifestTable.MergeStats] =
+          ManifestTable.merge(spark, root,
+            Seq((1, 110L, 1), (9, 99L, 1)).toDF("k", "v", "bucket"),
+            "k", batchId = 1L)
+      }
+      val (fa, fb) = (pool.submit(task), pool.submit(task))
+      val (ra, rb) = (fa.get(), fb.get())
+      assert(ra.isDefined ^ rb.isDefined,
+        s"exactly one delivery must apply: $ra / $rb")
+    } finally pool.shutdown()
+    assert(rows(ManifestTable.read(spark, root).get) ==
+      Set((0, 10L), (1, 110L), (9, 99L)),
+      "the racing merge redelivery corrupted the table")
+    assert(ManifestTable.lastBatch(spark, root) == 1L)
+    ManifestTable.vacuum(spark, root, keepVersions = 1)
+    assert(rows(ManifestTable.read(spark, root).get) ==
+      Set((0, 10L), (1, 110L), (9, 99L)))
+  }
+
   test("partition-value escaping: '='/space/leading-zero values rewrite and carry exactly (derived and declared)") {
     val root = tmpDir("graft_manifest_esc") + "/t"
     val df = Seq((1L, "a=b"), (2L, "a=b"), (3L, "x 0"), (4L, "007"))
@@ -1217,6 +1247,70 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.read(spark, root).get
       .filter(col("k") === 9).count() == 1L,
       "the aborted restore undid a concurrent commit")
+  }
+
+  test("fsck: a healthy table reports ok; missing files, stat corruption and orphans are detected precisely") {
+    val root = tmpDir("graft_manifest_fsck") + "/t"
+    val data = (0 until 2).flatMap(b => (0 until 10).map(i => (100L * b + i, b)))
+    ManifestTable.commit(spark, root,
+      data.toDF("k", "bucket").repartition(1), "bucket", batchId = 0L,
+      statsCol = Some("k"))
+    ManifestTable.buildBloomIndex(spark, root, "k")
+    val r0 = ManifestTable.fsck(spark, root)
+    assert(r0.ok && r0.filesLive == 2 && r0.missingFiles.isEmpty &&
+      r0.orphanDataFiles.isEmpty && r0.statViolations.isEmpty, s"$r0")
+    assert(r0.bloomCoverage == Map("k" -> ((2, 2))), s"$r0")
+    // an ORPHAN (vacuum debris shape): reported, but never a failure
+    val liveFile = new java.io.File(s"$root/bucket=0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val orphan = new java.io.File(liveFile.getParentFile, "v9-orphan.parquet")
+    java.nio.file.Files.copy(liveFile.toPath, orphan.toPath)
+    val r1 = ManifestTable.fsck(spark, root)
+    assert(r1.ok && r1.orphanDataFiles == Seq(s"bucket=0/${orphan.getName}"),
+      s"$r1")
+    orphan.delete()
+    // STAT corruption: narrow a recorded interval below the footer's —
+    // the dangerous kind (pruning would skip a file that has rows)
+    val mf = Paths.get(s"$root/_manifest/v0.json")
+    // Hadoop's local FS keeps .crc sidecars — a raw tamper must drop the
+    // checksum too or every read fails as a ChecksumException instead
+    def tamper(text: String): Unit = {
+      Files.write(mf, text.getBytes("UTF-8"))
+      Files.deleteIfExists(Paths.get(s"$root/_manifest/.v0.json.crc"))
+    }
+    val pristine = new String(Files.readAllBytes(mf), "UTF-8")
+    val tampered = pristine.linesIterator.map { l =>
+      if (l.startsWith("bucket=1/")) {
+        val p = l.split('|'); s"${p(0)}|${p(1)}|105" // real max is 109
+      } else l
+    }.mkString("\n")
+    tamper(tampered)
+    val r2 = ManifestTable.fsck(spark, root)
+    assert(!r2.ok && r2.statViolations.exists(_.startsWith("bucket=1/")),
+      s"$r2")
+    // MALFORMED suffix: non-numeric bounds
+    tamper(pristine.linesIterator.map { l =>
+      if (l.startsWith("bucket=1/")) l.split('|')(0) + "|x|y" else l
+    }.mkString("\n"))
+    val r3 = ManifestTable.fsck(spark, root)
+    assert(!r3.ok && r3.badStatLines.nonEmpty, s"$r3")
+    // MISSING file: a manifest line whose bytes are gone
+    tamper(pristine)
+    val gone = new java.io.File(s"$root/bucket=1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val stash = new java.io.File(root, gone.getName)
+    java.nio.file.Files.move(gone.toPath, stash.toPath)
+    val r4 = ManifestTable.fsck(spark, root)
+    assert(!r4.ok && r4.missingFiles == Seq(s"bucket=1/${gone.getName}"),
+      s"$r4")
+    java.nio.file.Files.move(stash.toPath, gone.toPath)
+    // UNREADABLE header (schemaB64 corrupted): reported, never thrown
+    tamper(pristine
+      .replaceAll("\"schemaB64\":\"[^\"]+\"", "\"schemaB64\":\"!!!\""))
+    val r5 = ManifestTable.fsck(spark, root)
+    assert(!r5.ok && r5.schemaUnreadable, s"$r5")
+    tamper(pristine)
+    assert(ManifestTable.fsck(spark, root).ok)
   }
 
   test("vacuum: superseded files deleted past retention, live versions intact") {
