@@ -181,6 +181,9 @@ object Bench {
     if (selected.exists(_._1 == "st22_cdc_replica"))
       try SparkEntry.st22ReplicaDir(spark, sfDir)
       catch { case _: Throwable => () }
+    if (selected.exists(_._1 == "u18_deferred_takedown"))
+      try SparkEntry.u18TableDir(spark, sfDir)
+      catch { case _: Throwable => () }
     // u12 counts five stored artifacts; stage any its co-entries didn't
     if (selected.exists(_._1 == "u12_freshness")) {
       try SparkEntry.d18ClusterDir(spark, sfDir)

@@ -707,6 +707,35 @@ object SparkEntry {
       root
     })
 
+  private val dvTableMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** u18's artifact: the MERGE-ON-READ takedown lifecycle — a zone-mapped,
+    * bloom-indexed lineage table takes an O(list) deferred delete
+    * (doc_id % 89), OPTIMIZE purges it physically (force-rewriting only
+    * the partitions that held masked rows), then a SECOND takedown
+    * (doc_id % 113) stays pending as a live read mask. The gated read
+    * exercises both regimes at once: purged-physical for the first list,
+    * masked-logical for the second.
+    */
+  def u18TableDir(s: SparkSession, dir: String): String =
+    dvTableMemo.computeIfAbsent((s, dir), _ => {
+      val root = graft.core.TempDirs.create("graft_u18_dv") + "/t"
+      val docs = t(s, dir, "documents").select("doc_id", "lang")
+      for (b <- 0 until 4)
+        graft.core.ManifestTable.commit(s, root,
+          docs.filter(col("doc_id") % 4 === b)
+            .withColumn("part", lit(s"b$b")), "part", batchId = b.toLong,
+          statsCol = Some("doc_id"))
+      graft.core.ManifestTable.buildBloomIndex(s, root, "doc_id")
+      graft.core.ManifestTable.deleteRowsDeferred(s, root,
+        docs.filter(col("doc_id") % 89 === 0).select("doc_id"), "doc_id")
+      graft.core.ManifestTable.optimize(s, root)
+      graft.core.ManifestTable.deleteRowsDeferred(s, root,
+        docs.filter(col("doc_id") % 113 === 0).select("doc_id"), "doc_id")
+      root
+    })
+
   private val cdfConsumerMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
@@ -971,6 +1000,8 @@ object SparkEntry {
       "u15_merge_upsert",
       // u16 reads the post-takedown bloom-indexed snapshot (u16TableDir)
       "u16_bloom_takedown",
+      // u18 reads the purged+masked deferred-takedown snapshot (u18TableDir)
+      "u18_deferred_takedown",
       // u12 counts five pre-staged artifacts' indexed rows (d18, d17, d9,
       // d16, k8 — all ingest-time artifacts of their own entries)
       "u12_freshness",
@@ -1004,7 +1035,7 @@ object SparkEntry {
       streamedHierIndexMemo, pyramidTakedownMemo,
       clusterTakedownMemo, cdfCatchupMemo, restoreTableMemo,
       cdfConsumerMemo, ttlTableMemo, mergeTableMemo,
-      bloomTableMemo, cdcReplicaMemo).foreach { m =>
+      bloomTableMemo, cdcReplicaMemo, dvTableMemo).foreach { m =>
       m.keySet.asScala.filter(_._1 eq s).toList
         .foreach(k => Option(m.remove(k)).foreach(graft.core.TempDirs.drop))
     }
@@ -2101,6 +2132,11 @@ object SparkEntry {
     "u16_bloom_takedown" -> ((s, dir) =>
       graft.core.ManifestTable.read(s, u16TableDir(s, dir)).get
         .select("doc_id", "lang")),
+    // u18: merge-on-read takedown — one list purged physically, one
+    // still a live mask; the read must see survivors of both
+    "u18_deferred_takedown" -> ((s, dir) =>
+      graft.core.ManifestTable.read(s, u18TableDir(s, dir)).get
+        .select("doc_id", "lang")),
     // u10: the post-evolution snapshot — batch-0 rows null-fill the
     // column batch 1 introduced, read under the manifest's recorded
     // merged schema
@@ -2856,6 +2892,11 @@ object SparkEntry {
          |       CASE WHEN doc_id % 11 = 0 THEN 'upd11' ELSE lang END AS lang,
          |       n_chars
          |FROM documents WHERE doc_id % 13 <> 0""".stripMargin,
+    // u18: survivors of both takedown lists — the purged and the merely
+    // masked are indistinguishable in values, which is the contract
+    "u18_deferred_takedown" ->
+      ("SELECT doc_id, lang FROM documents " +
+        "WHERE doc_id % 89 <> 0 AND doc_id % 113 <> 0"),
     // st21: the consumer state recomputed from the catalog — survivors
     // of the takedown (which hit only the already-ingested %4 in (0,1)
     // rows), chars contributed only by the post-evolution batches

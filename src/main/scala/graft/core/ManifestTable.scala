@@ -200,10 +200,12 @@ object ManifestTable {
       case Some(sch) => spark.read.schema(sch)
       case None => spark.read
     }
-    if (files.isEmpty)
-      reader.option("basePath", root).parquet(root).limit(0)
-    else reader.option("basePath", root)
-      .parquet(files.map(f => s"$root/$f"): _*)
+    val df =
+      if (files.isEmpty)
+        reader.option("basePath", root).parquet(root).limit(0)
+      else reader.option("basePath", root)
+        .parquet(files.map(f => s"$root/$f"): _*)
+    applyDvMask(spark, root, df)
   }
 
   /** CHANGE-DATA FEED between two committed versions (the Delta CDF /
@@ -674,8 +676,69 @@ object ManifestTable {
     val st = readManifestLines(spark, root, v)
     val (lines, statsCols) = (st.lines, st.statsCols)
     val byPart = lines.groupBy(_.split('|')(0).takeWhile(_ != '/'))
-    val toCompact = byPart.filter(_._2.size > 1)
-    if (toCompact.isEmpty) return Nil
+    // DEFERRED-DELETE purge (see [[deleteRowsDeferred]]): partitions
+    // holding masked rows are FORCED into the rewrite even when
+    // single-file, the rewrite applies the mask, and exactly the delete
+    // batches seen HERE clear after publish (a takedown recorded
+    // mid-optimize survives to the next purge). Detection per masked
+    // column is zone-envelope + bloom pruned, like deleteRows'.
+    val dv = dvState(spark, root)
+    val masks: Seq[(String, DataFrame)] = dv.map { case (c, _) =>
+      c -> spark.read.parquet(dvDir(root, c).toString)
+        .select("key").distinct().localCheckpoint(true)
+    }
+    val allRels = lines.map(_.split('|')(0))
+    val forced: Set[String] = masks.flatMap { case (c, keys0) =>
+      val keysDf = keys0.select(col("key").as(c))
+      val envCands: Seq[String] = statsCols.find(_._1 == c) match {
+        case Some((_, "long")) =>
+          val r = keysDf.agg(min(col(c)).cast("long"),
+            max(col(c)).cast("long")).head
+          if (r.isNullAt(0)) Seq.empty
+          else pruneLines(lines, statsCols,
+            Seq(LongRange(c, r.getLong(0), r.getLong(1))))
+        case Some(_) =>
+          val r = keysDf.agg(min(col(c).cast("string")),
+            max(col(c).cast("string"))).head
+          if (r.isNullAt(0)) Seq.empty
+          else pruneLines(lines, statsCols,
+            Seq(StringRange(c, r.getString(0), r.getString(1))))
+        case None => allRels
+      }
+      val cands = bloomKeyFn(keysDf, c) match {
+        case Some(fn) => bloomPrunedCandidates(spark, root, c, fn, envCands)
+        case None => envCands
+      }
+      if (cands.isEmpty) Nil
+      else {
+        val reader = st.schema match {
+          case Some(sch) => spark.read.schema(sch)
+          case None => spark.read
+        }
+        val partitionCol = cands.head.takeWhile(_ != '=')
+        reader.option("basePath", root)
+          .parquet(cands.map(r => s"$root/$r"): _*)
+          .join(broadcast(keysDf), Seq(c), "left_semi")
+          .select(col(partitionCol).cast("string")).distinct()
+          .collect().flatMap(r => Option(r.getString(0)))
+          .map(v0 => s"$partitionCol=" +
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .escapePathName(v0)).toSeq
+      }
+    }.toSet
+    def maskRows(d: DataFrame): DataFrame =
+      masks.foldLeft(d) { case (x, (c, keys)) =>
+        if (!x.columns.contains(c)) x
+        else x.join(broadcast(keys), x(c) === keys("key"), "left_anti")
+      }
+    val toCompact =
+      byPart.filter { case (p, ls) => ls.size > 1 || forced.contains(p) }
+    if (toCompact.isEmpty) {
+      // nothing to rewrite; if masks were pending their keys match no
+      // physical row — the mask is redundant and clears here
+      if (dv.nonEmpty) clearDvBatches(spark, root, dv)
+      return Nil
+    }
     var next = v + 1
     val stage = new Path(rootPath,
       s"_stage-v$next-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -689,10 +752,10 @@ object ManifestTable {
       // read the live files DIRECTLY (no basePath: data columns only —
       // the partition value lives in the directory name, as commit wrote
       // it), rewrite evenly, stage beside the table
-      (st.schema match { // evolved tables null-fill older files' columns
+      maskRows((st.schema match { // evolved tables null-fill older files' columns
         case Some(sch) => spark.read.schema(sch)
         case None => spark.read
-      }).parquet(rels.map(r => s"$root/$r"): _*)
+      }).parquet(rels.map(r => s"$root/$r"): _*))
         .repartition(nOut)
         .write.mode("overwrite").parquet(new Path(stage, partName).toString)
       val dest = new Path(rootPath, partName)
@@ -700,6 +763,12 @@ object ManifestTable {
       for (df0 <- f.listStatus(new Path(stage, partName))
            if df0.isFile && !df0.getPath.getName.startsWith("_")
              && !df0.getPath.getName.startsWith(".")) {
+        // a purge can empty a partition (or a whole output split): a
+        // zero-row file earns no manifest line — footer check only when
+        // a mask actually ran
+        if (masks.nonEmpty && footerRowCount(spark, df0.getPath) == 0L) {
+          f.delete(df0.getPath, false)
+        } else {
         val name = s"v$next-${df0.getPath.getName}"
         if (!f.rename(df0.getPath, new Path(dest, name)))
           throw new IllegalStateException(
@@ -714,6 +783,7 @@ object ManifestTable {
             case None => "||"
           }.mkString
         })
+        }
       }
       myOutput(partName) = outLines.toList
       OptimizeStats(partName, ls.size, outLines.size)
@@ -746,12 +816,37 @@ object ManifestTable {
       // advance nor regress the ingest fence
       if (publishManifest(spark, root, next,
         manifestHeader(next, curSt.batch, curSt.statsCols, curSt.schema),
-        merged)) return stats
+        merged)) {
+        // purge complete: clear exactly the delete batches this pass saw
+        // (a crash before this line leaves a redundant mask — the next
+        // read filters rows that no longer exist, the next optimize
+        // clears)
+        if (dv.nonEmpty) clearDvBatches(spark, root, dv)
+        return stats
+      }
       val cur = currentVersion(spark, root)
       curSt = readManifestLines(spark, root, cur)
       next = cur + 1
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Drop exactly the given deferred-delete batch directories (the purge
+    * epilogue — batches recorded AFTER the purging pass snapshotted its
+    * state survive to the next one).
+    */
+  private def clearDvBatches(
+      spark: SparkSession, root: String,
+      dv: Seq[(String, Seq[Path])]): Unit = {
+    val f = fs(spark, dvBase(root))
+    dv.foreach { case (c, batches) =>
+      batches.foreach(b => f.delete(b, true))
+      val d = dvDir(root, c)
+      if (f.exists(d) && f.listStatus(d).isEmpty) f.delete(d, true): Unit
+    }
+    val b = dvBase(root)
+    if (f.exists(b) && f.listStatus(b).isEmpty) f.delete(b, true): Unit
+    spark.catalog.refreshByPath(b.toString)
   }
 
   /** Unsigned lexicographic byte comparison — parquet's binary-stats
@@ -947,8 +1042,8 @@ object ManifestTable {
     val (files, _) = prunedFilesMulti(spark, root, preds)
     if (files.isEmpty)
       readVersion(spark, root, currentVersion(spark, root)).limit(0)
-    else spark.read.option("basePath", root)
-      .parquet(files.map(f => s"$root/$f"): _*)
+    else applyDvMask(spark, root, spark.read.option("basePath", root)
+      .parquet(files.map(f => s"$root/$f"): _*))
   }
 
   /** ZONE-MAP file pruning (U6 — the manifest-resident data-skipping move
@@ -1414,6 +1509,128 @@ object ManifestTable {
       case _ => None
     }
 
+  private def dvBase(root: String) = new Path(root, "_dv")
+  private def dvDir(root: String, keyCol: String) =
+    new Path(dvBase(root), s"col=${escapedPartValue(keyCol)}")
+
+  /** The deferred-delete columns currently pending, with their recorded
+    * batch directories (the clear unit — see [[optimize]]'s purge).
+    */
+  private def dvState(
+      spark: SparkSession, root: String): Seq[(String, Seq[Path])] = {
+    val base = dvBase(root)
+    val f = fs(spark, base)
+    if (!f.exists(base)) Nil
+    else f.listStatus(base).filter(_.isDirectory).toSeq
+      .filter(_.getPath.getName.startsWith("col="))
+      .map { d =>
+        val colName = org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.unescapePathName(d.getPath.getName.drop(4))
+        val batches = f.listStatus(d.getPath).filter(_.isDirectory).toSeq
+          .filter(_.getPath.getName.startsWith("batch=")).map(_.getPath)
+        colName -> batches
+      }
+      .filter(_._2.nonEmpty)
+      .sortBy(_._1)
+  }
+
+  /** `df` minus every pending deferred-delete key — the merge-on-read
+    * mask [[readVersion]] / [[readPruned]] / [[readPrunedMulti]] apply.
+    * Broadcast anti-join per pending column (takedown lists are small by
+    * contract); a pass-through when nothing is pending. A frame that
+    * lacks a masked column (a time-travel read older than the column)
+    * keeps its rows — the mask filters where the key is readable.
+    */
+  private def applyDvMask(
+      spark: SparkSession, root: String, df: DataFrame): DataFrame =
+    dvState(spark, root).foldLeft(df) { case (d, (c, _)) =>
+      if (!d.columns.contains(c)) d
+      else {
+        val keys = spark.read.parquet(dvDir(root, c).toString)
+          .select("key").distinct()
+        d.join(broadcast(keys), d(c) === keys("key"), "left_anti")
+      }
+    }
+
+  final case class DeferredDeleteStats(keysRecorded: Long, keysPending: Long)
+
+  /** MERGE-ON-READ row delete — the deletion-vector slot (Delta DVs /
+    * Iceberg positional deletes / Lucene soft-deletes, manifest-native),
+    * and the missing half of the takedown story: [[deleteRows]] is
+    * copy-on-write (the right call when rewrite cost is acceptable), but
+    * a 100-key takedown against a petabyte table must take effect NOW at
+    * O(list) cost — rewriting partitions at delete time is pure waste
+    * when OPTIMIZE will rewrite them anyway.
+    *
+    *  - recording is O(list): the key set lands under
+    *    `_dv/col=<key>/batch=<contentHash>` (scoped-overwrite per list —
+    *    IDEMPOTENT under at-least-once retry, ACCUMULATING across
+    *    distinct takedowns: a silent replace would resurface the first
+    *    list, the corruption direction the index tombstones already
+    *    guard against);
+    *  - every table read ([[read]] / [[readVersion]] / [[readPruned]] /
+    *    [[readPrunedMulti]]) applies the mask by broadcast anti-join —
+    *    results equal a table holding only survivors, effective
+    *    immediately, INCLUDING time travel (a takedown means the data is
+    *    gone, not "gone in new versions");
+    *  - [[optimize]] is the PURGE point: it force-rewrites the
+    *    partitions holding masked rows (zone/bloom-pruned detection),
+    *    drops the rows physically, and clears exactly the delete batches
+    *    it saw — a takedown recorded mid-optimize survives to the next
+    *    purge; crash orderings are safe because a cleared-late mask
+    *    filters rows that no longer exist;
+    *  - while a mask is pending, the copy-on-write rewrites
+    *    ([[deleteRows]], [[merge]]) REFUSE loudly — their survivor
+    *    rewrites read raw files and would resurrect masked rows
+    *    physically into fresh files; OPTIMIZE first, then rewrite.
+    *
+    * The change feed surfaces deferred deletes at the purging OPTIMIZE
+    * (a mask is not a version; the purge is — its net change IS the
+    * deletion, which is exactly when a CDC consumer should see it).
+    * Returns (keys recorded by this call, total keys now pending).
+    */
+  def deleteRowsDeferred(
+      spark: SparkSession,
+      root: String,
+      keys: DataFrame,
+      keyCol: String): DeferredDeleteStats = {
+    val v = currentVersion(spark, root)
+    require(v >= 0, s"no committed version under $root")
+    val st = readManifestLines(spark, root, v)
+    val kf = recordedOrInferredSchema(spark, root, st)
+      .flatMap(_.fields.find(_.name == keyCol)).getOrElse(
+        throw new IllegalArgumentException(
+          s"deferred-delete key column '$keyCol' absent from the table " +
+            s"schema under $root"))
+    val dedup = keys.select(col(keyCol).cast(kf.dataType).as("key"))
+      .filter(col("key").isNotNull).distinct().localCheckpoint(true)
+    val h = dedup.agg(
+      sum(org.apache.spark.sql.functions.crc32(col("key").cast("string")))
+        .as("h"),
+      count(lit(1)).as("n")).head
+    val n = h.getLong(1)
+    if (n > 0) {
+      val tag = java.lang.Long.toHexString(h.getLong(0)) + "x" + n
+      dedup.write.mode("overwrite")
+        .parquet(new Path(dvDir(root, keyCol), s"batch=$tag").toString)
+      spark.catalog.refreshByPath(dvDir(root, keyCol).toString)
+    }
+    val pending = spark.read.parquet(dvDir(root, keyCol).toString)
+      .select("key").distinct().count()
+    DeferredDeleteStats(n, pending)
+  }
+
+  /** Pending deferred-delete key counts per column — the operational
+    * "how much is masked but not yet purged" signal ([[fsck]] reports
+    * it too).
+    */
+  def pendingDeferredDeletes(
+      spark: SparkSession, root: String): Map[String, Long] =
+    dvState(spark, root).map { case (c, _) =>
+      c -> spark.read.parquet(dvDir(root, c).toString)
+        .select("key").distinct().count()
+    }.toMap
+
   final case class MergeStats(
       rowsUpdated: Long, rowsInserted: Long,
       partitionsRewritten: Int, partitionsAppended: Int,
@@ -1478,6 +1695,10 @@ object ManifestTable {
     if (batchId <= st.batch) return None // redelivered batch: fence no-op
     require(st.lines.nonEmpty, s"the current snapshot under $root is " +
       "empty — merge derives the partition column from it; use commit")
+    require(dvState(spark, root).isEmpty,
+      s"deferred deletes pending under $root — the merge's survivor " +
+        "rewrite reads raw files and would resurrect masked rows into " +
+        "fresh files; run optimize (the purge point) first")
     val allRels = st.lines.map(_.split('|')(0))
     val partitionCol = allRels.head.takeWhile(_ != '=')
     require(updates.schema.fieldNames.contains(keyCol),
@@ -1707,6 +1928,10 @@ object ManifestTable {
     require(v >= 0, s"no committed version under $root")
     val st = readManifestLines(spark, root, v)
     if (st.lines.isEmpty) return None // zero-file snapshot: nothing to delete
+    require(dvState(spark, root).isEmpty,
+      s"deferred deletes pending under $root — the copy-on-write rewrite " +
+        "reads raw files and would resurrect masked rows into fresh " +
+        "files; run optimize (the purge point) first")
     val allRels = st.lines.map(_.split('|')(0))
     val partitionCol = allRels.head.takeWhile(_ != '=')
     val ks = keys.select(col(keyCol)).distinct().localCheckpoint(true)
@@ -1820,7 +2045,8 @@ object ManifestTable {
       badStatLines: Seq[String],
       statViolations: Seq[String],
       schemaUnreadable: Boolean,
-      bloomCoverage: Map[String, (Int, Int)]) {
+      bloomCoverage: Map[String, (Int, Int)],
+      deferredDeleteKeys: Map[String, Long]) {
     /** True iff no CORRUPTION was found. Orphan data files are vacuum
       * debris (normal after a crashed or lost-race writer), and partial
       * bloom coverage is advisory — neither fails the check.
@@ -1845,7 +2071,10 @@ object ManifestTable {
     *  - the recorded schema deserializes (`schemaUnreadable`);
     *  - per bloom-sidecar column, how many live files are indexed
     *    (`bloomCoverage`: indexed → live; advisory — unindexed files
-    *    are kept conservatively by probes).
+    *    are kept conservatively by probes);
+    *  - pending deferred-delete key counts per column
+    *    (`deferredDeleteKeys` — masked but not yet purged; the next
+    *    [[optimize]] is the purge).
     *
     * `orphanDataFiles` lists physical parquet under partition dirs that
     * no RETAINED manifest references — vacuum debris, reported so an
@@ -1865,7 +2094,7 @@ object ManifestTable {
         // the current header itself doesn't parse (schemaB64 / statsCols
         // corruption): nothing below it can be trusted — report and stop
         return FsckReport(v, 0, Nil, Nil, Nil, Nil,
-          schemaUnreadable = true, Map.empty)
+          schemaUnreadable = true, Map.empty, Map.empty)
     }
     val schemaUnreadable = false
     val live = st.lines.map(_.split('|')(0))
@@ -1941,7 +2170,8 @@ object ManifestTable {
           }
         }.toMap
     FsckReport(v, live.size, missing, orphans.toList, badStats.toList,
-      statViol.toList, schemaUnreadable, coverage)
+      statViol.toList, schemaUnreadable, coverage,
+      pendingDeferredDeletes(spark, root))
   }
 
   /** Physical deletion of data files no RETAINED version needs: "live" is

@@ -1249,6 +1249,87 @@ class ManifestTableSpec extends SparkSpec {
       "the aborted restore undid a concurrent commit")
   }
 
+  test("deferred delete (merge-on-read): mask applies immediately, accumulates, refuses CoW; optimize purges physically") {
+    val root = tmpDir("graft_manifest_dv") + "/t"
+    val data = (0 until 4).flatMap(b => (0 until 10).map(i => (100L * b + i, b)))
+    ManifestTable.commit(spark, root,
+      data.toDF("k", "bucket").repartition(1), "bucket", batchId = 0L,
+      statsCol = Some("k"))
+    ManifestTable.buildBloomIndex(spark, root, "k")
+    // O(list) record; the mask applies to EVERY read immediately —
+    // including time travel (deleted means deleted) and pruned reads
+    val d1 = ManifestTable.deleteRowsDeferred(spark, root,
+      Seq(5L).toDF("k"), "k")
+    assert(d1 == ManifestTable.DeferredDeleteStats(1L, 1L), s"$d1")
+    assert(ManifestTable.read(spark, root).get.count() == 39L)
+    assert(ManifestTable.readVersion(spark, root, 0L)
+      .filter(col("k") === 5L).count() == 0L,
+      "time travel must not resurrect a taken-down row")
+    assert(ManifestTable.readPruned(spark, root, "k", 0L, 9L)
+      .filter(col("k") === 5L).count() == 0L)
+    // retried same list: idempotent (same content partition, no growth)
+    ManifestTable.deleteRowsDeferred(spark, root, Seq(5L).toDF("k"), "k")
+    assert(new java.io.File(s"$root/_dv/col=k").listFiles()
+      .count(_.getName.startsWith("batch=")) == 1)
+    // a DISTINCT takedown accumulates
+    val d2 = ManifestTable.deleteRowsDeferred(spark, root,
+      Seq(205L).toDF("k"), "k")
+    assert(d2.keysPending == 2L, s"$d2")
+    assert(ManifestTable.read(spark, root).get.count() == 38L)
+    // copy-on-write rewrites refuse while a mask is pending
+    intercept[IllegalArgumentException] {
+      ManifestTable.deleteRows(spark, root, Seq(105L).toDF("k"), "k")
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.merge(spark, root,
+        Seq((105L, 1)).toDF("k", "bucket"), "k", batchId = 1L)
+    }
+    assert(ManifestTable.fsck(spark, root).deferredDeleteKeys ==
+      Map("k" -> 2L))
+    // PURGE: optimize force-rewrites exactly the partitions holding
+    // masked rows (bloom-pruned detection: envelope [5,205] spans three
+    // buckets, the sidecar narrows to the two that hold a key)
+    val stats = ManifestTable.optimize(spark, root)
+    assert(stats.map(_.partition).toSet == Set("bucket=0", "bucket=2"),
+      s"purge rewrote the wrong partitions: $stats")
+    val (rels, _) = ManifestTable.readManifest(spark, root,
+      ManifestTable.currentVersion(spark, root))
+    val raw = spark.read.parquet(rels.map(r => s"$root/$r"): _*)
+    assert(raw.count() == 38L &&
+      raw.filter(col("k").isin(5L, 205L)).count() == 0L,
+      "the purge must remove masked rows PHYSICALLY")
+    assert(ManifestTable.pendingDeferredDeletes(spark, root).isEmpty)
+    assert(ManifestTable.fsck(spark, root).ok)
+    // CoW works again after the purge
+    assert(ManifestTable.deleteRows(spark, root,
+      Seq(105L).toDF("k"), "k").get.rowsDeleted == 1L)
+    // a mask matching no physical row clears without any rewrite
+    ManifestTable.deleteRowsDeferred(spark, root, Seq(9999L).toDF("k"), "k")
+    assert(ManifestTable.optimize(spark, root).isEmpty)
+    assert(ManifestTable.pendingDeferredDeletes(spark, root).isEmpty,
+      "a no-op purge must still clear the redundant mask")
+  }
+
+  test("deferred delete: the purging OPTIMIZE is the version the change feed surfaces the deletion in") {
+    val root = tmpDir("graft_manifest_dv2") + "/t"
+    ManifestTable.commit(spark, root,
+      part(Seq((0, 10L), (1, 11L), (2, 22L)).toDF("k", "v")), "bucket", 0L)
+    ManifestTable.deleteRowsDeferred(spark, root, Seq(11L).toDF("v"), "v")
+    val vPre = ManifestTable.currentVersion(spark, root)
+    // the mask is not a version: the feed shows nothing yet
+    assert(vPre == 0L)
+    ManifestTable.optimize(spark, root)
+    val vPost = ManifestTable.currentVersion(spark, root)
+    assert(vPost == vPre + 1, "the purge must publish a version")
+    val (added, removed) = ManifestTable.changes(spark, root, vPre, vPost)
+    val netRemoved = removed.exceptAll(added)
+      .select("k", "v").collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(netRemoved == Set((1, 11L)),
+      "the purge version's net change must be exactly the deletion")
+    assert(rows(ManifestTable.read(spark, root).get) ==
+      Set((0, 10L), (2, 22L)))
+  }
+
   test("fsck: a healthy table reports ok; missing files, stat corruption and orphans are detected precisely") {
     val root = tmpDir("graft_manifest_fsck") + "/t"
     val data = (0 until 2).flatMap(b => (0 until 10).map(i => (100L * b + i, b)))
