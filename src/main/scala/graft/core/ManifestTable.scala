@@ -486,7 +486,7 @@ object ManifestTable {
                     s"${pf.dataType.simpleString}, commit has " +
                     s"${nf.dataType.simpleString} — only additive columns and " +
                     "lossless widenings (int->long, float->double) evolve"))
-              StructField(pf.name, w, nullable = true)
+              StructField(pf.name, w, nullable = true, pf.metadata)
           }
         }
         val known = p.fieldNames.toSet
@@ -687,43 +687,36 @@ object ManifestTable {
       c -> spark.read.parquet(dvDir(root, c).toString)
         .select("key").distinct().localCheckpoint(true)
     }
-    val allRels = lines.map(_.split('|')(0))
     val forced: Set[String] = masks.flatMap { case (c, keys0) =>
       val keysDf = keys0.select(col("key").as(c))
-      val envCands: Seq[String] = statsCols.find(_._1 == c) match {
-        case Some((_, "long")) =>
-          val r = keysDf.agg(min(col(c)).cast("long"),
-            max(col(c)).cast("long")).head
-          if (r.isNullAt(0)) Seq.empty
-          else pruneLines(lines, statsCols,
-            Seq(LongRange(c, r.getLong(0), r.getLong(1))))
-        case Some(_) =>
-          val r = keysDf.agg(min(col(c).cast("string")),
-            max(col(c).cast("string"))).head
-          if (r.isNullAt(0)) Seq.empty
-          else pruneLines(lines, statsCols,
-            Seq(StringRange(c, r.getString(0), r.getString(1))))
-        case None => allRels
-      }
-      val cands = bloomKeyFn(keysDf, c) match {
-        case Some(fn) => bloomPrunedCandidates(spark, root, c, fn, envCands)
-        case None => envCands
-      }
+      // the SAME detection front end deleteRows/merge use — and the same
+      // two disciplines their rewrites carry: the partition column reads
+      // as a STRING (type inference would respell '007' as '7' and the
+      // forced set would miss the real directory — a silently lost
+      // takedown), and default-partition matches refuse loudly (that
+      // value does not round-trip through a rewrite)
+      val cands = keyCandidateFiles(spark, root, st, keysDf, c)
       if (cands.isEmpty) Nil
       else {
-        val reader = st.schema match {
-          case Some(sch) => spark.read.schema(sch)
-          case None => spark.read
-        }
+        val dataSchema = recordedOrInferredSchema(spark, root, st).get
         val partitionCol = cands.head.takeWhile(_ != '=')
-        reader.option("basePath", root)
+        val readSchema = org.apache.spark.sql.types.StructType(
+          dataSchema.fields.toSeq :+ org.apache.spark.sql.types.StructField(
+            partitionCol, org.apache.spark.sql.types.StringType,
+            nullable = true))
+        val vals = spark.read.schema(readSchema).option("basePath", root)
           .parquet(cands.map(r => s"$root/$r"): _*)
           .join(broadcast(keysDf), Seq(c), "left_semi")
-          .select(col(partitionCol).cast("string")).distinct()
-          .collect().flatMap(r => Option(r.getString(0)))
-          .map(v0 => s"$partitionCol=" +
-            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-              .escapePathName(v0)).toSeq
+          .select(col(partitionCol)).distinct()
+          .collect().map(_.getString(0))
+        require(!vals.contains(null),
+          s"deferred-delete purge under $root matched rows in the " +
+            "default partition (__HIVE_DEFAULT_PARTITION__) — its value " +
+            "does not round-trip through a rewrite; rewrite that " +
+            "partition explicitly")
+        vals.toSeq.map(v0 => s"$partitionCol=" +
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .escapePathName(v0))
       }
     }.toSet
     def maskRows(d: DataFrame): DataFrame =
@@ -833,20 +826,21 @@ object ManifestTable {
 
   /** Drop exactly the given deferred-delete batch directories (the purge
     * epilogue — batches recorded AFTER the purging pass snapshotted its
-    * state survive to the next one).
+    * state survive to the next one). ONLY the named batch dirs are
+    * deleted — a check-then-delete of the parent would race a concurrent
+    * [[deleteRowsDeferred]] landing a new batch between the emptiness
+    * check and the recursive delete, wiping a never-purged takedown.
+    * Emptied `col=`/`_dv` dirs stay as harmless debris ([[dvState]]
+    * ignores batch-less dirs).
     */
   private def clearDvBatches(
       spark: SparkSession, root: String,
       dv: Seq[(String, Seq[Path])]): Unit = {
     val f = fs(spark, dvBase(root))
-    dv.foreach { case (c, batches) =>
+    dv.foreach { case (_, batches) =>
       batches.foreach(b => f.delete(b, true))
-      val d = dvDir(root, c)
-      if (f.exists(d) && f.listStatus(d).isEmpty) f.delete(d, true): Unit
     }
-    val b = dvBase(root)
-    if (f.exists(b) && f.listStatus(b).isEmpty) f.delete(b, true): Unit
-    spark.catalog.refreshByPath(b.toString)
+    spark.catalog.refreshByPath(dvBase(root).toString)
   }
 
   /** Unsigned lexicographic byte comparison — parquet's binary-stats
@@ -1552,6 +1546,51 @@ object ManifestTable {
       }
     }
 
+  /** Zone-envelope + bloom-pruned candidate FILES for a key set — the
+    * shared detection front end of [[deleteRows]], [[merge]] and the
+    * [[optimize]] purge (one implementation so the three can never drift
+    * on escaping/typing discipline). Nil when the key set is empty or
+    * all-null. A registered zone column's type must match the key
+    * frame's — loud refusal otherwise.
+    */
+  private def keyCandidateFiles(
+      spark: SparkSession, root: String, st: ManifestState,
+      ks: DataFrame, keyCol: String): Seq[String] = {
+    val allRels = st.lines.map(_.split('|')(0))
+    val kf = ks.schema.fields.find(_.name == keyCol).getOrElse(
+      throw new IllegalArgumentException(
+        s"key column '$keyCol' absent from the key frame"))
+    val envelope: Option[ZonePred] = st.statsCols.find(_._1 == keyCol) match {
+      case Some((_, "long")) =>
+        require(kf.dataType == org.apache.spark.sql.types.LongType ||
+          kf.dataType == org.apache.spark.sql.types.IntegerType,
+          s"zone-map column '$keyCol' is long-typed but the key frame " +
+            s"holds ${kf.dataType.simpleString} values")
+        val r = ks.agg(min(col(keyCol)).cast("long"),
+          max(col(keyCol)).cast("long")).head
+        if (r.isNullAt(0)) return Nil // no non-null key
+        Some(LongRange(keyCol, r.getLong(0), r.getLong(1)))
+      case Some(_) =>
+        require(kf.dataType == org.apache.spark.sql.types.StringType,
+          s"zone-map column '$keyCol' is string-typed but the key frame " +
+            s"holds ${kf.dataType.simpleString} values")
+        val r = ks.agg(min(col(keyCol)), max(col(keyCol))).head
+        if (r.isNullAt(0)) return Nil
+        Some(StringRange(keyCol, r.getString(0), r.getString(1)))
+      case None =>
+        if (ks.filter(col(keyCol).isNotNull).isEmpty) return Nil
+        None
+    }
+    val env = envelope match {
+      case Some(e) => pruneLines(st.lines, st.statsCols, Seq(e))
+      case None => allRels
+    }
+    bloomKeyFn(ks, keyCol) match {
+      case Some(fn) => bloomPrunedCandidates(spark, root, keyCol, fn, env)
+      case None => env
+    }
+  }
+
   final case class DeferredDeleteStats(keysRecorded: Long, keysPending: Long)
 
   /** MERGE-ON-READ row delete — the deletion-vector slot (Delta DVs /
@@ -1571,8 +1610,12 @@ object ManifestTable {
     *  - every table read ([[read]] / [[readVersion]] / [[readPruned]] /
     *    [[readPrunedMulti]]) applies the mask by broadcast anti-join —
     *    results equal a table holding only survivors, effective
-    *    immediately, INCLUDING time travel (a takedown means the data is
-    *    gone, not "gone in new versions");
+    *    immediately and, WHILE THE MASK IS PENDING, on every time-travel
+    *    read too; after the purge clears the mask, pre-purge versions
+    *    time-travel their committed content like any retained version
+    *    until [[vacuum]] retires them — the same retention story as
+    *    [[deleteRows]] (purge + vacuum = bytes gone; a compliance
+    *    takedown follows the purge with a vacuum);
     *  - [[optimize]] is the PURGE point: it force-rewrites the
     *    partitions holding masked rows (zone/bloom-pruned detection),
     *    drops the rows physically, and clears exactly the delete batches
@@ -1729,36 +1772,19 @@ object ManifestTable {
         "partition rendering explicitly if it is really meant")
     val targetNames =
       targetVals.map(x => s"$partitionCol=${escapedPartValue(x)}").toSeq
-    // the update keys' zone envelope — prunes BOTH the detection scan and
-    // the concurrent-overlap check in the retry loop
+    // zone-envelope + bloom pruned detection, shared with deleteRows and
+    // the optimize purge (keyCandidateFiles also validates the key type
+    // against the registration)
+    val candidates = keyCandidateFiles(spark, root, st, ks, keyCol)
+    // the envelope again, for the retry loop's concurrent-overlap check
     val envelope: Option[ZonePred] = st.statsCols.find(_._1 == keyCol).map {
       case (_, "long") =>
-        val kf = upd.schema.fields.find(_.name == keyCol).get
-        require(kf.dataType == org.apache.spark.sql.types.LongType ||
-          kf.dataType == org.apache.spark.sql.types.IntegerType,
-          s"zone-map column '$keyCol' is long-typed but the update batch " +
-            s"holds ${kf.dataType.simpleString} keys")
         val r = ks.agg(min(col(keyCol)).cast("long"),
           max(col(keyCol)).cast("long")).head
         LongRange(keyCol, r.getLong(0), r.getLong(1))
       case (_, _) =>
-        val kf = upd.schema.fields.find(_.name == keyCol).get
-        require(kf.dataType == org.apache.spark.sql.types.StringType,
-          s"zone-map column '$keyCol' is string-typed but the update " +
-            s"batch holds ${kf.dataType.simpleString} keys")
         val r = ks.agg(min(col(keyCol)), max(col(keyCol))).head
         StringRange(keyCol, r.getString(0), r.getString(1))
-    }
-    val candidates0: Seq[String] = envelope match {
-      case Some(env) => pruneLines(st.lines, st.statsCols, Seq(env))
-      case None => allRels
-    }
-    // per-file BLOOM probe (U16): exact point-set pruning of the match
-    // detection — a merge batch's keys rarely fill their envelope
-    val candidates = bloomKeyFn(ks, keyCol) match {
-      case Some(fn) =>
-        bloomPrunedCandidates(spark, root, keyCol, fn, candidates0)
-      case None => candidates0
     }
     val dataSchema = recordedOrInferredSchema(spark, root, st).get
     val readSchema = org.apache.spark.sql.types.StructType(
@@ -1868,9 +1894,6 @@ object ManifestTable {
       partitionsRewritten: Int, partitionsEmptied: Int, rowsDeleted: Long,
       filesScanned: Int, filesTotal: Int)
 
-  private val stringByteOrdering: Ordering[String] =
-    (a: String, b: String) =>
-      cmpUnsigned(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
 
   /** ROW-LEVEL DELETE — the takedown path (DMCA, GDPR, opt-out lists:
     * routine in corpus curation, and the one rewrite shape U1–U8 lacked):
@@ -1935,34 +1958,10 @@ object ManifestTable {
     val allRels = st.lines.map(_.split('|')(0))
     val partitionCol = allRels.head.takeWhile(_ != '=')
     val ks = keys.select(col(keyCol)).distinct().localCheckpoint(true)
-    // zone-map pre-prune of the detection scan (see scaladoc): the key
-    // ENVELOPE bounds every file that can hold a matching row
-    val candidates: Seq[String] = st.statsCols.find(_._1 == keyCol) match {
-      case Some((_, "long")) =>
-        val kv = ks.collect().flatMap(r => r.get(0) match {
-          case null => None
-          case n: java.lang.Number => Some(n.longValue())
-          case other => throw new IllegalArgumentException(
-            s"zone-map column '$keyCol' is long-typed but the takedown " +
-              s"list holds ${other.getClass.getSimpleName} values")
-        })
-        if (kv.isEmpty) return None
-        prunedFilesMulti(spark, root,
-          Seq(LongRange(keyCol, kv.min, kv.max)))._1
-      case Some(_) =>
-        val kv = ks.collect().flatMap(r => Option(r.get(0)).map(_.toString))
-        if (kv.isEmpty) return None
-        prunedFilesMulti(spark, root, Seq(StringRange(keyCol,
-          kv.min(stringByteOrdering), kv.max(stringByteOrdering))))._1
-      case None => allRels
-    }
-    // per-file BLOOM probe (U16): point-set pruning where the envelope is
-    // weak — scattered takedown keys span nearly the whole key range, but
-    // each key lives in very few files
-    val cands = bloomKeyFn(ks, keyCol) match {
-      case Some(fn) => bloomPrunedCandidates(spark, root, keyCol, fn, candidates)
-      case None => candidates
-    }
+    // zone-envelope + bloom pruned detection (shared with merge and the
+    // optimize purge): the key ENVELOPE bounds every file that can hold
+    // a matching row; the per-file bloom (U16) narrows the scatter case
+    val cands = keyCandidateFiles(spark, root, st, ks, keyCol)
     if (cands.isEmpty) return None
     // the rewrite-faithful read schema: recorded (or legacy-inferred) data
     // columns plus the partition column as a STRING
@@ -2099,12 +2098,16 @@ object ManifestTable {
     val schemaUnreadable = false
     val live = st.lines.map(_.split('|')(0))
     val missing = live.filterNot(r => f.exists(new Path(rootPath, r)))
+    val badStats = scala.collection.mutable.ListBuffer[String]()
     // every file ANY retained manifest references (time travel must keep
-    // working, so only files outside all of them are orphans)
+    // working, so only files outside all of them are orphans). A corrupt
+    // RETAINED header is reported (its files then surface as orphans —
+    // advisory), never thrown.
     val retained: Set[String] = (0L to v).flatMap { rv =>
-      if (f.exists(new Path(manifestDir(root), s"v$rv.json")))
-        readManifest(spark, root, rv)._1
-      else Nil
+      if (!f.exists(new Path(manifestDir(root), s"v$rv.json"))) Nil
+      else try readManifest(spark, root, rv)._1 catch {
+        case _: Exception => badStats += s"_manifest/v$rv.json"; Nil
+      }
     }.toSet
     val orphans = scala.collection.mutable.ListBuffer[String]()
     if (f.exists(rootPath))
@@ -2115,13 +2118,19 @@ object ManifestTable {
           val rel = s"${partDir.getPath.getName}/${df0.getPath.getName}"
           if (!retained.contains(rel)) orphans += rel
         }
-    val badStats = scala.collection.mutable.ListBuffer[String]()
     val statViol = scala.collection.mutable.ListBuffer[String]()
     if (st.statsCols.nonEmpty) for (l <- st.lines if l.indexOf('|') >= 0) {
-      val parts = l.split('|')
-      val rel = parts(0)
-      if (parts.length != 1 + 2 * st.statsCols.length) badStats += rel
+      // the writers' legal shapes: split('|') drops TRAILING empty
+      // fields ('rel|mn|mx||' reads back 3 parts) and pre-migration
+      // lines carry stats for a PREFIX of the registered columns — both
+      // pad conservatively exactly as pruneLines reads them. Malformed =
+      // longer than the registration allows, or a dangling half pair.
+      val parts0 = l.split('|')
+      val rel = parts0(0)
+      if (parts0.length > 1 + 2 * st.statsCols.length ||
+        parts0.length % 2 == 0) badStats += rel
       else {
+        val parts = parts0.padTo(1 + 2 * st.statsCols.length, "")
         val recorded = st.statsCols.zipWithIndex.map { case ((c, t), i) =>
           (c, t, parts(1 + 2 * i), parts(2 + 2 * i))
         }

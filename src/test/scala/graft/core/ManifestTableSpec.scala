@@ -1330,6 +1330,59 @@ class ManifestTableSpec extends SparkSpec {
       Set((0, 10L), (2, 22L)))
   }
 
+  test("review pins: purge respects partition spelling and refuses the default partition; fsck tolerates legal stat shapes") {
+    // 1. a '007'-style partition value: partition-type inference would
+    // respell it '7' and the purge's forced set would miss the real
+    // directory — the detection must read the partition column as a
+    // STRING (the U9 discipline), or the takedown is silently lost
+    val r1 = tmpDir("graft_dv_esc") + "/t"
+    ManifestTable.commit(spark, r1,
+      Seq((1L, "007"), (2L, "007"), (3L, "b1")).toDF("k", "part"),
+      "part", 0L)
+    ManifestTable.deleteRowsDeferred(spark, r1, Seq(1L).toDF("k"), "k")
+    val stats = ManifestTable.optimize(spark, r1)
+    assert(stats.map(_.partition) == Seq("part=007"), s"$stats")
+    assert(ManifestTable.pendingDeferredDeletes(spark, r1).isEmpty)
+    val (rels, _) = ManifestTable.readManifest(spark, r1,
+      ManifestTable.currentVersion(spark, r1))
+    assert(spark.read.parquet(rels.map(r => s"$r1/$r"): _*)
+      .filter(col("k") === 1L).count() == 0L,
+      "the takedown was lost to partition-type inference")
+    // 2. masked rows in the default partition: the purge refuses loudly
+    // (the deleteRows/merge discipline) and KEEPS the mask
+    val r2 = tmpDir("graft_dv_null") + "/t"
+    ManifestTable.commit(spark, r2,
+      Seq((1L, Option.empty[String]), (2L, Some("b0")))
+        .toDF("k", "part"), "part", 0L)
+    ManifestTable.deleteRowsDeferred(spark, r2, Seq(1L).toDF("k"), "k")
+    intercept[IllegalArgumentException] {
+      ManifestTable.optimize(spark, r2)
+    }
+    assert(ManifestTable.pendingDeferredDeletes(spark, r2) ==
+      Map("k" -> 1L), "a refused purge must keep the mask")
+    assert(ManifestTable.read(spark, r2).get
+      .filter(col("k") === 1L).count() == 0L)
+    // 3. fsck accepts the writers' LEGAL stat shapes: a trailing
+    // no-stats string column ('rel|mn|mx||' loses its trailing empties
+    // to split) and pre-migration short lines
+    val r3 = tmpDir("graft_fsck_shapes") + "/t"
+    ManifestTable.commit(spark, r3,
+      Seq((1L, 0)).toDF("k", "bucket").repartition(1), "bucket", 0L,
+      statsCol = Some("k"))
+    ManifestTable.commit(spark, r3,
+      Seq((2L, Option.empty[String], 1)).toDF("k", "s", "bucket")
+        .repartition(1), "bucket", 1L, statsColumns = Seq("k", "s"))
+    val rep = ManifestTable.fsck(spark, r3)
+    assert(rep.ok, s"legal stat shapes flagged as corrupt: $rep")
+    // 4. a corrupt RETAINED (non-current) header reports, never throws
+    Files.write(Paths.get(s"$r3/_manifest/v0.json"),
+      "{broken".getBytes("UTF-8"))
+    Files.deleteIfExists(Paths.get(s"$r3/_manifest/.v0.json.crc"))
+    val rep2 = ManifestTable.fsck(spark, r3)
+    assert(!rep2.ok && rep2.badStatLines.contains("_manifest/v0.json"),
+      s"$rep2")
+  }
+
   test("fsck: a healthy table reports ok; missing files, stat corruption and orphans are detected precisely") {
     val root = tmpDir("graft_manifest_fsck") + "/t"
     val data = (0 until 2).flatMap(b => (0 until 10).map(i => (100L * b + i, b)))
