@@ -1086,7 +1086,10 @@ object ManifestTable {
     * `newValue`). Fence, snapshot isolation and time travel behave as in
     * [[optimize]]; idempotent under a fixed `newValue` (version-prefixed
     * file names never collide). Returns None when the table already has
-    * ≤ 1 partition.
+    * ≤ 1 partition. Like [[optimize]], the fold is a PURGE point for
+    * [[deleteRowsDeferred]] masks — it consumes every live file anyway,
+    * so the rewrite drops masked rows physically and clears exactly the
+    * delete batches it snapshotted.
     */
   def optimizeRewritePartitions(
       spark: SparkSession,
@@ -1111,10 +1114,16 @@ object ManifestTable {
     var next = v + 1
     val stage = new Path(rootPath,
       s"_stage-v$next-${java.util.UUID.randomUUID().toString.take(8)}")
-    val df = (st.schema match { // evolved tables null-fill older files
-      case Some(sch) => spark.read.schema(sch)
-      case None => spark.read
-    }).parquet(rels.map(r => s"$root/$r"): _*)
+    // the fold consumes EVERY live file, so it is a natural TOTAL purge
+    // point for deferred deletes (see [[deleteRowsDeferred]]): the
+    // rewrite applies the mask and the batches snapshotted here clear
+    // after publish — same crash contract as [[optimize]]'s purge
+    val dv = dvState(spark, root)
+    val df = applyDvMask(spark, root,
+      (st.schema match { // evolved tables null-fill older files
+        case Some(sch) => spark.read.schema(sch)
+        case None => spark.read
+      }).parquet(rels.map(r => s"$root/$r"): _*))
     val clustered = statsCols.headOption match {
       case Some((c, _)) => df.repartitionByRange(nOut,
         org.apache.spark.sql.functions.col(c))
@@ -1128,6 +1137,10 @@ object ManifestTable {
     for (df0 <- f.listStatus(new Path(stage, newPartName))
          if df0.isFile && !df0.getPath.getName.startsWith("_")
            && !df0.getPath.getName.startsWith(".")) {
+      if (dv.nonEmpty && footerRowCount(spark, df0.getPath) == 0L) {
+        // a purge can empty an output split: no manifest line for it
+        f.delete(df0.getPath, false)
+      } else {
       val name = s"v$next-${df0.getPath.getName}"
       if (!f.rename(df0.getPath, new Path(dest, name)))
         throw new IllegalStateException(
@@ -1142,6 +1155,7 @@ object ManifestTable {
           case None => "||"
         }.mkString
       })
+      }
     }
     f.delete(stage, true)
     beforePublish()
@@ -1160,8 +1174,10 @@ object ManifestTable {
       // nor regress the ingest fence
       if (publishManifest(spark, root, next,
         manifestHeader(next, curSt.batch, statsCols, curSt.schema),
-        newLines.toList))
+        newLines.toList)) {
+        if (dv.nonEmpty) clearDvBatches(spark, root, dv)
         return Some(OptimizeStats(newPartName, rels.size, newLines.size))
+      }
       val cur = currentVersion(spark, root)
       curSt = readManifestLines(spark, root, cur)
       next = cur + 1

@@ -1330,6 +1330,38 @@ class ManifestTableSpec extends SparkSpec {
       Set((0, 10L), (2, 22L)))
   }
 
+  test("deferred delete: the lineage fold purges too, and pruning survives it") {
+    val root = tmpDir("graft_dv_fold") + "/t"
+    // the st18 shape: one lineage partition per batch, k zone-registered
+    for (b <- 0 until 4)
+      ManifestTable.commit(spark, root,
+        (0 until 10).map(i => (100L * b + i, s"b$b")).toDF("k", "part")
+          .repartition(1), "part", batchId = b.toLong,
+        statsCol = Some("k"))
+    ManifestTable.deleteRowsDeferred(spark, root,
+      Seq(5L, 205L).toDF("k"), "k")
+    assert(ManifestTable.read(spark, root).get.count() == 38L)
+    val st = ManifestTable.optimizeRewritePartitions(spark, root, "folded",
+      targetBytes = 1024L) // several range-clustered output files
+    assert(st.isDefined && st.get.outputFiles > 1, s"$st")
+    // physically gone, mask cleared, fence preserved
+    val (rels, batch) = ManifestTable.readManifest(spark, root,
+      ManifestTable.currentVersion(spark, root))
+    val raw = spark.read.parquet(rels.map(r => s"$root/$r"): _*)
+    assert(raw.count() == 38L &&
+      raw.filter(col("k").isin(5L, 205L)).count() == 0L,
+      "the fold must purge masked rows physically")
+    assert(batch == 3L, "the fold must not move the ingest fence")
+    assert(ManifestTable.pendingDeferredDeletes(spark, root).isEmpty)
+    // zone maps regenerated over the range-clustered output: a narrow
+    // range still skips files
+    val (pruned, total) = ManifestTable.prunedFiles(spark, root, "k", 105L, 108L)
+    assert(pruned.nonEmpty && pruned.size < total,
+      s"pruning died after the fold-purge: $pruned of $total")
+    assert(ManifestTable.readPruned(spark, root, "k", 105L, 108L)
+      .filter(col("k").between(105L, 108L)).count() == 4L)
+  }
+
   test("review pins: purge respects partition spelling and refuses the default partition; fsck tolerates legal stat shapes") {
     // 1. a '007'-style partition value: partition-type inference would
     // respell it '7' and the purge's forced set would miss the real
