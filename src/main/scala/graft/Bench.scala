@@ -184,6 +184,9 @@ object Bench {
     if (selected.exists(_._1 == "u18_deferred_takedown"))
       try SparkEntry.u18TableDir(spark, sfDir)
       catch { case _: Throwable => () }
+    if (selected.exists(_._1 == "st23_streamed_takedown"))
+      try SparkEntry.st23TableDir(spark, sfDir)
+      catch { case _: Throwable => () }
     // u12 counts five stored artifacts; stage any its co-entries didn't
     if (selected.exists(_._1 == "u12_freshness")) {
       try SparkEntry.d18ClusterDir(spark, sfDir)

@@ -225,6 +225,27 @@ object SparkEntry {
       path
     })
 
+  private val streamedTakedownMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** st23's artifact: the st18 streamed ingest with a MID-STREAM deferred
+    * takedown (event_id % 1009 — recorded O(list) after batch 1's commit,
+    * never blocking the ingest) purged physically by the loop's own
+    * end-of-run U8 fold. Rows with masked keys arriving in later batches
+    * are masked too: the takedown is by key, not by arrival time. The
+    * gated read is the post-fold snapshot.
+    */
+  def st23TableDir(s: SparkSession, dir: String): String =
+    streamedTakedownMemo.computeIfAbsent((s, dir), _ => {
+      val path = graft.core.TempDirs.create("graft_st23_zm")
+      graft.streaming.EventsStream.zoneMapIngestReplay(s, dir, path,
+        queryName = "graft_zonemap_takedown_stream",
+        takedownAtBatch = Some((1L, ss =>
+          t(ss, dir, "events").filter(col("event_id") % 1009 === 0)
+            .select("event_id"))))
+      path
+    })
+
   /** st17's artifact: per-micro-batch Misra–Gries summaries absorbed
     * THROUGH the streaming engine ([[graft.streaming.EventsStream
     * .heavyHittersMaintainReplay]], `batch=b<id>` fences). The candidate
@@ -994,6 +1015,8 @@ object SparkEntry {
       "st21_cdf_consumer",
       // st22 reads the CDC-maintained replica table (st22ReplicaDir)
       "st22_cdc_replica",
+      // st23 reads the post-fold streamed+takedown table (st23TableDir)
+      "st23_streamed_takedown",
       // u14 reads the post-TTL manifest snapshot (u14TableDir)
       "u14_partition_ttl",
       // u15 reads the post-merge manifest snapshot (u15TableDir)
@@ -1035,7 +1058,8 @@ object SparkEntry {
       streamedHierIndexMemo, pyramidTakedownMemo,
       clusterTakedownMemo, cdfCatchupMemo, restoreTableMemo,
       cdfConsumerMemo, ttlTableMemo, mergeTableMemo,
-      bloomTableMemo, cdcReplicaMemo, dvTableMemo).foreach { m =>
+      bloomTableMemo, cdcReplicaMemo, dvTableMemo,
+      streamedTakedownMemo).foreach { m =>
       m.keySet.asScala.filter(_._1 eq s).toList
         .foreach(k => Option(m.remove(k)).foreach(graft.core.TempDirs.drop))
     }
@@ -2132,6 +2156,12 @@ object SparkEntry {
     "u16_bloom_takedown" -> ((s, dir) =>
       graft.core.ManifestTable.read(s, u16TableDir(s, dir)).get
         .select("doc_id", "lang")),
+    // st23: the streamed ingest's post-fold snapshot — the mid-stream
+    // takedown's keys are gone regardless of which batch carried them
+    "st23_streamed_takedown" -> ((s, dir) =>
+      graft.core.ManifestTable.read(s, st23TableDir(s, dir)).get
+        .select("user_id", "ts_micros", "event_id", "event_type",
+          "value_milli")),
     // u18: merge-on-read takedown — one list purged physically, one
     // still a live mask; the read must see survivors of both
     "u18_deferred_takedown" -> ((s, dir) =>
@@ -2892,6 +2922,11 @@ object SparkEntry {
          |       CASE WHEN doc_id % 11 = 0 THEN 'upd11' ELSE lang END AS lang,
          |       n_chars
          |FROM documents WHERE doc_id % 13 <> 0""".stripMargin,
+    // st23: the streamed corpus minus the mid-stream takedown
+    "st23_streamed_takedown" ->
+      ("SELECT user_id, epoch_us(ts) AS ts_micros, event_id, event_type, " +
+        "CAST(round(value*1000) AS BIGINT) AS value_milli FROM events " +
+        "WHERE event_id % 1009 <> 0"),
     // u18: survivors of both takedown lists — the purged and the merely
     // masked are indistinguishable in values, which is the contract
     "u18_deferred_takedown" ->

@@ -1294,7 +1294,8 @@ object EventsStream {
       dir: String,
       root: String,
       queryName: String = "graft_zonemap_ingest_stream",
-      foldTargetBytes: Long = graft.core.Compaction.DefaultTargetBytes): Long = {
+      foldTargetBytes: Long = graft.core.Compaction.DefaultTargetBytes,
+      takedownAtBatch: Option[(Long, SparkSession => org.apache.spark.sql.DataFrame)] = None): Long = {
     val ss = streamSession(spark)
     val ckpt = tempDir("graft_zm_ckpt_")
     val q = readEventsStaged(ss, dir)
@@ -1314,6 +1315,17 @@ object EventsStream {
           // range query prunes on it; event_type's string stats ride along
           // (full domain per file — conservative keep, still validated)
           statsColumns = Seq("event_id", "event_type"))
+        // st23: a MID-STREAM takedown — the U18 merge-on-read record is
+        // O(list) and never blocks the ingest (a copy-on-write delete
+        // would race every subsequent commit); the mask applies to every
+        // read immediately, and the END-OF-RUN FOLD below purges it
+        // physically. Rows with masked keys arriving in LATER batches are
+        // masked too — the mask is by key, not by arrival time.
+        takedownAtBatch.filter(_._1 == bid).foreach { case (_, mk) =>
+          graft.core.ManifestTable.deleteRowsDeferred(
+            batch.sparkSession, root, mk(batch.sparkSession), "event_id")
+          ()
+        }
         ()
       }
       .option("checkpointLocation", ckpt)

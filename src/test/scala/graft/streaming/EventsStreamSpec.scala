@@ -172,6 +172,26 @@ class EventsStreamSpec extends SparkSpec {
     assert(viaStream.exceptAll(inline).isEmpty && inline.exceptAll(viaStream).isEmpty)
   }
 
+  test("st23: a mid-stream deferred takedown is purged by the loop's own end-of-run fold") {
+    val root = tmpDir("graft_spec_st23_zm") + "/t"
+    val batches = EventsStream.zoneMapIngestReplay(spark, sf, root,
+      "graft_spec_st23_ingest",
+      takedownAtBatch = Some((1L, ss =>
+        Tables.load(ss, sf, "events")
+          .filter(col("event_id") % 101 === 0).select("event_id"))))
+    assert(batches >= 2, s"need the takedown batch to fire, got $batches")
+    // the fold purged: no pending mask, and the masked keys are gone —
+    // including any that ARRIVED in the takedown batch itself or later
+    assert(graft.core.ManifestTable.pendingDeferredDeletes(spark, root)
+      .isEmpty, "the end-of-run fold did not purge the mid-stream takedown")
+    val got = graft.core.ManifestTable.read(spark, root).get
+    assert(got.filter(col("event_id") % 101 === 0).count() == 0L)
+    val want = Tables.load(spark, sf, "events")
+      .filter(col("event_id") % 101 =!= 0).count()
+    assert(got.count() == want,
+      "post-fold snapshot diverges from the filtered corpus")
+  }
+
   test("streamed zone-map ingest: time-range read skips files; equals the batch range query") {
     val root = tmpDir("graft_spec_st18_zm") + "/t"
     // 4 time-ordered micro-batches; the replay ENDS with the U8 fold, so
