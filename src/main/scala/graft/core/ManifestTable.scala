@@ -188,7 +188,21 @@ object ManifestTable {
     * did the profile table say before yesterday's batch"). Throws if the
     * version's manifest is missing (never committed, or vacuumed away).
     */
-  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
+  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame =
+    applyDvMask(spark, root, readVersionRaw(spark, root, version))
+
+  /** [[readVersion]] WITHOUT the deferred-delete mask — the CDC
+    * snapshot-diff base: [[changes]] reads raw file contents (a deferred
+    * delete surfaces in the feed at its purging OPTIMIZE version, never
+    * before), so an incremental consumer's INITIAL load must share that
+    * convention — a masked initial load would drop the masked rows once,
+    * then the purge version's removed side would subtract them a second
+    * time and the maintained state would go wrong/negative. Not a user
+    * read path: user snapshots go through [[read]]/[[readVersion]], which
+    * mask.
+    */
+  def readVersionRaw(
+      spark: SparkSession, root: String, version: Long): DataFrame = {
     val st = readManifestLines(spark, root, version)
     val files = st.lines.map(_.split('|')(0))
     // the recorded data schema (when present) drives the read: files
@@ -200,12 +214,13 @@ object ManifestTable {
       case Some(sch) => spark.read.schema(sch)
       case None => spark.read
     }
-    val df =
-      if (files.isEmpty)
-        reader.option("basePath", root).parquet(root).limit(0)
-      else reader.option("basePath", root)
-        .parquet(files.map(f => s"$root/$f"): _*)
-    applyDvMask(spark, root, df)
+    if (files.isEmpty)
+      // the sentinel-safe empty read: glob-filter to data files only (the
+      // table root also holds the raw-read guard file — see [[commit]])
+      reader.option("basePath", root).option("pathGlobFilter", "*.parquet")
+        .parquet(root).limit(0)
+    else reader.option("basePath", root)
+      .parquet(files.map(f => s"$root/$f"): _*)
   }
 
   /** CHANGE-DATA FEED between two committed versions (the Delta CDF /
@@ -257,7 +272,8 @@ object ManifestTable {
         else if (addedFiles.nonEmpty) addedFiles
         else removedFiles
       val df =
-        if (src.isEmpty) reader.option("basePath", root).parquet(root)
+        if (src.isEmpty) reader.option("basePath", root)
+          .option("pathGlobFilter", "*.parquet").parquet(root)
         else reader.option("basePath", root)
           .parquet(src.map(f => s"$root/$f"): _*)
       if (files.isEmpty) df.limit(0) else df
@@ -600,13 +616,40 @@ object ManifestTable {
     * optimistic-concurrency arbiter. Returns true iff THIS call created
     * `v<version>.json`; false iff another writer already owns the slot
     * (the loser re-reads the winning state and retries at the next slot —
-    * see [[commit]]). The rename goes through
+    * see [[commit]]). On `file:` schemes the arbiter is POSIX link(2)
+    * (atomic no-overwrite — RawLocal's Rename.NONE is check-then-rename
+    * and would lose a commit under true concurrency); elsewhere it is
     * [[org.apache.hadoop.fs.FileContext]] with default `Rename.NONE`
-    * semantics: atomic rename-if-absent on HDFS; filesystems whose
-    * AbstractFileSystem only check-then-renames (local FS) keep the FS's
-    * own window — the slot where an object-store deployment plugs its
-    * conditional put.
+    * semantics: atomic rename-if-absent on HDFS — the slot where an
+    * object-store deployment plugs its conditional put.
     */
+  /** Raw-read GUARD: a non-underscore, non-parquet file in the table
+    * root, planted on every publish win. A user's obvious-but-wrong
+    * `spark.read.parquet(root)` then fails partition discovery LOUDLY
+    * (mixed root-level file + partition dirs) instead of silently
+    * returning superseded/uncommitted files and rows a pending deferred
+    * delete already masked. The engine's own reads address explicit
+    * manifest file lists (or glob-filter `*.parquet`) and never see it;
+    * the supported entry points are [[read]]/[[readVersion]]/
+    * [[readPruned]] and `spark.read.format("graft-manifest")`.
+    */
+  val SentinelFile = "GRAFT-MANIFEST-TABLE"
+
+  private def ensureSentinel(f: FileSystem, root: String): Unit = {
+    val s = new Path(root, SentinelFile)
+    if (!f.exists(s)) {
+      val out = f.create(s, true)
+      try out.write(
+        ("this directory is a graft-manifest table: read it with\n" +
+          "  spark.read.format(\"graft-manifest\").load(<root>)\n" +
+          "or graft.core.ManifestTable.read — a raw parquet read of the\n" +
+          "root would see superseded/uncommitted files and bypass pending\n" +
+          "deletion masks (this file exists to make that read fail).\n")
+          .getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
   private def publishManifest(
       spark: SparkSession, root: String, version: Long,
       header: String, lines: Seq[String]): Boolean = {
@@ -620,18 +663,42 @@ object ManifestTable {
       s".v$version-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = f.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      f.getUri, spark.sparkContext.hadoopConfiguration)
-    try {
-      fc.rename(f.makeQualified(tmp), f.makeQualified(target))
-      true
-    } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-        f.delete(tmp, false); false
-      case e: java.io.IOException if f.exists(target) =>
-        // some AbstractFileSystems surface the occupied slot as a generic
-        // IOException — existence of the target is the authoritative signal
-        f.delete(tmp, false); false
+    if (Option(f.getUri.getScheme).forall(_ == "file")) {
+      // local FS: FileContext's rename is check-then-rename (RawLocal
+      // implements Rename.NONE non-atomically), so two truly concurrent
+      // writers could both observe the slot free and one published
+      // manifest would be silently overwritten — a lost commit. POSIX
+      // link(2) IS atomic no-overwrite: hard-link the tmp into the slot
+      // (EEXIST ⇒ loser), then drop the tmp name. This makes the tested
+      // environment carry the same arbiter contract HDFS gives the
+      // FileContext path below.
+      val tgt = java.nio.file.Paths.get(f.makeQualified(target).toUri)
+      val src = java.nio.file.Paths.get(f.makeQualified(tmp).toUri)
+      try {
+        java.nio.file.Files.createLink(tgt, src)
+        f.delete(tmp, false)
+        ensureSentinel(f, root)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          f.delete(tmp, false); false
+      }
+    } else {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        f.getUri, spark.sparkContext.hadoopConfiguration)
+      try {
+        fc.rename(f.makeQualified(tmp), f.makeQualified(target))
+        ensureSentinel(f, root)
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          f.delete(tmp, false); false
+        case e: java.io.IOException if f.exists(target) =>
+          // some AbstractFileSystems surface the occupied slot as a
+          // generic IOException — existence of the target is the
+          // authoritative signal
+          f.delete(tmp, false); false
+      }
     }
   }
 
@@ -687,6 +754,8 @@ object ManifestTable {
       c -> spark.read.parquet(dvDir(root, c).toString)
         .select("key").distinct().localCheckpoint(true)
     }
+    val maskCounts: Map[String, Long] =
+      masks.map { case (c, df) => c -> df.count() }.toMap
     val forced: Set[String] = masks.flatMap { case (c, keys0) =>
       val keysDf = keys0.select(col("key").as(c))
       // the SAME detection front end deleteRows/merge use — and the same
@@ -706,7 +775,7 @@ object ManifestTable {
             nullable = true))
         val vals = spark.read.schema(readSchema).option("basePath", root)
           .parquet(cands.map(r => s"$root/$r"): _*)
-          .join(broadcast(keysDf), Seq(c), "left_semi")
+          .join(hintedKeys(spark, keysDf, maskCounts(c)), Seq(c), "left_semi")
           .select(col(partitionCol)).distinct()
           .collect().map(_.getString(0))
         require(!vals.contains(null),
@@ -722,15 +791,42 @@ object ManifestTable {
     def maskRows(d: DataFrame): DataFrame =
       masks.foldLeft(d) { case (x, (c, keys)) =>
         if (!x.columns.contains(c)) x
-        else x.join(broadcast(keys), x(c) === keys("key"), "left_anti")
+        else x.join(hintedKeys(spark, keys, maskCounts(c)),
+          x(c) === keys("key"), "left_anti")
       }
     val toCompact =
       byPart.filter { case (p, ls) => ls.size > 1 || forced.contains(p) }
+    val baseLineSet0 = st.lines.toSet
     if (toCompact.isEmpty) {
-      // nothing to rewrite; if masks were pending their keys match no
-      // physical row — the mask is redundant and clears here
-      if (dv.nonEmpty) clearDvBatches(spark, root, dv)
-      return Nil
+      if (dv.isEmpty) return Nil
+      // masks are pending but matched no physical row in THIS snapshot —
+      // redundant ONLY if no concurrent writer lands masked-key rows
+      // before the clear. Clearing straight off the detection snapshot
+      // would race an ingest (even on atomic-rename filesystems) and
+      // silently lose the takedown, so the no-op purge publishes an empty
+      // FENCE version first: once the publish wins, every later commit is
+      // a later version (post-takedown by version order), and a winner
+      // that slipped in ahead is re-checked — if its added files could
+      // hold a masked key the mask simply stays pending for the next
+      // purge (never cleared from a superseded snapshot).
+      beforePublish()
+      var curSt0 = st
+      var next0 = v + 1
+      while (true) {
+        val winnerAdded = curSt0.lines.filterNot(baseLineSet0)
+        if (winnerAddedRisky(spark, root, winnerAdded, curSt0.statsCols, masks))
+          return Nil // keep the mask pending — the next purge owns it
+        if (publishManifest(spark, root, next0,
+          manifestHeader(next0, curSt0.batch, curSt0.statsCols, curSt0.schema),
+          curSt0.lines)) {
+          clearDvBatches(spark, root, dv)
+          return Nil
+        }
+        val cur = currentVersion(spark, root)
+        curSt0 = readManifestLines(spark, root, cur)
+        next0 = cur + 1
+      }
+      throw new IllegalStateException("unreachable")
     }
     var next = v + 1
     val stage = new Path(rootPath,
@@ -813,8 +909,16 @@ object ManifestTable {
         // purge complete: clear exactly the delete batches this pass saw
         // (a crash before this line leaves a redundant mask — the next
         // read filters rows that no longer exist, the next optimize
-        // clears)
-        if (dv.nonEmpty) clearDvBatches(spark, root, dv)
+        // clears). Clearing is ONLY legal when no concurrent winner
+        // carried files that could hold masked keys: such files composed
+        // into the published manifest un-purged (the retry only aborts on
+        // REMOVED inputs — additions legitimately merge), so the mask
+        // must outlive this purge and the next one owns them.
+        if (dv.nonEmpty) {
+          val winnerAdded = curSt.lines.filterNot(baseLineSet0)
+          if (!winnerAddedRisky(spark, root, winnerAdded, curSt.statsCols,
+            masks)) clearDvBatches(spark, root, dv)
+        }
         return stats
       }
       val cur = currentVersion(spark, root)
@@ -1312,6 +1416,34 @@ object ManifestTable {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Key-count ceiling under which a verb's key set is broadcast into
+    * its detection/rewrite joins. Above it the hint is dropped and the
+    * join SHUFFLES (the d2/d2b discipline applied to the table verbs):
+    * a backfill-sized merge or delete must not OOM the driver on a
+    * broadcast the "delta-sized by contract" assumption no longer
+    * covers. Runtime-tunable; specs force the shuffle twin with 0.
+    */
+  private def keyBroadcastLimit(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.manifest.keyBroadcastLimit")
+      .map(_.toLong).getOrElse(500000L)
+
+  /** Key-count ceiling under which the bloom probe inlines the hashed
+    * keys as a plan literal (cheap, zero joins). Above it the probe
+    * becomes a JOIN against the sidecar — keys stay a DataFrame end to
+    * end, nothing materializes on the driver.
+    */
+  private def bloomLiteralLimit(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.manifest.bloomLiteralLimit")
+      .map(_.toLong).getOrElse(1000L)
+
+  /** The key side of a detection/rewrite join: broadcast under the
+    * delta-size contract, shuffle above it (value-identical — the spec
+    * runs both twins through one oracle).
+    */
+  private def hintedKeys(
+      spark: SparkSession, ks: DataFrame, nKeys: Long): DataFrame =
+    if (nKeys <= keyBroadcastLimit(spark)) broadcast(ks) else ks
+
   private def bloomDir(root: String, keyCol: String) =
     new Path(root, s"_bloom/col=${escapedPartValue(keyCol)}")
 
@@ -1461,31 +1593,53 @@ object ManifestTable {
   /** BLOOM probe of a candidate file list (see [[buildBloomIndex]]):
     * keeps a candidate iff it has no sidecar row (conservative) or ANY
     * key might be in its filter. No sidecar → candidates unchanged and
-    * `keys` never forced. False positives keep a file needlessly; false
-    * negatives are impossible — the probe is sound for the same reason
-    * zone pruning is.
+    * `keysHashed` never forced. False positives keep a file needlessly;
+    * false negatives are impossible — the probe is sound for the same
+    * reason zone pruning is.
+    *
+    * Two physical twins, one value (spec-pinned): up to
+    * [[bloomLiteralLimit]] keys the hashed key set inlines as a plan
+    * LITERAL (one pass over the sidecar, no join); above it the probe is
+    * a JOIN — each bloom row streams once against the (broadcast when
+    * small, shuffled when not) key frame, so the keys never materialize
+    * on the driver and a backfill-sized list cannot OOM the plan.
     */
   private def bloomPrunedCandidates(
       spark: SparkSession,
       root: String,
       keyCol: String,
-      keys: () => Seq[Long],
+      keysHashed: DataFrame,
+      nKeys: Long,
       candidates: Seq[String]): Seq[String] = {
     val dir = bloomDir(root, keyCol)
     val f = fs(spark, dir)
-    if (candidates.isEmpty || !f.exists(dir)) return candidates
-    val kv = keys()
-    if (kv.isEmpty) return candidates
+    if (candidates.isEmpty || nKeys == 0L || !f.exists(dir))
+      return candidates
     graft.functions.GraftFunctions.register(spark)
     import org.apache.spark.sql.Encoders
     val cand = spark.createDataset(candidates)(Encoders.STRING).toDF("file")
     val side = spark.read.parquet(dir.toString)
       .groupBy("file").agg(first(col("bloom")).as("bloom"))
-    cand.join(side, Seq("file"), "left_outer")
-      .filter(col("bloom").isNull ||
-        exists(typedlit(kv),
-          k => call_function("graft_bloom_contains", col("bloom"), k)))
-      .select("file").collect().map(_.getString(0)).toSeq
+    if (nKeys <= bloomLiteralLimit(spark)) {
+      val kv = keysHashed.collect().map(_.getLong(0)).toSeq
+      cand.join(side, Seq("file"), "left_outer")
+        .filter(col("bloom").isNull ||
+          exists(typedlit(kv),
+            k => call_function("graft_bloom_contains", col("bloom"), k)))
+        .select("file").collect().map(_.getString(0)).toSeq
+    } else {
+      // join twin: blooms stream ONCE (never replicated per key); the
+      // key frame rides the join's own distribution. A file with any
+      // possibly-present key survives; files without a sidecar row keep
+      // conservatively.
+      val probed = side.crossJoin(hintedKeys(spark, keysHashed, nKeys))
+        .filter(call_function(
+          "graft_bloom_contains", col("bloom"), col("__bk")))
+        .select("file").distinct()
+      cand.join(side.select("file").distinct(), Seq("file"), "left_anti")
+        .unionByName(cand.join(probed, Seq("file"), "left_semi"))
+        .select("file").collect().map(_.getString(0)).toSeq
+    }
   }
 
   /** xxhash64 of one string, driver-side — BIT-IDENTICAL to the
@@ -1500,22 +1654,24 @@ object ManifestTable {
       42L /* xxhash64's fixed SQL-function seed */).eval(null)
       .asInstanceOf[Long]
 
-  /** The takedown/merge key list as bloom probe values (longs directly;
-    * strings through [[xx64]]) — only called when a sidecar exists;
-    * other key types return None (the probe is skipped;
-    * [[buildBloomIndex]] refuses those columns anyway, so a sidecar over
-    * them cannot exist).
+  /** The takedown/merge key frame as bloom probe values — a single-column
+    * `__bk: long` frame (integer keys direct, strings through xxhash64,
+    * bit-identical to [[buildBloomIndex]]'s build-side hashing). None for
+    * other key types (the probe is skipped; [[buildBloomIndex]] refuses
+    * those columns anyway, so a sidecar over them cannot exist). Stays a
+    * DataFrame: the literal-vs-join decision is [[bloomPrunedCandidates]]'s.
     */
-  private def bloomKeyFn(
-      ks: DataFrame, keyCol: String): Option[() => Seq[Long]] =
+  private def bloomKeysHashed(
+      ks: DataFrame, keyCol: String): Option[DataFrame] =
     ks.schema.fields.find(_.name == keyCol).map(_.dataType) match {
       case Some(org.apache.spark.sql.types.LongType) |
            Some(org.apache.spark.sql.types.IntegerType) =>
-        Some(() => ks.collect().flatMap(r => Option(r.get(0))
-          .map(_.asInstanceOf[java.lang.Number].longValue())).toSeq)
+        Some(ks.filter(col(keyCol).isNotNull)
+          .select(col(keyCol).cast("long").as("__bk")).distinct())
       case Some(org.apache.spark.sql.types.StringType) =>
-        Some(() => ks.collect()
-          .flatMap(r => Option(r.getString(0)).map(xx64)).toSeq)
+        Some(ks.filter(col(keyCol).isNotNull)
+          .select(org.apache.spark.sql.functions.xxhash64(col(keyCol))
+            .as("__bk")).distinct())
       case _ => None
     }
 
@@ -1562,6 +1718,23 @@ object ManifestTable {
       }
     }
 
+  /** True iff any of `winnerAdded` (manifest lines a concurrent winner
+    * landed while a purging pass ran) could hold one of the pending
+    * masked keys — zone/bloom-pruned, conservative (an unregistered mask
+    * column makes every added line risky). A purge must NOT clear the
+    * mask while this holds: the winner's rows were never purge-scanned,
+    * so clearing would silently resurrect their masked-key rows. The
+    * mask instead stays pending and the NEXT purge owns those files.
+    */
+  private def winnerAddedRisky(
+      spark: SparkSession, root: String,
+      winnerAdded: Seq[String], statsCols: Seq[(String, String)],
+      masks: Seq[(String, DataFrame)]): Boolean =
+    winnerAdded.nonEmpty && masks.exists { case (c, keys0) =>
+      keyCandidateLines(spark, root, winnerAdded, statsCols,
+        keys0.select(col("key").as(c)), c).nonEmpty
+    }
+
   /** Zone-envelope + bloom-pruned candidate FILES for a key set — the
     * shared detection front end of [[deleteRows]], [[merge]] and the
     * [[optimize]] purge (one implementation so the three can never drift
@@ -1571,41 +1744,128 @@ object ManifestTable {
     */
   private def keyCandidateFiles(
       spark: SparkSession, root: String, st: ManifestState,
+      ks: DataFrame, keyCol: String): Seq[String] =
+    keyCandidateLines(spark, root, st.lines, st.statsCols, ks, keyCol)
+
+  /** Line-set overload of [[keyCandidateFiles]] — the purge's post-publish
+    * winner-added re-check prunes an arbitrary line subset (the lines a
+    * concurrent winner landed while this pass ran) against the masked
+    * keys, under the WINNER's stats registration.
+    */
+  private def keyCandidateLines(
+      spark: SparkSession, root: String,
+      lines: Seq[String], statsCols: Seq[(String, String)],
       ks: DataFrame, keyCol: String): Seq[String] = {
-    val allRels = st.lines.map(_.split('|')(0))
+    val allRels = lines.map(_.split('|')(0))
+    if (allRels.isEmpty) return Nil
     val kf = ks.schema.fields.find(_.name == keyCol).getOrElse(
       throw new IllegalArgumentException(
         s"key column '$keyCol' absent from the key frame"))
-    val envelope: Option[ZonePred] = st.statsCols.find(_._1 == keyCol) match {
+    // one pass computes the zone envelope AND the non-null key count (the
+    // bloom probe's literal-vs-join switch)
+    var nKeys = 0L
+    val envelope: Option[ZonePred] = statsCols.find(_._1 == keyCol) match {
       case Some((_, "long")) =>
         require(kf.dataType == org.apache.spark.sql.types.LongType ||
           kf.dataType == org.apache.spark.sql.types.IntegerType,
           s"zone-map column '$keyCol' is long-typed but the key frame " +
             s"holds ${kf.dataType.simpleString} values")
         val r = ks.agg(min(col(keyCol)).cast("long"),
-          max(col(keyCol)).cast("long")).head
+          max(col(keyCol)).cast("long"), count(col(keyCol))).head
         if (r.isNullAt(0)) return Nil // no non-null key
+        nKeys = r.getLong(2)
         Some(LongRange(keyCol, r.getLong(0), r.getLong(1)))
       case Some(_) =>
         require(kf.dataType == org.apache.spark.sql.types.StringType,
           s"zone-map column '$keyCol' is string-typed but the key frame " +
             s"holds ${kf.dataType.simpleString} values")
-        val r = ks.agg(min(col(keyCol)), max(col(keyCol))).head
+        val r = ks.agg(min(col(keyCol)), max(col(keyCol)),
+          count(col(keyCol))).head
         if (r.isNullAt(0)) return Nil
+        nKeys = r.getLong(2)
         Some(StringRange(keyCol, r.getString(0), r.getString(1)))
       case None =>
-        if (ks.filter(col(keyCol).isNotNull).isEmpty) return Nil
+        nKeys = ks.agg(count(col(keyCol))).head.getLong(0)
+        if (nKeys == 0L) return Nil
         None
     }
     val env = envelope match {
-      case Some(e) => pruneLines(st.lines, st.statsCols, Seq(e))
+      case Some(e) => pruneLines(lines, statsCols, Seq(e))
       case None => allRels
     }
-    bloomKeyFn(ks, keyCol) match {
-      case Some(fn) => bloomPrunedCandidates(spark, root, keyCol, fn, env)
+    bloomKeysHashed(ks, keyCol) match {
+      case Some(kh) =>
+        bloomPrunedCandidates(spark, root, keyCol, kh, nKeys, env)
       case None => env
     }
   }
+
+  /** Planning surface for the DSv2 `graft-manifest` scan
+    * ([[graft.sources.GraftManifestSource]]): one committed version's
+    * live lines, stats registration and recorded schema (legacy tables
+    * fall back to the mergeSchema inference, paid once at plan time).
+    */
+  private[graft] final case class ScanState(
+      version: Long,
+      lines: Seq[String],
+      statsCols: Seq[(String, String)],
+      schema: Option[org.apache.spark.sql.types.StructType])
+
+  private[graft] def scanState(
+      spark: SparkSession, root: String,
+      versionAsOf: Option[Long]): ScanState = {
+    val v = versionAsOf.getOrElse {
+      val cur = currentVersion(spark, root)
+      require(cur >= 0, s"no committed version under $root — not a " +
+        "graft-manifest table (or never committed)")
+      cur
+    }
+    val st = readManifestLines(spark, root, v)
+    ScanState(v, st.lines, st.statsCols,
+      recordedOrInferredSchema(spark, root, st))
+  }
+
+  /** Zone-map + bloom file pruning for the DSv2 scan: `preds` intersect
+    * the recorded per-file intervals ([[pruneLines]] — conservative on
+    * missing stats), then per-column equality key sets probe the bloom
+    * sidecar when one exists. Returns the relative paths a scan must
+    * open — a proven SUPERSET of the matching rows' files.
+    */
+  private[graft] def pruneScanFiles(
+      spark: SparkSession, root: String, st: ScanState,
+      preds: Seq[ZonePred],
+      bloomEqKeys: Map[String, Seq[Long]]): Seq[String] = {
+    val zoned =
+      if (preds.isEmpty) st.lines.map(_.split('|')(0))
+      else pruneLines(st.lines, st.statsCols, preds)
+    bloomEqKeys.foldLeft(zoned) { case (cands, (c, ks)) =>
+      if (ks.isEmpty) cands
+      else {
+        // filter-literal keys: tiny by construction (they came out of a
+        // pushed EqualTo/In), so the literal probe path always applies
+        val kh = spark.createDataset(ks)(
+          org.apache.spark.sql.Encoders.scalaLong).toDF("__bk")
+        bloomPrunedCandidates(spark, root, c, kh, ks.size.toLong, cands)
+      }
+    }
+  }
+
+  /** Pending deferred-delete key sets, collected driver-side for the
+    * DSv2 scan's in-reader mask (takedown lists are small by contract —
+    * the same bound the broadcast anti-join in [[applyDvMask]] relies
+    * on). Values are the recorded key type (long or string).
+    */
+  private[graft] def dvMaskKeySets(
+      spark: SparkSession, root: String): Map[String, Array[Any]] =
+    dvState(spark, root).map { case (c, _) =>
+      c -> spark.read.parquet(dvDir(root, c).toString)
+        .select("key").distinct().collect().map(_.get(0))
+    }.toMap
+
+  /** Driver-side xxhash64 of a string — the bloom sidecar's string-key
+    * convention, exposed for the DSv2 scan's filter translation.
+    */
+  private[graft] def xx64String(s: String): Long = xx64(s)
 
   final case class DeferredDeleteStats(keysRecorded: Long, keysPending: Long)
 
@@ -1663,13 +1923,22 @@ object ManifestTable {
             s"schema under $root"))
     val dedup = keys.select(col(keyCol).cast(kf.dataType).as("key"))
       .filter(col("key").isNotNull).distinct().localCheckpoint(true)
+    // order-independent content digest of the list — XOR of two
+    // INDEPENDENT per-key xxhash64 streams plus the count: the batch-dir
+    // name is the accumulate-vs-replace decision, and a crc32-sum
+    // collision between two DISTINCT takedown lists would silently
+    // overwrite one of them (the exact resurrection the scoped-overwrite
+    // exists to prevent). XOR over distinct avalanche hashes makes an
+    // accidental collision ~2^-128 across both streams (and stays inside
+    // ANSI arithmetic — a 64-bit SUM would overflow loudly).
     val h = dedup.agg(
-      sum(org.apache.spark.sql.functions.crc32(col("key").cast("string")))
-        .as("h"),
+      expr("bit_xor(xxhash64(key))").as("h1"),
+      expr("bit_xor(xxhash64(key, 1))").as("h2"),
       count(lit(1)).as("n")).head
-    val n = h.getLong(1)
+    val n = h.getLong(2)
     if (n > 0) {
-      val tag = java.lang.Long.toHexString(h.getLong(0)) + "x" + n
+      val tag = java.lang.Long.toHexString(h.getLong(0)) +
+        "h" + java.lang.Long.toHexString(h.getLong(1)) + "x" + n
       dedup.write.mode("overwrite")
         .parquet(new Path(dvDir(root, keyCol), s"batch=$tag").toString)
       spark.catalog.refreshByPath(dvDir(root, keyCol).toString)
@@ -1715,9 +1984,12 @@ object ManifestTable {
     *    rewrites nothing;
     *  - untouched partitions carry files and zone maps forward.
     *
-    * The update batch's KEY SET is broadcast — merge batches are
-    * delta-sized by contract (a merge rivaling the corpus is a rewrite
-    * job, not a merge). Duplicate or null keys in one batch refuse loudly
+    * The update batch's KEY SET broadcasts only under
+    * [[keyBroadcastLimit]] — above it detection and the survivor rewrite
+    * switch to SHUFFLE joins and the bloom probe becomes a sidecar join
+    * (the d2/d2b twin discipline: a backfill-sized merge must not OOM
+    * the driver; both paths are value-identical, spec-pinned).
+    * Duplicate or null keys in one batch refuse loudly
     * (two updates for one key in one batch is an ordering ambiguity no
     * engine should resolve silently).
     *
@@ -1815,7 +2087,7 @@ object ManifestTable {
       if (candidates.isEmpty) (0L, 0L, Seq.empty[String])
       else {
         val d = readFiles(candidates)
-          .join(broadcast(ks), Seq(keyCol), "left_semi")
+          .join(hintedKeys(spark, ks, nKeys), Seq(keyCol), "left_semi")
           .agg(count(lit(1)).as("nrows"),
             countDistinct(col(keyCol)).as("nkeys"),
             sum(when(col(partitionCol).isNull, 1L).otherwise(0L)).as("nulls"),
@@ -1838,7 +2110,7 @@ object ManifestTable {
     val toWrite =
       if (touchedRels.isEmpty) upd
       else readFiles(touchedRels)
-        .join(broadcast(ks), Seq(keyCol), "left_anti")
+        .join(hintedKeys(spark, ks, nKeys), Seq(keyCol), "left_anti")
         .unionByName(upd, allowMissingColumns = true)
     val updSchema = org.apache.spark.sql.types.StructType(
       upd.schema.fields.filterNot(_.name == partitionCol).toSeq)
@@ -1931,9 +2203,10 @@ object ManifestTable {
     *    still no-op after it. Re-running the same delete is a no-op by
     *    value (no matching rows remain → None).
     *
-    * `keys` is broadcast — takedown lists are small by contract (a delete
-    * set rivaling the corpus is a rewrite job, not a takedown). Returns
-    * None when no row matches.
+    * `keys` broadcasts only under [[keyBroadcastLimit]] — a delete list
+    * that outgrows the takedown contract switches detection and the
+    * survivor rewrite to shuffle joins (value-identical, spec-pinned)
+    * instead of OOMing the driver. Returns None when no row matches.
     *
     * Detection is TWO-STAGE and path-faithful:
     *  - when `keyCol` is a registered zone-map column, only files whose
@@ -1974,6 +2247,7 @@ object ManifestTable {
     val allRels = st.lines.map(_.split('|')(0))
     val partitionCol = allRels.head.takeWhile(_ != '=')
     val ks = keys.select(col(keyCol)).distinct().localCheckpoint(true)
+    val nKeys = ks.count()
     // zone-envelope + bloom pruned detection (shared with merge and the
     // optimize purge): the key ENVELOPE bounds every file that can hold
     // a matching row; the per-file bloom (U16) narrows the scatter case
@@ -1991,7 +2265,7 @@ object ManifestTable {
     // DETECTION: partitions holding matching rows, re-rendered into their
     // canonical directory spelling (see scaladoc)
     val matchedVals = readFiles(cands)
-      .join(broadcast(ks), Seq(keyCol), "left_semi")
+      .join(hintedKeys(spark, ks, nKeys), Seq(keyCol), "left_semi")
       .select(col(partitionCol)).distinct()
       .collect().map(_.getString(0))
     if (matchedVals.isEmpty) return None
@@ -2008,7 +2282,8 @@ object ManifestTable {
     val obs = org.apache.spark.sql.Observation()
     val inTouched = readFiles(touchedRels)
       .observe(obs, org.apache.spark.sql.functions.count(lit(1)).as("n_in"))
-    val survivors = inTouched.join(broadcast(ks), Seq(keyCol), "left_anti")
+    val survivors = inTouched
+      .join(hintedKeys(spark, ks, nKeys), Seq(keyCol), "left_anti")
     var next = v + 1
     val (stagedParts, newFiles) =
       stageDataFiles(f, rootPath, survivors, partitionCol, next)

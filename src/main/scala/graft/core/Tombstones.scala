@@ -79,13 +79,24 @@ object Tombstones {
     require(!batchId.contains('/') && !batchId.contains('='),
       s"delete batchId '$batchId' must be '/'- and '='-free")
     val dedup = ids.select(col(idCol).cast("long").as("id")).distinct()
+    // order-independent content digest: XOR of two INDEPENDENT per-id
+    // xxhash64 streams plus the count — crc32 sums are weak enough that
+    // two distinct lists could collide and silently overwrite each
+    // other's batch dir (the resurrection direction); a simultaneous
+    // collision in both avalanche-hash xors is ~2^-128 (and xor stays
+    // inside ANSI arithmetic, where a 64-bit sum would overflow loudly)
     val h = dedup
-      .agg(sum(crc32(col("id").cast("string"))).as("h"),
+      .agg(expr("bit_xor(xxhash64(id))").as("h1"),
+        expr("bit_xor(xxhash64(id, 1))").as("h2"),
         count(lit(1)).as("n")).collect()(0)
     val tag =
       if (h.isNullAt(0)) "empty"
-      else java.lang.Long.toHexString(h.getLong(0)) + "x" + h.getLong(1)
-    dedup.write.mode("overwrite").parquet(s"$root/$Dir/batch=$batchId-$tag")
+      else java.lang.Long.toHexString(h.getLong(0)) +
+        "h" + java.lang.Long.toHexString(h.getLong(1)) + "x" + h.getLong(2)
+    // '=' is the tag separator: [[add]] forbids it in batchId, so
+    // stripping at the LAST '=' in [[batchIds]] is exact even for ids
+    // that legally contain '-' (a '-'-separated tag truncated those)
+    dedup.write.mode("overwrite").parquet(s"$root/$Dir/batch=$batchId=$tag")
     spark.catalog.refreshByPath(s"$root/$Dir")
   }
 
@@ -103,8 +114,15 @@ object Tombstones {
     else f.listStatus(p).toSeq.map(_.getPath.getName)
       .filter(_.startsWith("batch="))
       .map(_.stripPrefix("batch="))
-      .map(n => if (n.lastIndexOf('-') > 0) n.substring(0, n.lastIndexOf('-'))
-      else n)
+      .map { n =>
+        // current format: <id>=<tag> — '=' is forbidden in ids, so the
+        // last '=' is unambiguously the separator. Legacy '-'-tagged dirs
+        // (pre-change) strip at the last '-'; a raw untagged name passes
+        // through.
+        if (n.lastIndexOf('=') > 0) n.substring(0, n.lastIndexOf('='))
+        else if (n.lastIndexOf('-') > 0) n.substring(0, n.lastIndexOf('-'))
+        else n
+      }
       .distinct
   }
 

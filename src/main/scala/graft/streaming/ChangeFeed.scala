@@ -63,14 +63,21 @@ object ChangeFeed {
   }
 
   /** Apply producer version `v`'s net change to the state table.
-    * Version 0 is the initial load (its manifest IS the full delta).
+    * Version 0 is the initial load (its manifest IS the full delta) —
+    * read RAW ([[graft.core.ManifestTable.readVersionRaw]]), never
+    * masked: the feed's convention is that a deferred delete surfaces at
+    * its purging OPTIMIZE version (changes() reads raw file contents), so
+    * a masked initial load would drop the masked rows once and then the
+    * purge version's removed side would subtract them a second time —
+    * the state would go negative. The diff base and the diff must share
+    * one masking convention; this is it.
     */
   private def applyOne(
       spark: SparkSession, producerRoot: String, stateRoot: String,
       v: Long): Unit = {
     val (added, removed) =
       if (v == 0)
-        (graft.core.ManifestTable.readVersion(spark, producerRoot, 0L),
+        (graft.core.ManifestTable.readVersionRaw(spark, producerRoot, 0L),
           None)
       else {
         val (a, r) = graft.core.ManifestTable.changes(
@@ -192,9 +199,13 @@ object ChangeFeed {
   private def replicateOne(
       spark: SparkSession, producerRoot: String, replicaRoot: String,
       keyCol: String, producerPartitionCol: String, v: Long): Unit = {
+    // v0 initial load is RAW like applyOne's — the CDC diff-base
+    // convention (a pending mask surfaces at its purge version; the
+    // replica's copy of the masked rows is then deleted by value there)
     val (added0, removed0) =
       if (v == 0)
-        (graft.core.ManifestTable.readVersion(spark, producerRoot, 0L), None)
+        (graft.core.ManifestTable.readVersionRaw(spark, producerRoot, 0L),
+          None)
       else {
         val (a, r) = graft.core.ManifestTable.changes(
           spark, producerRoot, v - 1, v)

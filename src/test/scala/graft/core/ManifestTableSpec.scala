@@ -1479,6 +1479,191 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.fsck(spark, root).ok)
   }
 
+  test("deferred delete: a purge racing an ingest that ADDS masked-key files keeps the mask pending — the takedown is never lost") {
+    // the round-14 ADVICE high finding: optimize's retry only aborts on
+    // REMOVED input lines, so a winner that ADDS files carrying masked
+    // keys composes into the published manifest un-purged — clearing the
+    // mask from the stale detection snapshot would silently resurrect
+    // the takedown. The purge must instead keep the mask pending.
+    val root = tmpDir("graft_dv_race") + "/t"
+    for (b <- 0 until 2)
+      ManifestTable.commit(spark, root,
+        (0 until 10).map(i => (100L * b + i, s"b$b")).toDF("k", "part")
+          .repartition(2), "part", batchId = b.toLong,
+        statsCol = Some("k"))
+    ManifestTable.deleteRowsDeferred(spark, root, Seq(5L).toDF("k"), "k")
+    // the purge races an ingest landing a NEW partition that CONTAINS the
+    // masked key (k=5 again) — disjoint lines, so the retry composes
+    val stats = ManifestTable.optimize(spark, root,
+      beforePublish = () => {
+        ManifestTable.commit(spark, root,
+          Seq((5L, "b9"), (901L, "b9")).toDF("k", "part"), "part",
+          batchId = 9L, statsCol = Some("k")): Unit
+      })
+    assert(stats.nonEmpty, "the purge should have rewritten part=b0")
+    // the mask MUST survive: the winner's k=5 row was never purge-scanned
+    assert(ManifestTable.pendingDeferredDeletes(spark, root) ==
+      Map("k" -> 1L),
+      "the purge cleared the mask off a stale snapshot — takedown lost")
+    assert(ManifestTable.read(spark, root).get
+      .filter(col("k") === 5L).count() == 0L,
+      "a masked-key row resurfaced after the racing purge")
+    // the NEXT purge owns the winner's file: physical removal + clear
+    ManifestTable.optimize(spark, root)
+    assert(ManifestTable.pendingDeferredDeletes(spark, root).isEmpty)
+    val (rels, _) = ManifestTable.readManifest(spark, root,
+      ManifestTable.currentVersion(spark, root))
+    assert(spark.read.parquet(rels.map(r => s"$root/$r"): _*)
+      .filter(col("k") === 5L).count() == 0L,
+      "the second purge left masked-key bytes on disk")
+    assert(ManifestTable.read(spark, root).get
+      .filter(col("k") === 901L).count() == 1L,
+      "the racing ingest's unmasked row must survive both purges")
+  }
+
+  test("deferred delete: the no-op purge publishes a version fence — an ingest racing the detection scan cannot resurrect masked keys") {
+    // the round-14 ADVICE fast-path finding: with no partitions to
+    // rewrite, clearing the mask straight off the detection snapshot
+    // raced any concurrent ingest. The no-op purge now publishes an
+    // empty fence version and keeps the mask when a winner slipped in.
+    val root = tmpDir("graft_dv_race2") + "/t"
+    ManifestTable.commit(spark, root,
+      (0 until 10).map(i => (i.toLong, "b0")).toDF("k", "part")
+        .repartition(1), "part", batchId = 0L, statsCol = Some("k"))
+    // mask a key that matches NO physical row yet
+    ManifestTable.deleteRowsDeferred(spark, root, Seq(9999L).toDF("k"), "k")
+    val v0 = ManifestTable.currentVersion(spark, root)
+    // the ingest lands k=9999 between detection and the (would-be) clear
+    val stats = ManifestTable.optimize(spark, root,
+      beforePublish = () => {
+        ManifestTable.commit(spark, root,
+          Seq((9999L, "b1")).toDF("k", "part"), "part", batchId = 1L,
+          statsCol = Some("k")): Unit
+      })
+    assert(stats.isEmpty)
+    assert(ManifestTable.pendingDeferredDeletes(spark, root) ==
+      Map("k" -> 1L),
+      "the no-op purge cleared a mask the racing ingest just re-populated")
+    assert(ManifestTable.read(spark, root).get
+      .filter(col("k") === 9999L).count() == 0L,
+      "the racing ingest's masked-key row resurfaced")
+    // an undisturbed no-op purge clears the redundant mask behind a fence
+    // version (every later commit is then post-takedown by version order)
+    ManifestTable.deleteRowsDeferred(spark, root, Seq(8888L).toDF("k"), "k")
+    // first purge the real k=9999 row (forced rewrite), masks clear fully
+    ManifestTable.optimize(spark, root)
+    assert(ManifestTable.pendingDeferredDeletes(spark, root).isEmpty)
+    assert(ManifestTable.currentVersion(spark, root) > v0,
+      "the purge must publish (fence or rewrite) before clearing")
+    assert(ManifestTable.fsck(spark, root).ok)
+  }
+
+  test("publish arbiter is atomic on the local FS: two truly concurrent same-batch writers never lose a commit") {
+    // the round-14 ADVICE low finding: check-then-rename leaves a window
+    // where both writers observe the slot free and one manifest is
+    // silently overwritten. The file: arbiter is now POSIX link(2) —
+    // run many racing pairs and require exactly one winner whose
+    // manifest content is intact every time.
+    val root = tmpDir("graft_manifest_atomic") + "/t"
+    ManifestTable.commit(spark, root,
+      part(Seq((0, 10L)).toDF("k", "v")), "bucket", batchId = 0L)
+    for (round <- 1 to 6) {
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (0 until 2).map { i =>
+        new Thread(() => {
+          try {
+            gate.await()
+            // same batch id: deterministic under the fence (see the OCC
+            // memory note) — one writer commits, the other idempotently
+            // skips; NEITHER may corrupt the published manifest
+            results.add(ManifestTable.commit(spark, root,
+              part(Seq((i, 100L * round + i)).toDF("k", "v")), "bucket",
+              batchId = round.toLong))
+          } catch { case t: Throwable => errs.add(t) }
+        })
+      }
+      threads.foreach(_.start()); gate.countDown()
+      threads.foreach(_.join(120000))
+      assert(errs.isEmpty, s"round $round: ${errs.peek()}")
+      // both calls return the same committed version, and the manifest at
+      // that version parses and reads back exactly one writer's rows
+      val vs = results.toArray(Array.empty[java.lang.Long]).map(_.toLong)
+      assert(vs.length == 2 && vs.toSet.size == 1, s"round $round: $vs")
+      val df = ManifestTable.readVersion(spark, root, vs.head)
+      val winners = df.filter(col("v") >= 100L * round).count()
+      assert(winners == 1L,
+        s"round $round: expected exactly one winner's row, got $winners")
+    }
+  }
+
+  test("shuffle twin: merge/deleteRows/purge above the broadcast limit are value-identical to the broadcast path, bloom probe included") {
+    // the d2/d2b discipline applied to the table verbs (r14 verdict #2):
+    // force the shuffle semi/anti joins and the join-shaped bloom probe
+    // with zeroed limits, and require the exact state the broadcast twin
+    // produces. Keys are scattered (% 17) so the zone envelope alone
+    // keeps everything and the bloom sidecar does the narrowing in BOTH
+    // probe shapes.
+    def build(tag: String): String = {
+      val root = tmpDir(s"graft_twin_$tag") + "/t"
+      for (b <- 0 until 4)
+        ManifestTable.commit(spark, root,
+          (0 until 50).map(i => (i * 4L + b, s"v${i * 4 + b}", s"b$b"))
+            .toDF("k", "s", "part").repartition(1), "part",
+          batchId = b.toLong, statsCol = Some("k"))
+      ManifestTable.buildBloomIndex(spark, root, "k")
+      root
+    }
+    def runVerbs(root: String)
+        : (ManifestTable.DeleteStats, ManifestTable.MergeStats) = {
+      // all keys ≡ 2 (mod 4): they live in part=b2 only, but their
+      // envelope [6, 142] intersects every interleaved file — only the
+      // bloom probe can narrow, in both its shapes
+      val del = ManifestTable.deleteRows(spark, root,
+        Seq(6L, 74L, 142L).toDF("k"), "k").get
+      val mrg = ManifestTable.merge(spark, root,
+        Seq((8L, "UPD8", "b1"), (9997L, "NEW", "b0"))
+          .toDF("k", "s", "part"), "k", batchId = 99L).get
+      (del, mrg)
+    }
+    def snapshot(root: String): Set[(Long, String, String)] =
+      ManifestTable.read(spark, root).get
+        .select("k", "s", "part").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val a = build("bcast")
+    val (delA, mrgA) = runVerbs(a)
+    val b = build("shuffle")
+    spark.conf.set("spark.graft.manifest.keyBroadcastLimit", "0")
+    spark.conf.set("spark.graft.manifest.bloomLiteralLimit", "0")
+    try {
+      val (delB, mrgB) = runVerbs(b)
+      assert(snapshot(a) == snapshot(b),
+        "the shuffle twin diverged from the broadcast path")
+      assert((delA.rowsDeleted, delA.partitionsRewritten, delA.filesScanned) ==
+        (delB.rowsDeleted, delB.partitionsRewritten, delB.filesScanned),
+        s"delete stats diverged: $delA vs $delB")
+      assert((mrgA.rowsUpdated, mrgA.rowsInserted, mrgA.filesScanned) ==
+        (mrgB.rowsUpdated, mrgB.rowsInserted, mrgB.filesScanned),
+        s"merge stats diverged: $mrgA vs $mrgB")
+      // the bloom sidecar narrowed detection below the candidate total in
+      // both twins (scattered keys: the envelope alone keeps all files)
+      assert(delA.filesScanned < delA.filesTotal,
+        s"bloom probe stopped narrowing: $delA")
+      // the deferred-delete purge twin: mask + purge under zeroed limits
+      ManifestTable.deleteRowsDeferred(spark, b,
+        Seq(12L, 160L).toDF("k"), "k")
+      ManifestTable.optimize(spark, b)
+      assert(ManifestTable.pendingDeferredDeletes(spark, b).isEmpty)
+      assert(ManifestTable.read(spark, b).get
+        .filter(col("k").isin(12L, 160L)).isEmpty,
+        "the shuffle-twin purge left masked rows")
+    } finally {
+      spark.conf.unset("spark.graft.manifest.keyBroadcastLimit")
+      spark.conf.unset("spark.graft.manifest.bloomLiteralLimit")
+    }
+  }
+
   test("vacuum: superseded files deleted past retention, live versions intact") {
     val root = tmpDir("graft_manifest_vac") + "/t"
     ManifestTable.commit(spark, root, part(Seq((0, 10L)).toDF("k", "v")), "bucket", 0L)

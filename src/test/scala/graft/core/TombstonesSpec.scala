@@ -43,6 +43,26 @@ class TombstonesSpec extends SparkSpec {
     assert(Tombstones.filterLive(df, root, "doc_id").count() == 3L)
   }
 
+  test("batchIds round-trips ids that contain '-' (the '=' tag separator cannot occur in an id)") {
+    // the round-14 ADVICE low finding: stripping the content-hash tag at
+    // the LAST '-' truncated legal ids like '2024-01-01' to '2024-01',
+    // corrupting the redemption-fence ids HierarchicalIndex.optimize
+    // consumes. The separator is now '=' — forbidden in ids by add().
+    val root = tmpDir("graft_tomb_ids")
+    Tombstones.add(spark, root, Seq(1L).toDF("doc_id"), "doc_id",
+      "2024-01-01")
+    Tombstones.add(spark, root, Seq(2L).toDF("doc_id"), "doc_id", "d7")
+    assert(Tombstones.batchIds(spark, root).toSet == Set("2024-01-01", "d7"),
+      s"got ${Tombstones.batchIds(spark, root)}")
+    // a retry of the '-'-bearing id still overwrites its own partition
+    Tombstones.add(spark, root, Seq(1L).toDF("doc_id"), "doc_id",
+      "2024-01-01")
+    assert(Tombstones.read(spark, root).get.count() == 2L)
+    intercept[IllegalArgumentException] {
+      Tombstones.add(spark, root, Seq(3L).toDF("doc_id"), "doc_id", "a=b")
+    }
+  }
+
   test("text index: tombstoned search equals index rebuilt from surviving corpus; OPTIMIZE folds physically") {
     val docs = graft.core.Tables.load(spark, sf, "documents")
       .filter(col("doc_id") < 200).localCheckpoint(true)

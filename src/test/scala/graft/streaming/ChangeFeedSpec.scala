@@ -78,6 +78,40 @@ class ChangeFeedSpec extends SparkSpec {
     }
   }
 
+  test("a consumer whose initial load runs under a pending deferred mask stays exact through the purge — one masking convention end to end") {
+    // the round-14 ADVICE medium finding: readVersion masks but changes()
+    // reads raw, so a masked initial load would drop the masked rows once
+    // and the purge version's raw removed side would subtract them again
+    // (negative counts). The CDC diff base now reads RAW — the deletion
+    // enters the feed exactly once, at the purge version.
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") < 120).select("doc_id", "lang", "n_chars")
+      .localCheckpoint(true)
+    val root = tmpDir("graft_cdf_dv")
+    val (prod, st, rep) = (root + "/t", root + "/state", root + "/r")
+    graft.core.ManifestTable.commit(spark, prod,
+      docs.withColumn("part", lit("b0")), "part", 0L)
+    // the takedown is DEFERRED: a mask, not a version
+    graft.core.ManifestTable.deleteRowsDeferred(spark, prod,
+      docs.filter(col("doc_id") % 9 === 2).select("doc_id"), "doc_id")
+    // consumer + replica bootstrap WHILE the mask is pending
+    assert(ChangeFeed.catchUp(spark, prod, st) == 0L)
+    assert(ChangeFeed.replicate(spark, prod, rep, "doc_id", "part") == 0L)
+    // the purge publishes the deletion's version; both consumers follow
+    graft.core.ManifestTable.optimize(spark, prod)
+    ChangeFeed.catchUp(spark, prod, st)
+    ChangeFeed.replicate(spark, prod, rep, "doc_id", "part")
+    assert(stateRows(st) == recompute(prod),
+      "state diverged across a mask-pending bootstrap + purge")
+    assert(stateRows(st).forall(r => r._2 > 0L && r._3 >= 0L),
+      "double-subtracted masked rows drove a count negative")
+    val p = graft.core.ManifestTable.read(spark, prod).get
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val r = ChangeFeed.replica(spark, rep)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(r == p, "replica diverged across a mask-pending bootstrap + purge")
+  }
+
   test("CDC replica mirrors the producer at every catch-up point; delete-only versions advance the offset; re-runs no-op") {
     val docs = graft.core.Tables.load(spark, sf, "documents")
       .filter(col("doc_id") < 200).select("doc_id", "lang", "n_chars")
