@@ -278,21 +278,37 @@ object Bench {
     // clear + periodic GC); the headline total does NOT include them.
     // Override the set with SPARK_GRAFT_MINIMA=q1,q2 (empty string = none).
     val firstRun = results.toMap
+    // FENCE-WARM replay keys are EXCLUDED from the re-timed minima
+    // (round-15 floor hygiene, prescribed by the r14 verdict): these
+    // entries re-run a streamed ingest/absorb loop whose `batch=b<id>`
+    // fences all hit on a same-session repeat, so every absorb no-ops and
+    // the "minimum" measures a fence check, not the entry (r13's st11
+    // 0.54 s phantom floor — 6x under the honest first-run — was exactly
+    // this hole). Their first-run number IS their honest figure; a real
+    // floor would need the staged artifact re-staged per repeat.
+    val fenceWarmReplay = Set(
+      "st8_upsert_sink", "st9_running_mv", "st11_index_maintain",
+      "st15_vector_index_maintain", "st16_bm25_index_maintain",
+      "st17_heavy_hitters_maintain", "st19_cluster_maintain",
+      "st20_hier_index_maintain", "st21_cdf_consumer",
+      "st22_cdc_replica", "st23_streamed_takedown")
     // ADAPTIVE watch list (round-11 hardening): machine class and run
     // position shifted whole blocks by 1.5-2x between rounds (fresh-VM cold
     // page cache, late-run session state — the r8 forward/reverse probe),
     // so a hardcoded name list can't keep up. Default = the 8 slowest
     // first-run queries THIS run (where absolute noise concentrates) plus
-    // the carried per-round watch items; every name gets 2 repeats and the
-    // reported min is the cross-round-comparable floor.
+    // the carried per-round watch items, minus the fence-warm replays;
+    // every name gets 2 repeats and the reported min is the
+    // cross-round-comparable floor.
     val watchlist = sys.env.get("SPARK_GRAFT_MINIMA")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse {
         val slowest = firstRun.toSeq.filter(_._2 > 0)
           .sortBy(-_._2).take(8).map(_._1).toSet
-        slowest ++ Set(
+        (slowest ++ Set(
           "a24_heavy_hitters", "k8_ivfpq_topk", "d13_cc_twophase",
-          "x20_importance_select", "p6_dsir_pipeline")
+          "x20_importance_select", "p6_dsir_pipeline"))
+          .diff(fenceWarmReplay)
       }
     val minima = selected.collect {
       case (name, fn) if watchlist.contains(name) =>

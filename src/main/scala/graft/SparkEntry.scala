@@ -2033,8 +2033,11 @@ object SparkEntry {
     "st18_zonemap_range" -> ((s, dir) => {
       val lo = 1705363200000000L // 2024-01-16T00:00:00Z in micros
       val hi = lo + 86400L * 1000000L
-      graft.core.ManifestTable
-        .readPruned(s, st18TableDir(s, dir), "ts_micros", lo, hi)
+      // round 15: the range query reads through the DSv2 format — the
+      // filter PUSHES into the scan, which plans from the manifest's
+      // zone maps (same skipping readPruned did, now on the default
+      // spark.read path; GraftManifestSourceSpec pins the pruning)
+      s.read.format("graft-manifest").load(st18TableDir(s, dir))
         .filter(col("ts_micros") >= lo && col("ts_micros") < hi)
         .select("user_id", "ts_micros", "event_id", "event_type", "value_milli")
     }),
@@ -2123,8 +2126,10 @@ object SparkEntry {
     // u9: row-level takedown through the U5 manifest — the gated read is
     // the post-delete snapshot (rewrite of touched buckets only, emptied
     // buckets dropped, fence + time travel preserved; see u9TableDir)
+    // round 15: gated through the DSv2 format read (≡ ManifestTable.read,
+    // spec-pinned) — the post-delete snapshot on the default read path
     "u9_takedown" -> ((s, dir) =>
-      graft.core.ManifestTable.read(s, u9TableDir(s, dir)).get
+      s.read.format("graft-manifest").load(u9TableDir(s, dir))
         .select("doc_id", "lang", "source", "n_chars")),
     // u13: RESTORE undoes the takedown — the post-restore snapshot must
     // be the FULL catalog again (manifest-only undo, zero data IO)
@@ -2154,7 +2159,7 @@ object SparkEntry {
     // u16: bloom-indexed scattered takedown — the post-delete snapshot;
     // the sidecar changes which files the detection OPENS, never a value
     "u16_bloom_takedown" -> ((s, dir) =>
-      graft.core.ManifestTable.read(s, u16TableDir(s, dir)).get
+      s.read.format("graft-manifest").load(u16TableDir(s, dir))
         .select("doc_id", "lang")),
     // st23: the streamed ingest's post-fold snapshot — the mid-stream
     // takedown's keys are gone regardless of which batch carried them
@@ -2164,8 +2169,10 @@ object SparkEntry {
           "value_milli")),
     // u18: merge-on-read takedown — one list purged physically, one
     // still a live mask; the read must see survivors of both
+    // the DSv2 scan applies the pending U18 mask per-row inside the
+    // reader — one list purged, one still masked, indistinguishable here
     "u18_deferred_takedown" -> ((s, dir) =>
-      graft.core.ManifestTable.read(s, u18TableDir(s, dir)).get
+      s.read.format("graft-manifest").load(u18TableDir(s, dir))
         .select("doc_id", "lang")),
     // u10: the post-evolution snapshot — batch-0 rows null-fill the
     // column batch 1 introduced, read under the manifest's recorded

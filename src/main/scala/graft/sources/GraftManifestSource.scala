@@ -1,0 +1,633 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.ManifestTable
+
+/** DataSource-V2 READ PATH for the manifest table — format
+  * `graft-manifest` (the Delta/Iceberg "the format IS the entry point"
+  * move, closing the round-14 correctness trap): every guarantee the
+  * table format provides was previously reachable only through the Scala
+  * API (`ManifestTable.read/readPruned/readVersion`), so the obvious
+  * `spark.read.parquet(root)` silently bypassed the manifest — it saw
+  * uncommitted and superseded files AND resurrected rows a pending
+  * deferred delete had already masked. With this provider the scale-safe
+  * path is the default path:
+  *
+  * {{{
+  *   spark.read.format("graft-manifest").load(root)                  // current version
+  *   spark.read.format("graft-manifest").option("versionAsOf", 3).load(root)
+  * }}}
+  *
+  *  - the scan plans from ONE manifest read: only the committed
+  *    version's live files are opened (crashed/superseded debris is
+  *    invisible by construction);
+  *  - filter PUSHDOWN reaches the manifest's zone maps (U6/ST18b: range
+  *    predicates on registered stats columns prune whole files by their
+  *    recorded [min, max]) and the U16 bloom sidecar (equality/IN keys
+  *    drop files whose filter proves absence) — a proven SUPERSET of
+  *    matching rows survives and Spark re-applies every filter row-level,
+  *    the PushedFilters contract; equality on the partition column prunes
+  *    by directory name;
+  *  - the U18 deletion-vector mask applies INSIDE the scan (per-row,
+  *    before any consumer sees the rows), including under time travel
+  *    while a mask is pending — exactly [[ManifestTable.readVersion]]'s
+  *    semantics;
+  *  - the recorded schema drives the read: files written before a column
+  *    existed null-fill it (U10's additive evolution), files written
+  *    NARROW after a widening read widened (int32 files under a long
+  *    column);
+  *  - column pruning reaches the parquet reader (only requested + masked
+  *    columns decode; a bare COUNT(*) reads footers only).
+  *
+  * Scale shape: planning is one small manifest read + (when predicates
+  * push) a sidecar probe; work is then bounded by the surviving files,
+  * bin-packed into input partitions of ~`maxPartitionBytes`. The reader
+  * itself is parquet-mr over FLAT PRIMITIVE schemas (long/int/double/
+  * float/boolean/string/binary/timestamp-micros/date) — the shapes this
+  * table format writes; nested columns refuse loudly at plan time.
+  *
+  * Raw-read refusal: [[ManifestTable.commit]] drops a non-underscore
+  * SENTINEL file in the table root, so `spark.read.parquet(root)` fails
+  * partition discovery loudly instead of silently returning superseded +
+  * mask-bypassing rows (spec-pinned; the engine's own reads address
+  * explicit file lists and are unaffected).
+  */
+class GraftManifestSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-manifest"
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  private def root(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty,
+      "graft-manifest needs a table root: spark.read.format(\"graft-manifest\").load(root)")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftManifestSource.tableOf(options).schema()
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    GraftManifestSource.tableOf(
+      new CaseInsensitiveStringMap(properties))
+}
+
+object GraftManifestSource {
+
+  private[sources] def tableOf(options: CaseInsensitiveStringMap): GraftManifestTable = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty,
+      "graft-manifest needs a table root: spark.read.format(\"graft-manifest\").load(root)")
+    val versionAsOf = Option(options.get("versionAsOf")).map(_.toLong)
+    new GraftManifestTable(p, versionAsOf)
+  }
+
+  /** The partition-column type [[ManifestTable.read]]'s basePath
+    * inference would produce on the same directories, reduced to the
+    * shapes this format writes: all-int values read as int, all-long as
+    * long, anything else as string — so the DSv2 frame is value- and
+    * type-identical to the Scala read path (spec-pinned).
+    */
+  private[sources] def inferPartitionType(values: Seq[String]): DataType =
+    if (values.forall(v => scala.util.Try(v.trim.toInt).isSuccess)) IntegerType
+    else if (values.forall(v => scala.util.Try(v.trim.toLong).isSuccess)) LongType
+    else StringType
+
+  private[sources] def unescape(v: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .unescapePathName(v)
+
+  private[sources] val SupportedTypes: Set[DataType] = Set(
+    LongType, IntegerType, DoubleType, FloatType, BooleanType,
+    StringType, BinaryType, TimestampType, DateType)
+}
+
+/** One committed version of a manifest table as a DSv2 [[Table]]. All
+  * planning state (lines, stats registration, recorded schema, partition
+  * column) is resolved ONCE here — driver-side, one manifest read.
+  */
+class GraftManifestTable(
+    val root: String,
+    val versionAsOf: Option[Long]) extends Table with SupportsRead {
+
+  private def spark = SparkSession.active
+
+  private[sources] val state: ManifestTable.ScanState =
+    ManifestTable.scanState(spark, root, versionAsOf)
+
+  /** (name, directory-value-string) per live file, manifest order. */
+  private[sources] val filePartValues: Seq[(String, String)] =
+    state.lines.map { l =>
+      val rel = l.split('|')(0)
+      val dir = rel.takeWhile(_ != '/')
+      (rel, GraftManifestSource.unescape(dir.dropWhile(_ != '=').drop(1)))
+    }
+
+  private[sources] val partitionCol: Option[String] =
+    state.lines.headOption.map(_.split('|')(0).takeWhile(_ != '='))
+
+  private[sources] val partitionType: DataType =
+    GraftManifestSource.inferPartitionType(filePartValues.map(_._2))
+
+  private[sources] val dataSchema: StructType =
+    state.schema.getOrElse(new StructType())
+
+  dataSchema.fields.foreach { f =>
+    require(GraftManifestSource.SupportedTypes.contains(f.dataType),
+      s"graft-manifest scan supports flat primitive schemas; column " +
+        s"'${f.name}' is ${f.dataType.simpleString} — read this table " +
+        "through ManifestTable.read")
+  }
+
+  override def name(): String =
+    s"graft-manifest `$root`" + versionAsOf.map(v => s"@v$v").getOrElse("")
+
+  override def schema(): StructType = partitionCol match {
+    case Some(pc) if !dataSchema.fieldNames.contains(pc) =>
+      StructType(dataSchema.fields.toSeq :+
+        StructField(pc, partitionType, nullable = true))
+    case _ => dataSchema
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftManifestScanBuilder(this)
+}
+
+/** Pushdown state: zone-map range predicates + bloom equality keys +
+  * partition-value pruning accumulate here; every filter is ALSO
+  * returned as a residual so Spark re-applies it row-level — file
+  * skipping is a superset guarantee, never a row filter.
+  */
+class GraftManifestScanBuilder(table: GraftManifestTable)
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = table.schema()
+  private var pushed: Array[Filter] = Array.empty
+  // per long column: conjunctive [lo, hi]
+  private val longLo = scala.collection.mutable.Map[String, Long]()
+  private val longHi = scala.collection.mutable.Map[String, Long]()
+  // per string column: conjunctive equality/IN value sets
+  private val stringEq = scala.collection.mutable.Map[String, Set[String]]()
+  private val longEq = scala.collection.mutable.Map[String, Set[Long]]()
+  private var partKeep: Option[Set[String]] = None
+  private var provablyEmpty = false
+
+  private val statsType: Map[String, String] = table.state.statsCols.toMap
+
+  private def narrowLong(c: String, lo: Long, hi: Long): Unit = {
+    longLo(c) = math.max(longLo.getOrElse(c, Long.MinValue), lo)
+    longHi(c) = math.min(longHi.getOrElse(c, Long.MaxValue), hi)
+    if (longLo(c) > longHi(c)) provablyEmpty = true
+  }
+
+  private def narrowEq(c: String, vs: Set[Any]): Unit =
+    statsType.get(c) match {
+      case Some("long") if vs.forall(_.isInstanceOf[Number]) =>
+        val ls = vs.map(_.asInstanceOf[Number].longValue())
+        narrowLong(c, ls.min, ls.max)
+        longEq(c) = longEq.get(c).map(_.intersect(ls)).getOrElse(ls)
+        if (longEq(c).isEmpty) provablyEmpty = true
+      case Some("string") if vs.forall(_.isInstanceOf[String]) =>
+        val ss = vs.map(_.asInstanceOf[String])
+        stringEq(c) = stringEq.get(c).map(_.intersect(ss)).getOrElse(ss)
+        if (stringEq(c).isEmpty) provablyEmpty = true
+      case _ => ()
+    }
+
+  private def narrowPart(vs: Set[Any]): Unit = {
+    val norm = vs.map(_.toString)
+    partKeep = Some(partKeep.map(_.intersect(norm)).getOrElse(norm))
+    if (partKeep.exists(_.isEmpty)) provablyEmpty = true
+  }
+
+  private def partMatches(dirValue: String): Boolean = partKeep match {
+    case None => true
+    case Some(keep) => table.partitionType match {
+      case IntegerType | LongType =>
+        scala.util.Try(dirValue.trim.toLong).toOption
+          .exists(dv => keep.exists(k =>
+            scala.util.Try(k.trim.toLong).toOption.contains(dv)))
+      case _ => keep.contains(dirValue)
+    }
+  }
+
+  /** True iff the filter narrowed file selection (it is then REPORTED as
+    * pushed; it is returned as a residual either way).
+    */
+  private def absorb(f: Filter): Boolean = f match {
+    case And(a, b) =>
+      val ua = absorb(a); val ub = absorb(b); ua || ub
+    case EqualTo(c, v) if table.partitionCol.contains(c) =>
+      narrowPart(Set(v)); true
+    case In(c, vs) if table.partitionCol.contains(c) =>
+      narrowPart(vs.toSet); true
+    case EqualTo(c, v: Number) if statsType.get(c).contains("long") =>
+      narrowEq(c, Set[Any](v)); true
+    case EqualTo(c, v: String) if statsType.get(c).contains("string") =>
+      narrowEq(c, Set[Any](v)); true
+    case In(c, vs) if statsType.contains(c) && vs.nonEmpty =>
+      narrowEq(c, vs.toSet); true
+    case GreaterThan(c, v: Number) if statsType.get(c).contains("long") =>
+      val l = v.longValue()
+      if (l < Long.MaxValue) narrowLong(c, l + 1, Long.MaxValue)
+      true
+    case GreaterThanOrEqual(c, v: Number)
+        if statsType.get(c).contains("long") =>
+      narrowLong(c, v.longValue(), Long.MaxValue); true
+    case LessThan(c, v: Number) if statsType.get(c).contains("long") =>
+      val l = v.longValue()
+      if (l > Long.MinValue) narrowLong(c, Long.MinValue, l - 1)
+      true
+    case LessThanOrEqual(c, v: Number)
+        if statsType.get(c).contains("long") =>
+      narrowLong(c, Long.MinValue, v.longValue()); true
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(absorb)
+    filters // every filter stays a residual: skipping is file-level only
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val preds: Seq[ManifestTable.ZonePred] =
+      longLo.keySet.union(longHi.keySet).toSeq.sorted.flatMap { c =>
+        val lo = longLo.getOrElse(c, Long.MinValue)
+        val hi = longHi.getOrElse(c, Long.MaxValue)
+        if (lo == Long.MinValue && hi == Long.MaxValue) None
+        else if (lo > hi) None // provablyEmpty already set
+        else Some(ManifestTable.LongRange(c, lo, hi))
+      } ++ stringEq.toSeq.sortBy(_._1).flatMap { case (c, vs) =>
+        if (vs.isEmpty) None
+        else {
+          implicit val ord: Ordering[String] =
+            (a: String, b: String) => {
+              val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+              val n = math.min(x.length, y.length)
+              var i = 0
+              var d = 0
+              while (i < n && d == 0) { d = (x(i) & 0xff) - (y(i) & 0xff); i += 1 }
+              if (d != 0) d else x.length - y.length
+            }
+          Some(ManifestTable.StringRange(c, vs.min, vs.max))
+        }
+      }
+    val bloomKeys: Map[String, Seq[Long]] =
+      longEq.map { case (c, vs) => c -> vs.toSeq.sorted }.toMap ++
+        stringEq.map { case (c, vs) =>
+          c -> vs.toSeq.sorted.map(ManifestTable.xx64String)
+        }
+    new GraftManifestScan(
+      table, required, preds, bloomKeys,
+      partKeep, provablyEmpty, pushed.toSeq)
+  }
+}
+
+/** One InputPartition: a bin-packed group of live files (relative path,
+  * partition directory value, length).
+  */
+case class GraftFilesPartition(
+    files: Array[(String, String, Long)]) extends InputPartition
+
+class GraftManifestScan(
+    table: GraftManifestTable,
+    required: StructType,
+    preds: Seq[ManifestTable.ZonePred],
+    bloomKeys: Map[String, Seq[Long]],
+    partKeep: Option[Set[String]],
+    provablyEmpty: Boolean,
+    pushedForDisplay: Seq[Filter])
+    extends Scan with Batch with SupportsReportStatistics {
+
+  private def spark = SparkSession.active
+
+  /** The files this scan opens — zone + bloom + partition pruned. Public
+    * to the spec: the pin is `chosenFiles.size < totalFiles`.
+    */
+  val totalFiles: Int = table.state.lines.size
+  val chosenFiles: Seq[String] = {
+    if (provablyEmpty) Nil
+    else {
+      val zoneBloom = ManifestTable.pruneScanFiles(
+        spark, table.root, table.state, preds, bloomKeys)
+      partKeep match {
+        case None => zoneBloom
+        case Some(_) =>
+          val partOf = table.filePartValues.toMap
+          zoneBloom.filter { rel =>
+            partOf.get(rel).forall(v => partValueKept(v))
+          }
+      }
+    }
+  }
+
+  private def partValueKept(dirValue: String): Boolean = partKeep match {
+    case None => true
+    case Some(keep) => table.partitionType match {
+      case IntegerType | LongType =>
+        scala.util.Try(dirValue.trim.toLong).toOption
+          .exists(dv => keep.exists(k =>
+            scala.util.Try(k.trim.toLong).toOption.contains(dv)))
+      case _ => keep.contains(dirValue)
+    }
+  }
+
+  private lazy val fileLens: Map[String, Long] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    chosenFiles.map { rel =>
+      val p = new Path(table.root, rel)
+      rel -> p.getFileSystem(conf).getFileStatus(p).getLen
+    }.toMap
+  }
+
+  override def readSchema(): StructType = required
+
+  override def toBatch: Batch = this
+
+  override def description(): String = {
+    val pushedStr =
+      if (pushedForDisplay.isEmpty) "[]"
+      else pushedForDisplay.mkString("[", ", ", "]")
+    s"graft-manifest root=${table.root} version=${table.state.version} " +
+      s"prunedFiles=${chosenFiles.size}/$totalFiles pushed=$pushedStr"
+  }
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): util.OptionalLong =
+      util.OptionalLong.of(math.max(1L, fileLens.values.sum))
+    override def numRows(): util.OptionalLong = util.OptionalLong.empty()
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    if (chosenFiles.isEmpty) return Array.empty
+    val partOf = table.filePartValues.toMap
+    val target = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
+    // first-fit decreasing bin pack to ~maxPartitionBytes per partition
+    val sorted = chosenFiles.map(r => (r, partOf(r), fileLens(r)))
+      .sortBy(-_._3)
+    val bins = scala.collection.mutable.ArrayBuffer
+      .empty[(scala.collection.mutable.ArrayBuffer[(String, String, Long)], Long)]
+    sorted.foreach { f =>
+      bins.indexWhere(_._2 + f._3 <= target) match {
+        case -1 =>
+          bins += ((scala.collection.mutable.ArrayBuffer(f), f._3))
+        case i =>
+          bins(i)._1 += f
+          bins(i) = (bins(i)._1, bins(i)._2 + f._3)
+      }
+    }
+    bins.map(b => GraftFilesPartition(b._1.toArray)).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // the U18 mask, collected ONCE at plan time (small by the takedown
+    // contract) and shipped inside the factory — applied per row in the
+    // reader, so every consumer of this scan sees survivors only
+    val masks: Array[(String, Boolean, Set[Any])] =
+      ManifestTable.dvMaskKeySets(spark, table.root).toSeq.sortBy(_._1)
+        .map { case (c, keys) =>
+          val isString =
+            table.dataSchema.fields.find(_.name == c)
+              .exists(_.dataType == StringType)
+          (c, isString, keys.toSet)
+        }.toArray
+    new GraftReaderFactory(
+      table.root, required, table.dataSchema,
+      table.partitionCol, table.partitionType, masks)
+  }
+}
+
+class GraftReaderFactory(
+    root: String,
+    required: StructType,
+    dataSchema: StructType,
+    partitionCol: Option[String],
+    partitionType: DataType,
+    masks: Array[(String, Boolean, Set[Any])])
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftPartitionReader(
+      root, partition.asInstanceOf[GraftFilesPartition].files,
+      required, dataSchema, partitionCol, partitionType, masks)
+}
+
+/** Executor-side reader: parquet-mr example Groups → InternalRows over
+  * the files of one partition. Reads ONLY the columns the query needs
+  * plus any pending-mask columns (which must be decoded to apply the
+  * mask even when pruned away); a projection that needs no parquet
+  * column at all (bare COUNT(*), partition-only selects with no mask)
+  * never decodes a data page — footer row counts drive emission.
+  */
+class GraftPartitionReader(
+    root: String,
+    files: Array[(String, String, Long)],
+    required: StructType,
+    dataSchema: StructType,
+    partitionCol: Option[String],
+    partitionType: DataType,
+    masks: Array[(String, Boolean, Set[Any])])
+    extends PartitionReader[InternalRow] {
+
+  import org.apache.parquet.example.data.Group
+  import org.apache.parquet.hadoop.ParquetReader
+  import org.apache.parquet.hadoop.example.GroupReadSupport
+
+  @transient private lazy val conf =
+    new org.apache.hadoop.conf.Configuration()
+
+  // parquet-side columns: required data columns ∪ mask columns
+  private val neededData: Seq[StructField] =
+    required.fields.toSeq.filter(f => !partitionCol.contains(f.name))
+  private val maskCols: Seq[StructField] =
+    masks.toSeq.flatMap { case (c, _, _) =>
+      dataSchema.fields.find(_.name == c)
+    }.filterNot(f => neededData.exists(_.name == f.name))
+  private val parquetCols: Seq[StructField] = neededData ++ maskCols
+
+  private val requiredPartIdx: Int =
+    partitionCol.map(pc => required.fieldNames.indexOf(pc)).getOrElse(-1)
+
+  private var fileIdx = -1
+  private var reader: ParquetReader[Group] = _
+  private var currentGroup: Group = _
+  // footer-count emission path (no parquet columns needed)
+  private var emitRemaining: Long = 0L
+  private var countOnly = false
+  private var partValue: Any = _
+  private var row: InternalRow = _
+
+  private def typedPartValue(dirValue: String): Any = partitionType match {
+    case IntegerType => dirValue.trim.toInt
+    case LongType => dirValue.trim.toLong
+    case _ => UTF8String.fromString(dirValue)
+  }
+
+  private def openNextFile(): Boolean = {
+    if (reader != null) { reader.close(); reader = null }
+    fileIdx += 1
+    if (fileIdx >= files.length) return false
+    val (rel, dirValue, _) = files(fileIdx)
+    partValue = typedPartValue(dirValue)
+    val p = new Path(root, rel)
+    if (parquetCols.isEmpty) {
+      countOnly = true
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+      val fr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try emitRemaining = fr.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      finally fr.close()
+    } else {
+      countOnly = false
+      // per-file projection: only columns the FILE has (older files
+      // null-fill evolved columns), typed as the file declares them
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+      val fr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val fileSchema =
+        try fr.getFooter.getFileMetaData.getSchema finally fr.close()
+      val keep = parquetCols.map(_.name).filter(fileSchema.containsField)
+      val readConf = new org.apache.hadoop.conf.Configuration(conf)
+      if (keep.nonEmpty) {
+        val fields = keep.map(n =>
+          fileSchema.getType(fileSchema.getFieldIndex(n)))
+        val projection = new org.apache.parquet.schema.MessageType(
+          fileSchema.getName, fields.asJava)
+        readConf.set(
+          org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+          projection.toString)
+        reader = ParquetReader.builder(new GroupReadSupport(), p)
+          .withConf(readConf).build()
+      } else {
+        // none of the needed columns exist in this old file: every row is
+        // all-null for them — emit by footer count
+        countOnly = true
+        val in2 = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+        val fr2 = org.apache.parquet.hadoop.ParquetFileReader.open(in2)
+        try emitRemaining = fr2.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        finally fr2.close()
+      }
+    }
+    true
+  }
+
+  private def extract(g: Group, f: StructField): Any = {
+    val gt = g.getType
+    if (!gt.containsField(f.name)) return null
+    val idx = gt.getFieldIndex(f.name)
+    if (g.getFieldRepetitionCount(idx) == 0) return null
+    val prim = gt.getType(idx).asPrimitiveType()
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    (f.dataType, prim.getPrimitiveTypeName) match {
+      case (LongType, INT64) => g.getLong(idx, 0)
+      case (LongType, INT32) => g.getInteger(idx, 0).toLong
+      case (IntegerType, INT32) => g.getInteger(idx, 0)
+      case (DoubleType, DOUBLE) => g.getDouble(idx, 0)
+      case (DoubleType, FLOAT) => g.getFloat(idx, 0).toDouble
+      case (FloatType, FLOAT) => g.getFloat(idx, 0)
+      case (BooleanType, BOOLEAN) => g.getBoolean(idx, 0)
+      case (StringType, BINARY) =>
+        UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
+      case (BinaryType, BINARY) => g.getBinary(idx, 0).getBytes
+      case (DateType, INT32) => g.getInteger(idx, 0)
+      case (TimestampType, INT64) =>
+        import org.apache.parquet.schema.LogicalTypeAnnotation
+        val v = g.getLong(idx, 0)
+        prim.getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MICROS => v
+              case LogicalTypeAnnotation.TimeUnit.MILLIS => v * 1000L
+              case LogicalTypeAnnotation.TimeUnit.NANOS => v / 1000L
+            }
+          case _ => v
+        }
+      case (dt, pt) => throw new IllegalStateException(
+        s"graft-manifest reader: column '${f.name}' is $pt in " +
+          s"${files(fileIdx)._1} but ${dt.simpleString} in the recorded " +
+          "schema — not a lossless widening (INT96 timestamps are not " +
+          "supported; rewrite with spark.sql.parquet.outputTimestampType=" +
+          "TIMESTAMP_MICROS)")
+    }
+  }
+
+  private def maskedOut(g: Group): Boolean =
+    masks.exists { case (c, isString, keys) =>
+      val f = dataSchema.fields.find(_.name == c)
+      f.exists { field =>
+        val v = extract(g, field)
+        v != null && {
+          if (isString) keys.contains(v.toString)
+          else keys.contains(v)
+        }
+      }
+    }
+
+  override def next(): Boolean = {
+    while (true) {
+      if (countOnly && emitRemaining > 0L) {
+        emitRemaining -= 1L
+        row = buildRow(null)
+        return true
+      }
+      if (reader != null) {
+        currentGroup = reader.read()
+        if (currentGroup != null) {
+          if (!maskedOut(currentGroup)) {
+            row = buildRow(currentGroup)
+            return true
+          }
+          // masked: loop to the next record
+        } else {
+          reader.close(); reader = null
+          if (!openNextFile()) return false
+        }
+      } else if (!openNextFile()) return false
+      else () // opened a new file: loop re-enters with its state
+    }
+    false
+  }
+
+  private def buildRow(g: Group): InternalRow = {
+    val out = new GenericInternalRow(required.length)
+    var i = 0
+    while (i < required.length) {
+      if (i == requiredPartIdx) out.update(i, partValue)
+      else out.update(i, if (g == null) null else extract(g, required(i)))
+      i += 1
+    }
+    out
+  }
+
+  override def get(): InternalRow = row
+
+  override def close(): Unit =
+    if (reader != null) { reader.close(); reader = null }
+}
