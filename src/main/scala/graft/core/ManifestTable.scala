@@ -1200,7 +1200,8 @@ object ManifestTable {
       root: String,
       newValue: String,
       targetBytes: Long = Compaction.DefaultTargetBytes,
-      beforePublish: () => Unit = NoHook): Option[OptimizeStats] = {
+      beforePublish: () => Unit = NoHook,
+      zOrderCols: Option[(String, String)] = None): Option[OptimizeStats] = {
     require(targetBytes > 0, "targetBytes must be positive")
     val rootPath = new Path(root)
     val f = fs(spark, rootPath)
@@ -1208,6 +1209,27 @@ object ManifestTable {
     require(v >= 0, s"no committed version under $root")
     val st = readManifestLines(spark, root, v)
     val (lines, statsCols) = (st.lines, st.statsCols)
+    // Z-ORDER fold (round 15, closing the r14 "secondary pruning decays"
+    // finding): the default rewrite range-clusters on the PRIMARY
+    // zone-map column only, so after a fold every file spans the full
+    // secondary range and ST18b-style non-primary pruning degrades to
+    // ~all files. With `zOrderCols = Some((x, y))` the rewrite clusters
+    // on the MORTON interleave of the two columns instead ([[ZOrder]]
+    // reused): every output file covers a RECTANGLE of the 2-d space, so
+    // predicates on EITHER column keep skipping files after the fold
+    // (spec-pinned). Both columns must be registered LONG zone-map
+    // columns; values bucket to 16 bits each by integer width division
+    // (order-preserving), null dims sort first.
+    zOrderCols.foreach { case (xc, yc) =>
+      require(xc != yc, "zOrder fold needs two distinct columns")
+      Seq(xc, yc).foreach { c =>
+        require(statsCols.exists(p => p._1 == c && p._2 == "long"),
+          s"zOrder fold requires '$c' to be a registered long zone-map " +
+            s"column (registered: ${
+              if (statsCols.isEmpty) "<none>"
+              else statsCols.map(x => x._1 + ":" + x._2).mkString(",")})")
+      }
+    }
     val parts = lines.map(_.split('|')(0).takeWhile(_ != '/')).distinct
     if (parts.size <= 1) return None
     val partitionCol = parts.head.takeWhile(_ != '=')
@@ -1228,10 +1250,45 @@ object ManifestTable {
         case Some(sch) => spark.read.schema(sch)
         case None => spark.read
       }).parquet(rels.map(r => s"$root/$r"): _*))
-    val clustered = statsCols.headOption match {
-      case Some((c, _)) => df.repartitionByRange(nOut,
+    // global [min, max] of a zOrder column — free from the manifest's own
+    // zone maps when every line carries them; one column-pruned aggregate
+    // otherwise (a fold rewrites everything anyway)
+    def colBounds(c: String): (Long, Long) = {
+      val i = statsCols.map(_._1).indexOf(c)
+      val vals = lines.map { l =>
+        val p = l.split('|').padTo(1 + 2 * statsCols.length, "")
+        (p(1 + 2 * i), p(2 + 2 * i))
+      }
+      if (vals.nonEmpty && vals.forall(x => x._1.nonEmpty && x._2.nonEmpty))
+        (vals.map(_._1.toLong).min, vals.map(_._2.toLong).max)
+      else {
+        val r = df.agg(min(col(c)).cast("long"), max(col(c)).cast("long")).head
+        require(!r.isNullAt(0),
+          s"zOrder column '$c' holds no non-null value — cannot cluster")
+        (r.getLong(0), r.getLong(1))
+      }
+    }
+    val clustered = (zOrderCols, statsCols.headOption) match {
+      case (Some((xc, yc)), _) =>
+        val bits = 16
+        val lim = 1L << bits
+        def width(mn: Long, mx: Long): Long =
+          ((BigInt(mx) - BigInt(mn) + lim) / lim).max(1).toLong
+        val (xmn, xmx) = colBounds(xc)
+        val (ymn, ymx) = colBounds(yc)
+        val (wx, wy) = (width(xmn, xmx), width(ymn, ymx))
+        val withZ = df
+          .withColumn("__graft_zx", expr(s"(`$xc` - ${xmn}L) div ${wx}L"))
+          .withColumn("__graft_zy", expr(s"(`$yc` - ${ymn}L) div ${wy}L"))
+          .withColumn("__graft_z",
+            when(col("__graft_zx").isNotNull && col("__graft_zy").isNotNull,
+              ZOrder.zValue("__graft_zx", "__graft_zy", bits)))
+        withZ.repartitionByRange(nOut, col("__graft_z"))
+          .sortWithinPartitions(col("__graft_z"))
+          .drop("__graft_zx", "__graft_zy", "__graft_z")
+      case (None, Some((c, _))) => df.repartitionByRange(nOut,
         org.apache.spark.sql.functions.col(c))
-      case None => df.repartition(nOut)
+      case (None, None) => df.repartition(nOut)
     }
     clustered.write.mode("overwrite")
       .parquet(new Path(stage, newPartName).toString)
@@ -1543,20 +1600,37 @@ object ManifestTable {
       return BloomIndexStats(0, indexed.size, 0)
     val fresh: Option[DataFrame] = if (missing.isEmpty) None else {
       graft.functions.GraftFunctions.register(spark)
-      val maxRows = missing
-        .map(r => footerRowCount(spark, new Path(rootPath, r))).max
-      val numBits = math.min(Int.MaxValue.toLong,
-        math.max(64L, ((bitsPerKey.toLong * maxRows + 63) / 64) * 64)).toInt
+      // PER-FILE sizing (round 15; r14 sized every filter in a build by
+      // the LARGEST file's row count — 2x+ sidecar bloat on mixed
+      // layouts): each file's numBits comes from ITS OWN footer row
+      // count, rounded up to a power of two so files group into a
+      // log-bounded number of sizing TIERS — one aggregate pass per tier
+      // (the aggregate's width is plan-time), the scan set still exactly
+      // the missing files, and the self-describing wire format lets the
+      // mixed sizings coexist in one sidecar (every probe reads the
+      // row's own header).
+      def bitsFor(rows: Long): Int = {
+        val want = math.max(64L, bitsPerKey.toLong * math.max(1L, rows))
+        var b = 64L
+        while (b < want && b < (1L << 30)) b <<= 1
+        b.toInt
+      }
+      val byTier: Seq[(Int, Seq[String])] = missing
+        .map(r => (bitsFor(footerRowCount(spark, new Path(rootPath, r))), r))
+        .groupBy(_._1).map { case (b, fs) => (b, fs.map(_._2)) }
+        .toSeq.sortBy(_._1)
       val keySchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField(keyCol, kf.dataType, true)))
-      Some(spark.read.schema(keySchema).option("basePath", root)
-        .parquet(missing.map(r => s"$root/$r"): _*)
-        .select(
-          // rel path = partitionDir/fileName, the manifest's own spelling
-          regexp_extract(input_file_name(), "([^/]+/[^/]+)$", 1).as("file"),
-          keyExpr.as("__k"))
-        .groupBy("file")
-        .agg(expr(s"graft_bloom(__k, $numBits, $numHashes)").as("bloom")))
+      Some(byTier.map { case (numBits, files) =>
+        spark.read.schema(keySchema).option("basePath", root)
+          .parquet(files.map(r => s"$root/$r"): _*)
+          .select(
+            // rel path = partitionDir/fileName, the manifest's spelling
+            regexp_extract(input_file_name(), "([^/]+/[^/]+)$", 1).as("file"),
+            keyExpr.as("__k"))
+          .groupBy("file")
+          .agg(expr(s"graft_bloom(__k, $numBits, $numHashes)").as("bloom"))
+      }.reduce(_ unionByName _))
     }
     val keptOld: Option[DataFrame] =
       if (stale.isEmpty) existing
@@ -1799,6 +1873,16 @@ object ManifestTable {
       case None => env
     }
   }
+
+  /** The recorded data schema of one committed version, as schema JSON —
+    * the CDC coalescing boundary test ([[graft.streaming.ChangeFeed]]):
+    * consecutive producer versions whose recorded schemas are identical
+    * may batch into one net delta. None on legacy pre-schema manifests
+    * (every such version is its own run — conservative).
+    */
+  private[graft] def recordedSchemaJson(
+      spark: SparkSession, root: String, version: Long): Option[String] =
+    readManifestLines(spark, root, version).schema.map(_.json)
 
   /** Planning surface for the DSv2 `graft-manifest` scan
     * ([[graft.sources.GraftManifestSource]]): one committed version's

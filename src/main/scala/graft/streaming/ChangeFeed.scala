@@ -34,10 +34,11 @@ import org.apache.spark.sql.functions._
   * aggregate is one partial-then-final shuffle keyed by the state key,
   * and the state rewrite touches only the buckets holding changed keys
   * (declared-touched commit). State size tracks key cardinality, not
-  * corpus size; catch-up work tracks the delta. Applying one producer
-  * version per step keeps each delta's schema regime clean — a
-  * production consumer would coalesce consecutive versions with no
-  * schema boundary between them.
+  * corpus size; catch-up work tracks the delta. Consecutive producer
+  * versions with no schema boundary between them COALESCE into one net
+  * delta and one state commit (round 15 — a consumer far behind pays
+  * per same-schema run, not per version; `coalesce = false` restores
+  * the per-version path, value-identical and spec-pinned).
   */
 object ChangeFeed {
 
@@ -62,26 +63,35 @@ object ChangeFeed {
         (sum(chars) * sign).as("d_chars"))
   }
 
-  /** Apply producer version `v`'s net change to the state table.
-    * Version 0 is the initial load (its manifest IS the full delta) —
-    * read RAW ([[graft.core.ManifestTable.readVersionRaw]]), never
+  /** The initial load and every diff side read RAW
+    * ([[graft.core.ManifestTable.readVersionRaw]] / `changes`), never
     * masked: the feed's convention is that a deferred delete surfaces at
-    * its purging OPTIMIZE version (changes() reads raw file contents), so
-    * a masked initial load would drop the masked rows once and then the
-    * purge version's removed side would subtract them a second time —
-    * the state would go negative. The diff base and the diff must share
-    * one masking convention; this is it.
+    * its purging OPTIMIZE version, so a masked initial load would drop
+    * the masked rows once and then the purge version's removed side
+    * would subtract them a second time — the state would go negative.
+    * The diff base and the diff share one masking convention; this is it.
+    *
+    * COALESCED apply (round 15): one state commit consumes producer
+    * versions (fromExclusive, to] as a single net delta — `changes` is
+    * already exact for any version span (manifests are complete
+    * snapshots), so a consumer that fell N versions behind pays ONE
+    * except-all and ONE state commit per same-schema RUN instead of one
+    * commit per version. `fromExclusive < 0` is the initial load: the
+    * snapshot AT `to` read raw (≡ v0 plus every net delta through `to`,
+    * telescoped). Crash contract unchanged — the state fence records
+    * `to`, a re-run re-reads the same span and no-ops.
     */
-  private def applyOne(
+  private def applyRange(
       spark: SparkSession, producerRoot: String, stateRoot: String,
-      v: Long): Unit = {
+      fromExclusive: Long, to: Long): Unit = {
+    val v = to
     val (added, removed) =
-      if (v == 0)
-        (graft.core.ManifestTable.readVersionRaw(spark, producerRoot, 0L),
+      if (fromExclusive < 0)
+        (graft.core.ManifestTable.readVersionRaw(spark, producerRoot, to),
           None)
       else {
         val (a, r) = graft.core.ManifestTable.changes(
-          spark, producerRoot, v - 1, v)
+          spark, producerRoot, fromExclusive, to)
         (a, Some(r))
       }
     val delta = removed match {
@@ -132,18 +142,46 @@ object ChangeFeed {
       touchedValues = touched.map(_.toString).toSeq)
   }
 
+  /** Consecutive producer versions starting at `from` (≤ `cur`) whose
+    * recorded schemas are all identical to `from`'s — one coalescible
+    * RUN. Legacy versions without a recorded schema never coalesce
+    * (conservative). Splitting at schema boundaries keeps each commit's
+    * column-presence regime clean even though `changes` itself would
+    * null-fill across them.
+    */
+  private def runEnd(
+      spark: SparkSession, producerRoot: String,
+      from: Long, cur: Long): Long = {
+    val sch = graft.core.ManifestTable
+      .recordedSchemaJson(spark, producerRoot, from)
+    if (sch.isEmpty) return from
+    var end = from
+    while (end < cur && graft.core.ManifestTable
+      .recordedSchemaJson(spark, producerRoot, end + 1) == sch) end += 1
+    end
+  }
+
   /** Catch the consumer state up to the producer's current version,
-    * returning the offset (last consumed producer version). Idempotent:
-    * already-consumed versions no-op on the state table's fence, so
-    * re-running after any crash converges.
+    * returning the offset (last consumed producer version). Consecutive
+    * versions with no schema boundary between them COALESCE into one net
+    * delta and one state commit (`coalesce = false` restores the
+    * one-commit-per-version path — the two are value-identical,
+    * spec-pinned; a far-behind consumer pays per RUN, not per version).
+    * Idempotent: already-consumed versions no-op on the state table's
+    * fence, so re-running after any crash converges.
     */
   def catchUp(
-      spark: SparkSession, producerRoot: String, stateRoot: String): Long = {
+      spark: SparkSession, producerRoot: String, stateRoot: String,
+      coalesce: Boolean = true): Long = {
     val cur = graft.core.ManifestTable.currentVersion(spark, producerRoot)
     require(cur >= 0, s"producer at $producerRoot has no committed version")
     val last = graft.core.ManifestTable.lastBatch(spark, stateRoot)
-    for (v <- (last + 1) to cur)
-      applyOne(spark, producerRoot, stateRoot, v)
+    var v = last + 1
+    while (v <= cur) {
+      val end = if (coalesce) runEnd(spark, producerRoot, v, cur) else v
+      applyRange(spark, producerRoot, stateRoot, v - 1, end)
+      v = end + 1
+    }
     cur
   }
 
@@ -186,29 +224,44 @@ object ChangeFeed {
       producerRoot: String,
       replicaRoot: String,
       keyCol: String,
-      producerPartitionCol: String): Long = {
+      producerPartitionCol: String,
+      coalesce: Boolean = true): Long = {
     val cur = graft.core.ManifestTable.currentVersion(spark, producerRoot)
     require(cur >= 0, s"producer at $producerRoot has no committed version")
     val last = graft.core.ManifestTable.lastBatch(spark, replicaRoot)
-    for (v <- (last + 1) to cur)
-      replicateOne(spark, producerRoot, replicaRoot, keyCol,
-        producerPartitionCol, v)
+    var v = last + 1
+    while (v <= cur) {
+      val end = if (coalesce) runEnd(spark, producerRoot, v, cur) else v
+      replicateRange(spark, producerRoot, replicaRoot, keyCol,
+        producerPartitionCol, v - 1, end)
+      v = end + 1
+    }
     cur
   }
 
-  private def replicateOne(
+  /** Coalesced replica apply: producer versions (fromExclusive, to] as
+    * ONE net delta → one deleteRows + one merge (or fence commit), with
+    * `batchId = to` as the consumed offset — a far-behind mirror pays
+    * per same-schema run, not per version (round 15; value-identical to
+    * the per-version path, spec-pinned). The initial load
+    * (`fromExclusive < 0`) reads the snapshot AT `to` raw — the CDC
+    * diff-base convention (a pending mask surfaces at its purge version;
+    * the replica's copy of the masked rows is then deleted by value
+    * there). Crash contract unchanged: deletes no-op by value, the merge
+    * no-ops on the fence.
+    */
+  private def replicateRange(
       spark: SparkSession, producerRoot: String, replicaRoot: String,
-      keyCol: String, producerPartitionCol: String, v: Long): Unit = {
-    // v0 initial load is RAW like applyOne's — the CDC diff-base
-    // convention (a pending mask surfaces at its purge version; the
-    // replica's copy of the masked rows is then deleted by value there)
+      keyCol: String, producerPartitionCol: String,
+      fromExclusive: Long, to: Long): Unit = {
+    val v = to
     val (added0, removed0) =
-      if (v == 0)
-        (graft.core.ManifestTable.readVersionRaw(spark, producerRoot, 0L),
+      if (fromExclusive < 0)
+        (graft.core.ManifestTable.readVersionRaw(spark, producerRoot, to),
           None)
       else {
         val (a, r) = graft.core.ManifestTable.changes(
-          spark, producerRoot, v - 1, v)
+          spark, producerRoot, fromExclusive, to)
         (a, Some(r))
       }
     // the producer's partition column is its layout, not its data — the

@@ -1333,9 +1333,14 @@ object EventsStream {
       .start()
     q.awaitTermination()
     // end-of-run U8 fold (scaladoc above): collapse the per-batch lineage
-    // partitions, ts-range-clustered; no-op when ≤ 1 partition remains
+    // partitions, Z-ORDER-clustered on (ts_micros, event_id) — round 15:
+    // the plain primary-range fold kept ts pruning but smeared event_id
+    // across every output file, so st18b's non-primary range query
+    // degraded to ~all files after the fold; the Morton interleave keeps
+    // BOTH axes prunable (spec-pinned). No-op when ≤ 1 partition remains.
     graft.core.ManifestTable.optimizeRewritePartitions(
-      spark, root, "opt", foldTargetBytes)
+      spark, root, "opt", foldTargetBytes,
+      zOrderCols = Some(("ts_micros", "event_id")))
     // retention: after N micro-batches + the fold the manifest holds N+1
     // versions, each pinning the pre-fold files on disk — the unbounded
     // version debris a long-lived ingest loop accumulates. Keep a short

@@ -1144,6 +1144,38 @@ class ManifestTableSpec extends SparkSpec {
     }
   }
 
+  test("bloom index: mixed-size builds size each file's filter from its own footer row count") {
+    // r14 verdict #6: one build sized every filter by the LARGEST file's
+    // rows. Wire format is [int32 k][int32 words][words×int64], so a
+    // row's numBits is (len-8)*8 — pin that a 10-row and a 3000-row file
+    // built TOGETHER get different, own-count-derived sizes, and that
+    // the mixed sidecar still probes correctly.
+    val root = tmpDir("graft_manifest_bloom6") + "/t"
+    ManifestTable.commit(spark, root,
+      (0 until 10).map(i => (i.toLong, 0)).toDF("k", "bucket")
+        .repartition(1), "bucket", batchId = 0L)
+    ManifestTable.commit(spark, root,
+      (1000 until 4000).map(i => (i.toLong, 1)).toDF("k", "bucket")
+        .repartition(1), "bucket", batchId = 1L)
+    val s = ManifestTable.buildBloomIndex(spark, root, "k", bitsPerKey = 10)
+    assert(s.filesIndexed == 2, s"$s")
+    val side = spark.read.parquet(s"$root/_bloom/col=k")
+      .select("file", "bloom").collect()
+      .map(r => (r.getString(0),
+        (r.getAs[Array[Byte]](1).length - 8) * 8)).toMap
+    val small = side.find(_._1.startsWith("bucket=0/")).get._2
+    val big = side.find(_._1.startsWith("bucket=1/")).get._2
+    assert(small >= 100 && small < 10 * 3000,
+      s"small file over-sized by the build: $small bits")
+    assert(big >= 10 * 3000, s"big file under-sized: $big bits")
+    assert(big > small,
+      s"per-file sizing lost: small=$small big=$big")
+    // the mixed-sizing sidecar probes soundly: a key only in the small
+    // file opens only that file
+    val st = ManifestTable.deleteRows(spark, root, Seq(5L).toDF("k"), "k")
+    assert(st.get.rowsDeleted == 1L && st.get.filesScanned == 1, s"$st")
+  }
+
   test("bloom index: string keys hash through xxhash64 on both sides of the probe") {
     val root = tmpDir("graft_manifest_bloom5") + "/t"
     // four buckets of url-ish string keys; no zone maps on the key (a
@@ -1661,6 +1693,60 @@ class ManifestTableSpec extends SparkSpec {
     } finally {
       spark.conf.unset("spark.graft.manifest.keyBroadcastLimit")
       spark.conf.unset("spark.graft.manifest.bloomLiteralLimit")
+    }
+  }
+
+  test("zOrder fold: pruning survives on BOTH zone-map columns; the plain fold loses the secondary") {
+    // r14 verdict #3: the primary-range fold keeps primary pruning but
+    // smears every other column across all output files. Two tables with
+    // IDENTICAL content — k ascending, y an independent scatter — folded
+    // plain vs z-ordered; the z-ordered one must keep y prunable.
+    def build(tag: String): String = {
+      val root = tmpDir(s"graft_zfold_$tag") + "/t"
+      for (b <- 0 until 4)
+        ManifestTable.commit(spark, root,
+          (0 until 100).map { j =>
+            val i = 100 * b + j
+            (i.toLong, ((i * 37) % 400).toLong, s"b$b")
+          }.toDF("k", "y", "part").repartition(1), "part",
+          batchId = b.toLong, statsColumns = Seq("k", "y"))
+      root
+    }
+    val plain = build("plain")
+    ManifestTable.optimizeRewritePartitions(spark, plain, "opt",
+      targetBytes = 512L)
+    val zed = build("zorder")
+    val stZ = ManifestTable.optimizeRewritePartitions(spark, zed, "opt",
+      targetBytes = 512L, zOrderCols = Some(("k", "y")))
+    assert(stZ.exists(_.outputFiles > 7),
+      s"need several output files for a pruning pin: $stZ")
+    // identical content either way
+    def rowsOf(r: String): Set[(Long, Long)] =
+      ManifestTable.read(spark, r).get.select("k", "y").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(rowsOf(plain) == rowsOf(zed), "the zOrder fold changed values")
+    // the narrow secondary band y ∈ [0, 40]
+    val yPred = Seq(ManifestTable.LongRange("y", 0L, 40L))
+    val (plainY, plainTotal) = ManifestTable.prunedFilesMulti(spark, plain, yPred)
+    val (zedY, zedTotal) = ManifestTable.prunedFilesMulti(spark, zed, yPred)
+    assert(plainY.size == plainTotal,
+      s"fixture broke: the plain fold was expected to smear y " +
+        s"(${plainY.size}/$plainTotal)")
+    assert(zedY.size < zedTotal,
+      s"zOrder fold did not keep the secondary prunable: ${zedY.size}/$zedTotal")
+    // the primary keeps pruning too (rectangles, not stripes)
+    val (zedK, _) = ManifestTable.prunedFilesMulti(spark, zed,
+      Seq(ManifestTable.LongRange("k", 0L, 40L)))
+    assert(zedK.size < zedTotal,
+      s"zOrder fold lost primary pruning: ${zedK.size}/$zedTotal")
+    // pruned read + row filter stays exact
+    assert(ManifestTable.readPrunedMulti(spark, zed, yPred)
+      .filter(col("y").between(0L, 40L)).count() ==
+      rowsOf(zed).count(_._2 <= 40L))
+    // refusal: unregistered / non-long columns
+    intercept[IllegalArgumentException] {
+      ManifestTable.optimizeRewritePartitions(spark, zed, "opt2",
+        zOrderCols = Some(("k", "nope")))
     }
   }
 
