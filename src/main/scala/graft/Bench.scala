@@ -139,7 +139,7 @@ object Bench {
     // the post-takedown manifest snapshot / tombstoned postings index:
     // u9 times the snapshot read, d16 the masked search — commit + delete
     // are ingest-time artifacts
-    if (selected.exists(_._1 == "u9_takedown"))
+    if (selected.exists(n => n._1 == "u9_takedown" || n._1 == "u19_dsv2_sql"))
       try SparkEntry.u9TableDir(spark, sfDir)
       catch { case _: Throwable => () }
     if (selected.exists(_._1 == "d16_index_takedown"))

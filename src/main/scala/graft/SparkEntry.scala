@@ -1004,6 +1004,8 @@ object SparkEntry {
       // searches the tombstoned postings index (d16IndexDir) — the build
       // + delete are ingest-time artifacts, the entries time the read
       "u9_takedown", "d16_index_takedown",
+      // u19 SQL-reads the same staged u9 artifact through the DSv2 view
+      "u19_dsv2_sql",
       // u11 diffs two committed versions of the u9 artifact
       "u11_table_changes",
       // u11b replays the consumer catch-up over its own staged
@@ -2131,6 +2133,16 @@ object SparkEntry {
     "u9_takedown" -> ((s, dir) =>
       s.read.format("graft-manifest").load(u9TableDir(s, dir))
         .select("doc_id", "lang", "source", "n_chars")),
+    // u19: the DSv2 format's SQL DDL surface — the manifest table
+    // registered as a view (CREATE TEMPORARY VIEW ... USING
+    // graft-manifest) and queried in plain SQL: catalog-addressable like
+    // any Spark table, manifest-planned like the Scala API
+    "u19_dsv2_sql" -> ((s, dir) => {
+      val root = u9TableDir(s, dir)
+      s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_u19_docs " +
+        s"USING `graft-manifest` OPTIONS (path '$root')")
+      s.sql("SELECT doc_id, lang, source, n_chars FROM graft_u19_docs")
+    }),
     // u13: RESTORE undoes the takedown — the post-restore snapshot must
     // be the FULL catalog again (manifest-only undo, zero data IO)
     "u13_restore" -> ((s, dir) =>
@@ -2899,6 +2911,10 @@ object SparkEntry {
     "d16_index_takedown" -> d16OracleSql,
     // u9: the post-takedown snapshot is the filtered catalog
     "u9_takedown" ->
+      ("SELECT doc_id, lang, source, n_chars FROM documents " +
+        "WHERE doc_id % 97 <> 3"),
+    // u19: the same snapshot through the SQL-registered DSv2 view
+    "u19_dsv2_sql" ->
       ("SELECT doc_id, lang, source, n_chars FROM documents " +
         "WHERE doc_id % 97 <> 3"),
     // u13: the post-restore snapshot is the FULL catalog again

@@ -156,6 +156,29 @@ class GraftManifestSourceSpec extends SparkSpec {
     assert(ns == Set(1L, 2L), s"widened read diverged: $ns")
   }
 
+  test("SQL DDL surface: a view registered USING graft-manifest answers SQL with the same plan guarantees") {
+    val root = tmpDir("graft_dsv2_sql") + "/t"
+    for (b <- 0 until 4)
+      ManifestTable.commit(spark, root,
+        (0 until 10).map(i => (100L * b + i, s"b$b")).toDF("k", "part")
+          .repartition(1), "part", batchId = b.toLong,
+        statsCol = Some("k"))
+    ManifestTable.deleteRowsDeferred(spark, root, Seq(102L).toDF("k"), "k")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_sql_t " +
+      s"USING `graft-manifest` OPTIONS (path '$root')")
+    // values: masked snapshot, SQL-addressable
+    assert(spark.sql("SELECT count(*) FROM graft_sql_t").head.getLong(0)
+      == 39L, "the SQL view bypassed the deferred-delete mask")
+    // pushdown flows through the SQL path too
+    val q = spark.sql(
+      "SELECT k FROM graft_sql_t WHERE k BETWEEN 205 AND 208")
+    assert(q.collect().map(_.getLong(0)).toSet == (205L to 208L).toSet)
+    val scan = graftScans(q).head
+    assert(scan.chosenFiles.size == 1 && scan.totalFiles == 4,
+      s"SQL-path pushdown failed: ${scan.chosenFiles.size}/${scan.totalFiles}")
+    spark.catalog.dropTempView("graft_sql_t")
+  }
+
   test("a raw parquet read of the table root is refused by the sentinel; the format read is unaffected") {
     val root = tmpDir("graft_dsv2_guard") + "/t"
     ManifestTable.commit(spark, root,
