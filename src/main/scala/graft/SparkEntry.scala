@@ -2370,6 +2370,20 @@ object SparkEntry {
     * away already-visited → score the new ones). Parameters mirror
     * [[graft.operators.Similarity.beamSearchRun]]'s defaults literally.
     */
+  /** The adaptive band-key width as a SQL CTE (`pb.w`) — the DuckDB twin
+    * of [[graft.operators.Similarity.adaptiveBandBits]] (round 15):
+    * clamp(ceil(log2(n/128)), 4, 16) over the `v` CTE's count. Both
+    * engines compute it from the same count with the same clamps, and
+    * the only quotients that land exactly on an integer (power-of-two
+    * n/128) are FP-exact in both, so the widths can never diverge. Every
+    * banding replay that consumes it filters a 288-plane superset
+    * (18 bands × the 16-bit width cap) down to `b < 18 * w`.
+    */
+  private val adaptiveWidthCte: String =
+    "pb AS (SELECT GREATEST(4, LEAST(16, CAST(ceil(log2(GREATEST(" +
+      "CAST(c AS DOUBLE) / 128.0, 0.001))) AS INT))) AS w " +
+      "FROM (SELECT count(*) AS c FROM v)), "
+
   private def k6OracleSql: String = {
     def score(cand: String): String =
       s"SELECT c.query_id, c.id, " +
@@ -2388,13 +2402,13 @@ object SparkEntry {
         s"s$r AS (${score(s"e$r")}), " +
         s"v$r AS (SELECT * FROM v${r - 1} UNION ALL SELECT * FROM s$r), "
     "WITH v AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
-      "FROM embeddings), " +
+      "FROM embeddings), " + adaptiveWidthCte +
       "hp AS (SELECT b, d, CASE WHEN substr(md5(CAST(b AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1) < '8' " +
       "THEN 1.0 ELSE -1.0 END AS sign " +
-      "FROM generate_series(0, 71) t(b), generate_series(0, 63) u(d)), " +
+      "FROM generate_series(0, 287) t(b), generate_series(0, 63) u(d), pb WHERE b < 18 * pb.w), " +
       "bits AS (SELECT id, b, CASE WHEN sum(CAST(floor(sign * v.v[d + 1] * 10000000) AS BIGINT)) >= 0 " +
       "THEN '1' ELSE '0' END AS bit FROM v, hp GROUP BY id, b), " +
-      "bands AS (SELECT id, b // 4 AS band, string_agg(bit, '' ORDER BY b) AS bkey " +
+      "bands AS (SELECT id, b // (SELECT w FROM pb) AS band, string_agg(bit, '' ORDER BY b) AS bkey " +
       "FROM bits GROUP BY id, band), " +
       // the rank<=8 kNN graph (k5's derivation at graphK=8), made undirected
       "gcand AS (SELECT DISTINCT a.id AS query_id, bd.id FROM bands a " +
@@ -2649,11 +2663,13 @@ object SparkEntry {
   private def pageRankOracleSql(initSql: String, baseSql: String): String = {
     val edges =
       "WITH v AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM " +
-        "embeddings), hp AS (SELECT b, d, CASE WHEN substr(md5(CAST(b AS VARCHAR) || '_' || CAST(d AS " +
-        "VARCHAR)), 1, 1) < '8' THEN 1.0 ELSE -1.0 END AS sign FROM generate_series(0, 71) t(b), " +
-        "generate_series(0, 63) u(d)), bits AS (SELECT id, b, CASE WHEN sum(CAST(floor(sign * v.v[d + 1] " +
+        "embeddings), " + adaptiveWidthCte +
+        "hp AS (SELECT b, d, CASE WHEN substr(md5(CAST(b AS VARCHAR) || '_' || CAST(d AS " +
+        "VARCHAR)), 1, 1) < '8' THEN 1.0 ELSE -1.0 END AS sign FROM generate_series(0, 287) t(b), " +
+        "generate_series(0, 63) u(d), pb WHERE b < 18 * pb.w), " +
+        "bits AS (SELECT id, b, CASE WHEN sum(CAST(floor(sign * v.v[d + 1] " +
         "* 10000000) AS BIGINT)) >= 0 THEN '1' ELSE '0' END AS bit FROM v, hp GROUP BY id, b), bands AS " +
-        "(SELECT id, b // 4 AS band, string_agg(bit, '' ORDER BY b) AS bkey FROM bits GROUP BY id, " +
+        "(SELECT id, b // (SELECT w FROM pb) AS band, string_agg(bit, '' ORDER BY b) AS bkey FROM bits GROUP BY id, " +
         "band), cand AS (SELECT DISTINCT a.id AS query_id, bd.id FROM bands a JOIN bands bd ON a.band = " +
         "bd.band AND a.bkey = bd.bkey WHERE bd.id != a.id), s AS (SELECT c.query_id, c.id, " +
         "list_sum(list_transform(generate_series(1, 64), i -> av.v[i] * qv.v[i])) / " +
@@ -4504,14 +4520,20 @@ object SparkEntry {
         "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rank FROM s) " +
         "WHERE rank <= 10"),
     // k5: the k2 band replay with ALL nodes as queries — bucket-bounded
-    // pairs, cosine, per-node rank <= 5.
+    // pairs, cosine, per-node rank <= 5. Round 15: the band-key WIDTH is
+    // ADAPTIVE (pb CTE — GREATEST(4, LEAST(16, ceil(log2(n/128)))), the
+    // exact formula Similarity.adaptiveBandBits computes), so the replay
+    // stays universal: at every gate scale it resolves to the historic 4
+    // bits; at sf1+ both engines widen identically.
     "k5_knn_graph" ->
       ("WITH v AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM " +
-        "embeddings), hp AS (SELECT b, d, CASE WHEN substr(md5(CAST(b AS VARCHAR) || '_' || CAST(d AS " +
-        "VARCHAR)), 1, 1) < '8' THEN 1.0 ELSE -1.0 END AS sign FROM generate_series(0, 71) t(b), " +
-        "generate_series(0, 63) u(d)), bits AS (SELECT id, b, CASE WHEN sum(CAST(floor(sign * v.v[d + 1] " +
+        "embeddings), " + adaptiveWidthCte +
+        "hp AS (SELECT b, d, CASE WHEN substr(md5(CAST(b AS VARCHAR) || '_' || CAST(d AS " +
+        "VARCHAR)), 1, 1) < '8' THEN 1.0 ELSE -1.0 END AS sign FROM generate_series(0, 287) t(b), " +
+        "generate_series(0, 63) u(d), pb WHERE b < 18 * pb.w), " +
+        "bits AS (SELECT id, b, CASE WHEN sum(CAST(floor(sign * v.v[d + 1] " +
         "* 10000000) AS BIGINT)) >= 0 THEN '1' ELSE '0' END AS bit FROM v, hp GROUP BY id, b), bands AS " +
-        "(SELECT id, b // 4 AS band, string_agg(bit, '' ORDER BY b) AS bkey FROM bits GROUP BY id, " +
+        "(SELECT id, b // (SELECT w FROM pb) AS band, string_agg(bit, '' ORDER BY b) AS bkey FROM bits GROUP BY id, " +
         "band), cand AS (SELECT DISTINCT a.id AS query_id, bd.id FROM bands a JOIN bands bd ON a.band = " +
         "bd.band AND a.bkey = bd.bkey WHERE bd.id != a.id), s AS (SELECT c.query_id, c.id, " +
         "list_sum(list_transform(generate_series(1, 64), i -> av.v[i] * qv.v[i])) / " +

@@ -858,14 +858,41 @@ object Similarity {
     * graph nodes) — recall/edge-count trades via (bits, bands) exactly as
     * in the query-time ANN.
     */
+  /** Scale-adaptive band-key WIDTH (bits per band) for the kNN-graph
+    * banding: `clamp(ceil(log2(n / targetOccupancy)), 4, 16)` — keeps
+    * EXPECTED BUCKET OCCUPANCY roughly constant as the corpus grows. The
+    * round-15 sf1 anchor measured why this matters: fixed 4-bit keys (16
+    * buckets/band) put the average bucket at n/16, so candidate volume
+    * grows quadratically until every bucket crosses the sub-salt cap and
+    * then linearly with a cap-sized constant (k5 3.5 → 375 s at 10×).
+    * Width ∝ log n restores the sf0.1 occupancy at any scale. At every
+    * gated/spec scale (n ≤ 2048) the clamp resolves to 4 — banding,
+    * values, oracles and bench floors are bit-identical to the fixed
+    * parameterization there (spec-pinned); the oracle SQL computes the
+    * same width from count(*) so the replay stays universal. Capped at
+    * 16 (65,536 buckets/band ≈ 8M vectors at occupancy 128; beyond that
+    * raise the occupancy target — per-band recall decays with width).
+    */
+  private[graft] def adaptiveBandBits(
+      n: Long, targetOccupancy: Long = 128L): Int = {
+    val q = math.max(1L, n).toDouble / targetOccupancy.toDouble
+    math.min(16, math.max(4,
+      math.ceil(math.log(q) / math.log(2.0)).toInt))
+  }
+
   def knnGraph(
       embeddings: DataFrame,
       k: Int = 5,
-      bits: Int = 72,
+      bits: Int = 0,
       bands: Int = 18,
       dim: Int = 64,
       bucketCap: Int = Dedup.DefaultBucketCap): DataFrame = {
     val v = asVectors(embeddings)
+    // bits = 0 (the default) resolves the band-key width ADAPTIVELY from
+    // the corpus count — see [[adaptiveBandBits]]; an explicit bits value
+    // pins the banding (the pre-round-15 fixed behavior)
+    val resolvedBits =
+      if (bits == 0) bands * adaptiveBandBits(v.count()) else bits
     // (measured: checkpointing the banding to undo the self-join's subtree
     // duplication saves only ~5% at sf0.1 — the cost is the Σ bucket²
     // candidate volume + distinct, which (bits, bands) tune directly — so
@@ -878,7 +905,8 @@ object Similarity {
     // so its top-k neighbors are as good as the uncapped ones whenever
     // cap > k (cosine ties aside).
     knnGraphFromBanded(
-      Dedup.capBuckets(Dedup.signBands(v, bits, bands, dim), bucketCap), v, k)
+      Dedup.capBuckets(
+        Dedup.signBands(v, resolvedBits, bands, dim), bucketCap), v, k)
   }
 
   /** [[knnGraph]]'s pair-generation + scoring + ranking over an ALREADY
@@ -942,7 +970,7 @@ object Similarity {
       rounds: Int = 2,
       seedBands: Int = 3,
       graphK: Int = 8,
-      bits: Int = 72,
+      bits: Int = 0,
       bands: Int = 18,
       dim: Int = 64,
       graph: Option[DataFrame] = None): DataFrame =
@@ -961,7 +989,7 @@ object Similarity {
       rounds: Int = 2,
       seedBands: Int = 3,
       graphK: Int = 8,
-      bits: Int = 72,
+      bits: Int = 0,
       bands: Int = 18,
       dim: Int = 64,
       graph: Option[DataFrame] = None): (DataFrame, Long) = {
@@ -970,12 +998,18 @@ object Similarity {
       "beamWidth and seedBands must be positive (seedBands <= bands)")
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val v = asVectors(embeddings)
+    // bits = 0 → adaptive band-key width (see [[adaptiveBandBits]]) for
+    // BOTH the inline graph and the LSH seeding, resolved once so the
+    // two always share one banding parameterization
+    val resolvedBits =
+      if (bits == 0) bands * adaptiveBandBits(v.count()) else bits
     // UNDIRECTED adjacency: out-edges plus reversed in-edges. The kNN graph
     // is directed (each node knows ITS k nearest), but search wants "who is
     // near x" in both directions — x's neighbor lists and the nodes that
     // chose x. HNSW keeps back-links for exactly this reason; without them
     // a low-in-degree region is unreachable.
-    val out = graph.getOrElse(knnGraph(embeddings, graphK, bits, bands, dim))
+    val out = graph
+      .getOrElse(knnGraph(embeddings, graphK, resolvedBits, bands, dim))
       .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
     val g = out.unionByName(
       out.select(col("dst").as("src"), col("src").as("dst")))
@@ -986,7 +1020,7 @@ object Similarity {
       cosineCols(cand.join(v, "id").join(q, "query_id"))
         .select(col("query_id"), col("id"), col("cos"))
     // entry points: bucket collisions in the first seedBands bands only
-    val banded = Dedup.signBands(v, bits, bands, dim)
+    val banded = Dedup.signBands(v, resolvedBits, bands, dim)
       .filter(col("band") < seedBands)
     val qb = broadcast(
       banded.filter(col("id").isin(queryIds: _*))

@@ -126,6 +126,24 @@ class SimilaritySpec extends SparkSpec {
       "per-node graph edges diverge from the query-time ANN for the same nodes")
   }
 
+  test("adaptive band width: clamps at gate scales (bit-identical graph), widens with log n") {
+    // the round-15 sf1 anchor fix: 4-bit band keys made k5 superlinear
+    // at 20k vectors. The adaptive width must (a) resolve to the historic
+    // 4 bits at EVERY gated/spec scale so banding, oracles and floors are
+    // unchanged there, and (b) grow with log2(n/128) above.
+    assert(Similarity.adaptiveBandBits(1L) == 4)
+    assert(Similarity.adaptiveBandBits(128L) == 4)
+    assert(Similarity.adaptiveBandBits(2048L) == 4, "boundary: 2048/128 = 16")
+    assert(Similarity.adaptiveBandBits(2049L) == 5)
+    assert(Similarity.adaptiveBandBits(20000L) == 8, "the sf1 corpus")
+    assert(Similarity.adaptiveBandBits(1L << 40) == 16, "width cap")
+    // at fixture scale the adaptive default IS the fixed 72/18 banding
+    val adaptive = Similarity.knnGraph(emb, k = 5)
+    val fixed = Similarity.knnGraph(emb, k = 5, bits = 72)
+    assert(adaptive.exceptAll(fixed).isEmpty && fixed.exceptAll(adaptive).isEmpty,
+      "adaptive default diverged from the fixed banding at gate scale")
+  }
+
   test("IVF Lloyd training does not lose recall vs the untrained index") {
     // measured at sf0.01 over 30 queries so the comparison is out of the
     // small-sample noise floor (3 queries at sf0.001 swing ±0.1 either
