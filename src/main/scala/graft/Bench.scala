@@ -142,6 +142,9 @@ object Bench {
     if (selected.exists(n => n._1 == "u9_takedown" || n._1 == "u19_dsv2_sql"))
       try SparkEntry.u9TableDir(spark, sfDir)
       catch { case _: Throwable => () }
+    if (selected.exists(_._1 == "u20_dsv2_write"))
+      try SparkEntry.u20TableDir(spark, sfDir)
+      catch { case _: Throwable => () }
     if (selected.exists(_._1 == "d16_index_takedown"))
       try SparkEntry.d16IndexDir(spark, sfDir)
       catch { case _: Throwable => () }

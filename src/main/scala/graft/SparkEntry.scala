@@ -625,6 +625,40 @@ object SparkEntry {
       root
     })
 
+  private val dsv2WriteTableMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** u20's artifact: a manifest table whose content arrives THROUGH the
+    * DSv2 WRITE path — created by one Scala-API commit (partitioning +
+    * zone-map registration are creation-time decisions), then two
+    * `df.write.format("graft-manifest").mode("append")` batches under
+    * explicit batch-id fences, then a REDELIVERED batch id carrying
+    * garbage rows that must no-op (the values gate proves the fence: an
+    * applied redelivery would corrupt the oracle). The gated read is the
+    * final snapshot — so the gate proves the executor-side parquet
+    * write, the staged-file publish, the fence and the read-back in one
+    * key.
+    */
+  def u20TableDir(s: SparkSession, dir: String): String =
+    dsv2WriteTableMemo.computeIfAbsent((s, dir), _ => {
+      val root = graft.core.TempDirs.create("graft_u20_dsv2w") + "/t"
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+        .withColumn("bucket", pmod(col("doc_id"), lit(8)).cast("int"))
+      graft.core.ManifestTable.commit(s, root,
+        docs.filter(col("doc_id") % 3 === 0), "bucket", batchId = 0L,
+        statsCol = Some("doc_id"))
+      docs.filter(col("doc_id") % 3 === 1)
+        .write.format("graft-manifest").mode("append")
+        .option("batchId", "1").option("statsColumns", "doc_id").save(root)
+      docs.filter(col("doc_id") % 3 === 2)
+        .write.format("graft-manifest").mode("append")
+        .option("batchId", "2").option("statsColumns", "doc_id").save(root)
+      docs.limit(5).withColumn("lang", lit("GARBAGE"))
+        .write.format("graft-manifest").mode("append")
+        .option("batchId", "2").save(root) // redelivery: fence no-op
+      root
+    })
+
   private val evolutionTableMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
@@ -1006,6 +1040,8 @@ object SparkEntry {
       "u9_takedown", "d16_index_takedown",
       // u19 SQL-reads the same staged u9 artifact through the DSv2 view
       "u19_dsv2_sql",
+      // u20 reads the DSv2-written staged table (u20TableDir)
+      "u20_dsv2_write",
       // u11 diffs two committed versions of the u9 artifact
       "u11_table_changes",
       // u11b replays the consumer catch-up over its own staged
@@ -2143,6 +2179,13 @@ object SparkEntry {
         s"USING `graft-manifest` OPTIONS (path '$root')")
       s.sql("SELECT doc_id, lang, source, n_chars FROM graft_u19_docs")
     }),
+    // u20: the DSv2 WRITE path — content ingested through
+    // df.write.format("graft-manifest") under batch-id fences (a
+    // redelivered batch carrying garbage must no-op, which the values
+    // prove); the gated read is the final snapshot
+    "u20_dsv2_write" -> ((s, dir) =>
+      s.read.format("graft-manifest").load(u20TableDir(s, dir))
+        .select("doc_id", "lang")),
     // u13: RESTORE undoes the takedown — the post-restore snapshot must
     // be the FULL catalog again (manifest-only undo, zero data IO)
     "u13_restore" -> ((s, dir) =>
@@ -2933,6 +2976,9 @@ object SparkEntry {
     "u19_dsv2_sql" ->
       ("SELECT doc_id, lang, source, n_chars FROM documents " +
         "WHERE doc_id % 97 <> 3"),
+    // u20: the DSv2-written table is the whole catalog — the redelivered
+    // garbage batch no-oped on the fence, so nothing else may appear
+    "u20_dsv2_write" -> "SELECT doc_id, lang FROM documents",
     // u13: the post-restore snapshot is the FULL catalog again
     "u13_restore" ->
       "SELECT doc_id, lang, source, n_chars FROM documents",

@@ -1884,6 +1884,118 @@ object ManifestTable {
       spark: SparkSession, root: String, version: Long): Option[String] =
     readManifestLines(spark, root, version).schema.map(_.json)
 
+  /** Publish side of the DSv2 WRITE path
+    * ([[graft.sources.GraftManifestSource]]): executors have already
+    * written `staged` parquet files (one per (task, partition-value)
+    * pair, commit-private names); this moves each under its partition
+    * dir with a version-prefixed never-colliding name, records zone-map
+    * stats from the new FOOTERS, evolves the recorded schema additively,
+    * and publishes through the same OCC loop every verb uses.
+    *
+    *  - APPEND (`truncate = false`): carried = every current line — a
+    *    pure file addition composes with ANY concurrent writer (a racing
+    *    merge protects itself via its own ConcurrentAppend witness; a
+    *    racing fold aborts itself on the table change), so the retry
+    *    never conflicts;
+    *  - TRUNCATE (`truncate = true`, the DSv2 overwrite): the new files
+    *    REPLACE the whole table — whole-table conflict semantics like
+    *    [[restore]] (any concurrent change aborts loudly);
+    *  - `batchId` None = auto (current fence + 1 — plain df.write has no
+    *    replay identity); Some(id) = the exactly-once fence (a
+    *    redelivered id ≤ the committed fence no-ops and the staged files
+    *    fall to [[vacuum]], standard loser semantics).
+    *
+    * Returns the committed (or fence-skipped) version.
+    */
+  private[graft] def appendStagedFiles(
+      spark: SparkSession,
+      root: String,
+      staged: Seq[(String, Path)],
+      batchId: Option[Long],
+      statsColumns: Seq[String],
+      dataSchema: org.apache.spark.sql.types.StructType,
+      truncate: Boolean): Long = {
+    val rootPath = new Path(root)
+    val f = fs(spark, rootPath)
+    var prev = currentVersion(spark, root)
+    var prevState =
+      if (prev < 0) None else Some(readManifestLines(spark, root, prev))
+    def fenced(st: Option[ManifestState]): Boolean =
+      batchId.exists(b => st.exists(b <= _.batch))
+    if (fenced(prevState)) return prev // staged files are vacuum debris
+    def effStatsFor(prevStats: Seq[(String, String)]): Seq[(String, String)] = {
+      val asked = statsColumns.distinct.map { c =>
+        val field = dataSchema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"zone-map column '$c' absent from the written frame"))
+        field.dataType match {
+          case org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.IntegerType => (c, "long")
+          case org.apache.spark.sql.types.StringType => (c, "string")
+          case other => throw new IllegalArgumentException(
+            s"zone-map column '$c' has unsupported type $other")
+        }
+      }
+      (asked, prevStats) match {
+        case (Nil, p) => p
+        case (a, Nil) => a
+        case (a, p) =>
+          require(a.startsWith(p),
+            s"zone-map column mismatch: table has " +
+              s"'${p.map(x => x._1 + ":" + x._2).mkString(",")}', write " +
+              s"passed '${a.map(x => x._1 + ":" + x._2).mkString(",")}' — " +
+              "only appending new columns is allowed")
+          a
+      }
+    }
+    var effStats = effStatsFor(prevState.map(_.statsCols).getOrElse(Nil))
+    // truncate keeps the ADDITIVE schema contract too: replaced rows may
+    // narrow, the recorded schema never does (a column delete is a
+    // rewrite job, not a write mode — the commit() rule, unchanged here)
+    def mergedSchemaFor(st: Option[ManifestState]) = evolveSchema(
+      st.flatMap(s => recordedOrInferredSchema(spark, root, s)), dataSchema)
+    var mergedSchema = mergedSchemaFor(prevState)
+    var next = prev + 1
+    val newFiles = staged.map { case (partName, src) =>
+      require(!partName.contains('|'),
+        s"partition value '$partName' contains '|' (the manifest stats " +
+          "delimiter)")
+      val dest = new Path(rootPath, partName)
+      f.mkdirs(dest)
+      val name = s"v$next-${src.getName}"
+      if (!f.rename(src, new Path(dest, name)))
+        throw new IllegalStateException(
+          s"could not stage written file $src -> $dest/$name")
+      s"$partName/$name"
+    }
+    val myLines = statLines(spark, rootPath, newFiles, effStats)
+    val baseLines = prevState.map(_.lines.toSet).getOrElse(Set.empty)
+    while (true) {
+      val carried: Seq[String] =
+        if (truncate) Nil else prevState.map(_.lines).getOrElse(Nil)
+      val effBatch = batchId.getOrElse(
+        prevState.map(_.batch).getOrElse(-1L) + 1)
+      if (publishManifest(spark, root, next,
+        manifestHeader(next, effBatch, effStats, Some(mergedSchema)),
+        carried ++ myLines)) return next
+      val cur = currentVersion(spark, root)
+      val curState = readManifestLines(spark, root, cur)
+      if (fenced(Some(curState))) return cur // idempotent skip
+      if (truncate && curState.lines.toSet != baseLines)
+        throw new java.util.ConcurrentModificationException(
+          s"overwrite-write under $root lost its publish race to a " +
+            "writer that changed the table — an overwrite declares the " +
+            "entire state; re-run against the current snapshot (staged " +
+            "files are unreferenced and vacuum-swept)")
+      prev = cur
+      prevState = Some(curState)
+      effStats = effStatsFor(curState.statsCols)
+      mergedSchema = mergedSchemaFor(prevState)
+      next = cur + 1
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Planning surface for the DSv2 `graft-manifest` scan
     * ([[graft.sources.GraftManifestSource]]): one committed version's
     * live lines, stats registration and recorded schema (legacy tables

@@ -179,6 +179,64 @@ class GraftManifestSourceSpec extends SparkSpec {
     spark.catalog.dropTempView("graft_sql_t")
   }
 
+  test("DSv2 write: append lands through the manifest (fence, zone maps, OCC), overwrite truncates") {
+    import org.apache.spark.sql.SaveMode
+    val root = tmpDir("graft_dsv2_write") + "/t"
+    // creation stays with the Scala API (partitioning + registration are
+    // creation-time decisions); writes refuse on an uncommitted root
+    intercept[Exception] {
+      Seq((1L, "b0")).toDF("k", "part").write.format("graft-manifest")
+        .mode(SaveMode.Append).save(root)
+    }
+    ManifestTable.commit(spark, root,
+      (0 until 10).map(i => (i.toLong, "b0")).toDF("k", "part"),
+      "part", batchId = 0L, statsCol = Some("k"))
+    // APPEND through the format: new partition, fence advances, zone
+    // maps recorded from the new footers
+    (100 until 110).map(i => (i.toLong, "b1")).toDF("k", "part")
+      .repartition(1)
+      .write.format("graft-manifest").mode(SaveMode.Append)
+      .option("batchId", "1").option("statsColumns", "k")
+      .save(root)
+    assert(ManifestTable.read(spark, root).get.count() == 20L)
+    assert(ManifestTable.lastBatch(spark, root) == 1L)
+    val (pruned, total) = ManifestTable.prunedFiles(spark, root, "k", 100L, 105L)
+    assert(pruned.size < total,
+      s"the written files carry no zone maps: $pruned of $total")
+    // the fence: a REDELIVERED batch id no-ops (exactly-once writers)
+    (500 until 510).map(i => (i.toLong, "b9")).toDF("k", "part")
+      .write.format("graft-manifest").mode(SaveMode.Append)
+      .option("batchId", "1").save(root)
+    assert(ManifestTable.read(spark, root).get.count() == 20L,
+      "a redelivered write batch re-applied")
+    // round-trip: format write → format read ≡ the input
+    val got = fmt(root).select("k").collect().map(_.getLong(0)).toSet
+    assert(got == ((0 until 10) ++ (100 until 110)).map(_.toLong).toSet)
+    // append to an EXISTING partition adds files, never replaces
+    (10 until 15).map(i => (i.toLong, "b0")).toDF("k", "part")
+      .write.format("graft-manifest").mode(SaveMode.Append)
+      .option("batchId", "2").save(root)
+    assert(fmt(root).filter(col("part") === "b0").count() == 15L,
+      "an append replaced the partition's existing rows")
+    // OVERWRITE = truncate: the table becomes exactly the written frame
+    (0 until 7).map(i => (1000L + i, "fresh")).toDF("k", "part")
+      .write.format("graft-manifest").mode(SaveMode.Overwrite)
+      .option("batchId", "3").save(root)
+    assert(fmt(root).count() == 7L)
+    assert(fmt(root).select("part").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("fresh"))
+    // pre-overwrite snapshots still time-travel until vacuum
+    assert(ManifestTable.readVersion(spark, root,
+      ManifestTable.currentVersion(spark, root) - 1).count() == 25L)
+    assert(ManifestTable.fsck(spark, root).ok)
+    // null partition values refuse loudly
+    intercept[Exception] {
+      Seq((1L, null.asInstanceOf[String])).toDF("k", "part")
+        .write.format("graft-manifest").mode(SaveMode.Append)
+        .option("batchId", "9").save(root)
+    }
+  }
+
   test("a raw parquet read of the table root is refused by the sentinel; the format read is unaffected") {
     val root = tmpDir("graft_dsv2_guard") + "/t"
     ManifestTable.commit(spark, root,
