@@ -2177,7 +2177,12 @@ object SparkEntry {
       val root = u9TableDir(s, dir)
       s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_u19_docs " +
         s"USING `graft-manifest` OPTIONS (path '$root')")
-      s.sql("SELECT doc_id, lang, source, n_chars FROM graft_u19_docs")
+      val df = s.sql("SELECT doc_id, lang, source, n_chars FROM graft_u19_docs")
+      // sql() analyzes eagerly, so the resolved frame survives the drop —
+      // and the session catalog stays clean (c1 lists tables; a leaked
+      // temp view would off-by-one its oracle)
+      s.catalog.dropTempView("graft_u19_docs")
+      df
     }),
     // u20: the DSv2 WRITE path — content ingested through
     // df.write.format("graft-manifest") under batch-id fences (a
