@@ -663,32 +663,13 @@ object ManifestTable {
       s".v$version-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = f.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    if (Option(f.getUri.getScheme).forall(_ == "file")) {
-      // local FS: FileContext's rename is check-then-rename (RawLocal
-      // implements Rename.NONE non-atomically), so two truly concurrent
-      // writers could both observe the slot free and one published
-      // manifest would be silently overwritten — a lost commit. POSIX
-      // link(2) IS atomic no-overwrite: hard-link the tmp into the slot
-      // (EEXIST ⇒ loser), then drop the tmp name. This makes the tested
-      // environment carry the same arbiter contract HDFS gives the
-      // FileContext path below.
-      val tgt = java.nio.file.Paths.get(f.makeQualified(target).toUri)
-      val src = java.nio.file.Paths.get(f.makeQualified(tmp).toUri)
-      try {
-        java.nio.file.Files.createLink(tgt, src)
-        f.delete(tmp, false)
-        ensureSentinel(f, root)
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          f.delete(tmp, false); false
-      }
-    } else {
+    // the FileContext arbiter: atomic rename-if-absent on HDFS; the slot
+    // where an object store plugs its conditional put
+    def renameArbiter(): Boolean = {
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(
         f.getUri, spark.sparkContext.hadoopConfiguration)
       try {
         fc.rename(f.makeQualified(tmp), f.makeQualified(target))
-        ensureSentinel(f, root)
         true
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
@@ -700,6 +681,45 @@ object ManifestTable {
           f.delete(tmp, false); false
       }
     }
+    val won =
+      if (Option(f.getUri.getScheme).forall(_ == "file")) {
+        // local FS: FileContext's rename is check-then-rename (RawLocal
+        // implements Rename.NONE non-atomically), so two truly concurrent
+        // writers could both observe the slot free and one published
+        // manifest would be silently overwritten — a lost commit. POSIX
+        // link(2) IS atomic no-overwrite: hard-link the tmp into the slot
+        // (EEXIST ⇒ loser), then drop the tmp name — the same arbiter
+        // contract HDFS gives the FileContext path.
+        val tgt = java.nio.file.Paths.get(f.makeQualified(target).toUri)
+        val src = java.nio.file.Paths.get(f.makeQualified(tmp).toUri)
+        try {
+          java.nio.file.Files.createLink(tgt, src)
+          f.delete(tmp, false)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            f.delete(tmp, false); false
+          case _: java.nio.file.FileSystemException if f.exists(target) =>
+            // the slot is occupied however the FS spelled it: a loss
+            f.delete(tmp, false); false
+          case _: UnsupportedOperationException |
+               _: java.nio.file.FileSystemException =>
+            // a file:-mounted FS without hard links (FAT/exFAT media,
+            // some FUSE/bind mounts): fall back to the rename arbiter —
+            // its narrower atomicity beats refusing every commit
+            renameArbiter()
+        }
+      } else renameArbiter()
+    // the sentinel is best-effort bookkeeping and must NEVER influence
+    // the win/lose verdict: planting it inside the arbiter's try turned
+    // a transient post-publish IOException into a reported LOSS, and an
+    // unfenced caller would then re-publish its lines on top of its own
+    // committed version — duplicated rows (review finding, round 15)
+    if (won) {
+      try ensureSentinel(f, root)
+      catch { case _: java.io.IOException => () }
+    }
+    won
   }
 
   final case class OptimizeStats(
@@ -1939,6 +1959,13 @@ object ManifestTable {
       (asked, prevStats) match {
         case (Nil, p) => p
         case (a, Nil) => a
+        case (a, p) if p.startsWith(a) =>
+          // the caller asked for a PREFIX of the table's registration
+          // (e.g. it predates a column another writer registered): the
+          // registration is a TABLE property — record stats for all of
+          // it (footers cover whatever columns the files hold; absent
+          // ones get conservative empty fields)
+          p
         case (a, p) =>
           require(a.startsWith(p),
             s"zone-map column mismatch: table has " +
@@ -1968,9 +1995,19 @@ object ManifestTable {
           s"could not stage written file $src -> $dest/$name")
       s"$partName/$name"
     }
-    val myLines = statLines(spark, rootPath, newFiles, effStats)
+    // the lines are a function of the CURRENT stats registration — a
+    // retry that adopts a winner's additively-extended registration must
+    // re-derive them (footers are still there), or the new files would
+    // permanently lack the new column's zone maps (review finding,
+    // round 15)
+    var linesStats = effStats
+    var myLines = statLines(spark, rootPath, newFiles, effStats)
     val baseLines = prevState.map(_.lines.toSet).getOrElse(Set.empty)
     while (true) {
+      if (effStats != linesStats) {
+        linesStats = effStats
+        myLines = statLines(spark, rootPath, newFiles, effStats)
+      }
       val carried: Seq[String] =
         if (truncate) Nil else prevState.map(_.lines).getOrElse(Nil)
       val effBatch = batchId.getOrElse(

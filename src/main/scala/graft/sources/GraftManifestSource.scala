@@ -119,6 +119,26 @@ object GraftManifestSource {
   private[sources] val SupportedTypes: Set[DataType] = Set(
     LongType, IntegerType, DoubleType, FloatType, BooleanType,
     StringType, BinaryType, TimestampType, DateType)
+
+  /** The session's Hadoop configuration as serializable (key, value)
+    * pairs — a bare `new Configuration()` on the executors would drop
+    * every `spark.hadoop.*` setting (object-store credentials, custom
+    * fs impls), so the scan would plan on the driver but fail on the
+    * executors for any non-local table root (review finding, round 15).
+    */
+  private[sources] def confProps(spark: SparkSession): Array[(String, String)] = {
+    val it = spark.sparkContext.hadoopConfiguration.iterator()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+    buf.toArray
+  }
+
+  private[sources] def confFrom(
+      props: Array[(String, String)]): org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    props.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
 }
 
 /** One committed version of a manifest table as a DSv2 [[Table]]. All
@@ -235,7 +255,12 @@ class GraftManifestScanBuilder(table: GraftManifestTable)
     if (longLo(c) > longHi(c)) provablyEmpty = true
   }
 
-  private def narrowEq(c: String, vs: Set[Any]): Unit =
+  private def narrowEq(c: String, vs0: Set[Any]): Unit = {
+    // null elements never match (SQL: x IN (..., NULL) is never TRUE for
+    // a non-matching x and NULL for the rest) — drop them; an all-null
+    // set provably matches nothing
+    val vs = vs0.filter(_ != null)
+    if (vs.isEmpty) { provablyEmpty = true; return }
     statsType.get(c) match {
       case Some("long") if vs.forall(_.isInstanceOf[Number]) =>
         val ls = vs.map(_.asInstanceOf[Number].longValue())
@@ -248,22 +273,14 @@ class GraftManifestScanBuilder(table: GraftManifestTable)
         if (stringEq(c).isEmpty) provablyEmpty = true
       case _ => ()
     }
-
-  private def narrowPart(vs: Set[Any]): Unit = {
-    val norm = vs.map(_.toString)
-    partKeep = Some(partKeep.map(_.intersect(norm)).getOrElse(norm))
-    if (partKeep.exists(_.isEmpty)) provablyEmpty = true
   }
 
-  private def partMatches(dirValue: String): Boolean = partKeep match {
-    case None => true
-    case Some(keep) => table.partitionType match {
-      case IntegerType | LongType =>
-        scala.util.Try(dirValue.trim.toLong).toOption
-          .exists(dv => keep.exists(k =>
-            scala.util.Try(k.trim.toLong).toOption.contains(dv)))
-      case _ => keep.contains(dirValue)
-    }
+  private def narrowPart(vs: Set[Any]): Unit = {
+    // null never matches a partition directory value (and .toString on it
+    // would NPE a plan that is valid on every other source)
+    val norm = vs.filter(_ != null).map(_.toString)
+    partKeep = Some(partKeep.map(_.intersect(norm)).getOrElse(norm))
+    if (partKeep.exists(_.isEmpty)) provablyEmpty = true
   }
 
   /** True iff the filter narrowed file selection (it is then REPORTED as
@@ -453,7 +470,8 @@ class GraftManifestScan(
         }.toArray
     new GraftReaderFactory(
       table.root, required, table.dataSchema,
-      table.partitionCol, table.partitionType, masks)
+      table.partitionCol, table.partitionType, masks,
+      GraftManifestSource.confProps(spark))
   }
 }
 
@@ -463,13 +481,14 @@ class GraftReaderFactory(
     dataSchema: StructType,
     partitionCol: Option[String],
     partitionType: DataType,
-    masks: Array[(String, Boolean, Set[Any])])
+    masks: Array[(String, Boolean, Set[Any])],
+    confProps: Array[(String, String)])
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(
       root, partition.asInstanceOf[GraftFilesPartition].files,
-      required, dataSchema, partitionCol, partitionType, masks)
+      required, dataSchema, partitionCol, partitionType, masks, confProps)
 }
 
 /** Executor-side reader: parquet-mr example Groups → InternalRows over
@@ -486,7 +505,8 @@ class GraftPartitionReader(
     dataSchema: StructType,
     partitionCol: Option[String],
     partitionType: DataType,
-    masks: Array[(String, Boolean, Set[Any])])
+    masks: Array[(String, Boolean, Set[Any])],
+    confProps: Array[(String, String)])
     extends PartitionReader[InternalRow] {
 
   import org.apache.parquet.example.data.Group
@@ -494,7 +514,7 @@ class GraftPartitionReader(
   import org.apache.parquet.hadoop.example.GroupReadSupport
 
   @transient private lazy val conf =
-    new org.apache.hadoop.conf.Configuration()
+    GraftManifestSource.confFrom(confProps)
 
   // parquet-side columns: required data columns ∪ mask columns
   private val neededData: Seq[StructField] =
@@ -504,6 +524,12 @@ class GraftPartitionReader(
       dataSchema.fields.find(_.name == c)
     }.filterNot(f => neededData.exists(_.name == f.name))
   private val parquetCols: Seq[StructField] = neededData ++ maskCols
+  // mask hot-loop state, resolved ONCE (a per-row dataSchema.find would
+  // allocate and linear-scan per mask per row — review finding, round 15)
+  private val maskFields: Array[(StructField, Boolean, Set[Any])] =
+    masks.flatMap { case (c, isString, keys) =>
+      dataSchema.fields.find(_.name == c).map(f => (f, isString, keys))
+    }
 
   private val requiredPartIdx: Int =
     partitionCol.map(pc => required.fieldNames.indexOf(pc)).getOrElse(-1)
@@ -530,41 +556,39 @@ class GraftPartitionReader(
     val (rel, dirValue, _) = files(fileIdx)
     partValue = typedPartValue(dirValue)
     val p = new Path(root, rel)
-    if (parquetCols.isEmpty) {
-      countOnly = true
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
-      val fr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try emitRemaining = fr.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+    // ONE footer read serves schema and row count both (a second open
+    // per file doubles per-file latency on object stores — review
+    // finding, round 15); ParquetReader's own internal footer read is
+    // the only other one
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+    val fr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val (fileSchema, rowCount) =
+      try (fr.getFooter.getFileMetaData.getSchema,
+        fr.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
       finally fr.close()
+    val keep =
+      if (parquetCols.isEmpty) Nil
+      else parquetCols.map(_.name).filter(fileSchema.containsField)
+    if (keep.isEmpty) {
+      // no parquet column needed (bare COUNT / partition-only select), or
+      // an old file that predates every needed column (all-null rows
+      // either way): emit by footer count, no data page decodes
+      countOnly = true
+      emitRemaining = rowCount
     } else {
       countOnly = false
       // per-file projection: only columns the FILE has (older files
       // null-fill evolved columns), typed as the file declares them
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
-      val fr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      val fileSchema =
-        try fr.getFooter.getFileMetaData.getSchema finally fr.close()
-      val keep = parquetCols.map(_.name).filter(fileSchema.containsField)
       val readConf = new org.apache.hadoop.conf.Configuration(conf)
-      if (keep.nonEmpty) {
-        val fields = keep.map(n =>
-          fileSchema.getType(fileSchema.getFieldIndex(n)))
-        val projection = new org.apache.parquet.schema.MessageType(
-          fileSchema.getName, fields.asJava)
-        readConf.set(
-          org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
-          projection.toString)
-        reader = ParquetReader.builder(new GroupReadSupport(), p)
-          .withConf(readConf).build()
-      } else {
-        // none of the needed columns exist in this old file: every row is
-        // all-null for them — emit by footer count
-        countOnly = true
-        val in2 = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
-        val fr2 = org.apache.parquet.hadoop.ParquetFileReader.open(in2)
-        try emitRemaining = fr2.getFooter.getBlocks.asScala.map(_.getRowCount).sum
-        finally fr2.close()
-      }
+      val fields = keep.map(n =>
+        fileSchema.getType(fileSchema.getFieldIndex(n)))
+      val projection = new org.apache.parquet.schema.MessageType(
+        fileSchema.getName, fields.asJava)
+      readConf.set(
+        org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+        projection.toString)
+      reader = ParquetReader.builder(new GroupReadSupport(), p)
+        .withConf(readConf).build()
     }
     true
   }
@@ -609,17 +633,18 @@ class GraftPartitionReader(
     }
   }
 
-  private def maskedOut(g: Group): Boolean =
-    masks.exists { case (c, isString, keys) =>
-      val f = dataSchema.fields.find(_.name == c)
-      f.exists { field =>
-        val v = extract(g, field)
-        v != null && {
-          if (isString) keys.contains(v.toString)
-          else keys.contains(v)
-        }
-      }
+  private def maskedOut(g: Group): Boolean = {
+    var i = 0
+    while (i < maskFields.length) {
+      val (field, isString, keys) = maskFields(i)
+      val v = extract(g, field)
+      if (v != null &&
+        (if (isString) keys.contains(v.toString) else keys.contains(v)))
+        return true
+      i += 1
     }
+    false
+  }
 
   override def next(): Boolean = {
     while (true) {
@@ -726,7 +751,8 @@ class GraftWrite(
   override def createBatchWriterFactory(
       physInfo: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DataWriterFactory =
-    new GraftWriterFactory(stagingDir, writeSchema, pc, partIdx)
+    new GraftWriterFactory(stagingDir, writeSchema, pc, partIdx,
+      GraftManifestSource.confProps(spark))
 
   override def commit(
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
@@ -765,14 +791,15 @@ class GraftWriterFactory(
     stagingDir: String,
     schema: StructType,
     partitionCol: String,
-    partIdx: Int)
+    partIdx: Int,
+    confProps: Array[(String, String)])
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
 
   override def createWriter(
       partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new GraftDataWriter(stagingDir, schema, partitionCol, partIdx,
-      partitionId, taskId)
+      partitionId, taskId, confProps)
 }
 
 /** Executor-side writer: one parquet file per (task, partition-value)
@@ -786,7 +813,8 @@ class GraftDataWriter(
     partitionCol: String,
     partIdx: Int,
     partitionId: Int,
-    taskId: Long)
+    taskId: Long,
+    confProps: Array[(String, String)])
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
 
   import org.apache.parquet.example.data.Group
@@ -796,7 +824,7 @@ class GraftDataWriter(
   import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
 
   @transient private lazy val conf =
-    new org.apache.hadoop.conf.Configuration()
+    GraftManifestSource.confFrom(confProps)
 
   private val dataFields: Array[StructField] =
     schema.fields.filter(_.name != partitionCol)

@@ -85,6 +85,12 @@ class GraftManifestSourceSpec extends SparkSpec {
     // a contradictory range is provably empty: zero files planned
     val qe = fmt(root).filter(col("k") > 50L && col("k") < 40L)
     assert(qe.isEmpty && graftScans(qe).head.chosenFiles.isEmpty)
+    // a null element in an IN list must not crash the pushdown (null
+    // never matches; the non-null subset still prunes)
+    val qn = fmt(root).filter(col("part").isin("b2", null))
+    assert(qn.count() == 10L)
+    val qkn = fmt(root).filter(col("k").isin(105L, null))
+    assert(qkn.select("k").collect().map(_.getLong(0)).toSeq == Seq(105L))
   }
 
   test("bloom pushdown narrows past the zone envelope on equality keys") {
