@@ -2510,12 +2510,20 @@ object SparkEntry {
         s"v$r AS (SELECT * FROM v${r - 1} UNION ALL SELECT * FROM s$r), "
     "WITH v AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
       s"FROM embeddings$corpusWhere), " +
+      // the adaptive band-key width (HierarchicalIndex.layerBits at l=0),
+      // computed from the UNRESTRICTED corpus count: the engine builds the
+      // pyramid over the full table and the d17 takedown replays from the
+      // STORED (build-time) width — so the survivor oracle's width anchors
+      // to the build corpus, not the survivor count
+      "pb AS (SELECT GREATEST(4, LEAST(16, CAST(ceil(log2(GREATEST(" +
+      "CAST(c AS DOUBLE) / 128.0, 0.001))) AS INT))) AS w " +
+      "FROM (SELECT count(*) AS c FROM embeddings)), " +
       "hp AS (SELECT b, d, CASE WHEN substr(md5(CAST(b AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1) < '8' " +
       "THEN 1.0 ELSE -1.0 END AS sign " +
-      "FROM generate_series(0, 71) t(b), generate_series(0, 63) u(d)), " +
+      "FROM generate_series(0, 287) t(b), generate_series(0, 63) u(d), pb WHERE b < 18 * pb.w), " +
       "bits AS (SELECT id, b, CASE WHEN sum(CAST(floor(sign * v.v[d + 1] * 10000000) AS BIGINT)) >= 0 " +
       "THEN '1' ELSE '0' END AS bit FROM v, hp GROUP BY id, b), " +
-      "bands AS (SELECT id, b // 4 AS band, string_agg(bit, '' ORDER BY b) AS bkey " +
+      "bands AS (SELECT id, b // (SELECT w FROM pb) AS band, string_agg(bit, '' ORDER BY b) AS bkey " +
       "FROM bits GROUP BY id, band), " +
       "gcand AS (SELECT DISTINCT a.id AS query_id, bd.id FROM bands a " +
       "JOIN bands bd ON a.band = bd.band AND a.bkey = bd.bkey WHERE bd.id != a.id), " +

@@ -67,6 +67,27 @@ object HierarchicalIndex {
   /** Graph-relation bucket count (pmod(src)) — the manifest rewrite unit. */
   val GraphBuckets = 32
 
+  /** Scale-adaptive band-key width for layer `l` of the pyramid — the
+    * [[Similarity.adaptiveBandBits]] law applied per layer: layer l holds
+    * an expected n·16⁻ˡ members (the md5 level draw's geometry), so its
+    * width derives from `n >> 4l`, keeping every layer's expected bucket
+    * occupancy constant as the corpus grows. This closed the round-15 sf1
+    * scale finding: FIXED 4-bit keys put the sf1 base layer at ~1250
+    * members/bucket — over [[Dedup.DefaultBucketCap]], so every delete hit
+    * a build-salted over-cap bucket and refused after a full detection
+    * burn; width 8 (the law at n=20k) restores ~78/bucket and the verbs
+    * stay O(neighborhood). An explicit nonzero `bits` pins the width at
+    * every layer (the pre-round-16 fixed behavior). Pure in (bits, bands,
+    * n, l) — the SQL oracles replay it from count(*) alone, and
+    * [[absorb]]/[[searchInlineRun]] re-derive it from the persisted
+    * (`bits`, `width_count`) meta so incremental maintenance bands deltas
+    * bit-identically to the build.
+    */
+  private[operators] def layerBits(
+      bits: Int, bands: Int, n: Long, l: Int): Int =
+    if (bits != 0) bits
+    else bands * Similarity.adaptiveBandBits(math.max(1L, n >> (4 * l)))
+
   /** Deterministic level draw: leading-'0' count of md5(id), capped. */
   private def levelCol(maxLevel: Int) =
     expr(
@@ -79,6 +100,19 @@ object HierarchicalIndex {
     * layer (a [[graft.core.ManifestTable]] bucketed by pmod(src) — the
     * absorb rewrite unit), and the immutable hyperparameters (the K13
     * meta discipline). Build commits as batch 0 of the manifest fence.
+    *
+    * `bits = 0` (the default) resolves each layer's band-key width
+    * ADAPTIVELY via [[layerBits]] from `widthCount` — the corpus size the
+    * width law is anchored to. It defaults to the build corpus's own
+    * count; a streaming bootstrap whose batch 0 is a FRACTION of the
+    * corpus it will eventually absorb (st20) passes the full target count
+    * instead, so the streamed pyramid's stored width equals the one a
+    * batch build over the whole corpus persists (the numBuckets-at-create
+    * discipline of any bucketed table). The resolved law's inputs persist
+    * in meta (`bits` raw, `width_count`) and every later verb re-derives
+    * the same widths from them — so the exactness contracts of [[absorb]]
+    * and [[delete]] are "≡ a rebuild AT THE STORED PARAMS", which at any
+    * fixed width is also a rebuild at that corpus size's own width.
     */
   def build(
       corpus: DataFrame,
@@ -86,20 +120,26 @@ object HierarchicalIndex {
       maxLevel: Int = 1,
       graphK: Int = 16,
       graphKUpper: Int = 8,
-      bits: Int = 72,
+      bits: Int = 0,
       bands: Int = 18,
       dim: Int = 64,
-      bucketCap: Int = Dedup.DefaultBucketCap): Unit = {
+      bucketCap: Int = Dedup.DefaultBucketCap,
+      widthCount: Long = 0L): Unit = {
     require(maxLevel >= 1, "need at least one coarse layer")
     val spark = corpus.sparkSession
     val v = Similarity.asVectors(corpus)
+    val n = if (widthCount > 0L) widthCount
+      else if (bits != 0) 0L // fixed width: the law never consults n
+      else v.count()
     val levels = v.select(col("id"), levelCol(maxLevel)).localCheckpoint(true)
     levels.write.mode("overwrite").parquet(s"$path/levels/batch=base")
     for (l <- 0 until maxLevel) {
       val members = levels.filter(col("level") >= l).select("id")
       val kk = if (l == 0) graphK else graphKUpper
       val vL = v.join(members, Seq("id")).localCheckpoint(true)
-      val banded = Dedup.signBands(vL, bits, bands, dim).localCheckpoint(true)
+      val banded = Dedup
+        .signBands(vL, layerBits(bits, bands, n, l), bands, dim)
+        .localCheckpoint(true)
       banded.write.mode("overwrite").parquet(s"$path/bands/level=$l/batch=base")
       graft.core.ManifestTable.commit(spark, s"$path/graph/level=$l",
         Similarity.knnGraphFromBanded(Dedup.capBuckets(banded, bucketCap), vL, kk)
@@ -109,9 +149,9 @@ object HierarchicalIndex {
         "bucket", batchId = 0L)
     }
     import spark.implicits._
-    Seq((maxLevel, graphK, graphKUpper, bits, bands, dim, bucketCap))
+    Seq((maxLevel, graphK, graphKUpper, bits, bands, dim, bucketCap, n))
       .toDF("max_level", "graph_k", "graph_k_upper", "bits", "bands", "dim",
-        "bucket_cap")
+        "bucket_cap", "width_count")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -135,12 +175,18 @@ object HierarchicalIndex {
       batchId: Long): Unit = {
     require(batchId >= 1, "absorb batch ids start at 1 (build is batch 0)")
     graft.functions.GraftFunctions.register(spark)
-    val meta = spark.read.parquet(s"$path/meta").head()
+    val metaDf = spark.read.parquet(s"$path/meta")
+    val meta = metaDf.head()
     val maxLevel = meta.getAs[Int]("max_level")
     val bits = meta.getAs[Int]("bits")
     val nBands = meta.getAs[Int]("bands")
     val dim = meta.getAs[Int]("dim")
     val bucketCap = meta.getAs[Int]("bucket_cap")
+    // pre-round-16 artifacts carry no width_count — their bits was always
+    // an explicit fixed width, which the law reproduces with n = 0
+    val widthCount =
+      if (metaDf.schema.fieldNames.contains("width_count"))
+        meta.getAs[Long]("width_count") else 0L
     if (graft.core.ManifestTable.lastBatch(
         spark, s"$path/graph/level=0") >= batchId) return // redelivery
     val v = Similarity.asVectors(corpus).localCheckpoint(true)
@@ -156,7 +202,8 @@ object HierarchicalIndex {
       val membersDelta = deltaLevels.filter(col("level") >= l).select("id")
       if (!membersDelta.isEmpty) {
         val deltaBand = Dedup.signBands(
-          deltaV.join(membersDelta, Seq("id")), bits, nBands, dim)
+          deltaV.join(membersDelta, Seq("id")),
+          layerBits(bits, nBands, widthCount, l), nBands, dim)
           .localCheckpoint(true)
         deltaBand.write.mode("overwrite")
           .parquet(s"$path/bands/level=$l/batch=b$batchId")
@@ -520,7 +567,7 @@ object HierarchicalIndex {
       maxLevel: Int = 1,
       graphK: Int = 16,
       graphKUpper: Int = 8,
-      bits: Int = 72,
+      bits: Int = 0,
       bands: Int = 18,
       dim: Int = 64,
       entryK: Int = 8,
@@ -528,13 +575,17 @@ object HierarchicalIndex {
       rounds: Int = 2): (DataFrame, Long) = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val v = Similarity.asVectors(embeddings)
+    // the SAME width law as [[build]] (n anchored to the full corpus, per
+    // layer n >> 4l) — NOT knnGraph's own bits=0 resolution, which would
+    // consult each layer's actual member count instead
+    val n = if (bits != 0) 0L else v.count()
     val levels = v.select(col("id"), levelCol(maxLevel)).localCheckpoint(true)
     def graphAt(l: Int): DataFrame = {
       val members = levels.filter(col("level") >= l).select("id")
       val kk = if (l == 0) graphK else graphKUpper
       val out = Similarity.knnGraph(
         embeddings.join(members, embeddings("vec_id") === members("id")).drop("id"),
-        kk, bits, bands, dim)
+        kk, layerBits(bits, bands, n, l), bands, dim)
         .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
       out.unionByName(out.select(col("dst").as("src"), col("src").as("dst")))
     }

@@ -1249,7 +1249,13 @@ object EventsStream {
       .queryName(queryName)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
         if (bid == 0L)
-          graft.operators.HierarchicalIndex.build(batch, index)
+          // batch 0 is a FRACTION of the corpus this loop will absorb —
+          // anchor the adaptive band-key width to the full target count
+          // (HierarchicalIndex.build's widthCount contract) so the
+          // streamed pyramid's stored width equals the batch build's and
+          // the shared k18 oracle replays it from count(*) at any scale
+          graft.operators.HierarchicalIndex.build(
+            batch, index, widthCount = corpus.count())
         else
           graft.operators.HierarchicalIndex.absorb(
             batch.sparkSession, index, corpus, batch, bid)

@@ -229,6 +229,47 @@ class HierarchicalIndexSpec extends SparkSpec {
       s"refusal must name the rebuild trigger: ${ex.getMessage}")
   }
 
+  test("adaptive band width: the layer law, meta persistence, and fixed-width identity at spec scale") {
+    // the per-layer law: n >> 4l geometric decay, Similarity clamps [4,16]
+    assert(HierarchicalIndex.layerBits(0, 18, 200L, 0) == 18 * 4)
+    assert(HierarchicalIndex.layerBits(0, 18, 20000L, 0) == 18 * 8,
+      "the sf1 corpus resolves to width 8 (the round-15 scale fix)")
+    assert(HierarchicalIndex.layerBits(0, 18, 20000L, 1) == 18 * 4,
+      "layer 1 anchors to n/16 — expected occupancy constant per layer")
+    assert(HierarchicalIndex.layerBits(72, 18, 20000L, 0) == 72,
+      "an explicit bits pins every layer")
+    // at spec scale (n <= 2048) the adaptive default IS the fixed 72/18
+    // parameterization — graphs, meta width, and searches bit-identical
+    val ad = tmpDir("graft_hier_ad")
+    val fx = tmpDir("graft_hier_fx")
+    HierarchicalIndex.build(emb, ad)
+    HierarchicalIndex.build(emb, fx, bits = 72)
+    assert(graphRows(ad, 0) == graphRows(fx, 0),
+      "adaptive-at-clamp diverged from the fixed 72-bit build")
+    assert(spark.read.parquet(s"$ad/meta").head().getAs[Long]("width_count")
+      == emb.count(), "meta must persist the width anchor count")
+  }
+
+  test("absorb bands its delta at the STORED width (rebuild-at-stored-params contract)") {
+    // widthCount=5000 forces width 6 (108 bits) — NOT what either corpus
+    // count resolves to, so this passes only if absorb re-derives the
+    // width from meta instead of re-banding at its own scale's width
+    val base = emb.filter(col("vec_id") < 160)
+    val delta = emb.filter(col("vec_id") >= 160)
+    val inc = tmpDir("graft_hier_wc_inc")
+    HierarchicalIndex.build(base, inc, widthCount = 5000L)
+    HierarchicalIndex.absorb(spark, inc, emb, delta, batchId = 1L)
+    val full = tmpDir("graft_hier_wc_full")
+    HierarchicalIndex.build(emb, full, widthCount = 5000L)
+    assert(graphRows(inc, 0) == graphRows(full, 0),
+      "absorb at a hinted width diverged from the rebuild at that width")
+    val qids = Seq(0L, 1L, 2L)
+    val (ri, bi) = HierarchicalIndex.searchRun(spark, inc, emb, qids, 10)
+    val (rf, bf) = HierarchicalIndex.searchRun(spark, full, emb, qids, 10)
+    assert(bi == bf && ri.exceptAll(rf).isEmpty && rf.exceptAll(ri).isEmpty,
+      "hinted-width search diverged between absorbed and rebuilt pyramids")
+  }
+
   test("absorb refuses past the bucket cap with the rebuild instruction") {
     // three identical vectors share every band bucket: with cap=2 the
     // delta's twins push their bucket to 3 > cap — exact mergeability is
