@@ -1722,11 +1722,21 @@ object ManifestTable {
             k => call_function("graft_bloom_contains", col("bloom"), k)))
         .select("file").collect().map(_.getString(0)).toSeq
     } else {
-      // join twin: blooms stream ONCE (never replicated per key); the
-      // key frame rides the join's own distribution. A file with any
-      // possibly-present key survives; files without a sidecar row keep
-      // conservatively.
-      val probed = side.crossJoin(hintedKeys(spark, keysHashed, nKeys))
+      // join twin: every key must probe every bloom (a bloom is a bitset,
+      // not a joinable key), so the plan is a bounded cartesian. Under
+      // [[keyBroadcastLimit]] the key frame broadcasts and blooms stream
+      // ONCE; above it the cross join replicates the bloom side once per
+      // KEY PARTITION — so the key frame is explicitly coalesced to
+      // ceil(nKeys / 1M) partitions, bounding bloom re-reads at a few
+      // even for backfill-sized lists (an unbounded upstream partitioning
+      // would replicate the sidecar hundreds of times — ADVICE,
+      // round 15). A file with any possibly-present key survives; files
+      // without a sidecar row keep conservatively.
+      val keysSide =
+        if (nKeys <= keyBroadcastLimit(spark)) broadcast(keysHashed)
+        else keysHashed.repartition(
+          math.max(1L, math.min(64L, nKeys / 1000000L + 1L)).toInt)
+      val probed = side.crossJoin(keysSide)
         .filter(call_function(
           "graft_bloom_contains", col("bloom"), col("__bk")))
         .select("file").distinct()
@@ -1908,7 +1918,9 @@ object ManifestTable {
     * ([[graft.sources.GraftManifestSource]]): executors have already
     * written `staged` parquet files (one per (task, partition-value)
     * pair, commit-private names); this moves each under its partition
-    * dir with a version-prefixed never-colliding name, records zone-map
+    * dir with a version+commit-UUID-prefixed never-colliding name (the
+    * UUID makes names unique across concurrent APPLICATIONS, not just
+    * tasks of one), records zone-map
     * stats from the new FOOTERS, evolves the recorded schema additively,
     * and publishes through the same OCC loop every verb uses.
     *
@@ -1983,13 +1995,20 @@ object ManifestTable {
       st.flatMap(s => recordedOrInferredSchema(spark, root, s)), dataSchema)
     var mergedSchema = mergedSchemaFor(prevState)
     var next = prev + 1
+    // a per-commit UUID in the destination names: v$next + (partitionId,
+    // taskId) is unique only WITHIN one Spark application — two concurrent
+    // applications appending can compute the same next and identical
+    // task-local names, and the second rename would throw after some files
+    // already moved, breaking the "pure file addition composes with ANY
+    // concurrent writer" contract (ADVICE, round 15)
+    val commitTag = java.util.UUID.randomUUID().toString.take(8)
     val newFiles = staged.map { case (partName, src) =>
       require(!partName.contains('|'),
         s"partition value '$partName' contains '|' (the manifest stats " +
           "delimiter)")
       val dest = new Path(rootPath, partName)
       f.mkdirs(dest)
-      val name = s"v$next-${src.getName}"
+      val name = s"v$next-$commitTag-${src.getName}"
       if (!f.rename(src, new Path(dest, name)))
         throw new IllegalStateException(
           s"could not stage written file $src -> $dest/$name")

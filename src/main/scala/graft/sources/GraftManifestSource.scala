@@ -102,15 +102,73 @@ object GraftManifestSource {
   }
 
   /** The partition-column type [[ManifestTable.read]]'s basePath
-    * inference would produce on the same directories, reduced to the
-    * shapes this format writes: all-int values read as int, all-long as
-    * long, anything else as string — so the DSv2 frame is value- and
-    * type-identical to the Scala read path (spec-pinned).
+    * inference would produce on the same directories (Spark's
+    * partition-value inference precedence: int → long → decimal → double
+    * → timestamp → date → string; any string-typed value makes the
+    * RESOLVED column string), restricted to the shapes this format
+    * supports: int, long, date and string columns read type-identically
+    * to the Scala path (spec-pinned); values Spark would resolve as
+    * DOUBLE / DECIMAL / TIMESTAMP refuse loudly at plan time — silently
+    * reading them as string would contradict the value-and-type-identity
+    * contract (ADVICE, round 15), and those partition-value shapes are
+    * not ones the format's own write paths produce.
     */
-  private[sources] def inferPartitionType(values: Seq[String]): DataType =
-    if (values.forall(v => scala.util.Try(v.trim.toInt).isSuccess)) IntegerType
-    else if (values.forall(v => scala.util.Try(v.trim.toLong).isSuccess)) LongType
-    else StringType
+  private[sources] def inferPartitionType(values: Seq[String]): DataType = {
+    // one value's inferred type, mirroring Spark's per-value precedence
+    // (Integer.parseInt / Long.parseLong semantics exactly — no trim:
+    // Spark does not trim, so ' 1' is a string there and must be here)
+    def inferOne(raw: String): DataType = {
+      import scala.util.Try
+      if (Try(Integer.parseInt(raw)).isSuccess) IntegerType
+      else if (Try(java.lang.Long.parseLong(raw)).isSuccess) LongType
+      else if (Try {
+        val d = new java.math.BigDecimal(raw)
+        require(d.scale <= 0 && d.precision <= 38)
+      }.isSuccess) DecimalType(38, 0)
+      else if (Try(java.lang.Double.parseDouble(raw)).isSuccess) DoubleType
+      else {
+        val un = unescape(raw)
+        // timestamp shapes run BEFORE date in Spark's precedence; a
+        // date-only string fails the timestamp formatter and lands DATE
+        val ts = "^\\d{4}-\\d{1,2}-\\d{1,2}[ T]\\d{1,2}:\\d{2}(:\\d{2}(\\.\\d+)?)?$".r
+        val dt = "^\\d{4}-\\d{1,2}-\\d{1,2}$".r
+        if (ts.findFirstIn(un).isDefined &&
+          Try(java.sql.Timestamp.valueOf(un.replace('T', ' '))).isSuccess)
+          TimestampType
+        else if (dt.findFirstIn(un).isDefined && Try {
+          val p = un.split('-'); java.time.LocalDate.of(
+            p(0).toInt, p(1).toInt, p(2).toInt)
+        }.isSuccess) DateType
+        else StringType
+      }
+    }
+    val ts = values.map(inferOne).distinct
+    val resolved =
+      if (ts.isEmpty) StringType
+      else if (ts.size == 1) ts.head
+      else if (ts.contains(StringType)) StringType
+      else if (ts.toSet == Set(IntegerType, LongType)) LongType
+      else StringType // mixed exotic shapes resolve to string in Spark too
+    resolved match {
+      case IntegerType | LongType | StringType | DateType => resolved
+      case other => throw new IllegalArgumentException(
+        s"graft-manifest: partition values would infer as " +
+          s"${other.simpleString} under Spark's partition-type inference " +
+          "(e.g. '" + values.find(v => inferOne(v) == other).getOrElse("") +
+          "') — the format supports int, long, date and string partition " +
+          "values; read via ManifestTable.read or re-partition the table")
+    }
+  }
+
+  /** Days-since-epoch for a date-typed partition directory value — the
+    * internal representation [[org.apache.spark.sql.types.DateType]]
+    * columns carry.
+    */
+  private[sources] def dateDays(dirValue: String): Int = {
+    val p = dirValue.split('-')
+    java.time.LocalDate.of(p(0).toInt, p(1).toInt, p(2).toInt)
+      .toEpochDay.toInt
+  }
 
   private[sources] def unescape(v: String): String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
@@ -218,6 +276,13 @@ class GraftManifestTable(
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
+    // a time-traveled handle resolves its partition column and stats from
+    // the OLD snapshot but would publish against the current head — plan
+    // state from one version, commit against another. Refuse.
+    require(versionAsOf.isEmpty,
+      s"graft-manifest write: cannot write through a time-traveled handle " +
+        s"(versionAsOf=${versionAsOf.get}) — load the table without " +
+        "versionAsOf to write")
     require(tableExists,
       s"graft-manifest write needs a committed table under $root — " +
         "create it with ManifestTable.commit (partitioning and zone-map " +
@@ -405,6 +470,14 @@ class GraftManifestScan(
         scala.util.Try(dirValue.trim.toLong).toOption
           .exists(dv => keep.exists(k =>
             scala.util.Try(k.trim.toLong).toOption.contains(dv)))
+      case DateType =>
+        // canonical comparison in days: the filter value renders as
+        // java.sql.Date/LocalDate toString ("2024-01-01"), the directory
+        // may spell components with or without zero padding
+        scala.util.Try(GraftManifestSource.dateDays(dirValue)).toOption
+          .exists(dv => keep.exists(k =>
+            scala.util.Try(GraftManifestSource.dateDays(k)).toOption
+              .contains(dv)))
       case _ => keep.contains(dirValue)
     }
   }
@@ -546,6 +619,7 @@ class GraftPartitionReader(
   private def typedPartValue(dirValue: String): Any = partitionType match {
     case IntegerType => dirValue.trim.toInt
     case LongType => dirValue.trim.toLong
+    case DateType => GraftManifestSource.dateDays(dirValue)
     case _ => UTF8String.fromString(dirValue)
   }
 

@@ -243,6 +243,59 @@ class GraftManifestSourceSpec extends SparkSpec {
     }
   }
 
+  test("date-partitioned tables read type-identically to the Scala path; unsupported inferred shapes refuse") {
+    val root = tmpDir("graft_dsv2_date") + "/t"
+    ManifestTable.commit(spark, root,
+      (0 until 12).map(i => (i.toLong, java.sql.Date.valueOf(
+        f"2024-01-${i % 3 + 1}%02d"))).toDF("k", "d"),
+      "d", batchId = 0L)
+    // the Scala path infers DateType via basePath — the DSv2 schema must
+    // match it exactly (ADVICE, round 15: it said string here before)
+    sameFrame(fmt(root), ManifestTable.read(spark, root).get, "date parts")
+    // date-equality partition pruning
+    val q = fmt(root).filter(col("d") === lit(java.sql.Date.valueOf("2024-01-02")))
+    assert(q.count() == 4L)
+    val scan = graftScans(q).head
+    assert(scan.chosenFiles.nonEmpty &&
+      scan.chosenFiles.forall(_.startsWith("d=2024-01-02/")),
+      s"date partition pruning failed: ${scan.chosenFiles}")
+    // inference unit pins: the per-shape law and the loud refusals
+    assert(GraftManifestSource.inferPartitionType(Seq("1", "2")) ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(GraftManifestSource.inferPartitionType(Seq("1", "9999999999")) ==
+      org.apache.spark.sql.types.LongType)
+    assert(GraftManifestSource.inferPartitionType(Seq("2024-01-01")) ==
+      org.apache.spark.sql.types.DateType)
+    assert(GraftManifestSource.inferPartitionType(Seq("2024-01-01", "x")) ==
+      org.apache.spark.sql.types.StringType,
+      "any string-typed value resolves the column to string (Spark parity)")
+    for (bad <- Seq(Seq("1.5"), Seq("2024-01-01 12%3A00%3A00"),
+        Seq("99999999999999999999999999999999999999"),
+        // Double.parseDouble trims where Integer.parseInt does not, so
+        // Spark infers ' 1' as DOUBLE — we must refuse it, not string it
+        Seq(" 1"))) {
+      val ex = intercept[IllegalArgumentException] {
+        GraftManifestSource.inferPartitionType(bad)
+      }
+      assert(ex.getMessage.contains("ManifestTable.read"), s"$bad: $ex")
+    }
+  }
+
+  test("a write through a time-traveled handle refuses") {
+    import org.apache.spark.sql.SaveMode
+    val root = tmpDir("graft_dsv2_ttw") + "/t"
+    ManifestTable.commit(spark, root,
+      Seq((1L, "b0")).toDF("k", "part"), "part", batchId = 0L)
+    ManifestTable.commit(spark, root,
+      Seq((2L, "b1")).toDF("k", "part"), "part", batchId = 1L)
+    val ex = intercept[Exception] {
+      Seq((3L, "b2")).toDF("k", "part").write.format("graft-manifest")
+        .option("versionAsOf", "0").mode(SaveMode.Append).save(root)
+    }
+    assert(ex.getMessage.contains("time-traveled"),
+      s"expected the time-travel write refusal, got: ${ex.getMessage}")
+  }
+
   test("a raw parquet read of the table root is refused by the sentinel; the format read is unaffected") {
     val root = tmpDir("graft_dsv2_guard") + "/t"
     ManifestTable.commit(spark, root,
