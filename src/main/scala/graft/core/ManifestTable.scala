@@ -576,28 +576,19 @@ object ManifestTable {
     (parts.toList, newFiles.toList)
   }
 
-  /** Manifest lines for freshly-staged files: exact per-file (min, max)
-    * for the registered zone-map columns straight from the parquet FOOTERS
-    * the write just produced — metadata-only reads (the a22/a25 footer
-    * discipline), no data scan. A column whose footer carries no usable
-    * stats gets empty fields (readers keep the file conservatively); a
-    * file with no stats at all gets a bare line. The single-long-column
-    * case keeps the original U5 line and header format byte-for-byte.
+  /** Manifest lines for freshly-staged files: the `%#bytes:rows` file
+    * meta plus exact per-file (min, max) for the registered zone-map
+    * columns, all straight from the parquet FOOTERS the write just
+    * produced — metadata-only reads (the a22/a25 footer discipline), no
+    * data scan. A column whose footer carries no usable stats gets empty
+    * fields (readers keep the file conservatively).
     */
   private def statLines(
       spark: SparkSession,
       rootPath: Path,
       newFiles: Seq[String],
       effStats: Seq[(String, String)]): Seq[String] =
-    if (effStats.isEmpty) newFiles
-    else newFiles.map { rel =>
-      val stats = footerStatsAll(spark, new Path(rootPath, rel), effStats)
-      if (stats.forall(_.isEmpty)) rel
-      else rel + stats.map {
-        case Some((mn, mx)) => s"|$mn|$mx"
-        case None => "||"
-      }.mkString
-    }
+    newFiles.map(rel => dataFileLine(spark, rootPath, rel, effStats))
 
   private def manifestHeader(
       version: Long, batchId: Long, statsCols: Seq[(String, String)],
@@ -856,7 +847,10 @@ object ManifestTable {
     val myOutput = scala.collection.mutable.Map[String, Seq[String]]()
     val stats = toCompact.toSeq.sortBy(_._1).map { case (partName, ls) =>
       val rels = ls.map(_.split('|')(0))
-      val bytes = rels.map(r => f.getFileStatus(new Path(rootPath, r)).getLen).sum
+      // sizing from the manifest's own file meta; status-probe fallback
+      // only for pre-meta carried lines
+      val bytes = ls.map(l => lineFileMeta(l).map(_._1).getOrElse(
+        f.getFileStatus(new Path(rootPath, splitLine(l)._1)).getLen)).sum
       val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
       // read the live files DIRECTLY (no basePath: data columns only —
       // the partition value lives in the directory name, as commit wrote
@@ -883,15 +877,7 @@ object ManifestTable {
           throw new IllegalStateException(
             s"could not stage compacted file ${df0.getPath} -> $dest/$name")
         val rel = s"$partName/$name"
-        outLines += (if (statsCols.isEmpty) rel
-        else {
-          val fst = footerStatsAll(spark, new Path(rootPath, rel), statsCols)
-          if (fst.forall(_.isEmpty)) rel
-          else rel + fst.map {
-            case Some((mn, mx)) => s"|$mn|$mx"
-            case None => "||"
-          }.mkString
-        })
+        outLines += dataFileLine(spark, rootPath, rel, statsCols)
         }
       }
       myOutput(partName) = outLines.toList
@@ -1013,6 +999,61 @@ object ManifestTable {
     out.toArray
   }
 
+  /** Parse one manifest line into (path, optional file meta, stats
+    * fields). Round 16: freshly-written lines carry a self-describing
+    * `%#<bytes>:<rows>` FILE-META field right after the path, so scan
+    * planning (DSv2 `estimateStatistics`, bin packing) and maintenance
+    * sizing ([[optimize]]/[[optimizeRewritePartitions]], bloom tiers)
+    * need ZERO per-file filesystem calls beyond the one manifest read —
+    * at 10⁵ files on an object store the per-file `getFileStatus` probe
+    * was minutes of plan time. Carried pre-round-16 lines have no meta
+    * (readers fall back to the status probe), so mixed manifests parse
+    * uniformly. The `%#` tag is UNAMBIGUOUS against every legal stats
+    * field: [[encStat]] output never has a non-hex character after '%',
+    * and long stats are decimal — neither can begin `%#`.
+    */
+  private def splitLine(
+      l: String): (String, Option[(Long, Long)], Array[String]) = {
+    val parts = l.split('|')
+    val meta =
+      if (parts.length >= 2 && parts(1).startsWith("%#"))
+        parts(1).drop(2).split(':') match {
+          case Array(b, r) => scala.util.Try((b.toLong, r.toLong)).toOption
+          case _ => None
+        }
+      else None
+    meta match {
+      case Some(m) => (parts(0), Some(m), parts.drop(2))
+      case None => (parts(0), None, parts.drop(1))
+    }
+  }
+
+  /** The (bytes, rows) a manifest line records for its file, when the
+    * line is new enough to carry them.
+    */
+  private[graft] def lineFileMeta(l: String): Option[(Long, Long)] =
+    splitLine(l)._2
+
+  /** One data-file manifest line: path, the `%#bytes:rows` file meta
+    * (straight from the footer open this call performs anyway), and the
+    * registered columns' zone-map stats. The SINGLE line producer — every
+    * verb that lands files ([[commit]], [[appendStagedFiles]], the
+    * optimize folds) derives its lines here, so the format cannot drift
+    * between writers.
+    */
+  private def dataFileLine(
+      spark: SparkSession, rootPath: Path, rel: String,
+      cols: Seq[(String, String)]): String = {
+    val (len, rows, stats) =
+      footerLineInfo(spark, new Path(rootPath, rel), cols)
+    val meta = s"|%#$len:$rows"
+    if (stats.forall(_.isEmpty)) rel + meta
+    else rel + meta + stats.map {
+      case Some((mn, mx)) => s"|$mn|$mx"
+      case None => "||"
+    }.mkString
+  }
+
   /** Exact per-column (min, max) of the registered zone-map columns from
     * one parquet FOOTER — metadata-only, one footer read for all columns.
     * A column is None when absent, mistyped, or any row group lacks stats
@@ -1022,14 +1063,25 @@ object ManifestTable {
     */
   private def footerStatsAll(
       spark: SparkSession, file: Path,
-      cols: Seq[(String, String)]): Seq[Option[(String, String)]] = {
+      cols: Seq[(String, String)]): Seq[Option[(String, String)]] =
+    footerLineInfo(spark, file, cols)._3
+
+  /** [[footerStatsAll]] plus the file's byte length and row count — one
+    * footer open serves all three (the length rides the `HadoopInputFile`
+    * status the open performs anyway).
+    */
+  private def footerLineInfo(
+      spark: SparkSession, file: Path,
+      cols: Seq[(String, String)])
+      : (Long, Long, Seq[Option[(String, String)]]) = {
     import scala.jdk.CollectionConverters._
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
       .fromPath(file, spark.sparkContext.hadoopConfiguration)
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toList
-      cols.map { case (name, typ) =>
+      val rows = blocks.map(_.getRowCount).sum
+      val stats = cols.map { case (name, typ) =>
         val perBlock: List[Option[Either[(Long, Long), (Array[Byte], Array[Byte])]]] =
           blocks.map { b =>
             b.getColumns.asScala
@@ -1060,6 +1112,7 @@ object ManifestTable {
               encStat(bins.map(_._2).max(byteOrdering))))
         }
       }
+      (in.getLength, rows, stats)
     } finally reader.close()
   }
 
@@ -1129,13 +1182,13 @@ object ManifestTable {
       preds: Seq[ZonePred]): Seq[String] = {
     val idx = statsCols.map(_._1).zipWithIndex.toMap
     lines.flatMap { l =>
-      val parts = l.split('|').padTo(1 + 2 * statsCols.length, "")
-      val path = parts(0)
-      val keep = l.indexOf('|') < 0 || preds.forall { pr =>
+      val (path, _, sf) = splitLine(l)
+      val parts = sf.padTo(2 * statsCols.length, "")
+      val keep = sf.isEmpty || preds.forall { pr =>
         idx.get(pr.column) match {
           case None => true // unregistered here: conservative keep
           case Some(i) =>
-            val (mnS, mxS) = (parts(1 + 2 * i), parts(2 + 2 * i))
+            val (mnS, mxS) = (parts(2 * i), parts(2 * i + 1))
             if (mnS.isEmpty || mxS.isEmpty) true // no stats: conservative keep
             else pr match {
               case LongRange(_, lo, hi) => mxS.toLong >= lo && mnS.toLong <= hi
@@ -1255,7 +1308,8 @@ object ManifestTable {
     val partitionCol = parts.head.takeWhile(_ != '=')
     val newPartName = s"$partitionCol=${escapedPartValue(newValue)}"
     val rels = lines.map(_.split('|')(0))
-    val bytes = rels.map(r => f.getFileStatus(new Path(rootPath, r)).getLen).sum
+    val bytes = lines.map(l => lineFileMeta(l).map(_._1).getOrElse(
+      f.getFileStatus(new Path(rootPath, splitLine(l)._1)).getLen)).sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     var next = v + 1
     val stage = new Path(rootPath,
@@ -1276,8 +1330,8 @@ object ManifestTable {
     def colBounds(c: String): (Long, Long) = {
       val i = statsCols.map(_._1).indexOf(c)
       val vals = lines.map { l =>
-        val p = l.split('|').padTo(1 + 2 * statsCols.length, "")
-        (p(1 + 2 * i), p(2 + 2 * i))
+        val p = splitLine(l)._3.padTo(2 * statsCols.length, "")
+        (p(2 * i), p(2 * i + 1))
       }
       if (vals.nonEmpty && vals.forall(x => x._1.nonEmpty && x._2.nonEmpty))
         (vals.map(_._1.toLong).min, vals.map(_._2.toLong).max)
@@ -1327,15 +1381,7 @@ object ManifestTable {
         throw new IllegalStateException(
           s"could not stage compacted file ${df0.getPath} -> $dest/$name")
       val rel = s"$newPartName/$name"
-      newLines += (if (statsCols.isEmpty) rel
-      else {
-        val st = footerStatsAll(spark, new Path(rootPath, rel), statsCols)
-        if (st.forall(_.isEmpty)) rel
-        else rel + st.map {
-          case Some((mn, mx)) => s"|$mn|$mx"
-          case None => "||"
-        }.mkString
-      })
+      newLines += dataFileLine(spark, rootPath, rel, statsCols)
       }
     }
     f.delete(stage, true)
@@ -1635,8 +1681,13 @@ object ManifestTable {
         while (b < want && b < (1L << 30)) b <<= 1
         b.toInt
       }
+      // row counts from the manifest's own file meta; footer fallback for
+      // pre-meta carried lines only
+      val rowsOf: Map[String, Long] = st.lines.flatMap(l =>
+        lineFileMeta(l).map(m => splitLine(l)._1 -> m._2)).toMap
       val byTier: Seq[(Int, Seq[String])] = missing
-        .map(r => (bitsFor(footerRowCount(spark, new Path(rootPath, r))), r))
+        .map(r => (bitsFor(rowsOf.getOrElse(r,
+          footerRowCount(spark, new Path(rootPath, r)))), r))
         .groupBy(_._1).map { case (b, fs) => (b, fs.map(_._2)) }
         .toSeq.sortBy(_._1)
       val keySchema = org.apache.spark.sql.types.StructType(Seq(
@@ -2118,6 +2169,13 @@ object ManifestTable {
     * convention, exposed for the DSv2 scan's filter translation.
     */
   private[graft] def xx64String(s: String): Long = xx64(s)
+
+  /** True iff any deferred-delete mask is pending — a cheap listStatus
+    * probe (the DSv2 scan's honesty guard: row-count estimates and
+    * columnar fast paths are only valid mask-free).
+    */
+  private[graft] def hasPendingDv(spark: SparkSession, root: String): Boolean =
+    dvState(spark, root).nonEmpty
 
   final case class DeferredDeleteStats(keysRecorded: Long, keysPending: Long)
 
@@ -2662,20 +2720,30 @@ object ManifestTable {
           if (!retained.contains(rel)) orphans += rel
         }
     val statViol = scala.collection.mutable.ListBuffer[String]()
-    if (st.statsCols.nonEmpty) for (l <- st.lines if l.indexOf('|') >= 0) {
+    // recorded file meta must match the physical file exactly — a drifted
+    // byte length or row count would corrupt scan planning (bin packing,
+    // estimateStatistics, bloom tiers) silently
+    for (l <- st.lines; (len, rows) <- lineFileMeta(l)) {
+      val rel = splitLine(l)._1
+      if (!missing.contains(rel)) {
+        val p = new Path(rootPath, rel)
+        if (f.getFileStatus(p).getLen != len) statViol += s"$rel[%#bytes]"
+        else if (footerRowCount(spark, p) != rows) statViol += s"$rel[%#rows]"
+      }
+    }
+    if (st.statsCols.nonEmpty) for (l <- st.lines if splitLine(l)._3.nonEmpty) {
       // the writers' legal shapes: split('|') drops TRAILING empty
       // fields ('rel|mn|mx||' reads back 3 parts) and pre-migration
       // lines carry stats for a PREFIX of the registered columns — both
       // pad conservatively exactly as pruneLines reads them. Malformed =
       // longer than the registration allows, or a dangling half pair.
-      val parts0 = l.split('|')
-      val rel = parts0(0)
-      if (parts0.length > 1 + 2 * st.statsCols.length ||
-        parts0.length % 2 == 0) badStats += rel
+      val (rel, _, sf) = splitLine(l)
+      if (sf.length > 2 * st.statsCols.length ||
+        sf.length % 2 == 1) badStats += rel
       else {
-        val parts = parts0.padTo(1 + 2 * st.statsCols.length, "")
+        val parts = sf.padTo(2 * st.statsCols.length, "")
         val recorded = st.statsCols.zipWithIndex.map { case ((c, t), i) =>
-          (c, t, parts(1 + 2 * i), parts(2 + 2 * i))
+          (c, t, parts(2 * i), parts(2 * i + 1))
         }
         val parseOk = recorded.forall { case (_, t, mn, mx) =>
           (mn.isEmpty && mx.isEmpty) || ((mn.nonEmpty && mx.nonEmpty) &&

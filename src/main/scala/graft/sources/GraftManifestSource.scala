@@ -482,11 +482,28 @@ class GraftManifestScan(
     }
   }
 
+  /** Per-file (bytes, rows) from the manifest's own `%#` line meta —
+    * planning needs ZERO per-file filesystem calls on tables written
+    * since the meta landed (round 16).
+    */
+  private lazy val lineMetaOf: Map[String, (Long, Long)] =
+    table.state.lines.flatMap(l =>
+      ManifestTable.lineFileMeta(l).map(m => l.split('|')(0) -> m)).toMap
+
+  /** Chosen files the manifest carries NO meta for (pre-meta lines) —
+    * exactly the files [[fileLens]] must status-probe. The spec pins 0
+    * on freshly-written tables.
+    */
+  private[sources] lazy val planStatProbes: Int =
+    chosenFiles.count(r => !lineMetaOf.contains(r))
+
   private lazy val fileLens: Map[String, Long] = {
     val conf = spark.sparkContext.hadoopConfiguration
     chosenFiles.map { rel =>
-      val p = new Path(table.root, rel)
-      rel -> p.getFileSystem(conf).getFileStatus(p).getLen
+      rel -> lineMetaOf.get(rel).map(_._1).getOrElse {
+        val p = new Path(table.root, rel)
+        p.getFileSystem(conf).getFileStatus(p).getLen
+      }
     }.toMap
   }
 
@@ -505,7 +522,16 @@ class GraftManifestScan(
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): util.OptionalLong =
       util.OptionalLong.of(math.max(1L, fileLens.values.sum))
-    override def numRows(): util.OptionalLong = util.OptionalLong.empty()
+    override def numRows(): util.OptionalLong =
+      // exact when every chosen file records its row count and no
+      // deferred-delete mask is pending (masked rows would overcount);
+      // row-level residual filters may reduce further — numRows is the
+      // standard pre-filter file estimate, same as the native source
+      if (chosenFiles.nonEmpty && planStatProbes == 0 &&
+        !ManifestTable.hasPendingDv(spark, table.root))
+        util.OptionalLong.of(
+          chosenFiles.map(r => lineMetaOf(r)._2).sum)
+      else util.OptionalLong.empty()
   }
 
   override def planInputPartitions(): Array[InputPartition] = {

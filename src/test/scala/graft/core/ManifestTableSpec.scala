@@ -1479,7 +1479,8 @@ class ManifestTableSpec extends SparkSpec {
     val pristine = new String(Files.readAllBytes(mf), "UTF-8")
     val tampered = pristine.linesIterator.map { l =>
       if (l.startsWith("bucket=1/")) {
-        val p = l.split('|'); s"${p(0)}|${p(1)}|105" // real max is 109
+        // line shape: path|%#bytes:rows|min|max — narrow the max
+        val p = l.split('|'); s"${p(0)}|${p(1)}|${p(2)}|105" // real max is 109
       } else l
     }.mkString("\n")
     tamper(tampered)

@@ -281,6 +281,59 @@ class GraftManifestSourceSpec extends SparkSpec {
     }
   }
 
+  test("plan-time file sizing comes from manifest line meta: zero status probes on fresh tables, fallback on legacy lines") {
+    val root = tmpDir("graft_dsv2_meta") + "/t"
+    for (b <- 0 until 3)
+      ManifestTable.commit(spark, root,
+        (0 until 10).map(i => (10L * b + i, s"b$b")).toDF("k", "part")
+          .repartition(1), "part", batchId = b.toLong, statsCol = Some("k"))
+    val q = fmt(root)
+    val scan = graftScans(q).head
+    assert(scan.chosenFiles.size == 3)
+    assert(scan.planStatProbes == 0,
+      s"a fresh table's scan must plan from manifest meta alone, " +
+        s"probed ${scan.planStatProbes} files")
+    // the row-count estimate is exact from the meta
+    assert(scan.estimateStatistics().numRows().getAsLong == 30L)
+    // LEGACY manifest (pre-meta): strip the %# fields from the live
+    // manifest — the scan must fall back to status probes and still
+    // answer identically, with an empty row estimate
+    val mPath = new java.io.File(s"$root/_manifest")
+    val latest = mPath.listFiles().filter(_.getName.matches("v\\d+\\.json"))
+      .maxBy(_.getName.stripPrefix("v").stripSuffix(".json").toInt)
+    val txt = scala.io.Source.fromFile(latest)
+    val body = try txt.mkString finally txt.close()
+    val stripped = body.linesIterator.map(
+      _.replaceAll("\\|%#\\d+:\\d+", "")).mkString("\n")
+    val w = new java.io.PrintWriter(latest); try w.print(stripped) finally w.close()
+    val q2 = fmt(root)
+    val scan2 = graftScans(q2).head
+    assert(scan2.planStatProbes == 3, "legacy lines must probe")
+    assert(!scan2.estimateStatistics().numRows().isPresent)
+    assert(q2.select("k").collect().map(_.getLong(0)).toSet ==
+      (0 until 3).flatMap(b => (0 until 10).map(i => 10L * b + i)).toSet)
+    // zone pruning still works on legacy lines
+    val q3 = fmt(root).filter(col("k") >= 10L && col("k") <= 12L)
+    assert(graftScans(q3).head.chosenFiles.size == 1)
+  }
+
+  test("fsck validates recorded file meta (bytes and rows) against the physical files") {
+    val root = tmpDir("graft_dsv2_fsckmeta") + "/t"
+    ManifestTable.commit(spark, root,
+      (0 until 10).map(i => (i.toLong, "b0")).toDF("k", "part"),
+      "part", batchId = 0L, statsCol = Some("k"))
+    assert(ManifestTable.fsck(spark, root).statViolations.isEmpty)
+    // corrupt the recorded byte length in the manifest
+    val mPath = new java.io.File(s"$root/_manifest/v0.json")
+    val txt = scala.io.Source.fromFile(mPath)
+    val body = try txt.mkString finally txt.close()
+    val w = new java.io.PrintWriter(mPath)
+    try w.print(body.replaceFirst("\\|%#\\d+:", "|%#1:")) finally w.close()
+    val rep = ManifestTable.fsck(spark, root)
+    assert(rep.statViolations.exists(_.endsWith("[%#bytes]")),
+      s"fsck missed the drifted byte length: ${rep.statViolations}")
+  }
+
   test("a write through a time-traveled handle refuses") {
     import org.apache.spark.sql.SaveMode
     val root = tmpDir("graft_dsv2_ttw") + "/t"
