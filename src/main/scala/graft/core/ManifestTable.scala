@@ -1857,10 +1857,13 @@ object ManifestTable {
 
   /** `df` minus every pending deferred-delete key — the merge-on-read
     * mask [[readVersion]] / [[readPruned]] / [[readPrunedMulti]] apply.
-    * Broadcast anti-join per pending column (takedown lists are small by
-    * contract); a pass-through when nothing is pending. A frame that
-    * lacks a masked column (a time-travel read older than the column)
-    * keeps its rows — the mask filters where the key is readable.
+    * Anti-join per pending column under the [[keyBroadcastLimit]]
+    * discipline (round 16): takedown lists broadcast while delta-sized,
+    * but a backfill-sized mask SHUFFLES instead of OOMing the driver —
+    * the same twin rule the table verbs follow, value-identical. A
+    * pass-through when nothing is pending. A frame that lacks a masked
+    * column (a time-travel read older than the column) keeps its rows —
+    * the mask filters where the key is readable.
     */
   private def applyDvMask(
       spark: SparkSession, root: String, df: DataFrame): DataFrame =
@@ -1869,7 +1872,8 @@ object ManifestTable {
       else {
         val keys = spark.read.parquet(dvDir(root, c).toString)
           .select("key").distinct()
-        d.join(broadcast(keys), d(c) === keys("key"), "left_anti")
+        val hk = hintedKeys(spark, keys, keys.count())
+        d.join(hk, d(c) === hk("key"), "left_anti")
       }
     }
 
@@ -2154,15 +2158,28 @@ object ManifestTable {
   }
 
   /** Pending deferred-delete key sets, collected driver-side for the
-    * DSv2 scan's in-reader mask (takedown lists are small by contract —
-    * the same bound the broadcast anti-join in [[applyDvMask]] relies
-    * on). Values are the recorded key type (long or string).
+    * DSv2 scan's in-reader mask. GUARDED by [[keyBroadcastLimit]] (round
+    * 16 — the last broadcast ceiling): an in-reader mask ships the key
+    * set into every task closure, so above the limit this REFUSES with
+    * the purge instruction instead of OOMing the driver — the Scala read
+    * path ([[applyDvMask]]) handles the same mask as a shuffled
+    * anti-join, so a reader is never stuck. Values are the recorded key
+    * type (long or string).
     */
   private[graft] def dvMaskKeySets(
       spark: SparkSession, root: String): Map[String, Array[Any]] =
     dvState(spark, root).map { case (c, _) =>
-      c -> spark.read.parquet(dvDir(root, c).toString)
-        .select("key").distinct().collect().map(_.get(0))
+      val keys = spark.read.parquet(dvDir(root, c).toString)
+        .select("key").distinct()
+      val n = keys.count()
+      val lim = keyBroadcastLimit(spark)
+      if (n > lim) throw new IllegalStateException(
+        s"deferred-delete mask on '$c' under $root holds $n pending keys " +
+          s"> keyBroadcastLimit=$lim — too large to ship into the DSv2 " +
+          s"scan's task closures; run ManifestTable.optimize to purge the " +
+          "mask first, or read via ManifestTable.read (its anti-join " +
+          "shuffles above the limit)")
+      c -> keys.collect().map(_.get(0))
     }.toMap
 
   /** Driver-side xxhash64 of a string — the bloom sidecar's string-key

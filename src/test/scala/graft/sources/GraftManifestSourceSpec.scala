@@ -349,6 +349,31 @@ class GraftManifestSourceSpec extends SparkSpec {
       s"expected the time-travel write refusal, got: ${ex.getMessage}")
   }
 
+  test("a pending mask above keyBroadcastLimit: the DSv2 scan refuses with the purge instruction; the Scala read shuffles") {
+    val root = tmpDir("graft_dsv2_dvbig") + "/t"
+    ManifestTable.commit(spark, root,
+      (0 until 30).map(i => (i.toLong, i % 3)).toDF("k", "bucket"),
+      "bucket", batchId = 0L)
+    ManifestTable.deleteRowsDeferred(spark, root,
+      Seq(4L, 11L, 25L).toDF("k"), "k")
+    val expect = (0L until 30L).toSet -- Set(4L, 11L, 25L)
+    spark.conf.set("spark.graft.manifest.keyBroadcastLimit", "0")
+    try {
+      // the in-reader mask cannot ship an over-limit key set — refuse
+      val ex = intercept[Exception] { fmt(root).collect() }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+      assert(chain(ex).exists(m => m.contains("keyBroadcastLimit") &&
+        m.contains("optimize")), s"wrong refusal: ${chain(ex)}")
+      // the Scala path masks the same keys through the SHUFFLE twin,
+      // value-identical to the broadcast one
+      assert(ManifestTable.read(spark, root).get
+        .select("k").collect().map(_.getLong(0)).toSet == expect)
+    } finally spark.conf.unset("spark.graft.manifest.keyBroadcastLimit")
+    // back under the limit both paths answer identically
+    assert(fmt(root).select("k").collect().map(_.getLong(0)).toSet == expect)
+  }
+
   test("a raw parquet read of the table root is refused by the sentinel; the format read is unaffected") {
     val root = tmpDir("graft_dsv2_guard") + "/t"
     ManifestTable.commit(spark, root,
