@@ -374,6 +374,97 @@ class GraftManifestSourceSpec extends SparkSpec {
     assert(fmt(root).select("k").collect().map(_.getLong(0)).toSet == expect)
   }
 
+  test("columnar read: batches serve the scan; widening/null-fill/timestamp matrix is value-identical to the row path") {
+    def isColumnar(df: DataFrame): Boolean =
+      df.queryExecution.executedPlan.collect {
+        case c: org.apache.spark.sql.execution.ColumnarToRowExec => c
+      }.nonEmpty
+    val root = tmpDir("graft_dsv2_matrix") + "/t"
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+      // batch 0: narrow shapes (int n, float f) + every other primitive
+      ManifestTable.commit(spark, root,
+        Seq((1, 1.5f, "a", true, Array[Byte](1, 2),
+          java.sql.Date.valueOf("2024-01-05"),
+          java.sql.Timestamp.valueOf("2024-01-05 01:02:03.000004"), "b0"))
+          .toDF("n", "f", "s", "b", "bin", "d", "ts", "part"),
+        "part", batchId = 0L)
+      // batch 1: widened (long n, double f) + a brand-new column `extra`
+      ManifestTable.commit(spark, root,
+        Seq((2L, 2.5d, "b", false, Array[Byte](3),
+          java.sql.Date.valueOf("2024-02-06"),
+          java.sql.Timestamp.valueOf("2024-02-06 11:12:13.000014"),
+          7L, "b1"))
+          .toDF("n", "f", "s", "b", "bin", "d", "ts", "extra", "part"),
+        "part", batchId = 1L)
+    } finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    val cdf = fmt(root)
+    assert(isColumnar(cdf.select("n", "f", "s", "extra")),
+      "an unmasked format read must plan COLUMNAR")
+    sameFrame(cdf, ManifestTable.read(spark, root).get, "matrix vs Scala")
+    // the ROW path twin: a pending mask (matching nothing) forces the row
+    // reader; values must be identical to the columnar read of the same
+    // snapshot — the per-file behavior matrix cannot drift between paths
+    def render(df: DataFrame): Seq[String] = df.collect().map(_.toSeq.map {
+      case a: Array[Byte] => a.toSeq.toString
+      case x => String.valueOf(x)
+    }.mkString("|")).sorted.toSeq
+    val colRows = render(cdf)
+    ManifestTable.deleteRowsDeferred(spark, root,
+      Seq(-999L).toDF("extra"), "extra")
+    val rdf = fmt(root)
+    assert(!isColumnar(rdf), "a masked read must take the row path")
+    assert(render(rdf) == colRows,
+      "row and columnar paths diverged on the widening/null-fill matrix")
+    ManifestTable.optimize(spark, root) // purge the no-op mask
+    // spot values: widening + null fill + timestamp micros round-trip
+    val r = fmt(root).orderBy("n").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(r.map(_.getDouble(1)).toSeq == Seq(1.5d, 2.5d))
+    assert(r(0).isNullAt(r(0).fieldIndex("extra")) &&
+      r(1).getLong(r(1).fieldIndex("extra")) == 7L)
+    assert(r(0).getTimestamp(r(0).fieldIndex("ts")).toString
+      == "2024-01-05 01:02:03.000004")
+  }
+
+  test("columnar read: a NANOS-timestamp file takes the per-file row bridge and divides to micros") {
+    // craft what no Spark writer produces: an INT64 TIMESTAMP(NANOS) file
+    // under a recorded TimestampType column — the vectorized reader
+    // refuses this shape, the bridge divides ns -> us (the row matrix)
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val root = tmpDir("graft_dsv2_nanos") + "/t"
+    val dir = new java.io.File(s"$root/part=b0"); dir.mkdirs()
+    val msg = Types.buildMessage()
+      .addField(Types.optional(INT64)
+        .as(LogicalTypeAnnotation.timestampType(
+          true, LogicalTypeAnnotation.TimeUnit.NANOS)).named("ts"))
+      .named("spark_schema")
+    val fp = new org.apache.hadoop.fs.Path(s"$root/part=b0/f0.parquet")
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+        fp, spark.sparkContext.hadoopConfiguration))
+      .withType(msg).build()
+    val fac = new org.apache.parquet.example.data.simple.SimpleGroupFactory(msg)
+    val nanos = 1704416523000004000L // 2024-01-05 01:02:03.000004 UTC in ns
+    val g = fac.newGroup(); g.append("ts", nanos); w.write(g); w.close()
+    // hand-write the manifest: schema records TimestampType
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType, true)))
+    val b64 = java.util.Base64.getEncoder.encodeToString(
+      sch.json.getBytes("UTF-8"))
+    val mdir = new java.io.File(s"$root/_manifest"); mdir.mkdirs()
+    val pw = new java.io.PrintWriter(s"$root/_manifest/v0.json")
+    try pw.print(
+      s"""{"version":0,"batch":0,"schemaB64":"$b64"}""" + "\npart=b0/f0.parquet")
+    finally pw.close()
+    val got = fmt(root).collect()
+    assert(got.length == 1 && got(0).getTimestamp(0).toString
+      == "2024-01-05 01:02:03.000004",
+      s"NANOS bridge misdecoded: ${got.toSeq}")
+  }
+
   test("a raw parquet read of the table root is refused by the sentinel; the format read is unaffected") {
     val root = tmpDir("graft_dsv2_guard") + "/t"
     ManifestTable.commit(spark, root,
