@@ -145,6 +145,9 @@ object Bench {
     if (selected.exists(_._1 == "u20_dsv2_write"))
       try SparkEntry.u20TableDir(spark, sfDir)
       catch { case _: Throwable => () }
+    if (selected.exists(_._1 == "u21_dsv2_ddl"))
+      try SparkEntry.u21TableDir(spark, sfDir)
+      catch { case _: Throwable => () }
     if (selected.exists(_._1 == "d16_index_takedown"))
       try SparkEntry.d16IndexDir(spark, sfDir)
       catch { case _: Throwable => () }

@@ -659,6 +659,38 @@ object SparkEntry {
       root
     })
 
+  private val dsv2DdlTableMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** u21's artifact: a manifest table whose ENTIRE lifecycle ran in SQL
+    * (round 16's DDL creation surface): `CREATE TABLE ... USING
+    * graft-manifest OPTIONS (path, partitionCol, statsColumns)` declares
+    * it, two `INSERT INTO ... SELECT` batches create version 0 and
+    * append version 1 — no Scala API call anywhere. The catalog entry is
+    * dropped after staging (c1's table listing must stay clean); the
+    * committed ROOT is the artifact, a plain manifest table every other
+    * verb and the format read see identically.
+    */
+  def u21TableDir(s: SparkSession, dir: String): String =
+    dsv2DdlTableMemo.computeIfAbsent((s, dir), _ => {
+      val root = graft.core.TempDirs.create("graft_u21_ddl") + "/t"
+      t(s, dir, "documents").createOrReplaceTempView("graft_u21_src")
+      s.sql("DROP TABLE IF EXISTS graft_u21_docs")
+      s.sql("CREATE TABLE graft_u21_docs " +
+        "(doc_id BIGINT, lang STRING, n_chars BIGINT, part STRING) " +
+        "USING `graft-manifest` " +
+        s"OPTIONS (path '$root', partitionCol 'part', statsColumns 'doc_id')")
+      s.sql("INSERT INTO graft_u21_docs " +
+        "SELECT doc_id, lang, n_chars, concat('b', CAST(doc_id % 4 AS STRING)) " +
+        "FROM graft_u21_src WHERE doc_id % 2 = 0")
+      s.sql("INSERT INTO graft_u21_docs " +
+        "SELECT doc_id, lang, n_chars, concat('b', CAST(doc_id % 4 AS STRING)) " +
+        "FROM graft_u21_src WHERE doc_id % 2 = 1")
+      s.sql("DROP TABLE IF EXISTS graft_u21_docs")
+      s.catalog.dropTempView("graft_u21_src")
+      root
+    })
+
   private val evolutionTableMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
@@ -1039,7 +1071,7 @@ object SparkEntry {
       // + delete are ingest-time artifacts, the entries time the read
       "u9_takedown", "d16_index_takedown",
       // u19 SQL-reads the same staged u9 artifact through the DSv2 view
-      "u19_dsv2_sql",
+      "u19_dsv2_sql", "u21_dsv2_ddl",
       // u20 reads the DSv2-written staged table (u20TableDir)
       "u20_dsv2_write",
       // u11 diffs two committed versions of the u9 artifact
@@ -1097,6 +1129,7 @@ object SparkEntry {
       clusterTakedownMemo, cdfCatchupMemo, restoreTableMemo,
       cdfConsumerMemo, ttlTableMemo, mergeTableMemo,
       bloomTableMemo, cdcReplicaMemo, dvTableMemo,
+      dsv2WriteTableMemo, dsv2DdlTableMemo,
       streamedTakedownMemo).foreach { m =>
       m.keySet.asScala.filter(_._1 eq s).toList
         .foreach(k => Option(m.remove(k)).foreach(graft.core.TempDirs.drop))
@@ -2191,6 +2224,21 @@ object SparkEntry {
     "u20_dsv2_write" -> ((s, dir) =>
       s.read.format("graft-manifest").load(u20TableDir(s, dir))
         .select("doc_id", "lang")),
+    // u21: the SQL DDL CREATION lifecycle (round 16) — the staged table
+    // was created and filled purely via CREATE TABLE ... USING
+    // graft-manifest + INSERT INTO (u21TableDir); the entry re-declares
+    // the catalog table over the committed root and reads it in SQL
+    "u21_dsv2_ddl" -> ((s, dir) => {
+      val root = u21TableDir(s, dir)
+      s.sql("DROP TABLE IF EXISTS graft_u21_read")
+      s.sql("CREATE TABLE graft_u21_read " +
+        "(doc_id BIGINT, lang STRING, n_chars BIGINT, part STRING) " +
+        s"USING `graft-manifest` OPTIONS (path '$root')")
+      val df = s.sql(
+        "SELECT doc_id, lang, n_chars, part FROM graft_u21_read")
+      s.sql("DROP TABLE IF EXISTS graft_u21_read")
+      df
+    }),
     // u13: RESTORE undoes the takedown — the post-restore snapshot must
     // be the FULL catalog again (manifest-only undo, zero data IO)
     "u13_restore" -> ((s, dir) =>
@@ -2992,6 +3040,11 @@ object SparkEntry {
     // u20: the DSv2-written table is the whole catalog — the redelivered
     // garbage batch no-oped on the fence, so nothing else may appear
     "u20_dsv2_write" -> "SELECT doc_id, lang FROM documents",
+    // u21: the SQL-created table holds every document, partitioned by
+    // doc_id % 4 lineage values
+    "u21_dsv2_ddl" ->
+      ("SELECT doc_id, lang, n_chars, " +
+        "concat('b', CAST(doc_id % 4 AS VARCHAR)) AS part FROM documents"),
     // u13: the post-restore snapshot is the FULL catalog again
     "u13_restore" ->
       "SELECT doc_id, lang, source, n_chars FROM documents",

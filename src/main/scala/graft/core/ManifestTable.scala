@@ -2118,6 +2118,14 @@ object ManifestTable {
       statsCols: Seq[(String, String)],
       schema: Option[org.apache.spark.sql.types.StructType])
 
+  /** The empty snapshot a DECLARED-but-uncommitted DSv2 table scans
+    * (round 16's SQL creation lifecycle): no files, no stats, the DDL
+    * data schema.
+    */
+  private[graft] def emptyScanState(
+      schema: org.apache.spark.sql.types.StructType): ScanState =
+    ScanState(-1L, Nil, Nil, Some(schema))
+
   private[graft] def scanState(
       spark: SparkSession, root: String,
       versionAsOf: Option[Long]): ScanState = {

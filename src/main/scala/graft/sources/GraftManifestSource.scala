@@ -71,14 +71,16 @@ class GraftManifestSource extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-manifest"
 
-  override def supportsExternalMetadata(): Boolean = false
-
-  private def root(options: CaseInsensitiveStringMap): String = {
-    val p = options.get("path")
-    require(p != null && p.nonEmpty,
-      "graft-manifest needs a table root: spark.read.format(\"graft-manifest\").load(root)")
-    p
-  }
+  /** True (round 16): `CREATE TABLE t (...) USING graft-manifest
+    * OPTIONS (path '...', partitionCol '...')` declares a NOT-YET-
+    * committed table whose first `INSERT INTO` creates version 0 — the
+    * whole lifecycle (create, write, read, maintain) is SQL-operable.
+    * The declared schema is authoritative only until the first commit;
+    * from then on the RECORDED schema drives reads (additive evolution —
+    * a catalog-declared schema that drifts from the recorded one should
+    * be re-declared with CREATE OR REPLACE).
+    */
+  override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     GraftManifestSource.tableOf(options).schema()
@@ -86,19 +88,34 @@ class GraftManifestSource extends TableProvider with DataSourceRegister {
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    // an identity transform's name is "identity" and its single
+    // reference is the partition column (the public Transform surface —
+    // the concrete IdentityTransform class is Spark-private)
+    val declaredPart = partitioning.collectFirst {
+      case t: Transform if t.name == "identity" && t.references.length == 1 =>
+        t.references.head.fieldNames.mkString(".")
+    }
     GraftManifestSource.tableOf(
-      new CaseInsensitiveStringMap(properties))
+      opts, Option(schema).filter(_.nonEmpty), declaredPart)
+  }
 }
 
 object GraftManifestSource {
 
-  private[sources] def tableOf(options: CaseInsensitiveStringMap): GraftManifestTable = {
+  private[sources] def tableOf(
+      options: CaseInsensitiveStringMap,
+      declaredSchema: Option[StructType] = None,
+      declaredPart: Option[String] = None): GraftManifestTable = {
     val p = options.get("path")
     require(p != null && p.nonEmpty,
       "graft-manifest needs a table root: spark.read.format(\"graft-manifest\").load(root)")
     val versionAsOf = Option(options.get("versionAsOf")).map(_.toLong)
-    new GraftManifestTable(p, versionAsOf)
+    new GraftManifestTable(p, versionAsOf, declaredSchema,
+      declaredPart.orElse(Option(options.get("partitionCol"))),
+      Option(options.get("statsColumns")).toSeq
+        .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)))
   }
 
   /** The partition-column type [[ManifestTable.read]]'s basePath
@@ -202,10 +219,19 @@ object GraftManifestSource {
 /** One committed version of a manifest table as a DSv2 [[Table]]. All
   * planning state (lines, stats registration, recorded schema, partition
   * column) is resolved ONCE here — driver-side, one manifest read.
+  *
+  * A DECLARED-but-uncommitted table (round 16: `CREATE TABLE ... USING
+  * graft-manifest` before its first INSERT) carries the DDL schema and
+  * partition column instead: scans answer empty, the first write
+  * creates version 0 with the declared partitioning. Once committed the
+  * recorded state is authoritative.
   */
 class GraftManifestTable(
     val root: String,
-    val versionAsOf: Option[Long]) extends Table
+    val versionAsOf: Option[Long],
+    val declaredSchema: Option[StructType] = None,
+    val declaredPartCol: Option[String] = None,
+    val declaredStatsColumns: Seq[String] = Nil) extends Table
     with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
@@ -215,7 +241,15 @@ class GraftManifestTable(
     ManifestTable.currentVersion(spark, root) >= 0
 
   private[sources] lazy val state: ManifestTable.ScanState =
-    ManifestTable.scanState(spark, root, versionAsOf)
+    if (tableExists || declaredSchema.isEmpty)
+      ManifestTable.scanState(spark, root, versionAsOf)
+    else {
+      // declared, never committed: an empty snapshot under the DDL
+      // schema (minus the partition column — it is directory-derived)
+      val ds = declaredSchema.get
+      ManifestTable.emptyScanState(StructType(
+        ds.fields.filterNot(f => declaredPartCol.contains(f.name)).toSeq))
+    }
 
   /** (name, directory-value-string) per live file, manifest order. */
   private[sources] lazy val filePartValues: Seq[(String, String)] =
@@ -227,9 +261,13 @@ class GraftManifestTable(
 
   private[sources] lazy val partitionCol: Option[String] =
     state.lines.headOption.map(_.split('|')(0).takeWhile(_ != '='))
+      .orElse(declaredPartCol)
 
   private[sources] lazy val partitionType: DataType =
-    GraftManifestSource.inferPartitionType(filePartValues.map(_._2))
+    if (state.lines.nonEmpty)
+      GraftManifestSource.inferPartitionType(filePartValues.map(_._2))
+    else declaredSchema.flatMap(ds => declaredPartCol.flatMap(pc =>
+      ds.fields.find(_.name == pc).map(_.dataType))).getOrElse(StringType)
 
   private[sources] lazy val dataSchema: StructType = {
     val s = state.schema.getOrElse(new StructType())
@@ -245,12 +283,14 @@ class GraftManifestTable(
   override def name(): String =
     s"graft-manifest `$root`" + versionAsOf.map(v => s"@v$v").getOrElse("")
 
-  override def schema(): StructType = partitionCol match {
-    case Some(pc) if !dataSchema.fieldNames.contains(pc) =>
-      StructType(dataSchema.fields.toSeq :+
-        StructField(pc, partitionType, nullable = true))
-    case _ => dataSchema
-  }
+  override def schema(): StructType =
+    if (!tableExists && declaredSchema.isDefined) declaredSchema.get
+    else partitionCol match {
+      case Some(pc) if !dataSchema.fieldNames.contains(pc) =>
+        StructType(dataSchema.fields.toSeq :+
+          StructField(pc, partitionType, nullable = true))
+      case _ => dataSchema
+    }
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
@@ -283,10 +323,15 @@ class GraftManifestTable(
       s"graft-manifest write: cannot write through a time-traveled handle " +
         s"(versionAsOf=${versionAsOf.get}) — load the table without " +
         "versionAsOf to write")
-    require(tableExists,
-      s"graft-manifest write needs a committed table under $root — " +
-        "create it with ManifestTable.commit (partitioning and zone-map " +
-        "registration are creation-time decisions)")
+    // the table must either exist or be DECLARED (DDL/options carrying
+    // the partition column) — partitioning is a creation-time decision a
+    // bare save() cannot express
+    require(tableExists || declaredPartCol.isDefined ||
+      Option(info.options().get("partitionCol")).isDefined,
+      s"graft-manifest write needs a committed table under $root, or a " +
+        "declared partition column (CREATE TABLE ... PARTITIONED BY / " +
+        "OPTIONS (partitionCol '...'), or .option(\"partitionCol\", ...) " +
+        "on the write); zone maps register via statsColumns the same way")
     new GraftWriteBuilder(this, info)
   }
 }
@@ -1175,10 +1220,13 @@ class GraftWrite(
 
   private def spark = SparkSession.active
 
-  private val pc: String = table.partitionCol.getOrElse(
-    throw new IllegalStateException(
+  private val pc: String = table.partitionCol
+    .orElse(Option(info.options().get("partitionCol")))
+    .getOrElse(throw new IllegalStateException(
       s"graft-manifest write: the table under ${table.root} has no live " +
-        "partition — create content with ManifestTable.commit first"))
+        "partition and no declared partition column — declare one via " +
+        "CREATE TABLE ... OPTIONS (partitionCol ...) or " +
+        ".option(\"partitionCol\", ...)"))
 
   private val writeSchema: StructType = info.schema()
   require(writeSchema.fieldNames.contains(pc),
@@ -1199,9 +1247,11 @@ class GraftWrite(
 
   private val batchId: Option[Long] =
     Option(info.options().get("batchId")).map(_.toLong)
-  private val statsColumns: Seq[String] =
-    Option(info.options().get("statsColumns")).toSeq
+  private val statsColumns: Seq[String] = {
+    val fromWrite = Option(info.options().get("statsColumns")).toSeq
       .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+    if (fromWrite.nonEmpty) fromWrite else table.declaredStatsColumns
+  }
 
   private val stagingDir = s"${table.root}/_stage-dsv2-${info.queryId()}"
 
@@ -1211,7 +1261,9 @@ class GraftWrite(
       physInfo: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DataWriterFactory =
     new GraftWriterFactory(stagingDir, writeSchema, pc, partIdx,
-      GraftManifestSource.confProps(spark))
+      GraftManifestSource.confProps(spark),
+      Option(info.options().get("maxOpenWriters")).map(_.toInt)
+        .getOrElse(16))
 
   override def commit(
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
@@ -1251,14 +1303,15 @@ class GraftWriterFactory(
     schema: StructType,
     partitionCol: String,
     partIdx: Int,
-    confProps: Array[(String, String)])
+    confProps: Array[(String, String)],
+    maxOpenWriters: Int)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
 
   override def createWriter(
       partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new GraftDataWriter(stagingDir, schema, partitionCol, partIdx,
-      partitionId, taskId, confProps)
+      partitionId, taskId, confProps, maxOpenWriters)
 }
 
 /** Executor-side writer: one parquet file per (task, partition-value)
@@ -1273,7 +1326,8 @@ class GraftDataWriter(
     partIdx: Int,
     partitionId: Int,
     taskId: Long,
-    confProps: Array[(String, String)])
+    confProps: Array[(String, String)],
+    maxOpenWriters: Int = 16)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
 
   import org.apache.parquet.example.data.Group
@@ -1320,8 +1374,19 @@ class GraftDataWriter(
   }
 
   private lazy val factory = new SimpleGroupFactory(msgType)
-  private val writers =
-    scala.collection.mutable.Map[String, (ParquetWriter[Group], String)]()
+  // open writers, LRU order (head = least recently used): a task sees at
+  // most `maxOpenWriters` concurrent parquet writers — each holds a row
+  // group's worth of buffer, so an unbounded map under a
+  // high-cardinality partition column exhausts executor memory where
+  // Spark's native path would sort first (round 16). Overflow closes the
+  // coldest writer; a revisited partition value simply opens a FRESH
+  // uniquely-named file (more files, same rows — the manifest does not
+  // care).
+  private val openWriters =
+    scala.collection.mutable.LinkedHashMap[String, (ParquetWriter[Group], String)]()
+  private val closedFiles =
+    scala.collection.mutable.ArrayBuffer[(String, String)]()
+  private var fileCounter = 0
 
   private def partNameOf(row: InternalRow): String = {
     require(!row.isNullAt(partIdx),
@@ -1341,17 +1406,30 @@ class GraftDataWriter(
   }
 
   private def writerFor(partName: String): ParquetWriter[Group] =
-    writers.getOrElseUpdate(partName, {
-      val file = s"$stagingDir/w-$partitionId-$taskId-" +
-        s"${writers.size}-${partName.hashCode.toHexString}.parquet"
-      val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
-        .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
-          .fromPath(new Path(file), conf))
-        .withType(msgType)
-        .withConf(conf)
-        .build()
-      (w, file)
-    })._1
+    openWriters.remove(partName) match {
+      case Some(entry) =>
+        openWriters.put(partName, entry) // back to the hot end
+        entry._1
+      case None =>
+        if (openWriters.size >= math.max(1, maxOpenWriters)) {
+          val (coldPart, (cw, cf)) = openWriters.head
+          cw.close()
+          closedFiles += ((coldPart, cf))
+          openWriters.remove(coldPart)
+          ()
+        }
+        val file = s"$stagingDir/w-$partitionId-$taskId-" +
+          s"$fileCounter-${partName.hashCode.toHexString}.parquet"
+        fileCounter += 1
+        val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+          .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+            .fromPath(new Path(file), conf))
+          .withType(msgType)
+          .withConf(conf)
+          .build()
+        openWriters.put(partName, (w, file))
+        w
+    }
 
   override def write(row: InternalRow): Unit = {
     val g: Group = factory.newGroup()
@@ -1384,15 +1462,18 @@ class GraftDataWriter(
   }
 
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
-    writers.values.foreach(_._1.close())
-    GraftCommitMessage(writers.toArray.map { case (partName, (_, file)) =>
-      (partName, file)
-    })
+    openWriters.values.foreach(_._1.close())
+    GraftCommitMessage((closedFiles ++
+      openWriters.toArray.map { case (partName, (_, file)) =>
+        (partName, file)
+      }).toArray)
   }
 
   override def abort(): Unit = {
-    writers.values.foreach { case (w, file) =>
+    openWriters.values.foreach { case (w, _) =>
       try w.close() catch { case _: Exception => () }
+    }
+    (closedFiles.map(_._2) ++ openWriters.values.map(_._2)).foreach { file =>
       try {
         val p = new Path(file)
         p.getFileSystem(conf).delete(p, false)
