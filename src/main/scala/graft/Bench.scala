@@ -145,7 +145,8 @@ object Bench {
     if (selected.exists(_._1 == "u20_dsv2_write"))
       try SparkEntry.u20TableDir(spark, sfDir)
       catch { case _: Throwable => () }
-    if (selected.exists(_._1 == "u21_dsv2_ddl"))
+    if (selected.exists(n =>
+        n._1 == "u21_dsv2_ddl" || n._1 == "u22_agg_pushdown"))
       try SparkEntry.u21TableDir(spark, sfDir)
       catch { case _: Throwable => () }
     if (selected.exists(_._1 == "d16_index_takedown"))

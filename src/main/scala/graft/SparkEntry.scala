@@ -1071,7 +1071,7 @@ object SparkEntry {
       // + delete are ingest-time artifacts, the entries time the read
       "u9_takedown", "d16_index_takedown",
       // u19 SQL-reads the same staged u9 artifact through the DSv2 view
-      "u19_dsv2_sql", "u21_dsv2_ddl",
+      "u19_dsv2_sql", "u21_dsv2_ddl", "u22_agg_pushdown",
       // u20 reads the DSv2-written staged table (u20TableDir)
       "u20_dsv2_write",
       // u11 diffs two committed versions of the u9 artifact
@@ -2239,6 +2239,16 @@ object SparkEntry {
       s.sql("DROP TABLE IF EXISTS graft_u21_read")
       df
     }),
+    // u22: AGGREGATE pushdown — the un-filtered COUNT(*)/MIN/MAX over
+    // the SQL-created table answers from ONE manifest read with ZERO
+    // file IO (counts from the %# line meta, bounds from the long zone
+    // maps; spec proves the zero-IO claim by deleting a data file).
+    // The planned scan is GraftAggScan — the manifest IS the aggregate.
+    "u22_agg_pushdown" -> ((s, dir) =>
+      s.read.format("graft-manifest").load(u21TableDir(s, dir))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))),
     // u13: RESTORE undoes the takedown — the post-restore snapshot must
     // be the FULL catalog again (manifest-only undo, zero data IO)
     "u13_restore" -> ((s, dir) =>
@@ -3045,6 +3055,10 @@ object SparkEntry {
     "u21_dsv2_ddl" ->
       ("SELECT doc_id, lang, n_chars, " +
         "concat('b', CAST(doc_id % 4 AS VARCHAR)) AS part FROM documents"),
+    // u22: the manifest-served aggregate over the same content
+    "u22_agg_pushdown" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+        "min(doc_id) AS min_id, max(doc_id) AS max_id FROM documents"),
     // u13: the post-restore snapshot is the FULL catalog again
     "u13_restore" ->
       "SELECT doc_id, lang, source, n_chars FROM documents",

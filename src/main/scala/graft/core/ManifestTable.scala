@@ -2202,6 +2202,39 @@ object ManifestTable {
   private[graft] def hasPendingDv(spark: SparkSession, root: String): Boolean =
     dvState(spark, root).nonEmpty
 
+  /** EXACT row count of a version from the manifest alone (the `%#` line
+    * meta), or None when any line predates the meta — the aggregate-
+    * pushdown source: COUNT(*) of a 100 TB table from one manifest read,
+    * zero file IO. Exactness holds because commits record counts from
+    * the footers of the immutable files they land.
+    */
+  private[graft] def manifestRowCount(st: ScanState): Option[Long] = {
+    val ms = st.lines.map(lineFileMeta)
+    if (ms.exists(_.isEmpty)) None else Some(ms.flatten.map(_._2).sum)
+  }
+
+  /** EXACT global [min, max] of a LONG-registered zone-map column from
+    * the manifest alone, or None when any line lacks the column's stats
+    * (an all-null or stats-less file makes the global bound unprovable —
+    * conservative refusal, the pruning discipline applied to
+    * aggregation). LONG columns only: parquet footer stats for numeric
+    * types are exact values, while BINARY stats may be TRUNCATION-
+    * ADJUSTED bounds (a legal upper bound is fine for pruning but WRONG
+    * as a MAX value), so string columns never serve aggregates.
+    */
+  private[graft] def manifestLongBounds(
+      st: ScanState, column: String): Option[(Long, Long)] = {
+    val idx = st.statsCols.map(_._1).indexOf(column)
+    if (idx < 0 || st.statsCols(idx)._2 != "long" || st.lines.isEmpty)
+      return None
+    val vals = st.lines.map { l =>
+      val sf = splitLine(l)._3.padTo(2 * st.statsCols.length, "")
+      (sf(2 * idx), sf(2 * idx + 1))
+    }
+    if (vals.exists(v => v._1.isEmpty || v._2.isEmpty)) None
+    else Some((vals.map(_._1.toLong).min, vals.map(_._2.toLong).max))
+  }
+
   final case class DeferredDeleteStats(keysRecorded: Long, keysPending: Long)
 
   /** MERGE-ON-READ row delete — the deletion-vector slot (Delta DVs /

@@ -344,7 +344,8 @@ class GraftManifestTable(
 class GraftManifestScanBuilder(table: GraftManifestTable)
     extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = table.schema()
   private var pushed: Array[Filter] = Array.empty
@@ -436,7 +437,88 @@ class GraftManifestScanBuilder(table: GraftManifestTable)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** AGGREGATE pushdown (round 16 — the manifest IS the aggregate for
+    * the shapes it can prove): an un-filtered, un-grouped COUNT(*) /
+    * MIN / MAX over the table answers from ONE manifest read with zero
+    * file IO at any table size — counts from the `%#` line meta, bounds
+    * from the long-typed zone maps ([[ManifestTable.manifestLongBounds]]
+    * explains why string columns never qualify: binary footer stats may
+    * be truncation-adjusted BOUNDS, wrong as values). Refused whenever
+    * exactness is unprovable: any filter (Spark only offers aggregates
+    * once no residual filters remain, and every filter here is a
+    * residual — the guard is defensive), a pending deferred-delete mask,
+    * a group-by, a pre-meta line (count), a stats-less line (bounds).
+    * COMPLETE pushdown: the scan serves the single final row.
+    */
+  private var aggResult: Option[(StructType, InternalRow)] = None
+
+  private def resolveAgg(agg: org.apache.spark.sql.connector.expressions
+      .aggregate.Aggregation): Option[(StructType, InternalRow)] = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (agg.groupByExpressions.nonEmpty) return None
+    if (pushed.nonEmpty || partKeep.isDefined || provablyEmpty) return None
+    if (ManifestTable.hasPendingDv(SparkSession.active, table.root))
+      return None
+    def colName(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        Some(r.fieldNames.head)
+      case _ => None
+    }
+    def fieldType(c: String): Option[DataType] =
+      table.dataSchema.fields.find(_.name == c).map(_.dataType)
+    val resolved: Seq[Option[(StructField, Any)]] =
+      agg.aggregateExpressions.toSeq.map {
+        case _: CountStar =>
+          ManifestTable.manifestRowCount(table.state).map(n =>
+            (StructField("count(*)", LongType, nullable = false), n))
+        case m: Min => colName(m.column).flatMap { c =>
+          ManifestTable.manifestLongBounds(table.state, c).flatMap { b =>
+            fieldType(c).collect {
+              case IntegerType =>
+                (StructField(s"min($c)", IntegerType, true), b._1.toInt)
+              case LongType =>
+                (StructField(s"min($c)", LongType, true), b._1)
+            }
+          }
+        }
+        case m: Max => colName(m.column).flatMap { c =>
+          ManifestTable.manifestLongBounds(table.state, c).flatMap { b =>
+            fieldType(c).collect {
+              case IntegerType =>
+                (StructField(s"max($c)", IntegerType, true), b._2.toInt)
+              case LongType =>
+                (StructField(s"max($c)", LongType, true), b._2)
+            }
+          }
+        }
+        case _ => None
+      }
+    if (resolved.exists(_.isEmpty)) None
+    else {
+      val rs = resolved.flatten
+      Some((StructType(rs.map(_._1)),
+        new GenericInternalRow(rs.map(_._2).toArray)))
+    }
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = resolveAgg(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    aggResult = resolveAgg(agg)
+    aggResult.isDefined
+  }
+
   override def build(): Scan = {
+    aggResult match {
+      case Some((schema, row)) => return new GraftAggScan(table, schema, row)
+      case None => ()
+    }
     val preds: Seq[ManifestTable.ZonePred] =
       longLo.keySet.union(longHi.keySet).toSeq.sorted.flatMap { c =>
         val lo = longLo.getOrElse(c, Long.MinValue)
@@ -475,6 +557,43 @@ class GraftManifestScanBuilder(table: GraftManifestTable)
   */
 case class GraftFilesPartition(
     files: Array[(String, String, Long)]) extends InputPartition
+
+/** A fully-pushed aggregate: the single result row was computed at PLAN
+  * time from the manifest alone — the scan opens no file.
+  */
+class GraftAggScan(
+    table: GraftManifestTable,
+    aggSchema: StructType,
+    row: InternalRow) extends Scan with Batch {
+
+  override def readSchema(): StructType = aggSchema
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"graft-manifest root=${table.root} version=${table.state.version} " +
+      s"AGGREGATE from manifest (zero file IO): ${aggSchema.fieldNames.mkString(", ")}"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftFilesPartition(Array.empty))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftAggReaderFactory(aggSchema.length,
+      aggSchema.indices.map(i => row.get(i, aggSchema(i).dataType)).toArray)
+}
+
+class GraftAggReaderFactory(n: Int, values: Array[Any])
+    extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean =
+        if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow = new GenericInternalRow(values.clone())
+      override def close(): Unit = ()
+    }
+}
 
 class GraftManifestScan(
     table: GraftManifestTable,

@@ -431,6 +431,53 @@ class GraftManifestSourceSpec extends SparkSpec {
     assert(lines > 41, s"writer cap never engaged: $lines files")
   }
 
+  test("aggregate pushdown: COUNT/MIN/MAX answer from the manifest alone — zero file IO, with honest refusals") {
+    val root = tmpDir("graft_dsv2_agg") + "/t"
+    for (b <- 0 until 3)
+      ManifestTable.commit(spark, root,
+        (0 until 10).map(i => (100L * b + i, s"s$i", s"b$b"))
+          .toDF("k", "s", "part").repartition(1),
+        "part", batchId = b.toLong, statsCol = Some("k"))
+    def aggScans(df: DataFrame): Seq[GraftAggScan] =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.scan.isInstanceOf[GraftAggScan] =>
+          b.scan.asInstanceOf[GraftAggScan]
+      }
+    val q = fmt(root).agg(count(lit(1)).as("n"),
+      min(col("k")).as("mn"), max(col("k")).as("mx"))
+    assert(aggScans(q).nonEmpty, "aggregate did not push to the manifest")
+    val r = q.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((30L, 0L, 209L)))
+    // ZERO FILE IO, proven: physically remove a data file — the pushed
+    // aggregate still answers (the manifest is the aggregate), while a
+    // row-fetching query over the same table fails
+    val victim = new java.io.File(s"$root/part=b1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val stash = java.nio.file.Files.readAllBytes(victim.toPath)
+    victim.delete()
+    try {
+      val r2 = fmt(root).agg(count(lit(1)), min(col("k")), max(col("k"))).head
+      assert((r2.getLong(0), r2.getLong(1), r2.getLong(2)) == ((30L, 0L, 209L)),
+        "the pushed aggregate should never open a data file")
+      intercept[Exception] { fmt(root).select("k").collect() }
+    } finally java.nio.file.Files.write(victim.toPath, stash)
+    // refusals fall back to the exact scan path:
+    // (a) a filter present (file pruning is a superset — never aggregate)
+    val qf = fmt(root).filter(col("k") >= 100L)
+      .agg(count(lit(1)).as("n"))
+    assert(aggScans(qf).isEmpty && qf.head.getLong(0) == 20L)
+    // (b) a string column never serves MIN/MAX (binary footer stats may
+    // be truncation-adjusted bounds, not values)
+    val qs = fmt(root).agg(min(col("s")))
+    assert(aggScans(qs).isEmpty && qs.head.getString(0) == "s0")
+    // (c) a pending deletion mask makes manifest counts stale — refuse
+    ManifestTable.deleteRowsDeferred(spark, root, Seq(5L).toDF("k"), "k")
+    val qm = fmt(root).agg(count(lit(1)).as("n"))
+    assert(aggScans(qm).isEmpty && qm.head.getLong(0) == 29L,
+      "a masked table must aggregate through the scan, not the manifest")
+  }
+
   test("columnar read: batches serve the scan; widening/null-fill/timestamp matrix is value-identical to the row path") {
     def isColumnar(df: DataFrame): Boolean =
       df.queryExecution.executedPlan.collect {
