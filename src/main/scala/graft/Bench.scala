@@ -146,7 +146,8 @@ object Bench {
       try SparkEntry.u20TableDir(spark, sfDir)
       catch { case _: Throwable => () }
     if (selected.exists(n =>
-        n._1 == "u21_dsv2_ddl" || n._1 == "u22_agg_pushdown"))
+        n._1 == "u21_dsv2_ddl" || n._1 == "u22_agg_pushdown" ||
+          n._1 == "u23_runtime_prune"))
       try SparkEntry.u21TableDir(spark, sfDir)
       catch { case _: Throwable => () }
     if (selected.exists(_._1 == "d16_index_takedown"))

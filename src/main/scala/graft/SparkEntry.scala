@@ -1072,6 +1072,7 @@ object SparkEntry {
       "u9_takedown", "d16_index_takedown",
       // u19 SQL-reads the same staged u9 artifact through the DSv2 view
       "u19_dsv2_sql", "u21_dsv2_ddl", "u22_agg_pushdown",
+      "u23_runtime_prune",
       // u20 reads the DSv2-written staged table (u20TableDir)
       "u20_dsv2_write",
       // u11 diffs two committed versions of the u9 artifact
@@ -2239,6 +2240,19 @@ object SparkEntry {
       s.sql("DROP TABLE IF EXISTS graft_u21_read")
       df
     }),
+    // u23: RUNTIME file pruning — a broadcast join against a filtered
+    // dimension hands the scan the observed partition keys at execution
+    // time and the fact opens only their files (DSv2 dynamic partition
+    // pruning; the spec pins the 2-of-4-files narrowing, the gated value
+    // proves the pruned read loses no row)
+    "u23_runtime_prune" -> ((s, dir) => {
+      val fact = s.read.format("graft-manifest").load(u21TableDir(s, dir))
+      val dim = s.range(0, 4)
+        .select(concat(lit("b"), col("id").cast("string")).as("part"))
+        .filter(col("part").isin("b1", "b2"))
+      fact.join(broadcast(dim), Seq("part"))
+        .select(col("doc_id"), col("lang"), col("part"))
+    }),
     // u22: AGGREGATE pushdown — the un-filtered COUNT(*)/MIN/MAX over
     // the SQL-created table answers from ONE manifest read with ZERO
     // file IO (counts from the %# line meta, bounds from the long zone
@@ -3055,6 +3069,10 @@ object SparkEntry {
     "u21_dsv2_ddl" ->
       ("SELECT doc_id, lang, n_chars, " +
         "concat('b', CAST(doc_id % 4 AS VARCHAR)) AS part FROM documents"),
+    // u23: the runtime-pruned join replayed statically
+    "u23_runtime_prune" ->
+      ("SELECT doc_id, lang, concat('b', CAST(doc_id % 4 AS VARCHAR)) AS part " +
+        "FROM documents WHERE doc_id % 4 IN (1, 2)"),
     // u22: the manifest-served aggregate over the same content
     "u22_agg_pushdown" ->
       ("SELECT CAST(count(*) AS BIGINT) AS n_rows, " +

@@ -191,6 +191,20 @@ object GraftManifestSource {
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
       .unescapePathName(v)
 
+  /** Unsigned byte-wise UTF-8 ordering — the manifest's string zone-map
+    * comparison convention (shared by the plan-time StringRange
+    * construction and the runtime filter's).
+    */
+  private[sources] val utf8Ordering: Ordering[String] =
+    (a: String, b: String) => {
+      val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      val n = math.min(x.length, y.length)
+      var i = 0
+      var d = 0
+      while (i < n && d == 0) { d = (x(i) & 0xff) - (y(i) & 0xff); i += 1 }
+      if (d != 0) d else x.length - y.length
+    }
+
   private[sources] val SupportedTypes: Set[DataType] = Set(
     LongType, IntegerType, DoubleType, FloatType, BooleanType,
     StringType, BinaryType, TimestampType, TimestampNTZType, DateType)
@@ -603,33 +617,104 @@ class GraftManifestScan(
     partKeep: Option[Set[String]],
     provablyEmpty: Boolean,
     pushedForDisplay: Seq[Filter])
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
 
   private def spark = SparkSession.active
 
-  /** The files this scan opens — zone + bloom + partition pruned. Public
-    * to the spec: the pin is `chosenFiles.size < totalFiles`.
+  /** The files this scan opens at PLAN time — zone + bloom + partition
+    * pruned. Public to the spec: the pin is `chosenFiles.size <
+    * totalFiles`. [[filter]] may narrow further at EXECUTION time.
     */
   val totalFiles: Int = table.state.lines.size
-  val chosenFiles: Seq[String] = {
+  val baseChosenFiles: Seq[String] = {
     if (provablyEmpty) Nil
     else {
       val zoneBloom = ManifestTable.pruneScanFiles(
         spark, table.root, table.state, preds, bloomKeys)
       partKeep match {
         case None => zoneBloom
-        case Some(_) =>
+        case Some(keep) =>
           val partOf = table.filePartValues.toMap
           zoneBloom.filter { rel =>
-            partOf.get(rel).forall(v => partValueKept(v))
+            partOf.get(rel).forall(v => partValueKept(keep, v))
           }
       }
     }
   }
 
-  private def partValueKept(dirValue: String): Boolean = partKeep match {
-    case None => true
-    case Some(keep) => table.partitionType match {
+  /** RUNTIME file pruning (round 16 — DSv2 dynamic partition/file
+    * pruning): Spark executes the build side of a join first and hands
+    * this scan the observed key set as In/EqualTo filters on
+    * [[filterAttributes]] (partition column + registered zone-map
+    * columns); the file set re-prunes through the SAME zone/bloom/
+    * partition machinery before any input partition is planned — a
+    * dimension-filtered fact scan opens only the files the surviving
+    * keys can touch. Unparseable or oversized (> 100k values) runtime
+    * filters are ignored: pruning is always a sound superset.
+    */
+  private var runtimeChosen: Option[Seq[String]] = None
+
+  def chosenFiles: Seq[String] = runtimeChosen.getOrElse(baseChosenFiles)
+
+  /** (narrowed, from) when a runtime filter landed — the spec observable. */
+  private[sources] def runtimeNarrowed: Option[(Int, Int)] =
+    runtimeChosen.map(r => (r.size, baseChosenFiles.size))
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    (table.partitionCol.toSeq ++ table.state.statsCols.map(_._1)).distinct
+      // only columns surviving column pruning: Spark resolves these
+      // against the scan's (pruned) output and throws on absent names
+      .filter(required.fieldNames.contains)
+      .map(c => org.apache.spark.sql.connector.expressions.Expressions
+        .column(c))
+      .toArray
+
+  override def filter(runtime: Array[Filter]): Unit = {
+    val MaxRuntimeKeys = 100000
+    var keep = baseChosenFiles
+    val partOf = table.filePartValues.toMap
+    runtime.foreach {
+      case f @ (EqualTo(_, _) | In(_, _)) =>
+        val (c, vs0) = f match {
+          case EqualTo(c, v) => (c, Set[Any](v))
+          case In(c, vs) => (c, vs.toSet)
+          case _ => throw new MatchError(f) // unreachable
+        }
+        val vs = vs0.filter(_ != null)
+        if (vs.size <= MaxRuntimeKeys) {
+          if (table.partitionCol.contains(c)) {
+            val keepVals = vs.map(_.toString)
+            keep = keep.filter(rel =>
+              partOf.get(rel).forall(v => partValueKept(keepVals, v)))
+          } else table.state.statsCols.find(_._1 == c).foreach {
+            case (_, "long") if vs.forall(_.isInstanceOf[Number]) =>
+              val ls = vs.map(_.asInstanceOf[Number].longValue())
+              val zoned = ManifestTable.pruneScanFiles(
+                spark, table.root, table.state,
+                Seq(ManifestTable.LongRange(c, ls.min, ls.max)),
+                Map(c -> ls.toSeq.sorted))
+              keep = keep.filter(zoned.toSet)
+            case (_, "string") if vs.forall(_.isInstanceOf[String]) =>
+              val ss = vs.map(_.asInstanceOf[String])
+              val zoned = ManifestTable.pruneScanFiles(
+                spark, table.root, table.state,
+                Seq(ManifestTable.StringRange(c,
+                  ss.min(GraftManifestSource.utf8Ordering),
+                  ss.max(GraftManifestSource.utf8Ordering))),
+                Map(c -> ss.toSeq.sorted.map(ManifestTable.xx64String)))
+              keep = keep.filter(zoned.toSet)
+            case _ => ()
+          }
+        }
+      case _ => () // other runtime shapes: sound to ignore
+    }
+    runtimeChosen = Some(keep)
+  }
+
+  private def partValueKept(keep: Set[String], dirValue: String): Boolean =
+    table.partitionType match {
       case IntegerType | LongType =>
         scala.util.Try(dirValue.trim.toLong).toOption
           .exists(dv => keep.exists(k =>
@@ -644,7 +729,6 @@ class GraftManifestScan(
               .contains(dv)))
       case _ => keep.contains(dirValue)
     }
-  }
 
   /** Per-file (bytes, rows) from the manifest's own `%#` line meta —
     * planning needs ZERO per-file filesystem calls on tables written
@@ -658,10 +742,10 @@ class GraftManifestScan(
     * exactly the files [[fileLens]] must status-probe. The spec pins 0
     * on freshly-written tables.
     */
-  private[sources] lazy val planStatProbes: Int =
+  private[sources] def planStatProbes: Int =
     chosenFiles.count(r => !lineMetaOf.contains(r))
 
-  private lazy val fileLens: Map[String, Long] = {
+  private def fileLens: Map[String, Long] = {
     val conf = spark.sparkContext.hadoopConfiguration
     chosenFiles.map { rel =>
       rel -> lineMetaOf.get(rel).map(_._1).getOrElse {

@@ -30,12 +30,27 @@ class GraftManifestSourceSpec extends SparkSpec {
       s"$clue: values diverged")
   }
 
-  private def graftScans(df: DataFrame): Seq[GraftManifestScan] =
-    df.queryExecution.executedPlan.collect {
-      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
-        if b.scan.isInstanceOf[GraftManifestScan] =>
-        b.scan.asInstanceOf[GraftManifestScan]
+  private def graftScans(df: DataFrame): Seq[GraftManifestScan] = {
+    // recurse through AQE wrappers and query stages (both are leaf-like
+    // to the plain collect)
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[GraftManifestScan] = {
+      val here = p match {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.scan.isInstanceOf[GraftManifestScan] =>
+          Seq(b.scan.asInstanceOf[GraftManifestScan])
+        case _ => Nil
+      }
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case other => other.children
+      }
+      here ++ kids.flatMap(walk)
     }
+    walk(df.queryExecution.executedPlan)
+  }
 
   test("format read ≡ ManifestTable.read on int-bucketed and string-lineage tables; versionAsOf time-travels") {
     // int-partitioned (bucket=0..3)
@@ -476,6 +491,48 @@ class GraftManifestSourceSpec extends SparkSpec {
     val qm = fmt(root).agg(count(lit(1)).as("n"))
     assert(aggScans(qm).isEmpty && qm.head.getLong(0) == 29L,
       "a masked table must aggregate through the scan, not the manifest")
+  }
+
+  test("runtime filtering: a broadcast join's observed keys prune fact files at execution time") {
+    val root = tmpDir("graft_dsv2_dpp") + "/t"
+    // 8 partitions, near-disjoint k ranges, one file each
+    for (b <- 0 until 8)
+      ManifestTable.commit(spark, root,
+        (0 until 10).map(i => (100L * b + i, s"b$b")).toDF("k", "part")
+          .repartition(1), "part", batchId = b.toLong, statsCol = Some("k"))
+    // DPP requires a SELECTIVE predicate on the build side (an
+    // unfiltered dimension would prune nothing by definition) — and the
+    // dimension must be FILE-backed: a filter over a LocalRelation
+    // constant-folds away before the pruning rule sees it
+    val dimDir = tmpDir("graft_dsv2_dpp_dim")
+    Seq(("b2", "x"), ("b5", "y"), ("b0", "skip"), ("b1", "skip"))
+      .toDF("part", "label").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("label").isin("x", "y"))
+    val fact = fmt(root)
+    val joined = fact.join(broadcast(dim), Seq("part")).select("k", "label")
+    val rows = joined.collect()
+    assert(rows.length == 20 &&
+      rows.forall(r => (200L to 209L).contains(r.getLong(0)) ||
+        (500L to 509L).contains(r.getLong(0))))
+    val scan = graftScans(joined).head
+    scan.runtimeNarrowed match {
+      case Some((narrowed, from)) =>
+        assert(narrowed == 2 && from == 8,
+          s"runtime filter kept $narrowed/$from — expected 2/8")
+      case None =>
+        fail("no runtime filter reached the scan (DPP not planned?); " +
+          s"plan:\n${joined.queryExecution.executedPlan}")
+    }
+    // a runtime filter on the zone-mapped key column narrows too
+    val dimKDir = tmpDir("graft_dsv2_dpp_dimk")
+    ((200L to 203L).map(k => (k, "z")) ++ Seq((900L, "w")))
+      .toDF("k", "label").write.mode("overwrite").parquet(dimKDir)
+    val dimK = spark.read.parquet(dimKDir).filter(col("label") === "z")
+    val joinedK = fact.join(broadcast(dimK), Seq("k"))
+    assert(joinedK.count() == 4L)
+    graftScans(joinedK).head.runtimeNarrowed.foreach { case (n, f) =>
+      assert(n <= 1 && f == 8, s"zone runtime filter kept $n/$f")
+    }
   }
 
   test("columnar read: batches serve the scan; widening/null-fill/timestamp matrix is value-identical to the row path") {
