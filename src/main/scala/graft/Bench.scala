@@ -145,6 +145,9 @@ object Bench {
     if (selected.exists(_._1 == "u20_dsv2_write"))
       try SparkEntry.u20TableDir(spark, sfDir)
       catch { case _: Throwable => () }
+    if (selected.exists(_._1 == "u24_stream_tail"))
+      try SparkEntry.u24StreamDir(spark, sfDir)
+      catch { case _: Throwable => () }
     if (selected.exists(n =>
         n._1 == "u21_dsv2_ddl" || n._1 == "u22_agg_pushdown" ||
           n._1 == "u23_runtime_prune"))

@@ -659,6 +659,31 @@ object SparkEntry {
       root
     })
 
+  private val streamTailMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** u24's artifact: the u20 DSv2-written table TAILED through the
+    * format's streaming source (`spark.readStream.format("graft-
+    * manifest")` — offsets are manifest versions, each micro-batch the
+    * files a version added) into a parquet sink. Append-only versions
+    * stream exactly once, so the drained sink equals the table snapshot
+    * — which is exactly what the shared u20 oracle checks.
+    */
+  def u24StreamDir(s: SparkSession, dir: String): String =
+    streamTailMemo.computeIfAbsent((s, dir), _ => {
+      val root = graft.core.TempDirs.create("graft_u24_tail")
+      val q = s.readStream.format("graft-manifest")
+        .load(u20TableDir(s, dir))
+        .select(col("doc_id"), col("lang"))
+        .writeStream.format("parquet")
+        .option("path", root + "/sink")
+        .option("checkpointLocation", root + "/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      root
+    })
+
   private val dsv2DdlTableMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
@@ -1072,7 +1097,7 @@ object SparkEntry {
       "u9_takedown", "d16_index_takedown",
       // u19 SQL-reads the same staged u9 artifact through the DSv2 view
       "u19_dsv2_sql", "u21_dsv2_ddl", "u22_agg_pushdown",
-      "u23_runtime_prune",
+      "u23_runtime_prune", "u24_stream_tail",
       // u20 reads the DSv2-written staged table (u20TableDir)
       "u20_dsv2_write",
       // u11 diffs two committed versions of the u9 artifact
@@ -1130,7 +1155,7 @@ object SparkEntry {
       clusterTakedownMemo, cdfCatchupMemo, restoreTableMemo,
       cdfConsumerMemo, ttlTableMemo, mergeTableMemo,
       bloomTableMemo, cdcReplicaMemo, dvTableMemo,
-      dsv2WriteTableMemo, dsv2DdlTableMemo,
+      dsv2WriteTableMemo, dsv2DdlTableMemo, streamTailMemo,
       streamedTakedownMemo).foreach { m =>
       m.keySet.asScala.filter(_._1 eq s).toList
         .foreach(k => Option(m.remove(k)).foreach(graft.core.TempDirs.drop))
@@ -2240,6 +2265,13 @@ object SparkEntry {
       s.sql("DROP TABLE IF EXISTS graft_u21_read")
       df
     }),
+    // u24: the STREAMING tail of the manifest format — the u20 table's
+    // append versions drained as micro-batches into a parquet sink;
+    // append-only versions stream exactly once, so the sink equals the
+    // snapshot (the shared u20 oracle)
+    "u24_stream_tail" -> ((s, dir) =>
+      s.read.parquet(u24StreamDir(s, dir) + "/sink")
+        .select("doc_id", "lang")),
     // u23: RUNTIME file pruning — a broadcast join against a filtered
     // dimension hands the scan the observed partition keys at execution
     // time and the fact opens only their files (DSv2 dynamic partition
@@ -3069,6 +3101,8 @@ object SparkEntry {
     "u21_dsv2_ddl" ->
       ("SELECT doc_id, lang, n_chars, " +
         "concat('b', CAST(doc_id % 4 AS VARCHAR)) AS part FROM documents"),
+    // u24: the streamed tail of the u20 table = its snapshot
+    "u24_stream_tail" -> "SELECT doc_id, lang FROM documents",
     // u23: the runtime-pruned join replayed statically
     "u23_runtime_prune" ->
       ("SELECT doc_id, lang, concat('b', CAST(doc_id % 4 AS VARCHAR)) AS part " +

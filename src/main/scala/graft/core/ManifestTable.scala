@@ -2126,6 +2126,13 @@ object ManifestTable {
       schema: org.apache.spark.sql.types.StructType): ScanState =
     ScanState(-1L, Nil, Nil, Some(schema))
 
+  /** One committed version's raw lines — the streaming tail's per-batch
+    * diff source ([[graft.sources.GraftMicroBatchStream]]).
+    */
+  private[graft] def versionLines(
+      spark: SparkSession, root: String, v: Long): Seq[String] =
+    if (v < 0) Nil else readManifestLines(spark, root, v).lines
+
   private[graft] def scanState(
       spark: SparkSession, root: String,
       versionAsOf: Option[Long]): ScanState = {

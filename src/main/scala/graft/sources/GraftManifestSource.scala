@@ -191,6 +191,41 @@ object GraftManifestSource {
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
       .unescapePathName(v)
 
+  /** Spark's own split-size law (FilePartition.maxSplitBytes): cap at
+    * maxPartitionBytes, but DIVIDE small tables across the cluster's
+    * default parallelism (plus an open-cost pad per file) — a plain
+    * bin-pack to 128 MB put every file of a small table into ONE input
+    * partition and serialized the whole scan (round-16 measurement:
+    * 1.9x the native reader; with this law 1.0x). First-fit decreasing
+    * to ~target per partition. Shared by the batch scan and the
+    * streaming tail.
+    */
+  private[sources] def packFiles(
+      spark: SparkSession,
+      files: Seq[(String, String, Long)]): Array[InputPartition] = {
+    if (files.isEmpty) return Array.empty
+    val conf = spark.sessionState.conf
+    val openCost = conf.filesOpenCostInBytes
+    val padded = files.map { case (r, p, len) => (r, p, len + openCost) }
+    val totalBytes = padded.map(_._3).sum
+    val target = math.max(openCost, math.min(
+      math.max(1L, conf.filesMaxPartitionBytes),
+      totalBytes / math.max(1, spark.sparkContext.defaultParallelism)))
+    val sorted = padded.sortBy(-_._3)
+    val bins = scala.collection.mutable.ArrayBuffer
+      .empty[(scala.collection.mutable.ArrayBuffer[(String, String, Long)], Long)]
+    sorted.foreach { f =>
+      bins.indexWhere(_._2 + f._3 <= target) match {
+        case -1 =>
+          bins += ((scala.collection.mutable.ArrayBuffer(f), f._3))
+        case i =>
+          bins(i)._1 += f
+          bins(i) = (bins(i)._1, bins(i)._2 + f._3)
+      }
+    }
+    bins.map(b => GraftFilesPartition(b._1.toArray): InputPartition).toArray
+  }
+
   /** Unsigned byte-wise UTF-8 ordering — the manifest's string zone-map
     * comparison convention (shared by the plan-time StringRange
     * construction and the runtime filter's).
@@ -308,10 +343,12 @@ class GraftManifestTable(
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftManifestScanBuilder(this)
+    new GraftManifestScanBuilder(this,
+      Option(options.get("startingVersion")).map(_.toLong))
 
   /** WRITE path (round 15 — the format's other half): `df.write
     * .format("graft-manifest").mode("append"|"overwrite").save(root)`
@@ -355,7 +392,9 @@ class GraftManifestTable(
   * returned as a residual so Spark re-applies it row-level — file
   * skipping is a superset guarantee, never a row filter.
   */
-class GraftManifestScanBuilder(table: GraftManifestTable)
+class GraftManifestScanBuilder(
+    table: GraftManifestTable,
+    startingVersion: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -562,7 +601,7 @@ class GraftManifestScanBuilder(table: GraftManifestTable)
         }
     new GraftManifestScan(
       table, required, preds, bloomKeys,
-      partKeep, provablyEmpty, pushed.toSeq)
+      partKeep, provablyEmpty, pushed.toSeq, startingVersion)
   }
 }
 
@@ -616,7 +655,8 @@ class GraftManifestScan(
     bloomKeys: Map[String, Seq[Long]],
     partKeep: Option[Set[String]],
     provablyEmpty: Boolean,
-    pushedForDisplay: Seq[Filter])
+    pushedForDisplay: Seq[Filter],
+    startingVersion: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -783,35 +823,38 @@ class GraftManifestScan(
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    if (chosenFiles.isEmpty) return Array.empty
     val partOf = table.filePartValues.toMap
-    // Spark's own split-size law (FilePartition.maxSplitBytes): cap at
-    // maxPartitionBytes, but DIVIDE small tables across the cluster's
-    // default parallelism (plus an open-cost pad per file) — a plain
-    // bin-pack to 128 MB put every file of a small table into ONE input
-    // partition and serialized the whole scan (round-16 measurement:
-    // 1.9x the native reader; with this law 1.0x)
-    val conf = spark.sessionState.conf
-    val openCost = conf.filesOpenCostInBytes
-    val padded = chosenFiles.map(r => (r, partOf(r), fileLens(r) + openCost))
-    val totalBytes = padded.map(_._3).sum
-    val target = math.max(openCost, math.min(
-      math.max(1L, conf.filesMaxPartitionBytes),
-      totalBytes / math.max(1, spark.sparkContext.defaultParallelism)))
-    // first-fit decreasing bin pack to ~target per partition
-    val sorted = padded.sortBy(-_._3)
-    val bins = scala.collection.mutable.ArrayBuffer
-      .empty[(scala.collection.mutable.ArrayBuffer[(String, String, Long)], Long)]
-    sorted.foreach { f =>
-      bins.indexWhere(_._2 + f._3 <= target) match {
-        case -1 =>
-          bins += ((scala.collection.mutable.ArrayBuffer(f), f._3))
-        case i =>
-          bins(i)._1 += f
-          bins(i) = (bins(i)._1, bins(i)._2 + f._3)
-      }
-    }
-    bins.map(b => GraftFilesPartition(b._1.toArray)).toArray
+    GraftManifestSource.packFiles(spark,
+      chosenFiles.map(r => (r, partOf(r), fileLens(r))))
+  }
+
+  /** STREAMING tail of the table (round 16 — `spark.readStream
+    * .format("graft-manifest")`, the Delta streaming-source shape):
+    * offsets are manifest VERSIONS; each micro-batch serves the files a
+    * version range ADDED, so an append-only ingest (the st18 lineage
+    * shape, the DSv2 write path) streams exactly once per committed
+    * version. A version that also REMOVED files (delete / optimize /
+    * truncate) REFUSES loudly — removals are not representable in an
+    * append stream; incremental consumers of rewriting tables belong on
+    * [[graft.streaming.ChangeFeed]]. Batch contents follow the CDC
+    * convention (RAW file contents, like `changes` — a pending deferred
+    * mask surfaces at its purge, which this tail refuses on): rows
+    * already emitted can never be retro-filtered anyway.
+    * `option("startingVersion", n)` replays from version n (default 0 —
+    * the whole retained history); zone/bloom pushdown prunes each
+    * batch's added files like any batch scan.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(table.versionAsOf.isEmpty,
+      "graft-manifest streaming: versionAsOf pins one snapshot — a " +
+        "stream tails versions; drop the option")
+    new GraftMicroBatchStream(table, required, preds, bloomKeys,
+      startingVersion.getOrElse(0L),
+      GraftManifestSource.confProps(spark),
+      spark.conf.getOption("spark.sql.parquet.columnarReaderBatchSize")
+        .map(_.toInt).getOrElse(4096),
+      spark.sessionState.conf.sessionLocalTimeZone)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -872,6 +915,93 @@ class GraftReaderFactory(
     new GraftPartitionReader(
       root, partition.asInstanceOf[GraftFilesPartition].files,
       required, dataSchema, partitionCol, partitionType, masks, confProps)
+}
+
+/** Version-offset of the streaming tail: "consumed through manifest
+  * version v".
+  */
+case class GraftStreamOffset(version: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = version.toString
+}
+
+class GraftMicroBatchStream(
+    table: GraftManifestTable,
+    required: StructType,
+    preds: Seq[ManifestTable.ZonePred],
+    bloomKeys: Map[String, Seq[Long]],
+    startingVersion: Long,
+    confProps: Array[(String, String)],
+    capacity: Int,
+    sessionTz: String)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def spark = SparkSession.active
+
+  override def initialOffset(): Offset =
+    GraftStreamOffset(startingVersion - 1L)
+
+  override def latestOffset(): Offset =
+    GraftStreamOffset(ManifestTable.currentVersion(spark, table.root))
+
+  override def deserializeOffset(json: String): Offset =
+    GraftStreamOffset(json.trim.toLong)
+
+  override def planInputPartitions(
+      start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[GraftStreamOffset].version
+    val to = end.asInstanceOf[GraftStreamOffset].version
+    if (to <= from) return Array.empty
+    val added = scala.collection.mutable.ArrayBuffer[String]()
+    var prevPaths =
+      ManifestTable.versionLines(spark, table.root, from)
+        .map(_.split('|')(0)).toSet
+    for (v <- (from + 1) to to) {
+      val lines = ManifestTable.versionLines(spark, table.root, v)
+      val paths = lines.map(_.split('|')(0)).toSet
+      val removed = prevPaths -- paths
+      if (removed.nonEmpty) throw new IllegalStateException(
+        s"graft-manifest streaming: version $v of ${table.root} REMOVED " +
+          s"${removed.size} file(s) (a delete/optimize/overwrite) — " +
+          "removals are not representable in an append stream; consume " +
+          "rewriting tables through graft.streaming.ChangeFeed")
+      // per-batch zone/bloom pruning over the ADDED lines only
+      val addedLines = lines.filter(l => !prevPaths.contains(l.split('|')(0)))
+      val st = ManifestTable.emptyScanState(new StructType())
+        .copy(version = v, lines = addedLines,
+          statsCols = table.state.statsCols)
+      added ++= ManifestTable.pruneScanFiles(
+        spark, table.root, st, preds, bloomKeys)
+      prevPaths = paths
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val metaOf: Map[String, Long] = (ManifestTable
+      .versionLines(spark, table.root, to))
+      .flatMap(l => ManifestTable.lineFileMeta(l)
+        .map(m => l.split('|')(0) -> m._1)).toMap
+    GraftManifestSource.packFiles(spark, added.toSeq.map { rel =>
+      val dir = rel.takeWhile(_ != '/')
+      val pv = GraftManifestSource.unescape(dir.dropWhile(_ != '=').drop(1))
+      val len = metaOf.getOrElse(rel, {
+        val p = new Path(table.root, rel)
+        p.getFileSystem(conf).getFileStatus(p).getLen
+      })
+      (rel, pv, len)
+    })
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(
+      table.root, required, table.dataSchema,
+      table.partitionCol, table.partitionType,
+      Array.empty, // CDC convention: raw appended contents (see scan doc)
+      confProps, capacity, sessionTz)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
 }
 
 /** Executor-side reader: parquet-mr example Groups → InternalRows over

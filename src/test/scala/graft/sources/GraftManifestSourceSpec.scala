@@ -626,6 +626,46 @@ class GraftManifestSourceSpec extends SparkSpec {
       s"NANOS bridge misdecoded: ${got.toSeq}")
   }
 
+  test("streaming tail: versions stream as micro-batches; rewrites refuse; startingVersion replays from there") {
+    val root = tmpDir("graft_dsv2_stream") + "/t"
+    for (b <- 0 until 3)
+      ManifestTable.commit(spark, root,
+        (0 until 10).map(i => (100L * b + i, s"b$b")).toDF("k", "part"),
+        "part", batchId = b.toLong, statsCol = Some("k"))
+    def drain(startingVersion: Option[Long] = None): Seq[Long] = {
+      val ckpt = tmpDir("graft_dsv2_stream_ckpt")
+      val r0 = spark.readStream.format("graft-manifest")
+      val r = startingVersion.fold(r0)(v =>
+        r0.option("startingVersion", v.toString))
+      val q = r.load(root).writeStream
+        .format("memory").queryName("graft_stream_tail")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = spark.table("graft_stream_tail")
+        .select("k").collect().map(_.getLong(0)).toSeq.sorted
+      spark.sql("DROP VIEW IF EXISTS graft_stream_tail")
+      out
+    }
+    // the whole retained history streams exactly once
+    assert(drain() ==
+      (0 until 3).flatMap(b => (0 until 10).map(i => 100L * b + i)).sorted)
+    // startingVersion replays a suffix
+    assert(drain(Some(2L)) == (200L until 210L).toSeq)
+    // a rewriting version refuses loudly
+    ManifestTable.commit(spark, root,
+      (0 until 5).map(i => (900L + i, "b0")).toDF("k", "part"),
+      "part", batchId = 3L) // REPLACES partition b0 — removals appear
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(ex).exists(_.contains("ChangeFeed")),
+      s"expected the removal refusal: ${chain(ex)}")
+  }
+
   test("a raw parquet read of the table root is refused by the sentinel; the format read is unaffected") {
     val root = tmpDir("graft_dsv2_guard") + "/t"
     ManifestTable.commit(spark, root,
