@@ -611,6 +611,17 @@ class GraftManifestScanBuilder(
 case class GraftFilesPartition(
     files: Array[(String, String, Long)]) extends InputPartition
 
+/** A key-grouped input partition (storage-partitioned joins): all the
+  * chosen files of ONE partition value, keyed by its typed value.
+  */
+case class GraftKeyedFilesPartition(
+    files: Array[(String, String, Long)],
+    keyValue: Any) extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array(keyValue))
+}
+
 /** A fully-pushed aggregate: the single result row was computed at PLAN
   * time from the manifest alone — the scan opens no file.
   */
@@ -658,7 +669,7 @@ class GraftManifestScan(
     pushedForDisplay: Seq[Filter],
     startingVersion: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
   private def spark = SparkSession.active
 
@@ -822,9 +833,59 @@ class GraftManifestScan(
       else util.OptionalLong.empty()
   }
 
+  /** STORAGE-PARTITIONED JOIN support (round 16 — the Iceberg SPJ move):
+    * when `spark.sql.sources.v2.bucketing.enabled` is true, the scan
+    * reports `KeyGroupedPartitioning(identity(partitionCol))` and plans
+    * ONE input partition per partition VALUE, so a join between two
+    * manifest tables co-partitioned on the same values needs NO shuffle
+    * on either side — at 100 TB the exchange this removes IS the join's
+    * cost. Off (the default), the scan bin-packs for maximum parallelism
+    * instead; the conf is the explicit trade (key-grouped scan
+    * parallelism = partition count). Runtime filters compose: narrowing
+    * drops files within groups, never the groups themselves, so the
+    * reported partition count stays stable across DPP.
+    */
+  private def clusteredScan: Boolean =
+    table.partitionCol.isDefined &&
+      spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+        .contains("true")
+
+  private lazy val baseKeyGroups: Seq[(Any, Seq[String])] = {
+    val partOf = table.filePartValues.toMap
+    baseChosenFiles.groupBy(r => partOf(r))
+      .toSeq.sortBy(_._1)
+      .map { case (v, fs) => (typedKey(v), fs) }
+  }
+
+  private def typedKey(dirValue: String): Any = table.partitionType match {
+    case IntegerType => dirValue.trim.toInt
+    case LongType => dirValue.trim.toLong
+    case DateType => GraftManifestSource.dateDays(dirValue)
+    case _ => UTF8String.fromString(dirValue)
+  }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (clusteredScan)
+      new org.apache.spark.sql.connector.read.partitioning
+        .KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions
+            .identity(table.partitionCol.get)),
+          baseKeyGroups.length)
+    else new org.apache.spark.sql.connector.read.partitioning
+      .UnknownPartitioning(0)
+
   override def planInputPartitions(): Array[InputPartition] = {
     val partOf = table.filePartValues.toMap
-    GraftManifestSource.packFiles(spark,
+    if (clusteredScan) {
+      val live = chosenFiles.toSet
+      baseKeyGroups.map { case (key, fs) =>
+        val kept = fs.filter(live)
+        GraftKeyedFilesPartition(
+          kept.map(r => (r, partOf(r), fileLens.getOrElse(r, 0L))).toArray,
+          key): InputPartition
+      }.toArray
+    } else GraftManifestSource.packFiles(spark,
       chosenFiles.map(r => (r, partOf(r), fileLens(r))))
   }
 
@@ -904,16 +965,24 @@ class GraftReaderFactory(
   override def supportColumnarReads(partition: InputPartition): Boolean =
     masks.isEmpty
 
+  private def filesOf(p: InputPartition): Array[(String, String, Long)] =
+    p match {
+      case g: GraftFilesPartition => g.files
+      case k: GraftKeyedFilesPartition => k.files
+      case other => throw new IllegalStateException(
+        s"unexpected input partition $other")
+    }
+
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new GraftColumnarReader(
-      root, partition.asInstanceOf[GraftFilesPartition].files,
+      root, filesOf(partition),
       required, dataSchema, partitionCol, partitionType, confProps,
       capacity, sessionTz)
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(
-      root, partition.asInstanceOf[GraftFilesPartition].files,
+      root, filesOf(partition),
       required, dataSchema, partitionCol, partitionType, masks, confProps)
 }
 

@@ -666,6 +666,71 @@ class GraftManifestSourceSpec extends SparkSpec {
       s"expected the removal refusal: ${chain(ex)}")
   }
 
+  test("storage-partitioned join: co-partitioned manifest tables join with ZERO shuffles under v2 bucketing") {
+    def mk(name: String, n: Int): String = {
+      val root = tmpDir(name) + "/t"
+      ManifestTable.commit(spark, root,
+        (0 until n).map(i => (i.toLong, s"v$i",
+          (i % 4))).toDF("k", "s", "bucket"),
+        "bucket", batchId = 0L)
+      root
+    }
+    val ra = mk("graft_dsv2_spj_a", 40)
+    val rb = mk("graft_dsv2_spj_b", 24)
+    def shuffles(df: DataFrame): Int = {
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+        val here = p match {
+          case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => 1
+          case _ => 0
+        }
+        val kids = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            Seq(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            Seq(q.plan)
+          case other => other.children
+        }
+        here + kids.map(walk).sum
+      }
+      walk(df.queryExecution.executedPlan)
+    }
+    val expect = (0 until 24).map(i => (i.toLong, s"v$i", s"v$i")).toSet
+    def joined(): DataFrame =
+      fmt(ra).select(col("bucket"), col("k"), col("s").as("sa"))
+        .join(fmt(rb).select(col("bucket"), col("k"), col("s").as("sb")),
+          Seq("bucket", "k"))
+        .select("k", "sa", "sb")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    // the join clusters on (bucket, k) — a SUPERSET of the partition key;
+    // co-partitioning on the subset needs this off (the standard SPJ
+    // setup, same as Iceberg's)
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = joined()
+      val got = q.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(got == expect, "SPJ join values diverged")
+      assert(shuffles(q) == 0,
+        s"expected a shuffle-free storage-partitioned join: " +
+          q.queryExecution.executedPlan)
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+    // conf off (the default): same values through ordinary exchanges
+    // (broadcast still disabled so the control really shuffles), and the
+    // scan keeps its bin-packed parallelism
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q2 = joined()
+      val got2 = q2.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(got2 == expect && shuffles(q2) > 0)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("a raw parquet read of the table root is refused by the sentinel; the format read is unaffected") {
     val root = tmpDir("graft_dsv2_guard") + "/t"
     ManifestTable.commit(spark, root,
