@@ -186,6 +186,12 @@ object Bench {
     if (selected.exists(_._1 == "u15_merge_upsert"))
       try SparkEntry.u15TableDir(spark, sfDir)
       catch { case _: Throwable => () }
+    if (selected.exists(_._1 == "u26_sql_delete"))
+      try SparkEntry.u26TableDir(spark, sfDir)
+      catch { case _: Throwable => () }
+    if (selected.exists(_._1 == "u27_sql_merge"))
+      try SparkEntry.u27TableDir(spark, sfDir)
+      catch { case _: Throwable => () }
     if (selected.exists(_._1 == "u16_bloom_takedown"))
       try SparkEntry.u16TableDir(spark, sfDir)
       catch { case _: Throwable => () }

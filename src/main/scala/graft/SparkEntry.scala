@@ -794,6 +794,97 @@ object SparkEntry {
       root
     })
 
+  private val sqlDeleteTableMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** u26's artifact: the u9 takedown lifecycle run PURELY THROUGH SQL
+    * (round 17 — the format's row-level verbs): the documents catalog is
+    * committed as a bucketed manifest table, registered in the session
+    * catalog, then takedowns run as SQL statements:
+    *
+    *  - `DELETE FROM t WHERE doc_id IN (<list>)` — the `%97=3` list as
+    *    literals: METADATA-ROUTED onto [[graft.core.ManifestTable
+    *    .deleteRows]] (zone/bloom-pruned detection, touched-partition
+    *    rewrite only). The list is collected driver-side, bounded by
+    *    construction (~1% of doc ids — the takedown-list contract).
+    *  - `DELETE FROM t WHERE doc_id % 89 = 7` — a predicate no key
+    *    mapping can express: the group-based COPY-ON-WRITE road
+    *    (Spark's ReplaceData rewrite over the format's scan, swap
+    *    committed by [[graft.core.ManifestTable.replaceFiles]]).
+    *
+    * The gated read is the post-delete snapshot: one key proves both
+    * planning roads end-to-end.
+    */
+  def u26TableDir(s: SparkSession, dir: String): String =
+    sqlDeleteTableMemo.computeIfAbsent((s, dir), _ => {
+      val root = graft.core.TempDirs.create("graft_u26_sqldel") + "/t"
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .withColumn("bucket", pmod(col("doc_id"), lit(8)).cast("int"))
+      graft.core.ManifestTable.commit(s, root, docs, "bucket", 0L,
+        statsCol = Some("doc_id"))
+      val keys = t(s, dir, "documents").filter(col("doc_id") % 97 === 3)
+        .select("doc_id").collect().map(_.getLong(0))
+      s.sql("DROP TABLE IF EXISTS graft_u26_stage")
+      s.sql("CREATE TABLE graft_u26_stage (doc_id BIGINT, lang STRING, " +
+        "source STRING, n_chars BIGINT, bucket INT) " +
+        s"USING `graft-manifest` OPTIONS (path '$root')")
+      try {
+        s.sql("DELETE FROM graft_u26_stage WHERE doc_id IN (" +
+          keys.mkString(", ") + ")")
+        s.sql("DELETE FROM graft_u26_stage WHERE doc_id % 89 = 7")
+      } finally s.sql("DROP TABLE IF EXISTS graft_u26_stage")
+      root
+    })
+
+  private val sqlMergeTableMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** u27's artifact: the u15 MERGE upsert lifecycle run PURELY THROUGH
+    * SQL (round 17): same seeding as u15 (4 lineage batches, zone maps
+    * on doc_id), then one `MERGE INTO ... WHEN MATCHED THEN UPDATE SET *
+    * WHEN NOT MATCHED THEN INSERT *` — Spark's group-based rewrite over
+    * the format's scan (static + runtime zone narrowing bounds the
+    * rewritten files), committed as one atomic file swap. The gated read
+    * is the post-merge snapshot; the oracle is u15's (the two paths must
+    * agree value-for-value).
+    */
+  def u27TableDir(s: SparkSession, dir: String): String =
+    sqlMergeTableMemo.computeIfAbsent((s, dir), _ => {
+      val root = graft.core.TempDirs.create("graft_u27_sqlmerge") + "/t"
+      val docs = t(s, dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+      for (b <- 0 until 4)
+        graft.core.ManifestTable.commit(s, root,
+          docs.filter(col("doc_id") % 4 === b)
+            .withColumn("part", lit(s"b$b")), "part", batchId = b.toLong,
+          statsCol = Some("doc_id"))
+      val matched = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("lang", lit("upd"))
+        .withColumn("n_chars", col("n_chars") + lit(1000000L))
+        .withColumn("part", concat(lit("m"), col("doc_id") % 2))
+      val inserts = docs.filter(col("doc_id") % 13 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(10000000L))
+        .withColumn("part", concat(lit("b"), col("doc_id") % 4))
+      matched.unionByName(inserts)
+        .createOrReplaceTempView("graft_u27_src")
+      s.sql("DROP TABLE IF EXISTS graft_u27_stage")
+      s.sql("CREATE TABLE graft_u27_stage (doc_id BIGINT, lang STRING, " +
+        "n_chars BIGINT, part STRING) " +
+        s"USING `graft-manifest` OPTIONS (path '$root')")
+      try {
+        s.sql(
+          """MERGE INTO graft_u27_stage t USING graft_u27_src s
+            |ON t.doc_id = s.doc_id
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      } finally {
+        s.sql("DROP TABLE IF EXISTS graft_u27_stage")
+        s.catalog.dropTempView("graft_u27_src")
+      }
+      root
+    })
+
   private val bloomTableMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
@@ -1117,6 +1208,8 @@ object SparkEntry {
       "u14_partition_ttl",
       // u15 reads the post-merge manifest snapshot (u15TableDir)
       "u15_merge_upsert",
+      // u26/u27 read post-SQL-verb snapshots (u26TableDir/u27TableDir)
+      "u26_sql_delete", "u27_sql_merge",
       // u16 reads the post-takedown bloom-indexed snapshot (u16TableDir)
       "u16_bloom_takedown",
       // u18 reads the purged+masked deferred-takedown snapshot (u18TableDir)
@@ -1156,7 +1249,8 @@ object SparkEntry {
       cdfConsumerMemo, ttlTableMemo, mergeTableMemo,
       bloomTableMemo, cdcReplicaMemo, dvTableMemo,
       dsv2WriteTableMemo, dsv2DdlTableMemo, streamTailMemo,
-      streamedTakedownMemo).foreach { m =>
+      streamedTakedownMemo, sqlDeleteTableMemo, sqlMergeTableMemo)
+      .foreach { m =>
       m.keySet.asScala.filter(_._1 eq s).toList
         .foreach(k => Option(m.remove(k)).foreach(graft.core.TempDirs.drop))
     }
@@ -2320,6 +2414,19 @@ object SparkEntry {
     "u15_merge_upsert" -> ((s, dir) =>
       graft.core.ManifestTable.read(s, u15TableDir(s, dir)).get
         .select("doc_id", "lang", "n_chars")),
+    // u26: the u9 takedown lifecycle run purely through SQL — a literal
+    // key-list DELETE (metadata-routed to deleteRows) plus a predicate
+    // DELETE (group-based copy-on-write); the gated read is the
+    // post-delete snapshot
+    "u26_sql_delete" -> ((s, dir) =>
+      s.read.format("graft-manifest").load(u26TableDir(s, dir))
+        .select("doc_id", "lang", "source", "n_chars")),
+    // u27: the u15 MERGE upsert run purely through SQL (MERGE INTO ...
+    // UPDATE SET * / INSERT *); oracle identical to u15's — the SQL and
+    // Scala merge paths must agree value-for-value
+    "u27_sql_merge" -> ((s, dir) =>
+      s.read.format("graft-manifest").load(u27TableDir(s, dir))
+        .select("doc_id", "lang", "n_chars")),
     // u16: bloom-indexed scattered takedown — the post-delete snapshot;
     // the sidecar changes which files the detection OPENS, never a value
     "u16_bloom_takedown" -> ((s, dir) =>
@@ -3118,6 +3225,21 @@ object SparkEntry {
     // batches
     "u14_partition_ttl" ->
       "SELECT doc_id, lang FROM documents WHERE doc_id % 4 IN (2, 3)",
+    // u26: both SQL delete roads replayed — the %97 list (metadata
+    // route) and the %89 predicate (copy-on-write route)
+    "u26_sql_delete" ->
+      ("SELECT doc_id, lang, source, n_chars FROM documents " +
+        "WHERE doc_id % 97 <> 3 AND doc_id % 89 <> 7"),
+    // u27: the SQL MERGE must equal the u15 Scala merge replay
+    "u27_sql_merge" ->
+      """SELECT doc_id,
+         |       CASE WHEN doc_id % 7 = 0 THEN 'upd' ELSE lang END AS lang,
+         |       CASE WHEN doc_id % 7 = 0 THEN n_chars + 1000000
+         |            ELSE n_chars END AS n_chars
+         |FROM documents
+         |UNION ALL
+         |SELECT doc_id + 10000000 AS doc_id, lang, n_chars
+         |FROM documents WHERE doc_id % 13 = 0""".stripMargin,
     // u15: the upsert replayed in SQL — matched rows take the update's
     // values, unmatched updates append as new rows
     "u15_merge_upsert" ->

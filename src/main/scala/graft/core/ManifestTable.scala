@@ -2107,6 +2107,98 @@ object ManifestTable {
     throw new IllegalStateException("unreachable")
   }
 
+  /** COPY-ON-WRITE file replacement — the publish half of the SQL
+    * row-level verbs (round 17, [[graft.sources.GraftRowLevelOperation]]):
+    * atomically swap `removedRels` (the files a ReplaceData scan READ,
+    * runtime narrowing included) for `staged` (the replacement rows that
+    * scan's query produced — survivors + updates + inserts), carrying
+    * every other line forward.
+    *
+    * OCC is SNAPSHOT EQUALITY on the whole table: the replacement rows
+    * were derived from `baseLines`' files under an arbitrary SQL
+    * condition this layer cannot re-evaluate, so ANY concurrent change —
+    * even a key-disjoint append — could hold rows the verb should have
+    * seen (a MERGE's no-match evidence, a DELETE's matched set). A loser
+    * whose snapshot drifted aborts loudly
+    * (`ConcurrentModificationException`; staged files fall to vacuum);
+    * the narrower per-partition and envelope rules stay with the Scala
+    * verbs ([[deleteRows]]/[[merge]]) which know their keys.
+    *
+    * The ingest FENCE is preserved (winner's batch id, the [[deleteRows]]
+    * convention): a SQL rewrite has no replay identity — a redelivered
+    * ingest batch must still no-op after it. Stats lines for the new
+    * files derive from the snapshot's registration; the recorded schema
+    * is carried unchanged (SQL UPDATE/MERGE cannot add columns).
+    */
+  private[graft] def replaceFiles(
+      spark: SparkSession,
+      root: String,
+      baseVersion: Long,
+      baseLines: Seq[String],
+      removedRels: Seq[String],
+      staged: Seq[(String, Path)],
+      beforePublish: () => Unit = NoHook): Long = {
+    val rootPath = new Path(root)
+    val f = fs(spark, rootPath)
+    require(baseVersion >= 0,
+      s"replaceFiles needs a committed table under $root")
+    require(dvState(spark, root).isEmpty,
+      s"deferred deletes pending under $root — a copy-on-write rewrite " +
+        "would strand the mask's purge bookkeeping; run optimize (the " +
+        "purge point) first")
+    val st = readManifestLines(spark, root, baseVersion)
+    val baseSet = baseLines.toSet
+    require(st.lines.toSet == baseSet,
+      s"replaceFiles under $root: the planning snapshot (v$baseVersion) " +
+        "no longer matches its own manifest — stale handle")
+    val removedSet = removedRels.toSet
+    val basePaths = baseLines.map(_.split('|')(0)).toSet
+    require(removedSet.subsetOf(basePaths),
+      s"replaceFiles under $root: removed file(s) " +
+        s"${removedSet.diff(basePaths).take(3).mkString(", ")} are not in " +
+        "the planning snapshot")
+    // stage the replacement files live (same naming discipline as
+    // appendStagedFiles: version + commit UUID + task-local name)
+    var cur = currentVersion(spark, root)
+    var next = cur + 1
+    val commitTag = java.util.UUID.randomUUID().toString.take(8)
+    val newFiles = staged.map { case (partName, src) =>
+      require(!partName.contains('|'),
+        s"partition value '$partName' contains '|' (the manifest stats " +
+          "delimiter)")
+      val dest = new Path(rootPath, partName)
+      f.mkdirs(dest)
+      val name = s"v$next-$commitTag-${src.getName}"
+      if (!f.rename(src, new Path(dest, name)))
+        throw new IllegalStateException(
+          s"could not stage replacement file $src -> $dest/$name")
+      s"$partName/$name"
+    }
+    val myLines = statLines(spark, rootPath, newFiles, st.statsCols)
+    val carried = baseLines.filterNot(l => removedSet.contains(l.split('|')(0)))
+    beforePublish()
+    // the conflict witness is the CURRENT head, never the base itself —
+    // a writer that committed between planning and this publish must
+    // abort the verb even before the first rename race
+    var curSt = if (cur == baseVersion) st else readManifestLines(spark, root, cur)
+    while (true) {
+      if (curSt.lines.toSet != baseSet)
+        throw new java.util.ConcurrentModificationException(
+          s"row-level rewrite under $root lost its publish race to a " +
+            "writer that changed the table — the replacement rows were " +
+            "derived from a superseded snapshot (the SQL condition cannot " +
+            "be re-checked against the winner's files); re-run the " +
+            "statement (staged files are unreferenced and vacuum-swept)")
+      if (publishManifest(spark, root, next,
+        manifestHeader(next, curSt.batch, curSt.statsCols, curSt.schema),
+        carried ++ myLines)) return next
+      cur = currentVersion(spark, root)
+      curSt = readManifestLines(spark, root, cur)
+      next = cur + 1
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Planning surface for the DSv2 `graft-manifest` scan
     * ([[graft.sources.GraftManifestSource]]): one committed version's
     * live lines, stats registration and recorded schema (legacy tables
@@ -2202,12 +2294,22 @@ object ManifestTable {
     */
   private[graft] def xx64String(s: String): Long = xx64(s)
 
+  /** How many [[hasPendingDv]] probes ran — the spec pin for plan-time
+    * probe discipline (round 17: the aggregate-pushdown resolution ran
+    * the probe once per `supportCompletePushDown` AND once per
+    * `pushAggregation`; on an object store that is metadata RPCs per
+    * planned aggregate, so the builder now memoizes it).
+    */
+  private[graft] val dvProbeCount = new java.util.concurrent.atomic.AtomicLong
+
   /** True iff any deferred-delete mask is pending — a cheap listStatus
     * probe (the DSv2 scan's honesty guard: row-count estimates and
     * columnar fast paths are only valid mask-free).
     */
-  private[graft] def hasPendingDv(spark: SparkSession, root: String): Boolean =
+  private[graft] def hasPendingDv(spark: SparkSession, root: String): Boolean = {
+    dvProbeCount.incrementAndGet()
     dvState(spark, root).nonEmpty
+  }
 
   /** EXACT row count of a version from the manifest alone (the `%#` line
     * meta), or None when any line predates the meta — the aggregate-

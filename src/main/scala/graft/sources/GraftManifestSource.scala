@@ -244,6 +244,18 @@ object GraftManifestSource {
     LongType, IntegerType, DoubleType, FloatType, BooleanType,
     StringType, BinaryType, TimestampType, TimestampNTZType, DateType)
 
+  /** The `_file` METADATA column (round 17): the manifest-relative path
+    * of the data file serving each row — provenance for operators
+    * (`SELECT _file FROM t WHERE ...` finds the files holding bad rows)
+    * and the anchor Spark's group-based row-level rewrites project
+    * metadata through (its presence makes `ReplaceData` ship the
+    * connector CLEAN data rows; without any metadata column Spark's
+    * writing task falls through to raw rows carrying the internal
+    * `__row_operation` marker). Served like a partition value: constant
+    * per file, never decoded from a data page.
+    */
+  private[sources] val FileCol = "_file"
+
   /** The session's Hadoop configuration as serializable (key, value)
     * pairs — a bare `new Configuration()` on the executors would drop
     * every `spark.hadoop.*` setting (object-store credentials, custom
@@ -282,7 +294,10 @@ class GraftManifestTable(
     val declaredPartCol: Option[String] = None,
     val declaredStatsColumns: Seq[String] = Nil) extends Table
     with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   private def spark = SparkSession.active
 
@@ -346,9 +361,27 @@ class GraftManifestTable(
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
+  /** `_file` provenance (see [[GraftManifestSource.FileCol]]) — hidden
+    * unless selected, like Iceberg's `_file`. Suppressed on the (never
+    * format-written) chance a data or partition column already claims
+    * the name.
+    */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    if (dataSchema.fieldNames.contains(GraftManifestSource.FileCol) ||
+      partitionCol.contains(GraftManifestSource.FileCol)) Array.empty
+    else Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = GraftManifestSource.FileCol
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "manifest-relative path of the data file serving this row"
+    })
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftManifestScanBuilder(this,
-      Option(options.get("startingVersion")).map(_.toLong))
+      Option(options.get("startingVersion")).map(_.toLong),
+      Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
 
   /** WRITE path (round 15 — the format's other half): `df.write
     * .format("graft-manifest").mode("append"|"overwrite").save(root)`
@@ -385,6 +418,48 @@ class GraftManifestTable(
         "on the write); zone maps register via statsColumns the same way")
     new GraftWriteBuilder(this, info)
   }
+
+  /** Metadata-routed SQL DELETE (round 17, see
+    * [[GraftDeleteMapping]]): `DELETE FROM t WHERE k IN (...)` plans
+    * onto [[ManifestTable.deleteRows]] — zone/bloom-pruned detection,
+    * copy-on-write of the touched partitions only, OCC — without ever
+    * building the group-based rewrite. Conditions the mapping cannot
+    * express take the [[GraftRowLevelOperation]] road instead.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    GraftDeleteMapping.map(this, filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit =
+    GraftDeleteMapping.run(this,
+      GraftDeleteMapping.map(this, filters).getOrElse(
+        throw new IllegalStateException(
+          s"graft-manifest DELETE under $root: deleteWhere called with " +
+            s"filters the mapping refused (${filters.mkString(", ")}) — " +
+            "canDeleteWhere should have routed this to the row-level " +
+            "rewrite")))
+
+  /** Group-based copy-on-write DELETE/UPDATE/MERGE (round 17, see
+    * [[GraftRowLevelOperation]]). Refusal parity with the Scala verbs
+    * holds at ANALYSIS time: pending deferred-delete masks, time
+    * travel, and uncommitted tables refuse loudly before any rewrite
+    * plans.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(versionAsOf.isEmpty,
+      s"graft-manifest ${info.command()}: cannot modify a time-traveled " +
+        s"handle (versionAsOf=${versionAsOf.get}) — load the table " +
+        "without versionAsOf")
+    require(tableExists,
+      s"graft-manifest ${info.command()}: no committed version under " +
+        s"$root — row-level SQL verbs need a committed table")
+    require(!ManifestTable.hasPendingDv(spark, root),
+      s"deferred deletes pending under $root — a copy-on-write " +
+        s"${info.command()} would strand the mask's purge bookkeeping; " +
+        "run optimize (the purge point) first")
+    () => new GraftRowLevelOperation(this, info.command())
+  }
 }
 
 /** Pushdown state: zone-map range predicates + bloom equality keys +
@@ -394,7 +469,11 @@ class GraftManifestTable(
   */
 class GraftManifestScanBuilder(
     table: GraftManifestTable,
-    startingVersion: Option[Long] = None)
+    startingVersion: Option[Long] = None,
+    maxVersionsPerTrigger: Option[Long] = None,
+    // row-level operations register their configured scan here — the
+    // ReplaceData write replaces exactly the files that scan chose
+    onBuildScan: Option[GraftManifestScan => Unit] = None)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -505,14 +584,32 @@ class GraftManifestScanBuilder(
     */
   private var aggResult: Option[(StructType, InternalRow)] = None
 
+  // memoized per builder (round 17, VERDICT "what's wrong" #2): Spark
+  // calls supportCompletePushDown AND pushAggregation with the same
+  // Aggregation, and the pending-mask probe inside is a filesystem
+  // listStatus — resolve once, probe once, per planned aggregate
+  private lazy val pendingDv: Boolean =
+    ManifestTable.hasPendingDv(SparkSession.active, table.root)
+  private var aggCacheKey: AnyRef = null
+  private var aggCacheVal: Option[(StructType, InternalRow)] = None
+
+  private def resolveAggCached(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, InternalRow)] = {
+    if (!(aggCacheKey eq agg)) {
+      aggCacheKey = agg
+      aggCacheVal = resolveAgg(agg)
+    }
+    aggCacheVal
+  }
+
   private def resolveAgg(agg: org.apache.spark.sql.connector.expressions
       .aggregate.Aggregation): Option[(StructType, InternalRow)] = {
     import org.apache.spark.sql.connector.expressions.aggregate._
     import org.apache.spark.sql.connector.expressions.NamedReference
     if (agg.groupByExpressions.nonEmpty) return None
     if (pushed.nonEmpty || partKeep.isDefined || provablyEmpty) return None
-    if (ManifestTable.hasPendingDv(SparkSession.active, table.root))
-      return None
+    if (pendingDv) return None
     def colName(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case r: NamedReference if r.fieldNames.length == 1 =>
@@ -558,12 +655,12 @@ class GraftManifestScanBuilder(
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean = resolveAgg(agg).isDefined
+      : Boolean = resolveAggCached(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
-    aggResult = resolveAgg(agg)
+    aggResult = resolveAggCached(agg)
     aggResult.isDefined
   }
 
@@ -599,9 +696,12 @@ class GraftManifestScanBuilder(
         stringEq.map { case (c, vs) =>
           c -> vs.toSeq.sorted.map(ManifestTable.xx64String)
         }
-    new GraftManifestScan(
+    val scan = new GraftManifestScan(
       table, required, preds, bloomKeys,
-      partKeep, provablyEmpty, pushed.toSeq, startingVersion)
+      partKeep, provablyEmpty, pushed.toSeq, startingVersion,
+      maxVersionsPerTrigger)
+    onBuildScan.foreach(_(scan))
+    scan
   }
 }
 
@@ -667,7 +767,8 @@ class GraftManifestScan(
     partKeep: Option[Set[String]],
     provablyEmpty: Boolean,
     pushedForDisplay: Seq[Filter],
-    startingVersion: Option[Long] = None)
+    startingVersion: Option[Long] = None,
+    maxVersionsPerTrigger: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
@@ -734,7 +835,14 @@ class GraftManifestScan(
           case _ => throw new MatchError(f) // unreachable
         }
         val vs = vs0.filter(_ != null)
-        if (vs.size <= MaxRuntimeKeys) {
+        if (vs.isEmpty) {
+          // an empty (or all-null) observed key set — routine when a DPP
+          // join's build side yields zero rows — provably matches no row:
+          // keep nothing. (ADVICE, round 16: the stats branch below
+          // reached ls.min on the empty set and crashed a query that
+          // should return zero rows.)
+          keep = Nil
+        } else if (vs.size <= MaxRuntimeKeys) {
           if (table.partitionCol.contains(c)) {
             val keepVals = vs.map(_.toString)
             keep = keep.filter(rel =>
@@ -796,7 +904,23 @@ class GraftManifestScan(
   private[sources] def planStatProbes: Int =
     chosenFiles.count(r => !lineMetaOf.contains(r))
 
+  /** How many times [[fileLens]] materialized its map — the spec pin for
+    * the O(N) planning discipline (ADVICE, round 16: a per-file
+    * `fileLens(r)` call inside planInputPartitions' map rebuilt the
+    * whole map per chosen file — O(N²) driver work, and on pre-meta
+    * manifests O(N²) getFileStatus RPCs).
+    */
+  private[sources] var lensBuilds: Int = 0
+
+  /** Per chosen file: its byte length, from the `%#` line meta (zero
+    * filesystem calls) or a status probe on pre-meta legacy lines. A
+    * `def` (not lazy val) because runtime filtering can narrow
+    * [[chosenFiles]] after planning state was first touched — callers
+    * MUST hoist the result (`val lens = fileLens`) instead of calling
+    * per file.
+    */
   private def fileLens: Map[String, Long] = {
+    lensBuilds += 1
     val conf = spark.sparkContext.hadoopConfiguration
     chosenFiles.map { rel =>
       rel -> lineMetaOf.get(rel).map(_._1).getOrElse {
@@ -877,16 +1001,20 @@ class GraftManifestScan(
 
   override def planInputPartitions(): Array[InputPartition] = {
     val partOf = table.filePartValues.toMap
+    // hoisted ONCE per call: fileLens materializes its whole map every
+    // invocation (see its doc) — calling it inside the per-file map was
+    // O(N²) driver work (ADVICE, round 16)
+    val lens = fileLens
     if (clusteredScan) {
       val live = chosenFiles.toSet
       baseKeyGroups.map { case (key, fs) =>
         val kept = fs.filter(live)
         GraftKeyedFilesPartition(
-          kept.map(r => (r, partOf(r), fileLens.getOrElse(r, 0L))).toArray,
+          kept.map(r => (r, partOf(r), lens.getOrElse(r, 0L))).toArray,
           key): InputPartition
       }.toArray
     } else GraftManifestSource.packFiles(spark,
-      chosenFiles.map(r => (r, partOf(r), fileLens(r))))
+      chosenFiles.map(r => (r, partOf(r), lens(r))))
   }
 
   /** STREAMING tail of the table (round 16 — `spark.readStream
@@ -904,14 +1032,22 @@ class GraftManifestScan(
     * `option("startingVersion", n)` replays from version n (default 0 —
     * the whole retained history); zone/bloom pushdown prunes each
     * batch's added files like any batch scan.
+    * `option("maxVersionsPerTrigger", k)` bounds ONE micro-batch's
+    * version span (round 17, admission control — the Delta
+    * `maxFilesPerTrigger` shape): without it, a first start against a
+    * 10⁴-version table plans one unbounded batch whose catch-up does
+    * 10⁴ driver manifest reads before anything executes; with it, the
+    * history drains in ceil(span/k) bounded batches.
     */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(table.versionAsOf.isEmpty,
       "graft-manifest streaming: versionAsOf pins one snapshot — a " +
         "stream tails versions; drop the option")
+    maxVersionsPerTrigger.foreach(k => require(k >= 1L,
+      s"graft-manifest streaming: maxVersionsPerTrigger must be >= 1, got $k"))
     new GraftMicroBatchStream(table, required, preds, bloomKeys,
-      startingVersion.getOrElse(0L),
+      startingVersion.getOrElse(0L), maxVersionsPerTrigger,
       GraftManifestSource.confProps(spark),
       spark.conf.getOption("spark.sql.parquet.columnarReaderBatchSize")
         .map(_.toInt).getOrElse(4096),
@@ -1000,12 +1136,14 @@ class GraftMicroBatchStream(
     preds: Seq[ManifestTable.ZonePred],
     bloomKeys: Map[String, Seq[Long]],
     startingVersion: Long,
+    maxVersionsPerTrigger: Option[Long],
     confProps: Array[(String, String)],
     capacity: Int,
     sessionTz: String)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
-  import org.apache.spark.sql.connector.read.streaming.Offset
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   private def spark = SparkSession.active
 
@@ -1014,6 +1152,40 @@ class GraftMicroBatchStream(
 
   override def latestOffset(): Offset =
     GraftStreamOffset(ManifestTable.currentVersion(spark, table.root))
+
+  /** Trigger.AvailableNow pins "available" HERE (the
+    * SupportsTriggerAvailableNow contract — implementing it ourselves
+    * keeps admission control effective under AvailableNow: Spark's
+    * generic wrapper would otherwise capture ONE end offset and serve
+    * the whole history as a single unbounded batch).
+    */
+  private var availableNowEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(ManifestTable.currentVersion(spark, table.root))
+
+  /** ADMISSION CONTROL (round 17): one micro-batch consumes at most
+    * `maxVersionsPerTrigger` manifest versions past the consumed offset —
+    * catch-up on a long history becomes a sequence of bounded batches
+    * instead of one unbounded plan (the version-diff in
+    * [[planInputPartitions]] reads every manifest in the span on the
+    * DRIVER — that cost must be admission-bounded, like Delta's
+    * maxFilesPerTrigger). Unset = drain everything available (the
+    * pre-round-17 behavior, still exactly-once).
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val cur = availableNowEnd
+      .getOrElse(ManifestTable.currentVersion(spark, table.root))
+    val from = start.asInstanceOf[GraftStreamOffset].version
+    GraftStreamOffset(maxVersionsPerTrigger match {
+      case Some(k) => math.min(cur, from + k)
+      case None => cur
+    })
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def reportLatestOffset(): Offset = latestOffset()
 
   override def deserializeOffset(json: String): Offset =
     GraftStreamOffset(json.trim.toLong)
@@ -1098,9 +1270,12 @@ class GraftPartitionReader(
   @transient private lazy val conf =
     GraftManifestSource.confFrom(confProps)
 
-  // parquet-side columns: required data columns ∪ mask columns
+  // parquet-side columns: required data columns ∪ mask columns (the
+  // partition column and the `_file` metadata column are per-file
+  // constants, never decoded from a data page)
   private val neededData: Seq[StructField] =
-    required.fields.toSeq.filter(f => !partitionCol.contains(f.name))
+    required.fields.toSeq.filter(f =>
+      !partitionCol.contains(f.name) && f.name != GraftManifestSource.FileCol)
   private val maskCols: Seq[StructField] =
     masks.toSeq.flatMap { case (c, _, _) =>
       dataSchema.fields.find(_.name == c)
@@ -1115,6 +1290,8 @@ class GraftPartitionReader(
 
   private val requiredPartIdx: Int =
     partitionCol.map(pc => required.fieldNames.indexOf(pc)).getOrElse(-1)
+  private val requiredFileIdx: Int =
+    required.fieldNames.indexOf(GraftManifestSource.FileCol)
 
   private var fileIdx = -1
   private var reader: ParquetReader[Group] = _
@@ -1123,6 +1300,7 @@ class GraftPartitionReader(
   private var emitRemaining: Long = 0L
   private var countOnly = false
   private var partValue: Any = _
+  private var fileValue: UTF8String = _
   private var row: InternalRow = _
   // per-FILE resolved ordinals + physical types for the projection the
   // current reader decodes (round 16 — the per-row getFieldIndex(name)
@@ -1146,6 +1324,7 @@ class GraftPartitionReader(
     if (fileIdx >= files.length) return false
     val (rel, dirValue, _) = files(fileIdx)
     partValue = typedPartValue(dirValue)
+    fileValue = UTF8String.fromString(rel)
     val p = new Path(root, rel)
     // ONE footer read serves schema and row count both (a second open
     // per file doubles per-file latency on object stores — review
@@ -1274,6 +1453,7 @@ class GraftPartitionReader(
     var i = 0
     while (i < required.length) {
       if (i == requiredPartIdx) out.update(i, partValue)
+      else if (i == requiredFileIdx) out.update(i, fileValue)
       else out.update(i, if (g == null) null
         else extract(g, reqOrd(i), reqPrim(i), required(i).dataType,
           required(i).name))
@@ -1321,17 +1501,36 @@ class GraftColumnarReader(
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
-  private val neededData: Seq[StructField] =
-    required.fields.toSeq.filter(f => !partitionCol.contains(f.name))
   private val requiredPartIdx: Int =
     partitionCol.map(pc => required.fieldNames.indexOf(pc)).getOrElse(-1)
-  // required index -> ordinal among the data columns (-1 = partition col)
+  private val requiredFileIdx: Int =
+    required.fieldNames.indexOf(GraftManifestSource.FileCol)
+  // per-file CONSTANT columns (partition value, `_file` provenance):
+  // served as constant vectors, never decoded from a data page
+  private def isConstIdx(i: Int): Boolean =
+    i == requiredPartIdx || i == requiredFileIdx
+  private val neededData: Seq[StructField] =
+    required.fields.toSeq.zipWithIndex.collect {
+      case (f, i) if !isConstIdx(i) => f
+    }
+  // const columns in required order: (required index, field)
+  private val constCols: Seq[(Int, StructField)] =
+    required.fields.toSeq.zipWithIndex.collect {
+      case (f, i) if isConstIdx(i) => (i, f)
+    }
+  // required index -> ordinal among the data columns (-1 = constant col)
   private val dataOrdinalOf: Array[Int] = {
     var j = -1
-    required.fields.map { f =>
-      if (partitionCol.contains(f.name) && required.fieldNames.indexOf(f.name)
-        == requiredPartIdx) { -1 } else { j += 1; j }
-    }
+    required.fields.toSeq.zipWithIndex.map { case (_, i) =>
+      if (isConstIdx(i)) -1 else { j += 1; j }
+    }.toArray
+  }
+  // required index -> ordinal among the const columns (-1 = data col)
+  private val constOrdinalOf: Array[Int] = {
+    var j = -1
+    required.fields.toSeq.zipWithIndex.map { case (_, i) =>
+      if (isConstIdx(i)) { j += 1; j } else -1
+    }.toArray
   }
   private val dataRequestedSchema = StructType(neededData)
 
@@ -1426,7 +1625,7 @@ class GraftColumnarReader(
   private var emitRemaining: Long = 0L
   private var constVectors: Array[OnHeapColumnVector] = _
   private var constBatch: ColumnarBatch = _
-  private var constPartValue: Any = _
+  private var constValues: Array[Any] = _ // per const col, current file
 
   private def closeCurrent(): Unit = {
     if (vec != null) { vec.close(); vec = null }
@@ -1453,12 +1652,15 @@ class GraftColumnarReader(
       try (fr.getFooter, fr.getFooter.getFileMetaData.getSchema,
         fr.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
       finally fr.close()
+    def constValueFor(i: Int): Any =
+      if (i == requiredFileIdx) UTF8String.fromString(rel)
+      else typedPartValue(dirValue)
     val present = neededData.map(_.name).filter(fileSchema.containsField)
     if (neededData.isEmpty || present.isEmpty) {
       // bare COUNT(*) / partition-only select / a file predating every
       // needed column: constant batches from the footer row count, no
       // data page ever decoded
-      constPartValue = typedPartValue(dirValue)
+      constValues = constCols.map { case (i, _) => constValueFor(i) }.toArray
       emitRemaining = rowCount
       constVectors = OnHeapColumnVector.allocateColumns(capacity, required)
       constBatch = new ColumnarBatch(
@@ -1481,18 +1683,19 @@ class GraftColumnarReader(
       var ok = false
       try {
         vec.initialize(split, ctx, Some(in), None, Some(footer))
-        val (partSchema, partRow) = partitionCol match {
-          case Some(pc) if requiredPartIdx >= 0 =>
-            (StructType(Seq(StructField(pc, partitionType, nullable = true))),
-              new GenericInternalRow(Array[Any](typedPartValue(dirValue))))
-          case _ => (new StructType(), InternalRow.empty)
-        }
+        // the per-file constants (partition value, _file) ride the
+        // vectorized reader's own partition-column slot — constant
+        // vectors appended after the data columns
+        val partSchema = StructType(constCols.map(_._2))
+        val partRow = new GenericInternalRow(
+          constCols.map { case (i, _) => constValueFor(i) }.toArray)
         vec.initBatch(partSchema, partRow)
         vec.enableReturningBatches()
         innerBatch = vec.resultBatch()
-        // permute (data..., partition) back to the scan's required order
+        // permute (data..., consts...) back to the scan's required order
         val cols: Array[ColumnVector] = required.indices.map { i =>
-          if (i == requiredPartIdx) innerBatch.column(neededData.length)
+          if (isConstIdx(i))
+            innerBatch.column(neededData.length + constOrdinalOf(i))
           else innerBatch.column(dataOrdinalOf(i))
         }.toArray
         outBatch = new ColumnarBatch(cols)
@@ -1533,19 +1736,20 @@ class GraftColumnarReader(
     }
 
   private def fillConst(
-      vs: Array[OnHeapColumnVector], n: Int, partValue: Any): Unit = {
+      vs: Array[OnHeapColumnVector], n: Int, values: Array[Any]): Unit = {
     var i = 0
     while (i < required.length) {
       val v = vs(i)
       v.reset()
-      if (i == requiredPartIdx) partitionType match {
-        case IntegerType | DateType =>
-          v.putInts(0, n, partValue.asInstanceOf[Int])
-        case LongType => v.putLongs(0, n, partValue.asInstanceOf[Long])
-        case _ =>
-          val b = partValue.asInstanceOf[UTF8String].getBytes
+      if (isConstIdx(i)) values(constOrdinalOf(i)) match {
+        case x: Int => v.putInts(0, n, x)
+        case x: Long => v.putLongs(0, n, x)
+        case x: UTF8String =>
+          val b = x.getBytes
           var r = 0
           while (r < n) { v.putByteArray(r, b, 0, b.length); r += 1 }
+        case other => throw new IllegalStateException(
+          s"unreachable const vector type $other")
       }
       else v.putNulls(0, n)
       i += 1
@@ -1578,7 +1782,7 @@ class GraftColumnarReader(
       } else if (emitRemaining > 0L) {
         val n = math.min(capacity.toLong, emitRemaining).toInt
         emitRemaining -= n
-        fillConst(constVectors, n, constPartValue)
+        fillConst(constVectors, n, constValues)
         constBatch.setNumRows(n)
         return true
       } else if (!openNextFile()) return false
@@ -1832,6 +2036,13 @@ class GraftDataWriter(
         openWriters.put(partName, (w, file))
         w
     }
+
+  /** Metadata-accompanied rows (group-based row-level rewrites project
+    * carried-over rows with their `_file` provenance): the metadata is
+    * lineage Spark offers, not content — write the data row.
+    */
+  override def write(metadata: InternalRow, row: InternalRow): Unit =
+    write(row)
 
   override def write(row: InternalRow): Unit = {
     val g: Group = factory.newGroup()

@@ -748,4 +748,125 @@ class GraftManifestSourceSpec extends SparkSpec {
     ManifestTable.vacuum(spark, root, keepVersions = 1)
     assert(new java.io.File(root, ManifestTable.SentinelFile).exists())
   }
+
+  test("an empty (or all-null) runtime key set keeps no files and never crashes (a zero-row DPP build side is routine)") {
+    val root = tmpDir("graft_dsv2_dpp0") + "/t"
+    for (b <- 0 until 3)
+      ManifestTable.commit(spark, root,
+        (0 until 5).map(i => (100L * b + i, s"b$b")).toDF("k", "part")
+          .repartition(1), "part", batchId = b.toLong, statsCol = Some("k"))
+    import org.apache.spark.sql.sources.In
+    // direct pins: empty and all-null In on the ZONE column (the branch
+    // that reached ls.min on the empty set — ADVICE, round 16), and on
+    // the partition column
+    for (f <- Seq(In("k", Array.empty[Any]), In("k", Array[Any](null)),
+        In("part", Array.empty[Any]))) {
+      val scan = graftScans(fmt(root)).head
+      assert(scan.chosenFiles.size == 3)
+      scan.filter(Array[org.apache.spark.sql.sources.Filter](f))
+      assert(scan.chosenFiles.isEmpty,
+        s"$f: an empty observed key set provably matches no rows")
+    }
+    // end-to-end: a DPP-shaped join whose build side yields ZERO rows
+    // must return zero rows, not throw
+    val dimDir = tmpDir("graft_dsv2_dpp0_dim")
+    Seq(("b0", "keep")).toDF("part", "label").write
+      .mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("label") === "nomatch")
+    assert(fmt(root).join(broadcast(dim), Seq("part")).count() == 0L)
+    val dimK = spark.read.parquet(dimDir)
+      .filter(col("label") === "nomatch").select(lit(1L).as("k"))
+    assert(fmt(root).join(broadcast(dimK), Seq("k")).count() == 0L)
+  }
+
+  test("planning materializes the file-length map once per call, not once per file") {
+    val root = tmpDir("graft_dsv2_lens") + "/t"
+    for (b <- 0 until 4)
+      ManifestTable.commit(spark, root,
+        (0 until 5).map(i => (10L * b + i, s"b$b")).toDF("k", "part")
+          .repartition(1), "part", batchId = b.toLong)
+    val scan = graftScans(fmt(root)).head
+    scan.lensBuilds = 0
+    assert(scan.planInputPartitions().nonEmpty)
+    assert(scan.lensBuilds == 1,
+      s"planInputPartitions built the lens map ${scan.lensBuilds} times " +
+        "for 4 files — the per-file rebuild is O(N²) driver work (and " +
+        "O(N²) status RPCs on pre-meta manifests)")
+    // the clustered (storage-partitioned) branch obeys the same law
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val scan2 = graftScans(fmt(root)).head
+      scan2.lensBuilds = 0
+      assert(scan2.planInputPartitions().length == 4)
+      assert(scan2.lensBuilds == 1,
+        s"clustered branch built the lens map ${scan2.lensBuilds} times")
+    } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+  }
+
+  test("aggregate planning probes the deferred-delete mask exactly once") {
+    val root = tmpDir("graft_dsv2_aggprobe") + "/t"
+    ManifestTable.commit(spark, root,
+      (0 until 10).map(i => (i.toLong, "b0")).toDF("k", "part"),
+      "part", batchId = 0L, statsCol = Some("k"))
+    val before = ManifestTable.dvProbeCount.get()
+    val r = fmt(root).agg(count(lit(1)).as("n"), min(col("k")).as("mn"),
+      max(col("k")).as("mx")).head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((10L, 0L, 9L)))
+    val probes = ManifestTable.dvProbeCount.get() - before
+    assert(probes == 1L,
+      s"planning one pushed aggregate ran $probes mask probes — " +
+        "supportCompletePushDown and pushAggregation must share one " +
+        "memoized resolution (each probe is a listStatus RPC on an " +
+        "object store)")
+  }
+
+  test("maxVersionsPerTrigger bounds one micro-batch's version span; the history drains in several batches with identical contents") {
+    val root = tmpDir("graft_dsv2_admis") + "/t"
+    for (b <- 0 until 8)
+      ManifestTable.commit(spark, root,
+        (0 until 5).map(i => (100L * b + i, s"b$b")).toDF("k", "part"),
+        "part", batchId = b.toLong)
+    def drain(cap: Option[Long]): (Seq[Long], Int) = {
+      val ckpt = tmpDir("graft_dsv2_admis_ckpt")
+      val r0 = spark.readStream.format("graft-manifest")
+      val r = cap.fold(r0)(k => r0.option("maxVersionsPerTrigger", k.toString))
+      val q = r.load(root).writeStream
+        .format("memory").queryName("graft_admis_tail")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = spark.table("graft_admis_tail")
+        .select("k").collect().map(_.getLong(0)).toSeq.sorted
+      spark.sql("DROP VIEW IF EXISTS graft_admis_tail")
+      // committed batches = offset files the checkpoint recorded
+      val nBatches = new java.io.File(ckpt, "offsets").listFiles()
+        .count(_.getName.matches("\\d+"))
+      (out, nBatches)
+    }
+    val expect =
+      (0 until 8).flatMap(b => (0 until 5).map(i => 100L * b + i)).sorted
+    val (unbounded, n1) = drain(None)
+    assert(unbounded == expect)
+    val (bounded, n2) = drain(Some(2L))
+    assert(bounded == expect,
+      "admission control changed WHAT streamed, not just how")
+    assert(n2 >= 4,
+      s"8 versions under maxVersionsPerTrigger=2 drained in $n2 " +
+        s"batch(es) — expected >= 4 (unbounded took $n1)")
+    // a non-positive cap refuses at stream start
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graft-manifest")
+        .option("maxVersionsPerTrigger", "0").load(root)
+        .writeStream.format("noop")
+        .option("checkpointLocation", tmpDir("graft_dsv2_admis_bad"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(ex).exists(_.contains("maxVersionsPerTrigger")),
+      s"wrong refusal: ${chain(ex)}")
+  }
 }
