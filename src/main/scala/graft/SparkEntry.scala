@@ -794,6 +794,24 @@ object SparkEntry {
       root
     })
 
+  private val nativeSinkTableMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** st24's artifact: the events stream ingested through the format's
+    * NATIVE STREAMING SINK ([[graft.streaming.EventsStream
+    * .nativeSinkIngestReplay]] — `writeStream.format("graft-manifest")`,
+    * epoch ids as the exactly-once ingest fence, zone maps registered by
+    * the sink's statsColumns option, no foreachBatch anywhere). The
+    * gated read is the drained snapshot — it must equal the batch
+    * catalog exactly (a dropped or double-applied epoch corrupts it).
+    */
+  def st24TableDir(s: SparkSession, dir: String): String =
+    nativeSinkTableMemo.computeIfAbsent((s, dir), _ => {
+      val root = graft.core.TempDirs.create("graft_st24_ns") + "/t"
+      graft.streaming.EventsStream.nativeSinkIngestReplay(s, dir, root)
+      root
+    })
+
   private val sqlDeleteTableMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
@@ -1210,6 +1228,8 @@ object SparkEntry {
       "u15_merge_upsert",
       // u26/u27 read post-SQL-verb snapshots (u26TableDir/u27TableDir)
       "u26_sql_delete", "u27_sql_merge",
+      // st24 reads the native-streaming-sink ingested table (st24TableDir)
+      "st24_native_sink",
       // u16 reads the post-takedown bloom-indexed snapshot (u16TableDir)
       "u16_bloom_takedown",
       // u18 reads the purged+masked deferred-takedown snapshot (u18TableDir)
@@ -1249,8 +1269,8 @@ object SparkEntry {
       cdfConsumerMemo, ttlTableMemo, mergeTableMemo,
       bloomTableMemo, cdcReplicaMemo, dvTableMemo,
       dsv2WriteTableMemo, dsv2DdlTableMemo, streamTailMemo,
-      streamedTakedownMemo, sqlDeleteTableMemo, sqlMergeTableMemo)
-      .foreach { m =>
+      streamedTakedownMemo, sqlDeleteTableMemo, sqlMergeTableMemo,
+      nativeSinkTableMemo).foreach { m =>
       m.keySet.asScala.filter(_._1 eq s).toList
         .foreach(k => Option(m.remove(k)).foreach(graft.core.TempDirs.drop))
     }
@@ -2414,6 +2434,12 @@ object SparkEntry {
     "u15_merge_upsert" -> ((s, dir) =>
       graft.core.ManifestTable.read(s, u15TableDir(s, dir)).get
         .select("doc_id", "lang", "n_chars")),
+    // st24: the native-streaming-sink ingested events table — drained
+    // epochs under the sink's own fence must reproduce the catalog
+    "st24_native_sink" -> ((s, dir) =>
+      s.read.format("graft-manifest").load(st24TableDir(s, dir))
+        .select("user_id", "ts_micros", "event_id", "event_type",
+          "value_milli")),
     // u26: the u9 takedown lifecycle run purely through SQL — a literal
     // key-list DELETE (metadata-routed to deleteRows) plus a predicate
     // DELETE (group-based copy-on-write); the gated read is the
@@ -3261,6 +3287,10 @@ object SparkEntry {
          |       CASE WHEN doc_id % 11 = 0 THEN 'upd11' ELSE lang END AS lang,
          |       n_chars
          |FROM documents WHERE doc_id % 13 <> 0""".stripMargin,
+    // st24: the native-sink drained table is the whole events catalog
+    "st24_native_sink" ->
+      ("SELECT user_id, epoch_us(ts) AS ts_micros, event_id, event_type, " +
+        "CAST(round(value*1000) AS BIGINT) AS value_milli FROM events"),
     // st23: the streamed corpus minus the mid-stream takedown
     "st23_streamed_takedown" ->
       ("SELECT user_id, epoch_us(ts) AS ts_micros, event_id, event_type, " +

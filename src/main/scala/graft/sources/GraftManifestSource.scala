@@ -359,7 +359,8 @@ class GraftManifestTable(
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   /** `_file` provenance (see [[GraftManifestSource.FileCol]]) — hidden
     * unless selected, like Iceberg's `_file`. Suppressed on the (never
@@ -1874,31 +1875,123 @@ class GraftWrite(
   override def commit(
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
       : Unit = {
-    val staged: Seq[(String, Path)] = messages.toSeq.flatMap {
+    ManifestTable.appendStagedFiles(
+      spark, table.root, stagedOf(messages), batchId, statsColumns,
+      StructType(dataFields.toSeq), truncate)
+    cleanup(stagingDir)
+  }
+
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = cleanup(stagingDir)
+
+  private def stagedOf(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Seq[(String, Path)] =
+    messages.toSeq.flatMap {
       case m: GraftCommitMessage => m.files.toSeq.map {
         case (partName, p) => (partName, new Path(p))
       }
+      case null => Nil // a task that never launched (empty epoch)
       case other => throw new IllegalStateException(
         s"unexpected commit message $other")
     }
-    val dataSchema = StructType(dataFields.toSeq)
-    ManifestTable.appendStagedFiles(
-      spark, table.root, staged, batchId, statsColumns, dataSchema,
-      truncate)
-    val sd = new Path(stagingDir)
+
+  private def cleanup(dir: String): Unit = {
+    val sd = new Path(dir)
     val f = sd.getFileSystem(spark.sparkContext.hadoopConfiguration)
     f.delete(sd, true)
     ()
   }
 
-  override def abort(
+  /** NATIVE STREAMING SINK (round 17 — the write half of the u24
+    * streaming read): `df.writeStream.format("graft-manifest")
+    * .option("path", root)` commits each micro-batch through
+    * [[ManifestTable.appendStagedFiles]] with the EPOCH id as the ingest
+    * fence — the exactly-once contract every foreachBatch ingest loop in
+    * this engine hand-rolled (st8/st14/st18), now provided by the
+    * format itself: a replayed epoch (restart after a commit, before the
+    * checkpoint advanced) re-stages its files and no-ops on the fence,
+    * its files falling to vacuum. Staging is EPOCH-SCOPED
+    * (`_stage-dsv2-<query>/e<epoch>`) so a commit's cleanup can never
+    * race the next epoch's writers. Append-only: complete-mode truncate
+    * refuses (a streaming overwrite-per-epoch is a different table
+    * lifecycle — use foreachBatch + commit(truncate) deliberately).
+    * The fence also means ONE streaming query owns a table's ingest;
+    * seeding commits must carry batch ids below the stream's first
+    * epoch (epoch numbering starts at 0 per checkpoint).
+    */
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    require(!truncate,
+      "graft-manifest streaming sink is append-only — complete/truncate " +
+        "output modes would overwrite the table every epoch; use " +
+        "outputMode(\"append\")")
+    new GraftStreamingWrite(this)
+  }
+
+  private[sources] def commitEpoch(
+      epochId: Long,
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
       : Unit = {
-    val sd = new Path(stagingDir)
-    val f = sd.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    f.delete(sd, true)
-    ()
+    ManifestTable.appendStagedFiles(
+      spark, table.root, stagedOf(messages), Some(epochId), statsColumns,
+      StructType(dataFields.toSeq), truncate = false)
+    cleanup(s"$stagingDir/e$epochId")
   }
+
+  private[sources] def abortEpoch(epochId: Long): Unit =
+    cleanup(s"$stagingDir/e$epochId")
+
+  private[sources] def epochWriterFactory
+      : (String, StructType, String, Int, Array[(String, String)], Int) =
+    (stagingDir, writeSchema, pc, partIdx,
+      GraftManifestSource.confProps(spark),
+      Option(info.options().get("maxOpenWriters")).map(_.toInt)
+        .getOrElse(16))
+}
+
+/** The streaming half of [[GraftWrite]]: per-epoch staging, epoch id as
+  * the ingest fence.
+  */
+class GraftStreamingWrite(w: GraftWrite)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  override def createStreamingWriterFactory(
+      physInfo: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : StreamingDataWriterFactory = {
+    val (stagingDir, schema, pc, partIdx, confProps, maxOpen) =
+      w.epochWriterFactory
+    new GraftStreamingWriterFactory(
+      stagingDir, schema, pc, partIdx, confProps, maxOpen)
+  }
+
+  override def commit(
+      epochId: Long,
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = w.commitEpoch(epochId, messages)
+
+  override def abort(
+      epochId: Long,
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = w.abortEpoch(epochId)
+}
+
+class GraftStreamingWriterFactory(
+    stagingDir: String,
+    schema: StructType,
+    partitionCol: String,
+    partIdx: Int,
+    confProps: Array[(String, String)],
+    maxOpenWriters: Int)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new GraftDataWriter(s"$stagingDir/e$epochId", schema, partitionCol,
+      partIdx, partitionId, taskId, confProps, maxOpenWriters)
 }
 
 case class GraftCommitMessage(files: Array[(String, String)])

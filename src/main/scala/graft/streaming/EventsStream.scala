@@ -1357,6 +1357,45 @@ object EventsStream {
     batchCount(q)
   }
 
+  /** st24: streamed append-only ingestion through the format's NATIVE
+    * STREAMING SINK — `writeStream.format("graft-manifest")` — the
+    * foreachBatch-free twin of [[zoneMapIngestReplay]]'s ingest half:
+    * the sink stages each micro-batch's parquet on the executors and
+    * commits it through the manifest protocol with the EPOCH id as the
+    * ingest fence (exactly-once under redelivery, spec-pinned at the
+    * StreamingWrite level), zone maps on `ts_micros` registered via the
+    * sink's own `statsColumns` option. User-id bucketed (8 partitions):
+    * the steady-state layout a keyed event table wants, vs st18's
+    * per-batch lineage partitions which exist to exercise the U8 fold.
+    * Returns micro-batches absorbed; the table at `root` is the
+    * artifact.
+    */
+  def nativeSinkIngestReplay(
+      spark: SparkSession,
+      dir: String,
+      root: String,
+      queryName: String = "graft_native_sink_stream"): Long = {
+    val ss = streamSession(spark)
+    val ckpt = tempDir("graft_ns_ckpt_")
+    val q = readEventsStaged(ss, dir)
+      .selectExpr(
+        "user_id", "unix_micros(ts) AS ts_micros", "event_id",
+        "event_type", "CAST(round(value * 1000) AS BIGINT) AS value_milli")
+      .withColumn("part",
+        concat(lit("u"), pmod(col("user_id"), lit(8))))
+      .writeStream
+      .queryName(queryName)
+      .format("graft-manifest")
+      .option("path", root)
+      .option("partitionCol", "part")
+      .option("statsColumns", "ts_micros")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    batchCount(q)
+  }
+
   /** Streaming maintenance of the IVF-PQ vector index (st15 — the ANN twin
     * of [[indexMaintainReplay]]): quantizers are TRAINED once at bootstrap
     * (a batch step — FAISS `train` semantics; a stream cannot retrain the

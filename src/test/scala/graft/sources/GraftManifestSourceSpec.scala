@@ -820,6 +820,67 @@ class GraftManifestSourceSpec extends SparkSpec {
         "object store)")
   }
 
+  test("native streaming sink: epochs commit exactly-once under the fence; a replayed run no-ops; complete mode refuses") {
+    val root = tmpDir("graft_dsv2_sink") + "/t"
+    val srcDir = tmpDir("graft_dsv2_sink_src")
+    for (b <- 0 until 3)
+      (0 until 10).map(i => (100L * b + i, s"p${i % 2}"))
+        .toDF("k", "part").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    val srcSchema = new org.apache.spark.sql.types.StructType()
+      .add("k", org.apache.spark.sql.types.LongType)
+      .add("part", org.apache.spark.sql.types.StringType)
+    def drain(ckpt: String): Unit = {
+      val q = spark.readStream.schema(srcSchema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .writeStream.format("graft-manifest")
+        .option("path", root)
+        .option("partitionCol", "part")
+        .option("statsColumns", "k")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain(tmpDir("graft_dsv2_sink_ckpt"))
+    val expect = (0 until 3).flatMap(b =>
+      (0 until 10).map(i => 100L * b + i)).toSet
+    assert(fmt(root).select("k").collect().map(_.getLong(0)).toSet == expect)
+    // one manifest version per epoch, fence = last epoch
+    val v1 = ManifestTable.currentVersion(spark, root)
+    assert(v1 == 2L, s"expected 3 epoch commits, head version $v1")
+    assert(ManifestTable.lastBatch(spark, root) == 2L)
+    // the sink's statsColumns registered zone maps: a range filter prunes
+    val q2 = fmt(root).filter(col("k") >= 100L && col("k") <= 109L)
+    assert(q2.count() == 10L)
+    assert(graftScans(q2).head.chosenFiles.size <
+      graftScans(fmt(root)).head.chosenFiles.size,
+      "sink-registered zone maps did not prune")
+    // REDELIVERY: a fresh checkpoint replays epochs 0..2 — every commit
+    // lands on or below the fence and must no-op (value identity + no
+    // new version)
+    drain(tmpDir("graft_dsv2_sink_ckpt2"))
+    assert(ManifestTable.currentVersion(spark, root) == v1,
+      "replayed epochs must fence-skip, not re-commit")
+    assert(fmt(root).select("k").collect().map(_.getLong(0)).toSet == expect)
+    // complete mode (truncate-per-epoch) refuses loudly
+    val ex = intercept[Exception] {
+      val q = spark.readStream.schema(srcSchema).parquet(srcDir)
+        .groupBy(col("part")).count()
+        .writeStream.format("graft-manifest")
+        .outputMode("complete")
+        .option("path", root).option("partitionCol", "part")
+        .option("checkpointLocation", tmpDir("graft_dsv2_sink_ckpt3"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(ex).exists(_.contains("append-only")),
+      s"wrong complete-mode refusal: ${chain(ex)}")
+  }
+
   test("maxVersionsPerTrigger bounds one micro-batch's version span; the history drains in several batches with identical contents") {
     val root = tmpDir("graft_dsv2_admis") + "/t"
     for (b <- 0 until 8)
