@@ -189,6 +189,9 @@ object Bench {
     if (selected.exists(_._1 == "st24_native_sink"))
       try SparkEntry.st24TableDir(spark, sfDir)
       catch { case _: Throwable => () }
+    if (selected.exists(_._1 == "u28_multipart"))
+      try SparkEntry.u28TableDir(spark, sfDir)
+      catch { case _: Throwable => () }
     if (selected.exists(_._1 == "u26_sql_delete"))
       try SparkEntry.u26TableDir(spark, sfDir)
       catch { case _: Throwable => () }

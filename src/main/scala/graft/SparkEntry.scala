@@ -812,6 +812,34 @@ object SparkEntry {
       root
     })
 
+  private val multiPartTableMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** u28's artifact: a MULTI-COLUMN-partitioned manifest table (round
+    * 17 — `PARTITIONED BY (lang, source)` nests directories
+    * `lang=<v>/source=<v>/`), created and filled purely through SQL DDL.
+    * The gated read filters BOTH levels, so the two-level directory
+    * pruning sits on the gated path (the file-count pin lives in
+    * GraftRowLevelOpsSpec); zone maps on doc_id ride the layout.
+    */
+  def u28TableDir(s: SparkSession, dir: String): String =
+    multiPartTableMemo.computeIfAbsent((s, dir), _ => {
+      val root = graft.core.TempDirs.create("graft_u28_mp") + "/t"
+      t(s, dir, "documents").select("doc_id", "n_chars", "lang", "source")
+        .createOrReplaceTempView("graft_u28_src")
+      s.sql("DROP TABLE IF EXISTS graft_u28_stage")
+      s.sql("CREATE TABLE graft_u28_stage (doc_id BIGINT, n_chars BIGINT, " +
+        "lang STRING, source STRING) USING `graft-manifest` " +
+        s"OPTIONS (path '$root', statsColumns 'doc_id') " +
+        "PARTITIONED BY (lang, source)")
+      try s.sql("INSERT INTO graft_u28_stage SELECT * FROM graft_u28_src")
+      finally {
+        s.sql("DROP TABLE IF EXISTS graft_u28_stage")
+        s.catalog.dropTempView("graft_u28_src")
+      }
+      root
+    })
+
   private val sqlDeleteTableMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
@@ -1230,6 +1258,8 @@ object SparkEntry {
       "u26_sql_delete", "u27_sql_merge",
       // st24 reads the native-streaming-sink ingested table (st24TableDir)
       "st24_native_sink",
+      // u28 reads the multi-partitioned DDL table (u28TableDir)
+      "u28_multipart",
       // u16 reads the post-takedown bloom-indexed snapshot (u16TableDir)
       "u16_bloom_takedown",
       // u18 reads the purged+masked deferred-takedown snapshot (u18TableDir)
@@ -1270,7 +1300,7 @@ object SparkEntry {
       bloomTableMemo, cdcReplicaMemo, dvTableMemo,
       dsv2WriteTableMemo, dsv2DdlTableMemo, streamTailMemo,
       streamedTakedownMemo, sqlDeleteTableMemo, sqlMergeTableMemo,
-      nativeSinkTableMemo).foreach { m =>
+      nativeSinkTableMemo, multiPartTableMemo).foreach { m =>
       m.keySet.asScala.filter(_._1 eq s).toList
         .foreach(k => Option(m.remove(k)).foreach(graft.core.TempDirs.drop))
     }
@@ -2440,6 +2470,13 @@ object SparkEntry {
       s.read.format("graft-manifest").load(st24TableDir(s, dir))
         .select("user_id", "ts_micros", "event_id", "event_type",
           "value_milli")),
+    // u28: a two-level-filtered read of the (lang, source)-partitioned
+    // table — both directory levels prune before any file opens
+    "u28_multipart" -> ((s, dir) =>
+      s.read.format("graft-manifest").load(u28TableDir(s, dir))
+        .filter(col("lang") === "de" &&
+          col("source").isin("src0", "src1", "src2", "src3"))
+        .select("doc_id", "n_chars", "lang", "source")),
     // u26: the u9 takedown lifecycle run purely through SQL — a literal
     // key-list DELETE (metadata-routed to deleteRows) plus a predicate
     // DELETE (group-based copy-on-write); the gated read is the
@@ -3251,6 +3288,10 @@ object SparkEntry {
     // batches
     "u14_partition_ttl" ->
       "SELECT doc_id, lang FROM documents WHERE doc_id % 4 IN (2, 3)",
+    // u28: the two-level-pruned read replayed statically
+    "u28_multipart" ->
+      ("SELECT doc_id, n_chars, lang, source FROM documents " +
+        "WHERE lang = 'de' AND source IN ('src0', 'src1', 'src2', 'src3')"),
     // u26: both SQL delete roads replayed — the %97 list (metadata
     // route) and the %89 predicate (copy-on-write route)
     "u26_sql_delete" ->

@@ -91,6 +91,23 @@ object ManifestTable {
         parts.map(p => p -> s.lines.filter(_.startsWith(p + "/")).toSet).toMap
     }
 
+  /** The Scala rewrite verbs (deleteRows/merge/optimize/dropPartitions)
+    * derive and rewrite FIRST-LEVEL partitions; a multi-level layout
+    * (round 17: DSv2 `PARTITIONED BY (a, b)` tables with nested
+    * directories) would be silently flattened by their partitionBy
+    * rewrites — refuse loudly and point at the SQL verbs, which go
+    * through the layout-preserving [[replaceFiles]] publisher.
+    */
+  private def requireSingleLevel(st: ManifestState, verb: String): Unit =
+    st.lines.headOption.foreach { l =>
+      val rel = l.split('|')(0)
+      require(rel.count(_ == '/') == 1,
+        s"$verb supports single-level partitioned tables; this table has " +
+          "nested partition directories (multi-column partitioning) — " +
+          "use the SQL row-level verbs (DELETE FROM / UPDATE / MERGE " +
+          "INTO), which preserve the layout")
+    }
+
   private def manifestDir(root: String) = new Path(root, "_manifest")
 
   /** Latest committed version under `root`, or -1 if never committed. */
@@ -752,6 +769,7 @@ object ManifestTable {
     val v = currentVersion(spark, root)
     require(v >= 0, s"no committed version under $root")
     val st = readManifestLines(spark, root, v)
+    requireSingleLevel(st, "optimize")
     val (lines, statsCols) = (st.lines, st.statsCols)
     val byPart = lines.groupBy(_.split('|')(0).takeWhile(_ != '/'))
     // DEFERRED-DELETE purge (see [[deleteRowsDeferred]]): partitions
@@ -1281,6 +1299,7 @@ object ManifestTable {
     val v = currentVersion(spark, root)
     require(v >= 0, s"no committed version under $root")
     val st = readManifestLines(spark, root, v)
+    requireSingleLevel(st, "optimizeRewritePartitions")
     val (lines, statsCols) = (st.lines, st.statsCols)
     // Z-ORDER fold (round 15, closing the r14 "secondary pruning decays"
     // finding): the default rewrite range-clusters on the PRIMARY
@@ -1506,6 +1525,7 @@ object ManifestTable {
     val v = currentVersion(spark, root)
     require(v >= 0, s"no committed version under $root")
     val st = readManifestLines(spark, root, v)
+    requireSingleLevel(st, "dropPartitions")
     val partitionCol = st.lines.headOption
       .map(_.split('|')(0).takeWhile(_ != '='))
       .getOrElse(return None)
@@ -2393,6 +2413,7 @@ object ManifestTable {
     val v = currentVersion(spark, root)
     require(v >= 0, s"no committed version under $root")
     val st = readManifestLines(spark, root, v)
+    requireSingleLevel(st, "deleteRowsDeferred")
     val kf = recordedOrInferredSchema(spark, root, st)
       .flatMap(_.fields.find(_.name == keyCol)).getOrElse(
         throw new IllegalArgumentException(
@@ -2500,6 +2521,7 @@ object ManifestTable {
     require(v >= 0, s"no committed version under $root — merge needs a " +
       "committed table; use commit for the first batch")
     val st = readManifestLines(spark, root, v)
+    requireSingleLevel(st, "merge")
     if (batchId <= st.batch) return None // redelivered batch: fence no-op
     require(st.lines.nonEmpty, s"the current snapshot under $root is " +
       "empty — merge derives the partition column from it; use commit")
@@ -2716,6 +2738,7 @@ object ManifestTable {
     val v = currentVersion(spark, root)
     require(v >= 0, s"no committed version under $root")
     val st = readManifestLines(spark, root, v)
+    requireSingleLevel(st, "deleteRows")
     if (st.lines.isEmpty) return None // zero-file snapshot: nothing to delete
     require(dvState(spark, root).isEmpty,
       s"deferred deletes pending under $root — the copy-on-write rewrite " +

@@ -91,14 +91,16 @@ class GraftManifestSource extends TableProvider with DataSourceRegister {
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     // an identity transform's name is "identity" and its single
-    // reference is the partition column (the public Transform surface —
-    // the concrete IdentityTransform class is Spark-private)
-    val declaredPart = partitioning.collectFirst {
+    // reference is a partition column (the public Transform surface —
+    // the concrete IdentityTransform class is Spark-private); round 17:
+    // PARTITIONED BY (a, b) declares a multi-level layout, directory
+    // order = declaration order
+    val declaredParts = partitioning.toSeq.collect {
       case t: Transform if t.name == "identity" && t.references.length == 1 =>
         t.references.head.fieldNames.mkString(".")
     }
     GraftManifestSource.tableOf(
-      opts, Option(schema).filter(_.nonEmpty), declaredPart)
+      opts, Option(schema).filter(_.nonEmpty), declaredParts)
   }
 }
 
@@ -107,16 +109,32 @@ object GraftManifestSource {
   private[sources] def tableOf(
       options: CaseInsensitiveStringMap,
       declaredSchema: Option[StructType] = None,
-      declaredPart: Option[String] = None): GraftManifestTable = {
+      declaredParts: Seq[String] = Nil): GraftManifestTable = {
     val p = options.get("path")
     require(p != null && p.nonEmpty,
       "graft-manifest needs a table root: spark.read.format(\"graft-manifest\").load(root)")
     val versionAsOf = Option(options.get("versionAsOf")).map(_.toLong)
+    val optParts =
+      Option(options.get("partitionCols")).toSeq
+        .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)) ++
+        Option(options.get("partitionCol")).toSeq
     new GraftManifestTable(p, versionAsOf, declaredSchema,
-      declaredPart.orElse(Option(options.get("partitionCol"))),
+      if (declaredParts.nonEmpty) declaredParts else optParts,
       Option(options.get("statsColumns")).toSeq
         .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)))
   }
+
+  /** Leading `name=value` directory segments of a manifest-relative data
+    * file path — the partition LEVELS, outermost first. Single-level
+    * tables (every pre-round-17 table) yield one segment; DDL
+    * `PARTITIONED BY (a, b)` tables yield the declared order.
+    */
+  private[sources] def partSegments(rel: String): Seq[(String, String)] =
+    rel.split('/').dropRight(1).toSeq.map { seg =>
+      val i = seg.indexOf('=')
+      require(i > 0, s"malformed partition directory '$seg' in '$rel'")
+      (seg.substring(0, i), unescape(seg.substring(i + 1)))
+    }
 
   /** The partition-column type [[ManifestTable.read]]'s basePath
     * inference would produce on the same directories (Spark's
@@ -202,25 +220,25 @@ object GraftManifestSource {
     */
   private[sources] def packFiles(
       spark: SparkSession,
-      files: Seq[(String, String, Long)]): Array[InputPartition] = {
+      files: Seq[(String, Long)]): Array[InputPartition] = {
     if (files.isEmpty) return Array.empty
     val conf = spark.sessionState.conf
     val openCost = conf.filesOpenCostInBytes
-    val padded = files.map { case (r, p, len) => (r, p, len + openCost) }
-    val totalBytes = padded.map(_._3).sum
+    val padded = files.map { case (r, len) => (r, len + openCost) }
+    val totalBytes = padded.map(_._2).sum
     val target = math.max(openCost, math.min(
       math.max(1L, conf.filesMaxPartitionBytes),
       totalBytes / math.max(1, spark.sparkContext.defaultParallelism)))
-    val sorted = padded.sortBy(-_._3)
+    val sorted = padded.sortBy(-_._2)
     val bins = scala.collection.mutable.ArrayBuffer
-      .empty[(scala.collection.mutable.ArrayBuffer[(String, String, Long)], Long)]
+      .empty[(scala.collection.mutable.ArrayBuffer[(String, Long)], Long)]
     sorted.foreach { f =>
-      bins.indexWhere(_._2 + f._3 <= target) match {
+      bins.indexWhere(_._2 + f._2 <= target) match {
         case -1 =>
-          bins += ((scala.collection.mutable.ArrayBuffer(f), f._3))
+          bins += ((scala.collection.mutable.ArrayBuffer(f), f._2))
         case i =>
           bins(i)._1 += f
-          bins(i) = (bins(i)._1, bins(i)._2 + f._3)
+          bins(i) = (bins(i)._1, bins(i)._2 + f._2)
       }
     }
     bins.map(b => GraftFilesPartition(b._1.toArray): InputPartition).toArray
@@ -291,7 +309,7 @@ class GraftManifestTable(
     val root: String,
     val versionAsOf: Option[Long],
     val declaredSchema: Option[StructType] = None,
-    val declaredPartCol: Option[String] = None,
+    val declaredPartCols: Seq[String] = Nil,
     val declaredStatsColumns: Seq[String] = Nil) extends Table
     with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
@@ -309,29 +327,53 @@ class GraftManifestTable(
       ManifestTable.scanState(spark, root, versionAsOf)
     else {
       // declared, never committed: an empty snapshot under the DDL
-      // schema (minus the partition column — it is directory-derived)
+      // schema (minus the partition columns — they are directory-derived)
       val ds = declaredSchema.get
       ManifestTable.emptyScanState(StructType(
-        ds.fields.filterNot(f => declaredPartCol.contains(f.name)).toSeq))
+        ds.fields.filterNot(f => declaredPartCols.contains(f.name)).toSeq))
     }
 
-  /** (name, directory-value-string) per live file, manifest order. */
-  private[sources] lazy val filePartValues: Seq[(String, String)] =
+  /** Per live file: its partition-level value strings, outermost first
+    * (one per level — every file of a table has the same level names).
+    */
+  private[sources] lazy val filePartValues: Map[String, Seq[String]] =
     state.lines.map { l =>
       val rel = l.split('|')(0)
-      val dir = rel.takeWhile(_ != '/')
-      (rel, GraftManifestSource.unescape(dir.dropWhile(_ != '=').drop(1)))
+      rel -> GraftManifestSource.partSegments(rel).map(_._2)
+    }.toMap
+
+  /** Partition LEVEL names, outermost first (round 17: one or more —
+    * `PARTITIONED BY (date, source)` nests directories).
+    */
+  private[sources] lazy val partitionCols: Seq[String] =
+    state.lines.headOption match {
+      case Some(l) =>
+        GraftManifestSource.partSegments(l.split('|')(0)).map(_._1)
+      case None => declaredPartCols
     }
 
-  private[sources] lazy val partitionCol: Option[String] =
-    state.lines.headOption.map(_.split('|')(0).takeWhile(_ != '='))
-      .orElse(declaredPartCol)
+  /** Resolved type per partition level: the DDL-DECLARED type when a
+    * catalog declaration carries the column (the declared schema is the
+    * contract Spark plans against — re-inferring `d STRING` dirs that
+    * happen to spell dates as DATE would corrupt the row layout);
+    * otherwise Spark's partition-value inference per level (the bare
+    * `load(root)` path, type-identical to the Scala read, spec-pinned).
+    */
+  private[sources] lazy val partitionTypes: Seq[DataType] = {
+    lazy val perFile = state.lines.map(l =>
+      GraftManifestSource.partSegments(l.split('|')(0)).map(_._2))
+    partitionCols.zipWithIndex.map { case (pc, i) =>
+      declaredSchema.flatMap(_.fields.find(_.name == pc).map(_.dataType))
+        .getOrElse {
+          if (state.lines.nonEmpty)
+            GraftManifestSource.inferPartitionType(perFile.map(_(i)))
+          else StringType
+        }
+    }
+  }
 
-  private[sources] lazy val partitionType: DataType =
-    if (state.lines.nonEmpty)
-      GraftManifestSource.inferPartitionType(filePartValues.map(_._2))
-    else declaredSchema.flatMap(ds => declaredPartCol.flatMap(pc =>
-      ds.fields.find(_.name == pc).map(_.dataType))).getOrElse(StringType)
+  private[sources] def partitionTypeOf(c: String): DataType =
+    partitionTypes(partitionCols.indexOf(c))
 
   private[sources] lazy val dataSchema: StructType = {
     val s = state.schema.getOrElse(new StructType())
@@ -349,12 +391,11 @@ class GraftManifestTable(
 
   override def schema(): StructType =
     if (!tableExists && declaredSchema.isDefined) declaredSchema.get
-    else partitionCol match {
-      case Some(pc) if !dataSchema.fieldNames.contains(pc) =>
-        StructType(dataSchema.fields.toSeq :+
-          StructField(pc, partitionType, nullable = true))
-      case _ => dataSchema
-    }
+    else StructType(dataSchema.fields.toSeq ++
+      partitionCols.zip(partitionTypes).collect {
+        case (pc, dt) if !dataSchema.fieldNames.contains(pc) =>
+          StructField(pc, dt, nullable = true)
+      })
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
@@ -370,7 +411,7 @@ class GraftManifestTable(
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
     if (dataSchema.fieldNames.contains(GraftManifestSource.FileCol) ||
-      partitionCol.contains(GraftManifestSource.FileCol)) Array.empty
+      partitionCols.contains(GraftManifestSource.FileCol)) Array.empty
     else Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
       override def name(): String = GraftManifestSource.FileCol
       override def dataType(): DataType = StringType
@@ -409,12 +450,13 @@ class GraftManifestTable(
         s"(versionAsOf=${versionAsOf.get}) — load the table without " +
         "versionAsOf to write")
     // the table must either exist or be DECLARED (DDL/options carrying
-    // the partition column) — partitioning is a creation-time decision a
+    // the partition columns) — partitioning is a creation-time decision a
     // bare save() cannot express
-    require(tableExists || declaredPartCol.isDefined ||
-      Option(info.options().get("partitionCol")).isDefined,
-      s"graft-manifest write needs a committed table under $root, or a " +
-        "declared partition column (CREATE TABLE ... PARTITIONED BY / " +
+    require(tableExists || declaredPartCols.nonEmpty ||
+      Option(info.options().get("partitionCol")).isDefined ||
+      Option(info.options().get("partitionCols")).isDefined,
+      s"graft-manifest write needs a committed table under $root, or " +
+        "declared partition column(s) (CREATE TABLE ... PARTITIONED BY / " +
         "OPTIONS (partitionCol '...'), or .option(\"partitionCol\", ...) " +
         "on the write); zone maps register via statsColumns the same way")
     new GraftWriteBuilder(this, info)
@@ -488,7 +530,9 @@ class GraftManifestScanBuilder(
   // per string column: conjunctive equality/IN value sets
   private val stringEq = scala.collection.mutable.Map[String, Set[String]]()
   private val longEq = scala.collection.mutable.Map[String, Set[Long]]()
-  private var partKeep: Option[Set[String]] = None
+  // per partition LEVEL: conjunctive kept-value sets (round 17 —
+  // multi-level layouts prune each level independently)
+  private val partKeep = scala.collection.mutable.Map[String, Set[String]]()
   private var provablyEmpty = false
 
   private val statsType: Map[String, String] = table.state.statsCols.toMap
@@ -519,12 +563,12 @@ class GraftManifestScanBuilder(
     }
   }
 
-  private def narrowPart(vs: Set[Any]): Unit = {
+  private def narrowPart(c: String, vs: Set[Any]): Unit = {
     // null never matches a partition directory value (and .toString on it
     // would NPE a plan that is valid on every other source)
     val norm = vs.filter(_ != null).map(_.toString)
-    partKeep = Some(partKeep.map(_.intersect(norm)).getOrElse(norm))
-    if (partKeep.exists(_.isEmpty)) provablyEmpty = true
+    partKeep(c) = partKeep.get(c).map(_.intersect(norm)).getOrElse(norm)
+    if (partKeep(c).isEmpty) provablyEmpty = true
   }
 
   /** True iff the filter narrowed file selection (it is then REPORTED as
@@ -533,10 +577,10 @@ class GraftManifestScanBuilder(
   private def absorb(f: Filter): Boolean = f match {
     case And(a, b) =>
       val ua = absorb(a); val ub = absorb(b); ua || ub
-    case EqualTo(c, v) if table.partitionCol.contains(c) =>
-      narrowPart(Set(v)); true
-    case In(c, vs) if table.partitionCol.contains(c) =>
-      narrowPart(vs.toSet); true
+    case EqualTo(c, v) if table.partitionCols.contains(c) =>
+      narrowPart(c, Set(v)); true
+    case In(c, vs) if table.partitionCols.contains(c) =>
+      narrowPart(c, vs.toSet); true
     case EqualTo(c, v: Number) if statsType.get(c).contains("long") =>
       narrowEq(c, Set[Any](v)); true
     case EqualTo(c, v: String) if statsType.get(c).contains("string") =>
@@ -609,7 +653,7 @@ class GraftManifestScanBuilder(
     import org.apache.spark.sql.connector.expressions.aggregate._
     import org.apache.spark.sql.connector.expressions.NamedReference
     if (agg.groupByExpressions.nonEmpty) return None
-    if (pushed.nonEmpty || partKeep.isDefined || provablyEmpty) return None
+    if (pushed.nonEmpty || partKeep.nonEmpty || provablyEmpty) return None
     if (pendingDv) return None
     def colName(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
@@ -699,7 +743,7 @@ class GraftManifestScanBuilder(
         }
     val scan = new GraftManifestScan(
       table, required, preds, bloomKeys,
-      partKeep, provablyEmpty, pushed.toSeq, startingVersion,
+      partKeep.toMap, provablyEmpty, pushed.toSeq, startingVersion,
       maxVersionsPerTrigger)
     onBuildScan.foreach(_(scan))
     scan
@@ -707,20 +751,21 @@ class GraftManifestScanBuilder(
 }
 
 /** One InputPartition: a bin-packed group of live files (relative path,
-  * partition directory value, length).
+  * length) — partition values ride the PATH (readers parse them).
   */
 case class GraftFilesPartition(
-    files: Array[(String, String, Long)]) extends InputPartition
+    files: Array[(String, Long)]) extends InputPartition
 
 /** A key-grouped input partition (storage-partitioned joins): all the
-  * chosen files of ONE partition value, keyed by its typed value.
+  * chosen files of ONE partition-value tuple, keyed by its typed values
+  * (one per level).
   */
 case class GraftKeyedFilesPartition(
-    files: Array[(String, String, Long)],
-    keyValue: Any) extends InputPartition
+    files: Array[(String, Long)],
+    keyValues: Array[Any]) extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
-    new GenericInternalRow(Array(keyValue))
+    new GenericInternalRow(keyValues)
 }
 
 /** A fully-pushed aggregate: the single result row was computed at PLAN
@@ -765,7 +810,7 @@ class GraftManifestScan(
     required: StructType,
     preds: Seq[ManifestTable.ZonePred],
     bloomKeys: Map[String, Seq[Long]],
-    partKeep: Option[Set[String]],
+    partKeep: Map[String, Set[String]],
     provablyEmpty: Boolean,
     pushedForDisplay: Seq[Filter],
     startingVersion: Option[Long] = None,
@@ -785,16 +830,22 @@ class GraftManifestScan(
     else {
       val zoneBloom = ManifestTable.pruneScanFiles(
         spark, table.root, table.state, preds, bloomKeys)
-      partKeep match {
-        case None => zoneBloom
-        case Some(keep) =>
-          val partOf = table.filePartValues.toMap
-          zoneBloom.filter { rel =>
-            partOf.get(rel).forall(v => partValueKept(keep, v))
-          }
-      }
+      if (partKeep.isEmpty) zoneBloom
+      else zoneBloom.filter(rel => partKept(partKeep, rel))
     }
   }
+
+  /** True iff the file's partition values survive every level's kept
+    * set (absent levels keep conservatively — sound superset).
+    */
+  private def partKept(keep: Map[String, Set[String]], rel: String): Boolean =
+    table.filePartValues.get(rel).forall { vals =>
+      keep.forall { case (c, ks) =>
+        val li = table.partitionCols.indexOf(c)
+        li < 0 || li >= vals.size ||
+          partValueKept(table.partitionTypes(li), ks, vals(li))
+      }
+    }
 
   /** RUNTIME file pruning (round 16 — DSv2 dynamic partition/file
     * pruning): Spark executes the build side of a join first and hands
@@ -816,7 +867,7 @@ class GraftManifestScan(
 
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    (table.partitionCol.toSeq ++ table.state.statsCols.map(_._1)).distinct
+    (table.partitionCols ++ table.state.statsCols.map(_._1)).distinct
       // only columns surviving column pruning: Spark resolves these
       // against the scan's (pruned) output and throws on absent names
       .filter(required.fieldNames.contains)
@@ -827,7 +878,6 @@ class GraftManifestScan(
   override def filter(runtime: Array[Filter]): Unit = {
     val MaxRuntimeKeys = 100000
     var keep = baseChosenFiles
-    val partOf = table.filePartValues.toMap
     runtime.foreach {
       case f @ (EqualTo(_, _) | In(_, _)) =>
         val (c, vs0) = f match {
@@ -844,10 +894,9 @@ class GraftManifestScan(
           // should return zero rows.)
           keep = Nil
         } else if (vs.size <= MaxRuntimeKeys) {
-          if (table.partitionCol.contains(c)) {
-            val keepVals = vs.map(_.toString)
-            keep = keep.filter(rel =>
-              partOf.get(rel).forall(v => partValueKept(keepVals, v)))
+          if (table.partitionCols.contains(c)) {
+            val keepVals = Map(c -> vs.map(_.toString))
+            keep = keep.filter(rel => partKept(keepVals, rel))
           } else table.state.statsCols.find(_._1 == c).foreach {
             case (_, "long") if vs.forall(_.isInstanceOf[Number]) =>
               val ls = vs.map(_.asInstanceOf[Number].longValue())
@@ -873,8 +922,9 @@ class GraftManifestScan(
     runtimeChosen = Some(keep)
   }
 
-  private def partValueKept(keep: Set[String], dirValue: String): Boolean =
-    table.partitionType match {
+  private def partValueKept(
+      dt: DataType, keep: Set[String], dirValue: String): Boolean =
+    dt match {
       case IntegerType | LongType =>
         scala.util.Try(dirValue.trim.toLong).toOption
           .exists(dv => keep.exists(k =>
@@ -971,18 +1021,20 @@ class GraftManifestScan(
     * reported partition count stays stable across DPP.
     */
   private def clusteredScan: Boolean =
-    table.partitionCol.isDefined &&
+    table.partitionCols.nonEmpty &&
       spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
         .contains("true")
 
-  private lazy val baseKeyGroups: Seq[(Any, Seq[String])] = {
-    val partOf = table.filePartValues.toMap
-    baseChosenFiles.groupBy(r => partOf(r))
-      .toSeq.sortBy(_._1)
-      .map { case (v, fs) => (typedKey(v), fs) }
-  }
+  private lazy val baseKeyGroups: Seq[(Seq[Any], Seq[String])] =
+    baseChosenFiles.groupBy(r => table.filePartValues(r))
+      .toSeq.sortBy(_._1.mkString(" "))
+      .map { case (vals, fs) =>
+        (vals.zip(table.partitionTypes).map {
+          case (v, dt) => typedKey(dt, v)
+        }, fs)
+      }
 
-  private def typedKey(dirValue: String): Any = table.partitionType match {
+  private def typedKey(dt: DataType, dirValue: String): Any = dt match {
     case IntegerType => dirValue.trim.toInt
     case LongType => dirValue.trim.toLong
     case DateType => GraftManifestSource.dateDays(dirValue)
@@ -994,14 +1046,15 @@ class GraftManifestScan(
     if (clusteredScan)
       new org.apache.spark.sql.connector.read.partitioning
         .KeyGroupedPartitioning(
-          Array(org.apache.spark.sql.connector.expressions.Expressions
-            .identity(table.partitionCol.get)),
+          table.partitionCols.map(pc =>
+            org.apache.spark.sql.connector.expressions.Expressions
+              .identity(pc): org.apache.spark.sql.connector.expressions
+              .Transform).toArray,
           baseKeyGroups.length)
     else new org.apache.spark.sql.connector.read.partitioning
       .UnknownPartitioning(0)
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val partOf = table.filePartValues.toMap
     // hoisted ONCE per call: fileLens materializes its whole map every
     // invocation (see its doc) — calling it inside the per-file map was
     // O(N²) driver work (ADVICE, round 16)
@@ -1011,11 +1064,11 @@ class GraftManifestScan(
       baseKeyGroups.map { case (key, fs) =>
         val kept = fs.filter(live)
         GraftKeyedFilesPartition(
-          kept.map(r => (r, partOf(r), lens.getOrElse(r, 0L))).toArray,
-          key): InputPartition
+          kept.map(r => (r, lens.getOrElse(r, 0L))).toArray,
+          key.toArray): InputPartition
       }.toArray
     } else GraftManifestSource.packFiles(spark,
-      chosenFiles.map(r => (r, partOf(r), lens(r))))
+      chosenFiles.map(r => (r, lens(r))))
   }
 
   /** STREAMING tail of the table (round 16 — `spark.readStream
@@ -1070,7 +1123,7 @@ class GraftManifestScan(
         }.toArray
     new GraftReaderFactory(
       table.root, required, table.dataSchema,
-      table.partitionCol, table.partitionType, masks,
+      table.partitionCols.zip(table.partitionTypes), masks,
       GraftManifestSource.confProps(spark),
       spark.conf.getOption("spark.sql.parquet.columnarReaderBatchSize")
         .map(_.toInt).getOrElse(4096),
@@ -1082,8 +1135,7 @@ class GraftReaderFactory(
     root: String,
     required: StructType,
     dataSchema: StructType,
-    partitionCol: Option[String],
-    partitionType: DataType,
+    partCols: Seq[(String, DataType)],
     masks: Array[(String, Boolean, Set[Any])],
     confProps: Array[(String, String)],
     capacity: Int,
@@ -1102,7 +1154,7 @@ class GraftReaderFactory(
   override def supportColumnarReads(partition: InputPartition): Boolean =
     masks.isEmpty
 
-  private def filesOf(p: InputPartition): Array[(String, String, Long)] =
+  private def filesOf(p: InputPartition): Array[(String, Long)] =
     p match {
       case g: GraftFilesPartition => g.files
       case k: GraftKeyedFilesPartition => k.files
@@ -1114,13 +1166,13 @@ class GraftReaderFactory(
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new GraftColumnarReader(
       root, filesOf(partition),
-      required, dataSchema, partitionCol, partitionType, confProps,
+      required, dataSchema, partCols, confProps,
       capacity, sessionTz)
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(
       root, filesOf(partition),
-      required, dataSchema, partitionCol, partitionType, masks, confProps)
+      required, dataSchema, partCols, masks, confProps)
 }
 
 /** Version-offset of the streaming tail: "consumed through manifest
@@ -1224,20 +1276,18 @@ class GraftMicroBatchStream(
       .flatMap(l => ManifestTable.lineFileMeta(l)
         .map(m => l.split('|')(0) -> m._1)).toMap
     GraftManifestSource.packFiles(spark, added.toSeq.map { rel =>
-      val dir = rel.takeWhile(_ != '/')
-      val pv = GraftManifestSource.unescape(dir.dropWhile(_ != '=').drop(1))
       val len = metaOf.getOrElse(rel, {
         val p = new Path(table.root, rel)
         p.getFileSystem(conf).getFileStatus(p).getLen
       })
-      (rel, pv, len)
+      (rel, len)
     })
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(
       table.root, required, table.dataSchema,
-      table.partitionCol, table.partitionType,
+      table.partitionCols.zip(table.partitionTypes),
       Array.empty, // CDC convention: raw appended contents (see scan doc)
       confProps, capacity, sessionTz)
 
@@ -1255,11 +1305,10 @@ class GraftMicroBatchStream(
   */
 class GraftPartitionReader(
     root: String,
-    files: Array[(String, String, Long)],
+    files: Array[(String, Long)],
     required: StructType,
     dataSchema: StructType,
-    partitionCol: Option[String],
-    partitionType: DataType,
+    partCols: Seq[(String, DataType)],
     masks: Array[(String, Boolean, Set[Any])],
     confProps: Array[(String, String)])
     extends PartitionReader[InternalRow] {
@@ -1271,12 +1320,21 @@ class GraftPartitionReader(
   @transient private lazy val conf =
     GraftManifestSource.confFrom(confProps)
 
-  // parquet-side columns: required data columns ∪ mask columns (the
-  // partition column and the `_file` metadata column are per-file
-  // constants, never decoded from a data page)
+  // per required field: -1 = parquet data column, -2 = the `_file`
+  // metadata column, >= 0 = that partition LEVEL — partition values and
+  // file provenance are per-file constants parsed from the path, never
+  // decoded from a data page
+  private val constSrc: Array[Int] = required.fields.map { f =>
+    if (f.name == GraftManifestSource.FileCol) -2
+    else partCols.indexWhere(_._1 == f.name) match {
+      case -1 => -1
+      case li => li
+    }
+  }
   private val neededData: Seq[StructField] =
-    required.fields.toSeq.filter(f =>
-      !partitionCol.contains(f.name) && f.name != GraftManifestSource.FileCol)
+    required.fields.toSeq.zipWithIndex.collect {
+      case (f, i) if constSrc(i) == -1 => f
+    }
   private val maskCols: Seq[StructField] =
     masks.toSeq.flatMap { case (c, _, _) =>
       dataSchema.fields.find(_.name == c)
@@ -1289,18 +1347,13 @@ class GraftPartitionReader(
       dataSchema.fields.find(_.name == c).map(f => (f, isString, keys))
     }
 
-  private val requiredPartIdx: Int =
-    partitionCol.map(pc => required.fieldNames.indexOf(pc)).getOrElse(-1)
-  private val requiredFileIdx: Int =
-    required.fieldNames.indexOf(GraftManifestSource.FileCol)
-
   private var fileIdx = -1
   private var reader: ParquetReader[Group] = _
   private var currentGroup: Group = _
   // footer-count emission path (no parquet columns needed)
   private var emitRemaining: Long = 0L
   private var countOnly = false
-  private var partValue: Any = _
+  private var partValues: Array[Any] = _ // typed, one per level
   private var fileValue: UTF8String = _
   private var row: InternalRow = _
   // per-FILE resolved ordinals + physical types for the projection the
@@ -1312,19 +1365,23 @@ class GraftPartitionReader(
   private var maskOrd: Array[Int] = _
   private var maskPrim: Array[org.apache.parquet.schema.PrimitiveType] = _
 
-  private def typedPartValue(dirValue: String): Any = partitionType match {
-    case IntegerType => dirValue.trim.toInt
-    case LongType => dirValue.trim.toLong
-    case DateType => GraftManifestSource.dateDays(dirValue)
-    case _ => UTF8String.fromString(dirValue)
-  }
+  private def typedPartValue(dt: DataType, dirValue: String): Any =
+    dt match {
+      case IntegerType => dirValue.trim.toInt
+      case LongType => dirValue.trim.toLong
+      case DateType => GraftManifestSource.dateDays(dirValue)
+      case _ => UTF8String.fromString(dirValue)
+    }
 
   private def openNextFile(): Boolean = {
     if (reader != null) { reader.close(); reader = null }
     fileIdx += 1
     if (fileIdx >= files.length) return false
-    val (rel, dirValue, _) = files(fileIdx)
-    partValue = typedPartValue(dirValue)
+    val (rel, _) = files(fileIdx)
+    val segVals = GraftManifestSource.partSegments(rel).map(_._2)
+    partValues = partCols.zipWithIndex.map { case ((_, dt), li) =>
+      if (li < segVals.size) typedPartValue(dt, segVals(li)) else null
+    }.toArray
     fileValue = UTF8String.fromString(rel)
     val p = new Path(root, rel)
     // ONE footer read serves schema and row count both (a second open
@@ -1453,11 +1510,13 @@ class GraftPartitionReader(
     val out = new GenericInternalRow(required.length)
     var i = 0
     while (i < required.length) {
-      if (i == requiredPartIdx) out.update(i, partValue)
-      else if (i == requiredFileIdx) out.update(i, fileValue)
-      else out.update(i, if (g == null) null
-        else extract(g, reqOrd(i), reqPrim(i), required(i).dataType,
-          required(i).name))
+      constSrc(i) match {
+        case -2 => out.update(i, fileValue)
+        case -1 => out.update(i, if (g == null) null
+          else extract(g, reqOrd(i), reqPrim(i), required(i).dataType,
+            required(i).name))
+        case li => out.update(i, partValues(li))
+      }
       i += 1
     }
     out
@@ -1486,11 +1545,10 @@ class GraftPartitionReader(
   */
 class GraftColumnarReader(
     root: String,
-    files: Array[(String, String, Long)],
+    files: Array[(String, Long)],
     required: StructType,
     dataSchema: StructType,
-    partitionCol: Option[String],
-    partitionType: DataType,
+    partCols: Seq[(String, DataType)],
     confProps: Array[(String, String)],
     capacity: Int,
     sessionTz: String)
@@ -1502,14 +1560,15 @@ class GraftColumnarReader(
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
-  private val requiredPartIdx: Int =
-    partitionCol.map(pc => required.fieldNames.indexOf(pc)).getOrElse(-1)
-  private val requiredFileIdx: Int =
-    required.fieldNames.indexOf(GraftManifestSource.FileCol)
-  // per-file CONSTANT columns (partition value, `_file` provenance):
-  // served as constant vectors, never decoded from a data page
-  private def isConstIdx(i: Int): Boolean =
-    i == requiredPartIdx || i == requiredFileIdx
+  // per-file CONSTANT columns (partition values, `_file` provenance):
+  // served as constant vectors, never decoded from a data page.
+  // constSrc per required field: -1 = parquet data, -2 = _file,
+  // >= 0 = that partition level
+  private val constSrc: Array[Int] = required.fields.map { f =>
+    if (f.name == GraftManifestSource.FileCol) -2
+    else partCols.indexWhere(_._1 == f.name)
+  }
+  private def isConstIdx(i: Int): Boolean = constSrc(i) != -1
   private val neededData: Seq[StructField] =
     required.fields.toSeq.zipWithIndex.collect {
       case (f, i) if !isConstIdx(i) => f
@@ -1606,12 +1665,13 @@ class GraftColumnarReader(
       }
     }
 
-  private def typedPartValue(dirValue: String): Any = partitionType match {
-    case IntegerType => dirValue.trim.toInt
-    case LongType => dirValue.trim.toLong
-    case DateType => GraftManifestSource.dateDays(dirValue)
-    case _ => UTF8String.fromString(dirValue)
-  }
+  private def typedPartValue(dt: DataType, dirValue: String): Any =
+    dt match {
+      case IntegerType => dirValue.trim.toInt
+      case LongType => dirValue.trim.toLong
+      case DateType => GraftManifestSource.dateDays(dirValue)
+      case _ => UTF8String.fromString(dirValue)
+    }
 
   private var fileIdx = -1
   // vectorized mode state
@@ -1645,7 +1705,7 @@ class GraftColumnarReader(
     closeCurrent()
     fileIdx += 1
     if (fileIdx >= files.length) return false
-    val (rel, dirValue, _) = files(fileIdx)
+    val (rel, _) = files(fileIdx)
     val p = new Path(root, rel)
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
     val fr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -1653,9 +1713,13 @@ class GraftColumnarReader(
       try (fr.getFooter, fr.getFooter.getFileMetaData.getSchema,
         fr.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
       finally fr.close()
-    def constValueFor(i: Int): Any =
-      if (i == requiredFileIdx) UTF8String.fromString(rel)
-      else typedPartValue(dirValue)
+    val segVals = GraftManifestSource.partSegments(rel).map(_._2)
+    def constValueFor(i: Int): Any = constSrc(i) match {
+      case -2 => UTF8String.fromString(rel)
+      case li if li < segVals.size =>
+        typedPartValue(partCols(li)._2, segVals(li))
+      case _ => null
+    }
     val present = neededData.map(_.name).filter(fileSchema.containsField)
     if (neededData.isEmpty || present.isEmpty) {
       // bare COUNT(*) / partition-only select / a file predating every
@@ -1706,8 +1770,8 @@ class GraftColumnarReader(
       // row bridge: the Group decode (NANOS/INT96/unannotated shapes),
       // poured into on-heap vectors batch by batch
       bridge = new GraftPartitionReader(
-        root, Array(files(fileIdx)), required, dataSchema, partitionCol,
-        partitionType, Array.empty, confProps)
+        root, Array(files(fileIdx)), required, dataSchema, partCols,
+        Array.empty, confProps)
       bridgeVectors = OnHeapColumnVector.allocateColumns(capacity, required)
       bridgeBatch = new ColumnarBatch(
         bridgeVectors.asInstanceOf[Array[ColumnVector]])
@@ -1749,6 +1813,7 @@ class GraftColumnarReader(
           val b = x.getBytes
           var r = 0
           while (r < n) { v.putByteArray(r, b, 0, b.length); r += 1 }
+        case null => v.putNulls(0, n)
         case other => throw new IllegalStateException(
           s"unreachable const vector type $other")
       }
@@ -1827,25 +1892,33 @@ class GraftWrite(
 
   private def spark = SparkSession.active
 
-  private val pc: String = table.partitionCol
-    .orElse(Option(info.options().get("partitionCol")))
-    .getOrElse(throw new IllegalStateException(
+  private val pcs: Seq[String] = {
+    val fromOpts =
+      Option(info.options().get("partitionCols")).toSeq
+        .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)) ++
+        Option(info.options().get("partitionCol")).toSeq
+    val resolved =
+      if (table.partitionCols.nonEmpty) table.partitionCols else fromOpts
+    require(resolved.nonEmpty,
       s"graft-manifest write: the table under ${table.root} has no live " +
-        "partition and no declared partition column — declare one via " +
-        "CREATE TABLE ... OPTIONS (partitionCol ...) or " +
-        ".option(\"partitionCol\", ...)"))
+        "partition and no declared partition column(s) — declare via " +
+        "CREATE TABLE ... PARTITIONED BY / OPTIONS (partitionCol ...) or " +
+        ".option(\"partitionCol\", ...)")
+    resolved
+  }
 
   private val writeSchema: StructType = info.schema()
-  require(writeSchema.fieldNames.contains(pc),
-    s"graft-manifest write: the frame must carry the table's partition " +
-      s"column '$pc'")
-  private val partIdx = writeSchema.fieldNames.indexOf(pc)
-  private val partDt = writeSchema.fields(partIdx).dataType
-  require(partDt == StringType || partDt == IntegerType || partDt == LongType,
-    s"graft-manifest write: partition column '$pc' must be string or " +
-      s"integer, got ${partDt.simpleString}")
+  pcs.foreach { pc =>
+    require(writeSchema.fieldNames.contains(pc),
+      s"graft-manifest write: the frame must carry the table's partition " +
+        s"column '$pc'")
+    val dt = writeSchema.fields(writeSchema.fieldNames.indexOf(pc)).dataType
+    require(dt == StringType || dt == IntegerType || dt == LongType,
+      s"graft-manifest write: partition column '$pc' must be string or " +
+        s"integer, got ${dt.simpleString}")
+  }
   private val dataFields: Array[StructField] =
-    writeSchema.fields.filter(_.name != pc)
+    writeSchema.fields.filterNot(f => pcs.contains(f.name))
   dataFields.foreach { f =>
     require(GraftManifestSource.SupportedTypes.contains(f.dataType),
       s"graft-manifest write supports flat primitive schemas; column " +
@@ -1867,7 +1940,7 @@ class GraftWrite(
   override def createBatchWriterFactory(
       physInfo: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DataWriterFactory =
-    new GraftWriterFactory(stagingDir, writeSchema, pc, partIdx,
+    new GraftWriterFactory(stagingDir, writeSchema, pcs,
       GraftManifestSource.confProps(spark),
       Option(info.options().get("maxOpenWriters")).map(_.toInt)
         .getOrElse(16))
@@ -1944,8 +2017,8 @@ class GraftWrite(
     cleanup(s"$stagingDir/e$epochId")
 
   private[sources] def epochWriterFactory
-      : (String, StructType, String, Int, Array[(String, String)], Int) =
-    (stagingDir, writeSchema, pc, partIdx,
+      : (String, StructType, Seq[String], Array[(String, String)], Int) =
+    (stagingDir, writeSchema, pcs,
       GraftManifestSource.confProps(spark),
       Option(info.options().get("maxOpenWriters")).map(_.toInt)
         .getOrElse(16))
@@ -1962,10 +2035,10 @@ class GraftStreamingWrite(w: GraftWrite)
   override def createStreamingWriterFactory(
       physInfo: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : StreamingDataWriterFactory = {
-    val (stagingDir, schema, pc, partIdx, confProps, maxOpen) =
+    val (stagingDir, schema, pcs, confProps, maxOpen) =
       w.epochWriterFactory
     new GraftStreamingWriterFactory(
-      stagingDir, schema, pc, partIdx, confProps, maxOpen)
+      stagingDir, schema, pcs, confProps, maxOpen)
   }
 
   override def commit(
@@ -1982,16 +2055,15 @@ class GraftStreamingWrite(w: GraftWrite)
 class GraftStreamingWriterFactory(
     stagingDir: String,
     schema: StructType,
-    partitionCol: String,
-    partIdx: Int,
+    partitionCols: Seq[String],
     confProps: Array[(String, String)],
     maxOpenWriters: Int)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new GraftDataWriter(s"$stagingDir/e$epochId", schema, partitionCol,
-      partIdx, partitionId, taskId, confProps, maxOpenWriters)
+    new GraftDataWriter(s"$stagingDir/e$epochId", schema, partitionCols,
+      partitionId, taskId, confProps, maxOpenWriters)
 }
 
 case class GraftCommitMessage(files: Array[(String, String)])
@@ -2000,8 +2072,7 @@ case class GraftCommitMessage(files: Array[(String, String)])
 class GraftWriterFactory(
     stagingDir: String,
     schema: StructType,
-    partitionCol: String,
-    partIdx: Int,
+    partitionCols: Seq[String],
     confProps: Array[(String, String)],
     maxOpenWriters: Int)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
@@ -2009,7 +2080,7 @@ class GraftWriterFactory(
   override def createWriter(
       partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new GraftDataWriter(stagingDir, schema, partitionCol, partIdx,
+    new GraftDataWriter(stagingDir, schema, partitionCols,
       partitionId, taskId, confProps, maxOpenWriters)
 }
 
@@ -2021,8 +2092,7 @@ class GraftWriterFactory(
 class GraftDataWriter(
     stagingDir: String,
     schema: StructType,
-    partitionCol: String,
-    partIdx: Int,
+    partitionCols: Seq[String],
     partitionId: Int,
     taskId: Long,
     confProps: Array[(String, String)],
@@ -2039,10 +2109,15 @@ class GraftDataWriter(
     GraftManifestSource.confFrom(confProps)
 
   private val dataFields: Array[StructField] =
-    schema.fields.filter(_.name != partitionCol)
+    schema.fields.filterNot(f => partitionCols.contains(f.name))
   private val dataIdx: Array[Int] =
     dataFields.map(f => schema.fieldNames.indexOf(f.name))
-  private val partDt = schema.fields(partIdx).dataType
+  // per partition level: (name, row ordinal, type)
+  private val partLevels: Seq[(String, Int, DataType)] =
+    partitionCols.map { pc =>
+      val i = schema.fieldNames.indexOf(pc)
+      (pc, i, schema.fields(i).dataType)
+    }
 
   private lazy val msgType: MessageType = {
     val b = Types.buildMessage()
@@ -2087,22 +2162,23 @@ class GraftDataWriter(
     scala.collection.mutable.ArrayBuffer[(String, String)]()
   private var fileCounter = 0
 
-  private def partNameOf(row: InternalRow): String = {
-    require(!row.isNullAt(partIdx),
-      s"graft-manifest write: null partition value for '$partitionCol' — " +
-        "the default partition does not round-trip; write it explicitly " +
-        "via ManifestTable.commit")
-    val v = partDt match {
-      case StringType => row.getUTF8String(partIdx).toString
-      case IntegerType => row.getInt(partIdx).toString
-      case _ => row.getLong(partIdx).toString
-    }
-    require(v.nonEmpty && !v.contains('|'),
-      s"graft-manifest write: partition value '$v' is empty or contains " +
-        "'|' (the manifest stats delimiter)")
-    s"$partitionCol=" + org.apache.spark.sql.catalyst.catalog
-      .ExternalCatalogUtils.escapePathName(v)
-  }
+  private def partNameOf(row: InternalRow): String =
+    partLevels.map { case (pc, idx, dt) =>
+      require(!row.isNullAt(idx),
+        s"graft-manifest write: null partition value for '$pc' — " +
+          "the default partition does not round-trip; write it explicitly " +
+          "via ManifestTable.commit")
+      val v = dt match {
+        case StringType => row.getUTF8String(idx).toString
+        case IntegerType => row.getInt(idx).toString
+        case _ => row.getLong(idx).toString
+      }
+      require(v.nonEmpty && !v.contains('|'),
+        s"graft-manifest write: partition value '$v' is empty or contains " +
+          "'|' (the manifest stats delimiter)")
+      s"$pc=" + org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.escapePathName(v)
+    }.mkString("/")
 
   private def writerFor(partName: String): ParquetWriter[Group] =
     openWriters.remove(partName) match {

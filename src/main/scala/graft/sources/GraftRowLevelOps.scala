@@ -110,17 +110,18 @@ class GraftReplaceWrite(
 
   private def spark = SparkSession.active
 
-  private val pc: String = table.partitionCol.getOrElse(
-    throw new IllegalStateException(
+  private val pcs: Seq[String] = {
+    require(table.partitionCols.nonEmpty,
       s"graft-manifest ${op.command()}: the table under ${table.root} has " +
-        "no live partition column — row-level SQL verbs need a committed " +
-        "table"))
+        "no live partition columns — row-level SQL verbs need a committed " +
+        "table")
+    table.partitionCols
+  }
 
   private val writeSchema: StructType = info.schema()
-  require(writeSchema.fieldNames.contains(pc),
+  pcs.foreach(pc => require(writeSchema.fieldNames.contains(pc),
     s"graft-manifest ${op.command()}: the replacement rows must carry the " +
-      s"table's partition column '$pc'")
-  private val partIdx = writeSchema.fieldNames.indexOf(pc)
+      s"table's partition column '$pc'"))
 
   private val stagingDir = s"${table.root}/_stage-rlo-${info.queryId()}"
 
@@ -131,7 +132,7 @@ class GraftReplaceWrite(
 
   override def createBatchWriterFactory(
       physInfo: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWriterFactory(stagingDir, writeSchema, pc, partIdx,
+    new GraftWriterFactory(stagingDir, writeSchema, pcs,
       GraftManifestSource.confProps(spark),
       Option(info.options().get("maxOpenWriters")).map(_.toInt)
         .getOrElse(16))
@@ -182,6 +183,9 @@ private[sources] object GraftDeleteMapping {
     if (table.versionAsOf.isDefined || !table.tableExists) return None
     if (filters.isEmpty || filters.forall(_.isInstanceOf[AlwaysTrue]))
       return Some(Truncate)
+    // the Scala deleteRows machinery rewrites FIRST-LEVEL partitions —
+    // multi-level layouts take the copy-on-write road instead
+    if (table.partitionCols.size != 1) return None
     val perFilter: Seq[Option[(String, Set[Any])]] = filters.toSeq.map {
       case EqualTo(c, v) => Some((c, Set[Any](v)))
       case In(c, vs) => Some((c, vs.toSet))
@@ -192,7 +196,7 @@ private[sources] object GraftDeleteMapping {
     val cols = byCol.map(_._1).distinct
     if (cols.size != 1) return None
     val c = cols.head
-    if (table.partitionCol.contains(c)) return None
+    if (table.partitionCols.contains(c)) return None
     val dt = table.dataSchema.fields.find(_.name == c).map(_.dataType)
     if (!dt.exists(t => t == LongType || t == IntegerType || t == StringType))
       return None

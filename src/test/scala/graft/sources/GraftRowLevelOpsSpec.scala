@@ -34,6 +34,26 @@ class GraftRowLevelOpsSpec extends SparkSpec {
       s"USING `graft-manifest` OPTIONS (path '$root')")
   }
 
+  private def graftScans(df: DataFrame): Seq[GraftManifestScan] = {
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[GraftManifestScan] = {
+      val here = p match {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.scan.isInstanceOf[GraftManifestScan] =>
+          Seq(b.scan.asInstanceOf[GraftManifestScan])
+        case _ => Nil
+      }
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case other => other.children
+      }
+      here ++ kids.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
   private def liveFiles(root: String): Set[String] = {
     val v = ManifestTable.currentVersion(spark, root)
     ManifestTable.readManifest(spark, root, v)._1.toSet
@@ -205,6 +225,78 @@ class GraftRowLevelOpsSpec extends SparkSpec {
       assert(spark.read.format("graft-manifest")
         .option("versionAsOf", "3").load(root).count() == 100L)
     } finally spark.sql("DROP TABLE IF EXISTS graft_sql_trunc_t")
+  }
+
+  test("multi-column partitioning: PARTITIONED BY (d, source) nests directories; both levels prune; COW verbs preserve the layout; Scala rewrite verbs refuse") {
+    val root = tmpDir("graft_multipart") + "/t"
+    spark.sql("DROP TABLE IF EXISTS graft_mp_t")
+    spark.sql("CREATE TABLE graft_mp_t (k BIGINT, v STRING, d STRING, " +
+      "source STRING) USING `graft-manifest` " +
+      s"OPTIONS (path '$root', statsColumns 'k') " +
+      "PARTITIONED BY (d, source)")
+    try {
+      val rows = for {
+        d <- Seq("2024-01-01", "2024-01-02")
+        s <- Seq("web", "api")
+        i <- 0 until 5
+      } yield (s"($d$s$i)".hashCode.toLong.abs % 1000000,
+        s"v$d$s$i", d, s)
+      rows.toDF("k", "v", "d", "source").createOrReplaceTempView("graft_mp_src")
+      spark.sql("INSERT INTO graft_mp_t SELECT * FROM graft_mp_src")
+      // nested directories on disk
+      assert(new java.io.File(s"$root/d=2024-01-01/source=web").isDirectory,
+        "expected nested d=<v>/source=<v> layout")
+      // full read round-trips both partition columns
+      val all = spark.sql("SELECT k, v, d, source FROM graft_mp_t").collect()
+      assert(all.length == 20)
+      assert(all.map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet == rows.toSet)
+      // TWO-LEVEL directory pruning: a filter on both levels keeps one
+      // leaf's file(s) of 4 (d, source) combinations
+      val q = spark.sql("SELECT k FROM graft_mp_t " +
+        "WHERE d = '2024-01-02' AND source = 'api'")
+      assert(q.count() == 5)
+      val scan = graftScans(q).head
+      assert(scan.chosenFiles.nonEmpty &&
+        scan.chosenFiles.forall(_.startsWith("d=2024-01-02/source=api/")),
+        s"two-level pruning failed: ${scan.chosenFiles}")
+      // one level alone prunes too
+      val q1 = spark.sql("SELECT k FROM graft_mp_t WHERE source = 'web'")
+      assert(q1.count() == 10)
+      assert(graftScans(q1).head.chosenFiles
+        .forall(_.contains("/source=web/")))
+      // zone maps still prune within the layout
+      val someK = rows.head._1
+      val qk = spark.sql(s"SELECT v FROM graft_mp_t WHERE k = $someK")
+      assert(qk.count() >= 1)
+      // _file provenance carries the full nested path
+      val fs = spark.sql("SELECT DISTINCT _file FROM graft_mp_t").collect()
+        .map(_.getString(0))
+      assert(fs.forall(f => f.matches("d=[^/]+/source=[^/]+/.+\\.parquet")),
+        s"bad _file shapes: ${fs.take(3).mkString(", ")}")
+      // COW UPDATE preserves the nested layout
+      spark.sql("UPDATE graft_mp_t SET v = 'redacted' " +
+        "WHERE d = '2024-01-01' AND source = 'web'")
+      val after = spark.sql(
+        "SELECT v, d, source FROM graft_mp_t").collect()
+      assert(after.count(r => r.getString(0) == "redacted") == 5)
+      assert(new java.io.File(s"$root/d=2024-01-01/source=web")
+        .listFiles().exists(_.getName.endsWith(".parquet")),
+        "COW rewrite lost the nested layout")
+      // the Scala rewrite verbs refuse multi-level tables loudly
+      val ex = intercept[IllegalArgumentException] {
+        ManifestTable.deleteRows(spark, root, Seq(1L).toDF("k"), "k")
+      }
+      assert(ex.getMessage.contains("single-level"))
+      val ex2 = intercept[IllegalArgumentException] {
+        ManifestTable.optimize(spark, root)
+      }
+      assert(ex2.getMessage.contains("single-level"))
+      // SQL DELETE on a multi-level table takes the COW road and works
+      spark.sql(s"DELETE FROM graft_mp_t WHERE v = 'redacted'")
+      assert(spark.sql("SELECT count(*) FROM graft_mp_t").head.getLong(0)
+        == 15L)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_mp_t")
   }
 
   test("_file metadata column: provenance on both read shapes, hidden from SELECT *") {
