@@ -192,6 +192,9 @@ object Bench {
     if (selected.exists(_._1 == "u28_multipart"))
       try SparkEntry.u28TableDir(spark, sfDir)
       catch { case _: Throwable => () }
+    if (selected.exists(_._1 == "u29_catalog_sql"))
+      try SparkEntry.u29Catalog(spark, sfDir)
+      catch { case _: Throwable => () }
     if (selected.exists(_._1 == "u26_sql_delete"))
       try SparkEntry.u26TableDir(spark, sfDir)
       catch { case _: Throwable => () }

@@ -840,6 +840,48 @@ object SparkEntry {
       root
     })
 
+  private val catalogTableMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** u29's artifact: the u21 lifecycle through the PERSISTENT V2
+    * TableCatalog (round 17 — [[graft.sources.GraftCatalog]]): the
+    * catalog registered by conf, a namespace + table created with plain
+    * DDL (no path anywhere — the catalog owns locations), four lineage
+    * INSERTs, then `CALL <cat>.system.optimize` folds the small files —
+    * the whole create/ingest/maintain lifecycle without one Scala verb.
+    * Returns "<catalogName> <tableDir>": the entry reads through
+    * the CATALOG name, the oracle dump needs the dir for nothing (values
+    * replay from the raw catalog).
+    */
+  def u29Catalog(s: SparkSession, dir: String): String = {
+    // deterministic per input dir: the CatalogManager caches the plugin
+    // instance by name, so the name must never be reused across roots
+    val cat = s"graft_u29_${Integer.toHexString(dir.hashCode)}"
+    catalogTableMemo.computeIfAbsent((s, dir), _ => {
+      val wh = graft.core.TempDirs.create("graft_u29_cat")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corpus")
+      s.sql(s"CREATE TABLE $cat.corpus.docs (doc_id BIGINT, lang STRING, " +
+        "n_chars BIGINT, part STRING) USING `graft-manifest` " +
+        "OPTIONS (statsColumns 'doc_id') PARTITIONED BY (part)")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          concat(lit("b"), pmod(col("doc_id"), lit(4))).as("part"))
+        .createOrReplaceTempView("graft_u29_src")
+      try {
+        for (b <- 0 until 4)
+          s.sql(s"INSERT INTO $cat.corpus.docs " +
+            s"SELECT * FROM graft_u29_src WHERE doc_id % 4 = $b")
+        s.sql(s"CALL $cat.system.optimize(`table` => 'corpus.docs')")
+          .collect()
+      } finally s.catalog.dropTempView("graft_u29_src")
+      wh
+    })
+    cat
+  }
+
   private val sqlDeleteTableMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
@@ -1260,6 +1302,8 @@ object SparkEntry {
       "st24_native_sink",
       // u28 reads the multi-partitioned DDL table (u28TableDir)
       "u28_multipart",
+      // u29 reads the catalog-owned optimized table (u29Catalog)
+      "u29_catalog_sql",
       // u16 reads the post-takedown bloom-indexed snapshot (u16TableDir)
       "u16_bloom_takedown",
       // u18 reads the purged+masked deferred-takedown snapshot (u18TableDir)
@@ -1300,7 +1344,8 @@ object SparkEntry {
       bloomTableMemo, cdcReplicaMemo, dvTableMemo,
       dsv2WriteTableMemo, dsv2DdlTableMemo, streamTailMemo,
       streamedTakedownMemo, sqlDeleteTableMemo, sqlMergeTableMemo,
-      nativeSinkTableMemo, multiPartTableMemo).foreach { m =>
+      nativeSinkTableMemo, multiPartTableMemo, catalogTableMemo)
+      .foreach { m =>
       m.keySet.asScala.filter(_._1 eq s).toList
         .foreach(k => Option(m.remove(k)).foreach(graft.core.TempDirs.drop))
     }
@@ -2470,6 +2515,12 @@ object SparkEntry {
       s.read.format("graft-manifest").load(st24TableDir(s, dir))
         .select("user_id", "ts_micros", "event_id", "event_type",
           "value_milli")),
+    // u29: the catalog-owned table read through its PERSISTENT catalog
+    // name — created, filled and optimized purely in SQL (u29Catalog)
+    "u29_catalog_sql" -> ((s, dir) => {
+      val cat = u29Catalog(s, dir)
+      s.sql(s"SELECT doc_id, lang, n_chars, part FROM $cat.corpus.docs")
+    }),
     // u28: a two-level-filtered read of the (lang, source)-partitioned
     // table — both directory levels prune before any file opens
     "u28_multipart" -> ((s, dir) =>
@@ -3288,6 +3339,11 @@ object SparkEntry {
     // batches
     "u14_partition_ttl" ->
       "SELECT doc_id, lang FROM documents WHERE doc_id % 4 IN (2, 3)",
+    // u29: the catalog lifecycle's content is the whole corpus under
+    // doc_id%4 lineage partitions (optimize folds files, never values)
+    "u29_catalog_sql" ->
+      ("SELECT doc_id, lang, n_chars, " +
+        "concat('b', CAST(doc_id % 4 AS VARCHAR)) AS part FROM documents"),
     // u28: the two-level-pruned read replayed statically
     "u28_multipart" ->
       ("SELECT doc_id, n_chars, lang, source FROM documents " +

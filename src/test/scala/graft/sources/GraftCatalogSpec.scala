@@ -1,0 +1,117 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.core.ManifestTable
+import org.apache.spark.sql.functions._
+
+/** The persistent V2 TableCatalog (`spark.sql.catalog.<name> =
+  * graft.sources.GraftCatalog`): the filesystem IS the metadata store —
+  * tables and namespaces survive sessions with no re-declaration — and
+  * the `system` procedures put OPTIMIZE/VACUUM/RESTORE/fsck behind SQL
+  * CALL.
+  */
+class GraftCatalogSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val warehouse = tmpDir("graft_catalog_wh")
+
+  private def register(name: String): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", warehouse)
+  }
+
+  test("catalog lifecycle: namespaces, CREATE/INSERT/SELECT, time travel, rename, drop — and persistence across catalog instances") {
+    register("graft_c1")
+    spark.sql("CREATE NAMESPACE graft_c1.ops")
+    assert(spark.sql("SHOW NAMESPACES IN graft_c1").collect()
+      .map(_.getString(0)).contains("ops"))
+    spark.sql("CREATE TABLE graft_c1.ops.docs (k BIGINT, s STRING, " +
+      "part STRING) USING `graft-manifest` " +
+      "OPTIONS (statsColumns 'k') PARTITIONED BY (part)")
+    assert(spark.sql("SHOW TABLES IN graft_c1.ops").collect()
+      .map(_.getString(1)).contains("docs"))
+    // declared, not committed: empty
+    assert(spark.sql("SELECT * FROM graft_c1.ops.docs").isEmpty)
+    spark.sql("INSERT INTO graft_c1.ops.docs VALUES " +
+      "(1, 'a', 'b0'), (2, 'b', 'b0'), (103, 'c', 'b1')")
+    spark.sql("INSERT INTO graft_c1.ops.docs VALUES (204, 'd', 'b2')")
+    assert(spark.sql("SELECT count(*) FROM graft_c1.ops.docs")
+      .head.getLong(0) == 4L)
+    // declared zone maps registered: range filter answers correctly
+    assert(spark.sql(
+      "SELECT k FROM graft_c1.ops.docs WHERE k BETWEEN 100 AND 110")
+      .collect().map(_.getLong(0)).toSeq == Seq(103L))
+    // VERSION AS OF plans through the catalog
+    assert(spark.sql("SELECT count(*) FROM graft_c1.ops.docs VERSION AS OF 0")
+      .head.getLong(0) == 3L)
+    // PERSISTENCE: a second catalog instance over the same root sees the
+    // table purely from the filesystem (no session-local registry)
+    register("graft_c2")
+    assert(spark.sql("SELECT count(*) FROM graft_c2.ops.docs")
+      .head.getLong(0) == 4L)
+    // row-level SQL verbs work through the catalog identity
+    spark.sql("DELETE FROM graft_c1.ops.docs WHERE k IN (2)")
+    assert(spark.sql("SELECT count(*) FROM graft_c1.ops.docs")
+      .head.getLong(0) == 3L)
+    // rename + drop
+    spark.sql("ALTER TABLE graft_c1.ops.docs RENAME TO ops.docs2")
+    assert(spark.sql("SELECT count(*) FROM graft_c1.ops.docs2")
+      .head.getLong(0) == 3L)
+    intercept[Exception] { spark.sql("SELECT * FROM graft_c1.ops.docs") }
+    // ALTER TABLE schema changes refuse (additive-evolution contract)
+    val ex = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_c1.ops.docs2 ADD COLUMN z BIGINT")
+    }
+    assert(ex.getMessage.contains("additive") ||
+      ex.getMessage.contains("not supported"), ex.getMessage)
+    spark.sql("DROP TABLE graft_c1.ops.docs2")
+    assert(spark.sql("SHOW TABLES IN graft_c1.ops").isEmpty)
+    spark.sql("DROP NAMESPACE graft_c1.ops")
+  }
+
+  test("CALL graft.system.{optimize, vacuum, fsck, restore}: the maintenance verbs behind SQL, stats as result rows") {
+    register("graft_c3")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_c3.maint")
+    spark.sql("CREATE TABLE graft_c3.maint.t (k BIGINT, part STRING) " +
+      "USING `graft-manifest` PARTITIONED BY (part)")
+    // several small commits -> small files for optimize to fold
+    for (b <- 0 until 3)
+      spark.sql(s"INSERT INTO graft_c3.maint.t VALUES ($b, 'p0'), " +
+        s"(${100 + b}, 'p1')")
+    val opt = spark.sql(
+      "CALL graft_c3.system.optimize(`table` => 'maint.t')").collect()
+    assert(opt.nonEmpty && opt.forall(_.getInt(1) == 3),
+      s"expected 3 input files per partition: ${opt.mkString(", ")}")
+    assert(spark.sql("SELECT count(*) FROM graft_c3.maint.t")
+      .head.getLong(0) == 6L)
+    // fsck: clean table
+    val fsck = spark.sql(
+      "CALL graft_c3.system.fsck(`table` => 'maint.t')").head
+    assert(fsck.getBoolean(2), s"fsck not ok: $fsck")
+    // restore to the pre-optimize version (3 = last insert), then vacuum
+    val rest = spark.sql(
+      "CALL graft_c3.system.restore(`table` => 'maint.t', version => 2)")
+      .head
+    assert(rest.getLong(0) > 2L) // restore commits a NEW version
+    assert(spark.sql("SELECT count(*) FROM graft_c3.maint.t")
+      .head.getLong(0) == 6L)
+    val vac = spark.sql(
+      "CALL graft_c3.system.vacuum(`table` => 'maint.t', " +
+        "keep_versions => 1)").head
+    assert(vac.getLong(0) >= 1L,
+      s"vacuum should reclaim the folded small files, deleted ${vac.getLong(0)}")
+    assert(spark.sql("SELECT count(*) FROM graft_c3.maint.t")
+      .head.getLong(0) == 6L)
+    // unknown procedure refuses with the available list
+    val ex = intercept[Exception] {
+      spark.sql("CALL graft_c3.system.nonsense(`table` => 'maint.t')")
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(ex).exists(m => m.contains("system.optimize") ||
+      m.contains("FAILED_TO_LOAD_ROUTINE")), chain(ex).mkString(" | "))
+    spark.sql("DROP TABLE graft_c3.maint.t")
+  }
+}
