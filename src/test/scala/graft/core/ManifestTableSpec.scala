@@ -1691,9 +1691,50 @@ class ManifestTableSpec extends SparkSpec {
       assert(ManifestTable.read(spark, b).get
         .filter(col("k").isin(12L, 160L)).isEmpty,
         "the shuffle-twin purge left masked rows")
+      // the join twin is a BUCKET-EXPLODED EQUI-JOIN (round 17): no
+      // CartesianProduct / BroadcastNestedLoopJoin at ANY key count —
+      // the old crossJoin re-read the whole sidecar once per key
+      // partition in exactly the backfill regime this twin serves
+      def noCartesian(df: org.apache.spark.sql.DataFrame, clue: String): Unit = {
+        df.collect()
+        def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+          val here = p match {
+            case _: org.apache.spark.sql.execution.joins.CartesianProductExec =>
+              Seq("CartesianProduct")
+            case _: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+              Seq("BroadcastNestedLoopJoin")
+            case _ => Nil
+          }
+          val kids = p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              Seq(a.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              Seq(q.plan)
+            case other => other.children
+          }
+          here ++ kids.flatMap(walk)
+        }
+        val bad = walk(df.queryExecution.executedPlan)
+        assert(bad.isEmpty,
+          s"$clue: all-pairs operator in the probe plan: ${bad.mkString(", ")}")
+      }
+      noCartesian(ManifestTable.bloomProbePlanForSpec(spark, b, "k",
+        Seq(6L, 74L, 142L).toDF("k")), "shuffle twin (limits zeroed)")
     } finally {
       spark.conf.unset("spark.graft.manifest.keyBroadcastLimit")
       spark.conf.unset("spark.graft.manifest.bloomLiteralLimit")
+    }
+    // broadcast regime too: the bucketed key frame hash-joins, never BNLJ
+    {
+      def noCartesian2(df: org.apache.spark.sql.DataFrame): Unit = {
+        df.collect()
+        val s = df.queryExecution.executedPlan.toString
+        assert(!s.contains("CartesianProduct") &&
+          !s.contains("BroadcastNestedLoopJoin"),
+          s"broadcast twin planned an all-pairs operator:\n$s")
+      }
+      noCartesian2(ManifestTable.bloomProbePlanForSpec(spark, b, "k",
+        Seq(6L, 74L, 142L).toDF("k")))
     }
   }
 
