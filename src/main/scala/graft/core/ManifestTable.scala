@@ -108,6 +108,29 @@ object ManifestTable {
           "INTO), which preserve the layout")
     }
 
+  /** Every data file under the root's partition directories at ANY
+    * depth (round 17 — multi-level layouts nest `a=x/b=y/`), as
+    * (manifest-relative path, status): the shared walker behind
+    * [[vacuum]]'s sweep and [[fsck]]'s orphan report, so nested-layout
+    * debris is reclaimed and reported exactly like single-level.
+    */
+  private def walkPartitionFiles(
+      f: FileSystem, rootPath: Path)
+      : Seq[(String, org.apache.hadoop.fs.FileStatus)] = {
+    def walk(dir: Path, prefix: String)
+        : Seq[(String, org.apache.hadoop.fs.FileStatus)] =
+      f.listStatus(dir).toSeq.flatMap { s =>
+        if (s.isDirectory && s.getPath.getName.contains("="))
+          walk(s.getPath, s"$prefix${s.getPath.getName}/")
+        else if (s.isFile) Seq((s"$prefix${s.getPath.getName}", s))
+        else Nil
+      }
+    if (!f.exists(rootPath)) Nil
+    else f.listStatus(rootPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .flatMap(s => walk(s.getPath, s.getPath.getName + "/"))
+  }
+
   private def manifestDir(root: String) = new Path(root, "_manifest")
 
   /** Latest committed version under `root`, or -1 if never committed. */
@@ -2944,14 +2967,10 @@ object ManifestTable {
       }
     }.toSet
     val orphans = scala.collection.mutable.ListBuffer[String]()
-    if (f.exists(rootPath))
-      for (partDir <- f.listStatus(rootPath)
-           if partDir.isDirectory && partDir.getPath.getName.contains("="))
-        for (df0 <- f.listStatus(partDir.getPath)
-             if df0.isFile && df0.getPath.getName.endsWith(".parquet")) {
-          val rel = s"${partDir.getPath.getName}/${df0.getPath.getName}"
-          if (!retained.contains(rel)) orphans += rel
-        }
+    for ((rel, df0) <- walkPartitionFiles(f, rootPath)
+         if df0.getPath.getName.endsWith(".parquet") &&
+           !retained.contains(rel))
+      orphans += rel
     val statViol = scala.collection.mutable.ListBuffer[String]()
     // recorded file meta must match the physical file exactly — a drifted
     // byte length or row count would corrupt scan planning (bin packing,
@@ -3054,15 +3073,9 @@ object ManifestTable {
       retainedVersions.flatMap(rv => readManifest(spark, root, rv)._1).toSet
     val cutoff = System.currentTimeMillis() - graceMs
     var deleted = 0L
-    for (partDir <- f.listStatus(rootPath)
-         if partDir.isDirectory && partDir.getPath.getName.contains("=")) {
-      val partName = partDir.getPath.getName
-      for (df0 <- f.listStatus(partDir.getPath) if df0.isFile) {
-        val rel = s"$partName/${df0.getPath.getName}"
-        if (!live.contains(rel) && df0.getModificationTime <= cutoff) {
-          f.delete(df0.getPath, false); deleted += 1
-        }
-      }
+    for ((rel, df0) <- walkPartitionFiles(f, rootPath)
+         if !live.contains(rel) && df0.getModificationTime <= cutoff) {
+      f.delete(df0.getPath, false); deleted += 1
     }
     // crashed-commit staging debris: `_stage-v<N>` survives only if the
     // writer died between its parquet write and the post-move cleanup —

@@ -296,6 +296,16 @@ class GraftRowLevelOpsSpec extends SparkSpec {
       spark.sql(s"DELETE FROM graft_mp_t WHERE v = 'redacted'")
       assert(spark.sql("SELECT count(*) FROM graft_mp_t").head.getLong(0)
         == 15L)
+      // fsck reports nested-layout state; vacuum reclaims the superseded
+      // nested files (round 17: the sweep walks partition dirs at any
+      // depth — a first-level-only listing would strand them forever)
+      assert(ManifestTable.fsck(spark, root).ok)
+      assert(ManifestTable.vacuum(spark, root, keepVersions = 1) >= 1L,
+        "vacuum must reclaim the superseded nested files (a first-level-" +
+          "only sweep would strand them forever)")
+      assert(ManifestTable.fsck(spark, root).orphanDataFiles.isEmpty)
+      assert(spark.sql("SELECT count(*) FROM graft_mp_t").head.getLong(0)
+        == 15L)
     } finally spark.sql("DROP TABLE IF EXISTS graft_mp_t")
   }
 
