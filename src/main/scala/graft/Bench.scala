@@ -195,6 +195,9 @@ object Bench {
     if (selected.exists(_._1 == "u29_catalog_sql"))
       try SparkEntry.u29Catalog(spark, sfDir)
       catch { case _: Throwable => () }
+    if (selected.exists(_._1 == "u30_sql_update"))
+      try SparkEntry.u30TableDir(spark, sfDir)
+      catch { case _: Throwable => () }
     if (selected.exists(_._1 == "u26_sql_delete"))
       try SparkEntry.u26TableDir(spark, sfDir)
       catch { case _: Throwable => () }

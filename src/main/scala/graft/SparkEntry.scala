@@ -812,6 +812,37 @@ object SparkEntry {
       root
     })
 
+  private val sqlUpdateTableMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** u30's artifact: an in-place SQL UPDATE (round 17 — the third
+    * row-level verb): the documents catalog seeded in four lineage
+    * batches with doc_id zone maps, then
+    * `UPDATE t SET lang = 'redacted' WHERE doc_id % 10 = 7` runs the
+    * group-based copy-on-write rewrite — candidate files bounded by the
+    * scan's pushdown, matched rows rewritten in place, unmatched rows
+    * carried byte-identically, one atomic file swap. The gated read is
+    * the post-update snapshot.
+    */
+  def u30TableDir(s: SparkSession, dir: String): String =
+    sqlUpdateTableMemo.computeIfAbsent((s, dir), _ => {
+      val root = graft.core.TempDirs.create("graft_u30_sqlupd") + "/t"
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      for (b <- 0 until 4)
+        graft.core.ManifestTable.commit(s, root,
+          docs.filter(col("doc_id") % 4 === b)
+            .withColumn("part", lit(s"b$b")), "part", batchId = b.toLong,
+          statsCol = Some("doc_id"))
+      s.sql("DROP TABLE IF EXISTS graft_u30_stage")
+      s.sql("CREATE TABLE graft_u30_stage (doc_id BIGINT, lang STRING, " +
+        "n_chars BIGINT, part STRING) " +
+        s"USING `graft-manifest` OPTIONS (path '$root')")
+      try s.sql(
+        "UPDATE graft_u30_stage SET lang = 'redacted' WHERE doc_id % 10 = 7")
+      finally s.sql("DROP TABLE IF EXISTS graft_u30_stage")
+      root
+    })
+
   private val multiPartTableMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
@@ -918,8 +949,11 @@ object SparkEntry {
         "source STRING, n_chars BIGINT, bucket INT) " +
         s"USING `graft-manifest` OPTIONS (path '$root')")
       try {
-        s.sql("DELETE FROM graft_u26_stage WHERE doc_id IN (" +
-          keys.mkString(", ") + ")")
+        // `IN ()` is a parse error — an empty takedown list (possible at
+        // tiny scale factors) is simply no delete
+        if (keys.nonEmpty)
+          s.sql("DELETE FROM graft_u26_stage WHERE doc_id IN (" +
+            keys.mkString(", ") + ")")
         s.sql("DELETE FROM graft_u26_stage WHERE doc_id % 89 = 7")
       } finally s.sql("DROP TABLE IF EXISTS graft_u26_stage")
       root
@@ -1304,6 +1338,8 @@ object SparkEntry {
       "u28_multipart",
       // u29 reads the catalog-owned optimized table (u29Catalog)
       "u29_catalog_sql",
+      // u30 reads the post-UPDATE snapshot (u30TableDir)
+      "u30_sql_update",
       // u16 reads the post-takedown bloom-indexed snapshot (u16TableDir)
       "u16_bloom_takedown",
       // u18 reads the purged+masked deferred-takedown snapshot (u18TableDir)
@@ -1344,8 +1380,8 @@ object SparkEntry {
       bloomTableMemo, cdcReplicaMemo, dvTableMemo,
       dsv2WriteTableMemo, dsv2DdlTableMemo, streamTailMemo,
       streamedTakedownMemo, sqlDeleteTableMemo, sqlMergeTableMemo,
-      nativeSinkTableMemo, multiPartTableMemo, catalogTableMemo)
-      .foreach { m =>
+      nativeSinkTableMemo, multiPartTableMemo, catalogTableMemo,
+      sqlUpdateTableMemo).foreach { m =>
       m.keySet.asScala.filter(_._1 eq s).toList
         .foreach(k => Option(m.remove(k)).foreach(graft.core.TempDirs.drop))
     }
@@ -2515,6 +2551,11 @@ object SparkEntry {
       s.read.format("graft-manifest").load(st24TableDir(s, dir))
         .select("user_id", "ts_micros", "event_id", "event_type",
           "value_milli")),
+    // u30: the in-place SQL UPDATE — matched rows rewritten, unmatched
+    // carried; the gated read is the post-update snapshot
+    "u30_sql_update" -> ((s, dir) =>
+      s.read.format("graft-manifest").load(u30TableDir(s, dir))
+        .select("doc_id", "lang", "n_chars")),
     // u29: the catalog-owned table read through its PERSISTENT catalog
     // name — created, filled and optimized purely in SQL (u29Catalog)
     "u29_catalog_sql" -> ((s, dir) => {
@@ -3339,6 +3380,10 @@ object SparkEntry {
     // batches
     "u14_partition_ttl" ->
       "SELECT doc_id, lang FROM documents WHERE doc_id % 4 IN (2, 3)",
+    // u30: the UPDATE replayed in SQL
+    "u30_sql_update" ->
+      ("SELECT doc_id, CASE WHEN doc_id % 10 = 7 THEN 'redacted' " +
+        "ELSE lang END AS lang, n_chars FROM documents"),
     // u29: the catalog lifecycle's content is the whole corpus under
     // doc_id%4 lineage partitions (optimize folds files, never values)
     "u29_catalog_sql" ->
