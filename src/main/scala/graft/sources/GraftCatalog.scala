@@ -194,11 +194,49 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       statsColumns)
   }
 
+  /** ADDITIVE schema evolution only — exactly the contract the format's
+    * writes already enforce: `ALTER TABLE ... ADD COLUMN c T` appends a
+    * NULLABLE top-level column to the declared schema (files written
+    * before it null-fill through the readers' missing-column path, so
+    * the column is readable immediately); every other change (drop,
+    * rename, retype, reposition, non-nullable add) refuses loudly — a
+    * column delete is a rewrite job, not a DDL statement.
+    */
   override def alterTable(
-      ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: ALTER TABLE is not supported — the recorded schema " +
-        "evolves additively at write time (additive-evolution contract)")
+      ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val d = tableDir(ident)
+    val (schema0, parts, stats) = readDescriptor(d).getOrElse {
+      val t = loadTableAt(ident, None)
+      (t.schema(), t.partitionCols, t.declaredStatsColumns)
+    }
+    var schema = schema0
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          "graft catalog: only top-level columns can be added " +
+            s"(got ${add.fieldNames().mkString(".")})")
+        val cname = add.fieldNames()(0)
+        require(!schema.fieldNames.contains(cname),
+          s"column '$cname' already exists")
+        require(add.isNullable,
+          s"graft catalog: added column '$cname' must be nullable — " +
+            "files written before it null-fill (additive evolution)")
+        require(GraftManifestSource.SupportedTypes.contains(add.dataType()),
+          s"graft catalog: unsupported column type " +
+            s"${add.dataType().simpleString} for '$cname'")
+        require(add.position() == null,
+          "graft catalog: added columns append at the end (FIRST/AFTER " +
+            "would reorder the recorded layout)")
+        schema = schema.add(cname, add.dataType(), nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: ALTER TABLE change $other is not supported — " +
+          "only nullable ADD COLUMN (the additive-evolution contract); " +
+          "drops/renames/retypes are rewrite jobs")
+    }
+    writeDescriptor(d, schema, parts, stats)
+    new GraftManifestTable(d.toString, None, Some(schema), parts, stats)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     if (!tableExists(ident)) return false

@@ -376,7 +376,15 @@ class GraftManifestTable(
     partitionTypes(partitionCols.indexOf(c))
 
   private[sources] lazy val dataSchema: StructType = {
-    val s = state.schema.getOrElse(new StructType())
+    val rec = state.schema.getOrElse(new StructType())
+    // ADDITIVE declared extras (round 17 — ALTER TABLE ADD COLUMN): a
+    // catalog-declared column no file records yet reads as nulls through
+    // the missing-column path immediately; for columns BOTH sides know,
+    // the RECORDED shape stays authoritative (the u21 contract)
+    val extras = declaredSchema.map(_.fields.filterNot(f =>
+      rec.fieldNames.contains(f.name) || declaredPartCols.contains(f.name)))
+      .getOrElse(Array.empty[StructField])
+    val s = StructType(rec.fields.toSeq ++ extras)
     s.fields.foreach { f =>
       require(GraftManifestSource.SupportedTypes.contains(f.dataType),
         s"graft-manifest supports flat primitive schemas; column " +

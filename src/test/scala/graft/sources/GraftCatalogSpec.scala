@@ -60,15 +60,49 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM graft_c1.ops.docs2")
       .head.getLong(0) == 3L)
     intercept[Exception] { spark.sql("SELECT * FROM graft_c1.ops.docs") }
-    // ALTER TABLE schema changes refuse (additive-evolution contract)
+    // non-additive ALTER TABLE changes refuse (additive-evolution
+    // contract; nullable ADD COLUMN is supported — its own test)
     val ex = intercept[Exception] {
-      spark.sql("ALTER TABLE graft_c1.ops.docs2 ADD COLUMN z BIGINT")
+      spark.sql("ALTER TABLE graft_c1.ops.docs2 DROP COLUMN s")
     }
-    assert(ex.getMessage.contains("additive") ||
+    assert(ex.getMessage.contains("rewrite jobs") ||
       ex.getMessage.contains("not supported"), ex.getMessage)
     spark.sql("DROP TABLE graft_c1.ops.docs2")
     assert(spark.sql("SHOW TABLES IN graft_c1.ops").isEmpty)
     spark.sql("DROP NAMESPACE graft_c1.ops")
+  }
+
+  test("ALTER TABLE ADD COLUMN: additive evolution through DDL — old rows null-fill immediately, everything else refuses") {
+    register("graft_c4")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_c4.eva")
+    spark.sql("CREATE TABLE graft_c4.eva.t (k BIGINT, part STRING) " +
+      "USING `graft-manifest` PARTITIONED BY (part)")
+    spark.sql("INSERT INTO graft_c4.eva.t VALUES (1, 'p0'), (2, 'p1')")
+    spark.sql("ALTER TABLE graft_c4.eva.t ADD COLUMN z BIGINT")
+    // the new column is readable IMMEDIATELY: old files null-fill
+    val before = spark.sql("SELECT k, z FROM graft_c4.eva.t").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    assert(before.toSet == Set((1L, None), (2L, None)))
+    // new writes record it; old rows stay null (by-name insert: the
+    // evolved table's positional order is recorded ++ extras ++ parts)
+    spark.sql("INSERT INTO graft_c4.eva.t (k, part, z) VALUES (3, 'p0', 30)")
+    val after = spark.sql("SELECT k, z FROM graft_c4.eva.t").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toSet
+    assert(after == Set((1L, None), (2L, None), (3L, Some(30L))))
+    // the non-additive changes refuse loudly
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    for (stmt <- Seq(
+      "ALTER TABLE graft_c4.eva.t DROP COLUMN z",
+      "ALTER TABLE graft_c4.eva.t RENAME COLUMN z TO y",
+      "ALTER TABLE graft_c4.eva.t ADD COLUMN w BIGINT NOT NULL")) {
+      val ex = intercept[Exception] { spark.sql(stmt) }
+      assert(chain(ex).exists(m => m.contains("additive") ||
+        m.contains("nullable") || m.contains("rewrite jobs") ||
+        m.contains("not supported")), s"$stmt: ${chain(ex)}")
+    }
+    spark.sql("DROP TABLE graft_c4.eva.t")
   }
 
   test("CALL graft.system.{optimize, vacuum, fsck, restore}: the maintenance verbs behind SQL, stats as result rows") {
