@@ -139,7 +139,8 @@ object Bench {
     // the post-takedown manifest snapshot / tombstoned postings index:
     // u9 times the snapshot read, d16 the masked search — commit + delete
     // are ingest-time artifacts
-    if (selected.exists(n => n._1 == "u9_takedown" || n._1 == "u19_dsv2_sql"))
+    if (selected.exists(n => n._1 == "u9_takedown" ||
+        n._1 == "u19_dsv2_sql" || n._1 == "u32_cdf_read"))
       try SparkEntry.u9TableDir(spark, sfDir)
       catch { case _: Throwable => () }
     if (selected.exists(_._1 == "u20_dsv2_write"))

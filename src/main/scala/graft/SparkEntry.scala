@@ -1340,6 +1340,8 @@ object SparkEntry {
       "u29_catalog_sql",
       // u30 reads the post-UPDATE snapshot (u30TableDir)
       "u30_sql_update",
+      // u32 replays the u9 artifact's version history as a change feed
+      "u32_cdf_read",
       // u16 reads the post-takedown bloom-indexed snapshot (u16TableDir)
       "u16_bloom_takedown",
       // u18 reads the purged+masked deferred-takedown snapshot (u18TableDir)
@@ -2551,6 +2553,19 @@ object SparkEntry {
       s.read.format("graft-manifest").load(st24TableDir(s, dir))
         .select("user_id", "ts_micros", "event_id", "event_type",
           "value_milli")),
+    // u32: the CHANGE-DATA-FEED read — the u9 table's whole version
+    // history (appends + the takedown rewrite) consumed as
+    // (_change_type, _commit_version)-stamped rows; the gated value is
+    // the snapshot RECONSTRUCTED from the feed (inserts EXCEPT ALL
+    // deletes), which must equal the table — u9's own oracle
+    "u32_cdf_read" -> ((s, dir) => {
+      val cdf = s.read.format("graft-manifest")
+        .option("readChangeFeed", "true").load(u9TableDir(s, dir))
+      val data = Seq("doc_id", "lang", "source", "n_chars").map(col)
+      cdf.filter(col("_change_type") === "insert").select(data: _*)
+        .exceptAll(
+          cdf.filter(col("_change_type") === "delete").select(data: _*))
+    }),
     // u30: the in-place SQL UPDATE — matched rows rewritten, unmatched
     // carried; the gated read is the post-update snapshot
     "u30_sql_update" -> ((s, dir) =>
@@ -3380,6 +3395,10 @@ object SparkEntry {
     // batches
     "u14_partition_ttl" ->
       "SELECT doc_id, lang FROM documents WHERE doc_id % 4 IN (2, 3)",
+    // u32: the feed-reconstructed snapshot is u9's
+    "u32_cdf_read" ->
+      ("SELECT doc_id, lang, source, n_chars FROM documents " +
+        "WHERE doc_id % 97 <> 3"),
     // u30: the UPDATE replayed in SQL
     "u30_sql_update" ->
       ("SELECT doc_id, CASE WHEN doc_id % 10 = 7 THEN 'redacted' " +

@@ -109,11 +109,22 @@ object GraftManifestSource {
   private[sources] def tableOf(
       options: CaseInsensitiveStringMap,
       declaredSchema: Option[StructType] = None,
-      declaredParts: Seq[String] = Nil): GraftManifestTable = {
+      declaredParts: Seq[String] = Nil): Table = {
     val p = options.get("path")
     require(p != null && p.nonEmpty,
       "graft-manifest needs a table root: spark.read.format(\"graft-manifest\").load(root)")
     val versionAsOf = Option(options.get("versionAsOf")).map(_.toLong)
+    if (options.getBoolean("readChangeFeed", false)) {
+      // the CDF read is its own table shape (extra _change_type /
+      // _commit_version columns); snapshot addressing stays with the
+      // plain read
+      require(versionAsOf.isEmpty,
+        "readChangeFeed: versionAsOf addresses one snapshot — a change " +
+          "feed spans versions; use startingVersion/endingVersion")
+      return new GraftChangeFeedTable(p,
+        Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),
+        Option(options.get("endingVersion")).map(_.toLong))
+    }
     val optParts =
       Option(options.get("partitionCols")).toSeq
         .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)) ++

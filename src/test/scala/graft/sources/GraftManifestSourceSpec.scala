@@ -820,6 +820,54 @@ class GraftManifestSourceSpec extends SparkSpec {
         "object store)")
   }
 
+  test("readChangeFeed: per-version insert/delete rows; windows select; the feed reconstructs any snapshot; refusal combos") {
+    val root = tmpDir("graft_dsv2_cdf") + "/t"
+    for (b <- 0 until 3)
+      ManifestTable.commit(spark, root,
+        (0 until 10).map(i => (100L * b + i, s"b$b")).toDF("k", "part"),
+        "part", batchId = b.toLong, statsCol = Some("k"))
+    // v3: a takedown REWRITE of partition b1 (removes its file, adds the
+    // survivor file)
+    ManifestTable.deleteRows(spark, root,
+      Seq(103L, 107L).toDF("k"), "k")
+    def feed(opts: (String, String)*): DataFrame = {
+      val r0 = spark.read.format("graft-manifest")
+        .option("readChangeFeed", "true")
+      opts.foldLeft(r0) { case (r, (k, v)) => r.option(k, v) }.load(root)
+    }
+    val all = feed().select("k", "part", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    // per-version granularity: v0/v1/v2 = 10 inserts each; v3 = 10
+    // deletes (b1's old file) + 8 inserts (the survivors)
+    assert(all.count(x => x._3 == "insert" && x._4 == 1L) == 10)
+    assert(all.count(x => x._3 == "delete" && x._4 == 3L) == 10)
+    assert(all.count(x => x._3 == "insert" && x._4 == 3L) == 8)
+    assert(all.count(_._3 == "delete") == 10)
+    assert(all.length == 48)
+    // a window selects only its versions (startingVersion inclusive)
+    val w = feed("startingVersion" -> "2", "endingVersion" -> "2")
+      .select("_commit_version").collect().map(_.getLong(0))
+    assert(w.length == 10 && w.forall(_ == 2L))
+    // the feed reconstructs the snapshot: inserts EXCEPT ALL deletes
+    val f = feed()
+    val ins = f.filter(col("_change_type") === "insert").select("k", "part")
+    val del = f.filter(col("_change_type") === "delete").select("k", "part")
+    val rebuilt = ins.exceptAll(del)
+    val snap = ManifestTable.read(spark, root).get.select("k", "part")
+    assert(rebuilt.exceptAll(snap).isEmpty && snap.exceptAll(rebuilt).isEmpty,
+      "the feed-reconstructed state diverged from the snapshot")
+    // column pruning through the wrapper (cdf columns alone)
+    assert(feed().select("_change_type").collect().length == 48)
+    // refusals: versionAsOf combo; inverted window
+    intercept[Exception] {
+      feed("versionAsOf" -> "1").collect()
+    }
+    intercept[Exception] {
+      feed("startingVersion" -> "3", "endingVersion" -> "1").collect()
+    }
+  }
+
   test("native streaming sink: epochs commit exactly-once under the fence; a replayed run no-ops; complete mode refuses") {
     val root = tmpDir("graft_dsv2_sink") + "/t"
     val srcDir = tmpDir("graft_dsv2_sink_src")
