@@ -52,7 +52,9 @@ import graft.core.ManifestTable
 class GraftChangeFeedTable(
     val root: String,
     startingVersion: Long,
-    endingVersionOpt: Option[Long]) extends Table with SupportsRead {
+    endingVersionOpt: Option[Long],
+    maxVersionsPerTrigger: Option[Long] = None)
+    extends Table with SupportsRead {
 
   private def spark = SparkSession.active
 
@@ -78,7 +80,8 @@ class GraftChangeFeedTable(
       StructField("_commit_version", LongType, nullable = false)))
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownRequiredColumns {
@@ -92,7 +95,8 @@ class GraftChangeFeedTable(
           s"readChangeFeed: startingVersion $startingVersion is beyond " +
             s"endingVersion $endVersion")
         new GraftCdfScan(GraftChangeFeedTable.this, required,
-          startingVersion, endVersion)
+          startingVersion, maxVersionsPerTrigger, endingVersionOpt,
+          endVersion)
       }
     }
 }
@@ -109,6 +113,8 @@ class GraftCdfScan(
     table: GraftChangeFeedTable,
     required: StructType,
     fromVersion: Long,
+    maxVersionsPerTrigger: Option[Long],
+    endingVersionOpt: Option[Long],
     toVersion: Long) extends Scan with Batch {
 
   private def spark = SparkSession.active
@@ -121,21 +127,62 @@ class GraftCdfScan(
     s"graft-manifest CHANGES root=${table.root} " +
       s"versions=[$fromVersion, $toVersion]"
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] =
+    GraftCdfScan.planVersionRange(
+      spark, table.root, fromVersion, toVersion)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftCdfReaderFactory(
+      table.root, required, table.inner.dataSchema,
+      table.inner.partitionCols.zip(table.inner.partitionTypes),
+      GraftManifestSource.confProps(spark))
+
+  /** STREAMING change feed (round 17 — the rewriting-table stream the
+    * plain tail refuses): `spark.readStream.format("graft-manifest")
+    * .option("readChangeFeed", "true").load(root)` tails EVERY version
+    * — appends AND rewrites — as (_change_type, _commit_version) rows,
+    * offsets = manifest versions, `maxVersionsPerTrigger` admission
+    * like the plain tail. This is the DSv2 face of
+    * [[graft.streaming.ChangeFeed]]'s consumers: a downstream state can
+    * apply each batch's net delta instead of re-reading the table.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(endingVersionOpt.isEmpty,
+      "readChangeFeed streaming: endingVersion pins a batch window — a " +
+        "stream tails versions; drop the option")
+    maxVersionsPerTrigger.foreach(k => require(k >= 1L,
+      s"readChangeFeed streaming: maxVersionsPerTrigger must be >= 1, got $k"))
+    new GraftCdfMicroBatchStream(
+      table.root, required, fromVersion, maxVersionsPerTrigger,
+      table.inner.dataSchema,
+      table.inner.partitionCols.zip(table.inner.partitionTypes),
+      GraftManifestSource.confProps(spark))
+  }
+}
+
+object GraftCdfScan {
+  /** The per-version insert/delete partitions of a version range
+    * (INCLUSIVE endpoints — the diff base is `fromVersion - 1`), shared
+    * by the batch scan and the streaming source.
+    */
+  private[sources] def planVersionRange(
+      spark: SparkSession, root: String,
+      fromVersion: Long, toVersion: Long): Array[InputPartition] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val out = scala.collection.mutable.ArrayBuffer[InputPartition]()
     var prevLines =
-      ManifestTable.versionLines(spark, table.root, fromVersion - 1)
+      ManifestTable.versionLines(spark, root, fromVersion - 1)
     var prevPaths = prevLines.map(_.split('|')(0)).toSet
     for (v <- fromVersion to toVersion) {
-      val lines = ManifestTable.versionLines(spark, table.root, v)
+      val lines = ManifestTable.versionLines(spark, root, v)
       val paths = lines.map(_.split('|')(0)).toSet
       // per-file byte lengths from whichever side's manifest names them
       val metaOf: Map[String, Long] = (lines ++ prevLines)
         .flatMap(l => ManifestTable.lineFileMeta(l)
           .map(m => l.split('|')(0) -> m._1)).toMap
       def lenOf(rel: String): Long = metaOf.getOrElse(rel, {
-        val p = new Path(table.root, rel)
+        val p = new Path(root, rel)
         p.getFileSystem(conf).getFileStatus(p).getLen
       })
       def pack(rels: Seq[String], changeType: String): Unit =
@@ -154,12 +201,68 @@ class GraftCdfScan(
     }
     out.toArray
   }
+}
+
+/** Version-offset streaming source over the change feed: each
+  * micro-batch serves the insert/delete rows of the versions it spans.
+  */
+class GraftCdfMicroBatchStream(
+    root: String,
+    required: StructType,
+    startingVersion: Long,
+    maxVersionsPerTrigger: Option[Long],
+    dataSchema: StructType,
+    partCols: Seq[(String, DataType)],
+    confProps: Array[(String, String)])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  private def spark = SparkSession.active
+
+  override def initialOffset(): Offset =
+    GraftStreamOffset(startingVersion - 1L)
+
+  override def latestOffset(): Offset =
+    GraftStreamOffset(ManifestTable.currentVersion(spark, root))
+
+  private var availableNowEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(ManifestTable.currentVersion(spark, root))
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val cur = availableNowEnd
+      .getOrElse(ManifestTable.currentVersion(spark, root))
+    val from = start.asInstanceOf[GraftStreamOffset].version
+    GraftStreamOffset(maxVersionsPerTrigger match {
+      case Some(k) => math.min(cur, from + k)
+      case None => cur
+    })
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def reportLatestOffset(): Offset = latestOffset()
+
+  override def deserializeOffset(json: String): Offset =
+    GraftStreamOffset(json.trim.toLong)
+
+  override def planInputPartitions(
+      start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[GraftStreamOffset].version
+    val to = end.asInstanceOf[GraftStreamOffset].version
+    if (to <= from) return Array.empty
+    GraftCdfScan.planVersionRange(spark, root, from + 1, to)
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftCdfReaderFactory(
-      table.root, required, table.inner.dataSchema,
-      table.inner.partitionCols.zip(table.inner.partitionTypes),
-      GraftManifestSource.confProps(spark))
+    new GraftCdfReaderFactory(root, required, dataSchema, partCols, confProps)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
 }
 
 class GraftCdfReaderFactory(

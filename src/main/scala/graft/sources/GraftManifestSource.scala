@@ -123,7 +123,8 @@ object GraftManifestSource {
           "feed spans versions; use startingVersion/endingVersion")
       return new GraftChangeFeedTable(p,
         Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),
-        Option(options.get("endingVersion")).map(_.toLong))
+        Option(options.get("endingVersion")).map(_.toLong),
+        Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
     }
     val optParts =
       Option(options.get("partitionCols")).toSeq

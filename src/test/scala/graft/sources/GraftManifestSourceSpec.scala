@@ -729,6 +729,43 @@ class GraftManifestSourceSpec extends SparkSpec {
         (r.getLong(0), r.getString(1), r.getString(2))).toSet
       assert(got2 == expect && shuffles(q2) > 0)
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    // COMPOSITE keys (round 17): two MULTI-LEVEL (d, g)-partitioned
+    // tables join shuffle-free on both levels under v2 bucketing
+    def mkMulti(name: String, n: Int): String = {
+      val root = tmpDir(name) + "/t"
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_t")
+      spark.sql(s"CREATE TABLE ${name}_t (k BIGINT, s STRING, d STRING, " +
+        s"g STRING) USING `graft-manifest` OPTIONS (path '$root') " +
+        "PARTITIONED BY (d, g)")
+      (0 until n).map(i => (i.toLong, s"v$i", s"d${i % 2}", s"g${i % 3}"))
+        .toDF("k", "s", "d", "g").createOrReplaceTempView(s"${name}_src")
+      spark.sql(s"INSERT INTO ${name}_t SELECT * FROM ${name}_src")
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_t")
+      spark.catalog.dropTempView(s"${name}_src")
+      root
+    }
+    val rma = mkMulti("graft_spjm_a", 36)
+    val rmb = mkMulti("graft_spjm_b", 24)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val qm = fmt(rma).select(col("d"), col("g"), col("k"), col("s").as("sa"))
+        .join(fmt(rmb).select(col("d"), col("g"), col("k"), col("s").as("sb")),
+          Seq("d", "g", "k"))
+        .select("k", "sa", "sb")
+      val gotM = qm.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(gotM == (0 until 24).map(i => (i.toLong, s"v$i", s"v$i")).toSet,
+        "composite SPJ join values diverged")
+      assert(shuffles(qm) == 0,
+        s"expected a shuffle-free composite-key storage-partitioned join:\n" +
+          qm.queryExecution.executedPlan)
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 
   test("a raw parquet read of the table root is refused by the sentinel; the format read is unaffected") {
@@ -866,6 +903,69 @@ class GraftManifestSourceSpec extends SparkSpec {
     intercept[Exception] {
       feed("startingVersion" -> "3", "endingVersion" -> "1").collect()
     }
+  }
+
+  test("streaming readChangeFeed: rewriting tables stream as insert/delete deltas; incremental catch-up; admission bound") {
+    val root = tmpDir("graft_dsv2_cdfs") + "/t"
+    for (b <- 0 until 3)
+      ManifestTable.commit(spark, root,
+        (0 until 10).map(i => (100L * b + i, s"b$b")).toDF("k", "part"),
+        "part", batchId = b.toLong)
+    ManifestTable.deleteRows(spark, root, Seq(103L, 107L).toDF("k"), "k")
+    val ckpt = tmpDir("graft_dsv2_cdfs_ckpt")
+    val sink = tmpDir("graft_dsv2_cdfs_sink")
+    // a RESUMABLE sink (parquet) — the second drain must catch up from
+    // the same checkpoint (memory sinks refuse recovery)
+    def drain(): Seq[(Long, String, Long)] = {
+      val q = spark.readStream.format("graft-manifest")
+        .option("readChangeFeed", "true")
+        .option("maxVersionsPerTrigger", "1")
+        .load(root)
+        .select("k", "_change_type", "_commit_version")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(sink).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    }
+    val first = drain()
+    // the whole history streamed — the REWRITE version included (the
+    // plain tail refuses it; the CDC stream is exactly for this)
+    assert(first.length == 48)
+    assert(first.count(_._2 == "delete") == 10)
+    assert(first.count(x => x._2 == "insert" && x._3 == 3L) == 8)
+    // one version per micro-batch under the admission bound: >= 4
+    // committed offsets for 4 versions
+    val nBatches = new java.io.File(ckpt, "offsets").listFiles()
+      .count(_.getName.matches("\\d+"))
+    assert(nBatches >= 4, s"4 versions under maxVersionsPerTrigger=1 " +
+      s"drained in $nBatches batches")
+    // incremental catch-up: a later commit streams ONLY its delta (the
+    // sink accumulates — the second drain adds exactly one row)
+    ManifestTable.commit(spark, root,
+      Seq((900L, "b9")).toDF("k", "part"), "part", batchId = 9L)
+    val second = drain()
+    assert(second.length == first.length + 1 &&
+      second.count(x => x._1 == 900L && x._2 == "insert") == 1,
+      s"catch-up streamed more than the delta: ${second.length} rows " +
+        s"vs first ${first.length}")
+    // endingVersion is a batch-window option — the stream refuses it
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graft-manifest")
+        .option("readChangeFeed", "true").option("endingVersion", "2")
+        .load(root)
+        .writeStream.format("noop")
+        .option("checkpointLocation", tmpDir("graft_dsv2_cdfs_bad"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(ex).exists(_.contains("endingVersion")), chain(ex))
   }
 
   test("native streaming sink: epochs commit exactly-once under the fence; a replayed run no-ops; complete mode refuses") {
