@@ -1677,6 +1677,11 @@ object ManifestTable {
     val v = currentVersion(spark, root)
     require(v >= 0, s"no committed version under $root")
     val st = readManifestLines(spark, root, v)
+    // the sidecar keys rows by the manifest-relative path, which the
+    // build derives as the LAST TWO path segments — only correct for
+    // single-level layouts (a nested a=1/b=2/file would key as
+    // "b=2/file", never matching a probe: sound-but-useless index)
+    requireSingleLevel(st, "buildBloomIndex")
     val live = st.lines.map(_.split('|')(0))
     val kf = recordedOrInferredSchema(spark, root, st)
       .flatMap(_.fields.find(_.name == keyCol)).getOrElse(
