@@ -96,6 +96,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private val Descriptor = "_graft-table.json"
 
+  /** Descriptors publish like manifests do: write a temp file, then
+    * rename into place — a crash mid-ALTER or a concurrent reader never
+    * sees a truncated descriptor (the atomic-publish discipline the
+    * catalog composes with).
+    */
   private def writeDescriptor(
       dir: Path, schema: StructType, partitionCols: Seq[String],
       statsColumns: Seq[String]): Unit = {
@@ -103,8 +108,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .encodeToString(schema.json.getBytes("UTF-8"))
     val body =
       s"""{"schemaB64":"$b64","partitionCols":"${partitionCols.mkString(",")}","statsColumns":"${statsColumns.mkString(",")}"}"""
-    val out = fs.create(new Path(dir, Descriptor), true)
+    val tmp = new Path(dir,
+      s".$Descriptor.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      tmp.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, new Path(dir, Descriptor),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def readDescriptor(
@@ -129,6 +140,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     Some((schema, list("partitionCols"), list("statsColumns")))
   }
 
+  /** [[readDescriptor]] that distinguishes "absent" from "present but
+    * unreadable" — a corrupt descriptor on a COMMITTED table falls back
+    * to manifest-authoritative loading instead of making the table
+    * unloadable; on a declared-only table it refuses loudly.
+    */
+  private def readDescriptorOrCorrupt(
+      dir: Path): Either[Throwable, Option[(StructType, Seq[String], Seq[String])]] =
+    try Right(readDescriptor(dir))
+    catch { case scala.util.control.NonFatal(e) => Left(e) }
+
   private def isTableDir(p: Path): Boolean =
     fs.exists(new Path(p, Descriptor)) || fs.exists(new Path(p, "_manifest"))
 
@@ -147,12 +168,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       ident: Identifier, version: Option[Long]): GraftManifestTable = {
     val d = tableDir(ident)
     if (!fs.exists(d)) throw new NoSuchTableException(ident)
-    readDescriptor(d) match {
-      case Some((schema, parts, stats)) =>
+    def manifestOnly = fs.exists(new Path(d, "_manifest"))
+    readDescriptorOrCorrupt(d) match {
+      case Right(Some((schema, parts, stats))) =>
         new GraftManifestTable(d.toString, version, Some(schema), parts, stats)
-      case None if fs.exists(new Path(d, "_manifest")) =>
+      case Right(None) if manifestOnly =>
         new GraftManifestTable(d.toString, version)
-      case None => throw new NoSuchTableException(ident)
+      case Right(None) => throw new NoSuchTableException(ident)
+      case Left(_) if manifestOnly =>
+        // corrupt descriptor, committed table: the manifest is the
+        // authority (the descriptor only adds declared-but-unwritten
+        // columns, which a corrupt file cannot be trusted to carry)
+        new GraftManifestTable(d.toString, version)
+      case Left(e) => throw e
     }
   }
 
@@ -206,9 +234,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val d = tableDir(ident)
-    val (schema0, parts, stats) = readDescriptor(d).getOrElse {
-      val t = loadTableAt(ident, None)
-      (t.schema(), t.partitionCols, t.declaredStatsColumns)
+    val (schema0, parts, stats) = readDescriptorOrCorrupt(d) match {
+      case Right(Some(triple)) => triple
+      case _ => // absent, or corrupt-with-manifest: self-heal from the
+        // manifest-authoritative load (Left without a manifest already
+        // threw inside loadTableAt's own road via tableExists)
+        val t = loadTableAt(ident, None)
+        (t.schema(), t.partitionCols, t.declaredStatsColumns)
     }
     var schema = schema0
     changes.foreach {

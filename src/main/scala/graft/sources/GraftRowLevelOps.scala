@@ -142,15 +142,21 @@ class GraftReplaceWrite(
       case m: GraftCommitMessage => m.files.toSeq.map {
         case (partName, p) => (partName, new Path(p))
       }
+      case null => Nil // a task Spark never launched commits nothing
       case other => throw new IllegalStateException(
         s"unexpected commit message $other")
     }
     val scan = op.configuredScan.getOrElse(throw new IllegalStateException(
       s"graft-manifest ${op.command()}: no scan was configured for this " +
         "row-level operation — cannot determine which files to replace"))
-    ManifestTable.replaceFiles(
-      spark, table.root, table.state.version, table.state.lines,
-      removedRels = scan.chosenFiles, staged = staged)
+    // a statement whose runtime group filter narrowed to zero files (and
+    // therefore wrote nothing) publishes nothing: the table is unchanged,
+    // and a no-op version would only churn vacuum retention
+    if (scan.chosenFiles.nonEmpty || staged.nonEmpty) {
+      ManifestTable.replaceFiles(
+        spark, table.root, table.state.version, table.state.lines,
+        removedRels = scan.chosenFiles, staged = staged)
+    }
     cleanupStaging()
   }
 
@@ -213,6 +219,13 @@ private[sources] object GraftDeleteMapping {
     val spark = SparkSession.active
     mapped match {
       case Truncate =>
+        // refusal parity with every other rewrite road: a pending
+        // deferred-delete mask must not silently survive the truncate —
+        // rows later re-inserted with masked keys would be hidden
+        require(!ManifestTable.hasPendingDv(spark, table.root),
+          s"deferred deletes pending under ${table.root} — a truncate " +
+            "would strand the mask and hide re-inserted keys; run " +
+            "optimize (the purge point) first")
         // full-table delete = the truncate publisher (same semantics as
         // mode("overwrite") with no rows; fence auto-bumps like any
         // overwrite)

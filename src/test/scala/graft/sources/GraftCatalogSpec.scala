@@ -148,4 +148,50 @@ class GraftCatalogSpec extends SparkSpec {
       m.contains("FAILED_TO_LOAD_ROUTINE")), chain(ex).mkString(" | "))
     spark.sql("DROP TABLE graft_c3.maint.t")
   }
+
+  test("descriptor resilience: writes publish via tmp+rename (no tmp debris), and a corrupt descriptor on a committed table falls back to manifest-authoritative loading") {
+    register("graft_c5")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_c5.res")
+    spark.sql("CREATE TABLE graft_c5.res.t (k BIGINT, part STRING) " +
+      "USING `graft-manifest` PARTITIONED BY (part)")
+    spark.sql("INSERT INTO graft_c5.res.t VALUES (1, 'p0'), (2, 'p1')")
+    val dir = new org.apache.hadoop.fs.Path(s"$warehouse/res/t")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // ALTER rewrites the descriptor — afterwards no tmp file may remain
+    spark.sql("ALTER TABLE graft_c5.res.t ADD COLUMN extra STRING")
+    assert(!fs.listStatus(dir).exists(_.getPath.getName.contains(".tmp-")),
+      "descriptor publish left tmp debris behind")
+    assert(spark.sql("SELECT * FROM graft_c5.res.t").columns
+      .contains("extra"))
+    // simulate a crash mid-rewrite: truncate the descriptor in place
+    val desc = new org.apache.hadoop.fs.Path(dir, "_graft-table.json")
+    val out = fs.create(desc, true)
+    out.write("{\"schemaB64\":\"tr".getBytes("UTF-8")); out.close()
+    // the committed table still loads (manifest-authoritative fallback);
+    // the declared-only 'extra' column is gone with the descriptor
+    val cols = spark.sql("SELECT * FROM graft_c5.res.t").columns.toSeq
+    assert(cols.contains("k") && cols.contains("part"), cols.toString)
+    assert(spark.sql("SELECT count(*) FROM graft_c5.res.t")
+      .head.getLong(0) == 2L)
+    // ALTER self-heals: rewrites a fresh descriptor from the manifest
+    spark.sql("ALTER TABLE graft_c5.res.t ADD COLUMN extra2 STRING")
+    assert(spark.sql("SELECT * FROM graft_c5.res.t").columns
+      .contains("extra2"))
+    // a corrupt descriptor on a DECLARED-ONLY table refuses loudly
+    spark.sql("CREATE TABLE graft_c5.res.u (k BIGINT, part STRING) " +
+      "USING `graft-manifest` PARTITIONED BY (part)")
+    val udesc = new org.apache.hadoop.fs.Path(
+      s"$warehouse/res/u/_graft-table.json")
+    val out2 = fs.create(udesc, true)
+    out2.write("garbage".getBytes("UTF-8")); out2.close()
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    val ex = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_c5.res.u").collect()
+    }
+    assert(chain(ex).exists(m => m.contains("corrupt") ||
+      m.contains("TABLE_OR_VIEW_NOT_FOUND")), chain(ex).mkString(" | "))
+    spark.sql("DROP TABLE graft_c5.res.t")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$warehouse/res/u"), true)
+  }
 }

@@ -227,6 +227,51 @@ class GraftRowLevelOpsSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_sql_trunc_t")
   }
 
+  test("TRUNCATE refuses while a deferred-delete mask is pending (refusal parity with every other rewrite road)") {
+    val root = tmpDir("graft_sql_trunc_dv") + "/t"
+    seed(root)
+    ddl("graft_sql_trunc_dv_t", root)
+    try {
+      ManifestTable.deleteRowsDeferred(spark, root, Seq(5L).toDF("k"), "k")
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+      val ex = intercept[Exception] {
+        spark.sql("TRUNCATE TABLE graft_sql_trunc_dv_t")
+      }
+      assert(chain(ex).exists(_.contains("optimize")),
+        s"wrong truncate refusal: ${chain(ex)}")
+      // the mask must still apply (the truncate published nothing)
+      assert(spark.sql(
+        "SELECT count(*) FROM graft_sql_trunc_dv_t").head.getLong(0) == 99L)
+      ManifestTable.optimize(spark, root) // purge point
+      spark.sql("TRUNCATE TABLE graft_sql_trunc_dv_t")
+      assert(spark.sql(
+        "SELECT count(*) FROM graft_sql_trunc_dv_t").head.getLong(0) == 0L)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_sql_trunc_dv_t")
+  }
+
+  test("a row-level statement whose filter matches no files publishes no new version (no vacuum churn)") {
+    val root = tmpDir("graft_sql_noop") + "/t"
+    seed(root)
+    ddl("graft_sql_noop_t", root)
+    try {
+      val v0 = ManifestTable.currentVersion(spark, root)
+      // k = -1 exists nowhere; zone maps prune every candidate file and
+      // the runtime group filter keeps zero files — nothing to publish
+      spark.sql("UPDATE graft_sql_noop_t SET s = 'x' WHERE k = -1")
+      spark.sql("DELETE FROM graft_sql_noop_t WHERE k = -1 AND s = 'no'")
+      assert(ManifestTable.currentVersion(spark, root) == v0,
+        "a no-match row-level statement must not publish a version")
+      assert(spark.sql(
+        "SELECT count(*) FROM graft_sql_noop_t").head.getLong(0) == 100L)
+      // and a MATCHING one still publishes exactly one
+      spark.sql("UPDATE graft_sql_noop_t SET s = 'hit' WHERE k = 3")
+      assert(ManifestTable.currentVersion(spark, root) == v0 + 1)
+      assert(spark.sql("SELECT s FROM graft_sql_noop_t WHERE k = 3")
+        .head.getString(0) == "hit")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_sql_noop_t")
+  }
+
   test("multi-column partitioning: PARTITIONED BY (d, source) nests directories; both levels prune; COW verbs preserve the layout; Scala rewrite verbs refuse") {
     val root = tmpDir("graft_multipart") + "/t"
     spark.sql("DROP TABLE IF EXISTS graft_mp_t")
