@@ -91,22 +91,32 @@ object ManifestTable {
         parts.map(p => p -> s.lines.filter(_.startsWith(p + "/")).toSet).toMap
     }
 
-  /** The Scala rewrite verbs (deleteRows/merge/optimize/dropPartitions)
-    * derive and rewrite FIRST-LEVEL partitions; a multi-level layout
-    * (round 17: DSv2 `PARTITIONED BY (a, b)` tables with nested
-    * directories) would be silently flattened by their partitionBy
-    * rewrites — refuse loudly and point at the SQL verbs, which go
-    * through the layout-preserving [[replaceFiles]] publisher.
+  /** The LEAF partition directory of a manifest-relative file path —
+    * `a=x/b=y` for `a=x/b=y/file`, `part=b0` for `part=b0/file`: the
+    * rewrite unit on every layout (round 18 — the maintenance verbs
+    * handle multi-level layouts by grouping/rewriting leaf dirs, so a
+    * nested table compacts and takes row-level verbs exactly like a
+    * single-level one).
     */
-  private def requireSingleLevel(st: ManifestState, verb: String): Unit =
-    st.lines.headOption.foreach { l =>
-      val rel = l.split('|')(0)
-      require(rel.count(_ == '/') == 1,
-        s"$verb supports single-level partitioned tables; this table has " +
-          "nested partition directories (multi-column partitioning) — " +
-          "use the SQL row-level verbs (DELETE FROM / UPDATE / MERGE " +
-          "INTO), which preserve the layout")
-    }
+  private def leafDirOf(rel: String): String =
+    rel.substring(0, rel.lastIndexOf('/'))
+
+  /** The table's partition COLUMN names in directory order, from one
+    * live line's path segments (`a=x/b=y/file` → Seq(a, b)). Layouts are
+    * uniform by construction — every writer lands every level for every
+    * row — so one line fixes the table's.
+    */
+  private def partColsOf(rel: String): Seq[String] =
+    rel.split('/').dropRight(1).toSeq.map(_.takeWhile(_ != '='))
+
+  /** A leaf partition directory name from its columns' RAW values, each
+    * level rendered through the same Hive escaping Spark's partitioned
+    * write uses (`a=x%2Fy/b=z` round-trips exactly).
+    */
+  private def leafNameOf(cols: Seq[String], vals: Seq[String]): String =
+    cols.zip(vals).map { case (c, v0) =>
+      s"$c=${escapedPartValue(v0)}"
+    }.mkString("/")
 
   /** Every data file under the root's partition directories at ANY
     * depth (round 17 — multi-level layouts nest `a=x/b=y/`), as
@@ -444,7 +454,7 @@ object ManifestTable {
     //    under its partition dir with a version-prefixed name. Files are
     //    never overwritten — versions share a dir but not files.
     val (stagedParts, newFiles) =
-      stageDataFiles(f, rootPath, touched, partitionCol, next)
+      stageDataFiles(f, rootPath, touched, Seq(partitionCol), next)
     val touchedParts = (declaredParts ++ stagedParts).distinct
     val myLines = statLines(spark, rootPath, newFiles, effStats)
     // the touched partitions' lines as this derivation saw them — the
@@ -575,34 +585,27 @@ object ManifestTable {
     * must never share one: an overwrite-mode stage write would destroy the
     * other's files mid-flight), then move each file under its live
     * partition dir with a version-prefixed (never-colliding) name. Returns
-    * (partition names staged, relative paths of the new files). Shared by
-    * [[commit]] and [[deleteRows]].
+    * (LEAF partition names staged — `a=x/b=y` on nested layouts —
+    * relative paths of the new files). Shared by [[commit]],
+    * [[deleteRows]] and [[merge]].
     */
   private def stageDataFiles(
       f: FileSystem,
       rootPath: Path,
       touched: DataFrame,
-      partitionCol: String,
+      partitionCols: Seq[String],
       next: Long): (Seq[String], Seq[String]) = {
     val stage = new Path(rootPath,
       s"_stage-v$next-${java.util.UUID.randomUUID().toString.take(8)}")
-    touched.write.partitionBy(partitionCol).mode("overwrite")
+    touched.write.partitionBy(partitionCols: _*).mode("overwrite")
       .parquet(stage.toString)
     val parts = scala.collection.mutable.ListBuffer[String]()
     val newFiles = scala.collection.mutable.ListBuffer[String]()
-    for (partDir <- f.listStatus(stage) if partDir.isDirectory) {
-      val partName = partDir.getPath.getName // e.g. bucket=3
-      // '|' is the manifest's stats delimiter (U6): a partition VALUE
-      // containing it (Spark does not escape '|' in partition dir names)
-      // would truncate to a nonexistent path on read and make vacuum
-      // treat the real file as dead. Refuse before any file moves.
-      require(!partName.contains('|'),
-        s"partition value '$partName' contains '|' (the manifest stats " +
-          "delimiter) — choose a '|'-free partition value")
+    def moveLeaf(leafDir: Path, partName: String): Unit = {
       parts += partName
       val dest = new Path(rootPath, partName)
       f.mkdirs(dest)
-      for (df0 <- f.listStatus(partDir.getPath)
+      for (df0 <- f.listStatus(leafDir)
            if df0.isFile && !df0.getPath.getName.startsWith("_")
              && !df0.getPath.getName.startsWith(".")) {
         val name = s"v$next-${df0.getPath.getName}"
@@ -612,6 +615,22 @@ object ManifestTable {
         newFiles += s"$partName/$name"
       }
     }
+    def walk(dir: Path, prefix: String, depth: Int): Unit =
+      for (d <- f.listStatus(dir)
+           if d.isDirectory && d.getPath.getName.contains("=")) {
+        val seg = d.getPath.getName // e.g. bucket=3
+        // '|' is the manifest's stats delimiter (U6): a partition VALUE
+        // containing it (Spark does not escape '|' in partition dir
+        // names) would truncate to a nonexistent path on read and make
+        // vacuum treat the real file as dead. Refuse before any moves.
+        require(!seg.contains('|'),
+          s"partition value '$seg' contains '|' (the manifest stats " +
+            "delimiter) — choose a '|'-free partition value")
+        val partName = if (prefix.isEmpty) seg else s"$prefix/$seg"
+        if (depth == partitionCols.size) moveLeaf(d.getPath, partName)
+        else walk(d.getPath, partName, depth + 1)
+      }
+    walk(stage, "", 1)
     f.delete(stage, true)
     (parts.toList, newFiles.toList)
   }
@@ -792,9 +811,11 @@ object ManifestTable {
     val v = currentVersion(spark, root)
     require(v >= 0, s"no committed version under $root")
     val st = readManifestLines(spark, root, v)
-    requireSingleLevel(st, "optimize")
     val (lines, statsCols) = (st.lines, st.statsCols)
-    val byPart = lines.groupBy(_.split('|')(0).takeWhile(_ != '/'))
+    // the compaction unit is the LEAF partition directory (= the whole
+    // partition name on single-level layouts; `a=x/b=y` on nested ones —
+    // round 18: multi-level tables compact like any other)
+    val byPart = lines.groupBy(l => leafDirOf(l.split('|')(0)))
     // DEFERRED-DELETE purge (see [[deleteRowsDeferred]]): partitions
     // holding masked rows are FORCED into the rewrite even when
     // single-file, the rewrite applies the mask, and exactly the delete
@@ -820,24 +841,24 @@ object ManifestTable {
       if (cands.isEmpty) Nil
       else {
         val dataSchema = recordedOrInferredSchema(spark, root, st).get
-        val partitionCol = cands.head.takeWhile(_ != '=')
+        val pcs = partColsOf(cands.head)
         val readSchema = org.apache.spark.sql.types.StructType(
-          dataSchema.fields.toSeq :+ org.apache.spark.sql.types.StructField(
-            partitionCol, org.apache.spark.sql.types.StringType,
-            nullable = true))
-        val vals = spark.read.schema(readSchema).option("basePath", root)
+          dataSchema.fields.toSeq ++ pcs.map(pc =>
+            org.apache.spark.sql.types.StructField(pc,
+              org.apache.spark.sql.types.StringType, nullable = true)))
+        val matched = spark.read.schema(readSchema).option("basePath", root)
           .parquet(cands.map(r => s"$root/$r"): _*)
           .join(hintedKeys(spark, keysDf, maskCounts(c)), Seq(c), "left_semi")
-          .select(col(partitionCol)).distinct()
-          .collect().map(_.getString(0))
-        require(!vals.contains(null),
-          s"deferred-delete purge under $root matched rows in the " +
-            "default partition (__HIVE_DEFAULT_PARTITION__) — its value " +
-            "does not round-trip through a rewrite; rewrite that " +
-            "partition explicitly")
-        vals.toSeq.map(v0 => s"$partitionCol=" +
-          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-            .escapePathName(v0))
+          .select(pcs.map(col): _*).distinct()
+          .collect()
+        matched.toSeq.map { r =>
+          require(!pcs.indices.exists(r.isNullAt),
+            s"deferred-delete purge under $root matched rows in the " +
+              "default partition (__HIVE_DEFAULT_PARTITION__) — its value " +
+              "does not round-trip through a rewrite; rewrite that " +
+              "partition explicitly")
+          leafNameOf(pcs, pcs.indices.map(r.getString))
+        }
       }
     }.toSet
     def maskRows(d: DataFrame): DataFrame =
@@ -935,7 +956,7 @@ object ManifestTable {
       // concurrent writer landed elsewhere carry; a writer that removed
       // one of our inputs aborts (the output would resurrect rows the
       // other writer deleted or replaced)
-      val curByPart = curSt.lines.groupBy(_.split('|')(0).takeWhile(_ != '/'))
+      val curByPart = curSt.lines.groupBy(l => leafDirOf(l.split('|')(0)))
       val gone = myInput.collect { case (p, ins)
         if !ins.subsetOf(curByPart.getOrElse(p, Nil).toSet) => p }
       if (gone.nonEmpty)
@@ -946,7 +967,7 @@ object ManifestTable {
             "re-run optimize against the current snapshot (staged output " +
             "is unreferenced and vacuum-swept)")
       val merged = curSt.lines.filterNot(l =>
-        myInput.getOrElse(l.split('|')(0).takeWhile(_ != '/'), Set.empty)
+        myInput.getOrElse(leafDirOf(l.split('|')(0)), Set.empty)
           .contains(l)) ++ myOutput.values.flatten
       // SAME batch id as the winning state: compaction must neither
       // advance nor regress the ingest fence
@@ -1322,7 +1343,6 @@ object ManifestTable {
     val v = currentVersion(spark, root)
     require(v >= 0, s"no committed version under $root")
     val st = readManifestLines(spark, root, v)
-    requireSingleLevel(st, "optimizeRewritePartitions")
     val (lines, statsCols) = (st.lines, st.statsCols)
     // Z-ORDER fold (round 15, closing the r14 "secondary pruning decays"
     // finding): the default rewrite range-clusters on the PRIMARY
@@ -1345,11 +1365,18 @@ object ManifestTable {
               else statsCols.map(x => x._1 + ":" + x._2).mkString(",")})")
       }
     }
+    // the fold collapses the FIRST (lineage) level; deeper levels of a
+    // multi-level layout are PRESERVED (round 18): rows from
+    // `part=b1/source=s/…` and `part=b2/source=s/…` fold into
+    // `part=<newValue>/source=s/…` — the lineage axis disappears, the
+    // semantic axes survive with their pruning
     val parts = lines.map(_.split('|')(0).takeWhile(_ != '/')).distinct
     if (parts.size <= 1) return None
     val partitionCol = parts.head.takeWhile(_ != '=')
     val newPartName = s"$partitionCol=${escapedPartValue(newValue)}"
     val rels = lines.map(_.split('|')(0))
+    val pcsAll = partColsOf(rels.head)
+    val restCols = pcsAll.drop(1)
     val bytes = lines.map(l => lineFileMeta(l).map(_._1).getOrElse(
       f.getFileStatus(new Path(rootPath, splitLine(l)._1)).getLen)).sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
@@ -1362,10 +1389,24 @@ object ManifestTable {
     // after publish — same crash contract as [[optimize]]'s purge
     val dv = dvState(spark, root)
     val df = applyDvMask(spark, root,
-      (st.schema match { // evolved tables null-fill older files
-        case Some(sch) => spark.read.schema(sch)
-        case None => spark.read
-      }).parquet(rels.map(r => s"$root/$r"): _*))
+      if (restCols.isEmpty)
+        (st.schema match { // evolved tables null-fill older files
+          case Some(sch) => spark.read.schema(sch)
+          case None => spark.read
+        }).parquet(rels.map(r => s"$root/$r"): _*)
+      else {
+        // nested layout: recover the preserved levels as STRING directory
+        // values (the deleteRows round-trip discipline) and drop the
+        // folded lineage level
+        val base = recordedOrInferredSchema(spark, root, st).get
+        val readSchema = org.apache.spark.sql.types.StructType(
+          base.fields.toSeq ++ pcsAll.map(pc =>
+            org.apache.spark.sql.types.StructField(pc,
+              org.apache.spark.sql.types.StringType, nullable = true)))
+        spark.read.schema(readSchema).option("basePath", root)
+          .parquet(rels.map(r => s"$root/$r"): _*)
+          .drop(pcsAll.head)
+      })
     // global [min, max] of a zOrder column — free from the manifest's own
     // zone maps when every line carries them; one column-pruned aggregate
     // otherwise (a fold rewrites everything anyway)
@@ -1406,26 +1447,39 @@ object ManifestTable {
         org.apache.spark.sql.functions.col(c))
       case (None, None) => df.repartition(nOut)
     }
-    clustered.write.mode("overwrite")
+    val writer = clustered.write.mode("overwrite")
+    (if (restCols.isEmpty) writer else writer.partitionBy(restCols: _*))
       .parquet(new Path(stage, newPartName).toString)
-    val dest = new Path(rootPath, newPartName)
-    f.mkdirs(dest)
     val newLines = scala.collection.mutable.ListBuffer[String]()
-    for (df0 <- f.listStatus(new Path(stage, newPartName))
-         if df0.isFile && !df0.getPath.getName.startsWith("_")
-           && !df0.getPath.getName.startsWith(".")) {
-      if (dv.nonEmpty && footerRowCount(spark, df0.getPath) == 0L) {
-        // a purge can empty an output split: no manifest line for it
-        f.delete(df0.getPath, false)
-      } else {
-      val name = s"v$next-${df0.getPath.getName}"
-      if (!f.rename(df0.getPath, new Path(dest, name)))
-        throw new IllegalStateException(
-          s"could not stage compacted file ${df0.getPath} -> $dest/$name")
-      val rel = s"$newPartName/$name"
-      newLines += dataFileLine(spark, rootPath, rel, statsCols)
-      }
-    }
+    def moveOut(dir: Path, prefix: String, depth: Int): Unit =
+      if (depth == restCols.size) {
+        val dest = new Path(rootPath, prefix)
+        f.mkdirs(dest)
+        for (df0 <- f.listStatus(dir)
+             if df0.isFile && !df0.getPath.getName.startsWith("_")
+               && !df0.getPath.getName.startsWith(".")) {
+          if (dv.nonEmpty && footerRowCount(spark, df0.getPath) == 0L) {
+            // a purge can empty an output split: no manifest line for it
+            f.delete(df0.getPath, false)
+          } else {
+            val name = s"v$next-${df0.getPath.getName}"
+            if (!f.rename(df0.getPath, new Path(dest, name)))
+              throw new IllegalStateException(
+                s"could not stage compacted file ${df0.getPath} -> " +
+                  s"$dest/$name")
+            newLines += dataFileLine(spark, rootPath, s"$prefix/$name",
+              statsCols)
+          }
+        }
+      } else
+        for (d <- f.listStatus(dir)
+             if d.isDirectory && d.getPath.getName.contains("=")) {
+          require(!d.getPath.getName.contains('|'),
+            s"partition value '${d.getPath.getName}' contains '|' (the " +
+              "manifest stats delimiter)")
+          moveOut(d.getPath, s"$prefix/${d.getPath.getName}", depth + 1)
+        }
+    moveOut(new Path(stage, newPartName), newPartName, 0)
     f.delete(stage, true)
     beforePublish()
     // whole-table rewrite: every live line is an input, so ANY concurrent
@@ -1548,7 +1602,9 @@ object ManifestTable {
     val v = currentVersion(spark, root)
     require(v >= 0, s"no committed version under $root")
     val st = readManifestLines(spark, root, v)
-    requireSingleLevel(st, "dropPartitions")
+    // on multi-level layouts the drop unit is the FIRST level — the TTL
+    // axis (`d=2024-01-01/**` goes in one metadata publish; round 18):
+    // the prefix match below covers every nested line under it
     val partitionCol = st.lines.headOption
       .map(_.split('|')(0).takeWhile(_ != '='))
       .getOrElse(return None)
@@ -1677,11 +1733,6 @@ object ManifestTable {
     val v = currentVersion(spark, root)
     require(v >= 0, s"no committed version under $root")
     val st = readManifestLines(spark, root, v)
-    // the sidecar keys rows by the manifest-relative path, which the
-    // build derives as the LAST TWO path segments — only correct for
-    // single-level layouts (a nested a=1/b=2/file would key as
-    // "b=2/file", never matching a probe: sound-but-useless index)
-    requireSingleLevel(st, "buildBloomIndex")
     val live = st.lines.map(_.split('|')(0))
     val kf = recordedOrInferredSchema(spark, root, st)
       .flatMap(_.fields.find(_.name == keyCol)).getOrElse(
@@ -1730,22 +1781,30 @@ object ManifestTable {
         b.toInt
       }
       // row counts from the manifest's own file meta; footer fallback for
-      // pre-meta carried lines only
+      // pre-meta carried lines only. Files group by (sizing tier, path
+      // DEPTH): the sidecar keys rows by the full manifest-relative path
+      // — `partDir/file` on single-level layouts, `a=x/b=y/file` on
+      // nested ones (round 18) — and the extraction regex needs the
+      // segment count, so each depth gets its own scan (depth is uniform
+      // per table in practice; the grouping just never assumes it)
       val rowsOf: Map[String, Long] = st.lines.flatMap(l =>
         lineFileMeta(l).map(m => splitLine(l)._1 -> m._2)).toMap
-      val byTier: Seq[(Int, Seq[String])] = missing
-        .map(r => (bitsFor(rowsOf.getOrElse(r,
-          footerRowCount(spark, new Path(rootPath, r)))), r))
+      val byTier: Seq[((Int, Int), Seq[String])] = missing
+        .map(r => ((bitsFor(rowsOf.getOrElse(r,
+          footerRowCount(spark, new Path(rootPath, r)))),
+          r.count(_ == '/')), r))
         .groupBy(_._1).map { case (b, fs) => (b, fs.map(_._2)) }
         .toSeq.sortBy(_._1)
       val keySchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField(keyCol, kf.dataType, true)))
-      Some(byTier.map { case (numBits, files) =>
+      Some(byTier.map { case ((numBits, depth), files) =>
         spark.read.schema(keySchema).option("basePath", root)
           .parquet(files.map(r => s"$root/$r"): _*)
           .select(
-            // rel path = partitionDir/fileName, the manifest's spelling
-            regexp_extract(input_file_name(), "([^/]+/[^/]+)$", 1).as("file"),
+            // rel path = the manifest's spelling: `depth` partition
+            // segments + the file name
+            regexp_extract(input_file_name(),
+              s"((?:[^/]+/){$depth}[^/]+)$$", 1).as("file"),
             keyExpr.as("__k"))
           .groupBy("file")
           .agg(expr(s"graft_bloom(__k, $numBits, $numHashes)").as("bloom"))
@@ -2484,7 +2543,6 @@ object ManifestTable {
     val v = currentVersion(spark, root)
     require(v >= 0, s"no committed version under $root")
     val st = readManifestLines(spark, root, v)
-    requireSingleLevel(st, "deleteRowsDeferred")
     val kf = recordedOrInferredSchema(spark, root, st)
       .flatMap(_.fields.find(_.name == keyCol)).getOrElse(
         throw new IllegalArgumentException(
@@ -2592,7 +2650,6 @@ object ManifestTable {
     require(v >= 0, s"no committed version under $root — merge needs a " +
       "committed table; use commit for the first batch")
     val st = readManifestLines(spark, root, v)
-    requireSingleLevel(st, "merge")
     if (batchId <= st.batch) return None // redelivered batch: fence no-op
     require(st.lines.nonEmpty, s"the current snapshot under $root is " +
       "empty — merge derives the partition column from it; use commit")
@@ -2601,17 +2658,17 @@ object ManifestTable {
         "rewrite reads raw files and would resurrect masked rows into " +
         "fresh files; run optimize (the purge point) first")
     val allRels = st.lines.map(_.split('|')(0))
-    val partitionCol = allRels.head.takeWhile(_ != '=')
+    val pcs = partColsOf(allRels.head) // every level of the layout
     require(updates.schema.fieldNames.contains(keyCol),
       s"merge key column '$keyCol' absent from the update frame")
-    require(updates.schema.fieldNames.contains(partitionCol),
-      s"the table's partition column '$partitionCol' is absent from the " +
-        "update frame — every update row must name its target partition")
+    pcs.foreach(pc => require(updates.schema.fieldNames.contains(pc),
+      s"the table's partition column '$pc' is absent from the " +
+        "update frame — every update row must name its target partition"))
     // partition values round-trip as strings (the directory spelling);
     // casting here keeps a typed caller column on the same Hive-escaped
     // rendering as the survivors read back from their dirs
-    val upd = updates
-      .withColumn(partitionCol, col(partitionCol).cast("string"))
+    val upd = pcs.foldLeft(updates)((d, pc) =>
+      d.withColumn(pc, col(pc).cast("string")))
       .localCheckpoint(true)
     val nUpd = upd.count()
     require(nUpd > 0, "merge needs at least one update row")
@@ -2623,13 +2680,13 @@ object ManifestTable {
       s"duplicate merge keys in the update batch ($nUpd rows, $nKeys " +
         "distinct keys) — two updates for one key in one batch is an " +
         "ordering ambiguity; pre-aggregate to one row per key")
-    val targetVals = upd.select(col(partitionCol)).distinct()
-      .collect().map(_.getString(0))
-    require(!targetVals.contains(null),
-      "null partition value in the update batch — name the default " +
-        "partition rendering explicitly if it is really meant")
-    val targetNames =
-      targetVals.map(x => s"$partitionCol=${escapedPartValue(x)}").toSeq
+    val targetRows = upd.select(pcs.map(col): _*).distinct().collect()
+    val targetNames = targetRows.toSeq.map { r =>
+      require(!pcs.indices.exists(r.isNullAt),
+        "null partition value in the update batch — name the default " +
+          "partition rendering explicitly if it is really meant")
+      leafNameOf(pcs, pcs.indices.map(r.getString))
+    }
     // zone-envelope + bloom pruned detection, shared with deleteRows and
     // the optimize purge (keyCandidateFiles also validates the key type
     // against the registration)
@@ -2646,34 +2703,41 @@ object ManifestTable {
     }
     val dataSchema = recordedOrInferredSchema(spark, root, st).get
     val readSchema = org.apache.spark.sql.types.StructType(
-      dataSchema.fields.toSeq :+ org.apache.spark.sql.types.StructField(
-        partitionCol, org.apache.spark.sql.types.StringType, nullable = true))
+      dataSchema.fields.toSeq ++ pcs.map(pc =>
+        org.apache.spark.sql.types.StructField(pc,
+          org.apache.spark.sql.types.StringType, nullable = true)))
     def readFiles(rels: Seq[String]): DataFrame =
       spark.read.schema(readSchema).option("basePath", root)
         .parquet(rels.map(r => s"$root/$r"): _*)
-    // DETECTION: matched row count, matched key count, and the partitions
-    // holding matches — one aggregate over the pruned candidate files
+    // DETECTION: matched row count, matched key count, and the LEAF
+    // partitions holding matches — one aggregate over the pruned
+    // candidate files (levels collected as a struct on nested layouts)
     val (rowsUpdated, matchedKeys, matchedVals) =
-      if (candidates.isEmpty) (0L, 0L, Seq.empty[String])
+      if (candidates.isEmpty)
+        (0L, 0L, Seq.empty[org.apache.spark.sql.Row])
       else {
+        val anyNull = pcs.map(col(_).isNull).reduce(_ || _)
         val d = readFiles(candidates)
           .join(hintedKeys(spark, ks, nKeys), Seq(keyCol), "left_semi")
           .agg(count(lit(1)).as("nrows"),
             countDistinct(col(keyCol)).as("nkeys"),
-            sum(when(col(partitionCol).isNull, 1L).otherwise(0L)).as("nulls"),
-            collect_set(col(partitionCol)).as("parts")).head
+            sum(when(anyNull, 1L).otherwise(0L)).as("nulls"),
+            collect_set(org.apache.spark.sql.functions.struct(
+              pcs.map(col): _*)).as("parts")).head
         require(d.getLong(0) == 0L || d.getLong(2) == 0L,
           s"merge keys matched rows in the default partition " +
             s"(__HIVE_DEFAULT_PARTITION__) under $root — its value does " +
             "not round-trip through a rewrite; rewrite that partition " +
             "explicitly")
-        (d.getLong(0), d.getLong(1), d.getSeq[String](3))
+        (d.getLong(0), d.getLong(1),
+          d.getSeq[org.apache.spark.sql.Row](3))
       }
     val rowsInserted = nUpd - matchedKeys
     val touchedRewriteNames = matchedVals
-      .map(x => s"$partitionCol=${escapedPartValue(x)}").distinct.sorted
+      .map(r => leafNameOf(pcs, pcs.indices.map(r.getString)))
+      .distinct.sorted
     val touchedRels = allRels.filter(r =>
-      touchedRewriteNames.contains(r.takeWhile(_ != '/')))
+      touchedRewriteNames.contains(leafDirOf(r)))
     // survivors of the rewritten partitions ∪ the full update batch, one
     // partitioned write; unionByName null-fills asymmetric columns (the
     // additive-evolution read semantics, applied at write time)
@@ -2683,13 +2747,13 @@ object ManifestTable {
         .join(hintedKeys(spark, ks, nKeys), Seq(keyCol), "left_anti")
         .unionByName(upd, allowMissingColumns = true)
     val updSchema = org.apache.spark.sql.types.StructType(
-      upd.schema.fields.filterNot(_.name == partitionCol).toSeq)
+      upd.schema.fields.filterNot(fd => pcs.contains(fd.name)).toSeq)
     def mergedSchemaFor(s0: ManifestState) = evolveSchema(
       recordedOrInferredSchema(spark, root, s0), updSchema)
     mergedSchemaFor(st) // schema-conflict refusal BEFORE any file stages
     var next = v + 1
     val (stagedParts, newFiles) =
-      stageDataFiles(f, rootPath, toWrite, partitionCol, next)
+      stageDataFiles(f, rootPath, toWrite, pcs, next)
     val myLines = statLines(spark, rootPath, newFiles, st.statsCols)
     val witnessNames = (touchedRewriteNames ++ targetNames).distinct
     val baseTouched = touchedLineSets(Some(st), witnessNames)
@@ -2809,14 +2873,13 @@ object ManifestTable {
     val v = currentVersion(spark, root)
     require(v >= 0, s"no committed version under $root")
     val st = readManifestLines(spark, root, v)
-    requireSingleLevel(st, "deleteRows")
     if (st.lines.isEmpty) return None // zero-file snapshot: nothing to delete
     require(dvState(spark, root).isEmpty,
       s"deferred deletes pending under $root — the copy-on-write rewrite " +
         "reads raw files and would resurrect masked rows into fresh " +
         "files; run optimize (the purge point) first")
     val allRels = st.lines.map(_.split('|')(0))
-    val partitionCol = allRels.head.takeWhile(_ != '=')
+    val pcs = partColsOf(allRels.head) // every level of the layout
     val ks = keys.select(col(keyCol)).distinct().localCheckpoint(true)
     val nKeys = ks.count()
     // zone-envelope + bloom pruned detection (shared with merge and the
@@ -2825,29 +2888,30 @@ object ManifestTable {
     val cands = keyCandidateFiles(spark, root, st, ks, keyCol)
     if (cands.isEmpty) return None
     // the rewrite-faithful read schema: recorded (or legacy-inferred) data
-    // columns plus the partition column as a STRING
+    // columns plus every partition level as a STRING
     val dataSchema = recordedOrInferredSchema(spark, root, st).get
     val readSchema = org.apache.spark.sql.types.StructType(
-      dataSchema.fields.toSeq :+ org.apache.spark.sql.types.StructField(
-        partitionCol, org.apache.spark.sql.types.StringType, nullable = true))
+      dataSchema.fields.toSeq ++ pcs.map(pc =>
+        org.apache.spark.sql.types.StructField(pc,
+          org.apache.spark.sql.types.StringType, nullable = true)))
     def readFiles(rels: Seq[String]): DataFrame =
       spark.read.schema(readSchema).option("basePath", root)
         .parquet(rels.map(r => s"$root/$r"): _*)
-    // DETECTION: partitions holding matching rows, re-rendered into their
-    // canonical directory spelling (see scaladoc)
-    val matchedVals = readFiles(cands)
+    // DETECTION: LEAF partitions holding matching rows, re-rendered into
+    // their canonical directory spelling (see scaladoc)
+    val matchedRows = readFiles(cands)
       .join(hintedKeys(spark, ks, nKeys), Seq(keyCol), "left_semi")
-      .select(col(partitionCol)).distinct()
-      .collect().map(_.getString(0))
-    if (matchedVals.isEmpty) return None
-    require(!matchedVals.contains(null),
-      s"takedown keys matched rows in the default partition " +
-        s"(__HIVE_DEFAULT_PARTITION__) under $root — its value does not " +
-        "round-trip through a rewrite; rewrite that partition explicitly")
-    val touchedNames = matchedVals.map(v0 => s"$partitionCol=" +
-      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .escapePathName(v0)).distinct.sorted.toSeq
-    val touchedRels = allRels.filter(r => touchedNames.contains(r.takeWhile(_ != '/')))
+      .select(pcs.map(col): _*).distinct()
+      .collect()
+    if (matchedRows.isEmpty) return None
+    val touchedNames = matchedRows.toSeq.map { r =>
+      require(!pcs.indices.exists(r.isNullAt),
+        s"takedown keys matched rows in the default partition " +
+          s"(__HIVE_DEFAULT_PARTITION__) under $root — its value does not " +
+          "round-trip through a rewrite; rewrite that partition explicitly")
+      leafNameOf(pcs, pcs.indices.map(r.getString))
+    }.distinct.sorted
+    val touchedRels = allRels.filter(r => touchedNames.contains(leafDirOf(r)))
     // survivors of the touched partitions only (anti-join), counted in the
     // same pass; the write re-derives the partition dirs it came from
     val obs = org.apache.spark.sql.Observation()
@@ -2857,7 +2921,7 @@ object ManifestTable {
       .join(hintedKeys(spark, ks, nKeys), Seq(keyCol), "left_anti")
     var next = v + 1
     val (stagedParts, newFiles) =
-      stageDataFiles(f, rootPath, survivors, partitionCol, next)
+      stageDataFiles(f, rootPath, survivors, pcs, next)
     val myLines = statLines(spark, rootPath, newFiles, st.statsCols)
     val baseTouched = touchedLineSets(Some(st), touchedNames)
     beforePublish()

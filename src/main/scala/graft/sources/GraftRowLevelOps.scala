@@ -189,9 +189,6 @@ private[sources] object GraftDeleteMapping {
     if (table.versionAsOf.isDefined || !table.tableExists) return None
     if (filters.isEmpty || filters.forall(_.isInstanceOf[AlwaysTrue]))
       return Some(Truncate)
-    // the Scala deleteRows machinery rewrites FIRST-LEVEL partitions —
-    // multi-level layouts take the copy-on-write road instead
-    if (table.partitionCols.size != 1) return None
     val perFilter: Seq[Option[(String, Set[Any])]] = filters.toSeq.map {
       case EqualTo(c, v) => Some((c, Set[Any](v)))
       case In(c, vs) => Some((c, vs.toSet))
