@@ -625,6 +625,35 @@ object SparkEntry {
       root
     })
 
+  private val historyTableMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** u33's artifact (round 18): a five-version lifecycle whose manifest
+    * headers carry COMMIT METADATA — v0 Scala commit, v1 DSv2 append,
+    * v2 row-level delete, v3 partition TTL, v4 restore. The gated frame
+    * is `ManifestTable.history` itself (version, operation, batch —
+    * timestamps are real wall-clock and gate as non-null in spec, not by
+    * value), so the key proves the audit surface: every version names
+    * the verb that produced it and the fence each verb preserved.
+    */
+  def u33TableDir(s: SparkSession, dir: String): String =
+    historyTableMemo.computeIfAbsent((s, dir), _ => {
+      val root = graft.core.TempDirs.create("graft_u33_history") + "/t"
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"))
+        .withColumn("bucket", pmod(col("doc_id"), lit(8)).cast("int"))
+      graft.core.ManifestTable.commit(s, root,
+        docs.filter(col("doc_id") % 2 === 0), "bucket", batchId = 0L)
+      docs.filter(col("doc_id") % 2 === 1)
+        .write.format("graft-manifest").mode("append")
+        .option("batchId", "1").save(root)
+      graft.core.ManifestTable.deleteRows(s, root,
+        docs.filter(col("doc_id") % 97 === 3).select("doc_id"), "doc_id")
+      graft.core.ManifestTable.dropPartitions(s, root, Seq("3"))
+      graft.core.ManifestTable.restore(s, root, toVersion = 2L)
+      root
+    })
+
   private val dsv2WriteTableMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
@@ -1342,6 +1371,8 @@ object SparkEntry {
       "u30_sql_update",
       // u32 replays the u9 artifact's version history as a change feed
       "u32_cdf_read",
+      // u33 reads the staged lifecycle's manifest headers (u33TableDir)
+      "u33_history",
       // u16 reads the post-takedown bloom-indexed snapshot (u16TableDir)
       "u16_bloom_takedown",
       // u18 reads the purged+masked deferred-takedown snapshot (u18TableDir)
@@ -2556,6 +2587,17 @@ object SparkEntry {
     // u32: the CHANGE-DATA-FEED read — the u9 table's whole version
     // history (appends + the takedown rewrite) consumed as
     // (_change_type, _commit_version)-stamped rows; the gated value is
+    // u33 (round 18): DESCRIBE HISTORY — the staged lifecycle's audit
+    // trail, straight from the manifest headers' commit metadata (one
+    // single-line header read per version, no file lists; timestamps are
+    // wall-clock and spec-pinned non-null, so the gated columns are the
+    // deterministic trio)
+    "u33_history" -> ((s, dir) => {
+      import s.implicits._
+      graft.core.ManifestTable.history(s, u33TableDir(s, dir))
+        .map(e => (e.version, e.operation, e.batch))
+        .toDF("version", "operation", "batch")
+    }),
     // the snapshot RECONSTRUCTED from the feed (inserts EXCEPT ALL
     // deletes), which must equal the table — u9's own oracle
     "u32_cdf_read" -> ((s, dir) => {
@@ -3399,6 +3441,14 @@ object SparkEntry {
     "u32_cdf_read" ->
       ("SELECT doc_id, lang, source, n_chars FROM documents " +
         "WHERE doc_id % 97 <> 3"),
+    // u33: the lifecycle's audit trail is a closed-form fixture — five
+    // versions, each naming its verb, fences preserved by the
+    // non-ingest verbs
+    "u33_history" ->
+      ("SELECT CAST(version AS BIGINT) AS version, operation, " +
+        "CAST(batch AS BIGINT) AS batch FROM (VALUES " +
+        "(4, 'restore', 1), (3, 'drop-partitions', 1), (2, 'delete', 1), " +
+        "(1, 'append', 1), (0, 'commit', 0)) AS h(version, operation, batch)"),
     // u30: the UPDATE replayed in SQL
     "u30_sql_update" ->
       ("SELECT doc_id, CASE WHEN doc_id % 10 = 7 THEN 'redacted' " +

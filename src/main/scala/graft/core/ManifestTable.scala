@@ -174,7 +174,9 @@ object ManifestTable {
       lines: Seq[String],
       batch: Long,
       statsCols: Seq[(String, String)],
-      schema: Option[org.apache.spark.sql.types.StructType])
+      schema: Option[org.apache.spark.sql.types.StructType],
+      op: Option[String] = None,
+      ts: Option[Long] = None)
 
   /** Raw manifest lines + batch + the registered zone-map columns as
     * (name, type) pairs, type ∈ {long, string} — the carry-forward and
@@ -219,8 +221,14 @@ object ManifestTable {
           java.util.Base64.getDecoder.decode(m.group(1)), "UTF-8"))
           .asInstanceOf[org.apache.spark.sql.types.StructType]
       }
-    ManifestState(lines.tail.filter(_.nonEmpty), batch, statsCols, schema)
+    ManifestState(lines.tail.filter(_.nonEmpty), batch, statsCols, schema,
+      op = headerOp(lines.head), ts = headerTs(lines.head))
   }
+
+  private def headerOp(header: String): Option[String] =
+    "\"op\":\"([^\"]+)\"".r.findFirstMatchIn(header).map(_.group(1))
+  private def headerTs(header: String): Option[Long] =
+    "\"ts\":(\\d+)".r.findFirstMatchIn(header).map(_.group(1).toLong)
 
   /** Read the latest committed version as a DataFrame (partition columns
     * like `bucket=` recovered via basePath), or None if never committed.
@@ -338,6 +346,71 @@ object ManifestTable {
   def lastBatch(spark: SparkSession, root: String): Long = {
     val v = currentVersion(spark, root)
     if (v < 0) -1L else readManifest(spark, root, v)._2
+  }
+
+  final case class HistoryEntry(
+      version: Long, operation: String, timestampMs: Option[Long],
+      batch: Long)
+
+  /** One version's manifest HEADER line only — the [[history]] unit read:
+    * a history over 10⁴ versions must not re-read 10⁴ full file lists
+    * (the U31 plan-probe law applied to the audit surface); headers are
+    * one line each.
+    */
+  private def readHeaderLine(
+      spark: SparkSession, root: String, version: Long): String = {
+    val p = new Path(manifestDir(root), s"v$version.json")
+    val in = fs(spark, p).open(p)
+    val rd = new java.io.BufferedReader(
+      new java.io.InputStreamReader(in, "UTF-8"))
+    try {
+      val l = rd.readLine()
+      require(l != null, s"empty manifest at $p")
+      l
+    } finally rd.close()
+  }
+
+  /** TABLE HISTORY (the Delta `DESCRIBE HISTORY` / Iceberg snapshot-
+    * summary slot): every RETAINED version with the operation that
+    * produced it and its publish wall-clock time, newest first. Versions
+    * committed before commit metadata landed (round 18) report
+    * operation "unknown" with no timestamp — the fields are additive.
+    * Cost: one single-line header read per retained version, no file
+    * lists, no data IO.
+    */
+  def history(spark: SparkSession, root: String): Seq[HistoryEntry] = {
+    val dir = manifestDir(root)
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) return Nil
+    val versions = f.listStatus(dir).map(_.getPath.getName)
+      .collect { case VersionRe(v) => v.toLong }.sorted
+    versions.reverse.map { v =>
+      val h = readHeaderLine(spark, root, v)
+      val batch = "\"batch\":(-?\\d+)".r.findFirstMatchIn(h)
+        .map(_.group(1).toLong).getOrElse(-1L)
+      HistoryEntry(v, headerOp(h).getOrElse("unknown"), headerTs(h), batch)
+    }.toSeq
+  }
+
+  /** `TIMESTAMP AS OF` resolution: the LATEST version whose recorded
+    * publish time is ≤ `tsMs` — Delta's timestamp-addressing rule.
+    * Refuses loudly when the table predates commit timestamps entirely
+    * or when every timestamped version is later than the ask (addressing
+    * before the table existed is a question with no honest answer).
+    */
+  def versionAtTimestamp(
+      spark: SparkSession, root: String, tsMs: Long): Long = {
+    val h = history(spark, root)
+    require(h.nonEmpty, s"no committed version under $root")
+    val stamped = h.filter(_.timestampMs.isDefined)
+    require(stamped.nonEmpty,
+      s"no version under $root carries a commit timestamp (all predate " +
+        "commit metadata) — address by VERSION AS OF instead")
+    val eligible = stamped.filter(_.timestampMs.get <= tsMs)
+    require(eligible.nonEmpty,
+      s"no committed version at or before timestamp $tsMs under $root " +
+        s"(earliest recorded: ${stamped.map(_.timestampMs.get).min})")
+    eligible.map(_.version).max
   }
 
   /** Commit `touched` (the REPLACEMENT rows for every partition value in
@@ -471,7 +544,8 @@ object ManifestTable {
           st.lines.filterNot(l => touchedParts.exists(tp => l.startsWith(tp + "/")))
       }
       if (publishManifest(spark, root, next,
-        manifestHeader(next, batchId, effStats, Some(mergedSchema)),
+        manifestHeader(next, batchId, effStats, Some(mergedSchema),
+          op = "commit"),
         carried ++ myLines)) return next
       // lost the publish race: re-read the winning state and retry at the
       // next slot (my staged files are already live under final names —
@@ -649,10 +723,18 @@ object ManifestTable {
       effStats: Seq[(String, String)]): Seq[String] =
     newFiles.map(rel => dataFileLine(spark, rootPath, rel, effStats))
 
+  /** Manifest header. Round 18 adds COMMIT METADATA (additive — old
+    * manifests read as op/ts unknown): the producing operation's name and
+    * the wall-clock publish time, the two fields behind [[history]]
+    * (Delta's DESCRIBE HISTORY slot) and `TIMESTAMP AS OF` resolution
+    * ([[versionAtTimestamp]]).
+    */
   private def manifestHeader(
       version: Long, batchId: Long, statsCols: Seq[(String, String)],
-      schema: Option[org.apache.spark.sql.types.StructType] = None): String =
-    s"""{"version":$version,"batch":$batchId""" + (statsCols match {
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      op: String = "unknown"): String =
+    s"""{"version":$version,"batch":$batchId,"op":"$op"""" +
+      s""","ts":${System.currentTimeMillis()}""" + (statsCols match {
       case Nil => ""
       case Seq((c, "long")) => s""","statsCol":"$c""""
       case cols =>
@@ -890,7 +972,8 @@ object ManifestTable {
         if (winnerAddedRisky(spark, root, winnerAdded, curSt0.statsCols, masks))
           return Nil // keep the mask pending — the next purge owns it
         if (publishManifest(spark, root, next0,
-          manifestHeader(next0, curSt0.batch, curSt0.statsCols, curSt0.schema),
+          manifestHeader(next0, curSt0.batch, curSt0.statsCols, curSt0.schema,
+            op = "purge"),
           curSt0.lines)) {
           clearDvBatches(spark, root, dv)
           return Nil
@@ -972,7 +1055,8 @@ object ManifestTable {
       // SAME batch id as the winning state: compaction must neither
       // advance nor regress the ingest fence
       if (publishManifest(spark, root, next,
-        manifestHeader(next, curSt.batch, curSt.statsCols, curSt.schema),
+        manifestHeader(next, curSt.batch, curSt.statsCols, curSt.schema,
+          op = "optimize"),
         merged)) {
         // purge complete: clear exactly the delete batches this pass saw
         // (a crash before this line leaves a redundant mask — the next
@@ -1496,7 +1580,8 @@ object ManifestTable {
       // SAME batch id as the winning state: the fold must neither advance
       // nor regress the ingest fence
       if (publishManifest(spark, root, next,
-        manifestHeader(next, curSt.batch, statsCols, curSt.schema),
+        manifestHeader(next, curSt.batch, statsCols, curSt.schema,
+          op = "rewrite-partitions"),
         newLines.toList)) {
         if (dv.nonEmpty) clearDvBatches(spark, root, dv)
         return Some(OptimizeStats(newPartName, rels.size, newLines.size))
@@ -1562,7 +1647,8 @@ object ManifestTable {
             "the restore against the current snapshot")
       // CURRENT fence + schema + stats registration; toVersion's LINES
       if (publishManifest(spark, root, next,
-        manifestHeader(next, curSt.batch, curSt.statsCols, curSt.schema),
+        manifestHeader(next, curSt.batch, curSt.statsCols, curSt.schema,
+          op = "restore"),
         target.lines)) return next
       val cur = currentVersion(spark, root)
       curSt = readManifestLines(spark, root, cur)
@@ -1629,7 +1715,8 @@ object ManifestTable {
         dropNames.exists(dn => l.startsWith(dn + "/")))
       // SAME batch id as the winning state: a drop is not an ingest
       if (publishManifest(spark, root, next,
-        manifestHeader(next, curSt.batch, curSt.statsCols, curSt.schema),
+        manifestHeader(next, curSt.batch, curSt.statsCols, curSt.schema,
+          op = "drop-partitions"),
         kept)) return Some(dropped)
       val cur = currentVersion(spark, root)
       curSt = readManifestLines(spark, root, cur)
@@ -2237,7 +2324,8 @@ object ManifestTable {
       val effBatch = batchId.getOrElse(
         prevState.map(_.batch).getOrElse(-1L) + 1)
       if (publishManifest(spark, root, next,
-        manifestHeader(next, effBatch, effStats, Some(mergedSchema)),
+        manifestHeader(next, effBatch, effStats, Some(mergedSchema),
+        op = if (truncate) "overwrite" else "append"),
         carried ++ myLines)) return next
       val cur = currentVersion(spark, root)
       val curState = readManifestLines(spark, root, cur)
@@ -2340,7 +2428,8 @@ object ManifestTable {
             "be re-checked against the winner's files); re-run the " +
             "statement (staged files are unreferenced and vacuum-swept)")
       if (publishManifest(spark, root, next,
-        manifestHeader(next, curSt.batch, curSt.statsCols, curSt.schema),
+        manifestHeader(next, curSt.batch, curSt.statsCols, curSt.schema,
+          op = "replace"),
         carried ++ myLines)) return next
       cur = currentVersion(spark, root)
       curSt = readManifestLines(spark, root, cur)
@@ -2795,7 +2884,7 @@ object ManifestTable {
         touchedRewriteNames.exists(tp => l.startsWith(tp + "/")))
       if (publishManifest(spark, root, next,
         manifestHeader(next, batchId, curSt.statsCols,
-          Some(mergedSchemaFor(curSt))),
+          Some(mergedSchemaFor(curSt)), op = "merge"),
         carried ++ myLines))
         return Some(MergeStats(
           rowsUpdated = rowsUpdated,
@@ -2942,7 +3031,8 @@ object ManifestTable {
       // SAME batch id as the winning state: a delete must neither advance
       // nor regress the ingest fence
       if (publishManifest(spark, root, next,
-        manifestHeader(next, curSt.batch, curSt.statsCols, curSt.schema),
+        manifestHeader(next, curSt.batch, curSt.statsCols, curSt.schema,
+          op = "delete"),
         carried ++ myLines)) {
         val nIn = obs.get("n_in").asInstanceOf[Long]
         val nKept = if (newFiles.isEmpty) 0L

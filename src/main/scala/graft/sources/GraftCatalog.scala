@@ -164,6 +164,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier, version: String): Table =
     loadTableAt(ident, Some(version.toLong))
 
+  /** `TIMESTAMP AS OF` (round 18): Spark hands the snapshot timestamp in
+    * MICROseconds; resolution onto a version is the manifest headers'
+    * commit-metadata job ([[ManifestTable.versionAtTimestamp]]).
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val d = tableDir(ident)
+    if (!fs.exists(d)) throw new NoSuchTableException(ident)
+    val v = ManifestTable.versionAtTimestamp(
+      spark, d.toString, timestampMicros / 1000L)
+    loadTableAt(ident, Some(v))
+  }
+
   private def loadTableAt(
       ident: Identifier, version: Option[Long]): GraftManifestTable = {
     val d = tableDir(ident)
@@ -373,7 +385,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 }
 
 private[sources] object GraftProcedures {
-  val Names: Seq[String] = Seq("optimize", "vacuum", "restore", "fsck")
+  val Names: Seq[String] =
+    Seq("optimize", "vacuum", "restore", "fsck", "history")
 }
 
 /** One maintenance procedure, bound to its engine verb. The result rows
@@ -392,6 +405,8 @@ class GraftProcedure(catalog: GraftCatalog, verb: String)
       "retained versions (ManifestTable.vacuum)"
     case "restore" => "roll the table back to an earlier committed " +
       "version as a new commit (ManifestTable.restore)"
+    case "history" => "every retained version with the operation that " +
+      "produced it and its publish time (ManifestTable.history)"
     case _ => "verify manifest/file integrity (ManifestTable.fsck)"
   }
 
@@ -434,6 +449,15 @@ class GraftProcedure(catalog: GraftCatalog, verb: String)
           toVersion = input.getLong(1))
         (new StructType().add("new_version", LongType),
           Array[InternalRow](new GenericInternalRow(Array[Any](nv))))
+      case "history" =>
+        val h = ManifestTable.history(spark, root)
+        (new StructType()
+          .add("version", LongType).add("operation", StringType)
+          .add("timestamp_ms", LongType).add("batch", LongType),
+          h.map(e => new GenericInternalRow(Array[Any](
+            e.version, utf8(e.operation),
+            e.timestampMs.map(Long.box).orNull, e.batch))
+            : InternalRow).toArray)
       case _ =>
         val r = ManifestTable.fsck(spark, root)
         (new StructType()

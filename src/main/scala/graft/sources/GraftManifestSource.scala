@@ -113,7 +113,19 @@ object GraftManifestSource {
     val p = options.get("path")
     require(p != null && p.nonEmpty,
       "graft-manifest needs a table root: spark.read.format(\"graft-manifest\").load(root)")
+    // timestampAsOf (round 18): epoch millis, or any spark-parsable
+    // timestamp string — resolved onto a version through the manifest
+    // headers' commit metadata, then identical to versionAsOf
+    val tsAsOf = Option(options.get("timestampAsOf")).map { s =>
+      val ms = scala.util.Try(s.toLong).getOrElse(
+        java.sql.Timestamp.valueOf(s).getTime)
+      ManifestTable.versionAtTimestamp(
+        org.apache.spark.sql.SparkSession.active, p, ms)
+    }
     val versionAsOf = Option(options.get("versionAsOf")).map(_.toLong)
+      .orElse(tsAsOf)
+    require(tsAsOf.isEmpty || Option(options.get("versionAsOf")).isEmpty,
+      "pass versionAsOf OR timestampAsOf, not both")
     if (options.getBoolean("readChangeFeed", false)) {
       // the CDF read is its own table shape (extra _change_type /
       // _commit_version columns); snapshot addressing stays with the

@@ -230,6 +230,63 @@ class MultiLevelVerbsSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_ml_fold_t")
   }
 
+  test("history + TIMESTAMP AS OF: every version names its operation and publish time; timestamps address versions") {
+    val root = tmpDir("graft_ml_hist") + "/t"
+    // a single-level lifecycle (history is layout-agnostic; the verbs
+    // here exercise the op names). v0 lands p0 as TWO files so the
+    // optimize has something to fold; commits REPLACE touched
+    // partitions, so each batch targets its own.
+    ManifestTable.commit(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+        .withColumn("part", lit("p0")),
+      "part", batchId = 0L)
+    Thread.sleep(5)
+    ManifestTable.commit(spark, root,
+      Seq((3L, "c")).toDF("k", "v").withColumn("part", lit("p1")),
+      "part", batchId = 1L)
+    Thread.sleep(5)
+    assert(ManifestTable.deleteRows(
+      spark, root, Seq(1L).toDF("k"), "k").nonEmpty)
+    Thread.sleep(5)
+    // a pending mask makes the optimize a purge — it publishes even on
+    // single-file partitions
+    ManifestTable.deleteRowsDeferred(spark, root, Seq(2L).toDF("k"), "k")
+    ManifestTable.optimize(spark, root)
+    Thread.sleep(5)
+    ManifestTable.restore(spark, root, toVersion = 1L)
+    val h = ManifestTable.history(spark, root)
+    assert(h.map(_.version) == Seq(4L, 3L, 2L, 1L, 0L), h.toString)
+    assert(h.map(_.operation) ==
+      Seq("restore", "optimize", "delete", "commit", "commit"), h.toString)
+    assert(h.forall(_.timestampMs.isDefined))
+    // publish order is timestamp order (strictly here — the sleeps)
+    val ts = h.reverse.map(_.timestampMs.get)
+    assert(ts == ts.sorted, s"history timestamps must ascend: $ts")
+    // a timestamp between v1 and v2 addresses v1
+    val t1 = h.find(_.version == 1L).get.timestampMs.get
+    assert(ManifestTable.versionAtTimestamp(spark, root, t1) == 1L)
+    assert(ManifestTable.versionAtTimestamp(
+      spark, root, t1 + 2L) == 1L) // strictly between publishes
+    assert(ManifestTable.versionAtTimestamp(
+      spark, root, System.currentTimeMillis() + 1000L) == 4L)
+    // before the first commit: loud refusal
+    val t0 = h.find(_.version == 0L).get.timestampMs.get
+    val ex = intercept[IllegalArgumentException] {
+      ManifestTable.versionAtTimestamp(spark, root, t0 - 1L)
+    }
+    assert(ex.getMessage.contains("at or before"))
+    // the reader option resolves through the same road
+    val atV1 = spark.read.format("graft-manifest")
+      .option("timestampAsOf", t1.toString).load(root)
+    assert(atV1.count() == 3L) // v1 = both commits, pre-delete
+    val both = intercept[Exception] {
+      spark.read.format("graft-manifest")
+        .option("timestampAsOf", t1.toString)
+        .option("versionAsOf", "0").load(root).count()
+    }
+    assert(both.getMessage.contains("not both"))
+  }
+
   test("SQL DELETE with a key list metadata-routes onto deleteRows on a nested layout too") {
     val root = tmpDir("graft_ml_sqldel") + "/t"
     val rows = seed(root, "graft_ml_sqldel_t")

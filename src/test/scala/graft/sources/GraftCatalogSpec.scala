@@ -149,6 +149,31 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_c3.maint.t")
   }
 
+  test("CALL graft.system.history + TIMESTAMP AS OF: the audit surface behind SQL") {
+    register("graft_c6")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_c6.hist")
+    spark.sql("CREATE TABLE graft_c6.hist.t (k BIGINT, part STRING) " +
+      "USING `graft-manifest` PARTITIONED BY (part)")
+    spark.sql("INSERT INTO graft_c6.hist.t VALUES (1, 'p0'), (2, 'p1')")
+    Thread.sleep(5)
+    spark.sql("INSERT INTO graft_c6.hist.t VALUES (3, 'p0')")
+    Thread.sleep(5)
+    spark.sql("DELETE FROM graft_c6.hist.t WHERE k IN (1)")
+    val h = spark.sql(
+      "CALL graft_c6.system.history(`table` => 'hist.t')").collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(2L, 1L, 0L))
+    assert(h.map(_.getString(1)).toSeq == Seq("delete", "append", "append"),
+      h.mkString(", "))
+    assert(h.forall(!_.isNullAt(2)))
+    // TIMESTAMP AS OF through the catalog: v1's publish time reads v1
+    val t1 = h.find(_.getLong(0) == 1L).get.getLong(2)
+    assert(spark.sql("SELECT count(*) FROM graft_c6.hist.t " +
+      s"TIMESTAMP AS OF timestamp_millis(${t1}L)").head.getLong(0) == 3L)
+    assert(spark.sql("SELECT count(*) FROM graft_c6.hist.t")
+      .head.getLong(0) == 2L)
+    spark.sql("DROP TABLE graft_c6.hist.t")
+  }
+
   test("descriptor resilience: writes publish via tmp+rename (no tmp debris), and a corrupt descriptor on a committed table falls back to manifest-authoritative loading") {
     register("graft_c5")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_c5.res")
