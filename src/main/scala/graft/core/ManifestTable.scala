@@ -2464,6 +2464,19 @@ object ManifestTable {
       spark: SparkSession, root: String, v: Long): Seq[String] =
     if (v < 0) Nil else readManifestLines(spark, root, v).lines
 
+  /** One committed version's raw lines AND stats registration — the CDF
+    * planner's per-version unit (it prunes each version's changed-file
+    * subset under that version's own registration).
+    */
+  private[graft] def versionLineState(
+      spark: SparkSession, root: String,
+      v: Long): (Seq[String], Seq[(String, String)]) =
+    if (v < 0) (Nil, Nil)
+    else {
+      val st = readManifestLines(spark, root, v)
+      (st.lines, st.statsCols)
+    }
+
   private[graft] def scanState(
       spark: SparkSession, root: String,
       versionAsOf: Option[Long]): ScanState = {

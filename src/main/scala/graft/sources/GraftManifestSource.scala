@@ -153,6 +153,27 @@ object GraftManifestSource {
     * tables (every pre-round-17 table) yield one segment; DDL
     * `PARTITIONED BY (a, b)` tables yield the declared order.
     */
+  /** Type-aware partition-value keep test (shared by the plain scan and
+    * the CDF read): integer/date-typed levels compare canonically so a
+    * zero-padded directory spelling never diverges from the filter value.
+    */
+  private[sources] def partValueKept(
+      dt: DataType, keep: Set[String], dirValue: String): Boolean =
+    dt match {
+      case IntegerType | LongType =>
+        scala.util.Try(dirValue.trim.toLong).toOption
+          .exists(dv => keep.exists(k =>
+            scala.util.Try(k.trim.toLong).toOption.contains(dv)))
+      case DateType =>
+        // canonical comparison in days: the filter value renders as
+        // java.sql.Date/LocalDate toString ("2024-01-01"), the directory
+        // may spell components with or without zero padding
+        scala.util.Try(dateDays(dirValue)).toOption
+          .exists(dv => keep.exists(k =>
+            scala.util.Try(dateDays(k)).toOption.contains(dv)))
+      case _ => keep.contains(dirValue)
+    }
+
   private[sources] def partSegments(rel: String): Seq[(String, String)] =
     rel.split('/').dropRight(1).toSeq.map { seg =>
       val i = seg.indexOf('=')
@@ -542,20 +563,15 @@ class GraftManifestTable(
   * returned as a residual so Spark re-applies it row-level — file
   * skipping is a superset guarantee, never a row filter.
   */
-class GraftManifestScanBuilder(
-    table: GraftManifestTable,
-    startingVersion: Option[Long] = None,
-    maxVersionsPerTrigger: Option[Long] = None,
-    // row-level operations register their configured scan here — the
-    // ReplaceData write replaces exactly the files that scan chose
-    onBuildScan: Option[GraftManifestScan => Unit] = None)
-    extends ScanBuilder
-    with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+/** Conjunctive FILTER NARROWING shared by the plain scan builder and the
+  * change-feed read (round 18 — one absorption machine, so the two scans
+  * can never drift on null-in-IN, intersection or typing discipline):
+  * long zone ranges, string/long equality sets (the bloom probe keys),
+  * and per-partition-level kept-value sets.
+  */
+private[sources] class GraftFilterNarrowing(
+    statsType: Map[String, String], partitionCols: Seq[String]) {
 
-  private var required: StructType = table.schema()
-  private var pushed: Array[Filter] = Array.empty
   // per long column: conjunctive [lo, hi]
   private val longLo = scala.collection.mutable.Map[String, Long]()
   private val longHi = scala.collection.mutable.Map[String, Long]()
@@ -564,10 +580,8 @@ class GraftManifestScanBuilder(
   private val longEq = scala.collection.mutable.Map[String, Set[Long]]()
   // per partition LEVEL: conjunctive kept-value sets (round 17 —
   // multi-level layouts prune each level independently)
-  private val partKeep = scala.collection.mutable.Map[String, Set[String]]()
-  private var provablyEmpty = false
-
-  private val statsType: Map[String, String] = table.state.statsCols.toMap
+  val partKeep = scala.collection.mutable.Map[String, Set[String]]()
+  var provablyEmpty = false
 
   private def narrowLong(c: String, lo: Long, hi: Long): Unit = {
     longLo(c) = math.max(longLo.getOrElse(c, Long.MinValue), lo)
@@ -606,12 +620,12 @@ class GraftManifestScanBuilder(
   /** True iff the filter narrowed file selection (it is then REPORTED as
     * pushed; it is returned as a residual either way).
     */
-  private def absorb(f: Filter): Boolean = f match {
+  def absorb(f: Filter): Boolean = f match {
     case And(a, b) =>
       val ua = absorb(a); val ub = absorb(b); ua || ub
-    case EqualTo(c, v) if table.partitionCols.contains(c) =>
+    case EqualTo(c, v) if partitionCols.contains(c) =>
       narrowPart(c, Set(v)); true
-    case In(c, vs) if table.partitionCols.contains(c) =>
+    case In(c, vs) if partitionCols.contains(c) =>
       narrowPart(c, vs.toSet); true
     case EqualTo(c, v: Number) if statsType.get(c).contains("long") =>
       narrowEq(c, Set[Any](v)); true
@@ -636,8 +650,57 @@ class GraftManifestScanBuilder(
     case _ => false
   }
 
+  def zonePreds: Seq[ManifestTable.ZonePred] =
+    longLo.keySet.union(longHi.keySet).toSeq.sorted.flatMap { c =>
+      val lo = longLo.getOrElse(c, Long.MinValue)
+      val hi = longHi.getOrElse(c, Long.MaxValue)
+      if (lo == Long.MinValue && hi == Long.MaxValue) None
+      else if (lo > hi) None // provablyEmpty already set
+      else Some(ManifestTable.LongRange(c, lo, hi))
+    } ++ stringEq.toSeq.sortBy(_._1).flatMap { case (c, vs) =>
+      if (vs.isEmpty) None
+      else {
+        implicit val ord: Ordering[String] =
+          (a: String, b: String) => {
+            val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+            val n = math.min(x.length, y.length)
+            var i = 0
+            var d = 0
+            while (i < n && d == 0) { d = (x(i) & 0xff) - (y(i) & 0xff); i += 1 }
+            if (d != 0) d else x.length - y.length
+          }
+        Some(ManifestTable.StringRange(c, vs.min, vs.max))
+      }
+    }
+
+  def bloomKeys: Map[String, Seq[Long]] =
+    longEq.map { case (c, vs) => c -> vs.toSeq.sorted }.toMap ++
+      stringEq.map { case (c, vs) =>
+        c -> vs.toSeq.sorted.map(ManifestTable.xx64String)
+      }
+}
+
+class GraftManifestScanBuilder(
+    table: GraftManifestTable,
+    startingVersion: Option[Long] = None,
+    maxVersionsPerTrigger: Option[Long] = None,
+    // row-level operations register their configured scan here — the
+    // ReplaceData write replaces exactly the files that scan chose
+    onBuildScan: Option[GraftManifestScan => Unit] = None)
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
+
+  private var required: StructType = table.schema()
+  private var pushed: Array[Filter] = Array.empty
+  private val narrowing = new GraftFilterNarrowing(
+    table.state.statsCols.toMap, table.partitionCols)
+  private def partKeep = narrowing.partKeep
+  private def provablyEmpty = narrowing.provablyEmpty
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(absorb)
+    pushed = filters.filter(narrowing.absorb)
     filters // every filter stays a residual: skipping is file-level only
   }
 
@@ -746,35 +809,8 @@ class GraftManifestScanBuilder(
       case Some((schema, row)) => return new GraftAggScan(table, schema, row)
       case None => ()
     }
-    val preds: Seq[ManifestTable.ZonePred] =
-      longLo.keySet.union(longHi.keySet).toSeq.sorted.flatMap { c =>
-        val lo = longLo.getOrElse(c, Long.MinValue)
-        val hi = longHi.getOrElse(c, Long.MaxValue)
-        if (lo == Long.MinValue && hi == Long.MaxValue) None
-        else if (lo > hi) None // provablyEmpty already set
-        else Some(ManifestTable.LongRange(c, lo, hi))
-      } ++ stringEq.toSeq.sortBy(_._1).flatMap { case (c, vs) =>
-        if (vs.isEmpty) None
-        else {
-          implicit val ord: Ordering[String] =
-            (a: String, b: String) => {
-              val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
-              val n = math.min(x.length, y.length)
-              var i = 0
-              var d = 0
-              while (i < n && d == 0) { d = (x(i) & 0xff) - (y(i) & 0xff); i += 1 }
-              if (d != 0) d else x.length - y.length
-            }
-          Some(ManifestTable.StringRange(c, vs.min, vs.max))
-        }
-      }
-    val bloomKeys: Map[String, Seq[Long]] =
-      longEq.map { case (c, vs) => c -> vs.toSeq.sorted }.toMap ++
-        stringEq.map { case (c, vs) =>
-          c -> vs.toSeq.sorted.map(ManifestTable.xx64String)
-        }
     val scan = new GraftManifestScan(
-      table, required, preds, bloomKeys,
+      table, required, narrowing.zonePreds, narrowing.bloomKeys,
       partKeep.toMap, provablyEmpty, pushed.toSeq, startingVersion,
       maxVersionsPerTrigger)
     onBuildScan.foreach(_(scan))
@@ -956,21 +992,7 @@ class GraftManifestScan(
 
   private def partValueKept(
       dt: DataType, keep: Set[String], dirValue: String): Boolean =
-    dt match {
-      case IntegerType | LongType =>
-        scala.util.Try(dirValue.trim.toLong).toOption
-          .exists(dv => keep.exists(k =>
-            scala.util.Try(k.trim.toLong).toOption.contains(dv)))
-      case DateType =>
-        // canonical comparison in days: the filter value renders as
-        // java.sql.Date/LocalDate toString ("2024-01-01"), the directory
-        // may spell components with or without zero padding
-        scala.util.Try(GraftManifestSource.dateDays(dirValue)).toOption
-          .exists(dv => keep.exists(k =>
-            scala.util.Try(GraftManifestSource.dateDays(k)).toOption
-              .contains(dv)))
-      case _ => keep.contains(dirValue)
-    }
+    GraftManifestSource.partValueKept(dt, keep, dirValue)
 
   /** Per-file (bytes, rows) from the manifest's own `%#` line meta —
     * planning needs ZERO per-file filesystem calls on tables written

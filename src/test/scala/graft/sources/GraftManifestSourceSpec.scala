@@ -905,6 +905,83 @@ class GraftManifestSourceSpec extends SparkSpec {
     }
   }
 
+  test("readChangeFeed pushdown: key/partition filters bound each version's changed files, feed columns clamp the plan, zero per-file probes") {
+    val root = tmpDir("graft_dsv2_cdfpd") + "/t"
+    for (b <- 0 until 3)
+      ManifestTable.commit(spark, root,
+        (0 until 10).map(i => (100L * b + i, s"b$b")).toDF("k", "part"),
+        "part", batchId = b.toLong, statsCol = Some("k"))
+    ManifestTable.deleteRows(spark, root, Seq(103L, 107L).toDF("k"), "k")
+    def feed: DataFrame = spark.read.format("graft-manifest")
+      .option("readChangeFeed", "true").load(root)
+    def cdfScans(df: DataFrame): Seq[GraftCdfScan] = {
+      def walk(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[GraftCdfScan] = {
+        val here = p match {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+            if b.scan.isInstanceOf[GraftCdfScan] =>
+            Seq(b.scan.asInstanceOf[GraftCdfScan])
+          case _ => Nil
+        }
+        val kids = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            Seq(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            Seq(q.plan)
+          case other => other.children
+        }
+        here ++ kids.flatMap(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+    }
+    def planned(df: DataFrame): Seq[GraftCdfPartition] =
+      cdfScans(df).flatMap(_.plannedPartitions.toSeq)
+        .map(_.asInstanceOf[GraftCdfPartition])
+    def nFiles(df: DataFrame): Int = planned(df).map(_.files.length).sum
+    val probes0 = GraftCdfScan.lenProbeCount.get()
+    val baseCols = Seq("k", "_change_type", "_commit_version")
+    val baseFiles = nFiles(feed.select(baseCols.map(col): _*))
+    assert(baseFiles >= 5, s"v0..v2 inserts + v3 delete+insert: $baseFiles")
+    // ZONE pruning: k=205 lives only in v2's added file — every other
+    // version's changed files are outside the key's envelope
+    val q = feed.filter(col("k") === 205L).select(baseCols.map(col): _*)
+    assert(q.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((205L, "insert", 2L)))
+    assert(nFiles(q) < baseFiles && planned(q).nonEmpty &&
+      planned(q).forall(p => p.version == 2L && p.changeType == "insert"),
+      s"zone pushdown must keep v2 insert file(s) only: ${planned(q)}")
+    // PARTITION pruning bounds the feed to one lineage's files
+    val qp = feed.filter(col("part") === "b0").select(baseCols.map(col): _*)
+    assert(qp.count() == 10L && nFiles(qp) < baseFiles &&
+      planned(qp).forall(_.version == 0L))
+    // _change_type drops the other SIDE wholesale
+    val qi = feed.filter(col("_change_type") === "insert")
+      .select(baseCols.map(col): _*)
+    assert(qi.count() == 38L)
+    assert(planned(qi).forall(_.changeType == "insert"))
+    // _commit_version clamps the version WINDOW before any manifest read
+    val qv = feed.filter(col("_commit_version") === 1L)
+      .select(baseCols.map(col): _*)
+    assert(qv.collect().map(_.getLong(0)).sorted.toSeq ==
+      (0 until 10).map(100L + _))
+    assert(planned(qv).forall(_.version == 1L) && nFiles(qv) < baseFiles)
+    // pushdown changes FILES, never VALUES: residual filters serve the
+    // same rows the unfiltered feed would after a post-filter
+    val full = feed.select(baseCols.map(col): _*).collect()
+      .filter(r => r.getLong(0) >= 100L && r.getLong(0) <= 109L).toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    val pushed = feed.filter(col("k").between(100L, 109L))
+      .select(baseCols.map(col): _*).collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    assert(pushed == full)
+    // the U31 law on the feed: `%#`-meta tables plan with ZERO per-file
+    // filesystem probes, however many plans this test ran
+    assert(GraftCdfScan.lenProbeCount.get() == probes0,
+      "CDF planning ran per-file getFileStatus probes on a meta-carrying " +
+        "table")
+  }
+
   test("streaming readChangeFeed: rewriting tables stream as insert/delete deltas; incremental catch-up; admission bound") {
     val root = tmpDir("graft_dsv2_cdfs") + "/t"
     for (b <- 0 until 3)
