@@ -255,7 +255,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         (t.schema(), t.partitionCols, t.declaredStatsColumns)
     }
     var schema = schema0
+    var statsCols = stats
     changes.foreach {
+      // ALTER TABLE t SET TBLPROPERTIES ('statsColumns' = 'k,lang') —
+      // zone-map registration AFTER creation (round 18): the descriptor
+      // list drives every future catalog write's registration, and the
+      // manifest's own additive-migration rule extends the recorded
+      // suffixes from the next commit on (old lines pad conservatively
+      // until rewritten). Only APPENDING columns is legal — reordering
+      // or dropping would re-meaning existing stats suffixes.
+      case set: TableChange.SetProperty
+          if set.property.equalsIgnoreCase("statsColumns") =>
+        val asked = set.value.split(',').map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        require(asked.startsWith(statsCols),
+          s"graft catalog: statsColumns must extend the declared list " +
+            s"'${statsCols.mkString(",")}' additively (got " +
+            s"'${asked.mkString(",")}') — reordering or dropping would " +
+            "re-meaning recorded zone-map suffixes")
+        asked.foreach { c =>
+          val fd = schema.fields.find(_.name == c).getOrElse(
+            throw new IllegalArgumentException(
+              s"statsColumns names '$c', absent from the table schema"))
+          require(fd.dataType == LongType || fd.dataType == IntegerType ||
+            fd.dataType == StringType,
+            s"zone-map column '$c' has unsupported type " +
+              s"${fd.dataType.simpleString} — only integer and string " +
+              "columns carry manifest stats")
+        }
+        statsCols = asked
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
           "graft catalog: only top-level columns can be added " +
@@ -278,8 +306,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "only nullable ADD COLUMN (the additive-evolution contract); " +
           "drops/renames/retypes are rewrite jobs")
     }
-    writeDescriptor(d, schema, parts, stats)
-    new GraftManifestTable(d.toString, None, Some(schema), parts, stats)
+    writeDescriptor(d, schema, parts, statsCols)
+    new GraftManifestTable(d.toString, None, Some(schema), parts, statsCols)
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -386,7 +414,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
 private[sources] object GraftProcedures {
   val Names: Seq[String] =
-    Seq("optimize", "vacuum", "restore", "fsck", "history")
+    Seq("optimize", "vacuum", "restore", "fsck", "history",
+      "rewrite_partitions", "build_bloom_index", "drop_partitions",
+      "delete_deferred")
 }
 
 /** One maintenance procedure, bound to its engine verb. The result rows
@@ -407,6 +437,16 @@ class GraftProcedure(catalog: GraftCatalog, verb: String)
       "version as a new commit (ManifestTable.restore)"
     case "history" => "every retained version with the operation that " +
       "produced it and its publish time (ManifestTable.history)"
+    case "rewrite_partitions" => "fold every lineage partition into one " +
+      "value, range- or Z-order-clustered " +
+      "(ManifestTable.optimizeRewritePartitions)"
+    case "build_bloom_index" => "build/refresh the per-file bloom sidecar " +
+      "for a key column (ManifestTable.buildBloomIndex)"
+    case "drop_partitions" => "metadata-only partition TTL: drop the " +
+      "named first-level values (ManifestTable.dropPartitions)"
+    case "delete_deferred" => "record a merge-on-read deletion mask for " +
+      "the given keys; the next optimize purges " +
+      "(ManifestTable.deleteRowsDeferred)"
     case _ => "verify manifest/file integrity (ManifestTable.fsck)"
   }
 
@@ -422,6 +462,28 @@ class GraftProcedure(catalog: GraftCatalog, verb: String)
         ProcedureParameter.in("keep_versions", IntegerType).build())
       case "restore" => Array(table,
         ProcedureParameter.in("version", LongType).build())
+      case "rewrite_partitions" => Array(table,
+        ProcedureParameter.in("new_value", StringType)
+          .comment("the folded partition's value").build(),
+        ProcedureParameter.in("zorder_by", StringType)
+          .defaultValue("CAST(NULL AS STRING)")
+          .comment("two registered long zone-map columns, 'x,y' — " +
+            "Z-order-cluster the fold instead of range-clustering on " +
+            "the primary").build())
+      case "build_bloom_index" => Array(table,
+        ProcedureParameter.in("key_col", StringType).build(),
+        ProcedureParameter.in("bits_per_key", IntegerType)
+          .defaultValue("10").build(),
+        ProcedureParameter.in("num_hashes", IntegerType)
+          .defaultValue("7").build())
+      case "drop_partitions" => Array(table,
+        ProcedureParameter.in("values", StringType)
+          .comment("comma-separated first-level partition values").build())
+      case "delete_deferred" => Array(table,
+        ProcedureParameter.in("key_col", StringType).build(),
+        ProcedureParameter.in("keys", StringType)
+          .comment("comma-separated key values, cast to the column's " +
+            "type").build())
       case _ => Array(table)
     }
   }
@@ -458,6 +520,57 @@ class GraftProcedure(catalog: GraftCatalog, verb: String)
             e.version, utf8(e.operation),
             e.timestampMs.map(Long.box).orNull, e.batch))
             : InternalRow).toArray)
+      case "rewrite_partitions" =>
+        val newValue = input.getUTF8String(1).toString
+        val zOrder = if (input.isNullAt(2)) None else {
+          input.getUTF8String(2).toString.split(',')
+            .map(_.trim).filter(_.nonEmpty) match {
+            case Array(x, y) => Some((x, y))
+            case other => throw new IllegalArgumentException(
+              s"zorder_by needs exactly two columns 'x,y', got " +
+                s"'${other.mkString(",")}'")
+          }
+        }
+        val st = ManifestTable.optimizeRewritePartitions(
+          spark, root, newValue, zOrderCols = zOrder)
+        (new StructType()
+          .add("partition", StringType).add("input_files", IntegerType)
+          .add("output_files", IntegerType),
+          st.map(s => new GenericInternalRow(Array[Any](
+            utf8(s.partition), s.inputFiles, s.outputFiles))
+            : InternalRow).toArray)
+      case "build_bloom_index" =>
+        val bs = ManifestTable.buildBloomIndex(spark, root,
+          keyCol = input.getUTF8String(1).toString,
+          bitsPerKey = input.getInt(2), numHashes = input.getInt(3))
+        (new StructType()
+          .add("files_indexed", IntegerType)
+          .add("files_carried", IntegerType)
+          .add("stale_dropped", IntegerType),
+          Array[InternalRow](new GenericInternalRow(Array[Any](
+            bs.filesIndexed, bs.filesCarried, bs.staleDropped))))
+      case "drop_partitions" =>
+        val vals = input.getUTF8String(1).toString.split(',')
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        val dropped = ManifestTable.dropPartitions(spark, root, vals)
+        (new StructType().add("lines_dropped", LongType),
+          Array[InternalRow](new GenericInternalRow(Array[Any](
+            dropped.getOrElse(0L)))))
+      case "delete_deferred" =>
+        val keyCol = input.getUTF8String(1).toString
+        val raw = input.getUTF8String(2).toString.split(',')
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        require(raw.nonEmpty, "delete_deferred: keys must name at least " +
+          "one value")
+        import org.apache.spark.sql.functions.col
+        val keys = spark.createDataset(raw)(
+          org.apache.spark.sql.Encoders.STRING).toDF(keyCol)
+          .select(col(keyCol)) // deleteRowsDeferred casts to the column type
+        val st = ManifestTable.deleteRowsDeferred(spark, root, keys, keyCol)
+        (new StructType()
+          .add("keys_recorded", LongType).add("keys_pending", LongType),
+          Array[InternalRow](new GenericInternalRow(Array[Any](
+            st.keysRecorded, st.keysPending))))
       case _ =>
         val r = ManifestTable.fsck(spark, root)
         (new StructType()

@@ -174,6 +174,72 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_c6.hist.t")
   }
 
+  test("the full maintenance CALL surface: rewrite_partitions (plain + Z-order), build_bloom_index, drop_partitions, delete_deferred; ALTER TABLE SET registers zone maps post-creation") {
+    register("graft_c7")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_c7.ops")
+    spark.sql("CREATE TABLE graft_c7.ops.t (k BIGINT, x BIGINT, " +
+      "part STRING) USING `graft-manifest` " +
+      "OPTIONS (statsColumns 'k') PARTITIONED BY (part)")
+    // 3 lineage batches
+    for (b <- 0 until 3)
+      spark.sql(s"INSERT INTO graft_c7.ops.t VALUES " +
+        (0 until 4).map(i => s"(${100 * b + i}, ${1000 - 100 * b - i}, " +
+          s"'b$b')").mkString(", "))
+    def cnt(): Long = spark.sql(
+      "SELECT count(*) FROM graft_c7.ops.t").head.getLong(0)
+    assert(cnt() == 12L)
+    // ALTER TABLE SET registers a SECOND zone-map column additively; the
+    // non-additive spelling refuses
+    spark.sql("ALTER TABLE graft_c7.ops.t " +
+      "SET TBLPROPERTIES ('statsColumns' = 'k,x')")
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    val exSet = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_c7.ops.t " +
+        "SET TBLPROPERTIES ('statsColumns' = 'x')")
+    }
+    assert(chain(exSet).exists(_.contains("additively")), chain(exSet))
+    // one more insert records x's stats under the extended registration
+    spark.sql("INSERT INTO graft_c7.ops.t VALUES (999, 1, 'b3')")
+    // bloom sidecar behind CALL
+    val bi = spark.sql("CALL graft_c7.system.build_bloom_index(" +
+      "`table` => 'ops.t', key_col => 'k')").head
+    assert(bi.getInt(0) >= 4 && bi.getInt(2) == 0, bi.toString)
+    // deferred mask behind CALL: applies immediately
+    val dd = spark.sql("CALL graft_c7.system.delete_deferred(" +
+      "`table` => 'ops.t', key_col => 'k', keys => '0,101')").head
+    assert(dd.getLong(0) == 2L && dd.getLong(1) == 2L, dd.toString)
+    assert(cnt() == 11L)
+    spark.sql("CALL graft_c7.system.optimize(`table` => 'ops.t')") // purge
+    assert(cnt() == 11L)
+    // Z-order fold behind CALL: values unchanged (layout-only), one
+    // folded first-level partition
+    val rp = spark.sql("CALL graft_c7.system.rewrite_partitions(" +
+      "`table` => 'ops.t', new_value => 'folded', " +
+      "zorder_by => 'k,x')").head
+    assert(rp.getString(0) == "part=folded", rp.toString)
+    assert(cnt() == 11L)
+    assert(spark.sql("SELECT DISTINCT part FROM graft_c7.ops.t").collect()
+      .map(_.getString(0)).toSeq == Seq("folded"))
+    // two-column zorder_by is required
+    val exZ = intercept[Exception] {
+      spark.sql("CALL graft_c7.system.rewrite_partitions(" +
+        "`table` => 'ops.t', new_value => 'f2', zorder_by => 'k')")
+    }
+    assert(chain(exZ).exists(_.contains("exactly two")), chain(exZ))
+    // partition TTL behind CALL: drop the folded value -> empty table,
+    // metadata-only (time travel intact)
+    val dp = spark.sql("CALL graft_c7.system.drop_partitions(" +
+      "`table` => 'ops.t', values => 'folded')").head
+    assert(dp.getLong(0) >= 1L, dp.toString)
+    assert(cnt() == 0L)
+    val hist = spark.sql(
+      "CALL graft_c7.system.history(`table` => 'ops.t')").collect()
+    assert(hist.head.getString(1) == "drop-partitions",
+      hist.map(_.getString(1)).mkString(", "))
+    spark.sql("DROP TABLE graft_c7.ops.t")
+  }
+
   test("descriptor resilience: writes publish via tmp+rename (no tmp debris), and a corrupt descriptor on a committed table falls back to manifest-authoritative loading") {
     register("graft_c5")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_c5.res")
