@@ -2255,6 +2255,12 @@ object SparkEntry {
     "m5_audio_resample" -> ((s, dir) =>
       graft.operators.Multimodal.audioResample(
         graft.operators.Multimodal.mediaFromDocuments(t(s, dir, "documents")))),
+    // m7 (round 18): MIXED-container decode — PNG, JPEG and undecodable
+    // raw blobs through one ImageIO road (real crawls are JPEG-heavy);
+    // JPEG is lossy so its rows gate dimensions/bands + decodability,
+    // raw rows gate the null quarantine
+    "m7_jpeg_decode" -> ((s, dir) =>
+      graft.operators.Multimodal.mixedDecode(t(s, dir, "documents"))),
     // ---- Similarity search over embeddings ----
     "k1_topk_cosine" -> ((s, dir) =>
       graft.operators.Similarity.topKCosine(
@@ -4737,6 +4743,17 @@ object SparkEntry {
         "(64 + doc_id % 192 + 1) // 2 AS n_samples, " +
         "1000 + doc_id % 9000 AS peak, " +
         "(1000 + doc_id % 9000) * 1000 AS mean_abs_milli " +
+        "FROM documents"),
+    // m7: mixed-container decode — PNG dims are the m1 fixture's, JPEG
+    // dims the JPEG fixture's (lossy: no channel-mean gate), raw rows
+    // are the null quarantine; all closed-form in the id
+    "m7_jpeg_decode" ->
+      ("SELECT doc_id AS media_id, " +
+        "CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'raw' END AS container, " +
+        "CASE doc_id % 3 WHEN 0 THEN 4 + doc_id % 29 WHEN 1 THEN 8 + doc_id % 17 ELSE NULL END AS width, " +
+        "CASE doc_id % 3 WHEN 0 THEN 4 + (doc_id * 7) % 23 WHEN 1 THEN 8 + (doc_id * 5) % 13 ELSE NULL END AS height, " +
+        "CASE doc_id % 3 WHEN 2 THEN NULL ELSE CAST(3 AS BIGINT) END AS channels, " +
+        "CASE doc_id % 3 WHEN 2 THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS decode_ok " +
         "FROM documents"),
     "m3_wav_decode" ->
       ("SELECT doc_id AS media_id, " +

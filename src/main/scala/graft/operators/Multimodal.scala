@@ -96,6 +96,61 @@ object Multimodal {
       bos.toByteArray
     }
 
+  /** Deterministic JPEG fixture bytes per media id (round 18 — real
+    * crawl corpora are overwhelmingly JPEG, and the PNG-only fixtures
+    * never exercised ImageIO's JPEG road): a `(8 + id%17) × (8 + 5id%13)`
+    * gradient image through the real JDK JPEG writer. JPEG is LOSSY, so
+    * only decode PROPERTIES (dimensions, band count, decodability) are
+    * closed-form gateable — channel means stay a PNG-only gate.
+    */
+  val encodeJpegFixture: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (id: Long) =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val w = (8 + (id % 17)).toInt
+      val h = (8 + ((id * 5) % 13)).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y,
+            (((id + x) % 256).toInt << 16) |
+              (((id * 3 + y) % 256).toInt << 8) | ((id * 5) % 256).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+
+  /** Mixed-container decode (round 18, the m7 key): a corpus whose blobs
+    * are PNG (id%3=0), JPEG (id%3=1) or undecodable raw bytes (id%3=2),
+    * pushed through ONE [[decodeImage]] road — exactly what a crawl
+    * pipeline sees. Per row: the container tag, decoded dimensions/bands
+    * (closed-form for both codecs), and the null-quarantine verdict;
+    * lossy JPEG rows gate dimensions and band count only.
+    */
+  def mixedDecode(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("media_id"),
+      expr("CASE pmod(doc_id, 3) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' " +
+        "ELSE 'raw' END").as("container"),
+      col("doc_id"), col("text"))
+      .withColumn("blob",
+        when(col("container") === "png", encodePngFixture(col("doc_id")))
+          .when(col("container") === "jpeg", encodeJpegFixture(col("doc_id")))
+          .otherwise(col("text").cast("binary")))
+      .withColumn("decoded", decodeImage(col("blob")))
+      .select(
+        col("media_id"),
+        col("container"),
+        col("decoded.width").as("width"),
+        col("decoded.height").as("height"),
+        col("decoded.channels").as("channels"),
+        when(col("decoded").isNotNull, 1L).otherwise(0L).as("decode_ok"))
+
   /** REAL image decode over a binary PNG/JPEG/BMP column (JDK ImageIO):
     * dimensions, band count, and exact integer channel means. Returns null
     * for bytes no installed reader accepts (corrupt/unknown container) —

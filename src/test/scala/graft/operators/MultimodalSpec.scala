@@ -146,6 +146,53 @@ class MultimodalSpec extends SparkSpec {
       "garbage bytes must decode to null, not crash or fake values")
   }
 
+  test("JPEG road (round 18): mixedDecode gates PNG values, JPEG dims/bands, raw null-quarantine; thumbnails resample JPEG bytes") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents").limit(60)
+    val out = Multimodal.mixedDecode(docs).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      r.getString(1) match {
+        case "png" =>
+          assert(r.getLong(5) == 1L)
+          assert(r.getLong(2) == 4 + id % 29 && r.getLong(3) == 4 + (id * 7) % 23)
+          assert(r.getLong(4) == 3L)
+        case "jpeg" =>
+          assert(r.getLong(5) == 1L, s"JPEG blob of id=$id must decode")
+          assert(r.getLong(2) == 8 + id % 17 && r.getLong(3) == 8 + (id * 5) % 13)
+          assert(r.getLong(4) == 3L)
+        case "raw" =>
+          assert(r.getLong(5) == 0L && r.isNullAt(2) && r.isNullAt(3),
+            s"raw bytes of id=$id must quarantine as null")
+      }
+    }
+    assert(Set("png", "jpeg", "raw").subsetOf(
+      out.map(_.getString(1)).toSet))
+    // the m4 resample chain accepts JPEG INPUT bytes too: decode -> half
+    // -> re-encode PNG -> decode (dims gate; JPEG is lossy so means don't)
+    val jpegId = out.find(_.getString(1) == "jpeg").get.getLong(0)
+    val thumb = Seq(jpegId).toDF("id")
+      .withColumn("blob", Multimodal.encodeJpegFixture(col("id")))
+      .withColumn("decoded",
+        Multimodal.decodeImage(Multimodal.resizeHalf(col("blob"))))
+      .select("decoded.width", "decoded.height", "decoded.channels").head()
+    assert(thumb.getLong(0) == (8 + jpegId % 17 + 1) / 2 &&
+      thumb.getLong(1) == (8 + (jpegId * 5) % 13 + 1) / 2 &&
+      thumb.getLong(2) == 3L)
+    // an independently-built JPEG (not the fixture) parses too
+    val img = new java.awt.image.BufferedImage(
+      9, 6, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 6; x <- 0 until 9)
+      img.setRGB(x, y, (40 << 16) | (80 << 8) | 120)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val d = Seq((1L, bos.toByteArray)).toDF("id", "bytes")
+      .withColumn("decoded", Multimodal.decodeImage(col("bytes")))
+      .select("decoded.*").head()
+    assert(d.getLong(0) == 9L && d.getLong(1) == 6L && d.getLong(2) == 3L)
+  }
+
   test("audio decimation through the codec: half rate, ceil-half frames, invariant stats; garbage quarantines") {
     import spark.implicits._
     val media = Seq(0L, 5L, 7L, 191L).toDF("media_id")
