@@ -1443,7 +1443,10 @@ class GraftPartitionReader(
     // finding, round 15); ParquetReader's own internal footer read is
     // the only other one
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
-    val fr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    // explicit read options: the no-options open constructs (and
+    // XML-parses) a fresh Configuration per file (round 18)
+    val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      in, org.apache.parquet.HadoopReadOptions.builder(conf).build())
     val (fileSchema, rowCount) =
       try (fr.getFooter.getFileMetaData.getSchema,
         fr.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
@@ -1762,7 +1765,8 @@ class GraftColumnarReader(
     val (rel, _) = files(fileIdx)
     val p = new Path(root, rel)
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
-    val fr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      in, org.apache.parquet.HadoopReadOptions.builder(conf).build())
     val (footer, fileSchema, rowCount) =
       try (fr.getFooter, fr.getFooter.getFileMetaData.getSchema,
         fr.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
@@ -1942,9 +1946,40 @@ class GraftWrite(
     info: org.apache.spark.sql.connector.write.LogicalWriteInfo,
     truncate: Boolean)
     extends org.apache.spark.sql.connector.write.Write
-    with org.apache.spark.sql.connector.write.BatchWrite {
+    with org.apache.spark.sql.connector.write.BatchWrite
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
   private def spark = SparkSession.active
+
+  /** CLUSTER + SORT the incoming rows by the partition columns (round 18
+    * — found by the sf1 anchor of the 100-leaf u28 table): an UNSORTED
+    * row stream over more live partition values than `maxOpenWriters`
+    * thrashes the executor's LRU writer cap — every eviction+revisit
+    * opens a FRESH file, and a 50k-row insert degenerated to 50k
+    * one-row files (then 50k driver footer reads at commit). Requesting
+    * a clustered distribution (NOT strictly required — under AQE that
+    * compiles to a rebalance, which also splits skewed leaves) plus a
+    * per-task sort makes each task see its leaves contiguously: one
+    * writer at a time, one file per (task, leaf), the LRU never evicts
+    * a writer that will be revisited — Spark's own file-source insert
+    * discipline, DSv2-native.
+    */
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    org.apache.spark.sql.connector.distributions.Distributions.clustered(
+      pcs.map(pc =>
+        org.apache.spark.sql.connector.expressions.Expressions.identity(pc)
+          : org.apache.spark.sql.connector.expressions.Expression).toArray)
+
+  override def distributionStrictlyRequired(): Boolean = false
+
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    pcs.map(pc =>
+      org.apache.spark.sql.connector.expressions.Expressions.sort(
+        org.apache.spark.sql.connector.expressions.Expressions.column(pc),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+      .toArray
 
   private val pcs: Seq[String] = {
     val fromOpts =

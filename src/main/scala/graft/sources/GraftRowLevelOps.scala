@@ -106,9 +106,32 @@ class GraftReplaceWrite(
     table: GraftManifestTable,
     info: LogicalWriteInfo,
     op: GraftRowLevelOperation)
-    extends Write with BatchWrite {
+    extends Write with BatchWrite
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
   private def spark = SparkSession.active
+
+  /** Same clustering + sort discipline as [[GraftWrite]] (round 18): the
+    * replacement rows of a COW rewrite span every touched leaf, and an
+    * unsorted stream over more leaves than the writer cap degenerates to
+    * one file per row.
+    */
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    org.apache.spark.sql.connector.distributions.Distributions.clustered(
+      pcs.map(pc =>
+        org.apache.spark.sql.connector.expressions.Expressions.identity(pc)
+          : org.apache.spark.sql.connector.expressions.Expression).toArray)
+
+  override def distributionStrictlyRequired(): Boolean = false
+
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    pcs.map(pc =>
+      org.apache.spark.sql.connector.expressions.Expressions.sort(
+        org.apache.spark.sql.connector.expressions.Expressions.column(pc),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+      .toArray
 
   private val pcs: Seq[String] = {
     require(table.partitionCols.nonEmpty,

@@ -421,13 +421,16 @@ class GraftManifestSourceSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_ddl_t")
   }
 
-  test("DSv2 write: a high-cardinality partition column under a small writer cap round-trips exactly") {
+  test("DSv2 write: a high-cardinality partition column clusters+sorts into ONE file per leaf (round 18), rows exact") {
     import org.apache.spark.sql.SaveMode
     val root = tmpDir("graft_dsv2_cap") + "/t"
     ManifestTable.commit(spark, root,
       Seq((-1L, "seed")).toDF("k", "part"), "part", batchId = 0L)
-    // 200 rows round-robining 40 partition values in ONE task: cap 4
-    // forces constant close/reopen — every row must still land
+    // 200 rows round-robining 40 partition values under a 4-writer cap:
+    // before round 18 the unsorted stream thrashed the LRU into one file
+    // per few rows (the sf1 u28 anchor hit 50k files for 50k rows); the
+    // write now REQUESTS a clustered+sorted distribution, so each leaf
+    // is visited contiguously and the cap never evicts a live writer
     val rows = (0 until 200).map(i => (i.toLong, s"p${i % 40}"))
     rows.toDF("k", "part").repartition(1)
       .write.format("graft-manifest").mode(SaveMode.Append)
@@ -435,15 +438,43 @@ class GraftManifestSourceSpec extends SparkSpec {
     val got = fmt(root).filter(col("k") >= 0).select("k", "part").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(got == rows.toSet, "rows lost or duplicated under the writer cap")
-    // the cap really engaged: more files than a one-writer-per-value
-    // task would produce (40 values, thrashing -> many reopened files)
     val lines = spark.read.format("graft-manifest").load(root)
       .queryExecution.executedPlan.collect {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
           if b.scan.isInstanceOf[GraftManifestScan] =>
           b.scan.asInstanceOf[GraftManifestScan].totalFiles
       }.head
-    assert(lines > 41, s"writer cap never engaged: $lines files")
+    assert(lines == 41,
+      s"clustered+sorted write must land one file per leaf (+1 seed): $lines")
+  }
+
+  test("writer LRU cap: an UNSORTED stream (the streaming sink's shape) still round-trips exactly under eviction") {
+    // the eviction road stays live for writers Spark does not sort (the
+    // native streaming sink) — drive GraftDataWriter directly with rows
+    // interleaved across more leaves than the cap and prove no row is
+    // lost and revisits open fresh files
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val stage = tmpDir("graft_writer_lru") + "/stage"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("part",
+        org.apache.spark.sql.types.StringType)))
+    val w = new GraftDataWriter(stage, schema, Seq("part"),
+      partitionId = 0, taskId = 0L,
+      confProps = GraftManifestSource.confProps(spark), maxOpenWriters = 2)
+    val rows = (0 until 60).map(i => (i.toLong, s"p${i % 6}"))
+    rows.foreach { case (k, p) =>
+      w.write(InternalRow(k, UTF8String.fromString(p)))
+    }
+    val msg = w.commit().asInstanceOf[GraftCommitMessage]
+    assert(msg.files.length > 6,
+      s"cap 2 over 6 interleaved leaves must evict+reopen: ${msg.files.length}")
+    val back = spark.read.parquet(
+      msg.files.map(_._2).distinct: _*).collect()
+      .map(r => (r.getLong(0))).toSet
+    assert(back == rows.map(_._1).toSet, "eviction lost or duplicated rows")
   }
 
   test("aggregate pushdown: COUNT/MIN/MAX answer from the manifest alone — zero file IO, with honest refusals") {
