@@ -413,6 +413,39 @@ object ManifestTable {
     eligible.map(_.version).max
   }
 
+  /** The EARLIEST version published at or after `tsMs` — the change
+    * feed's `startingTimestamp` rule (Delta semantics: "changes since t"
+    * begins at the first commit not before t). Loud refusal when every
+    * stamped version predates the ask — an empty feed would silently
+    * read as "nothing changed since t", which is only true until the
+    * next commit.
+    */
+  def versionSinceTimestamp(
+      spark: SparkSession, root: String, tsMs: Long): Long = {
+    val h = history(spark, root)
+    require(h.nonEmpty, s"no committed version under $root")
+    val stamped = h.filter(_.timestampMs.isDefined)
+    require(stamped.nonEmpty,
+      s"no version under $root carries a commit timestamp (all predate " +
+        "commit metadata) — address by startingVersion instead")
+    val eligible = stamped.filter(_.timestampMs.get >= tsMs)
+    require(eligible.nonEmpty,
+      s"no committed version at or after timestamp $tsMs under $root " +
+        s"(latest recorded: ${stamped.map(_.timestampMs.get).max}) — " +
+        "an empty feed here would silently mean 'nothing changed', " +
+        "which the next commit falsifies; pass startingVersion " +
+        "explicitly if that is really meant")
+    eligible.map(_.version).min
+  }
+
+  /** TIMESTAMP-addressed snapshot read — [[readVersion]] at
+    * [[versionAtTimestamp]]'s resolution (the Scala face of
+    * `TIMESTAMP AS OF`).
+    */
+  def readAtTimestamp(
+      spark: SparkSession, root: String, tsMs: Long): DataFrame =
+    readVersion(spark, root, versionAtTimestamp(spark, root, tsMs))
+
   /** Commit `touched` (the REPLACEMENT rows for every partition value in
     * its `partitionCol`) against the current version: untouched partitions
     * carry their existing files forward; touched partitions' old files are
@@ -1000,11 +1033,26 @@ object ManifestTable {
       // read the live files DIRECTLY (no basePath: data columns only —
       // the partition value lives in the directory name, as commit wrote
       // it), rewrite evenly, stage beside the table
-      maskRows((st.schema match { // evolved tables null-fill older files' columns
+      val leafRows = maskRows((st.schema match {
+        // evolved tables null-fill older files' columns
         case Some(sch) => spark.read.schema(sch)
         case None => spark.read
       }).parquet(rels.map(r => s"$root/$r"): _*))
-        .repartition(nOut)
+      // RANGE-CLUSTER the rewrite on the primary zone-map column (round
+      // 18, the fold's discipline applied to plain compaction): a
+      // round-robin repartition smears every output file across the full
+      // value range, so the regenerated zone maps cover everything and
+      // file skipping DEGRADES at exactly the moment the table gets
+      // healthier — with range clustering the compacted files' [min, max]
+      // stay near-disjoint and pruning survives the fold (spec-pinned).
+      // Single-output leaves and stats-less tables keep the plain path.
+      val clusteredLeaf = statsCols.headOption match {
+        case Some((c, _)) if nOut > 1 &&
+            leafRows.columns.contains(c) =>
+          leafRows.repartitionByRange(nOut, col(c))
+        case _ => leafRows.repartition(nOut)
+      }
+      clusteredLeaf
         .write.mode("overwrite").parquet(new Path(stage, partName).toString)
       val dest = new Path(rootPath, partName)
       val outLines = scala.collection.mutable.ListBuffer[String]()

@@ -133,9 +133,27 @@ object GraftManifestSource {
       require(versionAsOf.isEmpty,
         "readChangeFeed: versionAsOf addresses one snapshot — a change " +
           "feed spans versions; use startingVersion/endingVersion")
+      // timestamp window addressing (round 18): startingTimestamp = the
+      // EARLIEST version at or after t (Delta's "changes since t" rule),
+      // endingTimestamp = the LATEST version at or before t
+      def tsMs(s: String): Long = scala.util.Try(s.toLong).getOrElse(
+        java.sql.Timestamp.valueOf(s).getTime)
+      val startTs = Option(options.get("startingTimestamp")).map(s =>
+        ManifestTable.versionSinceTimestamp(
+          org.apache.spark.sql.SparkSession.active, p, tsMs(s)))
+      require(startTs.isEmpty ||
+        Option(options.get("startingVersion")).isEmpty,
+        "pass startingVersion OR startingTimestamp, not both")
+      val endTs = Option(options.get("endingTimestamp")).map(s =>
+        ManifestTable.versionAtTimestamp(
+          org.apache.spark.sql.SparkSession.active, p, tsMs(s)))
+      require(endTs.isEmpty ||
+        Option(options.get("endingVersion")).isEmpty,
+        "pass endingVersion OR endingTimestamp, not both")
       return new GraftChangeFeedTable(p,
-        Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),
-        Option(options.get("endingVersion")).map(_.toLong),
+        Option(options.get("startingVersion")).map(_.toLong)
+          .orElse(startTs).getOrElse(0L),
+        Option(options.get("endingVersion")).map(_.toLong).orElse(endTs),
         Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
     }
     val optParts =

@@ -287,6 +287,82 @@ class MultiLevelVerbsSpec extends SparkSpec {
     assert(both.getMessage.contains("not both"))
   }
 
+  test("optimize RANGE-CLUSTERS each leaf's rewrite on the primary zone column: pruning survives compaction") {
+    val root = tmpDir("graft_ml_rc") + "/t"
+    // two batches into ONE leaf, each spanning the full key range — before
+    // the round-18 clustering the compacted output files each spanned the
+    // full range too and a narrow filter opened all of them. The second
+    // batch APPENDS (a commit would replace the touched partition).
+    def batch(b: Int) =
+      (0 until 2000).map(i =>
+        (i.toLong, s"pad-$b-$i-${i * 2654435761L}", "p0"))
+        .toDF("k", "pad", "part").repartition(1)
+    ManifestTable.commit(spark, root, batch(0), "part", batchId = 0L,
+      statsCol = Some("k"))
+    batch(1).write.format("graft-manifest")
+      .mode("append").option("batchId", "1").save(root)
+    // a tiny byte target forces a multi-file compaction output
+    val stats = ManifestTable.optimize(spark, root, targetBytes = 8192L)
+    assert(stats.nonEmpty && stats.head.outputFiles >= 2,
+      s"need a multi-file fold to prove clustering: $stats")
+    val q = spark.read.format("graft-manifest").load(root)
+      .filter(col("k") < 20L)
+    assert(q.count() == 40L)
+    val scan = q.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        if b.scan.isInstanceOf[graft.sources.GraftManifestScan] =>
+        b.scan.asInstanceOf[graft.sources.GraftManifestScan]
+    }.head
+    assert(scan.chosenFiles.size < scan.totalFiles,
+      s"range-clustered compaction must keep per-file ranges " +
+        s"near-disjoint: opened ${scan.chosenFiles.size} of " +
+        s"${scan.totalFiles}")
+  }
+
+  test("timestamp addressing: readAtTimestamp and the feed's starting/endingTimestamp windows") {
+    val root = tmpDir("graft_ml_tsfeed") + "/t"
+    for (b <- 0 until 3) {
+      ManifestTable.commit(spark, root,
+        Seq((100L * b, s"v$b", s"p$b")).toDF("k", "v", "part"),
+        "part", batchId = b.toLong)
+      Thread.sleep(5)
+    }
+    val h = ManifestTable.history(spark, root)
+    val t1 = h.find(_.version == 1L).get.timestampMs.get
+    // Scala snapshot at t1 = versions 0+1
+    assert(ManifestTable.readAtTimestamp(spark, root, t1).count() == 2L)
+    // feed since t1 = versions 1..2 (earliest commit not before t1)
+    val since = spark.read.format("graft-manifest")
+      .option("readChangeFeed", "true")
+      .option("startingTimestamp", t1.toString).load(root)
+      .select("_commit_version").collect().map(_.getLong(0)).toSet
+    assert(since == Set(1L, 2L), since.toString)
+    // feed up to t1 = versions 0..1
+    val until = spark.read.format("graft-manifest")
+      .option("readChangeFeed", "true")
+      .option("endingTimestamp", t1.toString).load(root)
+      .select("_commit_version").collect().map(_.getLong(0)).toSet
+    assert(until == Set(0L, 1L), until.toString)
+    // a start beyond the last commit refuses loudly (an empty feed would
+    // silently mean "nothing changed")
+    val ex = intercept[Exception] {
+      spark.read.format("graft-manifest")
+        .option("readChangeFeed", "true")
+        .option("startingTimestamp",
+          (System.currentTimeMillis() + 60000L).toString).load(root)
+        .collect()
+    }
+    assert(ex.getMessage.contains("at or after"), ex.getMessage)
+    // both spellings of one endpoint refuse
+    val ex2 = intercept[Exception] {
+      spark.read.format("graft-manifest")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .option("startingTimestamp", t1.toString).load(root).collect()
+    }
+    assert(ex2.getMessage.contains("not both"))
+  }
+
   test("SQL DELETE with a key list metadata-routes onto deleteRows on a nested layout too") {
     val root = tmpDir("graft_ml_sqldel") + "/t"
     val rows = seed(root, "graft_ml_sqldel_t")
