@@ -942,6 +942,49 @@ object SparkEntry {
     cat
   }
 
+  private val multiLevelSqlMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** u34's artifact (round 18): the MULTI-LEVEL maintenance lifecycle
+    * driven purely from SQL — a two-level `(lang, source)` table created
+    * through the persistent catalog, filled by TWO INSERT batches (two
+    * files per leaf), COMPACTED via `CALL system.optimize` (the nested
+    * layout the round-17 verbs refused), then TTL'd by its FIRST level
+    * via `CALL system.drop_partitions` (values => 'en'). The gated read
+    * is the surviving partitions' plain scan, so the oracle proves the
+    * per-leaf fold rewrote values exactly and the metadata TTL dropped
+    * exactly the first-level subtree.
+    */
+  def u34Catalog(s: SparkSession, dir: String): String = {
+    val cat = s"graft_u34_${Integer.toHexString(dir.hashCode)}"
+    multiLevelSqlMemo.computeIfAbsent((s, dir), _ => {
+      val wh = graft.core.TempDirs.create("graft_u34_cat")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ml")
+      s.sql(s"CREATE TABLE $cat.ml.docs (doc_id BIGINT, n_chars BIGINT, " +
+        "lang STRING, source STRING) USING `graft-manifest` " +
+        "OPTIONS (statsColumns 'doc_id') PARTITIONED BY (lang, source)")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), col("lang"), col("source"))
+        .createOrReplaceTempView("graft_u34_src")
+      try {
+        for (b <- 0 until 2)
+          s.sql(s"INSERT INTO $cat.ml.docs " +
+            s"SELECT * FROM graft_u34_src WHERE doc_id % 2 = $b")
+        // nested compaction behind CALL: every leaf folds 2 -> 1
+        s.sql(s"CALL $cat.system.optimize(`table` => 'ml.docs')").collect()
+        // first-level TTL behind CALL: the whole lang=en subtree drops
+        // in one metadata publish
+        s.sql(s"CALL $cat.system.drop_partitions(`table` => 'ml.docs', " +
+          "values => 'en')").collect()
+      } finally s.catalog.dropTempView("graft_u34_src")
+      wh
+    })
+    cat
+  }
+
   private val sqlDeleteTableMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
@@ -1373,6 +1416,8 @@ object SparkEntry {
       "u32_cdf_read",
       // u33 reads the staged lifecycle's manifest headers (u33TableDir)
       "u33_history",
+      // u34 reads the compacted+TTL'd multi-level catalog table (u34Catalog)
+      "u34_multilevel_sql",
       // u16 reads the post-takedown bloom-indexed snapshot (u16TableDir)
       "u16_bloom_takedown",
       // u18 reads the purged+masked deferred-takedown snapshot (u18TableDir)
@@ -2625,6 +2670,14 @@ object SparkEntry {
       val cat = u29Catalog(s, dir)
       s.sql(s"SELECT doc_id, lang, n_chars, part FROM $cat.corpus.docs")
     }),
+    // u34 (round 18): the multi-level maintenance lifecycle in SQL — a
+    // (lang, source) table compacted per leaf via CALL system.optimize
+    // and TTL'd by its first level via CALL system.drop_partitions; the
+    // gated read is the survivors' plain scan (u34Catalog)
+    "u34_multilevel_sql" -> ((s, dir) => {
+      val cat = u34Catalog(s, dir)
+      s.sql(s"SELECT doc_id, n_chars, lang, source FROM $cat.ml.docs")
+    }),
     // u28: a two-level-filtered read of the (lang, source)-partitioned
     // table — both directory levels prune before any file opens
     "u28_multipart" -> ((s, dir) =>
@@ -3447,6 +3500,11 @@ object SparkEntry {
     "u32_cdf_read" ->
       ("SELECT doc_id, lang, source, n_chars FROM documents " +
         "WHERE doc_id % 97 <> 3"),
+    // u34: the surviving partitions' plain scan — compaction rewrites
+    // values exactly, the first-level TTL drops exactly lang=en
+    "u34_multilevel_sql" ->
+      ("SELECT doc_id, n_chars, lang, source FROM documents " +
+        "WHERE lang <> 'en'"),
     // u33: the lifecycle's audit trail is a closed-form fixture — five
     // versions, each naming its verb, fences preserved by the
     // non-ingest verbs
