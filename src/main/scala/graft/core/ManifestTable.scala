@@ -350,7 +350,8 @@ object ManifestTable {
 
   final case class HistoryEntry(
       version: Long, operation: String, timestampMs: Option[Long],
-      batch: Long)
+      batch: Long,
+      numFiles: Option[Int] = None, numRows: Option[Long] = None)
 
   /** One version's manifest HEADER line only — the [[history]] unit read:
     * a history over 10⁴ versions must not re-read 10⁴ full file lists
@@ -388,7 +389,11 @@ object ManifestTable {
       val h = readHeaderLine(spark, root, v)
       val batch = "\"batch\":(-?\\d+)".r.findFirstMatchIn(h)
         .map(_.group(1).toLong).getOrElse(-1L)
-      HistoryEntry(v, headerOp(h).getOrElse("unknown"), headerTs(h), batch)
+      HistoryEntry(v, headerOp(h).getOrElse("unknown"), headerTs(h), batch,
+        numFiles = "\"nf\":(\\d+)".r.findFirstMatchIn(h)
+          .map(_.group(1).toInt),
+        numRows = "\"nr\":(\\d+)".r.findFirstMatchIn(h)
+          .map(_.group(1).toLong))
     }.toSeq
   }
 
@@ -819,7 +824,20 @@ object ManifestTable {
       spark: SparkSession, root: String, version: Long,
       header: String, lines: Seq[String]): Boolean = {
     val f = fs(spark, new Path(root))
-    val body = (header +: lines.sorted).mkString("\n")
+    // OPERATION METRICS ride the header for free (round 18 — Delta's
+    // operationMetrics slot): the live file count is the line count, and
+    // when every line carries `%#` meta the live ROW count sums from
+    // them — both known at publish time, zero extra IO. Injected here so
+    // every publisher records them without threading parameters.
+    val rows = {
+      val ms = lines.map(lineFileMeta)
+      if (ms.nonEmpty && ms.forall(_.isDefined))
+        s""","nr":${ms.flatten.map(_._2).sum}"""
+      else ""
+    }
+    val header2 =
+      header.stripSuffix("}") + s""","nf":${lines.size}""" + rows + "}"
+    val body = (header2 +: lines.sorted).mkString("\n")
     val mDir = manifestDir(root)
     f.mkdirs(mDir)
     val target = new Path(mDir, s"v$version.json")
@@ -2542,11 +2560,11 @@ object ManifestTable {
     */
   private[graft] def versionLineState(
       spark: SparkSession, root: String,
-      v: Long): (Seq[String], Seq[(String, String)]) =
-    if (v < 0) (Nil, Nil)
+      v: Long): (Seq[String], Seq[(String, String)], Option[Long]) =
+    if (v < 0) (Nil, Nil, None)
     else {
       val st = readManifestLines(spark, root, v)
-      (st.lines, st.statsCols)
+      (st.lines, st.statsCols, st.ts)
     }
 
   private[graft] def scanState(

@@ -515,10 +515,13 @@ class GraftProcedure(catalog: GraftCatalog, verb: String)
         val h = ManifestTable.history(spark, root)
         (new StructType()
           .add("version", LongType).add("operation", StringType)
-          .add("timestamp_ms", LongType).add("batch", LongType),
+          .add("timestamp_ms", LongType).add("batch", LongType)
+          .add("num_files", IntegerType).add("num_rows", LongType),
           h.map(e => new GenericInternalRow(Array[Any](
             e.version, utf8(e.operation),
-            e.timestampMs.map(Long.box).orNull, e.batch))
+            e.timestampMs.map(Long.box).orNull, e.batch,
+            e.numFiles.map(Int.box).orNull,
+            e.numRows.map(Long.box).orNull))
             : InternalRow).toArray)
       case "rewrite_partitions" =>
         val newValue = input.getUTF8String(1).toString

@@ -77,7 +77,10 @@ class GraftChangeFeedTable(
   override def schema(): StructType =
     StructType(inner.schema().fields.toSeq ++ Seq(
       StructField("_change_type", StringType, nullable = false),
-      StructField("_commit_version", LongType, nullable = false)))
+      StructField("_commit_version", LongType, nullable = false),
+      // the producing version's publish time (round 18 — Delta's
+      // _commit_timestamp); null on pre-commit-metadata versions
+      StructField("_commit_timestamp", TimestampType, nullable = true)))
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
@@ -191,7 +194,8 @@ object GraftCdfPruning {
 case class GraftCdfPartition(
     files: Array[(String, Long)],
     changeType: String,
-    version: Long) extends InputPartition
+    version: Long,
+    versionTsMs: Option[Long] = None) extends InputPartition
 
 class GraftCdfScan(
     table: GraftChangeFeedTable,
@@ -312,7 +316,7 @@ object GraftCdfScan {
                 org.apache.spark.sql.types.StringType), ks, value))
         }
     for (v <- fromVersion to toVersion) {
-      val (lines, statsCols) =
+      val (lines, statsCols, verTs) =
         ManifestTable.versionLineState(spark, root, v)
       val pathed = lines.map(l => (l.split('|')(0), l))
       val paths = pathed.map(_._1).toSet
@@ -342,7 +346,7 @@ object GraftCdfScan {
           spark, rels.sorted.map(r => (r, lenOf(r))))
           .foreach {
             case g: GraftFilesPartition =>
-              out += GraftCdfPartition(g.files, changeType, v)
+              out += GraftCdfPartition(g.files, changeType, v, verTs)
             case other => throw new IllegalStateException(
               s"unexpected packed partition $other")
           }
@@ -434,7 +438,8 @@ class GraftCdfReaderFactory(
     // the inner reader serves every non-CDF column (data, partition,
     // _file all work); the wrapper appends the per-partition constants
     val innerRequired = StructType(required.fields.toSeq.filterNot(f =>
-      f.name == "_change_type" || f.name == "_commit_version"))
+      f.name == "_change_type" || f.name == "_commit_version" ||
+        f.name == "_commit_timestamp"))
     val inner = new GraftPartitionReader(
       root, p.files, innerRequired, dataSchema, partCols,
       Array.empty, confProps)
@@ -451,6 +456,8 @@ class GraftCdfReaderFactory(
           out.update(i,
             if (srcIdx(i) >= 0) in.get(srcIdx(i), required(i).dataType)
             else if (required(i).name == "_change_type") ct
+            else if (required(i).name == "_commit_timestamp")
+              p.versionTsMs.map(ms => Long.box(ms * 1000L)).orNull
             else p.version)
           i += 1
         }

@@ -1006,6 +1006,23 @@ class GraftManifestSourceSpec extends SparkSpec {
       .select(baseCols.map(col): _*).collect().toSeq
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
     assert(pushed == full)
+    // _commit_timestamp (round 18): every change row carries its
+    // version's publish time, matching the manifest header's own ts and
+    // ascending with version order
+    val ts = feed.select("_commit_version", "_commit_timestamp").distinct()
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1))).sortBy(_._1)
+    assert(ts.forall(_._2 != null),
+      "commit timestamps must be present on post-round-18 versions")
+    val hist = ManifestTable.history(spark, root)
+      .map(e => e.version -> e.timestampMs.get).toMap
+    ts.foreach { case (v, t) =>
+      assert(t.getTime == hist(v), s"v$v feed ts $t != header ${hist(v)}")
+    }
+    // history metrics ride the same headers: live file/row counts per
+    // version, zero extra IO
+    val h3 = ManifestTable.history(spark, root).find(_.version == 2L).get
+    assert(h3.numFiles.exists(_ > 0) && h3.numRows.contains(30L),
+      s"v2 should report 3 batches x 10 rows live: $h3")
     // the U31 law on the feed: `%#`-meta tables plan with ZERO per-file
     // filesystem probes, however many plans this test ran
     assert(GraftCdfScan.lenProbeCount.get() == probes0,
