@@ -937,7 +937,8 @@ object ManifestTable {
       spark: SparkSession,
       root: String,
       targetBytes: Long = Compaction.DefaultTargetBytes,
-      beforePublish: () => Unit = NoHook): Seq[OptimizeStats] = {
+      beforePublish: () => Unit = NoHook,
+      scope: Option[String] = None): Seq[OptimizeStats] = {
     require(targetBytes > 0, "targetBytes must be positive")
     val rootPath = new Path(root)
     val f = fs(spark, rootPath)
@@ -945,10 +946,32 @@ object ManifestTable {
     require(v >= 0, s"no committed version under $root")
     val st = readManifestLines(spark, root, v)
     val (lines, statsCols) = (st.lines, st.statsCols)
+    // SCOPED compaction (round 18 — the Delta `OPTIMIZE t WHERE ...`
+    // slot): `scope` names a partition directory PREFIX ("d=2024-01-01",
+    // or a full leaf "d=2024-01-01/source=web") and only its leaves fold
+    // — the routine daily job on a 10⁵-leaf table, where an unscoped
+    // pass would rewrite everything and its OCC loop would contend with
+    // every concurrent writer. A scoped pass is NOT a purge point: it
+    // refuses while deferred-delete masks are pending (clearing a mask
+    // requires scanning every leaf that could hold masked rows — run the
+    // unscoped optimize, which owns the purge).
+    scope.foreach { sc =>
+      require(dvState(spark, root).isEmpty,
+        s"deferred deletes pending under $root — a scoped optimize " +
+          "cannot purge (masked rows may live outside the scope); run " +
+          "the unscoped optimize (the purge point) first")
+      require(lines.exists(l => {
+        val leaf = leafDirOf(l.split('|')(0))
+        leaf == sc || leaf.startsWith(sc + "/")
+      }), s"optimize scope '$sc' matches no live partition under $root")
+    }
+    def inScope(leaf: String): Boolean = scope.forall(sc =>
+      leaf == sc || leaf.startsWith(sc + "/"))
     // the compaction unit is the LEAF partition directory (= the whole
     // partition name on single-level layouts; `a=x/b=y` on nested ones —
     // round 18: multi-level tables compact like any other)
     val byPart = lines.groupBy(l => leafDirOf(l.split('|')(0)))
+      .filter { case (leaf, _) => inScope(leaf) }
     // DEFERRED-DELETE purge (see [[deleteRowsDeferred]]): partitions
     // holding masked rows are FORCED into the rewrite even when
     // single-file, the rewrite applies the mask, and exactly the delete

@@ -458,6 +458,12 @@ class GraftProcedure(catalog: GraftCatalog, verb: String)
     val table = ProcedureParameter.in("table", StringType)
       .comment("catalog-relative table name, e.g. 'ns.events'").build()
     verb match {
+      case "optimize" => Array(table,
+        ProcedureParameter.in("scope", StringType)
+          .defaultValue("CAST(NULL AS STRING)")
+          .comment("partition directory prefix to compact, e.g. " +
+            "'d=2024-01-01' — omitted = whole table (the purge point)")
+          .build())
       case "vacuum" => Array(table,
         ProcedureParameter.in("keep_versions", IntegerType).build())
       case "restore" => Array(table,
@@ -494,7 +500,11 @@ class GraftProcedure(catalog: GraftCatalog, verb: String)
     def utf8(s: String) = UTF8String.fromString(s)
     val (schema, rows): (StructType, Array[InternalRow]) = verb match {
       case "optimize" =>
-        val stats = ManifestTable.optimize(spark, root)
+        val scope =
+          if (input.numFields > 1 && !input.isNullAt(1))
+            Some(input.getUTF8String(1).toString)
+          else None
+        val stats = ManifestTable.optimize(spark, root, scope = scope)
         (new StructType()
           .add("partition", StringType).add("input_files", IntegerType)
           .add("output_files", IntegerType),

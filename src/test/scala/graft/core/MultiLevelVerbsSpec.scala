@@ -363,6 +363,47 @@ class MultiLevelVerbsSpec extends SparkSpec {
     assert(ex2.getMessage.contains("not both"))
   }
 
+  test("SCOPED optimize compacts only the named prefix's leaves; siblings carry; pending masks refuse the scoped pass") {
+    val root = tmpDir("graft_ml_scope") + "/t"
+    val rows = seed(root, "graft_ml_scope_t")
+    try {
+      val before = lines(root)
+      // scope = one first-level day: its two leaves fold 2 -> 1 each,
+      // the other day's four lines carry byte-identically
+      val stats = ManifestTable.optimize(
+        spark, root, scope = Some("d=2024-01-01"))
+      assert(stats.map(_.partition).sorted == Seq(
+        "d=2024-01-01/source=api", "d=2024-01-01/source=web") &&
+        stats.forall(s => s.inputFiles == 2 && s.outputFiles == 1),
+        stats.toString)
+      val after = lines(root)
+      assert(before.filterNot(_.startsWith("d=2024-01-01/")).toSet ==
+        after.filterNot(_.startsWith("d=2024-01-01/")).toSet,
+        "out-of-scope leaves must carry byte-identically")
+      assert(contents("graft_ml_scope_t") == rows.toSet)
+      // a full-leaf scope works too (no-op now: already single-file)
+      assert(ManifestTable.optimize(spark, root,
+        scope = Some("d=2024-01-01/source=web")).isEmpty)
+      // an unmatched scope refuses loudly (a silent no-op would read as
+      // "compacted")
+      val ex = intercept[IllegalArgumentException] {
+        ManifestTable.optimize(spark, root, scope = Some("d=2099-01-01"))
+      }
+      assert(ex.getMessage.contains("matches no live partition"))
+      // scoped passes are not purge points: pending masks refuse
+      ManifestTable.deleteRowsDeferred(
+        spark, root, Seq(rows.head._1).toDF("k"), "k")
+      val ex2 = intercept[IllegalArgumentException] {
+        ManifestTable.optimize(spark, root, scope = Some("d=2024-01-02"))
+      }
+      assert(ex2.getMessage.contains("unscoped optimize"))
+      // the unscoped pass purges as ever
+      ManifestTable.optimize(spark, root)
+      assert(ManifestTable.pendingDeferredDeletes(spark, root).isEmpty)
+      assert(contents("graft_ml_scope_t") == rows.toSet - rows.head)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_ml_scope_t")
+  }
+
   test("SQL DELETE with a key list metadata-routes onto deleteRows on a nested layout too") {
     val root = tmpDir("graft_ml_sqldel") + "/t"
     val rows = seed(root, "graft_ml_sqldel_t")

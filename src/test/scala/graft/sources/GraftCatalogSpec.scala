@@ -227,6 +227,17 @@ class GraftCatalogSpec extends SparkSpec {
         "`table` => 'ops.t', new_value => 'f2', zorder_by => 'k')")
     }
     assert(chain(exZ).exists(_.contains("exactly two")), chain(exZ))
+    // scoped optimize behind CALL: the named prefix only (the fold left
+    // one leaf, so scope it — a no-op fold returns zero rows, proving
+    // the parameter reached the verb; an unmatched scope refuses)
+    assert(spark.sql("CALL graft_c7.system.optimize(" +
+      "`table` => 'ops.t', scope => 'part=folded')").collect().isEmpty)
+    val exScope = intercept[Exception] {
+      spark.sql("CALL graft_c7.system.optimize(" +
+        "`table` => 'ops.t', scope => 'part=nope')").collect()
+    }
+    assert(chain(exScope).exists(_.contains("matches no live partition")),
+      chain(exScope))
     // partition TTL behind CALL: drop the folded value -> empty table,
     // metadata-only (time travel intact)
     val dp = spark.sql("CALL graft_c7.system.drop_partitions(" +
