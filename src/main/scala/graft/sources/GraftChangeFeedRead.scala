@@ -204,9 +204,25 @@ class GraftCdfScan(
     maxVersionsPerTrigger: Option[Long],
     endingVersionOpt: Option[Long],
     toVersion: Long,
-    pruning: GraftCdfPruning = GraftCdfPruning.none) extends Scan with Batch {
+    pruning: GraftCdfPruning = GraftCdfPruning.none) extends Scan with Batch
+    with SupportsReportStatistics {
 
   private def spark = SparkSession.active
+
+  /** Plan-time size estimate from the bytes the plan already carries
+    * (round 18): a CDF leg of a join gets sized by its CHANGED bytes,
+    * not a default that forces the wrong build side.
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val bytes = plannedPartitions
+        .map(_.asInstanceOf[GraftCdfPartition].files.map(_._2).sum).sum
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(1L, bytes))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
 
   override def readSchema(): StructType = required
 
