@@ -2858,7 +2858,28 @@ object ManifestTable {
       updates: DataFrame,
       keyCol: String,
       batchId: Long,
-      beforePublish: () => Unit = NoHook): Option[MergeStats] = {
+      beforePublish: () => Unit = NoHook): Option[MergeStats] =
+    merge(spark, root, updates, Seq(keyCol), batchId, beforePublish)
+
+  /** COMPOSITE-KEY merge (round 18 — SURVEY §9 gap #2): each update row
+    * replaces every table row sharing its FULL `keyCols` tuple, so a
+    * business key like (tenant, doc_id) merges without a caller-side
+    * concat. Detection stays zone/bloom-pruned through the LEADING key
+    * column's envelope/sidecar (a sound superset — register the leading
+    * key for pruning); the match joins and the duplicate/null refusals
+    * run on the whole tuple. The SQL `MERGE INTO ... ON a AND b` road
+    * supports arbitrary conditions already (Spark's COW rewrite); this
+    * closes the Scala verb.
+    */
+  def merge(
+      spark: SparkSession,
+      root: String,
+      updates: DataFrame,
+      keyCols: Seq[String],
+      batchId: Long,
+      beforePublish: () => Unit): Option[MergeStats] = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val keyCol = keyCols.head // the pruning/envelope anchor
     val rootPath = new Path(root)
     val f = fs(spark, rootPath)
     val v = currentVersion(spark, root)
@@ -2874,8 +2895,8 @@ object ManifestTable {
         "fresh files; run optimize (the purge point) first")
     val allRels = st.lines.map(_.split('|')(0))
     val pcs = partColsOf(allRels.head) // every level of the layout
-    require(updates.schema.fieldNames.contains(keyCol),
-      s"merge key column '$keyCol' absent from the update frame")
+    keyCols.foreach(kc => require(updates.schema.fieldNames.contains(kc),
+      s"merge key column '$kc' absent from the update frame"))
     pcs.foreach(pc => require(updates.schema.fieldNames.contains(pc),
       s"the table's partition column '$pc' is absent from the " +
         "update frame — every update row must name its target partition"))
@@ -2887,8 +2908,9 @@ object ManifestTable {
       .localCheckpoint(true)
     val nUpd = upd.count()
     require(nUpd > 0, "merge needs at least one update row")
-    val ks = upd.select(col(keyCol)).distinct().localCheckpoint(true)
-    require(ks.filter(col(keyCol).isNull).isEmpty,
+    val ks = upd.select(keyCols.map(col): _*).distinct()
+      .localCheckpoint(true)
+    require(ks.filter(keyCols.map(col(_).isNull).reduce(_ || _)).isEmpty,
       "null merge key in the update batch — a null key can match nothing")
     val nKeys = ks.count()
     require(nKeys == nUpd,
@@ -2905,7 +2927,8 @@ object ManifestTable {
     // zone-envelope + bloom pruned detection, shared with deleteRows and
     // the optimize purge (keyCandidateFiles also validates the key type
     // against the registration)
-    val candidates = keyCandidateFiles(spark, root, st, ks, keyCol)
+    val candidates =
+      keyCandidateFiles(spark, root, st, ks.select(col(keyCol)), keyCol)
     // the envelope again, for the retry loop's concurrent-overlap check
     val envelope: Option[ZonePred] = st.statsCols.find(_._1 == keyCol).map {
       case (_, "long") =>
@@ -2933,9 +2956,10 @@ object ManifestTable {
       else {
         val anyNull = pcs.map(col(_).isNull).reduce(_ || _)
         val d = readFiles(candidates)
-          .join(hintedKeys(spark, ks, nKeys), Seq(keyCol), "left_semi")
+          .join(hintedKeys(spark, ks, nKeys), keyCols, "left_semi")
           .agg(count(lit(1)).as("nrows"),
-            countDistinct(col(keyCol)).as("nkeys"),
+            countDistinct(col(keyCols.head),
+              keyCols.tail.map(col): _*).as("nkeys"),
             sum(when(anyNull, 1L).otherwise(0L)).as("nulls"),
             collect_set(org.apache.spark.sql.functions.struct(
               pcs.map(col): _*)).as("parts")).head
@@ -2959,7 +2983,7 @@ object ManifestTable {
     val toWrite =
       if (touchedRels.isEmpty) upd
       else readFiles(touchedRels)
-        .join(hintedKeys(spark, ks, nKeys), Seq(keyCol), "left_anti")
+        .join(hintedKeys(spark, ks, nKeys), keyCols, "left_anti")
         .unionByName(upd, allowMissingColumns = true)
     val updSchema = org.apache.spark.sql.types.StructType(
       upd.schema.fields.filterNot(fd => pcs.contains(fd.name)).toSeq)

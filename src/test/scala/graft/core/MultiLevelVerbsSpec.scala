@@ -404,6 +404,51 @@ class MultiLevelVerbsSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_ml_scope_t")
   }
 
+  test("composite-key merge: the full key tuple matches; rows sharing a leading key stay distinct; dup/null tuples refuse") {
+    val root = tmpDir("graft_ml_ck") + "/t"
+    // (g, i) is the business key; g alone collides (g=1 twice)
+    val base = Seq(
+      (1L, 1L, "a", "p0"), (1L, 2L, "b", "p0"),
+      (2L, 1L, "c", "p1"), (3L, 1L, "d", "p1"))
+    ManifestTable.commit(spark, root,
+      base.toDF("g", "i", "v", "part"), "part", batchId = 0L,
+      statsCol = Some("g"))
+    val updates = Seq(
+      (1L, 1L, "updated", "p0"),  // matches ONLY (1,1) — (1,2) survives
+      (9L, 9L, "inserted", "p2")) // no match anywhere
+      .toDF("g", "i", "v", "part")
+    val ms = ManifestTable.merge(
+      spark, root, updates, Seq("g", "i"), batchId = 1L,
+      beforePublish = ManifestTable.NoHook).get
+    assert(ms.rowsUpdated == 1L && ms.rowsInserted == 1L, ms.toString)
+    val got = ManifestTable.read(spark, root).get
+      .select("g", "i", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set(
+      (1L, 1L, "updated"), (1L, 2L, "b"),
+      (2L, 1L, "c"), (3L, 1L, "d"), (9L, 9L, "inserted")))
+    // duplicate TUPLES refuse (distinct leading keys alone don't)
+    val exDup = intercept[IllegalArgumentException] {
+      ManifestTable.merge(spark, root,
+        Seq((5L, 5L, "x", "p0"), (5L, 5L, "y", "p0"))
+          .toDF("g", "i", "v", "part"), Seq("g", "i"), 2L,
+        ManifestTable.NoHook)
+    }
+    assert(exDup.getMessage.contains("duplicate merge keys"))
+    // a null ANYWHERE in the tuple refuses
+    val exNull = intercept[IllegalArgumentException] {
+      ManifestTable.merge(spark, root,
+        Seq((5L, Option.empty[Long], "x", "p0"))
+          .toDF("g", "i", "v", "part"), Seq("g", "i"), 2L,
+        ManifestTable.NoHook)
+    }
+    assert(exNull.getMessage.contains("null merge key"))
+    // the single-column spelling still works (delegates)
+    assert(ManifestTable.merge(spark, root,
+      Seq((2L, 7L, "e2", "p1")).toDF("g", "i", "v", "part"),
+      "g", batchId = 3L).get.rowsUpdated == 1L)
+  }
+
   test("SQL DELETE with a key list metadata-routes onto deleteRows on a nested layout too") {
     val root = tmpDir("graft_ml_sqldel") + "/t"
     val rows = seed(root, "graft_ml_sqldel_t")
