@@ -103,11 +103,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     */
   private def writeDescriptor(
       dir: Path, schema: StructType, partitionCols: Seq[String],
-      statsColumns: Seq[String]): Unit = {
+      statsColumns: Seq[String], retention: Option[Int] = None): Unit = {
     val b64 = java.util.Base64.getEncoder
       .encodeToString(schema.json.getBytes("UTF-8"))
+    val ret = retention.map(r => s""","retentionKeepVersions":"$r"""")
+      .getOrElse("")
     val body =
-      s"""{"schemaB64":"$b64","partitionCols":"${partitionCols.mkString(",")}","statsColumns":"${statsColumns.mkString(",")}"}"""
+      s"""{"schemaB64":"$b64","partitionCols":"${partitionCols.mkString(",")}","statsColumns":"${statsColumns.mkString(",")}"$ret}"""
     val tmp = new Path(dir,
       s".$Descriptor.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
@@ -138,6 +140,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     def list(k: String): Seq[String] =
       field(k).split(',').map(_.trim).filter(_.nonEmpty).toSeq
     Some((schema, list("partitionCols"), list("statsColumns")))
+  }
+
+  /** The table's declared RETENTION policy (round 18 — SURVEY §9 gap
+    * #4): `retention.keepVersions` recorded in the descriptor, so the
+    * policy lives with the TABLE and `CALL system.vacuum` reads it when
+    * the caller passes no explicit keep_versions — an ops scheduler
+    * stops encoding per-table policy. Absent on old descriptors and on
+    * manifest-only tables.
+    */
+  private[sources] def retentionOf(dir: Path): Option[Int] = {
+    val p = new Path(dir, Descriptor)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val body =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    "\"retentionKeepVersions\":\"(\\d+)\"".r.findFirstMatchIn(body)
+      .map(_.group(1).toInt)
   }
 
   /** [[readDescriptor]] that distinguishes "absent" from "present but
@@ -227,9 +247,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "provider with OPTIONS (path ...) for external roots)"))
     val statsColumns = prop("statsColumns").toSeq
       .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+    val retention = prop("retention.keepVersions").map { r =>
+      val n = scala.util.Try(r.trim.toInt).getOrElse(
+        throw new IllegalArgumentException(
+          s"retention.keepVersions must be a positive integer, got '$r'"))
+      require(n >= 1, s"retention.keepVersions must be >= 1, got $n")
+      n
+    }
     val d = tableDir(ident)
     fs.mkdirs(d)
-    writeDescriptor(d, schema, partitionCols, statsColumns)
+    writeDescriptor(d, schema, partitionCols, statsColumns, retention)
     new GraftManifestTable(d.toString, None, Some(schema), partitionCols,
       statsColumns)
   }
@@ -256,7 +283,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     var schema = schema0
     var statsCols = stats
+    var retention = retentionOf(d)
     changes.foreach {
+      // ALTER TABLE t SET TBLPROPERTIES ('retention.keepVersions'='3'):
+      // the vacuum policy lives with the table (round 18)
+      case set: TableChange.SetProperty
+          if set.property.equalsIgnoreCase("retention.keepVersions") =>
+        val n = scala.util.Try(set.value.trim.toInt).getOrElse(
+          throw new IllegalArgumentException(
+            "retention.keepVersions must be a positive integer, got " +
+              s"'${set.value}'"))
+        require(n >= 1, s"retention.keepVersions must be >= 1, got $n")
+        retention = Some(n)
       // ALTER TABLE t SET TBLPROPERTIES ('statsColumns' = 'k,lang') —
       // zone-map registration AFTER creation (round 18): the descriptor
       // list drives every future catalog write's registration, and the
@@ -306,7 +344,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "only nullable ADD COLUMN (the additive-evolution contract); " +
           "drops/renames/retypes are rewrite jobs")
     }
-    writeDescriptor(d, schema, parts, statsCols)
+    writeDescriptor(d, schema, parts, statsCols, retention)
     new GraftManifestTable(d.toString, None, Some(schema), parts, statsCols)
   }
 
@@ -465,7 +503,10 @@ class GraftProcedure(catalog: GraftCatalog, verb: String)
             "'d=2024-01-01' — omitted = whole table (the purge point)")
           .build())
       case "vacuum" => Array(table,
-        ProcedureParameter.in("keep_versions", IntegerType).build())
+        ProcedureParameter.in("keep_versions", IntegerType)
+          .defaultValue("CAST(NULL AS INT)")
+          .comment("versions to retain; omitted = the table's declared " +
+            "retention.keepVersions property").build())
       case "restore" => Array(table,
         ProcedureParameter.in("version", LongType).build())
       case "rewrite_partitions" => Array(table,
@@ -512,8 +553,17 @@ class GraftProcedure(catalog: GraftCatalog, verb: String)
             utf8(s.partition), s.inputFiles, s.outputFiles))
             : InternalRow).toArray)
       case "vacuum" =>
+        val keep =
+          if (input.numFields > 1 && !input.isNullAt(1))
+            input.getInt(1)
+          else catalog.retentionOf(new Path(root)).getOrElse(
+            throw new IllegalArgumentException(
+              s"vacuum: no keep_versions passed and the table under " +
+                s"$root declares no retention.keepVersions property — " +
+                "set one (ALTER TABLE ... SET TBLPROPERTIES) or pass " +
+                "keep_versions explicitly"))
         val deleted = ManifestTable.vacuum(spark, root,
-          keepVersions = input.getInt(1))
+          keepVersions = keep)
         (new StructType().add("deleted_files", LongType),
           Array[InternalRow](new GenericInternalRow(Array[Any](deleted))))
       case "restore" =>

@@ -248,6 +248,28 @@ class GraftCatalogSpec extends SparkSpec {
       "CALL graft_c7.system.history(`table` => 'ops.t')").collect()
     assert(hist.head.getString(1) == "drop-partitions",
       hist.map(_.getString(1)).mkString(", "))
+    // RETENTION POLICY lives with the table: vacuum without an explicit
+    // keep_versions refuses until the property is declared, then uses it
+    def chain2(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain2(t.getCause)
+    val exRet = intercept[Exception] {
+      spark.sql("CALL graft_c7.system.vacuum(`table` => 'ops.t')")
+    }
+    assert(chain2(exRet).exists(_.contains("retention.keepVersions")),
+      chain2(exRet))
+    spark.sql("ALTER TABLE graft_c7.ops.t " +
+      "SET TBLPROPERTIES ('retention.keepVersions' = '1')")
+    val vacd = spark.sql(
+      "CALL graft_c7.system.vacuum(`table` => 'ops.t')").head.getLong(0)
+    assert(vacd >= 1L,
+      s"policy-driven vacuum should reclaim the pre-TTL files: $vacd")
+    assert(cnt() == 0L) // content unchanged by vacuum
+    val exBad = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_c7.ops.t " +
+        "SET TBLPROPERTIES ('retention.keepVersions' = 'zero')")
+    }
+    assert(chain2(exBad).exists(_.contains("positive integer")),
+      chain2(exBad))
     spark.sql("DROP TABLE graft_c7.ops.t")
   }
 
