@@ -415,6 +415,16 @@ object ManifestTable {
     require(eligible.nonEmpty,
       s"no committed version at or before timestamp $tsMs under $root " +
         s"(earliest recorded: ${stamped.map(_.timestampMs.get).min})")
+    // Delta's rule both ways (ADVICE r18): a timestamp LATER than the
+    // last commit refuses too — "the table as of tomorrow" would pin a
+    // snapshot the very next commit falsifies, and under clock skew the
+    // max-eligible pick could silently resolve to the wrong writer's
+    // version. (Publish stamps are monotonic per table — see
+    // [[publishManifest]]'s clamp — so the latest stamp is the newest.)
+    val latest = stamped.map(_.timestampMs.get).max
+    require(tsMs <= latest,
+      s"timestamp $tsMs is after the last commit ($latest) under $root " +
+        "— address the head by omitting the timestamp (or VERSION AS OF)")
     eligible.map(_.version).max
   }
 
@@ -835,8 +845,27 @@ object ManifestTable {
         s""","nr":${ms.flatten.map(_._2).sum}"""
       else ""
     }
+    // MONOTONIC publish stamps (round 19, ADVICE r18): ts clamps to
+    // max(wallclock, previous version's ts + 1) so TIMESTAMP AS OF and
+    // the feed's timestamp windows stay skew-proof — a writer with a
+    // backdated clock still publishes a stamp that sorts after every
+    // earlier version (one extra single-line header read per publish;
+    // a vacuumed/pre-metadata predecessor clamps against nothing).
+    val headerTsClamped = {
+      val prevTs: Option[Long] =
+        if (version > 0)
+          scala.util.Try(readHeaderLine(spark, root, version - 1))
+            .toOption.flatMap(headerTs)
+        else None
+      prevTs match {
+        case Some(p) =>
+          "\"ts\":(\\d+)".r.replaceAllIn(header, m =>
+            s""""ts":${math.max(m.group(1).toLong, p + 1L)}""")
+        case None => header
+      }
+    }
     val header2 =
-      header.stripSuffix("}") + s""","nf":${lines.size}""" + rows + "}"
+      headerTsClamped.stripSuffix("}") + s""","nf":${lines.size}""" + rows + "}"
     val body = (header2 +: lines.sorted).mkString("\n")
     val mDir = manifestDir(root)
     f.mkdirs(mDir)
@@ -955,8 +984,14 @@ object ManifestTable {
     // refuses while deferred-delete masks are pending (clearing a mask
     // requires scanning every leaf that could hold masked rows — run the
     // unscoped optimize, which owns the purge).
+    // dvState reads ONCE (ADVICE r18, medium): the value the scope guard
+    // checks IS the value the pass later purges and clears — a second
+    // read would let a deleteRowsDeferred landing between the two reads
+    // make a scoped pass clear a mask it never purged outside the scope
+    // (a silently resurrected takedown).
+    val dv = dvState(spark, root)
     scope.foreach { sc =>
-      require(dvState(spark, root).isEmpty,
+      require(dv.isEmpty,
         s"deferred deletes pending under $root — a scoped optimize " +
           "cannot purge (masked rows may live outside the scope); run " +
           "the unscoped optimize (the purge point) first")
@@ -978,7 +1013,6 @@ object ManifestTable {
     // batches seen HERE clear after publish (a takedown recorded
     // mid-optimize survives to the next purge). Detection per masked
     // column is zone-envelope + bloom pruned, like deleteRows'.
-    val dv = dvState(spark, root)
     val masks: Seq[(String, DataFrame)] = dv.map { case (c, _) =>
       c -> spark.read.parquet(dvDir(root, c).toString)
         .select("key").distinct().localCheckpoint(true)
@@ -1853,8 +1887,16 @@ object ManifestTable {
     * per call, and each one lazily re-parses the Hadoop XML resources;
     * on a 50k-file commit that is 50k XML parses of pure driver time).
     */
-  private val footerOptionsCache = new java.util.concurrent.ConcurrentHashMap[
-    org.apache.hadoop.conf.Configuration, org.apache.parquet.ParquetReadOptions]()
+  // WEAK-keyed (ADVICE r18): a strong ConcurrentHashMap would pin every
+  // Configuration ever seen for the JVM's life (a leak across sessions);
+  // WeakHashMap keys by identity here (Configuration doesn't override
+  // equals), so a retired session's conf — and its cached options — can
+  // collect. Known tradeoff (documented, same as before): later MUTATIONS
+  // of a live session conf don't invalidate its cached options.
+  private val footerOptionsCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[
+      org.apache.hadoop.conf.Configuration,
+      org.apache.parquet.ParquetReadOptions]())
 
   private[graft] def footerReadOptions(
       spark: SparkSession): org.apache.parquet.ParquetReadOptions = {

@@ -267,8 +267,16 @@ class MultiLevelVerbsSpec extends SparkSpec {
     assert(ManifestTable.versionAtTimestamp(spark, root, t1) == 1L)
     assert(ManifestTable.versionAtTimestamp(
       spark, root, t1 + 2L) == 1L) // strictly between publishes
+    // Delta's rule: a timestamp after the last commit refuses (round 19
+    // — "the table as of tomorrow" is falsified by the next commit)
+    val exFuture = intercept[IllegalArgumentException] {
+      ManifestTable.versionAtTimestamp(
+        spark, root, System.currentTimeMillis() + 60000L)
+    }
+    assert(exFuture.getMessage.contains("after the last commit"))
+    // ... and the last commit's own stamp addresses it exactly
     assert(ManifestTable.versionAtTimestamp(
-      spark, root, System.currentTimeMillis() + 1000L) == 4L)
+      spark, root, h.head.timestampMs.get) == 4L)
     // before the first commit: loud refusal
     val t0 = h.find(_.version == 0L).get.timestampMs.get
     val ex = intercept[IllegalArgumentException] {
@@ -285,6 +293,32 @@ class MultiLevelVerbsSpec extends SparkSpec {
         .option("versionAsOf", "0").load(root).count()
     }
     assert(both.getMessage.contains("not both"))
+  }
+
+  test("publish stamps are strictly monotonic per table (the skew-proof clamp behind TIMESTAMP AS OF)") {
+    val root = tmpDir("graft_ml_mono") + "/t"
+    // NO sleeps: rapid-fire publishes land within the same wall-clock
+    // millisecond, where raw System.currentTimeMillis() stamps would tie
+    // — the clamp (ts = max(now, prev + 1)) must keep them STRICTLY
+    // ascending, so versionAtTimestamp's max-eligible pick is
+    // unambiguous even under writer clock skew (round 19, ADVICE r18).
+    for (b <- 0 until 6) {
+      ManifestTable.commit(spark, root,
+        Seq((b.toLong, s"v$b")).toDF("k", "v")
+          .withColumn("part", lit(s"p$b")),
+        "part", batchId = b.toLong)
+    }
+    val ts = ManifestTable.history(spark, root)
+      .reverse.map(_.timestampMs.get)
+    assert(ts.size == 6)
+    assert(ts.sliding(2).forall { case Seq(a, b) => a < b },
+      s"publish stamps must strictly ascend with versions: $ts")
+    // each version's own stamp addresses exactly that version
+    val h = ManifestTable.history(spark, root)
+    h.foreach { e =>
+      assert(ManifestTable.versionAtTimestamp(
+        spark, root, e.timestampMs.get) == e.version)
+    }
   }
 
   test("optimize RANGE-CLUSTERS each leaf's rewrite on the primary zone column: pruning survives compaction") {
