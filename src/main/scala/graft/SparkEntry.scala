@@ -985,6 +985,157 @@ object SparkEntry {
     cat
   }
 
+  private val hiddenDaysMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private val hiddenBucketMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** u37's artifact (round 19 — hidden-partition transforms, SURVEY §9
+    * #1): the events table as `PARTITIONED BY (days(ts))` — the Iceberg
+    * flagship shape. The user INSERTs rows carrying a plain `ts`
+    * timestamp; the engine derives 30 `ts_day=2024-01-XX` leaves they
+    * never named, and a `ts` range predicate prunes day directories at
+    * plan time (the query entry REQUIRES the pruning pin before
+    * returning rows — a layout that stops pruning fails the gate, not
+    * just a spec). Write clustering resolves `days(ts)` through the
+    * catalog's own V2 function (the FunctionCatalog move), so each day
+    * leaf is written by one task.
+    */
+  def u37Catalog(s: SparkSession, dir: String): String = {
+    val cat = s"graft_u37_${Integer.toHexString(dir.hashCode)}"
+    hiddenDaysMemo.computeIfAbsent((s, dir), _ => {
+      val wh = graft.core.TempDirs.create("graft_u37_cat")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ev")
+      s.sql(s"CREATE TABLE $cat.ev.clicks (event_id BIGINT, " +
+        "user_id BIGINT, event_type STRING, value DOUBLE, ts TIMESTAMP) " +
+        "USING `graft-manifest` OPTIONS (statsColumns 'event_id') " +
+        "PARTITIONED BY (days(ts))")
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts"))
+        .createOrReplaceTempView("graft_u37_src")
+      try s.sql(s"INSERT INTO $cat.ev.clicks SELECT * FROM graft_u37_src")
+      finally s.catalog.dropTempView("graft_u37_src")
+      wh
+    })
+    cat
+  }
+
+  /** u38's artifact: the events table as `PARTITIONED BY
+    * (bucket(8, user_id))` — point lookups on `user_id` open only the
+    * hashed buckets' files (equality/IN translate; ranges fall back to
+    * zone maps, since a hash destroys order).
+    */
+  def u38Catalog(s: SparkSession, dir: String): String = {
+    val cat = s"graft_u38_${Integer.toHexString(dir.hashCode)}"
+    hiddenBucketMemo.computeIfAbsent((s, dir), _ => {
+      val wh = graft.core.TempDirs.create("graft_u38_cat")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ev")
+      s.sql(s"CREATE TABLE $cat.ev.by_user (event_id BIGINT, " +
+        "user_id BIGINT, event_type STRING) USING `graft-manifest` " +
+        "PARTITIONED BY (bucket(8, user_id))")
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .createOrReplaceTempView("graft_u38_src")
+      try s.sql(s"INSERT INTO $cat.ev.by_user SELECT * FROM graft_u38_src")
+      finally s.catalog.dropTempView("graft_u38_src")
+      wh
+    })
+    cat
+  }
+
+  /** The plan-level pruning pin both hidden-partition keys REQUIRE
+    * before returning rows: every chosen file must sit under an allowed
+    * leaf prefix, and something must actually have been pruned.
+    */
+  private def requireLeafPruning(
+      df: DataFrame, allowed: String => Boolean): DataFrame = {
+    // sparkPlan, not executedPlan: AQE wraps an aggregating query in
+    // AdaptiveSparkPlanExec, which tree-collects can't see through; the
+    // pre-adaptive physical plan carries the same planned scan instance
+    val scan = df.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        if b.scan.isInstanceOf[graft.sources.GraftManifestScan] =>
+        b.scan.asInstanceOf[graft.sources.GraftManifestScan]
+    }.head
+    require(scan.chosenFiles.nonEmpty &&
+      scan.chosenFiles.size < scan.totalFiles,
+      s"hidden-partition pruning pin: expected a pruned, non-empty scan; " +
+        s"got ${scan.chosenFiles.size} of ${scan.totalFiles}")
+    require(scan.chosenFiles.forall(allowed),
+      s"hidden-partition pruning pin: a chosen file sits outside the " +
+        s"allowed leaves: ${scan.chosenFiles.filterNot(allowed).take(3)}")
+    df
+  }
+
+  private val replaceWhereMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** u39's artifact (round 19 — VERDICT r18 missing #3): the routine
+    * backfill as ONE atomic commit. A lang-partitioned documents table
+    * gets (a) a static `replaceWhere "lang = 'de'"` overwrite replacing
+    * the de partition with recomputed rows (containment-enforced:
+    * written rows outside the region refuse), then (b) a DYNAMIC
+    * partition overwrite whose frame carries only fr rows — exactly the
+    * fr leaf is replaced, every other leaf carries byte-identical.
+    * Versions: seed, replace, replace — time travel to any of the three
+    * is exact (spec-pinned in ReplaceWhereSpec; the gate checks values).
+    */
+  def u39TableDir(s: SparkSession, dir: String): String =
+    replaceWhereMemo.computeIfAbsent((s, dir), _ => {
+      val root = graft.core.TempDirs.create("graft_u39_rw") + "/t"
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+      graft.core.ManifestTable.commit(s, root, docs, "lang", batchId = 0L)
+      // static replaceWhere: recompute the de partition
+      docs.filter(col("lang") === "de")
+        .withColumn("n_chars", col("n_chars") + 1000L)
+        .write.format("graft-manifest").mode("overwrite")
+        .option("replaceWhere", "lang = 'de'").option("batchId", "1")
+        .save(root)
+      // dynamic overwrite: the frame's own leaves (fr) are the region
+      docs.filter(col("lang") === "fr")
+        .withColumn("n_chars", col("n_chars") + 5L)
+        .write.format("graft-manifest").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic").option("batchId", "2")
+        .save(root)
+      root
+    })
+
+  private val rowImagesMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** u40's artifact (round 19 — VERDICT r18 missing #4 / SURVEY §9 #3):
+    * row-level CDF images. Seed the documents catalog, then one MERGE
+    * batch that UPDATES every `doc_id % 7 = 3` row (+7 chars) and
+    * INSERTS a shifted copy of every `doc_id % 5 = 0` row. The merge
+    * records its key columns in the version header (`opKey`), and
+    * [[graft.streaming.ChangeFeed.rowImages]] key-joins that version's
+    * delete × insert sides: updates surface as update_preimage/
+    * update_postimage pairs, carried rows the file rewrite re-emitted
+    * drop (pre == post), pure inserts stay inserts.
+    */
+  def u40TableDir(s: SparkSession, dir: String): String =
+    rowImagesMemo.computeIfAbsent((s, dir), _ => {
+      val root = graft.core.TempDirs.create("graft_u40_cdf") + "/t"
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+      graft.core.ManifestTable.commit(s, root, docs, "lang", batchId = 0L)
+      val upd = docs.filter(col("doc_id") % 7 === 3)
+        .withColumn("n_chars", col("n_chars") + 7L)
+      val ins = docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+      graft.core.ManifestTable.merge(
+        s, root, upd.unionByName(ins), "doc_id", batchId = 1L)
+      root
+    })
+
   private val sqlDeleteTableMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
@@ -2678,6 +2829,48 @@ object SparkEntry {
       val cat = u34Catalog(s, dir)
       s.sql(s"SELECT doc_id, n_chars, lang, source FROM $cat.ml.docs")
     }),
+    // u40 (round 19): row-level CDF images of the merge version — the
+    // feed shows updates AS updates (pre/post pairs), not delete+insert
+    "u40_cdf_row_images" -> ((s, dir) =>
+      graft.streaming.ChangeFeed.rowImages(
+        s, u40TableDir(s, dir), startingVersion = 1L)
+        .select("doc_id", "n_chars", "lang", "_change_type",
+          "_commit_version")),
+    // u39 (round 19): partition overwrite — static replaceWhere over de,
+    // dynamic overwrite over fr; the gated read is the final snapshot
+    "u39_replace_where" -> ((s, dir) =>
+      s.read.format("graft-manifest").load(u39TableDir(s, dir))
+        .select("doc_id", "source", "n_chars", "lang")),
+    // u37 (round 19): hidden `days(ts)` layout — a week-long ts range
+    // over a month of events opens ONLY the 7 matching day leaves (the
+    // query REQUIRES the pruning pin, then gates the aggregate's values)
+    "u37_days_layout" -> ((s, dir) => {
+      val cat = u37Catalog(s, dir)
+      val df = s.sql(
+        s"SELECT event_type, count(*) AS n_events, " +
+          "CAST(sum(event_id) AS BIGINT) AS sum_ids, " +
+          "CAST(sum(user_id) AS BIGINT) AS sum_users " +
+          s"FROM $cat.ev.clicks " +
+          "WHERE ts >= TIMESTAMP'2024-01-10 00:00:00' " +
+          "AND ts < TIMESTAMP'2024-01-17 00:00:00' " +
+          "GROUP BY event_type")
+      val days = (10 to 16).map(d => f"ts_day=2024-01-$d%02d/").toSet
+      requireLeafPruning(df, r => days.exists(r.startsWith))
+    }),
+    // u38 (round 19): hidden `bucket(8, user_id)` layout — a user_id IN
+    // lookup opens only the hashed buckets' files
+    "u38_bucket_layout" -> ((s, dir) => {
+      val cat = u38Catalog(s, dir)
+      val df = s.sql(
+        s"SELECT user_id, count(*) AS n_events, " +
+          "CAST(sum(event_id) AS BIGINT) AS sum_ids " +
+          s"FROM $cat.ev.by_user WHERE user_id IN (7, 42, 99) " +
+          "GROUP BY user_id")
+      val buckets = Set(7L, 42L, 99L)
+        .map(u => s"user_id_bucket=${
+          graft.sources.PartitionTransforms.bucketOfLong(u, 8)}/")
+      requireLeafPruning(df, r => buckets.exists(r.startsWith))
+    }),
     // u28: a two-level-filtered read of the (lang, source)-partitioned
     // table — both directory levels prune before any file opens
     "u28_multipart" -> ((s, dir) =>
@@ -2841,6 +3034,18 @@ object SparkEntry {
         .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
       graft.sources.OrcIngest.writeOrc(src, out)
       graft.sources.OrcIngest.readOrcSelfDescribed(s, out)
+    }),
+    // S9 — Avro interchange roundtrip (round 19, VERDICT r18 missing #5:
+    // the Kafka-pipeline wire format). Row container: self-describing
+    // header schema, by-name evolution; the read-back goes through an
+    // EXPLICIT schema (the schema-on-read contract) so a drifted upstream
+    // writer surfaces as null-fill, never a layout corruption.
+    "s9_avro_roundtrip" -> ((s, dir) => {
+      val out = graft.core.TempDirs.create("graft_avro_rt") + "/supplier"
+      val src = t(s, dir, "supplier")
+        .select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+      graft.sources.AvroIngest.writeAvro(src, out)
+      graft.sources.AvroIngest.readAvro(s, out, src.schema)
     }),
     // S8 — schema evolution across ingest batches: an early batch (key,
     // name) and a later batch (key, regionkey) of one logical table read as
@@ -3505,6 +3710,34 @@ object SparkEntry {
     "u34_multilevel_sql" ->
       ("SELECT doc_id, n_chars, lang, source FROM documents " +
         "WHERE lang <> 'en'"),
+    // u37/u38: the hidden layout must be value-invisible — the oracle is
+    // the same aggregate over the RAW events (the user's query mentions
+    // no partition column; neither does the oracle)
+    "u37_days_layout" ->
+      ("SELECT event_type, count(*) AS n_events, " +
+        "CAST(sum(event_id) AS BIGINT) AS sum_ids, " +
+        "CAST(sum(user_id) AS BIGINT) AS sum_users FROM events " +
+        "WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' " +
+        "AND ts < TIMESTAMP '2024-01-17 00:00:00' GROUP BY event_type"),
+    // u40: the merge version's row images replayed closed-form — the %7
+    // updates pair, the %5 inserts stay inserts, carried rows vanish
+    "u40_cdf_row_images" ->
+      ("SELECT doc_id, n_chars, lang, 'update_preimage' AS _change_type, " +
+        "CAST(1 AS BIGINT) AS _commit_version FROM documents " +
+        "WHERE doc_id % 7 = 3 " +
+        "UNION ALL SELECT doc_id, n_chars + 7, lang, 'update_postimage', " +
+        "1 FROM documents WHERE doc_id % 7 = 3 " +
+        "UNION ALL SELECT doc_id + 100000, n_chars, lang, 'insert', " +
+        "1 FROM documents WHERE doc_id % 5 = 0"),
+    // u39: both overwrites replayed as a CASE over the raw documents
+    "u39_replace_where" ->
+      ("SELECT doc_id, source, CAST(CASE WHEN lang = 'de' " +
+        "THEN n_chars + 1000 WHEN lang = 'fr' THEN n_chars + 5 " +
+        "ELSE n_chars END AS BIGINT) AS n_chars, lang FROM documents"),
+    "u38_bucket_layout" ->
+      ("SELECT user_id, count(*) AS n_events, " +
+        "CAST(sum(event_id) AS BIGINT) AS sum_ids FROM events " +
+        "WHERE user_id IN (7, 42, 99) GROUP BY user_id"),
     // u33: the lifecycle's audit trail is a closed-form fixture — five
     // versions, each naming its verb, fences preserved by the
     // non-ingest verbs
@@ -5217,6 +5450,10 @@ object SparkEntry {
     // (doubles roundtrip exactly through the binary container).
     "s7_orc_roundtrip" ->
       "SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer",
+    // s9: the Avro roundtrip must reproduce the source rows bit-for-bit
+    // (bigint/varchar/double all map onto lossless Avro primitives).
+    "s9_avro_roundtrip" ->
+      "SELECT s_suppkey, s_name, s_acctbal, s_nationkey FROM supplier",
     // s8: the merged read equals the union of both batch projections with
     // per-batch null fill.
     "s8_schema_evolution" ->

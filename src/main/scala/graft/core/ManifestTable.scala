@@ -351,7 +351,10 @@ object ManifestTable {
   final case class HistoryEntry(
       version: Long, operation: String, timestampMs: Option[Long],
       batch: Long,
-      numFiles: Option[Int] = None, numRows: Option[Long] = None)
+      numFiles: Option[Int] = None, numRows: Option[Long] = None,
+      // the keyed verbs' recorded key columns (round 19 — the CDF
+      // row-image pairing key); empty on unkeyed/older versions
+      opKey: Seq[String] = Nil)
 
   /** One version's manifest HEADER line only — the [[history]] unit read:
     * a history over 10⁴ versions must not re-read 10⁴ full file lists
@@ -393,7 +396,9 @@ object ManifestTable {
         numFiles = "\"nf\":(\\d+)".r.findFirstMatchIn(h)
           .map(_.group(1).toInt),
         numRows = "\"nr\":(\\d+)".r.findFirstMatchIn(h)
-          .map(_.group(1).toLong))
+          .map(_.group(1).toLong),
+        opKey = "\"opKey\":\"([^\"]+)\"".r.findFirstMatchIn(h)
+          .map(_.group(1).split(',').toSeq).getOrElse(Nil))
     }.toSeq
   }
 
@@ -711,6 +716,23 @@ object ManifestTable {
     * relative paths of the new files). Shared by [[commit]],
     * [[deleteRows]] and [[merge]].
     */
+  /** Run `body` with parquet timestamps written as MICROS (round 19):
+    * the format's reader refuses INT96 (Spark's default physical
+    * timestamp), so every REWRITE the engine performs on a
+    * timestamp-carrying table must hold the physical layout steady —
+    * `outputTimestampType` is a session conf, not a write option, hence
+    * the save/restore guard.
+    */
+  private[graft] def withMicrosTimestamps[T](spark: SparkSession)(body: => T): T = {
+    val k = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, "TIMESTAMP_MICROS")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+  }
+
   private def stageDataFiles(
       f: FileSystem,
       rootPath: Path,
@@ -719,8 +741,10 @@ object ManifestTable {
       next: Long): (Seq[String], Seq[String]) = {
     val stage = new Path(rootPath,
       s"_stage-v$next-${java.util.UUID.randomUUID().toString.take(8)}")
-    touched.write.partitionBy(partitionCols: _*).mode("overwrite")
-      .parquet(stage.toString)
+    withMicrosTimestamps(touched.sparkSession) {
+      touched.write.partitionBy(partitionCols: _*).mode("overwrite")
+        .parquet(stage.toString)
+    }
     val parts = scala.collection.mutable.ListBuffer[String]()
     val newFiles = scala.collection.mutable.ListBuffer[String]()
     def moveLeaf(leafDir: Path, partName: String): Unit = {
@@ -780,8 +804,13 @@ object ManifestTable {
   private def manifestHeader(
       version: Long, batchId: Long, statsCols: Seq[(String, String)],
       schema: Option[org.apache.spark.sql.types.StructType] = None,
-      op: String = "unknown"): String =
+      op: String = "unknown",
+      opKey: Seq[String] = Nil): String =
     s"""{"version":$version,"batch":$batchId,"op":"$op"""" +
+      // the keyed verbs RECORD their key columns (round 19): the CDF
+      // row-image pairing reads them to key-join a rewrite version's
+      // removed × added rows into update_preimage/update_postimage
+      (if (opKey.nonEmpty) s""","opKey":"${opKey.mkString(",")}"""" else "") +
       s""","ts":${System.currentTimeMillis()}""" + (statsCols match {
       case Nil => ""
       case Seq((c, "long")) => s""","statsCol":"$c""""
@@ -1127,8 +1156,11 @@ object ManifestTable {
           leafRows.repartitionByRange(nOut, col(c))
         case _ => leafRows.repartition(nOut)
       }
-      clusteredLeaf
-        .write.mode("overwrite").parquet(new Path(stage, partName).toString)
+      withMicrosTimestamps(clusteredLeaf.sparkSession) {
+        clusteredLeaf
+          .write.mode("overwrite")
+          .parquet(new Path(stage, partName).toString)
+      }
       val dest = new Path(rootPath, partName)
       val outLines = scala.collection.mutable.ListBuffer[String]()
       for (df0 <- f.listStatus(new Path(stage, partName))
@@ -1656,8 +1688,10 @@ object ManifestTable {
       case (None, None) => df.repartition(nOut)
     }
     val writer = clustered.write.mode("overwrite")
-    (if (restCols.isEmpty) writer else writer.partitionBy(restCols: _*))
-      .parquet(new Path(stage, newPartName).toString)
+    withMicrosTimestamps(clustered.sparkSession) {
+      (if (restCols.isEmpty) writer else writer.partitionBy(restCols: _*))
+        .parquet(new Path(stage, newPartName).toString)
+    }
     val newLines = scala.collection.mutable.ListBuffer[String]()
     def moveOut(dir: Path, prefix: String, depth: Int): Unit =
       if (depth == restCols.size) {
@@ -2386,6 +2420,16 @@ object ManifestTable {
     *
     * Returns the committed (or fence-skipped) version.
     */
+  /** `replaceLeavesOf` (round 19 — the Delta `replaceWhere` / dynamic
+    * partition overwrite slot): when set, the write REPLACES a declared
+    * leaf region in ONE atomic version — the function receives the
+    * current live LEAF names and returns the matched subset; matched
+    * leaves' lines drop, staged lines append, everything else carries.
+    * OCC: a concurrent writer that changed a MATCHED leaf's lines aborts
+    * loudly (the staged rows were derived against a superseded region);
+    * changes to unmatched leaves compose — the routine backfill no
+    * longer contends with the whole table the way truncate does.
+    */
   private[graft] def appendStagedFiles(
       spark: SparkSession,
       root: String,
@@ -2393,12 +2437,34 @@ object ManifestTable {
       batchId: Option[Long],
       statsColumns: Seq[String],
       dataSchema: org.apache.spark.sql.types.StructType,
-      truncate: Boolean): Long = {
+      truncate: Boolean,
+      replaceLeavesOf: Option[Seq[String] => Set[String]] = None): Long = {
     val rootPath = new Path(root)
     val f = fs(spark, rootPath)
+    require(!(truncate && replaceLeavesOf.isDefined),
+      "replaceWhere/dynamic overwrite and whole-table truncate are " +
+        "different write modes — pass one")
+    replaceLeavesOf.foreach { _ =>
+      require(dvState(spark, root).isEmpty,
+        s"deferred deletes pending under $root — a partition overwrite " +
+          "could drop leaves the mask's purge bookkeeping still needs; " +
+          "run optimize (the purge point) first")
+    }
+    // matched-leaf LINE sets of a state — the replace mode's conflict
+    // witness (the deleteRows touched-partition rule)
+    def matchedLines(st: Option[ManifestState]): Map[String, Set[String]] =
+      replaceLeavesOf match {
+        case None => Map.empty
+        case Some(m) =>
+          val lines = st.map(_.lines).getOrElse(Nil)
+          val byLeaf = lines.groupBy(l => leafDirOf(l.split('|')(0)))
+          val matched = m(byLeaf.keys.toSeq.sorted)
+          byLeaf.view.filterKeys(matched).mapValues(_.toSet).toMap
+      }
     var prev = currentVersion(spark, root)
     var prevState =
       if (prev < 0) None else Some(readManifestLines(spark, root, prev))
+    val baseMatched = matchedLines(prevState)
     def fenced(st: Option[ManifestState]): Boolean =
       batchId.exists(b => st.exists(b <= _.batch))
     if (fenced(prevState)) return prev // staged files are vacuum debris
@@ -2475,12 +2541,20 @@ object ManifestTable {
         myLines = statLines(spark, rootPath, newFiles, effStats)
       }
       val carried: Seq[String] =
-        if (truncate) Nil else prevState.map(_.lines).getOrElse(Nil)
+        if (truncate) Nil
+        else replaceLeavesOf match {
+          case Some(_) =>
+            val lines = prevState.map(_.lines).getOrElse(Nil)
+            val dropped = matchedLines(prevState).keySet
+            lines.filterNot(l => dropped.contains(leafDirOf(l.split('|')(0))))
+          case None => prevState.map(_.lines).getOrElse(Nil)
+        }
       val effBatch = batchId.getOrElse(
         prevState.map(_.batch).getOrElse(-1L) + 1)
       if (publishManifest(spark, root, next,
         manifestHeader(next, effBatch, effStats, Some(mergedSchema),
-        op = if (truncate) "overwrite" else "append"),
+        op = if (truncate) "overwrite"
+          else if (replaceLeavesOf.isDefined) "replace" else "append"),
         carried ++ myLines)) return next
       val cur = currentVersion(spark, root)
       val curState = readManifestLines(spark, root, cur)
@@ -2491,6 +2565,14 @@ object ManifestTable {
             "writer that changed the table — an overwrite declares the " +
             "entire state; re-run against the current snapshot (staged " +
             "files are unreferenced and vacuum-swept)")
+      if (replaceLeavesOf.isDefined &&
+        matchedLines(Some(curState)) != baseMatched)
+        throw new java.util.ConcurrentModificationException(
+          s"partition overwrite under $root lost its publish race to a " +
+            "writer that changed a REPLACED leaf — the staged rows were " +
+            "derived against a superseded region; re-run (staged files " +
+            "are unreferenced and vacuum-swept). Changes to leaves " +
+            "outside the region compose and never hit this.")
       prev = cur
       prevState = Some(curState)
       effStats = effStatsFor(curState.statsCols)
@@ -3076,7 +3158,7 @@ object ManifestTable {
         touchedRewriteNames.exists(tp => l.startsWith(tp + "/")))
       if (publishManifest(spark, root, next,
         manifestHeader(next, batchId, curSt.statsCols,
-          Some(mergedSchemaFor(curSt)), op = "merge"),
+          Some(mergedSchemaFor(curSt)), op = "merge", opKey = keyCols),
         carried ++ myLines))
         return Some(MergeStats(
           rowsUpdated = rowsUpdated,
@@ -3224,7 +3306,7 @@ object ManifestTable {
       // nor regress the ingest fence
       if (publishManifest(spark, root, next,
         manifestHeader(next, curSt.batch, curSt.statsCols, curSt.schema,
-          op = "delete"),
+          op = "delete", opKey = Seq(keyCol)),
         carried ++ myLines)) {
         val nIn = obs.get("n_in").asInstanceOf[Long]
         val nKept = if (newFiles.isEmpty) 0L

@@ -57,7 +57,7 @@ import graft.core.ManifestTable
   * exactly as concurrent ManifestTable writers do).
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with FunctionCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -103,13 +103,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     */
   private def writeDescriptor(
       dir: Path, schema: StructType, partitionCols: Seq[String],
-      statsColumns: Seq[String], retention: Option[Int] = None): Unit = {
+      statsColumns: Seq[String], retention: Option[Int] = None,
+      columnMap: Map[String, String] = Map.empty,
+      droppedColumns: Seq[String] = Nil): Unit = {
     val b64 = java.util.Base64.getEncoder
       .encodeToString(schema.json.getBytes("UTF-8"))
     val ret = retention.map(r => s""","retentionKeepVersions":"$r"""")
       .getOrElse("")
+    // COLUMN MAPPING (round 19): logical name -> PHYSICAL (as-written)
+    // name, only for renamed columns; droppedColumns are physical names
+    // whose data still lives in files (a re-add under the same name
+    // refuses — see alterTable)
+    val cmap =
+      if (columnMap.isEmpty) ""
+      else s""","columnMap":"${columnMap.toSeq.sorted
+        .map { case (l, p) => s"$l:$p" }.mkString(",")}""""
+    val dropped =
+      if (droppedColumns.isEmpty) ""
+      else s""","droppedColumns":"${droppedColumns.mkString(",")}""""
     val body =
-      s"""{"schemaB64":"$b64","partitionCols":"${partitionCols.mkString(",")}","statsColumns":"${statsColumns.mkString(",")}"$ret}"""
+      s"""{"schemaB64":"$b64","partitionCols":"${partitionCols.mkString(",")}","statsColumns":"${statsColumns.mkString(",")}"$ret$cmap$dropped}"""
     val tmp = new Path(dir,
       s".$Descriptor.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
@@ -139,7 +152,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .asInstanceOf[StructType]
     def list(k: String): Seq[String] =
       field(k).split(',').map(_.trim).filter(_.nonEmpty).toSeq
-    Some((schema, list("partitionCols"), list("statsColumns")))
+    // partitionCols splits paren-aware: `bucket(16,id)` is ONE spec
+    Some((schema, PartitionTransforms.splitSpecs(field("partitionCols")),
+      list("statsColumns")))
   }
 
   /** The table's declared RETENTION policy (round 18 — SURVEY §9 gap
@@ -158,6 +173,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       finally in.close()
     "\"retentionKeepVersions\":\"(\\d+)\"".r.findFirstMatchIn(body)
       .map(_.group(1).toInt)
+  }
+
+  /** The table's COLUMN MAPPING state (round 19): (logical -> physical
+    * renames, dropped physical names). Absent on old descriptors.
+    */
+  private[sources] def mappingOf(
+      dir: Path): (Map[String, String], Seq[String]) = {
+    val p = new Path(dir, Descriptor)
+    if (!fs.exists(p)) return (Map.empty, Nil)
+    val in = fs.open(p)
+    val body =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    GraftCatalog.parseMapping(body)
   }
 
   /** [[readDescriptor]] that distinguishes "absent" from "present but
@@ -203,15 +232,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     def manifestOnly = fs.exists(new Path(d, "_manifest"))
     readDescriptorOrCorrupt(d) match {
       case Right(Some((schema, parts, stats))) =>
-        new GraftManifestTable(d.toString, version, Some(schema), parts, stats)
+        new GraftManifestTable(d.toString, version, Some(schema), parts, stats,
+          viaCatalog = true)
       case Right(None) if manifestOnly =>
-        new GraftManifestTable(d.toString, version)
+        new GraftManifestTable(d.toString, version, viaCatalog = true)
       case Right(None) => throw new NoSuchTableException(ident)
       case Left(_) if manifestOnly =>
         // corrupt descriptor, committed table: the manifest is the
         // authority (the descriptor only adds declared-but-unwritten
         // columns, which a corrupt file cannot be trusted to carry)
-        new GraftManifestTable(d.toString, version)
+        new GraftManifestTable(d.toString, version, viaCatalog = true)
       case Left(e) => throw e
     }
   }
@@ -222,18 +252,48 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    val partitionCols = partitioning.toSeq.map {
+    // HIDDEN-PARTITION TRANSFORMS (round 19 — SURVEY §9 #1): besides
+    // identity, `PARTITIONED BY (days(ts))` and `bucket(n, id)` declare
+    // DERIVED layouts — the writers compute the directory value from the
+    // data column and the scan translates data predicates to directory
+    // pruning (see [[PartitionTransforms]]). The descriptor records the
+    // transform spelling verbatim.
+    val specs: Seq[PartSpec] = partitioning.toSeq.map {
       case t: Transform if t.name == "identity" && t.references.length == 1 =>
-        t.references.head.fieldNames.mkString(".")
+        IdentitySpec(t.references.head.fieldNames.mkString("."))
+      case t: Transform if t.name == "days" && t.references.length == 1 =>
+        DaysSpec(t.references.head.fieldNames.mkString("."))
+      case t: Transform if t.name == "bucket" && t.references.length == 1 =>
+        val n = t.arguments.collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.value.isInstanceOf[Number] =>
+            l.value.asInstanceOf[Number].intValue
+        }.getOrElse(throw new IllegalArgumentException(
+          s"bucket transform needs a literal bucket count: $t"))
+        BucketSpec(n, t.references.head.fieldNames.mkString("."))
       case other => throw new UnsupportedOperationException(
-        s"graft catalog: only identity partition transforms are " +
-          s"supported, got $other")
+        s"graft catalog: unsupported partition transform $other — " +
+          "supported: identity columns, days(col), bucket(n, col)")
     }
-    require(partitionCols.nonEmpty,
+    require(specs.nonEmpty,
       "graft catalog: a graft-manifest table needs PARTITIONED BY " +
         "(at least one column) — partitioning is a creation-time decision")
-    partitionCols.foreach(pc => require(schema.fieldNames.contains(pc),
-      s"partition column '$pc' absent from the declared schema"))
+    specs.foreach { sp =>
+      val fd = schema.fields.find(_.name == sp.sourceCol).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition source column '${sp.sourceCol}' absent from the " +
+            "declared schema"))
+      require(PartitionTransforms.validSourceType(sp, fd.dataType),
+        s"partition transform ${sp.render}: source type " +
+          s"${fd.dataType.simpleString} is unsupported (days: timestamp/" +
+          "date; bucket: int/long/string; identity: int/long/string)")
+      require(sp.isIdentity || !schema.fieldNames.contains(sp.levelName),
+        s"derived partition level '${sp.levelName}' collides with a " +
+          "declared column — rename the column")
+    }
+    require(specs.map(_.levelName).distinct.size == specs.size,
+      s"duplicate partition levels in ${specs.map(_.render).mkString(",")}")
+    val partitionCols = specs.map(_.render)
     val props = properties.asScala
     def prop(k: String): Option[String] =
       props.collectFirst {
@@ -258,7 +318,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     fs.mkdirs(d)
     writeDescriptor(d, schema, partitionCols, statsColumns, retention)
     new GraftManifestTable(d.toString, None, Some(schema), partitionCols,
-      statsColumns)
+      statsColumns, viaCatalog = true)
   }
 
   /** ADDITIVE schema evolution only — exactly the contract the format's
@@ -345,7 +405,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "drops/renames/retypes are rewrite jobs")
     }
     writeDescriptor(d, schema, parts, statsCols, retention)
-    new GraftManifestTable(d.toString, None, Some(schema), parts, statsCols)
+    new GraftManifestTable(d.toString, None, Some(schema), parts, statsCols,
+      viaCatalog = true)
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -439,6 +500,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftProcedure(this, ident.name)
   }
 
+  // ---- V2 functions: the partition transforms' derivations ----
+  //
+  // Spark resolves a write's transform clustering (days/bucket in
+  // RequiresDistributionAndOrdering) by loading the SAME-named function
+  // from the table's catalog with an EMPTY namespace (round 19 — see
+  // [[GraftFunctions]]); they're also listed under `system` for humans.
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(SystemNs))
+      GraftFunctions.Names.map(n => Identifier.of(namespace, n)).toArray
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction = {
+    require(ident.namespace.isEmpty || ident.namespace.sameElements(SystemNs),
+      s"graft catalog: no function namespace ${ident.namespace.mkString(".")}")
+    GraftFunctions.load(ident.name)
+  }
+
   /** Resolve a procedure's `table` argument ('name' or 'ns.…​.name',
     * catalog-relative) to its directory.
     */
@@ -448,6 +529,60 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     tableDir(ident).toString
   }
+}
+
+object GraftCatalog {
+
+  private[sources] def parseMapping(
+      body: String): (Map[String, String], Seq[String]) = {
+    val cmap = "\"columnMap\":\"([^\"]*)\"".r.findFirstMatchIn(body)
+      .map(_.group(1)).getOrElse("")
+      .split(',').map(_.trim).filter(_.contains(':'))
+      .map { e =>
+        val Array(l, p) = e.split(':')
+        l -> p
+      }.toMap
+    val dropped = "\"droppedColumns\":\"([^\"]*)\"".r
+      .findFirstMatchIn(body).map(_.group(1)).getOrElse("")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    (cmap, dropped)
+  }
+
+  /** Read a table DESCRIPTOR (`_graft-table.json`) directly from a table
+    * directory (round 19): a PATH-loaded handle
+    * (`spark.read.format("graft-manifest").load(dir)`) of a
+    * catalog-managed table then sees the same declared schema, partition
+    * SPECS (incl. hidden transforms) and zone-map registration the
+    * catalog road sees — without this, a path write to a `days(ts)`
+    * table would degrade the transform to identity-on-the-level.
+    * Returns None when absent or unreadable (manifest-authoritative
+    * fallback, same rule as the catalog's corrupt-descriptor road).
+    */
+  private[sources] def descriptorAt(
+      spark: SparkSession, dir: String)
+      : Option[(StructType, Seq[String], Seq[String])] =
+    try {
+      val p = new Path(dir, "_graft-table.json")
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!f.exists(p)) return None
+      val in = f.open(p)
+      val body =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      def field(k: String): Option[String] =
+        s""""$k":"([^"]*)"""".r.findFirstMatchIn(body).map(_.group(1))
+      for {
+        b64 <- field("schemaB64")
+        parts <- field("partitionCols")
+      } yield {
+        val schema = DataType.fromJson(new String(
+          java.util.Base64.getDecoder.decode(b64), "UTF-8"))
+          .asInstanceOf[StructType]
+        (schema, PartitionTransforms.splitSpecs(parts),
+          field("statsColumns").toSeq.flatMap(
+            _.split(',').map(_.trim).filter(_.nonEmpty)))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 }
 
 private[sources] object GraftProcedures {

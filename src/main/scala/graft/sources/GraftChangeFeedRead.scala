@@ -97,7 +97,7 @@ class GraftChangeFeedTable(
       // manifest is read, `_change_type = 'insert'|'delete'` drops the
       // other side entirely
       private val narrowing = new GraftFilterNarrowing(
-        inner.state.statsCols.toMap, inner.partitionCols)
+        inner.state.statsCols.toMap, inner.partSpecs)
       private var pushed: Array[org.apache.spark.sql.sources.Filter] =
         Array.empty
       private var verLo = Long.MinValue
@@ -110,7 +110,11 @@ class GraftChangeFeedTable(
         import org.apache.spark.sql.sources._
         f match {
           case And(a, b) =>
-            val ua = absorbCdf(a); val ub = absorbCdf(b); ua || ub
+            // both sides absorb (side effects), but the conjunction is
+            // REPORTED as pushed only when both narrowed — reporting
+            // `ua || ub` would overstate pushdown in explain (ADVICE
+            // r18); results were always safe (everything is residual)
+            val ua = absorbCdf(a); val ub = absorbCdf(b); ua && ub
           case EqualTo("_commit_version", v: Number) =>
             verLo = math.max(verLo, v.longValue())
             verHi = math.min(verHi, v.longValue()); true
@@ -163,7 +167,7 @@ class GraftChangeFeedTable(
             narrowing.partKeep.toMap,
             inner.partitionCols.zip(inner.partitionTypes).toMap,
             narrowing.provablyEmpty || provablyEmpty,
-            verLo, verHi, sideKeep))
+            verLo, verHi, sideKeep, narrowing.partRanges))
       }
     }
 }
@@ -180,7 +184,9 @@ case class GraftCdfPruning(
     provablyEmpty: Boolean,
     verLo: Long,
     verHi: Long,
-    sideKeep: Option[String])
+    sideKeep: Option[String],
+    // per days-transform level: conjunctive epoch-day window (round 19)
+    partRanges: Map[String, (Long, Long)] = Map.empty)
 
 object GraftCdfPruning {
   val none: GraftCdfPruning = GraftCdfPruning(
@@ -324,12 +330,16 @@ object GraftCdfScan {
           p.getFileSystem(conf).getFileStatus(p).getLen
         }
     def keepPart(rel: String): Boolean =
-      pruning.partKeep.isEmpty ||
+      (pruning.partKeep.isEmpty && pruning.partRanges.isEmpty) ||
         GraftManifestSource.partSegments(rel).forall { case (name, value) =>
           pruning.partKeep.get(name).forall(ks =>
             GraftManifestSource.partValueKept(
               pruning.partTypes.getOrElse(name,
-                org.apache.spark.sql.types.StringType), ks, value))
+                org.apache.spark.sql.types.StringType), ks, value)) &&
+            pruning.partRanges.get(name).forall { case (lo, hi) =>
+              PartitionTransforms.parseDayValue(value)
+                .forall(d => d >= lo && d <= hi)
+            }
         }
     for (v <- fromVersion to toVersion) {
       val (lines, statsCols, verTs) =

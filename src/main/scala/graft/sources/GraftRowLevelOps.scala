@@ -117,34 +117,53 @@ class GraftReplaceWrite(
     * one file per row.
     */
   override def requiredDistribution()
-      : org.apache.spark.sql.connector.distributions.Distribution =
-    org.apache.spark.sql.connector.distributions.Distributions.clustered(
-      pcs.map(pc =>
-        org.apache.spark.sql.connector.expressions.Expressions.identity(pc)
-          : org.apache.spark.sql.connector.expressions.Expression).toArray)
+      : org.apache.spark.sql.connector.distributions.Distribution = {
+    import org.apache.spark.sql.connector.expressions.{Expression, Expressions}
+    if (specs.forall(_.isIdentity) || table.viaCatalog)
+      org.apache.spark.sql.connector.distributions.Distributions.clustered(
+        specs.map {
+          case sp if sp.isIdentity => Expressions.identity(sp.levelName)
+          case DaysSpec(c) => Expressions.days(c)
+          case BucketSpec(n, c) => Expressions.bucket(n, c)
+        }.map(e => e: Expression).toArray)
+    else org.apache.spark.sql.connector.distributions.Distributions
+      .unspecified()
+  }
 
   override def distributionStrictlyRequired(): Boolean = false
 
   override def requiredOrdering()
-      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-    pcs.map(pc =>
-      org.apache.spark.sql.connector.expressions.Expressions.sort(
-        org.apache.spark.sql.connector.expressions.Expressions.column(pc),
-        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
-      .toArray
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    specs.map { sp =>
+      val expr =
+        if (sp.isIdentity || !table.viaCatalog)
+          Expressions.column(sp.sourceCol)
+            : org.apache.spark.sql.connector.expressions.Expression
+        else sp match {
+          case DaysSpec(c) => Expressions.days(c)
+          case BucketSpec(n, c) => Expressions.bucket(n, c)
+          case IdentitySpec(c) => Expressions.column(c)
+        }
+      Expressions.sort(expr,
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
+    }.toArray
+  }
 
-  private val pcs: Seq[String] = {
-    require(table.partitionCols.nonEmpty,
+  private val specs: Seq[PartSpec] = {
+    require(table.partSpecs.nonEmpty,
       s"graft-manifest ${op.command()}: the table under ${table.root} has " +
         "no live partition columns — row-level SQL verbs need a committed " +
         "table")
-    table.partitionCols
+    table.partSpecs
   }
 
   private val writeSchema: StructType = info.schema()
-  pcs.foreach(pc => require(writeSchema.fieldNames.contains(pc),
-    s"graft-manifest ${op.command()}: the replacement rows must carry the " +
-      s"table's partition column '$pc'"))
+  specs.foreach(sp => require(
+    writeSchema.fieldNames.contains(sp.sourceCol),
+    s"graft-manifest ${op.command()}: the replacement rows must carry " +
+      (if (sp.isIdentity) s"the table's partition column '${sp.sourceCol}'"
+       else s"'${sp.sourceCol}', the source of ${sp.render}")))
 
   private val stagingDir = s"${table.root}/_stage-rlo-${info.queryId()}"
 
@@ -155,7 +174,7 @@ class GraftReplaceWrite(
 
   override def createBatchWriterFactory(
       physInfo: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWriterFactory(stagingDir, writeSchema, pcs,
+    new GraftWriterFactory(stagingDir, writeSchema, specs,
       GraftManifestSource.confProps(spark),
       Option(info.options().get("maxOpenWriters")).map(_.toInt)
         .getOrElse(16))

@@ -461,7 +461,7 @@ class GraftManifestSourceSpec extends SparkSpec {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("part",
         org.apache.spark.sql.types.StringType)))
-    val w = new GraftDataWriter(stage, schema, Seq("part"),
+    val w = new GraftDataWriter(stage, schema, Seq(IdentitySpec("part")),
       partitionId = 0, taskId = 0L,
       confProps = GraftManifestSource.confProps(spark), maxOpenWriters = 2)
     val rows = (0 until 60).map(i => (i.toLong, s"p${i % 6}"))

@@ -1,0 +1,229 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.core.ManifestTable
+import org.apache.spark.sql.functions._
+
+/** HIDDEN-PARTITION TRANSFORMS (round 19 — SURVEY §9 #1, the Iceberg
+  * flagship event-table shape): `PARTITIONED BY (days(ts))` /
+  * `bucket(n, id)` derive the directory layout from data columns; the
+  * user filters `ts`/`id` and the scan prunes leaves they never named.
+  */
+class HiddenPartitionSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val warehouse = tmpDir("graft_hidden_wh")
+
+  private def register(name: String): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", warehouse)
+  }
+
+  private def graftScan(df: org.apache.spark.sql.DataFrame): GraftManifestScan =
+    df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        if b.scan.isInstanceOf[GraftManifestScan] =>
+        b.scan.asInstanceOf[GraftManifestScan]
+    }.head
+
+  test("days(ts): layout derives day leaves; a ts-range query PRUNES days the user never named; the level stays hidden") {
+    register("ghp1")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ghp1.ev")
+    spark.sql("CREATE TABLE ghp1.ev.clicks (k BIGINT, v STRING, " +
+      "ts TIMESTAMP) USING `graft-manifest` PARTITIONED BY (days(ts))")
+    // 6 UTC days x 4 rows
+    val rows = (0 until 24).map { i =>
+      (i.toLong, s"v$i",
+        java.sql.Timestamp.from(java.time.Instant.parse(
+          f"2024-03-${10 + i % 6}%02dT0${i % 10}:30:00Z")))
+    }
+    rows.toDF("k", "v", "ts").createOrReplaceTempView("ghp1_src")
+    spark.sql("INSERT INTO ghp1.ev.clicks SELECT * FROM ghp1_src")
+    // the derived level is a real directory, named <col>_day, ISO-valued
+    val root = s"$warehouse/ev/clicks"
+    val leaves = new java.io.File(root).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("ts_day="))
+      .sorted
+    assert(leaves.length == 6 && leaves.head == "ts_day=2024-03-10",
+      leaves.mkString(","))
+    // ts_day is HIDDEN: not in the schema, SELECT * never shows it
+    assert(!spark.table("ghp1.ev.clicks").schema.fieldNames
+      .contains("ts_day"))
+    // the data column ts IS in the files (not directory-only)
+    assert(spark.table("ghp1.ev.clicks").select("ts").distinct().count() > 6)
+    // a 2-day range filter on ts opens ONLY those days' files
+    val q = spark.sql("SELECT k FROM ghp1.ev.clicks WHERE " +
+      "ts >= TIMESTAMP'2024-03-11 00:00:00' AND " +
+      "ts < TIMESTAMP'2024-03-13 00:00:00'")
+    val expect = rows.filter { case (_, _, t) =>
+      !t.before(java.sql.Timestamp.valueOf("2024-03-11 00:00:00")) &&
+        t.before(java.sql.Timestamp.valueOf("2024-03-13 00:00:00"))
+    }.map(_._1).sorted
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq == expect)
+    val scan = graftScan(q)
+    assert(scan.totalFiles > scan.chosenFiles.size,
+      s"day pruning must skip leaves: ${scan.chosenFiles}")
+    assert(scan.chosenFiles.forall(r =>
+      r.startsWith("ts_day=2024-03-11/") || r.startsWith("ts_day=2024-03-12/")),
+      s"chosen files must come only from the two filtered days: " +
+        scan.chosenFiles.mkString(","))
+    // equality on a single instant prunes to ONE day leaf
+    val q1 = spark.sql("SELECT k FROM ghp1.ev.clicks WHERE " +
+      "ts = TIMESTAMP'2024-03-10 00:30:00'")
+    val s1 = graftScan(q1)
+    assert(s1.chosenFiles.forall(_.startsWith("ts_day=2024-03-10/")))
+    assert(q1.collect().map(_.getLong(0)).toSeq == Seq(0L))
+  }
+
+  test("bucket(n, id): equality/IN prunes to the hashed buckets; full scans and values stay exact") {
+    register("ghp2")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ghp2.ev")
+    spark.sql("CREATE TABLE ghp2.ev.users (id BIGINT, nm STRING) " +
+      "USING `graft-manifest` PARTITIONED BY (bucket(8, id))")
+    (0L until 400L).map(i => (i, s"u$i")).toDF("id", "nm")
+      .createOrReplaceTempView("ghp2_src")
+    spark.sql("INSERT INTO ghp2.ev.users SELECT * FROM ghp2_src")
+    val root = s"$warehouse/ev/users"
+    val leaves = new java.io.File(root).listFiles()
+      .filter(_.isDirectory).map(_.getName)
+      .filter(_.startsWith("id_bucket=")).sorted
+    assert(leaves.length == 8, leaves.mkString(","))
+    assert(!spark.table("ghp2.ev.users").schema.fieldNames
+      .contains("id_bucket"))
+    // point lookup: exactly one bucket's files open
+    val q = spark.sql("SELECT nm FROM ghp2.ev.users WHERE id = 137")
+    assert(q.collect().map(_.getString(0)).toSeq == Seq("u137"))
+    val scan = graftScan(q)
+    val bk = PartitionTransforms.bucketOfLong(137L, 8)
+    assert(scan.chosenFiles.nonEmpty &&
+      scan.chosenFiles.forall(_.startsWith(s"id_bucket=$bk/")),
+      s"expected only bucket $bk: ${scan.chosenFiles.mkString(",")}")
+    assert(scan.chosenFiles.size < scan.totalFiles)
+    // IN over two ids: at most two buckets
+    val q2 = spark.sql(
+      "SELECT count(*) FROM ghp2.ev.users WHERE id IN (3, 250)")
+    assert(q2.head.getLong(0) == 2L)
+    val bks = Set(3L, 250L).map(PartitionTransforms.bucketOfLong(_, 8))
+      .map(b => s"id_bucket=$b/")
+    assert(graftScan(spark.sql(
+      "SELECT nm FROM ghp2.ev.users WHERE id IN (3, 250)"))
+      .chosenFiles.forall(r => bks.exists(r.startsWith)))
+    // a RANGE on id does NOT translate (hash destroys order) but stays
+    // correct
+    assert(spark.sql(
+      "SELECT count(*) FROM ghp2.ev.users WHERE id < 10")
+      .head.getLong(0) == 10L)
+  }
+
+  test("mixed layout days(ts) + identity lang: both levels prune; verbs stay transform-safe (optimize, dropPartitions, DELETE)") {
+    register("ghp3")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ghp3.ev")
+    // identity partition columns declare LAST (the format's column-order
+    // convention: the committed schema is data columns then identity
+    // levels — a transform's SOURCE column is data, so it sits with them)
+    spark.sql("CREATE TABLE ghp3.ev.logs (k BIGINT, ts TIMESTAMP, " +
+      "lang STRING) USING `graft-manifest` " +
+      "PARTITIONED BY (days(ts), lang)")
+    // lang varies WITHIN each day (i/4 decouples it from i%4's day)
+    val rows = (0 until 40).map { i =>
+      (i.toLong, if ((i / 4) % 2 == 0) "en" else "de",
+        java.sql.Timestamp.from(java.time.Instant.parse(
+          f"2024-05-${20 + i % 4}%02dT08:0${i % 6}:00Z")))
+    }
+    rows.map(r => (r._1, r._3, r._2))
+      .toDF("k", "ts", "lang").createOrReplaceTempView("ghp3_src")
+    // two inserts → multiple files per leaf, so optimize has work
+    spark.sql("INSERT INTO ghp3.ev.logs SELECT * FROM ghp3_src WHERE k < 20")
+    spark.sql("INSERT INTO ghp3.ev.logs SELECT * FROM ghp3_src WHERE k >= 20")
+    assert(spark.sql("SELECT count(*) FROM ghp3.ev.logs")
+      .head.getLong(0) == 40L)
+    // both levels prune together
+    val q = spark.sql("SELECT k FROM ghp3.ev.logs WHERE lang = 'en' AND " +
+      "ts >= TIMESTAMP'2024-05-21 00:00:00' AND " +
+      "ts < TIMESTAMP'2024-05-22 00:00:00'")
+    val scan = graftScan(q)
+    assert(scan.chosenFiles.nonEmpty && scan.chosenFiles.forall(r =>
+      r.startsWith("ts_day=2024-05-21/lang=en/")),
+      scan.chosenFiles.mkString(","))
+    val expected = rows.filter(r => r._2 == "en" &&
+      r._3.toInstant.toString.startsWith("2024-05-21")).map(_._1).sorted
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq == expected)
+    val root = s"$warehouse/ev/logs"
+    // OPTIMIZE folds per leaf, preserving the derived layout
+    val stats = ManifestTable.optimize(spark, root)
+    assert(stats.nonEmpty && stats.forall(s =>
+      s.partition.startsWith("ts_day=") && s.partition.contains("/lang=")),
+      stats.toString)
+    assert(spark.sql("SELECT count(*) FROM ghp3.ev.logs")
+      .head.getLong(0) == 40L)
+    // SQL DELETE (COW road): rewrites re-derive leaves from ts
+    spark.sql("DELETE FROM ghp3.ev.logs WHERE k IN (0, 1, 2, 3)")
+    assert(spark.sql("SELECT count(*) FROM ghp3.ev.logs")
+      .head.getLong(0) == 36L)
+    assert(spark.sql("SELECT k FROM ghp3.ev.logs WHERE " +
+      "ts < TIMESTAMP'2024-05-21 00:00:00'").collect()
+      .map(_.getLong(0)).sorted.toSeq ==
+      rows.filter(r => r._3.toInstant.toString.startsWith("2024-05-20"))
+        .map(_._1).filter(_ > 3).sorted)
+    // dropPartitions TTLs by the FIRST level's derived day value
+    val dropped = ManifestTable.dropPartitions(
+      spark, root, Seq("2024-05-20"))
+    assert(dropped.exists(_ > 0L))
+    assert(spark.sql("SELECT count(*) FROM ghp3.ev.logs WHERE " +
+      "ts < TIMESTAMP'2024-05-21 00:00:00'").head.getLong(0) == 0L)
+  }
+
+  test("UPDATE on a days table re-derives the leaf when ts moves days (COW road through the transform writer)") {
+    register("ghp4")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ghp4.ev")
+    spark.sql("CREATE TABLE ghp4.ev.t (k BIGINT, ts TIMESTAMP) " +
+      "USING `graft-manifest` PARTITIONED BY (days(ts))")
+    spark.sql("INSERT INTO ghp4.ev.t VALUES " +
+      "(1, TIMESTAMP'2024-01-01 10:00:00')," +
+      "(2, TIMESTAMP'2024-01-01 11:00:00')," +
+      "(3, TIMESTAMP'2024-01-02 09:00:00')")
+    spark.sql("UPDATE ghp4.ev.t SET ts = TIMESTAMP'2024-01-05 10:00:00' " +
+      "WHERE k = 1")
+    // the moved row now lives in (and prunes from) its NEW day
+    val q = spark.sql("SELECT k FROM ghp4.ev.t WHERE " +
+      "ts >= TIMESTAMP'2024-01-05 00:00:00'")
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(graftScan(q).chosenFiles.forall(
+      _.startsWith("ts_day=2024-01-05/")))
+    assert(spark.sql("SELECT count(*) FROM ghp4.ev.t").head.getLong(0) == 3L)
+    // physical layout agrees
+    val leaves = new java.io.File(s"$warehouse/ev/t").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+      .filter(_.startsWith("ts_day=")).toSet
+    assert(leaves.contains("ts_day=2024-01-05"), leaves.toString)
+  }
+
+  test("the transform derivations: day boundaries, bucket spread, descriptor roundtrip") {
+    // UTC day boundary: 23:59:59.999999 vs 00:00:00
+    assert(PartitionTransforms.renderDay(PartitionTransforms
+      .epochDayOfMicros(java.time.Instant.parse("2024-06-30T23:59:59.999999Z")
+        .getEpochSecond * 1000000L + 999999L)) == "2024-06-30")
+    assert(PartitionTransforms.renderDay(PartitionTransforms
+      .epochDayOfMicros(java.time.Instant.parse("2024-07-01T00:00:00Z")
+        .getEpochSecond * 1000000L)) == "2024-07-01")
+    // pre-epoch floors correctly (floorDiv, not truncation)
+    assert(PartitionTransforms.renderDay(PartitionTransforms
+      .epochDayOfMicros(java.time.Instant.parse("1969-12-31T23:00:00Z")
+        .getEpochSecond * 1000000L)) == "1969-12-31")
+    // bucket spread: 1000 sequential longs spread over 16 buckets with
+    // no empty bucket (the avalanche test — raw mod would stripe)
+    val counts = (0L until 1000L)
+      .groupBy(PartitionTransforms.bucketOfLong(_, 16)).view.mapValues(_.size)
+    assert(counts.size == 16 && counts.values.min > 20, counts.toMap.toString)
+    // spec strings roundtrip through the descriptor encoding
+    val specs = Seq("part", "days(ts)", "bucket(16,id)")
+    assert(PartitionTransforms.splitSpecs(specs.mkString(","))
+      .map(PartitionTransforms.parse).map(_.render) == specs)
+    // level names
+    assert(PartitionTransforms.parse("days(ts)").levelName == "ts_day")
+    assert(PartitionTransforms.parse("bucket(4,id)").levelName == "id_bucket")
+    assert(PartitionTransforms.parse("lang").isIdentity)
+  }
+}
