@@ -232,8 +232,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     def manifestOnly = fs.exists(new Path(d, "_manifest"))
     readDescriptorOrCorrupt(d) match {
       case Right(Some((schema, parts, stats))) =>
+        val (cmap, dropped) = mappingOf(d)
         new GraftManifestTable(d.toString, version, Some(schema), parts, stats,
-          viaCatalog = true)
+          viaCatalog = true, columnMap = cmap, droppedPhysical = dropped)
       case Right(None) if manifestOnly =>
         new GraftManifestTable(d.toString, version, viaCatalog = true)
       case Right(None) => throw new NoSuchTableException(ident)
@@ -344,7 +345,73 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     var schema = schema0
     var statsCols = stats
     var retention = retentionOf(d)
+    var (columnMap, droppedCols) = mappingOf(d)
+    val partSpecs = parts.map(PartitionTransforms.parse)
+    def physOf(logical: String): String = columnMap.getOrElse(logical, logical)
     changes.foreach {
+      // COLUMN MAPPING (round 19 — SURVEY §9 #2 / VERDICT r18 next #2):
+      // RENAME COLUMN is metadata-only. The descriptor records logical ->
+      // PHYSICAL (the name files carry — the column's original creation
+      // name); old files keep reading, new writes keep writing the
+      // physical name, and the scan/write boundaries translate. Partition
+      // SOURCE columns refuse (the transform spec and directory names
+      // spell the source; remapping them is a layout rewrite).
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames().length == 1,
+          "graft catalog: only top-level columns can be renamed " +
+            s"(got ${ren.fieldNames().mkString(".")})")
+        val from = ren.fieldNames()(0)
+        val to = ren.newName()
+        require(schema.fieldNames.contains(from),
+          s"RENAME COLUMN: no column '$from'")
+        require(!schema.fieldNames.contains(to),
+          s"RENAME COLUMN: '$to' already exists")
+        partSpecs.find(_.sourceCol == from).foreach(sp =>
+          throw new UnsupportedOperationException(
+            s"RENAME COLUMN: '$from' is the source of partition " +
+              s"${sp.render} — partition sources spell the directory " +
+              "layout; renaming them is a rewrite job"))
+        // a column may reclaim its OWN physical name (rename-back);
+        // anyone else's physical storage is occupied
+        require(!droppedCols.contains(to) &&
+          !columnMap.filterNot(_._1 == from).values.toSet.contains(to),
+          s"RENAME COLUMN: physical name '$to' is still occupied in " +
+            "data files (a dropped or renamed column) — pick another " +
+            "name or rewrite the table")
+        val physical = physOf(from)
+        columnMap = columnMap - from
+        // a rename BACK to the physical name needs no mapping entry
+        if (physical != to) columnMap = columnMap + (to -> physical)
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f).toSeq)
+        statsCols = statsCols.map(c => if (c == from) to else c)
+      // DROP COLUMN: a mapping removal — the physical column stays in
+      // files, reads stop serving it, writes stop writing it. Dropping a
+      // zone-map-registered column refuses (recorded stats suffixes are
+      // positional — unregistering is a rewrite job), as does dropping a
+      // partition source.
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1,
+          "graft catalog: only top-level columns can be dropped " +
+            s"(got ${del.fieldNames().mkString(".")})")
+        val name = del.fieldNames()(0)
+        if (!schema.fieldNames.contains(name)) {
+          if (!del.ifExists())
+            throw new IllegalArgumentException(
+              s"DROP COLUMN: no column '$name'")
+        } else {
+          partSpecs.find(_.sourceCol == name).foreach(sp =>
+            throw new UnsupportedOperationException(
+              s"DROP COLUMN: '$name' is the source of partition " +
+                s"${sp.render} — a layout rewrite, not a DDL statement"))
+          require(!statsCols.contains(name),
+            s"DROP COLUMN: '$name' is a registered zone-map column — " +
+              "recorded stats suffixes are positional; unregistering is " +
+              "a rewrite job")
+          droppedCols = droppedCols :+ physOf(name)
+          columnMap = columnMap - name
+          schema = StructType(schema.fields.filterNot(_.name == name).toSeq)
+        }
       // ALTER TABLE t SET TBLPROPERTIES ('retention.keepVersions'='3'):
       // the vacuum policy lives with the table (round 18)
       case set: TableChange.SetProperty
@@ -398,15 +465,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(add.position() == null,
           "graft catalog: added columns append at the end (FIRST/AFTER " +
             "would reorder the recorded layout)")
+        require(!droppedCols.contains(cname) &&
+          !columnMap.values.toSet.contains(cname),
+          s"graft catalog: physical name '$cname' is still occupied in " +
+            "data files (a dropped or renamed column's storage) — old " +
+            "files would serve their stale values under the new column; " +
+            "pick another name or rewrite the table")
         schema = schema.add(cname, add.dataType(), nullable = true)
       case other => throw new UnsupportedOperationException(
         s"graft catalog: ALTER TABLE change $other is not supported — " +
-          "only nullable ADD COLUMN (the additive-evolution contract); " +
-          "drops/renames/retypes are rewrite jobs")
+          "nullable ADD COLUMN, RENAME COLUMN and DROP COLUMN (column " +
+          "mapping) are; retypes and repositions are rewrite jobs")
     }
-    writeDescriptor(d, schema, parts, statsCols, retention)
+    writeDescriptor(d, schema, parts, statsCols, retention,
+      columnMap, droppedCols)
     new GraftManifestTable(d.toString, None, Some(schema), parts, statsCols,
-      viaCatalog = true)
+      viaCatalog = true, columnMap = columnMap,
+      droppedPhysical = droppedCols)
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -560,7 +635,8 @@ object GraftCatalog {
     */
   private[sources] def descriptorAt(
       spark: SparkSession, dir: String)
-      : Option[(StructType, Seq[String], Seq[String])] =
+      : Option[(StructType, Seq[String], Seq[String],
+        Map[String, String], Seq[String])] =
     try {
       val p = new Path(dir, "_graft-table.json")
       val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -578,9 +654,11 @@ object GraftCatalog {
         val schema = DataType.fromJson(new String(
           java.util.Base64.getDecoder.decode(b64), "UTF-8"))
           .asInstanceOf[StructType]
+        val (cmap, dropped) = parseMapping(body)
         (schema, PartitionTransforms.splitSpecs(parts),
           field("statsColumns").toSeq.flatMap(
-            _.split(',').map(_.trim).filter(_.nonEmpty)))
+            _.split(',').map(_.trim).filter(_.nonEmpty)),
+          cmap, dropped)
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 }

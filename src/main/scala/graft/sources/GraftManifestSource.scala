@@ -196,7 +196,9 @@ object GraftManifestSource {
       else if (optParts.nonEmpty) optParts
       else desc.map(_._2).getOrElse(Nil),
       if (optStats.nonEmpty) optStats
-      else desc.map(_._3).getOrElse(Nil))
+      else desc.map(_._3).getOrElse(Nil),
+      columnMap = desc.map(_._4).getOrElse(Map.empty),
+      droppedPhysical = desc.map(_._5).getOrElse(Nil))
   }
 
   /** Leading `name=value` directory segments of a manifest-relative data
@@ -2332,10 +2334,14 @@ class GraftWrite(
       s"graft-manifest write: partition ${sp.render}: source column " +
         s"'$src' has unsupported type ${dt.simpleString}")
   }
+  // column mapping: files carry PHYSICAL names (positions unchanged —
+  // the writer indexes rows positionally)
+  private val writeSchemaPhys: StructType = StructType(
+    writeSchema.fields.map(f => f.copy(name = table.phys(f.name))).toSeq)
   // identity partition columns live in the DIRECTORY only; a transform's
   // source column is DATA and stays in the files
   private val dataFields: Array[StructField] =
-    writeSchema.fields.filterNot(f =>
+    writeSchemaPhys.fields.filterNot(f =>
       specs.exists(sp => sp.isIdentity && sp.sourceCol == f.name))
   dataFields.foreach { f =>
     require(GraftManifestSource.SupportedTypes.contains(f.dataType),
@@ -2400,7 +2406,9 @@ class GraftWrite(
   private val statsColumns: Seq[String] = {
     val fromWrite = Option(info.options().get("statsColumns")).toSeq
       .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
-    if (fromWrite.nonEmpty) fromWrite else table.declaredStatsColumns
+    // zone-map registration is recorded under PHYSICAL names
+    (if (fromWrite.nonEmpty) fromWrite else table.declaredStatsColumns)
+      .map(table.phys)
   }
 
   private val stagingDir = s"${table.root}/_stage-dsv2-${info.queryId()}"
@@ -2410,7 +2418,7 @@ class GraftWrite(
   override def createBatchWriterFactory(
       physInfo: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DataWriterFactory =
-    new GraftWriterFactory(stagingDir, writeSchema, specs,
+    new GraftWriterFactory(stagingDir, writeSchemaPhys, specs,
       GraftManifestSource.confProps(spark),
       Option(info.options().get("maxOpenWriters")).map(_.toInt)
         .getOrElse(16))
@@ -2514,7 +2522,7 @@ class GraftWrite(
 
   private[sources] def epochWriterFactory
       : (String, StructType, Seq[PartSpec], Array[(String, String)], Int) =
-    (stagingDir, writeSchema, specs,
+    (stagingDir, writeSchemaPhys, specs,
       GraftManifestSource.confProps(spark),
       Option(info.options().get("maxOpenWriters")).map(_.toInt)
         .getOrElse(16))

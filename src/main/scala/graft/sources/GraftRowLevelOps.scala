@@ -165,6 +165,10 @@ class GraftReplaceWrite(
       (if (sp.isIdentity) s"the table's partition column '${sp.sourceCol}'"
        else s"'${sp.sourceCol}', the source of ${sp.render}")))
 
+  // column mapping: the replacement files carry PHYSICAL names
+  private val writeSchemaPhys: StructType = StructType(
+    writeSchema.fields.map(f => f.copy(name = table.phys(f.name))).toSeq)
+
   private val stagingDir = s"${table.root}/_stage-rlo-${info.queryId()}"
 
   override def toBatch: BatchWrite = this
@@ -174,7 +178,7 @@ class GraftReplaceWrite(
 
   override def createBatchWriterFactory(
       physInfo: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWriterFactory(stagingDir, writeSchema, specs,
+    new GraftWriterFactory(stagingDir, writeSchemaPhys, specs,
       GraftManifestSource.confProps(spark),
       Option(info.options().get("maxOpenWriters")).map(_.toInt)
         .getOrElse(16))
@@ -240,7 +244,9 @@ private[sources] object GraftDeleteMapping {
     val byCol = perFilter.flatten
     val cols = byCol.map(_._1).distinct
     if (cols.size != 1) return None
-    val c = cols.head
+    // filters name the LOGICAL column; detection keys files' PHYSICAL
+    // one (column mapping, round 19)
+    val c = table.phys(cols.head)
     if (table.partitionCols.contains(c)) return None
     val dt = table.dataSchema.fields.find(_.name == c).map(_.dataType)
     if (!dt.exists(t => t == LongType || t == IntegerType || t == StringType))

@@ -1,0 +1,125 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.core.ManifestTable
+import org.apache.spark.sql.functions._
+
+/** COLUMN MAPPING (round 19 — SURVEY §9 #2): RENAME COLUMN is
+  * metadata-only (logical ↔ physical indirection in the descriptor; old
+  * files keep reading, new writes keep the physical name), DROP COLUMN
+  * is a mapping removal (files keep the bytes; reads stop serving it).
+  */
+class ColumnMappingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val warehouse = tmpDir("graft_cmap_wh")
+
+  private def register(name: String): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", warehouse)
+  }
+
+  test("rename lifecycle: metadata-only, spans old and new files, zone maps keep pruning, COW verbs work on the new name") {
+    register("gcm1")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcm1.m")
+    spark.sql("CREATE TABLE gcm1.m.docs (k BIGINT, v STRING, n BIGINT, " +
+      "part STRING) USING `graft-manifest` OPTIONS (statsColumns 'n') " +
+      "PARTITIONED BY (part)")
+    spark.sql("INSERT INTO gcm1.m.docs VALUES " +
+      "(1, 'a', 100, 'p0'), (2, 'b', 200, 'p1'), (3, 'c', 300, 'p2')")
+    val vBefore =
+      ManifestTable.currentVersion(spark, s"$warehouse/m/docs")
+    spark.sql("ALTER TABLE gcm1.m.docs RENAME COLUMN n TO chars")
+    // metadata-only: NO new manifest version
+    assert(ManifestTable.currentVersion(
+      spark, s"$warehouse/m/docs") == vBefore)
+    // old files read under the new name
+    assert(spark.sql("SELECT chars FROM gcm1.m.docs WHERE k = 1")
+      .head.getLong(0) == 100L)
+    assert(!spark.table("gcm1.m.docs").schema.fieldNames.contains("n"))
+    // new writes carry the NEW logical name in the frame; the files keep
+    // the physical one — a read then spans both file generations
+    spark.sql("INSERT INTO gcm1.m.docs VALUES (4, 'd', 400, 'p3')")
+    assert(spark.sql(
+      "SELECT sum(chars) FROM gcm1.m.docs").head.getLong(0) == 1000L)
+    // the zone map registered under the PHYSICAL name still prunes a
+    // filter on the LOGICAL name
+    val q = spark.sql("SELECT k FROM gcm1.m.docs WHERE chars >= 400")
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(4L))
+    val scan = q.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        if b.scan.isInstanceOf[GraftManifestScan] =>
+        b.scan.asInstanceOf[GraftManifestScan]
+    }.head
+    assert(scan.chosenFiles.size < scan.totalFiles,
+      s"zone pruning must survive the rename: ${scan.chosenFiles}")
+    // COW verbs address the new name
+    spark.sql("UPDATE gcm1.m.docs SET chars = chars + 1 WHERE k = 2")
+    assert(spark.sql("SELECT chars FROM gcm1.m.docs WHERE k = 2")
+      .head.getLong(0) == 201L)
+    spark.sql("DELETE FROM gcm1.m.docs WHERE chars IN (300)")
+    assert(spark.sql("SELECT count(*) FROM gcm1.m.docs")
+      .head.getLong(0) == 3L)
+    // physical layout: parquet files carry 'n', never 'chars'
+    val aFile = ManifestTable.read(spark, s"$warehouse/m/docs")
+    assert(aFile.isDefined) // the raw Scala road still serves physical
+  }
+
+  test("drop lifecycle: the column disappears, files keep the bytes, re-adding the name refuses") {
+    register("gcm2")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcm2.m")
+    spark.sql("CREATE TABLE gcm2.m.t2 (k BIGINT, v STRING, part STRING) " +
+      "USING `graft-manifest` PARTITIONED BY (part)")
+    spark.sql("INSERT INTO gcm2.m.t2 VALUES (1, 'keep?', 'p0')")
+    spark.sql("ALTER TABLE gcm2.m.t2 DROP COLUMN v")
+    assert(spark.table("gcm2.m.t2").schema.fieldNames.toSeq ==
+      Seq("k", "part"))
+    assert(spark.sql("SELECT * FROM gcm2.m.t2").columns.toSeq ==
+      Seq("k", "part"))
+    // writes no longer carry it
+    spark.sql("INSERT INTO gcm2.m.t2 VALUES (2, 'p1')")
+    assert(spark.sql("SELECT count(*) FROM gcm2.m.t2").head.getLong(0) == 2L)
+    // re-adding the dropped name refuses: old files still hold values
+    // that would silently resurface
+    val ex = intercept[Exception] {
+      spark.sql("ALTER TABLE gcm2.m.t2 ADD COLUMN v STRING")
+    }
+    assert(ex.getMessage.contains("still occupied"), ex.getMessage)
+    // a DIFFERENT name adds fine
+    spark.sql("ALTER TABLE gcm2.m.t2 ADD COLUMN v2 STRING")
+    assert(spark.sql("SELECT v2 FROM gcm2.m.t2 WHERE k = 1")
+      .head.isNullAt(0))
+  }
+
+  test("refusals: partition sources, stats columns, occupied physical names") {
+    register("gcm3")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcm3.m")
+    spark.sql("CREATE TABLE gcm3.m.t3 (k BIGINT, n BIGINT, part STRING) " +
+      "USING `graft-manifest` OPTIONS (statsColumns 'n') " +
+      "PARTITIONED BY (part)")
+    spark.sql("INSERT INTO gcm3.m.t3 VALUES (1, 10, 'p0')")
+    // a partition column is the directory layout
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE gcm3.m.t3 RENAME COLUMN part TO p2")
+    }
+    assert(e1.getMessage.contains("rewrite job"), e1.getMessage)
+    // a registered zone-map column can rename (suffixes key physically)
+    spark.sql("ALTER TABLE gcm3.m.t3 RENAME COLUMN n TO m")
+    assert(spark.sql("SELECT m FROM gcm3.m.t3").head.getLong(0) == 10L)
+    // ... but not DROP (positional suffixes would re-meaning)
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE gcm3.m.t3 DROP COLUMN m")
+    }
+    assert(e2.getMessage.contains("zone-map"), e2.getMessage)
+    // renaming ANOTHER column onto m's physical name refuses
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE gcm3.m.t3 RENAME COLUMN k TO n")
+    }
+    assert(e3.getMessage.contains("occupied"), e3.getMessage)
+    // rename BACK to the physical name drops the mapping entry
+    spark.sql("ALTER TABLE gcm3.m.t3 RENAME COLUMN m TO n")
+    assert(spark.sql("SELECT n FROM gcm3.m.t3").head.getLong(0) == 10L)
+  }
+}

@@ -60,10 +60,11 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM graft_c1.ops.docs2")
       .head.getLong(0) == 3L)
     intercept[Exception] { spark.sql("SELECT * FROM graft_c1.ops.docs") }
-    // non-additive ALTER TABLE changes refuse (additive-evolution
-    // contract; nullable ADD COLUMN is supported — its own test)
+    // RETYPES refuse (additive-evolution contract; nullable ADD COLUMN,
+    // RENAME and DROP are supported — round 19 column mapping, their
+    // own specs)
     val ex = intercept[Exception] {
-      spark.sql("ALTER TABLE graft_c1.ops.docs2 DROP COLUMN s")
+      spark.sql("ALTER TABLE graft_c1.ops.docs2 ALTER COLUMN s TYPE INT")
     }
     assert(ex.getMessage.contains("rewrite jobs") ||
       ex.getMessage.contains("not supported"), ex.getMessage)
@@ -93,9 +94,11 @@ class GraftCatalogSpec extends SparkSpec {
     // the non-additive changes refuse loudly
     def chain(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    // (DROP/RENAME moved to the supported set in round 19 — column
+    // mapping, ColumnMappingSpec; retypes/repositions/NOT-NULL stay out)
     for (stmt <- Seq(
-      "ALTER TABLE graft_c4.eva.t DROP COLUMN z",
-      "ALTER TABLE graft_c4.eva.t RENAME COLUMN z TO y",
+      "ALTER TABLE graft_c4.eva.t ALTER COLUMN z TYPE INT",
+      "ALTER TABLE graft_c4.eva.t ALTER COLUMN z FIRST",
       "ALTER TABLE graft_c4.eva.t ADD COLUMN w BIGINT NOT NULL")) {
       val ex = intercept[Exception] { spark.sql(stmt) }
       assert(chain(ex).exists(m => m.contains("additive") ||
