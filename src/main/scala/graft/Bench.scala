@@ -217,6 +217,25 @@ object Bench {
     if (selected.exists(_._1 == "st23_streamed_takedown"))
       try SparkEntry.st23TableDir(spark, sfDir)
       catch { case _: Throwable => () }
+    // round-19 artifacts: the hidden-layout catalogs (u37/u38), the
+    // partition-overwrite table (u39), the row-image merge history (u40)
+    // and the rename-lifecycle catalog (u41) are ingest-time builds —
+    // the entries time the gated READ/pairing
+    if (selected.exists(_._1 == "u37_days_layout"))
+      try SparkEntry.u37Catalog(spark, sfDir)
+      catch { case _: Throwable => () }
+    if (selected.exists(_._1 == "u38_bucket_layout"))
+      try SparkEntry.u38Catalog(spark, sfDir)
+      catch { case _: Throwable => () }
+    if (selected.exists(_._1 == "u39_replace_where"))
+      try SparkEntry.u39TableDir(spark, sfDir)
+      catch { case _: Throwable => () }
+    if (selected.exists(_._1 == "u40_cdf_row_images"))
+      try SparkEntry.u40TableDir(spark, sfDir)
+      catch { case _: Throwable => () }
+    if (selected.exists(_._1 == "u41_rename_lifecycle"))
+      try SparkEntry.u41Catalog(spark, sfDir)
+      catch { case _: Throwable => () }
     // u12 counts five stored artifacts; stage any its co-entries didn't
     if (selected.exists(_._1 == "u12_freshness")) {
       try SparkEntry.d18ClusterDir(spark, sfDir)
