@@ -1108,6 +1108,37 @@ object SparkEntry {
       root
     })
 
+  private val hiddenMonthsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** u42's artifact (round 19 — the calendar-unit family beyond days):
+    * orders as `PARTITIONED BY (months(o_orderdate))` — ~80 month leaves
+    * over the 1995–2001 span; a half-year range opens 6 of them.
+    */
+  def u42Catalog(s: SparkSession, dir: String): String = {
+    val cat = s"graft_u42_${Integer.toHexString(dir.hashCode)}"
+    hiddenMonthsMemo.computeIfAbsent((s, dir), _ => {
+      val wh = graft.core.TempDirs.create("graft_u42_cat")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.tpch")
+      s.sql(s"CREATE TABLE $cat.tpch.orders (o_orderkey BIGINT, " +
+        "o_custkey BIGINT, o_orderpriority STRING, " +
+        "o_orderdate TIMESTAMP) USING `graft-manifest` " +
+        "OPTIONS (statsColumns 'o_orderkey') " +
+        "PARTITIONED BY (months(o_orderdate))")
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderpriority"), col("o_orderdate"))
+        .createOrReplaceTempView("graft_u42_src")
+      try s.sql(s"INSERT INTO $cat.tpch.orders SELECT * FROM graft_u42_src")
+      finally s.catalog.dropTempView("graft_u42_src")
+      wh
+    })
+    cat
+  }
+
   private val rowImagesMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
@@ -2905,6 +2936,21 @@ object SparkEntry {
       val days = (10 to 16).map(d => f"ts_day=2024-01-$d%02d/").toSet
       requireLeafPruning(df, r => days.exists(r.startsWith))
     }),
+    // u42 (round 19): hidden `months(o_orderdate)` layout — a half-year
+    // range over ~80 month leaves opens exactly 6 (pruning pin REQUIRED)
+    "u42_months_layout" -> ((s, dir) => {
+      val cat = u42Catalog(s, dir)
+      val df = s.sql(
+        s"SELECT o_orderpriority, count(*) AS n_orders, " +
+          "CAST(sum(o_orderkey) AS BIGINT) AS sum_keys " +
+          s"FROM $cat.tpch.orders " +
+          "WHERE o_orderdate >= TIMESTAMP'1996-01-01 00:00:00' " +
+          "AND o_orderdate < TIMESTAMP'1996-07-01 00:00:00' " +
+          "GROUP BY o_orderpriority")
+      val months =
+        (1 to 6).map(m => f"o_orderdate_month=1996-$m%02d/").toSet
+      requireLeafPruning(df, r => months.exists(r.startsWith))
+    }),
     // u38 (round 19): hidden `bucket(8, user_id)` layout — a user_id IN
     // lookup opens only the hashed buckets' files
     "u38_bucket_layout" -> ((s, dir) => {
@@ -3791,6 +3837,12 @@ object SparkEntry {
       ("SELECT user_id, count(*) AS n_events, " +
         "CAST(sum(event_id) AS BIGINT) AS sum_ids FROM events " +
         "WHERE user_id IN (7, 42, 99) GROUP BY user_id"),
+    "u42_months_layout" ->
+      ("SELECT o_orderpriority, count(*) AS n_orders, " +
+        "CAST(sum(o_orderkey) AS BIGINT) AS sum_keys FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00' " +
+        "GROUP BY o_orderpriority"),
     // u33: the lifecycle's audit trail is a closed-form fixture — five
     // versions, each naming its verb, fences preserved by the
     // non-ingest verbs

@@ -264,6 +264,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         IdentitySpec(t.references.head.fieldNames.mkString("."))
       case t: Transform if t.name == "days" && t.references.length == 1 =>
         DaysSpec(t.references.head.fieldNames.mkString("."))
+      case t: Transform if t.name == "months" && t.references.length == 1 =>
+        MonthsSpec(t.references.head.fieldNames.mkString("."))
+      case t: Transform if t.name == "years" && t.references.length == 1 =>
+        YearsSpec(t.references.head.fieldNames.mkString("."))
+      case t: Transform if t.name == "hours" && t.references.length == 1 =>
+        HoursSpec(t.references.head.fieldNames.mkString("."))
       case t: Transform if t.name == "bucket" && t.references.length == 1 =>
         val n = t.arguments.collectFirst {
           case l: org.apache.spark.sql.connector.expressions.Literal[_]
@@ -272,9 +278,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         }.getOrElse(throw new IllegalArgumentException(
           s"bucket transform needs a literal bucket count: $t"))
         BucketSpec(n, t.references.head.fieldNames.mkString("."))
+      case t: Transform if t.name == "truncate" && t.references.length == 1 =>
+        val w = t.arguments.collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.value.isInstanceOf[Number] =>
+            l.value.asInstanceOf[Number].intValue
+        }.getOrElse(throw new IllegalArgumentException(
+          s"truncate transform needs a literal width: $t"))
+        TruncateSpec(w, t.references.head.fieldNames.mkString("."))
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported partition transform $other — " +
-          "supported: identity columns, days(col), bucket(n, col)")
+          "supported: identity columns, years/months/days/hours(col), " +
+          "bucket(n, col), truncate(w, col)")
     }
     require(specs.nonEmpty,
       "graft catalog: a graft-manifest table needs PARTITIONED BY " +

@@ -167,7 +167,8 @@ class GraftChangeFeedTable(
             narrowing.partKeep.toMap,
             inner.partitionCols.zip(inner.partitionTypes).toMap,
             narrowing.provablyEmpty || provablyEmpty,
-            verLo, verHi, sideKeep, narrowing.partRanges))
+            verLo, verHi, sideKeep, narrowing.partRanges,
+            inner.partSpecs.map(sp => sp.levelName -> sp).toMap))
       }
     }
 }
@@ -185,8 +186,10 @@ case class GraftCdfPruning(
     verLo: Long,
     verHi: Long,
     sideKeep: Option[String],
-    // per days-transform level: conjunctive epoch-day window (round 19)
-    partRanges: Map[String, (Long, Long)] = Map.empty)
+    // per ordered-transform level: conjunctive unit window (round 19)
+    partRanges: Map[String, (Long, Long)] = Map.empty,
+    // the spec per level, for unit parsing of directory values
+    specByLevel: Map[String, PartSpec] = Map.empty)
 
 object GraftCdfPruning {
   val none: GraftCdfPruning = GraftCdfPruning(
@@ -337,8 +340,9 @@ object GraftCdfScan {
               pruning.partTypes.getOrElse(name,
                 org.apache.spark.sql.types.StringType), ks, value)) &&
             pruning.partRanges.get(name).forall { case (lo, hi) =>
-              PartitionTransforms.parseDayValue(value)
-                .forall(d => d >= lo && d <= hi)
+              pruning.specByLevel.get(name).flatMap(sp =>
+                PartitionTransforms.parseUnitValue(sp, value))
+                .forall(u => u >= lo && u <= hi)
             }
         }
     for (v <- fromVersion to toVersion) {

@@ -21,60 +21,105 @@ import org.apache.spark.sql.types._
   */
 private[sources] object GraftFunctions {
 
-  val Names: Seq[String] = Seq("days", "bucket")
+  val Names: Seq[String] =
+    Seq("years", "months", "days", "hours", "bucket", "truncate")
 
   def load(name: String): UnboundFunction = name match {
-    case "days" => DaysUnbound
+    case "days" => new TimeUnitUnbound("days", DaysSpec("x"))
+    case "months" => new TimeUnitUnbound("months", MonthsSpec("x"))
+    case "years" => new TimeUnitUnbound("years", YearsSpec("x"))
+    case "hours" => new TimeUnitUnbound("hours", HoursSpec("x"))
     case "bucket" => BucketUnbound
+    case "truncate" => TruncateUnbound
     case other => throw new NoSuchElementException(
       s"graft catalog: unknown function '$other' — available: " +
         Names.mkString(", "))
   }
 
-  object DaysUnbound extends UnboundFunction {
-    override def name(): String = "days"
+  /** One unbound per calendar unit (years/months/days/hours) — the
+    * bound function computes [[PartitionTransforms.unitOfMicros]] of the
+    * argument, the EXACT arithmetic the writer derives directories with.
+    */
+  class TimeUnitUnbound(fname: String, proto: PartSpec)
+      extends UnboundFunction {
+    override def name(): String = fname
     override def description(): String =
-      "days(ts): the UTC epoch day of a timestamp/date — the hidden-" +
-        "partition transform's derivation"
+      s"$fname(ts): the hidden-partition transform's unit ordinal"
     override def bind(inputType: StructType): BoundFunction = {
       require(inputType.fields.length == 1,
-        s"days() takes one argument, got ${inputType.catalogString}")
+        s"$fname() takes one argument, got ${inputType.catalogString}")
       inputType.fields(0).dataType match {
-        case TimestampType => new DaysMicros(TimestampType)
-        case TimestampNTZType => new DaysMicros(TimestampNTZType)
-        case DateType => DaysDate
+        case TimestampType => new TimeUnitFn(fname, proto, TimestampType)
+        case TimestampNTZType =>
+          new TimeUnitFn(fname, proto, TimestampNTZType)
+        case DateType if fname != "hours" =>
+          new TimeUnitFn(fname, proto, DateType)
         case other => throw new UnsupportedOperationException(
-          s"days() needs a timestamp/date argument, got " +
+          s"$fname() needs a timestamp${
+            if (fname == "hours") "" else "/date"} argument, got " +
             other.catalogString)
       }
     }
   }
 
-  /** Epoch day of a timestamp's internal micros (UTC instant for
-    * TIMESTAMP, literal calendar value for TIMESTAMP_NTZ — both truncate
-    * with the same arithmetic).
-    */
-  class DaysMicros(argType: DataType)
+  class TimeUnitFn(fname: String, proto: PartSpec, argType: DataType)
       extends ScalarFunction[java.lang.Integer] {
     override def inputTypes(): Array[DataType] = Array(argType)
     override def resultType(): DataType = IntegerType
-    override def name(): String = "days"
-    override def canonicalName(): String = "graft.days"
+    override def name(): String = fname
+    override def canonicalName(): String = s"graft.$fname"
     override def isResultNullable: Boolean = true
     override def produceResult(input: InternalRow): java.lang.Integer =
       if (input.isNullAt(0)) null
-      else Int.box(
-        PartitionTransforms.epochDayOfMicros(input.getLong(0)).toInt)
+      else {
+        val micros =
+          if (argType == DateType) input.getInt(0).toLong * 86400000000L
+          else input.getLong(0)
+        Int.box(PartitionTransforms.unitOfMicros(proto, micros).toInt)
+      }
   }
 
-  object DaysDate extends ScalarFunction[java.lang.Integer] {
-    override def inputTypes(): Array[DataType] = Array(DateType)
-    override def resultType(): DataType = IntegerType
-    override def name(): String = "days"
-    override def canonicalName(): String = "graft.days"
+  object TruncateUnbound extends UnboundFunction {
+    override def name(): String = "truncate"
+    override def description(): String =
+      "truncate(w, v): ints floor to a multiple of w, strings cut to " +
+        "their first w chars — the transform's derivation"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 2,
+        s"truncate() takes (width, value), got ${inputType.catalogString}")
+      require(inputType.fields(0).dataType == IntegerType,
+        s"truncate(): width must be INT, got " +
+          inputType.fields(0).dataType.catalogString)
+      inputType.fields(1).dataType match {
+        case LongType | IntegerType | StringType =>
+          new TruncateFn(inputType.fields(1).dataType)
+        case other => throw new UnsupportedOperationException(
+          s"truncate() needs an int/long/string value, got " +
+            other.catalogString)
+      }
+    }
+  }
+
+  class TruncateFn(valueType: DataType) extends ScalarFunction[AnyRef] {
+    override def inputTypes(): Array[DataType] =
+      Array(IntegerType, valueType)
+    override def resultType(): DataType = valueType
+    override def name(): String = "truncate"
+    override def canonicalName(): String = "graft.truncate"
     override def isResultNullable: Boolean = true
-    override def produceResult(input: InternalRow): java.lang.Integer =
-      if (input.isNullAt(0)) null else Int.box(input.getInt(0))
+    override def produceResult(input: InternalRow): AnyRef =
+      if (input.isNullAt(0) || input.isNullAt(1)) null
+      else {
+        val w = input.getInt(0)
+        valueType match {
+          case StringType => org.apache.spark.unsafe.types.UTF8String
+            .fromString(input.getUTF8String(1).toString.take(w))
+          case IntegerType =>
+            Int.box(PartitionTransforms.truncLong(input.getInt(1), w).toInt)
+          case _ =>
+            Long.box(PartitionTransforms.truncLong(input.getLong(1), w))
+        }
+      }
   }
 
   object BucketUnbound extends UnboundFunction {

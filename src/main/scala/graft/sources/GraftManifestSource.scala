@@ -307,6 +307,25 @@ object GraftManifestSource {
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
       .unescapePathName(v)
 
+  /** The V2 transform expression of a spec — the write-clustering
+    * spelling (resolved through the catalog's FunctionCatalog for the
+    * derived kinds).
+    */
+  private[sources] def transformExpr(sp: PartSpec)
+      : org.apache.spark.sql.connector.expressions.Expression = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    sp match {
+      case IdentitySpec(c) => Expressions.identity(c)
+      case DaysSpec(c) => Expressions.days(c)
+      case MonthsSpec(c) => Expressions.months(c)
+      case YearsSpec(c) => Expressions.years(c)
+      case HoursSpec(c) => Expressions.hours(c)
+      case BucketSpec(n, c) => Expressions.bucket(n, c)
+      case TruncateSpec(w, c) => Expressions.apply("truncate",
+        Expressions.literal(w), Expressions.column(c))
+    }
+  }
+
   /** Rewrite a V2 filter's column names (round 19 — column mapping:
     * pushed filters arrive under LOGICAL names; the narrowing, zone
     * maps and bloom sidecars key on PHYSICAL names). Unknown shapes
@@ -601,7 +620,12 @@ class GraftManifestTable(
     partSpecs.map {
       case IdentitySpec(c) => Expressions.identity(c)
       case DaysSpec(c) => Expressions.days(c)
+      case MonthsSpec(c) => Expressions.months(c)
+      case YearsSpec(c) => Expressions.years(c)
+      case HoursSpec(c) => Expressions.hours(c)
       case BucketSpec(n, c) => Expressions.bucket(n, c)
+      case TruncateSpec(w, c) => Expressions.apply("truncate",
+        Expressions.literal(w), Expressions.column(c))
     }.toArray
   }
 
@@ -743,17 +767,18 @@ private[sources] class GraftFilterNarrowing(
   // per partition LEVEL: conjunctive kept-value sets (round 17 —
   // multi-level layouts prune each level independently)
   val partKeep = scala.collection.mutable.Map[String, Set[String]]()
-  // per days-transform LEVEL: conjunctive [lo, hi] epoch-day range
-  // (a `ts >= A` filter is a half-open day range no kept-SET can spell)
-  private val dayLo = scala.collection.mutable.Map[String, Long]()
-  private val dayHi = scala.collection.mutable.Map[String, Long]()
+  // per ordered-transform LEVEL (calendar units, truncate-int):
+  // conjunctive [lo, hi] unit range (a `ts >= A` filter is a half-open
+  // window no kept-SET can spell)
+  private val unitLo = scala.collection.mutable.Map[String, Long]()
+  private val unitHi = scala.collection.mutable.Map[String, Long]()
   var provablyEmpty = false
 
-  /** The conjunctive epoch-day window per days-transform level. */
+  /** The conjunctive unit window per ordered-transform level. */
   def partRanges: Map[String, (Long, Long)] =
-    dayLo.keySet.union(dayHi.keySet).map { c =>
-      c -> (dayLo.getOrElse(c, Long.MinValue),
-        dayHi.getOrElse(c, Long.MaxValue))
+    unitLo.keySet.union(unitHi.keySet).map { c =>
+      c -> (unitLo.getOrElse(c, Long.MinValue),
+        unitHi.getOrElse(c, Long.MaxValue))
     }.toMap
 
   private def narrowLong(c: String, lo: Long, hi: Long): Unit = {
@@ -790,30 +815,70 @@ private[sources] class GraftFilterNarrowing(
     if (partKeep(c).isEmpty) provablyEmpty = true
   }
 
-  private def narrowDay(level: String, lo: Long, hi: Long): Unit = {
-    dayLo(level) = math.max(dayLo.getOrElse(level, Long.MinValue), lo)
-    dayHi(level) = math.min(dayHi.getOrElse(level, Long.MaxValue), hi)
-    if (dayLo(level) > dayHi(level)) provablyEmpty = true
+  private def narrowUnit(level: String, lo: Long, hi: Long): Unit = {
+    unitLo(level) = math.max(unitLo.getOrElse(level, Long.MinValue), lo)
+    unitHi(level) = math.min(unitHi.getOrElse(level, Long.MaxValue), hi)
+    if (unitLo(level) > unitHi(level)) provablyEmpty = true
   }
 
   /** TRANSFORM TRANSLATION (round 19): a filter on a transform's SOURCE
     * column prunes the DERIVED directory level the user never sees.
-    * Days: equality/range → epoch-day window (truncation makes every
-    * endpoint day-inclusive — sound superset). Bucket: equality/IN →
-    * the hashed bucket set (a hash destroys order; ranges don't
-    * translate). Unrecognized literal shapes simply don't narrow.
+    * Calendar units (years/months/days/hours): equality/range → an
+    * ordered unit window (truncation keeps every endpoint
+    * unit-inclusive — sound superset; an EXACT boundary `<` excludes its
+    * unit). Truncate-int: order-preserving, so ranges translate to
+    * floored-multiple windows; truncate-string and bucket: equality/IN
+    * only (prefix/hash). Unrecognized literal shapes simply don't narrow.
     */
   private def absorbTransform(f: Filter): Boolean = {
-    import PartitionTransforms.{filterBucket, filterEpochDay, renderDay}
+    import PartitionTransforms._
     def specsOf(c: String): Seq[PartSpec] = bySource.getOrElse(c, Nil)
+    def isTimeUnit(sp: PartSpec): Boolean = sp match {
+      case _: DaysSpec | _: MonthsSpec | _: YearsSpec | _: HoursSpec => true
+      case _ => false
+    }
+    def longOf(v: Any): Option[Long] = v match {
+      case n: Number => Some(n.longValue())
+      case _ => None
+    }
+    // one bound of a range filter; `side` picks the window edge
+    def range(c: String, v: Any, lo: Boolean, exclusive: Boolean): Boolean =
+      specsOf(c).map {
+        case sp if isTimeUnit(sp) =>
+          val u = if (!lo && exclusive) filterUnitUpperExclusive(sp, v)
+            else filterUnit(sp, v)
+          u.exists { x =>
+            if (lo) narrowUnit(sp.levelName, x, Long.MaxValue)
+            else narrowUnit(sp.levelName, Long.MinValue, x)
+            true
+          }
+        case t: TruncateSpec => longOf(v).map { x0 =>
+          // ints: truncation is order-preserving; `< v` reaches at most
+          // trunc(v - 1)
+          val x = if (!lo && exclusive) x0 - 1 else x0
+          val u = truncLong(x, t.w)
+          if (lo) narrowUnit(t.levelName, u, Long.MaxValue)
+          else narrowUnit(t.levelName, Long.MinValue, u)
+          true
+        }.getOrElse(false)
+        case _ => false
+      }.exists(identity)
     f match {
       case EqualTo(c, v) if specsOf(c).nonEmpty =>
         specsOf(c).map {
-          case d: DaysSpec => filterEpochDay(v).exists { day =>
-            narrowDay(d.levelName, day, day); true
+          case sp if isTimeUnit(sp) => filterUnit(sp, v).exists { u =>
+            narrowUnit(sp.levelName, u, u); true
           }
           case b: BucketSpec => filterBucket(v, b.n).exists { bk =>
             narrowPart(b.levelName, Set[Any](bk.toString)); true
+          }
+          case t: TruncateSpec => v match {
+            case s: String =>
+              narrowPart(t.levelName, Set[Any](s.take(t.w))); true
+            case _ => longOf(v).exists { x =>
+              val u = truncLong(x, t.w)
+              narrowUnit(t.levelName, u, u); true
+            }
           }
           case _ => false
         }.exists(identity)
@@ -821,13 +886,13 @@ private[sources] class GraftFilterNarrowing(
         val vs = vs0.filter(_ != null)
         if (vs.isEmpty) { provablyEmpty = true; return true }
         specsOf(c).map {
-          case d: DaysSpec =>
-            val days = vs.map(filterEpochDay)
+          case sp if isTimeUnit(sp) =>
+            val us = vs.map(filterUnit(sp, _))
             // only a FULLY-parsed set prunes (a partial one could drop
-            // a day the unparsed literal lives in)
-            days.forall(_.isDefined) && {
-              narrowPart(d.levelName,
-                days.flatten.map(x => renderDay(x): Any).toSet)
+            // a unit the unparsed literal lives in)
+            us.forall(_.isDefined) && {
+              narrowPart(sp.levelName,
+                us.flatten.map(u => renderUnit(sp, u): Any).toSet)
               true
             }
           case b: BucketSpec =>
@@ -837,38 +902,25 @@ private[sources] class GraftFilterNarrowing(
                 bks.flatten.map(x => x.toString: Any).toSet)
               true
             }
+          case t: TruncateSpec =>
+            val ts = vs.map {
+              case s: String => Some(s.take(t.w))
+              case v => longOf(v).map(x => truncLong(x, t.w).toString)
+            }
+            ts.forall(_.isDefined) && {
+              narrowPart(t.levelName, ts.flatten.map(x => x: Any).toSet)
+              true
+            }
           case _ => false
         }.exists(identity)
       case GreaterThan(c, v) if specsOf(c).nonEmpty =>
-        specsOf(c).map {
-          case d: DaysSpec => filterEpochDay(v).exists { day =>
-            narrowDay(d.levelName, day, Long.MaxValue); true
-          }
-          case _ => false
-        }.exists(identity)
+        range(c, v, lo = true, exclusive = false)
       case GreaterThanOrEqual(c, v) if specsOf(c).nonEmpty =>
-        specsOf(c).map {
-          case d: DaysSpec => filterEpochDay(v).exists { day =>
-            narrowDay(d.levelName, day, Long.MaxValue); true
-          }
-          case _ => false
-        }.exists(identity)
+        range(c, v, lo = true, exclusive = false)
       case LessThan(c, v) if specsOf(c).nonEmpty =>
-        specsOf(c).map {
-          case d: DaysSpec =>
-            PartitionTransforms.filterEpochDayUpperExclusive(v)
-              .exists { day =>
-                narrowDay(d.levelName, Long.MinValue, day); true
-              }
-          case _ => false
-        }.exists(identity)
+        range(c, v, lo = false, exclusive = true)
       case LessThanOrEqual(c, v) if specsOf(c).nonEmpty =>
-        specsOf(c).map {
-          case d: DaysSpec => filterEpochDay(v).exists { day =>
-            narrowDay(d.levelName, Long.MinValue, day); true
-          }
-          case _ => false
-        }.exists(identity)
+        range(c, v, lo = false, exclusive = false)
       case _ => false
     }
   }
@@ -1194,8 +1246,9 @@ class GraftManifestScan(
       } && partRanges.forall { case (c, (lo, hi)) =>
         val li = table.partitionCols.indexOf(c)
         li < 0 || li >= vals.size ||
-          PartitionTransforms.parseDayValue(vals(li))
-            .forall(d => d >= lo && d <= hi)
+          table.specOfLevel(c).flatMap(sp =>
+            PartitionTransforms.parseUnitValue(sp, vals(li)))
+            .forall(u => u >= lo && u <= hi)
       }
     }
 
@@ -2270,14 +2323,9 @@ class GraftWrite(
     */
   override def requiredDistribution()
       : org.apache.spark.sql.connector.distributions.Distribution = {
-    import org.apache.spark.sql.connector.expressions.{Expression, Expressions}
     if (specs.forall(_.isIdentity) || table.viaCatalog)
       org.apache.spark.sql.connector.distributions.Distributions.clustered(
-        specs.map {
-          case sp if sp.isIdentity => Expressions.identity(sp.levelName)
-          case DaysSpec(c) => Expressions.days(c)
-          case BucketSpec(n, c) => Expressions.bucket(n, c)
-        }.map(e => e: Expression).toArray)
+        specs.map(GraftManifestSource.transformExpr).toArray)
     else
       org.apache.spark.sql.connector.distributions.Distributions
         .unspecified()
@@ -2292,15 +2340,12 @@ class GraftWrite(
       val expr =
         if (sp.isIdentity || !table.viaCatalog)
           // identity level, or a derived level without a function
-          // catalog: sort by the (source) column — days stay contiguous
-          // per task; bucket streams interleave but stay ≤ n writers
+          // catalog: sort by the (source) column — calendar units stay
+          // contiguous per task; bucket streams interleave but stay
+          // ≤ n writers
           Expressions.column(sp.sourceCol)
             : org.apache.spark.sql.connector.expressions.Expression
-        else sp match {
-          case DaysSpec(c) => Expressions.days(c)
-          case BucketSpec(n, c) => Expressions.bucket(n, c)
-          case IdentitySpec(c) => Expressions.column(c)
-        }
+        else GraftManifestSource.transformExpr(sp)
       Expressions.sort(expr,
         org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
     }.toArray
@@ -2681,14 +2726,17 @@ class GraftDataWriter(
           case IntegerType => row.getInt(idx).toString
           case _ => row.getLong(idx).toString
         }
-        case _: DaysSpec => dt match {
+        case u @ (_: DaysSpec | _: MonthsSpec | _: YearsSpec |
+            _: HoursSpec) =>
           // TimestampType micros are a UTC instant; NTZ micros and DATE
-          // days are literal calendar values — all three truncate to
-          // the same epoch-day arithmetic
-          case DateType => PartitionTransforms.renderDay(row.getInt(idx))
-          case _ => PartitionTransforms.renderDay(
-            PartitionTransforms.epochDayOfMicros(row.getLong(idx)))
-        }
+          // days are literal calendar values — all truncate with the
+          // same unit arithmetic
+          val micros = dt match {
+            case DateType => row.getInt(idx).toLong * 86400000000L
+            case _ => row.getLong(idx)
+          }
+          PartitionTransforms.renderUnit(u,
+            PartitionTransforms.unitOfMicros(u, micros))
         case b: BucketSpec => (dt match {
           case StringType => PartitionTransforms.bucketOfString(
             row.getUTF8String(idx).toString, b.n)
@@ -2696,6 +2744,13 @@ class GraftDataWriter(
             row.getInt(idx), b.n)
           case _ => PartitionTransforms.bucketOfLong(row.getLong(idx), b.n)
         }).toString
+        case t: TruncateSpec => dt match {
+          case StringType => row.getUTF8String(idx).toString.take(t.w)
+          case IntegerType =>
+            PartitionTransforms.truncLong(row.getInt(idx), t.w).toString
+          case _ =>
+            PartitionTransforms.truncLong(row.getLong(idx), t.w).toString
+        }
       }
       require(v.nonEmpty && !v.contains('|'),
         s"graft-manifest write: partition value '$v' is empty or contains " +

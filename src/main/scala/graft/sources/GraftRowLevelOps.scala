@@ -118,14 +118,9 @@ class GraftReplaceWrite(
     */
   override def requiredDistribution()
       : org.apache.spark.sql.connector.distributions.Distribution = {
-    import org.apache.spark.sql.connector.expressions.{Expression, Expressions}
     if (specs.forall(_.isIdentity) || table.viaCatalog)
       org.apache.spark.sql.connector.distributions.Distributions.clustered(
-        specs.map {
-          case sp if sp.isIdentity => Expressions.identity(sp.levelName)
-          case DaysSpec(c) => Expressions.days(c)
-          case BucketSpec(n, c) => Expressions.bucket(n, c)
-        }.map(e => e: Expression).toArray)
+        specs.map(GraftManifestSource.transformExpr).toArray)
     else org.apache.spark.sql.connector.distributions.Distributions
       .unspecified()
   }
@@ -140,11 +135,7 @@ class GraftReplaceWrite(
         if (sp.isIdentity || !table.viaCatalog)
           Expressions.column(sp.sourceCol)
             : org.apache.spark.sql.connector.expressions.Expression
-        else sp match {
-          case DaysSpec(c) => Expressions.days(c)
-          case BucketSpec(n, c) => Expressions.bucket(n, c)
-          case IdentitySpec(c) => Expressions.column(c)
-        }
+        else GraftManifestSource.transformExpr(sp)
       Expressions.sort(expr,
         org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
     }.toArray

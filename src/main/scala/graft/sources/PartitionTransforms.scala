@@ -68,6 +68,37 @@ case class DaysSpec(col: String) extends PartSpec {
   def render: String = s"days($col)"
 }
 
+case class MonthsSpec(col: String) extends PartSpec {
+  def sourceCol: String = col
+  def levelName: String = s"${col}_month"
+  def render: String = s"months($col)"
+}
+
+case class YearsSpec(col: String) extends PartSpec {
+  def sourceCol: String = col
+  def levelName: String = s"${col}_year"
+  def render: String = s"years($col)"
+}
+
+case class HoursSpec(col: String) extends PartSpec {
+  def sourceCol: String = col
+  def levelName: String = s"${col}_hour"
+  def render: String = s"hours($col)"
+}
+
+/** `truncate(w, col)`: ints floor to a multiple of w (ORDER-PRESERVING —
+  * ranges translate); strings cut to their first w chars (prefix order
+  * preserved; only equality/IN translate here — a range's endpoints
+  * truncate to prefixes whose comparison semantics differ from the
+  * value's, so ranges conservatively don't narrow).
+  */
+case class TruncateSpec(w: Int, col: String) extends PartSpec {
+  require(w >= 1, s"truncate($w, $col): width must be >= 1")
+  def sourceCol: String = col
+  def levelName: String = s"${col}_trunc"
+  def render: String = s"truncate($w,$col)"
+}
+
 case class BucketSpec(n: Int, col: String) extends PartSpec {
   require(n >= 2, s"bucket($n, $col): need at least 2 buckets")
   def sourceCol: String = col
@@ -78,7 +109,11 @@ case class BucketSpec(n: Int, col: String) extends PartSpec {
 object PartitionTransforms {
 
   private val DaysRe = """days\(\s*([^(),\s]+)\s*\)""".r
+  private val MonthsRe = """months\(\s*([^(),\s]+)\s*\)""".r
+  private val YearsRe = """years\(\s*([^(),\s]+)\s*\)""".r
+  private val HoursRe = """hours\(\s*([^(),\s]+)\s*\)""".r
   private val BucketRe = """bucket\(\s*(\d+)\s*,\s*([^(),\s]+)\s*\)""".r
+  private val TruncRe = """truncate\(\s*(\d+)\s*,\s*([^(),\s]+)\s*\)""".r
 
   /** Split a descriptor's comma-joined spec list WITHOUT splitting
     * inside a transform's parentheses (`bucket(16,id)` is one entry).
@@ -102,11 +137,16 @@ object PartitionTransforms {
     */
   def parse(s: String): PartSpec = s.trim match {
     case DaysRe(c) => DaysSpec(c)
+    case MonthsRe(c) => MonthsSpec(c)
+    case YearsRe(c) => YearsSpec(c)
+    case HoursRe(c) => HoursSpec(c)
     case BucketRe(n, c) => BucketSpec(n.toInt, c)
+    case TruncRe(w, c) => TruncateSpec(w.toInt, c)
     case other =>
       require(!other.contains("(") && !other.contains(")"),
         s"unsupported partition transform '$other' — supported: " +
-          "identity column, days(col), bucket(n,col)")
+          "identity column, years/months/days/hours(col), bucket(n,col), " +
+          "truncate(w,col)")
       IdentitySpec(other)
   }
 
@@ -115,13 +155,113 @@ object PartitionTransforms {
     * not at the first write).
     */
   def validSourceType(spec: PartSpec, dt: DataType): Boolean = spec match {
-    case _: DaysSpec =>
+    case _: DaysSpec | _: MonthsSpec | _: YearsSpec =>
       dt == TimestampType || dt == TimestampNTZType || dt == DateType
+    case _: HoursSpec =>
+      dt == TimestampType || dt == TimestampNTZType // a DATE has no hours
     case _: BucketSpec =>
+      dt == LongType || dt == IntegerType || dt == StringType
+    case _: TruncateSpec =>
       dt == LongType || dt == IntegerType || dt == StringType
     case _: IdentitySpec =>
       dt == StringType || dt == IntegerType || dt == LongType
   }
+
+  /** TIME-UNIT arithmetic shared by the four calendar transforms: a
+    * "unit" is the level's integer ordinal (epoch day/hour, year*12+m-1
+    * for months, the year itself for years) — ordered, so range filters
+    * translate to unit windows; [[renderUnit]]/[[parseUnitValue]] are the
+    * directory spelling and its inverse.
+    */
+  def unitOfMicros(spec: PartSpec, micros: Long): Long = spec match {
+    case _: DaysSpec => Math.floorDiv(micros, 86400000000L)
+    case _: HoursSpec => Math.floorDiv(micros, 3600000000L)
+    case _: MonthsSpec =>
+      val d = java.time.LocalDate.ofEpochDay(
+        Math.floorDiv(micros, 86400000000L))
+      d.getYear * 12L + d.getMonthValue - 1
+    case _: YearsSpec =>
+      java.time.LocalDate.ofEpochDay(
+        Math.floorDiv(micros, 86400000000L)).getYear.toLong
+    case other => throw new IllegalArgumentException(
+      s"${other.render} is not a time-unit transform")
+  }
+
+  /** The first micro of a unit (the boundary test for exclusive-upper
+    * translation).
+    */
+  def unitStartMicros(spec: PartSpec, u: Long): Long = spec match {
+    case _: DaysSpec => u * 86400000000L
+    case _: HoursSpec => u * 3600000000L
+    case _: MonthsSpec => java.time.LocalDate.of(
+      (u / 12).toInt, (u % 12 + 1).toInt, 1).toEpochDay * 86400000000L
+    case _: YearsSpec => java.time.LocalDate.of(u.toInt, 1, 1)
+      .toEpochDay * 86400000000L
+    case other => throw new IllegalArgumentException(
+      s"${other.render} is not a time-unit transform")
+  }
+
+  /** The directory value of a unit. */
+  def renderUnit(spec: PartSpec, u: Long): String = spec match {
+    case _: DaysSpec => renderDay(u)
+    case _: MonthsSpec => f"${u / 12}%04d-${u % 12 + 1}%02d"
+    case _: YearsSpec => f"$u%04d"
+    case _: HoursSpec =>
+      renderDay(Math.floorDiv(u, 24L)) + f"-${Math.floorMod(u, 24L)}%02d"
+    case other => throw new IllegalArgumentException(
+      s"${other.render} is not a time-unit transform")
+  }
+
+  /** Parse a directory value back to its unit (file-selection range
+    * checks). None keeps the file conservatively. Truncate-int levels
+    * parse as the (already-floored) long multiple.
+    */
+  def parseUnitValue(spec: PartSpec, dirValue: String): Option[Long] =
+    scala.util.Try(spec match {
+      case _: DaysSpec => java.time.LocalDate.parse(dirValue).toEpochDay
+      case _: MonthsSpec =>
+        val p = dirValue.split('-')
+        p(0).toLong * 12 + p(1).toLong - 1
+      case _: YearsSpec => dirValue.toLong
+      case _: HoursSpec =>
+        java.time.LocalDate.parse(dirValue.substring(0, 10)).toEpochDay *
+          24 + dirValue.substring(11).toLong
+      case _: TruncateSpec => dirValue.toLong
+      case other => throw new IllegalArgumentException(other.render)
+    }).toOption
+
+  /** The INTERNAL micros of a filter literal on a timestamp/date column
+    * (both Java-time API settings; dates pin to UTC midnight; NTZ
+    * literals read as their literal calendar value).
+    */
+  def literalMicros(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp =>
+      Some(t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L)
+    case i: java.time.Instant =>
+      Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay * 86400000000L)
+    case d: java.time.LocalDate => Some(d.toEpochDay * 86400000000L)
+    case dt: java.time.LocalDateTime =>
+      Some(dt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        dt.getNano / 1000L)
+    case _ => None
+  }
+
+  /** Unit of a filter literal (inclusive-lower: the unit holding it). */
+  def filterUnit(spec: PartSpec, v: Any): Option[Long] =
+    literalMicros(v).map(unitOfMicros(spec, _))
+
+  /** Unit of an EXCLUSIVE upper bound: `ts < v` reaches at most v's
+    * unit — minus one when v sits exactly ON the unit boundary (the
+    * `ts < '2024-02-01'` month-end idiom prunes exactly).
+    */
+  def filterUnitUpperExclusive(spec: PartSpec, v: Any): Option[Long] =
+    literalMicros(v).map { m =>
+      val u = unitOfMicros(spec, m)
+      if (m == unitStartMicros(spec, u)) u - 1 else u
+    }
+
+  def truncLong(v: Long, w: Int): Long = Math.floorDiv(v, w) * w
 
   /** UTC epoch day of a timestamp column's internal value (micros). */
   def epochDayOfMicros(micros: Long): Long =

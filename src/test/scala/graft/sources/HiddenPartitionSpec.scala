@@ -200,6 +200,106 @@ class HiddenPartitionSpec extends SparkSpec {
     assert(leaves.contains("ts_day=2024-01-05"), leaves.toString)
   }
 
+  test("months(ts): a quarter range prunes month leaves; an exact month-start `<` excludes its month") {
+    register("ghp5")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ghp5.ev")
+    spark.sql("CREATE TABLE ghp5.ev.sales (k BIGINT, ts TIMESTAMP) " +
+      "USING `graft-manifest` PARTITIONED BY (months(ts))")
+    val rows = (0 until 24).map { i =>
+      (i.toLong, java.sql.Timestamp.from(java.time.Instant.parse(
+        f"2024-${1 + i % 12}%02d-15T08:00:00Z")))
+    }
+    rows.toDF("k", "ts").createOrReplaceTempView("ghp5_src")
+    spark.sql("INSERT INTO ghp5.ev.sales SELECT * FROM ghp5_src")
+    val leaves = new java.io.File(s"$warehouse/ev/sales").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+      .filter(_.startsWith("ts_month=")).sorted
+    assert(leaves.length == 12 && leaves.head == "ts_month=2024-01",
+      leaves.mkString(","))
+    // Q2: ts in [Apr 1, Jul 1) — exactly three month leaves open
+    val q = spark.sql("SELECT k FROM ghp5.ev.sales WHERE " +
+      "ts >= TIMESTAMP'2024-04-01 00:00:00' AND " +
+      "ts < TIMESTAMP'2024-07-01 00:00:00'")
+    val scan = graftScan(q)
+    assert(scan.chosenFiles.nonEmpty && scan.chosenFiles.forall(r =>
+      r.startsWith("ts_month=2024-04/") || r.startsWith("ts_month=2024-05/")
+        || r.startsWith("ts_month=2024-06/")),
+      scan.chosenFiles.mkString(","))
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq ==
+      rows.filter(r => Seq(4, 5, 6).contains(
+        r._2.toInstant.atZone(java.time.ZoneOffset.UTC).getMonthValue))
+        .map(_._1).sorted)
+  }
+
+  test("hours(ts) and years(d): the other calendar units derive, prune and stay hidden") {
+    register("ghp6")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ghp6.ev")
+    spark.sql("CREATE TABLE ghp6.ev.ticks (k BIGINT, ts TIMESTAMP) " +
+      "USING `graft-manifest` PARTITIONED BY (hours(ts))")
+    (0 until 12).map(i => (i.toLong, java.sql.Timestamp.from(
+      java.time.Instant.parse(
+        f"2024-03-10T${8 + i % 3}%02d:${10 + i}%02d:00Z"))))
+      .toDF("k", "ts").createOrReplaceTempView("ghp6_src")
+    spark.sql("INSERT INTO ghp6.ev.ticks SELECT * FROM ghp6_src")
+    val hourLeaves = new java.io.File(s"$warehouse/ev/ticks").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+      .filter(_.startsWith("ts_hour=")).sorted
+    assert(hourLeaves.toSeq == Seq("ts_hour=2024-03-10-08",
+      "ts_hour=2024-03-10-09", "ts_hour=2024-03-10-10"),
+      hourLeaves.mkString(","))
+    val q = spark.sql("SELECT k FROM ghp6.ev.ticks WHERE " +
+      "ts >= TIMESTAMP'2024-03-10 09:00:00' AND " +
+      "ts < TIMESTAMP'2024-03-10 10:00:00'")
+    assert(graftScan(q).chosenFiles.forall(
+      _.startsWith("ts_hour=2024-03-10-09/")))
+    assert(q.count() == 4L)
+    // years over a DATE column
+    spark.sql("CREATE TABLE ghp6.ev.annual (k BIGINT, d DATE) " +
+      "USING `graft-manifest` PARTITIONED BY (years(d))")
+    spark.sql("INSERT INTO ghp6.ev.annual VALUES " +
+      "(1, DATE'2022-06-01'), (2, DATE'2023-06-01'), (3, DATE'2024-06-01')")
+    val yearLeaves = new java.io.File(s"$warehouse/ev/annual").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+      .filter(_.startsWith("d_year=")).sorted
+    assert(yearLeaves.toSeq == Seq("d_year=2022", "d_year=2023",
+      "d_year=2024"), yearLeaves.mkString(","))
+    val qy = spark.sql(
+      "SELECT k FROM ghp6.ev.annual WHERE d >= DATE'2023-01-01'")
+    assert(qy.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    assert(graftScan(qy).chosenFiles.forall(r =>
+      r.startsWith("d_year=2023/") || r.startsWith("d_year=2024/")))
+  }
+
+  test("truncate(w, col): int ranges translate (order-preserving); string prefixes prune equality") {
+    register("ghp7")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ghp7.ev")
+    spark.sql("CREATE TABLE ghp7.ev.ids (id BIGINT, v STRING) " +
+      "USING `graft-manifest` PARTITIONED BY (truncate(100, id))")
+    (0L until 1000L).map(i => (i, s"v$i")).toDF("id", "v")
+      .createOrReplaceTempView("ghp7_src")
+    spark.sql("INSERT INTO ghp7.ev.ids SELECT * FROM ghp7_src")
+    val leaves = new java.io.File(s"$warehouse/ev/ids").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("id_trunc="))
+    assert(leaves.length == 10, leaves.mkString(","))
+    // a range spanning two 100-buckets opens exactly those
+    val q = spark.sql(
+      "SELECT count(*) FROM ghp7.ev.ids WHERE id >= 150 AND id < 300")
+    assert(q.head.getLong(0) == 150L)
+    val scan = graftScan(spark.sql(
+      "SELECT v FROM ghp7.ev.ids WHERE id >= 150 AND id < 300"))
+    assert(scan.chosenFiles.nonEmpty && scan.chosenFiles.forall(r =>
+      r.startsWith("id_trunc=100/") || r.startsWith("id_trunc=200/")),
+      scan.chosenFiles.mkString(","))
+    // string prefixes
+    spark.sql("CREATE TABLE ghp7.ev.langs (s STRING, k BIGINT) " +
+      "USING `graft-manifest` PARTITIONED BY (truncate(2, s))")
+    spark.sql("INSERT INTO ghp7.ev.langs VALUES " +
+      "('en-US', 1), ('en-GB', 2), ('de-DE', 3)")
+    val q2 = spark.sql("SELECT k FROM ghp7.ev.langs WHERE s = 'de-DE'")
+    assert(q2.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    assert(graftScan(q2).chosenFiles.forall(_.startsWith("s_trunc=de/")))
+  }
+
   test("the transform derivations: day boundaries, bucket spread, descriptor roundtrip") {
     // UTC day boundary: 23:59:59.999999 vs 00:00:00
     assert(PartitionTransforms.renderDay(PartitionTransforms
@@ -217,8 +317,24 @@ class HiddenPartitionSpec extends SparkSpec {
     val counts = (0L until 1000L)
       .groupBy(PartitionTransforms.bucketOfLong(_, 16)).view.mapValues(_.size)
     assert(counts.size == 16 && counts.values.min > 20, counts.toMap.toString)
+    // month/year/hour/truncate unit arithmetic roundtrips
+    import PartitionTransforms._
+    val m = unitOfMicros(MonthsSpec("x"),
+      java.time.Instant.parse("2024-03-15T10:00:00Z").getEpochSecond * 1000000L)
+    assert(renderUnit(MonthsSpec("x"), m) == "2024-03")
+    assert(parseUnitValue(MonthsSpec("x"), "2024-03").contains(m))
+    val h = unitOfMicros(HoursSpec("x"),
+      java.time.Instant.parse("2024-03-15T23:59:59Z").getEpochSecond * 1000000L)
+    assert(renderUnit(HoursSpec("x"), h) == "2024-03-15-23")
+    assert(parseUnitValue(HoursSpec("x"), "2024-03-15-23").contains(h))
+    assert(truncLong(-150L, 100) == -200L) // floorDiv, not toward-zero
+    // exclusive-upper month boundary: `< Apr 1` excludes April
+    assert(filterUnitUpperExclusive(MonthsSpec("x"),
+      java.sql.Timestamp.from(java.time.Instant.parse("2024-04-01T00:00:00Z")))
+      .contains(m)) // April's start excludes April: reaches March (= m)
     // spec strings roundtrip through the descriptor encoding
-    val specs = Seq("part", "days(ts)", "bucket(16,id)")
+    val specs = Seq("part", "days(ts)", "bucket(16,id)",
+      "months(ts)", "years(d)", "hours(ts)", "truncate(100,id)")
     assert(PartitionTransforms.splitSpecs(specs.mkString(","))
       .map(PartitionTransforms.parse).map(_.render) == specs)
     // level names
