@@ -1414,10 +1414,15 @@ class GraftManifestScan(
     */
   private def clusteredScan: Boolean =
     table.partitionCols.nonEmpty &&
-      // hidden (derived) levels aren't in the scan output, so a
-      // KeyGroupedPartitioning over them could not resolve — SPJ stays
-      // an identity-layout capability
-      table.partSpecs.forall(_.isIdentity) &&
+      // derived levels report the TRANSFORM itself (bucket(8, id),
+      // days(ts) — round 19): it references the SOURCE column, which is
+      // in the scan output, and resolves through the table catalog's own
+      // V2 functions (the Iceberg SPJ move) — so two tables bucketed the
+      // same way join with no shuffle on either side. Requires the
+      // catalog road (a path handle has no FunctionCatalog to resolve
+      // against) and every source column to survive column pruning.
+      table.partSpecs.forall(sp => sp.isIdentity ||
+        (table.viaCatalog && required.fieldNames.contains(sp.sourceCol))) &&
       spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
         .contains("true")
 
@@ -1425,8 +1430,8 @@ class GraftManifestScan(
     baseChosenFiles.groupBy(r => table.filePartValues(r))
       .toSeq.sortBy(_._1.mkString(" "))
       .map { case (vals, fs) =>
-        (vals.zip(table.partitionTypes).map {
-          case (v, dt) => typedKey(dt, v)
+        (vals.zip(table.partSpecs).zip(table.partitionTypes).map {
+          case ((v, sp), dt) => typedKeyOf(sp, dt, v)
         }, fs)
       }
 
@@ -1437,15 +1442,37 @@ class GraftManifestScan(
     case _ => UTF8String.fromString(dirValue)
   }
 
+  /** The partition-key value of one level: identity levels key by their
+    * typed directory value; DERIVED levels key by the transform's
+    * RESULT (the unit/bucket ordinal, typed like the V2 function's
+    * resultType) so Spark can prove two transform-partitioned scans
+    * co-partitioned (round 19 -- SPJ over hidden layouts).
+    */
+  private def typedKeyOf(sp: PartSpec, dt: DataType, dirValue: String): Any =
+    sp match {
+      case _: IdentitySpec => typedKey(dt, dirValue)
+      case _: BucketSpec => dirValue.trim.toInt
+      case t: TruncateSpec =>
+        table.dataSchema.fields.find(_.name == t.sourceCol)
+          .map(_.dataType) match {
+          case Some(LongType) => dirValue.trim.toLong
+          case Some(IntegerType) => dirValue.trim.toInt
+          case _ => UTF8String.fromString(dirValue)
+        }
+      case u => PartitionTransforms.parseUnitValue(u, dirValue)
+        .map(_.toInt: Any)
+        .getOrElse(UTF8String.fromString(dirValue))
+    }
+
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     if (clusteredScan)
       new org.apache.spark.sql.connector.read.partitioning
         .KeyGroupedPartitioning(
-          table.partitionCols.map(pc =>
-            org.apache.spark.sql.connector.expressions.Expressions
-              .identity(pc): org.apache.spark.sql.connector.expressions
-              .Transform).toArray,
+          table.partSpecs.map(sp =>
+            GraftManifestSource.transformExpr(sp)
+              .asInstanceOf[org.apache.spark.sql.connector.expressions
+                .Transform]).toArray,
           baseKeyGroups.length)
     else new org.apache.spark.sql.connector.read.partitioning
       .UnknownPartitioning(0)

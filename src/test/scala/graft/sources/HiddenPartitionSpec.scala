@@ -300,6 +300,69 @@ class HiddenPartitionSpec extends SparkSpec {
     assert(graftScan(q2).chosenFiles.forall(_.startsWith("s_trunc=de/")))
   }
 
+  test("storage-partitioned join over HIDDEN bucket layouts: two bucket(8,id) tables join with ZERO shuffles") {
+    register("ghp8")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ghp8.ev")
+    for ((t, n) <- Seq(("a", 64), ("b", 40))) {
+      spark.sql(s"CREATE TABLE ghp8.ev.$t (id BIGINT, v STRING) " +
+        "USING `graft-manifest` PARTITIONED BY (bucket(8, id))")
+      (0L until n.toLong).map(i => (i, s"$t$i")).toDF("id", "v")
+        .createOrReplaceTempView(s"ghp8_src_$t")
+      spark.sql(s"INSERT INTO ghp8.ev.$t SELECT * FROM ghp8_src_$t")
+    }
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+        val here = p match {
+          case _: org.apache.spark.sql.execution.exchange
+            .ShuffleExchangeExec => 1
+          case _ => 0
+        }
+        val kids = p match {
+          case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive
+            .QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        here + kids.map(walk).sum
+      }
+      walk(df.queryExecution.executedPlan)
+    }
+    def joined() = spark.sql(
+      "SELECT a.id, a.v AS va, b.v AS vb FROM ghp8.ev.a a " +
+        "JOIN ghp8.ev.b b ON a.id = b.id")
+    val expect = (0L until 40L).map(i => (i, s"a$i", s"b$i")).toSet
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = joined()
+      assert(q.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2))).toSet == expect)
+      assert(shuffles(q) == 0,
+        s"expected a shuffle-free SPJ over the hidden bucket layout:\n" +
+          q.queryExecution.executedPlan)
+      // ... and NOT the single-packed-partition degenerate: the scan
+      // planned 8 KEY-GROUPED partitions per side, zipped bucket to
+      // bucket (the output keeps one partition per bucket)
+      assert(q.rdd.getNumPartitions == 8,
+        s"expected 8 key-grouped partitions, got ${q.rdd.getNumPartitions}")
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+    // conf off (the default): same values; at THIS size the bin-packed
+    // scans fit one partition each, so a shuffle-count control would be
+    // vacuous (SinglePartition satisfies any clustering) — value
+    // equality is the control
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q2 = joined()
+      assert(q2.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2))).toSet == expect)
+    } finally
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("the transform derivations: day boundaries, bucket spread, descriptor roundtrip") {
     // UTC day boundary: 23:59:59.999999 vs 00:00:00
     assert(PartitionTransforms.renderDay(PartitionTransforms
