@@ -395,6 +395,17 @@ class HiddenPartitionSpec extends SparkSpec {
     assert(filterUnitUpperExclusive(MonthsSpec("x"),
       java.sql.Timestamp.from(java.time.Instant.parse("2024-04-01T00:00:00Z")))
       .contains(m)) // April's start excludes April: reaches March (= m)
+    // the transforms are USER-CALLABLE SQL functions through the catalog
+    // (debugging which leaf a row lands in) — same arithmetic as the
+    // writer's derivation
+    register("ghp_fn")
+    assert(spark.sql(
+      "SELECT ghp_fn.system.days(TIMESTAMP'2024-03-15 10:00:00')")
+      .head.getInt(0) == java.time.LocalDate.of(2024, 3, 15)
+      .toEpochDay.toInt)
+    assert(spark.sql(
+      "SELECT ghp_fn.system.bucket(8, CAST(137 AS BIGINT))")
+      .head.getInt(0) == PartitionTransforms.bucketOfLong(137L, 8))
     // spec strings roundtrip through the descriptor encoding
     val specs = Seq("part", "days(ts)", "bucket(16,id)",
       "months(ts)", "years(d)", "hours(ts)", "truncate(100,id)")
