@@ -230,6 +230,9 @@ object Bench {
     if (selected.exists(_._1 == "u42_months_layout"))
       try SparkEntry.u42Catalog(spark, sfDir)
       catch { case _: Throwable => () }
+    if (selected.exists(_._1 == "u43_spj_join"))
+      try SparkEntry.u43Catalog(spark, sfDir)
+      catch { case _: Throwable => () }
     if (selected.exists(_._1 == "u39_replace_where"))
       try SparkEntry.u39TableDir(spark, sfDir)
       catch { case _: Throwable => () }

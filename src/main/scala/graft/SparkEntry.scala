@@ -1139,6 +1139,42 @@ object SparkEntry {
     cat
   }
 
+  private val spjJoinMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** u43's artifact (round 19 — SPJ over hidden layouts, oracle-gated):
+    * events and a per-user rollup BOTH as `bucket(8, user_id)` catalog
+    * tables; their join zips bucket to bucket with ZERO shuffles (the
+    * query entry REQUIRES the shuffle-free pin under v2 bucketing). At
+    * 100 TB the exchange this removes IS a fact-fact join's cost.
+    */
+  def u43Catalog(s: SparkSession, dir: String): String = {
+    val cat = s"graft_u43_${Integer.toHexString(dir.hashCode)}"
+    spjJoinMemo.computeIfAbsent((s, dir), _ => {
+      val wh = graft.core.TempDirs.create("graft_u43_cat")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ev")
+      s.sql(s"CREATE TABLE $cat.ev.clicks (event_id BIGINT, " +
+        "user_id BIGINT, event_type STRING) USING `graft-manifest` " +
+        "PARTITIONED BY (bucket(8, user_id))")
+      s.sql(s"CREATE TABLE $cat.ev.users (user_id BIGINT, " +
+        "n_events BIGINT) USING `graft-manifest` " +
+        "PARTITIONED BY (bucket(8, user_id))")
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .createOrReplaceTempView("graft_u43_src")
+      try {
+        s.sql(s"INSERT INTO $cat.ev.clicks SELECT * FROM graft_u43_src")
+        s.sql(s"INSERT INTO $cat.ev.users SELECT user_id, count(*) " +
+          "FROM graft_u43_src GROUP BY user_id")
+      } finally s.catalog.dropTempView("graft_u43_src")
+      wh
+    })
+    cat
+  }
+
   private val rowImagesMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
@@ -2936,6 +2972,49 @@ object SparkEntry {
       val days = (10 to 16).map(d => f"ts_day=2024-01-$d%02d/").toSet
       requireLeafPruning(df, r => days.exists(r.startsWith))
     }),
+    // u43 (round 19): storage-partitioned join over hidden bucket
+    // layouts — the entry REQUIRES a shuffle-free plan under v2
+    // bucketing, then gates the joined values
+    "u43_spj_join" -> ((s, dir) => {
+      val cat = u43Catalog(s, dir)
+      val prevB = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+      val prevT = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val df = s.sql(
+          "SELECT c.event_id, c.event_type, u.n_events " +
+            s"FROM $cat.ev.clicks c JOIN $cat.ev.users u " +
+            "ON c.user_id = u.user_id WHERE c.event_id % 17 = 3")
+        def countShuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+          val here = p match {
+            case _: org.apache.spark.sql.execution.exchange
+              .ShuffleExchangeExec => 1
+            case _ => 0
+          }
+          here + p.children.map(countShuffles).sum
+        }
+        require(countShuffles(df.queryExecution.sparkPlan) == 0,
+          "u43: expected a shuffle-free storage-partitioned join over " +
+            "the hidden bucket layout")
+        // materialize before the confs reset (the gate re-collects, but
+        // the PLAN decision is already locked into this DataFrame)
+        df
+      } finally {
+        prevB match {
+          case Some(v) =>
+            s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+          case None =>
+            s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+        }
+        prevT match {
+          case Some(v) =>
+            s.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+          case None =>
+            s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        }
+      }
+    }),
     // u42 (round 19): hidden `months(o_orderdate)` layout — a half-year
     // range over ~80 month leaves opens exactly 6 (pruning pin REQUIRED)
     "u42_months_layout" -> ((s, dir) => {
@@ -3837,6 +3916,13 @@ object SparkEntry {
       ("SELECT user_id, count(*) AS n_events, " +
         "CAST(sum(event_id) AS BIGINT) AS sum_ids FROM events " +
         "WHERE user_id IN (7, 42, 99) GROUP BY user_id"),
+    // u43: the SPJ must be value-invisible — the oracle is the plain
+    // join over raw events with the rollup recomputed inline
+    "u43_spj_join" ->
+      ("SELECT c.event_id, c.event_type, u.n_events FROM events c " +
+        "JOIN (SELECT user_id, count(*) AS n_events FROM events " +
+        "GROUP BY user_id) u ON c.user_id = u.user_id " +
+        "WHERE c.event_id % 17 = 3"),
     "u42_months_layout" ->
       ("SELECT o_orderpriority, count(*) AS n_orders, " +
         "CAST(sum(o_orderkey) AS BIGINT) AS sum_keys FROM orders " +

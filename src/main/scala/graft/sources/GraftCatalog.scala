@@ -105,7 +105,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       dir: Path, schema: StructType, partitionCols: Seq[String],
       statsColumns: Seq[String], retention: Option[Int] = None,
       columnMap: Map[String, String] = Map.empty,
-      droppedColumns: Seq[String] = Nil): Unit = {
+      droppedColumns: Seq[String] = Nil,
+      schemaHistory: Seq[String] = Nil): Unit = {
     val b64 = java.util.Base64.getEncoder
       .encodeToString(schema.json.getBytes("UTF-8"))
     val ret = retention.map(r => s""","retentionKeepVersions":"$r"""")
@@ -121,8 +122,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dropped =
       if (droppedColumns.isEmpty) ""
       else s""","droppedColumns":"${droppedColumns.mkString(",")}""""
+    // SCHEMA HISTORY (round 19 — versioned logical names): one snapshot
+    // line per schema-affecting ALTER, watermarked by the head version
+    // it applied THROUGH — time travel reads each version under the
+    // names it had then (Delta shows each version's own schema; so do
+    // we). Base64-wrapped so the outer descriptor stays regex-clean.
+    val hist =
+      if (schemaHistory.isEmpty) ""
+      else s""","schemaHistoryB64":"${java.util.Base64.getEncoder
+        .encodeToString(schemaHistory.mkString("\n").getBytes("UTF-8"))}""""
     val body =
-      s"""{"schemaB64":"$b64","partitionCols":"${partitionCols.mkString(",")}","statsColumns":"${statsColumns.mkString(",")}"$ret$cmap$dropped}"""
+      s"""{"schemaB64":"$b64","partitionCols":"${partitionCols.mkString(",")}","statsColumns":"${statsColumns.mkString(",")}"$ret$cmap$dropped$hist}"""
     val tmp = new Path(dir,
       s".$Descriptor.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
@@ -233,8 +243,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     readDescriptorOrCorrupt(d) match {
       case Right(Some((schema, parts, stats))) =>
         val (cmap, dropped) = mappingOf(d)
-        new GraftManifestTable(d.toString, version, Some(schema), parts, stats,
-          viaCatalog = true, columnMap = cmap, droppedPhysical = dropped)
+        // time travel reads the version under ITS OWN logical names
+        // (round 19 — the schema-history snapshot in effect then)
+        val hist = version.flatMap(v =>
+          GraftCatalog.historicalOverride(spark, d.toString, v))
+        new GraftManifestTable(d.toString, version,
+          Some(hist.map(_._1).getOrElse(schema)), parts, stats,
+          viaCatalog = true,
+          columnMap = hist.map(_._2).getOrElse(cmap),
+          droppedPhysical = hist.map(_._3).getOrElse(dropped))
       case Right(None) if manifestOnly =>
         new GraftManifestTable(d.toString, version, viaCatalog = true)
       case Right(None) => throw new NoSuchTableException(ident)
@@ -362,6 +379,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     var retention = retentionOf(d)
     var (columnMap, droppedCols) = mappingOf(d)
     val partSpecs = parts.map(PartitionTransforms.parse)
+    // SCHEMA HISTORY snapshot (round 19): a schema-affecting ALTER
+    // records the PRE-change logical state, watermarked by the head
+    // version it applied through — time travel to any version <= the
+    // watermark reads under these names (Delta's versioned-schema rule)
+    val schemaAffecting = changes.exists {
+      case _: TableChange.AddColumn | _: TableChange.RenameColumn |
+           _: TableChange.DeleteColumn => true
+      case _ => false
+    }
+    val history0 = GraftCatalog.historyLinesAt(spark, d.toString)
+    val snapshot: Option[String] =
+      if (!schemaAffecting) None
+      else {
+        val head = ManifestTable.currentVersion(spark, d.toString)
+        if (head < 0) None // nothing committed: nothing to protect
+        else {
+          val b64 = java.util.Base64.getEncoder
+            .encodeToString(schema0.json.getBytes("UTF-8"))
+          val cmap =
+            if (columnMap.isEmpty) ""
+            else s""","columnMap":"${columnMap.toSeq.sorted
+              .map { case (l, p) => s"$l:$p" }.mkString(",")}""""
+          val dr =
+            if (droppedCols.isEmpty) ""
+            else s""","droppedColumns":"${droppedCols.mkString(",")}""""
+          Some(s"""{"v":$head,"schemaB64":"$b64"$cmap$dr}""")
+        }
+      }
     def physOf(logical: String): String = columnMap.getOrElse(logical, logical)
     changes.foreach {
       // COLUMN MAPPING (round 19 — SURVEY §9 #2 / VERDICT r18 next #2):
@@ -493,7 +538,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "mapping) are; retypes and repositions are rewrite jobs")
     }
     writeDescriptor(d, schema, parts, statsCols, retention,
-      columnMap, droppedCols)
+      columnMap, droppedCols, history0 ++ snapshot.toSeq)
     new GraftManifestTable(d.toString, None, Some(schema), parts, statsCols,
       viaCatalog = true, columnMap = columnMap,
       droppedPhysical = droppedCols)
@@ -622,6 +667,47 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 }
 
 object GraftCatalog {
+
+  /** The descriptor's raw schema-history snapshot lines (round 19 —
+    * versioned logical names). Empty when absent/unreadable.
+    */
+  private[sources] def historyLinesAt(
+      spark: SparkSession, dir: String): Seq[String] = try {
+    val p = new Path(dir, "_graft-table.json")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) return Nil
+    val in = f.open(p)
+    val body =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    "\"schemaHistoryB64\":\"([^\"]*)\"".r.findFirstMatchIn(body)
+      .map(m => new String(java.util.Base64.getDecoder
+        .decode(m.group(1)), "UTF-8").split('\n').toSeq.filter(_.nonEmpty))
+      .getOrElse(Nil)
+  } catch { case scala.util.control.NonFatal(_) => Nil }
+
+  /** The logical schema/mapping in effect AT `version` (round 19): the
+    * FIRST history snapshot whose watermark is >= version — snapshots
+    * record the pre-ALTER state watermarked by the head version it
+    * applied through, in ALTER order, so equal watermarks resolve to
+    * the oldest. None = the current descriptor applies.
+    */
+  private[sources] def historicalOverride(
+      spark: SparkSession, dir: String, version: Long)
+      : Option[(StructType, Map[String, String], Seq[String])] =
+    historyLinesAt(spark, dir).flatMap { line =>
+      for {
+        w <- "\"v\":(-?\\d+)".r.findFirstMatchIn(line)
+          .map(_.group(1).toLong)
+        b64 <- "\"schemaB64\":\"([^\"]*)\"".r.findFirstMatchIn(line)
+          .map(_.group(1))
+      } yield {
+        val (cmap, dropped) = parseMapping(line)
+        (w, DataType.fromJson(new String(
+          java.util.Base64.getDecoder.decode(b64), "UTF-8"))
+          .asInstanceOf[StructType], cmap, dropped)
+      }
+    }.find(_._1 >= version).map(e => (e._2, e._3, e._4))
 
   private[sources] def parseMapping(
       body: String): (Map[String, String], Seq[String]) = {

@@ -190,15 +190,25 @@ object GraftManifestSource {
         GraftCatalog.descriptorAt(
           org.apache.spark.sql.SparkSession.active, p)
       else None
+    // time travel on a descriptor-backed path handle also reads the
+    // version's OWN logical names (schema history, round 19)
+    val hist = for {
+      _ <- desc
+      v <- versionAsOf
+      h <- GraftCatalog.historicalOverride(
+        org.apache.spark.sql.SparkSession.active, p, v)
+    } yield h
     new GraftManifestTable(p, versionAsOf,
-      declaredSchema.orElse(desc.map(_._1)),
+      declaredSchema.orElse(hist.map(_._1)).orElse(desc.map(_._1)),
       if (declaredParts.nonEmpty) declaredParts
       else if (optParts.nonEmpty) optParts
       else desc.map(_._2).getOrElse(Nil),
       if (optStats.nonEmpty) optStats
       else desc.map(_._3).getOrElse(Nil),
-      columnMap = desc.map(_._4).getOrElse(Map.empty),
-      droppedPhysical = desc.map(_._5).getOrElse(Nil))
+      columnMap = hist.map(_._2).orElse(desc.map(_._4))
+        .getOrElse(Map.empty),
+      droppedPhysical = hist.map(_._3).orElse(desc.map(_._5))
+        .getOrElse(Nil))
   }
 
   /** Leading `name=value` directory segments of a manifest-relative data

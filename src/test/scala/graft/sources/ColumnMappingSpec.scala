@@ -93,6 +93,37 @@ class ColumnMappingSpec extends SparkSpec {
       .head.isNullAt(0))
   }
 
+  test("versioned logical schema: time travel reads each version under the names it had THEN") {
+    register("gcm4")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcm4.m")
+    spark.sql("CREATE TABLE gcm4.m.vs (k BIGINT, n BIGINT, part STRING) " +
+      "USING `graft-manifest` PARTITIONED BY (part)")
+    spark.sql("INSERT INTO gcm4.m.vs VALUES (1, 10, 'p0')") // v0
+    spark.sql("ALTER TABLE gcm4.m.vs RENAME COLUMN n TO m") // snapshot @0
+    spark.sql("INSERT INTO gcm4.m.vs VALUES (2, 20, 'p1')") // v1
+    spark.sql("ALTER TABLE gcm4.m.vs DROP COLUMN m")        // snapshot @1
+    spark.sql("INSERT INTO gcm4.m.vs VALUES (3, 'p2')")     // v2
+    // head: no m
+    assert(spark.table("gcm4.m.vs").schema.fieldNames.toSeq ==
+      Seq("k", "part"))
+    // v0 was written under 'n' — AS OF 0 shows 'n' with its values
+    val v0 = spark.sql("SELECT * FROM gcm4.m.vs VERSION AS OF 0")
+    assert(v0.schema.fieldNames.toSeq == Seq("k", "n", "part"),
+      v0.schema.fieldNames.mkString(","))
+    assert(v0.select("n").head.getLong(0) == 10L)
+    // v1 lived after the rename, before the drop — AS OF 1 shows 'm'
+    val v1 = spark.sql("SELECT * FROM gcm4.m.vs VERSION AS OF 1")
+    assert(v1.schema.fieldNames.toSeq == Seq("k", "m", "part"),
+      v1.schema.fieldNames.mkString(","))
+    assert(v1.select("m").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(10L, 20L))
+    // the path handle's versionAsOf resolves the same history
+    val v0p = spark.read.format("graft-manifest")
+      .option("versionAsOf", "0").load(s"$warehouse/m/vs")
+    assert(v0p.schema.fieldNames.contains("n") &&
+      !v0p.schema.fieldNames.contains("m"))
+  }
+
   test("refusals: partition sources, stats columns, occupied physical names") {
     register("gcm3")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcm3.m")
