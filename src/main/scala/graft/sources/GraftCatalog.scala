@@ -768,7 +768,7 @@ private[sources] object GraftProcedures {
   val Names: Seq[String] =
     Seq("optimize", "vacuum", "restore", "fsck", "history",
       "rewrite_partitions", "build_bloom_index", "drop_partitions",
-      "delete_deferred")
+      "delete_deferred", "describe_detail")
 }
 
 /** One maintenance procedure, bound to its engine verb. The result rows
@@ -799,6 +799,9 @@ class GraftProcedure(catalog: GraftCatalog, verb: String)
     case "delete_deferred" => "record a merge-on-read deletion mask for " +
       "the given keys; the next optimize purges " +
       "(ManifestTable.deleteRowsDeferred)"
+    case "describe_detail" => "one-stop table metadata (the Delta " +
+      "DESCRIBE DETAIL slot): version, files, bytes, rows, layout, " +
+      "zone maps, mapping, retention — one header read, zero data IO"
     case _ => "verify manifest/file integrity (ManifestTable.fsck)"
   }
 
@@ -948,6 +951,51 @@ class GraftProcedure(catalog: GraftCatalog, verb: String)
           .add("keys_recorded", LongType).add("keys_pending", LongType),
           Array[InternalRow](new GenericInternalRow(Array[Any](
             st.keysRecorded, st.keysPending))))
+      case "describe_detail" =>
+        // the Delta DESCRIBE DETAIL slot (round 19): version, files,
+        // bytes, rows, layout, zone maps, mapping, retention — manifest
+        // header/line reads only, ZERO data IO (bytes/rows sum from the
+        // `%#` line meta when every line carries it)
+        val cur = ManifestTable.currentVersion(spark, root)
+        val (nFiles, bytes, rows, statsRegistered) =
+          if (cur < 0) (0, None: Option[Long], None: Option[Long], "")
+          else {
+            val st = ManifestTable.scanState(spark, root, None)
+            val metas = st.lines.map(ManifestTable.lineFileMeta)
+            val b = if (metas.nonEmpty && metas.forall(_.isDefined))
+              Some(metas.flatten.map(_._1).sum) else None
+            val r = if (metas.nonEmpty && metas.forall(_.isDefined))
+              Some(metas.flatten.map(_._2).sum) else None
+            (st.lines.size, b, r,
+              st.statsCols.map(x => x._1 + ":" + x._2).mkString(","))
+          }
+        val last = if (cur < 0) None
+          else ManifestTable.history(spark, root).headOption
+        val desc = GraftCatalog.descriptorAt(spark, root)
+        val (cmap, dropped) = catalog.mappingOf(new Path(root))
+        (new StructType()
+          .add("format", StringType).add("location", StringType)
+          .add("version", LongType).add("num_files", IntegerType)
+          .add("size_bytes", LongType).add("num_rows", LongType)
+          .add("partition_spec", StringType)
+          .add("stats_columns", StringType)
+          .add("renamed_columns", StringType)
+          .add("dropped_columns", StringType)
+          .add("retention_keep_versions", IntegerType)
+          .add("last_operation", StringType)
+          .add("last_commit_ts_ms", LongType),
+          Array[InternalRow](new GenericInternalRow(Array[Any](
+            utf8("graft-manifest"), utf8(root), cur, nFiles,
+            bytes.map(Long.box).orNull, rows.map(Long.box).orNull,
+            utf8(desc.map(_._2.mkString(", ")).getOrElse("")),
+            utf8(if (statsRegistered.nonEmpty) statsRegistered
+              else desc.map(_._3.mkString(",")).getOrElse("")),
+            utf8(cmap.toSeq.sorted.map { case (l, p) => s"$l:$p" }
+              .mkString(",")),
+            utf8(dropped.mkString(",")),
+            catalog.retentionOf(new Path(root)).map(Int.box).orNull,
+            last.map(e => utf8(e.operation)).orNull,
+            last.flatMap(_.timestampMs).map(Long.box).orNull))))
       case _ =>
         val r = ManifestTable.fsck(spark, root)
         (new StructType()

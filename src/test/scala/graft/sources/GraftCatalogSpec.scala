@@ -276,6 +276,39 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_c7.ops.t")
   }
 
+  test("CALL graft.system.describe_detail: one-stop table metadata, zero data IO") {
+    register("graft_c9")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_c9.dd")
+    spark.sql("CREATE TABLE graft_c9.dd.t (k BIGINT, n BIGINT, " +
+      "part STRING) USING `graft-manifest` OPTIONS (statsColumns 'k') " +
+      "TBLPROPERTIES ('retention.keepVersions' = '4') " +
+      "PARTITIONED BY (part)")
+    spark.sql("INSERT INTO graft_c9.dd.t VALUES " +
+      "(1, 10, 'p0'), (2, 20, 'p1'), (3, 30, 'p1')")
+    spark.sql("ALTER TABLE graft_c9.dd.t RENAME COLUMN n TO m")
+    val d = spark.sql(
+      "CALL graft_c9.system.describe_detail(`table` => 'dd.t')").head
+    assert(d.getAs[String]("format") == "graft-manifest")
+    assert(d.getAs[Long]("version") == 0L)
+    assert(d.getAs[Int]("num_files") == 2) // one per partition leaf
+    assert(d.getAs[Long]("num_rows") == 3L)
+    assert(d.getAs[Long]("size_bytes") > 0L)
+    assert(d.getAs[String]("partition_spec") == "part")
+    assert(d.getAs[String]("stats_columns").startsWith("k"))
+    assert(d.getAs[String]("renamed_columns") == "m:n")
+    assert(d.getAs[Int]("retention_keep_versions") == 4)
+    assert(d.getAs[String]("last_operation") == "append") // INSERT INTO
+    assert(d.getAs[Long]("last_commit_ts_ms") > 0L)
+    // a hidden-layout table reports its transform spelling
+    spark.sql("CREATE TABLE graft_c9.dd.ev (id BIGINT, ts TIMESTAMP) " +
+      "USING `graft-manifest` PARTITIONED BY (days(ts), bucket(4, id))")
+    val d2 = spark.sql(
+      "CALL graft_c9.system.describe_detail(`table` => 'dd.ev')").head
+    assert(d2.getAs[String]("partition_spec") == "days(ts), bucket(4,id)")
+    assert(d2.getAs[Long]("version") == -1L) // declared, never committed
+    assert(d2.getAs[Int]("num_files") == 0)
+  }
+
   test("descriptor resilience: writes publish via tmp+rename (no tmp debris), and a corrupt descriptor on a committed table falls back to manifest-authoritative loading") {
     register("graft_c5")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_c5.res")
