@@ -68,8 +68,19 @@ class GraftChangeFeedTable(
     cur
   }
 
-  private[sources] lazy val inner: GraftManifestTable =
-    new GraftManifestTable(root, Some(endVersion))
+  /** The feed's snapshot handle ADOPTS the table descriptor when one
+    * exists (round 19): a transform table's feed then prunes derived
+    * levels from data-column predicates, and a renamed table's feed
+    * serves LOGICAL names like the plain scan.
+    */
+  private[sources] lazy val inner: GraftManifestTable = {
+    val desc = GraftCatalog.descriptorAt(spark, root)
+    new GraftManifestTable(root, Some(endVersion),
+      desc.map(_._1), desc.map(_._2).getOrElse(Nil),
+      desc.map(_._3).getOrElse(Nil),
+      columnMap = desc.map(_._4).getOrElse(Map.empty),
+      droppedPhysical = desc.map(_._5).getOrElse(Nil))
+  }
 
   override def name(): String =
     s"graft-manifest `$root` CHANGES [$startingVersion, $endVersion]"
@@ -136,7 +147,8 @@ class GraftChangeFeedTable(
             sideKeep = Some(s)
             if (s != "insert" && s != "delete") provablyEmpty = true
             true
-          case other => narrowing.absorb(other)
+          case other => narrowing.absorb(
+            GraftManifestSource.renameFilterCols(other, inner.phys))
         }
       }
 
@@ -261,7 +273,7 @@ class GraftCdfScan(
     new GraftCdfReaderFactory(
       table.root, required, table.inner.dataSchema,
       table.inner.partitionCols.zip(table.inner.partitionTypes),
-      GraftManifestSource.confProps(spark))
+      GraftManifestSource.confProps(spark), table.inner.columnMap)
 
   /** STREAMING change feed (round 17 — the rewriting-table stream the
     * plain tail refuses): `spark.readStream.format("graft-manifest")
@@ -284,6 +296,7 @@ class GraftCdfScan(
       table.inner.dataSchema,
       table.inner.partitionCols.zip(table.inner.partitionTypes),
       GraftManifestSource.confProps(spark),
+      table.inner.columnMap,
       // file-level narrowing applies to the stream too; the version
       // window stays with the OFFSETS (a clamp would silently skip
       // versions a checkpoint owes the consumer)
@@ -402,6 +415,7 @@ class GraftCdfMicroBatchStream(
     dataSchema: StructType,
     partCols: Seq[(String, DataType)],
     confProps: Array[(String, String)],
+    columnMap: Map[String, String] = Map.empty,
     pruning: GraftCdfPruning = GraftCdfPruning.none)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -447,7 +461,8 @@ class GraftCdfMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftCdfReaderFactory(root, required, dataSchema, partCols, confProps)
+    new GraftCdfReaderFactory(
+      root, required, dataSchema, partCols, confProps, columnMap)
 
   override def commit(end: Offset): Unit = ()
 
@@ -459,7 +474,10 @@ class GraftCdfReaderFactory(
     required: StructType,
     dataSchema: StructType,
     partCols: Seq[(String, DataType)],
-    confProps: Array[(String, String)])
+    confProps: Array[(String, String)],
+    // logical -> physical column names (round 19 — a renamed table's
+    // feed serves logical names; the files carry physical ones)
+    columnMap: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
 
   override def createReader(
@@ -471,7 +489,11 @@ class GraftCdfReaderFactory(
       f.name == "_change_type" || f.name == "_commit_version" ||
         f.name == "_commit_timestamp"))
     val inner = new GraftPartitionReader(
-      root, p.files, innerRequired, dataSchema, partCols,
+      root, p.files,
+      // the reader works in PHYSICAL names; rows are positional
+      StructType(innerRequired.fields.map(f =>
+        f.copy(name = columnMap.getOrElse(f.name, f.name))).toSeq),
+      dataSchema, partCols,
       Array.empty, confProps)
     val srcIdx: Array[Int] = required.fields.map(f =>
       innerRequired.fieldNames.indexOf(f.name))

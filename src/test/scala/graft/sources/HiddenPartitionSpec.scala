@@ -363,6 +363,73 @@ class HiddenPartitionSpec extends SparkSpec {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("the CDF read prunes derived day leaves too: a ts-filtered feed plans only the matching days' changed files") {
+    register("ghp9")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ghp9.ev")
+    spark.sql("CREATE TABLE ghp9.ev.t9 (k BIGINT, ts TIMESTAMP) " +
+      "USING `graft-manifest` PARTITIONED BY (days(ts))")
+    spark.sql("INSERT INTO ghp9.ev.t9 VALUES " +
+      "(1, TIMESTAMP'2024-01-01 10:00:00')," +
+      "(2, TIMESTAMP'2024-01-02 10:00:00')," +
+      "(3, TIMESTAMP'2024-01-03 10:00:00')")
+    spark.sql("INSERT INTO ghp9.ev.t9 VALUES " +
+      "(4, TIMESTAMP'2024-01-02 11:00:00')," +
+      "(5, TIMESTAMP'2024-01-04 11:00:00')")
+    val root = s"$warehouse/ev/t9"
+    val feed = spark.read.format("graft-manifest")
+      .option("readChangeFeed", "true").load(root)
+      .filter(col("ts") >= java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+        && col("ts") < java.sql.Timestamp.valueOf("2024-01-03 00:00:00"))
+    assert(feed.select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(2L, 4L))
+    val scan = feed.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        if b.scan.isInstanceOf[GraftCdfScan] =>
+        b.scan.asInstanceOf[GraftCdfScan]
+    }.head
+    val planned = scan.plannedPartitions.map(
+      _.asInstanceOf[GraftCdfPartition])
+    assert(planned.nonEmpty && planned.forall(_.files.forall(
+      _._1.startsWith("ts_day=2024-01-02/"))),
+      planned.flatMap(_.files.map(_._1)).mkString(","))
+  }
+
+  test("the STREAMING sink derives hidden layouts too; string bucket(4, s) hashes through xx64") {
+    register("ghp10")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ghp10.ev")
+    spark.sql("CREATE TABLE ghp10.ev.s10 (k BIGINT, ts TIMESTAMP) " +
+      "USING `graft-manifest` PARTITIONED BY (days(ts))")
+    val root = s"$warehouse/ev/s10"
+    // stream two micro-batches through the native sink
+    val src = tmpDir("ghp10_src")
+    val ckpt = tmpDir("ghp10_ckpt")
+    (0 until 8).map(i => (i.toLong,
+      java.sql.Timestamp.valueOf(f"2024-02-0${1 + i % 2}%d 08:00:00")))
+      .toDF("k", "ts").write.mode("overwrite").parquet(src)
+    val q = spark.readStream.schema("k BIGINT, ts TIMESTAMP").parquet(src)
+      .writeStream.format("graft-manifest")
+      .option("path", root).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val leaves = new java.io.File(root).listFiles()
+      .filter(_.isDirectory).map(_.getName)
+      .filter(_.startsWith("ts_day=")).sorted
+    assert(leaves.toSeq == Seq("ts_day=2024-02-01", "ts_day=2024-02-02"),
+      leaves.mkString(","))
+    assert(spark.sql("SELECT count(*) FROM ghp10.ev.s10")
+      .head.getLong(0) == 8L)
+    // string bucketing: the manifest's own xx64 hash family
+    spark.sql("CREATE TABLE ghp10.ev.langs10 (s STRING, k BIGINT) " +
+      "USING `graft-manifest` PARTITIONED BY (bucket(4, s))")
+    spark.sql("INSERT INTO ghp10.ev.langs10 VALUES ('en', 1), ('de', 2)")
+    val qb = spark.sql("SELECT k FROM ghp10.ev.langs10 WHERE s = 'de'")
+    assert(qb.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    val bk = PartitionTransforms.bucketOfString("de", 4)
+    assert(graftScan(qb).chosenFiles.forall(
+      _.startsWith(s"s_bucket=$bk/")))
+  }
+
   test("the transform derivations: day boundaries, bucket spread, descriptor roundtrip") {
     // UTC day boundary: 23:59:59.999999 vs 00:00:00
     assert(PartitionTransforms.renderDay(PartitionTransforms
