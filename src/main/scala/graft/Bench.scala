@@ -11,6 +11,9 @@ object Bench {
       // is value-preserving only under UTC — pin it like every other entry
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the library's documented session shape (Engine.session): native
+      // expressions + the rowImages feed rewrite resolve
+      .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_CONF=k=v,k=v applies session confs before anything runs —
@@ -235,6 +238,9 @@ object Bench {
       catch { case _: Throwable => () }
     if (selected.exists(_._1 == "u39_replace_where"))
       try SparkEntry.u39TableDir(spark, sfDir)
+      catch { case _: Throwable => () }
+    if (selected.exists(_._1 == "u44_catalog_txn"))
+      try SparkEntry.u44CatalogDir(spark, sfDir)
       catch { case _: Throwable => () }
     if (selected.exists(_._1 == "u40_cdf_row_images"))
       try SparkEntry.u40TableDir(spark, sfDir)

@@ -909,9 +909,8 @@ object SparkEntry {
     * DDL (no path anywhere — the catalog owns locations), four lineage
     * INSERTs, then `CALL <cat>.system.optimize` folds the small files —
     * the whole create/ingest/maintain lifecycle without one Scala verb.
-    * Returns "<catalogName> <tableDir>": the entry reads through
-    * the CATALOG name, the oracle dump needs the dir for nothing (values
-    * replay from the raw catalog).
+    * Returns the catalog name: the entry reads through the CATALOG
+    * name (values replay from the raw catalog).
     */
   def u29Catalog(s: SparkSession, dir: String): String = {
     // deterministic per input dir: the CatalogManager caches the plugin
@@ -1106,6 +1105,78 @@ object SparkEntry {
         .option("partitionOverwriteMode", "dynamic").option("batchId", "2")
         .save(root)
       root
+    })
+
+  private val catalogTxnMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** u44's artifact (round 20 — SURVEY §9 forward #1: CROSS-TABLE
+    * TRANSACTIONS): a corpus table and its per-lang index table
+    * committed through the CATALOG VERSION POINTER
+    * ([[graft.core.Transactions]]) so the pair is ATOMIC:
+    *
+    *  - pointer v0: the original pair in one transaction;
+    *  - pointer v1: a keyed merge updates the corpus AND the index
+    *    recomputes from the staged corpus (read-your-own-staged-writes),
+    *    both made visible by ONE pointer publish;
+    *  - a third transaction stages a takedown on the corpus and CRASHES
+    *    before the pointer publish — the chain head advances but
+    *    transactional readers keep v1's consistent pair.
+    *
+    * The gated entry reads both tables through the pointer (the DSv2
+    * `catalogRoot` option), REQUIRES the dangling version is above the
+    * pin and the index matches a recompute of the pinned corpus, then
+    * gates the corpus values (a closed-form merge replay over raw
+    * documents). At 100 TB this is the corpus+index publish story: the
+    * index artifacts and their corpus move in one commit, not under
+    * per-artifact fences.
+    */
+  def u44CatalogDir(s: SparkSession, dir: String): String =
+    catalogTxnMemo.computeIfAbsent((s, dir), _ => {
+      val cat = graft.core.TempDirs.create("graft_u44_txn")
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      import graft.core.{ManifestTable, Transactions}
+      def indexOf(corpusRoot: String) =
+        ManifestTable.read(s, corpusRoot).get.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("sum_chars"))
+      Transactions.transact(s, cat) { txn =>
+        val corpusRoot = txn.stage("corpus") { root =>
+          ManifestTable.commit(s, root, docs, "lang", batchId = 0L); root
+        }
+        txn.stage("index") { root =>
+          ManifestTable.commit(s, root, indexOf(corpusRoot), "lang",
+            batchId = 0L)
+        }
+      }
+      Transactions.transact(s, cat) { txn =>
+        val corpusRoot = txn.stage("corpus") { root =>
+          ManifestTable.merge(s, root,
+            docs.filter(col("doc_id") % 97 === 0)
+              .withColumn("n_chars", col("n_chars") + 1000L),
+            "doc_id", batchId = 1L)
+          root
+        }
+        // the index leg reads the corpus chain HEAD — the version this
+        // same transaction just staged (read-your-own-staged-writes)
+        txn.stage("index") { root =>
+          ManifestTable.commit(s, root, indexOf(corpusRoot), "lang",
+            batchId = 1L)
+        }
+      }
+      // the CRASHED transaction: a takedown stages on the corpus chain,
+      // the pointer never publishes — its effect must stay invisible
+      try Transactions.transact(s, cat,
+        beforePointerPublish =
+          () => throw new IllegalStateException("injected crash")) { txn =>
+        txn.stage("corpus") { root =>
+          ManifestTable.deleteRows(s, root,
+            docs.select("doc_id").orderBy("doc_id").limit(7), "doc_id")
+        }
+      } catch { case e: IllegalStateException
+        if e.getMessage == "injected crash" => () }
+      cat
     })
 
   private val hiddenMonthsMemo =
@@ -2945,10 +3016,16 @@ object SparkEntry {
       s.sql(s"SELECT doc_id, char_count, lang FROM $cat.m.docs")
     }),
     // u40 (round 19): row-level CDF images of the merge version — the
-    // feed shows updates AS updates (pre/post pairs), not delete+insert
+    // feed shows updates AS updates (pre/post pairs), not delete+insert.
+    // Round 20 re-gates it through the FORMAT OPTION (the
+    // GraftRowImagesRule rewrite — SQL-only consumers get the pairing),
+    // same oracle as the Scala consumer it planned through before.
     "u40_cdf_row_images" -> ((s, dir) =>
-      graft.streaming.ChangeFeed.rowImages(
-        s, u40TableDir(s, dir), startingVersion = 1L)
+      s.read.format("graft-manifest")
+        .option("readChangeFeed", "true")
+        .option("rowImages", "true")
+        .option("startingVersion", "1")
+        .load(u40TableDir(s, dir))
         .select("doc_id", "n_chars", "lang", "_change_type",
           "_commit_version")),
     // u39 (round 19): partition overwrite — static replaceWhere over de,
@@ -2956,6 +3033,39 @@ object SparkEntry {
     "u39_replace_where" -> ((s, dir) =>
       s.read.format("graft-manifest").load(u39TableDir(s, dir))
         .select("doc_id", "source", "n_chars", "lang")),
+    // u44 (round 20): CROSS-TABLE TRANSACTIONS — corpus + index through
+    // the catalog pointer; the entry REQUIRES the crashed transaction's
+    // dangling version is hidden and the PAIR is consistent, then gates
+    // the pinned corpus (closed-form merge replay over raw documents)
+    "u44_catalog_txn" -> ((s, dir) => {
+      val cat = u44CatalogDir(s, dir)
+      val corpusRoot = graft.core.Transactions.tableRoot(cat, "corpus")
+      def viaPointer(rel: String, cv: Option[Long] = None) = {
+        val r = s.read.format("graft-manifest").option("catalogRoot", cat)
+        cv.map(v => r.option("catalogVersionAsOf", v.toString))
+          .getOrElse(r)
+          .load(graft.core.Transactions.tableRoot(cat, rel))
+      }
+      val corpus = viaPointer("corpus").select("doc_id", "lang", "n_chars")
+      val pin = graft.core.Transactions
+        .pinnedVersion(s, cat, "corpus").get
+      require(graft.core.ManifestTable
+          .currentVersion(s, corpusRoot) > pin,
+        "u44: expected the crashed transaction's dangling version " +
+          "above the pointer pin")
+      val recomputed = corpus.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      val idx = viaPointer("index").select("lang", "n_docs", "sum_chars")
+      require(recomputed.exceptAll(idx).isEmpty &&
+          idx.exceptAll(recomputed).isEmpty,
+        "u44: the index is inconsistent with the pinned corpus — the " +
+          "pair did not commit atomically")
+      // catalog-level time travel: pointer v0 is the ORIGINAL pair
+      require(viaPointer("corpus", Some(0L)).count() ==
+          t(s, dir, "documents").count(),
+        "u44: catalog v0 must reproduce the seed pair")
+      corpus
+    }),
     // u37 (round 19): hidden `days(ts)` layout — a week-long ts range
     // over a month of events opens ONLY the 7 matching day leaves (the
     // query REQUIRES the pruning pin, then gates the aggregate's values)
@@ -3912,6 +4022,12 @@ object SparkEntry {
       ("SELECT doc_id, source, CAST(CASE WHEN lang = 'de' " +
         "THEN n_chars + 1000 WHEN lang = 'fr' THEN n_chars + 5 " +
         "ELSE n_chars END AS BIGINT) AS n_chars, lang FROM documents"),
+    // u44: the transactionally-pinned corpus is the merge replay — the
+    // crashed takedown must be invisible (no doc missing)
+    "u44_catalog_txn" ->
+      ("SELECT doc_id, lang, CAST(CASE WHEN doc_id % 97 = 0 " +
+        "THEN n_chars + 1000 ELSE n_chars END AS BIGINT) AS n_chars " +
+        "FROM documents"),
     "u38_bucket_layout" ->
       ("SELECT user_id, count(*) AS n_events, " +
         "CAST(sum(event_id) AS BIGINT) AS sum_ids FROM events " +

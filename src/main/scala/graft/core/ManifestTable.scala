@@ -859,6 +859,75 @@ object ManifestTable {
     }
   }
 
+  /** Atomic no-overwrite publish of `body` into `dir/fileName` — the
+    * arbiter the manifest publish always used, extracted (round 20) so
+    * the CATALOG-LEVEL transaction pointer ([[Transactions]]) rides the
+    * exact same commit primitive. Returns true iff THIS call created the
+    * slot. On `file:` schemes the arbiter is POSIX link(2) (atomic
+    * no-overwrite — RawLocal's Rename.NONE is check-then-rename and
+    * would lose a commit under true concurrency); elsewhere it is
+    * [[org.apache.hadoop.fs.FileContext]] with default `Rename.NONE`
+    * semantics: atomic rename-if-absent on HDFS — the slot where an
+    * object-store deployment plugs its conditional put.
+    */
+  private[graft] def publishSlot(
+      spark: SparkSession, dir: Path, fileName: String,
+      body: String): Boolean = {
+    val f = fs(spark, dir)
+    f.mkdirs(dir)
+    val target = new Path(dir, fileName)
+    if (f.exists(target)) return false // fast loser path: no tmp written
+    val tmp = new Path(dir,
+      s".$fileName-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    // the FileContext arbiter: atomic rename-if-absent on HDFS
+    def renameArbiter(): Boolean = {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        f.getUri, spark.sparkContext.hadoopConfiguration)
+      try {
+        fc.rename(f.makeQualified(tmp), f.makeQualified(target))
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          f.delete(tmp, false); false
+        case e: java.io.IOException if f.exists(target) =>
+          // some AbstractFileSystems surface the occupied slot as a
+          // generic IOException — existence of the target is the
+          // authoritative signal
+          f.delete(tmp, false); false
+      }
+    }
+    if (Option(f.getUri.getScheme).forall(_ == "file")) {
+      // local FS: FileContext's rename is check-then-rename (RawLocal
+      // implements Rename.NONE non-atomically), so two truly concurrent
+      // writers could both observe the slot free and one published
+      // manifest would be silently overwritten — a lost commit. POSIX
+      // link(2) IS atomic no-overwrite: hard-link the tmp into the slot
+      // (EEXIST ⇒ loser), then drop the tmp name — the same arbiter
+      // contract HDFS gives the FileContext path.
+      val tgt = java.nio.file.Paths.get(f.makeQualified(target).toUri)
+      val src = java.nio.file.Paths.get(f.makeQualified(tmp).toUri)
+      try {
+        java.nio.file.Files.createLink(tgt, src)
+        f.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          f.delete(tmp, false); false
+        case _: java.nio.file.FileSystemException if f.exists(target) =>
+          // the slot is occupied however the FS spelled it: a loss
+          f.delete(tmp, false); false
+        case _: UnsupportedOperationException |
+             _: java.nio.file.FileSystemException =>
+          // a file:-mounted FS without hard links (FAT/exFAT media,
+          // some FUSE/bind mounts): fall back to the rename arbiter —
+          // its narrower atomicity beats refusing every commit
+          renameArbiter()
+      }
+    } else renameArbiter()
+  }
+
   private def publishManifest(
       spark: SparkSession, root: String, version: Long,
       header: String, lines: Seq[String]): Boolean = {
@@ -897,60 +966,7 @@ object ManifestTable {
       headerTsClamped.stripSuffix("}") + s""","nf":${lines.size}""" + rows + "}"
     val body = (header2 +: lines.sorted).mkString("\n")
     val mDir = manifestDir(root)
-    f.mkdirs(mDir)
-    val target = new Path(mDir, s"v$version.json")
-    if (f.exists(target)) return false // fast loser path: no tmp written
-    val tmp = new Path(mDir,
-      s".v$version-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    val out = f.create(tmp, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    // the FileContext arbiter: atomic rename-if-absent on HDFS; the slot
-    // where an object store plugs its conditional put
-    def renameArbiter(): Boolean = {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        f.getUri, spark.sparkContext.hadoopConfiguration)
-      try {
-        fc.rename(f.makeQualified(tmp), f.makeQualified(target))
-        true
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-          f.delete(tmp, false); false
-        case e: java.io.IOException if f.exists(target) =>
-          // some AbstractFileSystems surface the occupied slot as a
-          // generic IOException — existence of the target is the
-          // authoritative signal
-          f.delete(tmp, false); false
-      }
-    }
-    val won =
-      if (Option(f.getUri.getScheme).forall(_ == "file")) {
-        // local FS: FileContext's rename is check-then-rename (RawLocal
-        // implements Rename.NONE non-atomically), so two truly concurrent
-        // writers could both observe the slot free and one published
-        // manifest would be silently overwritten — a lost commit. POSIX
-        // link(2) IS atomic no-overwrite: hard-link the tmp into the slot
-        // (EEXIST ⇒ loser), then drop the tmp name — the same arbiter
-        // contract HDFS gives the FileContext path.
-        val tgt = java.nio.file.Paths.get(f.makeQualified(target).toUri)
-        val src = java.nio.file.Paths.get(f.makeQualified(tmp).toUri)
-        try {
-          java.nio.file.Files.createLink(tgt, src)
-          f.delete(tmp, false)
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException =>
-            f.delete(tmp, false); false
-          case _: java.nio.file.FileSystemException if f.exists(target) =>
-            // the slot is occupied however the FS spelled it: a loss
-            f.delete(tmp, false); false
-          case _: UnsupportedOperationException |
-               _: java.nio.file.FileSystemException =>
-            // a file:-mounted FS without hard links (FAT/exFAT media,
-            // some FUSE/bind mounts): fall back to the rename arbiter —
-            // its narrower atomicity beats refusing every commit
-            renameArbiter()
-        }
-      } else renameArbiter()
+    val won = publishSlot(spark, mDir, s"v$version.json", body)
     // the sentinel is best-effort bookkeeping and must NEVER influence
     // the win/lose verdict: planting it inside the arbiter's try turned
     // a transient post-publish IOException into a reported LOSS, and an
@@ -1921,22 +1937,29 @@ object ManifestTable {
     * per call, and each one lazily re-parses the Hadoop XML resources;
     * on a 50k-file commit that is 50k XML parses of pure driver time).
     */
-  // WEAK-keyed (ADVICE r18): a strong ConcurrentHashMap would pin every
-  // Configuration ever seen for the JVM's life (a leak across sessions);
-  // WeakHashMap keys by identity here (Configuration doesn't override
-  // equals), so a retired session's conf — and its cached options — can
-  // collect. Known tradeoff (documented, same as before): later MUTATIONS
-  // of a live session conf don't invalidate its cached options.
-  private val footerOptionsCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[
-      org.apache.hadoop.conf.Configuration,
-      org.apache.parquet.ParquetReadOptions]())
+  // SINGLE-SLOT, identity-keyed (ADVICE r19: the WeakHashMap variant
+  // was ineffective — HadoopReadOptions retains the Configuration it was
+  // built from, so the map value strongly referenced its key and entries
+  // never collected). One slot bounds retention to at most ONE retired
+  // Configuration (replaced the moment a different session conf shows
+  // up), which is the honest fix: in practice the JVM has one session
+  // conf, and a rebuild on slot miss only re-reads ~a dozen conf keys.
+  // Known tradeoff (documented, same as before): later MUTATIONS of a
+  // live session conf don't invalidate its cached options.
+  private val footerOptionsSlot = new java.util.concurrent.atomic.AtomicReference[
+    (org.apache.hadoop.conf.Configuration,
+      org.apache.parquet.ParquetReadOptions)]()
 
   private[graft] def footerReadOptions(
       spark: SparkSession): org.apache.parquet.ParquetReadOptions = {
     val conf = spark.sparkContext.hadoopConfiguration
-    footerOptionsCache.computeIfAbsent(conf,
-      c => org.apache.parquet.HadoopReadOptions.builder(c).build())
+    val cached = footerOptionsSlot.get()
+    if (cached != null && (cached._1 eq conf)) cached._2
+    else {
+      val opts = org.apache.parquet.HadoopReadOptions.builder(conf).build()
+      footerOptionsSlot.set((conf, opts))
+      opts
+    }
   }
 
   private def openFooter(
@@ -2605,6 +2628,71 @@ object ManifestTable {
     * files derive from the snapshot's registration; the recorded schema
     * is carried unchanged (SQL UPDATE/MERGE cannot add columns).
     */
+  /** RESTORE (round 20 — the transactional-rollback primitive, Delta's
+    * `RESTORE TABLE ... TO VERSION AS OF` shape): publish a NEW version
+    * whose complete state — file lines (zone maps, `%#` meta), batch
+    * fence, stats registration, recorded schema — is `toVersion`'s,
+    * VERBATIM. Data files are immutable and carried by path, so this is
+    * metadata-only: one manifest read + one publish, zero data IO at any
+    * scale. The versions above `toVersion` stay time-travelable (and
+    * vacuum-sweepable) — history is append-only, a restore never erases
+    * it.
+    *
+    * The batch FENCE restores too (deliberately): the undone versions
+    * never committed transactionally, so a re-run of the same ingest
+    * batch must re-apply, not no-op against a fence the rollback erased
+    * the data of.
+    *
+    * Refuses while deferred-delete masks are pending (the mask is
+    * table-level pending state that would silently apply to the restored
+    * snapshot — run optimize, the purge point, first) and on a lost
+    * publish race (ConcurrentModificationException — the restore was
+    * planned against a head someone else advanced).
+    */
+  private[graft] def restoreVersion(
+      spark: SparkSession, root: String, toVersion: Long,
+      beforePublish: () => Unit = NoHook): Long = {
+    val head = currentVersion(spark, root)
+    require(head >= 0, s"restoreVersion needs a committed table under $root")
+    require(toVersion >= 0 && toVersion <= head,
+      s"restoreVersion: v$toVersion is outside [0, $head] under $root")
+    if (toVersion == head) return head
+    require(dvState(spark, root).isEmpty,
+      s"deferred deletes pending under $root — the mask would silently " +
+        "apply to the restored snapshot; run optimize (the purge point) " +
+        "first")
+    val p = new Path(manifestDir(root), s"v$toVersion.json")
+    val in = fs(spark, p).open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val all = text.linesIterator.toList
+    val next = head + 1
+    var header = all.head
+      .replaceFirst("\"version\":-?\\d+", s""""version":$next""")
+      // publishManifest re-appends live nf/nr; the copied ones would
+      // duplicate the keys
+      .replaceAll(",\"nf\":\\d+", "").replaceAll(",\"nr\":\\d+", "")
+      // the restore is UNKEYED (no pre/post pairing — its CDF delta is
+      // the honest file-level net change back to the old state)
+      .replaceAll(",\"opKey\":\"[^\"]*\"", "")
+    header =
+      if (header.contains("\"op\":"))
+        header.replaceFirst("\"op\":\"[^\"]*\"", "\"op\":\"restore\"")
+      else header.stripSuffix("}") + ""","op":"restore"}"""
+    if (!header.contains("\"ts\":"))
+      header = header.stripSuffix("}") +
+        s""","ts":${System.currentTimeMillis()}}"""
+    header = header.stripSuffix("}") + s""","restoredFrom":$toVersion}"""
+    beforePublish()
+    if (!publishManifest(spark, root, next, header,
+        all.tail.filter(_.nonEmpty)))
+      throw new java.util.ConcurrentModificationException(
+        s"restoreVersion under $root: lost the v$next slot to a " +
+          "concurrent writer — re-plan against the new head")
+    next
+  }
+
   private[graft] def replaceFiles(
       spark: SparkSession,
       root: String,

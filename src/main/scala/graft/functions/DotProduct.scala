@@ -282,5 +282,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_bloom"), GraftFunctions.bloomInfo, GraftFunctions.bloomBuilder))
     ext.injectFunction((FunctionIdentifier("graft_bloom_contains"), GraftFunctions.bloomContainsInfo, GraftFunctions.bloomContainsBuilder))
     ext.injectFunction((FunctionIdentifier("graft_align_score"), GraftFunctions.alignScoreInfo, GraftFunctions.alignScoreBuilder))
+    // the rowImages feed rewrite (round 20): `option("rowImages","true")`
+    // on a readChangeFeed relation pairs delete x insert into
+    // update_preimage/update_postimage at analysis time
+    ext.injectResolutionRule(spark =>
+      new graft.sources.GraftRowImagesRule(spark))
   }
 }

@@ -276,38 +276,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // data column and the scan translates data predicates to directory
     // pruning (see [[PartitionTransforms]]). The descriptor records the
     // transform spelling verbatim.
-    val specs: Seq[PartSpec] = partitioning.toSeq.map {
-      case t: Transform if t.name == "identity" && t.references.length == 1 =>
-        IdentitySpec(t.references.head.fieldNames.mkString("."))
-      case t: Transform if t.name == "days" && t.references.length == 1 =>
-        DaysSpec(t.references.head.fieldNames.mkString("."))
-      case t: Transform if t.name == "months" && t.references.length == 1 =>
-        MonthsSpec(t.references.head.fieldNames.mkString("."))
-      case t: Transform if t.name == "years" && t.references.length == 1 =>
-        YearsSpec(t.references.head.fieldNames.mkString("."))
-      case t: Transform if t.name == "hours" && t.references.length == 1 =>
-        HoursSpec(t.references.head.fieldNames.mkString("."))
-      case t: Transform if t.name == "bucket" && t.references.length == 1 =>
-        val n = t.arguments.collectFirst {
-          case l: org.apache.spark.sql.connector.expressions.Literal[_]
-              if l.value.isInstanceOf[Number] =>
-            l.value.asInstanceOf[Number].intValue
-        }.getOrElse(throw new IllegalArgumentException(
-          s"bucket transform needs a literal bucket count: $t"))
-        BucketSpec(n, t.references.head.fieldNames.mkString("."))
-      case t: Transform if t.name == "truncate" && t.references.length == 1 =>
-        val w = t.arguments.collectFirst {
-          case l: org.apache.spark.sql.connector.expressions.Literal[_]
-              if l.value.isInstanceOf[Number] =>
-            l.value.asInstanceOf[Number].intValue
-        }.getOrElse(throw new IllegalArgumentException(
-          s"truncate transform needs a literal width: $t"))
-        TruncateSpec(w, t.references.head.fieldNames.mkString("."))
-      case other => throw new UnsupportedOperationException(
-        s"graft catalog: unsupported partition transform $other — " +
-          "supported: identity columns, years/months/days/hours(col), " +
-          "bucket(n, col), truncate(w, col)")
-    }
+    val specs: Seq[PartSpec] =
+      PartitionTransforms.fromV2Transforms(partitioning.toSeq)
     require(specs.nonEmpty,
       "graft catalog: a graft-manifest table needs PARTITIONED BY " +
         "(at least one column) — partitioning is a creation-time decision")
@@ -422,6 +392,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"(got ${ren.fieldNames().mkString(".")})")
         val from = ren.fieldNames()(0)
         val to = ren.newName()
+        // the mapping serializes as 'logical:physical' pairs joined by
+        // ',' inside a JSON string (ADVICE r19) — names carrying the
+        // delimiters (or a quote, which breaks the descriptor's regex
+        // field extraction) must refuse at the door, not corrupt later
+        GraftCatalog.requireMappableName(to, "RENAME COLUMN target")
+        GraftCatalog.requireMappableName(from, "RENAME COLUMN source")
         require(schema.fieldNames.contains(from),
           s"RENAME COLUMN: no column '$from'")
         require(!schema.fieldNames.contains(to),
@@ -468,6 +444,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"DROP COLUMN: '$name' is a registered zone-map column — " +
               "recorded stats suffixes are positional; unregistering is " +
               "a rewrite job")
+          // the physical name enters the comma-joined droppedColumns
+          // list (ADVICE r19 — see requireMappableName)
+          GraftCatalog.requireMappableName(physOf(name), "DROP COLUMN")
           droppedCols = droppedCols :+ physOf(name)
           columnMap = columnMap - name
           schema = StructType(schema.fields.filterNot(_.name == name).toSeq)
@@ -708,6 +687,21 @@ object GraftCatalog {
           .asInstanceOf[StructType], cmap, dropped)
       }
     }.find(_._1 >= version).map(e => (e._2, e._3, e._4))
+
+  /** Column-mapping names serialize as `logical:physical` pairs joined
+    * by ',' inside a JSON string field (ADVICE r19: a ':' in a name threw
+    * a MatchError at parse time and a ',' silently corrupted the map).
+    * Until the descriptor speaks real JSON, names entering the mapping
+    * refuse the delimiters — and '"'/'\n', which would break the regex
+    * field extraction — loudly at ALTER time.
+    */
+  private[sources] def requireMappableName(
+      name: String, what: String): Unit =
+    require(!name.exists(c => c == ':' || c == ',' || c == '"' ||
+        c == '\n' || c == '\r'),
+      s"$what: column name '$name' contains a character the " +
+        "column-mapping descriptor encoding reserves (':', ',', '\"' " +
+        "or a newline) — rename to a name without them")
 
   private[sources] def parseMapping(
       body: String): (Map[String, String], Seq[String]) = {

@@ -51,9 +51,13 @@ import graft.core.ManifestTable
   */
 class GraftChangeFeedTable(
     val root: String,
-    startingVersion: Long,
-    endingVersionOpt: Option[Long],
-    maxVersionsPerTrigger: Option[Long] = None)
+    val startingVersion: Long,
+    val endingVersionOpt: Option[Long],
+    maxVersionsPerTrigger: Option[Long] = None,
+    // `option("rowImages", "true")` (round 20): the PAIRED feed — the
+    // GraftRowImagesRule rewrite serves it; the raw scan refuses so the
+    // option can never silently degrade to file-level sides
+    val rowImages: Boolean = false)
     extends Table with SupportsRead {
 
   private def spark = SparkSession.active
@@ -166,6 +170,12 @@ class GraftChangeFeedTable(
         required = requiredSchema
 
       override def build(): Scan = {
+        require(!rowImages,
+          "rowImages: the pairing is a Catalyst rewrite " +
+            "(GraftRowImagesRule) — build the session with " +
+            "graft.functions.GraftExtensions (Engine.session does) so " +
+            "the option can never silently serve unpaired file-level " +
+            "sides")
         require(startingVersion >= 0,
           s"readChangeFeed: startingVersion must be >= 0, got $startingVersion")
         require(startingVersion <= endVersion,
@@ -518,4 +528,57 @@ class GraftCdfReaderFactory(
       override def close(): Unit = inner.close()
     }
   }
+}
+
+/** ROW IMAGES AS A `readChangeFeed` OPTION (round 20 — SURVEY §9 #3's
+  * last sub-gap): `option("rowImages", "true")` rewrites the feed
+  * relation into [[graft.streaming.ChangeFeed.rowImages]]'s pairing plan
+  * at ANALYSIS time, so a SQL-only consumer gets
+  * `update_preimage`/`update_postimage` without dropping to Scala:
+  *
+  * {{{
+  *   spark.read.format("graft-manifest")
+  *     .option("readChangeFeed", "true").option("rowImages", "true")
+  *     .option("startingVersion", 1).load(root)
+  * }}}
+  *
+  * The rewrite grafts the pairing's ANALYZED plan under a Project that
+  * re-aliases its output onto the original relation's attribute ids —
+  * column-for-column the same schema, so every downstream operator
+  * resolves unchanged. The pairing itself stays the declarative
+  * aggregate + 1:1 join of the Scala consumer (one shuffle keyed
+  * (key, version) over CHANGED rows — cost tracks the delta); the raw
+  * scan REFUSES the option when this rule is absent
+  * (sessions must be built with [[graft.functions.GraftExtensions]],
+  * as [[graft.core.Engine.session]] builds them), so the option can
+  * never silently degrade to unpaired file-level sides. Streaming
+  * reads refuse through the same guard: pairing needs a version's both
+  * sides, a property of the batch window.
+  */
+class GraftRowImagesRule(spark: SparkSession)
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+
+  import org.apache.spark.sql.catalyst.expressions.Alias
+  import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+  import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[
+          GraftChangeFeedTable] && r.table
+          .asInstanceOf[GraftChangeFeedTable].rowImages =>
+        val t = r.table.asInstanceOf[GraftChangeFeedTable]
+        // the inner read carries NO rowImages option — no re-entry
+        val paired = graft.streaming.ChangeFeed.rowImages(
+          spark, t.root, t.startingVersion, t.endingVersionOpt)
+        val child = paired.queryExecution.analyzed
+        val resolver = spark.sessionState.conf.resolver
+        Project(r.output.map { a =>
+          val src = child.output.find(o => resolver(o.name, a.name))
+            .getOrElse(throw new IllegalStateException(
+              s"rowImages rewrite lost column '${a.name}'"))
+          Alias(src, a.name)(exprId = a.exprId, qualifier = a.qualifier)
+        }, child)
+    }
 }

@@ -90,15 +90,12 @@ class GraftManifestSource extends TableProvider with DataSourceRegister {
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    // an identity transform's name is "identity" and its single
-    // reference is a partition column (the public Transform surface —
-    // the concrete IdentityTransform class is Spark-private); round 17:
-    // PARTITIONED BY (a, b) declares a multi-level layout, directory
-    // order = declaration order
-    val declaredParts = partitioning.toSeq.collect {
-      case t: Transform if t.name == "identity" && t.references.length == 1 =>
-        t.references.head.fieldNames.mkString(".")
-    }
+    // the FULL transform family parses here (ADVICE r19 — identity-only
+    // collection silently dropped days()/bucket() for session-catalog
+    // `USING graft-manifest` tables); round 17: PARTITIONED BY (a, b)
+    // declares a multi-level layout, directory order = declaration order
+    val declaredParts =
+      PartitionTransforms.fromV2Transforms(partitioning.toSeq).map(_.render)
     GraftManifestSource.tableOf(
       opts, Option(schema).filter(_.nonEmpty), declaredParts)
   }
@@ -125,6 +122,19 @@ object GraftManifestSource {
             "timestamp/date string (the session time zone applies)"))
     }
 
+  /** Path of `table` relative to `catalogRoot` — the member name the
+    * catalog pointer pins it under (scheme-insensitive string path
+    * containment; a table outside the root refuses).
+    */
+  private[sources] def relUnderCatalog(
+      catalogRoot: String, table: String): String = {
+    val cr = new Path(catalogRoot).toUri.getPath.stripSuffix("/")
+    val tp = new Path(table).toUri.getPath.stripSuffix("/")
+    require(tp.startsWith(cr + "/"),
+      s"catalogRoot: table '$table' is not under '$catalogRoot'")
+    tp.substring(cr.length + 1)
+  }
+
   private[sources] def tableOf(
       options: CaseInsensitiveStringMap,
       declaredSchema: Option[StructType] = None,
@@ -139,11 +149,34 @@ object GraftManifestSource {
       ManifestTable.versionAtTimestamp(
         org.apache.spark.sql.SparkSession.active, p, parseTsMs(s))
     }
-    val versionAsOf = Option(options.get("versionAsOf")).map(_.toLong)
+    val explicitVersionAsOf = Option(options.get("versionAsOf")).map(_.toLong)
       .orElse(tsAsOf)
     require(tsAsOf.isEmpty || Option(options.get("versionAsOf")).isEmpty,
       "pass versionAsOf OR timestampAsOf, not both")
+    // CATALOG-POINTER resolution (round 20 — cross-table transactions):
+    // `catalogRoot` names the transaction group; the load path must be a
+    // member table under it, and the POINTER's pinned manifest version
+    // becomes this read's snapshot (`catalogVersionAsOf` addresses a
+    // historical pointer — catalog-level time travel over a consistent
+    // multi-table pair). A table the pointer does not pin reads latest
+    // (not yet enrolled), except under time travel, which refuses.
+    val catRoot = Option(options.get("catalogRoot"))
+    val catVer = Option(options.get("catalogVersionAsOf")).map(_.toLong)
+    require(catVer.isEmpty || catRoot.nonEmpty,
+      "catalogVersionAsOf needs catalogRoot (the transaction group's root)")
+    require(catRoot.isEmpty || explicitVersionAsOf.isEmpty,
+      "catalogRoot resolves the snapshot through the catalog pointer — " +
+        "drop versionAsOf/timestampAsOf")
+    val catPin: Option[Long] = catRoot.flatMap { cr =>
+      graft.core.Transactions.pinnedVersion(
+        org.apache.spark.sql.SparkSession.active, cr,
+        relUnderCatalog(cr, p), catVer)
+    }
+    val versionAsOf = explicitVersionAsOf.orElse(catPin)
     if (options.getBoolean("readChangeFeed", false)) {
+      require(catRoot.isEmpty,
+        "readChangeFeed spans versions — catalogRoot addresses one " +
+          "pinned snapshot; drop one of the two")
       // the CDF read is its own table shape (extra _change_type /
       // _commit_version columns); snapshot addressing stays with the
       // plain read
@@ -170,7 +203,8 @@ object GraftManifestSource {
         Option(options.get("startingVersion")).map(_.toLong)
           .orElse(startTs).getOrElse(0L),
         Option(options.get("endingVersion")).map(_.toLong).orElse(endTs),
-        Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
+        Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
+        rowImages = options.getBoolean("rowImages", false))
     }
     val optParts =
       Option(options.get("partitionCols")).toSeq
@@ -1438,7 +1472,7 @@ class GraftManifestScan(
 
   private lazy val baseKeyGroups: Seq[(Seq[Any], Seq[String])] =
     baseChosenFiles.groupBy(r => table.filePartValues(r))
-      .toSeq.sortBy(_._1.mkString(" "))
+      .toSeq.sortBy(_._1.mkString("\u0000"))
       .map { case (vals, fs) =>
         (vals.zip(table.partSpecs).zip(table.partitionTypes).map {
           case ((v, sp), dt) => typedKeyOf(sp, dt, v)

@@ -150,6 +150,51 @@ object PartitionTransforms {
       IdentitySpec(other)
   }
 
+  /** V2 `Transform` array → PartSpecs — ONE mapping shared by
+    * [[GraftCatalog.createTable]] and the bare provider's
+    * `GraftManifestSource.getTable` (ADVICE r19: the session-catalog
+    * `USING graft-manifest ... PARTITIONED BY (days(ts))` road used to
+    * collect only identity transforms, silently creating an
+    * UNPARTITIONED table whose first write failed with a misleading
+    * "no declared partition column(s)"; now both roads parse the full
+    * family or refuse loudly here).
+    */
+  def fromV2Transforms(
+      partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform])
+      : Seq[PartSpec] = {
+    def litInt(
+        t: org.apache.spark.sql.connector.expressions.Transform,
+        what: String): Int =
+      t.arguments.collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_]
+            if l.value.isInstanceOf[Number] =>
+          l.value.asInstanceOf[Number].intValue
+      }.getOrElse(throw new IllegalArgumentException(
+        s"${t.name} transform needs a literal $what: $t"))
+    def ref(t: org.apache.spark.sql.connector.expressions.Transform) =
+      t.references.head.fieldNames.mkString(".")
+    partitioning.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        IdentitySpec(ref(t))
+      case t if t.name == "days" && t.references.length == 1 =>
+        DaysSpec(ref(t))
+      case t if t.name == "months" && t.references.length == 1 =>
+        MonthsSpec(ref(t))
+      case t if t.name == "years" && t.references.length == 1 =>
+        YearsSpec(ref(t))
+      case t if t.name == "hours" && t.references.length == 1 =>
+        HoursSpec(ref(t))
+      case t if t.name == "bucket" && t.references.length == 1 =>
+        BucketSpec(litInt(t, "bucket count"), ref(t))
+      case t if t.name == "truncate" && t.references.length == 1 =>
+        TruncateSpec(litInt(t, "width"), ref(t))
+      case other => throw new UnsupportedOperationException(
+        s"graft-manifest: unsupported partition transform $other — " +
+          "supported: identity columns, years/months/days/hours(col), " +
+          "bucket(n, col), truncate(w, col)")
+    }
+  }
+
   /** Source-column types a transform accepts (checked at CREATE TABLE —
     * a type the derivation can't interpret must refuse at declaration,
     * not at the first write).
@@ -290,21 +335,6 @@ object PartitionTransforms {
   def bucketOfString(s: String, n: Int): Int =
     Math.floorMod(fmix64(ManifestTable.xx64String(s)), n.toLong).toInt
 
-  /** Plan-time epoch day of a FILTER literal on a days-transform source
-    * column (the literal classes Spark's DSv2 Filter API delivers for
-    * timestamp/date columns under both Java-time API settings). None =
-    * unrecognized literal shape → the filter simply doesn't narrow
-    * (sound superset).
-    */
-  def filterEpochDay(v: Any): Option[Long] = v match {
-    case t: java.sql.Timestamp => Some(Math.floorDiv(t.getTime, 86400000L))
-    case i: java.time.Instant => Some(Math.floorDiv(i.getEpochSecond, 86400L))
-    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
-    case d: java.time.LocalDate => Some(d.toEpochDay)
-    case dt: java.time.LocalDateTime => Some(dt.toLocalDate.toEpochDay)
-    case _ => None
-  }
-
   /** Plan-time bucket of a FILTER literal on a bucket-transform source
     * column. None = literal type doesn't match the hashable shapes.
     */
@@ -316,34 +346,4 @@ object PartitionTransforms {
     case x: java.lang.Byte => Some(bucketOfLong(x.longValue(), n))
     case _ => None
   }
-
-  /** Epoch day of an EXCLUSIVE upper bound: `ts < v` reaches at most the
-    * day of v — and when v sits exactly ON a day boundary (midnight,
-    * zero fraction) that day itself is excluded. The common
-    * `ts < DATE+1` spelling of "through end of day" then prunes exactly.
-    */
-  def filterEpochDayUpperExclusive(v: Any): Option[Long] = v match {
-    case t: java.sql.Timestamp =>
-      val ms = t.getTime
-      val onBoundary =
-        Math.floorMod(ms, 86400000L) == 0L && t.getNanos % 1000000 == 0
-      Some(Math.floorDiv(ms, 86400000L) - (if (onBoundary) 1 else 0))
-    case i: java.time.Instant =>
-      val s = i.getEpochSecond
-      val onBoundary = Math.floorMod(s, 86400L) == 0L && i.getNano == 0
-      Some(Math.floorDiv(s, 86400L) - (if (onBoundary) 1 else 0))
-    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay - 1)
-    case d: java.time.LocalDate => Some(d.toEpochDay - 1)
-    case dt: java.time.LocalDateTime =>
-      val onBoundary = dt.toLocalTime == java.time.LocalTime.MIDNIGHT
-      Some(dt.toLocalDate.toEpochDay - (if (onBoundary) 1 else 0))
-    case _ => None
-  }
-
-  /** Parse a directory day value back to its epoch day (range pruning at
-    * file-selection time). None keeps the file conservatively.
-    */
-  def parseDayValue(dirValue: String): Option[Long] =
-    scala.util.Try(
-      java.time.LocalDate.parse(dirValue).toEpochDay).toOption
 }

@@ -92,46 +92,55 @@ object ChangeFeed {
         c == "_commit_timestamp").toSeq
     val paired = keyedVers.map { case (keyCols, vers) =>
       val sub = feed.filter(col("_commit_version").isin(vers: _*))
-      def side(ct: String, tag: String): DataFrame = {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy((keyCols.map(col) :+ col("_commit_version")): _*)
-        sub.filter(col("_change_type") === ct)
-          .withColumn(s"__${tag}_n", count(lit(1)).over(w))
+      val keyAndVer = keyCols :+ "_commit_version"
+      // PAIRABILITY decided by an aggregate FIRST (ADVICE r19: joining
+      // the raw sides full-outer fanned out m×n for duplicate keys
+      // before the per-side-count fallback could fire, re-emitting each
+      // side's rows once per opposite-side row — 2 deletes × 1 insert
+      // emitted the insert twice). Only keys with EXACTLY one row per
+      // side enter the join (1:1 by construction, no fan-out);
+      // everything else — unmatched sides, duplicate keys, NULL key
+      // values (no row identity either way) — re-emits its rows
+      // VERBATIM through the anti-join.
+      val counts = sub.groupBy(keyAndVer.map(col): _*)
+        .agg(
+          sum(when(col("_change_type") === "delete", 1L).otherwise(0L))
+            .as("__pre_n"),
+          sum(when(col("_change_type") === "insert", 1L).otherwise(0L))
+            .as("__post_n"))
+      val pairableKeys = counts
+        .filter(col("__pre_n") === 1 && col("__post_n") === 1)
+        .select(keyAndVer.map(col): _*)
+      // null keys never equi-match: their rows fall to the anti side —
+      // verbatim, exactly the fallback they need
+      val passthrough = sub.join(pairableKeys, keyAndVer, "left_anti")
+      val pairRows = sub.join(pairableKeys, keyAndVer, "left_semi")
+      def side(ct: String, tag: String): DataFrame =
+        pairRows.filter(col("_change_type") === ct)
           .withColumn(s"__$tag",
             struct(dataCols.map(col) :+
               col("_commit_timestamp").as("__cts"): _*))
           .select((keyCols.map(col) :+ col("_commit_version") :+
-            col(s"__$tag") :+ col(s"__${tag}_n")): _*)
-      }
-      val joined = side("delete", "pre").join(side("insert", "post"),
-        keyCols :+ "_commit_version", "full_outer")
-      // pairable = exactly one row on each side for the key; everything
-      // else re-emits its sides verbatim
-      val pairable = col("__pre").isNotNull && col("__post").isNotNull &&
-        col("__pre_n") === 1 && col("__post_n") === 1
+            col(s"__$tag")): _*)
+      val joined = side("delete", "pre")
+        .join(side("insert", "post"), keyAndVer, "inner")
       // a carried row the file rewrite re-emitted — not a change
-      val isCarried = pairable && col("__pre") === col("__post")
-      val preSide =
-        when(isCarried, lit(null))
-          .when(pairable, struct(lit("update_preimage").as("__ct"),
-            col("__pre").as("__row")))
-          .when(col("__pre").isNotNull,
-            struct(lit("delete").as("__ct"), col("__pre").as("__row")))
-      val postSide =
-        when(isCarried, lit(null))
-          .when(pairable, struct(lit("update_postimage").as("__ct"),
-            col("__post").as("__row")))
-          .when(col("__post").isNotNull,
-            struct(lit("insert").as("__ct"), col("__post").as("__row")))
-      val exploded = joined.select(
+      val notCarried = joined.filter(!(col("__pre") <=> col("__post")))
+      val exploded = notCarried.select(
         col("_commit_version"),
-        explode(array(preSide, postSide)).as("__e"))
-        .filter(col("__e").isNotNull)
-      exploded.select(
+        explode(array(
+          struct(lit("update_preimage").as("__ct"),
+            col("__pre").as("__row")),
+          struct(lit("update_postimage").as("__ct"),
+            col("__post").as("__row")))).as("__e"))
+      val pairsOut = exploded.select(
         dataCols.map(c => col(s"__e.__row.$c").as(c)) ++ Seq(
           col("__e.__ct").as("_change_type"),
           col("_commit_version"),
           col("__e.__row.__cts").as("_commit_timestamp")): _*)
+      pairsOut.unionByName(passthrough.select(
+        (dataCols ++ Seq("_change_type", "_commit_version",
+          "_commit_timestamp")).map(col): _*))
     }.reduce(_ unionByName _)
     plain.unionByName(paired)
   }

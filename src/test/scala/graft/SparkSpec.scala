@@ -11,6 +11,9 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // the library's documented session shape (Engine.session): native
+    // expressions + the rowImages feed rewrite resolve
+    .withExtensions(new graft.functions.GraftExtensions)
     .getOrCreate()
 
   val sf = "/root/testdata/sf0.001"

@@ -421,6 +421,42 @@ class GraftManifestSourceSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_ddl_t")
   }
 
+  test("SQL DDL creation with a hidden transform: PARTITIONED BY (bucket(8, k)) via the session catalog derives the layout (ADVICE r19)") {
+    // the bare-provider road used to collect only identity transforms,
+    // silently creating an UNPARTITIONED table whose first INSERT failed
+    // with a misleading "no declared partition column(s)". bucket() is
+    // the one non-identity transform Spark's session catalog passes
+    // through to a provider (days() etc refuse loudly at CREATE inside
+    // Spark itself — the catalog road serves those).
+    val root = tmpDir("graft_dsv2_ddl_bucket") + "/t"
+    spark.sql("DROP TABLE IF EXISTS graft_ddl_bucket")
+    spark.sql(
+      "CREATE TABLE graft_ddl_bucket (k BIGINT, s STRING) " +
+        "USING `graft-manifest` PARTITIONED BY (bucket(8, k)) " +
+        s"OPTIONS (path '$root')")
+    try {
+      spark.sql("INSERT INTO graft_ddl_bucket VALUES " +
+        "(1, 'a'), (2, 'b'), (3, 'c'), (17, 'd')")
+      // the derived level landed as k_bucket=<n> directories, hashed by
+      // the engine's own derivation
+      val leaves = new java.io.File(root).listFiles()
+        .filter(_.isDirectory).map(_.getName)
+        .filter(_.startsWith("k_bucket=")).sorted.toSeq
+      val expect = Seq(1L, 2L, 3L, 17L)
+        .map(v => s"k_bucket=${PartitionTransforms.bucketOfLong(v, 8)}")
+        .distinct.sorted
+      assert(leaves == expect, s"$leaves vs $expect")
+      // an equality predicate on the SOURCE column opens only its bucket
+      val q = spark.sql("SELECT s FROM graft_ddl_bucket WHERE k = 17")
+      assert(q.collect().map(_.getString(0)).toSeq == Seq("d"))
+      val scan = graftScans(q).head
+      val b17 = PartitionTransforms.bucketOfLong(17L, 8)
+      assert(scan.chosenFiles.forall(_.startsWith(s"k_bucket=$b17/")),
+        scan.chosenFiles.toString)
+      assert(scan.chosenFiles.size < scan.totalFiles)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_ddl_bucket")
+  }
+
   test("DSv2 write: a high-cardinality partition column clusters+sorts into ONE file per leaf (round 18), rows exact") {
     import org.apache.spark.sql.SaveMode
     val root = tmpDir("graft_dsv2_cap") + "/t"

@@ -54,6 +54,52 @@ class RowImagesSpec extends SparkSpec {
       (5L, "insert", 2L)), img.toString)
   }
 
+  test("the rowImages FORMAT OPTION serves the pairing (round 20): pre/post pairs, carried drop, unkeyed passthrough, dup-key fallback — and streaming refuses") {
+    val root = tmpDir("graft_rowimg_opt") + "/t"
+    ManifestTable.commit(spark, root,
+      Seq((1L, 10L, "p0"), (1L, 15L, "p0"), (2L, 20L, "p0"),
+        (3L, 30L, "p1")).toDF("k", "n", "part"),
+      "part", batchId = 0L)
+    // v1 KEYED: k=3 updates (pairs), k=1 is a dup key (fallback), k=2
+    // carries (drops); v2 UNKEYED append (passthrough)
+    ManifestTable.merge(spark, root,
+      Seq((3L, 31L, "p1")).toDF("k", "n", "part"), "k", batchId = 1L)
+    ManifestTable.merge(spark, root,
+      Seq((1L, 99L, "p0")).toDF("k", "n", "part"), "k", batchId = 2L)
+    Seq((5L, 50L, "p5")).toDF("k", "n", "part")
+      .write.format("graft-manifest").mode("append")
+      .option("batchId", "3").save(root)
+    val img = spark.read.format("graft-manifest")
+      .option("readChangeFeed", "true")
+      .option("rowImages", "true")
+      .option("startingVersion", "1")
+      .load(root)
+      .select("k", "n", "_change_type", "_commit_version")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSeq.sorted
+    assert(img == Seq(
+      (1L, 10L, "delete", 2L), (1L, 15L, "delete", 2L),
+      (1L, 99L, "insert", 2L),
+      (3L, 30L, "update_preimage", 1L),
+      (3L, 31L, "update_postimage", 1L),
+      (5L, 50L, "insert", 3L)), img.toString)
+    // streaming + rowImages refuses loudly (pairing needs a version's
+    // both sides — a batch-window property)
+    val q = spark.readStream.format("graft-manifest")
+      .option("readChangeFeed", "true").option("rowImages", "true")
+      .load(root)
+      .writeStream.format("noop")
+      .option("checkpointLocation", tmpDir("graft_rowimg_ckpt"))
+      .start()
+    val e = intercept[Exception] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("rowImages")), msgs(e).toString)
+  }
+
   test("duplicate keys within a version fall back to delete+insert (no row identity to pair on)") {
     val root = tmpDir("graft_rowimg_dup") + "/t"
     // TWO rows share k=1 in the seed; the merge's single update row for
@@ -64,11 +110,15 @@ class RowImagesSpec extends SparkSpec {
       "part", batchId = 0L)
     ManifestTable.merge(spark, root,
       Seq((1L, 99L, "p0")).toDF("k", "n", "part"), "k", batchId = 1L)
+    // EXACT MULTISET, not a set (ADVICE r19: the full-outer pairing
+    // fanned each fallback side out once per opposite-side row — 2
+    // deletes x 1 insert emitted the insert twice — and a set compare
+    // masked it; a consumer applying the feed would double-apply)
     val img = ChangeFeed.rowImages(spark, root, startingVersion = 1L)
       .select("k", "n", "_change_type")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
-      .toSet
-    assert(img == Set(
+      .toSeq.sorted
+    assert(img == Seq(
       (1L, 10L, "delete"), (1L, 15L, "delete"), (1L, 99L, "insert")),
       img.toString)
   }
