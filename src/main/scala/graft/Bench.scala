@@ -242,6 +242,12 @@ object Bench {
     if (selected.exists(_._1 == "u44_catalog_txn"))
       try SparkEntry.u44CatalogDir(spark, sfDir)
       catch { case _: Throwable => () }
+    if (selected.exists(_._1 == "u45_spj_days"))
+      try SparkEntry.u45Catalog(spark, sfDir)
+      catch { case _: Throwable => () }
+    if (selected.exists(_._1 == "u46_rename_source"))
+      try SparkEntry.u46Catalog(spark, sfDir)
+      catch { case _: Throwable => () }
     if (selected.exists(_._1 == "u40_cdf_row_images"))
       try SparkEntry.u40TableDir(spark, sfDir)
       catch { case _: Throwable => () }

@@ -1246,6 +1246,85 @@ object SparkEntry {
     cat
   }
 
+  private val spjDaysMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** u45's artifact (round 20 — VERDICT r19 next #7: the CALENDAR leg of
+    * storage-partitioned joins, end-to-end): two `days(ts)` tables —
+    * clicks (raw events) and amounts (a derived fact sharing the
+    * (event_id, ts) key) — whose join zips day leaf to day leaf.
+    * `typedKeyOf` keys calendar levels by their unit ordinal; only the
+    * bucket leg was gated until now (u43).
+    */
+  def u45Catalog(s: SparkSession, dir: String): String = {
+    val cat = s"graft_u45_${Integer.toHexString(dir.hashCode)}"
+    spjDaysMemo.computeIfAbsent((s, dir), _ => {
+      val wh = graft.core.TempDirs.create("graft_u45_cat")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ev")
+      s.sql(s"CREATE TABLE $cat.ev.clicks (event_id BIGINT, " +
+        "user_id BIGINT, event_type STRING, ts TIMESTAMP) " +
+        "USING `graft-manifest` PARTITIONED BY (days(ts))")
+      s.sql(s"CREATE TABLE $cat.ev.amounts (event_id BIGINT, " +
+        "amt BIGINT, ts TIMESTAMP) USING `graft-manifest` " +
+        "PARTITIONED BY (days(ts))")
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"))
+        .createOrReplaceTempView("graft_u45_src")
+      try {
+        s.sql(s"INSERT INTO $cat.ev.clicks SELECT * FROM graft_u45_src")
+        s.sql(s"INSERT INTO $cat.ev.amounts SELECT event_id, " +
+          "CAST(event_id % 1000 AS BIGINT), ts FROM graft_u45_src")
+      } finally s.catalog.dropTempView("graft_u45_src")
+      wh
+    })
+    cat
+  }
+
+  private val renameSourceMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** u46's artifact (round 20 — VERDICT r19 next #3: partition-source
+    * renames): a `days(ts)` events table filled in TWO generations
+    * around a metadata-only RENAME of the transform's source column —
+    * generation 1 written as `ts`, then `ALTER TABLE ... RENAME COLUMN
+    * ts TO event_ts`, then generation 2 written as `event_ts`. The
+    * descriptor spec and the `ts_day=` directory levels keep the
+    * PHYSICAL spelling (exactly like data files keep physical column
+    * names), so pre-rename leaves keep pruning and the writer keeps
+    * deriving the same level — zero data movement.
+    */
+  def u46Catalog(s: SparkSession, dir: String): String = {
+    val cat = s"graft_u46_${Integer.toHexString(dir.hashCode)}"
+    renameSourceMemo.computeIfAbsent((s, dir), _ => {
+      val wh = graft.core.TempDirs.create("graft_u46_cat")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ev")
+      s.sql(s"CREATE TABLE $cat.ev.clicks (event_id BIGINT, " +
+        "user_id BIGINT, event_type STRING, ts TIMESTAMP) " +
+        "USING `graft-manifest` PARTITIONED BY (days(ts))")
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"))
+        .createOrReplaceTempView("graft_u46_src")
+      try {
+        s.sql(s"INSERT INTO $cat.ev.clicks SELECT * FROM graft_u46_src " +
+          "WHERE event_id % 2 = 0")
+        s.sql(s"ALTER TABLE $cat.ev.clicks RENAME COLUMN ts TO event_ts")
+        s.sql(s"INSERT INTO $cat.ev.clicks SELECT event_id, user_id, " +
+          "event_type, ts AS event_ts FROM graft_u46_src " +
+          "WHERE event_id % 2 = 1")
+      } finally s.catalog.dropTempView("graft_u46_src")
+      wh
+    })
+    cat
+  }
+
   private val rowImagesMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
@@ -3125,6 +3204,77 @@ object SparkEntry {
         }
       }
     }),
+    // u45 (round 20): storage-partitioned join over the CALENDAR
+    // transform — two days(ts) facts zip day leaf to day leaf; the
+    // entry REQUIRES a shuffle-free plan, then gates the joined values
+    "u45_spj_days" -> ((s, dir) => {
+      val cat = u45Catalog(s, dir)
+      val prevB = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+      val prevT = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      val prevR = s.conf.getOption(
+        "spark.sql.requireAllClusterKeysForCoPartition")
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // the join carries more keys than the layout (event_id AND ts):
+      // day grouping clusters ts only — relax co-partitioning to the
+      // subset; the residual event_id equality evaluates inside the
+      // zipped day partitions
+      s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      try {
+        val df = s.sql(
+          "SELECT c.event_id, c.event_type, a.amt " +
+            s"FROM $cat.ev.clicks c JOIN $cat.ev.amounts a " +
+            "ON c.event_id = a.event_id AND c.ts = a.ts " +
+            "WHERE c.event_id % 13 = 4")
+        def countShuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+          val here = p match {
+            case _: org.apache.spark.sql.execution.exchange
+              .ShuffleExchangeExec => 1
+            case _ => 0
+          }
+          here + p.children.map(countShuffles).sum
+        }
+        require(countShuffles(df.queryExecution.sparkPlan) == 0,
+          "u45: expected a shuffle-free storage-partitioned join over " +
+            "the hidden days(ts) layout")
+        df
+      } finally {
+        prevB match {
+          case Some(v) =>
+            s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+          case None =>
+            s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+        }
+        prevT match {
+          case Some(v) =>
+            s.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+          case None =>
+            s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        }
+        prevR match {
+          case Some(v) => s.conf.set(
+            "spark.sql.requireAllClusterKeysForCoPartition", v)
+          case None => s.conf.unset(
+            "spark.sql.requireAllClusterKeysForCoPartition")
+        }
+      }
+    }),
+    // u46 (round 20): partition-source rename — the days(ts) source is
+    // now `event_ts`; a window filter on the NEW name must open ONLY
+    // the window's day leaves (pre-rename generation included), and the
+    // values span BOTH write generations
+    "u46_rename_source" -> ((s, dir) => {
+      val cat = u46Catalog(s, dir)
+      val df = s.sql(
+        s"SELECT event_type, count(*) AS n_events, " +
+          "CAST(sum(event_id) AS BIGINT) AS sum_ids " +
+          s"FROM $cat.ev.clicks " +
+          "WHERE event_ts >= TIMESTAMP'2024-01-05 00:00:00' " +
+          "AND event_ts < TIMESTAMP'2024-01-08 00:00:00' " +
+          "GROUP BY event_type")
+      val days = (5 to 7).map(d => f"ts_day=2024-01-$d%02d/").toSet
+      requireLeafPruning(df, r => days.exists(r.startsWith))
+    }),
     // u42 (round 19): hidden `months(o_orderdate)` layout — a half-year
     // range over ~80 month leaves opens exactly 6 (pruning pin REQUIRED)
     "u42_months_layout" -> ((s, dir) => {
@@ -4022,6 +4172,21 @@ object SparkEntry {
       ("SELECT doc_id, source, CAST(CASE WHEN lang = 'de' " +
         "THEN n_chars + 1000 WHEN lang = 'fr' THEN n_chars + 5 " +
         "ELSE n_chars END AS BIGINT) AS n_chars, lang FROM documents"),
+    // u45: the SPJ must be value-invisible — the oracle is the plain
+    // self-join over raw events with the amount fact recomputed inline
+    "u45_spj_days" ->
+      ("SELECT c.event_id, c.event_type, a.amt FROM events c " +
+        "JOIN (SELECT event_id, ts, CAST(event_id % 1000 AS BIGINT) " +
+        "AS amt FROM events) a " +
+        "ON c.event_id = a.event_id AND c.ts = a.ts " +
+        "WHERE c.event_id % 13 = 4"),
+    // u46: the rename must be value-invisible — the oracle filters raw
+    // events by the same window under the ORIGINAL column name
+    "u46_rename_source" ->
+      ("SELECT event_type, count(*) AS n_events, " +
+        "CAST(sum(event_id) AS BIGINT) AS sum_ids FROM events " +
+        "WHERE ts >= TIMESTAMP'2024-01-05 00:00:00' " +
+        "AND ts < TIMESTAMP'2024-01-08 00:00:00' GROUP BY event_type"),
     // u44: the transactionally-pinned corpus is the merge replay — the
     // crashed takedown must be invisible (no doc missing)
     "u44_catalog_txn" ->

@@ -308,8 +308,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         "graft catalog tables are managed under the catalog root — " +
           "LOCATION is not supported (use the bare graft-manifest " +
           "provider with OPTIONS (path ...) for external roots)"))
-    val statsColumns = prop("statsColumns").toSeq
+    val statsColumns0 = prop("statsColumns").toSeq
       .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+    // ZONE MAPS ON BUCKET SOURCES BY DEFAULT (round 20 — VERDICT r19
+    // next #6): bucket(n, id) hashes away order, so a RANGE predicate on
+    // the source column can't narrow directories by design; registering
+    // the source as a zone-map stats column recovers range pruning
+    // through the existing file-stats machinery at zero added IO (the
+    // commit already opens each new file's footer). Explicit
+    // statsColumns keep their declared suffix positions; the implicit
+    // sources append after them.
+    val statsColumns = statsColumns0 ++ specs.collect {
+      case b: BucketSpec if !statsColumns0.contains(b.col) &&
+          schema.fields.find(_.name == b.col).exists(f =>
+            f.dataType == LongType || f.dataType == IntegerType ||
+              f.dataType == StringType) => b.col
+    }
     val retention = prop("retention.keepVersions").map { r =>
       val n = scala.util.Try(r.trim.toInt).getOrElse(
         throw new IllegalArgumentException(
@@ -402,11 +416,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"RENAME COLUMN: no column '$from'")
         require(!schema.fieldNames.contains(to),
           s"RENAME COLUMN: '$to' already exists")
-        partSpecs.find(_.sourceCol == from).foreach(sp =>
-          throw new UnsupportedOperationException(
-            s"RENAME COLUMN: '$from' is the source of partition " +
-              s"${sp.render} — partition sources spell the directory " +
-              "layout; renaming them is a rewrite job"))
+        // PARTITION-SOURCE renames (round 20 — VERDICT r19 next #3):
+        // a TRANSFORM's source is a DATA column, so the rename is the
+        // same metadata-only mapping move as any other column — the
+        // descriptor spec and the derived directory level names keep
+        // the PHYSICAL spelling (exactly like data files keep physical
+        // column names), and every Spark-facing surface translates
+        // through the mapping. Only IDENTITY sources still refuse:
+        // they live solely in directory names — renaming one IS a
+        // layout rewrite.
+        partSpecs.find(sp => sp.sourceCol == physOf(from) && sp.isIdentity)
+          .foreach(sp => throw new UnsupportedOperationException(
+            s"RENAME COLUMN: '$from' is the identity partition column " +
+              s"${sp.render} — it exists only in directory names; " +
+              "renaming it is a rewrite job"))
         // a column may reclaim its OWN physical name (rename-back);
         // anyone else's physical storage is occupied
         require(!droppedCols.contains(to) &&
@@ -436,7 +459,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             throw new IllegalArgumentException(
               s"DROP COLUMN: no column '$name'")
         } else {
-          partSpecs.find(_.sourceCol == name).foreach(sp =>
+          partSpecs.find(_.sourceCol == physOf(name)).foreach(sp =>
             throw new UnsupportedOperationException(
               s"DROP COLUMN: '$name' is the source of partition " +
                 s"${sp.render} — a layout rewrite, not a DDL statement"))
@@ -504,12 +527,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(add.position() == null,
           "graft catalog: added columns append at the end (FIRST/AFTER " +
             "would reorder the recorded layout)")
-        require(!droppedCols.contains(cname) &&
-          !columnMap.values.toSet.contains(cname),
-          s"graft catalog: physical name '$cname' is still occupied in " +
-            "data files (a dropped or renamed column's storage) — old " +
-            "files would serve their stale values under the new column; " +
-            "pick another name or rewrite the table")
+        // PHYSICAL-NAME REUSE after DROP (round 20 — VERDICT r19 next
+        // #4, the field-ids move spelled through column mapping): when
+        // the asked name's physical slot is still occupied in data
+        // files (a dropped or renamed column's storage), the new column
+        // gets a FRESH GENERATED physical name and a mapping entry —
+        // old files lack that physical column and null-fill, so the
+        // dropped bytes stay dead (Delta/Iceberg's field-id semantics:
+        // a re-added name is a NEW column, never the old storage).
+        GraftCatalog.requireMappableName(cname, "ADD COLUMN")
+        val occupied = droppedCols.toSet ++ columnMap.values ++
+          schema.fields.map(f => physOf(f.name))
+        if (occupied.contains(cname)) {
+          val fresh = Iterator.from(2).map(n => s"${cname}__v$n")
+            .find(p => !occupied.contains(p)).get
+          columnMap = columnMap + (cname -> fresh)
+        }
         schema = schema.add(cname, add.dataType(), nullable = true)
       case other => throw new UnsupportedOperationException(
         s"graft catalog: ALTER TABLE change $other is not supported — " +

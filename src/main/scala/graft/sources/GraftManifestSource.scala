@@ -353,20 +353,26 @@ object GraftManifestSource {
 
   /** The V2 transform expression of a spec — the write-clustering
     * spelling (resolved through the catalog's FunctionCatalog for the
-    * derived kinds).
+    * derived kinds). `nameOf` translates the spec's PHYSICAL source
+    * spelling to the name the surrounding query speaks (round 20 —
+    * partition-source renames: the descriptor and directories keep the
+    * physical name exactly like data files do; Spark-facing expressions
+    * must reference the LOGICAL column).
     */
-  private[sources] def transformExpr(sp: PartSpec)
+  private[sources] def transformExpr(
+      sp: PartSpec,
+      nameOf: String => String = identity)
       : org.apache.spark.sql.connector.expressions.Expression = {
     import org.apache.spark.sql.connector.expressions.Expressions
     sp match {
-      case IdentitySpec(c) => Expressions.identity(c)
-      case DaysSpec(c) => Expressions.days(c)
-      case MonthsSpec(c) => Expressions.months(c)
-      case YearsSpec(c) => Expressions.years(c)
-      case HoursSpec(c) => Expressions.hours(c)
-      case BucketSpec(n, c) => Expressions.bucket(n, c)
+      case IdentitySpec(c) => Expressions.identity(nameOf(c))
+      case DaysSpec(c) => Expressions.days(nameOf(c))
+      case MonthsSpec(c) => Expressions.months(nameOf(c))
+      case YearsSpec(c) => Expressions.years(nameOf(c))
+      case HoursSpec(c) => Expressions.hours(nameOf(c))
+      case BucketSpec(n, c) => Expressions.bucket(n, nameOf(c))
       case TruncateSpec(w, c) => Expressions.apply("truncate",
-        Expressions.literal(w), Expressions.column(c))
+        Expressions.literal(w), Expressions.column(nameOf(c)))
     }
   }
 
@@ -659,19 +665,13 @@ class GraftManifestTable(
     * writes and SPJ read their shapes elsewhere).
     */
   override def partitioning()
-      : Array[org.apache.spark.sql.connector.expressions.Transform] = {
-    import org.apache.spark.sql.connector.expressions.Expressions
-    partSpecs.map {
-      case IdentitySpec(c) => Expressions.identity(c)
-      case DaysSpec(c) => Expressions.days(c)
-      case MonthsSpec(c) => Expressions.months(c)
-      case YearsSpec(c) => Expressions.years(c)
-      case HoursSpec(c) => Expressions.hours(c)
-      case BucketSpec(n, c) => Expressions.bucket(n, c)
-      case TruncateSpec(w, c) => Expressions.apply("truncate",
-        Expressions.literal(w), Expressions.column(c))
-    }.toArray
-  }
+      : Array[org.apache.spark.sql.connector.expressions.Transform] =
+    // reported under LOGICAL source names (round 20 — a renamed source
+    // column's layout shows as days(<new name>) in DESCRIBE and SPJ)
+    partSpecs.map(sp =>
+      GraftManifestSource.transformExpr(sp, logicalName)
+        .asInstanceOf[org.apache.spark.sql.connector.expressions.Transform])
+      .toArray
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
@@ -1466,7 +1466,8 @@ class GraftManifestScan(
       // catalog road (a path handle has no FunctionCatalog to resolve
       // against) and every source column to survive column pruning.
       table.partSpecs.forall(sp => sp.isIdentity ||
-        (table.viaCatalog && required.fieldNames.contains(sp.sourceCol))) &&
+        (table.viaCatalog && required.fieldNames.contains(
+          table.logicalName(sp.sourceCol)))) &&
       spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
         .contains("true")
 
@@ -1514,7 +1515,7 @@ class GraftManifestScan(
       new org.apache.spark.sql.connector.read.partitioning
         .KeyGroupedPartitioning(
           table.partSpecs.map(sp =>
-            GraftManifestSource.transformExpr(sp)
+            GraftManifestSource.transformExpr(sp, table.logicalName)
               .asInstanceOf[org.apache.spark.sql.connector.expressions
                 .Transform]).toArray,
           baseKeyGroups.length)
@@ -2396,7 +2397,9 @@ class GraftWrite(
       : org.apache.spark.sql.connector.distributions.Distribution = {
     if (specs.forall(_.isIdentity) || table.viaCatalog)
       org.apache.spark.sql.connector.distributions.Distributions.clustered(
-        specs.map(GraftManifestSource.transformExpr).toArray)
+        // spelled under LOGICAL names — the incoming frame's columns
+        specs.map(sp =>
+          GraftManifestSource.transformExpr(sp, table.logicalName)).toArray)
     else
       org.apache.spark.sql.connector.distributions.Distributions
         .unspecified()
@@ -2414,9 +2417,9 @@ class GraftWrite(
           // catalog: sort by the (source) column — calendar units stay
           // contiguous per task; bucket streams interleave but stay
           // ≤ n writers
-          Expressions.column(sp.sourceCol)
+          Expressions.column(table.logicalName(sp.sourceCol))
             : org.apache.spark.sql.connector.expressions.Expression
-        else GraftManifestSource.transformExpr(sp)
+        else GraftManifestSource.transformExpr(sp, table.logicalName)
       Expressions.sort(expr,
         org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
     }.toArray
@@ -2440,7 +2443,8 @@ class GraftWrite(
 
   private val writeSchema: StructType = info.schema()
   specs.foreach { sp =>
-    val src = sp.sourceCol
+    // the spec spells the PHYSICAL source; the frame speaks LOGICAL
+    val src = table.logicalName(sp.sourceCol)
     require(writeSchema.fieldNames.contains(src),
       s"graft-manifest write: the frame must carry " +
         (if (sp.isIdentity) s"the table's partition column '$src'"

@@ -120,7 +120,8 @@ class GraftReplaceWrite(
       : org.apache.spark.sql.connector.distributions.Distribution = {
     if (specs.forall(_.isIdentity) || table.viaCatalog)
       org.apache.spark.sql.connector.distributions.Distributions.clustered(
-        specs.map(GraftManifestSource.transformExpr).toArray)
+        specs.map(sp =>
+          GraftManifestSource.transformExpr(sp, table.logicalName)).toArray)
     else org.apache.spark.sql.connector.distributions.Distributions
       .unspecified()
   }
@@ -133,9 +134,9 @@ class GraftReplaceWrite(
     specs.map { sp =>
       val expr =
         if (sp.isIdentity || !table.viaCatalog)
-          Expressions.column(sp.sourceCol)
+          Expressions.column(table.logicalName(sp.sourceCol))
             : org.apache.spark.sql.connector.expressions.Expression
-        else GraftManifestSource.transformExpr(sp)
+        else GraftManifestSource.transformExpr(sp, table.logicalName)
       Expressions.sort(expr,
         org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
     }.toArray
@@ -151,10 +152,10 @@ class GraftReplaceWrite(
 
   private val writeSchema: StructType = info.schema()
   specs.foreach(sp => require(
-    writeSchema.fieldNames.contains(sp.sourceCol),
+    writeSchema.fieldNames.contains(table.logicalName(sp.sourceCol)),
     s"graft-manifest ${op.command()}: the replacement rows must carry " +
       (if (sp.isIdentity) s"the table's partition column '${sp.sourceCol}'"
-       else s"'${sp.sourceCol}', the source of ${sp.render}")))
+       else s"'${table.logicalName(sp.sourceCol)}', the source of ${sp.render}")))
 
   // column mapping: the replacement files carry PHYSICAL names
   private val writeSchemaPhys: StructType = StructType(

@@ -67,7 +67,7 @@ class ColumnMappingSpec extends SparkSpec {
     assert(aFile.isDefined) // the raw Scala road still serves physical
   }
 
-  test("drop lifecycle: the column disappears, files keep the bytes, re-adding the name refuses") {
+  test("drop lifecycle: the column disappears, files keep the bytes, re-adding the name is a NEW column (old bytes stay dead — round 20)") {
     register("gcm2")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcm2.m")
     spark.sql("CREATE TABLE gcm2.m.t2 (k BIGINT, v STRING, part STRING) " +
@@ -81,13 +81,28 @@ class ColumnMappingSpec extends SparkSpec {
     // writes no longer carry it
     spark.sql("INSERT INTO gcm2.m.t2 VALUES (2, 'p1')")
     assert(spark.sql("SELECT count(*) FROM gcm2.m.t2").head.getLong(0) == 2L)
-    // re-adding the dropped name refuses: old files still hold values
-    // that would silently resurface
-    val ex = intercept[Exception] {
-      spark.sql("ALTER TABLE gcm2.m.t2 ADD COLUMN v STRING")
-    }
-    assert(ex.getMessage.contains("still occupied"), ex.getMessage)
-    // a DIFFERENT name adds fine
+    // RE-ADDING the dropped name works and is a NEW column (round 20 —
+    // the field-ids move spelled through column mapping): the occupied
+    // physical slot stays dead, the new column stores under a fresh
+    // generated physical name, so pre-re-add files serve NULL — the old
+    // 'keep?' value never resurfaces
+    spark.sql("ALTER TABLE gcm2.m.t2 ADD COLUMN v STRING")
+    assert(spark.sql("SELECT v FROM gcm2.m.t2 WHERE k = 1")
+      .head.isNullAt(0), "the dropped storage must not resurface")
+    assert(spark.sql("SELECT v FROM gcm2.m.t2 WHERE k = 2")
+      .head.isNullAt(0))
+    // new writes serve the new column normally, spanning generations
+    spark.sql("INSERT INTO gcm2.m.t2 VALUES (3, 'fresh', 'p2')")
+    assert(spark.sql("SELECT v FROM gcm2.m.t2 WHERE k = 3")
+      .head.getString(0) == "fresh")
+    assert(spark.sql("SELECT count(*) FROM gcm2.m.t2 WHERE v IS NULL")
+      .head.getLong(0) == 2L)
+    // a second drop -> re-add cycle allocates yet another generation
+    spark.sql("ALTER TABLE gcm2.m.t2 DROP COLUMN v")
+    spark.sql("ALTER TABLE gcm2.m.t2 ADD COLUMN v STRING")
+    assert(spark.sql("SELECT count(*) FROM gcm2.m.t2 WHERE v IS NULL")
+      .head.getLong(0) == 3L, "both prior generations' bytes stay dead")
+    // a DIFFERENT name still adds fine
     spark.sql("ALTER TABLE gcm2.m.t2 ADD COLUMN v2 STRING")
     assert(spark.sql("SELECT v2 FROM gcm2.m.t2 WHERE k = 1")
       .head.isNullAt(0))

@@ -117,6 +117,36 @@ class HiddenPartitionSpec extends SparkSpec {
       .head.getLong(0) == 10L)
   }
 
+  test("bucket sources carry ZONE MAPS by default (round 20): a range on the hashed column skips files, values exact") {
+    // bucket() hashes away order, so ranges can't narrow DIRECTORIES —
+    // but the auto-registered source-column zone maps recover range
+    // pruning at the FILE level with zero new machinery (VERDICT r19 #6)
+    register("ghp9")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ghp9.ev")
+    spark.sql("CREATE TABLE ghp9.ev.zusers (id BIGINT, nm STRING) " +
+      "USING `graft-manifest` PARTITIONED BY (bucket(8, id))") // no statsColumns asked
+    (0L until 400L).map(i => (i, s"u$i")).toDF("id", "nm")
+      .createOrReplaceTempView("ghp9_src_a")
+    spark.sql("INSERT INTO ghp9.ev.zusers SELECT * FROM ghp9_src_a")
+    (1000L until 1400L).map(i => (i, s"u$i")).toDF("id", "nm")
+      .createOrReplaceTempView("ghp9_src_b")
+    spark.sql("INSERT INTO ghp9.ev.zusers SELECT * FROM ghp9_src_b")
+    // each bucket now holds a [0,399]-era file and a [1000,1399]-era
+    // file; a range query over the SECOND era must skip the first's
+    val q = spark.sql(
+      "SELECT count(*) FROM ghp9.ev.zusers WHERE id >= 1000 AND id < 1100")
+    assert(q.head.getLong(0) == 100L)
+    val scan = graftScan(spark.sql(
+      "SELECT nm FROM ghp9.ev.zusers WHERE id >= 1000 AND id < 1100"))
+    assert(scan.chosenFiles.nonEmpty &&
+      scan.chosenFiles.size < scan.totalFiles,
+      s"default bucket-source zone maps did not skip: " +
+        s"${scan.chosenFiles.size}/${scan.totalFiles}")
+    // values survive the pruning exactly
+    assert(spark.sql("SELECT count(*) FROM ghp9.ev.zusers")
+      .head.getLong(0) == 800L)
+  }
+
   test("mixed layout days(ts) + identity lang: both levels prune; verbs stay transform-safe (optimize, dropPartitions, DELETE)") {
     register("ghp3")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS ghp3.ev")
@@ -361,6 +391,115 @@ class HiddenPartitionSpec extends SparkSpec {
         (r.getLong(0), r.getString(1), r.getString(2))).toSet == expect)
     } finally
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("storage-partitioned join over the CALENDAR transform: two days(ts) tables join with ZERO shuffles, day zipped to day (round 20)") {
+    register("ghp10")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ghp10.ev")
+    for (t <- Seq("da", "db")) {
+      spark.sql(s"CREATE TABLE ghp10.ev.$t (id BIGINT, v STRING, " +
+        "ts TIMESTAMP) USING `graft-manifest` PARTITIONED BY (days(ts))")
+      (0L until 60L).map(i => (i, s"${t.last}$i",
+        java.sql.Timestamp.from(java.time.Instant.parse(
+          f"2024-03-${10 + (i % 6).toInt}%02dT0${(i % 9).toInt}:15:00Z"))))
+        .toDF("id", "v", "ts")
+        .createOrReplaceTempView(s"ghp10_src_$t")
+      spark.sql(s"INSERT INTO ghp10.ev.$t SELECT * FROM ghp10_src_$t")
+    }
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+        val here = p match {
+          case _: org.apache.spark.sql.execution.exchange
+            .ShuffleExchangeExec => 1
+          case _ => 0
+        }
+        val kids = p match {
+          case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive
+            .QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        here + kids.map(walk).sum
+      }
+      walk(df.queryExecution.executedPlan)
+    }
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // the join carries MORE keys than the layout (id AND ts) — day
+    // grouping clusters ts only, so co-partitioning needs Spark's
+    // relax-to-subset knob (each day zips whole; the residual id
+    // equality evaluates inside the zipped partitions)
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try {
+      val q = spark.sql(
+        "SELECT a.id, a.v AS va, b.v AS vb FROM ghp10.ev.da a " +
+          "JOIN ghp10.ev.db b ON a.id = b.id AND a.ts = b.ts")
+      val expect = (0L until 60L).map(i => (i, s"a$i", s"b$i")).toSet
+      assert(q.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2))).toSet == expect)
+      assert(shuffles(q) == 0,
+        s"expected a shuffle-free SPJ over the days(ts) layout:\n" +
+          q.queryExecution.executedPlan)
+      // day zipped to day, not the packed degenerate: 6 distinct days
+      assert(q.rdd.getNumPartitions == 6,
+        s"expected 6 key-grouped partitions, got ${q.rdd.getNumPartitions}")
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+    }
+  }
+
+  test("partition-source RENAME (round 20): days(ts) source renames metadata-only; pre-rename leaves keep pruning; writes derive via the new name; identity sources still refuse") {
+    register("ghp11")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ghp11.ev")
+    spark.sql("CREATE TABLE ghp11.ev.rn (k BIGINT, ts TIMESTAMP) " +
+      "USING `graft-manifest` PARTITIONED BY (days(ts))")
+    def day(d: Int, h: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse(f"2024-06-$d%02dT$h%02d:00:00Z"))
+    // generation 1 under the ORIGINAL name: days 01 and 02
+    Seq((1L, day(1, 3)), (2L, day(2, 4))).toDF("k", "ts")
+      .createOrReplaceTempView("ghp11_g1")
+    spark.sql("INSERT INTO ghp11.ev.rn SELECT * FROM ghp11_g1")
+    spark.sql("ALTER TABLE ghp11.ev.rn RENAME COLUMN ts TO event_ts")
+    // the logical schema speaks the new name; the layout survives
+    assert(spark.table("ghp11.ev.rn").schema.fieldNames.toSeq ==
+      Seq("k", "event_ts"))
+    // generation 2 under the NEW name: days 02 and 03 — the writer
+    // derives the SAME physical ts_day level
+    Seq((3L, day(2, 9)), (4L, day(3, 5))).toDF("k", "event_ts")
+      .createOrReplaceTempView("ghp11_g2")
+    spark.sql("INSERT INTO ghp11.ev.rn SELECT * FROM ghp11_g2")
+    val root = s"$warehouse/ev/rn"
+    val leaves = new java.io.File(root).listFiles()
+      .filter(_.isDirectory).map(_.getName)
+      .filter(_.startsWith("ts_day=")).sorted.toSeq
+    assert(leaves == Seq("ts_day=2024-06-01", "ts_day=2024-06-02",
+      "ts_day=2024-06-03"), leaves.toString)
+    // a filter on the NEW name prunes to day 02 — BOTH generations' files
+    val q = spark.sql("SELECT k FROM ghp11.ev.rn WHERE " +
+      "event_ts >= TIMESTAMP'2024-06-02 00:00:00' AND " +
+      "event_ts < TIMESTAMP'2024-06-03 00:00:00'")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    val scan = graftScan(q)
+    assert(scan.chosenFiles.size == 2 &&
+      scan.chosenFiles.forall(_.startsWith("ts_day=2024-06-02/")),
+      scan.chosenFiles.toString)
+    assert(scan.chosenFiles.size < scan.totalFiles)
+    // time travel reads v0 under the name it had THEN
+    val v0 = spark.read.format("graft-manifest").option("versionAsOf", "0")
+      .load(root)
+    assert(v0.schema.fieldNames.contains("ts") &&
+      !v0.schema.fieldNames.contains("event_ts"))
+    // an IDENTITY partition column still refuses (directory-only)
+    spark.sql("CREATE TABLE ghp11.ev.idp (k BIGINT, lang STRING) " +
+      "USING `graft-manifest` PARTITIONED BY (lang)")
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE ghp11.ev.idp RENAME COLUMN lang TO sprache")
+    }
+    assert(e.getMessage.contains("identity partition column"),
+      e.getMessage)
   }
 
   test("the CDF read prunes derived day leaves too: a ts-filtered feed plans only the matching days' changed files") {
