@@ -1073,6 +1073,54 @@ object SparkEntry {
     df
   }
 
+  /** Run `sql` under the storage-partitioned-join confs and REQUIRE a
+    * shuffle-free EXECUTED plan (review, round 20): exchanges are
+    * inserted by EnsureRequirements/AQE — the pre-adaptive `sparkPlan`
+    * never contains them, so counting there proved nothing. The collect
+    * happens INSIDE the conf window so the adaptive plan is decided and
+    * finalized under SPJ (the harness's later re-collect reuses this
+    * DataFrame's locked QueryExecution).
+    */
+  private def requireShuffleFreeSpj(
+      s: SparkSession, tag: String, sql: String): DataFrame = {
+    val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.requireAllClusterKeysForCoPartition")
+    val saved = keys.map(k => k -> s.conf.getOption(k))
+    s.conf.set(keys(0), "true")
+    s.conf.set(keys(1), "-1")
+    // the join may carry MORE keys than the layout: the residual
+    // equality evaluates inside the zipped partitions
+    s.conf.set(keys(2), "false")
+    try {
+      val df = s.sql(sql)
+      df.collect() // decide + finalize the adaptive plan under SPJ
+      def countShuffles(
+          p: org.apache.spark.sql.execution.SparkPlan): Int = {
+        val here = p match {
+          case _: org.apache.spark.sql.execution.exchange
+            .ShuffleExchangeExec => 1
+          case _ => 0
+        }
+        val kids = p match {
+          case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive
+            .QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        here + kids.map(countShuffles).sum
+      }
+      require(countShuffles(df.queryExecution.executedPlan) == 0,
+        s"$tag: expected a shuffle-free storage-partitioned join over " +
+          "the hidden layout")
+      df
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   private val replaceWhereMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
@@ -3166,98 +3214,21 @@ object SparkEntry {
     // bucketing, then gates the joined values
     "u43_spj_join" -> ((s, dir) => {
       val cat = u43Catalog(s, dir)
-      val prevB = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
-      val prevT = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
-      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      try {
-        val df = s.sql(
-          "SELECT c.event_id, c.event_type, u.n_events " +
-            s"FROM $cat.ev.clicks c JOIN $cat.ev.users u " +
-            "ON c.user_id = u.user_id WHERE c.event_id % 17 = 3")
-        def countShuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
-          val here = p match {
-            case _: org.apache.spark.sql.execution.exchange
-              .ShuffleExchangeExec => 1
-            case _ => 0
-          }
-          here + p.children.map(countShuffles).sum
-        }
-        require(countShuffles(df.queryExecution.sparkPlan) == 0,
-          "u43: expected a shuffle-free storage-partitioned join over " +
-            "the hidden bucket layout")
-        // materialize before the confs reset (the gate re-collects, but
-        // the PLAN decision is already locked into this DataFrame)
-        df
-      } finally {
-        prevB match {
-          case Some(v) =>
-            s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
-          case None =>
-            s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
-        }
-        prevT match {
-          case Some(v) =>
-            s.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
-          case None =>
-            s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-        }
-      }
+      requireShuffleFreeSpj(s, "u43",
+        "SELECT c.event_id, c.event_type, u.n_events " +
+          s"FROM $cat.ev.clicks c JOIN $cat.ev.users u " +
+          "ON c.user_id = u.user_id WHERE c.event_id % 17 = 3")
     }),
     // u45 (round 20): storage-partitioned join over the CALENDAR
     // transform — two days(ts) facts zip day leaf to day leaf; the
     // entry REQUIRES a shuffle-free plan, then gates the joined values
     "u45_spj_days" -> ((s, dir) => {
       val cat = u45Catalog(s, dir)
-      val prevB = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
-      val prevT = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
-      val prevR = s.conf.getOption(
-        "spark.sql.requireAllClusterKeysForCoPartition")
-      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      // the join carries more keys than the layout (event_id AND ts):
-      // day grouping clusters ts only — relax co-partitioning to the
-      // subset; the residual event_id equality evaluates inside the
-      // zipped day partitions
-      s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
-      try {
-        val df = s.sql(
-          "SELECT c.event_id, c.event_type, a.amt " +
-            s"FROM $cat.ev.clicks c JOIN $cat.ev.amounts a " +
-            "ON c.event_id = a.event_id AND c.ts = a.ts " +
-            "WHERE c.event_id % 13 = 4")
-        def countShuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
-          val here = p match {
-            case _: org.apache.spark.sql.execution.exchange
-              .ShuffleExchangeExec => 1
-            case _ => 0
-          }
-          here + p.children.map(countShuffles).sum
-        }
-        require(countShuffles(df.queryExecution.sparkPlan) == 0,
-          "u45: expected a shuffle-free storage-partitioned join over " +
-            "the hidden days(ts) layout")
-        df
-      } finally {
-        prevB match {
-          case Some(v) =>
-            s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
-          case None =>
-            s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
-        }
-        prevT match {
-          case Some(v) =>
-            s.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
-          case None =>
-            s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-        }
-        prevR match {
-          case Some(v) => s.conf.set(
-            "spark.sql.requireAllClusterKeysForCoPartition", v)
-          case None => s.conf.unset(
-            "spark.sql.requireAllClusterKeysForCoPartition")
-        }
-      }
+      requireShuffleFreeSpj(s, "u45",
+        "SELECT c.event_id, c.event_type, a.amt " +
+          s"FROM $cat.ev.clicks c JOIN $cat.ev.amounts a " +
+          "ON c.event_id = a.event_id AND c.ts = a.ts " +
+          "WHERE c.event_id % 13 = 4")
     }),
     // u46 (round 20): partition-source rename — the days(ts) source is
     // now `event_ts`; a window filter on the NEW name must open ONLY

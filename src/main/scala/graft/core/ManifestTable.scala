@@ -2671,8 +2671,10 @@ object ManifestTable {
     var header = all.head
       .replaceFirst("\"version\":-?\\d+", s""""version":$next""")
       // publishManifest re-appends live nf/nr; the copied ones would
-      // duplicate the keys
+      // duplicate the keys — and a restore-of-a-restore must not carry
+      // the source's own restoredFrom breadcrumb (review, round 20)
       .replaceAll(",\"nf\":\\d+", "").replaceAll(",\"nr\":\\d+", "")
+      .replaceAll(",\"restoredFrom\":-?\\d+", "")
       // the restore is UNKEYED (no pre/post pairing — its CDF delta is
       // the honest file-level net change back to the old state)
       .replaceAll(",\"opKey\":\"[^\"]*\"", "")

@@ -175,21 +175,35 @@ object Transactions {
       * head is not the pointer's pin (dangling versions from a crashed
       * transaction, or out-of-band writes — run [[rollback]] or [[sync]]
       * first): a transactional version must derive from transactional
-      * state.
+      * state. An UNPINNED table must be brand-new (no committed
+      * version) — a table WITH history could be a crashed
+      * first-enrollment's debris, which a silent adopt would fold into
+      * this transaction; enrolling pre-existing tables is an explicit
+      * decision (`enroll = true`, or [[sync]] first).
       */
-    def stage[T](rel: String)(work: String => T): T = {
+    def stage[T](rel: String, enroll: Boolean = false)(
+        work: String => T): T = {
       require(rel.nonEmpty && !rel.exists(c =>
-        c == '"' || c == '\n' || c == '\r'),
-        s"stage: member name '$rel' must be non-empty without '\"' or newlines")
+        c == '"' || c == '{' || c == '}' || c == '\n' || c == '\r'),
+        s"stage: member name '$rel' must be non-empty without '\"', " +
+          "'{', '}' or newlines (the pointer encoding reserves them)")
       val r = root(rel)
       val head0 = ManifestTable.currentVersion(spark, r)
-      val expected = staged.get(rel).orElse(base.flatMap(_.pins.get(rel)))
-      expected.foreach { pin =>
-        if (head0 != pin) throw new ConcurrentModificationException(
-          s"transact.stage('$rel'): table head v$head0 != catalog pin " +
-            s"v$pin — dangling versions from a crashed transaction or " +
-            "out-of-band writes; run Transactions.rollback to restore " +
-            "the pinned state or Transactions.sync to adopt the head")
+      staged.get(rel).orElse(base.flatMap(_.pins.get(rel))) match {
+        case Some(pin) =>
+          if (head0 != pin) throw new ConcurrentModificationException(
+            s"transact.stage('$rel'): table head v$head0 != catalog pin " +
+              s"v$pin — dangling versions from a crashed transaction or " +
+              "out-of-band writes; run Transactions.rollback to restore " +
+              "the pinned state or Transactions.sync to adopt the head")
+        case None =>
+          if (head0 >= 0 && !enroll)
+            throw new ConcurrentModificationException(
+              s"transact.stage('$rel'): the table has committed versions " +
+                s"(head v$head0) but no catalog pin — a crashed " +
+                "first-enrollment transaction's debris looks exactly " +
+                "like this; pass enroll = true to adopt the existing " +
+                "history deliberately, or run Transactions.sync first")
       }
       val out = work(r)
       val head1 = ManifestTable.currentVersion(spark, r)
@@ -229,6 +243,12 @@ object Transactions {
       work: String => T): T =
     transact(spark, catalogRoot)(txn => txn.stage(rel)(work))
 
+  private def renderPointer(
+      v: Long, ts: Long, pins: Map[String, Long]): String =
+    s"""{"v":$v,"ts":$ts,"tables":{${
+      pins.toSeq.sorted.map { case (k, p) => s""""$k":$p""" }
+        .mkString(",")}}}"""
+
   /** CAS loop over the pointer slot. With `requireUnmoved`, a slot loss
     * re-validates that no OWN member moved between our base read and the
     * winner (the lost-update check); sync passes false (adopt-whatever).
@@ -244,11 +264,8 @@ object Transactions {
       // monotonic stamp, same clamp law as manifest publishes
       val ts = math.max(System.currentTimeMillis(),
         base.map(_.tsMs + 1L).getOrElse(0L))
-      val bodyJson = s"""{"v":$next,"ts":$ts,"tables":{${
-        pins.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }
-          .mkString(",")}}}"""
       if (ManifestTable.publishSlot(spark, catalogDir(catalogRoot),
-          s"v$next.json", bodyJson))
+          s"v$next.json", renderPointer(next, ts, pins)))
         return Pointer(next, ts, pins)
       val w = currentPointer(spark, catalogRoot).getOrElse(
         throw new IllegalStateException(
@@ -271,24 +288,41 @@ object Transactions {
     * escape hatch for out-of-band writes (and for enrolling existing
     * tables wholesale). Empty `rels` refreshes every already-pinned
     * member. Returns the published pointer version.
+    *
+    * The head reads happen INSIDE the CAS loop (review, round 20): a
+    * head read before a concurrent transaction's pointer publish would
+    * otherwise be republished on retry, regressing that member's pin
+    * below a committed transaction — each attempt adopts heads read
+    * AFTER the base pointer it publishes against, and a pin never moves
+    * backwards past the winner's.
     */
   def sync(
       spark: SparkSession, catalogRoot: String,
       rels: Seq[String] = Nil): Long = {
-    val base = currentPointer(spark, catalogRoot)
-    val members =
-      if (rels.nonEmpty) rels
-      else base.map(_.pins.keys.toSeq).getOrElse(Nil)
-    require(members.nonEmpty,
-      "sync: no members to adopt (no pointer yet and no rels given)")
-    val pins = members.map { rel =>
-      val head = ManifestTable.currentVersion(
-        spark, tableRoot(catalogRoot, rel))
-      require(head >= 0, s"sync('$rel'): no committed version to adopt")
-      rel -> head
-    }.toMap
-    publishPins(spark, catalogRoot, base, pins,
-      requireUnmoved = false).version
+    while (true) {
+      val base = currentPointer(spark, catalogRoot)
+      val members =
+        if (rels.nonEmpty) rels
+        else base.map(_.pins.keys.toSeq).getOrElse(Nil)
+      require(members.nonEmpty,
+        "sync: no members to adopt (no pointer yet and no rels given)")
+      val pins = members.map { rel =>
+        val head = ManifestTable.currentVersion(
+          spark, tableRoot(catalogRoot, rel))
+        require(head >= 0, s"sync('$rel'): no committed version to adopt")
+        rel -> math.max(head,
+          base.flatMap(_.pins.get(rel)).getOrElse(-1L))
+      }.toMap
+      val next = base.map(_.version + 1).getOrElse(0L)
+      val ts = math.max(System.currentTimeMillis(),
+        base.map(_.tsMs + 1L).getOrElse(0L))
+      val allPins = base.map(_.pins).getOrElse(Map.empty) ++ pins
+      if (ManifestTable.publishSlot(spark, catalogDir(catalogRoot),
+          s"v$next.json", renderPointer(next, ts, allPins)))
+        return next
+      // slot lost: re-read EVERYTHING (pointer and heads) and retry
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Restore a member whose chain ran ahead of the pointer (a crashed

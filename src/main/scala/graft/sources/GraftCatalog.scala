@@ -430,13 +430,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"RENAME COLUMN: '$from' is the identity partition column " +
               s"${sp.render} — it exists only in directory names; " +
               "renaming it is a rewrite job"))
-        // a column may reclaim its OWN physical name (rename-back);
-        // anyone else's physical storage is occupied
-        require(!droppedCols.contains(to) &&
-          !columnMap.filterNot(_._1 == from).values.toSet.contains(to),
-          s"RENAME COLUMN: physical name '$to' is still occupied in " +
-            "data files (a dropped or renamed column) — pick another " +
-            "name or rewrite the table")
+        // renaming ONTO an occupied physical name is fine (round 20):
+        // the column keeps ITS OWN storage through the mapping entry
+        // below, so reads of the new logical name never touch the
+        // occupied slot's bytes — same field-id semantics as the ADD
+        // COLUMN fresh-name road. Only a derived LEVEL name refuses
+        // (the logical column would shadow the hidden directory level
+        // in user-facing schemas).
+        require(!partSpecs.exists(_.levelName == to),
+          s"RENAME COLUMN: '$to' is the table's hidden partition level " +
+            "name — pick another name")
         val physical = physOf(from)
         columnMap = columnMap - from
         // a rename BACK to the physical name needs no mapping entry
@@ -536,6 +539,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // dropped bytes stay dead (Delta/Iceberg's field-id semantics:
         // a re-added name is a NEW column, never the old storage).
         GraftCatalog.requireMappableName(cname, "ADD COLUMN")
+        // a hidden partition LEVEL name must stay unreachable from the
+        // logical schema (review, round 20): a data column named like
+        // the level would have its filters absorbed as directory
+        // pruning on the unrelated derived level
+        require(!partSpecs.exists(_.levelName == cname),
+          s"ADD COLUMN: '$cname' is the table's hidden partition level " +
+            "name — pick another name")
         val occupied = droppedCols.toSet ++ columnMap.values ++
           schema.fields.map(f => physOf(f.name))
         if (occupied.contains(cname)) {

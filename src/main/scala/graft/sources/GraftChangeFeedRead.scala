@@ -171,11 +171,13 @@ class GraftChangeFeedTable(
 
       override def build(): Scan = {
         require(!rowImages,
-          "rowImages: the pairing is a Catalyst rewrite " +
+          "rowImages: the pairing needs a version's BOTH sides — a " +
+            "batch-window property, so streaming reads refuse; batch " +
+            "reads are served by a Catalyst rewrite " +
             "(GraftRowImagesRule) — build the session with " +
-            "graft.functions.GraftExtensions (Engine.session does) so " +
-            "the option can never silently serve unpaired file-level " +
-            "sides")
+            "graft.functions.GraftExtensions (Engine.session does). " +
+            "This scan refuses rather than silently serving unpaired " +
+            "file-level sides")
         require(startingVersion >= 0,
           s"readChangeFeed: startingVersion must be >= 0, got $startingVersion")
         require(startingVersion <= endVersion,

@@ -167,16 +167,14 @@ object GraftManifestSource {
     require(catRoot.isEmpty || explicitVersionAsOf.isEmpty,
       "catalogRoot resolves the snapshot through the catalog pointer — " +
         "drop versionAsOf/timestampAsOf")
-    val catPin: Option[Long] = catRoot.flatMap { cr =>
-      graft.core.Transactions.pinnedVersion(
-        org.apache.spark.sql.SparkSession.active, cr,
-        relUnderCatalog(cr, p), catVer)
-    }
-    val versionAsOf = explicitVersionAsOf.orElse(catPin)
     if (options.getBoolean("readChangeFeed", false)) {
+      // refuse BEFORE any pointer IO (review, round 20): a CDF read
+      // with catalogRoot must get THIS message, not a pointer-
+      // resolution error from options it may not even satisfy
       require(catRoot.isEmpty,
         "readChangeFeed spans versions — catalogRoot addresses one " +
           "pinned snapshot; drop one of the two")
+      val versionAsOf = explicitVersionAsOf
       // the CDF read is its own table shape (extra _change_type /
       // _commit_version columns); snapshot addressing stays with the
       // plain read
@@ -206,6 +204,12 @@ object GraftManifestSource {
         Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
         rowImages = options.getBoolean("rowImages", false))
     }
+    val catPin: Option[Long] = catRoot.flatMap { cr =>
+      graft.core.Transactions.pinnedVersion(
+        org.apache.spark.sql.SparkSession.active, cr,
+        relUnderCatalog(cr, p), catVer)
+    }
+    val versionAsOf = explicitVersionAsOf.orElse(catPin)
     val optParts =
       Option(options.get("partitionCols")).toSeq
         .flatMap(PartitionTransforms.splitSpecs) ++

@@ -106,6 +106,39 @@ class TransactionsSpec extends SparkSpec {
       spark, Transactions.tableRoot(cat, "corpus"), 1L).count() == 3L)
   }
 
+  test("a crashed FIRST-ENROLLMENT is not silently folded in: the next stage refuses; enroll = true adopts deliberately (review r20)") {
+    val cat = tmpDir("graft_txn_enroll")
+    seed(cat)
+    // crash while enrolling a brand-new table: its v0 is durable but
+    // never pointed
+    intercept[RuntimeException] {
+      Transactions.transact(spark, cat,
+        beforePointerPublish = () => throw new RuntimeException("crash")) {
+        txn =>
+          txn.stage("newidx")(root => ManifestTable.commit(spark, root,
+            Seq(("en", 5L)).toDF("lang", "docs"), "lang", batchId = 0L))
+      }
+    }
+    // a plain re-stage must NOT adopt the debris silently
+    val e = intercept[ConcurrentModificationException] {
+      Transactions.transact(spark, cat) { txn =>
+        txn.stage("newidx")(root => ManifestTable.merge(spark, root,
+          Seq(("en", 9L)).toDF("lang", "docs"), "lang", batchId = 1L))
+      }
+    }
+    assert(e.getMessage.contains("enroll"), e.getMessage)
+    // deliberate adoption composes
+    Transactions.transact(spark, cat) { txn =>
+      txn.stage("newidx", enroll = true)(root =>
+        ManifestTable.merge(spark, root,
+          Seq(("en", 9L)).toDF("lang", "docs"), "lang", batchId = 1L))
+    }
+    assert(Transactions.read(spark, cat, "newidx")
+      .select("lang", "docs").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("en" -> 9L))
+  }
+
   test("sync adopts out-of-band heads; stage refuses them until then") {
     val cat = tmpDir("graft_txn_sync")
     seed(cat)

@@ -159,11 +159,14 @@ class ColumnMappingSpec extends SparkSpec {
       spark.sql("ALTER TABLE gcm3.m.t3 DROP COLUMN m")
     }
     assert(e2.getMessage.contains("zone-map"), e2.getMessage)
-    // renaming ANOTHER column onto m's physical name refuses
-    val e3 = intercept[Exception] {
-      spark.sql("ALTER TABLE gcm3.m.t3 RENAME COLUMN k TO n")
-    }
-    assert(e3.getMessage.contains("occupied"), e3.getMessage)
+    // renaming ANOTHER column onto m's physical name works (round 20):
+    // k keeps ITS OWN storage through the mapping — the occupied slot's
+    // bytes never resurface under the new name
+    spark.sql("ALTER TABLE gcm3.m.t3 RENAME COLUMN k TO n")
+    assert(spark.sql("SELECT n FROM gcm3.m.t3").head.getLong(0) == 1L,
+      "renamed column must serve its OWN storage, not the occupied slot")
+    assert(spark.sql("SELECT m FROM gcm3.m.t3").head.getLong(0) == 10L)
+    spark.sql("ALTER TABLE gcm3.m.t3 RENAME COLUMN n TO k") // restore
     // rename BACK to the physical name drops the mapping entry
     spark.sql("ALTER TABLE gcm3.m.t3 RENAME COLUMN m TO n")
     assert(spark.sql("SELECT n FROM gcm3.m.t3").head.getLong(0) == 10L)
