@@ -1941,9 +1941,11 @@ object ManifestTable {
   // was ineffective — HadoopReadOptions retains the Configuration it was
   // built from, so the map value strongly referenced its key and entries
   // never collected). One slot bounds retention to at most ONE retired
-  // Configuration (replaced the moment a different session conf shows
-  // up), which is the honest fix: in practice the JVM has one session
-  // conf, and a rebuild on slot miss only re-reads ~a dozen conf keys.
+  // Configuration (replaced the moment a different conf shows up). One
+  // slot cannot thrash here: the key is sparkContext.hadoopConfiguration
+  // — ONE object per SparkContext, shared by every SparkSession of the
+  // JVM's single context — and a rebuild on the rare miss (a new
+  // context) only re-reads ~a dozen conf keys.
   // Known tradeoff (documented, same as before): later MUTATIONS of a
   // live session conf don't invalidate its cached options.
   private val footerOptionsSlot = new java.util.concurrent.atomic.AtomicReference[

@@ -60,6 +60,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * unpointed head and refuses loudly rather than silently deriving a
   * transactional version from un-transacted state.
   *
+  * Serialization scope (stated, not guessed): a pin names a manifest
+  * CHAIN PREFIX, and every manifest is a complete snapshot — so a pin
+  * exposes everything below it. Two LIVE writers racing into the same
+  * member between one stage's head check and its work's publish resolve
+  * at the manifest chain's own OCC (the later commit composes over the
+  * earlier, Delta's rule), and the pointer CAS then refuses whichever
+  * transaction's pin lost — but the loser's staged versions remain in
+  * the chain and may already sit below the winner's pin (the CME
+  * message says so). Strict per-member transaction serialization would
+  * need staging OUTSIDE the chain; the stage-time check is a dangling-
+  * debris detector for CRASHED transactions, not a lock.
+  *
   * Scale shape: the pointer is ONE tiny file naming `(table, version)`
   * pairs — publish cost is O(members), independent of data size; reads
   * add one small-file read to plan time (amortizable by the caller).
@@ -143,6 +155,17 @@ object Transactions {
   private[graft] def tableRoot(root: String, rel: String): String =
     new Path(root, rel).toString
 
+  /** Member names serialize as JSON keys the pointer's regex parser
+    * reads back — the reserved characters refuse at EVERY entry that
+    * accepts caller-supplied names (stage AND sync — review, round 20),
+    * never corrupt silently.
+    */
+  private def requireMemberName(rel: String, what: String): Unit =
+    require(rel.nonEmpty && !rel.exists(c =>
+      c == '"' || c == '{' || c == '}' || c == '\n' || c == '\r'),
+      s"$what: member name '$rel' must be non-empty without '\"', " +
+        "'{', '}' or newlines (the pointer encoding reserves them)")
+
   /** Transactional read: a pinned member reads AT its pin, a non-member
     * reads latest (plain [[ManifestTable.read]] semantics — enrollment
     * is opt-in per table).
@@ -183,10 +206,7 @@ object Transactions {
       */
     def stage[T](rel: String, enroll: Boolean = false)(
         work: String => T): T = {
-      require(rel.nonEmpty && !rel.exists(c =>
-        c == '"' || c == '{' || c == '}' || c == '\n' || c == '\r'),
-        s"stage: member name '$rel' must be non-empty without '\"', " +
-          "'{', '}' or newlines (the pointer encoding reserves them)")
+      requireMemberName(rel, "stage")
       val r = root(rel)
       val head0 = ManifestTable.currentVersion(spark, r)
       staged.get(rel).orElse(base.flatMap(_.pins.get(rel))) match {
@@ -230,7 +250,7 @@ object Transactions {
     val out = body(txn)
     if (txn.staged.isEmpty) return out
     beforePointerPublish()
-    publishPins(spark, catalogRoot, base, txn.staged.toMap,
+    publishPins(spark, catalogRoot, base, _ => txn.staged.toMap,
       requireUnmoved = true)
     out
   }
@@ -249,15 +269,22 @@ object Transactions {
       pins.toSeq.sorted.map { case (k, p) => s""""$k":$p""" }
         .mkString(",")}}}"""
 
-  /** CAS loop over the pointer slot. With `requireUnmoved`, a slot loss
-    * re-validates that no OWN member moved between our base read and the
-    * winner (the lost-update check); sync passes false (adopt-whatever).
+  /** CAS loop over the pointer slot — the ONE pointer-publish protocol
+    * (review, round 20: sync used to hand-copy it). `newPinsOf` computes
+    * the attempt's member pins from the base it publishes against (a
+    * fixed map for transact/rollback; a per-attempt head re-read for
+    * sync). With `requireUnmoved`, a slot loss re-validates that no OWN
+    * member moved between our original base and the winner (the
+    * lost-update check); sync passes false (adopt-whatever, re-read).
     */
   private def publishPins(
       spark: SparkSession, catalogRoot: String,
-      base0: Option[Pointer], newPins: Map[String, Long],
+      base0: Option[Pointer],
+      newPinsOf: Option[Pointer] => Map[String, Long],
       requireUnmoved: Boolean): Pointer = {
+    val firstPins = newPinsOf(base0)
     var base = base0
+    var newPins = firstPins
     while (true) {
       val next = base.map(_.version + 1).getOrElse(0L)
       val pins = base.map(_.pins).getOrElse(Map.empty) ++ newPins
@@ -271,15 +298,18 @@ object Transactions {
         throw new IllegalStateException(
           s"lost the pointer slot v$next under $catalogRoot but no " +
             "pointer is readable"))
-      if (requireUnmoved) newPins.keys.foreach { rel =>
+      if (requireUnmoved) firstPins.keys.foreach { rel =>
         if (w.pins.get(rel) != base0.flatMap(_.pins.get(rel)))
           throw new ConcurrentModificationException(
             s"transact: a concurrent transaction moved member '$rel' " +
               s"(pin ${base0.flatMap(_.pins.get(rel))} -> " +
               s"${w.pins.get(rel)}) — this transaction's staged version " +
-              "derives from a superseded snapshot; recompute and retry")
+              "derives from a superseded snapshot; note the staged " +
+              "manifest versions remain in the member's chain (a later " +
+              "writer may compose over them) — verify before retrying")
       }
       base = Some(w)
+      newPins = newPinsOf(base)
     }
     throw new IllegalStateException("unreachable")
   }
@@ -299,30 +329,24 @@ object Transactions {
   def sync(
       spark: SparkSession, catalogRoot: String,
       rels: Seq[String] = Nil): Long = {
-    while (true) {
-      val base = currentPointer(spark, catalogRoot)
+    rels.foreach(requireMemberName(_, "sync"))
+    val base0 = currentPointer(spark, catalogRoot)
+    def pinsOf(base: Option[Pointer]): Map[String, Long] = {
       val members =
         if (rels.nonEmpty) rels
         else base.map(_.pins.keys.toSeq).getOrElse(Nil)
       require(members.nonEmpty,
         "sync: no members to adopt (no pointer yet and no rels given)")
-      val pins = members.map { rel =>
+      members.map { rel =>
         val head = ManifestTable.currentVersion(
           spark, tableRoot(catalogRoot, rel))
         require(head >= 0, s"sync('$rel'): no committed version to adopt")
         rel -> math.max(head,
           base.flatMap(_.pins.get(rel)).getOrElse(-1L))
       }.toMap
-      val next = base.map(_.version + 1).getOrElse(0L)
-      val ts = math.max(System.currentTimeMillis(),
-        base.map(_.tsMs + 1L).getOrElse(0L))
-      val allPins = base.map(_.pins).getOrElse(Map.empty) ++ pins
-      if (ManifestTable.publishSlot(spark, catalogDir(catalogRoot),
-          s"v$next.json", renderPointer(next, ts, allPins)))
-        return next
-      // slot lost: re-read EVERYTHING (pointer and heads) and retry
     }
-    throw new IllegalStateException("unreachable")
+    publishPins(spark, catalogRoot, base0, pinsOf,
+      requireUnmoved = false).version
   }
 
   /** Restore a member whose chain ran ahead of the pointer (a crashed
@@ -348,7 +372,7 @@ object Transactions {
         "pinned version was vacuumed or the pointer is foreign to this " +
         "table; run sync to adopt the head instead")
     val restored = ManifestTable.restoreVersion(spark, r, pin)
-    publishPins(spark, catalogRoot, Some(base), Map(rel -> restored),
+    publishPins(spark, catalogRoot, Some(base), _ => Map(rel -> restored),
       requireUnmoved = true)
     restored
   }

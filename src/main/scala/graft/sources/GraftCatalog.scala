@@ -276,6 +276,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // data column and the scan translates data predicates to directory
     // pruning (see [[PartitionTransforms]]). The descriptor records the
     // transform spelling verbatim.
+    // bad physical spellings are minted HERE (review, round 20): a
+    // column created with the mapping encoding's reserved characters
+    // could never be renamed or dropped later — refuse at the mint
+    schema.fieldNames.foreach(
+      GraftCatalog.requireMappableName(_, "CREATE TABLE"))
     val specs: Seq[PartSpec] =
       PartitionTransforms.fromV2Transforms(partitioning.toSeq)
     require(specs.nonEmpty,
