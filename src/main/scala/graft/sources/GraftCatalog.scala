@@ -61,6 +61,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private var catalogName: String = _
   private var root: String = _
+  private var transactional: Boolean = false
 
   private def spark = SparkSession.active
   private def fs: FileSystem =
@@ -73,6 +74,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     require(root != null && root.nonEmpty,
       s"graft catalog '$name' needs a warehouse root: set " +
         s"spark.sql.catalog.$name.root")
+    // TRANSACTIONAL catalog mode (round 20 — U44's SQL read road):
+    // `spark.sql.catalog.<name>.transactional = true` makes loadTable
+    // resolve each member table through the warehouse root's catalog
+    // version pointer (graft.core.Transactions), so plain SELECT sees
+    // the last TRANSACTIONALLY COMMITTED snapshot — a consistent
+    // multi-table pair, never a half-published one. Unpinned tables
+    // read latest as always. Off by default; pinned handles are
+    // snapshot-addressed, so direct WRITES through a transactional
+    // catalog to a PINNED table refuse loudly (write through
+    // Transactions.transact/commitTable, or a non-transactional
+    // catalog name over the same root).
+    transactional = options.getBoolean("transactional", false)
   }
 
   override def name(): String = catalogName
@@ -239,27 +252,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       ident: Identifier, version: Option[Long]): GraftManifestTable = {
     val d = tableDir(ident)
     if (!fs.exists(d)) throw new NoSuchTableException(ident)
+    // transactional mode: an implicit read resolves the POINTER pin
+    // (explicit VERSION/TIMESTAMP AS OF still addresses the chain)
+    val pinned = version.orElse(
+      if (!transactional) None
+      else graft.core.Transactions.pinnedVersion(spark, root,
+        (ident.namespace.toSeq :+ ident.name).mkString("/")))
     def manifestOnly = fs.exists(new Path(d, "_manifest"))
     readDescriptorOrCorrupt(d) match {
       case Right(Some((schema, parts, stats))) =>
         val (cmap, dropped) = mappingOf(d)
         // time travel reads the version under ITS OWN logical names
         // (round 19 — the schema-history snapshot in effect then)
-        val hist = version.flatMap(v =>
+        val hist = pinned.flatMap(v =>
           GraftCatalog.historicalOverride(spark, d.toString, v))
-        new GraftManifestTable(d.toString, version,
+        new GraftManifestTable(d.toString, pinned,
           Some(hist.map(_._1).getOrElse(schema)), parts, stats,
           viaCatalog = true,
           columnMap = hist.map(_._2).getOrElse(cmap),
           droppedPhysical = hist.map(_._3).getOrElse(dropped))
       case Right(None) if manifestOnly =>
-        new GraftManifestTable(d.toString, version, viaCatalog = true)
+        new GraftManifestTable(d.toString, pinned, viaCatalog = true)
       case Right(None) => throw new NoSuchTableException(ident)
       case Left(_) if manifestOnly =>
         // corrupt descriptor, committed table: the manifest is the
         // authority (the descriptor only adds declared-but-unwritten
         // columns, which a corrupt file cannot be trusted to carry)
-        new GraftManifestTable(d.toString, version, viaCatalog = true)
+        new GraftManifestTable(d.toString, pinned, viaCatalog = true)
       case Left(e) => throw e
     }
   }

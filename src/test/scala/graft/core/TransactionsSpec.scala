@@ -345,6 +345,64 @@ class TransactionsSpec extends SparkSpec {
     }
   }
 
+  test("TRANSACTIONAL catalog mode: plain SQL SELECT resolves the pointer pin; writes to pinned tables refuse; VERSION AS OF still addresses the chain") {
+    val wh = tmpDir("graft_txn_cat_wh")
+    // a NORMAL catalog and a TRANSACTIONAL one over the SAME root
+    spark.conf.set("spark.sql.catalog.gtxn_rw",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gtxn_rw.root", wh)
+    spark.conf.set("spark.sql.catalog.gtxn_ro",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gtxn_ro.root", wh)
+    spark.conf.set("spark.sql.catalog.gtxn_ro.transactional", "true")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtxn_rw.m")
+    spark.sql("CREATE TABLE gtxn_rw.m.docs (k BIGINT, lang STRING) " +
+      "USING `graft-manifest` PARTITIONED BY (lang)")
+    spark.sql("CREATE TABLE gtxn_rw.m.idx (lang STRING, n BIGINT) " +
+      "USING `graft-manifest` PARTITIONED BY (lang)")
+    spark.sql("INSERT INTO gtxn_rw.m.docs VALUES (1, 'en'), (2, 'de')")
+    spark.sql("INSERT INTO gtxn_rw.m.idx VALUES ('en', 1), ('de', 1)")
+    // enroll BOTH (explicit — the tables have history) in one pointer
+    Transactions.transact(spark, wh) { txn =>
+      txn.stage("m/docs", enroll = true)(_ => ())
+      txn.stage("m/idx", enroll = true)(_ => ())
+    }
+    // the transactional catalog serves the pinned pair
+    assert(spark.sql("SELECT count(*) FROM gtxn_ro.m.docs")
+      .head.getLong(0) == 2L)
+    // an out-of-band write through the NORMAL catalog: rw sees it,
+    // the transactional road keeps the consistent pinned pair
+    spark.sql("INSERT INTO gtxn_rw.m.docs VALUES (3, 'fr')")
+    assert(spark.sql("SELECT count(*) FROM gtxn_rw.m.docs")
+      .head.getLong(0) == 3L)
+    assert(spark.sql("SELECT count(*) FROM gtxn_ro.m.docs")
+      .head.getLong(0) == 2L)
+    // a transact over both members publishes the new pair atomically...
+    Transactions.sync(spark, wh, Seq("m/docs"))
+    Transactions.transact(spark, wh) { txn =>
+      txn.stage("m/idx") { root =>
+        ManifestTable.merge(spark, root,
+          Seq(("fr", 1L)).toDF("lang", "n"), "lang", batchId = 9L)
+      }
+    }
+    assert(spark.sql("SELECT count(*) FROM gtxn_ro.m.docs")
+      .head.getLong(0) == 3L)
+    assert(spark.sql("SELECT n FROM gtxn_ro.m.idx WHERE lang = 'fr'")
+      .head.getLong(0) == 1L)
+    // explicit chain time travel still wins over the pin
+    assert(spark.sql("SELECT count(*) FROM gtxn_ro.m.docs VERSION AS OF 0")
+      .head.getLong(0) == 2L)
+    // a WRITE through the transactional catalog to a pinned table
+    // refuses (snapshot-addressed handle) — write via transact or rw
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO gtxn_ro.m.docs VALUES (9, 'it')")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("time-travel") ||
+      m.contains("snapshot") || m.contains("refus")), msgs(e).toString)
+  }
+
   test("restoreVersion is verbatim: lines, zone maps and stats registration carry; a pending deferred mask refuses") {
     val root = tmpDir("graft_txn_restore") + "/t"
     ManifestTable.commit(spark, root,
