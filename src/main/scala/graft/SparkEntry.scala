@@ -3451,6 +3451,17 @@ object SparkEntry {
       graft.sources.AvroIngest.writeAvro(src, out)
       graft.sources.AvroIngest.readAvro(s, out, src.schema)
     }),
+    // S10 (round 20) — XML roundtrip through Spark 4's built-in XML
+    // FileFormat: part names carry markup-significant characters
+    // (&, <, quotes in p_name/p_comment rarely, but p_type reliably has
+    // none — the escaping law is spec-pinned; the key gates VALUES)
+    "s10_xml_roundtrip" -> ((s, dir) => {
+      val out = graft.core.TempDirs.create("graft_xml_rt") + "/part"
+      val src = t(s, dir, "part")
+        .select("p_partkey", "p_name", "p_type", "p_retailprice")
+      graft.sources.XmlIngest.writeXml(src, out)
+      graft.sources.XmlIngest.readXml(s, out, src.schema)
+    }),
     // S8 — schema evolution across ingest batches: an early batch (key,
     // name) and a later batch (key, regionkey) of one logical table read as
     // ONE frame via mergeSchema; absent columns null-fill per batch. The
@@ -5897,6 +5908,8 @@ object SparkEntry {
     // (bigint/varchar/double all map onto lossless Avro primitives).
     "s9_avro_roundtrip" ->
       "SELECT s_suppkey, s_name, s_acctbal, s_nationkey FROM supplier",
+    "s10_xml_roundtrip" ->
+      "SELECT p_partkey, p_name, p_type, p_retailprice FROM part",
     // s8: the merged read equals the union of both batch projections with
     // per-batch null fill.
     "s8_schema_evolution" ->
