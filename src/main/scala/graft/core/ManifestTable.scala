@@ -1770,6 +1770,11 @@ object ManifestTable {
   /** RESTORE the table to an earlier committed version (the Delta RESTORE
     * move, manifest-native) — the UNDO for a bad ingest, delete or fold:
     * publishes a NEW version whose file list is exactly `toVersion`'s.
+    * Contrast [[restoreVersion]] (round 20, the TRANSACTIONAL-rollback
+    * primitive): that one restores the ENTIRE state verbatim — fence
+    * included — because a rolled-back transaction's batch must RE-APPLY
+    * on retry; this user-facing undo keeps the CURRENT fence because a
+    * redelivered pre-restore batch must still no-op.
     * History stays linear — the versions being undone remain
     * time-travelable until [[vacuum]] retires them, and the restored
     * files become referenced by the new CURRENT manifest, so a
@@ -2630,11 +2635,12 @@ object ManifestTable {
     * files derive from the snapshot's registration; the recorded schema
     * is carried unchanged (SQL UPDATE/MERGE cannot add columns).
     */
-  /** RESTORE (round 20 — the transactional-rollback primitive, Delta's
-    * `RESTORE TABLE ... TO VERSION AS OF` shape): publish a NEW version
-    * whose complete state — file lines (zone maps, `%#` meta), batch
-    * fence, stats registration, recorded schema — is `toVersion`'s,
-    * VERBATIM. Data files are immutable and carried by path, so this is
+  /** RESTORE (round 20 — the transactional-rollback primitive;
+    * contrast the user-facing [[restore]], which keeps the CURRENT
+    * fence/schema/stats and restores only the file lines): publish a
+    * NEW version whose complete state — file lines (zone maps, `%#`
+    * meta), batch fence, stats registration, recorded schema — is
+    * `toVersion`'s, VERBATIM. Data files are immutable and carried by path, so this is
     * metadata-only: one manifest read + one publish, zero data IO at any
     * scale. The versions above `toVersion` stay time-travelable (and
     * vacuum-sweepable) — history is append-only, a restore never erases
