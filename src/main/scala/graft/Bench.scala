@@ -316,6 +316,9 @@ object Bench {
       // therefore stay persisted — memo_warm semantics are unchanged.
       sinceGc += 1
       if (sinceGc >= 8) { System.gc(); sinceGc = 0 }
+      // label the query's jobs (guide §1.5) so event-log/UI profiling can
+      // attribute stages to entries; thread-local, cleared after the run
+      spark.sparkContext.setJobDescription(s"bench:$name")
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
@@ -323,6 +326,7 @@ object Bench {
           -1L
       }
       val sec = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.setJobDescription(null)
       val (gcMs, gcN) = gcNow()
       val rt = Runtime.getRuntime
       val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)

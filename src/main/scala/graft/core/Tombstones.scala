@@ -96,7 +96,11 @@ object Tombstones {
     // '=' is the tag separator: [[add]] forbids it in batchId, so
     // stripping at the LAST '=' in [[batchIds]] is exact even for ids
     // that legally contain '-' (a '-'-separated tag truncated those)
-    dedup.write.mode("overwrite").parquet(s"$root/$Dir/batch=$batchId=$tag")
+    // rebalance: tombstone lists are tiny and read by EVERY masked search
+    // — one right-sized file per batch instead of one near-empty file per
+    // task (guide §6 file sizing)
+    dedup.hint("rebalance").write.mode("overwrite")
+      .parquet(s"$root/$Dir/batch=$batchId=$tag")
     spark.catalog.refreshByPath(s"$root/$Dir")
   }
 

@@ -401,9 +401,15 @@ object Dedup {
       numHashes: Int,
       bands: Int): Unit = {
     val sets = shingleSets(docs, textCol, idCol, shingleWords)
-    sets.select("id", "sh").write.mode("overwrite")
+    // rebalance before the stored-relation writes (guide §6 file sizing):
+    // a full-width write of a small batch fans into one near-empty file
+    // per task, and every incremental run re-lists and re-opens them all;
+    // AQE coalesces to right-sized files and still splits genuinely large
+    // batches at the advisory size
+    sets.select("id", "sh").hint("rebalance").write.mode("overwrite")
       .parquet(s"$path/sets/batch=$batchId")
-    bandedKeys(sets, numHashes, bands).write.mode("overwrite")
+    bandedKeys(sets, numHashes, bands).hint("rebalance")
+      .write.mode("overwrite")
       .parquet(s"$path/bands/batch=$batchId")
   }
 
@@ -981,9 +987,15 @@ object Dedup {
       bands: Int = 6,
       dim: Int = 64,
       bucketCap: Int = DefaultBucketCap): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    // norm attached ONCE per vector (the Similarity.withNorm discipline —
+    // same expression over the same doubles, `cos` bit-identical): the
+    // verify below otherwise recomputes both norms per candidate pair
     val v = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nv", expr("sqrt(graft_dot(v, v))"))
 
-    val banded = capBuckets(signBands(v, bits, bands, dim), bucketCap)
+    val banded = capBuckets(
+      signBands(v.select("id", "v"), bits, bands, dim), bucketCap)
 
     val cand = banded.as("x")
       .join(
@@ -993,14 +1005,13 @@ object Dedup {
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
       .distinct()
 
-    graft.functions.GraftFunctions.register(vecs.sparkSession)
     cand
-      .join(v.select(col("id").as("a_id"), col("v").as("va")), "a_id")
-      .join(v.select(col("id").as("b_id"), col("v").as("vb")), "b_id")
+      .join(v.select(col("id").as("a_id"), col("v").as("va"),
+        col("nv").as("na")), "a_id")
+      .join(v.select(col("id").as("b_id"), col("v").as("vb"),
+        col("nv").as("nb")), "b_id")
       // native codegen'd dot product; same fold order as the HOF form
       .withColumn("dot", expr("graft_dot(va, vb)"))
-      .withColumn("na", expr("sqrt(graft_dot(va, va))"))
-      .withColumn("nb", expr("sqrt(graft_dot(vb, vb))"))
       .withColumn("cos", col("dot") / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cosine"))
@@ -1102,28 +1113,41 @@ object Dedup {
     // pair sides, CC vertices) and `assign` two (candidates + the keep
     // rule's cosine) — left lazy, every branch re-reads and re-derives the
     // whole upstream (the full centroid-assignment pass would run twice)
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    // norm attached ONCE per vector (the Similarity.withNorm discipline):
+    // the exact-cosine verify below otherwise recomputes both norms per
+    // CANDIDATE PAIR — same expression over the same doubles, so `cos`
+    // stays bit-identical
     val v = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
       .filter(col("v").isNotNull && size(col("v")) > 0)
+      .withColumn("nv", expr("sqrt(graft_dot(v, v))"))
       .localCheckpoint(true)
-    val (assign0, _) = Similarity.ivfCoarse(v, Seq(0L), nCentroids, 1, nIter)
+    val (assign0, _) = Similarity.ivfCoarse(
+      v.select("id", "v"), Seq(0L), nCentroids, 1, nIter)
     val assign = assign0.localCheckpoint(true)
-    // cell self-join via the (band, key) shape so capBuckets guards it
-    val capped = capBuckets(
+    // cell self-join via the (band, key) shape so capBuckets guards it —
+    // spread across an explicit row-derived width (Similarity.pairJoinWidth:
+    // the cell relation is tiny in BYTES, so byte-based sizing would
+    // serialize the quadratic per-cell pair fan-out onto one task)
+    val capped0 = capBuckets(
       assign.select(col("id"), lit(0).as("band"), col("cid").cast("string").as("key")),
-      cellCap)
+      cellCap).localCheckpoint(true)
+    val capped = capped0.repartition(
+      Similarity.pairJoinWidth(capped0.sparkSession, capped0.count()),
+      col("band"), col("key"))
     val cand = capped.as("x")
       .join(
         capped.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
-    graft.functions.GraftFunctions.register(vecs.sparkSession)
     val dupPairs = cand
-      .join(v.select(col("id").as("a_id"), col("v").as("va")), "a_id")
-      .join(v.select(col("id").as("b_id"), col("v").as("vb")), "b_id")
+      .join(v.select(col("id").as("a_id"), col("v").as("va"),
+        col("nv").as("na")), "a_id")
+      .join(v.select(col("id").as("b_id"), col("v").as("vb"),
+        col("nv").as("nb")), "b_id")
       .withColumn("cos",
-        expr("graft_dot(va, vb)") /
-          (expr("sqrt(graft_dot(va, va))") * expr("sqrt(graft_dot(vb, vb))")))
+        expr("graft_dot(va, vb)") / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"))
     val labels = clusters(v.select("id"), dupPairs)

@@ -132,7 +132,14 @@ object HierarchicalIndex {
       else if (bits != 0) 0L // fixed width: the law never consults n
       else v.count()
     val levels = v.select(col("id"), levelCol(maxLevel)).localCheckpoint(true)
-    levels.write.mode("overwrite").parquet(s"$path/levels/batch=base")
+    // rebalance before every stored-relation write (guide §6 file sizing):
+    // the checkpointed frames carry the session's full task count, so a
+    // plain write lands one near-empty file per task — and every SEARCH
+    // re-lists and re-opens them all. AQE's rebalance coalesces a small
+    // relation to one right-sized file and still splits at the advisory
+    // size when a 100 TB build genuinely fills partitions.
+    levels.hint("rebalance")
+      .write.mode("overwrite").parquet(s"$path/levels/batch=base")
     for (l <- 0 until maxLevel) {
       val members = levels.filter(col("level") >= l).select("id")
       val kk = if (l == 0) graphK else graphKUpper
@@ -140,7 +147,8 @@ object HierarchicalIndex {
       val banded = Dedup
         .signBands(vL, layerBits(bits, bands, n, l), bands, dim)
         .localCheckpoint(true)
-      banded.write.mode("overwrite").parquet(s"$path/bands/level=$l/batch=base")
+      banded.hint("rebalance")
+        .write.mode("overwrite").parquet(s"$path/bands/level=$l/batch=base")
       graft.core.ManifestTable.commit(spark, s"$path/graph/level=$l",
         Similarity.knnGraphFromBanded(Dedup.capBuckets(banded, bucketCap), vL, kk)
           .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
@@ -189,12 +197,19 @@ object HierarchicalIndex {
         meta.getAs[Long]("width_count") else 0L
     if (graft.core.ManifestTable.lastBatch(
         spark, s"$path/graph/level=0") >= batchId) return // redelivery
-    val v = Similarity.asVectors(corpus).localCheckpoint(true)
+    // corpus norms attached ONCE (Similarity.withNorm discipline): the
+    // collider/delta scoring joins below otherwise recompute both norms
+    // per scored pair; bit-identical cos
+    val v = Similarity.withNorm(Similarity.asVectors(corpus))
+      .localCheckpoint(true)
     val deltaV = Similarity.asVectors(delta).localCheckpoint(true)
     if (deltaV.isEmpty) return
     val deltaLevels = deltaV.select(col("id"), levelCol(maxLevel))
       .localCheckpoint(true)
-    deltaLevels.write.mode("overwrite")
+    // rebalance before the per-batch appends too (same file-sizing
+    // discipline as [[build]]): a per-task fan-out of a small delta is
+    // pure listing/open tax on every later search
+    deltaLevels.hint("rebalance").write.mode("overwrite")
       .parquet(s"$path/levels/batch=b$batchId")
     spark.catalog.refreshByPath(s"$path/levels")
     for (l <- (maxLevel - 1) to 0 by -1; kkOf = if (l == 0)
@@ -205,7 +220,7 @@ object HierarchicalIndex {
           deltaV.join(membersDelta, Seq("id")),
           layerBits(bits, nBands, widthCount, l), nBands, dim)
           .localCheckpoint(true)
-        deltaBand.write.mode("overwrite")
+        deltaBand.hint("rebalance").write.mode("overwrite")
           .parquet(s"$path/bands/level=$l/batch=b$batchId")
         spark.catalog.refreshByPath(s"$path/bands/level=$l")
         // colliders: stored band rows sharing a (band, key) bucket with
@@ -249,8 +264,9 @@ object HierarchicalIndex {
           .select(col("o.id").as("old_id"), col("d.id").as("new_id"))
           .distinct()
         val scoredPairs = Similarity.cosineCols(colliderPairs
-          .join(v.select(col("id").as("old_id"), col("v").as("qv")), "old_id")
-          .join(v.select(col("id").as("new_id"), col("v")), "new_id"))
+          .join(v.select(col("id").as("old_id"), col("v").as("qv"),
+            col("nv").as("nq")), "old_id")
+          .join(v.select(col("id").as("new_id"), col("v"), col("nv")), "new_id"))
           .select(col("old_id"), col("new_id"), col("cos"))
           .localCheckpoint(true)
         // NEW nodes' edges: top-k over delta×old colliders ∪ delta×delta
@@ -263,7 +279,8 @@ object HierarchicalIndex {
           .distinct()
         val ddScored = Similarity.cosineCols(ddPairs
           .join(v, "id")
-          .join(v.select(col("id").as("query_id"), col("v").as("qv")), "query_id"))
+          .join(v.select(col("id").as("query_id"), col("v").as("qv"),
+            col("nv").as("nq")), "query_id"))
           .select(col("query_id"), col("id"), col("cos"))
         val newScored = scoredPairs
           .select(col("new_id").as("query_id"), col("old_id").as("id"), col("cos"))
@@ -288,8 +305,9 @@ object HierarchicalIndex {
           .join(broadcast(affectedIds), storedTouchedG("src") === affectedIds("id"))
           .select(col("src"), col("dst"))
         val affStoredScored = Similarity.cosineCols(affStored
-          .join(v.select(col("id").as("src"), col("v").as("qv")), "src")
-          .join(v.select(col("id").as("dst"), col("v")), "dst"))
+          .join(v.select(col("id").as("src"), col("v").as("qv"),
+            col("nv").as("nq")), "src")
+          .join(v.select(col("id").as("dst"), col("v"), col("nv")), "dst"))
           .select(col("src").as("query_id"), col("dst").as("id"), col("cos"))
         val affNewScored = scoredPairs
           .select(col("old_id").as("query_id"), col("new_id").as("id"), col("cos"))
@@ -375,7 +393,10 @@ object HierarchicalIndex {
     // leaves searches dead-free through the masks; the fence (level 0
     // still below batchId) redelivers the rewrite
     graft.core.Tombstones.add(spark, path, dead, "id", s"d$batchId")
-    val v = Similarity.asVectors(corpus)
+    // corpus norms attached ONCE (Similarity.withNorm discipline): the
+    // rewrite's scoring join otherwise recomputes both norms per scored
+    // pair; bit-identical cos
+    val v = Similarity.withNorm(Similarity.asVectors(corpus))
     for (l <- (maxLevel - 1) to 0 by -1) {
       val kk = if (l == 0) meta.getAs[Int]("graph_k")
         else meta.getAs[Int]("graph_k_upper")
@@ -437,8 +458,8 @@ object HierarchicalIndex {
             Seq("query_id"))
         val scored = Similarity.cosineCols(pairs
           .join(v, "id")
-          .join(v.select(col("id").as("query_id"), col("v").as("qv")),
-            "query_id"))
+          .join(v.select(col("id").as("query_id"), col("v").as("qv"),
+            col("nv").as("nq")), "query_id"))
         val newEdges = Similarity.rankTopK(scored, kk)
           .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
         // commit: unaffected survivors' rows carry in-frame, affected rows
@@ -609,10 +630,13 @@ object HierarchicalIndex {
       entryK: Int,
       beamWidth: Int,
       rounds: Int): (DataFrame, Long) = {
-    val v = Similarity.asVectors(embeddings)
+    // norms hoisted above the scoring joins (Similarity.withNorm): one dot
+    // per scored candidate instead of three, bit-identical cos
+    val v = Similarity.withNorm(Similarity.asVectors(embeddings))
     val q = broadcast(
       v.filter(col("id").isin(queryIds: _*))
-        .select(col("id").as("query_id"), col("v").as("qv")))
+        .select(col("id").as("query_id"), col("v").as("qv"),
+          col("nv").as("nq")))
     def score(cand: DataFrame): DataFrame =
       Similarity.cosineCols(cand.join(v, "id").join(q, "query_id"))
         .select(col("query_id"), col("id"), col("cos"))

@@ -205,7 +205,10 @@ object Retrieval {
         s"into $path — absorb is a no-op")
       return
     }
-    textIndexPostings(batch)
+    // rebalance before the stored write (guide §6 file sizing): postings
+    // of a small absorb batch otherwise fan into one near-empty file per
+    // task, and every search re-lists and re-opens them all
+    textIndexPostings(batch).hint("rebalance")
       .write.mode("overwrite").parquet(s"$path/postings/batch=$batchId")
     // a RETRIED absorb replaces the partition's files — drop the session's
     // cached file listing so a same-session reader can't chase the old

@@ -32,11 +32,52 @@ object Similarity {
     */
   private[operators] def cosineCols(df: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    df
-      .withColumn("dot", expr("graft_dot(v, qv)"))
-      .withColumn("nv", expr("sqrt(graft_dot(v, v))"))
-      .withColumn("nq", expr("sqrt(graft_dot(qv, qv))"))
-      .withColumn("cos", col("dot") / (col("nv") * col("nq")))
+    // NORM HOISTING (optimization round 21): when the caller has already
+    // attached `nv`/`nq` (via [[withNorm]], computed ONCE per vector before
+    // the pair join), reuse it — the default recomputes both norms PER
+    // SCORED PAIR, which for a pair-generation stage emitting millions of
+    // candidate rows triples the dot-product work of the hottest stage.
+    // Same expression over the same doubles, so `cos` is bit-identical.
+    val withDot = df.withColumn("dot", expr("graft_dot(v, qv)"))
+    val withNv =
+      if (df.columns.contains("nv")) withDot
+      else withDot.withColumn("nv", expr("sqrt(graft_dot(v, v))"))
+    val withNq =
+      if (df.columns.contains("nq")) withNv
+      else withNv.withColumn("nq", expr("sqrt(graft_dot(qv, qv))"))
+    withNq.withColumn("cos", col("dot") / (col("nv") * col("nq")))
+  }
+
+  /** The corpus-vector frame with its cosine norm attached ONCE per vector
+    * — `sqrt(graft_dot(v, v))`, the exact subexpression [[cosineCols]]
+    * derives per pair when absent, so hoisting it above a pair join leaves
+    * every downstream `cos` bit-identical while cutting the per-pair dot
+    * products from three to one.
+    */
+  private[operators] def withNorm(v: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(v.sparkSession)
+    v.withColumn("nv", expr("sqrt(graft_dot(v, v))"))
+  }
+
+  /** Explicit width for a band-bucket pair-generation self-join. The
+    * exchange feeding such a join carries FEW BYTES (band keys) but its
+    * output explodes quadratically per bucket, so byte-based sizing — AQE
+    * coalescing, or a localCheckpoint that materialized at one tiny
+    * partition — happily schedules millions of candidate pairs onto a
+    * single task (measured on k5 at sf0.1: one 3.1 s task emitting 2.7 M
+    * pairs while 31 cores idled). Width therefore derives from the ROW
+    * count (~`targetRows` band rows per task, their pair fan-out bounded
+    * by the bucket cap), clamped to the session's shuffle width so at
+    * 100 TB the join simply uses the cluster's own parallelism.
+    */
+  private[operators] def pairJoinWidth(
+      s: org.apache.spark.sql.SparkSession,
+      bandRows: Long,
+      targetRows: Long = 2048L): Int = {
+    val byRows = math.max(1L, (bandRows + targetRows - 1) / targetRows)
+    math.min(
+      math.max(1, s.sessionState.conf.numShufflePartitions).toLong,
+      byRows).toInt
   }
 
   /** Rank scored (query_id, id, cos) rows to per-query top-k via the
@@ -70,12 +111,16 @@ object Similarity {
       embeddings: DataFrame,
       queryIds: Seq[Long],
       k: Int = 10): DataFrame = {
-    val v = asVectors(embeddings)
+    // norms hoisted above the scoring join ([[withNorm]]): the brute-force
+    // scan scores |corpus| × |queries| pairs, so the per-pair norm recompute
+    // tripled the scan's dot products; bit-identical cos
+    val vn = withNorm(asVectors(embeddings))
     val q = broadcast(
-      v.filter(col("id").isin(queryIds: _*))
-        .select(col("id").as("query_id"), col("v").as("qv")))
+      vn.filter(col("id").isin(queryIds: _*))
+        .select(col("id").as("query_id"), col("v").as("qv"),
+          col("nv").as("nq")))
     val scored = cosineCols(
-      v.crossJoin(q).filter(col("id") =!= col("query_id")))
+      vn.crossJoin(q).filter(col("id") =!= col("query_id")))
     rankTopK(scored, k)
   }
 
@@ -178,15 +223,18 @@ object Similarity {
     // M²: one bounded aggregate reduced to a scalar (like the centroid/
     // strata collects — never a data collect)
     val m2 = raw.agg(max(expr("graft_dot(v, v)"))).head().getDouble(0)
-    val aug = raw.select(
+    // norm hoisted onto the augmented corpus/query sides ([[withNorm]]
+    // discipline): the scan scores |corpus| × |queries| pairs
+    val aug = withNorm(raw.select(
       col("id"),
       expr(s"array_append(v, sqrt(greatest(0.0D, $m2 - graft_dot(v, v))))")
-        .as("v"))
+        .as("v")))
     val q = broadcast(
       raw.filter(col("id").isin(queryIds: _*))
         .select(
           col("id").as("query_id"),
-          expr("array_append(v, 0.0D)").as("qv")))
+          expr("array_append(v, 0.0D)").as("qv"))
+        .withColumn("nq", expr("sqrt(graft_dot(qv, qv))")))
     rankTopK(cosineCols(
         aug.crossJoin(q).filter(col("id") =!= col("query_id"))), k)
       .withColumnRenamed("cosine", "mips_cos")
@@ -233,17 +281,24 @@ object Similarity {
       .select("query_id", "id").distinct()
     val q0 = broadcast(
       raw.filter(col("id").isin(queryIds: _*))
-        .select(col("id").as("query_id"), expr("array_append(v, 0.0D)").as("qv")))
-    rankTopK(cosineCols(cand.join(aug, "id").join(q0, "query_id")), k)
+        .select(col("id").as("query_id"), expr("array_append(v, 0.0D)").as("qv"))
+        .withColumn("nq", expr("sqrt(graft_dot(qv, qv))")))
+    // corpus-side norm hoisted ([[withNorm]] discipline), bit-identical cos
+    rankTopK(cosineCols(cand.join(withNorm(aug), "id").join(q0, "query_id")), k)
       .withColumnRenamed("cosine", "mips_cos")
   }
 
-  /** Exact cosine re-rank of (query_id, id) candidate pairs → top-k. */
+  /** Exact cosine re-rank of (query_id, id) candidate pairs → top-k.
+    * Norms hoisted above the candidate join ([[withNorm]]) — one dot per
+    * pair, bit-identical cos.
+    */
   private[operators] def rerank(cand: DataFrame, v: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val vn = withNorm(v)
     val q = broadcast(
-      v.filter(col("id").isin(queryIds: _*))
-        .select(col("id").as("query_id"), col("v").as("qv")))
-    rankTopK(cosineCols(cand.join(v, "id").join(q, "query_id")), k)
+      vn.filter(col("id").isin(queryIds: _*))
+        .select(col("id").as("query_id"), col("v").as("qv"),
+          col("nv").as("nq")))
+    rankTopK(cosineCols(cand.join(vn, "id").join(q, "query_id")), k)
   }
 
   /** One deterministic Lloyd (k-means) iteration over broadcast centroids:
@@ -711,11 +766,14 @@ object Similarity {
                element_at($mnLit, d + 1) +
                ((vm[d] - element_at($mnLit, d + 1)) * 255L div element_at($rgLit, d + 1))
                  * element_at($rgLit, d + 1) div 255L) AS DOUBLE))"""
-    val dqv = vm.select(col("id"), expr(dqExpr).as("v"))
+    // norm hoisted onto the dequantized corpus/query sides ([[withNorm]]
+    // discipline): the shortlist scores |corpus| × |queries| pairs
+    val dqv = withNorm(vm.select(col("id"), expr(dqExpr).as("v")))
     val q = broadcast(
       vm.filter(col("id").isin(queryIds: _*))
         .select(col("id").as("query_id"),
-          expr("transform(vm, x -> CAST(x AS DOUBLE))").as("qv")))
+          expr("transform(vm, x -> CAST(x AS DOUBLE))").as("qv"))
+        .withColumn("nq", expr("sqrt(graft_dot(qv, qv))")))
     val shortlist = cosineCols(dqv.crossJoin(q))
       .filter(col("id") =!= col("query_id"))
       .groupBy("query_id")
@@ -916,14 +974,26 @@ object Similarity {
     */
   private[operators] def knnGraphFromBanded(
       banded: DataFrame, v: DataFrame, k: Int): DataFrame = {
-    val pairs = banded.select(col("id").as("query_id"), col("band"), col("key"))
-      .join(banded.select(col("id"), col("band"), col("key")), Seq("band", "key"))
+    // checkpoint the capped banding ONCE (the self-join would otherwise
+    // evaluate the cap join twice) and spread the pair generation across
+    // an explicit row-derived width — see [[pairJoinWidth]]: the join's
+    // input bytes are tiny, so byte-based sizing serializes the quadratic
+    // pair fan-out onto one task
+    val b0 = banded.select("id", "band", "key").localCheckpoint(true)
+    val b = b0.repartition(
+      pairJoinWidth(b0.sparkSession, b0.count()), col("band"), col("key"))
+    val pairs = b.select(col("id").as("query_id"), col("band"), col("key"))
+      .join(b.select(col("id"), col("band"), col("key")), Seq("band", "key"))
       .filter(col("id") =!= col("query_id"))
       .select("query_id", "id")
       .distinct()
+    // norms hoisted above the pair join ([[withNorm]]): one dot per scored
+    // pair instead of three, bit-identical cos
+    val vn = withNorm(v)
     val scored = cosineCols(pairs
-      .join(v, "id")
-      .join(v.select(col("id").as("query_id"), col("v").as("qv")), "query_id"))
+      .join(vn, "id")
+      .join(vn.select(col("id").as("query_id"), col("v").as("qv"),
+        col("nv").as("nq")), "query_id"))
     rankTopK(scored, k)
   }
 
@@ -1013,11 +1083,15 @@ object Similarity {
       .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
     val g = out.unionByName(
       out.select(col("dst").as("src"), col("src").as("dst")))
+    // norms hoisted above the scoring joins ([[withNorm]]): one dot per
+    // scored candidate instead of three, bit-identical cos
+    val vn = withNorm(v)
     val q = broadcast(
-      v.filter(col("id").isin(queryIds: _*))
-        .select(col("id").as("query_id"), col("v").as("qv")))
+      vn.filter(col("id").isin(queryIds: _*))
+        .select(col("id").as("query_id"), col("v").as("qv"),
+          col("nv").as("nq")))
     def score(cand: DataFrame): DataFrame =
-      cosineCols(cand.join(v, "id").join(q, "query_id"))
+      cosineCols(cand.join(vn, "id").join(q, "query_id"))
         .select(col("query_id"), col("id"), col("cos"))
     // entry points: bucket collisions in the first seedBands bands only
     val banded = Dedup.signBands(v, resolvedBits, bands, dim)

@@ -148,16 +148,21 @@ object VectorIndex {
     requireMeta(spark, path, m, dim)
     val v = Similarity.asVectors(batch)
     val cents = spark.read.parquet(s"$path/centroids")
-    Similarity.ivfAssign(v, cents).select("id", "cid")
+    // rebalance before every stored-relation write (guide §6 file
+    // sizing): a full-width write of a small absorb batch fans into one
+    // near-empty file per task, and every search re-lists and re-opens
+    // them all; AQE coalesces to right-sized files and still splits
+    // genuinely large batches at the advisory size
+    Similarity.ivfAssign(v, cents).select("id", "cid").hint("rebalance")
       .write.mode("overwrite").parquet(s"$path/assign/batch=$batchId")
     val codebook = spark.read.parquet(s"$path/codebook")
-    Similarity.pqEncode(v, codebook, m, dim)
+    Similarity.pqEncode(v, codebook, m, dim).hint("rebalance")
       .write.mode("overwrite").parquet(s"$path/codes/batch=$batchId")
     // packed 1-bit signatures ride in the same artifact (64x smaller than
     // raw vectors — the binary tier the cascade's stage 1 scans): the
     // hyperplanes are md5-derived, so a batch's signatures are a pure map
     // of the frozen (nBits, dim) — frozen-quantizer semantics for free
-    Similarity.binarySignatures(v, SigBits, dim)
+    Similarity.binarySignatures(v, SigBits, dim).hint("rebalance")
       .write.mode("overwrite").parquet(s"$path/sigs/batch=$batchId")
     // retried absorbs replace their partition's files — invalidate the
     // session's cached listings so same-session readers see the new parts
