@@ -192,7 +192,14 @@ object Dedup {
       bucketCap: Int = DefaultBucketCap): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val sets = shingleSets(docs, textCol, idCol, shingleWords)
-    val banded = capBuckets(bandedKeys(sets, numHashes, bands), bucketCap)
+    // capped banding checkpointed once + explicit row-derived width for
+    // the pair self-join (Similarity.pairJoinWidth — byte-based sizing
+    // would serialize the per-bucket pair fan-out onto one task)
+    val banded0 = capBuckets(bandedKeys(sets, numHashes, bands), bucketCap)
+      .localCheckpoint(true)
+    val banded = banded0.repartition(
+      Similarity.pairJoinWidth(banded0.sparkSession, banded0.count()),
+      col("band"), col("key"))
 
     val cand = banded.as("x")
       .join(
@@ -652,7 +659,12 @@ object Dedup {
     // the guard bounds output volume as much as join cost, and cross-band
     // salt independence keeps such a cluster connected for the downstream
     // component/survivor step (see [[capBuckets]]).
-    val banded = capBuckets(fp
+    // checkpoint the capped banding once (the self-join would evaluate the
+    // cap join twice) and spread the pair generation across an explicit
+    // row-derived width (Similarity.pairJoinWidth) — the banded relation
+    // is tiny in BYTES, so byte-based sizing would serialize the quadratic
+    // per-bucket pair fan-out onto one task
+    val banded0 = capBuckets(fp
       .select(
         col("doc_id").as("id") +:
           (0 until 4).map(j =>
@@ -661,6 +673,10 @@ object Dedup {
           explode(array(bandCols: _*)).as("b"): _*)
       .select(col("id"), col("b.band").as("band"), col("b.key").as("key"),
         col("w0"), col("w1"), col("w2"), col("w3")), bucketCap)
+      .localCheckpoint(true)
+    val banded = banded0.repartition(
+      Similarity.pairJoinWidth(banded0.sparkSession, banded0.count()),
+      col("band"), col("key"))
     val hammingExpr = (0 until 4)
       .map(j => s"bit_count(x.w$j ^ y.w$j)").mkString("CAST(", " + ", " AS BIGINT)")
     banded.as("x")
@@ -814,11 +830,17 @@ object Dedup {
     // bucket, prefiltered by the frame-level Hamming gate (a qualifying
     // pair has at least one such frame pair at SOME alignment, so the
     // video-pair set is a complete superset of the qualifying pairs)
-    val banded = capBuckets(fp
+    // capped banding checkpointed once + explicit row-derived width for
+    // the pair self-join (Similarity.pairJoinWidth — see hammingNearDup)
+    val banded0 = capBuckets(fp
       .select(col("vid").as("id"), col("w0"), col("w1"), col("w2"), col("w3"),
         explode(array(bandCols: _*)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.key").as("key"),
         col("w0"), col("w1"), col("w2"), col("w3")), bucketCap)
+      .localCheckpoint(true)
+    val banded = banded0.repartition(
+      Similarity.pairJoinWidth(banded0.sparkSession, banded0.count()),
+      col("band"), col("key"))
     val hammingExpr = (0 until 4)
       .map(j => s"bit_count(x.w$j ^ y.w$j)").mkString(" + ")
     val cand = banded.as("x")
@@ -994,8 +1016,14 @@ object Dedup {
     val v = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nv", expr("sqrt(graft_dot(v, v))"))
 
-    val banded = capBuckets(
+    // capped banding checkpointed once + explicit row-derived width for
+    // the pair self-join (Similarity.pairJoinWidth — see minHashNearDup)
+    val banded0 = capBuckets(
       signBands(v.select("id", "v"), bits, bands, dim), bucketCap)
+      .localCheckpoint(true)
+    val banded = banded0.repartition(
+      Similarity.pairJoinWidth(banded0.sparkSession, banded0.count()),
+      col("band"), col("key"))
 
     val cand = banded.as("x")
       .join(
