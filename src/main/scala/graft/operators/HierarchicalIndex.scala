@@ -397,7 +397,15 @@ object HierarchicalIndex {
     // rewrite's scoring join otherwise recomputes both norms per scored
     // pair; bit-identical cos
     val v = Similarity.withNorm(Similarity.asVectors(corpus))
-    for (l <- (maxLevel - 1) to 0 by -1) {
+    // Per-level rewrites OVERLAPPED (optimization guide §2.6): each level
+    // reads and commits only its own bands/graph roots, so the upper
+    // levels run concurrently on a transient pool and level 0 — the fence
+    // whose commit implies the whole delete landed — runs strictly AFTER
+    // every upper level succeeded. Crash/failure semantics are unchanged:
+    // in the sequential loop a failing level left some upper levels
+    // committed and level 0 uncommitted (fence redelivers); the parallel
+    // form leaves exactly the same observable states.
+    def rewriteLevel(l: Int): Unit = {
       val kk = if (l == 0) meta.getAs[Int]("graph_k")
         else meta.getAs[Int]("graph_k_upper")
       val bandsRaw = spark.read.parquet(s"$path/bands/level=$l")
@@ -478,6 +486,20 @@ object HierarchicalIndex {
           touchedValues = touchedBuckets.sorted.map(_.toString).toSeq)
       }
     }
+    if (maxLevel >= 2) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(4, maxLevel))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      try
+        ((maxLevel - 1) to 1 by -1)
+          .map(l => Future(rewriteLevel(l)))
+          .foreach(Await.result(_, Duration.Inf))
+      finally pool.shutdown()
+    }
+    rewriteLevel(0) // the fence: commits last, implying the whole delete
   }
 
   /** OPTIMIZE the stored pyramid's append-side relations: fold the

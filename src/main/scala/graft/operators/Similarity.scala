@@ -152,21 +152,35 @@ object Similarity {
     // inline derivations retrain quantizers / rebuild graphs per
     // evaluation); inline is the fallback, spec-pinned value-identical in
     // both cases (deterministic training on the same corpus)
-    val hier = hierIndexPath match {
-      case Some(p) => HierarchicalIndex.searchTopKCosine(
-        embeddings.sparkSession, p, embeddings, queryIds, k)
-      case None => HierarchicalIndex.searchInline(embeddings, queryIds, k)
-    }
-    val ivf = ivfIndexPath match {
-      case Some(p) => VectorIndex.ivfSearch(
-        embeddings.sparkSession, p, embeddings, queryIds, k)
-      case None => ivfTopKCosine(embeddings, queryIds, k)
-    }
-    val legs = Seq(
-      "lsh" -> annTopKCosine(embeddings, queryIds, k),
-      "ivf" -> ivf,
-      "binary" -> binaryQuantTopKCosine(embeddings, queryIds, k),
-      "hier" -> hier)
+    //
+    // Leg CONSTRUCTION overlapped (optimization guide §2.6): each leg's
+    // build runs eager driver-bounded phases (quantizer training collects,
+    // the pyramid's level descent) whose tiny jobs otherwise serialize —
+    // the legs share no state beyond the session (concurrent job
+    // submission is the documented Spark usage) and each is deterministic,
+    // so building them on a transient 4-thread pool changes wall-clock
+    // only; the returned frames and their union order are unchanged.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val legsF = Seq(
+      "lsh" -> Future(annTopKCosine(embeddings, queryIds, k)),
+      "ivf" -> Future(ivfIndexPath match {
+        case Some(p) => VectorIndex.ivfSearch(
+          embeddings.sparkSession, p, embeddings, queryIds, k)
+        case None => ivfTopKCosine(embeddings, queryIds, k)
+      }),
+      "binary" -> Future(binaryQuantTopKCosine(embeddings, queryIds, k)),
+      "hier" -> Future(hierIndexPath match {
+        case Some(p) => HierarchicalIndex.searchTopKCosine(
+          embeddings.sparkSession, p, embeddings, queryIds, k)
+        case None => HierarchicalIndex.searchInline(embeddings, queryIds, k)
+      }))
+    val legs =
+      try legsF.map { case (n, f) => n -> Await.result(f, Duration.Inf) }
+      finally pool.shutdown()
     val u = legs.map { case (n, df) =>
       df.select(lit(n).as("method"), col("query_id"), col("neighbor_id"))
     }.reduce(_.unionByName(_))

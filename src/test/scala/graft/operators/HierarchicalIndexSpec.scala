@@ -137,6 +137,33 @@ class HierarchicalIndexSpec extends SparkSpec {
       "a deleted id surfaced in the post-delete search")
   }
 
+  test("delete == rebuild at maxLevel 3: the concurrent upper-level rewrites stay exact") {
+    // three layers → TWO upper levels rewrite concurrently (the round-21
+    // §2.6 overlap); the rebuild equivalence must hold regardless of which
+    // level's jobs finish first, and level 0 still commits last (fence)
+    val deadIds = Set(3L, 14L, 25L, 36L, 47L, 58L, 69L, 80L)
+    val surv = emb.filter(!col("vec_id").isin(deadIds.toSeq: _*))
+    val path = tmpDir("graft_hier_del3")
+    HierarchicalIndex.build(emb, path, maxLevel = 3)
+    HierarchicalIndex.delete(spark, path, surv,
+      emb.filter(col("vec_id").isin(deadIds.toSeq: _*)).select("vec_id"),
+      batchId = 1L, idCol = "vec_id")
+    val ref = tmpDir("graft_hier_surv3")
+    HierarchicalIndex.build(surv, ref, maxLevel = 3)
+    for (l <- 0 until 3) {
+      val (gd, gr) = (graphRows(path, l), graphRows(ref, l))
+      assert(gd == gr,
+        s"level-$l edges diverge from the survivor rebuild: " +
+          s"deleted-only=${(gd -- gr).take(5)}, rebuilt-only=${(gr -- gd).take(5)}")
+    }
+    val qids = Seq(0L, 1L, 2L)
+    val (rd, bd) = HierarchicalIndex.searchRun(spark, path, surv, qids, 10)
+    val (rr, br) = HierarchicalIndex.searchRun(spark, ref, surv, qids, 10)
+    assert(bd == br, s"visited budgets diverge: $bd vs $br")
+    assert(rd.exceptAll(rr).isEmpty && rr.exceptAll(rd).isEmpty,
+      "search over the deleted pyramid diverges from the survivor rebuild")
+  }
+
   test("optimize defers the tombstone fold while a delete's rewrite is unredeemed (crash between mask and commit)") {
     val path = tmpDir("graft_hier_crashdel")
     HierarchicalIndex.build(emb, path)
