@@ -236,7 +236,7 @@ object Dedup {
     // the empties filter sits ABOVE the persist: below it, Catalyst pushes
     // size(sh) > 0 under the projection by substituting sh's definition,
     // re-evaluating the whole shingle pass per row (verified in the plan)
-    docs
+    Similarity.spreadNarrowScan(docs)
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
         expr(s"graft_word_shingles($textCol, $shingleWords)").as("sh"))
@@ -573,7 +573,7 @@ object Dedup {
     // are order-insensitive, so the result is bit-identical to the SQL
     // formulation (pinned in DedupSpec) and the DuckDB oracle.
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    docs
+    Similarity.spreadNarrowScan(docs)
       // NULL text produces no fingerprint — same cardinality as the
       // explode-based formulation (and the oracle), which dropped such rows
       .filter(col(textCol).isNotNull)
@@ -902,7 +902,7 @@ object Dedup {
     // pair join and both verify broadcasts; the empties filter sits ABOVE
     // the persist so Catalyst can't substitute sh's definition into it and
     // re-run the gram pass per row
-    val sets = docs
+    val sets = Similarity.spreadNarrowScan(docs)
       .filter(col(textCol).isNotNull)
       .select(
         (col(idCol).as("id") +: blockCols.map(col)) :+
@@ -1013,7 +1013,8 @@ object Dedup {
     // norm attached ONCE per vector (the Similarity.withNorm discipline —
     // same expression over the same doubles, `cos` bit-identical): the
     // verify below otherwise recomputes both norms per candidate pair
-    val v = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val v = Similarity.spreadNarrowScan(vecs)
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nv", expr("sqrt(graft_dot(v, v))"))
 
     // capped banding checkpointed once + explicit row-derived width for
@@ -1146,7 +1147,8 @@ object Dedup {
     // the exact-cosine verify below otherwise recomputes both norms per
     // CANDIDATE PAIR — same expression over the same doubles, so `cos`
     // stays bit-identical
-    val v = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val v = Similarity.spreadNarrowScan(vecs)
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
       .filter(col("v").isNotNull && size(col("v")) > 0)
       .withColumn("nv", expr("sqrt(graft_dot(v, v))"))
       .localCheckpoint(true)

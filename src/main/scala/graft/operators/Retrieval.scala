@@ -56,7 +56,11 @@ object Retrieval {
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
-    tokens(docs, idCol, textCol)
+    // spreadNarrowScan: the tokenize explode is the heavy per-row kernel
+    // and otherwise runs inside a 1-task single-file scan stage (measured
+    // 3 × 0.6 s single-task stages in k14); identity at production split
+    // counts
+    tokens(Similarity.spreadNarrowScan(docs), idCol, textCol)
       .groupBy("doc_id", "tok")
       .agg(count(lit(1)).as("tf"))
 
@@ -132,7 +136,15 @@ object Retrieval {
       k: Int = 10,
       nTerms: Int = 6,
       excludeSelf: Boolean = false): DataFrame = {
-    val scored = bm25Scores(textIndexPostings(docs), queryTerms(queries, nTerms))
+    // postings feed THREE aggregation consumers inside bm25Scores (doc
+    // lengths, document frequencies, and the scoring join itself) whose
+    // exchange subtrees differ, so ReuseExchange cannot dedup them — left
+    // lazy, the corpus tokenize ran three times (measured in k14's event
+    // log). One eager materialization is the store-once/read-thrice trade
+    // the stored-postings road (searchTextIndex) already makes durable.
+    val scored = bm25Scores(
+      textIndexPostings(docs).localCheckpoint(true),
+      queryTerms(queries, nTerms))
     val pruned =
       if (excludeSelf) scored.filter(col("doc_id") =!= col("query_id"))
       else scored
@@ -261,9 +273,13 @@ object Retrieval {
       queries: DataFrame,
       k: Int = 10,
       nTerms: Int = 6): DataFrame = {
+    // masked postings feed bm25Scores' three aggregation consumers — left
+    // lazy, the scan + tombstone anti-join re-ran per consumer (measured
+    // 3 × 0.3 s narrow stages in d16); one eager materialization, same
+    // trade as bm25TopK's inline postings
     val postings = graft.core.Tombstones.filterLive(
       spark.read.parquet(s"$path/postings").select("doc_id", "tok", "tf"),
-      path, "doc_id")
+      path, "doc_id").localCheckpoint(true)
     rankTopKMilli(bm25Scores(postings, queryTerms(queries, nTerms)), k)
   }
 }

@@ -80,6 +80,30 @@ object Similarity {
       byRows).toInt
   }
 
+  /** Widen a NARROW source scan to the session's parallelism before a
+    * compute-heavy per-row kernel (shingle/minhash, codec decode→hash,
+    * dequantize, tokenize): a small table stored as a single-row-group
+    * parquet file plans a 1-2 task scan, so the kernel serializes on one
+    * core while the rest idle — guide §2.5's unsplittable-input case
+    * ("repartition immediately after the read"), measured on the bench
+    * tables (e.g. the bm25 tokenize ran 3 × 0.6 s single-task stages).
+    * The repartition is CONDITIONAL on the planned split count, so a
+    * production-scale scan (splits ≥ parallelism) is untouched — no added
+    * exchange at 100 TB, where shuffling the corpus to "spread" it would
+    * be exactly the wrong trade. Row-to-partition assignment stays
+    * deterministic (sortBeforeRepartition, on by default) and every gated
+    * value is partitioning-independent by construction (integer-exact
+    * arithmetic; the dual-CPUS verify/bench already vary partitioning).
+    *
+    * Call ONLY on scan-shaped inputs (scans, unions/projections/filters
+    * of scans — no exchange upstream): `.rdd` on an adaptive plan with
+    * exchanges would eagerly execute its query stages.
+    */
+  private[operators] def spreadNarrowScan(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Rank scored (query_id, id, cos) rows to per-query top-k via the
     * bounded [[graft.functions.TopKByScore]] aggregate: per-partition
     * k-heaps combine map-side, the shuffle carries one ≤k buffer per
@@ -279,7 +303,7 @@ object Similarity {
       dim: Int = 64,
       weightExpr: String = "1.0D + CAST(id % 7 AS DOUBLE)"): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    val raw = asVectors(embeddings)
+    val raw = spreadNarrowScan(asVectors(embeddings))
       .withColumn("v", expr(s"transform(v, x -> x * ($weightExpr))"))
     val m2 = raw.agg(max(expr("graft_dot(v, v)"))).head().getDouble(0)
     val aug = raw.select(
@@ -757,7 +781,7 @@ object Similarity {
       dim: Int = 64): DataFrame = {
     val v = asVectors(embeddings)
     graft.functions.GraftFunctions.register(v.sparkSession)
-    val vm = v
+    val vm = spreadNarrowScan(v)
       .filter(col("v").isNotNull && size(col("v")) > 0)
       .select(col("id"),
         expr("transform(v, x -> CAST(floor(x * 1000000) AS BIGINT))").as("vm"))
@@ -858,11 +882,12 @@ object Similarity {
     * greedy trajectory replays bit-identically in the SQL oracle (k chained
     * rounds, the k6 fixed-round pattern).
     *
-    * Shape: the expensive part is the K1 relevance shortlist (broadcast
-    * map-only scan); everything after operates on `shortlist` rows per
-    * query — the ≤ shortlist² pairwise-sim relation and k tiny
-    * argmax/anti-join rounds. Per-round frames are eagerly checkpointed
-    * (the d7 lineage rule).
+    * Shape: the expensive parts — the K1 relevance shortlist (broadcast
+    * map-only corpus scan) and the ≤ shortlist² exact pairwise sims — run
+    * distributed; the k greedy argmax rounds then run ON THE DRIVER over
+    * the collected integer shortlist state (|queries|·shortlist² longs —
+    * parameter-bounded KBs at the defaults, the centroid-collect
+    * discipline), replacing ~6 orchestration jobs per round.
     */
   def mmrTopKCosine(
       embeddings: DataFrame,
@@ -889,31 +914,55 @@ object Similarity {
         "CAST(round(graft_dot(va, vb) / (sqrt(graft_dot(va, va)) * " +
           "sqrt(graft_dot(vb, vb))) * 1000000) AS BIGINT)"))
       .select("query_id", "ca", "cb", "sim")
-      .localCheckpoint(true)
-    var selected = sl.groupBy("query_id")
-      .agg(expr("max_by(named_struct('id', id, 'rel', rel_micro), struct(rel_micro, -id))").as("m"))
-      .select(col("query_id"), col("m.id").as("id"),
-        col("m.rel").as("rel_micro"), lit(1).as("mmr_rank"))
-      .localCheckpoint(true)
-    for (r <- 2 to k) {
-      val maxSim = sims
-        .join(selected.select(col("query_id"), col("id").as("cb")),
-          Seq("query_id", "cb"))
-        .groupBy(col("query_id"), col("ca").as("id"))
-        .agg(max(col("sim")).as("ms"))
-      val next = sl
-        .join(selected.select("query_id", "id"), Seq("query_id", "id"), "left_anti")
-        .join(maxSim, Seq("query_id", "id"))
-        .withColumn("score",
-          expr(s"${lambdaMicro}L * rel_micro - ${1000000L - lambdaMicro}L * ms"))
-        .groupBy("query_id")
-        .agg(expr("max_by(named_struct('id', id, 'rel', rel_micro), struct(score, -id))").as("m"))
-        .select(col("query_id"), col("m.id").as("id"),
-          col("m.rel").as("rel_micro"), lit(r).as("mmr_rank"))
-      selected = selected.unionByName(next).localCheckpoint(true)
+    // GREEDY ROUNDS ON THE DRIVER (optimization round 21): the k chained
+    // argmax rounds operate on |queries|·shortlist relevance rows plus
+    // |queries|·shortlist² pairwise sims — parameter-bounded driver state
+    // (KBs at the defaults; the centroid-collect discipline, bound stated
+    // here), while the distributed round loop paid ~6 tiny jobs + 2
+    // broadcast builds PER ROUND (51 jobs measured for k11 at sf0.1, ~85 ms
+    // apiece of pure orchestration). The heavy, corpus-sized parts — the
+    // brute-force shortlist scan and the exact integer pairwise sims —
+    // STAY distributed; only the greedy selection over already-quantized
+    // integers moves. The arithmetic below is the SQL form term for term
+    // (Long λ·rel − (10⁶−λ)·ms; argmax by (score, −id), i.e. max score
+    // with ties to the SMALLER id; a candidate with no sim row to any
+    // selected member drops, the inner-join semantics), so the values are
+    // bit-identical — oracle-replayed, spec-pinned.
+    val relRows = sl.select("query_id", "id", "rel_micro").collect()
+    val simRows = sims.select("query_id", "ca", "cb", "sim").collect()
+    val relByQ = relRows.groupBy(_.getLong(0))
+    val simByQ = simRows.groupBy(_.getLong(0))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Long)]
+    relByQ.foreach { case (q, rows) =>
+      val rel = rows.map(r => r.getLong(1) -> r.getLong(2)).toMap
+      val sim = simByQ.getOrElse(q, Array.empty[org.apache.spark.sql.Row])
+        .map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+      val first = rel.toSeq.maxBy { case (id, rm) => (rm, -id) }
+      var selected = List(first._1)
+      out += ((q, first._1, 1, first._2))
+      var r = 2
+      var exhausted = false
+      while (r <= k && !exhausted) {
+        val cands = rel.iterator
+          .filter { case (ca, _) => !selected.contains(ca) }
+          .flatMap { case (ca, rm) =>
+            val ms = selected.flatMap(cb => sim.get((ca, cb)))
+            if (ms.isEmpty) None else Some((ca, rm, ms.max))
+          }.toSeq
+        if (cands.isEmpty) exhausted = true
+        else {
+          val (id, rm, _) = cands.maxBy { case (ca, rm, ms) =>
+            (lambdaMicro * rm - (1000000L - lambdaMicro) * ms, -ca)
+          }
+          selected = id :: selected
+          out += ((q, id, r, rm))
+          r += 1
+        }
+      }
     }
-    selected.select(col("query_id"), col("id").as("neighbor_id"),
-      col("mmr_rank"), col("rel_micro"))
+    val session = embeddings.sparkSession
+    import session.implicits._
+    out.toSeq.toDF("query_id", "neighbor_id", "mmr_rank", "rel_micro")
   }
 
   /** kNN-graph build: for EVERY corpus vector, its top-k cosine neighbors
@@ -959,7 +1008,7 @@ object Similarity {
       bands: Int = 18,
       dim: Int = 64,
       bucketCap: Int = Dedup.DefaultBucketCap): DataFrame = {
-    val v = asVectors(embeddings)
+    val v = spreadNarrowScan(asVectors(embeddings))
     // bits = 0 (the default) resolves the band-key width ADAPTIVELY from
     // the corpus count — see [[adaptiveBandBits]]; an explicit bits value
     // pins the banding (the pre-round-15 fixed behavior)

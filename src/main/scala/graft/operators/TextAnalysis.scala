@@ -815,14 +815,18 @@ object TextAnalysis {
       k: Int = 50,
       minCount: Int = 5,
       textCol: String = "text"): DataFrame = {
-    val arr = docs.select(split(col(textCol), " ").as("a"))
+    // spreadNarrowScan: the bigram/unigram explodes are the heavy per-row
+    // kernels and otherwise run inside a 1-task single-file scan stage;
+    // identity at production split counts
+    val spread = Similarity.spreadNarrowScan(docs)
+    val arr = spread.select(split(col(textCol), " ").as("a"))
       .filter(size(col("a")) >= 2)
     val bg = arr.select(expr(
       """explode(transform(sequence(1, size(a) - 1),
            i -> struct(element_at(a, i) AS w1, element_at(a, i + 1) AS w2)))""").as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .localCheckpoint(true) // read by the pair counts AND the total
-    val uni = docs.select(explode(split(col(textCol), " ")).as("w"))
+    val uni = spread.select(explode(split(col(textCol), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
     val n = bg.count()
     bg.groupBy("w1", "w2")
@@ -884,8 +888,12 @@ object TextAnalysis {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val arr = docs.select(col(idCol), split(col(textCol), " ").as("a"),
-      expr(targetPredicate).as("is_tgt"))
+    // spreadNarrowScan: both corpus explodes (the bucket-count pass and
+    // the scoring pass) otherwise run inside 1-task single-file scan
+    // stages; identity at production split counts
+    val arr = Similarity.spreadNarrowScan(docs)
+      .select(col(idCol), split(col(textCol), " ").as("a"),
+        expr(targetPredicate).as("is_tgt"))
       .filter(size(col("a")) >= 2)
     val feats = arr.select(col(idCol), col("is_tgt"), explode(expr(
       s"""transform(sequence(1, size(a) - 1),
